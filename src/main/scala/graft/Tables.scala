@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated test tables (see /root/repo/TESTDATA.md).
+  *
+  * Every query in [[SparkEntry.queries]] receives `(spark, sfDir)` and reads
+  * the parquet tables it needs through these helpers, so filters/projections
+  * written against the returned DataFrames are pushed straight into the
+  * parquet scan by Catalyst (verify with `.explain("formatted")`:
+  * `PushedFilters`/`ReadSchema`).
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Register every table as a temp view so queries can also be phrased in
+    * Spark SQL (the engine's equivalent of the reference's warehouse-SQL
+    * surface, src/riab/etl/etl.py:930-940).
+    */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}
