@@ -1,13 +1,32 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.{CoreQueries, EventQueries, LlmQueries}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 (and the LLM-pipeline
+  * extensions) is registered here as a `(spark, sfDir) => DataFrame` over
+  * the driver-generated test tables, with a DuckDB oracle of identical
+  * semantics in [[oracleSql]] (same column aliases, same rounding, same
+  * deterministic ordering — the driver sorts columns by name and hashes
+  * values).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    EventQueries.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    (CoreQueries.defs ++ EventQueries.defs ++ LlmQueries.defs).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops (the driver
+    * then records a weaker rows-only check) — currently only
+    * `multimodal_decode`, whose decode stub is Scala-side.
+    */
+  def oracleSql: Map[String, String] =
+    (CoreQueries.oracles ++ EventQueries.oracles ++ LlmQueries.oracles).toMap
 }

@@ -1,8 +1,10 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** Loaders for the driver-generated test tables (see /root/repo/TESTDATA.md).
+/** Loaders for the driver-generated test tables (see /root/repo/TESTDATA.md,
+  * plus `documents`/`embeddings` which exist on disk at every scale factor).
   *
   * Every query in [[SparkEntry.queries]] receives `(spark, sfDir)` and reads
   * the parquet tables it needs through these helpers, so filters/projections
@@ -15,8 +17,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map
+      // to TimestampType. Read it as raw nanos (legacy conf) and convert —
+      // the data is micro-precision, so `nanos div 1000` is lossless.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    } else {
+      spark.read.parquet(s"$sfDir/$name.parquet")
+    }
+  }
 
   /** Register every table as a temp view so queries can also be phrased in
     * Spark SQL (the engine's equivalent of the reference's warehouse-SQL

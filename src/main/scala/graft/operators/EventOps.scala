@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Stage-2 "event" step: polymorphic FK columns that can point to (almost)
+  * any CDM table, discriminated by a sibling `*_field_concept_id` column
+  * (`/root/reference/src/riab/etl/cdm_5.4_events.json:1-21`).
+  *
+  * Reference flow (`/root/reference/src/riab/etl/bigquery/etl.py:498-553`,
+  * template `{omop_table}_apply_event_columns.sql.jinja`):
+  *   1. U4 — discover which target tables the event columns actually
+  *      reference (a data-dependent plan: the DISTINCT result decides which
+  *      swap joins are generated).
+  *   2. J12 — per (event column x referenced table): left join that table's
+  *      PK swap to rewrite the source event value to its surrogate.
+  *   3. CASE — stamp the discriminator concept-id for the referenced table
+  *      (vendored constant map below, template lines 48-135).
+  *   4. W4 — rows whose PK now collides (same pk, different event targets)
+  *      are re-keyed: rn=1 keeps its pk, rn>1 gets `max(pk) + ROW_NUMBER()`.
+  */
+object EventOps {
+
+  /** Table -> OMOP "CDM field concept id" discriminator constants, vendored
+    * from `{omop_table}_apply_event_columns.sql.jinja:48-135`.
+    */
+  val tableConceptIds: Map[String, Long] = Map(
+    "care_site" -> 1147195L, "cohort_definition" -> 1147004L,
+    "concept" -> 1146945L, "concept_class" -> 1146963L,
+    "condition_era" -> 1147295L, "condition_occurrence" -> 1147127L,
+    "death" -> 1147064L, "device_exposure" -> 1147115L,
+    "domain" -> 1146960L, "dose_era" -> 1147288L,
+    "drug_era" -> 1147281L, "drug_exposure" -> 1147094L,
+    "episode" -> 756290L, "location" -> 1147187L,
+    "measurement" -> 1147138L, "metadata" -> 756314L,
+    "note" -> 1147156L, "note_nlp" -> 1147589L,
+    "observation" -> 1147165L, "observation_period" -> 1147044L,
+    "payer_plan_period" -> 1147214L, "person" -> 1147026L,
+    "procedure_occurrence" -> 1147082L, "provider" -> 1147201L,
+    "relationship" -> 1146972L, "specimen" -> 1147049L,
+    "visit_detail" -> 1147624L, "visit_occurrence" -> 1147070L,
+    "vocabulary" -> 1146955L)
+
+  /** U4: data-dependent discovery of referenced event tables —
+    * `SELECT DISTINCT <event table col> FROM work...` per event column,
+    * unioned (`{omop_table}_get_event_tables.sql.jinja:3-12`). The collect
+    * is intentional and bounded: its cardinality is <= |CDM tables| (39),
+    * and the result *shapes the plan* (which J12 joins exist), exactly like
+    * the reference (`bigquery/etl.py:523-535`).
+    */
+  def discoverEventTables(work: DataFrame, eventTableCols: Seq[String]): Seq[String] =
+    eventTableCols
+      .map(c => work.select(col(c).as("t")).filter(col("t").isNotNull).distinct())
+      .reduce(_ union _)
+      .distinct()
+      .collect()
+      .map(_.getString(0))
+      .sorted
+      .toSeq
+
+  /** CASE map: referenced-table name -> discriminator concept id, generated
+    * as a `when` chain from [[tableConceptIds]] (never a UDF — stays inside
+    * whole-stage codegen).
+    */
+  def tableConceptCase(tableCol: Column): Column =
+    tableConceptIds.toSeq.sortBy(_._1).foldLeft(lit(null).cast("long")) {
+      case (acc, (name, id)) => when(tableCol === name, lit(id)).otherwise(acc)
+    }
+
+  /** W4: re-key PK collisions created by event mapping. Per pk, rows are
+    * ranked by the event columns (deterministic order); rank 1 keeps the pk,
+    * ranks >1 receive `maxPk + ROW_NUMBER() OVER (ORDER BY pk, <event cols>)`
+    * and the two sets are unioned
+    * (`{omop_table}_apply_event_columns.sql.jinja:7-18,167-189`).
+    *
+    * The global renumbering window only sees the *collision overflow* rows
+    * (rn>1) — a vanishing fraction of the table — so the single-partition
+    * window the reference uses is acceptable; the fallback to
+    * [[Swap.denseIds]] exists for degenerate inputs where most rows collide.
+    */
+  def rekeyCollisions(df: DataFrame, pkCol: String, eventCols: Seq[String], maxPk: Long): DataFrame = {
+    val orderCols = eventCols.map(col)
+    val perPk = Window.partitionBy(col(pkCol)).orderBy(orderCols: _*)
+    val ranked = df.withColumn("__rn", row_number().over(perPk))
+    val kept = ranked.filter(col("__rn") === 1).drop("__rn")
+    val overflowW = Window.orderBy(col(pkCol) +: orderCols: _*)
+    val rekeyed = ranked
+      .filter(col("__rn") > 1)
+      .withColumn(pkCol, lit(maxPk) + row_number().over(overflowW).cast("long"))
+      .drop("__rn")
+    kept.unionByName(rekeyed)
+  }
+}

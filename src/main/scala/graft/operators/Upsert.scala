@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MERGE emulation over immutable Parquet (J8-J10).
+  *
+  * The reference upserts its small work tables (swap maps, CONCEPT,
+  * SOURCE_TO_CONCEPT_MAP, SOURCE_ID_TO_OMOP_ID_MAP) with warehouse `MERGE`
+  * (`/root/reference/src/riab/etl/bigquery/templates/etl/{primary_key_column}_swap_merge.sql.jinja:74-84`,
+  * `CONCEPT_merge.sql.jinja:3-22`, `SOURCE_TO_CONCEPT_MAP_merge.sql.jinja:3-34`).
+  * Plain Parquet has no MERGE; the equivalent declarative plan is a
+  * full-outer join with column-wise precedence, written back atomically
+  * (graft.io.AtomicWrite). These tables are mapping metadata — orders of
+  * magnitude smaller than the fact data — so read-modify-overwrite is the
+  * right trade at 100 TB (the big tables use CTAS-swap, never MERGE).
+  */
+object Upsert {
+
+  /** J8: WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED THEN INSERT.
+    * Source values win on match; target rows without a source survive.
+    */
+  def merge(target: DataFrame, source: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val valueCols = target.columns.filterNot(keyCols.contains).toSeq
+    val t = valueCols.foldLeft(target)((d, c) => d.withColumnRenamed(c, s"__t_$c"))
+    val s = valueCols.foldLeft(source)((d, c) => d.withColumnRenamed(c, s"__s_$c"))
+    val joined = t.join(s, keyCols, "full_outer")
+    val projected = valueCols.foldLeft(joined) { (d, c) =>
+      d.withColumn(c, coalesce(col(s"__s_$c"), col(s"__t_$c")))
+    }
+    projected.select((keyCols ++ valueCols).map(col): _*)
+  }
+
+  /** J9: MERGE ... WHEN MATCHED THEN DELETE — drop target rows whose key
+    * appears in the delete set
+    * (`cleanup/SOURCE_TO_CONCEPT_MAP_remove_concepts_by_{omop_table}__{concept_id_column}_usagi_table.sql.jinja:3-13`).
+    */
+  def mergeDelete(target: DataFrame, deletes: DataFrame, keyCols: Seq[String]): DataFrame =
+    target.join(deletes.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+
+  /** J10: UPDATE ... FROM join — stamp freshly generated custom-concept ids
+    * back into usagi rows
+    * (`{omop_table}__{concept_id_column}_usagi_update_custom_concepts.sql.jinja:3-17`):
+    * matched rows take the joined value, unmatched keep their own.
+    */
+  def updateFromJoin(
+      target: DataFrame,
+      updates: DataFrame,
+      keyCols: Seq[String],
+      updateCol: String,
+      newValueCol: String): DataFrame = {
+    val u = updates.select((keyCols.map(col) :+ col(newValueCol).as("__new")): _*)
+    target
+      .join(broadcast(u), keyCols, "left")
+      .withColumn(updateCol, when(col("__new").isNotNull, col("__new")).otherwise(col(updateCol)))
+      .drop("__new")
+  }
+
+  /** J11: 1x1 cross join to attach a scalar aggregate to every row
+    * (`{primary_key_column}_swap_merge.sql.jinja:73` `INNER JOIN cte_max ON TRUE`).
+    * A 1-row broadcast, not a real shuffle.
+    */
+  def withScalar(df: DataFrame, scalar: DataFrame): DataFrame =
+    df.crossJoin(broadcast(scalar))
+}

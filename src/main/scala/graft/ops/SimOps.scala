@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two tiers:
+  *  - brute-force cosine top-k — the correctness baseline; queries x corpus
+  *    equi-free join is acceptable only when one side is small enough to
+  *    broadcast (the query batch), which is exactly how it is used;
+  *  - random-hyperplane LSH bucketing — the 100 TB path: vectors shuffle once
+  *    on their bucket signature; search touches one bucket (plus optional
+  *    neighbor probes), never the whole corpus.
+  *
+  * All vector math is `aggregate`/`zip_with` over the array column — native
+  * Catalyst expressions, no UDFs — computed in double precision after an
+  * explicit element cast so external oracles agree bit-for-bit.
+  */
+object SimOps {
+
+  /** Dot product of two array<double> columns via zip_with + aggregate
+    * (left-to-right fold: deterministic accumulation order).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest corpus
+    * vectors. The query set is broadcast; the corpus streams — one pass, no
+    * shuffle of the corpus, top-k via per-query window on the (small)
+    * queries x corpus result.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("item_id"), asDouble(col(vecCol)).as("item_vec"))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("query_vec"))
+    val scored = c
+      .crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("item_id"))
+      .withColumn("sim", cosine(col("query_vec"), col("item_vec")))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("sim"), col("item_id"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("item_id"), round(col("sim"), 6).as("sim"), col("rk"))
+  }
+
+  /** Deterministic integer-valued "random" hyperplanes: plane j has
+    * components `((i*(j+2) + 7) mod 13) - 6` for dimension i. Integer-valued
+    * weights keep the projections exactly representable, so the sign — and
+    * therefore the bucket — is reproducible in any engine (no libm
+    * differences, unlike gaussian planes).
+    */
+  def hyperplane(dim: Int, j: Int): Seq[Double] =
+    (0 until dim).map(i => (((i * (j + 2) + 7) % 13) - 6).toDouble)
+
+  /** Random-hyperplane LSH signature: bit j = [dot(v, plane_j) > 0].
+    * `nPlanes` bits -> 2^nPlanes buckets. One narrow projection per plane;
+    * output is (id, bucket) ready for a groupBy/equi-join on `bucket`.
+    */
+  def lshBuckets(vectors: DataFrame, idCol: String, vecCol: String, nPlanes: Int, dim: Int): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val bits = (0 until nPlanes).map { j =>
+      val plane = array(hyperplane(dim, j).map(lit): _*)
+      when(dot(v, plane) > 0, shiftleft(lit(1L), j)).otherwise(0L)
+    }
+    vectors.select(col(idCol), bits.reduce(_ + _).as("bucket"))
+  }
+
+  /** Bucketed ANN: top-k within each query's LSH bucket only — the scale
+    * path. Recall is traded for a corpus-shuffle-free probe; increase
+    * `nPlanes` for smaller buckets or probe neighboring buckets for recall.
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nPlanes: Int,
+      dim: Int): DataFrame = {
+    val cb = lshBuckets(corpus, idCol, vecCol, nPlanes, dim)
+      .join(corpus, idCol)
+      .select(col("bucket"), col(idCol).as("item_id"), asDouble(col(vecCol)).as("item_vec"))
+    val qb = lshBuckets(queries, idCol, vecCol, nPlanes, dim)
+      .join(queries, idCol)
+      .select(col("bucket"), col(idCol).as("query_id"), asDouble(col(vecCol)).as("query_vec"))
+    val scored = cb
+      .join(qb, "bucket")
+      .filter(col("query_id") =!= col("item_id"))
+      .withColumn("sim", cosine(col("query_vec"), col("item_vec")))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("sim"), col("item_id"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("item_id"), col("bucket"), round(col("sim"), 6).as("sim"), col("rk"))
+  }
+}

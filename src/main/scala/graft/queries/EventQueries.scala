@@ -1,0 +1,306 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Stage-2 event-step queries (U4/J12/W4), the §2.8 scalar-function suite,
+  * DQD/Achilles-style statistics (P4/A7/A9), top-k reports (O3), and the
+  * time-series extensions (sessionization, JSON props) over the `events`
+  * stream table.
+  */
+object EventQueries {
+  private type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  /** Pairing of synthetic event types to CDM tables, used to exercise the
+    * vendored discriminator CASE map (J12).
+    */
+  private val eventTableOf = Map(
+    "click" -> "person", "view" -> "visit_occurrence", "purchase" -> "drug_exposure",
+    "signup" -> "measurement", "error" -> "observation")
+
+  /** U4: data-dependent discovery of referenced event tables — the DISTINCT
+    * result is collected (bounded by |CDM tables|) and shapes the plan,
+    * exactly like `bigquery/etl.py:523-535`.
+    */
+  val eventDiscoverTables: Q = (s, d) => {
+    val discovered = EventOps.discoverEventTables(t(s, d, "events"), Seq("event_type"))
+    import s.implicits._
+    discovered.toDF("event_table").orderBy("event_table")
+  }
+
+  /** J12 CASE map: stamp the discriminator concept-id of the referenced
+    * table (constants vendored from apply_event_columns.sql.jinja:48-135).
+    */
+  val eventCaseMap: Q = (s, d) => {
+    val refTable = eventTableOf.toSeq.sortBy(_._1).foldLeft(lit(null).cast("string")) {
+      case (acc, (evt, tbl)) => when(col("event_type") === evt, lit(tbl)).otherwise(acc)
+    }
+    t(s, d, "events")
+      .withColumn("ref_table", refTable)
+      .withColumn("field_concept_id", EventOps.tableConceptCase(col("ref_table")))
+      .select(col("event_id"), col("ref_table"), col("field_concept_id"))
+      .orderBy("event_id")
+  }
+
+  /** W4: event re-keying — PK collisions keep rank 1, overflow rows get
+    * `max(pk) + ROW_NUMBER()`.
+    */
+  val eventRekey: Q = (s, d) => {
+    val src = t(s, d, "events")
+      .select(col("user_id").as("pk"), col("event_type"), col("event_id"))
+    val maxPk = src.agg(max(col("pk"))).head().getLong(0)
+    EventOps.rekeyCollisions(src, "pk", Seq("event_type", "event_id"), maxPk)
+      .orderBy("event_id")
+  }
+
+  /** §2.8 scalar-function suite: coalesce/concat/cast/substring/when/lower/
+    * date round-trips — one row per order, byte-identical to the oracle.
+    */
+  val scalarSuite: Q = (s, d) =>
+    t(s, d, "orders").select(
+      col("o_orderkey"),
+      lower(col("o_orderpriority")).as("prio_lower"),
+      substring(col("o_orderpriority"), 1, 1).as("prio_code"),
+      concat(col("o_orderstatus"), lit("_"), col("o_orderkey").cast("string")).as("status_key"),
+      when(col("o_totalprice") > 200000, lit("big")).otherwise(lit("small")).as("size_band"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_day"),
+      to_date(date_format(col("o_orderdate"), "yyyyMMdd"), "yyyyMMdd").as("order_date_rt"),
+      coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status_norm"))
+      .orderBy("o_orderkey")
+
+  /** O3: newest-first bounded report (the "last 15 DQD runs" shape). */
+  val topkRecentEvents: Q = (s, d) =>
+    t(s, d, "events")
+      .select(col("event_id"), col("ts"), col("event_type"))
+      .orderBy(desc("ts"), desc("event_id"))
+      .limit(15)
+
+  /** A9: Achilles-style descriptive statistics per stratum with small-cell
+    * suppression (counts <= 5 suppressed, `achilles.py:27`).
+    */
+  val achillesStats: Q = (s, d) =>
+    t(s, d, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("stratum_count"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        round(avg(col("o_totalprice")), 2).as("avg_value"),
+        round(min(col("o_totalprice")), 2).as("min_value"),
+        round(max(col("o_totalprice")), 2).as("max_value"),
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_value"))
+      .filter(col("stratum_count") > 5)
+      .orderBy("o_orderstatus")
+
+  /** P4-shaped DQD check battery: each check = (violated, denominator, pct,
+    * threshold status), unioned into one result table
+    * (`data_quality.py:219-347` semantics).
+    */
+  def dqdCheckResults(s: SparkSession, d: String): DataFrame = {
+    val events = t(s, d, "events")
+    val lineitem = t(s, d, "lineitem")
+    def check(df: DataFrame, name: String, category: String, violated: org.apache.spark.sql.Column) =
+      df.agg(
+        count(when(violated, 1)).as("num_violated_rows"),
+        count(lit(1)).as("num_denominator_rows"))
+        .select(
+          lit(name).as("check_name"),
+          lit(category).as("category"),
+          col("num_violated_rows"),
+          col("num_denominator_rows"),
+          round(col("num_violated_rows").cast("double") / col("num_denominator_rows"), 6)
+            .as("pct_violated"))
+    check(events, "plausible_value_nonneg", "Plausibility", col("value") < 0)
+      .unionByName(check(events, "completeness_props", "Completeness", col("props").isNull))
+      .unionByName(check(lineitem, "plausible_discount_range", "Plausibility", col("l_discount") > 0.5))
+      .withColumn("status", when(col("pct_violated") > 0.05, lit("FAIL")).otherwise(lit("PASS")))
+  }
+
+  val dqdChecks: Q = (s, d) => dqdCheckResults(s, d).orderBy("check_name")
+
+  /** A7: DQD result summarizer — pass/fail counts by category. */
+  val dqdSummary: Q = (s, d) =>
+    dqdCheckResults(s, d)
+      .groupBy(col("category"))
+      .agg(
+        count(lit(1)).as("n_checks"),
+        count(when(col("status") === "FAIL", 1)).as("n_failed"))
+      .orderBy("category")
+
+  /** Time-series extension: JSON property extraction from the event props
+    * column (codegen'd get_json_object, no UDF).
+    */
+  val eventPropsExtract: Q = (s, d) =>
+    t(s, d, "events")
+      .select(
+        col("event_id"),
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+      .orderBy("event_id")
+
+  /** Time-series extension: sessionization — a new session starts after a
+    * 30-minute gap per user; session ids via running sum (the batch
+    * formulation of the streaming `mapGroupsWithState` session window).
+    */
+  val eventSessionize: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // microsecond arithmetic on both sides: unix_timestamp() would truncate
+    // to seconds while DuckDB's epoch keeps fractions — epoch_us is exact
+    val gap = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+    t(s, d, "events")
+      .withColumn("new_session", when(gap.isNull || gap > 1800L * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("event_id"), col("user_id"), col("session_seq"))
+      .orderBy("event_id")
+  }
+
+  /** Beyond-parity aggregation: exact distinct-agg per group. */
+  val aggCountDistinct: Q = (s, d) =>
+    t(s, d, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"), count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
+  /** Beyond-parity aggregation: ROLLUP over two dimensions. */
+  val aggRollup: Q = (s, d) =>
+    t(s, d, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
+  /** TPC-H Q1-shaped pricing summary — the flagship scan+agg plan. */
+  val q1PricingSummary: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val defs: Seq[(String, Q)] = Seq(
+    "q1_pricing_summary" -> q1PricingSummary,
+    "event_discover_tables" -> eventDiscoverTables,
+    "event_case_map" -> eventCaseMap,
+    "event_rekey" -> eventRekey,
+    "scalar_suite" -> scalarSuite,
+    "topk_recent_events" -> topkRecentEvents,
+    "achilles_stats" -> achillesStats,
+    "dqd_checks" -> dqdChecks,
+    "dqd_summary" -> dqdSummary,
+    "event_props_extract" -> eventPropsExtract,
+    "event_sessionize" -> eventSessionize,
+    "agg_count_distinct" -> aggCountDistinct,
+    "agg_rollup" -> aggRollup)
+
+  val oracles: Seq[(String, String)] = Seq(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "event_discover_tables" ->
+      "SELECT DISTINCT event_type AS event_table FROM events ORDER BY event_table",
+    "event_case_map" ->
+      """SELECT event_id,
+        |  CASE event_type WHEN 'click' THEN 'person' WHEN 'view' THEN 'visit_occurrence'
+        |    WHEN 'purchase' THEN 'drug_exposure' WHEN 'signup' THEN 'measurement'
+        |    WHEN 'error' THEN 'observation' END AS ref_table,
+        |  CAST(CASE event_type WHEN 'click' THEN 1147026 WHEN 'view' THEN 1147070
+        |    WHEN 'purchase' THEN 1147094 WHEN 'signup' THEN 1147138
+        |    WHEN 'error' THEN 1147165 END AS BIGINT) AS field_concept_id
+        |FROM events ORDER BY event_id""".stripMargin,
+    "event_rekey" ->
+      """WITH src AS (SELECT user_id AS pk, event_type, event_id FROM events),
+        |mx AS (SELECT MAX(pk) AS m FROM src),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY pk ORDER BY event_type, event_id) AS rn FROM src)
+        |SELECT pk, event_type, event_id FROM ranked WHERE rn = 1
+        |UNION ALL
+        |SELECT (SELECT m FROM mx) + row_number() OVER (ORDER BY pk, event_type, event_id) AS pk,
+        |  event_type, event_id
+        |FROM ranked WHERE rn > 1
+        |ORDER BY event_id""".stripMargin,
+    "scalar_suite" ->
+      """SELECT o_orderkey,
+        |  lower(o_orderpriority) AS prio_lower,
+        |  substr(o_orderpriority, 1, 1) AS prio_code,
+        |  o_orderstatus || '_' || CAST(o_orderkey AS VARCHAR) AS status_key,
+        |  CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS size_band,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+        |  CAST(strptime(strftime(o_orderdate, '%Y%m%d'), '%Y%m%d') AS DATE) AS order_date_rt,
+        |  COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_norm
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "topk_recent_events" ->
+      "SELECT event_id, ts, event_type FROM events ORDER BY ts DESC, event_id DESC LIMIT 15",
+    "achilles_stats" ->
+      """SELECT o_orderstatus,
+        |  count(*) AS stratum_count,
+        |  count(DISTINCT o_custkey) AS n_customers,
+        |  round(avg(o_totalprice), 2) AS avg_value,
+        |  round(min(o_totalprice), 2) AS min_value,
+        |  round(max(o_totalprice), 2) AS max_value,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS median_value
+        |FROM orders GROUP BY 1 HAVING count(*) > 5 ORDER BY 1""".stripMargin,
+    "dqd_checks" ->
+      """WITH checks AS (
+        |  SELECT 'plausible_value_nonneg' AS check_name, 'Plausibility' AS category,
+        |    count(*) FILTER (WHERE value < 0) AS num_violated_rows, count(*) AS num_denominator_rows
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'completeness_props', 'Completeness',
+        |    count(*) FILTER (WHERE props IS NULL), count(*) FROM events
+        |  UNION ALL
+        |  SELECT 'plausible_discount_range', 'Plausibility',
+        |    count(*) FILTER (WHERE l_discount > 0.5), count(*) FROM lineitem
+        |)
+        |SELECT check_name, category, num_violated_rows, num_denominator_rows,
+        |  round(CAST(num_violated_rows AS DOUBLE) / num_denominator_rows, 6) AS pct_violated,
+        |  CASE WHEN CAST(num_violated_rows AS DOUBLE) / num_denominator_rows > 0.05
+        |    THEN 'FAIL' ELSE 'PASS' END AS status
+        |FROM checks ORDER BY check_name""".stripMargin,
+    "dqd_summary" ->
+      """WITH checks AS (
+        |  SELECT 'plausible_value_nonneg' AS check_name, 'Plausibility' AS category,
+        |    count(*) FILTER (WHERE value < 0) AS num_violated_rows, count(*) AS num_denominator_rows
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'completeness_props', 'Completeness',
+        |    count(*) FILTER (WHERE props IS NULL), count(*) FROM events
+        |  UNION ALL
+        |  SELECT 'plausible_discount_range', 'Plausibility',
+        |    count(*) FILTER (WHERE l_discount > 0.5), count(*) FROM lineitem
+        |)
+        |SELECT category, count(*) AS n_checks,
+        |  count(*) FILTER (WHERE CAST(num_violated_rows AS DOUBLE) / num_denominator_rows > 0.05) AS n_failed
+        |FROM checks GROUP BY category ORDER BY category""".stripMargin,
+    "event_props_extract" ->
+      """SELECT event_id, event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin,
+    "event_sessionize" ->
+      """WITH g AS (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT event_id, user_id,
+        |  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |FROM g ORDER BY event_id""".stripMargin,
+    "agg_count_distinct" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_customers, count(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+}

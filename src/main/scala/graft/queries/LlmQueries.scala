@@ -1,0 +1,229 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline queries over `documents` / `embeddings`:
+  * deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard), similarity
+  * search (brute-force + LSH-bucketed cosine top-k), text analysis
+  * (tokens, quality, language ID, fingerprints), and multimodal plumbing.
+  *
+  * Hash-parity note: everything hashed uses [[TextOps.hash32]] (md5-prefix
+  * base-16) so the DuckDB oracle replays signatures bit-for-bit —
+  * `('0x' || substr(md5(s), 1, 8))::BIGINT` — with fixed affine seeds.
+  */
+object LlmQueries {
+  private type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  val dedupExact: Q = (s, d) =>
+    DedupOps.exactDuplicates(t(s, d, "documents"), "doc_id", "text").orderBy("content_hash")
+
+  val dedupExactSurvivors: Q = (s, d) =>
+    DedupOps.exactDedup(t(s, d, "documents"), "doc_id", "text")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+
+  val dedupMinhashBands: Q = (s, d) =>
+    DedupOps.lshCandidateBuckets(
+      DedupOps.lshBands(
+        DedupOps.minhashSignatures(t(s, d, "documents"), "doc_id", "text", k = 16, w = 3),
+        "doc_id", bands = 4, rows = 4),
+      "doc_id")
+      .orderBy("band", "bucket")
+
+  val dedupSimhash: Q = (s, d) =>
+    DedupOps.simhash(t(s, d, "documents"), "doc_id", "text").orderBy("doc_id")
+
+  val dedupJaccardPairs: Q = (s, d) =>
+    DedupOps.jaccardPairs(t(s, d, "documents"), "doc_id", "text", threshold = 0.2)
+      .orderBy("id_a", "id_b")
+
+  val textTokenStats: Q = (s, d) =>
+    t(s, d, "documents").select(
+      col("doc_id"),
+      TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+      TextOps.punctCount(col("text")).cast("long").as("n_punct"),
+      length(col("text")).cast("long").as("n_chars_calc"))
+      .orderBy("doc_id")
+
+  val textQuality: Q = (s, d) =>
+    t(s, d, "documents").select(
+      col("doc_id"),
+      round(TextOps.qualityScore(col("text")), 6).as("quality"),
+      TextOps.langId(col("text")).as("lang_pred"),
+      col("lang"))
+      .orderBy("doc_id")
+
+  val docFingerprint: Q = (s, d) =>
+    t(s, d, "documents")
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  val simTopkBrute: Q = (s, d) => {
+    val emb = t(s, d, "embeddings")
+    SimOps.bruteForceTopK(emb, emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rk")
+  }
+
+  val simLshBuckets: Q = (s, d) =>
+    SimOps.lshBuckets(t(s, d, "embeddings"), "vec_id", "embedding", nPlanes = 8, dim = 64)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec"))
+      .orderBy("bucket")
+
+  val multimodalMeta: Q = (s, d) =>
+    Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text", "text")
+      .select(col("media_id"), col("modality"), col("mime"), col("byte_len"), col("content_hash"))
+      .orderBy("media_id")
+
+  /** Decode-stage plumbing: mapPartitions batch decode with the stubbed
+    * codec. No SQL oracle (the stub is Scala-side) — rows-only check.
+    */
+  val multimodalDecode: Q = (s, d) =>
+    Multimodal.decodeFeatures(
+      Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text", "text"))
+      .select(col("media_id"), col("modality"), col("width"), col("height"),
+        round(element_at(col("feature"), 1), 3).as("f0"))
+      .orderBy("media_id")
+
+  val defs: Seq[(String, Q)] = Seq(
+    "dedup_exact" -> dedupExact,
+    "dedup_exact_survivors" -> dedupExactSurvivors,
+    "dedup_minhash_bands" -> dedupMinhashBands,
+    "dedup_simhash" -> dedupSimhash,
+    "dedup_jaccard_pairs" -> dedupJaccardPairs,
+    "text_token_stats" -> textTokenStats,
+    "text_quality" -> textQuality,
+    "doc_fingerprint" -> docFingerprint,
+    "sim_topk_brute" -> simTopkBrute,
+    "sim_lsh_buckets" -> simLshBuckets,
+    "multimodal_meta" -> multimodalMeta,
+    "multimodal_decode" -> multimodalDecode)
+
+  private val tokSql = """regexp_split_to_array(trim(lower(text)), '\s+')"""
+  private val h32 = (e: String) => s"('0x' || substr(md5($e), 1, 8))::BIGINT"
+
+  val oracles: Seq[(String, String)] = Seq(
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, count(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    "dedup_exact_survivors" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))
+        |ORDER BY doc_id""".stripMargin,
+    "dedup_minhash_bands" ->
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |sh AS (
+         |  SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
+         |  FROM toks, UNNEST(range(1, len(tk) - 1)) AS u(i)
+         |  WHERE len(tk) >= 3
+         |),
+         |h AS (SELECT doc_id, ${h32("shingle")} AS h FROM sh),
+         |funcs AS (SELECT j, 2 * j + 3 AS a, 7 * j + 1 AS b FROM UNNEST(range(0, 16)) AS f(j)),
+         |sig AS (
+         |  SELECT doc_id, j, MIN((a * h + b) % 4294967311) AS minhash
+         |  FROM h CROSS JOIN funcs GROUP BY 1, 2
+         |),
+         |bandsig AS (
+         |  SELECT doc_id, j // 4 AS band,
+         |    string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY j) AS bucket
+         |  FROM sig GROUP BY doc_id, j // 4
+         |)
+         |SELECT band, bucket, count(*) AS n_docs, MIN(doc_id) AS min_id
+         |FROM bandsig GROUP BY 1, 2 HAVING count(*) > 1
+         |ORDER BY band, bucket""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH toks AS (
+         |  SELECT DISTINCT doc_id, tok FROM (
+         |    SELECT doc_id, UNNEST($tokSql) AS tok FROM documents)
+         |),
+         |h AS (SELECT doc_id, ${h32("tok")} AS h FROM toks),
+         |bits AS (
+         |  SELECT doc_id, b,
+         |    SUM(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         |  FROM h, UNNEST(range(0, 32)) AS r(b) GROUP BY 1, 2
+         |)
+         |SELECT doc_id,
+         |  CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_jaccard_pairs" ->
+      s"""WITH sets AS (
+         |  SELECT doc_id, list_sort(list_distinct($tokSql)) AS toks,
+         |    md5(substr(trim(lower(text)), 1, 16)) AS anchor
+         |  FROM documents
+         |)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+         |FROM sets a JOIN sets b ON a.anchor = b.anchor AND a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.2
+         |ORDER BY id_a, id_b""".stripMargin,
+    "text_token_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(len($tokSql) AS BIGINT) AS n_tokens,
+         |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+         |  CAST(length(text) AS BIGINT) AS n_chars_calc
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """WITH m AS (
+        |  SELECT doc_id, lang,
+        |    CAST(length(text) AS DOUBLE) AS len,
+        |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS DOUBLE) AS toks,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS punct,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|a|to|in|is)\b')) AS DOUBLE) AS en,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|ein|von)\b')) AS DOUBLE) AS de,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|un|de)\b')) AS DOUBLE) AS fr,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(el|los|las|es|un|una|y)\b')) AS DOUBLE) AS es
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  round(least(len / 500.0, 1.0) * 0.4
+        |    + least(en / greatest(toks, 1.0), 1.0) * 0.4
+        |    + (1.0 - least(punct / greatest(len, 1.0), 1.0)) * 0.2, 6) AS quality,
+        |  CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+        |    WHEN en = greatest(en, de, fr, es) THEN 'en'
+        |    WHEN de = greatest(en, de, fr, es) THEN 'de'
+        |    WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+        |    ELSE 'es' END AS lang_pred,
+        |  lang
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "doc_fingerprint" ->
+      s"""SELECT doc_id,
+         |  md5(array_to_string(list_sort(list_distinct($tokSql)), ' ')) AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "sim_topk_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0),
+        |c AS (SELECT vec_id AS item_id, embedding::DOUBLE[] AS iv FROM embeddings),
+        |s AS (
+        |  SELECT query_id, item_id,
+        |    list_dot_product(qv, iv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(iv, iv))) AS sim
+        |  FROM q CROSS JOIN c WHERE query_id <> item_id
+        |),
+        |r AS (SELECT query_id, item_id, sim,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, item_id) AS rk FROM s)
+        |SELECT query_id, item_id, round(sim, 6) AS sim, CAST(rk AS INT) AS rk
+        |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    "sim_lsh_buckets" ->
+      """WITH planes AS (
+        |  SELECT j, [CAST(((i * (j + 2) + 7) % 13) - 6 AS DOUBLE) FOR i IN range(0, 64)] AS plane
+        |  FROM UNNEST(range(0, 8)) AS t(j)
+        |),
+        |proj AS (
+        |  SELECT vec_id, j,
+        |    CASE WHEN list_dot_product(embedding::DOUBLE[], plane) > 0
+        |      THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END AS bit
+        |  FROM embeddings CROSS JOIN planes
+        |),
+        |sig AS (SELECT vec_id, CAST(SUM(bit) AS BIGINT) AS bucket FROM proj GROUP BY 1)
+        |SELECT bucket, count(*) AS n_vecs, MIN(vec_id) AS min_vec
+        |FROM sig GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "multimodal_meta" ->
+      """SELECT doc_id AS media_id, 'text' AS modality, 'text/plain' AS mime,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  md5(text) AS content_hash
+        |FROM documents ORDER BY media_id""".stripMargin)
+}

@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""DEV-ONLY correctness harness mirror (not part of the Scala library).
+
+Replays the driver's t2 gate locally: for each query dumped by
+`graft.Verify <sfDir> <outDir>`, run the DuckDB oracle from
+oracle_sql.json over the same parquet tables, sort columns by name,
+sort rows, and compare values exactly.
+
+Usage: python3 tools/check_local.py <sfDir> <verifyOutDir>
+"""
+import json
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+        # unify int widths across engines (int32 vs int64)
+        if str(df[c].dtype) in ("int8", "int16", "int32", "uint32", "Int64"):
+            df[c] = df[c].astype("int64")
+    if len(df.columns):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            got = normalize(con.sql(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df())
+            want = normalize(con.sql(sql).df())
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: {type(e).__name__}: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        if list(got.columns) != list(want.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
+            n_fail += 1
+        elif got.shape != want.shape:
+            print(f"FAIL {name}: shape {got.shape} != {want.shape}")
+            n_fail += 1
+        else:
+            try:
+                pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                              check_exact=True)
+                print(f"PASS {name} ({got.shape[0]} rows)")
+                n_pass += 1
+                continue
+            except AssertionError as e:
+                print(f"FAIL {name}: {str(e).splitlines()[0]}"[:300])
+                diff = got.compare(want) if got.shape == want.shape else None
+                if diff is not None and not diff.empty:
+                    print(diff.head(5))
+                n_fail += 1
+    print(f"\n{n_pass} pass / {n_fail} fail / {len(oracles)} oracles")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
