@@ -1,0 +1,62 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Dedup family: exact, MinHash+LSH, SimHash, Jaccard — bucketed semantics. */
+class DedupOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"), // near dup
+    (4L, "completely different content here entirely")).toDF("doc_id", "text")
+
+  test("exactDuplicates groups identical content and keeps the min id") {
+    val out = DedupOps.exactDuplicates(docs, "doc_id", "text")
+    val dup = out.filter($"n_docs" > 1).as[(String, Long, Long)].collect()
+    assert(dup.length == 1 && dup.head._2 == 1L && dup.head._3 == 2L)
+  }
+
+  test("exactDedup keeps exactly one survivor per content, the min id") {
+    val out = DedupOps.exactDedup(docs, "doc_id", "text")
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 4L))
+  }
+
+  test("minhash signatures: identical docs have identical signatures") {
+    val sigs = DedupOps.minhashSignatures(docs, "doc_id", "text", k = 8)
+    val s1 = sigs.filter($"doc_id" === 1L).orderBy("j").select("minhash").as[Long].collect()
+    val s2 = sigs.filter($"doc_id" === 2L).orderBy("j").select("minhash").as[Long].collect()
+    assert(s1.toSeq == s2.toSeq && s1.length == 8)
+  }
+
+  test("minhash near-dups collide on more bands than unrelated docs") {
+    val sigs = DedupOps.minhashSignatures(docs, "doc_id", "text", k = 8)
+    val bands = DedupOps.lshBands(sigs, "doc_id", bands = 4, rows = 2)
+    val buckets = DedupOps.lshCandidateBuckets(bands, "doc_id")
+    // exact dups 1,2 must share all 4 band buckets
+    assert(buckets.filter($"n_docs" >= 2).count() >= 4)
+  }
+
+  test("shingle-less short docs produce no minhash signature (cannot be candidates)") {
+    val short = Seq((9L, "only two")).toDF("doc_id", "text")
+    assert(DedupOps.minhashSignatures(short, "doc_id", "text", k = 4, w = 3).count() == 0)
+  }
+
+  test("simhash: identical docs equal, near-dups within small hamming distance") {
+    val sh = DedupOps.simhash(docs, "doc_id", "text").as[(Long, Long)].collect().toMap
+    assert(sh(1L) == sh(2L))
+    val hamming = java.lang.Long.bitCount(sh(1L) ^ sh(3L))
+    val hammingFar = java.lang.Long.bitCount(sh(1L) ^ sh(4L))
+    assert(hamming < hammingFar)
+  }
+
+  test("jaccardPairs finds near-dup pairs above threshold, ordered pairs only") {
+    val out = DedupOps.jaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    val pairs = out.map(p => (p._1, p._2)).toSet
+    assert(pairs.contains((1L, 2L))) // exact dup: jaccard 1.0
+    assert(out.forall(p => p._1 < p._2)) // no mirrored duplicates
+  }
+}

@@ -1,0 +1,52 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Similarity search: vector math correctness, brute-force top-k ordering,
+  * LSH bucket determinism.
+  */
+class SimOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (1L, Seq(1.0f, 0.0f, 0.0f)),
+    (2L, Seq(0.9f, 0.1f, 0.0f)),  // close to 1
+    (3L, Seq(0.0f, 1.0f, 0.0f)),  // orthogonal to 1
+    (4L, Seq(-1.0f, 0.0f, 0.0f))) // opposite of 1
+    .toDF("id", "vec")
+
+  test("cosine: identical=1, orthogonal=0, opposite=-1") {
+    val df = Seq(
+      (Seq(1.0, 2.0), Seq(1.0, 2.0)),
+      (Seq(1.0, 0.0), Seq(0.0, 1.0)),
+      (Seq(1.0, 0.0), Seq(-1.0, 0.0))).toDF("a", "b")
+    val out = df.select(SimOps.cosine($"a", $"b")).as[Double].collect()
+    assert(math.abs(out(0) - 1.0) < 1e-12)
+    assert(math.abs(out(1)) < 1e-12)
+    assert(math.abs(out(2) + 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK ranks by similarity desc, excludes self") {
+    val q = vecs.filter($"id" === 1L)
+    val out = SimOps.bruteForceTopK(vecs, q, "id", "vec", k = 3)
+      .orderBy("rk").select("item_id").as[Long].collect()
+    assert(out.toSeq == Seq(2L, 3L, 4L)) // by decreasing cosine to [1,0,0]
+  }
+
+  test("lshBuckets: identical vectors land in the same bucket, opposite in different") {
+    val dup = Seq((10L, Seq(1.0f, 0.0f, 0.0f))).toDF("id", "vec")
+    val buckets = SimOps.lshBuckets(vecs.union(dup), "id", "vec", nPlanes = 8, dim = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(buckets(1L) == buckets(10L))
+    assert(buckets(1L) != buckets(4L))
+  }
+
+  test("lshTopK only scores candidates within the query's bucket") {
+    val q = vecs.filter($"id" === 1L)
+    val out = SimOps.lshTopK(vecs, q, "id", "vec", k = 5, nPlanes = 8, dim = 3)
+    val items = out.select("item_id").as[Long].collect().toSet
+    // bucket of [1,0,0] contains near-dup 2 but not orthogonal/opposite vectors
+    assert(items.contains(2L) && !items.contains(4L))
+  }
+}
