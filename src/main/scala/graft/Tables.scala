@@ -20,9 +20,15 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map
-      // to TimestampType. Read it as raw nanos (legacy conf) and convert —
-      // the data is micro-precision, so `nanos div 1000` is lossless.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // to TimestampType. It is read as raw nanos and converted — the data
+      // is micro-precision, so `nanos div 1000` is lossless. The required
+      // `spark.sql.legacy.parquet.nanosAsLong` conf is set at session build
+      // (Bench/Verify/SparkSpec), NOT mutated here: a mid-session flip would
+      // silently leak into every later parquet read of the same session.
+      require(
+        spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+        "session must set spark.sql.legacy.parquet.nanosAsLong=true at build " +
+          "time to read the events table (see Bench/Verify/SparkSpec)")
       val df = spark.read.parquet(s"$sfDir/$name.parquet")
       df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
         .select("event_id", "ts", "user_id", "event_type", "value", "props")

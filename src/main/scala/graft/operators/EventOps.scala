@@ -52,12 +52,10 @@ object EventOps {
   def discoverEventTables(work: DataFrame, eventTableCols: Seq[String]): Seq[String] =
     eventTableCols
       .map(c => work.select(col(c).as("t")).filter(col("t").isNotNull).distinct())
-      .reduce(_ union _)
-      .distinct()
-      .collect()
-      .map(_.getString(0))
-      .sorted
-      .toSeq
+      .reduceOption(_ union _)
+      .fold(Seq.empty[String]) { unioned =>
+        unioned.distinct().collect().map(_.getString(0)).sorted.toSeq
+      }
 
   /** CASE map: referenced-table name -> discriminator concept id, generated
     * as a `when` chain from [[tableConceptIds]] (never a UDF — stays inside

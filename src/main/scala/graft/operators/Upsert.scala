@@ -18,15 +18,20 @@ import org.apache.spark.sql.functions._
 object Upsert {
 
   /** J8: WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED THEN INSERT.
-    * Source values win on match; target rows without a source survive.
+    * Warehouse MERGE semantics: on a key match the source row's values
+    * replace the target's *unconditionally* — including NULL source values
+    * (a column-wise `coalesce` would instead preserve the target under a
+    * NULL source, which is NOT what the reference's swap/CONCEPT merges do).
+    * Target rows without a source survive untouched.
     */
   def merge(target: DataFrame, source: DataFrame, keyCols: Seq[String]): DataFrame = {
     val valueCols = target.columns.filterNot(keyCols.contains).toSeq
     val t = valueCols.foldLeft(target)((d, c) => d.withColumnRenamed(c, s"__t_$c"))
     val s = valueCols.foldLeft(source)((d, c) => d.withColumnRenamed(c, s"__s_$c"))
+      .withColumn("__s_present", lit(1))
     val joined = t.join(s, keyCols, "full_outer")
     val projected = valueCols.foldLeft(joined) { (d, c) =>
-      d.withColumn(c, coalesce(col(s"__s_$c"), col(s"__t_$c")))
+      d.withColumn(c, when(col("__s_present").isNotNull, col(s"__s_$c")).otherwise(col(s"__t_$c")))
     }
     projected.select((keyCols ++ valueCols).map(col): _*)
   }

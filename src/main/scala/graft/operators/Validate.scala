@@ -7,11 +7,14 @@ import org.apache.spark.sql.functions._
   * (SURVEY.md §5): bounded duplicate reports, referential null-detection,
   * and Usagi standard/domain checks.
   *
-  * All violation reports are capped at 100 rows (O2,
+  * The grouped duplicate detectors cap their reports at 100 rows (O2,
   * `/root/reference/src/riab/etl/bigquery/templates/etl/{omop_work_table}_merge_check_for_duplicate_rows.sql.jinja:64`)
-  * and ordered for human readability (O4, `etl.py:501`). Unlike the
-  * reference we add a full deterministic sort before the LIMIT so the
-  * reported subset is stable.
+  * and order them for human readability (O4, `etl.py:501`). The join-based
+  * validators ([[missingDimension]], [[domainViolations]]) return the raw
+  * violation stream — the composing query applies the ORDER BY + LIMIT,
+  * exactly as the reference's templates carry the LIMIT in the surrounding
+  * SQL. Unlike the reference we use a full deterministic sort before each
+  * LIMIT so the reported subset is stable.
   */
 object Validate {
 
@@ -27,6 +30,7 @@ object Validate {
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1)
       .orderBy(desc("cnt"), col(codeCol), col(conceptCol))
+      .limit(ViolationCap)
 
   /** A2: upload duplicate-row check — UNION ALL of per-query uploads grouped
     * by the table's natural key, `HAVING COUNT(*) > 1`, with the offending

@@ -315,7 +315,7 @@ object CoreQueries {
     "usagi_dup_mappings" ->
       """SELECT l_returnflag AS source_code, l_partkey % 10 AS concept_id, count(*) AS cnt
         |FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1
-        |ORDER BY cnt DESC, source_code, concept_id""".stripMargin,
+        |ORDER BY cnt DESC, source_code, concept_id LIMIT 100""".stripMargin,
     "s2cm_dup_check" ->
       """SELECT o_orderpriority AS source_code, o_orderstatus AS target_concept_id, count(*) AS cnt
         |FROM orders GROUP BY 1, 2 HAVING count(*) > 1
@@ -357,7 +357,9 @@ object CoreQueries {
         |), source AS (
         |  SELECT c_custkey AS k, round(c_acctbal * 2, 2) AS v, 'new' AS src FROM customer WHERE c_custkey % 3 = 0
         |)
-        |SELECT COALESCE(t.k, s.k) AS k, COALESCE(s.v, t.v) AS v, COALESCE(s.src, t.src) AS src
+        |SELECT COALESCE(t.k, s.k) AS k,
+        |  CASE WHEN s.k IS NOT NULL THEN s.v ELSE t.v END AS v,
+        |  CASE WHEN s.k IS NOT NULL THEN s.src ELSE t.src END AS src
         |FROM target t FULL OUTER JOIN source s ON t.k = s.k
         |ORDER BY k""".stripMargin,
     "etl_user_query" ->

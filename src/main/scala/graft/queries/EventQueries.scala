@@ -52,7 +52,8 @@ object EventQueries {
   val eventRekey: Q = (s, d) => {
     val src = t(s, d, "events")
       .select(col("user_id").as("pk"), col("event_type"), col("event_id"))
-    val maxPk = src.agg(max(col("pk"))).head().getLong(0)
+    // coalesce to 0: MAX over an empty table is NULL (Swap.maxId shape)
+    val maxPk = src.agg(coalesce(max(col("pk")), lit(0L))).head().getLong(0)
     EventOps.rekeyCollisions(src, "pk", Seq("event_type", "event_id"), maxPk)
       .orderBy("event_id")
   }
@@ -81,19 +82,34 @@ object EventQueries {
 
   /** A9: Achilles-style descriptive statistics per stratum with small-cell
     * suppression (counts <= 5 suppressed, `achilles.py:27`).
+    *
+    * The median is *exact* but computed via per-group rank windows (the two
+    * middle ranks averaged — `quantile_cont(0.5)` semantics), not the
+    * `percentile` aggregate: `percentile` buffers every group value in
+    * executor memory (OOM at 100x), while `WindowExec` sort-spills to disk
+    * and the partitionBy keeps the window parallel across groups.
     */
-  val achillesStats: Q = (s, d) =>
-    t(s, d, "orders")
+  val achillesStats: Q = (s, d) => {
+    val orders = t(s, d, "orders")
+    val base = orders
       .groupBy(col("o_orderstatus"))
       .agg(
         count(lit(1)).as("stratum_count"),
         countDistinct(col("o_custkey")).as("n_customers"),
         round(avg(col("o_totalprice")), 2).as("avg_value"),
         round(min(col("o_totalprice")), 2).as("min_value"),
-        round(max(col("o_totalprice")), 2).as("max_value"),
-        round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_value"))
+        round(max(col("o_totalprice")), 2).as("max_value"))
       .filter(col("stratum_count") > 5)
-      .orderBy("o_orderstatus")
+    val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice"))
+    val median = orders
+      .select(col("o_orderstatus"), col("o_totalprice"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("o_orderstatus"))))
+      .filter(col("__rn") === floor((col("__n") + 1) / 2) || col("__rn") === floor((col("__n") + 2) / 2))
+      .groupBy(col("o_orderstatus"))
+      .agg(round(avg(col("o_totalprice")), 4).as("median_value"))
+    base.join(median, Seq("o_orderstatus")).orderBy("o_orderstatus")
+  }
 
   /** P4-shaped DQD check battery: each check = (violated, denominator, pct,
     * threshold status), unioned into one result table

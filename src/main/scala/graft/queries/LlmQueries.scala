@@ -30,7 +30,7 @@ object LlmQueries {
     DedupOps.lshCandidateBuckets(
       DedupOps.lshBands(
         DedupOps.minhashSignatures(t(s, d, "documents"), "doc_id", "text", k = 16, w = 3),
-        "doc_id", bands = 4, rows = 4),
+        "doc_id", rows = 4),
       "doc_id")
       .orderBy("band", "bucket")
 
@@ -150,17 +150,37 @@ object LlmQueries {
          |  CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
          |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_jaccard_pairs" ->
-      s"""WITH sets AS (
-         |  SELECT doc_id, list_sort(list_distinct($tokSql)) AS toks,
-         |    md5(substr(trim(lower(text)), 1, 16)) AS anchor
-         |  FROM documents
-         |)
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-         |    / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
-         |FROM sets a JOIN sets b ON a.anchor = b.anchor AND a.doc_id < b.doc_id
-         |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-         |    / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.2
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |sh AS (
+         |  SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
+         |  FROM toks, UNNEST(range(1, len(tk) - 1)) AS u(i)
+         |  WHERE len(tk) >= 3
+         |),
+         |h AS (SELECT doc_id, ${h32("shingle")} AS h FROM sh),
+         |funcs AS (SELECT j, 2 * j + 3 AS a, 7 * j + 1 AS b FROM UNNEST(range(0, 8)) AS f(j)),
+         |sig AS (
+         |  SELECT doc_id, j, MIN((a * h + b) % 4294967311) AS minhash
+         |  FROM h CROSS JOIN funcs GROUP BY 1, 2
+         |),
+         |bandsig AS (
+         |  SELECT doc_id, j // 4 AS band,
+         |    string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY j) AS bucket
+         |  FROM sig GROUP BY doc_id, j // 4
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bandsig a JOIN bandsig b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |),
+         |sets AS (SELECT doc_id, list_sort(list_distinct($tokSql)) AS toks FROM documents)
+         |SELECT id_a, id_b,
+         |  round(CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(sa.toks, sb.toks))), 6) AS jaccard
+         |FROM cand
+         |JOIN sets sa ON cand.id_a = sa.doc_id
+         |JOIN sets sb ON cand.id_b = sb.doc_id
+         |WHERE CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(sa.toks, sb.toks))) >= 0.2
          |ORDER BY id_a, id_b""".stripMargin,
     "text_token_stats" ->
       s"""SELECT doc_id,

@@ -13,11 +13,15 @@ class UpsertSpec extends SparkSpec {
     assert(out == Map("a" -> 1L, "b" -> 20L, "c" -> 30L))
   }
 
-  test("merge preserves target value when source column is null (coalesce precedence)") {
-    val target = Seq(("a", Some(1L))).toDF("k", "v")
+  test("merge overwrites with NULL source values on match (warehouse MERGE semantics)") {
+    // WHEN MATCHED THEN UPDATE replaces the whole row with the source row,
+    // NULLs included — the reference's swap/CONCEPT merge templates rely on
+    // this (a coalesce would silently keep stale target values).
+    val target = Seq(("a", Some(1L)), ("b", Some(2L))).toDF("k", "v")
     val source = Seq(("a", None: Option[Long])).toDF("k", "v")
     val out = Upsert.merge(target, source, Seq("k")).as[(String, Option[Long])].collect().toMap
-    assert(out("a").contains(1L))
+    assert(out("a").isEmpty)
+    assert(out("b").contains(2L))
   }
 
   test("mergeDelete (J9) removes matching keys only") {

@@ -33,7 +33,7 @@ class DedupOpsSpec extends SparkSpec {
 
   test("minhash near-dups collide on more bands than unrelated docs") {
     val sigs = DedupOps.minhashSignatures(docs, "doc_id", "text", k = 8)
-    val bands = DedupOps.lshBands(sigs, "doc_id", bands = 4, rows = 2)
+    val bands = DedupOps.lshBands(sigs, "doc_id", rows = 2)
     val buckets = DedupOps.lshCandidateBuckets(bands, "doc_id")
     // exact dups 1,2 must share all 4 band buckets
     assert(buckets.filter($"n_docs" >= 2).count() >= 4)
