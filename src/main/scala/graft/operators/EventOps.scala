@@ -72,21 +72,24 @@ object EventOps {
     * and the two sets are unioned
     * (`{omop_table}_apply_event_columns.sql.jinja:7-18,167-189`).
     *
-    * The global renumbering window only sees the *collision overflow* rows
-    * (rn>1) — a vanishing fraction of the table — so the single-partition
-    * window the reference uses is acceptable; the fallback to
-    * [[Swap.denseIds]] exists for degenerate inputs where most rows collide.
+    * The reference renumbers the overflow with a global-ORDER-BY window
+    * (single partition); here the renumbering is [[Swap.denseIds]] over
+    * `(pk, eventCols)` — identical ids, but range-partitioned and parallel,
+    * so the operator survives degenerate inputs where most rows collide.
+    * `(pkCol, eventCols)` must uniquely identify overflow rows (callers
+    * include a tie-breaking column, as the deterministic-dedup contract
+    * already requires).
     */
   def rekeyCollisions(df: DataFrame, pkCol: String, eventCols: Seq[String], maxPk: Long): DataFrame = {
     val orderCols = eventCols.map(col)
     val perPk = Window.partitionBy(col(pkCol)).orderBy(orderCols: _*)
     val ranked = df.withColumn("__rn", row_number().over(perPk))
     val kept = ranked.filter(col("__rn") === 1).drop("__rn")
-    val overflowW = Window.orderBy(col(pkCol) +: orderCols: _*)
-    val rekeyed = ranked
-      .filter(col("__rn") > 1)
-      .withColumn(pkCol, lit(maxPk) + row_number().over(overflowW).cast("long"))
-      .drop("__rn")
+    val rekeyed = Swap
+      .denseIds(ranked.filter(col("__rn") > 1).drop("__rn"), pkCol +: eventCols, maxPk, "__newpk")
+      .withColumn(pkCol, col("__newpk"))
+      .drop("__newpk")
+      .select(kept.columns.map(col): _*)
     kept.unionByName(rekeyed)
   }
 }

@@ -1,8 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructType}
 
 /** Key-swap core: dense, stable, append-only surrogate-key maps.
   *
@@ -14,14 +14,53 @@ import org.apache.spark.sql.types.{LongType, StructType}
   *
   * The reference numbers new keys with `ROW_NUMBER() OVER (ORDER BY x, ...)`
   * — a single-partition global-sort window that does not survive 100 TB.
-  * Here dense numbering is a *range-partitioned total sort* followed by
-  * `zipWithIndex`: `repartitionByRange` gives a global order across partition
-  * indices, `zipWithIndex` computes contiguous indices with one extra count
-  * job, and every partition sorts/indexes in parallel. Result is bit-for-bit
-  * identical to the window formulation (given a duplicate-free order key) at
-  * any scale (SURVEY.md §7.5).
+  * Here dense numbering is a *range-partitioned total sort* plus
+  * per-partition offsets, all inside ONE plan:
+  *
+  *   - `repartitionByRange` totally orders rows across partition indices;
+  *   - `monotonically_increasing_id` encodes `(partition << 33) | localIdx`,
+  *     so the within-partition index is free (no window);
+  *   - per-partition row counts (<= #partitions rows) get exclusive prefix
+  *     sums via a triangular self-join, and are broadcast back.
+  *
+  * Everything is a single query: Catalyst's exchange reuse evaluates the
+  * range shuffle once, and — critically — the count subtree and the final
+  * projection see the SAME sampled range boundaries. (A two-action
+  * formulation is wrong: range boundaries are re-sampled per action, so
+  * offsets collected in one job can disagree with the partitioning of the
+  * next.) No RDD round-trip, no driver collect, no single-partition window
+  * at any cardinality; ids are bit-for-bit those of the ROW_NUMBER
+  * formulation given a duplicate-free order key (SURVEY.md §7.5).
   */
 object Swap {
+
+  /** Lower 33 bits of `monotonically_increasing_id` = row index within the
+    * partition; upper bits = partition index (Spark contract).
+    */
+  private val MonoLocalMask = (1L << 33) - 1
+
+  /** Range-sort `df` by `orderCols` and attach `__mono` / `__pid`. */
+  private def rangeSorted(df: DataFrame, orderCols: Seq[String]): DataFrame = {
+    val parts = math.max(
+      1, df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    df.repartitionByRange(parts, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+      .withColumn("__mono", monotonically_increasing_id())
+      .withColumn("__pid", shiftright(col("__mono"), 33))
+  }
+
+  /** Exclusive prefix sums of `valueCol` across partition ids: a triangular
+    * self-join over <= #partitions rows (bounded by cluster config, not
+    * data) — deliberately NOT a global window, so no single-partition
+    * WindowExec appears anywhere.
+    */
+  private def partitionOffsets(perPart: DataFrame, valueCol: String): DataFrame = {
+    val lower = perPart.select(col("__pid").as("__pid2"), col(valueCol).as("__v2"))
+    perPart.select(col("__pid"))
+      .join(broadcast(lower), col("__pid2") < col("__pid"), "left")
+      .groupBy(col("__pid"))
+      .agg(coalesce(sum(col("__v2")), lit(0L)).as("__off"))
+  }
 
   /** W1: assign dense ids `offset+1 .. offset+n` in ascending `orderCols`
     * order. `orderCols` must uniquely identify rows (callers pass distinct
@@ -29,16 +68,13 @@ object Swap {
     * deterministic across runs and cluster layouts.
     */
   def denseIds(df: DataFrame, orderCols: Seq[String], offset: Long, idCol: String = "y"): DataFrame = {
-    val spark = df.sparkSession
-    val parts = math.max(1, spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
-    val sorted = df
-      .repartitionByRange(parts, orderCols.map(col): _*)
-      .sortWithinPartitions(orderCols.map(col): _*)
-    val outSchema = StructType(sorted.schema.fields).add(idCol, LongType, nullable = false)
-    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ (i + 1L + offset))
-    }
-    spark.createDataFrame(indexed, outSchema)
+    val sorted = rangeSorted(df, orderCols)
+    val partCounts = sorted.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+    sorted
+      .join(broadcast(partitionOffsets(partCounts, "__cnt")), Seq("__pid"))
+      .withColumn(idCol,
+        col("__off") + col("__mono").bitwiseAND(lit(MonoLocalMask)) + lit(1L + offset))
+      .drop("__pid", "__off", "__mono")
   }
 
   /** A5: `IFNULL(MAX(y), base)` scalar — the numbering base of the next
@@ -71,17 +107,23 @@ object Swap {
     * and the id encodes the code's rank over the *raw* (non-distinct) input.
     *
     * Scale-safe formulation: RANK(code) = 1 + count of rows with a smaller
-    * code, so aggregate counts per distinct code (map-side combinable), then
-    * take a running sum over the distinct codes only. The remaining window
-    * runs over |distinct codes| rows (custom concept codes are small by
-    * nature), not over the data.
+    * code. Aggregate counts per distinct code (map-side combinable), then
+    * exclusive-prefix-sum those counts in code order with the same
+    * range-partition machinery as [[denseIds]]: the running sum inside each
+    * partition is a *partitioned* window (sorts spill, partitions run in
+    * parallel) plus broadcast per-partition offsets — no global window at
+    * any cardinality.
     */
   def rankIds(df: DataFrame, codeCol: String, base: Long, idCol: String = "concept_id"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val counts = df.groupBy(codeCol).agg(count(lit(1)).as("__cnt"))
-    val w = Window.orderBy(codeCol).rowsBetween(Window.unboundedPreceding, -1)
-    counts
-      .withColumn(idCol, lit(base) + lit(1L) + coalesce(sum(col("__cnt")).over(w), lit(0L)))
-      .drop("__cnt")
+    val sorted = rangeSorted(counts, Seq(codeCol))
+    val partSums = sorted.groupBy(col("__pid")).agg(sum(col("__cnt")).as("__s"))
+    val localW = Window.partitionBy(col("__pid")).orderBy(col("__mono"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sorted
+      .withColumn("__local", coalesce(sum(col("__cnt")).over(localW), lit(0L)))
+      .join(broadcast(partitionOffsets(partSums, "__s")), Seq("__pid"))
+      .withColumn(idCol, lit(base) + lit(1L) + col("__off") + col("__local"))
+      .drop("__cnt", "__mono", "__pid", "__off", "__local")
   }
 }
