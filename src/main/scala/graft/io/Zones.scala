@@ -1,0 +1,61 @@
+package graft.io
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The reference's data zones as parquet directory namespaces
+  * (`/root/reference/README.md:22`, `bigquery/etl_base.py:55-61`):
+  * `raw` (source EMR), `work` (uploads, swap tables, staged vocabularies),
+  * `omop` (final CDM "gold"), plus `dqd` / `achilles` result zones.
+  *
+  * A table is a parquet directory `<root>/<zone>/<table>`; all writes go
+  * through [[AtomicWrite]] so a zone never exposes a half-written table.
+  */
+final case class Zones(root: String) {
+  val names: Seq[String] = Seq("raw", "work", "omop", "dqd", "achilles")
+
+  def tablePath(zone: String, table: String): String = {
+    require(names.contains(zone), s"unknown zone: $zone")
+    s"$root/$zone/$table"
+  }
+
+  def write(df: DataFrame, zone: String, table: String): Unit =
+    AtomicWrite.replace(df, tablePath(zone, table))
+
+  def read(spark: SparkSession, zone: String, table: String): DataFrame =
+    AtomicWrite.readTable(spark, tablePath(zone, table))
+
+  /** S12: work-table listing — the INFORMATION_SCHEMA.COLUMNS DISTINCT
+    * table_name analogue (`cleanup/all_work_table_names.sql.jinja:3-5`,
+    * used by `bigquery/cleanup.py:39-48`): a bounded directory listing,
+    * excluding in-flight `.__tmp` / `.__old` staging dirs.
+    */
+  def listTables(spark: SparkSession, zone: String): Seq[String] = {
+    val dir = new Path(s"$root/$zone")
+    val fs: FileSystem = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Seq.empty
+    else
+      fs.listStatus(dir)
+        .filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .filterNot(n => n.endsWith(".__tmp") || n.endsWith(".__old"))
+        .sorted
+        .toSeq
+  }
+
+  def drop(spark: SparkSession, zone: String, table: String): Unit = {
+    val p = new Path(tablePath(zone, table))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    ()
+  }
+
+  /** D6: vocabulary refill — truncate+insert of the omop-zone vocabulary
+    * table from its staged work-zone copy
+    * (`vocabulary_table_refill.sql.jinja:3-6`,
+    * `bigquery/import_vocabularies.py:59-71`), expressed as an atomic
+    * replace of the omop table by the work table.
+    */
+  def refill(spark: SparkSession, table: String): Unit =
+    write(read(spark, "work", table), "omop", table)
+}
