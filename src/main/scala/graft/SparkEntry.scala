@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CdmQueries, CoreQueries, EventQueries, LlmQueries}
+import graft.queries.{CdmQueries, CoreQueries, EventQueries, LlmQueries, PipelineQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,7 +20,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    (CoreQueries.defs ++ EventQueries.defs ++ LlmQueries.defs ++ CdmQueries.defs).toMap
+    (CoreQueries.defs ++ EventQueries.defs ++ LlmQueries.defs ++ CdmQueries.defs ++
+      PipelineQueries.defs).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops (the driver
@@ -28,5 +29,6 @@ object SparkEntry {
     * `multimodal_decode`, whose decode stub is Scala-side.
     */
   def oracleSql: Map[String, String] =
-    (CoreQueries.oracles ++ EventQueries.oracles ++ LlmQueries.oracles ++ CdmQueries.oracles).toMap
+    (CoreQueries.oracles ++ EventQueries.oracles ++ LlmQueries.oracles ++ CdmQueries.oracles ++
+      PipelineQueries.oracles).toMap
 }

@@ -1,0 +1,127 @@
+package graft.queries
+
+import graft.Tables
+import graft.io.{AtomicWrite, Zones}
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The composed §2.12 pipelines — every ingredient operator is green on its
+  * own; these entries cook the dish end-to-end the way `_process_omop_table`
+  * does (`/root/reference/src/riab/etl/etl.py:177-323`), including the
+  * J2 PK-swap inner join with null-normalized compound keys that only
+  * exists *composed* (`{omop_table}_merge.sql.jinja:81-95`).
+  */
+object PipelineQueries {
+  private type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  /** §2.12-5 end to end: U1 -> J1 -> J2 -> J3 -> W5 -> W3 -> U2, finished
+    * with the S11 atomic CTAS swap into the work zone (read back, so the
+    * checked rows went through the real table-replace protocol).
+    */
+  val mergeFullPipeline: Q = (s, d) => {
+    val orders = t(s, d, "orders")
+    def upload(marker: String, filter: org.apache.spark.sql.Column) =
+      orders.filter(filter).select(
+        col("o_orderkey"), col("o_orderpriority"), col("o_custkey"),
+        concat(lit(marker), col("o_orderstatus")).as("src_val"))
+    val u1 = upload("u1:", col("o_totalprice") > 100000)
+    val u2 = upload("u2:", col("o_orderpriority").startsWith("1") || col("o_orderpriority").startsWith("2"))
+
+    val usagi = Swap.denseIds(
+      orders.select(col("o_orderpriority").as("sourceCode")).distinct(),
+      Seq("sourceCode"), 0L, "conceptId")
+      .withColumn("mappingStatus",
+        when(col("sourceCode").startsWith("5"), lit("FLAGGED")).otherwise(lit("APPROVED")))
+
+    // pk swap built from the upload keys routed through the APPROVED usagi
+    // mappings — the composite (x, concept) identity of {pk}_swap_merge
+    val allUp = u1.distinct().unionByName(u2.distinct())
+    val mapped = allUp.join(
+      broadcast(usagi),
+      allUp("o_orderpriority") === usagi("sourceCode") && usagi("mappingStatus") === "APPROVED",
+      "left")
+    val pkSwap = Swap.denseIds(
+      mapped.select(col("o_orderkey").as("x"), col("conceptId").as("priority_concept_id")).distinct(),
+      Seq("x", "priority_concept_id"), 0L)
+    val custSwap = Swap.denseIds(
+      allUp.select(col("o_custkey").as("x")).distinct(), Seq("x"), 0L)
+
+    val preserved = orders.filter(col("o_orderkey") % 1000 === 0).select(
+      (-col("o_orderkey")).as("order_id"),
+      lit(0L).as("priority_concept_id"),
+      lit(0L).as("o_custkey"),
+      lit("preserved").as("source_values"))
+
+    val merged = MergePipeline.run(
+      uploads = Seq(u1, u2),
+      pkCol = "o_orderkey",
+      newPkName = "order_id",
+      pkSwap = pkSwap,
+      concepts = Seq(ConceptSwapSpec("o_orderpriority", "priority_concept_id", usagi)),
+      fks = Seq(FkSwapSpec("o_custkey", custSwap, required = true)),
+      sourceValue = Some(("src_val", "source_values")),
+      preserved = Some(preserved))
+
+    // S11: the reference's CREATE OR REPLACE CTAS — write through the
+    // atomic swap protocol and read the promoted table back
+    val zones = Zones("/root/repo/target/graft_zones")
+    val path = zones.tablePath("work", "orders_merge")
+    AtomicWrite.replace(merged, path)
+    AtomicWrite.readTable(s, path)
+      .withColumnRenamed("o_custkey", "customer_id")
+      .orderBy("order_id")
+  }
+
+  val defs: Seq[(String, Q)] = Seq(
+    "merge_full_pipeline" -> mergeFullPipeline)
+
+  val oracles: Seq[(String, String)] = Seq(
+    "merge_full_pipeline" ->
+      """WITH u1 AS (
+        |  SELECT DISTINCT o_orderkey, o_orderpriority, o_custkey, 'u1:' || o_orderstatus AS src_val
+        |  FROM orders WHERE o_totalprice > 100000
+        |), u2 AS (
+        |  SELECT DISTINCT o_orderkey, o_orderpriority, o_custkey, 'u2:' || o_orderstatus AS src_val
+        |  FROM orders WHERE o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%'
+        |), uploads AS (
+        |  SELECT * FROM u1 UNION ALL SELECT * FROM u2
+        |), usagi AS (
+        |  SELECT sourceCode, CAST(row_number() OVER (ORDER BY sourceCode) AS BIGINT) AS conceptId,
+        |    CASE WHEN sourceCode LIKE '5%' THEN 'FLAGGED' ELSE 'APPROVED' END AS mappingStatus
+        |  FROM (SELECT DISTINCT o_orderpriority AS sourceCode FROM orders)
+        |), mapped AS (
+        |  SELECT u.*, ci.conceptId FROM uploads u
+        |  LEFT JOIN usagi ci ON ci.sourceCode = u.o_orderpriority AND ci.mappingStatus = 'APPROVED'
+        |), pk_swap AS (
+        |  SELECT x, priority_concept_id,
+        |    CAST(row_number() OVER (ORDER BY x, priority_concept_id NULLS FIRST) AS BIGINT) AS y
+        |  FROM (SELECT DISTINCT o_orderkey AS x, conceptId AS priority_concept_id FROM mapped)
+        |), cust_swap AS (
+        |  SELECT x, CAST(row_number() OVER (ORDER BY x) AS BIGINT) AS y
+        |  FROM (SELECT DISTINCT o_custkey AS x FROM uploads)
+        |), swapped AS (
+        |  SELECT sp.y AS order_id,
+        |    COALESCE(m.conceptId, 0) AS priority_concept_id,
+        |    COALESCE(cs.y, 0) AS customer_id,
+        |    m.src_val
+        |  FROM mapped m
+        |  JOIN pk_swap sp ON sp.x = m.o_orderkey
+        |    AND COALESCE(sp.priority_concept_id, 0) = COALESCE(m.conceptId, 0)
+        |  LEFT JOIN cust_swap cs ON cs.x = m.o_custkey
+        |), merged AS (
+        |  -- the W5 stragg window and W3 dedup share the (pk, concept)
+        |  -- partition and every surviving column is constant inside it, so
+        |  -- the window+keep-first pair collapses to this GROUP BY exactly
+        |  SELECT order_id, priority_concept_id,
+        |    MIN(customer_id) AS customer_id,
+        |    substr(string_agg(src_val, ',' ORDER BY src_val), 1, 255) AS source_values
+        |  FROM swapped GROUP BY 1, 2
+        |)
+        |SELECT * FROM merged
+        |UNION ALL
+        |SELECT CAST(-o_orderkey AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'preserved'
+        |FROM orders WHERE o_orderkey % 1000 = 0
+        |ORDER BY order_id""".stripMargin)
+}
