@@ -66,6 +66,45 @@ object EventOps {
       case (acc, (name, id)) => when(tableCol === name, lit(id)).otherwise(acc)
     }
 
+  /** J12 + CASE (§2.12-6 core): rewrite a polymorphic event FK column from
+    * source keys to surrogates, discriminated by the sibling table-name
+    * column (`{omop_table}_apply_event_columns.sql.jinja:26-153`):
+    *
+    *   - one LEFT join per discovered referenced table's PK swap, each on
+    *     `swap.x = t.eventCol` (the reference generates exactly this
+    *     |event cols| x |tables| join fan);
+    *   - the event column becomes `CASE disc WHEN <table> THEN swap_t.y
+    *     ... ELSE 0` — the discriminator picks which joined swap wins;
+    *   - the discriminator becomes the table's OMOP concept id
+    *     ([[tableConceptCase]]);
+    *   - SELECT DISTINCT, as in the template (`:26`).
+    *
+    * `swaps` comes from [[discoverEventTables]] — a data-dependent plan:
+    * only referenced tables get a join. Swap maps can be fact-table sized,
+    * so they are NOT broadcast; each join shuffles on the swap key and AQE
+    * may still broadcast genuinely small ones.
+    */
+  def applyEventColumns(
+      work: DataFrame,
+      eventCol: String,
+      discriminatorCol: String,
+      swaps: Seq[(String, DataFrame)]): DataFrame = {
+    val ordered = swaps.sortBy(_._1)
+    val joined = ordered.zipWithIndex.foldLeft(work) { case (df, ((_, sw), i)) =>
+      val s = sw.select(col("x").as(s"__x_$i"), col("y").as(s"__y_$i"))
+      df.join(s, df(eventCol) === s(s"__x_$i"), "left")
+    }
+    val newEvent = ordered.zipWithIndex.foldLeft(lit(0L)) { case (acc, ((tb, _), i)) =>
+      when(col(discriminatorCol) === tb, col(s"__y_$i")).otherwise(acc)
+    }
+    val dropCols = ordered.indices.flatMap(i => Seq(s"__x_$i", s"__y_$i"))
+    joined
+      .withColumn(eventCol, newEvent)
+      .withColumn(discriminatorCol, tableConceptCase(col(discriminatorCol)))
+      .drop(dropCols: _*)
+      .distinct()
+  }
+
   /** W4: re-key PK collisions created by event mapping. Per pk, rows are
     * ranked by the event columns (deterministic order); rank 1 keeps the pk,
     * ranks >1 receive `maxPk + ROW_NUMBER() OVER (ORDER BY pk, <event cols>)`

@@ -74,8 +74,47 @@ object PipelineQueries {
       .orderBy("order_id")
   }
 
+  /** §2.12-6 end to end: U4 discovery -> generated J12 swap joins + CASE
+    * discriminator mapping -> W4 collision re-keying (via the parallel
+    * denseIds overflow renumbering), per
+    * `{omop_table}_apply_event_columns.sql.jinja` + `bigquery/etl.py:498-553`.
+    */
+  val eventApplyColumns: Q = (s, d) => {
+    val events = t(s, d, "events")
+    // the stage-1 work table: event FK holds STRING source keys, the
+    // discriminator holds the referenced table NAME (work DDL, D4)
+    val refTable = Seq(
+      "click" -> "person", "view" -> "visit_occurrence", "purchase" -> "drug_exposure",
+      "signup" -> "measurement", "error" -> "observation")
+      .foldLeft(lit(null).cast("string")) { case (acc, (evt, tbl)) =>
+        when(col("event_type") === evt, lit(tbl)).otherwise(acc)
+      }
+    val work = events.select(
+      col("user_id").as("pk"),
+      concat(lit("SRC-"), (col("event_id") % 500).cast("string")).as("target_event_id"),
+      refTable.as("event_field_concept_id"),
+      col("event_id"))
+
+    // U4: data-dependent plan — which tables are actually referenced
+    val discovered = EventOps.discoverEventTables(work, Seq("event_field_concept_id"))
+    // J12 inputs: each referenced table's PK swap (stage 1 built these)
+    val swaps = discovered.map { tb =>
+      tb -> Swap.denseIds(
+        work.filter(col("event_field_concept_id") === tb)
+          .select(col("target_event_id").as("x")).distinct(),
+        Seq("x"), 0L)
+    }
+    val mapped = EventOps.applyEventColumns(
+      work, "target_event_id", "event_field_concept_id", swaps)
+    val maxPk = work.agg(coalesce(max(col("pk")), lit(0L))).head().getLong(0)
+    EventOps.rekeyCollisions(
+      mapped, "pk", Seq("event_field_concept_id", "target_event_id", "event_id"), maxPk)
+      .orderBy("event_id")
+  }
+
   val defs: Seq[(String, Q)] = Seq(
-    "merge_full_pipeline" -> mergeFullPipeline)
+    "merge_full_pipeline" -> mergeFullPipeline,
+    "event_apply_columns" -> eventApplyColumns)
 
   val oracles: Seq[(String, String)] = Seq(
     "merge_full_pipeline" ->
@@ -123,5 +162,39 @@ object PipelineQueries {
         |UNION ALL
         |SELECT CAST(-o_orderkey AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'preserved'
         |FROM orders WHERE o_orderkey % 1000 = 0
-        |ORDER BY order_id""".stripMargin)
+        |ORDER BY order_id""".stripMargin,
+    "event_apply_columns" ->
+      """WITH work AS (
+        |  SELECT user_id AS pk,
+        |    'SRC-' || CAST(event_id % 500 AS VARCHAR) AS target_event_id,
+        |    CASE event_type WHEN 'click' THEN 'person' WHEN 'view' THEN 'visit_occurrence'
+        |      WHEN 'purchase' THEN 'drug_exposure' WHEN 'signup' THEN 'measurement'
+        |      WHEN 'error' THEN 'observation' END AS ref_table,
+        |    event_id
+        |  FROM events
+        |), swaps AS (
+        |  -- one PK swap per referenced table; the CASE-over-tables join fan
+        |  -- is algebraically a join on (ref_table, x)
+        |  SELECT ref_table, x, CAST(row_number() OVER (PARTITION BY ref_table ORDER BY x) AS BIGINT) AS y
+        |  FROM (SELECT DISTINCT ref_table, target_event_id AS x FROM work)
+        |), mapped AS (
+        |  SELECT DISTINCT w.pk, s.y AS target_event_id,
+        |    CAST(CASE w.ref_table WHEN 'person' THEN 1147026 WHEN 'visit_occurrence' THEN 1147070
+        |      WHEN 'drug_exposure' THEN 1147094 WHEN 'measurement' THEN 1147138
+        |      WHEN 'observation' THEN 1147165 END AS BIGINT) AS event_field_concept_id,
+        |    w.event_id
+        |  FROM work w
+        |  LEFT JOIN swaps s ON s.ref_table = w.ref_table AND s.x = w.target_event_id
+        |), mx AS (SELECT MAX(pk) AS m FROM work),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY pk
+        |    ORDER BY event_field_concept_id, target_event_id, event_id) AS rn
+        |  FROM mapped
+        |)
+        |SELECT pk, target_event_id, event_field_concept_id, event_id FROM ranked WHERE rn = 1
+        |UNION ALL
+        |SELECT (SELECT m FROM mx) + row_number() OVER (ORDER BY pk, event_field_concept_id, target_event_id, event_id) AS pk,
+        |  target_event_id, event_field_concept_id, event_id
+        |FROM ranked WHERE rn > 1
+        |ORDER BY event_id""".stripMargin)
 }
