@@ -1,0 +1,172 @@
+package graft.queries
+
+import graft.Tables
+import graft.io.Zones
+import graft.model.TpchModel
+import graft.operators.{Cleanup, Swap}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Lifecycle + housekeeping queries: D5 cleanup cascade, P6 custom-concept
+  * removal, D7 tombstoning and version stamping, S12 work-table listing,
+  * and the config-driven DQD battery (P4/A7 over a check table, the
+  * `data_quality.py:57-109` shape).
+  */
+object LifecycleQueries {
+  private type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  /** D5: targeted cleanup of `nation` — the cascade set is the target plus
+    * every table in later dependency levels; cascaded tables are truncated
+    * (0 rows), the rest keep their data.
+    */
+  val cleanupCascade: Q = (s, d) => {
+    val m = TpchModel.model
+    val cascade = Cleanup.cascadeTables(m, m.tables, "nation").toSet
+    m.tables.sorted.map { tb =>
+      val inCascade = cascade.contains(tb)
+      t(s, d, tb)
+        .agg(count(lit(1)).as("cnt"))
+        .select(
+          lit(tb).as("table_name"),
+          lit(inCascade).as("in_cascade"),
+          (if (inCascade) lit(0L) else col("cnt")).as("n_rows_after"))
+    }.reduce(_ unionByName _).orderBy("table_name")
+  }
+
+  /** P6 removal: standard concepts survive, RiaB-generated customs
+    * (>= 2e9) are dropped.
+    */
+  val cleanupCustomConcepts: Q = (s, d) => {
+    val standard = t(s, d, "nation").select(
+      col("n_nationkey").cast("long").as("concept_id"),
+      col("n_name").as("concept_name"))
+    val custom = Swap.rankIds(
+      t(s, d, "part").select(col("p_type")), "p_type",
+      graft.operators.MergeOps.CustomConceptBase)
+      .select(col("concept_id"), col("p_type").as("concept_name"))
+    Cleanup.removeCustomConcepts(standard.unionByName(custom), "concept_id")
+      .orderBy("concept_id")
+  }
+
+  /** D7: tombstone mappings older than the ETL start. */
+  val s2cmTombstone: Q = (s, d) => {
+    val s2cm = t(s, d, "orders").select(
+      col("o_orderkey").as("source_code"),
+      col("o_custkey").as("target_concept_id"),
+      col("o_orderdate").cast("date").as("valid_start_date"),
+      lit(null).cast("string").as("invalid_reason"))
+    Cleanup.tombstoneStale(s2cm, lit("1995-06-01").cast("date"))
+      .orderBy("source_code")
+  }
+
+  /** D7: the 1-row version-metadata record (deterministic "now"). */
+  val metadataVersion: Q = (s, _) =>
+    Cleanup.versionMetadata(
+      s, "5.4", "0.1.0",
+      java.sql.Date.valueOf("2026-01-01"),
+      java.sql.Timestamp.valueOf("2026-01-01 12:00:00"))
+
+  /** S12: work-zone table listing through the zone namespace (bounded
+    * directory metadata, the INFORMATION_SCHEMA analogue).
+    */
+  val workTableListing: Q = (s, d) => {
+    import s.implicits._
+    val zones = Zones("/root/repo/target/graft_zones_s12")
+    val nation = t(s, d, "nation").limit(1)
+    zones.write(nation, "work", "person__upload__q1")
+    zones.write(nation, "work", "person__gender_concept_id_usagi")
+    zones.write(nation, "work", "person_id_swap")
+    zones.listTables(s, "work").toDF("table_name").orderBy("table_name")
+  }
+
+  /** P4+A7 config-driven: the check battery comes from a config table of
+    * (check, table, category, evaluation predicate) rows — the reference's
+    * DQD check CSVs (`data_quality.py:57-109`) — each applied with
+    * Validate.evaluationFilter semantics and unioned into one result.
+    */
+  val dqdConfigDriven: Q = (s, d) => {
+    val config = Seq(
+      ("completeness_priority", "orders", "Completeness", "o_orderpriority IS NULL"),
+      ("conformance_status", "orders", "Conformance", "o_orderstatus NOT IN ('O', 'F', 'P')"),
+      ("plausible_price_pos", "orders", "Plausibility", "o_totalprice <= 0"),
+      ("plausible_qty_range", "lineitem", "Plausibility", "l_quantity < 0 OR l_quantity > 50"))
+    config.map { case (name, table, category, predicate) =>
+      t(s, d, table)
+        .agg(
+          count(when(expr(predicate), 1)).as("num_violated_rows"),
+          count(lit(1)).as("num_denominator_rows"))
+        .select(
+          lit(name).as("check_name"),
+          lit(category).as("category"),
+          col("num_violated_rows"),
+          col("num_denominator_rows"),
+          round(col("num_violated_rows").cast("double") / col("num_denominator_rows"), 6)
+            .as("pct_violated"))
+    }.reduce(_ unionByName _)
+      .withColumn("status", when(col("pct_violated") > 0.05, lit("FAIL")).otherwise(lit("PASS")))
+      .orderBy("check_name")
+  }
+
+  val defs: Seq[(String, Q)] = Seq(
+    "cleanup_cascade" -> cleanupCascade,
+    "cleanup_custom_concepts" -> cleanupCustomConcepts,
+    "s2cm_tombstone" -> s2cmTombstone,
+    "metadata_version" -> metadataVersion,
+    "work_table_listing" -> workTableListing,
+    "dqd_config_driven" -> dqdConfigDriven)
+
+  val oracles: Seq[(String, String)] = Seq(
+    "cleanup_cascade" ->
+      """SELECT table_name, in_cascade, CAST(n_rows_after AS BIGINT) AS n_rows_after FROM (VALUES
+        |  ('customer', true, 0),
+        |  ('lineitem', true, 0),
+        |  ('nation', true, 0),
+        |  ('orders', true, 0),
+        |  ('part', false, (SELECT count(*) FROM part)),
+        |  ('region', false, (SELECT count(*) FROM region)),
+        |  ('supplier', true, 0)
+        |) AS t(table_name, in_cascade, n_rows_after) ORDER BY table_name""".stripMargin,
+    "cleanup_custom_concepts" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS concept_id, n_name AS concept_name
+        |FROM nation ORDER BY concept_id""".stripMargin,
+    "s2cm_tombstone" ->
+      """SELECT o_orderkey AS source_code, o_custkey AS target_concept_id,
+        |  CAST(o_orderdate AS DATE) AS valid_start_date,
+        |  CASE WHEN CAST(o_orderdate AS DATE) < DATE '1995-06-01' THEN 'D' ELSE NULL END AS invalid_reason
+        |FROM orders ORDER BY source_code""".stripMargin,
+    "metadata_version" ->
+      """SELECT 'RIAB_VERSION' AS metadata_id,
+        |  'RIAB_OMOPCDM5.4' AS metadata_concept_id,
+        |  'RIAB_EHR' AS metadata_type_concept_id,
+        |  'Rabbit-in-a-Blender version' AS name,
+        |  '0.1.0' AS value_as_string,
+        |  CAST(NULL AS VARCHAR) AS value_as_concept_id,
+        |  CAST(NULL AS DOUBLE) AS value_as_number,
+        |  DATE '2026-01-01' AS metadata_date,
+        |  TIMESTAMP '2026-01-01 12:00:00' AS metadata_datetime""".stripMargin,
+    "work_table_listing" ->
+      """SELECT table_name FROM (VALUES
+        |  ('person__gender_concept_id_usagi'), ('person__upload__q1'), ('person_id_swap')
+        |) AS t(table_name) ORDER BY table_name""".stripMargin,
+    "dqd_config_driven" ->
+      """WITH checks AS (
+        |  SELECT 'completeness_priority' AS check_name, 'Completeness' AS category,
+        |    count(*) FILTER (WHERE o_orderpriority IS NULL) AS num_violated_rows,
+        |    count(*) AS num_denominator_rows FROM orders
+        |  UNION ALL
+        |  SELECT 'conformance_status', 'Conformance',
+        |    count(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P')), count(*) FROM orders
+        |  UNION ALL
+        |  SELECT 'plausible_price_pos', 'Plausibility',
+        |    count(*) FILTER (WHERE o_totalprice <= 0), count(*) FROM orders
+        |  UNION ALL
+        |  SELECT 'plausible_qty_range', 'Plausibility',
+        |    count(*) FILTER (WHERE l_quantity < 0 OR l_quantity > 50), count(*) FROM lineitem
+        |)
+        |SELECT check_name, category, num_violated_rows, num_denominator_rows,
+        |  round(CAST(num_violated_rows AS DOUBLE) / num_denominator_rows, 6) AS pct_violated,
+        |  CASE WHEN round(CAST(num_violated_rows AS DOUBLE) / num_denominator_rows, 6) > 0.05
+        |    THEN 'FAIL' ELSE 'PASS' END AS status
+        |FROM checks ORDER BY check_name""".stripMargin)
+}
