@@ -1,8 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Key-swap core: dense, stable, append-only surrogate-key maps.
   *
@@ -14,53 +14,25 @@ import org.apache.spark.sql.functions._
   *
   * The reference numbers new keys with `ROW_NUMBER() OVER (ORDER BY x, ...)`
   * — a single-partition global-sort window that does not survive 100 TB.
-  * Here dense numbering is a *range-partitioned total sort* plus
-  * per-partition offsets, all inside ONE plan:
+  * Here dense numbering is a *range-partitioned total sort* followed by
+  * `zipWithIndex`: `repartitionByRange` gives a global order across
+  * partition indices, and `zipWithIndex` turns per-partition indices into
+  * contiguous global ones with one extra count job. Every partition sorts
+  * and indexes in parallel — no single-partition window at any cardinality.
   *
-  *   - `repartitionByRange` totally orders rows across partition indices;
-  *   - `monotonically_increasing_id` encodes `(partition << 33) | localIdx`,
-  *     so the within-partition index is free (no window);
-  *   - per-partition row counts (<= #partitions rows) get exclusive prefix
-  *     sums via a triangular self-join, and are broadcast back.
-  *
-  * Everything is a single query: Catalyst's exchange reuse evaluates the
-  * range shuffle once, and — critically — the count subtree and the final
-  * projection see the SAME sampled range boundaries. (A two-action
-  * formulation is wrong: range boundaries are re-sampled per action, so
-  * offsets collected in one job can disagree with the partitioning of the
-  * next.) No RDD round-trip, no driver collect, no single-partition window
-  * at any cardinality; ids are bit-for-bit those of the ROW_NUMBER
-  * formulation given a duplicate-free order key (SURVEY.md §7.5).
+  * Why an RDD hop instead of a pure-DataFrame
+  * `monotonically_increasing_id` + per-partition-offset formulation: range
+  * boundaries are SAMPLED. The RDD lineage pins the `RangePartitioner`
+  * object once, so the count job and the assignment job — and any task
+  * retry — see identical boundaries. A DataFrame formulation instantiates
+  * the exchange per consumer and only Catalyst's exchange-reuse makes the
+  * count and projection subtrees agree; that reuse is not guaranteed
+  * (adding a `.persist()` upstream broke it in practice), and when it
+  * fails the offsets silently mismatch the final partitioning by a few
+  * rows at every partition edge. Correct-by-construction beats fast-by-
+  * optimizer-courtesy; the Row-conversion constant is measured and small.
   */
 object Swap {
-
-  /** Lower 33 bits of `monotonically_increasing_id` = row index within the
-    * partition; upper bits = partition index (Spark contract).
-    */
-  private val MonoLocalMask = (1L << 33) - 1
-
-  /** Range-sort `df` by `orderCols` and attach `__mono` / `__pid`. */
-  private def rangeSorted(df: DataFrame, orderCols: Seq[String]): DataFrame = {
-    val parts = math.max(
-      1, df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
-    df.repartitionByRange(parts, orderCols.map(col): _*)
-      .sortWithinPartitions(orderCols.map(col): _*)
-      .withColumn("__mono", monotonically_increasing_id())
-      .withColumn("__pid", shiftright(col("__mono"), 33))
-  }
-
-  /** Exclusive prefix sums of `valueCol` across partition ids: a triangular
-    * self-join over <= #partitions rows (bounded by cluster config, not
-    * data) — deliberately NOT a global window, so no single-partition
-    * WindowExec appears anywhere.
-    */
-  private def partitionOffsets(perPart: DataFrame, valueCol: String): DataFrame = {
-    val lower = perPart.select(col("__pid").as("__pid2"), col(valueCol).as("__v2"))
-    perPart.select(col("__pid"))
-      .join(broadcast(lower), col("__pid2") < col("__pid"), "left")
-      .groupBy(col("__pid"))
-      .agg(coalesce(sum(col("__v2")), lit(0L)).as("__off"))
-  }
 
   /** W1: assign dense ids `offset+1 .. offset+n` in ascending `orderCols`
     * order. `orderCols` must uniquely identify rows (callers pass distinct
@@ -68,13 +40,17 @@ object Swap {
     * deterministic across runs and cluster layouts.
     */
   def denseIds(df: DataFrame, orderCols: Seq[String], offset: Long, idCol: String = "y"): DataFrame = {
-    val sorted = rangeSorted(df, orderCols)
-    val partCounts = sorted.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
-    sorted
-      .join(broadcast(partitionOffsets(partCounts, "__cnt")), Seq("__pid"))
-      .withColumn(idCol,
-        col("__off") + col("__mono").bitwiseAND(lit(MonoLocalMask)) + lit(1L + offset))
-      .drop("__pid", "__off", "__mono")
+    val spark = df.sparkSession
+    val parts = math.max(
+      1, spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val sorted = df
+      .repartitionByRange(parts, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+    val outSchema = StructType(sorted.schema.fields).add(idCol, LongType, nullable = false)
+    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (i + 1L + offset))
+    }
+    spark.createDataFrame(indexed, outSchema)
   }
 
   /** A5: `IFNULL(MAX(y), base)` scalar — the numbering base of the next
@@ -108,22 +84,35 @@ object Swap {
     *
     * Scale-safe formulation: RANK(code) = 1 + count of rows with a smaller
     * code. Aggregate counts per distinct code (map-side combinable), then
-    * exclusive-prefix-sum those counts in code order with the same
-    * range-partition machinery as [[denseIds]]: the running sum inside each
-    * partition is a *partitioned* window (sorts spill, partitions run in
-    * parallel) plus broadcast per-partition offsets — no global window at
-    * any cardinality.
+    * exclusive-prefix-sum those counts in code order: a range-partitioned
+    * sort over the distinct codes, one bounded job collecting the
+    * per-partition count sums (<= #partitions longs), and a parallel scan
+    * adding the offsets — the classic distributed prefix-sum, sharing
+    * [[denseIds]]'s pinned-partitioner determinism argument. No global
+    * window at any cardinality.
     */
   def rankIds(df: DataFrame, codeCol: String, base: Long, idCol: String = "concept_id"): DataFrame = {
+    val spark = df.sparkSession
+    val parts = math.max(
+      1, spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
     val counts = df.groupBy(codeCol).agg(count(lit(1)).as("__cnt"))
-    val sorted = rangeSorted(counts, Seq(codeCol))
-    val partSums = sorted.groupBy(col("__pid")).agg(sum(col("__cnt")).as("__s"))
-    val localW = Window.partitionBy(col("__pid")).orderBy(col("__mono"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    sorted
-      .withColumn("__local", coalesce(sum(col("__cnt")).over(localW), lit(0L)))
-      .join(broadcast(partitionOffsets(partSums, "__s")), Seq("__pid"))
-      .withColumn(idCol, lit(base) + lit(1L) + col("__off") + col("__local"))
-      .drop("__cnt", "__mono", "__pid", "__off", "__local")
+    val sorted = counts
+      .repartitionByRange(parts, col(codeCol))
+      .sortWithinPartitions(col(codeCol))
+    val rdd = sorted.rdd // pins the RangePartitioner across both jobs
+    val partSums = rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.map(_.getLong(1)).sum)))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _) // exclusive prefix per partition
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      var acc = offsets(i)
+      it.map { r =>
+        val o = acc
+        acc += r.getLong(1)
+        Row(r.get(0), base + 1L + o)
+      }
+    }
+    spark.createDataFrame(out,
+      StructType(Seq(sorted.schema.head, StructField(idCol, LongType, nullable = false))))
   }
 }

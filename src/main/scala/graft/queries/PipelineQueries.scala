@@ -89,23 +89,35 @@ object PipelineQueries {
       .foldLeft(lit(null).cast("string")) { case (acc, (evt, tbl)) =>
         when(col("event_type") === evt, lit(tbl)).otherwise(acc)
       }
+    // the work table is consumed by discovery, swap building, mapping and
+    // the max-pk scalar — persist it once, as the reference's materialized
+    // work-zone table is
     val work = events.select(
       col("user_id").as("pk"),
       concat(lit("SRC-"), (col("event_id") % 500).cast("string")).as("target_event_id"),
       refTable.as("event_field_concept_id"),
       col("event_id"))
+      .persist()
 
     // U4: data-dependent plan — which tables are actually referenced
     val discovered = EventOps.discoverEventTables(work, Seq("event_field_concept_id"))
-    // J12 inputs: each referenced table's PK swap (stage 1 built these)
-    val swaps = discovered.map { tb =>
-      tb -> Swap.denseIds(
-        work.filter(col("event_field_concept_id") === tb)
-          .select(col("target_event_id").as("x")).distinct(),
-        Seq("x"), 0L)
-    }
+    // J12 inputs: each referenced table's PK swap. Stage 1 materializes one
+    // swap table per CDM table; here all of them come from ONE
+    // window-partitioned plan (partitionBy table => parallel, spill-safe,
+    // a single shuffle for every table's numbering) and per-table views.
+    val perTableW = org.apache.spark.sql.expressions.Window
+      .partitionBy("__t").orderBy("x")
+    val allSwaps = work
+      .filter(col("event_field_concept_id").isNotNull)
+      .select(col("event_field_concept_id").as("__t"), col("target_event_id").as("x"))
+      .distinct()
+      .withColumn("y", row_number().over(perTableW).cast("long"))
+      .persist()
+    val swaps = discovered.map(tb => tb -> allSwaps.filter(col("__t") === tb).select("x", "y"))
+    // mapped is consumed by both rekey branches (kept + overflow renumber);
+    // cache it so the 5-join distinct plan runs once
     val mapped = EventOps.applyEventColumns(
-      work, "target_event_id", "event_field_concept_id", swaps)
+      work, "target_event_id", "event_field_concept_id", swaps).persist()
     val maxPk = work.agg(coalesce(max(col("pk")), lit(0L))).head().getLong(0)
     EventOps.rekeyCollisions(
       mapped, "pk", Seq("event_field_concept_id", "target_event_id", "event_id"), maxPk)
