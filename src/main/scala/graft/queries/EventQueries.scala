@@ -73,6 +73,19 @@ object EventQueries {
       coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status_norm"))
       .orderBy("o_orderkey")
 
+  /** P5: fact_relationship requires its polymorphic event columns non-null
+    * — the event step filters them (`{omop_table}_apply_event_columns.sql.jinja:155-164`),
+    * expressed as `na.drop` over the event columns.
+    */
+  val eventFactNonnull: Q = (s, d) =>
+    t(s, d, "events")
+      .select(
+        col("event_id"),
+        col("user_id").as("fact_id_1"),
+        when(col("value") >= 0, floor(col("value") * 100).cast("long")).as("fact_id_2"))
+      .na.drop(Seq("fact_id_1", "fact_id_2"))
+      .orderBy("event_id")
+
   /** O3: newest-first bounded report (the "last 15 DQD runs" shape). */
   val topkRecentEvents: Q = (s, d) =>
     t(s, d, "events")
@@ -90,25 +103,26 @@ object EventQueries {
     * and the partitionBy keeps the window parallel across groups.
     */
   val achillesStats: Q = (s, d) => {
-    val orders = t(s, d, "orders")
-    val base = orders
+    val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice"))
+    val wAll = Window.partitionBy(col("o_orderstatus"))
+    val isMedianRow =
+      col("__rn") === floor((col("__n") + 1) / 2) || col("__rn") === floor((col("__n") + 2) / 2)
+    // one pass: the rank window partitions by the same key the aggregate
+    // groups on, so Catalyst reuses a single shuffle for both
+    t(s, d, "orders")
+      .select(col("o_orderstatus"), col("o_totalprice"), col("o_custkey"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
       .groupBy(col("o_orderstatus"))
       .agg(
         count(lit(1)).as("stratum_count"),
         countDistinct(col("o_custkey")).as("n_customers"),
         round(avg(col("o_totalprice")), 2).as("avg_value"),
         round(min(col("o_totalprice")), 2).as("min_value"),
-        round(max(col("o_totalprice")), 2).as("max_value"))
+        round(max(col("o_totalprice")), 2).as("max_value"),
+        round(avg(when(isMedianRow, col("o_totalprice"))), 4).as("median_value"))
       .filter(col("stratum_count") > 5)
-    val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice"))
-    val median = orders
-      .select(col("o_orderstatus"), col("o_totalprice"))
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("o_orderstatus"))))
-      .filter(col("__rn") === floor((col("__n") + 1) / 2) || col("__rn") === floor((col("__n") + 2) / 2))
-      .groupBy(col("o_orderstatus"))
-      .agg(round(avg(col("o_totalprice")), 4).as("median_value"))
-    base.join(median, Seq("o_orderstatus")).orderBy("o_orderstatus")
+      .orderBy("o_orderstatus")
   }
 
   /** P4-shaped DQD check battery: each check = (violated, denominator, pct,
@@ -205,6 +219,7 @@ object EventQueries {
     "event_discover_tables" -> eventDiscoverTables,
     "event_case_map" -> eventCaseMap,
     "event_rekey" -> eventRekey,
+    "event_fact_nonnull" -> eventFactNonnull,
     "scalar_suite" -> scalarSuite,
     "topk_recent_events" -> topkRecentEvents,
     "achilles_stats" -> achillesStats,
@@ -245,6 +260,9 @@ object EventQueries {
         |  event_type, event_id
         |FROM ranked WHERE rn > 1
         |ORDER BY event_id""".stripMargin,
+    "event_fact_nonnull" ->
+      """SELECT event_id, user_id AS fact_id_1, CAST(floor(value * 100) AS BIGINT) AS fact_id_2
+        |FROM events WHERE value >= 0 ORDER BY event_id""".stripMargin,
     "scalar_suite" ->
       """SELECT o_orderkey,
         |  lower(o_orderpriority) AS prio_lower,

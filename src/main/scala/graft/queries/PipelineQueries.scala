@@ -124,9 +124,82 @@ object PipelineQueries {
       .orderBy("event_id")
   }
 
+  /** §2.12-2 end to end: custom-concept CSV -> validations (J6/A4 as
+    * fail-fast guards, `bigquery/etl.py:146-177`) -> W2 RANK ids over the
+    * 2e9 floor with J5 anti-join against the existing concept_id_swap ->
+    * J10 stamp -> J8 MERGE into CONCEPT alongside the standard rows
+    * (`etl.py:427-442` composition).
+    */
+  val customConceptPipeline: Q = (s, d) => {
+    import s.implicits._
+    val concepts = SourceQueries.csvConceptsRead(s, d).drop("concept_id")
+    // validations raise before any mutation, like the reference
+    val domains = Seq("geography").toDF("domain_id")
+    require(
+      Validate.missingDimension(concepts, domains, "domain_id", "domain_id").isEmpty,
+      "custom concepts reference unknown domains")
+    require(
+      Validate.duplicateKeys(concepts, Seq("concept_code")).isEmpty,
+      "duplicate custom concept codes")
+    // W2+J5+A5: append-only concept-id swap over the 2e9 floor
+    val existingSwap = Swap.rankIds(
+      concepts.filter(col("concept_code").isin("NAT-0", "NAT-1", "NAT-2"))
+        .select("concept_code"),
+      "concept_code", MergeOps.CustomConceptBase)
+    val maxY = Swap.maxId(existingSwap, "concept_id", MergeOps.CustomConceptBase)
+    val numbered = Swap.rankIds(
+      Swap.newKeys(existingSwap, concepts.select("concept_code"), Seq("concept_code")),
+      "concept_code", maxY)
+    val swap = existingSwap.unionByName(numbered)
+    // J10: stamp generated ids; J8: merge with the standard concept rows
+    val stamped = concepts.join(broadcast(swap), Seq("concept_code"))
+      .select(col("concept_id"), col("concept_name"), col("concept_code"))
+    val target = t(s, d, "nation").select(
+      col("n_nationkey").cast("long").as("concept_id"),
+      col("n_name").as("concept_name"),
+      concat(lit("STD-"), col("n_nationkey")).as("concept_code"))
+    Upsert.merge(target, stamped, Seq("concept_id")).orderBy("concept_id")
+  }
+
+  /** §2.12-3 end to end: usagi CSV -> A1 duplicate-mapping guard -> J7
+    * domain check -> J10 custom-id stamping -> P2 status filter -> J8 MERGE
+    * into SOURCE_TO_CONCEPT_MAP (`etl.py:560-625` composition).
+    */
+  val usagiPipeline: Q = (s, d) => {
+    import s.implicits._
+    val usagi = SourceQueries.csvUsagiRead(s, d)
+    require(
+      Validate.duplicateMappings(usagi, "sourceCode", "conceptId").isEmpty,
+      "duplicate usagi mappings")
+    val conceptDim = Seq((1L, "observation")).toDF("concept_id", "domain_id")
+      .unionByName(usagi.select(col("conceptId").as("concept_id"), lit("observation").as("domain_id")))
+      .distinct()
+    require(
+      Validate.domainViolations(usagi, conceptDim, "conceptId", "domain_id", Seq("observation"))
+        .isEmpty,
+      "usagi mapping outside the allowed FK domains")
+    // J10: '1%' codes map to freshly generated custom concepts
+    val updates = Swap.rankIds(
+      usagi.filter(col("sourceCode").startsWith("1")).select("sourceCode").distinct(),
+      "sourceCode", MergeOps.CustomConceptBase, "newId")
+    val stamped = Upsert.updateFromJoin(usagi, updates, Seq("sourceCode"), "conceptId", "newId")
+    // P2 + J8: APPROVED rows merge into the existing s2cm
+    val source = stamped.filter(col("mappingStatus") === "APPROVED").select(
+      col("sourceCode").as("source_code"),
+      col("conceptId").as("target_concept_id"),
+      lit("usagi").as("origin"))
+    val target = t(s, d, "orders")
+      .select(col("o_orderpriority").as("source_code")).distinct()
+      .withColumn("target_concept_id", lit(-1L))
+      .withColumn("origin", lit("existing"))
+    Upsert.merge(target, source, Seq("source_code")).orderBy("source_code")
+  }
+
   val defs: Seq[(String, Q)] = Seq(
     "merge_full_pipeline" -> mergeFullPipeline,
-    "event_apply_columns" -> eventApplyColumns)
+    "event_apply_columns" -> eventApplyColumns,
+    "custom_concept_pipeline" -> customConceptPipeline,
+    "usagi_pipeline" -> usagiPipeline)
 
   val oracles: Seq[(String, String)] = Seq(
     "merge_full_pipeline" ->
@@ -208,5 +281,65 @@ object PipelineQueries {
         |SELECT (SELECT m FROM mx) + row_number() OVER (ORDER BY pk, event_field_concept_id, target_event_id, event_id) AS pk,
         |  target_event_id, event_field_concept_id, event_id
         |FROM ranked WHERE rn > 1
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin,
+    "custom_concept_pipeline" ->
+      s"""WITH concepts AS (
+         |  SELECT concept_name, concept_code
+         |  FROM read_csv('${SourceQueries.StageDir}/custom_concepts.csv', header=true, columns={
+         |    'concept_id':'BIGINT','concept_name':'VARCHAR','domain_id':'VARCHAR',
+         |    'vocabulary_id':'VARCHAR','concept_class_id':'VARCHAR','standard_concept':'VARCHAR',
+         |    'concept_code':'VARCHAR','valid_start_date':'DATE','valid_end_date':'DATE',
+         |    'invalid_reason':'VARCHAR'})
+         |), existing AS (
+         |  SELECT concept_code,
+         |    CAST(2000000000 + rank() OVER (ORDER BY concept_code) AS BIGINT) AS concept_id
+         |  FROM concepts WHERE concept_code IN ('NAT-0', 'NAT-1', 'NAT-2')
+         |), mx AS (SELECT MAX(concept_id) AS m FROM existing),
+         |newc AS (
+         |  SELECT concept_code FROM concepts
+         |  WHERE concept_code NOT IN (SELECT concept_code FROM existing)
+         |), numbered AS (
+         |  SELECT concept_code,
+         |    CAST((SELECT m FROM mx) + rank() OVER (ORDER BY concept_code) AS BIGINT) AS concept_id
+         |  FROM newc
+         |), swap AS (
+         |  SELECT * FROM existing UNION ALL SELECT * FROM numbered
+         |), stamped AS (
+         |  SELECT s.concept_id, c.concept_name, c.concept_code
+         |  FROM concepts c JOIN swap s USING (concept_code)
+         |), target AS (
+         |  SELECT CAST(n_nationkey AS BIGINT) AS concept_id, n_name AS concept_name,
+         |    'STD-' || n_nationkey AS concept_code
+         |  FROM nation
+         |)
+         |SELECT * FROM target
+         |UNION ALL
+         |SELECT * FROM stamped
+         |ORDER BY concept_id""".stripMargin,
+    "usagi_pipeline" ->
+      s"""WITH usagi AS (
+         |  SELECT * FROM read_csv('${SourceQueries.StageDir}/usagi.csv', header=true, columns={
+         |    'sourceCode':'VARCHAR','sourceName':'VARCHAR','mappingStatus':'VARCHAR',
+         |    'conceptId':'BIGINT','conceptName':'VARCHAR','domainId':'VARCHAR'})
+         |), upd AS (
+         |  SELECT sourceCode,
+         |    CAST(2000000000 + rank() OVER (ORDER BY sourceCode) AS BIGINT) AS newId
+         |  FROM (SELECT DISTINCT sourceCode FROM usagi WHERE sourceCode LIKE '1%')
+         |), stamped AS (
+         |  SELECT u.sourceCode, COALESCE(p.newId, u.conceptId) AS conceptId, u.mappingStatus
+         |  FROM usagi u LEFT JOIN upd p ON u.sourceCode = p.sourceCode
+         |), src AS (
+         |  SELECT sourceCode AS source_code, conceptId AS target_concept_id, 'usagi' AS origin
+         |  FROM stamped WHERE mappingStatus = 'APPROVED'
+         |), tgt AS (
+         |  SELECT DISTINCT o_orderpriority AS source_code,
+         |    CAST(-1 AS BIGINT) AS target_concept_id, 'existing' AS origin
+         |  FROM orders
+         |)
+         |SELECT COALESCE(t.source_code, s.source_code) AS source_code,
+         |  CASE WHEN s.source_code IS NOT NULL THEN s.target_concept_id
+         |    ELSE t.target_concept_id END AS target_concept_id,
+         |  CASE WHEN s.source_code IS NOT NULL THEN s.origin ELSE t.origin END AS origin
+         |FROM tgt t FULL OUTER JOIN src s ON t.source_code = s.source_code
+         |ORDER BY source_code""".stripMargin)
 }

@@ -1,0 +1,56 @@
+package graft.etl
+
+import graft.model.TpchModel
+import org.scalatest.funsuite.AnyFunSuite
+import java.util.concurrent.{ConcurrentHashMap, CountDownLatch, TimeUnit}
+
+/** Level-barrier scheduling semantics (etl.py:82-175 analogue). */
+class EtlRunnerSpec extends AnyFunSuite {
+  private val m = TpchModel.model
+
+  test("every table starts only after all its FK dependencies finished (barrier)") {
+    val started = new ConcurrentHashMap[String, Long]()
+    val finished = new ConcurrentHashMap[String, Long]()
+    EtlRunner(m).run(m.tables) { t =>
+      started.put(t, System.nanoTime())
+      Thread.sleep(5)
+      finished.put(t, System.nanoTime())
+      t
+    }
+    for (t <- m.tables; (_, dep) <- m.fks(t) if dep != t)
+      assert(finished.get(dep) < started.get(t), s"$t started before its dependency $dep finished")
+  }
+
+  test("tables inside one level genuinely run in parallel") {
+    // customer and supplier share a level; each waits for the other to have
+    // started — only possible if the runner executes them concurrently
+    val latch = new CountDownLatch(2)
+    val out = EtlRunner(m, maxParallelTables = 4).run(m.tables) { t =>
+      if (t == "customer" || t == "supplier") {
+        latch.countDown()
+        assert(latch.await(10, TimeUnit.SECONDS), s"$t never saw its level peer start")
+      }
+      s"done-$t"
+    }
+    assert(out.keySet == m.tables.toSet)
+    assert(out("lineitem") == "done-lineitem")
+  }
+
+  test("onlyTables restricts work but preserves level order") {
+    val order = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    EtlRunner(m).run(m.tables, onlyTables = Some(Set("nation", "orders"))) { t =>
+      order.add(t); t
+    }
+    assert(order.size == 2)
+    assert(order.get(0) == "nation" && order.get(1) == "orders")
+  }
+
+  test("a failing table aborts the run") {
+    intercept[RuntimeException] {
+      EtlRunner(m).run(m.tables) { t =>
+        if (t == "nation") throw new RuntimeException("boom")
+        t
+      }
+    }
+  }
+}
