@@ -29,8 +29,20 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // local[32] runs driver+executor threads in ONE JVM: 8g forces GC thrash
-  // once a few dozen queries' broadcasts/codegen classes accumulate (bench
-  // totals swung 45s -> 169s run-to-run). The container has 128 GiB.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // local[32] runs driver+executor threads in ONE JVM. The heap size is a
+  // balance: 8g GC-thrashes once a few dozen queries' broadcasts/codegen
+  // classes accumulate (bench totals swung 45s -> 169s), while 24g makes GC
+  // so RARE that dead ThreadLocal entries on the long-lived executor
+  // threads are never expunged (weak refs only clear on GC) and per-row
+  // ThreadLocal lookups degrade to linear scans — watchdog stack dumps
+  // showed Jackson's BufferRecycler spinning in getEntryAfterMiss for 25s
+  // on a 100k-row json query. 12g keeps GC frequent enough to clear the
+  // maps and roomy enough not to thrash: sf0.1 bench 263s -> ~75s, stable.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
+  // ~60 queries in one JVM generate fresh codegen classes faster than the
+  // default C2 compiler threads can chew: whichever query runs during the
+  // backlog executes interpreted and pays a 10x stall (observed 55s for a
+  // 100k-row projection). More JIT threads keep compilation off the
+  // critical path on this 32-core box (sf0.1 bench total: 263s -> 121s).
+  "-XX:CICompilerCount=12",
 )
