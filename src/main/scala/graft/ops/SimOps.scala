@@ -78,6 +78,70 @@ object SimOps {
     vectors.select(col(idCol), bits.reduce(_ + _).as("bucket"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: candidates are vector pairs
+    * sharing an LSH bucket (equi-join on the signature — never all-pairs),
+    * verified with exact cosine >= threshold. The dedup-family analogue of
+    * MinHash banding for dense embeddings.
+    */
+  def cosineNearDupPairs(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nPlanes: Int,
+      dim: Int,
+      threshold: Double): DataFrame = {
+    val b = lshBuckets(vectors, idCol, vecCol, nPlanes, dim)
+      .join(vectors, idCol)
+      .select(col("bucket"), col(idCol), asDouble(col(vecCol)).as("__vec"))
+    val a = b.select(col("bucket"), col(idCol).as("id_a"), col("__vec").as("__vec_a"))
+    val bb = b.select(col("bucket"), col(idCol).as("id_b"), col("__vec").as("__vec_b"))
+    a.join(bb, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("__vec_a"), col("__vec_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** IVF (inverted-file) ANN — the other classic scale path: corpus vectors
+    * are assigned to their nearest centroid once (an inverted index keyed
+    * by centroid), each query probes only its `nprobe` closest centroids'
+    * lists. With |centroids| ~ sqrt(|corpus|), the probe touches
+    * ~nprobe/sqrt(N) of the data instead of all of it, and the only
+    * shuffle is the equi-join on centroid id. Centroids are supplied by the
+    * caller (trained offline or sampled deterministically); assignment uses
+    * exact cosine with an id tie-break so results are reproducible.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int): DataFrame = {
+    val cent = broadcast(centroids.select(
+      col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("centroid_vec")))
+    def assign(df: DataFrame, outId: String, outVec: String, keep: Int) = {
+      val w = Window.partitionBy(col(outId)).orderBy(desc("__csim"), col("centroid_id"))
+      df.select(col(idCol).as(outId), asDouble(col(vecCol)).as(outVec))
+        .crossJoin(cent)
+        .withColumn("__csim", cosine(col(outVec), col("centroid_vec")))
+        .withColumn("__crk", row_number().over(w))
+        .filter(col("__crk") <= keep)
+        .drop("centroid_vec", "__csim", "__crk")
+    }
+    val inverted = assign(corpus, "item_id", "item_vec", keep = 1)
+    val probes = assign(queries, "query_id", "query_vec", keep = nprobe)
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("sim"), col("item_id"))
+    probes
+      .join(inverted, "centroid_id")
+      .filter(col("query_id") =!= col("item_id"))
+      .withColumn("sim", cosine(col("query_vec"), col("item_vec")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("item_id"), round(col("sim"), 6).as("sim"), col("rk"))
+  }
+
   /** Bucketed ANN: top-k within each query's LSH bucket only — the scale
     * path. Recall is traded for a corpus-shuffle-free probe; increase
     * `nPlanes` for smaller buckets or probe neighboring buckets for recall.

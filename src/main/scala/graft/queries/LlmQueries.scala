@@ -74,6 +74,45 @@ object LlmQueries {
       .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec"))
       .orderBy("bucket")
 
+  /** Embedding-cosine near-dup: LSH-bucket candidates, exact-cosine verify
+    * (the dense-vector sibling of MinHash banding — never all-pairs).
+    */
+  val dedupEmbedCosine: Q = (s, d) =>
+    SimOps.cosineNearDupPairs(
+      t(s, d, "embeddings"), "vec_id", "embedding", nPlanes = 8, dim = 64, threshold = 0.25)
+      .orderBy("id_a", "id_b")
+
+  /** Bucketed ANN top-k: search only the query's LSH bucket. */
+  val simLshTopk: Q = (s, d) => {
+    val emb = t(s, d, "embeddings")
+    SimOps.lshTopK(emb, emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+      k = 5, nPlanes = 8, dim = 64)
+      .orderBy("query_id", "rk")
+  }
+
+  /** IVF ANN top-k: probe the 2 nearest centroids' inverted lists only. */
+  val simIvfTopk: Q = (s, d) => {
+    val emb = t(s, d, "embeddings")
+    SimOps.ivfTopK(
+      corpus = emb,
+      queries = emb.filter(col("vec_id") % 100 === 0),
+      centroids = emb.filter(col("vec_id") % 50 === 25),
+      "vec_id", "embedding", k = 5, nprobe = 2)
+      .orderBy("query_id", "rk")
+  }
+
+  /** BPE-ish token estimate: non-overlapping greedy matches of short letter
+    * chunks / digits / symbols — the subword-count heuristic a training
+    * pipeline budgets with (alongside the whitespace count).
+    */
+  val textBpeTokens: Q = (s, d) =>
+    t(s, d, "documents").select(
+      col("doc_id"),
+      TextOps.tokenCount(col("text")).cast("long").as("n_ws_tokens"),
+      expr("""size(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]', 0))""")
+        .cast("long").as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
   val multimodalMeta: Q = (s, d) =>
     Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text", "text")
       .select(col("media_id"), col("modality"), col("mime"), col("byte_len"), col("content_hash"))
@@ -100,6 +139,10 @@ object LlmQueries {
     "doc_fingerprint" -> docFingerprint,
     "sim_topk_brute" -> simTopkBrute,
     "sim_lsh_buckets" -> simLshBuckets,
+    "sim_lsh_topk" -> simLshTopk,
+    "sim_ivf_topk" -> simIvfTopk,
+    "dedup_embed_cosine" -> dedupEmbedCosine,
+    "text_bpe_tokens" -> textBpeTokens,
     "multimodal_meta" -> multimodalMeta,
     "multimodal_decode" -> multimodalDecode)
 
@@ -241,6 +284,85 @@ object LlmQueries {
         |sig AS (SELECT vec_id, CAST(SUM(bit) AS BIGINT) AS bucket FROM proj GROUP BY 1)
         |SELECT bucket, count(*) AS n_vecs, MIN(vec_id) AS min_vec
         |FROM sig GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "dedup_embed_cosine" ->
+      """WITH planes AS (
+        |  SELECT j, [CAST(((i * (j + 2) + 7) % 13) - 6 AS DOUBLE) FOR i IN range(0, 64)] AS plane
+        |  FROM UNNEST(range(0, 8)) AS t(j)
+        |), sig AS (
+        |  SELECT vec_id, CAST(SUM(CASE WHEN list_dot_product(embedding::DOUBLE[], plane) > 0
+        |    THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM embeddings CROSS JOIN planes GROUP BY vec_id
+        |), v AS (
+        |  SELECT s.bucket, e.vec_id, e.embedding::DOUBLE[] AS vec
+        |  FROM embeddings e JOIN sig s USING (vec_id)
+        |)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_dot_product(a.vec, b.vec)
+        |    / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))), 6) AS sim
+        |FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.vec, b.vec)
+        |    / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))) >= 0.25
+        |ORDER BY id_a, id_b""".stripMargin,
+    "sim_lsh_topk" ->
+      """WITH planes AS (
+        |  SELECT j, [CAST(((i * (j + 2) + 7) % 13) - 6 AS DOUBLE) FOR i IN range(0, 64)] AS plane
+        |  FROM UNNEST(range(0, 8)) AS t(j)
+        |), sig AS (
+        |  SELECT vec_id, CAST(SUM(CASE WHEN list_dot_product(embedding::DOUBLE[], plane) > 0
+        |    THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM embeddings CROSS JOIN planes GROUP BY vec_id
+        |), c AS (
+        |  SELECT s.bucket, e.vec_id AS item_id, e.embedding::DOUBLE[] AS iv
+        |  FROM embeddings e JOIN sig s USING (vec_id)
+        |), q AS (
+        |  SELECT s.bucket, e.vec_id AS query_id, e.embedding::DOUBLE[] AS qv
+        |  FROM embeddings e JOIN sig s USING (vec_id) WHERE e.vec_id % 100 = 0
+        |), scored AS (
+        |  SELECT q.query_id, c.item_id, q.bucket,
+        |    list_dot_product(qv, iv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(iv, iv))) AS sim
+        |  FROM q JOIN c ON q.bucket = c.bucket WHERE query_id <> item_id
+        |), r AS (
+        |  SELECT query_id, item_id, bucket, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, item_id) AS rk
+        |  FROM scored
+        |)
+        |SELECT query_id, item_id, bucket, round(sim, 6) AS sim, CAST(rk AS INT) AS rk
+        |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    "sim_ivf_topk" ->
+      """WITH cent AS (
+        |  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id % 50 = 25
+        |), corpus AS (SELECT vec_id AS item_id, embedding::DOUBLE[] AS iv FROM embeddings),
+        |qs AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 100 = 0),
+        |ca AS (
+        |  SELECT item_id, iv, centroid_id,
+        |    row_number() OVER (PARTITION BY item_id ORDER BY csim DESC, centroid_id) AS crk
+        |  FROM (SELECT item_id, iv, centroid_id,
+        |      list_dot_product(iv, cv) / (sqrt(list_dot_product(iv, iv)) * sqrt(list_dot_product(cv, cv))) AS csim
+        |    FROM corpus CROSS JOIN cent)
+        |), inv AS (SELECT item_id, iv, centroid_id FROM ca WHERE crk = 1),
+        |qa AS (
+        |  SELECT query_id, qv, centroid_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY csim DESC, centroid_id) AS crk
+        |  FROM (SELECT query_id, qv, centroid_id,
+        |      list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS csim
+        |    FROM qs CROSS JOIN cent)
+        |), probes AS (SELECT query_id, qv, centroid_id FROM qa WHERE crk <= 2),
+        |scored AS (
+        |  SELECT query_id, item_id,
+        |    list_dot_product(qv, iv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(iv, iv))) AS sim
+        |  FROM probes p JOIN inv USING (centroid_id) WHERE query_id <> item_id
+        |), r AS (
+        |  SELECT query_id, item_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, item_id) AS rk
+        |  FROM scored
+        |)
+        |SELECT query_id, item_id, round(sim, 6) AS sim, CAST(rk AS INT) AS rk
+        |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    "text_bpe_tokens" ->
+      s"""SELECT doc_id,
+         |  CAST(len($tokSql) AS BIGINT) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id AS media_id, 'text' AS modality, 'text/plain' AS mime,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
