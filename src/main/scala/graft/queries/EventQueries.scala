@@ -125,6 +125,39 @@ object EventQueries {
       .orderBy("o_orderstatus")
   }
 
+  /** A9 breadth: a config-driven battery of Achilles-style analyses, each
+    * producing the standard `achilles_results` row shape
+    * `(analysis_id, stratum_1, count_value)` and merged with UNION ALL
+    * exactly like `achilles.py:465-505`; counts <= 5 suppressed
+    * (`small_cell_count`, `achilles.py:27`).
+    */
+  val achillesBattery: Q = (s, d) => {
+    val orders = t(s, d, "orders")
+    val analyses: Seq[DataFrame] = Seq(
+      // 1: total record count (the "number of persons" shape)
+      t(s, d, "customer").agg(count(lit(1)).as("count_value"))
+        .select(lit(1L).as("analysis_id"), lit("ALL").as("stratum_1"), col("count_value")),
+      // 2: records by status stratum
+      orders.groupBy(col("o_orderstatus").as("stratum_1"))
+        .agg(count(lit(1)).as("count_value"))
+        .select(lit(2L).as("analysis_id"), col("stratum_1"), col("count_value")),
+      // 3: records by year stratum
+      orders.groupBy(year(col("o_orderdate")).cast("string").as("stratum_1"))
+        .agg(count(lit(1)).as("count_value"))
+        .select(lit(3L).as("analysis_id"), col("stratum_1"), col("count_value")),
+      // 4: records by returnflag stratum
+      t(s, d, "lineitem").groupBy(col("l_returnflag").as("stratum_1"))
+        .agg(count(lit(1)).as("count_value"))
+        .select(lit(4L).as("analysis_id"), col("stratum_1"), col("count_value")),
+      // 5: distinct entities per priority stratum
+      orders.groupBy(col("o_orderpriority").as("stratum_1"))
+        .agg(countDistinct(col("o_custkey")).as("count_value"))
+        .select(lit(5L).as("analysis_id"), col("stratum_1"), col("count_value")))
+    analyses.reduce(_ unionByName _)
+      .filter(col("count_value") > 5)
+      .orderBy("analysis_id", "stratum_1")
+  }
+
   /** P4-shaped DQD check battery: each check = (violated, denominator, pct,
     * threshold status), unioned into one result table
     * (`data_quality.py:219-347` semantics).
@@ -223,6 +256,7 @@ object EventQueries {
     "scalar_suite" -> scalarSuite,
     "topk_recent_events" -> topkRecentEvents,
     "achilles_stats" -> achillesStats,
+    "achilles_battery" -> achillesBattery,
     "dqd_checks" -> dqdChecks,
     "dqd_summary" -> dqdSummary,
     "event_props_extract" -> eventPropsExtract,
@@ -284,6 +318,21 @@ object EventQueries {
         |  round(max(o_totalprice), 2) AS max_value,
         |  round(quantile_cont(o_totalprice, 0.5), 4) AS median_value
         |FROM orders GROUP BY 1 HAVING count(*) > 5 ORDER BY 1""".stripMargin,
+    "achilles_battery" ->
+      """WITH results AS (
+        |  SELECT CAST(1 AS BIGINT) AS analysis_id, 'ALL' AS stratum_1,
+        |    count(*) AS count_value FROM customer
+        |  UNION ALL
+        |  SELECT 2, o_orderstatus, count(*) FROM orders GROUP BY o_orderstatus
+        |  UNION ALL
+        |  SELECT 3, CAST(year(o_orderdate) AS VARCHAR), count(*) FROM orders GROUP BY 2
+        |  UNION ALL
+        |  SELECT 4, l_returnflag, count(*) FROM lineitem GROUP BY l_returnflag
+        |  UNION ALL
+        |  SELECT 5, o_orderpriority, count(DISTINCT o_custkey) FROM orders GROUP BY o_orderpriority
+        |)
+        |SELECT * FROM results WHERE count_value > 5
+        |ORDER BY analysis_id, stratum_1""".stripMargin,
     "dqd_checks" ->
       """WITH checks AS (
         |  SELECT 'plausible_value_nonneg' AS check_name, 'Plausibility' AS category,

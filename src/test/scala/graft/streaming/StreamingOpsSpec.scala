@@ -1,0 +1,43 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+/** Structured Streaming extension: windowed counts + dedup run through a
+  * real MemoryStream -> memory-sink pipeline, not just batch mode.
+  */
+class StreamingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int) = Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  test("windowedEventCounts aggregates event-time windows over a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val counts = StreamingOps.windowedEventCounts(
+      input.toDF().toDF("ts", "event_type"), "ts", "event_type", windowLen = "30 minutes")
+    val q = counts.writeStream
+      .format("memory").queryName("wec").outputMode("complete").start()
+    input.addData((ts(1), "click"), (ts(2), "click"), (ts(5), "view"), (ts(40), "click"))
+    q.processAllAvailable(); q.stop()
+    val out = spark.sql("SELECT event_type, n_events FROM wec ORDER BY window_start, event_type")
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("click", 2L), ("view", 1L), ("click", 1L)))
+  }
+
+  test("streamingDedup keeps one row per key across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val deduped = StreamingOps.streamingDedup(
+      input.toDF().toDF("ts", "k"), "ts", Seq("k"))
+    val q = deduped.writeStream
+      .format("memory").queryName("sdd").outputMode("append").start()
+    input.addData((ts(1), 1L), (ts(1), 1L), (ts(2), 2L))
+    q.processAllAvailable()
+    input.addData((ts(1), 1L), (ts(3), 3L)) // duplicate of an in-state key
+    q.processAllAvailable(); q.stop()
+    val ks = spark.sql("SELECT k FROM sdd").as[Long].collect().sorted.toSeq
+    assert(ks == Seq(1L, 2L, 3L))
+  }
+}
