@@ -41,13 +41,26 @@ object DedupOps {
   def minhashCoeffs(k: Int): Seq[(Int, Long, Long)] =
     (0 until k).map(j => (j, 2L * j + 3L, 7L * j + 1L))
 
+  /** Spread the doc rows across the cluster BEFORE the k-way explode: a
+    * compact parquet file arrives as few input splits, and everything up to
+    * the first shuffle would otherwise run in those few tasks — the explode
+    * amplifies work k*shingles-fold, so parallelism must be established on
+    * the cheap side (a tiny shuffle of the raw docs). On a many-split
+    * 100 TB input this is a near-no-op repartition.
+    */
+  private def spread(docs: DataFrame): DataFrame = {
+    val parts = math.max(1,
+      docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    docs.repartition(parts)
+  }
+
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String, k: Int = 16, w: Int = 3): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val coeffs = minhashCoeffs(k).toDF("j", "a", "b")
     // inner explode: shingle-less docs (fewer than w tokens) produce no
     // signature — they cannot be near-dup candidates by construction
-    docs
+    spread(docs)
       .select(col(idCol), explode(TextOps.shingles(col(textCol), w)).as("shingle"))
       .withColumn("h", TextOps.hash32(col("shingle")))
       .crossJoin(broadcast(coeffs))
@@ -91,7 +104,7 @@ object DedupOps {
     val spark = docs.sparkSession
     import spark.implicits._
     val bitsDf = (0 until bits).map(b => Tuple1(b)).toDF("bit")
-    docs
+    spread(docs)
       .select(col(idCol), explode(array_distinct(TextOps.tokens(col(textCol)))).as("tok"))
       .withColumn("h", TextOps.hash32(col("tok")))
       .crossJoin(broadcast(bitsDf))
