@@ -39,6 +39,32 @@ object Multimodal {
       octet_length(col(textCol).cast("binary")).cast("long").as("byte_len"),
       md5(col(textCol).cast("binary")).as("content_hash"))
 
+  /** Video-style frame sampling: explode each payload into fixed-width
+    * frame windows, one row per sampled frame — the fan-out stage a video
+    * pipeline runs before per-frame decode (which remains the stubbed
+    * codec boundary). Pure expressions: `sequence` for the frame index
+    * domain, binary `substring` for the window — no UDF, row amplification
+    * bounded by `maxFrames`.
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int, maxFrames: Int): DataFrame = {
+    val nFrames = least(
+      lit(maxFrames.toLong),
+      ceil(col("byte_len").cast("double") / frameBytes).cast("long"))
+    media
+      .withColumn("frame_idx",
+        explode(when(nFrames > 0, sequence(lit(0L), nFrames - 1))
+          .otherwise(array().cast("array<bigint>"))))
+      .select(
+        col("media_id"),
+        col("frame_idx"),
+        expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)").as("frame_bytes"))
+      .select(
+        col("media_id"),
+        col("frame_idx"),
+        octet_length(col("frame_bytes")).cast("long").as("frame_len"),
+        md5(col("frame_bytes")).as("frame_hash"))
+  }
+
   /** Decoded-feature schema produced by the decode stage. */
   val featureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),

@@ -118,6 +118,17 @@ object LlmQueries {
       .select(col("media_id"), col("modality"), col("mime"), col("byte_len"), col("content_hash"))
       .orderBy("media_id")
 
+  /** Frame-sampling plumbing: every payload explodes into <=4 64-byte
+    * frame windows (the video fan-out shape); hashes oracle-checked
+    * byte-for-byte (the corpus is ASCII, so DuckDB's char slicing equals
+    * byte slicing).
+    */
+  val multimodalFrames: Q = (s, d) =>
+    Multimodal.sampleFrames(
+      Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text", "text"),
+      frameBytes = 64, maxFrames = 4)
+      .orderBy("media_id", "frame_idx")
+
   /** Decode-stage plumbing: mapPartitions batch decode with the stubbed
     * codec. No SQL oracle (the stub is Scala-side) — rows-only check.
     */
@@ -144,6 +155,7 @@ object LlmQueries {
     "dedup_embed_cosine" -> dedupEmbedCosine,
     "text_bpe_tokens" -> textBpeTokens,
     "multimodal_meta" -> multimodalMeta,
+    "multimodal_frames" -> multimodalFrames,
     "multimodal_decode" -> multimodalDecode)
 
   private val tokSql = """regexp_split_to_array(trim(lower(text)), '\s+')"""
@@ -367,5 +379,12 @@ object LlmQueries {
       """SELECT doc_id AS media_id, 'text' AS modality, 'text/plain' AS mime,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |  md5(text) AS content_hash
-        |FROM documents ORDER BY media_id""".stripMargin)
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "multimodal_frames" ->
+      """SELECT doc_id AS media_id, i AS frame_idx,
+        |  CAST(length(substring(text, CAST(i * 64 + 1 AS INT), 64)) AS BIGINT) AS frame_len,
+        |  md5(substring(text, CAST(i * 64 + 1 AS INT), 64)) AS frame_hash
+        |FROM documents,
+        |  UNNEST(range(0, least(4, CAST(ceil(length(text) / 64.0) AS BIGINT)))) AS t(i)
+        |ORDER BY media_id, frame_idx""".stripMargin)
 }

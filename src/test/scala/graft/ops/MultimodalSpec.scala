@@ -26,6 +26,20 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.head.getSeq[Float](feats.head.fieldIndex("feature")).length == 8)
   }
 
+  test("sampleFrames explodes fixed-width windows, capped, last frame short") {
+    val docs = Seq((1L, "a" * 150), (2L, "b" * 1000), (3L, "xy")).toDF("doc_id", "text")
+    val frames = Multimodal.sampleFrames(
+      Multimodal.asMedia(docs, "doc_id", "text", "video"), frameBytes = 64, maxFrames = 4)
+      .orderBy("media_id", "frame_idx")
+      .select("media_id", "frame_idx", "frame_len")
+      .as[(Long, Long, Long)].collect().toSeq
+    // 150 bytes -> frames of 64, 64, 22; 1000 bytes -> capped at 4 frames; 2 bytes -> 1 frame
+    assert(frames == Seq(
+      (1L, 0L, 64L), (1L, 1L, 64L), (1L, 2L, 22L),
+      (2L, 0L, 64L), (2L, 1L, 64L), (2L, 2L, 64L), (2L, 3L, 64L),
+      (3L, 0L, 2L)))
+  }
+
   test("decode stub is deterministic: same payload, same feature") {
     val (f1, _, _) = MediaCodec.decodeStub("same bytes".getBytes)
     val (f2, _, _) = MediaCodec.decodeStub("same bytes".getBytes)
