@@ -1,0 +1,24 @@
+package graft.plans
+
+import graft.functions.RollingHash
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Session extensions registering the engine's native Catalyst functions —
+  * installed with `SparkSession.builder().withExtensions(new
+  * GraftExtensions)` (or `spark.sql.extensions=graft.plans.GraftExtensions`
+  * on a cluster), after which `rolling_hash` is a first-class SQL function
+  * that participates in whole-stage codegen like any built-in.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1, "rolling_hash takes exactly one argument")
+        RollingHash(children.head)
+      }))
+  }
+}

@@ -57,6 +57,16 @@ object LlmQueries {
       col("lang"))
       .orderBy("doc_id")
 
+  /** Native-Expression rolling hash (registered by GraftExtensions, used
+    * through its SQL name so the whole injectFunction path is exercised).
+    * Corpus is ASCII, so DuckDB's per-char `ord` fold replays the utf8-byte
+    * Horner loop exactly.
+    */
+  val docRollingHash: Q = (s, d) =>
+    t(s, d, "documents")
+      .select(col("doc_id"), expr("rolling_hash(text)").as("rhash"))
+      .orderBy("doc_id")
+
   val docFingerprint: Q = (s, d) =>
     t(s, d, "documents")
       .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fingerprint"))
@@ -148,6 +158,7 @@ object LlmQueries {
     "text_token_stats" -> textTokenStats,
     "text_quality" -> textQuality,
     "doc_fingerprint" -> docFingerprint,
+    "doc_rolling_hash" -> docRollingHash,
     "sim_topk_brute" -> simTopkBrute,
     "sim_lsh_buckets" -> simLshBuckets,
     "sim_lsh_topk" -> simLshTopk,
@@ -270,6 +281,12 @@ object LlmQueries {
       s"""SELECT doc_id,
          |  md5(array_to_string(list_sort(list_distinct($tokSql)), ' ')) AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_rolling_hash" ->
+      """SELECT doc_id,
+        |  CAST(list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT), [CAST(ord(c) AS BIGINT) FOR c IN string_split_regex(text, '')]),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS rhash
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "sim_topk_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0),
         |c AS (SELECT vec_id AS item_id, embedding::DOUBLE[] AS iv FROM embeddings),
