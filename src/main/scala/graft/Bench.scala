@@ -28,6 +28,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // warm the file index / parquet footers once so the alphabetically-first
+    // query doesn't absorb all of the one-time IO setup (per-query codegen
+    // is NOT warmed — each query still pays its own compilation)
+    Tables.all.foreach(n => Tables.load(spark, sfDir, n).count())
+
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
