@@ -50,6 +50,23 @@ final case class Zones(root: String) {
     ()
   }
 
+  /** Physical layout (SURVEY §1.3): the reference clusters every table on
+    * its per-table key set (`OMOPCDM_bigquery_5.4_clustering_fields.json`,
+    * applied in DDL `cluster by ...`; SQL Server uses clustered indexes).
+    * The Spark analogue: repartition on the leading cluster key so equal
+    * keys co-locate, sort within partitions on the full set so parquet
+    * row-group min/max stats make key-range scans skippable — then the
+    * atomic replace.
+    */
+  def writeClustered(df: DataFrame, clusterCols: Seq[String], zone: String, table: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val laid =
+      if (clusterCols.isEmpty) df
+      else df.repartition(col(clusterCols.head))
+        .sortWithinPartitions(clusterCols.map(col): _*)
+    AtomicWrite.replace(laid, tablePath(zone, table))
+  }
+
   /** D6: vocabulary refill — truncate+insert of the omop-zone vocabulary
     * table from its staged work-zone copy
     * (`vocabulary_table_refill.sql.jinja:3-6`,

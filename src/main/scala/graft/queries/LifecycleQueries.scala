@@ -80,18 +80,35 @@ object LifecycleQueries {
     zones.listTables(s, "work").toDF("table_name").orderBy("table_name")
   }
 
-  /** P4+A7 config-driven: the check battery comes from a config table of
-    * (check, table, category, evaluation predicate) rows — the reference's
-    * DQD check CSVs (`data_quality.py:57-109`) — each applied with
-    * Validate.evaluationFilter semantics and unioned into one result.
+  /** P4+A7 config-driven: the check battery comes from a CHECK CONFIG CSV —
+    * staged, read back through a typed schema, and collected row-by-row to
+    * drive one aggregate per check, exactly the reference's DQD shape
+    * (check CSVs loaded at `data_quality.py:57-109`, per-row render+run
+    * `:219-237`, per-check thresholds `:322-347`). The config is bounded
+    * metadata; the data-side work is one unioned plan of 8 aggregates.
     */
   val dqdConfigDriven: Q = (s, d) => {
-    val config = Seq(
-      ("completeness_priority", "orders", "Completeness", "o_orderpriority IS NULL"),
-      ("conformance_status", "orders", "Conformance", "o_orderstatus NOT IN ('O', 'F', 'P')"),
-      ("plausible_price_pos", "orders", "Plausibility", "o_totalprice <= 0"),
-      ("plausible_qty_range", "lineitem", "Plausibility", "l_quantity < 0 OR l_quantity > 50"))
-    config.map { case (name, table, category, predicate) =>
+    import java.nio.file.{Files, Paths}
+    val configCsv = Seq(
+      "check_name,cdm_table,category,evaluation_filter,threshold",
+      "completeness_priority,orders,Completeness,o_orderpriority IS NULL,0.05",
+      "completeness_props,events,Completeness,props IS NULL,0.05",
+      "conformance_linestatus,lineitem,Conformance,l_linestatus NOT IN ('O'; 'F'),0.0",
+      "conformance_status,orders,Conformance,o_orderstatus NOT IN ('O'; 'F'; 'P'),0.0",
+      "plausible_acctbal_range,customer,Plausibility,c_acctbal < -1000 OR c_acctbal > 10000,0.1",
+      "plausible_price_pos,orders,Plausibility,o_totalprice <= 0,0.0",
+      "plausible_qty_range,lineitem,Plausibility,l_quantity < 0 OR l_quantity > 50,0.02",
+      "plausible_value_nonneg,events,Plausibility,value < 0,0.3")
+    Files.createDirectories(Paths.get(SourceQueries.StageDir))
+    Files.write(Paths.get(s"${SourceQueries.StageDir}/dqd_checks.csv"),
+      configCsv.mkString("\n").getBytes("UTF-8"))
+    // ';' stands in for ',' inside predicates so the config stays 1-line-per-row CSV
+    val config = s.read.option("header", "true")
+      .csv(s"${SourceQueries.StageDir}/dqd_checks.csv")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3).replace(";", ","), r.getString(4).toDouble))
+    config.toSeq.map { case (name, table, category, predicate, threshold) =>
       t(s, d, table)
         .agg(
           count(when(expr(predicate), 1)).as("num_violated_rows"),
@@ -102,9 +119,11 @@ object LifecycleQueries {
           col("num_violated_rows"),
           col("num_denominator_rows"),
           round(col("num_violated_rows").cast("double") / col("num_denominator_rows"), 6)
-            .as("pct_violated"))
+            .as("pct_violated"),
+          lit(threshold).as("threshold"))
     }.reduce(_ unionByName _)
-      .withColumn("status", when(col("pct_violated") > 0.05, lit("FAIL")).otherwise(lit("PASS")))
+      .withColumn("status",
+        when(col("pct_violated") > col("threshold"), lit("FAIL")).otherwise(lit("PASS")))
       .orderBy("check_name")
   }
 
@@ -153,20 +172,33 @@ object LifecycleQueries {
       """WITH checks AS (
         |  SELECT 'completeness_priority' AS check_name, 'Completeness' AS category,
         |    count(*) FILTER (WHERE o_orderpriority IS NULL) AS num_violated_rows,
-        |    count(*) AS num_denominator_rows FROM orders
+        |    count(*) AS num_denominator_rows, 0.05 AS threshold FROM orders
+        |  UNION ALL
+        |  SELECT 'completeness_props', 'Completeness',
+        |    count(*) FILTER (WHERE props IS NULL), count(*), 0.05 FROM events
+        |  UNION ALL
+        |  SELECT 'conformance_linestatus', 'Conformance',
+        |    count(*) FILTER (WHERE l_linestatus NOT IN ('O', 'F')), count(*), 0.0 FROM lineitem
         |  UNION ALL
         |  SELECT 'conformance_status', 'Conformance',
-        |    count(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P')), count(*) FROM orders
+        |    count(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P')), count(*), 0.0 FROM orders
+        |  UNION ALL
+        |  SELECT 'plausible_acctbal_range', 'Plausibility',
+        |    count(*) FILTER (WHERE c_acctbal < -1000 OR c_acctbal > 10000), count(*), 0.1 FROM customer
         |  UNION ALL
         |  SELECT 'plausible_price_pos', 'Plausibility',
-        |    count(*) FILTER (WHERE o_totalprice <= 0), count(*) FROM orders
+        |    count(*) FILTER (WHERE o_totalprice <= 0), count(*), 0.0 FROM orders
         |  UNION ALL
         |  SELECT 'plausible_qty_range', 'Plausibility',
-        |    count(*) FILTER (WHERE l_quantity < 0 OR l_quantity > 50), count(*) FROM lineitem
+        |    count(*) FILTER (WHERE l_quantity < 0 OR l_quantity > 50), count(*), 0.02 FROM lineitem
+        |  UNION ALL
+        |  SELECT 'plausible_value_nonneg', 'Plausibility',
+        |    count(*) FILTER (WHERE value < 0), count(*), 0.3 FROM events
         |)
         |SELECT check_name, category, num_violated_rows, num_denominator_rows,
         |  round(CAST(num_violated_rows AS DOUBLE) / num_denominator_rows, 6) AS pct_violated,
-        |  CASE WHEN round(CAST(num_violated_rows AS DOUBLE) / num_denominator_rows, 6) > 0.05
+        |  CAST(threshold AS DOUBLE) AS threshold,
+        |  CASE WHEN round(CAST(num_violated_rows AS DOUBLE) / num_denominator_rows, 6) > threshold
         |    THEN 'FAIL' ELSE 'PASS' END AS status
         |FROM checks ORDER BY check_name""".stripMargin)
 }

@@ -41,6 +41,25 @@ class AtomicWriteSpec extends SparkSpec {
     assert(!AtomicWrite.recover(spark, path))
   }
 
+  test("writeClustered co-locates and sorts rows by the model's cluster keys") {
+    val z = Zones(freshDir())
+    val df = Seq((3L, 30L), (1L, 10L), (2L, 20L), (1L, 5L)).toDF("gender_concept_id", "person_id")
+    val cluster = graft.model.Cdm54.model.clustering("person")
+      .filter(df.columns.contains) // the fixture carries a 2-column subset
+    z.writeClustered(df, cluster, "omop", "person")
+    // within every partition file, rows are sorted by the cluster keys
+    import org.apache.spark.sql.functions._
+    val perFile = z.read(spark, "omop", "person")
+      .withColumn("f", input_file_name())
+      .collect()
+      .groupBy(_.getAs[String]("f"))
+    perFile.values.foreach { rows =>
+      val keys = rows.map(r => (r.getAs[Long]("gender_concept_id"), r.getAs[Long]("person_id"))).toSeq
+      assert(keys == keys.sorted)
+    }
+    assert(perFile.values.map(_.length).sum == 4)
+  }
+
   test("zones namespace tables, list the work zone, and refill omop from work") {
     val z = Zones(freshDir())
     z.write(Seq(1).toDF("v"), "work", "vocabulary")
