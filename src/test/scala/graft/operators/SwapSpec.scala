@@ -68,6 +68,32 @@ class SwapSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: denseIds equals sorted-zipWithIndex for any unique key set") {
+    val prop = Prop.forAll(Gen.nonEmptyListOf(Gen.chooseNum(-100000L, 100000L))) {
+      keys: List[Long] =>
+        val uniq = keys.distinct
+        val out = Swap.denseIds(uniq.toDF("x"), Seq("x"), offset = 7L)
+          .as[(Long, Long)].collect().toMap
+        val expected = uniq.sorted.zipWithIndex.map { case (k, i) => k -> (i + 8L) }.toMap
+        out == expected
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: rankIds equals the reference RANK-over-raw-rows fold") {
+    val codeGen = Gen.nonEmptyListOf(Gen.oneOf("a", "bb", "c", "dd", "e", "f", "zz"))
+    val prop = Prop.forAll(codeGen) { codes: List[String] =>
+      val out = Swap.rankIds(codes.toDF("code"), "code", base = 100L)
+        .as[(String, Long)].collect().toMap
+      val expected = codes.distinct
+        .map(c => c -> (100L + 1L + codes.count(_ < c))).toMap
+      out == expected
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("rankIds (W2): equal codes share an id; id = rank over raw rows + base") {
     // raw rows: a,a,b,d,d,d,e -> rank(a)=1, rank(b)=3, rank(d)=4, rank(e)=7
     val df = Seq("d", "a", "b", "d", "a", "e", "d").toDF("code")
