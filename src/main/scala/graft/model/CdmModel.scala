@@ -83,6 +83,21 @@ final case class CdmModel(
   def events(table: String): Map[String, String] =
     eventFields.getOrElse(table, Map.empty)
 
+  /** The merge-dedup / duplicate-check natural key (W3/A2): the PK, except
+    * for the four PK-less tables the reference special-cases
+    * (`{omop_table}_merge.sql.jinja:117-128`,
+    * `{omop_work_table}_merge_check_for_duplicate_rows.sql.jinja:17-30`).
+    * Concept and event columns are appended by the caller, as in the
+    * templates.
+    */
+  def naturalKey(table: String): Seq[String] = table match {
+    case "fact_relationship" => Seq("fact_id_1", "fact_id_2")
+    case "death"             => Seq("person_id")
+    case "cdm_source"        => Seq("cdm_source_name")
+    case "episode_event"     => Seq("episode_id")
+    case t                   => pk(t).toSeq
+  }
+
   private def sparkType(dt: String): DataType = dt match {
     case "int64"    => LongType
     case "float64"  => DoubleType

@@ -74,6 +74,15 @@ class CdmModelSpec extends AnyFunSuite {
       Seq("gender_concept_id", "location_id", "race_concept_id", "person_id"))
   }
 
+  test("natural keys: the four template special cases, else the PK") {
+    assert(m.naturalKey("fact_relationship") == Seq("fact_id_1", "fact_id_2"))
+    assert(m.naturalKey("death") == Seq("person_id"))
+    assert(m.naturalKey("cdm_source") == Seq("cdm_source_name"))
+    assert(m.naturalKey("episode_event") == Seq("episode_id"))
+    assert(m.naturalKey("person") == Seq("person_id"))
+    assert(m.naturalKey("visit_detail") == Seq("visit_detail_id"))
+  }
+
   test("required columns and fk domains") {
     assert(m.requiredColumns("observation_period") ==
       Seq("observation_period_id", "person_id", "observation_period_start_date",
