@@ -89,6 +89,23 @@ object Validate {
       .drop("__concept_id")
   }
 
+  /** J7 (warn variant): usagi mappings that point at NON-STANDARD concepts
+    * — inner join to the concept dimension, flag `standard_concept <> 'S'`
+    * (`{omop_table}__{concept_id_column}_usagi_non_standard.sql.jinja:3-13`;
+    * warned, not raised, at `bigquery/etl.py:583-604`).
+    */
+  def nonStandardMappings(
+      usagi: DataFrame,
+      concept: DataFrame,
+      conceptIdCol: String,
+      standardCol: String): DataFrame = {
+    val c = concept.withColumnRenamed("concept_id", "__concept_id")
+    usagi
+      .join(broadcast(c), usagi(conceptIdCol) === c("__concept_id"))
+      .filter(c(standardCol).isNull || c(standardCol) =!= "S")
+      .drop("__concept_id")
+  }
+
   /** P4: DQD evaluation filter — the check CSVs carry SQL predicates that
     * select the applicable check rows (`data_quality.py:219-224`); Spark SQL
     * parses them natively.

@@ -159,6 +159,22 @@ object CoreQueries {
       .limit(Validate.ViolationCap)
   }
 
+  /** J7 warn variant + O2: mappings resolving to non-standard concepts. */
+  val usagiNonstandard: Q = (s, d) => {
+    val concept = t(s, d, "nation").select(
+      col("n_nationkey").as("concept_id"),
+      // nations in regions 0-1 act as the "standard" concepts
+      when(col("n_regionkey") < 2, lit("S")).otherwise(lit(null).cast("string"))
+        .as("standard_concept"))
+    Validate.nonStandardMappings(
+      t(s, d, "customer").select(
+        col("c_custkey").as("row_id"), col("c_nationkey").as("concept_id")),
+      concept, "concept_id", "standard_concept")
+      .select(col("row_id"), col("concept_id"))
+      .orderBy("row_id")
+      .limit(Validate.ViolationCap)
+  }
+
   // -- MERGE-emulation family ----------------------------------------------
 
   /** J9: MERGE-DELETE as left-anti. */
@@ -231,6 +247,7 @@ object CoreQueries {
     "s2cm_dup_check" -> s2cmDupCheck,
     "custom_concept_validate" -> customConceptValidate,
     "usagi_domain_check" -> usagiDomainCheck,
+    "usagi_nonstandard" -> usagiNonstandard,
     "merge_delete_anti" -> mergeDeleteAnti,
     "update_from_join" -> updateFromJoin,
     "max_scalar_crossjoin" -> maxScalarCrossjoin,
@@ -330,6 +347,14 @@ object CoreQueries {
         |FROM (SELECT c_custkey AS row_id, c_nationkey AS concept_id FROM customer) u
         |JOIN (SELECT n_nationkey AS ck, n_name AS domain_id FROM nation) c ON u.concept_id = c.ck
         |WHERE lower(c.domain_id) NOT IN (SELECT lower(n_name) FROM nation WHERE n_regionkey < 2)
+        |ORDER BY row_id LIMIT 100""".stripMargin,
+    "usagi_nonstandard" ->
+      """SELECT u.row_id, u.concept_id
+        |FROM (SELECT c_custkey AS row_id, c_nationkey AS concept_id FROM customer) u
+        |JOIN (SELECT n_nationkey AS ck,
+        |        CASE WHEN n_regionkey < 2 THEN 'S' ELSE NULL END AS standard_concept
+        |      FROM nation) c ON u.concept_id = c.ck
+        |WHERE c.standard_concept IS NULL OR c.standard_concept <> 'S'
         |ORDER BY row_id LIMIT 100""".stripMargin,
     "merge_delete_anti" ->
       """WITH t AS (SELECT DISTINCT o_orderpriority AS source_code, o_orderstatus AS target_concept FROM orders)

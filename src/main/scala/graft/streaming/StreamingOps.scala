@@ -29,6 +29,28 @@ object StreamingOps {
       .count()
       .select(col("w.start").as("window_start"), col(typeCol), col("count").as("n_events"))
 
+  /** Event-time sessionization on a stream: Spark's native `session_window`
+    * merges events within `gap` of each other per user — the streaming
+    * counterpart of the batch running-sum sessionizer (EventQueries
+    * .eventSessionize), with state bounded by the watermark. Declarative
+    * (no custom `mapGroupsWithState`) because the built-in operator already
+    * expresses the semantics.
+    */
+  def sessionCounts(
+      events: DataFrame,
+      tsCol: String,
+      userCol: String,
+      gap: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap).as("s"), col(userCol))
+      .count()
+      .select(
+        col("s.start").as("session_start"),
+        col(userCol),
+        col("count").as("n_events"))
+
   /** Streaming exact dedup: first occurrence of each key wins; state for a
     * key is dropped once the watermark passes it, so memory is bounded —
     * the streaming analogue of the A6/J4 append-only semantics.

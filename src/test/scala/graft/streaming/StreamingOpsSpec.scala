@@ -26,6 +26,21 @@ class StreamingOpsSpec extends SparkSpec {
     assert(out == Seq(("click", 2L), ("view", 1L), ("click", 1L)))
   }
 
+  test("sessionCounts merges events within the gap into one session per user") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val sessions = StreamingOps.sessionCounts(
+      input.toDF().toDF("ts", "user_id"), "ts", "user_id", gap = "30 minutes")
+    val q = sessions.writeStream
+      .format("memory").queryName("sess").outputMode("complete").start()
+    // user 1: 10:01 + 10:02 merge; 10:50 starts a fresh session. user 2: one.
+    input.addData((ts(1), 1L), (ts(2), 1L), (ts(50), 1L), (ts(5), 2L))
+    q.processAllAvailable(); q.stop()
+    val out = spark.sql("SELECT user_id, n_events FROM sess ORDER BY session_start, user_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L), (2L, 1L), (1L, 1L)))
+  }
+
   test("streamingDedup keeps one row per key across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long)]
