@@ -93,6 +93,23 @@ object MergeOps {
   def unionPreserve(merged: DataFrame, existing: DataFrame, preserveFilter: Column): DataFrame =
     merged.unionByName(existing.filter(preserveFilter))
 
+  /** W3 under key skew: a hot natural key (think a default/unknown source
+    * id mapped by millions of rows) funnels its whole window partition into
+    * one task. Keep-first is an associative row-minimum under the
+    * deterministic all-columns ordering, so it decomposes: phase 1 keeps
+    * first per `(key, salt)` — spreading a hot key across `salts` tasks —
+    * phase 2 keeps first among the <= `salts` survivors per key.
+    * Bit-identical to [[dedupKeepFirst]] (property-tested), at the cost of
+    * a second (tiny) shuffle; reach for it when AQE's skew handling isn't
+    * enough because the skew is in a window, not a join.
+    */
+  def dedupKeepFirstSalted(df: DataFrame, keyCols: Seq[String], salts: Int = 16): DataFrame = {
+    // salt from the full row hash: rows of one hot key scatter uniformly
+    val salted = df.withColumn("__salt", pmod(hash(df.columns.map(col): _*), lit(salts)))
+    val phase1 = dedupKeepFirst(salted, keyCols :+ "__salt").drop("__salt")
+    dedupKeepFirst(phase1, keyCols)
+  }
+
   /** Custom-concept id floor (P6): ids >= 2e9 are RiaB-generated
     * (`/root/reference/src/riab/etl/etl_base.py:20-22`).
     */

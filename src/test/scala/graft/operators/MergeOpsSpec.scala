@@ -55,6 +55,26 @@ class MergeOpsSpec extends SparkSpec {
     assert(out.filter($"pk" === 1L).select($"s").as[String].head() == "a")
   }
 
+  test("property: dedupKeepFirstSalted is bit-identical to dedupKeepFirst under skew") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // heavily skewed: most rows share one hot key
+    val rowGen = for {
+      pk <- Gen.frequency(8 -> Gen.const(42L), 2 -> Gen.chooseNum(1L, 5L))
+      s <- Gen.oneOf("a", "b", "c", "d")
+      v <- Gen.chooseNum(0, 1000)
+    } yield (pk, s, v)
+    val prop = Prop.forAll(Gen.nonEmptyListOf(rowGen)) { rows: List[(Long, String, Int)] =>
+      val df = rows.toDF("pk", "s", "v")
+      val plain = MergeOps.dedupKeepFirst(df, Seq("pk"))
+        .as[(Long, String, Int)].collect().sortBy(r => (r._1, r._2, r._3)).toSeq
+      val salted = MergeOps.dedupKeepFirstSalted(df, Seq("pk"), salts = 4)
+        .as[(Long, String, Int)].collect().sortBy(r => (r._1, r._2, r._3)).toSeq
+      plain == salted
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("sourceValueAgg (W5) aggregates sorted source values capped at 255 chars") {
     val df = Seq((1L, "bb"), (1L, "aa"), (2L, "x" * 300)).toDF("pk", "src")
     val out = MergeOps.sourceValueAgg(df, Seq("pk"), "src", "source_value")
