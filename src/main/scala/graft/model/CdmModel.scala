@@ -244,6 +244,42 @@ object Cdm54 {
         val c = line.split(",", -1)
         c(0) -> c(1).split(";").toSeq
       }.toMap)
+
+  /** D2: the RiaB-auxiliary tables that are not part of the CDM proper —
+    * the source-id lineage map (`SOURCE_ID_TO_OMOP_ID_MAP_ddl.sql.jinja:3-13`,
+    * clustered on (omop_table, omop_id)) and the core DQD results columns
+    * (`DataQualityDashboard_ddl.sql.jinja:1-56`) — modeled with the same
+    * CdmModel machinery so their DDL and layout come from metadata too.
+    */
+  val aux: CdmModel = {
+    def f(t: String, n: String, dt: String, req: Boolean = false) =
+      CdmField(t, n, dt, req, isPk = false, None, "AUX")
+    CdmModel(
+      fields = Seq(
+        f("source_id_to_omop_id_map", "omop_table", "string", req = true),
+        f("source_id_to_omop_id_map", "omop_id", "int64", req = true),
+        f("source_id_to_omop_id_map", "source", "string"),
+        f("source_id_to_omop_id_map", "source_id", "string", req = true),
+        f("source_id_to_omop_id_map", "valid_start_date", "date", req = true),
+        f("source_id_to_omop_id_map", "valid_end_date", "date", req = true),
+        f("source_id_to_omop_id_map", "invalid_reason", "string"),
+        f("dqd_results", "check_id", "string", req = true),
+        f("dqd_results", "check_name", "string", req = true),
+        f("dqd_results", "check_level", "string"),
+        f("dqd_results", "category", "string"),
+        f("dqd_results", "cdm_table_name", "string"),
+        f("dqd_results", "cdm_field_name", "string"),
+        f("dqd_results", "num_violated_rows", "int64"),
+        f("dqd_results", "num_denominator_rows", "int64"),
+        f("dqd_results", "pct_violated_rows", "float64"),
+        f("dqd_results", "threshold_value", "float64"),
+        f("dqd_results", "failed", "int64"),
+        f("dqd_results", "execution_time", "string"),
+        f("dqd_results", "query_text", "string"),
+        f("dqd_results", "run_timestamp", "datetime")),
+      clustering = Map(
+        "source_id_to_omop_id_map" -> Seq("omop_table", "omop_id")))
+  }
 }
 
 /** The driver-generated test tables described with the same metadata model,

@@ -78,6 +78,28 @@ object Swap {
     swap.select((keyCols :+ idCol).map(col): _*).unionByName(numbered)
   }
 
+  /** Step 4 of the pk-swap composite (`etl.py:286-290`): every swap row is
+    * recorded in `source_id_to_omop_id_map`
+    * (`SOURCE_ID_TO_OMOP_ID_MAP_merge.sql.jinja:3-23`) — the durable
+    * source-key -> surrogate lineage users query to trace ids back.
+    * `now` is injected (the template uses CURRENT_DATE) for reproducible
+    * re-runs. Merge the result with [[Upsert.merge]] on
+    * `(omop_table, omop_id)`.
+    */
+  def toSourceIdMap(
+      swap: DataFrame,
+      omopTable: String,
+      source: String,
+      validStart: java.sql.Date): DataFrame =
+    swap.select(
+      lit(omopTable).as("omop_table"),
+      col("y").as("omop_id"),
+      lit(source).as("source"),
+      col("x").cast("string").as("source_id"),
+      lit(validStart).as("valid_start_date"),
+      lit(java.sql.Date.valueOf("2099-12-31")).as("valid_end_date"),
+      lit(null).cast("string").as("invalid_reason")).distinct()
+
   /** W2: custom-concept id assignment — `RANK() OVER (ORDER BY concept_code)
     * + 2e9` (`CONCEPT_ID_swap_merge.sql.jinja:9`): equal codes share an id,
     * and the id encodes the code's rank over the *raw* (non-distinct) input.

@@ -221,6 +221,28 @@ object CoreQueries {
     Upsert.merge(target, source, Seq("k")).orderBy("k")
   }
 
+  /** Step 4 of the pk-swap composite: record every swap row in the durable
+    * source_id_to_omop_id_map (J8 merge keyed on (omop_table, omop_id));
+    * stale entries for re-swapped ids are overwritten, other tables' rows
+    * survive untouched.
+    */
+  val sourceIdMapMerge: Q = (s, d) => {
+    import s.implicits._
+    val swap = Swap.denseIds(
+      t(s, d, "orders").select(col("o_custkey").as("x")).distinct(), Seq("x"), 0L)
+    val mapRows = Swap.toSourceIdMap(
+      swap, "customer", "orders_upload", java.sql.Date.valueOf("2026-01-01"))
+    val existing = Seq(
+      ("customer", 1L, "stale", "stale-1",
+        java.sql.Date.valueOf("2020-01-01"), java.sql.Date.valueOf("2099-12-31"), Some("D")),
+      ("provider", 999L, "other", "prov-999",
+        java.sql.Date.valueOf("2020-01-01"), java.sql.Date.valueOf("2099-12-31"), None: Option[String]))
+      .toDF("omop_table", "omop_id", "source", "source_id",
+        "valid_start_date", "valid_end_date", "invalid_reason")
+    Upsert.merge(existing, mapRows, Seq("omop_table", "omop_id"))
+      .orderBy("omop_table", "omop_id")
+  }
+
   /** S9+S10+A6 (§2.12-1): arbitrary user SELECT over registered raw views,
     * DISTINCT'ed into an upload table.
     */
@@ -252,6 +274,7 @@ object CoreQueries {
     "update_from_join" -> updateFromJoin,
     "max_scalar_crossjoin" -> maxScalarCrossjoin,
     "merge_upsert" -> mergeUpsert,
+    "source_id_map_merge" -> sourceIdMapMerge,
     "etl_user_query" -> etlUserQuery)
 
   val oracles: Seq[(String, String)] = Seq(
@@ -387,6 +410,34 @@ object CoreQueries {
         |  CASE WHEN s.k IS NOT NULL THEN s.src ELSE t.src END AS src
         |FROM target t FULL OUTER JOIN source s ON t.k = s.k
         |ORDER BY k""".stripMargin,
+    "source_id_map_merge" ->
+      """WITH swap AS (
+        |  SELECT x, CAST(row_number() OVER (ORDER BY x) AS BIGINT) AS y
+        |  FROM (SELECT DISTINCT o_custkey AS x FROM orders)
+        |), map_rows AS (
+        |  SELECT DISTINCT 'customer' AS omop_table, y AS omop_id,
+        |    'orders_upload' AS source, CAST(x AS VARCHAR) AS source_id,
+        |    DATE '2026-01-01' AS valid_start_date, DATE '2099-12-31' AS valid_end_date,
+        |    CAST(NULL AS VARCHAR) AS invalid_reason
+        |  FROM swap
+        |), existing AS (
+        |  SELECT 'customer' AS omop_table, CAST(1 AS BIGINT) AS omop_id, 'stale' AS source,
+        |    'stale-1' AS source_id, DATE '2020-01-01' AS valid_start_date,
+        |    DATE '2099-12-31' AS valid_end_date, 'D' AS invalid_reason
+        |  UNION ALL
+        |  SELECT 'provider', 999, 'other', 'prov-999', DATE '2020-01-01',
+        |    DATE '2099-12-31', NULL
+        |)
+        |SELECT COALESCE(t.omop_table, s.omop_table) AS omop_table,
+        |  COALESCE(t.omop_id, s.omop_id) AS omop_id,
+        |  CASE WHEN s.omop_id IS NOT NULL THEN s.source ELSE t.source END AS source,
+        |  CASE WHEN s.omop_id IS NOT NULL THEN s.source_id ELSE t.source_id END AS source_id,
+        |  CASE WHEN s.omop_id IS NOT NULL THEN s.valid_start_date ELSE t.valid_start_date END AS valid_start_date,
+        |  CASE WHEN s.omop_id IS NOT NULL THEN s.valid_end_date ELSE t.valid_end_date END AS valid_end_date,
+        |  CASE WHEN s.omop_id IS NOT NULL THEN s.invalid_reason ELSE t.invalid_reason END AS invalid_reason
+        |FROM existing t FULL OUTER JOIN map_rows s
+        |  ON t.omop_table = s.omop_table AND t.omop_id = s.omop_id
+        |ORDER BY omop_table, omop_id""".stripMargin,
     "etl_user_query" ->
       """SELECT DISTINCT c_mktsegment AS segment, n_name AS nation
         |FROM customer JOIN nation ON c_nationkey = n_nationkey

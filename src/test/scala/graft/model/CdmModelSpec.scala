@@ -90,6 +90,16 @@ class CdmModelSpec extends AnyFunSuite {
     assert(m.fkDomains("person")("gender_concept_id") == Seq("gender"))
   }
 
+  test("aux model (D2): lineage map + DQD results DDL from metadata") {
+    val aux = Cdm54.aux
+    assert(aux.tables == Seq("source_id_to_omop_id_map", "dqd_results"))
+    val mapSchema = aux.sparkSchema("source_id_to_omop_id_map")
+    assert(mapSchema.size == 7)
+    assert(mapSchema("omop_id") == StructField("omop_id", LongType, nullable = false))
+    assert(aux.clustering("source_id_to_omop_id_map") == Seq("omop_table", "omop_id"))
+    assert(aux.sparkSchema("dqd_results")("pct_violated_rows").dataType == DoubleType)
+  }
+
   test("tpch test model resolves into the expected levels") {
     val t = TpchModel.model
     assert(t.dependencyLevels(t.tables) == Seq(
