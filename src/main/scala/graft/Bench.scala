@@ -44,6 +44,12 @@ object Bench {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
+      // Per-query JVM-state isolation (round-3 verdict: leaked cache blocks
+      // and accumulated garbage taxed later queries 2-16x). Cache clearing
+      // and the GC pause run OUTSIDE the timed window.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      System.gc()
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {

@@ -32,9 +32,6 @@ object DedupOps {
     * shingle set; signature_j = min over shingles. Derived entirely from
     * [[TextOps.hash32]] so an external SQL engine reproduces it bit-for-bit
     * (fixed seeds => deterministic, per the oracle contract).
-    *
-    * Plan shape: explode(shingles) -> one groupBy(doc, j) min — a single
-    * shuffle keyed by (doc, band fn); no state on the driver.
     */
   val MinhashPrime = 4294967311L // smallest prime > 2^32
 
@@ -55,17 +52,21 @@ object DedupOps {
   }
 
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String, k: Int = 16, w: Int = 3): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val coeffs = minhashCoeffs(k).toDF("j", "a", "b")
-    // inner explode: shingle-less docs (fewer than w tokens) produce no
-    // signature — they cannot be near-dup candidates by construction
+    // All k minhashes are computed MAP-SIDE per document in one projection:
+    // hash the shingle array once, then `array_min` over each affine
+    // permutation of it. The coefficients are plan-time constants, so the
+    // whole signature is a single codegen'd expression tree — no explode of
+    // shingles x k through a shuffle (round-3's formulation shuffled
+    // |shingles| x k rows per doc; this emits k rows per doc and shuffles
+    // nothing at all). Shingle-less docs (fewer than w tokens) produce no
+    // signature — they cannot be near-dup candidates by construction.
+    val sigCols = minhashCoeffs(k).map { case (_, a, b) =>
+      array_min(transform(col("__h"), h => (lit(a) * h + lit(b)) % lit(MinhashPrime)))
+    }
     spread(docs)
-      .select(col(idCol), explode(TextOps.shingles(col(textCol), w)).as("shingle"))
-      .withColumn("h", TextOps.hash32(col("shingle")))
-      .crossJoin(broadcast(coeffs))
-      .groupBy(col(idCol), col("j"))
-      .agg(min((col("a") * col("h") + col("b")) % lit(MinhashPrime)).as("minhash"))
+      .select(col(idCol), transform(TextOps.shingles(col(textCol), w), s => TextOps.hash32(s)).as("__h"))
+      .filter(size(col("__h")) > 0)
+      .select(col(idCol), posexplode(array(sigCols: _*)).as(Seq("j", "minhash")))
   }
 
   /** LSH banding: group the k signature rows into bands of `rows` hashes,
@@ -101,18 +102,20 @@ object DedupOps {
     * shuffle keyed by doc, map-side combinable.
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 32): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val bitsDf = (0 until bits).map(b => Tuple1(b)).toDF("bit")
+    // Map-side like [[minhashSignatures]]: hash the distinct-token array
+    // once, then fold each bit's +-1 votes with `aggregate` — the entire
+    // 32-bit signature is one codegen'd projection with NO shuffle (the
+    // round-3 formulation shuffled |tokens| x 32 rows per doc).
+    val sig = (0 until bits).map { b =>
+      val votes = aggregate(col("__h"), lit(0),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(votes > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
     spread(docs)
-      .select(col(idCol), explode(array_distinct(TextOps.tokens(col(textCol)))).as("tok"))
-      .withColumn("h", TextOps.hash32(col("tok")))
-      .crossJoin(broadcast(bitsDf))
-      .withColumn("vote", when(expr("shiftright(h, bit)").bitwiseAND(1) === 1, 1).otherwise(-1))
-      .groupBy(col(idCol), col("bit"))
-      .agg(sum(col("vote")).as("s"))
-      .groupBy(col(idCol))
-      .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0L)).as("simhash"))
+      .select(
+        col(idCol),
+        transform(array_distinct(TextOps.tokens(col(textCol))), t => TextOps.hash32(t)).as("__h"))
+      .select(col(idCol), sig.as("simhash"))
   }
 
   /** N-gram Jaccard near-dup: candidate pairs are generated by a MinHash
@@ -136,11 +139,16 @@ object DedupOps {
       threshold: Double,
       k: Int = 8,
       rows: Int = 4,
-      w: Int = 3): DataFrame = {
+      w: Int = 3,
+      signatures: Option[DataFrame] = None): DataFrame = {
     val sets = docs.select(
       col(idCol),
       array_sort(array_distinct(TextOps.tokens(col(textCol)))).as("toks"))
-    val bands = lshBands(minhashSignatures(docs, idCol, textCol, k, w), idCol, rows)
+    // a caller that already holds (id, j, minhash) signatures — e.g. from a
+    // banding pass over the same corpus — hands them in instead of paying
+    // the shingle-hash projection twice
+    val sigs = signatures.getOrElse(minhashSignatures(docs, idCol, textCol, k, w))
+    val bands = lshBands(sigs, idCol, rows)
     val candidates = bands.select(col(idCol).as("id_a"), col("band"), col("bucket"))
       .join(bands.select(col(idCol).as("id_b"), col("band"), col("bucket")), Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))

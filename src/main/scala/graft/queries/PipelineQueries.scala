@@ -118,10 +118,23 @@ object PipelineQueries {
     // cache it so the 5-join distinct plan runs once
     val mapped = EventOps.applyEventColumns(
       work, "target_event_id", "event_field_concept_id", swaps).persist()
-    val maxPk = work.agg(coalesce(max(col("pk")), lit(0L))).head().getLong(0)
-    EventOps.rekeyCollisions(
-      mapped, "pk", Seq("event_field_concept_id", "target_event_id", "event_id"), maxPk)
-      .orderBy("event_id")
+    try {
+      val maxPk = work.agg(coalesce(max(col("pk")), lit(0L))).head().getLong(0)
+      val rekeyed = EventOps.rekeyCollisions(
+        mapped, "pk", Seq("event_field_concept_id", "target_event_id", "event_id"), maxPk)
+      // Materialize through the S11 atomic protocol (the reference's event
+      // step writes the work-zone table too) so the cached inputs can be
+      // released HERE instead of leaking into the rest of a shared-JVM run —
+      // round 3's bench showed the leaked blocks taxing every later query.
+      val zones = Zones("/root/repo/target/graft_zones")
+      val path = zones.tablePath("work", "events_apply")
+      AtomicWrite.replace(rekeyed, path)
+      AtomicWrite.readTable(s, path).orderBy("event_id")
+    } finally {
+      mapped.unpersist()
+      allSwaps.unpersist()
+      work.unpersist()
+    }
   }
 
   /** §2.12-2 end to end: custom-concept CSV -> validations (J6/A4 as
