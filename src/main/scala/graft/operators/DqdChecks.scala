@@ -1,0 +1,163 @@
+package graft.operators
+
+import graft.model.CdmModel
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Metadata-GENERATED field-level DQD battery: the check rows are not
+  * hand-written — they are derived from the model's required/pk/fk/type
+  * flags, exactly how the reference instantiates its check families over
+  * the OHDSI Field_Level CSV (`/root/reference/src/riab/etl/data_quality.py:57-109`
+  * loads the CSVs, `:200-237` runs one rendered query per config row,
+  * `:322-347` applies per-row thresholds; the check SQL templates live in
+  * `libs/DataQualityDashboard/inst/sql`).
+  *
+  * Families generated per field (the reference's core four):
+  *  - `isRequired`   (Completeness): NULL rows in a required field
+  *  - `cdmDatatype`  (Conformance): int64 fields whose value does not parse
+  *     as an integer (the DQD regexp check)
+  *  - `isPrimaryKey` (Conformance): duplicate PK values
+  *  - `isForeignKey` (Conformance): non-null FK values with no parent row
+  *
+  * Scale shape: all non-join checks of one table fold into a SINGLE
+  * aggregate pass over that table (map-side combinable — one row out per
+  * table), then explode into per-check result rows; each FK edge is one
+  * left join against the parent's distinct PKs + the same one-pass
+  * aggregate. Nothing is collected on the driver; the result is one unioned
+  * plan of #tables + #fk-edges tiny frames.
+  *
+  * [[oracleSql]] renders the SAME battery as ANSI SQL from the SAME
+  * metadata, so the correctness gate checks the generation logic, not a
+  * transcribed check list.
+  */
+object DqdChecks {
+
+  private val IntRegex = "^-?[0-9]+$"
+
+  /** One generated check: aggregate expressions for violated/denominator. */
+  private final case class Check(
+      name: String,
+      category: String,
+      table: String,
+      field: String,
+      violated: Column,
+      denominator: Column) {
+    def id: String = s"field_${name}_${table}_$field"
+  }
+
+  private def perTableChecks(model: CdmModel, table: String): Seq[Check] = {
+    val all = count(lit(1))
+    val required = model.requiredColumns(table).map { f =>
+      Check("isRequired", "Completeness", table, f,
+        sum(when(col(f).isNull, 1L).otherwise(0L)), all)
+    }
+    val datatype = model.sparkSchema(table).fields.collect {
+      case sf if sf.dataType == org.apache.spark.sql.types.LongType =>
+        Check("cdmDatatype", "Conformance", table, sf.name,
+          sum(when(col(sf.name).isNotNull && !col(sf.name).cast("string").rlike(IntRegex),
+            1L).otherwise(0L)),
+          all)
+    }.toSeq
+    val pk = model.pk(table).toSeq.map { p =>
+      Check("isPrimaryKey", "Conformance", table, p,
+        count(lit(1)) - countDistinct(col(p)), all)
+    }
+    required ++ datatype ++ pk
+  }
+
+  private def resultRow(c: Check, viol: Column, denom: Column): Column =
+    struct(
+      lit(c.id).as("check_id"),
+      lit(c.name).as("check_name"),
+      lit("FIELD").as("check_level"),
+      lit(c.category).as("category"),
+      lit(c.table).as("cdm_table_name"),
+      lit(c.field).as("cdm_field_name"),
+      viol.cast("long").as("num_violated_rows"),
+      denom.cast("long").as("num_denominator_rows"))
+
+  /** The full generated battery as one DataFrame plan. */
+  def fieldLevel(model: CdmModel, load: String => DataFrame): DataFrame = {
+    val perTable = model.tables.map { tb =>
+      val checks = perTableChecks(model, tb)
+      val aggs = checks.zipWithIndex.map { case (c, i) => c.violated.as(s"__v$i") } :+
+        count(lit(1)).as("__n")
+      load(tb)
+        .agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(checks.zipWithIndex.map { case (c, i) =>
+          resultRow(c, col(s"__v$i"), col("__n"))
+        }: _*)).as("c"))
+        .select("c.*")
+    }
+    val perFk = model.tables.flatMap { tb =>
+      model.fks(tb).toSeq.sortBy(_._1).map { case (fkCol, parent) =>
+        val parentPk = model.pk(parent).getOrElse(
+          throw new IllegalStateException(s"fk target $parent has no pk"))
+        val c = Check("isForeignKey", "Conformance", tb, fkCol, lit(0L), lit(0L))
+        load(tb)
+          .filter(col(fkCol).isNotNull)
+          .join(load(parent).select(col(parentPk).as("__pk")).distinct(),
+            col(fkCol) === col("__pk"), "left")
+          .agg(
+            sum(when(col("__pk").isNull, 1L).otherwise(0L)).as("__v"),
+            count(lit(1)).as("__n"))
+          .select(resultRow(c, col("__v"), col("__n")).as("c"))
+          .select("c.*")
+      }
+    }
+    (perTable ++ perFk).reduce(_ unionByName _)
+      .select(
+        col("check_id"), col("check_name"), col("check_level"), col("category"),
+        col("cdm_table_name"), col("cdm_field_name"),
+        coalesce(col("num_violated_rows"), lit(0L)).as("num_violated_rows"),
+        col("num_denominator_rows"),
+        round(coalesce(col("num_violated_rows"), lit(0L)).cast("double") /
+          greatest(col("num_denominator_rows"), lit(1L)), 6).as("pct_violated_rows"),
+        lit(0.0).as("threshold_value"),
+        when(coalesce(col("num_violated_rows"), lit(0L)) > 0, 1L).otherwise(0L).as("failed"))
+  }
+
+  /** The same battery rendered as DuckDB SQL from the same metadata. */
+  def oracleSql(model: CdmModel): String = {
+    val perTable = model.tables.flatMap { tb =>
+      perTableChecks(model, tb).map { c =>
+        val violSql = c.name match {
+          case "isRequired" =>
+            s"count(*) FILTER (WHERE ${c.field} IS NULL)"
+          case "cdmDatatype" =>
+            s"count(*) FILTER (WHERE ${c.field} IS NOT NULL AND NOT regexp_matches(CAST(${c.field} AS VARCHAR), '$IntRegex'))"
+          case "isPrimaryKey" =>
+            s"count(*) - count(DISTINCT ${c.field})"
+        }
+        s"""SELECT '${c.id}' AS check_id, '${c.name}' AS check_name, 'FIELD' AS check_level,
+           |  '${c.category}' AS category, '${c.table}' AS cdm_table_name, '${c.field}' AS cdm_field_name,
+           |  CAST($violSql AS BIGINT) AS num_violated_rows,
+           |  CAST(count(*) AS BIGINT) AS num_denominator_rows
+           |FROM ${c.table}""".stripMargin
+      }
+    }
+    val perFk = model.tables.flatMap { tb =>
+      model.fks(tb).toSeq.sortBy(_._1).map { case (fkCol, parent) =>
+        val parentPk = model.pk(parent).get
+        s"""SELECT 'field_isForeignKey_${tb}_$fkCol' AS check_id, 'isForeignKey' AS check_name,
+           |  'FIELD' AS check_level, 'Conformance' AS category,
+           |  '$tb' AS cdm_table_name, '$fkCol' AS cdm_field_name,
+           |  CAST(count(*) FILTER (WHERE p.__pk IS NULL) AS BIGINT) AS num_violated_rows,
+           |  CAST(count(*) AS BIGINT) AS num_denominator_rows
+           |FROM $tb s LEFT JOIN (SELECT DISTINCT $parentPk AS __pk FROM $parent) p
+           |  ON s.$fkCol = p.__pk
+           |WHERE s.$fkCol IS NOT NULL""".stripMargin
+      }
+    }
+    val union = (perTable ++ perFk).mkString("\nUNION ALL\n")
+    s"""WITH checks AS (
+       |$union
+       |)
+       |SELECT check_id, check_name, check_level, category, cdm_table_name, cdm_field_name,
+       |  num_violated_rows, num_denominator_rows,
+       |  round(CAST(num_violated_rows AS DOUBLE) / greatest(num_denominator_rows, 1), 6) AS pct_violated_rows,
+       |  CAST(0.0 AS DOUBLE) AS threshold_value,
+       |  CAST(CASE WHEN num_violated_rows > 0 THEN 1 ELSE 0 END AS BIGINT) AS failed
+       |FROM checks ORDER BY check_id""".stripMargin
+  }
+}

@@ -158,6 +158,63 @@ object EventQueries {
       .orderBy("analysis_id", "stratum_1")
   }
 
+  /** A9 dist: the `achilles_results_dist` row shape — count/min/max/avg/
+    * stdev plus the full quantile set (p10/p25/median/p75/p90) per stratum,
+    * merged with UNION ALL like the reference's dist scratch-table merge
+    * (`achilles.py:507-561`; row shape from
+    * `merge_achilles_tables.sql` fieldNames for detail_type 'dist').
+    *
+    * Every quantile is EXACT with `quantile_cont` interpolation semantics,
+    * computed from ONE rank window per analysis: the window partitions by
+    * the same stratum the aggregate groups on (single shuffle, sort-spills
+    * to disk, parallel across strata — no `percentile` heap buffering), and
+    * each quantile picks its two bracketing ranks out of the same pass.
+    * Counts <= 5 suppressed (`small_cell_count`, `achilles.py:27`).
+    */
+  val achillesDist: Q = (s, d) => {
+    val quantiles = Seq("p10" -> 0.1, "p25" -> 0.25, "median" -> 0.5, "p75" -> 0.75, "p90" -> 0.9)
+    def dist(df: DataFrame, id: Long, stratum: org.apache.spark.sql.Column, value: org.apache.spark.sql.Column) = {
+      val w = Window.partitionBy(col("__s")).orderBy(col("__v"))
+      val wAll = Window.partitionBy(col("__s"))
+      val base = df.select(stratum.cast("string").as("__s"), value.cast("double").as("__v"))
+        .filter(col("__v").isNotNull)
+        .withColumn("__rn", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(wAll))
+      // rank position of quantile q, 1-indexed: h = (n-1)q + 1; the value is
+      // v[floor(h)] + (h - floor(h)) * (v[floor(h)+1] - v[floor(h)])
+      val h = (name: String, q: Double) => (col("__n") - 1) * lit(q) + 1
+      val brackets = quantiles.flatMap { case (name, q) =>
+        Seq(
+          max(when(col("__rn") === floor(h(name, q)), col("__v"))).as(s"__lo_$name"),
+          max(when(col("__rn") === floor(h(name, q)) + 1, col("__v"))).as(s"__hi_$name"))
+      }
+      val aggs = Seq(
+        count(lit(1)).as("count_value"),
+        round(min(col("__v")), 4).as("min_value"),
+        round(max(col("__v")), 4).as("max_value"),
+        round(avg(col("__v")), 4).as("avg_value"),
+        round(stddev_samp(col("__v")), 4).as("stdev_value"),
+        max(col("__n")).as("__nn")) ++ brackets
+      val qCols = quantiles.map { case (name, q) =>
+        val hh = (col("__nn") - 1) * lit(q) + 1
+        val frac = hh - floor(hh)
+        val lo = col(s"__lo_$name")
+        val hi = coalesce(col(s"__hi_$name"), lo)
+        round(lo + frac * (hi - lo), 4).as(s"${name}_value")
+      }
+      base.groupBy(col("__s"))
+        .agg(aggs.head, aggs.tail: _*)
+        .filter(col("count_value") > 5)
+        .select(Seq(lit(id).as("analysis_id"), col("__s").as("stratum_1"),
+          col("count_value"), col("min_value"), col("max_value"),
+          col("avg_value"), col("stdev_value")) ++ qCols: _*)
+    }
+    dist(t(s, d, "orders"), 101L, col("o_orderstatus"), col("o_totalprice"))
+      .unionByName(dist(t(s, d, "lineitem"), 102L, col("l_returnflag"), col("l_extendedprice")))
+      .unionByName(dist(t(s, d, "events"), 103L, col("event_type"), col("value")))
+      .orderBy("analysis_id", "stratum_1")
+  }
+
   /** P4-shaped DQD check battery: each check = (violated, denominator, pct,
     * threshold status), unioned into one result table
     * (`data_quality.py:219-347` semantics).
@@ -257,6 +314,7 @@ object EventQueries {
     "topk_recent_events" -> topkRecentEvents,
     "achilles_stats" -> achillesStats,
     "achilles_battery" -> achillesBattery,
+    "achilles_dist" -> achillesDist,
     "dqd_checks" -> dqdChecks,
     "dqd_summary" -> dqdSummary,
     "event_props_extract" -> eventPropsExtract,
@@ -333,6 +391,26 @@ object EventQueries {
         |)
         |SELECT * FROM results WHERE count_value > 5
         |ORDER BY analysis_id, stratum_1""".stripMargin,
+    "achilles_dist" ->
+      """WITH d AS (
+        |  SELECT CAST(101 AS BIGINT) AS analysis_id, o_orderstatus AS stratum_1,
+        |    o_totalprice AS v FROM orders
+        |  UNION ALL
+        |  SELECT 102, l_returnflag, l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT 103, event_type, value FROM events
+        |)
+        |SELECT analysis_id, stratum_1, count(*) AS count_value,
+        |  round(min(v), 4) AS min_value, round(max(v), 4) AS max_value,
+        |  round(avg(v), 4) AS avg_value, round(stddev_samp(v), 4) AS stdev_value,
+        |  round(quantile_cont(v, 0.1), 4) AS p10_value,
+        |  round(quantile_cont(v, 0.25), 4) AS p25_value,
+        |  round(quantile_cont(v, 0.5), 4) AS median_value,
+        |  round(quantile_cont(v, 0.75), 4) AS p75_value,
+        |  round(quantile_cont(v, 0.9), 4) AS p90_value
+        |FROM d WHERE v IS NOT NULL
+        |GROUP BY 1, 2 HAVING count(*) > 5
+        |ORDER BY 1, 2""".stripMargin,
     "dqd_checks" ->
       """WITH checks AS (
         |  SELECT 'plausible_value_nonneg' AS check_name, 'Plausibility' AS category,

@@ -127,7 +127,16 @@ object LifecycleQueries {
       .orderBy("check_name")
   }
 
+  /** The metadata-GENERATED field-level battery (isRequired / cdmDatatype /
+    * isPrimaryKey / isForeignKey derived from the model, not hand-listed) —
+    * both sides of the oracle come from [[graft.operators.DqdChecks]].
+    */
+  val dqdFieldLevel: Q = (s, d) =>
+    graft.operators.DqdChecks.fieldLevel(TpchModel.model, tb => t(s, d, tb))
+      .orderBy("check_id")
+
   val defs: Seq[(String, Q)] = Seq(
+    "dqd_field_level" -> dqdFieldLevel,
     "cleanup_cascade" -> cleanupCascade,
     "cleanup_custom_concepts" -> cleanupCustomConcepts,
     "s2cm_tombstone" -> s2cmTombstone,
@@ -136,6 +145,7 @@ object LifecycleQueries {
     "dqd_config_driven" -> dqdConfigDriven)
 
   val oracles: Seq[(String, String)] = Seq(
+    "dqd_field_level" -> graft.operators.DqdChecks.oracleSql(TpchModel.model),
     "cleanup_cascade" ->
       """SELECT table_name, in_cascade, CAST(n_rows_after AS BIGINT) AS n_rows_after FROM (VALUES
         |  ('customer', true, 0),
