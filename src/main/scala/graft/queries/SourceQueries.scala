@@ -70,10 +70,82 @@ object SourceQueries {
     CsvSources.readVocabulary(s, path, "concept", Cdm54.model).orderBy("concept_id")
   }
 
+  /** S9 with template rendering: the user query arrives as a staged
+    * `.sql.jinja` FILE whose `{{project_raw}}`/`{{omop_table}}` variables
+    * are substituted before `spark.sql` — the contract real users' ETL
+    * folders rely on (`etl.py:930-940`, `bigquery/etl.py:325-345`).
+    */
+  val etlUserQueryRendered: Q = (s, d) => {
+    val path = stage("person.sql.jinja", Seq(
+      "SELECT o_orderkey AS {{omop_table}}_source_key,",
+      "  o_orderpriority AS priority",
+      "FROM {{project_raw}}_orders",
+      "WHERE o_totalprice > 150000"))
+    t(s, d, "orders").createOrReplaceTempView("myraw_orders")
+    val sql = graft.sources.SqlTemplates.fromFile(
+      Paths.get(path), omopTable = "person", projectRaw = "myraw",
+      datasetWork = "work", datasetOmop = "omop")
+    s.sql(sql).distinct().orderBy("person_source_key")
+  }
+
+  /** S4+S3+O1+D6 composed: the 9-table vocabulary import flow
+    * (`import_vocabularies.py:40-121`) — drop the uploaded work copies,
+    * unzip the Athena bundle, typed-read + pre-sort each member file, stage
+    * it in the work zone, then REFILL the omop zone table from the staged
+    * copy. The checked rows are read back from the omop zone, so the whole
+    * unzip -> read -> stage -> refill path is what the oracle certifies.
+    */
+  val vocabImportRefill: Q = (s, d) => {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val types = t(s, d, "part").select("p_type").distinct()
+      .collect().map(_.getString(0)).sorted
+    val conceptLines = Cdm54.model.columns("concept").mkString("\t") +:
+      types.zipWithIndex.map { case (ty, i) =>
+        Seq(s"${i + 1}", ty, "Observation", "GRAFT", "Clinical Finding", "S",
+          s"PT-$i", "20200115", "20991231", "").mkString("\t")
+      }.toSeq
+    val vocabLines = Cdm54.model.columns("vocabulary").mkString("\t") +:
+      Seq(
+        Seq("GRAFT", "Graft generated", "graft", "v1", "0").mkString("\t"),
+        Seq("NONE", "OMOP Standardized Vocabularies", "OMOP", "v5.0", "44819096").mkString("\t"))
+    Files.createDirectories(Paths.get(StageDir))
+    val zipPath = s"$StageDir/vocab_bundle.zip"
+    val zos = new ZipOutputStream(Files.newOutputStream(Paths.get(zipPath)))
+    try
+      Seq("CONCEPT.csv" -> conceptLines, "VOCABULARY.csv" -> vocabLines).foreach {
+        case (name, lines) =>
+          zos.putNextEntry(new ZipEntry(name))
+          zos.write(lines.mkString("\n").getBytes("UTF-8"))
+          zos.closeEntry()
+      }
+    finally zos.close()
+
+    val zones = graft.io.Zones("/root/repo/target/graft_zones_vocab")
+    val members = Seq("concept" -> "CONCEPT.csv", "vocabulary" -> "VOCABULARY.csv")
+    members.foreach { case (tb, _) => zones.drop(s, "work", tb) } // :40-58
+    val extractDir = s"$StageDir/vocab_extracted"
+    CsvSources.extractZip(zipPath, extractDir) // S4
+    members.foreach { case (tb, file) =>
+      zones.write( // stage the typed, pre-sorted read (:59-105)
+        CsvSources.readVocabulary(s, s"$extractDir/$file", tb, Cdm54.model),
+        "work", tb)
+      zones.refill(s, tb) // D6: truncate+insert the omop copy (:59-71)
+    }
+    zones.read(s, "omop", "concept")
+      .select(lit("concept").as("table_name"),
+        col("concept_id").cast("string").as("id"), col("concept_name").as("name"))
+      .unionByName(zones.read(s, "omop", "vocabulary")
+        .select(lit("vocabulary").as("table_name"),
+          col("vocabulary_id").as("id"), col("vocabulary_name").as("name")))
+      .orderBy("table_name", "id")
+  }
+
   val defs: Seq[(String, Q)] = Seq(
     "csv_usagi_read" -> csvUsagiRead,
     "csv_concepts_read" -> csvConceptsRead,
-    "csv_vocab_read" -> csvVocabRead)
+    "csv_vocab_read" -> csvVocabRead,
+    "etl_user_query_rendered" -> etlUserQueryRendered,
+    "vocab_import_refill" -> vocabImportRefill)
 
   val oracles: Seq[(String, String)] = Seq(
     "csv_usagi_read" ->
@@ -91,6 +163,23 @@ object SourceQueries {
          |  'concept_code':'VARCHAR','valid_start_date':'DATE','valid_end_date':'DATE',
          |  'invalid_reason':'VARCHAR'})
          |ORDER BY concept_id""".stripMargin,
+    "etl_user_query_rendered" ->
+      """SELECT DISTINCT o_orderkey AS person_source_key, o_orderpriority AS priority
+        |FROM orders WHERE o_totalprice > 150000
+        |ORDER BY person_source_key""".stripMargin,
+    "vocab_import_refill" ->
+      s"""SELECT 'concept' AS table_name, CAST(concept_id AS VARCHAR) AS id, concept_name AS name
+         |FROM read_csv('$StageDir/vocab_extracted/CONCEPT.csv', delim='\\t', header=true, columns={
+         |  'concept_id':'BIGINT','concept_name':'VARCHAR','domain_id':'VARCHAR',
+         |  'vocabulary_id':'VARCHAR','concept_class_id':'VARCHAR','standard_concept':'VARCHAR',
+         |  'concept_code':'VARCHAR','valid_start_date':'VARCHAR','valid_end_date':'VARCHAR',
+         |  'invalid_reason':'VARCHAR'})
+         |UNION ALL
+         |SELECT 'vocabulary', vocabulary_id, vocabulary_name
+         |FROM read_csv('$StageDir/vocab_extracted/VOCABULARY.csv', delim='\\t', header=true, columns={
+         |  'vocabulary_id':'VARCHAR','vocabulary_name':'VARCHAR','vocabulary_reference':'VARCHAR',
+         |  'vocabulary_version':'VARCHAR','vocabulary_concept_id':'BIGINT'})
+         |ORDER BY table_name, id""".stripMargin,
     "csv_vocab_read" ->
       s"""SELECT concept_id, concept_name, domain_id, vocabulary_id, concept_class_id,
          |  standard_concept, concept_code,
