@@ -20,6 +20,31 @@ import scala.concurrent.{Await, ExecutionContext, Future}
   * the concurrent jobs across executors; on a cluster, set a FAIR pool per
   * level if strict sharing is wanted.
   */
+/** The CLI restriction flags of `etl.py:109-129` / `riab.py`:
+  *  - `onlyQueries`: `--only-query` — run just the named user-query files,
+  *    grouped by their OMOP table (etl.py groups `Path.parts[0]`), each
+  *    followed by that table's event-FK step;
+  *  - `onlyTables`: `--table` — process just these tables (+ their event
+  *    step), skipping the full-DAG flow;
+  *  - `skipUsagiAndCustomConceptUpload`: `--skip-usagi-and-custom-concept-
+  *    upload` — table processing skips the usagi/concept CSV uploads;
+  *  - `skipEventFksStep`: `--skip-event-fks-step` — no event-FK rewriting.
+  * The post-ETL invalid-reason cleanup only runs on a FULL etl (neither
+  * restriction set), exactly like `etl.py:126-129`.
+  */
+final case class EtlFlags(
+    onlyTables: Option[Set[String]] = None,
+    onlyQueries: Option[Seq[String]] = None, // "table/query.sql" paths
+    skipUsagiAndCustomConceptUpload: Boolean = false,
+    skipEventFksStep: Boolean = false) {
+
+  /** `--only-query` values grouped by their leading path segment
+    * (`etl.py:111-113`).
+    */
+  def queriesByTable: Map[String, Seq[String]] =
+    onlyQueries.getOrElse(Seq.empty).groupBy(_.split("/").head)
+}
+
 final case class EtlRunner(model: CdmModel, maxParallelTables: Int = 9) {
 
   /** Run `process` for every table, level by level. Returns per-table
@@ -39,5 +64,35 @@ final case class EtlRunner(model: CdmModel, maxParallelTables: Int = 9) {
         acc ++ Await.result(Future.sequence(futures), Duration.Inf).toMap
       }
     } finally pool.shutdown()
+  }
+
+  /** The full `etl.py:109-129` control flow under [[EtlFlags]]:
+    * `--only-query` runs the named queries table by table, `--table` the
+    * named tables, otherwise the whole dependency DAG; each processed
+    * table's event step follows unless `--skip-event-fks-step`; the
+    * invalid-reason cleanup runs ONLY on a full etl.
+    */
+  def runFlow[T](
+      universe: Seq[String],
+      flags: EtlFlags = EtlFlags())(
+      processTable: (String, Seq[String]) => T,
+      eventStep: String => Unit = _ => (),
+      postEtlCleanup: () => Unit = () => ()): Map[String, T] = {
+    def withEvents(tb: String, queries: Seq[String]): (String, T) = {
+      val r = processTable(tb, queries)
+      if (!flags.skipEventFksStep) eventStep(tb)
+      tb -> r
+    }
+    if (flags.onlyQueries.isDefined)
+      flags.queriesByTable.toSeq.sortBy(_._1)
+        .map { case (tb, qs) => withEvents(tb, qs) }.toMap
+    else if (flags.onlyTables.isDefined)
+      flags.onlyTables.get.toSeq.sorted.map(tb => withEvents(tb, Seq.empty)).toMap
+    else {
+      val results = run(universe)(tb => processTable(tb, Seq.empty))
+      if (!flags.skipEventFksStep) universe.foreach(eventStep)
+      postEtlCleanup() // full etl only (`etl.py:126-129`)
+      results
+    }
   }
 }

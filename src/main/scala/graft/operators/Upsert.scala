@@ -17,14 +17,35 @@ import org.apache.spark.sql.functions._
   */
 object Upsert {
 
+  /** Small-table contract for [[merge]]: the full-outer rewrite re-shuffles
+    * the ENTIRE target on every call, which is the wrong primitive for a
+    * fact table (those use the CTAS atomic swap, never MERGE). The guard
+    * uses Catalyst's plan statistics — free, no job — to refuse targets
+    * whose estimated size says "fact table" before any work is scheduled.
+    */
+  val MaxMergeTargetBytes: Long = 8L << 30
+
   /** J8: WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED THEN INSERT.
     * Warehouse MERGE semantics: on a key match the source row's values
     * replace the target's *unconditionally* — including NULL source values
     * (a column-wise `coalesce` would instead preserve the target under a
     * NULL source, which is NOT what the reference's swap/CONCEPT merges do).
     * Target rows without a source survive untouched.
+    *
+    * Only for mapping-metadata tables (swap maps, CONCEPT, the s2cm/lineage
+    * maps) — see [[MaxMergeTargetBytes]].
     */
-  def merge(target: DataFrame, source: DataFrame, keyCols: Seq[String]): DataFrame = {
+  def merge(
+      target: DataFrame,
+      source: DataFrame,
+      keyCols: Seq[String],
+      maxTargetBytes: Long = MaxMergeTargetBytes): DataFrame = {
+    val estBytes = target.queryExecution.optimizedPlan.stats.sizeInBytes
+    require(estBytes <= maxTargetBytes,
+      s"Upsert.merge target estimated at $estBytes bytes (> $maxTargetBytes): " +
+        "this full-outer rewrite is for small mapping tables; use the atomic " +
+        "CTAS swap (AtomicWrite.replace) for fact-sized tables, or raise " +
+        "maxTargetBytes explicitly if the estimate is wrong")
     val valueCols = target.columns.filterNot(keyCols.contains).toSeq
     val t = valueCols.foldLeft(target)((d, c) => d.withColumnRenamed(c, s"__t_$c"))
     val s = valueCols.foldLeft(source)((d, c) => d.withColumnRenamed(c, s"__s_$c"))

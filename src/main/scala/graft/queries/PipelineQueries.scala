@@ -154,18 +154,27 @@ object PipelineQueries {
     require(
       Validate.duplicateKeys(concepts, Seq("concept_code")).isEmpty,
       "duplicate custom concept codes")
+    // J5's exact computed identity: the swap keys on
+    // `concat(concept_id_column, '__', concept_code)` so the same code
+    // arriving via different concept columns gets distinct swap entries
+    // (`CONCEPT_ID_swap_merge.sql.jinja:9-14`); the RANK id is still over
+    // the bare code (`:9`) — with one constant column prefix the orders
+    // coincide, so ranking the computed key preserves the template's ids.
+    val conceptIdColumn = "nation_concept_id"
+    def computedKey(df: DataFrame): DataFrame =
+      df.withColumn("__x", concat_ws("__", lit(conceptIdColumn), col("concept_code")))
     // W2+J5+A5: append-only concept-id swap over the 2e9 floor
     val existingSwap = Swap.rankIds(
-      concepts.filter(col("concept_code").isin("NAT-0", "NAT-1", "NAT-2"))
-        .select("concept_code"),
-      "concept_code", MergeOps.CustomConceptBase)
+      computedKey(concepts.filter(col("concept_code").isin("NAT-0", "NAT-1", "NAT-2")))
+        .select("__x"),
+      "__x", MergeOps.CustomConceptBase)
     val maxY = Swap.maxId(existingSwap, "concept_id", MergeOps.CustomConceptBase)
     val numbered = Swap.rankIds(
-      Swap.newKeys(existingSwap, concepts.select("concept_code"), Seq("concept_code")),
-      "concept_code", maxY)
+      Swap.newKeys(existingSwap, computedKey(concepts).select("__x"), Seq("__x")),
+      "__x", maxY)
     val swap = existingSwap.unionByName(numbered)
     // J10: stamp generated ids; J8: merge with the standard concept rows
-    val stamped = concepts.join(broadcast(swap), Seq("concept_code"))
+    val stamped = computedKey(concepts).join(broadcast(swap), Seq("__x"))
       .select(col("concept_id"), col("concept_name"), col("concept_code"))
     val target = t(s, d, "nation").select(
       col("n_nationkey").cast("long").as("concept_id"),
@@ -303,23 +312,24 @@ object PipelineQueries {
          |    'vocabulary_id':'VARCHAR','concept_class_id':'VARCHAR','standard_concept':'VARCHAR',
          |    'concept_code':'VARCHAR','valid_start_date':'DATE','valid_end_date':'DATE',
          |    'invalid_reason':'VARCHAR'})
+         |), keyed AS (
+         |  -- J5's computed identity: concat(concept_id_column, '__', code)
+         |  SELECT 'nation_concept_id__' || concept_code AS x, concept_name, concept_code
+         |  FROM concepts
          |), existing AS (
-         |  SELECT concept_code,
-         |    CAST(2000000000 + rank() OVER (ORDER BY concept_code) AS BIGINT) AS concept_id
-         |  FROM concepts WHERE concept_code IN ('NAT-0', 'NAT-1', 'NAT-2')
+         |  SELECT x, CAST(2000000000 + rank() OVER (ORDER BY x) AS BIGINT) AS concept_id
+         |  FROM keyed WHERE concept_code IN ('NAT-0', 'NAT-1', 'NAT-2')
          |), mx AS (SELECT MAX(concept_id) AS m FROM existing),
          |newc AS (
-         |  SELECT concept_code FROM concepts
-         |  WHERE concept_code NOT IN (SELECT concept_code FROM existing)
+         |  SELECT x FROM keyed WHERE x NOT IN (SELECT x FROM existing)
          |), numbered AS (
-         |  SELECT concept_code,
-         |    CAST((SELECT m FROM mx) + rank() OVER (ORDER BY concept_code) AS BIGINT) AS concept_id
+         |  SELECT x, CAST((SELECT m FROM mx) + rank() OVER (ORDER BY x) AS BIGINT) AS concept_id
          |  FROM newc
          |), swap AS (
          |  SELECT * FROM existing UNION ALL SELECT * FROM numbered
          |), stamped AS (
-         |  SELECT s.concept_id, c.concept_name, c.concept_code
-         |  FROM concepts c JOIN swap s USING (concept_code)
+         |  SELECT s.concept_id, k.concept_name, k.concept_code
+         |  FROM keyed k JOIN swap s USING (x)
          |), target AS (
          |  SELECT CAST(n_nationkey AS BIGINT) AS concept_id, n_name AS concept_name,
          |    'STD-' || n_nationkey AS concept_code

@@ -53,4 +53,39 @@ class EtlRunnerSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("--only-query runs just the named queries' tables, each with its event step") {
+    val events = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val flags = EtlFlags(onlyQueries = Some(Seq(
+      "orders/load_a.sql", "orders/load_b.sql", "nation/load.sql")))
+    val out = EtlRunner(m).runFlow(m.tables, flags)(
+      processTable = (t, qs) => qs.sorted.mkString("+"),
+      eventStep = events.add(_))
+    assert(out == Map(
+      "nation" -> "nation/load.sql",
+      "orders" -> "orders/load_a.sql+orders/load_b.sql"))
+    assert(events.toArray.toSet == Set("nation", "orders"))
+  }
+
+  test("--skip-event-fks-step suppresses the event step in every mode") {
+    val events = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    EtlRunner(m).runFlow(
+      m.tables,
+      EtlFlags(onlyTables = Some(Set("region")), skipEventFksStep = true))(
+      processTable = (t, _) => t,
+      eventStep = events.add(_))
+    assert(events.isEmpty)
+  }
+
+  test("post-etl cleanup runs only on a FULL etl (etl.py:126-129)") {
+    var cleanups = 0
+    val runner = EtlRunner(m)
+    runner.runFlow(m.tables)((t, _) => t, postEtlCleanup = () => cleanups += 1)
+    assert(cleanups == 1)
+    runner.runFlow(m.tables, EtlFlags(onlyTables = Some(Set("region"))))(
+      (t, _) => t, postEtlCleanup = () => cleanups += 1)
+    runner.runFlow(m.tables, EtlFlags(onlyQueries = Some(Seq("region/q.sql"))))(
+      (t, _) => t, postEtlCleanup = () => cleanups += 1)
+    assert(cleanups == 1)
+  }
 }

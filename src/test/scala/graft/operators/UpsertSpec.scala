@@ -46,4 +46,18 @@ class UpsertSpec extends SparkSpec {
     assert(out.count() == 3)
     assert(out.select("max_y").distinct().as[Long].head() == 42L)
   }
+
+  test("merge refuses a fact-sized target (small-table contract, via plan stats)") {
+    // spark.range carries exact Catalyst statistics — ~16 GiB here — so the
+    // guard trips before any job is scheduled
+    val fact = spark.range(2000000000L).toDF("k")
+      .withColumn("v", org.apache.spark.sql.functions.col("k"))
+    val src = Seq((1L, 10L)).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      Upsert.merge(fact, src, Seq("k"))
+    }
+    assert(e.getMessage.contains("CTAS"))
+    // raising the cap explicitly is the documented escape hatch
+    assert(Upsert.merge(fact.limit(3), src, Seq("k")).columns.sameElements(Array("k", "v")))
+  }
 }
