@@ -51,22 +51,60 @@ object DedupOps {
     docs.repartition(parts)
   }
 
-  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String, k: Int = 16, w: Int = 3): DataFrame = {
-    // All k minhashes are computed MAP-SIDE per document in one projection:
-    // hash the shingle array once, then `array_min` over each affine
-    // permutation of it. The coefficients are plan-time constants, so the
-    // whole signature is a single codegen'd expression tree — no explode of
-    // shingles x k through a shuffle (round-3's formulation shuffled
-    // |shingles| x k rows per doc; this emits k rows per doc and shuffles
-    // nothing at all). Shingle-less docs (fewer than w tokens) produce no
-    // signature — they cannot be near-dup candidates by construction.
-    val sigCols = minhashCoeffs(k).map { case (_, a, b) =>
-      array_min(transform(col("__h"), h => (lit(a) * h + lit(b)) % lit(MinhashPrime)))
+  /** Array-form signatures: (id, sig array<long>) with sig(j) = minhash_j.
+    *
+    * Shape: explode the shingles (NOT shingles x k — each shingle is hashed
+    * once) and take all k affine minima in ONE hash aggregate keyed by doc.
+    * Everything stays inside WholeStageCodegen (a higher-order-function
+    * formulation — `array_min(transform(...))` per coefficient — runs
+    * interpreted, measured ~2x slower); the single shuffle is map-side
+    * combined down to k longs per doc.
+    */
+  def minhashSignatureArray(docs: DataFrame, idCol: String, textCol: String, k: Int = 16, w: Int = 3): DataFrame = {
+    val aggs = minhashCoeffs(k).map { case (j, a, b) =>
+      min((lit(a) * col("__h") + lit(b)) % lit(MinhashPrime)).as(s"__m$j")
     }
     spread(docs)
-      .select(col(idCol), transform(TextOps.shingles(col(textCol), w), s => TextOps.hash32(s)).as("__h"))
-      .filter(size(col("__h")) > 0)
-      .select(col(idCol), posexplode(array(sigCols: _*)).as(Seq("j", "minhash")))
+      .select(col(idCol), explode(TextOps.shingles(col(textCol), w)).as("__sh"))
+      .select(col(idCol), TextOps.hash32(col("__sh")).as("__h"))
+      .groupBy(col(idCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol), array((0 until k).map(j => col(s"__m$j")): _*).as("sig"))
+  }
+
+  /** Row-form signatures (id, j, minhash) — the [[minhashSignatureArray]]
+    * projection posexploded to k rows per doc.
+    *
+    * All k minhashes are computed MAP-SIDE per document in one projection:
+    * hash the shingle array once, then `array_min` over each affine
+    * permutation of it. The coefficients are plan-time constants, so the
+    * whole signature is a single codegen'd expression tree — no explode of
+    * shingles x k through a shuffle (round-3's formulation shuffled
+    * |shingles| x k rows per doc). Shingle-less docs (fewer than w tokens)
+    * produce no signature — they cannot be near-dup candidates by
+    * construction.
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String, k: Int = 16, w: Int = 3): DataFrame =
+    minhashSignatureArray(docs, idCol, textCol, k, w)
+      .select(col(idCol), posexplode(col("sig")).as(Seq("j", "minhash")))
+
+  /** LSH banding straight off the signature ARRAY — each band's bucket key
+    * is a `slice` + `concat_ws` of the in-order array, so banding is pure
+    * projection too: the first (and only) shuffle of the whole
+    * signature->band->bucket path is whatever the CONSUMER does with the
+    * (id, band, bucket) rows. Output identical to [[lshBands]].
+    */
+  def lshBandsFromSigArray(sigs: DataFrame, idCol: String, k: Int, rows: Int): DataFrame = {
+    require(k % rows == 0, s"rows=$rows must divide k=$k")
+    val bandCols = (0 until k / rows).map { b =>
+      struct(
+        lit(b.toLong).as("band"),
+        concat_ws("-",
+          transform(slice(col("sig"), b * rows + 1, rows), _.cast("string"))).as("bucket"))
+    }
+    sigs
+      .select(col(idCol), explode(array(bandCols: _*)).as("__bb"))
+      .select(col(idCol), col("__bb.band").as("band"), col("__bb.bucket").as("bucket"))
   }
 
   /** LSH banding: group the k signature rows into bands of `rows` hashes,
@@ -146,9 +184,13 @@ object DedupOps {
       array_sort(array_distinct(TextOps.tokens(col(textCol)))).as("toks"))
     // a caller that already holds (id, j, minhash) signatures — e.g. from a
     // banding pass over the same corpus — hands them in instead of paying
-    // the shingle-hash projection twice
-    val sigs = signatures.getOrElse(minhashSignatures(docs, idCol, textCol, k, w))
-    val bands = lshBands(sigs, idCol, rows)
+    // the shingle-hash projection twice; otherwise take the all-map-side
+    // array path (signature AND banding without a single shuffle)
+    val bands = signatures match {
+      case Some(sigs) => lshBands(sigs, idCol, rows)
+      case None =>
+        lshBandsFromSigArray(minhashSignatureArray(docs, idCol, textCol, k, w), idCol, k, rows)
+    }
     val candidates = bands.select(col(idCol).as("id_a"), col("band"), col("bucket"))
       .join(bands.select(col(idCol).as("id_b"), col("band"), col("bucket")), Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))

@@ -315,6 +315,8 @@ object EventQueries {
     "achilles_stats" -> achillesStats,
     "achilles_battery" -> achillesBattery,
     "achilles_dist" -> achillesDist,
+    "achilles_generated" -> ((s, d) =>
+      graft.operators.AchillesGen.results(graft.model.TpchModel.model, tb => t(s, d, tb))),
     "dqd_checks" -> dqdChecks,
     "dqd_summary" -> dqdSummary,
     "event_props_extract" -> eventPropsExtract,
@@ -391,6 +393,8 @@ object EventQueries {
         |)
         |SELECT * FROM results WHERE count_value > 5
         |ORDER BY analysis_id, stratum_1""".stripMargin,
+    "achilles_generated" ->
+      graft.operators.AchillesGen.oracleSql(graft.model.TpchModel.model),
     "achilles_dist" ->
       """WITH d AS (
         |  SELECT CAST(101 AS BIGINT) AS analysis_id, o_orderstatus AS stratum_1,

@@ -28,9 +28,9 @@ object LlmQueries {
 
   val dedupMinhashBands: Q = (s, d) =>
     DedupOps.lshCandidateBuckets(
-      DedupOps.lshBands(
-        DedupOps.minhashSignatures(t(s, d, "documents"), "doc_id", "text", k = 16, w = 3),
-        "doc_id", rows = 4),
+      DedupOps.lshBandsFromSigArray(
+        DedupOps.minhashSignatureArray(t(s, d, "documents"), "doc_id", "text", k = 16, w = 3),
+        "doc_id", k = 16, rows = 4),
       "doc_id")
       .orderBy("band", "bucket")
 

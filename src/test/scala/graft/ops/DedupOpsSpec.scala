@@ -39,6 +39,16 @@ class DedupOpsSpec extends SparkSpec {
     assert(buckets.filter($"n_docs" >= 2).count() >= 4)
   }
 
+  test("map-side array banding is bit-identical to the row-form lshBands path") {
+    val rowForm = DedupOps.lshBands(
+      DedupOps.minhashSignatures(docs, "doc_id", "text", k = 8), "doc_id", rows = 2)
+    val arrForm = DedupOps.lshBandsFromSigArray(
+      DedupOps.minhashSignatureArray(docs, "doc_id", "text", k = 8), "doc_id", k = 8, rows = 2)
+    val a = rowForm.orderBy("doc_id", "band").as[(Long, Long, String)].collect().toSeq
+    val b = arrForm.orderBy("doc_id", "band").as[(Long, Long, String)].collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("shingle-less short docs produce no minhash signature (cannot be candidates)") {
     val short = Seq((9L, "only two")).toDF("doc_id", "text")
     assert(DedupOps.minhashSignatures(short, "doc_id", "text", k = 4, w = 3).count() == 0)
