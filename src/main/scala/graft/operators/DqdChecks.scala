@@ -34,18 +34,28 @@ object DqdChecks {
 
   private val IntRegex = "^-?[0-9]+$"
 
-  /** One generated check: aggregate expressions for violated/denominator. */
+  /** One generated check: aggregate expressions for violated/denominator.
+    * `bound` carries the plausible-value threshold for oracle rendering.
+    */
   private final case class Check(
       name: String,
       category: String,
       table: String,
       field: String,
       violated: Column,
-      denominator: Column) {
+      denominator: Column,
+      bound: Option[Double] = None) {
     def id: String = s"field_${name}_${table}_$field"
   }
 
-  private def perTableChecks(model: CdmModel, table: String): Seq[Check] = {
+  /** Per-field value bounds for the plausibleValueLow/High families — the
+    * analogue of the threshold columns DQD's Concept_Level / Field_Level
+    * CSVs carry per field (`data_quality.py:322-347` reads
+    * `{checkName}Threshold` off the config row).
+    */
+  type Bounds = Map[(String, String), (Option[Double], Option[Double])]
+
+  private def perTableChecks(model: CdmModel, table: String, bounds: Bounds): Seq[Check] = {
     val all = count(lit(1))
     val required = model.requiredColumns(table).map { f =>
       Check("isRequired", "Completeness", table, f,
@@ -62,7 +72,16 @@ object DqdChecks {
       Check("isPrimaryKey", "Conformance", table, p,
         count(lit(1)) - countDistinct(col(p)), all)
     }
-    required ++ datatype ++ pk
+    val plausible = bounds.toSeq.sortBy(_._1).collect {
+      case ((t, f), (lo, hi)) if t == table =>
+        lo.toSeq.map(b =>
+          Check("plausibleValueLow", "Plausibility", table, f,
+            sum(when(col(f) < b, 1L).otherwise(0L)), all, Some(b))) ++
+          hi.toSeq.map(b =>
+            Check("plausibleValueHigh", "Plausibility", table, f,
+              sum(when(col(f) > b, 1L).otherwise(0L)), all, Some(b)))
+    }.flatten
+    required ++ datatype ++ pk ++ plausible
   }
 
   private def resultRow(c: Check, viol: Column, denom: Column): Column =
@@ -76,10 +95,25 @@ object DqdChecks {
       viol.cast("long").as("num_violated_rows"),
       denom.cast("long").as("num_denominator_rows"))
 
-  /** The full generated battery as one DataFrame plan. */
-  def fieldLevel(model: CdmModel, load: String => DataFrame): DataFrame = {
+  /** The full generated battery as one DataFrame plan: the per-table
+    * TABLE-level `cdmTable` presence check (the DQD table-level family)
+    * plus every FIELD-level check family, all from metadata.
+    */
+  def fieldLevel(model: CdmModel, load: String => DataFrame, bounds: Bounds = Map.empty): DataFrame = {
+    val tableLevel = model.tables.map { tb =>
+      load(tb).agg(count(lit(1)).as("__n"))
+        .select(
+          lit(s"table_cdmTable_$tb").as("check_id"),
+          lit("cdmTable").as("check_name"),
+          lit("TABLE").as("check_level"),
+          lit("Conformance").as("category"),
+          lit(tb).as("cdm_table_name"),
+          lit("").as("cdm_field_name"),
+          when(col("__n") === 0, 1L).otherwise(0L).as("num_violated_rows"),
+          lit(1L).as("num_denominator_rows"))
+    }
     val perTable = model.tables.map { tb =>
-      val checks = perTableChecks(model, tb)
+      val checks = perTableChecks(model, tb, bounds)
       val aggs = checks.zipWithIndex.map { case (c, i) => c.violated.as(s"__v$i") } :+
         count(lit(1)).as("__n")
       load(tb)
@@ -105,7 +139,7 @@ object DqdChecks {
           .select("c.*")
       }
     }
-    (perTable ++ perFk).reduce(_ unionByName _)
+    (tableLevel ++ perTable ++ perFk).reduce(_ unionByName _)
       .select(
         col("check_id"), col("check_name"), col("check_level"), col("category"),
         col("cdm_table_name"), col("cdm_field_name"),
@@ -118,9 +152,16 @@ object DqdChecks {
   }
 
   /** The same battery rendered as DuckDB SQL from the same metadata. */
-  def oracleSql(model: CdmModel): String = {
+  def oracleSql(model: CdmModel, bounds: Bounds = Map.empty): String = {
+    val tableLevel = model.tables.map { tb =>
+      s"""SELECT 'table_cdmTable_$tb' AS check_id, 'cdmTable' AS check_name, 'TABLE' AS check_level,
+         |  'Conformance' AS category, '$tb' AS cdm_table_name, '' AS cdm_field_name,
+         |  CAST(CASE WHEN count(*) = 0 THEN 1 ELSE 0 END AS BIGINT) AS num_violated_rows,
+         |  CAST(1 AS BIGINT) AS num_denominator_rows
+         |FROM $tb""".stripMargin
+    }
     val perTable = model.tables.flatMap { tb =>
-      perTableChecks(model, tb).map { c =>
+      perTableChecks(model, tb, bounds).map { c =>
         val violSql = c.name match {
           case "isRequired" =>
             s"count(*) FILTER (WHERE ${c.field} IS NULL)"
@@ -128,6 +169,10 @@ object DqdChecks {
             s"count(*) FILTER (WHERE ${c.field} IS NOT NULL AND NOT regexp_matches(CAST(${c.field} AS VARCHAR), '$IntRegex'))"
           case "isPrimaryKey" =>
             s"count(*) - count(DISTINCT ${c.field})"
+          case "plausibleValueLow" =>
+            s"count(*) FILTER (WHERE ${c.field} < ${c.bound.get})"
+          case "plausibleValueHigh" =>
+            s"count(*) FILTER (WHERE ${c.field} > ${c.bound.get})"
         }
         s"""SELECT '${c.id}' AS check_id, '${c.name}' AS check_name, 'FIELD' AS check_level,
            |  '${c.category}' AS category, '${c.table}' AS cdm_table_name, '${c.field}' AS cdm_field_name,
@@ -149,7 +194,7 @@ object DqdChecks {
            |WHERE s.$fkCol IS NOT NULL""".stripMargin
       }
     }
-    val union = (perTable ++ perFk).mkString("\nUNION ALL\n")
+    val union = (tableLevel ++ perTable ++ perFk).mkString("\nUNION ALL\n")
     s"""WITH checks AS (
        |$union
        |)

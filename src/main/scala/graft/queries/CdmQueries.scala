@@ -58,10 +58,38 @@ object CdmQueries {
       .orderBy("table_name", "ordinal")
   }
 
+  /** D4: work-zone DDL-as-data — the generated WORK schema of two event
+    * tables, where polymorphic event FK columns are retyped STRING because
+    * they hold *source* keys until stage 2 rewrites them
+    * (`{omop_work}_ddl.sql.jinja:3-25`). Pinned by a literal oracle like
+    * [[cdmDdlSchemas]]; note `event_id` / `note_event_id` flip from the CDM
+    * schema's int64 to string.
+    */
+  val cdmWorkDdl: Q = (s, _) => {
+    import s.implicits._
+    val m = Cdm54.model
+    def typeName(dt: org.apache.spark.sql.types.DataType): String = dt match {
+      case org.apache.spark.sql.types.LongType      => "int64"
+      case org.apache.spark.sql.types.DoubleType    => "float64"
+      case org.apache.spark.sql.types.DateType      => "date"
+      case org.apache.spark.sql.types.TimestampType => "datetime"
+      case _                                        => "string"
+    }
+    Seq("episode_event", "note")
+      .flatMap { t =>
+        m.workSchema(t).fields.zipWithIndex.map { case (f, i) =>
+          (t, (i + 1).toLong, f.name, typeName(f.dataType), !f.nullable)
+        }
+      }
+      .toDF("table_name", "ordinal", "column_name", "data_type", "is_required")
+      .orderBy("table_name", "ordinal")
+  }
+
   val defs: Seq[(String, Q)] = Seq(
     "cdm_levels" -> cdmLevels,
     "cdm_projection" -> cdmProjection,
-    "cdm_ddl_schemas" -> cdmDdlSchemas)
+    "cdm_ddl_schemas" -> cdmDdlSchemas,
+    "cdm_work_ddl" -> cdmWorkDdl)
 
   val oracles: Seq[(String, String)] = Seq(
     "cdm_levels" ->
@@ -108,6 +136,30 @@ object CdmQueries {
         |  ('observation_period', 3, 'observation_period_start_date', 'date', true),
         |  ('observation_period', 4, 'observation_period_end_date', 'date', true),
         |  ('observation_period', 5, 'period_type_concept_id', 'int64', true)
+        |) AS t(table_name, ordinal, column_name, data_type, is_required)
+        |ORDER BY table_name, ordinal""".stripMargin,
+    "cdm_work_ddl" ->
+      """SELECT table_name, CAST(ordinal AS BIGINT) AS ordinal, column_name, data_type, is_required
+        |FROM (VALUES
+        |  ('episode_event', 1, 'episode_id', 'int64', true),
+        |  ('episode_event', 2, 'event_id', 'string', true),
+        |  ('episode_event', 3, 'episode_event_field_concept_id', 'int64', true),
+        |  ('note', 1, 'note_id', 'int64', true),
+        |  ('note', 2, 'person_id', 'int64', true),
+        |  ('note', 3, 'note_date', 'date', true),
+        |  ('note', 4, 'note_datetime', 'datetime', false),
+        |  ('note', 5, 'note_type_concept_id', 'int64', true),
+        |  ('note', 6, 'note_class_concept_id', 'int64', true),
+        |  ('note', 7, 'note_title', 'string', false),
+        |  ('note', 8, 'note_text', 'string', true),
+        |  ('note', 9, 'encoding_concept_id', 'int64', true),
+        |  ('note', 10, 'language_concept_id', 'int64', true),
+        |  ('note', 11, 'provider_id', 'int64', false),
+        |  ('note', 12, 'visit_occurrence_id', 'int64', false),
+        |  ('note', 13, 'visit_detail_id', 'int64', false),
+        |  ('note', 14, 'note_source_value', 'string', false),
+        |  ('note', 15, 'note_event_id', 'string', false),
+        |  ('note', 16, 'note_event_field_concept_id', 'int64', false)
         |) AS t(table_name, ordinal, column_name, data_type, is_required)
         |ORDER BY table_name, ordinal""".stripMargin)
 }

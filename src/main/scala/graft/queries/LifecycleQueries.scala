@@ -127,12 +127,22 @@ object LifecycleQueries {
       .orderBy("check_name")
   }
 
-  /** The metadata-GENERATED field-level battery (isRequired / cdmDatatype /
-    * isPrimaryKey / isForeignKey derived from the model, not hand-listed) —
+  /** Per-field plausible-value bounds for the generated battery — the
+    * analogue of DQD's per-row threshold columns.
+    */
+  private val dqdBounds: graft.operators.DqdChecks.Bounds = Map(
+    ("lineitem", "l_quantity") -> (Some(0.0), Some(60.0)),
+    ("lineitem", "l_discount") -> (Some(0.0), Some(0.5)),
+    ("orders", "o_totalprice") -> (Some(0.0), None),
+    ("customer", "c_acctbal") -> (Some(-2000.0), Some(12000.0)))
+
+  /** The metadata-GENERATED check battery (TABLE-level cdmTable presence +
+    * FIELD-level isRequired / cdmDatatype / isPrimaryKey / isForeignKey /
+    * plausibleValueLow/High derived from the model, not hand-listed) —
     * both sides of the oracle come from [[graft.operators.DqdChecks]].
     */
   val dqdFieldLevel: Q = (s, d) =>
-    graft.operators.DqdChecks.fieldLevel(TpchModel.model, tb => t(s, d, tb))
+    graft.operators.DqdChecks.fieldLevel(TpchModel.model, tb => t(s, d, tb), dqdBounds)
       .orderBy("check_id")
 
   val defs: Seq[(String, Q)] = Seq(
@@ -145,7 +155,7 @@ object LifecycleQueries {
     "dqd_config_driven" -> dqdConfigDriven)
 
   val oracles: Seq[(String, String)] = Seq(
-    "dqd_field_level" -> graft.operators.DqdChecks.oracleSql(TpchModel.model),
+    "dqd_field_level" -> graft.operators.DqdChecks.oracleSql(TpchModel.model, dqdBounds),
     "cleanup_cascade" ->
       """SELECT table_name, in_cascade, CAST(n_rows_after AS BIGINT) AS n_rows_after FROM (VALUES
         |  ('customer', true, 0),
