@@ -78,12 +78,15 @@ object EventQueries {
     * expressed as `na.drop` over the event columns.
     */
   val eventFactNonnull: Q = (s, d) =>
+    // filter BEFORE the projection: `na.drop` over a CASE-wrapped column
+    // defeats parquet pushdown (the scan read every row); a plain
+    // `value >= 0` predicate reaches the scan as a PushedFilter
     t(s, d, "events")
+      .filter(col("value") >= 0 && col("user_id").isNotNull)
       .select(
         col("event_id"),
         col("user_id").as("fact_id_1"),
-        when(col("value") >= 0, floor(col("value") * 100).cast("long")).as("fact_id_2"))
-      .na.drop(Seq("fact_id_1", "fact_id_2"))
+        floor(col("value") * 100).cast("long").as("fact_id_2"))
       .orderBy("event_id")
 
   /** O3: newest-first bounded report (the "last 15 DQD runs" shape). */

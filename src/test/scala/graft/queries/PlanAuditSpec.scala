@@ -1,0 +1,50 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.SparkEntry
+
+/** Physical-plan regression guards: the scale properties the engine argues
+  * for (no all-pairs joins on candidate paths, parquet column pruning,
+  * bounded shuffle counts) asserted mechanically against the real executed
+  * plans, so a future edit that re-introduces a scale-killer fails a test
+  * instead of a bench round.
+  */
+class PlanAuditSpec extends SparkSpec {
+  private val Sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, Sf).queryExecution.executedPlan.toString
+
+  test("no dedup/ANN candidate path contains an all-pairs join") {
+    // brute-force top-k legitimately crossJoins a BROADCAST query batch;
+    // every other candidate generator must stay an equi-join
+    for (q <- Seq("dedup_minhash_bands", "dedup_jaccard_pairs", "dedup_simhash",
+        "dedup_embed_cosine", "sim_lsh_topk", "dedup_exact")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plan has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plan has a nested-loop join")
+    }
+  }
+
+  test("text analysis scans prune to the referenced columns only") {
+    val p = plan("text_token_stats")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"))
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      s"unpruned scan: $readSchema")
+  }
+
+  test("minhash banding shuffles at most 4x (spread, sig agg, bucket agg, verify sort)") {
+    // the operator itself costs 3 exchanges; the 4th is the orderBy the
+    // correctness harness needs for deterministic output
+    val p = plan("dedup_minhash_bands")
+    val exchanges = p.linesIterator.count(_.contains("- Exchange"))
+    assert(exchanges <= 4, s"expected <=4 shuffles, got $exchanges:\n$p")
+  }
+
+  test("the event value filter is pushed down to the parquet scan") {
+    val p = plan("event_fact_nonnull")
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("GreaterThanOrEqual(value,0.0)"), s"filter not pushed: $pushed")
+  }
+}
