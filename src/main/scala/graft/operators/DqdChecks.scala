@@ -151,6 +151,44 @@ object DqdChecks {
         when(coalesce(col("num_violated_rows"), lit(0L)) > 0, 1L).otherwise(0L).as("failed"))
   }
 
+  /** The expected battery output over an all-EMPTY table universe, rendered
+    * as a VALUES oracle from the same metadata: every TABLE-level presence
+    * check fails (violated=1 of denominator 1), every FIELD-level check
+    * trivially passes with denominator 0 — letting the generator run at
+    * full CDM 5.4 breadth (39 tables) without CDM test data, against the
+    * schemas [[CdmModel.sparkSchema]] itself generates.
+    */
+  def emptyUniverseOracleSql(model: CdmModel, bounds: Bounds = Map.empty): String = {
+    def row(id: String, name: String, level: String, cat: String, table: String,
+        field: String, viol: Long, denom: Long) = {
+      val pct = if (viol > 0) "1.0" else "0.0"
+      val failed = if (viol > 0) 1 else 0
+      s"('$id', '$name', '$level', '$cat', '$table', '$field', $viol, $denom, $pct, 0.0, $failed)"
+    }
+    val tableRows = model.tables.map(tb =>
+      row(s"table_cdmTable_$tb", "cdmTable", "TABLE", "Conformance", tb, "", 1L, 1L))
+    val fieldRows = model.tables.flatMap(tb =>
+      perTableChecks(model, tb, bounds).map(c =>
+        row(c.id, c.name, "FIELD", c.category, c.table, c.field, 0L, 0L)))
+    val fkRows = model.tables.flatMap { tb =>
+      model.fks(tb).toSeq.sortBy(_._1).map { case (fkCol, _) =>
+        row(s"field_isForeignKey_${tb}_$fkCol", "isForeignKey", "FIELD", "Conformance",
+          tb, fkCol, 0L, 0L)
+      }
+    }
+    s"""SELECT check_id, check_name, check_level, category, cdm_table_name, cdm_field_name,
+       |  CAST(num_violated_rows AS BIGINT) AS num_violated_rows,
+       |  CAST(num_denominator_rows AS BIGINT) AS num_denominator_rows,
+       |  CAST(pct_violated_rows AS DOUBLE) AS pct_violated_rows,
+       |  CAST(threshold_value AS DOUBLE) AS threshold_value,
+       |  CAST(failed AS BIGINT) AS failed
+       |FROM (VALUES
+       |${(tableRows ++ fieldRows ++ fkRows).mkString(",\n")}
+       |) AS t(check_id, check_name, check_level, category, cdm_table_name, cdm_field_name,
+       |  num_violated_rows, num_denominator_rows, pct_violated_rows, threshold_value, failed)
+       |ORDER BY check_id""".stripMargin
+  }
+
   /** The same battery rendered as DuckDB SQL from the same metadata. */
   def oracleSql(model: CdmModel, bounds: Bounds = Map.empty): String = {
     val tableLevel = model.tables.map { tb =>

@@ -145,8 +145,23 @@ object LifecycleQueries {
     graft.operators.DqdChecks.fieldLevel(TpchModel.model, tb => t(s, d, tb), dqdBounds)
       .orderBy("check_id")
 
+  /** The same generator at FULL CDM 5.4 breadth: 39 tables / ~700 checks
+    * instantiated from the vendored metadata and run against the empty
+    * typed frames the DDL generator itself produces (no CDM test data
+    * exists) — presence checks fail, field checks pass on denominator 0.
+    */
+  val dqdCdm54Battery: Q = (s, _) => {
+    val m = graft.model.Cdm54.model
+    graft.operators.DqdChecks.fieldLevel(
+      m,
+      tb => s.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), m.sparkSchema(tb)))
+      .orderBy("check_id")
+  }
+
   val defs: Seq[(String, Q)] = Seq(
     "dqd_field_level" -> dqdFieldLevel,
+    "dqd_cdm54_battery" -> dqdCdm54Battery,
     "cleanup_cascade" -> cleanupCascade,
     "cleanup_custom_concepts" -> cleanupCustomConcepts,
     "s2cm_tombstone" -> s2cmTombstone,
@@ -156,6 +171,8 @@ object LifecycleQueries {
 
   val oracles: Seq[(String, String)] = Seq(
     "dqd_field_level" -> graft.operators.DqdChecks.oracleSql(TpchModel.model, dqdBounds),
+    "dqd_cdm54_battery" ->
+      graft.operators.DqdChecks.emptyUniverseOracleSql(graft.model.Cdm54.model),
     "cleanup_cascade" ->
       """SELECT table_name, in_cascade, CAST(n_rows_after AS BIGINT) AS n_rows_after FROM (VALUES
         |  ('customer', true, 0),
