@@ -152,11 +152,13 @@ object LifecycleQueries {
     */
   val dqdCdm54Battery: Q = (s, _) => {
     val m = graft.model.Cdm54.model
-    graft.operators.DqdChecks.fieldLevel(
-      m,
-      tb => s.createDataFrame(
-        java.util.Collections.emptyList[org.apache.spark.sql.Row](), m.sparkSchema(tb)))
-      .orderBy("check_id")
+    // one shared empty relation per table (each is referenced by its own
+    // aggregate AND as the parent of every FK edge pointing at it)
+    val empty = m.tables.map { tb =>
+      tb -> s.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), m.sparkSchema(tb))
+    }.toMap
+    graft.operators.DqdChecks.fieldLevel(m, empty(_)).orderBy("check_id")
   }
 
   val defs: Seq[(String, Q)] = Seq(
