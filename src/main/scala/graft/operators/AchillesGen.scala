@@ -2,8 +2,9 @@ package graft.operators
 
 import graft.model.CdmModel
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StringType, TimestampType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, TimestampType}
 
 /** Metadata-GENERATED Achilles analysis battery: the reference instantiates
   * its ~290 analyses from a config CSV over the CDM schema
@@ -77,6 +78,134 @@ object AchillesGen {
     }.reduce(_ unionByName _)
       .filter(col("count_value") > 5)
       .orderBy("analysis_id", "stratum_1")
+
+  /** The quantile set every dist analysis reports, with `quantile_cont`
+    * interpolation semantics (h = (n-1)q + 1, linear between the bracketing
+    * ranks — bit-identical to DuckDB's double arithmetic).
+    */
+  private val Quantiles = Seq("p10" -> 0.1, "p25" -> 0.25, "median" -> 0.5, "p75" -> 0.75, "p90" -> 0.9)
+
+  /** Shared dist-row aggregation: `rows(groupCols..., __v)` -> one
+    * `achilles_results_dist` row per group
+    * (count/min/max/avg/stdev + the exact [[Quantiles]]).
+    *
+    * ONE rank window per input: the window partitions by the same key the
+    * aggregate groups on, so Catalyst reuses a single shuffle for both, the
+    * sort spills to disk instead of buffering per-group arrays the way the
+    * `percentile` aggregate would, and groups process in parallel. Each
+    * quantile picks its two bracketing ranks out of that same pass. Counts
+    * <= 5 suppressed (`small_cell_count`, `achilles.py:27`).
+    */
+  def distAgg(rows: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val keys = groupCols.map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(col("__v"))
+    val wAll = Window.partitionBy(keys: _*)
+    val base = rows
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+    val brackets = Quantiles.flatMap { case (name, q) =>
+      val h = (col("__n") - 1) * lit(q) + 1
+      Seq(
+        max(when(col("__rn") === floor(h), col("__v"))).as(s"__lo_$name"),
+        max(when(col("__rn") === floor(h) + 1, col("__v"))).as(s"__hi_$name"))
+    }
+    val aggs = Seq(
+      count(lit(1)).as("count_value"),
+      round(min(col("__v")), 4).as("min_value"),
+      round(max(col("__v")), 4).as("max_value"),
+      round(avg(col("__v")), 4).as("avg_value"),
+      round(stddev_samp(col("__v")), 4).as("stdev_value"),
+      max(col("__n")).as("__nn")) ++ brackets
+    val qCols = Quantiles.map { case (name, q) =>
+      val h = (col("__nn") - 1) * lit(q) + 1
+      val frac = h - floor(h)
+      val lo = col(s"__lo_$name")
+      val hi = coalesce(col(s"__hi_$name"), lo)
+      round(lo + frac * (hi - lo), 4).as(s"${name}_value")
+    }
+    base.groupBy(keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(col("count_value") > 5)
+      .select(keys ++ Seq(col("count_value"), col("min_value"), col("max_value"),
+        col("avg_value"), col("stdev_value")) ++ qCols: _*)
+  }
+
+  /** The generated dist battery: one analysis per numeric MEASURE column
+    * (non-PK, non-FK `int64`/`float64`) of every model table, mirroring how
+    * `achilles.py:54-227` instantiates its distribution analyses over the
+    * CDM schema. Stratum rule: tables with a datetime column stratify by
+    * year of the first one (so the big fact tables' rank windows partition
+    * across strata and stay parallel at 100 TB); tables without one — the
+    * small dims — run as a single 'ALL' stratum, which is fine precisely
+    * because they are small.
+    *
+    * All of a table's measure columns are STACKED into `(analysis_id, __v)`
+    * rows first, so the entire per-table battery flows through ONE window
+    * shuffle (k analyses x strata partitions), not one shuffle per column.
+    */
+  private final case class DistAnalysis(id: Long, table: String, column: String)
+
+  private def distAnalyses(model: CdmModel): Seq[(String, Option[String], Seq[DistAnalysis])] = {
+    var nextId = 2000L
+    model.tables.flatMap { tb =>
+      val schema = model.sparkSchema(tb)
+      val keyCols = model.pk(tb).toSet ++ model.fks(tb).keySet
+      val measures = schema.fields.collect {
+        case f if (f.dataType == LongType || f.dataType == DoubleType) && !keyCols(f.name) => f.name
+      }.toSeq
+      val stratumCol = schema.fields.find(_.dataType == TimestampType).map(_.name)
+      if (measures.isEmpty) None
+      else {
+        val cols = measures.map { c =>
+          val a = DistAnalysis(nextId, tb, c); nextId += 1; a
+        }
+        Some((tb, stratumCol, cols))
+      }
+    }
+  }
+
+  def distResults(model: CdmModel, load: String => DataFrame): DataFrame =
+    distAnalyses(model).map { case (tb, stratumCol, cols) =>
+      val df = load(tb)
+      val stratum = stratumCol.map(c => year(col(c)).cast("string")).getOrElse(lit("ALL"))
+      val stackExpr =
+        s"stack(${cols.size}, " +
+          cols.map(a => s"CAST(${a.id} AS BIGINT), CAST(`${a.column}` AS DOUBLE)").mkString(", ") +
+          ") AS (analysis_id, __v)"
+      val stacked = df
+        .withColumn("stratum_1", stratum)
+        .select(col("stratum_1"), expr(stackExpr))
+        .filter(col("__v").isNotNull)
+      distAgg(stacked, Seq("analysis_id", "stratum_1"))
+    }.reduce(_ unionByName _)
+      .orderBy("analysis_id", "stratum_1")
+
+  /** DuckDB rendering of the identical battery from the identical metadata
+    * (`quantile_cont` natively — the Spark side's rank interpolation is
+    * bit-compatible with it).
+    */
+  def distOracleSql(model: CdmModel): String = {
+    val selects = distAnalyses(model).flatMap { case (tb, stratumCol, cols) =>
+      val st = stratumCol.map(c => s"CAST(year($c) AS VARCHAR)").getOrElse("'ALL'")
+      cols.map { a =>
+        s"SELECT CAST(${a.id} AS BIGINT) AS analysis_id, $st AS stratum_1, CAST(${a.column} AS DOUBLE) AS v FROM $tb"
+      }
+    }
+    s"""WITH d AS (
+       |${selects.mkString("\nUNION ALL\n")}
+       |)
+       |SELECT analysis_id, stratum_1, count(*) AS count_value,
+       |  round(min(v), 4) AS min_value, round(max(v), 4) AS max_value,
+       |  round(avg(v), 4) AS avg_value, round(stddev_samp(v), 4) AS stdev_value,
+       |  round(quantile_cont(v, 0.1), 4) AS p10_value,
+       |  round(quantile_cont(v, 0.25), 4) AS p25_value,
+       |  round(quantile_cont(v, 0.5), 4) AS median_value,
+       |  round(quantile_cont(v, 0.75), 4) AS p75_value,
+       |  round(quantile_cont(v, 0.9), 4) AS p90_value
+       |FROM d WHERE v IS NOT NULL
+       |GROUP BY 1, 2 HAVING count(*) > 5
+       |ORDER BY 1, 2""".stripMargin
+  }
 
   def oracleSql(model: CdmModel): String = {
     val selects = analyses(model).map { a =>

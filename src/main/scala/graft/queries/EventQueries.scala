@@ -175,43 +175,12 @@ object EventQueries {
     * Counts <= 5 suppressed (`small_cell_count`, `achilles.py:27`).
     */
   val achillesDist: Q = (s, d) => {
-    val quantiles = Seq("p10" -> 0.1, "p25" -> 0.25, "median" -> 0.5, "p75" -> 0.75, "p90" -> 0.9)
-    def dist(df: DataFrame, id: Long, stratum: org.apache.spark.sql.Column, value: org.apache.spark.sql.Column) = {
-      val w = Window.partitionBy(col("__s")).orderBy(col("__v"))
-      val wAll = Window.partitionBy(col("__s"))
-      val base = df.select(stratum.cast("string").as("__s"), value.cast("double").as("__v"))
-        .filter(col("__v").isNotNull)
-        .withColumn("__rn", row_number().over(w))
-        .withColumn("__n", count(lit(1)).over(wAll))
-      // rank position of quantile q, 1-indexed: h = (n-1)q + 1; the value is
-      // v[floor(h)] + (h - floor(h)) * (v[floor(h)+1] - v[floor(h)])
-      val h = (name: String, q: Double) => (col("__n") - 1) * lit(q) + 1
-      val brackets = quantiles.flatMap { case (name, q) =>
-        Seq(
-          max(when(col("__rn") === floor(h(name, q)), col("__v"))).as(s"__lo_$name"),
-          max(when(col("__rn") === floor(h(name, q)) + 1, col("__v"))).as(s"__hi_$name"))
-      }
-      val aggs = Seq(
-        count(lit(1)).as("count_value"),
-        round(min(col("__v")), 4).as("min_value"),
-        round(max(col("__v")), 4).as("max_value"),
-        round(avg(col("__v")), 4).as("avg_value"),
-        round(stddev_samp(col("__v")), 4).as("stdev_value"),
-        max(col("__n")).as("__nn")) ++ brackets
-      val qCols = quantiles.map { case (name, q) =>
-        val hh = (col("__nn") - 1) * lit(q) + 1
-        val frac = hh - floor(hh)
-        val lo = col(s"__lo_$name")
-        val hi = coalesce(col(s"__hi_$name"), lo)
-        round(lo + frac * (hi - lo), 4).as(s"${name}_value")
-      }
-      base.groupBy(col("__s"))
-        .agg(aggs.head, aggs.tail: _*)
-        .filter(col("count_value") > 5)
-        .select(Seq(lit(id).as("analysis_id"), col("__s").as("stratum_1"),
-          col("count_value"), col("min_value"), col("max_value"),
-          col("avg_value"), col("stdev_value")) ++ qCols: _*)
-    }
+    def dist(df: DataFrame, id: Long, stratum: org.apache.spark.sql.Column, value: org.apache.spark.sql.Column) =
+      graft.operators.AchillesGen.distAgg(
+        df.select(lit(id).as("analysis_id"), stratum.cast("string").as("stratum_1"),
+          value.cast("double").as("__v"))
+          .filter(col("__v").isNotNull),
+        Seq("analysis_id", "stratum_1"))
     dist(t(s, d, "orders"), 101L, col("o_orderstatus"), col("o_totalprice"))
       .unionByName(dist(t(s, d, "lineitem"), 102L, col("l_returnflag"), col("l_extendedprice")))
       .unionByName(dist(t(s, d, "events"), 103L, col("event_type"), col("value")))
@@ -320,6 +289,8 @@ object EventQueries {
     "achilles_dist" -> achillesDist,
     "achilles_generated" -> ((s, d) =>
       graft.operators.AchillesGen.results(graft.model.TpchModel.model, tb => t(s, d, tb))),
+    "achilles_dist_generated" -> ((s, d) =>
+      graft.operators.AchillesGen.distResults(graft.model.TpchModel.model, tb => t(s, d, tb))),
     "dqd_checks" -> dqdChecks,
     "dqd_summary" -> dqdSummary,
     "event_props_extract" -> eventPropsExtract,
@@ -398,6 +369,8 @@ object EventQueries {
         |ORDER BY analysis_id, stratum_1""".stripMargin,
     "achilles_generated" ->
       graft.operators.AchillesGen.oracleSql(graft.model.TpchModel.model),
+    "achilles_dist_generated" ->
+      graft.operators.AchillesGen.distOracleSql(graft.model.TpchModel.model),
     "achilles_dist" ->
       """WITH d AS (
         |  SELECT CAST(101 AS BIGINT) AS analysis_id, o_orderstatus AS stratum_1,

@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import graft.model.TpchModel
+import org.apache.spark.sql.Row
+
+/** The generated Achilles batteries: enumeration is deterministic (the
+  * oracle SQL is rendered from the same walk, so any instability would
+  * desync Spark from DuckDB), the dist battery covers every non-key numeric
+  * column, and the dist aggregation reproduces brute-force quantile_cont
+  * values exactly.
+  */
+class AchillesGenSpec extends SparkSpec {
+  private val Sf = "/root/testdata/sf0.001"
+  private val model = TpchModel.model
+  private def load(tb: String) = Tables.load(spark, Sf, tb)
+
+  test("dist battery enumerates one analysis per non-key numeric column") {
+    val rows = AchillesGen.distResults(model, load).collect()
+    val ids = rows.map(_.getLong(0)).distinct.sorted
+    // TpchModel measures: c_acctbal, s_acctbal, p_size, p_retailprice,
+    // o_totalprice, l_linenumber, l_quantity, l_extendedprice, l_discount,
+    // l_tax = 10 analyses (suppression can only drop strata, and every
+    // sf0.001 table is > 5 rows in at least one stratum)
+    assert(ids.length == 10, s"expected 10 analyses, got ${ids.mkString(",")}")
+    assert(ids.head == 2000L && ids.forall(_ < 2010L))
+  }
+
+  test("oracle SQL renders the same analyses as the Spark battery") {
+    val sql = AchillesGen.distOracleSql(model)
+    for (id <- 2000 to 2009) assert(sql.contains(s"CAST($id AS BIGINT)"), s"oracle missing analysis $id")
+    assert(sql.contains("CAST(year(o_orderdate) AS VARCHAR)"))
+    assert(sql.contains("'ALL'"))
+  }
+
+  test("distAgg reproduces brute-force quantile_cont interpolation exactly") {
+    import spark.implicits._
+    // deliberately awkward group sizes (7, 11) so every quantile interpolates
+    val values = Map("a" -> Seq(3.0, 1.0, 4.0, 1.5, 9.0, 2.6, 5.3),
+      "b" -> (1 to 11).map(i => i * i / 7.0))
+    val df = values.toSeq.flatMap { case (g, vs) => vs.map(v => (g, v)) }
+      .toDF("g", "__v")
+    val got = AchillesGen.distAgg(df, Seq("g")).collect().map(r => r.getString(0) -> r).toMap
+
+    def quantileCont(vs: Seq[Double], q: Double): Double = {
+      val sorted = vs.sorted
+      val h = (sorted.size - 1) * q + 1 // 1-indexed, DuckDB semantics
+      val lo = sorted(math.floor(h).toInt - 1)
+      val hi = sorted(math.min(math.ceil(h).toInt, sorted.size) - 1)
+      val r = lo + (h - math.floor(h)) * (hi - lo)
+      BigDecimal(r).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    for ((g, vs) <- values) {
+      val row: Row = got(g)
+      assert(row.getAs[Long]("count_value") == vs.size)
+      assert(row.getAs[Double]("median_value") == quantileCont(vs, 0.5), s"median $g")
+      assert(row.getAs[Double]("p10_value") == quantileCont(vs, 0.1), s"p10 $g")
+      assert(row.getAs[Double]("p90_value") == quantileCont(vs, 0.9), s"p90 $g")
+    }
+  }
+
+  test("distAgg suppresses small cells") {
+    import spark.implicits._
+    val df = (Seq.fill(6)("big") ++ Seq.fill(5)("small")).zipWithIndex
+      .map { case (g, i) => (g, i.toDouble) }.toDF("g", "__v")
+    val groups = AchillesGen.distAgg(df, Seq("g")).collect().map(_.getString(0))
+    assert(groups.sameElements(Array("big")), s"expected only 'big', got ${groups.mkString(",")}")
+  }
+}

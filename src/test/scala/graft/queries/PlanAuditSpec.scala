@@ -42,6 +42,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges <= 4, s"expected <=4 shuffles, got $exchanges:\n$p")
   }
 
+  test("generated dist battery costs one window shuffle per table branch") {
+    // 5 tables with measure columns -> 5 hash exchanges (window + groupBy on
+    // the same keys reuse ONE shuffle each) + the final deterministic-order
+    // range exchange; a 6th hash exchange would mean a column stopped going
+    // through the stacked single-pass shape
+    val p = plan("achilles_dist_generated")
+    val exchanges = p.linesIterator.count(_.contains("- Exchange"))
+    assert(exchanges <= 6, s"expected <=6 shuffles, got $exchanges:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("the event value filter is pushed down to the parquet scan") {
     val p = plan("event_fact_nonnull")
     val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
