@@ -14,7 +14,12 @@ import org.apache.spark.sql.functions._
   *
   * Families generated per table/field (the reference's core set):
   *  - `cdmTable`          (TABLE, Conformance): table presence
+  *  - `cdmField`          (FIELD, Conformance): column presence in the
+  *     actually-loaded relation vs the spec (DQD checks the catalog the
+  *     same way)
   *  - `isRequired`        (FIELD, Completeness): NULLs in a required field
+  *  - `measureValueCompleteness` (FIELD, Completeness): NULL fraction of
+  *     every non-required field (required ones are owned by `isRequired`)
   *  - `cdmDatatype`       (FIELD, Conformance): int64 fields whose value
   *     does not parse as an integer (the DQD regexp check)
   *  - `isPrimaryKey`      (FIELD, Conformance): duplicate PK values
@@ -22,6 +27,9 @@ import org.apache.spark.sql.functions._
   *  - `plausibleValueLow/High` (FIELD, Plausibility): out-of-bounds values,
   *     driven by a per-field bounds map (the analogue of DQD's per-row
   *     `{checkName}Threshold` columns)
+  *  - `plausibleTemporalAfter` (FIELD, Plausibility): a child date that
+  *     precedes its FK parent's date (DQD's temporal family, e.g. an event
+  *     before birth), driven by [[TemporalRule]]s
   *
   * Scale shape: ALL of a table's checks — including every FK orphan check —
   * fold into ONE pass: the table is left-joined against each referenced
@@ -44,6 +52,11 @@ object DqdChecks {
   /** Per-field value bounds for the plausibleValueLow/High families. */
   type Bounds = Map[(String, String), (Option[Double], Option[Double])]
 
+  /** A plausibleTemporalAfter rule: `table.field` must not precede the FK
+    * parent's `parentField` (reached through `fkCol`).
+    */
+  final case class TemporalRule(table: String, field: String, fkCol: String, parentField: String)
+
   /** One generated check: aggregate expressions for violated/denominator
     * (evaluated over the parent-joined table), plus the metadata needed to
     * render the oracle (`bound`, `parent`).
@@ -57,7 +70,13 @@ object DqdChecks {
       violated: Column,
       denominator: Column,
       bound: Option[Double] = None,
-      parent: Option[(String, String)] = None) { // (parentTable, parentPk)
+      parent: Option[(String, String)] = None, // (parentTable, parentPk)
+      fkCol: Option[String] = None,
+      parentField: Option[String] = None,
+      // plan-time-constant (violated, denominator): emitted as a local
+      // relation instead of riding the aggregate (keeps ~2 codegen'd
+      // aggregate expressions per field out of the CDM-wide battery)
+      constValue: Option[(Long, Long)] = None) {
     def id: String =
       if (level == "TABLE") s"table_${name}_$table" else s"field_${name}_${table}_$field"
   }
@@ -66,17 +85,32 @@ object DqdChecks {
     * FK checks reference the `__pk_<fkCol>` columns [[fieldLevel]] attaches
     * by left-joining the parents' distinct PKs.
     */
-  private def tableChecks(model: CdmModel, table: String, bounds: Bounds): Seq[Check] = {
+  private def tableChecks(model: CdmModel, table: String, bounds: Bounds,
+      actualCols: Option[Set[String]] = None,
+      temporal: Seq[TemporalRule] = Nil): Seq[Check] = {
     val all = count(lit(1))
     // count(*)*0+1 instead of a bare literal: stays an aggregate expression
     // and still yields 1 on an empty table (where min/max would be NULL)
     val one = count(lit(1)) * lit(0L) + lit(1L)
     val presence = Seq(Check("cdmTable", "TABLE", "Conformance", table, "",
       when(count(lit(1)) === 0, lit(1L)).otherwise(lit(0L)), one))
+    // cdmField inspects the ACTUAL relation's columns against the spec (the
+    // catalog check); the oracle side renders the conforming expectation
+    val fieldPresence = model.sparkSchema(table).fields.toSeq.map { sf =>
+      val missing = actualCols.exists(cols => !cols.contains(sf.name))
+      Check("cdmField", "FIELD", "Conformance", table, sf.name,
+        lit(0L), lit(0L), constValue = Some((if (missing) 1L else 0L, 1L)))
+    }
     val required = model.requiredColumns(table).map { f =>
       Check("isRequired", "FIELD", "Completeness", table, f,
         sum(when(col(f).isNull, 1L).otherwise(0L)), all)
     }
+    val valueCompleteness =
+      model.sparkSchema(table).fields.toSeq.collect {
+        case sf if !model.requiredColumns(table).contains(sf.name) =>
+          Check("measureValueCompleteness", "FIELD", "Completeness", table, sf.name,
+            sum(when(col(sf.name).isNull, 1L).otherwise(0L)), all)
+      }
     val datatype = model.sparkSchema(table).fields.collect {
       case sf if sf.dataType == org.apache.spark.sql.types.LongType =>
         Check("cdmDatatype", "FIELD", "Conformance", table, sf.name,
@@ -105,21 +139,39 @@ object DqdChecks {
             Check("plausibleValueHigh", "FIELD", "Plausibility", table, f,
               sum(when(col(f) > b, 1L).otherwise(0L)), all, Some(b)))
     }.flatten
-    presence ++ required ++ datatype ++ pk ++ fk ++ plausible
+    val temporalChecks = temporal.filter(_.table == table).sortBy(_.field).map { r =>
+      val parent = model.fks(table)(r.fkCol)
+      val parentPk = model.pk(parent).get
+      val tp = col(s"__tp_${r.fkCol}_${r.parentField}")
+      Check("plausibleTemporalAfter", "FIELD", "Plausibility", table, r.field,
+        sum(when(col(r.field).isNotNull && tp.isNotNull && col(r.field) < tp, 1L).otherwise(0L)),
+        sum(when(col(r.field).isNotNull && tp.isNotNull, 1L).otherwise(0L)),
+        parent = Some((parent, parentPk)), fkCol = Some(r.fkCol), parentField = Some(r.parentField))
+    }
+    presence ++ fieldPresence ++ required ++ valueCompleteness ++ datatype ++
+      pk ++ fk ++ plausible ++ temporalChecks
   }
 
   /** The full generated battery as one DataFrame plan — one branch per
     * table, each scanning its table once.
     */
-  def fieldLevel(model: CdmModel, load: String => DataFrame, bounds: Bounds = Map.empty): DataFrame = {
-    val perTable = model.tables.map { tb =>
-      val checks = tableChecks(model, tb, bounds)
+  def fieldLevel(model: CdmModel, load: String => DataFrame, bounds: Bounds = Map.empty,
+      temporal: Seq[TemporalRule] = Nil): DataFrame = {
+    val byTable = model.tables.map { tb =>
+      tb -> tableChecks(model, tb, bounds, Some(load(tb).columns.toSet), temporal)
+    }
+    val perTable = byTable.map { case (tb, allChecks) =>
+      val checks = allChecks.filter(_.constValue.isEmpty)
       // attach each referenced parent's distinct PKs (left joins on a
-      // unique key preserve cardinality, so the shared aggregate is exact)
+      // unique key preserve cardinality, so the shared aggregate is exact);
+      // temporal rules ride the same join, pulling the parent's date column
       val joined = model.fks(tb).toSeq.sortBy(_._1).foldLeft(load(tb)) {
         case (df, (fkCol, parent)) =>
           val parentPk = model.pk(parent).get
-          val p = load(parent).select(col(parentPk).as(s"__pk_$fkCol")).distinct()
+          val tpCols = temporal.filter(r => r.table == tb && r.fkCol == fkCol).map(r =>
+            col(r.parentField).as(s"__tp_${fkCol}_${r.parentField}"))
+          val p = load(parent)
+            .select(col(parentPk).as(s"__pk_$fkCol") +: tpCols: _*).distinct()
           df.join(p, df(fkCol) === p(s"__pk_$fkCol"), "left")
       }
       val aggs = checks.zipWithIndex.flatMap { case (c, i) =>
@@ -140,7 +192,17 @@ object DqdChecks {
         }: _*)).as("c"))
         .select("c.*")
     }
-    perTable.reduce(_ unionByName _)
+    // the plan-time-constant checks land as ONE local relation
+    val session = load(model.tables.head).sparkSession
+    import session.implicits._
+    val constDf = byTable.flatMap { case (_, allChecks) =>
+      allChecks.collect { case c if c.constValue.isDefined =>
+        val (v, dnm) = c.constValue.get
+        (c.id, c.name, c.level, c.category, c.table, c.field, v, dnm)
+      }
+    }.toDF("check_id", "check_name", "check_level", "category",
+      "cdm_table_name", "cdm_field_name", "num_violated_rows", "num_denominator_rows")
+    (perTable :+ constDf).reduce(_ unionByName _)
       .select(
         col("check_id"), col("check_name"), col("check_level"), col("category"),
         col("cdm_table_name"), col("cdm_field_name"),
@@ -154,13 +216,18 @@ object DqdChecks {
   }
 
   /** The same battery rendered as DuckDB SQL from the same metadata. */
-  def oracleSql(model: CdmModel, bounds: Bounds = Map.empty): String = {
+  def oracleSql(model: CdmModel, bounds: Bounds = Map.empty,
+      temporal: Seq[TemporalRule] = Nil): String = {
     val selects = model.tables.flatMap { tb =>
-      tableChecks(model, tb, bounds).map { c =>
+      tableChecks(model, tb, bounds, actualCols = None, temporal = temporal).map { c =>
         val (violSql, denomSql, fromSql) = c.name match {
           case "cdmTable" =>
             ("CASE WHEN count(*) = 0 THEN 1 ELSE 0 END", "1", c.table)
-          case "isRequired" =>
+          case "cdmField" =>
+            // the conforming expectation — the data-side check inspects the
+            // actually-loaded relation's columns (a catalog lookup, like DQD)
+            ("0", "1", "(SELECT 1) AS __dual")
+          case "isRequired" | "measureValueCompleteness" =>
             (s"count(*) FILTER (WHERE ${c.field} IS NULL)", "count(*)", c.table)
           case "cdmDatatype" =>
             (s"count(*) FILTER (WHERE ${c.field} IS NOT NULL AND NOT regexp_matches(CAST(${c.field} AS VARCHAR), '$IntRegex'))",
@@ -176,6 +243,11 @@ object DqdChecks {
             (s"count(*) FILTER (WHERE ${c.field} < ${c.bound.get})", "count(*)", c.table)
           case "plausibleValueHigh" =>
             (s"count(*) FILTER (WHERE ${c.field} > ${c.bound.get})", "count(*)", c.table)
+          case "plausibleTemporalAfter" =>
+            val (parent, parentPk) = c.parent.get
+            (s"count(*) FILTER (WHERE s.${c.field} IS NOT NULL AND p.__tp IS NOT NULL AND s.${c.field} < p.__tp)",
+              s"count(*) FILTER (WHERE s.${c.field} IS NOT NULL AND p.__tp IS NOT NULL)",
+              s"${c.table} s LEFT JOIN (SELECT DISTINCT $parentPk AS __pk, ${c.parentField.get} AS __tp FROM $parent) p ON s.${c.fkCol.get} = p.__pk")
         }
         s"""SELECT '${c.id}' AS check_id, '${c.name}' AS check_name, '${c.level}' AS check_level,
            |  '${c.category}' AS category, '${c.table}' AS cdm_table_name, '${c.field}' AS cdm_field_name,
@@ -200,11 +272,15 @@ object DqdChecks {
     * check fails (violated=1 of denominator 1), every FIELD-level check
     * trivially passes with denominator 0.
     */
-  def emptyUniverseOracleSql(model: CdmModel, bounds: Bounds = Map.empty): String = {
+  def emptyUniverseOracleSql(model: CdmModel, bounds: Bounds = Map.empty,
+      temporal: Seq[TemporalRule] = Nil): String = {
     val rows = model.tables.flatMap { tb =>
-      tableChecks(model, tb, bounds).map { c =>
-        val (viol, denom, pct, failed) =
-          if (c.name == "cdmTable") (1, 1, "1.0", 1) else (0, 0, "0.0", 0)
+      tableChecks(model, tb, bounds, actualCols = None, temporal = temporal).map { c =>
+        val (viol, denom, pct, failed) = c.name match {
+          case "cdmTable" => (1, 1, "1.0", 1)
+          case "cdmField" => (0, 1, "0.0", 0) // column exists even when empty
+          case _          => (0, 0, "0.0", 0)
+        }
         s"('${c.id}', '${c.name}', '${c.level}', '${c.category}', '${c.table}', '${c.field}', $viol, $denom, $pct, 0.0, $failed)"
       }
     }

@@ -136,16 +136,23 @@ object LifecycleQueries {
     ("orders", "o_totalprice") -> (Some(0.0), None),
     ("customer", "c_acctbal") -> (Some(-2000.0), Some(12000.0)))
 
+  /** The single cross-table temporal rule the test universe supports: a
+    * lineitem must not ship before its order was placed.
+    */
+  private val dqdTemporal = Seq(
+    graft.operators.DqdChecks.TemporalRule("lineitem", "l_shipdate", "l_orderkey", "o_orderdate"))
+
   /** The metadata-GENERATED check battery (TABLE-level cdmTable presence +
-    * FIELD-level isRequired / cdmDatatype / isPrimaryKey / isForeignKey /
-    * plausibleValueLow/High derived from the model, not hand-listed) —
+    * FIELD-level cdmField / isRequired / measureValueCompleteness /
+    * cdmDatatype / isPrimaryKey / isForeignKey / plausibleValueLow/High /
+    * plausibleTemporalAfter derived from the model, not hand-listed) —
     * both sides of the oracle come from [[graft.operators.DqdChecks]].
     */
   val dqdFieldLevel: Q = (s, d) =>
-    graft.operators.DqdChecks.fieldLevel(TpchModel.model, tb => t(s, d, tb), dqdBounds)
+    graft.operators.DqdChecks.fieldLevel(TpchModel.model, tb => t(s, d, tb), dqdBounds, dqdTemporal)
       .orderBy("check_id")
 
-  /** The same generator at FULL CDM 5.4 breadth: 39 tables / ~700 checks
+  /** The same generator at FULL CDM 5.4 breadth: 39 tables / ~1200 checks
     * instantiated from the vendored metadata and run against the empty
     * typed frames the DDL generator itself produces (no CDM test data
     * exists) — presence checks fail, field checks pass on denominator 0.
@@ -172,7 +179,7 @@ object LifecycleQueries {
     "dqd_config_driven" -> dqdConfigDriven)
 
   val oracles: Seq[(String, String)] = Seq(
-    "dqd_field_level" -> graft.operators.DqdChecks.oracleSql(TpchModel.model, dqdBounds),
+    "dqd_field_level" -> graft.operators.DqdChecks.oracleSql(TpchModel.model, dqdBounds, dqdTemporal),
     "dqd_cdm54_battery" ->
       graft.operators.DqdChecks.emptyUniverseOracleSql(graft.model.Cdm54.model),
     "cleanup_cascade" ->
