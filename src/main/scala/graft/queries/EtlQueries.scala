@@ -30,6 +30,15 @@ object EtlQueries {
   private type Q = (SparkSession, String) => DataFrame
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
+  // dev aid: GRAFT_TIMING=1 prints per-phase wall times to stderr
+  private def timed[T](label: String)(f: => T): T =
+    if (sys.env.contains("GRAFT_TIMING")) {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"[etl-timing] $label%-28s ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    } else f
+
   /** Tables whose lineage rows predate the tombstone cutoff (gives the D7
     * step real work deterministically).
     */
@@ -45,18 +54,19 @@ object EtlQueries {
     val baseIds = Swap.denseIds(codes, Seq("code"), 0L, "cid")
     val customIds = Swap.rankIds(
       codes.filter(col("code").startsWith("1")), "code", MergeOps.CustomConceptBase, "customId")
-    zones.write(
+    timed("usagi upload")(zones.write(
       baseIds.join(customIds, Seq("code"), "left")
         .select(col("code"), coalesce(col("customId"), col("cid")).as("conceptId")),
-      "work", "usagi_priority")
+      "work", "usagi_priority"))
 
     // stage 1: level-barrier scheduled per-table ETL
     EtlRunner(m).run(m.tables) { tb =>
+      timed(s"stage1 $tb") {
       val src = t(s, d, tb)
       m.pk(tb).foreach { pk =>
-        zones.write(
+        timed(s"stage1 $tb swap")(zones.write(
           Swap.denseIds(src.select(col(pk).as("x")).distinct(), Seq("x"), 0L),
-          "work", s"${tb}_id_swap")
+          "work", s"${tb}_id_swap"))
       }
       var out = src
       m.fks(tb).toSeq.sortBy(_._1).foreach { case (fkCol, parent) =>
@@ -78,17 +88,18 @@ object EtlQueries {
           .drop("x", "y")
       }
       zones.write(out, "omop", tb)
+      }
     }
 
     // stage 2: the event step — the event FK rewrites through the swap
     // tables stage 1 wrote
     val custSwap = zones.read(s, "work", "customer_id_swap")
-    zones.write(
+    timed("stage2 events")(zones.write(
       t(s, d, "events")
         .join(custSwap, col("user_id") === col("x"), "left")
         .withColumn("user_id", coalesce(col("y"), lit(0L)))
         .select("event_id", "user_id", "event_type"),
-      "omop", "events_mapped")
+      "omop", "events_mapped"))
 
     // lineage map from the materialized swaps + D7 tombstone
     val lineage = m.tables.filter(m.pk(_).isDefined).sorted.map { tb =>
@@ -97,9 +108,9 @@ object EtlQueries {
         else java.sql.Date.valueOf("2026-01-01")
       Swap.toSourceIdMap(zones.read(s, "work", s"${tb}_id_swap"), tb, "tpch", start)
     }.reduce(_ unionByName _)
-    zones.write(
+    timed("lineage+tombstone")(zones.write(
       Cleanup.tombstoneStale(lineage, lit("2000-01-01").cast("date")),
-      "omop", "source_id_to_omop_id_map")
+      "omop", "source_id_to_omop_id_map"))
 
     // metadata stamp (deterministic "now")
     val metadata = Cleanup.versionMetadata(
@@ -203,5 +214,6 @@ object EtlQueries {
         |      + (SELECT count(*) FROM part) + (SELECT count(*) FROM orders),
         |    (SELECT count(*) FROM region) + (SELECT count(*) FROM part)
         |)
-        |SELECT omop_table, n_rows, checksum FROM summary ORDER BY omop_table""".stripMargin)
+        |SELECT omop_table, n_rows, CAST(checksum AS BIGINT) AS checksum
+        |FROM summary ORDER BY omop_table""".stripMargin)
 }
