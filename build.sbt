@@ -45,4 +45,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 100k-row projection). More JIT threads keep compilation off the
   // critical path on this 32-core box (sf0.1 bench total: 263s -> 121s).
   "-XX:CICompilerCount=12",
+  // 78 queries' generated classes overflow the default 240m code cache;
+  // once it fills the JIT disables ("CodeCache is full") and every later
+  // query runs interpreted — observed as 3-6x inflation of the same query
+  // in the full bench vs standalone (etl_two_stage 26s -> 67s,
+  // dedup_jaccard_pairs 6s -> 40s). Size it so compilation never stops.
+  "-XX:ReservedCodeCacheSize=768m",
 )
