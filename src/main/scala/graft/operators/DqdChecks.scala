@@ -57,6 +57,47 @@ object DqdChecks {
     */
   final case class TemporalRule(table: String, field: String, fkCol: String, parentField: String)
 
+  /** A plausibleStartBeforeEnd rule (DQD's same-row temporal family, the
+    * reimplementation target of the deprecated plausibleTemporalAfter per
+    * `data_quality.py:115-117`): `startField` must not exceed `endField` in
+    * the same row. [[startEndRules]] derives these pairs from the model's
+    * `_start_date`/`_end_date` field-name convention, the way DQD
+    * instantiates the check over its Field_Level CSV.
+    */
+  final case class StartEndRule(table: String, startField: String, endField: String)
+
+  /** An fkDomain rule (DQD's domain-conformance family): non-null values of
+    * `table.field` must come from `allowed`. The config plays the role of
+    * DQD's fkDomain column joined against the vocabulary DOMAIN table.
+    */
+  final case class DomainRule(table: String, field: String, allowed: Seq[String])
+
+  /** A measurePersonCompleteness rule (TABLE-level Completeness): the
+    * fraction of `fkCol`-parent rows (DQD: persons) with NO record in
+    * `table`. [[personCompletenessRules]] derives one rule per table with a
+    * `person_id` FK, exactly DQD's instantiation.
+    */
+  final case class CompletenessRule(table: String, fkCol: String)
+
+  /** Derive plausibleStartBeforeEnd pairs from the model's field names:
+    * every `X_start_date[time]` with a matching `X_end_date[time]` sibling.
+    */
+  def startEndRules(model: CdmModel): Seq[StartEndRule] =
+    model.tables.flatMap { tb =>
+      val cols = model.columns(tb).toSet
+      model.columns(tb).collect {
+        case f if f.contains("_start_date") && cols.contains(f.replace("_start_", "_end_")) =>
+          StartEndRule(tb, f, f.replace("_start_", "_end_"))
+      }
+    }.sortBy(r => (r.table, r.startField))
+
+  /** Derive measurePersonCompleteness rules: one per table holding an FK
+    * named `person_id` (skipping the person table itself).
+    */
+  def personCompletenessRules(model: CdmModel): Seq[CompletenessRule] =
+    model.tables.filter(t => t != "person" && model.fks(t).get("person_id").contains("person"))
+      .sorted.map(CompletenessRule(_, "person_id"))
+
   /** One generated check: aggregate expressions for violated/denominator
     * (evaluated over the parent-joined table), plus the metadata needed to
     * render the oracle (`bound`, `parent`).
@@ -76,9 +117,13 @@ object DqdChecks {
       // plan-time-constant (violated, denominator): emitted as a local
       // relation instead of riding the aggregate (keeps ~2 codegen'd
       // aggregate expressions per field out of the CDM-wide battery)
-      constValue: Option[(Long, Long)] = None) {
+      constValue: Option[(Long, Long)] = None,
+      allowed: Option[Seq[String]] = None, // fkDomain value list
+      endField: Option[String] = None) {   // plausibleStartBeforeEnd pair
     def id: String =
-      if (level == "TABLE") s"table_${name}_$table" else s"field_${name}_${table}_$field"
+      if (level == "TABLE")
+        s"table_${name}_$table" + (if (field.nonEmpty) s"_$field" else "")
+      else s"field_${name}_${table}_$field"
   }
 
   /** Every check of one table, all expressible in a single aggregate pass.
@@ -87,7 +132,9 @@ object DqdChecks {
     */
   private def tableChecks(model: CdmModel, table: String, bounds: Bounds,
       actualCols: Option[Set[String]] = None,
-      temporal: Seq[TemporalRule] = Nil): Seq[Check] = {
+      temporal: Seq[TemporalRule] = Nil,
+      startEnd: Seq[StartEndRule] = Nil,
+      domains: Seq[DomainRule] = Nil): Seq[Check] = {
     val all = count(lit(1))
     // count(*)*0+1 instead of a bare literal: stays an aggregate expression
     // and still yields 1 on an empty table (where min/max would be NULL)
@@ -148,17 +195,47 @@ object DqdChecks {
         sum(when(col(r.field).isNotNull && tp.isNotNull, 1L).otherwise(0L)),
         parent = Some((parent, parentPk)), fkCol = Some(r.fkCol), parentField = Some(r.parentField))
     }
+    val startBeforeEnd = startEnd.filter(_.table == table).sortBy(_.startField).map { r =>
+      val (s, e) = (col(r.startField), col(r.endField))
+      Check("plausibleStartBeforeEnd", "FIELD", "Plausibility", table, r.startField,
+        sum(when(s.isNotNull && e.isNotNull && s > e, 1L).otherwise(0L)),
+        sum(when(s.isNotNull && e.isNotNull, 1L).otherwise(0L)),
+        endField = Some(r.endField))
+    }
+    val domainChecks = domains.filter(_.table == table).sortBy(_.field).map { r =>
+      Check("fkDomain", "FIELD", "Conformance", table, r.field,
+        sum(when(col(r.field).isNotNull && !col(r.field).isin(r.allowed: _*), 1L).otherwise(0L)),
+        sum(when(col(r.field).isNotNull, 1L).otherwise(0L)),
+        allowed = Some(r.allowed))
+    }
     presence ++ fieldPresence ++ required ++ valueCompleteness ++ datatype ++
-      pk ++ fk ++ plausible ++ temporalChecks
+      pk ++ fk ++ plausible ++ temporalChecks ++ startBeforeEnd ++ domainChecks
   }
+
+  /** measurePersonCompleteness checks — separate from [[tableChecks]]
+    * because their scan runs over the PARENT table (parents with no record
+    * in the child), not the child itself.
+    */
+  private def completenessChecks(model: CdmModel, rules: Seq[CompletenessRule]): Seq[Check] =
+    rules.sortBy(r => (r.table, r.fkCol)).map { r =>
+      val parent = model.fks(r.table).getOrElse(r.fkCol,
+        throw new IllegalArgumentException(s"${r.table}.${r.fkCol} is not an FK"))
+      val parentPk = model.pk(parent).getOrElse(
+        throw new IllegalStateException(s"completeness parent $parent has no pk"))
+      Check("measurePersonCompleteness", "TABLE", "Completeness", r.table, r.fkCol,
+        lit(0L), lit(0L), parent = Some((parent, parentPk)), fkCol = Some(r.fkCol))
+    }
 
   /** The full generated battery as one DataFrame plan — one branch per
     * table, each scanning its table once.
     */
   def fieldLevel(model: CdmModel, load: String => DataFrame, bounds: Bounds = Map.empty,
-      temporal: Seq[TemporalRule] = Nil): DataFrame = {
+      temporal: Seq[TemporalRule] = Nil,
+      startEnd: Seq[StartEndRule] = Nil,
+      domains: Seq[DomainRule] = Nil,
+      completeness: Seq[CompletenessRule] = Nil): DataFrame = {
     val byTable = model.tables.map { tb =>
-      tb -> tableChecks(model, tb, bounds, Some(load(tb).columns.toSet), temporal)
+      tb -> tableChecks(model, tb, bounds, Some(load(tb).columns.toSet), temporal, startEnd, domains)
     }
     val perTable = byTable.map { case (tb, allChecks) =>
       val checks = allChecks.filter(_.constValue.isEmpty)
@@ -202,7 +279,26 @@ object DqdChecks {
       }
     }.toDF("check_id", "check_name", "check_level", "category",
       "cdm_table_name", "cdm_field_name", "num_violated_rows", "num_denominator_rows")
-    (perTable :+ constDf).reduce(_ unionByName _)
+    // measurePersonCompleteness: one branch per rule, scanning the PARENT
+    // left-joined to the child's distinct FK values — violated = parents
+    // with no child row, denominator = all parents. One shuffle per rule,
+    // both aggregates in the same pass.
+    val completenessDfs = completenessChecks(model, completeness).map { c =>
+      val (parent, parentPk) = c.parent.get
+      val childFks = load(c.table)
+        .select(col(c.fkCol.get).as("__fk")).where(col("__fk").isNotNull).distinct()
+      load(parent).select(col(parentPk).as("__p"))
+        .join(childFks, col("__p") === col("__fk"), "left")
+        .agg(
+          sum(when(col("__fk").isNull, 1L).otherwise(0L)).as("num_violated_rows"),
+          count(lit(1)).as("num_denominator_rows"))
+        .select(
+          lit(c.id).as("check_id"), lit(c.name).as("check_name"),
+          lit(c.level).as("check_level"), lit(c.category).as("category"),
+          lit(c.table).as("cdm_table_name"), lit(c.field).as("cdm_field_name"),
+          col("num_violated_rows").cast("long"), col("num_denominator_rows").cast("long"))
+    }
+    (perTable ++ completenessDfs :+ constDf).reduce(_ unionByName _)
       .select(
         col("check_id"), col("check_name"), col("check_level"), col("category"),
         col("cdm_table_name"), col("cdm_field_name"),
@@ -217,9 +313,15 @@ object DqdChecks {
 
   /** The same battery rendered as DuckDB SQL from the same metadata. */
   def oracleSql(model: CdmModel, bounds: Bounds = Map.empty,
-      temporal: Seq[TemporalRule] = Nil): String = {
-    val selects = model.tables.flatMap { tb =>
-      tableChecks(model, tb, bounds, actualCols = None, temporal = temporal).map { c =>
+      temporal: Seq[TemporalRule] = Nil,
+      startEnd: Seq[StartEndRule] = Nil,
+      domains: Seq[DomainRule] = Nil,
+      completeness: Seq[CompletenessRule] = Nil): String = {
+    val allChecks = model.tables.flatMap { tb =>
+      tableChecks(model, tb, bounds, actualCols = None, temporal = temporal,
+        startEnd = startEnd, domains = domains)
+    } ++ completenessChecks(model, completeness)
+    val selects = allChecks.map { c =>
         val (violSql, denomSql, fromSql) = c.name match {
           case "cdmTable" =>
             ("CASE WHEN count(*) = 0 THEN 1 ELSE 0 END", "1", c.table)
@@ -248,13 +350,24 @@ object DqdChecks {
             (s"count(*) FILTER (WHERE s.${c.field} IS NOT NULL AND p.__tp IS NOT NULL AND s.${c.field} < p.__tp)",
               s"count(*) FILTER (WHERE s.${c.field} IS NOT NULL AND p.__tp IS NOT NULL)",
               s"${c.table} s LEFT JOIN (SELECT DISTINCT $parentPk AS __pk, ${c.parentField.get} AS __tp FROM $parent) p ON s.${c.fkCol.get} = p.__pk")
+          case "plausibleStartBeforeEnd" =>
+            val e = c.endField.get
+            (s"count(*) FILTER (WHERE ${c.field} IS NOT NULL AND $e IS NOT NULL AND ${c.field} > $e)",
+              s"count(*) FILTER (WHERE ${c.field} IS NOT NULL AND $e IS NOT NULL)", c.table)
+          case "fkDomain" =>
+            val list = c.allowed.get.map(v => s"'${v.replace("'", "''")}'").mkString(", ")
+            (s"count(*) FILTER (WHERE ${c.field} IS NOT NULL AND ${c.field} NOT IN ($list))",
+              s"count(*) FILTER (WHERE ${c.field} IS NOT NULL)", c.table)
+          case "measurePersonCompleteness" =>
+            val (parent, parentPk) = c.parent.get
+            ("count(*) FILTER (WHERE c.__fk IS NULL)", "count(*)",
+              s"$parent p LEFT JOIN (SELECT DISTINCT ${c.fkCol.get} AS __fk FROM ${c.table} WHERE ${c.fkCol.get} IS NOT NULL) c ON p.$parentPk = c.__fk")
         }
         s"""SELECT '${c.id}' AS check_id, '${c.name}' AS check_name, '${c.level}' AS check_level,
            |  '${c.category}' AS category, '${c.table}' AS cdm_table_name, '${c.field}' AS cdm_field_name,
            |  CAST($violSql AS BIGINT) AS num_violated_rows,
            |  CAST($denomSql AS BIGINT) AS num_denominator_rows
            |FROM $fromSql""".stripMargin
-      }
     }
     s"""WITH checks AS (
        |${selects.mkString("\nUNION ALL\n")}
@@ -273,16 +386,21 @@ object DqdChecks {
     * trivially passes with denominator 0.
     */
   def emptyUniverseOracleSql(model: CdmModel, bounds: Bounds = Map.empty,
-      temporal: Seq[TemporalRule] = Nil): String = {
-    val rows = model.tables.flatMap { tb =>
-      tableChecks(model, tb, bounds, actualCols = None, temporal = temporal).map { c =>
-        val (viol, denom, pct, failed) = c.name match {
-          case "cdmTable" => (1, 1, "1.0", 1)
-          case "cdmField" => (0, 1, "0.0", 0) // column exists even when empty
-          case _          => (0, 0, "0.0", 0)
-        }
-        s"('${c.id}', '${c.name}', '${c.level}', '${c.category}', '${c.table}', '${c.field}', $viol, $denom, $pct, 0.0, $failed)"
+      temporal: Seq[TemporalRule] = Nil,
+      startEnd: Seq[StartEndRule] = Nil,
+      domains: Seq[DomainRule] = Nil,
+      completeness: Seq[CompletenessRule] = Nil): String = {
+    val allChecks = model.tables.flatMap { tb =>
+      tableChecks(model, tb, bounds, actualCols = None, temporal = temporal,
+        startEnd = startEnd, domains = domains)
+    } ++ completenessChecks(model, completeness)
+    val rows = allChecks.map { c =>
+      val (viol, denom, pct, failed) = c.name match {
+        case "cdmTable" => (1, 1, "1.0", 1)
+        case "cdmField" => (0, 1, "0.0", 0) // column exists even when empty
+        case _          => (0, 0, "0.0", 0)
       }
+      s"('${c.id}', '${c.name}', '${c.level}', '${c.category}', '${c.table}', '${c.field}', $viol, $denom, $pct, 0.0, $failed)"
     }
     s"""SELECT check_id, check_name, check_level, category, cdm_table_name, cdm_field_name,
        |  CAST(num_violated_rows AS BIGINT) AS num_violated_rows,

@@ -142,14 +142,36 @@ object LifecycleQueries {
   private val dqdTemporal = Seq(
     graft.operators.DqdChecks.TemporalRule("lineitem", "l_shipdate", "l_orderkey", "o_orderdate"))
 
+  /** fkDomain value lists for the test universe — the analogue of DQD's
+    * fkDomain column. o_orderpriority's configured domain deliberately
+    * omits '5-LOW' so the violation path is exercised on real data.
+    */
+  private val dqdDomains = Seq(
+    graft.operators.DqdChecks.DomainRule("customer", "c_mktsegment",
+      Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")),
+    graft.operators.DqdChecks.DomainRule("lineitem", "l_linestatus", Seq("F", "O")),
+    graft.operators.DqdChecks.DomainRule("lineitem", "l_returnflag", Seq("A", "N", "R")),
+    graft.operators.DqdChecks.DomainRule("orders", "o_orderpriority",
+      Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED")),
+    graft.operators.DqdChecks.DomainRule("orders", "o_orderstatus", Seq("F", "O", "P")))
+
+  /** measurePersonCompleteness over the test universe: customers with no
+    * orders (TPC-H genuinely has them) and parts never shipped.
+    */
+  private val dqdCompleteness = Seq(
+    graft.operators.DqdChecks.CompletenessRule("lineitem", "l_partkey"),
+    graft.operators.DqdChecks.CompletenessRule("orders", "o_custkey"))
+
   /** The metadata-GENERATED check battery (TABLE-level cdmTable presence +
-    * FIELD-level cdmField / isRequired / measureValueCompleteness /
-    * cdmDatatype / isPrimaryKey / isForeignKey / plausibleValueLow/High /
-    * plausibleTemporalAfter derived from the model, not hand-listed) —
-    * both sides of the oracle come from [[graft.operators.DqdChecks]].
+    * measurePersonCompleteness + FIELD-level cdmField / isRequired /
+    * measureValueCompleteness / cdmDatatype / isPrimaryKey / isForeignKey /
+    * plausibleValueLow/High / plausibleTemporalAfter / fkDomain derived
+    * from the model, not hand-listed) — both sides of the oracle come from
+    * [[graft.operators.DqdChecks]].
     */
   val dqdFieldLevel: Q = (s, d) =>
-    graft.operators.DqdChecks.fieldLevel(TpchModel.model, tb => t(s, d, tb), dqdBounds, dqdTemporal)
+    graft.operators.DqdChecks.fieldLevel(TpchModel.model, tb => t(s, d, tb), dqdBounds, dqdTemporal,
+      domains = dqdDomains, completeness = dqdCompleteness)
       .orderBy("check_id")
 
   /** The same generator at FULL CDM 5.4 breadth: 39 tables / ~1200 checks
@@ -165,7 +187,13 @@ object LifecycleQueries {
       tb -> s.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), m.sparkSchema(tb))
     }.toMap
-    graft.operators.DqdChecks.fieldLevel(m, empty(_)).orderBy("check_id")
+    // start/end pairs and person-completeness rules are DERIVED from the
+    // CDM 5.4 metadata (field-name convention / person_id FKs), the way
+    // DQD instantiates those families over its Field_Level CSV
+    graft.operators.DqdChecks.fieldLevel(m, empty(_),
+      startEnd = graft.operators.DqdChecks.startEndRules(m),
+      completeness = graft.operators.DqdChecks.personCompletenessRules(m))
+      .orderBy("check_id")
   }
 
   val defs: Seq[(String, Q)] = Seq(
@@ -179,9 +207,12 @@ object LifecycleQueries {
     "dqd_config_driven" -> dqdConfigDriven)
 
   val oracles: Seq[(String, String)] = Seq(
-    "dqd_field_level" -> graft.operators.DqdChecks.oracleSql(TpchModel.model, dqdBounds, dqdTemporal),
+    "dqd_field_level" -> graft.operators.DqdChecks.oracleSql(TpchModel.model, dqdBounds, dqdTemporal,
+      domains = dqdDomains, completeness = dqdCompleteness),
     "dqd_cdm54_battery" ->
-      graft.operators.DqdChecks.emptyUniverseOracleSql(graft.model.Cdm54.model),
+      graft.operators.DqdChecks.emptyUniverseOracleSql(graft.model.Cdm54.model,
+        startEnd = graft.operators.DqdChecks.startEndRules(graft.model.Cdm54.model),
+        completeness = graft.operators.DqdChecks.personCompletenessRules(graft.model.Cdm54.model)),
     "cleanup_cascade" ->
       """SELECT table_name, in_cascade, CAST(n_rows_after AS BIGINT) AS n_rows_after FROM (VALUES
         |  ('customer', true, 0),
