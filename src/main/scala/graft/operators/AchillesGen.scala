@@ -36,23 +36,37 @@ object AchillesGen {
   private case object CountRows extends Kind
   private case object ByValue extends Kind
   private case object ByYear extends Kind
+  private case object ByMonth extends Kind
   private case object DistinctFk extends Kind
+  private case object DistinctFkByYear extends Kind
 
-  private final case class Analysis(id: Long, kind: Kind, table: String, column: String)
+  private final case class Analysis(id: Long, kind: Kind, table: String, column: String, column2: String = "")
 
   private def analyses(model: CdmModel): Seq[Analysis] = {
     val items = model.tables.flatMap { tb =>
       val fks = model.fks(tb).keySet
-      Seq((CountRows: Kind, tb, "")) ++
+      val firstTs = model.sparkSchema(tb).fields.find(_.dataType == TimestampType).map(_.name)
+      Seq((CountRows: Kind, tb, "", "")) ++
         model.sparkSchema(tb).fields.collect {
-          case f if f.dataType == StringType => (ByValue: Kind, tb, f.name)
-          case f if f.dataType == TimestampType => (ByYear: Kind, tb, f.name)
+          case f if f.dataType == StringType => (ByValue: Kind, tb, f.name, "")
+          case f if f.dataType == TimestampType => (ByYear: Kind, tb, f.name, "")
+        } ++
+        // the "records per month" family (Achilles's xx02 shape)
+        model.sparkSchema(tb).fields.collect {
+          case f if f.dataType == TimestampType => (ByMonth: Kind, tb, f.name, "")
         } ++
         model.sparkSchema(tb).fields.collect {
-          case f if fks.contains(f.name) => (DistinctFk: Kind, tb, f.name)
+          case f if fks.contains(f.name) => (DistinctFk: Kind, tb, f.name, "")
+        } ++
+        // the "entities with at least one record, per year" family
+        // (Achilles's xx04 'persons by year' shape) — needs a date axis
+        firstTs.toSeq.flatMap { ts =>
+          model.sparkSchema(tb).fields.collect {
+            case f if fks.contains(f.name) => (DistinctFkByYear: Kind, tb, f.name, ts)
+          }
         }
     }
-    items.zipWithIndex.map { case ((k, t, c), i) => Analysis(1000L + i, k, t, c) }
+    items.zipWithIndex.map { case ((k, t, c, c2), i) => Analysis(1000L + i, k, t, c, c2) }
   }
 
   def results(model: CdmModel, load: String => DataFrame): DataFrame =
@@ -70,9 +84,17 @@ object AchillesGen {
           df.groupBy(year(col(a.column)).cast("string").as("stratum_1"))
             .agg(count(lit(1)).as("count_value"))
             .select(lit(a.id).as("analysis_id"), col("stratum_1"), col("count_value"))
+        case ByMonth =>
+          df.groupBy(date_format(col(a.column), "yyyyMM").as("stratum_1"))
+            .agg(count(lit(1)).as("count_value"))
+            .select(lit(a.id).as("analysis_id"), col("stratum_1"), col("count_value"))
         case DistinctFk =>
           df.agg(countDistinct(col(a.column)).as("count_value"))
             .select(lit(a.id).as("analysis_id"), lit("ALL").as("stratum_1"), col("count_value"))
+        case DistinctFkByYear =>
+          df.groupBy(year(col(a.column2)).cast("string").as("stratum_1"))
+            .agg(countDistinct(col(a.column)).as("count_value"))
+            .select(lit(a.id).as("analysis_id"), col("stratum_1"), col("count_value"))
       }
       shaped
     }.reduce(_ unionByName _)
@@ -116,18 +138,7 @@ object AchillesGen {
       round(avg(col("__v")), 4).as("avg_value"),
       round(stddev_samp(col("__v")), 4).as("stdev_value"),
       max(col("__n")).as("__nn")) ++ brackets
-    val qCols = Quantiles.map { case (name, q) =>
-      val h = (col("__nn") - 1) * lit(q) + 1
-      val frac = h - floor(h)
-      val lo = col(s"__lo_$name")
-      val hi = coalesce(col(s"__hi_$name"), lo)
-      round(lo + frac * (hi - lo), 4).as(s"${name}_value")
-    }
-    base.groupBy(keys: _*)
-      .agg(aggs.head, aggs.tail: _*)
-      .filter(col("count_value") > 5)
-      .select(keys ++ Seq(col("count_value"), col("min_value"), col("max_value"),
-        col("avg_value"), col("stdev_value")) ++ qCols: _*)
+    distTail(base.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*), keys)
   }
 
   /** The generated dist battery: one analysis per numeric MEASURE column
@@ -180,19 +191,96 @@ object AchillesGen {
     }.reduce(_ unionByName _)
       .orderBy("analysis_id", "stratum_1")
 
-  /** DuckDB rendering of the identical battery from the identical metadata
-    * (`quantile_cont` natively — the Spark side's rank interpolation is
-    * bit-compatible with it).
+  /** The quantile-interpolation + final-projection tail shared by
+    * [[distAgg]] and [[distAggFromValueCounts]].
     */
-  def distOracleSql(model: CdmModel): String = {
-    val selects = distAnalyses(model).flatMap { case (tb, stratumCol, cols) =>
-      val st = stratumCol.map(c => s"CAST(year($c) AS VARCHAR)").getOrElse("'ALL'")
-      cols.map { a =>
-        s"SELECT CAST(${a.id} AS BIGINT) AS analysis_id, $st AS stratum_1, CAST(${a.column} AS DOUBLE) AS v FROM $tb"
+  private def distTail(grouped: DataFrame, keys: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val qCols = Quantiles.map { case (name, q) =>
+      val h = (col("__nn") - 1) * lit(q) + 1
+      val frac = h - floor(h)
+      val lo = col(s"__lo_$name")
+      val hi = coalesce(col(s"__hi_$name"), lo)
+      round(lo + frac * (hi - lo), 4).as(s"${name}_value")
+    }
+    grouped
+      .filter(col("count_value") > 5)
+      .select(keys ++ Seq(col("count_value"), col("min_value"), col("max_value"),
+        col("avg_value"), col("stdev_value")) ++ qCols: _*)
+  }
+
+  /** Dist aggregation over a VALUE HISTOGRAM `(groupCols..., __v, __cnt)`
+    * instead of raw rows: quantile brackets come from the cumulative count
+    * over the histogram, moments from weighted sums. For distributions over
+    * a small value domain (e.g. records-per-entity counts) this replaces a
+    * rank window over all entities with a window over the tiny histogram —
+    * the scale path when strata would otherwise be single giant partitions.
+    */
+  def distAggFromValueCounts(hist: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val keys = groupCols.map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(col("__v"))
+    val wAll = Window.partitionBy(keys: _*)
+    val base = hist
+      .withColumn("__cum", sum(col("__cnt")).over(w))
+      .withColumn("__n", sum(col("__cnt")).over(wAll))
+    val brackets = Quantiles.flatMap { case (name, q) =>
+      val h = (col("__n") - 1) * lit(q) + 1
+      // rank r lives on the histogram row whose cumulative range
+      // (__cum - __cnt, __cum] contains it
+      def at(r: org.apache.spark.sql.Column) =
+        max(when(r > col("__cum") - col("__cnt") && r <= col("__cum"), col("__v")))
+      Seq(at(floor(h)).as(s"__lo_$name"), at(floor(h) + 1).as(s"__hi_$name"))
+    }
+    val n = sum(col("__cnt"))
+    val sv = sum(col("__v") * col("__cnt"))
+    val svv = sum(col("__v") * col("__v") * col("__cnt"))
+    val aggs = Seq(
+      n.as("count_value"),
+      round(min(col("__v")), 4).as("min_value"),
+      round(max(col("__v")), 4).as("max_value"),
+      round(sv / n, 4).as("avg_value"),
+      round(when(n > 1,
+        sqrt(greatest(lit(0.0), (svv - sv * sv / n) / (n - lit(1))))), 4).as("stdev_value"),
+      max(col("__n")).as("__nn")) ++ brackets
+    distTail(base.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*), keys)
+  }
+
+  /** Records-per-entity distributions (the reference's "records per person"
+    * dist family, `achilles.py` analyses of the xx91 shape): for every FK
+    * column, the distribution of child-row counts per referenced entity.
+    *
+    * Scale shape: stage 1 shuffles on the FK with a map-side-combinable
+    * count; stage 2 histograms those counts (cardinality = number of
+    * DISTINCT per-entity counts — tiny) and [[distAggFromValueCounts]]
+    * windows over the histogram. No rank window ever sees the entities.
+    */
+  def fkDistResults(model: CdmModel, load: String => DataFrame): DataFrame = {
+    val hist = fkDistAnalyses(model).map { a =>
+      load(a.table).where(col(a.column).isNotNull)
+        .groupBy(col(a.column)).agg(count(lit(1)).as("__pe"))
+        .groupBy(col("__pe").cast("double").as("__v"))
+        .agg(count(lit(1)).as("__cnt"))
+        .select(lit(a.id).as("analysis_id"), lit("ALL").as("stratum_1"),
+          col("__v"), col("__cnt"))
+    }.reduce(_ unionByName _)
+    distAggFromValueCounts(hist, Seq("analysis_id", "stratum_1"))
+      .orderBy("analysis_id", "stratum_1")
+  }
+
+  private def fkDistAnalyses(model: CdmModel): Seq[DistAnalysis] = {
+    var nextId = 3000L
+    model.tables.flatMap { tb =>
+      model.fks(tb).keys.toSeq.sorted.map { f =>
+        val a = DistAnalysis(nextId, tb, f); nextId += 1; a
       }
     }
+  }
+
+  /** Shared outer SELECT of the dist oracles (exact quantile_cont, matching
+    * the Spark side's interpolation arithmetic bit-for-bit).
+    */
+  private def distOuterSql(dSql: String): String =
     s"""WITH d AS (
-       |${selects.mkString("\nUNION ALL\n")}
+       |$dSql
        |)
        |SELECT analysis_id, stratum_1, count(*) AS count_value,
        |  round(min(v), 4) AS min_value, round(max(v), 4) AS max_value,
@@ -205,6 +293,28 @@ object AchillesGen {
        |FROM d WHERE v IS NOT NULL
        |GROUP BY 1, 2 HAVING count(*) > 5
        |ORDER BY 1, 2""".stripMargin
+
+  /** DuckDB rendering of the identical battery from the identical metadata
+    * (`quantile_cont` natively — the Spark side's rank interpolation is
+    * bit-compatible with it).
+    */
+  def distOracleSql(model: CdmModel): String = {
+    val selects = distAnalyses(model).flatMap { case (tb, stratumCol, cols) =>
+      val st = stratumCol.map(c => s"CAST(year($c) AS VARCHAR)").getOrElse("'ALL'")
+      cols.map { a =>
+        s"SELECT CAST(${a.id} AS BIGINT) AS analysis_id, $st AS stratum_1, CAST(${a.column} AS DOUBLE) AS v FROM $tb"
+      }
+    }
+    distOuterSql(selects.mkString("\nUNION ALL\n"))
+  }
+
+  /** DuckDB rendering of the records-per-entity dist battery. */
+  def fkDistOracleSql(model: CdmModel): String = {
+    val selects = fkDistAnalyses(model).map { a =>
+      s"""SELECT CAST(${a.id} AS BIGINT) AS analysis_id, 'ALL' AS stratum_1, CAST(count(*) AS DOUBLE) AS v
+         |FROM ${a.table} WHERE ${a.column} IS NOT NULL GROUP BY ${a.column}""".stripMargin
+    }
+    distOuterSql(selects.mkString("\nUNION ALL\n"))
   }
 
   def oracleSql(model: CdmModel): String = {
@@ -216,8 +326,12 @@ object AchillesGen {
           s"SELECT ${a.id}, ${a.column}, count(*) FROM ${a.table} GROUP BY 2"
         case ByYear =>
           s"SELECT ${a.id}, CAST(year(${a.column}) AS VARCHAR), count(*) FROM ${a.table} GROUP BY 2"
+        case ByMonth =>
+          s"SELECT ${a.id}, strftime(${a.column}, '%Y%m'), count(*) FROM ${a.table} GROUP BY 2"
         case DistinctFk =>
           s"SELECT ${a.id}, 'ALL', count(DISTINCT ${a.column}) FROM ${a.table}"
+        case DistinctFkByYear =>
+          s"SELECT ${a.id}, CAST(year(${a.column2}) AS VARCHAR), count(DISTINCT ${a.column}) FROM ${a.table} GROUP BY 2"
       }
     }
     s"""WITH results AS (

@@ -291,6 +291,8 @@ object EventQueries {
       graft.operators.AchillesGen.results(graft.model.TpchModel.model, tb => t(s, d, tb))),
     "achilles_dist_generated" -> ((s, d) =>
       graft.operators.AchillesGen.distResults(graft.model.TpchModel.model, tb => t(s, d, tb))),
+    "achilles_fk_dist" -> ((s, d) =>
+      graft.operators.AchillesGen.fkDistResults(graft.model.TpchModel.model, tb => t(s, d, tb))),
     "dqd_checks" -> dqdChecks,
     "dqd_summary" -> dqdSummary,
     "event_props_extract" -> eventPropsExtract,
@@ -371,6 +373,8 @@ object EventQueries {
       graft.operators.AchillesGen.oracleSql(graft.model.TpchModel.model),
     "achilles_dist_generated" ->
       graft.operators.AchillesGen.distOracleSql(graft.model.TpchModel.model),
+    "achilles_fk_dist" ->
+      graft.operators.AchillesGen.fkDistOracleSql(graft.model.TpchModel.model),
     "achilles_dist" ->
       """WITH d AS (
         |  SELECT CAST(101 AS BIGINT) AS analysis_id, o_orderstatus AS stratum_1,
