@@ -156,6 +156,69 @@ object DedupOps {
       .select(col(idCol), sig.as("simhash"))
   }
 
+  /** Near-dup CLUSTER formation — the step after pair detection in every
+    * production dedup pipeline: connected components over the similarity
+    * graph, each doc labeled with the smallest doc id reachable from it
+    * (the canonical representative).
+    *
+    * Algorithm: min-label propagation with POINTER JUMPING. Each round
+    * (a) takes the min label over the symmetric edge list (one shuffle
+    * join + one map-side-combinable min aggregate) and (b) adopts the
+    * label of one's own label (a self-join), which halves chain lengths —
+    * so rounds needed are O(log diameter), not O(diameter). Convergence is
+    * detected by the monotonically decreasing label sum (one scalar action
+    * per round, nothing collected). Each round's result is persisted, the
+    * previous round unpersisted, and the DataFrame is REBASED onto its
+    * materialized RDD so the logical plan stays O(1) deep across rounds
+    * (without the rebase the plan string alone grows past the heap by
+    * round ~40 — observed, not hypothetical).
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 25): DataFrame = {
+    val spark = pairs.sparkSession
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component_id", col("id"))
+      .persist()
+    try {
+      def labelSum(df: DataFrame): Long =
+        df.agg(coalesce(sum(col("component_id")), lit(0L))).head().getLong(0)
+      var prevSum = labelSum(labels)
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIter) {
+        val nbrMin = edges
+          .join(labels.select(col("id").as("dst"), col("component_id").as("__nl")), Seq("dst"))
+          .groupBy(col("src").as("id"))
+          .agg(min(col("__nl")).as("__nbr"))
+        val cand = labels
+          .join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("component_id"), coalesce(col("__nbr"), col("component_id")))
+              .as("component_id"))
+          .persist()
+        // pointer jump: label(v) := label(label(v))
+        val jumped = cand.as("a")
+          .join(cand.select(col("id").as("__lid"), col("component_id").as("__ll")),
+            col("a.component_id") === col("__lid"), "left")
+          .select(col("a.id").as("id"),
+            coalesce(col("__ll"), col("a.component_id")).as("component_id"))
+        val next = spark.createDataFrame(jumped.rdd, jumped.schema).persist()
+        val nextSum = labelSum(next)
+        cand.unpersist(blocking = false)
+        labels.unpersist(blocking = false)
+        labels = next
+        converged = nextSum == prevSum
+        prevSum = nextSum
+        i += 1
+      }
+      require(converged, s"connectedComponents did not converge in $maxIter rounds")
+      labels
+    } finally edges.unpersist(blocking = false)
+  }
+
   /** N-gram Jaccard near-dup: candidate pairs are generated by a MinHash
     * LSH *band* equi-join (docs sharing any (band, bucket)), then verified
     * with exact Jaccard over distinct token sets via

@@ -41,6 +41,31 @@ object LlmQueries {
     DedupOps.jaccardPairs(t(s, d, "documents"), "doc_id", "text", threshold = 0.2)
       .orderBy("id_a", "id_b")
 
+  /** Near-dup clusters: connected components over the Jaccard pair graph,
+    * each doc labeled with its cluster's smallest doc id.
+    */
+  val dedupClusterComponents: Q = (s, d) =>
+    DedupOps.connectedComponents(
+      DedupOps.jaccardPairs(t(s, d, "documents"), "doc_id", "text", threshold = 0.2),
+      "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("component_id"))
+      .orderBy("doc_id")
+
+  /** The dedup composite a training pipeline actually runs: pairs ->
+    * clusters -> drop every non-representative member (keep the min id of
+    * each cluster plus all unclustered docs).
+    */
+  val dedupClusterSurvivors: Q = (s, d) => {
+    val cc = DedupOps.connectedComponents(
+      DedupOps.jaccardPairs(t(s, d, "documents"), "doc_id", "text", threshold = 0.2),
+      "id_a", "id_b")
+    val losers = cc.filter(col("component_id") < col("id")).select(col("id").as("doc_id"))
+    t(s, d, "documents")
+      .join(losers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   val textTokenStats: Q = (s, d) =>
     t(s, d, "documents").select(
       col("doc_id"),
@@ -155,6 +180,8 @@ object LlmQueries {
     "dedup_minhash_bands" -> dedupMinhashBands,
     "dedup_simhash" -> dedupSimhash,
     "dedup_jaccard_pairs" -> dedupJaccardPairs,
+    "dedup_cluster_components" -> dedupClusterComponents,
+    "dedup_cluster_survivors" -> dedupClusterSurvivors,
     "text_token_stats" -> textTokenStats,
     "text_quality" -> textQuality,
     "doc_fingerprint" -> docFingerprint,
@@ -171,6 +198,45 @@ object LlmQueries {
 
   private val tokSql = """regexp_split_to_array(trim(lower(text)), '\s+')"""
   private val h32 = (e: String) => s"('0x' || substr(md5($e), 1, 8))::BIGINT"
+
+  /** The MinHash-band candidate + exact-Jaccard-verify pipeline as a CTE
+    * chain ending in `pairs(id_a, id_b, jaccard)` — shared by the pair,
+    * cluster, and survivor oracles.
+    */
+  private val jaccardCtes =
+    s"""toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
+       |sh AS (
+       |  SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
+       |  FROM toks, UNNEST(range(1, len(tk) - 1)) AS u(i)
+       |  WHERE len(tk) >= 3
+       |),
+       |h AS (SELECT doc_id, ${h32("shingle")} AS h FROM sh),
+       |funcs AS (SELECT j, 2 * j + 3 AS a, 7 * j + 1 AS b FROM UNNEST(range(0, 8)) AS f(j)),
+       |sig AS (
+       |  SELECT doc_id, j, MIN((a * h + b) % 4294967311) AS minhash
+       |  FROM h CROSS JOIN funcs GROUP BY 1, 2
+       |),
+       |bandsig AS (
+       |  SELECT doc_id, j // 4 AS band,
+       |    string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY j) AS bucket
+       |  FROM sig GROUP BY doc_id, j // 4
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bandsig a JOIN bandsig b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |),
+       |sets AS (SELECT doc_id, list_sort(list_distinct($tokSql)) AS toks FROM documents),
+       |pairs AS (
+       |  SELECT id_a, id_b,
+       |    round(CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(sa.toks, sb.toks))), 6) AS jaccard
+       |  FROM cand
+       |  JOIN sets sa ON cand.id_a = sa.doc_id
+       |  JOIN sets sb ON cand.id_b = sb.doc_id
+       |  WHERE CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(sa.toks, sb.toks))) >= 0.2
+       |)""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(
     "dedup_exact" ->
@@ -216,38 +282,33 @@ object LlmQueries {
          |  CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
          |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_jaccard_pairs" ->
-      s"""WITH toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
-         |sh AS (
-         |  SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
-         |  FROM toks, UNNEST(range(1, len(tk) - 1)) AS u(i)
-         |  WHERE len(tk) >= 3
-         |),
-         |h AS (SELECT doc_id, ${h32("shingle")} AS h FROM sh),
-         |funcs AS (SELECT j, 2 * j + 3 AS a, 7 * j + 1 AS b FROM UNNEST(range(0, 8)) AS f(j)),
-         |sig AS (
-         |  SELECT doc_id, j, MIN((a * h + b) % 4294967311) AS minhash
-         |  FROM h CROSS JOIN funcs GROUP BY 1, 2
-         |),
-         |bandsig AS (
-         |  SELECT doc_id, j // 4 AS band,
-         |    string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY j) AS bucket
-         |  FROM sig GROUP BY doc_id, j // 4
-         |),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bandsig a JOIN bandsig b
-         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-         |),
-         |sets AS (SELECT doc_id, list_sort(list_distinct($tokSql)) AS toks FROM documents)
-         |SELECT id_a, id_b,
-         |  round(CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE)
-         |    / len(list_distinct(list_concat(sa.toks, sb.toks))), 6) AS jaccard
-         |FROM cand
-         |JOIN sets sa ON cand.id_a = sa.doc_id
-         |JOIN sets sb ON cand.id_b = sb.doc_id
-         |WHERE CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE)
-         |    / len(list_distinct(list_concat(sa.toks, sb.toks))) >= 0.2
+      s"""WITH $jaccardCtes
+         |SELECT id_a, id_b, jaccard FROM pairs
          |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_cluster_components" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, re.r FROM edges e JOIN reach re ON e.dst = re.id
+         |)
+         |SELECT id AS doc_id, min(r) AS component_id
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "dedup_cluster_survivors" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, re.r FROM edges e JOIN reach re ON e.dst = re.id
+         |),
+         |comp AS (SELECT id, min(r) AS component_id FROM reach GROUP BY id)
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE component_id < id)
+         |ORDER BY d.doc_id""".stripMargin,
     "text_token_stats" ->
       s"""SELECT doc_id,
          |  CAST(len($tokSql) AS BIGINT) AS n_tokens,

@@ -69,4 +69,35 @@ class DedupOpsSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L))) // exact dup: jaccard 1.0
     assert(out.forall(p => p._1 < p._2)) // no mirrored duplicates
   }
+
+  test("connectedComponents matches brute-force union-find on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val n = 30
+      val edges = Seq.fill(25)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      // brute-force union-find reference
+      val parent = scala.collection.mutable.Map((0L until n.toLong).map(i => i -> i): _*)
+      def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expected = nodes.map { v =>
+        val members = nodes.filter(u => find(u) == find(v))
+        v -> members.min
+      }.toMap
+      val got = DedupOps.connectedComponents(
+        edges.toDF("id_a", "id_b"), "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected)
+    }
+  }
+
+  test("connectedComponents converges on a long chain (log-diameter rounds via pointer jumping)") {
+    val chain = (0L until 40L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val got = DedupOps.connectedComponents(chain.toDF("id_a", "id_b"), "id_a", "id_b", maxIter = 10)
+      .as[(Long, Long)].collect()
+    assert(got.length == 40 && got.forall(_._2 == 0L))
+  }
 }
