@@ -66,6 +66,55 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** C4-style cleaning composite: the quality-score + length gate a
+    * training corpus actually applies before tokenization.
+    */
+  val textQualityFilter: Q = (s, d) =>
+    t(s, d, "documents")
+      .select(
+        col("doc_id"), col("lang"),
+        round(TextOps.qualityScore(col("text")), 6).as("quality"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .filter(col("quality") >= 0.5 && col("n_tokens") >= 20)
+      .select("doc_id", "lang", "quality")
+      .orderBy("doc_id")
+
+  /** Deterministic train/valid/test assignment by content-stable hash —
+    * reproducible across engines and runs, no RNG state anywhere.
+    */
+  val corpusSplitAssign: Q = (s, d) =>
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        (TextOps.hash32(col("doc_id").cast("string")) % 100).as("bucket"))
+      .select(col("doc_id"), col("bucket"),
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "valid")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+
+  /** Corpus-wide top-k frequent 3-gram shingles. Scale shape: one
+    * map-side-combinable count shuffle, then Spark's TakeOrdered (per-
+    * partition top-k merged on the driver — never a global sort).
+    */
+  val textTopNgrams: Q = (s, d) =>
+    t(s, d, "documents")
+      .select(explode(TextOps.shingles(col("text"), 3)).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ngram"))
+      .limit(20)
+
+  /** Per-label embedding centroids in long form (label, dim position,
+    * mean) — posexplode + one combinable aggregate, no array re-assembly
+    * on the hot path.
+    */
+  val embedLabelCentroids: Q = (s, d) =>
+    t(s, d, "embeddings")
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("pos0", "v")))
+      .groupBy(col("label"), (col("pos0") + 1).cast("long").as("pos"))
+      .agg(round(avg(col("v").cast("double")), 4).as("centroid"))
+      .orderBy("label", "pos")
+
   val textTokenStats: Q = (s, d) =>
     t(s, d, "documents").select(
       col("doc_id"),
@@ -183,6 +232,10 @@ object LlmQueries {
     "dedup_cluster_components" -> dedupClusterComponents,
     "dedup_cluster_survivors" -> dedupClusterSurvivors,
     "text_token_stats" -> textTokenStats,
+    "text_quality_filter" -> textQualityFilter,
+    "corpus_split_assign" -> corpusSplitAssign,
+    "text_top_ngrams" -> textTopNgrams,
+    "embed_label_centroids" -> embedLabelCentroids,
     "text_quality" -> textQuality,
     "doc_fingerprint" -> docFingerprint,
     "doc_rolling_hash" -> docRollingHash,
@@ -309,6 +362,44 @@ object LlmQueries {
          |SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
          |WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE component_id < id)
          |ORDER BY d.doc_id""".stripMargin,
+    "text_quality_filter" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, lang,
+         |    CAST(length(text) AS DOUBLE) AS len,
+         |    CAST(len($tokSql) AS DOUBLE) AS toks,
+         |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS punct,
+         |    CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|a|to|in|is)\\b')) AS DOUBLE) AS en
+         |  FROM documents
+         |), q AS (
+         |  SELECT doc_id, lang, toks,
+         |    round(least(len / 500.0, 1.0) * 0.4
+         |      + least(en / greatest(toks, 1.0), 1.0) * 0.4
+         |      + (1.0 - least(punct / greatest(len, 1.0), 1.0)) * 0.2, 6) AS quality
+         |  FROM m
+         |)
+         |SELECT doc_id, lang, quality FROM q
+         |WHERE quality >= 0.5 AND toks >= 20
+         |ORDER BY doc_id""".stripMargin,
+    "corpus_split_assign" ->
+      s"""SELECT doc_id, ${h32("CAST(doc_id AS VARCHAR)")} % 100 AS bucket,
+         |  CASE WHEN ${h32("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'train'
+         |       WHEN ${h32("CAST(doc_id AS VARCHAR)")} % 100 < 95 THEN 'valid'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_top_ngrams" ->
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |sh AS (
+         |  SELECT array_to_string(tk[i:i+2], ' ') AS ngram
+         |  FROM toks, UNNEST(range(1, len(tk) - 1)) AS u(i)
+         |  WHERE len(tk) >= 3
+         |)
+         |SELECT ngram, count(*) AS n FROM sh
+         |GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20""".stripMargin,
+    "embed_label_centroids" ->
+      """SELECT CAST(label AS BIGINT) AS label, CAST(a.i AS BIGINT) AS pos,
+        |  round(avg(CAST(embedding[a.i] AS DOUBLE)), 4) AS centroid
+        |FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS a(i)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "text_token_stats" ->
       s"""SELECT doc_id,
          |  CAST(len($tokSql) AS BIGINT) AS n_tokens,
