@@ -58,4 +58,32 @@ class PlanAuditSpec extends SparkSpec {
     val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
     assert(pushed.contains("GreaterThanOrEqual(value,0.0)"), s"filter not pushed: $pushed")
   }
+
+  test("top-k ngrams uses TakeOrdered, never a global sort of all ngrams") {
+    val p = plan("text_top_ngrams")
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject:\n$p")
+  }
+
+  test("corpus split is a single stage: no shuffle before the deterministic order") {
+    // the assignment itself is a pure projection; the only exchange allowed
+    // is the harness's output orderBy
+    val p = plan("corpus_split_assign")
+    val exchanges = p.linesIterator.count(_.contains("- Exchange"))
+    assert(exchanges <= 1, s"expected <=1 shuffle, got $exchanges:\n$p")
+  }
+
+  test("embedding centroid scan prunes to embedding+label only") {
+    val p = plan("embed_label_centroids")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("embedding") && readSchema.contains("label"))
+    assert(!readSchema.contains("vec_id"), s"unpruned scan: $readSchema")
+  }
+
+  test("cluster formation queries keep equi-join candidate paths") {
+    for (q <- Seq("dedup_cluster_components", "dedup_cluster_survivors")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plan has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plan has a nested-loop join")
+    }
+  }
 }
