@@ -156,6 +156,28 @@ object DedupOps {
       .select(col(idCol), sig.as("simhash"))
   }
 
+  /** SimHash Hamming-LSH banding: split the `bits`-bit signature into
+    * `bands` equal slices; docs sharing any (band, slice-value) bucket are
+    * near-dup candidates. By pigeonhole, two signatures within
+    * `bands - 1` Hamming distance MUST collide on at least one band — the
+    * standard exact-cover candidate generator for SimHash, and the same
+    * equi-join shuffle shape as MinHash banding (never all-pairs).
+    */
+  def simhashBands(sigs: DataFrame, idCol: String, sigCol: String = "simhash",
+      bits: Int = 32, bands: Int = 4): DataFrame = {
+    require(bits % bands == 0, s"bands=$bands must divide bits=$bits")
+    val width = bits / bands
+    val mask = (1L << width) - 1
+    val bandCols = (0 until bands).map { b =>
+      struct(
+        lit(b.toLong).as("band"),
+        shiftrightunsigned(col(sigCol), b * width).bitwiseAND(mask).as("bucket"))
+    }
+    sigs
+      .select(col(idCol), explode(array(bandCols: _*)).as("__bb"))
+      .select(col(idCol), col("__bb.band").as("band"), col("__bb.bucket").as("bucket"))
+  }
+
   /** Near-dup CLUSTER formation — the step after pair detection in every
     * production dedup pipeline: connected components over the similarity
     * graph, each doc labeled with the smallest doc id reachable from it

@@ -37,6 +37,16 @@ object LlmQueries {
   val dedupSimhash: Q = (s, d) =>
     DedupOps.simhash(t(s, d, "documents"), "doc_id", "text").orderBy("doc_id")
 
+  /** SimHash Hamming-LSH candidate buckets — completes the SimHash dedup
+    * pipeline (signature -> byte bands -> colliding buckets).
+    */
+  val dedupSimhashBands: Q = (s, d) =>
+    DedupOps.lshCandidateBuckets(
+      DedupOps.simhashBands(
+        DedupOps.simhash(t(s, d, "documents"), "doc_id", "text"), "doc_id"),
+      "doc_id")
+      .orderBy("band", "bucket")
+
   val dedupJaccardPairs: Q = (s, d) =>
     DedupOps.jaccardPairs(t(s, d, "documents"), "doc_id", "text", threshold = 0.2)
       .orderBy("id_a", "id_b")
@@ -228,6 +238,7 @@ object LlmQueries {
     "dedup_exact_survivors" -> dedupExactSurvivors,
     "dedup_minhash_bands" -> dedupMinhashBands,
     "dedup_simhash" -> dedupSimhash,
+    "dedup_simhash_bands" -> dedupSimhashBands,
     "dedup_jaccard_pairs" -> dedupJaccardPairs,
     "dedup_cluster_components" -> dedupClusterComponents,
     "dedup_cluster_survivors" -> dedupClusterSurvivors,
@@ -251,6 +262,27 @@ object LlmQueries {
 
   private val tokSql = """regexp_split_to_array(trim(lower(text)), '\s+')"""
   private val h32 = (e: String) => s"('0x' || substr(md5($e), 1, 8))::BIGINT"
+
+  /** The SimHash signature computation as a CTE chain ending in
+    * `sims(doc_id, simhash)` — shared by the signature and Hamming-band
+    * oracles.
+    */
+  private val simhashCtes =
+    s"""stoks AS (
+       |  SELECT DISTINCT doc_id, tok FROM (
+       |    SELECT doc_id, UNNEST($tokSql) AS tok FROM documents)
+       |),
+       |sh2 AS (SELECT doc_id, ${h32("tok")} AS h FROM stoks),
+       |sbits AS (
+       |  SELECT doc_id, b,
+       |    SUM(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM sh2, UNNEST(range(0, 32)) AS r(b) GROUP BY 1, 2
+       |),
+       |sims AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM sbits GROUP BY doc_id
+       |)""".stripMargin
 
   /** The MinHash-band candidate + exact-Jaccard-verify pipeline as a CTE
     * chain ending in `pairs(id_a, id_b, jaccard)` — shared by the pair,
@@ -321,19 +353,17 @@ object LlmQueries {
          |FROM bandsig GROUP BY 1, 2 HAVING count(*) > 1
          |ORDER BY band, bucket""".stripMargin,
     "dedup_simhash" ->
-      s"""WITH toks AS (
-         |  SELECT DISTINCT doc_id, tok FROM (
-         |    SELECT doc_id, UNNEST($tokSql) AS tok FROM documents)
-         |),
-         |h AS (SELECT doc_id, ${h32("tok")} AS h FROM toks),
-         |bits AS (
-         |  SELECT doc_id, b,
-         |    SUM(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
-         |  FROM h, UNNEST(range(0, 32)) AS r(b) GROUP BY 1, 2
+      s"""WITH $simhashCtes
+         |SELECT doc_id, simhash FROM sims ORDER BY doc_id""".stripMargin,
+    "dedup_simhash_bands" ->
+      s"""WITH $simhashCtes,
+         |bandsim AS (
+         |  SELECT doc_id, b.band, (simhash >> CAST(b.band * 8 AS INT)) & 255 AS bucket
+         |  FROM sims, UNNEST(range(0, 4)) AS b(band)
          |)
-         |SELECT doc_id,
-         |  CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
-         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+         |SELECT band, bucket, count(*) AS n_docs, min(doc_id) AS min_id
+         |FROM bandsim GROUP BY 1, 2 HAVING count(*) > 1
+         |ORDER BY band, bucket""".stripMargin,
     "dedup_jaccard_pairs" ->
       s"""WITH $jaccardCtes
          |SELECT id_a, id_b, jaccard FROM pairs
