@@ -52,6 +52,15 @@ object DqdChecks {
   /** Per-field value bounds for the plausibleValueLow/High families. */
   type Bounds = Map[(String, String), (Option[Double], Option[Double])]
 
+  /** Per-check failure thresholds, keyed (checkName, table, field) with a
+    * percent value in [0, 100] — the analogue of DQD's per-row
+    * `{checkName}Threshold` CSV columns (`data_quality.py:322-347`): a
+    * check FAILS only when its violated percentage exceeds the threshold,
+    * so known-imperfect fields can carry a tolerance instead of a hard
+    * zero. Checks without an entry keep threshold 0 (any violation fails).
+    */
+  type Thresholds = Map[(String, String, String), Double]
+
   /** A plausibleTemporalAfter rule: `table.field` must not precede the FK
     * parent's `parentField` (reached through `fkCol`).
     */
@@ -233,7 +242,8 @@ object DqdChecks {
       temporal: Seq[TemporalRule] = Nil,
       startEnd: Seq[StartEndRule] = Nil,
       domains: Seq[DomainRule] = Nil,
-      completeness: Seq[CompletenessRule] = Nil): DataFrame = {
+      completeness: Seq[CompletenessRule] = Nil,
+      thresholds: Thresholds = Map.empty): DataFrame = {
     val byTable = model.tables.map { tb =>
       tb -> tableChecks(model, tb, bounds, Some(load(tb).columns.toSet), temporal, startEnd, domains)
     }
@@ -298,17 +308,27 @@ object DqdChecks {
           lit(c.table).as("cdm_table_name"), lit(c.field).as("cdm_field_name"),
           col("num_violated_rows").cast("long"), col("num_denominator_rows").cast("long"))
     }
+    // per-check thresholds ride a broadcast lookup keyed by check id (the
+    // config is plan-time metadata, never a data-sized relation)
+    val allCheckMeta = byTable.flatMap(_._2) ++ completenessChecks(model, completeness)
+    val thrDf = {
+      import session.implicits._
+      allCheckMeta.map(c => (c.id, thresholds.getOrElse((c.name, c.table, c.field), 0.0)))
+        .toDF("check_id", "threshold_value")
+    }
+    val viol = coalesce(col("num_violated_rows"), lit(0L))
+    val denom = coalesce(col("num_denominator_rows"), lit(0L))
+    val pct = viol.cast("double") / greatest(denom, lit(1L))
     (perTable ++ completenessDfs :+ constDf).reduce(_ unionByName _)
+      .join(broadcast(thrDf), Seq("check_id"))
       .select(
         col("check_id"), col("check_name"), col("check_level"), col("category"),
         col("cdm_table_name"), col("cdm_field_name"),
-        coalesce(col("num_violated_rows"), lit(0L)).as("num_violated_rows"),
-        coalesce(col("num_denominator_rows"), lit(0L)).as("num_denominator_rows"),
-        round(coalesce(col("num_violated_rows"), lit(0L)).cast("double") /
-          greatest(coalesce(col("num_denominator_rows"), lit(0L)), lit(1L)), 6)
-          .as("pct_violated_rows"),
-        lit(0.0).as("threshold_value"),
-        when(coalesce(col("num_violated_rows"), lit(0L)) > 0, 1L).otherwise(0L).as("failed"))
+        viol.as("num_violated_rows"),
+        denom.as("num_denominator_rows"),
+        round(pct, 6).as("pct_violated_rows"),
+        col("threshold_value"),
+        when(pct * 100 > col("threshold_value"), 1L).otherwise(0L).as("failed"))
   }
 
   /** The same battery rendered as DuckDB SQL from the same metadata. */
@@ -316,11 +336,13 @@ object DqdChecks {
       temporal: Seq[TemporalRule] = Nil,
       startEnd: Seq[StartEndRule] = Nil,
       domains: Seq[DomainRule] = Nil,
-      completeness: Seq[CompletenessRule] = Nil): String = {
+      completeness: Seq[CompletenessRule] = Nil,
+      thresholds: Thresholds = Map.empty): String = {
     val allChecks = model.tables.flatMap { tb =>
       tableChecks(model, tb, bounds, actualCols = None, temporal = temporal,
         startEnd = startEnd, domains = domains)
     } ++ completenessChecks(model, completeness)
+    def thr(c: Check): Double = thresholds.getOrElse((c.name, c.table, c.field), 0.0)
     val selects = allChecks.map { c =>
         val (violSql, denomSql, fromSql) = c.name match {
           case "cdmTable" =>
@@ -366,7 +388,8 @@ object DqdChecks {
         s"""SELECT '${c.id}' AS check_id, '${c.name}' AS check_name, '${c.level}' AS check_level,
            |  '${c.category}' AS category, '${c.table}' AS cdm_table_name, '${c.field}' AS cdm_field_name,
            |  CAST($violSql AS BIGINT) AS num_violated_rows,
-           |  CAST($denomSql AS BIGINT) AS num_denominator_rows
+           |  CAST($denomSql AS BIGINT) AS num_denominator_rows,
+           |  CAST(${thr(c)} AS DOUBLE) AS threshold_value
            |FROM $fromSql""".stripMargin
     }
     s"""WITH checks AS (
@@ -375,8 +398,9 @@ object DqdChecks {
        |SELECT check_id, check_name, check_level, category, cdm_table_name, cdm_field_name,
        |  num_violated_rows, num_denominator_rows,
        |  round(CAST(num_violated_rows AS DOUBLE) / greatest(num_denominator_rows, 1), 6) AS pct_violated_rows,
-       |  CAST(0.0 AS DOUBLE) AS threshold_value,
-       |  CAST(CASE WHEN num_violated_rows > 0 THEN 1 ELSE 0 END AS BIGINT) AS failed
+       |  threshold_value,
+       |  CAST(CASE WHEN CAST(num_violated_rows AS DOUBLE) / greatest(num_denominator_rows, 1) * 100
+       |    > threshold_value THEN 1 ELSE 0 END AS BIGINT) AS failed
        |FROM checks ORDER BY check_id""".stripMargin
   }
 
@@ -389,18 +413,21 @@ object DqdChecks {
       temporal: Seq[TemporalRule] = Nil,
       startEnd: Seq[StartEndRule] = Nil,
       domains: Seq[DomainRule] = Nil,
-      completeness: Seq[CompletenessRule] = Nil): String = {
+      completeness: Seq[CompletenessRule] = Nil,
+      thresholds: Thresholds = Map.empty): String = {
     val allChecks = model.tables.flatMap { tb =>
       tableChecks(model, tb, bounds, actualCols = None, temporal = temporal,
         startEnd = startEnd, domains = domains)
     } ++ completenessChecks(model, completeness)
     val rows = allChecks.map { c =>
-      val (viol, denom, pct, failed) = c.name match {
-        case "cdmTable" => (1, 1, "1.0", 1)
-        case "cdmField" => (0, 1, "0.0", 0) // column exists even when empty
-        case _          => (0, 0, "0.0", 0)
+      val (viol, denom, pct) = c.name match {
+        case "cdmTable" => (1, 1, "1.0")
+        case "cdmField" => (0, 1, "0.0") // column exists even when empty
+        case _          => (0, 0, "0.0")
       }
-      s"('${c.id}', '${c.name}', '${c.level}', '${c.category}', '${c.table}', '${c.field}', $viol, $denom, $pct, 0.0, $failed)"
+      val thr = thresholds.getOrElse((c.name, c.table, c.field), 0.0)
+      val failed = if (viol * 100.0 / math.max(denom, 1) > thr) 1 else 0
+      s"('${c.id}', '${c.name}', '${c.level}', '${c.category}', '${c.table}', '${c.field}', $viol, $denom, $pct, $thr, $failed)"
     }
     s"""SELECT check_id, check_name, check_level, category, cdm_table_name, cdm_field_name,
        |  CAST(num_violated_rows AS BIGINT) AS num_violated_rows,

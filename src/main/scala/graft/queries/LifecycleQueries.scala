@@ -162,6 +162,18 @@ object LifecycleQueries {
     graft.operators.DqdChecks.CompletenessRule("lineitem", "l_partkey"),
     graft.operators.DqdChecks.CompletenessRule("orders", "o_custkey"))
 
+  /** Per-check failure tolerances (DQD's `{checkName}Threshold` semantics,
+    * `data_quality.py:322-347`): the configured o_orderpriority domain
+    * knowingly omits '5-LOW' (~20% of rows) so a 25% tolerance makes that
+    * check PASS, while ~49% of lineitems "ship" before their order date in
+    * the synthetic data, so a 10% tolerance on the temporal check is
+    * exceeded and it still FAILS — both threshold outcomes are exercised
+    * on real data.
+    */
+  private val dqdThresholds: graft.operators.DqdChecks.Thresholds = Map(
+    ("fkDomain", "orders", "o_orderpriority") -> 25.0,
+    ("plausibleTemporalAfter", "lineitem", "l_shipdate") -> 10.0)
+
   /** The metadata-GENERATED check battery (TABLE-level cdmTable presence +
     * measurePersonCompleteness + FIELD-level cdmField / isRequired /
     * measureValueCompleteness / cdmDatatype / isPrimaryKey / isForeignKey /
@@ -171,7 +183,7 @@ object LifecycleQueries {
     */
   val dqdFieldLevel: Q = (s, d) =>
     graft.operators.DqdChecks.fieldLevel(TpchModel.model, tb => t(s, d, tb), dqdBounds, dqdTemporal,
-      domains = dqdDomains, completeness = dqdCompleteness)
+      domains = dqdDomains, completeness = dqdCompleteness, thresholds = dqdThresholds)
       .orderBy("check_id")
 
   /** The same generator at FULL CDM 5.4 breadth: 39 tables / ~1200 checks
@@ -208,7 +220,7 @@ object LifecycleQueries {
 
   val oracles: Seq[(String, String)] = Seq(
     "dqd_field_level" -> graft.operators.DqdChecks.oracleSql(TpchModel.model, dqdBounds, dqdTemporal,
-      domains = dqdDomains, completeness = dqdCompleteness),
+      domains = dqdDomains, completeness = dqdCompleteness, thresholds = dqdThresholds),
     "dqd_cdm54_battery" ->
       graft.operators.DqdChecks.emptyUniverseOracleSql(graft.model.Cdm54.model,
         startEnd = graft.operators.DqdChecks.startEndRules(graft.model.Cdm54.model),
