@@ -331,6 +331,46 @@ object DqdChecks {
         when(pct * 100 > col("threshold_value"), 1L).otherwise(0L).as("failed"))
   }
 
+  /** The run-level Overview the reference computes from the check results
+    * (`data_quality.py:280-320`): totals, failures, and per-category
+    * splits, plus the headline percent-passed — one row per run.
+    */
+  def overview(results: DataFrame): DataFrame = {
+    val total = count(lit(1))
+    val failed = sum(col("failed"))
+    def catTotal(c: String) = sum(when(col("category") === c, 1L).otherwise(0L))
+    def catFailed(c: String) =
+      sum(when(col("category") === c && col("failed") === 1, 1L).otherwise(0L))
+    results.agg(
+      total.as("count_total"),
+      failed.as("count_overall_failed"),
+      (total - failed).as("count_passed"),
+      catTotal("Plausibility").as("count_total_plausibility"),
+      catTotal("Conformance").as("count_total_conformance"),
+      catTotal("Completeness").as("count_total_completeness"),
+      catFailed("Plausibility").as("count_failed_plausibility"),
+      catFailed("Conformance").as("count_failed_conformance"),
+      catFailed("Completeness").as("count_failed_completeness"),
+      round((total - failed) * lit(100.0) / total, 2).as("percent_passed"))
+  }
+
+  /** DuckDB rendering of [[overview]] over the rendered battery oracle. */
+  def overviewOracleSql(batterySql: String): String =
+    s"""WITH battery AS (
+       |$batterySql
+       |)
+       |SELECT CAST(count(*) AS BIGINT) AS count_total,
+       |  CAST(sum(failed) AS BIGINT) AS count_overall_failed,
+       |  CAST(count(*) - sum(failed) AS BIGINT) AS count_passed,
+       |  CAST(count(*) FILTER (WHERE category = 'Plausibility') AS BIGINT) AS count_total_plausibility,
+       |  CAST(count(*) FILTER (WHERE category = 'Conformance') AS BIGINT) AS count_total_conformance,
+       |  CAST(count(*) FILTER (WHERE category = 'Completeness') AS BIGINT) AS count_total_completeness,
+       |  CAST(count(*) FILTER (WHERE category = 'Plausibility' AND failed = 1) AS BIGINT) AS count_failed_plausibility,
+       |  CAST(count(*) FILTER (WHERE category = 'Conformance' AND failed = 1) AS BIGINT) AS count_failed_conformance,
+       |  CAST(count(*) FILTER (WHERE category = 'Completeness' AND failed = 1) AS BIGINT) AS count_failed_completeness,
+       |  round((count(*) - sum(failed)) * 100.0 / count(*), 2) AS percent_passed
+       |FROM battery""".stripMargin
+
   /** The same battery rendered as DuckDB SQL from the same metadata. */
   def oracleSql(model: CdmModel, bounds: Bounds = Map.empty,
       temporal: Seq[TemporalRule] = Nil,

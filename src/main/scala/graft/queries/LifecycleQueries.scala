@@ -208,8 +208,18 @@ object LifecycleQueries {
       .orderBy("check_id")
   }
 
+  /** Run-level Overview over the generated battery (`data_quality.py:
+    * 280-320` — the numbers the reference's dashboard headline shows).
+    */
+  val dqdOverview: Q = (s, d) =>
+    graft.operators.DqdChecks.overview(
+      graft.operators.DqdChecks.fieldLevel(TpchModel.model, tb => t(s, d, tb), dqdBounds,
+        dqdTemporal, domains = dqdDomains, completeness = dqdCompleteness,
+        thresholds = dqdThresholds))
+
   val defs: Seq[(String, Q)] = Seq(
     "dqd_field_level" -> dqdFieldLevel,
+    "dqd_overview" -> dqdOverview,
     "dqd_cdm54_battery" -> dqdCdm54Battery,
     "cleanup_cascade" -> cleanupCascade,
     "cleanup_custom_concepts" -> cleanupCustomConcepts,
@@ -221,6 +231,9 @@ object LifecycleQueries {
   val oracles: Seq[(String, String)] = Seq(
     "dqd_field_level" -> graft.operators.DqdChecks.oracleSql(TpchModel.model, dqdBounds, dqdTemporal,
       domains = dqdDomains, completeness = dqdCompleteness, thresholds = dqdThresholds),
+    "dqd_overview" -> graft.operators.DqdChecks.overviewOracleSql(
+      graft.operators.DqdChecks.oracleSql(TpchModel.model, dqdBounds, dqdTemporal,
+        domains = dqdDomains, completeness = dqdCompleteness, thresholds = dqdThresholds)),
     "dqd_cdm54_battery" ->
       graft.operators.DqdChecks.emptyUniverseOracleSql(graft.model.Cdm54.model,
         startEnd = graft.operators.DqdChecks.startEndRules(graft.model.Cdm54.model),
