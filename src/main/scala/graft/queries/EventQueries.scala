@@ -276,8 +276,55 @@ object EventQueries {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** The streaming extension run as a REAL StreamingQuery, oracle-checked:
+    * a parquet file-source stream of the events table (Trigger.AvailableNow
+    * processes everything then stops), windowed event counts with a
+    * watermark, memory sink, and the final table compared against the
+    * batch oracle — the stream/batch-equivalence contract Structured
+    * Streaming promises, certified by the same DuckDB gate as every batch
+    * operator. State stays bounded by the watermark on a live stream; the
+    * tumbling window aligns to epoch hours, so the oracle is a plain
+    * date_trunc aggregation.
+    */
+  val streamWindowedCounts: Q = (s, d) => {
+    import org.apache.spark.sql.types._
+    // nanosAsLong schema of events.parquet (Tables.load's conversion,
+    // stated explicitly because streaming sources require a fixed schema)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // the file-stream source only accepts a DIRECTORY; stage one holding a
+    // symlink to the events file (no data copied, testdata untouched)
+    val srcDir = new org.apache.hadoop.fs.Path("/root/repo/target/stream_src_events")
+    val fs = srcDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(srcDir, true)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir.toString))
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(srcDir.toString, "events.parquet"),
+      java.nio.file.Paths.get(s"$d/events.parquet"))
+    val stream = s.readStream.schema(schema).parquet(srcDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val counts = graft.streaming.StreamingOps.windowedEventCounts(stream, "ts", "event_type")
+    val sink = "stream_windowed_counts_sink"
+    // fixed checkpoint dir, cleared up front: each Verify/Bench run is a
+    // fresh logical stream, and a stale checkpoint would replay nothing
+    val ckpt = "/root/repo/target/stream_ckpt_windowed"
+    val ckptPath = new org.apache.hadoop.fs.Path(ckpt)
+    ckptPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(ckptPath, true)
+    val q = counts.writeStream
+      .format("memory").queryName(sink)
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    s.table(sink).orderBy("window_start", "event_type")
+  }
+
   val defs: Seq[(String, Q)] = Seq(
     "q1_pricing_summary" -> q1PricingSummary,
+    "stream_windowed_counts" -> streamWindowedCounts,
     "event_discover_tables" -> eventDiscoverTables,
     "event_case_map" -> eventCaseMap,
     "event_rekey" -> eventRekey,
@@ -301,6 +348,9 @@ object EventQueries {
     "agg_rollup" -> aggRollup)
 
   val oracles: Seq[(String, String)] = Seq(
+    "stream_windowed_counts" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n_events
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
