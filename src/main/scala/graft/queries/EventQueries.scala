@@ -286,45 +286,72 @@ object EventQueries {
     * tumbling window aligns to epoch hours, so the oracle is a plain
     * date_trunc aggregation.
     */
-  val streamWindowedCounts: Q = (s, d) => {
+  /** Stream the events table through a file source: stage a directory
+    * holding a symlink to the parquet file (the source only accepts
+    * directories; no data copied, testdata untouched) and declare the
+    * nanosAsLong schema explicitly (streaming sources require a fixed
+    * schema) with the same ts conversion `Tables.load` applies.
+    */
+  private def eventsStream(s: SparkSession, d: String, stageName: String): DataFrame = {
     import org.apache.spark.sql.types._
-    // nanosAsLong schema of events.parquet (Tables.load's conversion,
-    // stated explicitly because streaming sources require a fixed schema)
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    // the file-stream source only accepts a DIRECTORY; stage one holding a
-    // symlink to the events file (no data copied, testdata untouched)
-    val srcDir = new org.apache.hadoop.fs.Path("/root/repo/target/stream_src_events")
+    val srcDir = new org.apache.hadoop.fs.Path(s"/root/repo/target/$stageName")
     val fs = srcDir.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(srcDir, true)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir.toString))
     java.nio.file.Files.createSymbolicLink(
       java.nio.file.Paths.get(srcDir.toString, "events.parquet"),
       java.nio.file.Paths.get(s"$d/events.parquet"))
-    val stream = s.readStream.schema(schema).parquet(srcDir.toString)
+    s.readStream.schema(schema).parquet(srcDir.toString)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    val counts = graft.streaming.StreamingOps.windowedEventCounts(stream, "ts", "event_type")
-    val sink = "stream_windowed_counts_sink"
-    // fixed checkpoint dir, cleared up front: each Verify/Bench run is a
-    // fresh logical stream, and a stale checkpoint would replay nothing
-    val ckpt = "/root/repo/target/stream_ckpt_windowed"
-    val ckptPath = new org.apache.hadoop.fs.Path(ckpt)
-    ckptPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(ckptPath, true)
-    val q = counts.writeStream
+  }
+
+  /** Drain a streaming frame through a memory sink with AvailableNow and
+    * return the resulting table.
+    */
+  private def drainToTable(df: DataFrame, sink: String, mode: String): DataFrame = {
+    val s = df.sparkSession
+    val ckpt = new org.apache.hadoop.fs.Path(s"/root/repo/target/stream_ckpt_$sink")
+    ckpt.getFileSystem(s.sparkContext.hadoopConfiguration).delete(ckpt, true)
+    val q = df.writeStream
       .format("memory").queryName(sink)
-      .outputMode("complete")
-      .option("checkpointLocation", ckpt)
+      .outputMode(mode)
+      .option("checkpointLocation", ckpt.toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     try q.awaitTermination() finally q.stop()
-    s.table(sink).orderBy("window_start", "event_type")
+    s.table(sink)
+  }
+
+  val streamWindowedCounts: Q = (s, d) => {
+    val stream = eventsStream(s, d, "stream_src_events")
+    val counts = graft.streaming.StreamingOps.windowedEventCounts(stream, "ts", "event_type")
+    drainToTable(counts, "stream_windowed_counts_sink", "complete")
+      .orderBy("window_start", "event_type")
+  }
+
+  /** Streaming exact dedup run as a real StreamingQuery (same AvailableNow
+    * + memory-sink harness as [[streamWindowedCounts]]): first occurrence
+    * of each (user, type, ts) wins, state bounded by the watermark on a
+    * live stream. Oracle: SELECT DISTINCT — the batch meaning of the same
+    * operator.
+    */
+  val streamDedup: Q = (s, d) => {
+    val deduped = graft.streaming.StreamingOps
+      .streamingDedup(eventsStream(s, d, "stream_src_events_dedup"), "ts",
+        Seq("user_id", "event_type"))
+      .select("user_id", "event_type", "ts")
+    drainToTable(deduped, "stream_dedup_sink", "append")
+      .orderBy("user_id", "event_type", "ts")
   }
 
   val defs: Seq[(String, Q)] = Seq(
     "q1_pricing_summary" -> q1PricingSummary,
     "stream_windowed_counts" -> streamWindowedCounts,
+    "stream_dedup" -> streamDedup,
     "event_discover_tables" -> eventDiscoverTables,
     "event_case_map" -> eventCaseMap,
     "event_rekey" -> eventRekey,
@@ -351,6 +378,9 @@ object EventQueries {
     "stream_windowed_counts" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n_events
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type, ts
+        |FROM events ORDER BY user_id, event_type, ts""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
