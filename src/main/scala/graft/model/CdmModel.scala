@@ -331,4 +331,18 @@ object TpchModel {
     f("lineitem", "l_returnflag", "string", req = false),
     f("lineitem", "l_linestatus", "string", req = false),
     f("lineitem", "l_shipdate", "datetime", req = false)))
+
+  /** The test universe plus the `events` fact table (high-cardinality date
+    * axis, an FK to customer, a free-text props column) — used by the
+    * GENERATED DQD/Achilles batteries so they exercise a real fact-table
+    * shape. The ETL/merge/CDM queries keep [[model]]: their hand-written
+    * oracles enumerate its exact table set.
+    */
+  val modelWithEvents: CdmModel = CdmModel(fields = model.fields ++ Seq(
+    f("events", "event_id", "int64", pk = true),
+    f("events", "ts", "datetime", req = false),
+    f("events", "user_id", "int64", fk = Some("customer")),
+    f("events", "event_type", "string"),
+    f("events", "value", "float64", req = false),
+    f("events", "props", "string", req = false)))
 }

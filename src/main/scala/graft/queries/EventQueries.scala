@@ -362,11 +362,11 @@ object EventQueries {
     "achilles_battery" -> achillesBattery,
     "achilles_dist" -> achillesDist,
     "achilles_generated" -> ((s, d) =>
-      graft.operators.AchillesGen.results(graft.model.TpchModel.model, tb => t(s, d, tb))),
+      graft.operators.AchillesGen.results(graft.model.TpchModel.modelWithEvents, tb => t(s, d, tb))),
     "achilles_dist_generated" -> ((s, d) =>
-      graft.operators.AchillesGen.distResults(graft.model.TpchModel.model, tb => t(s, d, tb))),
+      graft.operators.AchillesGen.distResults(graft.model.TpchModel.modelWithEvents, tb => t(s, d, tb))),
     "achilles_fk_dist" -> ((s, d) =>
-      graft.operators.AchillesGen.fkDistResults(graft.model.TpchModel.model, tb => t(s, d, tb))),
+      graft.operators.AchillesGen.fkDistResults(graft.model.TpchModel.modelWithEvents, tb => t(s, d, tb))),
     "dqd_checks" -> dqdChecks,
     "dqd_summary" -> dqdSummary,
     "event_props_extract" -> eventPropsExtract,
@@ -450,11 +450,11 @@ object EventQueries {
         |SELECT * FROM results WHERE count_value > 5
         |ORDER BY analysis_id, stratum_1""".stripMargin,
     "achilles_generated" ->
-      graft.operators.AchillesGen.oracleSql(graft.model.TpchModel.model),
+      graft.operators.AchillesGen.oracleSql(graft.model.TpchModel.modelWithEvents),
     "achilles_dist_generated" ->
-      graft.operators.AchillesGen.distOracleSql(graft.model.TpchModel.model),
+      graft.operators.AchillesGen.distOracleSql(graft.model.TpchModel.modelWithEvents),
     "achilles_fk_dist" ->
-      graft.operators.AchillesGen.fkDistOracleSql(graft.model.TpchModel.model),
+      graft.operators.AchillesGen.fkDistOracleSql(graft.model.TpchModel.modelWithEvents),
     "achilles_dist" ->
       """WITH d AS (
         |  SELECT CAST(101 AS BIGINT) AS analysis_id, o_orderstatus AS stratum_1,

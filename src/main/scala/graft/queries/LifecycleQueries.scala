@@ -134,7 +134,8 @@ object LifecycleQueries {
     ("lineitem", "l_quantity") -> (Some(0.0), Some(60.0)),
     ("lineitem", "l_discount") -> (Some(0.0), Some(0.5)),
     ("orders", "o_totalprice") -> (Some(0.0), None),
-    ("customer", "c_acctbal") -> (Some(-2000.0), Some(12000.0)))
+    ("customer", "c_acctbal") -> (Some(-2000.0), Some(12000.0)),
+    ("events", "value") -> (Some(0.0), Some(400.0)))
 
   /** The single cross-table temporal rule the test universe supports: a
     * lineitem must not ship before its order was placed.
@@ -153,12 +154,15 @@ object LifecycleQueries {
     graft.operators.DqdChecks.DomainRule("lineitem", "l_returnflag", Seq("A", "N", "R")),
     graft.operators.DqdChecks.DomainRule("orders", "o_orderpriority",
       Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED")),
-    graft.operators.DqdChecks.DomainRule("orders", "o_orderstatus", Seq("F", "O", "P")))
+    graft.operators.DqdChecks.DomainRule("orders", "o_orderstatus", Seq("F", "O", "P")),
+    graft.operators.DqdChecks.DomainRule("events", "event_type",
+      Seq("click", "error", "purchase", "signup", "view")))
 
   /** measurePersonCompleteness over the test universe: customers with no
     * orders (TPC-H genuinely has them) and parts never shipped.
     */
   private val dqdCompleteness = Seq(
+    graft.operators.DqdChecks.CompletenessRule("events", "user_id"),
     graft.operators.DqdChecks.CompletenessRule("lineitem", "l_partkey"),
     graft.operators.DqdChecks.CompletenessRule("orders", "o_custkey"))
 
@@ -182,8 +186,9 @@ object LifecycleQueries {
     * [[graft.operators.DqdChecks]].
     */
   val dqdFieldLevel: Q = (s, d) =>
-    graft.operators.DqdChecks.fieldLevel(TpchModel.model, tb => t(s, d, tb), dqdBounds, dqdTemporal,
-      domains = dqdDomains, completeness = dqdCompleteness, thresholds = dqdThresholds)
+    graft.operators.DqdChecks.fieldLevel(TpchModel.modelWithEvents, tb => t(s, d, tb), dqdBounds,
+      dqdTemporal, domains = dqdDomains, completeness = dqdCompleteness,
+      thresholds = dqdThresholds)
       .orderBy("check_id")
 
   /** The same generator at FULL CDM 5.4 breadth: 39 tables / ~1200 checks
@@ -213,7 +218,7 @@ object LifecycleQueries {
     */
   val dqdOverview: Q = (s, d) =>
     graft.operators.DqdChecks.overview(
-      graft.operators.DqdChecks.fieldLevel(TpchModel.model, tb => t(s, d, tb), dqdBounds,
+      graft.operators.DqdChecks.fieldLevel(TpchModel.modelWithEvents, tb => t(s, d, tb), dqdBounds,
         dqdTemporal, domains = dqdDomains, completeness = dqdCompleteness,
         thresholds = dqdThresholds))
 
@@ -229,10 +234,11 @@ object LifecycleQueries {
     "dqd_config_driven" -> dqdConfigDriven)
 
   val oracles: Seq[(String, String)] = Seq(
-    "dqd_field_level" -> graft.operators.DqdChecks.oracleSql(TpchModel.model, dqdBounds, dqdTemporal,
-      domains = dqdDomains, completeness = dqdCompleteness, thresholds = dqdThresholds),
+    "dqd_field_level" -> graft.operators.DqdChecks.oracleSql(TpchModel.modelWithEvents, dqdBounds,
+      dqdTemporal, domains = dqdDomains, completeness = dqdCompleteness,
+      thresholds = dqdThresholds),
     "dqd_overview" -> graft.operators.DqdChecks.overviewOracleSql(
-      graft.operators.DqdChecks.oracleSql(TpchModel.model, dqdBounds, dqdTemporal,
+      graft.operators.DqdChecks.oracleSql(TpchModel.modelWithEvents, dqdBounds, dqdTemporal,
         domains = dqdDomains, completeness = dqdCompleteness, thresholds = dqdThresholds)),
     "dqd_cdm54_battery" ->
       graft.operators.DqdChecks.emptyUniverseOracleSql(graft.model.Cdm54.model,

@@ -43,13 +43,22 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("generated dist battery costs one window shuffle per table branch") {
-    // 5 tables with measure columns -> 5 hash exchanges (window + groupBy on
+    // one hash exchange per table with measure columns (window + groupBy on
     // the same keys reuse ONE shuffle each) + the final deterministic-order
-    // range exchange; a 6th hash exchange would mean a column stopped going
-    // through the stacked single-pass shape
+    // range exchange; one more would mean a column stopped going through
+    // the stacked single-pass shape. The bound is derived from the model so
+    // adding a table grows it automatically.
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val m = graft.model.TpchModel.modelWithEvents
+    val measureTables = m.tables.count { tb =>
+      val keyCols = m.pk(tb).toSet ++ m.fks(tb).keySet
+      m.sparkSchema(tb).fields.exists(f =>
+        (f.dataType == LongType || f.dataType == DoubleType) && !keyCols(f.name))
+    }
     val p = plan("achilles_dist_generated")
     val exchanges = p.linesIterator.count(_.contains("- Exchange"))
-    assert(exchanges <= 6, s"expected <=6 shuffles, got $exchanges:\n$p")
+    assert(exchanges <= measureTables + 1,
+      s"expected <=${measureTables + 1} shuffles, got $exchanges:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
 
