@@ -88,6 +88,16 @@ object DqdChecks {
     */
   final case class CompletenessRule(table: String, fkCol: String)
 
+  /** A CONCEPT-level plausibility rule (DQD's third check level,
+    * Concept_Level.csv: per-concept plausible ranges such as "plausible
+    * values for this measurement concept"): within the stratum
+    * `strataCol = strataValue` of `table`, non-null `field` values must lie
+    * in [lo, hi]. Rides the table's single aggregate pass like every
+    * FIELD-level check — per-stratum FILTERed sums, no extra scan.
+    */
+  final case class ConceptRule(table: String, strataCol: String, strataValue: String,
+      field: String, lo: Option[Double], hi: Option[Double])
+
   /** Derive plausibleStartBeforeEnd pairs from the model's field names:
     * every `X_start_date[time]` with a matching `X_end_date[time]` sibling.
     */
@@ -128,11 +138,13 @@ object DqdChecks {
       // aggregate expressions per field out of the CDM-wide battery)
       constValue: Option[(Long, Long)] = None,
       allowed: Option[Seq[String]] = None, // fkDomain value list
-      endField: Option[String] = None) {   // plausibleStartBeforeEnd pair
-    def id: String =
-      if (level == "TABLE")
-        s"table_${name}_$table" + (if (field.nonEmpty) s"_$field" else "")
-      else s"field_${name}_${table}_$field"
+      endField: Option[String] = None,     // plausibleStartBeforeEnd pair
+      stratum: Option[(String, String)] = None) { // CONCEPT-level (col, value)
+    def id: String = level match {
+      case "TABLE" => s"table_${name}_$table" + (if (field.nonEmpty) s"_$field" else "")
+      case "CONCEPT" => s"concept_${name}_${table}_${field}_${stratum.get._2}"
+      case _ => s"field_${name}_${table}_$field"
+    }
   }
 
   /** Every check of one table, all expressible in a single aggregate pass.
@@ -143,7 +155,8 @@ object DqdChecks {
       actualCols: Option[Set[String]] = None,
       temporal: Seq[TemporalRule] = Nil,
       startEnd: Seq[StartEndRule] = Nil,
-      domains: Seq[DomainRule] = Nil): Seq[Check] = {
+      domains: Seq[DomainRule] = Nil,
+      concepts: Seq[ConceptRule] = Nil): Seq[Check] = {
     val all = count(lit(1))
     // count(*)*0+1 instead of a bare literal: stays an aggregate expression
     // and still yields 1 on an empty table (where min/max would be NULL)
@@ -217,8 +230,20 @@ object DqdChecks {
         sum(when(col(r.field).isNotNull, 1L).otherwise(0L)),
         allowed = Some(r.allowed))
     }
+    val conceptChecks = concepts.filter(_.table == table)
+      .sortBy(r => (r.field, r.strataValue)).flatMap { r =>
+        val inStratum = col(r.strataCol) === r.strataValue && col(r.field).isNotNull
+        def mk(name: String, cond: Column, b: Double) =
+          Check(name, "CONCEPT", "Plausibility", table, r.field,
+            sum(when(inStratum && cond, 1L).otherwise(0L)),
+            sum(when(inStratum, 1L).otherwise(0L)),
+            bound = Some(b), stratum = Some((r.strataCol, r.strataValue)))
+        r.lo.toSeq.map(b => mk("plausibleValueLow", col(r.field) < b, b)) ++
+          r.hi.toSeq.map(b => mk("plausibleValueHigh", col(r.field) > b, b))
+      }
     presence ++ fieldPresence ++ required ++ valueCompleteness ++ datatype ++
-      pk ++ fk ++ plausible ++ temporalChecks ++ startBeforeEnd ++ domainChecks
+      pk ++ fk ++ plausible ++ temporalChecks ++ startBeforeEnd ++ domainChecks ++
+      conceptChecks
   }
 
   /** measurePersonCompleteness checks — separate from [[tableChecks]]
@@ -243,9 +268,11 @@ object DqdChecks {
       startEnd: Seq[StartEndRule] = Nil,
       domains: Seq[DomainRule] = Nil,
       completeness: Seq[CompletenessRule] = Nil,
-      thresholds: Thresholds = Map.empty): DataFrame = {
+      thresholds: Thresholds = Map.empty,
+      concepts: Seq[ConceptRule] = Nil): DataFrame = {
     val byTable = model.tables.map { tb =>
-      tb -> tableChecks(model, tb, bounds, Some(load(tb).columns.toSet), temporal, startEnd, domains)
+      tb -> tableChecks(model, tb, bounds, Some(load(tb).columns.toSet), temporal, startEnd,
+        domains, concepts)
     }
     val perTable = byTable.map { case (tb, allChecks) =>
       val checks = allChecks.filter(_.constValue.isEmpty)
@@ -377,10 +404,11 @@ object DqdChecks {
       startEnd: Seq[StartEndRule] = Nil,
       domains: Seq[DomainRule] = Nil,
       completeness: Seq[CompletenessRule] = Nil,
-      thresholds: Thresholds = Map.empty): String = {
+      thresholds: Thresholds = Map.empty,
+      concepts: Seq[ConceptRule] = Nil): String = {
     val allChecks = model.tables.flatMap { tb =>
       tableChecks(model, tb, bounds, actualCols = None, temporal = temporal,
-        startEnd = startEnd, domains = domains)
+        startEnd = startEnd, domains = domains, concepts = concepts)
     } ++ completenessChecks(model, completeness)
     def thr(c: Check): Double = thresholds.getOrElse((c.name, c.table, c.field), 0.0)
     val selects = allChecks.map { c =>
@@ -403,6 +431,14 @@ object DqdChecks {
             (s"count(*) FILTER (WHERE s.${c.field} IS NOT NULL AND p.__pk IS NULL)",
               s"count(*) FILTER (WHERE s.${c.field} IS NOT NULL)",
               s"${c.table} s LEFT JOIN (SELECT DISTINCT $parentPk AS __pk FROM $parent) p ON s.${c.field} = p.__pk")
+          case "plausibleValueLow" if c.stratum.isDefined =>
+            val (sc, sv) = c.stratum.get
+            (s"count(*) FILTER (WHERE $sc = '$sv' AND ${c.field} IS NOT NULL AND ${c.field} < ${c.bound.get})",
+              s"count(*) FILTER (WHERE $sc = '$sv' AND ${c.field} IS NOT NULL)", c.table)
+          case "plausibleValueHigh" if c.stratum.isDefined =>
+            val (sc, sv) = c.stratum.get
+            (s"count(*) FILTER (WHERE $sc = '$sv' AND ${c.field} IS NOT NULL AND ${c.field} > ${c.bound.get})",
+              s"count(*) FILTER (WHERE $sc = '$sv' AND ${c.field} IS NOT NULL)", c.table)
           case "plausibleValueLow" =>
             (s"count(*) FILTER (WHERE ${c.field} < ${c.bound.get})", "count(*)", c.table)
           case "plausibleValueHigh" =>
@@ -454,10 +490,11 @@ object DqdChecks {
       startEnd: Seq[StartEndRule] = Nil,
       domains: Seq[DomainRule] = Nil,
       completeness: Seq[CompletenessRule] = Nil,
-      thresholds: Thresholds = Map.empty): String = {
+      thresholds: Thresholds = Map.empty,
+      concepts: Seq[ConceptRule] = Nil): String = {
     val allChecks = model.tables.flatMap { tb =>
       tableChecks(model, tb, bounds, actualCols = None, temporal = temporal,
-        startEnd = startEnd, domains = domains)
+        startEnd = startEnd, domains = domains, concepts = concepts)
     } ++ completenessChecks(model, completeness)
     val rows = allChecks.map { c =>
       val (viol, denom, pct) = c.name match {

@@ -158,6 +158,17 @@ object LifecycleQueries {
     graft.operators.DqdChecks.DomainRule("events", "event_type",
       Seq("click", "error", "purchase", "signup", "view")))
 
+  /** CONCEPT-level plausibility (DQD's Concept_Level.csv shape): per-
+    * event-type plausible value ranges. purchase's [0, 300] upper bound is
+    * genuinely exceeded in the data, exercising a concept-level failure;
+    * click's [0, 500] passes.
+    */
+  private val dqdConcepts = Seq(
+    graft.operators.DqdChecks.ConceptRule("events", "event_type", "click", "value",
+      Some(0.0), Some(500.0)),
+    graft.operators.DqdChecks.ConceptRule("events", "event_type", "purchase", "value",
+      Some(0.0), Some(300.0)))
+
   /** measurePersonCompleteness over the test universe: customers with no
     * orders (TPC-H genuinely has them) and parts never shipped.
     */
@@ -188,7 +199,7 @@ object LifecycleQueries {
   val dqdFieldLevel: Q = (s, d) =>
     graft.operators.DqdChecks.fieldLevel(TpchModel.modelWithEvents, tb => t(s, d, tb), dqdBounds,
       dqdTemporal, domains = dqdDomains, completeness = dqdCompleteness,
-      thresholds = dqdThresholds)
+      thresholds = dqdThresholds, concepts = dqdConcepts)
       .orderBy("check_id")
 
   /** The same generator at FULL CDM 5.4 breadth: 39 tables / ~1200 checks
@@ -220,7 +231,7 @@ object LifecycleQueries {
     graft.operators.DqdChecks.overview(
       graft.operators.DqdChecks.fieldLevel(TpchModel.modelWithEvents, tb => t(s, d, tb), dqdBounds,
         dqdTemporal, domains = dqdDomains, completeness = dqdCompleteness,
-        thresholds = dqdThresholds))
+        thresholds = dqdThresholds, concepts = dqdConcepts))
 
   val defs: Seq[(String, Q)] = Seq(
     "dqd_field_level" -> dqdFieldLevel,
@@ -236,10 +247,11 @@ object LifecycleQueries {
   val oracles: Seq[(String, String)] = Seq(
     "dqd_field_level" -> graft.operators.DqdChecks.oracleSql(TpchModel.modelWithEvents, dqdBounds,
       dqdTemporal, domains = dqdDomains, completeness = dqdCompleteness,
-      thresholds = dqdThresholds),
+      thresholds = dqdThresholds, concepts = dqdConcepts),
     "dqd_overview" -> graft.operators.DqdChecks.overviewOracleSql(
       graft.operators.DqdChecks.oracleSql(TpchModel.modelWithEvents, dqdBounds, dqdTemporal,
-        domains = dqdDomains, completeness = dqdCompleteness, thresholds = dqdThresholds)),
+        domains = dqdDomains, completeness = dqdCompleteness, thresholds = dqdThresholds,
+        concepts = dqdConcepts)),
     "dqd_cdm54_battery" ->
       graft.operators.DqdChecks.emptyUniverseOracleSql(graft.model.Cdm54.model,
         startEnd = graft.operators.DqdChecks.startEndRules(graft.model.Cdm54.model),
