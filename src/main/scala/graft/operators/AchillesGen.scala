@@ -101,6 +101,52 @@ object AchillesGen {
       .filter(col("count_value") > 5)
       .orderBy("analysis_id", "stratum_1")
 
+  /** Cross-stratum pair analyses (Achilles's two-strata shape, e.g.
+    * "records by concept and year" — `achilles_results.stratum_2`): for
+    * every (string column, first datetime column) pair of a table, record
+    * counts by (value, year). One map-side-combinable aggregate per
+    * analysis, suppressed like the rest of the battery.
+    */
+  private final case class PairAnalysis(id: Long, table: String, strCol: String, tsCol: String)
+
+  private def pairAnalyses(model: CdmModel): Seq[PairAnalysis] = {
+    var nextId = 4000L
+    model.tables.flatMap { tb =>
+      val schema = model.sparkSchema(tb)
+      schema.fields.find(_.dataType == TimestampType).map(_.name).toSeq.flatMap { ts =>
+        schema.fields.collect { case f if f.dataType == StringType => f.name }.map { sc =>
+          val a = PairAnalysis(nextId, tb, sc, ts); nextId += 1; a
+        }
+      }
+    }
+  }
+
+  def pairResults(model: CdmModel, load: String => DataFrame): DataFrame =
+    pairAnalyses(model).map { a =>
+      load(a.table)
+        .groupBy(
+          col(a.strCol).as("stratum_1"),
+          year(col(a.tsCol)).cast("string").as("stratum_2"))
+        .agg(count(lit(1)).as("count_value"))
+        .select(lit(a.id).as("analysis_id"), col("stratum_1"), col("stratum_2"), col("count_value"))
+    }.reduce(_ unionByName _)
+      .filter(col("count_value") > 5)
+      .orderBy("analysis_id", "stratum_1", "stratum_2")
+
+  def pairOracleSql(model: CdmModel): String = {
+    val selects = pairAnalyses(model).map { a =>
+      s"""SELECT CAST(${a.id} AS BIGINT) AS analysis_id, ${a.strCol} AS stratum_1,
+         |  CAST(year(${a.tsCol}) AS VARCHAR) AS stratum_2, count(*) AS count_value
+         |FROM ${a.table} GROUP BY 2, 3""".stripMargin
+    }
+    s"""WITH results AS (
+       |${selects.mkString("\nUNION ALL\n")}
+       |)
+       |SELECT analysis_id, stratum_1, stratum_2, count_value FROM results
+       |WHERE count_value > 5
+       |ORDER BY analysis_id, stratum_1, stratum_2""".stripMargin
+  }
+
   /** The quantile set every dist analysis reports, with `quantile_cont`
     * interpolation semantics (h = (n-1)q + 1, linear between the bracketing
     * ranks — bit-identical to DuckDB's double arithmetic).

@@ -367,6 +367,8 @@ object EventQueries {
       graft.operators.AchillesGen.distResults(graft.model.TpchModel.modelWithEvents, tb => t(s, d, tb))),
     "achilles_fk_dist" -> ((s, d) =>
       graft.operators.AchillesGen.fkDistResults(graft.model.TpchModel.modelWithEvents, tb => t(s, d, tb))),
+    "achilles_pairs" -> ((s, d) =>
+      graft.operators.AchillesGen.pairResults(graft.model.TpchModel.modelWithEvents, tb => t(s, d, tb))),
     "dqd_checks" -> dqdChecks,
     "dqd_summary" -> dqdSummary,
     "event_props_extract" -> eventPropsExtract,
@@ -455,6 +457,8 @@ object EventQueries {
       graft.operators.AchillesGen.distOracleSql(graft.model.TpchModel.modelWithEvents),
     "achilles_fk_dist" ->
       graft.operators.AchillesGen.fkDistOracleSql(graft.model.TpchModel.modelWithEvents),
+    "achilles_pairs" ->
+      graft.operators.AchillesGen.pairOracleSql(graft.model.TpchModel.modelWithEvents),
     "achilles_dist" ->
       """WITH d AS (
         |  SELECT CAST(101 AS BIGINT) AS analysis_id, o_orderstatus AS stratum_1,
