@@ -17,7 +17,18 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+  // Memoized per (session, dir, table): a DataFrame is an immutable plan, so
+  // handing the same object to every caller is pure reuse — each action still
+  // re-executes, but the parquet file listing + footer schema read happen once
+  // per table instead of once per `load` call (the generated DQD/Achilles
+  // batteries call `load` once per analysis — dozens of times per table).
+  private val plans =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    plans.getOrElseUpdate((spark, sfDir, name), doLoad(spark, sfDir, name))
+
+  private def doLoad(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map
       // to TimestampType. It is read as raw nanos and converted — the data

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.model.CdmModel
 import org.apache.spark.sql.DataFrame
+import scala.util.chaining._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType, TimestampType}
@@ -97,7 +98,7 @@ object AchillesGen {
             .select(lit(a.id).as("analysis_id"), col("stratum_1"), col("count_value"))
       }
       shaped
-    }.reduce(_ unionByName _)
+    }.pipe(graft.Unions.balanced)
       .filter(col("count_value") > 5)
       .orderBy("analysis_id", "stratum_1")
 
@@ -129,7 +130,7 @@ object AchillesGen {
           year(col(a.tsCol)).cast("string").as("stratum_2"))
         .agg(count(lit(1)).as("count_value"))
         .select(lit(a.id).as("analysis_id"), col("stratum_1"), col("stratum_2"), col("count_value"))
-    }.reduce(_ unionByName _)
+    }.pipe(graft.Unions.balanced)
       .filter(col("count_value") > 5)
       .orderBy("analysis_id", "stratum_1", "stratum_2")
 
@@ -234,7 +235,7 @@ object AchillesGen {
         .select(col("stratum_1"), expr(stackExpr))
         .filter(col("__v").isNotNull)
       distAgg(stacked, Seq("analysis_id", "stratum_1"))
-    }.reduce(_ unionByName _)
+    }.pipe(graft.Unions.balanced)
       .orderBy("analysis_id", "stratum_1")
 
   /** The quantile-interpolation + final-projection tail shared by
@@ -307,7 +308,7 @@ object AchillesGen {
         .agg(count(lit(1)).as("__cnt"))
         .select(lit(a.id).as("analysis_id"), lit("ALL").as("stratum_1"),
           col("__v"), col("__cnt"))
-    }.reduce(_ unionByName _)
+    }.pipe(graft.Unions.balanced)
     distAggFromValueCounts(hist, Seq("analysis_id", "stratum_1"))
       .orderBy("analysis_id", "stratum_1")
   }

@@ -346,7 +346,7 @@ object DqdChecks {
     val viol = coalesce(col("num_violated_rows"), lit(0L))
     val denom = coalesce(col("num_denominator_rows"), lit(0L))
     val pct = viol.cast("double") / greatest(denom, lit(1L))
-    (perTable ++ completenessDfs :+ constDf).reduce(_ unionByName _)
+    graft.Unions.balanced(perTable ++ completenessDfs :+ constDf)
       .join(broadcast(thrDf), Seq("check_id"))
       .select(
         col("check_id"), col("check_name"), col("check_level"), col("category"),

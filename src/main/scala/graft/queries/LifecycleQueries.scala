@@ -196,11 +196,18 @@ object LifecycleQueries {
     * from the model, not hand-listed) — both sides of the oracle come from
     * [[graft.operators.DqdChecks]].
     */
-  val dqdFieldLevel: Q = (s, d) =>
-    graft.operators.DqdChecks.fieldLevel(TpchModel.modelWithEvents, tb => t(s, d, tb), dqdBounds,
-      dqdTemporal, domains = dqdDomains, completeness = dqdCompleteness,
-      thresholds = dqdThresholds, concepts = dqdConcepts)
-      .orderBy("check_id")
+  // one analyzed battery plan per (session, dir): dqd_field_level and
+  // dqd_overview share the DataFrame OBJECT (plan + codegen'd classes),
+  // never results — each action re-executes against the live tables
+  private val batteryPlans =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def generatedBattery(s: SparkSession, d: String): DataFrame =
+    batteryPlans.getOrElseUpdate((s, d),
+      graft.operators.DqdChecks.fieldLevel(TpchModel.modelWithEvents, tb => t(s, d, tb), dqdBounds,
+        dqdTemporal, domains = dqdDomains, completeness = dqdCompleteness,
+        thresholds = dqdThresholds, concepts = dqdConcepts))
+
+  val dqdFieldLevel: Q = (s, d) => generatedBattery(s, d).orderBy("check_id")
 
   /** The same generator at FULL CDM 5.4 breadth: 39 tables / ~1200 checks
     * instantiated from the vendored metadata and run against the empty
@@ -228,10 +235,7 @@ object LifecycleQueries {
     * 280-320` — the numbers the reference's dashboard headline shows).
     */
   val dqdOverview: Q = (s, d) =>
-    graft.operators.DqdChecks.overview(
-      graft.operators.DqdChecks.fieldLevel(TpchModel.modelWithEvents, tb => t(s, d, tb), dqdBounds,
-        dqdTemporal, domains = dqdDomains, completeness = dqdCompleteness,
-        thresholds = dqdThresholds, concepts = dqdConcepts))
+    graft.operators.DqdChecks.overview(generatedBattery(s, d))
 
   val defs: Seq[(String, Q)] = Seq(
     "dqd_field_level" -> dqdFieldLevel,
