@@ -322,6 +322,55 @@ object AchillesGen {
     }
   }
 
+  /** Observation-span distributions (the reference's "length of
+    * observation" dist family, Achilles analysis 105 shape): for every
+    * (FK column, date axis) pair, the distribution over entities of the
+    * day span between the entity's first and last record.
+    *
+    * Scale shape: stage 1 shuffles on the FK with map-side-combinable
+    * min/max; the spans then histogram (tiny domain) and
+    * [[distAggFromValueCounts]] windows over the histogram — no rank
+    * window ever sees the entities, same as [[fkDistResults]].
+    */
+  private final case class SpanAnalysis(id: Long, table: String, fkCol: String, tsCol: String)
+
+  private def spanAnalyses(model: CdmModel): Seq[SpanAnalysis] = {
+    var nextId = 5000L
+    model.tables.flatMap { tb =>
+      val firstTs = model.sparkSchema(tb).fields.find(_.dataType == TimestampType).map(_.name)
+      firstTs.toSeq.flatMap { ts =>
+        model.fks(tb).keys.toSeq.sorted.map { f =>
+          val a = SpanAnalysis(nextId, tb, f, ts); nextId += 1; a
+        }
+      }
+    }
+  }
+
+  def spanDistResults(model: CdmModel, load: String => DataFrame): DataFrame = {
+    val hist = spanAnalyses(model).map { a =>
+      load(a.table)
+        .where(col(a.fkCol).isNotNull && col(a.tsCol).isNotNull)
+        .groupBy(col(a.fkCol))
+        .agg(datediff(to_date(max(col(a.tsCol))), to_date(min(col(a.tsCol))))
+          .cast("double").as("__v"))
+        .groupBy(col("__v")).agg(count(lit(1)).as("__cnt"))
+        .select(lit(a.id).as("analysis_id"), lit("ALL").as("stratum_1"),
+          col("__v"), col("__cnt"))
+    }.pipe(graft.Unions.balanced)
+    distAggFromValueCounts(hist, Seq("analysis_id", "stratum_1"))
+      .orderBy("analysis_id", "stratum_1")
+  }
+
+  /** DuckDB rendering of the observation-span dist battery. */
+  def spanDistOracleSql(model: CdmModel): String = {
+    val selects = spanAnalyses(model).map { a =>
+      s"""SELECT CAST(${a.id} AS BIGINT) AS analysis_id, 'ALL' AS stratum_1,
+         |  CAST(date_diff('day', CAST(min(${a.tsCol}) AS DATE), CAST(max(${a.tsCol}) AS DATE)) AS DOUBLE) AS v
+         |FROM ${a.table} WHERE ${a.fkCol} IS NOT NULL AND ${a.tsCol} IS NOT NULL GROUP BY ${a.fkCol}""".stripMargin
+    }
+    distOuterSql(selects.mkString("\nUNION ALL\n"))
+  }
+
   /** Shared outer SELECT of the dist oracles (exact quantile_cont, matching
     * the Spark side's interpolation arithmetic bit-for-bit).
     */

@@ -12,32 +12,57 @@ import org.apache.spark.sql.functions._
   * per-row thresholds; check SQL templates under
   * `libs/DataQualityDashboard/inst/sql`).
   *
-  * Families generated per table/field (the reference's core set):
+  * Check families generated per table/field — the reference's full set:
   *  - `cdmTable`          (TABLE, Conformance): table presence
   *  - `cdmField`          (FIELD, Conformance): column presence in the
-  *     actually-loaded relation vs the spec (DQD checks the catalog the
-  *     same way)
+  *     actually-loaded relation vs the spec
   *  - `isRequired`        (FIELD, Completeness): NULLs in a required field
   *  - `measureValueCompleteness` (FIELD, Completeness): NULL fraction of
-  *     every non-required field (required ones are owned by `isRequired`)
+  *     every non-required field
   *  - `cdmDatatype`       (FIELD, Conformance): int64 fields whose value
-  *     does not parse as an integer (the DQD regexp check)
+  *     does not parse as an integer
   *  - `isPrimaryKey`      (FIELD, Conformance): duplicate PK values
   *  - `isForeignKey`      (FIELD, Conformance): orphaned FK values
-  *  - `plausibleValueLow/High` (FIELD, Plausibility): out-of-bounds values,
-  *     driven by a per-field bounds map (the analogue of DQD's per-row
-  *     `{checkName}Threshold` columns)
-  *  - `plausibleTemporalAfter` (FIELD, Plausibility): a child date that
-  *     precedes its FK parent's date (DQD's temporal family, e.g. an event
-  *     before birth), driven by [[TemporalRule]]s
+  *  - `fkDomain`          (FIELD, Conformance): values outside a domain list
+  *  - `fkClass`           (FIELD, Conformance): referenced concept not of
+  *     the required concept class (DQD: drug era ingredients)
+  *  - `isStandardValidConcept` (FIELD, Conformance): referenced concept not
+  *     standard ('S') and valid (invalid_reason NULL)
+  *  - `standardConceptRecordCompleteness` (FIELD, Completeness): records
+  *     with concept id 0 (unmapped)
+  *  - `sourceConceptRecordCompleteness` (FIELD, Completeness): records with
+  *     source concept id 0
+  *  - `sourceValueCompleteness` (FIELD, Completeness): DISTINCT source
+  *     values mapped to concept id 0
+  *  - `plausibleValueLow/High` (FIELD+CONCEPT, Plausibility): out-of-bounds
+  *     values, field-wide or per concept stratum
+  *  - `plausibleTemporalAfter` (FIELD, Plausibility): a child date before
+  *     its FK parent's date
+  *  - `plausibleAfterBirth` (FIELD, Plausibility): a date before the
+  *     person parent's birth — the same join machinery as temporalAfter,
+  *     instantiated against person.birth_datetime
+  *  - `plausibleStartBeforeEnd` (FIELD, Plausibility): same-row start>end
+  *  - `plausibleDuringLife` (FIELD, Plausibility): a date more than 60 days
+  *     after the person's death-table date
+  *  - `withinVisitDates` (FIELD, Plausibility): an event date outside its
+  *     visit parent's [start-slack, end+slack] window
+  *  - `plausibleGender` (CONCEPT, Plausibility): records of a
+  *     gender-specific concept whose person parent has the wrong gender
+  *  - `measurePersonCompleteness` (TABLE, Completeness): persons with no
+  *     record in the table
+  *  - `measureConditionEraCompleteness` (TABLE, Completeness): persons with
+  *     a source-sibling record (condition_occurrence) but no derived-table
+  *     record (condition_era)
   *
-  * Scale shape: ALL of a table's checks — including every FK orphan check —
-  * fold into ONE pass: the table is left-joined against each referenced
-  * parent's distinct PKs (cardinality-preserving), then a single aggregate
-  * computes every violated/denominator pair map-side, and the one result
-  * row explodes into per-check rows. The whole battery is a union of
-  * #tables small branches (not #checks), nothing is collected on the
-  * driver, and each table is scanned exactly once.
+  * Scale shape: each table's checks fold into TWO passes — branch A holds
+  * every sum-style check over the parent-joined table (all joins are
+  * left joins on unique keys, cardinality-preserving; one codegen'd
+  * aggregate, NO distinct aggregates so no Expand), branch B holds the
+  * distinct-style checks (isPrimaryKey, sourceValueCompleteness) over a
+  * narrow projection of just the key/source columns — the Expand that
+  * multi-distinct aggregation plans is confined to a scan that reads only
+  * those columns. The whole battery is a union of O(#tables) branches,
+  * nothing is collected on the driver.
   *
   * [[oracleSql]] renders the SAME battery as ANSI SQL from the SAME
   * metadata, so the correctness gate checks the generation logic, not a
@@ -54,49 +79,112 @@ object DqdChecks {
 
   /** Per-check failure thresholds, keyed (checkName, table, field) with a
     * percent value in [0, 100] — the analogue of DQD's per-row
-    * `{checkName}Threshold` CSV columns (`data_quality.py:322-347`): a
-    * check FAILS only when its violated percentage exceeds the threshold,
-    * so known-imperfect fields can carry a tolerance instead of a hard
-    * zero. Checks without an entry keep threshold 0 (any violation fails).
+    * `{checkName}Threshold` CSV columns (`data_quality.py:322-347`).
     */
   type Thresholds = Map[(String, String, String), Double]
 
-  /** A plausibleTemporalAfter rule: `table.field` must not precede the FK
-    * parent's `parentField` (reached through `fkCol`).
+  /** A temporal parent-join rule: `table.field` must not precede the FK
+    * parent's `parentField` (reached through `fkCol`). `name` selects the
+    * reported family: the generic `plausibleTemporalAfter`, or
+    * `plausibleAfterBirth` when the parent field is the person birth date —
+    * DQD instantiates both from the same template.
     */
-  final case class TemporalRule(table: String, field: String, fkCol: String, parentField: String)
+  final case class TemporalRule(table: String, field: String, fkCol: String,
+      parentField: String, name: String = "plausibleTemporalAfter")
 
-  /** A plausibleStartBeforeEnd rule (DQD's same-row temporal family, the
-    * reimplementation target of the deprecated plausibleTemporalAfter per
-    * `data_quality.py:115-117`): `startField` must not exceed `endField` in
-    * the same row. [[startEndRules]] derives these pairs from the model's
-    * `_start_date`/`_end_date` field-name convention, the way DQD
-    * instantiates the check over its Field_Level CSV.
+  /** A plausibleStartBeforeEnd rule (same-row temporal): `startField` must
+    * not exceed `endField`.
     */
   final case class StartEndRule(table: String, startField: String, endField: String)
 
-  /** An fkDomain rule (DQD's domain-conformance family): non-null values of
-    * `table.field` must come from `allowed`. The config plays the role of
-    * DQD's fkDomain column joined against the vocabulary DOMAIN table.
+  /** An fkDomain rule: non-null values of `table.field` must come from
+    * `allowed`.
     */
   final case class DomainRule(table: String, field: String, allowed: Seq[String])
 
   /** A measurePersonCompleteness rule (TABLE-level Completeness): the
-    * fraction of `fkCol`-parent rows (DQD: persons) with NO record in
-    * `table`. [[personCompletenessRules]] derives one rule per table with a
-    * `person_id` FK, exactly DQD's instantiation.
+    * fraction of `fkCol`-parent rows with NO record in `table`.
     */
   final case class CompletenessRule(table: String, fkCol: String)
 
-  /** A CONCEPT-level plausibility rule (DQD's third check level,
-    * Concept_Level.csv: per-concept plausible ranges such as "plausible
-    * values for this measurement concept"): within the stratum
+  /** A CONCEPT-level plausibility rule: within the stratum
     * `strataCol = strataValue` of `table`, non-null `field` values must lie
-    * in [lo, hi]. Rides the table's single aggregate pass like every
-    * FIELD-level check — per-stratum FILTERed sums, no extra scan.
+    * in [lo, hi].
     */
   final case class ConceptRule(table: String, strataCol: String, strataValue: String,
       field: String, lo: Option[Double], hi: Option[Double])
+
+  /** A withinVisitDates rule (DQD's visit-window family,
+    * `field_within_visit_dates.sql`): `table.field` must lie within the FK
+    * parent's [`parentStart` - slack, `parentEnd` + slack] window.
+    */
+  final case class WithinVisitRule(table: String, field: String, fkCol: String,
+      parentStart: String, parentEnd: String, slackDays: Int = 1)
+
+  /** A plausibleDuringLife rule (`field_plausible_during_life.sql`): when a
+    * row of `deathTable` exists for `table.fkCol`, `table.field` must not
+    * exceed the death date by more than `graceDays` (DQD: 60).
+    */
+  final case class DuringLifeRule(table: String, field: String, fkCol: String,
+      deathTable: String, deathKey: String, deathDateField: String, graceDays: Int = 60)
+
+  /** A concept-attribute conformance rule — the shared shape of DQD's
+    * `isStandardValidConcept` (attr standard_concept='S' AND invalid_reason
+    * NULL) and `fkClass` (attr concept_class_id = 'Ingredient'):
+    * `table.field` joins `conceptTable.conceptPk` and the referenced row's
+    * `attrCol` (as a string) must be in `allowed`, with `invCol` (if set)
+    * NULL. `excludeZero` skips the CDM's unmapped-sentinel id 0.
+    */
+  final case class ConceptAttrRule(name: String, table: String, field: String,
+      conceptTable: String, conceptPk: String, attrCol: String, allowed: Seq[String],
+      invCol: Option[String] = None, excludeZero: Boolean = true)
+
+  /** A record-completeness rule — DQD's
+    * `standardConceptRecordCompleteness` / `sourceConceptRecordCompleteness`:
+    * fraction of rows where `field` = 0 (the unmapped sentinel).
+    */
+  final case class RecordCompletenessRule(name: String, table: String, field: String)
+
+  /** A sourceValueCompleteness rule: fraction of DISTINCT `field` values
+    * whose sibling `conceptField` is 0 in some row.
+    */
+  final case class SourceValueRule(table: String, field: String, conceptField: String)
+
+  /** A sibling-completeness rule (DQD's measureConditionEraCompleteness
+    * shape): entities present in `sibling.siblingKey` with no row in
+    * `table.tableKey` — e.g. persons with a condition_occurrence but no
+    * condition_era.
+    */
+  final case class SiblingCompletenessRule(name: String, table: String, tableKey: String,
+      sibling: String, siblingKey: String)
+
+  /** A plausibleGender rule (CONCEPT level): rows of `table` where
+    * `conceptCol` = `conceptValue` must reference (via `fkCol`) a parent
+    * whose `parentGenderCol` (as a string) is in `allowed`.
+    */
+  final case class GenderRule(table: String, conceptCol: String, conceptValue: String,
+      fkCol: String, parentGenderCol: String, allowed: Seq[String])
+
+  /** The full rule configuration of one battery — the analogue of DQD's
+    * three config CSVs (Table/Field/Concept_Level) in one place.
+    */
+  final case class RuleSet(
+      bounds: Bounds = Map.empty,
+      temporal: Seq[TemporalRule] = Nil,
+      startEnd: Seq[StartEndRule] = Nil,
+      domains: Seq[DomainRule] = Nil,
+      completeness: Seq[CompletenessRule] = Nil,
+      thresholds: Thresholds = Map.empty,
+      concepts: Seq[ConceptRule] = Nil,
+      withinVisit: Seq[WithinVisitRule] = Nil,
+      duringLife: Seq[DuringLifeRule] = Nil,
+      conceptAttrs: Seq[ConceptAttrRule] = Nil,
+      recordCompleteness: Seq[RecordCompletenessRule] = Nil,
+      sourceValues: Seq[SourceValueRule] = Nil,
+      siblings: Seq[SiblingCompletenessRule] = Nil,
+      genders: Seq[GenderRule] = Nil)
+
+  // ---------------------------------------------------------------- derive
 
   /** Derive plausibleStartBeforeEnd pairs from the model's field names:
     * every `X_start_date[time]` with a matching `X_end_date[time]` sibling.
@@ -117,9 +205,95 @@ object DqdChecks {
     model.tables.filter(t => t != "person" && model.fks(t).get("person_id").contains("person"))
       .sorted.map(CompletenessRule(_, "person_id"))
 
+  private def dateFields(model: CdmModel, tb: String): Seq[String] =
+    model.sparkSchema(tb).fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.DateType ||
+        f.dataType == org.apache.spark.sql.types.TimestampType => f.name
+    }.toSeq.filterNot(_.startsWith("valid_"))
+
+  /** Derive plausibleAfterBirth rules: every date/datetime field of every
+    * person-child table must not precede person.birth_datetime — DQD
+    * instantiates this family over its Field_Level CSV the same way.
+    */
+  def afterBirthRules(model: CdmModel): Seq[TemporalRule] =
+    model.tables.filter(t => t != "person" && model.fks(t).get("person_id").contains("person"))
+      .flatMap(tb => dateFields(model, tb).map(f =>
+        TemporalRule(tb, f, "person_id", "birth_datetime", name = "plausibleAfterBirth")))
+      .sortBy(r => (r.table, r.field))
+
+  /** Derive plausibleDuringLife rules (needs a `death` table keyed by
+    * person_id): every date field of every person-child table, graced by
+    * DQD's 60 days.
+    */
+  def duringLifeRules(model: CdmModel): Seq[DuringLifeRule] =
+    if (!model.tables.contains("death")) Nil
+    else model.tables
+      .filter(t => t != "person" && t != "death" &&
+        model.fks(t).get("person_id").contains("person"))
+      .flatMap(tb => dateFields(model, tb).map(f =>
+        DuringLifeRule(tb, f, "person_id", "death", "person_id", "death_date")))
+      .sortBy(r => (r.table, r.field))
+
+  /** Derive withinVisitDates rules: the event-start date fields of every
+    * table with a visit_occurrence FK, against the visit's start/end ± 1
+    * day (DQD's window).
+    */
+  def withinVisitRules(model: CdmModel): Seq[WithinVisitRule] =
+    model.tables.filter(t => t != "visit_occurrence" &&
+      model.fks(t).get("visit_occurrence_id").contains("visit_occurrence"))
+      .flatMap { tb =>
+        dateFields(model, tb)
+          .filter(f => f.contains("_start_") || !(f.contains("_end_") || f.contains("datetime")))
+          .map(f => WithinVisitRule(tb, f, "visit_occurrence_id",
+            "visit_start_date", "visit_end_date"))
+      }.sortBy(r => (r.table, r.field))
+
+  /** Derive standard/sourceConceptRecordCompleteness rules from the CDM
+    * naming convention, the way DQD keys off its Field_Level CSV columns:
+    * every `*_concept_id` int64 field (source ones to the source family).
+    */
+  def recordCompletenessRules(model: CdmModel): Seq[RecordCompletenessRule] =
+    model.tables.flatMap { tb =>
+      model.sparkSchema(tb).fields.collect {
+        case f if f.name.endsWith("_source_concept_id") &&
+          f.dataType == org.apache.spark.sql.types.LongType =>
+          RecordCompletenessRule("sourceConceptRecordCompleteness", tb, f.name)
+        case f if f.name.endsWith("_concept_id") &&
+          f.dataType == org.apache.spark.sql.types.LongType =>
+          RecordCompletenessRule("standardConceptRecordCompleteness", tb, f.name)
+      }
+    }.sortBy(r => (r.table, r.field))
+
+  /** Derive sourceValueCompleteness rules: every `X_source_value` field
+    * with an `X_concept_id` sibling in the same table.
+    */
+  def sourceValueRules(model: CdmModel): Seq[SourceValueRule] =
+    model.tables.flatMap { tb =>
+      val cols = model.columns(tb).toSet
+      model.columns(tb).collect {
+        case f if f.endsWith("_source_value") &&
+          cols.contains(f.stripSuffix("_source_value") + "_concept_id") =>
+          SourceValueRule(tb, f, f.stripSuffix("_source_value") + "_concept_id")
+      }
+    }.sortBy(r => (r.table, r.field))
+
+  /** Derive isStandardValidConcept rules from the model's fkDomains map
+    * (the primary concept field of each clinical table) against the
+    * vocabulary `concept` table, when the model carries one.
+    */
+  def standardConceptRules(model: CdmModel): Seq[ConceptAttrRule] =
+    if (!model.tables.contains("concept")) Nil
+    else model.fkDomains.toSeq.flatMap { case (tb, fields) =>
+      fields.keys.map(f => ConceptAttrRule("isStandardValidConcept", tb, f,
+        "concept", "concept_id", "standard_concept", Seq("S"),
+        invCol = Some("invalid_reason")))
+    }.sortBy(r => (r.table, r.field))
+
+  // --------------------------------------------------------------- checks
+
   /** One generated check: aggregate expressions for violated/denominator
     * (evaluated over the parent-joined table), plus the metadata needed to
-    * render the oracle (`bound`, `parent`).
+    * render the oracle.
     */
   private final case class Check(
       name: String,
@@ -133,13 +307,16 @@ object DqdChecks {
       parent: Option[(String, String)] = None, // (parentTable, parentPk)
       fkCol: Option[String] = None,
       parentField: Option[String] = None,
-      // plan-time-constant (violated, denominator): emitted as a local
-      // relation instead of riding the aggregate (keeps ~2 codegen'd
-      // aggregate expressions per field out of the CDM-wide battery)
       constValue: Option[(Long, Long)] = None,
-      allowed: Option[Seq[String]] = None, // fkDomain value list
-      endField: Option[String] = None,     // plausibleStartBeforeEnd pair
-      stratum: Option[(String, String)] = None) { // CONCEPT-level (col, value)
+      allowed: Option[Seq[String]] = None,
+      endField: Option[String] = None,
+      stratum: Option[(String, String)] = None,
+      attrCol: Option[String] = None,      // ConceptAttr: parent attr column
+      invCol: Option[String] = None,       // ConceptAttr: must-be-NULL column
+      excludeZero: Boolean = false,        // ConceptAttr: skip sentinel id 0
+      siblingOf: Option[(String, String)] = None, // Sibling: (table, key)
+      days: Option[Int] = None,            // duringLife grace / visit slack
+      distinctAgg: Boolean = false) {      // branch B (Expand-confined) check
     def id: String = level match {
       case "TABLE" => s"table_${name}_$table" + (if (field.nonEmpty) s"_$field" else "")
       case "CONCEPT" => s"concept_${name}_${table}_${field}_${stratum.get._2}"
@@ -147,24 +324,19 @@ object DqdChecks {
     }
   }
 
-  /** Every check of one table, all expressible in a single aggregate pass.
-    * FK checks reference the `__pk_<fkCol>` columns [[fieldLevel]] attaches
-    * by left-joining the parents' distinct PKs.
+  /** Every per-scan check of one table. Branch-A checks reference the
+    * `__tp_*` / `__dl_*` / `__ca_*` columns [[fieldLevel]] attaches by
+    * left-joining parents on unique keys; branch-B (distinct) checks read
+    * the raw table only.
     */
-  private def tableChecks(model: CdmModel, table: String, bounds: Bounds,
-      actualCols: Option[Set[String]] = None,
-      temporal: Seq[TemporalRule] = Nil,
-      startEnd: Seq[StartEndRule] = Nil,
-      domains: Seq[DomainRule] = Nil,
-      concepts: Seq[ConceptRule] = Nil): Seq[Check] = {
+  private def tableChecks(model: CdmModel, table: String, rules: RuleSet,
+      actualCols: Option[Set[String]] = None): Seq[Check] = {
     val all = count(lit(1))
     // count(*)*0+1 instead of a bare literal: stays an aggregate expression
     // and still yields 1 on an empty table (where min/max would be NULL)
     val one = count(lit(1)) * lit(0L) + lit(1L)
     val presence = Seq(Check("cdmTable", "TABLE", "Conformance", table, "",
       when(count(lit(1)) === 0, lit(1L)).otherwise(lit(0L)), one))
-    // cdmField inspects the ACTUAL relation's columns against the spec (the
-    // catalog check); the oracle side renders the conforming expectation
     val fieldPresence = model.sparkSchema(table).fields.toSeq.map { sf =>
       val missing = actualCols.exists(cols => !cols.contains(sf.name))
       Check("cdmField", "FIELD", "Conformance", table, sf.name,
@@ -187,9 +359,11 @@ object DqdChecks {
             1L).otherwise(0L)),
           all)
     }.toSeq
+    // isPrimaryKey is a DISTINCT aggregate -> branch B, so the main pass
+    // plans no Expand
     val pk = model.pk(table).toSeq.map { p =>
       Check("isPrimaryKey", "FIELD", "Conformance", table, p,
-        count(lit(1)) - countDistinct(col(p)), all)
+        count(lit(1)) - countDistinct(col(p)), count(lit(1)), distinctAgg = true)
     }
     val fk = model.fks(table).toSeq.sortBy(_._1).map { case (fkCol, parent) =>
       val parentPk = model.pk(parent).getOrElse(
@@ -199,7 +373,7 @@ object DqdChecks {
         sum(when(col(fkCol).isNotNull, 1L).otherwise(0L)),
         parent = Some((parent, parentPk)))
     }
-    val plausible = bounds.toSeq.sortBy(_._1).collect {
+    val plausible = rules.bounds.toSeq.sortBy(_._1).collect {
       case ((t, f), (lo, hi)) if t == table =>
         lo.toSeq.map(b =>
           Check("plausibleValueLow", "FIELD", "Plausibility", table, f,
@@ -208,29 +382,31 @@ object DqdChecks {
             Check("plausibleValueHigh", "FIELD", "Plausibility", table, f,
               sum(when(col(f) > b, 1L).otherwise(0L)), all, Some(b)))
     }.flatten
-    val temporalChecks = temporal.filter(_.table == table).sortBy(_.field).map { r =>
-      val parent = model.fks(table)(r.fkCol)
-      val parentPk = model.pk(parent).get
-      val tp = col(s"__tp_${r.fkCol}_${r.parentField}")
-      Check("plausibleTemporalAfter", "FIELD", "Plausibility", table, r.field,
-        sum(when(col(r.field).isNotNull && tp.isNotNull && col(r.field) < tp, 1L).otherwise(0L)),
-        sum(when(col(r.field).isNotNull && tp.isNotNull, 1L).otherwise(0L)),
-        parent = Some((parent, parentPk)), fkCol = Some(r.fkCol), parentField = Some(r.parentField))
-    }
-    val startBeforeEnd = startEnd.filter(_.table == table).sortBy(_.startField).map { r =>
+    val temporalChecks = rules.temporal.filter(_.table == table)
+      .sortBy(r => (r.name, r.field)).map { r =>
+        val parent = model.fks(table)(r.fkCol)
+        val parentPk = model.pk(parent).get
+        val tp = col(s"__tp_${r.fkCol}_${r.parentField}")
+        Check(r.name, "FIELD", "Plausibility", table, r.field,
+          sum(when(col(r.field).isNotNull && tp.isNotNull && col(r.field) < tp, 1L).otherwise(0L)),
+          sum(when(col(r.field).isNotNull && tp.isNotNull, 1L).otherwise(0L)),
+          parent = Some((parent, parentPk)), fkCol = Some(r.fkCol),
+          parentField = Some(r.parentField))
+      }
+    val startBeforeEnd = rules.startEnd.filter(_.table == table).sortBy(_.startField).map { r =>
       val (s, e) = (col(r.startField), col(r.endField))
       Check("plausibleStartBeforeEnd", "FIELD", "Plausibility", table, r.startField,
         sum(when(s.isNotNull && e.isNotNull && s > e, 1L).otherwise(0L)),
         sum(when(s.isNotNull && e.isNotNull, 1L).otherwise(0L)),
         endField = Some(r.endField))
     }
-    val domainChecks = domains.filter(_.table == table).sortBy(_.field).map { r =>
+    val domainChecks = rules.domains.filter(_.table == table).sortBy(_.field).map { r =>
       Check("fkDomain", "FIELD", "Conformance", table, r.field,
         sum(when(col(r.field).isNotNull && !col(r.field).isin(r.allowed: _*), 1L).otherwise(0L)),
         sum(when(col(r.field).isNotNull, 1L).otherwise(0L)),
         allowed = Some(r.allowed))
     }
-    val conceptChecks = concepts.filter(_.table == table)
+    val conceptChecks = rules.concepts.filter(_.table == table)
       .sortBy(r => (r.field, r.strataValue)).flatMap { r =>
         val inStratum = col(r.strataCol) === r.strataValue && col(r.field).isNotNull
         def mk(name: String, cond: Column, b: Double) =
@@ -241,17 +417,80 @@ object DqdChecks {
         r.lo.toSeq.map(b => mk("plausibleValueLow", col(r.field) < b, b)) ++
           r.hi.toSeq.map(b => mk("plausibleValueHigh", col(r.field) > b, b))
       }
+    val withinVisitChecks = rules.withinVisit.filter(_.table == table).sortBy(_.field).map { r =>
+      val parent = model.fks(table)(r.fkCol)
+      val parentPk = model.pk(parent).get
+      val f = col(r.field)
+      val vs = col(s"__tp_${r.fkCol}_${r.parentStart}")
+      val ve = col(s"__tp_${r.fkCol}_${r.parentEnd}")
+      val slack = expr(s"INTERVAL ${r.slackDays} DAY")
+      Check("withinVisitDates", "FIELD", "Plausibility", table, r.field,
+        sum(when(f.isNotNull && vs.isNotNull && ve.isNotNull &&
+          (f < vs - slack || f > ve + slack), 1L).otherwise(0L)),
+        sum(when(f.isNotNull && vs.isNotNull && ve.isNotNull, 1L).otherwise(0L)),
+        parent = Some((parent, parentPk)), fkCol = Some(r.fkCol),
+        parentField = Some(r.parentStart), endField = Some(r.parentEnd),
+        days = Some(r.slackDays))
+    }
+    val duringLifeChecks = rules.duringLife.filter(_.table == table).sortBy(_.field).map { r =>
+      val f = col(r.field)
+      val dd = col(s"__dl_dt_${r.fkCol}")
+      val grace = expr(s"INTERVAL ${r.graceDays} DAY")
+      Check("plausibleDuringLife", "FIELD", "Plausibility", table, r.field,
+        sum(when(f.isNotNull && dd.isNotNull && f > dd + grace, 1L).otherwise(0L)),
+        sum(when(f.isNotNull && dd.isNotNull, 1L).otherwise(0L)),
+        parent = Some((r.deathTable, r.deathKey)), fkCol = Some(r.fkCol),
+        parentField = Some(r.deathDateField), days = Some(r.graceDays))
+    }
+    val conceptAttrChecks = rules.conceptAttrs.filter(_.table == table)
+      .sortBy(r => (r.name, r.field)).map { r =>
+        val f = col(r.field)
+        val a = col(s"__ca_${r.field}_${r.attrCol}").cast("string")
+        val okAttr = r.invCol.map(ic => a.isin(r.allowed: _*) &&
+          col(s"__ca_${r.field}_$ic").isNull).getOrElse(a.isin(r.allowed: _*))
+        val inScope = if (r.excludeZero) f.isNotNull && f =!= 0 else f.isNotNull
+        Check(r.name, "FIELD", "Conformance", table, r.field,
+          sum(when(inScope && !coalesce(okAttr, lit(false)), 1L).otherwise(0L)),
+          sum(when(inScope, 1L).otherwise(0L)),
+          parent = Some((r.conceptTable, r.conceptPk)), allowed = Some(r.allowed),
+          attrCol = Some(r.attrCol), invCol = r.invCol, excludeZero = r.excludeZero)
+      }
+    val recordChecks = rules.recordCompleteness.filter(_.table == table)
+      .sortBy(r => (r.name, r.field)).map { r =>
+        Check(r.name, "FIELD", "Completeness", table, r.field,
+          sum(when(col(r.field).isNotNull && col(r.field) === 0, 1L).otherwise(0L)), all)
+      }
+    val sourceValueChecks = rules.sourceValues.filter(_.table == table).sortBy(_.field).map { r =>
+      Check("sourceValueCompleteness", "FIELD", "Completeness", table, r.field,
+        countDistinct(when(col(r.conceptField) === 0, col(r.field))),
+        countDistinct(col(r.field)),
+        parentField = Some(r.conceptField), distinctAgg = true)
+    }
+    val genderChecks = rules.genders.filter(_.table == table)
+      .sortBy(r => (r.conceptCol, r.conceptValue)).map { r =>
+        val parent = model.fks(table)(r.fkCol)
+        val parentPk = model.pk(parent).get
+        val g = col(s"__tp_${r.fkCol}_${r.parentGenderCol}").cast("string")
+        val inStratum = col(r.conceptCol) === r.conceptValue && g.isNotNull
+        Check("plausibleGender", "CONCEPT", "Plausibility", table, r.conceptCol,
+          sum(when(inStratum && !g.isin(r.allowed: _*), 1L).otherwise(0L)),
+          sum(when(inStratum, 1L).otherwise(0L)),
+          parent = Some((parent, parentPk)), fkCol = Some(r.fkCol),
+          parentField = Some(r.parentGenderCol), allowed = Some(r.allowed),
+          stratum = Some((r.conceptCol, r.conceptValue)))
+      }
     presence ++ fieldPresence ++ required ++ valueCompleteness ++ datatype ++
       pk ++ fk ++ plausible ++ temporalChecks ++ startBeforeEnd ++ domainChecks ++
-      conceptChecks
+      conceptChecks ++ withinVisitChecks ++ duringLifeChecks ++ conceptAttrChecks ++
+      recordChecks ++ sourceValueChecks ++ genderChecks
   }
 
-  /** measurePersonCompleteness checks — separate from [[tableChecks]]
-    * because their scan runs over the PARENT table (parents with no record
-    * in the child), not the child itself.
+  /** TABLE-level checks whose scan runs over a DIFFERENT table than the one
+    * they report on: measurePersonCompleteness (parents with no child row)
+    * and the sibling-completeness family (sibling entities with no row).
     */
-  private def completenessChecks(model: CdmModel, rules: Seq[CompletenessRule]): Seq[Check] =
-    rules.sortBy(r => (r.table, r.fkCol)).map { r =>
+  private def crossTableChecks(model: CdmModel, rules: RuleSet): Seq[Check] = {
+    val personCompleteness = rules.completeness.sortBy(r => (r.table, r.fkCol)).map { r =>
       val parent = model.fks(r.table).getOrElse(r.fkCol,
         throw new IllegalArgumentException(s"${r.table}.${r.fkCol} is not an FK"))
       val parentPk = model.pk(parent).getOrElse(
@@ -259,52 +498,108 @@ object DqdChecks {
       Check("measurePersonCompleteness", "TABLE", "Completeness", r.table, r.fkCol,
         lit(0L), lit(0L), parent = Some((parent, parentPk)), fkCol = Some(r.fkCol))
     }
-
-  /** The full generated battery as one DataFrame plan — one branch per
-    * table, each scanning its table once.
-    */
-  def fieldLevel(model: CdmModel, load: String => DataFrame, bounds: Bounds = Map.empty,
-      temporal: Seq[TemporalRule] = Nil,
-      startEnd: Seq[StartEndRule] = Nil,
-      domains: Seq[DomainRule] = Nil,
-      completeness: Seq[CompletenessRule] = Nil,
-      thresholds: Thresholds = Map.empty,
-      concepts: Seq[ConceptRule] = Nil): DataFrame = {
-    val byTable = model.tables.map { tb =>
-      tb -> tableChecks(model, tb, bounds, Some(load(tb).columns.toSet), temporal, startEnd,
-        domains, concepts)
+    val siblingCompleteness = rules.siblings.sortBy(r => (r.name, r.table)).map { r =>
+      Check(r.name, "TABLE", "Completeness", r.table, r.tableKey,
+        lit(0L), lit(0L), fkCol = Some(r.tableKey),
+        siblingOf = Some((r.sibling, r.siblingKey)))
     }
-    val perTable = byTable.map { case (tb, allChecks) =>
-      val checks = allChecks.filter(_.constValue.isEmpty)
-      // attach each referenced parent's distinct PKs (left joins on a
-      // unique key preserve cardinality, so the shared aggregate is exact);
-      // temporal rules ride the same join, pulling the parent's date column
-      val joined = model.fks(tb).toSeq.sortBy(_._1).foldLeft(load(tb)) {
+    personCompleteness ++ siblingCompleteness
+  }
+
+  /** The full generated battery as one DataFrame plan. */
+  def fieldLevel(model: CdmModel, load: String => DataFrame,
+      rules: RuleSet = RuleSet()): DataFrame = {
+    val byTable = model.tables.map { tb =>
+      tb -> tableChecks(model, tb, rules, Some(load(tb).columns.toSet))
+    }
+    val perTable = byTable.flatMap { case (tb, allChecks) =>
+      val checksA = allChecks.filter(c => c.constValue.isEmpty && !c.distinctAgg)
+      val checksB = allChecks.filter(c => c.constValue.isEmpty && c.distinctAgg)
+      // parent-attr pulls through the FK joins: temporal/afterBirth dates,
+      // visit windows, gender attributes — all deduped per (fkCol, column)
+      val fkPulls: Map[String, Seq[String]] = {
+        val t = rules.temporal.filter(_.table == tb).map(r => r.fkCol -> r.parentField)
+        val w = rules.withinVisit.filter(_.table == tb)
+          .flatMap(r => Seq(r.fkCol -> r.parentStart, r.fkCol -> r.parentEnd))
+        val g = rules.genders.filter(_.table == tb).map(r => r.fkCol -> r.parentGenderCol)
+        (t ++ w ++ g).distinct.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+      }
+      // (1) FK parents: left joins on distinct unique PKs preserve
+      // cardinality, so the shared aggregate is exact
+      val fkJoined = model.fks(tb).toSeq.sortBy(_._1).foldLeft(load(tb)) {
         case (df, (fkCol, parent)) =>
           val parentPk = model.pk(parent).get
-          val tpCols = temporal.filter(r => r.table == tb && r.fkCol == fkCol).map(r =>
-            col(r.parentField).as(s"__tp_${fkCol}_${r.parentField}"))
+          val attrCols = fkPulls.getOrElse(fkCol, Nil).map(a =>
+            col(a).as(s"__tp_${fkCol}_$a"))
           val p = load(parent)
-            .select(col(parentPk).as(s"__pk_$fkCol") +: tpCols: _*).distinct()
+            .select(col(parentPk).as(s"__pk_$fkCol") +: attrCols: _*).distinct()
           df.join(p, df(fkCol) === p(s"__pk_$fkCol"), "left")
       }
-      val aggs = checks.zipWithIndex.flatMap { case (c, i) =>
-        Seq(c.violated.as(s"__v$i"), c.denominator.as(s"__d$i"))
+      // (2) duringLife death-table joins: aggregated to one row per key so
+      // the join cannot multiply
+      val dlJoined = rules.duringLife.filter(_.table == tb)
+        .map(r => (r.fkCol, r.deathTable, r.deathKey, r.deathDateField)).distinct
+        .foldLeft(fkJoined) { case (df, (fkCol, dTb, dKey, dDate)) =>
+          val d = load(dTb).groupBy(col(dKey).as(s"__dl_pk_$fkCol"))
+            .agg(min(col(dDate)).as(s"__dl_dt_$fkCol"))
+          df.join(d, df(fkCol) === d(s"__dl_pk_$fkCol"), "left")
+        }
+      // (3) concept-attribute joins: one per checked field, attrs unioned
+      // across rules, aggregated to one row per concept id
+      val caJoined = {
+        val byField = rules.conceptAttrs.filter(_.table == tb)
+          .groupBy(r => (r.field, r.conceptTable, r.conceptPk)).toSeq.sortBy(_._1)
+        byField.foldLeft(dlJoined) { case (df, ((field, cTb, cPk), rs)) =>
+          val attrs = rs.flatMap(r => r.attrCol +: r.invCol.toSeq).distinct
+          val c = load(cTb).groupBy(col(cPk).as(s"__ca_pk_$field"))
+            .agg(attrs.map(a => max(col(a)).as(s"__ca_${field}_$a")).head,
+              attrs.map(a => max(col(a)).as(s"__ca_${field}_$a")).tail: _*)
+          df.join(c, df(field) === c(s"__ca_pk_$field"), "left")
+        }
       }
-      joined
-        .agg(aggs.head, aggs.tail: _*)
-        .select(explode(array(checks.zipWithIndex.map { case (c, i) =>
-          struct(
-            lit(c.id).as("check_id"),
-            lit(c.name).as("check_name"),
-            lit(c.level).as("check_level"),
-            lit(c.category).as("category"),
-            lit(c.table).as("cdm_table_name"),
-            lit(c.field).as("cdm_field_name"),
-            col(s"__v$i").cast("long").as("num_violated_rows"),
-            col(s"__d$i").cast("long").as("num_denominator_rows"))
-        }: _*)).as("c"))
-        .select("c.*")
+      val branchA = {
+        val aggs = checksA.zipWithIndex.flatMap { case (c, i) =>
+          Seq(c.violated.as(s"__v$i"), c.denominator.as(s"__d$i"))
+        }
+        caJoined
+          .agg(aggs.head, aggs.tail: _*)
+          .select(explode(array(checksA.zipWithIndex.map { case (c, i) =>
+            struct(
+              lit(c.id).as("check_id"),
+              lit(c.name).as("check_name"),
+              lit(c.level).as("check_level"),
+              lit(c.category).as("category"),
+              lit(c.table).as("cdm_table_name"),
+              lit(c.field).as("cdm_field_name"),
+              col(s"__v$i").cast("long").as("num_violated_rows"),
+              col(s"__d$i").cast("long").as("num_denominator_rows"))
+          }: _*)).as("c"))
+          .select("c.*")
+      }
+      // branch B: the distinct-style checks over a NARROW projection — the
+      // multi-distinct Expand only ever sees the key/source columns
+      val branchB = if (checksB.isEmpty) Nil else {
+        val needed = checksB.flatMap(c =>
+          c.field +: c.parentField.toSeq).distinct.map(col)
+        val aggs = checksB.zipWithIndex.flatMap { case (c, i) =>
+          Seq(c.violated.as(s"__v$i"), c.denominator.as(s"__d$i"))
+        }
+        Seq(load(tb).select(needed: _*)
+          .agg(aggs.head, aggs.tail: _*)
+          .select(explode(array(checksB.zipWithIndex.map { case (c, i) =>
+            struct(
+              lit(c.id).as("check_id"),
+              lit(c.name).as("check_name"),
+              lit(c.level).as("check_level"),
+              lit(c.category).as("category"),
+              lit(c.table).as("cdm_table_name"),
+              lit(c.field).as("cdm_field_name"),
+              col(s"__v$i").cast("long").as("num_violated_rows"),
+              col(s"__d$i").cast("long").as("num_denominator_rows"))
+          }: _*)).as("c"))
+          .select("c.*"))
+      }
+      branchA +: branchB
     }
     // the plan-time-constant checks land as ONE local relation
     val session = load(model.tables.head).sparkSession
@@ -316,16 +611,21 @@ object DqdChecks {
       }
     }.toDF("check_id", "check_name", "check_level", "category",
       "cdm_table_name", "cdm_field_name", "num_violated_rows", "num_denominator_rows")
-    // measurePersonCompleteness: one branch per rule, scanning the PARENT
-    // left-joined to the child's distinct FK values — violated = parents
-    // with no child row, denominator = all parents. One shuffle per rule,
-    // both aggregates in the same pass.
-    val completenessDfs = completenessChecks(model, completeness).map { c =>
-      val (parent, parentPk) = c.parent.get
+    // cross-table completeness: one branch per rule — the parent (or
+    // sibling) distinct-key set left-joined to the table's distinct keys,
+    // both aggregates in the same pass
+    val crossDfs = crossTableChecks(model, rules).map { c =>
+      val (leftDf, leftKey) = c.siblingOf match {
+        case Some((sib, sibKey)) =>
+          (load(sib).select(col(sibKey).as("__p")).where(col("__p").isNotNull).distinct(), "__p")
+        case None =>
+          val (parent, parentPk) = c.parent.get
+          (load(parent).select(col(parentPk).as("__p")), "__p")
+      }
       val childFks = load(c.table)
         .select(col(c.fkCol.get).as("__fk")).where(col("__fk").isNotNull).distinct()
-      load(parent).select(col(parentPk).as("__p"))
-        .join(childFks, col("__p") === col("__fk"), "left")
+      leftDf
+        .join(childFks, col(leftKey) === col("__fk"), "left")
         .agg(
           sum(when(col("__fk").isNull, 1L).otherwise(0L)).as("num_violated_rows"),
           count(lit(1)).as("num_denominator_rows"))
@@ -335,18 +635,17 @@ object DqdChecks {
           lit(c.table).as("cdm_table_name"), lit(c.field).as("cdm_field_name"),
           col("num_violated_rows").cast("long"), col("num_denominator_rows").cast("long"))
     }
-    // per-check thresholds ride a broadcast lookup keyed by check id (the
-    // config is plan-time metadata, never a data-sized relation)
-    val allCheckMeta = byTable.flatMap(_._2) ++ completenessChecks(model, completeness)
+    // per-check thresholds ride a broadcast lookup keyed by check id
+    val allCheckMeta = byTable.flatMap(_._2) ++ crossTableChecks(model, rules)
     val thrDf = {
       import session.implicits._
-      allCheckMeta.map(c => (c.id, thresholds.getOrElse((c.name, c.table, c.field), 0.0)))
+      allCheckMeta.map(c => (c.id, rules.thresholds.getOrElse((c.name, c.table, c.field), 0.0)))
         .toDF("check_id", "threshold_value")
     }
     val viol = coalesce(col("num_violated_rows"), lit(0L))
     val denom = coalesce(col("num_denominator_rows"), lit(0L))
     val pct = viol.cast("double") / greatest(denom, lit(1L))
-    graft.Unions.balanced(perTable ++ completenessDfs :+ constDf)
+    graft.Unions.balanced(perTable ++ crossDfs :+ constDf)
       .join(broadcast(thrDf), Seq("check_id"))
       .select(
         col("check_id"), col("check_name"), col("check_level"), col("category"),
@@ -359,8 +658,7 @@ object DqdChecks {
   }
 
   /** The run-level Overview the reference computes from the check results
-    * (`data_quality.py:280-320`): totals, failures, and per-category
-    * splits, plus the headline percent-passed — one row per run.
+    * (`data_quality.py:280-320`).
     */
   def overview(results: DataFrame): DataFrame = {
     val total = count(lit(1))
@@ -399,25 +697,16 @@ object DqdChecks {
        |FROM battery""".stripMargin
 
   /** The same battery rendered as DuckDB SQL from the same metadata. */
-  def oracleSql(model: CdmModel, bounds: Bounds = Map.empty,
-      temporal: Seq[TemporalRule] = Nil,
-      startEnd: Seq[StartEndRule] = Nil,
-      domains: Seq[DomainRule] = Nil,
-      completeness: Seq[CompletenessRule] = Nil,
-      thresholds: Thresholds = Map.empty,
-      concepts: Seq[ConceptRule] = Nil): String = {
+  def oracleSql(model: CdmModel, rules: RuleSet = RuleSet()): String = {
     val allChecks = model.tables.flatMap { tb =>
-      tableChecks(model, tb, bounds, actualCols = None, temporal = temporal,
-        startEnd = startEnd, domains = domains, concepts = concepts)
-    } ++ completenessChecks(model, completeness)
-    def thr(c: Check): Double = thresholds.getOrElse((c.name, c.table, c.field), 0.0)
+      tableChecks(model, tb, rules, actualCols = None)
+    } ++ crossTableChecks(model, rules)
+    def thr(c: Check): Double = rules.thresholds.getOrElse((c.name, c.table, c.field), 0.0)
     val selects = allChecks.map { c =>
         val (violSql, denomSql, fromSql) = c.name match {
           case "cdmTable" =>
             ("CASE WHEN count(*) = 0 THEN 1 ELSE 0 END", "1", c.table)
           case "cdmField" =>
-            // the conforming expectation — the data-side check inspects the
-            // actually-loaded relation's columns (a catalog lookup, like DQD)
             ("0", "1", "(SELECT 1) AS __dual")
           case "isRequired" | "measureValueCompleteness" =>
             (s"count(*) FILTER (WHERE ${c.field} IS NULL)", "count(*)", c.table)
@@ -443,7 +732,7 @@ object DqdChecks {
             (s"count(*) FILTER (WHERE ${c.field} < ${c.bound.get})", "count(*)", c.table)
           case "plausibleValueHigh" =>
             (s"count(*) FILTER (WHERE ${c.field} > ${c.bound.get})", "count(*)", c.table)
-          case "plausibleTemporalAfter" =>
+          case "plausibleTemporalAfter" | "plausibleAfterBirth" =>
             val (parent, parentPk) = c.parent.get
             (s"count(*) FILTER (WHERE s.${c.field} IS NOT NULL AND p.__tp IS NOT NULL AND s.${c.field} < p.__tp)",
               s"count(*) FILTER (WHERE s.${c.field} IS NOT NULL AND p.__tp IS NOT NULL)",
@@ -456,10 +745,50 @@ object DqdChecks {
             val list = c.allowed.get.map(v => s"'${v.replace("'", "''")}'").mkString(", ")
             (s"count(*) FILTER (WHERE ${c.field} IS NOT NULL AND ${c.field} NOT IN ($list))",
               s"count(*) FILTER (WHERE ${c.field} IS NOT NULL)", c.table)
+          case "withinVisitDates" =>
+            val (parent, parentPk) = c.parent.get
+            val d = c.days.get
+            (s"count(*) FILTER (WHERE s.${c.field} IS NOT NULL AND p.__vs IS NOT NULL AND p.__ve IS NOT NULL AND (s.${c.field} < p.__vs - INTERVAL $d DAY OR s.${c.field} > p.__ve + INTERVAL $d DAY))",
+              s"count(*) FILTER (WHERE s.${c.field} IS NOT NULL AND p.__vs IS NOT NULL AND p.__ve IS NOT NULL)",
+              s"${c.table} s LEFT JOIN (SELECT DISTINCT $parentPk AS __pk, ${c.parentField.get} AS __vs, ${c.endField.get} AS __ve FROM $parent) p ON s.${c.fkCol.get} = p.__pk")
+          case "plausibleDuringLife" =>
+            val (dTb, dKey) = c.parent.get
+            val d = c.days.get
+            (s"count(*) FILTER (WHERE s.${c.field} IS NOT NULL AND p.__dd IS NOT NULL AND s.${c.field} > p.__dd + INTERVAL $d DAY)",
+              s"count(*) FILTER (WHERE s.${c.field} IS NOT NULL AND p.__dd IS NOT NULL)",
+              s"${c.table} s LEFT JOIN (SELECT $dKey AS __pk, min(${c.parentField.get}) AS __dd FROM $dTb GROUP BY 1) p ON s.${c.fkCol.get} = p.__pk")
+          case "isStandardValidConcept" | "fkClass" =>
+            val (cTb, cPk) = c.parent.get
+            val attrs = (c.attrCol.toSeq ++ c.invCol.toSeq)
+              .map(a => s"max($a) AS __$a").mkString(", ")
+            val list = c.allowed.get.map(v => s"'${v.replace("'", "''")}'").mkString(", ")
+            val ok = s"CAST(p.__${c.attrCol.get} AS VARCHAR) IN ($list)" +
+              c.invCol.map(ic => s" AND p.__$ic IS NULL").getOrElse("")
+            val scope = s"s.${c.field} IS NOT NULL" +
+              (if (c.excludeZero) s" AND s.${c.field} != 0" else "")
+            (s"count(*) FILTER (WHERE $scope AND NOT coalesce($ok, false))",
+              s"count(*) FILTER (WHERE $scope)",
+              s"${c.table} s LEFT JOIN (SELECT $cPk AS __pk, $attrs FROM $cTb GROUP BY 1) p ON s.${c.field} = p.__pk")
+          case "standardConceptRecordCompleteness" | "sourceConceptRecordCompleteness" =>
+            (s"count(*) FILTER (WHERE ${c.field} = 0)", "count(*)", c.table)
+          case "sourceValueCompleteness" =>
+            (s"count(DISTINCT CASE WHEN ${c.parentField.get} = 0 THEN ${c.field} END)",
+              s"count(DISTINCT ${c.field})", c.table)
+          case "plausibleGender" =>
+            val (parent, parentPk) = c.parent.get
+            val (sc, sv) = c.stratum.get
+            val list = c.allowed.get.map(v => s"'${v.replace("'", "''")}'").mkString(", ")
+            (s"count(*) FILTER (WHERE s.$sc = '$sv' AND p.__g IS NOT NULL AND CAST(p.__g AS VARCHAR) NOT IN ($list))",
+              s"count(*) FILTER (WHERE s.$sc = '$sv' AND p.__g IS NOT NULL)",
+              s"${c.table} s LEFT JOIN (SELECT DISTINCT $parentPk AS __pk, ${c.parentField.get} AS __g FROM $parent) p ON s.${c.fkCol.get} = p.__pk")
           case "measurePersonCompleteness" =>
             val (parent, parentPk) = c.parent.get
             ("count(*) FILTER (WHERE c.__fk IS NULL)", "count(*)",
               s"$parent p LEFT JOIN (SELECT DISTINCT ${c.fkCol.get} AS __fk FROM ${c.table} WHERE ${c.fkCol.get} IS NOT NULL) c ON p.$parentPk = c.__fk")
+          case "measureConditionEraCompleteness" =>
+            val (sib, sibKey) = c.siblingOf.get
+            ("count(*) FILTER (WHERE c.__fk IS NULL)", "count(*)",
+              s"(SELECT DISTINCT $sibKey AS __p FROM $sib WHERE $sibKey IS NOT NULL) p LEFT JOIN (SELECT DISTINCT ${c.fkCol.get} AS __fk FROM ${c.table} WHERE ${c.fkCol.get} IS NOT NULL) c ON p.__p = c.__fk")
         }
         s"""SELECT '${c.id}' AS check_id, '${c.name}' AS check_name, '${c.level}' AS check_level,
            |  '${c.category}' AS category, '${c.table}' AS cdm_table_name, '${c.field}' AS cdm_field_name,
@@ -481,28 +810,19 @@ object DqdChecks {
   }
 
   /** The expected battery output over an all-EMPTY table universe, rendered
-    * as a VALUES oracle from the same metadata: every TABLE-level presence
-    * check fails (violated=1 of denominator 1), every FIELD-level check
-    * trivially passes with denominator 0.
+    * as a VALUES oracle from the same metadata.
     */
-  def emptyUniverseOracleSql(model: CdmModel, bounds: Bounds = Map.empty,
-      temporal: Seq[TemporalRule] = Nil,
-      startEnd: Seq[StartEndRule] = Nil,
-      domains: Seq[DomainRule] = Nil,
-      completeness: Seq[CompletenessRule] = Nil,
-      thresholds: Thresholds = Map.empty,
-      concepts: Seq[ConceptRule] = Nil): String = {
+  def emptyUniverseOracleSql(model: CdmModel, rules: RuleSet = RuleSet()): String = {
     val allChecks = model.tables.flatMap { tb =>
-      tableChecks(model, tb, bounds, actualCols = None, temporal = temporal,
-        startEnd = startEnd, domains = domains, concepts = concepts)
-    } ++ completenessChecks(model, completeness)
+      tableChecks(model, tb, rules, actualCols = None)
+    } ++ crossTableChecks(model, rules)
     val rows = allChecks.map { c =>
       val (viol, denom, pct) = c.name match {
         case "cdmTable" => (1, 1, "1.0")
         case "cdmField" => (0, 1, "0.0") // column exists even when empty
         case _          => (0, 0, "0.0")
       }
-      val thr = thresholds.getOrElse((c.name, c.table, c.field), 0.0)
+      val thr = rules.thresholds.getOrElse((c.name, c.table, c.field), 0.0)
       val failed = if (viol * 100.0 / math.max(denom, 1) > thr) 1 else 0
       s"('${c.id}', '${c.name}', '${c.level}', '${c.category}', '${c.table}', '${c.field}', $viol, $denom, $pct, $thr, $failed)"
     }

@@ -369,6 +369,8 @@ object EventQueries {
       graft.operators.AchillesGen.fkDistResults(graft.model.TpchModel.modelWithEvents, tb => t(s, d, tb))),
     "achilles_pairs" -> ((s, d) =>
       graft.operators.AchillesGen.pairResults(graft.model.TpchModel.modelWithEvents, tb => t(s, d, tb))),
+    "achilles_span_dist" -> ((s, d) =>
+      graft.operators.AchillesGen.spanDistResults(graft.model.TpchModel.modelWithEvents, tb => t(s, d, tb))),
     "dqd_checks" -> dqdChecks,
     "dqd_summary" -> dqdSummary,
     "event_props_extract" -> eventPropsExtract,
@@ -459,6 +461,8 @@ object EventQueries {
       graft.operators.AchillesGen.fkDistOracleSql(graft.model.TpchModel.modelWithEvents),
     "achilles_pairs" ->
       graft.operators.AchillesGen.pairOracleSql(graft.model.TpchModel.modelWithEvents),
+    "achilles_span_dist" ->
+      graft.operators.AchillesGen.spanDistOracleSql(graft.model.TpchModel.modelWithEvents),
     "achilles_dist" ->
       """WITH d AS (
         |  SELECT CAST(101 AS BIGINT) AS analysis_id, o_orderstatus AS stratum_1,

@@ -127,6 +127,8 @@ object LifecycleQueries {
       .orderBy("check_name")
   }
 
+  private val Dqd = graft.operators.DqdChecks
+
   /** Per-field plausible-value bounds for the generated battery — the
     * analogue of DQD's per-row threshold columns.
     */
@@ -141,21 +143,71 @@ object LifecycleQueries {
     * lineitem must not ship before its order was placed.
     */
   private val dqdTemporal = Seq(
-    graft.operators.DqdChecks.TemporalRule("lineitem", "l_shipdate", "l_orderkey", "o_orderdate"))
+    Dqd.TemporalRule("lineitem", "l_shipdate", "l_orderkey", "o_orderdate"))
+
+  /** withinVisitDates over the test universe: a lineitem must ship within
+    * 90 days of its order (the "visit window" is [o_orderdate - 90,
+    * o_orderdate + 90]) — genuinely violated by late-shipping lineitems,
+    * exercising the window machinery on real data.
+    */
+  private val dqdWithinVisit = Seq(
+    Dqd.WithinVisitRule("lineitem", "l_shipdate", "l_orderkey",
+      "o_orderdate", "o_orderdate", slackDays = 90))
+
+  /** Concept-attribute conformance over the test universe — nation plays
+    * the vocabulary: isStandardValidConcept demands a customer's nation be
+    * in "standard" regions {0,1,2} (~40% violated, 50% tolerance -> PASS);
+    * fkClass demands a supplier's nation be of "class" regions {0..3}
+    * (~20% violated, hard zero -> FAIL). Both threshold outcomes exercised.
+    */
+  private val dqdConceptAttrs = Seq(
+    Dqd.ConceptAttrRule("isStandardValidConcept", "customer", "c_nationkey",
+      "nation", "n_nationkey", "n_regionkey", Seq("0", "1", "2"), excludeZero = false),
+    Dqd.ConceptAttrRule("fkClass", "supplier", "s_nationkey",
+      "nation", "n_nationkey", "n_regionkey", Seq("0", "1", "2", "3"), excludeZero = false))
+
+  /** Record/source completeness over the test universe: zero-valued l_tax /
+    * l_discount play the unmapped-sentinel role, and returnflags
+    * co-occurring with tax 0 play the source-values-mapped-to-0 role.
+    */
+  private val dqdRecordCompleteness = Seq(
+    Dqd.RecordCompletenessRule("standardConceptRecordCompleteness", "lineitem", "l_tax"),
+    Dqd.RecordCompletenessRule("sourceConceptRecordCompleteness", "lineitem", "l_discount"))
+  private val dqdSourceValues = Seq(
+    Dqd.SourceValueRule("lineitem", "l_returnflag", "l_tax"),
+    Dqd.SourceValueRule("events", "event_type", "value"))
+
+  /** measureConditionEraCompleteness shape on real data: customers that
+    * placed orders (the "occurrence" sibling) but have no events row (the
+    * derived "era" table).
+    */
+  private val dqdSiblings = Seq(
+    Dqd.SiblingCompletenessRule("measureConditionEraCompleteness",
+      "events", "user_id", "orders", "o_custkey"))
+
+  /** plausibleGender over the test universe: purchase events may come from
+    * any market segment (passes), signup events are "expected" from two
+    * segments only (~60% violated, 75% tolerance -> PASS with violations).
+    */
+  private val dqdGenders = Seq(
+    Dqd.GenderRule("events", "event_type", "purchase", "user_id", "c_mktsegment",
+      Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")),
+    Dqd.GenderRule("events", "event_type", "signup", "user_id", "c_mktsegment",
+      Seq("AUTOMOBILE", "BUILDING")))
 
   /** fkDomain value lists for the test universe — the analogue of DQD's
     * fkDomain column. o_orderpriority's configured domain deliberately
     * omits '5-LOW' so the violation path is exercised on real data.
     */
   private val dqdDomains = Seq(
-    graft.operators.DqdChecks.DomainRule("customer", "c_mktsegment",
+    Dqd.DomainRule("customer", "c_mktsegment",
       Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")),
-    graft.operators.DqdChecks.DomainRule("lineitem", "l_linestatus", Seq("F", "O")),
-    graft.operators.DqdChecks.DomainRule("lineitem", "l_returnflag", Seq("A", "N", "R")),
-    graft.operators.DqdChecks.DomainRule("orders", "o_orderpriority",
+    Dqd.DomainRule("lineitem", "l_linestatus", Seq("F", "O")),
+    Dqd.DomainRule("lineitem", "l_returnflag", Seq("A", "N", "R")),
+    Dqd.DomainRule("orders", "o_orderpriority",
       Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED")),
-    graft.operators.DqdChecks.DomainRule("orders", "o_orderstatus", Seq("F", "O", "P")),
-    graft.operators.DqdChecks.DomainRule("events", "event_type",
+    Dqd.DomainRule("orders", "o_orderstatus", Seq("F", "O", "P")),
+    Dqd.DomainRule("events", "event_type",
       Seq("click", "error", "purchase", "signup", "view")))
 
   /** CONCEPT-level plausibility (DQD's Concept_Level.csv shape): per-
@@ -164,18 +216,18 @@ object LifecycleQueries {
     * click's [0, 500] passes.
     */
   private val dqdConcepts = Seq(
-    graft.operators.DqdChecks.ConceptRule("events", "event_type", "click", "value",
+    Dqd.ConceptRule("events", "event_type", "click", "value",
       Some(0.0), Some(500.0)),
-    graft.operators.DqdChecks.ConceptRule("events", "event_type", "purchase", "value",
+    Dqd.ConceptRule("events", "event_type", "purchase", "value",
       Some(0.0), Some(300.0)))
 
   /** measurePersonCompleteness over the test universe: customers with no
     * orders (TPC-H genuinely has them) and parts never shipped.
     */
   private val dqdCompleteness = Seq(
-    graft.operators.DqdChecks.CompletenessRule("events", "user_id"),
-    graft.operators.DqdChecks.CompletenessRule("lineitem", "l_partkey"),
-    graft.operators.DqdChecks.CompletenessRule("orders", "o_custkey"))
+    Dqd.CompletenessRule("events", "user_id"),
+    Dqd.CompletenessRule("lineitem", "l_partkey"),
+    Dqd.CompletenessRule("orders", "o_custkey"))
 
   /** Per-check failure tolerances (DQD's `{checkName}Threshold` semantics,
     * `data_quality.py:322-347`): the configured o_orderpriority domain
@@ -187,7 +239,61 @@ object LifecycleQueries {
     */
   private val dqdThresholds: graft.operators.DqdChecks.Thresholds = Map(
     ("fkDomain", "orders", "o_orderpriority") -> 25.0,
-    ("plausibleTemporalAfter", "lineitem", "l_shipdate") -> 10.0)
+    ("plausibleTemporalAfter", "lineitem", "l_shipdate") -> 10.0,
+    ("withinVisitDates", "lineitem", "l_shipdate") -> 10.0,
+    ("isStandardValidConcept", "customer", "c_nationkey") -> 50.0,
+    ("standardConceptRecordCompleteness", "lineitem", "l_tax") -> 15.0,
+    ("sourceValueCompleteness", "lineitem", "l_returnflag") -> 100.0,
+    ("sourceValueCompleteness", "events", "event_type") -> 100.0,
+    ("plausibleGender", "events", "event_type") -> 75.0)
+
+  /** The full TPC-H-universe rule configuration — every DQD family
+    * instantiated over real data.
+    */
+  private val dqdRules = Dqd.RuleSet(
+    bounds = dqdBounds,
+    temporal = dqdTemporal,
+    domains = dqdDomains,
+    completeness = dqdCompleteness,
+    thresholds = dqdThresholds,
+    concepts = dqdConcepts,
+    withinVisit = dqdWithinVisit,
+    conceptAttrs = dqdConceptAttrs,
+    recordCompleteness = dqdRecordCompleteness,
+    sourceValues = dqdSourceValues,
+    siblings = dqdSiblings,
+    genders = dqdGenders)
+
+  /** The CDM 5.4 rule configuration: every derivable family instantiated
+    * from the vendored metadata — start/end pairs, person completeness,
+    * plausibleAfterBirth/DuringLife over person/death, visit windows,
+    * standard-concept validity from the fkDomains concept fields, the DQD
+    * drug-era fkClass rules, condition-era completeness, and two
+    * illustrative gender-specific concept rules (DQD Concept_Level shape).
+    */
+  private def cdm54Rules: graft.operators.DqdChecks.RuleSet = {
+    val m = graft.model.Cdm54.model
+    Dqd.RuleSet(
+      startEnd = Dqd.startEndRules(m),
+      completeness = Dqd.personCompletenessRules(m),
+      temporal = Dqd.afterBirthRules(m),
+      duringLife = Dqd.duringLifeRules(m),
+      withinVisit = Dqd.withinVisitRules(m),
+      conceptAttrs = Dqd.standardConceptRules(m) ++ Seq(
+        Dqd.ConceptAttrRule("fkClass", "drug_era", "drug_concept_id",
+          "concept", "concept_id", "concept_class_id", Seq("Ingredient")),
+        Dqd.ConceptAttrRule("fkClass", "dose_era", "drug_concept_id",
+          "concept", "concept_id", "concept_class_id", Seq("Ingredient"))),
+      recordCompleteness = Dqd.recordCompletenessRules(m),
+      sourceValues = Dqd.sourceValueRules(m),
+      siblings = Seq(Dqd.SiblingCompletenessRule("measureConditionEraCompleteness",
+        "condition_era", "person_id", "condition_occurrence", "person_id")),
+      genders = Seq(
+        Dqd.GenderRule("condition_occurrence", "condition_concept_id", "4163261",
+          "person_id", "gender_concept_id", Seq("8507")),
+        Dqd.GenderRule("condition_occurrence", "condition_concept_id", "194997",
+          "person_id", "gender_concept_id", Seq("8532"))))
+  }
 
   /** The metadata-GENERATED check battery (TABLE-level cdmTable presence +
     * measurePersonCompleteness + FIELD-level cdmField / isRequired /
@@ -203,9 +309,7 @@ object LifecycleQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def generatedBattery(s: SparkSession, d: String): DataFrame =
     batteryPlans.getOrElseUpdate((s, d),
-      graft.operators.DqdChecks.fieldLevel(TpchModel.modelWithEvents, tb => t(s, d, tb), dqdBounds,
-        dqdTemporal, domains = dqdDomains, completeness = dqdCompleteness,
-        thresholds = dqdThresholds, concepts = dqdConcepts))
+      Dqd.fieldLevel(TpchModel.modelWithEvents, tb => t(s, d, tb), dqdRules))
 
   val dqdFieldLevel: Q = (s, d) => generatedBattery(s, d).orderBy("check_id")
 
@@ -222,13 +326,10 @@ object LifecycleQueries {
       tb -> s.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), m.sparkSchema(tb))
     }.toMap
-    // start/end pairs and person-completeness rules are DERIVED from the
-    // CDM 5.4 metadata (field-name convention / person_id FKs), the way
-    // DQD instantiates those families over its Field_Level CSV
-    graft.operators.DqdChecks.fieldLevel(m, empty(_),
-      startEnd = graft.operators.DqdChecks.startEndRules(m),
-      completeness = graft.operators.DqdChecks.personCompletenessRules(m))
-      .orderBy("check_id")
+    // every rule family is DERIVED from the CDM 5.4 metadata (field-name
+    // conventions / person and visit FKs / the fkDomains concept fields),
+    // the way DQD instantiates its families over the Field_Level CSV
+    Dqd.fieldLevel(m, empty(_), cdm54Rules).orderBy("check_id")
   }
 
   /** Run-level Overview over the generated battery (`data_quality.py:
@@ -249,17 +350,11 @@ object LifecycleQueries {
     "dqd_config_driven" -> dqdConfigDriven)
 
   val oracles: Seq[(String, String)] = Seq(
-    "dqd_field_level" -> graft.operators.DqdChecks.oracleSql(TpchModel.modelWithEvents, dqdBounds,
-      dqdTemporal, domains = dqdDomains, completeness = dqdCompleteness,
-      thresholds = dqdThresholds, concepts = dqdConcepts),
-    "dqd_overview" -> graft.operators.DqdChecks.overviewOracleSql(
-      graft.operators.DqdChecks.oracleSql(TpchModel.modelWithEvents, dqdBounds, dqdTemporal,
-        domains = dqdDomains, completeness = dqdCompleteness, thresholds = dqdThresholds,
-        concepts = dqdConcepts)),
+    "dqd_field_level" -> Dqd.oracleSql(TpchModel.modelWithEvents, dqdRules),
+    "dqd_overview" -> Dqd.overviewOracleSql(
+      Dqd.oracleSql(TpchModel.modelWithEvents, dqdRules)),
     "dqd_cdm54_battery" ->
-      graft.operators.DqdChecks.emptyUniverseOracleSql(graft.model.Cdm54.model,
-        startEnd = graft.operators.DqdChecks.startEndRules(graft.model.Cdm54.model),
-        completeness = graft.operators.DqdChecks.personCompletenessRules(graft.model.Cdm54.model)),
+      Dqd.emptyUniverseOracleSql(graft.model.Cdm54.model, cdm54Rules),
     "cleanup_cascade" ->
       """SELECT table_name, in_cascade, CAST(n_rows_after AS BIGINT) AS n_rows_after FROM (VALUES
         |  ('customer', true, 0),
