@@ -48,6 +48,9 @@ import org.apache.spark.sql.functions._
   *     visit parent's [start-slack, end+slack] window
   *  - `plausibleGender` (CONCEPT, Plausibility): records of a
   *     gender-specific concept whose person parent has the wrong gender
+  *  - `plausibleUnitConceptIds` (CONCEPT, Plausibility): records of a
+  *     measured concept whose unit column is missing or outside the
+  *     concept's plausible unit list
   *  - `measurePersonCompleteness` (TABLE, Completeness): persons with no
   *     record in the table
   *  - `measureConditionEraCompleteness` (TABLE, Completeness): persons with
@@ -165,6 +168,15 @@ object DqdChecks {
   final case class GenderRule(table: String, conceptCol: String, conceptValue: String,
       fkCol: String, parentGenderCol: String, allowed: Seq[String])
 
+  /** A plausibleUnitConceptIds rule (CONCEPT level, DQD's
+    * `plausible_unit_concept_ids.sql`): rows of `table` in the stratum
+    * `conceptCol = conceptValue` must carry a `unitCol` value from
+    * `allowed`; a NULL unit on a measured concept counts as implausible,
+    * matching DQD's treatment of missing units.
+    */
+  final case class UnitRule(table: String, conceptCol: String, conceptValue: String,
+      unitCol: String, allowed: Seq[String])
+
   /** The full rule configuration of one battery — the analogue of DQD's
     * three config CSVs (Table/Field/Concept_Level) in one place.
     */
@@ -182,7 +194,8 @@ object DqdChecks {
       recordCompleteness: Seq[RecordCompletenessRule] = Nil,
       sourceValues: Seq[SourceValueRule] = Nil,
       siblings: Seq[SiblingCompletenessRule] = Nil,
-      genders: Seq[GenderRule] = Nil)
+      genders: Seq[GenderRule] = Nil,
+      units: Seq[UnitRule] = Nil)
 
   // ---------------------------------------------------------------- derive
 
@@ -466,6 +479,15 @@ object DqdChecks {
         countDistinct(col(r.field)),
         parentField = Some(r.conceptField), distinctAgg = true)
     }
+    val unitChecks = rules.units.filter(_.table == table)
+      .sortBy(r => (r.unitCol, r.conceptValue)).map { r =>
+        val inStratum = col(r.conceptCol) === r.conceptValue
+        val u = col(r.unitCol).cast("string")
+        Check("plausibleUnitConceptIds", "CONCEPT", "Plausibility", table, r.unitCol,
+          sum(when(inStratum && (u.isNull || !u.isin(r.allowed: _*)), 1L).otherwise(0L)),
+          sum(when(inStratum, 1L).otherwise(0L)),
+          allowed = Some(r.allowed), stratum = Some((r.conceptCol, r.conceptValue)))
+      }
     val genderChecks = rules.genders.filter(_.table == table)
       .sortBy(r => (r.conceptCol, r.conceptValue)).map { r =>
         val parent = model.fks(table)(r.fkCol)
@@ -482,7 +504,7 @@ object DqdChecks {
     presence ++ fieldPresence ++ required ++ valueCompleteness ++ datatype ++
       pk ++ fk ++ plausible ++ temporalChecks ++ startBeforeEnd ++ domainChecks ++
       conceptChecks ++ withinVisitChecks ++ duringLifeChecks ++ conceptAttrChecks ++
-      recordChecks ++ sourceValueChecks ++ genderChecks
+      recordChecks ++ sourceValueChecks ++ unitChecks ++ genderChecks
   }
 
   /** TABLE-level checks whose scan runs over a DIFFERENT table than the one
@@ -774,6 +796,11 @@ object DqdChecks {
           case "sourceValueCompleteness" =>
             (s"count(DISTINCT CASE WHEN ${c.parentField.get} = 0 THEN ${c.field} END)",
               s"count(DISTINCT ${c.field})", c.table)
+          case "plausibleUnitConceptIds" =>
+            val (sc, sv) = c.stratum.get
+            val list = c.allowed.get.map(v => s"'${v.replace("'", "''")}'").mkString(", ")
+            (s"count(*) FILTER (WHERE $sc = '$sv' AND (${c.field} IS NULL OR CAST(${c.field} AS VARCHAR) NOT IN ($list)))",
+              s"count(*) FILTER (WHERE $sc = '$sv')", c.table)
           case "plausibleGender" =>
             val (parent, parentPk) = c.parent.get
             val (sc, sv) = c.stratum.get

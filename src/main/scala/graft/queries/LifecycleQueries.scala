@@ -221,6 +221,16 @@ object LifecycleQueries {
     Dqd.ConceptRule("events", "event_type", "purchase", "value",
       Some(0.0), Some(300.0)))
 
+  /** plausibleUnitConceptIds over the test universe — the status/priority
+    * columns play the unit: returned lineitems may carry either linestatus
+    * (PASS), while finished orders are "expected" urgent/high priority only
+    * (~70% violated -> the concept-level failure path on real data).
+    */
+  private val dqdUnits = Seq(
+    Dqd.UnitRule("lineitem", "l_returnflag", "R", "l_linestatus", Seq("F", "O")),
+    Dqd.UnitRule("orders", "o_orderstatus", "F", "o_orderpriority",
+      Seq("1-URGENT", "2-HIGH")))
+
   /** measurePersonCompleteness over the test universe: customers with no
     * orders (TPC-H genuinely has them) and parts never shipped.
     */
@@ -262,7 +272,8 @@ object LifecycleQueries {
     recordCompleteness = dqdRecordCompleteness,
     sourceValues = dqdSourceValues,
     siblings = dqdSiblings,
-    genders = dqdGenders)
+    genders = dqdGenders,
+    units = dqdUnits)
 
   /** The CDM 5.4 rule configuration: every derivable family instantiated
     * from the vendored metadata — start/end pairs, person completeness,
@@ -292,7 +303,14 @@ object LifecycleQueries {
         Dqd.GenderRule("condition_occurrence", "condition_concept_id", "4163261",
           "person_id", "gender_concept_id", Seq("8507")),
         Dqd.GenderRule("condition_occurrence", "condition_concept_id", "194997",
-          "person_id", "gender_concept_id", Seq("8532"))))
+          "person_id", "gender_concept_id", Seq("8532"))),
+      // DQD Concept_Level plausibleUnitConceptIds shape: body weight in
+      // g/kg, body height in cm/inch (illustrative published unit lists)
+      units = Seq(
+        Dqd.UnitRule("measurement", "measurement_concept_id", "3025315",
+          "unit_concept_id", Seq("8504", "9529")),
+        Dqd.UnitRule("measurement", "measurement_concept_id", "3036277",
+          "unit_concept_id", Seq("8582", "9327"))))
   }
 
   /** The metadata-GENERATED check battery (TABLE-level cdmTable presence +
@@ -311,7 +329,14 @@ object LifecycleQueries {
     batteryPlans.getOrElseUpdate((s, d),
       Dqd.fieldLevel(TpchModel.modelWithEvents, tb => t(s, d, tb), dqdRules))
 
-  val dqdFieldLevel: Q = (s, d) => generatedBattery(s, d).orderBy("check_id")
+  // battery output is bounded metadata (one row per check) at ANY data
+  // scale, so the report sort is a single-partition sort — orderBy would
+  // plan a RangePartitioning exchange whose sampling pass re-executes the
+  // whole multi-branch union subtree when AQE is off
+  private def sortReport(df: DataFrame): DataFrame =
+    df.coalesce(1).sortWithinPartitions("check_id")
+
+  val dqdFieldLevel: Q = (s, d) => sortReport(generatedBattery(s, d))
 
   /** The same generator at FULL CDM 5.4 breadth: 39 tables / ~1200 checks
     * instantiated from the vendored metadata and run against the empty
@@ -328,8 +353,29 @@ object LifecycleQueries {
     }.toMap
     // every rule family is DERIVED from the CDM 5.4 metadata (field-name
     // conventions / person and visit FKs / the fkDomains concept fields),
-    // the way DQD instantiates its families over the Field_Level CSV
-    Dqd.fieldLevel(m, empty(_), cdm54Rules).orderBy("check_id")
+    // the way DQD instantiates its families over the Field_Level CSV.
+    // coalesce(1) on the statically-empty inputs: CoalesceExec(1) reports
+    // SinglePartition, so every branch's global aggregate plans WITHOUT an
+    // Exchange — the whole 39-branch battery runs as one shuffle-free job
+    // instead of ~54 empty shuffle stages of pure scheduler overhead
+    val plan = sortReport(Dqd.fieldLevel(m, tb => empty(tb).coalesce(1), cdm54Rules))
+    // This battery is plan-heavy and data-FREE: ~1.4k generated checks over
+    // statically-empty relations compile thousands of Janino classes that
+    // each evaluate zero rows — profiled at ~80% of wall time. Execute it
+    // interpreted (conf scoped + restored; queries run sequentially in
+    // Bench/Verify) and hand back the materialized bounded report. The
+    // real-data battery (dqd_field_level) keeps codegen — there the
+    // compiled code earns its cost on every scanned row.
+    val keys = Seq("spark.sql.codegen.wholeStage", "spark.sql.codegen.factoryMode",
+      "spark.sql.adaptive.enabled")
+    val saved = keys.map(k => k -> s.conf.getOption(k))
+    try {
+      s.conf.set("spark.sql.codegen.wholeStage", "false")
+      s.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      val rows = plan.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), plan.schema)
+    } finally saved.foreach { case (k, v) => v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
   }
 
   /** Run-level Overview over the generated battery (`data_quality.py:

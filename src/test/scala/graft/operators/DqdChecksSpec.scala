@@ -91,7 +91,9 @@ class DqdChecksSpec extends SparkSpec {
     siblings = Seq(SiblingCompletenessRule("measureConditionEraCompleteness",
       "visit", "person_id", "obs", "person_id")),
     genders = Seq(GenderRule("obs", "obs_concept_id", "7002",
-      "person_id", "gender_concept_id", Seq("8532"))))
+      "person_id", "gender_concept_id", Seq("8532"))),
+    units = Seq(UnitRule("obs", "obs_concept_id", "7001",
+      "obs_source_value", Seq("x"))))
 
   private lazy val results: Map[String, (Long, Long)] =
     fieldLevel(model, load, rules)
@@ -138,6 +140,12 @@ class DqdChecksSpec extends SparkSpec {
     // concept 7002 rows: 102 (person 1, male 8507 -> violated), 103
     // (person 3, male -> violated); allowed = female 8532
     assert(results("concept_plausibleGender_obs_obs_concept_id_7002") === ((2L, 2L)))
+  }
+
+  test("plausibleUnitConceptIds flags units outside the concept's list") {
+    // concept 7001 rows: 100 (source value "x" allowed), 101 ("a" not
+    // in the list -> violated)
+    assert(results("concept_plausibleUnitConceptIds_obs_obs_source_value_7001") === ((1L, 2L)))
   }
 
   test("the battery enumerates exactly the oracle's check set") {
