@@ -233,6 +233,23 @@ object LlmQueries {
         round(element_at(col("feature"), 1), 3).as("f0"))
       .orderBy("media_id")
 
+  /** Sequence packing: documents -> fixed 2048-token context-window bins,
+    * 64-way sharded (PackOps.packSequences).
+    */
+  val corpusPackSequences: Q = (s, d) =>
+    PackOps.packSequences(t(s, d, "documents"), "doc_id", "text",
+      budget = 2048L, nShards = 64).orderBy("doc_id")
+
+  /** Benchmark decontamination: docs with `doc_id % 97 == 0` play the eval
+    * set; training docs sharing any MinHash band bucket with them are
+    * dropped (PackOps.decontaminate).
+    */
+  val corpusDecontaminate: Q = (s, d) =>
+    PackOps.decontaminate(t(s, d, "documents"), "doc_id", "text",
+      isBenchmark = col("doc_id") % 97 === 0)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+
   val defs: Seq[(String, Q)] = Seq(
     "dedup_exact" -> dedupExact,
     "dedup_exact_survivors" -> dedupExactSurvivors,
@@ -256,12 +273,38 @@ object LlmQueries {
     "sim_ivf_topk" -> simIvfTopk,
     "dedup_embed_cosine" -> dedupEmbedCosine,
     "text_bpe_tokens" -> textBpeTokens,
+    "corpus_pack_sequences" -> corpusPackSequences,
+    "corpus_decontaminate" -> corpusDecontaminate,
     "multimodal_meta" -> multimodalMeta,
     "multimodal_frames" -> multimodalFrames,
     "multimodal_decode" -> multimodalDecode)
 
   private val tokSql = """regexp_split_to_array(trim(lower(text)), '\s+')"""
   private val h32 = (e: String) => s"('0x' || substr(md5($e), 1, 8))::BIGINT"
+
+  /** The k=16 MinHash signature -> LSH band chain as CTEs ending in
+    * `bandsig(doc_id, band, bucket)` — shared by the banding and
+    * decontamination oracles (mirrors `minhashSignatureArray(k=16, w=3)`
+    * + `lshBandsFromSigArray(rows=4)`).
+    */
+  private val minhash16Ctes =
+    s"""toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
+       |sh AS (
+       |  SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
+       |  FROM toks, UNNEST(range(1, len(tk) - 1)) AS u(i)
+       |  WHERE len(tk) >= 3
+       |),
+       |h AS (SELECT doc_id, ${h32("shingle")} AS h FROM sh),
+       |funcs AS (SELECT j, 2 * j + 3 AS a, 7 * j + 1 AS b FROM UNNEST(range(0, 16)) AS f(j)),
+       |sig AS (
+       |  SELECT doc_id, j, MIN((a * h + b) % 4294967311) AS minhash
+       |  FROM h CROSS JOIN funcs GROUP BY 1, 2
+       |),
+       |bandsig AS (
+       |  SELECT doc_id, j // 4 AS band,
+       |    string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY j) AS bucket
+       |  FROM sig GROUP BY doc_id, j // 4
+       |)""".stripMargin
 
   /** The SimHash signature computation as a CTE chain ending in
     * `sims(doc_id, simhash)` — shared by the signature and Hamming-band
@@ -332,26 +375,38 @@ object LlmQueries {
         |WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))
         |ORDER BY doc_id""".stripMargin,
     "dedup_minhash_bands" ->
-      s"""WITH toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
-         |sh AS (
-         |  SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
-         |  FROM toks, UNNEST(range(1, len(tk) - 1)) AS u(i)
-         |  WHERE len(tk) >= 3
-         |),
-         |h AS (SELECT doc_id, ${h32("shingle")} AS h FROM sh),
-         |funcs AS (SELECT j, 2 * j + 3 AS a, 7 * j + 1 AS b FROM UNNEST(range(0, 16)) AS f(j)),
-         |sig AS (
-         |  SELECT doc_id, j, MIN((a * h + b) % 4294967311) AS minhash
-         |  FROM h CROSS JOIN funcs GROUP BY 1, 2
-         |),
-         |bandsig AS (
-         |  SELECT doc_id, j // 4 AS band,
-         |    string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY j) AS bucket
-         |  FROM sig GROUP BY doc_id, j // 4
-         |)
+      s"""WITH $minhash16Ctes
          |SELECT band, bucket, count(*) AS n_docs, MIN(doc_id) AS min_id
          |FROM bandsig GROUP BY 1, 2 HAVING count(*) > 1
          |ORDER BY band, bucket""".stripMargin,
+    "corpus_decontaminate" ->
+      s"""WITH $minhash16Ctes,
+         |bb AS (SELECT DISTINCT band, bucket FROM bandsig WHERE doc_id % 97 = 0),
+         |cont AS (
+         |  SELECT DISTINCT s.doc_id FROM bandsig s JOIN bb USING (band, bucket)
+         |  WHERE s.doc_id % 97 <> 0
+         |)
+         |SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM cont)
+         |ORDER BY doc_id""".stripMargin,
+    "corpus_pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, ${h32("CAST(doc_id AS VARCHAR)")} % 64 AS shard,
+         |    CAST(len($tokSql) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, shard, n_tokens,
+         |    COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+         |  FROM t
+         |), b AS (
+         |  SELECT doc_id, shard, n_tokens,
+         |    CAST(floor(cumb / 2048.0) AS BIGINT) AS bin
+         |  FROM c
+         |)
+         |SELECT doc_id, shard, n_tokens, bin,
+         |  CAST(row_number() OVER (PARTITION BY shard, bin ORDER BY doc_id) AS BIGINT) AS pos
+         |FROM b ORDER BY doc_id""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $simhashCtes
          |SELECT doc_id, simhash FROM sims ORDER BY doc_id""".stripMargin,

@@ -1,0 +1,47 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PackOpsSpec extends SparkSpec {
+
+  test("packSequences cuts bins at the cumulative token budget, per shard") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a b c"), // 3 tokens, cum-before 0 -> bin 0
+      (2L, "d e"),   // 2 tokens, cum-before 3 -> bin 0
+      (3L, "f g"),   // 2 tokens, cum-before 5 -> bin 1
+      (4L, "h")      // 1 token,  cum-before 7 -> bin 1
+    ).toDF("doc_id", "text")
+    val out = PackOps.packSequences(docs, "doc_id", "text", budget = 5L, nShards = 1)
+      .select("doc_id", "bin", "pos").as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq((1L, 0L, 1L), (2L, 0L, 2L), (3L, 1L, 1L), (4L, 1L, 2L)))
+  }
+
+  test("packSequences reuses one shard exchange for both windows") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 40L).map(i => (i, s"w$i x y z q")).toDF("doc_id", "text")
+    val plan = PackOps.packSequences(docs, "doc_id", "text", budget = 10L, nShards = 4)
+      .queryExecution.executedPlan.toString
+    // HashPartitioning(shard) satisfies the (shard, bin) window's
+    // clustering, so the position window must NOT add a second exchange
+    assert("hashpartitioning".r.findAllIn(plan.toLowerCase).size === 1, plan)
+  }
+
+  test("decontaminate drops near-matches of the benchmark set and keeps the rest") {
+    val s = spark
+    import s.implicits._
+    val evalText = "spark shuffle partition broadcast join window aggregate scan"
+    val docs = Seq(
+      (1L, evalText),                                              // benchmark
+      (2L, evalText),                                              // identical -> dropped
+      (3L, "completely different words entirely unrelated corpus text here"),
+      (4L, "another separate document with its own private vocabulary set")
+    ).toDF("doc_id", "text")
+    val out = PackOps.decontaminate(docs, "doc_id", "text", col("doc_id") === 1)
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq === Seq(3L, 4L))
+  }
+}
