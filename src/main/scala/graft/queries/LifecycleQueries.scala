@@ -320,14 +320,26 @@ object LifecycleQueries {
     * from the model, not hand-listed) — both sides of the oracle come from
     * [[graft.operators.DqdChecks]].
     */
-  // one analyzed battery plan per (session, dir): dqd_field_level and
-  // dqd_overview share the DataFrame OBJECT (plan + codegen'd classes),
-  // never results — each action re-executes against the live tables
-  private val batteryPlans =
+  // The reference RUNS the check battery once and STORES the rows in the
+  // dqd results table; every report surface (the per-check listing, the
+  // run-level Overview) then reads that table (`data_quality.py:239-247`
+  // store, `:280-320` overview over the stored rows). Mirror that: the
+  // first battery consumer materializes the results into the dqd zone
+  // through the atomic-replace protocol; later consumers read the table.
+  // (Round 4 shared only the plan OBJECT — each consumer re-executed all
+  // ~40 branch aggregates and, because the bench GCs between queries,
+  // re-COMPILED them: dqd_overview alone measured 16 s at sf0.1.)
+  private val batteryResults =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def generatedBattery(s: SparkSession, d: String): DataFrame =
-    batteryPlans.getOrElseUpdate((s, d),
-      Dqd.fieldLevel(TpchModel.modelWithEvents, tb => t(s, d, tb), dqdRules))
+    batteryResults.getOrElseUpdate((s, d), {
+      val zones = Zones("/root/repo/target/graft_zones_dqd")
+      val table = s"dqd_results_${Integer.toHexString(d.hashCode)}"
+      zones.write(
+        Dqd.fieldLevel(TpchModel.modelWithEvents, tb => t(s, d, tb), dqdRules),
+        "dqd", table)
+      zones.read(s, "dqd", table)
+    })
 
   // battery output is bounded metadata (one row per check) at ANY data
   // scale, so the report sort is a single-partition sort — orderBy would
