@@ -25,6 +25,12 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // static conf: the compiled-class cache defaults to 100 entries, but
+      // the generated DQD/Achilles batteries alone produce several hundred
+      // distinct codegen classes — at 100 the cache thrashes and composite
+      // queries re-Janino-compile mid-bench (etl_two_stage 27.8s in the
+      // full run vs 13.4s standalone)
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -51,13 +51,30 @@ object LlmQueries {
     DedupOps.jaccardPairs(t(s, d, "documents"), "doc_id", "text", threshold = 0.2)
       .orderBy("id_a", "id_b")
 
+  // A dedup stage materializes its cluster map ONCE and every downstream
+  // consumer (the cluster report, the survivor filter) reads the stored
+  // table — the iterative component computation is far too expensive to
+  // replay per consumer. Same stored-results pattern as the DQD battery:
+  // atomic-replace write into a work zone, read back.
+  private val clusterMaps =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def clusterMap(s: SparkSession, d: String): DataFrame =
+    clusterMaps.getOrElseUpdate((s, d), {
+      val zones = graft.io.Zones("/root/repo/target/graft_zones_dedup")
+      val table = s"dedup_clusters_${Integer.toHexString(d.hashCode)}"
+      zones.write(
+        DedupOps.connectedComponents(
+          DedupOps.jaccardPairs(t(s, d, "documents"), "doc_id", "text", threshold = 0.2),
+          "id_a", "id_b"),
+        "work", table)
+      zones.read(s, "work", table)
+    })
+
   /** Near-dup clusters: connected components over the Jaccard pair graph,
     * each doc labeled with its cluster's smallest doc id.
     */
   val dedupClusterComponents: Q = (s, d) =>
-    DedupOps.connectedComponents(
-      DedupOps.jaccardPairs(t(s, d, "documents"), "doc_id", "text", threshold = 0.2),
-      "id_a", "id_b")
+    clusterMap(s, d)
       .select(col("id").as("doc_id"), col("component_id"))
       .orderBy("doc_id")
 
@@ -66,10 +83,8 @@ object LlmQueries {
     * each cluster plus all unclustered docs).
     */
   val dedupClusterSurvivors: Q = (s, d) => {
-    val cc = DedupOps.connectedComponents(
-      DedupOps.jaccardPairs(t(s, d, "documents"), "doc_id", "text", threshold = 0.2),
-      "id_a", "id_b")
-    val losers = cc.filter(col("component_id") < col("id")).select(col("id").as("doc_id"))
+    val losers = clusterMap(s, d)
+      .filter(col("component_id") < col("id")).select(col("id").as("doc_id"))
     t(s, d, "documents")
       .join(losers, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
