@@ -146,6 +146,31 @@ object SimOps {
     * path. Recall is traded for a corpus-shuffle-free probe; increase
     * `nPlanes` for smaller buckets or probe neighboring buckets for recall.
     */
+  /** Int8 scalar quantization of an embedding column with per-dimension
+    * corpus min/max calibration — the compression step an ANN serving
+    * pipeline applies before indexing (4x smaller vectors, distance
+    * computed in int8).
+    *
+    * Scale shape: pass 1 reduces the corpus to 2 x dim calibration numbers
+    * (posexplode -> groupBy(pos) min/max — map-side combinable to |dim|
+    * rows per partition); the dim table broadcasts; pass 2 is a pure
+    * projection join. Rounding is floor(x + 0.5), whose double arithmetic
+    * is engine-independent (no round-half mode ambiguity), so the oracle
+    * replays it exactly. A constant dimension (max = min) quantizes to 0.
+    */
+  def quantizeInt8(embs: DataFrame, idCol: String, embCol: String): DataFrame = {
+    val e = embs
+      .select(col(idCol), posexplode(asDouble(col(embCol))).as(Seq("pos", "__v")))
+      .select(col(idCol), col("pos").cast("long").as("pos"), col("__v"))
+    val dims = e.groupBy("pos").agg(min("__v").as("__mn"), max("__v").as("__mx"))
+    e.join(broadcast(dims), Seq("pos"))
+      .select(col(idCol), col("pos"),
+        when(col("__mx") === col("__mn"), lit(0L))
+          .otherwise(floor((col("__v") - col("__mn")) / (col("__mx") - col("__mn"))
+            * lit(255.0) + lit(0.5)).cast("long"))
+          .as("q"))
+  }
+
   def lshTopK(
       corpus: DataFrame,
       queries: DataFrame,

@@ -265,6 +265,13 @@ object LlmQueries {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .orderBy("doc_id")
 
+  /** Int8 embedding quantization with per-dimension corpus calibration
+    * (SimOps.quantizeInt8), reported as exploded (vec_id, pos, q) rows.
+    */
+  val embedQuantize: Q = (s, d) =>
+    SimOps.quantizeInt8(t(s, d, "embeddings"), "vec_id", "embedding")
+      .orderBy("vec_id", "pos")
+
   val defs: Seq[(String, Q)] = Seq(
     "dedup_exact" -> dedupExact,
     "dedup_exact_survivors" -> dedupExactSurvivors,
@@ -279,6 +286,7 @@ object LlmQueries {
     "corpus_split_assign" -> corpusSplitAssign,
     "text_top_ngrams" -> textTopNgrams,
     "embed_label_centroids" -> embedLabelCentroids,
+    "embed_quantize" -> embedQuantize,
     "text_quality" -> textQuality,
     "doc_fingerprint" -> docFingerprint,
     "doc_rolling_hash" -> docRollingHash,
@@ -495,6 +503,16 @@ object LlmQueries {
          |)
          |SELECT ngram, count(*) AS n FROM sh
          |GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20""".stripMargin,
+    "embed_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(a.i - 1 AS BIGINT) AS pos,
+        |    CAST(embedding[a.i] AS DOUBLE) AS v
+        |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS a(i)
+        |), d AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM e GROUP BY pos)
+        |SELECT vec_id, pos,
+        |  CAST(CASE WHEN mx = mn THEN 0
+        |    ELSE floor((v - mn) / (mx - mn) * 255.0 + 0.5) END AS BIGINT) AS q
+        |FROM e JOIN d USING (pos) ORDER BY vec_id, pos""".stripMargin,
     "embed_label_centroids" ->
       """SELECT CAST(label AS BIGINT) AS label, CAST(a.i AS BIGINT) AS pos,
         |  round(avg(CAST(embedding[a.i] AS DOUBLE)), 4) AS centroid
