@@ -86,17 +86,13 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(text))), " "))
 
-  /** Word w-shingles: overlapping w-token windows joined by a space —
-    * the MinHash input unit. Pure expression (transform over an index
-    * sequence), no explode needed until hashing.
+  /** Word w-shingles: overlapping w-token windows joined by a space — the
+    * MinHash input unit. Backed by the native codegen'd
+    * [[graft.functions.WordShingles]] expression (registered by
+    * GraftExtensions): the earlier `transform(sequence, i ->
+    * array_join(slice(...)))` formulation ran its lambda INTERPRETED per
+    * shingle, in the hot path of every MinHash consumer.
     */
-  def shingles(text: Column, w: Int = 3): Column = {
-    val toks = tokens(text)
-    val n = size(toks)
-    // sequence() flips direction when start > stop, so guard short docs.
-    when(n < w, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(0), n - lit(w)),
-        i => array_join(slice(toks, i + 1, lit(w)), " ")))
-  }
+  def shingles(text: Column, w: Int = 3): Column =
+    call_function("word_shingles", tokens(text), lit(w))
 }

@@ -1,9 +1,9 @@
 package graft.plans
 
-import graft.functions.RollingHash
+import graft.functions.{RollingHash, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
 
 /** Session extensions registering the engine's native Catalyst functions —
   * installed with `SparkSession.builder().withExtensions(new
@@ -20,5 +20,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 1, "rolling_hash takes exactly one argument")
         RollingHash(children.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        children match {
+          case Seq(arr) => WordShingles(arr, 3)
+          case Seq(arr, Literal(w: Int, _)) => WordShingles(arr, w)
+          case _ => throw new IllegalArgumentException(
+            "word_shingles takes (array<string> tokens[, int width-literal])")
+        }))
   }
 }
