@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.ops._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline queries over `documents` / `embeddings`:
@@ -272,6 +273,34 @@ object LlmQueries {
     SimOps.quantizeInt8(t(s, d, "embeddings"), "vec_id", "embedding")
       .orderBy("vec_id", "pos")
 
+  /** Per-domain quality cap: keep each source's top-15 documents by
+    * quality score — the domain-balancing step that stops one boilerplate
+    * site from dominating a mixed corpus. One partitioned window (rank per
+    * source), parallel across domains at any corpus size.
+    */
+  val corpusDomainCap: Q = (s, d) => {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    t(s, d, "documents")
+      .select(col("doc_id"), col("source"),
+        round(TextOps.qualityScore(col("text")), 6).as("quality"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 15)
+      .select("doc_id", "source", "quality")
+      .orderBy("doc_id")
+  }
+
+  /** Token-length distribution per language — corpus statistics through
+    * the same exact-quantile dist machinery the Achilles battery uses
+    * (AchillesGen.distAgg: one rank window partitioned by the group key).
+    */
+  val corpusTokenDist: Q = (s, d) =>
+    graft.operators.AchillesGen.distAgg(
+      t(s, d, "documents").select(col("lang"),
+        TextOps.tokenCount(col("text")).cast("double").as("__v")),
+      Seq("lang"))
+      .orderBy("lang")
+
   val defs: Seq[(String, Q)] = Seq(
     "dedup_exact" -> dedupExact,
     "dedup_exact_survivors" -> dedupExactSurvivors,
@@ -298,6 +327,8 @@ object LlmQueries {
     "text_bpe_tokens" -> textBpeTokens,
     "corpus_pack_sequences" -> corpusPackSequences,
     "corpus_decontaminate" -> corpusDecontaminate,
+    "corpus_domain_cap" -> corpusDomainCap,
+    "corpus_token_dist" -> corpusTokenDist,
     "multimodal_meta" -> multimodalMeta,
     "multimodal_frames" -> multimodalFrames,
     "multimodal_decode" -> multimodalDecode)
@@ -503,6 +534,37 @@ object LlmQueries {
          |)
          |SELECT ngram, count(*) AS n FROM sh
          |GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20""".stripMargin,
+    "corpus_domain_cap" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, source,
+         |    CAST(length(text) AS DOUBLE) AS len,
+         |    CAST(len($tokSql) AS DOUBLE) AS toks,
+         |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS punct,
+         |    CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|a|to|in|is)\\b')) AS DOUBLE) AS en
+         |  FROM documents
+         |), q AS (
+         |  SELECT doc_id, source,
+         |    round(least(len / 500.0, 1.0) * 0.4
+         |      + least(en / greatest(toks, 1.0), 1.0) * 0.4
+         |      + (1.0 - least(punct / greatest(len, 1.0), 1.0)) * 0.2, 6) AS quality
+         |  FROM m
+         |), r AS (
+         |  SELECT doc_id, source, quality,
+         |    row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rk
+         |  FROM q
+         |)
+         |SELECT doc_id, source, quality FROM r WHERE rk <= 15 ORDER BY doc_id""".stripMargin,
+    "corpus_token_dist" ->
+      s"""WITH d AS (SELECT lang, CAST(len($tokSql) AS DOUBLE) AS v FROM documents)
+         |SELECT lang, count(*) AS count_value,
+         |  round(min(v), 4) AS min_value, round(max(v), 4) AS max_value,
+         |  round(avg(v), 4) AS avg_value, round(stddev_samp(v), 4) AS stdev_value,
+         |  round(quantile_cont(v, 0.1), 4) AS p10_value,
+         |  round(quantile_cont(v, 0.25), 4) AS p25_value,
+         |  round(quantile_cont(v, 0.5), 4) AS median_value,
+         |  round(quantile_cont(v, 0.75), 4) AS p75_value,
+         |  round(quantile_cont(v, 0.9), 4) AS p90_value
+         |FROM d GROUP BY 1 HAVING count(*) > 5 ORDER BY 1""".stripMargin,
     "embed_quantize" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(a.i - 1 AS BIGINT) AS pos,
