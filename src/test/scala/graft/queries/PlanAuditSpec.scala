@@ -95,4 +95,34 @@ class PlanAuditSpec extends SparkSpec {
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plan has a nested-loop join")
     }
   }
+
+  test("sequence packing costs one shard shuffle plus the output order") {
+    // both windows (cumulative budget, per-bin position) must ride the
+    // same HashPartitioning(shard) exchange; +1 for the harness orderBy
+    val p = plan("corpus_pack_sequences")
+    val exchanges = p.linesIterator.count(_.contains("- Exchange"))
+    assert(exchanges <= 2, s"expected <=2 shuffles, got $exchanges:\n$p")
+  }
+
+  test("decontamination candidates stay equi-joins") {
+    val p = plan("corpus_decontaminate")
+    assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join:\n$p")
+  }
+
+  test("quantization calibration joins as a broadcast, never a sort-merge") {
+    val p = plan("embed_quantize")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dim table must broadcast:\n$p")
+  }
+
+  test("domain cap ranks inside per-source partitions") {
+    val p = plan("corpus_domain_cap")
+    assert(!p.contains("CartesianProduct"))
+    // the rank window must declare a partition spec (a global window would
+    // print an empty partitionBy and serialize the corpus)
+    val windowLine = p.linesIterator.find(_.contains("row_number()")).getOrElse("")
+    assert(windowLine.contains("windowspecdefinition(source"),
+      s"rank window not partitioned by source: $windowLine")
+  }
 }
