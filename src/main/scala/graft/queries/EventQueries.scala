@@ -348,10 +348,25 @@ object EventQueries {
       .orderBy("user_id", "event_type", "ts")
   }
 
+  /** Event-time sessionization as a real StreamingQuery (native
+    * `session_window`, same AvailableNow + memory-sink harness). Oracle:
+    * the batch island-detection rewrite of the same gap semantics —
+    * session_window merges an event that lands strictly inside
+    * [prev, prev + gap), so a gap of exactly 30 minutes starts a new
+    * session on both sides.
+    */
+  val streamSessionize: Q = (s, d) => {
+    val sessions = graft.streaming.StreamingOps.sessionCounts(
+      eventsStream(s, d, "stream_src_events_sess"), "ts", "user_id")
+    drainToTable(sessions, "stream_sessionize_sink", "complete")
+      .orderBy("user_id", "session_start")
+  }
+
   val defs: Seq[(String, Q)] = Seq(
     "q1_pricing_summary" -> q1PricingSummary,
     "stream_windowed_counts" -> streamWindowedCounts,
     "stream_dedup" -> streamDedup,
+    "stream_sessionize" -> streamSessionize,
     "event_discover_tables" -> eventDiscoverTables,
     "event_case_map" -> eventCaseMap,
     "event_rekey" -> eventRekey,
@@ -385,6 +400,20 @@ object EventQueries {
     "stream_dedup" ->
       """SELECT DISTINCT user_id, event_type, ts
         |FROM events ORDER BY user_id, event_type, ts""".stripMargin,
+    "stream_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800 * 1000000 THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), sess AS (
+        |  SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g
+        |)
+        |SELECT min(ts) AS session_start, user_id, CAST(count(*) AS BIGINT) AS n_events
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
