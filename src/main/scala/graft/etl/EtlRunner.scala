@@ -96,3 +96,12 @@ final case class EtlRunner(model: CdmModel, maxParallelTables: Int = 9) {
     }
   }
 }
+
+object EtlRunner {
+  /** Wire the runner from the riab.ini surface the way the reference CLI
+    * does (`cli.py` passes `[riab] max_parallel_tables` into the ETL's
+    * thread pool).
+    */
+  def fromConfig(model: CdmModel, config: RiabConfig): EtlRunner =
+    EtlRunner(model, config.maxParallelTables)
+}

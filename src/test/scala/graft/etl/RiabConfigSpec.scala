@@ -45,6 +45,12 @@ class RiabConfigSpec extends AnyFunSuite {
     assert(c.backend("dataset_work") === "omop.work")
   }
 
+  test("EtlRunner wires its pool size from the config") {
+    val c = RiabConfig.parse(ini)
+    val runner = EtlRunner.fromConfig(graft.model.TpchModel.model, c)
+    assert(runner.maxParallelTables === 4)
+  }
+
   test("resolution cascade: explicit beats env beats cwd, missing errors") {
     val dir = Files.createTempDirectory("riab_cfg")
     val a = dir.resolve("a.ini")
