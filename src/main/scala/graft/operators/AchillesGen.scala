@@ -164,6 +164,13 @@ object AchillesGen {
     * `percentile` aggregate would, and groups process in parallel. Each
     * quantile picks its two bracketing ranks out of that same pass. Counts
     * <= 5 suppressed (`small_cell_count`, `achilles.py:27`).
+    *
+    * avg/stdev accumulate through DECIMAL(38,10) sums, not double `avg` /
+    * `stddev_samp`: double summation is order-dependent, and a
+    * parallel-partition sum can land one ulp away from the oracle's
+    * single-threaded sum — observed flipping round(x, 4) on exactly one
+    * sf0.1 stratum. Decimal addition is associative, so Spark and the
+    * oracle compute bit-identical moments at every parallelism.
     */
   def distAgg(rows: DataFrame, groupCols: Seq[String]): DataFrame = {
     val keys = groupCols.map(col)
@@ -182,8 +189,8 @@ object AchillesGen {
       count(lit(1)).as("count_value"),
       round(min(col("__v")), 4).as("min_value"),
       round(max(col("__v")), 4).as("max_value"),
-      round(avg(col("__v")), 4).as("avg_value"),
-      round(stddev_samp(col("__v")), 4).as("stdev_value"),
+      sum(col("__v").cast("decimal(38,10)")).as("__sv"),
+      sum((col("__v") * col("__v")).cast("decimal(38,10)")).as("__svv"),
       max(col("__n")).as("__nn")) ++ brackets
     distTail(base.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*), keys)
   }
@@ -239,7 +246,9 @@ object AchillesGen {
       .orderBy("analysis_id", "stratum_1")
 
   /** The quantile-interpolation + final-projection tail shared by
-    * [[distAgg]] and [[distAggFromValueCounts]].
+    * [[distAgg]] and [[distAggFromValueCounts]]: derives avg/stdev from
+    * the exact decimal sums (`__sv`, `__svv`) so every double operation
+    * happens in the same order on identical inputs in both engines.
     */
   private def distTail(grouped: DataFrame, keys: Seq[org.apache.spark.sql.Column]): DataFrame = {
     val qCols = Quantiles.map { case (name, q) =>
@@ -249,10 +258,16 @@ object AchillesGen {
       val hi = coalesce(col(s"__hi_$name"), lo)
       round(lo + frac * (hi - lo), 4).as(s"${name}_value")
     }
+    val n = col("count_value")
+    val sv = col("__sv").cast("double")
+    val svv = col("__svv").cast("double")
+    val avgCol = round(sv / n, 4).as("avg_value")
+    val sdCol = round(when(n > 1,
+      sqrt(greatest(lit(0.0), (svv - sv * sv / n) / (n - lit(1))))), 4).as("stdev_value")
     grouped
       .filter(col("count_value") > 5)
       .select(keys ++ Seq(col("count_value"), col("min_value"), col("max_value"),
-        col("avg_value"), col("stdev_value")) ++ qCols: _*)
+        avgCol, sdCol) ++ qCols: _*)
   }
 
   /** Dist aggregation over a VALUE HISTOGRAM `(groupCols..., __v, __cnt)`
@@ -277,16 +292,16 @@ object AchillesGen {
         max(when(r > col("__cum") - col("__cnt") && r <= col("__cum"), col("__v")))
       Seq(at(floor(h)).as(s"__lo_$name"), at(floor(h) + 1).as(s"__hi_$name"))
     }
-    val n = sum(col("__cnt"))
-    val sv = sum(col("__v") * col("__cnt"))
-    val svv = sum(col("__v") * col("__v") * col("__cnt"))
+    // exact decimal moments: decimal(28,10) x decimal(9,0) -> decimal(38,10)
+    // with NO precision loss, so the histogram-weighted sum equals the
+    // oracle's raw-row decimal sum bit for bit (see distAgg's doc)
     val aggs = Seq(
-      n.as("count_value"),
+      sum(col("__cnt")).as("count_value"),
       round(min(col("__v")), 4).as("min_value"),
       round(max(col("__v")), 4).as("max_value"),
-      round(sv / n, 4).as("avg_value"),
-      round(when(n > 1,
-        sqrt(greatest(lit(0.0), (svv - sv * sv / n) / (n - lit(1))))), 4).as("stdev_value"),
+      sum(col("__v").cast("decimal(28,10)") * col("__cnt").cast("decimal(9,0)")).as("__sv"),
+      sum((col("__v") * col("__v")).cast("decimal(28,10)") * col("__cnt").cast("decimal(9,0)"))
+        .as("__svv"),
       max(col("__n")).as("__nn")) ++ brackets
     distTail(base.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*), keys)
   }
@@ -380,7 +395,7 @@ object AchillesGen {
        |)
        |SELECT analysis_id, stratum_1, count(*) AS count_value,
        |  round(min(v), 4) AS min_value, round(max(v), 4) AS max_value,
-       |  round(avg(v), 4) AS avg_value, round(stddev_samp(v), 4) AS stdev_value,
+       |  $MomentsSql
        |  round(quantile_cont(v, 0.1), 4) AS p10_value,
        |  round(quantile_cont(v, 0.25), 4) AS p25_value,
        |  round(quantile_cont(v, 0.5), 4) AS median_value,
@@ -389,6 +404,18 @@ object AchillesGen {
        |FROM d WHERE v IS NOT NULL
        |GROUP BY 1, 2 HAVING count(*) > 5
        |ORDER BY 1, 2""".stripMargin
+
+  /** The avg/stdev oracle arithmetic, operation-for-operation identical to
+    * [[distTail]]: associative DECIMAL(38,10) sums, then the same double
+    * expression tree — summation order can no longer flip a rounding.
+    */
+  val MomentsSql: String =
+    """round(CAST(sum(CAST(v AS DECIMAL(38,10))) AS DOUBLE) / count(*), 4) AS avg_value,
+      |  round(CASE WHEN count(*) > 1 THEN sqrt(greatest(0.0,
+      |    (CAST(sum(CAST(v * v AS DECIMAL(38,10))) AS DOUBLE)
+      |     - CAST(sum(CAST(v AS DECIMAL(38,10))) AS DOUBLE)
+      |       * CAST(sum(CAST(v AS DECIMAL(38,10))) AS DOUBLE) / count(*))
+      |    / (count(*) - 1))) END, 4) AS stdev_value,""".stripMargin
 
   /** DuckDB rendering of the identical battery from the identical metadata
     * (`quantile_cont` natively — the Spark side's rank interpolation is

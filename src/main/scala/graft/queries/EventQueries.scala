@@ -493,7 +493,7 @@ object EventQueries {
     "achilles_span_dist" ->
       graft.operators.AchillesGen.spanDistOracleSql(graft.model.TpchModel.modelWithEvents),
     "achilles_dist" ->
-      """WITH d AS (
+      s"""WITH d AS (
         |  SELECT CAST(101 AS BIGINT) AS analysis_id, o_orderstatus AS stratum_1,
         |    o_totalprice AS v FROM orders
         |  UNION ALL
@@ -503,7 +503,7 @@ object EventQueries {
         |)
         |SELECT analysis_id, stratum_1, count(*) AS count_value,
         |  round(min(v), 4) AS min_value, round(max(v), 4) AS max_value,
-        |  round(avg(v), 4) AS avg_value, round(stddev_samp(v), 4) AS stdev_value,
+        |  ${graft.operators.AchillesGen.MomentsSql}
         |  round(quantile_cont(v, 0.1), 4) AS p10_value,
         |  round(quantile_cont(v, 0.25), 4) AS p25_value,
         |  round(quantile_cont(v, 0.5), 4) AS median_value,

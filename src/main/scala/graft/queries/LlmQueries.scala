@@ -558,7 +558,7 @@ object LlmQueries {
       s"""WITH d AS (SELECT lang, CAST(len($tokSql) AS DOUBLE) AS v FROM documents)
          |SELECT lang, count(*) AS count_value,
          |  round(min(v), 4) AS min_value, round(max(v), 4) AS max_value,
-         |  round(avg(v), 4) AS avg_value, round(stddev_samp(v), 4) AS stdev_value,
+         |  ${graft.operators.AchillesGen.MomentsSql}
          |  round(quantile_cont(v, 0.1), 4) AS p10_value,
          |  round(quantile_cont(v, 0.25), 4) AS p25_value,
          |  round(quantile_cont(v, 0.5), 4) AS median_value,
