@@ -120,7 +120,9 @@ object EventQueries {
       .agg(
         count(lit(1)).as("stratum_count"),
         countDistinct(col("o_custkey")).as("n_customers"),
-        round(avg(col("o_totalprice")), 2).as("avg_value"),
+        // decimal sum -> order-independent (see AchillesGen.distAgg doc)
+        round(sum(col("o_totalprice").cast("decimal(38,6)")).cast("double") / count(lit(1)), 2)
+          .as("avg_value"),
         round(min(col("o_totalprice")), 2).as("min_value"),
         round(max(col("o_totalprice")), 2).as("max_value"),
         round(avg(when(isMedianRow, col("o_totalprice"))), 4).as("median_value"))
@@ -265,16 +267,25 @@ object EventQueries {
       .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
 
   /** TPC-H Q1-shaped pricing summary — the flagship scan+agg plan. */
-  val q1PricingSummary: Q = (s, d) =>
+  /** Flagship TPC-H Q1 shape. Money/discount sums accumulate through exact
+    * DECIMAL so parallel summation order cannot flip a rounding against the
+    * single-threaded oracle (same hardening as the dist moments — the
+    * per-row double product is deterministic, the decimal sum associative).
+    */
+  val q1PricingSummary: Q = (s, d) => {
+    def dsum(c: org.apache.spark.sql.Column, digits: Int) =
+      round(sum(c.cast("decimal(38,6)")).cast("double"), digits)
     t(s, d, "lineitem")
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(avg(col("l_discount")), 6).as("avg_disc"),
+        dsum(col("l_quantity"), 2).as("sum_qty"),
+        dsum(col("l_extendedprice"), 2).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("sum_disc_price"),
+        round(sum(col("l_discount").cast("decimal(38,6)")).cast("double") / count(lit(1)), 6)
+          .as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
+  }
 
   /** The streaming extension run as a REAL StreamingQuery, oracle-checked:
     * a parquet file-source stream of the events table (Trigger.AvailableNow
@@ -416,10 +427,10 @@ object EventQueries {
         |ORDER BY user_id, session_start""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |  round(avg(l_discount), 6) AS avg_disc,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 2) AS sum_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE), 2) AS sum_base_price,
+        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE), 2) AS sum_disc_price,
+        |  round(CAST(sum(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6) AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "event_discover_tables" ->
@@ -462,7 +473,7 @@ object EventQueries {
       """SELECT o_orderstatus,
         |  count(*) AS stratum_count,
         |  count(DISTINCT o_custkey) AS n_customers,
-        |  round(avg(o_totalprice), 2) AS avg_value,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / count(*), 2) AS avg_value,
         |  round(min(o_totalprice), 2) AS min_value,
         |  round(max(o_totalprice), 2) AS max_value,
         |  round(quantile_cont(o_totalprice, 0.5), 4) AS median_value

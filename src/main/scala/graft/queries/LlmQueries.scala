@@ -138,7 +138,9 @@ object LlmQueries {
       .select(col("label").cast("long").as("label"),
         posexplode(col("embedding")).as(Seq("pos0", "v")))
       .groupBy(col("label"), (col("pos0") + 1).cast("long").as("pos"))
-      .agg(round(avg(col("v").cast("double")), 4).as("centroid"))
+      // decimal sum -> order-independent (see AchillesGen.distAgg doc)
+      .agg(round(sum(col("v").cast("double").cast("decimal(28,10)")).cast("double")
+        / count(lit(1)), 4).as("centroid"))
       .orderBy("label", "pos")
 
   val textTokenStats: Q = (s, d) =>
@@ -577,7 +579,8 @@ object LlmQueries {
         |FROM e JOIN d USING (pos) ORDER BY vec_id, pos""".stripMargin,
     "embed_label_centroids" ->
       """SELECT CAST(label AS BIGINT) AS label, CAST(a.i AS BIGINT) AS pos,
-        |  round(avg(CAST(embedding[a.i] AS DOUBLE)), 4) AS centroid
+        |  round(CAST(sum(CAST(CAST(embedding[a.i] AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE)
+        |    / count(*), 4) AS centroid
         |FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS a(i)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "text_token_stats" ->
