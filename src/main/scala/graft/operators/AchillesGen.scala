@@ -440,8 +440,8 @@ object AchillesGen {
     distOuterSql(selects.mkString("\nUNION ALL\n"))
   }
 
-  def oracleSql(model: CdmModel): String = {
-    val selects = analyses(model).map { a =>
+  private def countSelectsSql(model: CdmModel): String =
+    analyses(model).map { a =>
       a.kind match {
         case CountRows =>
           s"SELECT CAST(${a.id} AS BIGINT) AS analysis_id, 'ALL' AS stratum_1, count(*) AS count_value FROM ${a.table}"
@@ -456,12 +456,54 @@ object AchillesGen {
         case DistinctFkByYear =>
           s"SELECT ${a.id}, CAST(year(${a.column2}) AS VARCHAR), count(DISTINCT ${a.column}) FROM ${a.table} GROUP BY 2"
       }
-    }
+    }.mkString("\nUNION ALL\n")
+
+  def oracleSql(model: CdmModel): String =
     s"""WITH results AS (
-       |${selects.mkString("\nUNION ALL\n")}
+       |${countSelectsSql(model)}
        |)
        |SELECT analysis_id, stratum_1, count_value FROM results
        |WHERE count_value > 5
        |ORDER BY analysis_id, stratum_1""".stripMargin
+
+  /** The scratch->final merge (`achilles.py:507-561` /
+    * `merge_achilles_tables.sql`): every analysis family lands in the ONE
+    * canonical `achilles_results` shape — `analysis_id, stratum_1..5,
+    * count_value` — with the unused strata NULL-padded (the reference's
+    * `casted_names` padding), suppression already applied per family.
+    */
+  def mergedResults(model: CdmModel, load: String => DataFrame): DataFrame = {
+    val nulls = (2 to 5).map(i => lit(null).cast("string").as(s"stratum_$i"))
+    val counts = results(model, load)
+      .select(Seq(col("analysis_id"), col("stratum_1")) ++ nulls :+ col("count_value"): _*)
+    val pairNulls = (3 to 5).map(i => lit(null).cast("string").as(s"stratum_$i"))
+    val pairs = pairResults(model, load)
+      .select(Seq(col("analysis_id"), col("stratum_1"), col("stratum_2")) ++
+        pairNulls :+ col("count_value"): _*)
+    counts.unionByName(pairs)
+  }
+
+  /** DuckDB rendering of [[mergedResults]]. */
+  def mergedOracleSql(model: CdmModel): String = {
+    val pairSelects = pairAnalyses(model).map { a =>
+      s"""SELECT CAST(${a.id} AS BIGINT) AS analysis_id, ${a.strCol} AS stratum_1,
+         |  CAST(year(${a.tsCol}) AS VARCHAR) AS stratum_2, count(*) AS count_value
+         |FROM ${a.table} GROUP BY 2, 3""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH counts AS (
+       |${countSelectsSql(model)}
+       |), pairs AS (
+       |$pairSelects
+       |)
+       |SELECT analysis_id, stratum_1,
+       |  CAST(NULL AS VARCHAR) AS stratum_2, CAST(NULL AS VARCHAR) AS stratum_3,
+       |  CAST(NULL AS VARCHAR) AS stratum_4, CAST(NULL AS VARCHAR) AS stratum_5,
+       |  count_value
+       |FROM counts WHERE count_value > 5
+       |UNION ALL
+       |SELECT analysis_id, stratum_1, stratum_2,
+       |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), count_value
+       |FROM pairs WHERE count_value > 5
+       |ORDER BY analysis_id, stratum_1, stratum_2""".stripMargin
   }
 }

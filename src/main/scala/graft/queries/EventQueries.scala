@@ -395,6 +395,19 @@ object EventQueries {
       graft.operators.AchillesGen.fkDistResults(graft.model.TpchModel.modelWithEvents, tb => t(s, d, tb))),
     "achilles_pairs" -> ((s, d) =>
       graft.operators.AchillesGen.pairResults(graft.model.TpchModel.modelWithEvents, tb => t(s, d, tb))),
+    // the scratch->final merge (`achilles.py:507-561`): every family lands
+    // in the canonical 5-strata achilles_results shape, stored into the
+    // achilles zone via the atomic-replace protocol, report reads the table
+    "achilles_merge_results" -> ((s, d) => {
+      val zones = graft.io.Zones("/root/repo/target/graft_zones_achilles")
+      val table = s"achilles_results_${Integer.toHexString(d.hashCode)}"
+      zones.write(
+        graft.operators.AchillesGen.mergedResults(
+          graft.model.TpchModel.modelWithEvents, tb => t(s, d, tb)),
+        "achilles", table)
+      zones.read(s, "achilles", table)
+        .orderBy("analysis_id", "stratum_1", "stratum_2")
+    }),
     "achilles_span_dist" -> ((s, d) =>
       graft.operators.AchillesGen.spanDistResults(graft.model.TpchModel.modelWithEvents, tb => t(s, d, tb))),
     "dqd_checks" -> dqdChecks,
@@ -501,6 +514,8 @@ object EventQueries {
       graft.operators.AchillesGen.fkDistOracleSql(graft.model.TpchModel.modelWithEvents),
     "achilles_pairs" ->
       graft.operators.AchillesGen.pairOracleSql(graft.model.TpchModel.modelWithEvents),
+    "achilles_merge_results" ->
+      graft.operators.AchillesGen.mergedOracleSql(graft.model.TpchModel.modelWithEvents),
     "achilles_span_dist" ->
       graft.operators.AchillesGen.spanDistOracleSql(graft.model.TpchModel.modelWithEvents),
     "achilles_dist" ->
