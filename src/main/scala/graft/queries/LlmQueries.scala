@@ -92,6 +92,25 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Quality-aware cluster representatives: within each near-dup cluster
+    * keep the HIGHEST-quality member (tie-broken by id), not the smallest
+    * id — the representative-selection policy a curation pipeline actually
+    * wants. One window partitioned per cluster over the stored cluster
+    * map.
+    */
+  val dedupClusterBest: Q = (s, d) => {
+    val quality = t(s, d, "documents").select(col("doc_id"),
+      round(TextOps.qualityScore(col("text")), 6).as("quality"))
+    val w = Window.partitionBy(col("component_id"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    clusterMap(s, d).select(col("id").as("doc_id"), col("component_id"))
+      .join(quality, Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("component_id"), col("doc_id").as("keep_id"), col("quality"))
+      .orderBy("component_id")
+  }
+
   /** C4-style cleaning composite: the quality-score + length gate a
     * training corpus actually applies before tokenization.
     */
@@ -312,6 +331,7 @@ object LlmQueries {
     "dedup_jaccard_pairs" -> dedupJaccardPairs,
     "dedup_cluster_components" -> dedupClusterComponents,
     "dedup_cluster_survivors" -> dedupClusterSurvivors,
+    "dedup_cluster_best" -> dedupClusterBest,
     "text_token_stats" -> textTokenStats,
     "text_quality_filter" -> textQualityFilter,
     "corpus_split_assign" -> corpusSplitAssign,
@@ -490,6 +510,37 @@ object LlmQueries {
          |)
          |SELECT id AS doc_id, min(r) AS component_id
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "dedup_cluster_best" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, re.r FROM edges e JOIN reach re ON e.dst = re.id
+         |),
+         |comp AS (SELECT id, min(r) AS component_id FROM reach GROUP BY id),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(length(text) AS DOUBLE) AS len,
+         |    CAST(len($tokSql) AS DOUBLE) AS toks,
+         |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS punct,
+         |    CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|a|to|in|is)\\b')) AS DOUBLE) AS en
+         |  FROM documents
+         |), q AS (
+         |  SELECT doc_id,
+         |    round(least(len / 500.0, 1.0) * 0.4
+         |      + least(en / greatest(toks, 1.0), 1.0) * 0.4
+         |      + (1.0 - least(punct / greatest(len, 1.0), 1.0)) * 0.2, 6) AS quality
+         |  FROM m
+         |), ranked AS (
+         |  SELECT comp.component_id, comp.id AS keep_id, q.quality,
+         |    row_number() OVER (PARTITION BY comp.component_id
+         |      ORDER BY q.quality DESC, comp.id) AS rk
+         |  FROM comp JOIN q ON comp.id = q.doc_id
+         |)
+         |SELECT component_id, keep_id, quality FROM ranked WHERE rk = 1
+         |ORDER BY component_id""".stripMargin,
     "dedup_cluster_survivors" ->
       s"""WITH RECURSIVE $jaccardCtes,
          |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
