@@ -77,6 +77,20 @@ final case class CdmModel(
       case f if f.fkTable.exists(_ != "concept") => f.name -> f.fkTable.get
     }.toMap
 
+  /** The concept (mapping) columns of a table — FKs INTO `concept`, the
+    * set `_get_fks` deliberately excludes: these get Usagi folders, usagi
+    * uploads and concept-id swaps instead of plain FK swaps
+    * (`create_cdm_folders.py:46`, `etl.py:177-242`). The vendored field
+    * CSV carries concept FK targets only where dependency-relevant, so the
+    * CDM `*_concept_id` int64 naming convention identifies the rest (the
+    * same convention the DQD record-completeness family keys on).
+    */
+  def conceptFks(table: String): Seq[String] =
+    byTable(table).collect {
+      case f if f.fkTable.contains("concept") ||
+        (f.name.endsWith("_concept_id") && f.datatype == "int64") => f.name
+    }.toSeq.distinct.sorted
+
   /** Event (polymorphic-FK) columns of a table -> discriminator column
     * (`cdm_5.4_events.json`, loaded at `etl_base.py:135-142`).
     */
