@@ -24,9 +24,9 @@ object SparkEntry {
       PipelineQueries.defs ++ SourceQueries.defs ++ LifecycleQueries.defs ++ EtlQueries.defs).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops (the driver
-    * then records a weaker rows-only check) — currently only
-    * `multimodal_decode`, whose decode stub is Scala-side.
+    * the same parquet tables — EVERY registered query has one (the decode
+    * stub is a deterministic fake, so even `multimodal_decode` replays in
+    * SQL); the driver's weaker rows-only fallback is never needed.
     */
   def oracleSql: Map[String, String] =
     (CoreQueries.oracles ++ EventQueries.oracles ++ LlmQueries.oracles ++ CdmQueries.oracles ++

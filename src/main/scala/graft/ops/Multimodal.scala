@@ -104,10 +104,15 @@ object MediaCodec {
     if (payload == null) (Array.empty[Float], 0, 0)
     else {
       val n = payload.length
-      // 8 deterministic moments over byte windows = the fake "feature"
+      // 8 deterministic moments over byte windows = the fake "feature".
+      // The mean divides in DOUBLE and narrows to float afterwards: float
+      // division double-rounds differently from float(double-division) in
+      // rare cases, and the double->float narrowing is the one form an
+      // external SQL oracle can replay exactly (CAST(sum/len AS FLOAT)).
       val feat = (0 until 8).map { k =>
         val slice = payload.drop(k * n / 8).take(math.max(n / 8, 1))
-        if (slice.isEmpty) 0f else slice.map(_ & 0xff).sum.toFloat / slice.length
+        if (slice.isEmpty) 0f
+        else (slice.map(_ & 0xff).sum.toDouble / slice.length).toFloat
       }.toArray
       (feat, n % 640, n % 480)
     }

@@ -266,8 +266,9 @@ object LlmQueries {
   val multimodalDecode: Q = (s, d) =>
     Multimodal.decodeFeatures(
       Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text", "text"))
-      .select(col("media_id"), col("modality"), col("width"), col("height"),
-        round(element_at(col("feature"), 1), 3).as("f0"))
+      .select(col("media_id"), col("modality"),
+        col("width").cast("long").as("width"), col("height").cast("long").as("height"),
+        round(element_at(col("feature"), 1).cast("double"), 3).as("f0"))
       .orderBy("media_id")
 
   /** Sequence packing: documents -> fixed 2048-token context-window bins,
@@ -789,5 +790,21 @@ object LlmQueries {
         |  md5(substring(text, CAST(i * 64 + 1 AS INT), 64)) AS frame_hash
         |FROM documents,
         |  UNNEST(range(0, least(4, CAST(ceil(length(text) / 64.0) AS BIGINT)))) AS t(i)
-        |ORDER BY media_id, frame_idx""".stripMargin)
+        |ORDER BY media_id, frame_idx""".stripMargin,
+    // the decode stub is a DETERMINISTIC fake (windowed byte means), so it
+    // is fully oracle-replayable: mean in double, narrowed to FLOAT the
+    // same way the codec stub narrows, then widened for the 3dp report
+    "multimodal_decode" ->
+      """WITH m AS (
+        |  SELECT doc_id, text,
+        |    substr(text, 1, greatest(length(text) // 8, 1)) AS s
+        |  FROM documents
+        |)
+        |SELECT doc_id AS media_id, 'text' AS modality,
+        |  CAST(length(text) % 640 AS BIGINT) AS width,
+        |  CAST(length(text) % 480 AS BIGINT) AS height,
+        |  round(CAST(CAST(
+        |    CAST(list_sum([CAST(ord(c) AS BIGINT) FOR c IN string_split_regex(s, '')]) AS DOUBLE)
+        |      / length(s) AS FLOAT) AS DOUBLE), 3) AS f0
+        |FROM m ORDER BY media_id""".stripMargin)
 }
