@@ -36,13 +36,22 @@ final case class EtlFlags(
     onlyTables: Option[Set[String]] = None,
     onlyQueries: Option[Seq[String]] = None, // "table/query.sql" paths
     skipUsagiAndCustomConceptUpload: Boolean = false,
-    skipEventFksStep: Boolean = false) {
+    skipEventFksStep: Boolean = false,
+    processSemiApprovedMappings: Boolean = false) {
 
   /** `--only-query` values grouped by their leading path segment
     * (`etl.py:111-113`).
     */
   def queriesByTable: Map[String, Seq[String]] =
     onlyQueries.getOrElse(Seq.empty).groupBy(_.split("/").head)
+
+  /** The Usagi statuses the merge accepts
+    * (`--process-semi-approved-mappings`, `etl.py:495`/`etl.py:564`) —
+    * feed this to `MergeOps.usagiSwap`'s `statuses` parameter.
+    */
+  def approvedStatuses: Seq[String] =
+    if (processSemiApprovedMappings) Seq("APPROVED", "SEMI-APPROVED")
+    else Seq("APPROVED")
 }
 
 final case class EtlRunner(model: CdmModel, maxParallelTables: Int = 9) {

@@ -77,6 +77,12 @@ class EtlRunnerSpec extends AnyFunSuite {
     assert(events.isEmpty)
   }
 
+  test("--process-semi-approved-mappings widens the accepted usagi statuses") {
+    assert(EtlFlags().approvedStatuses === Seq("APPROVED"))
+    assert(EtlFlags(processSemiApprovedMappings = true).approvedStatuses
+      === Seq("APPROVED", "SEMI-APPROVED"))
+  }
+
   test("post-etl cleanup runs only on a FULL etl (etl.py:126-129)") {
     var cleanups = 0
     val runner = EtlRunner(m)
