@@ -128,7 +128,7 @@ object EventOps {
       .denseIds(ranked.filter(col("__rn") > 1).drop("__rn"), pkCol +: eventCols, maxPk, "__newpk")
       .withColumn(pkCol, col("__newpk"))
       .drop("__newpk")
-      .select(kept.columns.map(col): _*)
+      .select(kept.columns.toIndexedSeq.map(col): _*)
     kept.unionByName(rekeyed)
   }
 }

@@ -105,7 +105,7 @@ object MergeOps {
     */
   def dedupKeepFirstSalted(df: DataFrame, keyCols: Seq[String], salts: Int = 16): DataFrame = {
     // salt from the full row hash: rows of one hot key scatter uniformly
-    val salted = df.withColumn("__salt", pmod(hash(df.columns.map(col): _*), lit(salts)))
+    val salted = df.withColumn("__salt", pmod(hash(df.columns.toIndexedSeq.map(col): _*), lit(salts)))
     val phase1 = dedupKeepFirst(salted, keyCols :+ "__salt").drop("__salt")
     dedupKeepFirst(phase1, keyCols)
   }

@@ -69,7 +69,7 @@ object Validate {
     facts
       .join(broadcast(dim), facts(factKey) === dim(dimKey), "left")
       .filter(dim(dimKey).isNull)
-      .select(facts.columns.map(facts(_)): _*)
+      .select(facts.columns.toIndexedSeq.map(facts(_)): _*)
 
   /** J7: Usagi domain check — inner join mapped concepts to the concept
     * dimension and flag rows whose domain is outside the FK's allowed set

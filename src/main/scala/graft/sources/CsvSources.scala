@@ -37,7 +37,7 @@ object CsvSources {
       .schema(usagiSchema)
       .option("header", "true")
       .csv(path)
-      .select(usagiSchema.fieldNames.map(col): _*)
+      .select(usagiSchema.fieldNames.toIndexedSeq.map(col): _*)
 
   /** S2: custom-concept CSV schema (`etl.py:67-78`). */
   val conceptSchema: StructType = StructType(Seq(
@@ -63,7 +63,7 @@ object CsvSources {
     conceptSchema.fields.foldLeft(raw) { (df, f) =>
       if (f.dataType == StringType) df.withColumn(f.name, coalesce(col(f.name), lit("")))
       else df
-    }.select(conceptSchema.fieldNames.map(col): _*)
+    }.select(conceptSchema.fieldNames.toIndexedSeq.map(col): _*)
   }
 
   /** S3: one Athena vocabulary TSV, typed from the CDM model with `%Y%m%d`
