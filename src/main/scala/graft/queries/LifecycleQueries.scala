@@ -396,9 +396,29 @@ object LifecycleQueries {
   val dqdOverview: Q = (s, d) =>
     graft.operators.DqdChecks.overview(generatedBattery(s, d))
 
+  /** The `--data-quality --json` export row shape
+    * (`data_quality.py:391-421`): the dashboard-consumed projection of the
+    * stored results — lowercased checkid, the per-check counts, the pct at
+    * the export's 4-decimal rounding, and the passed/failed pair from the
+    * threshold evaluation.
+    */
+  val dqdJsonRows: Q = (s, d) =>
+    generatedBattery(s, d).select(
+      lower(col("check_id")).as("checkid"),
+      col("check_name"), col("check_level"), col("category"),
+      col("cdm_table_name"), col("cdm_field_name"),
+      col("num_violated_rows"), col("num_denominator_rows"),
+      round(col("num_violated_rows").cast("double") /
+        greatest(col("num_denominator_rows"), lit(1L)), 4).as("pct_violated_rows"),
+      col("threshold_value"),
+      col("failed"),
+      (lit(1L) - col("failed")).as("passed"))
+      .coalesce(1).sortWithinPartitions("checkid")
+
   val defs: Seq[(String, Q)] = Seq(
     "dqd_field_level" -> dqdFieldLevel,
     "dqd_overview" -> dqdOverview,
+    "dqd_json_rows" -> dqdJsonRows,
     "dqd_cdm54_battery" -> dqdCdm54Battery,
     "cleanup_cascade" -> cleanupCascade,
     "cleanup_custom_concepts" -> cleanupCustomConcepts,
@@ -411,6 +431,18 @@ object LifecycleQueries {
     "dqd_field_level" -> Dqd.oracleSql(TpchModel.modelWithEvents, dqdRules),
     "dqd_overview" -> Dqd.overviewOracleSql(
       Dqd.oracleSql(TpchModel.modelWithEvents, dqdRules)),
+    "dqd_json_rows" ->
+      s"""WITH battery AS (
+         |${Dqd.oracleSql(TpchModel.modelWithEvents, dqdRules)}
+         |)
+         |SELECT lower(check_id) AS checkid,
+         |  check_name, check_level, category, cdm_table_name, cdm_field_name,
+         |  num_violated_rows, num_denominator_rows,
+         |  round(CAST(num_violated_rows AS DOUBLE) / greatest(num_denominator_rows, 1), 4)
+         |    AS pct_violated_rows,
+         |  threshold_value, failed,
+         |  CAST(1 - failed AS BIGINT) AS passed
+         |FROM battery ORDER BY checkid""".stripMargin,
     "dqd_cdm54_battery" ->
       Dqd.emptyUniverseOracleSql(graft.model.Cdm54.model, cdm54Rules),
     "cleanup_cascade" ->
