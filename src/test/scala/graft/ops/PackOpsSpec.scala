@@ -30,6 +30,44 @@ class PackOpsSpec extends SparkSpec {
     assert("hashpartitioning".r.findAllIn(plan.toLowerCase).size === 1, plan)
   }
 
+  test("property: packing conserves documents and fills bins in order") {
+    val s = spark
+    import s.implicits._
+    val prop = org.scalacheck.Prop.forAll(
+      org.scalacheck.Gen.chooseNum(1L, 40L), org.scalacheck.Gen.chooseNum(3L, 20L)) {
+      (nDocs: Long, budget: Long) =>
+        val docs = (1L to nDocs).map(i => (i, ("w " * (i % 7 + 1).toInt).trim))
+          .toDF("doc_id", "text")
+        val out = PackOps.packSequences(docs, "doc_id", "text", budget, nShards = 4)
+          .select("doc_id", "shard", "n_tokens", "bin", "pos")
+          .as[(Long, Long, Long, Long, Long)].collect()
+        val conserved = out.length == nDocs
+        val binsInOrder = out.groupBy(_._2).values.forall { shard =>
+          val byId = shard.sortBy(_._1)
+          // bins are nondecreasing in doc order, and positions restart at 1
+          byId.map(_._4).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)) &&
+            byId.groupBy(_._4).values.forall(b =>
+              b.map(_._5).sorted.toSeq == (1L to b.length).toSeq)
+        }
+        conserved && binsInOrder
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("decontaminate never returns a benchmark doc and is a subset of training docs") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 30L).map(i =>
+      (i, s"document number $i with shared vocabulary token$i filler words here"))
+      .toDF("doc_id", "text")
+    val out = PackOps.decontaminate(docs, "doc_id", "text", col("doc_id") % 5 === 0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.forall(_ % 5 != 0))
+    assert(out.subsetOf((1L to 30L).filter(_ % 5 != 0).toSet))
+  }
+
   test("decontaminate drops near-matches of the benchmark set and keeps the rest") {
     val s = spark
     import s.implicits._
