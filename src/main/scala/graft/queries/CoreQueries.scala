@@ -59,6 +59,15 @@ object CoreQueries {
   val mergeDedupKeepFirst: Q = (s, d) =>
     MergeOps.dedupKeepFirst(t(s, d, "lineitem"), Seq("l_orderkey")).orderBy("l_orderkey")
 
+  /** The skew-salted W3 variant, bit-identical to [[mergeDedupKeepFirst]]
+    * by construction (two-phase keep-first over a row-hash salt) — the
+    * same oracle certifies both, flipping the salted path from
+    * property-tested-only to oracle-checked.
+    */
+  val mergeDedupSalted: Q = (s, d) =>
+    MergeOps.dedupKeepFirstSalted(t(s, d, "lineitem"), Seq("l_orderkey"))
+      .orderBy("l_orderkey")
+
   /** J1+J2+J3+P2+P3: the merge join stack — usagi concept swap (status
     * filter in the join condition), FK swap with required-column defaults.
     */
@@ -261,6 +270,7 @@ object CoreQueries {
     "swap_merge_append" -> swapMergeAppend,
     "concept_rank_ids" -> conceptRankIds,
     "merge_dedup_keep_first" -> mergeDedupKeepFirst,
+    "merge_dedup_salted" -> mergeDedupSalted,
     "merge_usagi_swap" -> mergeUsagiSwap,
     "merge_union_preserve" -> mergeUnionPreserve,
     "stragg_source_values" -> straggSourceValues,
@@ -304,6 +314,14 @@ object CoreQueries {
         |  CAST(2000000000 + rank() OVER (ORDER BY p_type) AS BIGINT) AS concept_id
         |FROM part ORDER BY concept_code""".stripMargin,
     "merge_dedup_keep_first" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+        |  l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+        |FROM (SELECT *, row_number() OVER (PARTITION BY l_orderkey
+        |  ORDER BY l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+        |    l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate) AS rn
+        |  FROM lineitem)
+        |WHERE rn = 1 ORDER BY l_orderkey""".stripMargin,
+    "merge_dedup_salted" ->
       """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
         |  l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
         |FROM (SELECT *, row_number() OVER (PARTITION BY l_orderkey
