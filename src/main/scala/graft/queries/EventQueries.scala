@@ -260,10 +260,23 @@ object EventQueries {
       .orderBy("o_orderpriority")
 
   /** Beyond-parity aggregation: ROLLUP over two dimensions. */
+  // decimal sums -> order-independent (see AchillesGen.distAgg doc)
+  private val totalDecimal =
+    round(sum(col("o_totalprice").cast("decimal(38,6)")).cast("double"), 2).as("total")
+
   val aggRollup: Q = (s, d) =>
     t(s, d, "orders")
       .rollup(col("o_orderstatus"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("total"))
+      .agg(count(lit(1)).as("cnt"), totalDecimal)
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
+  /** CUBE grouping sets — the all-combinations sibling of [[aggRollup]]
+    * (every subset of the two dimensions, not just prefixes).
+    */
+  val aggCube: Q = (s, d) =>
+    t(s, d, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), totalDecimal)
       .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
 
   /** TPC-H Q1-shaped pricing summary — the flagship scan+agg plan. */
@@ -415,7 +428,8 @@ object EventQueries {
     "event_props_extract" -> eventPropsExtract,
     "event_sessionize" -> eventSessionize,
     "agg_count_distinct" -> aggCountDistinct,
-    "agg_rollup" -> aggRollup)
+    "agg_rollup" -> aggRollup,
+    "agg_cube" -> aggCube)
 
   val oracles: Seq[(String, String)] = Seq(
     "stream_windowed_counts" ->
@@ -588,7 +602,13 @@ object EventQueries {
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_customers, count(*) AS n_orders
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_rollup" ->
-      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 2) AS total
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 2) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
 }
