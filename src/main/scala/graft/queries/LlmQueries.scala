@@ -111,6 +111,27 @@ object LlmQueries {
       .orderBy("component_id")
   }
 
+  /** Token-commonness score: each document's mean corpus frequency of its
+    * tokens — the rarity signal pipelines use to drop gibberish /
+    * wrong-language outliers (low commonness) without transcendental math
+    * (a unigram log-prob would hit cross-engine libm 1-ulp differences;
+    * integer frequencies summed through DECIMAL are exact).
+    *
+    * Scale shape: one explode + combinable count builds the unigram table
+    * (vocabulary-sized — AQE broadcasts small ones), one equi-join on the
+    * token scores the docs, one combinable per-doc aggregate.
+    */
+  val textCommonness: Q = (s, d) => {
+    val toks = t(s, d, "documents")
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
+    toks.join(freq, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("tf").cast("decimal(38,0)")).cast("double") / count(lit(1)), 4)
+        .as("commonness"))
+      .orderBy("doc_id")
+  }
+
   /** C4-style cleaning composite: the quality-score + length gate a
     * training corpus actually applies before tokenization.
     */
@@ -340,6 +361,7 @@ object LlmQueries {
     "embed_label_centroids" -> embedLabelCentroids,
     "embed_quantize" -> embedQuantize,
     "text_quality" -> textQuality,
+    "text_commonness" -> textCommonness,
     "doc_fingerprint" -> docFingerprint,
     "doc_rolling_hash" -> docRollingHash,
     "sim_topk_brute" -> simTopkBrute,
@@ -664,6 +686,16 @@ object LlmQueries {
         |    ELSE 'es' END AS lang_pred,
         |  lang
         |FROM m ORDER BY doc_id""".stripMargin,
+    "text_commonness" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, UNNEST($tokSql) AS tok FROM documents
+         |), freq AS (
+         |  SELECT tok, count(*) AS tf FROM toks GROUP BY tok
+         |)
+         |SELECT t.doc_id,
+         |  round(CAST(sum(CAST(f.tf AS DECIMAL(38,0))) AS DOUBLE) / count(*), 4) AS commonness
+         |FROM toks t JOIN freq f ON t.tok = f.tok
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     "doc_fingerprint" ->
       s"""SELECT doc_id,
          |  md5(array_to_string(list_sort(list_distinct($tokSql)), ' ')) AS fingerprint
