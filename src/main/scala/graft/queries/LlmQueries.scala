@@ -299,6 +299,22 @@ object LlmQueries {
     PackOps.packSequences(t(s, d, "documents"), "doc_id", "text",
       budget = 2048L, nShards = 64).orderBy("doc_id")
 
+  /** Packing efficiency report: per-shard bin count and fill rate (packed
+    * tokens / capacity) — the utilization number a packing policy is tuned
+    * against. Pure aggregate over [[corpusPackSequences]]'s assignment.
+    */
+  val corpusPackStats: Q = (s, d) =>
+    PackOps.packSequences(t(s, d, "documents"), "doc_id", "text",
+      budget = 2048L, nShards = 64)
+      .groupBy(col("shard"))
+      .agg(
+        countDistinct(col("bin")).as("n_bins"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        round(sum(col("n_tokens")).cast("double") /
+          (countDistinct(col("bin")) * lit(2048.0)), 4).as("fill_rate"))
+      .orderBy("shard")
+
   /** Benchmark decontamination: docs with `doc_id % 97 == 0` play the eval
     * set; training docs sharing any MinHash band bucket with them are
     * dropped (PackOps.decontaminate).
@@ -371,6 +387,7 @@ object LlmQueries {
     "dedup_embed_cosine" -> dedupEmbedCosine,
     "text_bpe_tokens" -> textBpeTokens,
     "corpus_pack_sequences" -> corpusPackSequences,
+    "corpus_pack_stats" -> corpusPackStats,
     "corpus_decontaminate" -> corpusDecontaminate,
     "corpus_domain_cap" -> corpusDomainCap,
     "corpus_token_dist" -> corpusTokenDist,
@@ -478,6 +495,23 @@ object LlmQueries {
          |SELECT band, bucket, count(*) AS n_docs, MIN(doc_id) AS min_id
          |FROM bandsig GROUP BY 1, 2 HAVING count(*) > 1
          |ORDER BY band, bucket""".stripMargin,
+    "corpus_pack_stats" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, ${h32("CAST(doc_id AS VARCHAR)")} % 64 AS shard,
+         |    CAST(len($tokSql) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, shard, n_tokens,
+         |    COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+         |  FROM t
+         |), b AS (
+         |  SELECT shard, n_tokens, CAST(floor(cumb / 2048.0) AS BIGINT) AS bin FROM c
+         |)
+         |SELECT shard, count(DISTINCT bin) AS n_bins, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  round(CAST(sum(n_tokens) AS DOUBLE) / (count(DISTINCT bin) * 2048.0), 4) AS fill_rate
+         |FROM b GROUP BY shard ORDER BY shard""".stripMargin,
     "corpus_decontaminate" ->
       s"""WITH $minhash16Ctes,
          |bb AS (SELECT DISTINCT band, bucket FROM bandsig WHERE doc_id % 97 = 0),
