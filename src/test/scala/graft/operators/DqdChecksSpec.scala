@@ -148,6 +148,33 @@ class DqdChecksSpec extends SparkSpec {
     assert(results("concept_plausibleUnitConceptIds_obs_obs_source_value_7001") === ((1L, 2L)))
   }
 
+  test("CDM 5.4 battery breadth derives from the model (no silent shrink)") {
+    val m = graft.model.Cdm54.model
+    val cdmRules = RuleSet(
+      startEnd = startEndRules(m),
+      completeness = personCompletenessRules(m),
+      temporal = afterBirthRules(m),
+      duringLife = duringLifeRules(m),
+      withinVisit = withinVisitRules(m),
+      conceptAttrs = standardConceptRules(m),
+      recordCompleteness = recordCompletenessRules(m),
+      sourceValues = sourceValueRules(m))
+    val sql = emptyUniverseOracleSql(m, cdmRules)
+    def occurrences(family: String): Int = sql.split(s"'$family'", -1).length - 1
+    assert(occurrences("cdmTable") === m.tables.size)
+    assert(occurrences("cdmField") ===
+      m.tables.map(t => m.sparkSchema(t).fields.length).sum)
+    assert(occurrences("isRequired") ===
+      m.tables.map(t => m.requiredColumns(t).size).sum)
+    assert(occurrences("isForeignKey") === m.tables.map(t => m.fks(t).size).sum)
+    assert(occurrences("plausibleStartBeforeEnd") === startEndRules(m).size)
+    assert(occurrences("plausibleAfterBirth") === afterBirthRules(m).size)
+    assert(occurrences("plausibleDuringLife") === duringLifeRules(m).size)
+    // the full battery stays north of a thousand generated checks
+    val rows = sql.linesIterator.count(_.trim.startsWith("('"))
+    assert(rows >= 1000, s"battery shrank to $rows checks")
+  }
+
   test("the battery enumerates exactly the oracle's check set") {
     val oracleIds = "'(field|table|concept)_[A-Za-z]+_[A-Za-z0-9_]+'".r
     val sql = oracleSql(model, rules)
