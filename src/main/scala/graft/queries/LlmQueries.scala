@@ -242,6 +242,30 @@ object LlmQueries {
       .orderBy("query_id", "rk")
   }
 
+  /** ANN quality evaluation: recall@5 of the LSH-bucketed top-k against
+    * the exact brute-force top-k for the same query set — the measurement
+    * an ANN deployment is judged by. Both tiers already run under this
+    * oracle gate, so their intersection is deterministic; a left join from
+    * the query set keeps zero-recall queries visible.
+    */
+  val simLshRecall: Q = (s, d) => {
+    val emb = t(s, d, "embeddings")
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val exact = SimOps.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("item_id"))
+    val approx = SimOps.lshTopK(emb, queries, "vec_id", "embedding",
+      k = 5, nPlanes = 8, dim = 64)
+      .select(col("query_id"), col("item_id"))
+    val hits = exact.join(approx, Seq("query_id", "item_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    queries.select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / 5.0, 2).as("recall"))
+      .orderBy("query_id")
+  }
+
   /** IVF ANN top-k: probe the 2 nearest centroids' inverted lists only. */
   val simIvfTopk: Q = (s, d) => {
     val emb = t(s, d, "embeddings")
@@ -383,6 +407,7 @@ object LlmQueries {
     "sim_topk_brute" -> simTopkBrute,
     "sim_lsh_buckets" -> simLshBuckets,
     "sim_lsh_topk" -> simLshTopk,
+    "sim_lsh_recall" -> simLshRecall,
     "sim_ivf_topk" -> simIvfTopk,
     "dedup_embed_cosine" -> dedupEmbedCosine,
     "text_bpe_tokens" -> textBpeTokens,
@@ -810,6 +835,48 @@ object LlmQueries {
         |)
         |SELECT query_id, item_id, bucket, round(sim, 6) AS sim, CAST(rk AS INT) AS rk
         |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    "sim_lsh_recall" ->
+      """WITH planes AS (
+        |  SELECT j, [CAST(((i * (j + 2) + 7) % 13) - 6 AS DOUBLE) FOR i IN range(0, 64)] AS plane
+        |  FROM UNNEST(range(0, 8)) AS t(j)
+        |), sig AS (
+        |  SELECT vec_id, CAST(SUM(CASE WHEN list_dot_product(embedding::DOUBLE[], plane) > 0
+        |    THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM embeddings CROSS JOIN planes GROUP BY vec_id
+        |), c AS (
+        |  SELECT s.bucket, e.vec_id AS item_id, e.embedding::DOUBLE[] AS iv
+        |  FROM embeddings e JOIN sig s USING (vec_id)
+        |), q AS (
+        |  SELECT s.bucket, e.vec_id AS query_id, e.embedding::DOUBLE[] AS qv
+        |  FROM embeddings e JOIN sig s USING (vec_id) WHERE e.vec_id % 100 = 0
+        |), lshr AS (
+        |  SELECT query_id, item_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, item_id) AS rk
+        |  FROM (
+        |    SELECT q.query_id, c.item_id,
+        |      list_dot_product(qv, iv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(iv, iv))) AS sim
+        |    FROM q JOIN c ON q.bucket = c.bucket WHERE query_id <> item_id)
+        |), bq AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 100 = 0),
+        |bc AS (SELECT vec_id AS item_id, embedding::DOUBLE[] AS iv FROM embeddings),
+        |brute AS (
+        |  SELECT query_id, item_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, item_id) AS rk
+        |  FROM (
+        |    SELECT query_id, item_id,
+        |      list_dot_product(qv, iv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(iv, iv))) AS sim
+        |    FROM bq CROSS JOIN bc WHERE query_id <> item_id)
+        |), hits AS (
+        |  SELECT b.query_id, count(*) AS n_hits
+        |  FROM (SELECT query_id, item_id FROM brute WHERE rk <= 5) b
+        |  JOIN (SELECT query_id, item_id FROM lshr WHERE rk <= 5) l
+        |    USING (query_id, item_id)
+        |  GROUP BY 1
+        |)
+        |SELECT qq.query_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 5.0, 2) AS recall
+        |FROM (SELECT DISTINCT vec_id AS query_id FROM embeddings WHERE vec_id % 100 = 0) qq
+        |LEFT JOIN hits h USING (query_id)
+        |ORDER BY query_id""".stripMargin,
     "sim_ivf_topk" ->
       """WITH cent AS (
         |  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id % 50 = 25
