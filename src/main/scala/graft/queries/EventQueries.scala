@@ -260,43 +260,59 @@ object EventQueries {
       .orderBy("o_orderpriority")
 
   /** Beyond-parity aggregation: ROLLUP over two dimensions. */
-  // decimal sums -> order-independent (see AchillesGen.distAgg doc)
-  private val totalDecimal =
-    round(sum(col("o_totalprice").cast("decimal(38,6)")).cast("double"), 2).as("total")
+  // exact order-independent sums at double speed (see ExactAgg): long-scaled
+  // per-partition partials, decimal only in the tiny final combine; the
+  // rollup/cube runs over the partials (sums distribute over both levels)
+  private def orderPartials(s: SparkSession, d: String) = {
+    import graft.functions.ExactAgg.scaled6
+    t(s, d, "orders")
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"),
+        spark_partition_id().as("__pid"))
+      .agg(count(lit(1)).as("p_cnt"), sum(scaled6(col("o_totalprice"))).as("p_total"))
+  }
 
   val aggRollup: Q = (s, d) =>
-    t(s, d, "orders")
+    orderPartials(s, d)
       .rollup(col("o_orderstatus"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("cnt"), totalDecimal)
+      .agg(sum(col("p_cnt")).as("cnt"),
+        graft.functions.ExactAgg.exactSum6(col("p_total"), 2).as("total"))
       .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
 
   /** CUBE grouping sets — the all-combinations sibling of [[aggRollup]]
     * (every subset of the two dimensions, not just prefixes).
     */
   val aggCube: Q = (s, d) =>
-    t(s, d, "orders")
+    orderPartials(s, d)
       .cube(col("o_orderstatus"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("cnt"), totalDecimal)
+      .agg(sum(col("p_cnt")).as("cnt"),
+        graft.functions.ExactAgg.exactSum6(col("p_total"), 2).as("total"))
       .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
 
-  /** TPC-H Q1-shaped pricing summary — the flagship scan+agg plan. */
-  /** Flagship TPC-H Q1 shape. Money/discount sums accumulate through exact
-    * DECIMAL so parallel summation order cannot flip a rounding against the
-    * single-threaded oracle (same hardening as the dist moments — the
-    * per-row double product is deterministic, the decimal sum associative).
+  /** Flagship TPC-H Q1 shape. Money/discount sums are exact and
+    * order-independent (so parallel summation can never flip a rounding
+    * against the single-threaded oracle) WITHOUT per-row decimal work:
+    * rows scale to long partials inside whole-stage codegen, and only the
+    * |groups|×|partitions| partial rows combine through DECIMAL — see
+    * [[graft.functions.ExactAgg]]. This recovers the r4 plain-double speed
+    * the r5 decimal(38,6) hardening lost (0.64 s → 1.66 s, verdict #1).
     */
   val q1PricingSummary: Q = (s, d) => {
-    def dsum(c: org.apache.spark.sql.Column, digits: Int) =
-      round(sum(c.cast("decimal(38,6)")).cast("double"), digits)
+    import graft.functions.ExactAgg._
     t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"), spark_partition_id().as("__pid"))
+      .agg(
+        sum(scaled6(col("l_quantity"))).as("p_qty"),
+        sum(scaled6(col("l_extendedprice"))).as("p_base"),
+        sum(scaled6(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("p_disc_price"),
+        sum(scaled6(col("l_discount"))).as("p_disc"),
+        count(lit(1)).as("p_cnt"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        dsum(col("l_quantity"), 2).as("sum_qty"),
-        dsum(col("l_extendedprice"), 2).as("sum_base_price"),
-        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("sum_disc_price"),
-        round(sum(col("l_discount").cast("decimal(38,6)")).cast("double") / count(lit(1)), 6)
-          .as("avg_disc"),
-        count(lit(1)).as("count_order"))
+        exactSum6(col("p_qty"), 2).as("sum_qty"),
+        exactSum6(col("p_base"), 2).as("sum_base_price"),
+        exactSum6(col("p_disc_price"), 2).as("sum_disc_price"),
+        round(unscaled6(col("p_disc")).cast("double") / sum(col("p_cnt")), 6).as("avg_disc"),
+        sum(col("p_cnt")).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
 
