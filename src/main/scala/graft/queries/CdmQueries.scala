@@ -85,13 +85,57 @@ object CdmQueries {
       .orderBy("table_name", "ordinal")
   }
 
+  /** The `--print-etl-flow` rendering (`etl_base.py:220-230`, shape
+    * documented at `README.md:44-73`): the level tree as numbered lines,
+    * pinned — like [[cdmLevels]] — by a hand-written literal oracle.
+    */
+  val etlFlowPrint: Q = (s, _) => {
+    import s.implicits._
+    graft.cli.GraftCli.printEtlFlow().linesIterator.toSeq.zipWithIndex
+      .map { case (l, i) => ((i + 1).toLong, l) }
+      .toDF("line_no", "line")
+      .orderBy("line_no")
+  }
+
   val defs: Seq[(String, Q)] = Seq(
     "cdm_levels" -> cdmLevels,
     "cdm_projection" -> cdmProjection,
     "cdm_ddl_schemas" -> cdmDdlSchemas,
-    "cdm_work_ddl" -> cdmWorkDdl)
+    "cdm_work_ddl" -> cdmWorkDdl,
+    "etl_flow_print" -> etlFlowPrint)
 
   val oracles: Seq[(String, String)] = Seq(
+    "etl_flow_print" ->
+      """SELECT CAST(line_no AS BIGINT) AS line_no, line FROM (VALUES
+        |  (1,  '└──vocabulary'),
+        |  (2,  '  ├──cdm_source'),
+        |  (3,  '  ├──fact_relationship'),
+        |  (4,  '  ├──location'),
+        |  (5,  '  └──metadata'),
+        |  (6,  '    └──care_site'),
+        |  (7,  '      └──provider'),
+        |  (8,  '        └──person'),
+        |  (9,  '          ├──death'),
+        |  (10, '          ├──episode'),
+        |  (11, '          ├──observation_period'),
+        |  (12, '          ├──payer_plan_period'),
+        |  (13, '          ├──specimen'),
+        |  (14, '          └──visit_occurrence'),
+        |  (15, '            ├──cost'),
+        |  (16, '            ├──episode_event'),
+        |  (17, '            └──visit_detail'),
+        |  (18, '              ├──condition_occurrence'),
+        |  (19, '              ├──device_exposure'),
+        |  (20, '              ├──drug_exposure'),
+        |  (21, '              ├──measurement'),
+        |  (22, '              ├──note'),
+        |  (23, '              ├──observation'),
+        |  (24, '              └──procedure_occurrence'),
+        |  (25, '                ├──condition_era'),
+        |  (26, '                ├──dose_era'),
+        |  (27, '                ├──drug_era'),
+        |  (28, '                └──note_nlp')
+        |) AS t(line_no, line) ORDER BY line_no""".stripMargin,
     "cdm_levels" ->
       """SELECT CAST(level AS BIGINT) AS level, table_name FROM (VALUES
         |  (0, 'vocabulary'),

@@ -282,7 +282,7 @@ object LifecycleQueries {
     * drug-era fkClass rules, condition-era completeness, and two
     * illustrative gender-specific concept rules (DQD Concept_Level shape).
     */
-  private def cdm54Rules: graft.operators.DqdChecks.RuleSet = {
+  def cdm54Rules: graft.operators.DqdChecks.RuleSet = {
     val m = graft.model.Cdm54.model
     Dqd.RuleSet(
       startEnd = Dqd.startEndRules(m),

@@ -1,0 +1,266 @@
+package graft.cli
+
+import graft.SparkSpec
+import graft.etl.EtlFlags
+import graft.io.Zones
+import graft.model.{Cdm54, CdmField, CdmModel}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path}
+
+/** End-to-end integration of the CLI command surface against a temp zones
+  * root + CDM folder layout — every reference command
+  * (`/root/reference/src/riab/cli.py:454-657`) driven through its
+  * [[GraftCli]] implementation.
+  */
+class GraftCliSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** TPC-H universe plus a concept (usagi-mapped) column on orders, so the
+    * folder ETL exercises the usagi/custom-concept path.
+    */
+  private lazy val specModel: CdmModel = {
+    def f(t: String, n: String, dt: String, req: Boolean = true,
+        pk: Boolean = false, fk: Option[String] = None) =
+      CdmField(t, n, dt, req, pk, fk, "CDM")
+    CdmModel(fields = graft.model.TpchModel.model.fields :+
+      f("orders", "priority_concept_id", "int64", req = false, fk = Some("concept")))
+  }
+
+  private def newZones(tag: String): Zones =
+    Zones(Files.createTempDirectory(s"graft_cli_$tag").toString)
+
+  private def write(p: Path, content: String): Unit = {
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, content)
+    ()
+  }
+
+  /** Scaffold the CDM folder with activated queries + usagi/custom CSVs. */
+  private def scaffoldFolder(): Path = {
+    val root = Files.createTempDirectory("graft_cli_folder")
+    write(root.resolve("region/load.sql.jinja"),
+      "SELECT r_regionkey, r_name FROM {{project_raw}}_region")
+    write(root.resolve("nation/load.sql.jinja"),
+      "SELECT n_nationkey, n_name, n_regionkey FROM {{project_raw}}_nation")
+    write(root.resolve("customer/load.sql.jinja"),
+      "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM {{project_raw}}_customer")
+    // the concept column carries the SOURCE CODE at upload time (the
+    // reference's merge joins it against usagi.sourceCode)
+    write(root.resolve("orders/load.sql.jinja"),
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        |  o_orderpriority, o_orderpriority AS priority_concept_id
+        |FROM {{project_raw}}_orders""".stripMargin)
+    // deactivated sample must be skipped
+    write(root.resolve("orders/example.sql._jinja"), "SELECT broken FROM nowhere")
+    write(root.resolve("orders/priority_concept_id/mapping.csv"),
+      """sourceCode,sourceName,mappingStatus,conceptId,conceptName,domainId
+        |1-URGENT,urgent,APPROVED,101,Urgent,Observation
+        |2-HIGH,high,SEMI-APPROVED,102,High,Observation
+        |3-MEDIUM,medium,FLAGGED,103,Medium,Observation""".stripMargin)
+    write(root.resolve("orders/priority_concept_id/custom/concepts.csv"),
+      """concept_id,concept_name,domain_id,vocabulary_id,concept_class_id,standard_concept,concept_code,valid_start_date,valid_end_date,invalid_reason
+        |0,Low priority,Observation,GRAFT,Clinical Finding,S,5-LOW,2020-01-15,2099-12-31,
+        |0,Not urgent,Observation,GRAFT,Clinical Finding,S,4-NOT SPECIFIED,2020-01-15,2099-12-31,""".stripMargin)
+    root
+  }
+
+  private def stageRaw(zones: Zones, tables: Seq[String]): Unit =
+    tables.foreach(tb => zones.write(graft.Tables.load(spark, sfDir, tb), "raw", tb))
+
+  test("parseArgs covers the reference's argument surface") {
+    val a = GraftCli.parseArgs(Seq(
+      "--config", "/tmp/riab.ini", "-r", "/tmp/cdm", "-t", "person", "-t", "note",
+      "-q", "person/load.sql", "-se", "-sa", "-s", "-v"))
+    assert(a.config.contains("/tmp/riab.ini"))
+    assert(a.runEtl.contains("/tmp/cdm"))
+    assert(a.tables === Seq("person", "note"))
+    assert(a.onlyQueries === Seq("person/load.sql"))
+    assert(a.skipEventFksStep && a.processSemiApprovedMappings
+      && a.skipUsagiAndCustomConceptUpload && a.verbose)
+    val flags = a.toFlags
+    assert(flags.onlyTables.contains(Set("person", "note")))
+    assert(flags.approvedStatuses === Seq("APPROVED", "SEMI-APPROVED"))
+
+    // nargs="?" consts: bare --cleanup means "all", bare -r keeps ini path
+    assert(GraftCli.parseArgs(Seq("-c")).cleanup.contains("all"))
+    assert(GraftCli.parseArgs(Seq("-c", "person")).cleanup.contains("person"))
+    assert(GraftCli.parseArgs(Seq("-r", "-dq")).runEtl.contains("") )
+    assert(GraftCli.parseArgs(Seq("-dq", "--json", "/tmp/x.json")).jsonPath
+      .contains("/tmp/x.json"))
+    intercept[IllegalArgumentException](GraftCli.parseArgs(Seq("-c", "not_a_table")))
+    intercept[IllegalArgumentException](GraftCli.parseArgs(Seq("--bogus")))
+  }
+
+  test("--print-etl-flow renders the reference's dependency tree") {
+    val tree = GraftCli.printEtlFlow()
+    val lines = tree.linesIterator.toSeq
+    assert(lines.size === 28)
+    assert(lines.head === "└──vocabulary")
+    assert(lines(1) === "  ├──cdm_source")
+    assert(lines.last === "                └──note_nlp")
+  }
+
+  test("--create-db materializes the typed empty CDM + aux tables") {
+    val zones = newZones("createdb")
+    val created = GraftCli.createDb(spark, zones)
+    assert(created.size === Cdm54.model.etlTables.size + 2)
+    assert(zones.listTables(spark, "omop").contains("person"))
+    val person = zones.read(spark, "omop", "person")
+    assert(person.count() === 0L)
+    // parquet read-back is always nullable -> compare names + types
+    assert(person.schema.fields.map(f => (f.name, f.dataType)).toSeq
+      === Cdm54.model.sparkSchema("person").fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(zones.read(spark, "dqd", "dqd_results").columns.contains("check_id"))
+  }
+
+  test("--test-db-connection probes the zone root") {
+    val zones = newZones("probe")
+    assert(GraftCli.testDbConnection(spark, zones))
+    assert(!zones.listTables(spark, "work").contains("__connection_probe"))
+  }
+
+  test("--import-vocabularies extracts, stages and refills present members") {
+    val zones = newZones("vocab")
+    val dir = Files.createTempDirectory("graft_cli_zip")
+    val zipPath = dir.resolve("athena.zip").toString
+    val concept = Seq(
+      Cdm54.model.columns("concept").mkString("\t"),
+      Seq("1", "Test concept", "Observation", "GRAFT", "Clinical Finding", "S",
+        "T-1", "20200115", "20991231", "").mkString("\t"))
+    val vocab = Seq(
+      Cdm54.model.columns("vocabulary").mkString("\t"),
+      Seq("GRAFT", "Graft generated", "graft", "v1", "0").mkString("\t"))
+    val zos = new java.util.zip.ZipOutputStream(Files.newOutputStream(dir.resolve("athena.zip")))
+    try Seq("CONCEPT.csv" -> concept, "VOCABULARY.csv" -> vocab).foreach { case (n, lines) =>
+      zos.putNextEntry(new java.util.zip.ZipEntry(n))
+      zos.write(lines.mkString("\n").getBytes("UTF-8"))
+      zos.closeEntry()
+    } finally zos.close()
+
+    val imported = GraftCli.importVocabularies(spark, zones, zipPath)
+    assert(imported === Seq("concept", "vocabulary"))
+    assert(zones.read(spark, "omop", "concept").count() === 1L)
+    val row = zones.read(spark, "omop", "concept").head()
+    assert(row.getAs[Long]("concept_id") === 1L)
+    assert(row.getAs[java.sql.Date]("valid_start_date").toString === "2020-01-15")
+  }
+
+  test("--run-etl drives the folder ETL end to end (swap, usagi, custom, lineage)") {
+    val zones = newZones("runetl")
+    val folder = scaffoldFolder()
+    stageRaw(zones, Seq("region", "nation", "customer", "orders"))
+
+    val results = GraftCli.runEtl(spark, zones, folder, EtlFlags(), specModel)
+    assert(results.keySet === Set("region", "nation", "customer", "orders"))
+
+    val rawOrders = graft.Tables.load(spark, sfDir, "orders")
+    val omopOrders = zones.read(spark, "omop", "orders")
+    assert(results("orders") === rawOrders.count())
+    assert(omopOrders.count() === rawOrders.count())
+
+    // PK swap: surrogates are dense 1..n
+    assert(omopOrders.agg(min("o_orderkey"), max("o_orderkey")).head()
+      === org.apache.spark.sql.Row(1L, rawOrders.select("o_orderkey").distinct().count()))
+    // FK swap: every o_custkey points into the customer swap range (or 0)
+    val nCust = zones.read(spark, "omop", "customer").count()
+    assert(omopOrders.filter(col("o_custkey") > nCust || col("o_custkey") < 0L).count() === 0L)
+
+    // usagi: APPROVED maps, SEMI-APPROVED does NOT under default flags,
+    // unmapped codes fall to the 0 sentinel
+    val byPrio = omopOrders.groupBy("o_orderpriority")
+      .agg(min("priority_concept_id").as("lo"), max("priority_concept_id").as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byPrio("1-URGENT") === (101L, 101L))
+    assert(byPrio("2-HIGH") === (0L, 0L))
+    assert(byPrio("3-MEDIUM") === (0L, 0L))
+
+    // custom concepts staged with auto-numbered ids over the 2e9 floor
+    val customs = zones.read(spark, "work", "orders__priority_concept_id_concept")
+    assert(customs.count() === 2L)
+    assert(customs.agg(min("concept_id")).head().getLong(0) >= 2000000000L)
+
+    // the deactivated example query was skipped (it would have thrown)
+    // lineage + version stamp from the full-run epilogue
+    val lineage = zones.read(spark, "omop", "source_id_to_omop_id_map")
+    assert(lineage.filter(col("omop_table") === "orders").count()
+      === rawOrders.select("o_orderkey").distinct().count())
+    assert(zones.read(spark, "omop", "metadata_riab").count() === 1L)
+
+    // re-run appends nothing: swap ids stable (append-only mergeAppend)
+    val before = zones.read(spark, "work", "orders_id_swap")
+      .orderBy("x").collect().toSeq
+    val again = GraftCli.runEtl(spark, zones, folder, EtlFlags(), specModel)
+    assert(again("orders") === results("orders"))
+    assert(zones.read(spark, "work", "orders_id_swap").orderBy("x").collect().toSeq === before)
+
+    // --process-semi-approved-mappings widens the accepted statuses
+    val semi = GraftCli.runEtl(
+      spark, zones, folder, EtlFlags(processSemiApprovedMappings = true), specModel)
+    assert(semi("orders") === results("orders"))
+    val hi = zones.read(spark, "omop", "orders")
+      .filter(col("o_orderpriority") === "2-HIGH")
+      .agg(min("priority_concept_id"), max("priority_concept_id")).head()
+    assert(hi === org.apache.spark.sql.Row(102L, 102L))
+
+    // --table restriction reprocesses just orders
+    val only = GraftCli.runEtl(
+      spark, zones, folder, EtlFlags(onlyTables = Some(Set("orders"))), specModel)
+    assert(only.keySet === Set("orders"))
+
+    // --cleanup orders cascades to lineitem, keeps customer, clears work + map
+    val cleaned = GraftCli.cleanup(spark, zones, "orders", model = specModel)
+    assert(cleaned.toSet === Set("orders", "lineitem"))
+    assert(zones.read(spark, "omop", "orders").count() === 0L)
+    assert(zones.read(spark, "omop", "customer").count() > 0L)
+    assert(!zones.listTables(spark, "work").exists(_.startsWith("orders")))
+    assert(zones.read(spark, "omop", "source_id_to_omop_id_map")
+      .filter(col("omop_table") === "orders").count() === 0L)
+  }
+
+  test("--data-quality stores the battery, exports JSON, dashboard serves it") {
+    val zones = newZones("dq")
+    val folder = scaffoldFolder()
+    stageRaw(zones, Seq("region", "nation", "customer", "orders"))
+    GraftCli.runEtl(spark, zones, folder, EtlFlags(), specModel)
+
+    val jsonPath = Files.createTempDirectory("graft_cli_dq").resolve("dq.json")
+    val stored = GraftCli.dataQuality(
+      spark, zones, specModel,
+      rules = graft.operators.DqdChecks.RuleSet(), jsonPath = Some(jsonPath))
+    val n = stored.count()
+    assert(n > 0L)
+    assert(zones.listTables(spark, "dqd").contains("dqd_results"))
+    // exported JSON parses and matches the stored rows
+    val parsed = spark.read.option("multiLine", "true").json(jsonPath.toString)
+    assert(parsed.count() === n)
+    assert(parsed.columns.contains("checkid"))
+
+    // the dashboard serves the stored rows on an ephemeral port
+    val server = GraftCli.serveDashboard(spark, zones, 0)
+    try {
+      def get(p: String): String = {
+        val url = java.net.URI.create(
+          s"http://localhost:${server.getAddress.getPort}$p").toURL
+        val in = url.openStream()
+        try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      }
+      val data = get("/data")
+      assert(data.startsWith("[") && data.contains("\"checkid\""))
+      assert(get("/").contains("Data quality results"))
+    } finally server.stop(0)
+  }
+
+  test("--achilles stores merged results over the omop zone") {
+    val zones = newZones("ach")
+    val folder = scaffoldFolder()
+    stageRaw(zones, Seq("region", "nation", "customer", "orders"))
+    GraftCli.runEtl(spark, zones, folder, EtlFlags(), specModel)
+
+    val n = GraftCli.achilles(spark, zones, specModel)
+    assert(n > 0L)
+    val stored = zones.read(spark, "achilles", "achilles_results")
+    assert(stored.columns.contains("analysis_id"))
+    assert(stored.filter(col("count_value") <= 5).count() === 0L) // small-cell suppression
+  }
+}
