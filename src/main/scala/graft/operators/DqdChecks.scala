@@ -330,10 +330,23 @@ object DqdChecks {
       siblingOf: Option[(String, String)] = None, // Sibling: (table, key)
       days: Option[Int] = None,            // duringLife grace / visit slack
       distinctAgg: Boolean = false) {      // branch B (Expand-confined) check
-    def id: String = level match {
-      case "TABLE" => s"table_${name}_$table" + (if (field.nonEmpty) s"_$field" else "")
-      case "CONCEPT" => s"concept_${name}_${table}_${field}_${stratum.get._2}"
-      case _ => s"field_${name}_${table}_$field"
+    /** The LITERAL OHDSI DQD check id
+      * (`/root/reference/src/riab/etl/data_quality.py:420-430`
+      * `_get_check_id`): `checkLevel.lower()` + `checkName.lower()` +
+      * `cdmTableName.lower()` [+ field] [+ conceptId] [+ unitConceptId],
+      * underscore-joined — so stored results are keyed exactly like rows
+      * produced by DataQualityDashboard and downstream OHDSI tooling can
+      * consume them. Unit checks append the allowed unit list the way the
+      * DQD threshold CSV's `unitConceptIds` cell renders (space-joined,
+      * then lowercased/underscored).
+      */
+    def id: String = {
+      val base = Seq(level.toLowerCase, name.toLowerCase, table.toLowerCase) ++
+        (if (field.nonEmpty) Seq(field.toLowerCase) else Nil) ++
+        (if (level == "CONCEPT") Seq(stratum.get._2.toLowerCase) else Nil) ++
+        (if (name == "plausibleUnitConceptIds")
+          allowed.toSeq.map(_.mkString("_").toLowerCase) else Nil)
+      base.mkString("_")
     }
   }
 

@@ -439,6 +439,10 @@ object EventQueries {
     }),
     "achilles_span_dist" -> ((s, d) =>
       graft.operators.AchillesGen.spanDistResults(graft.model.TpchModel.modelWithEvents, tb => t(s, d, tb))),
+    // the populated achilles_analysis catalog (literal OHDSI core ids) —
+    // pinned by a hand-written literal oracle, like cdm_levels
+    "achilles_analysis_catalog" -> ((s, _) =>
+      graft.operators.OhdsiAchilles.analysisCatalog(s)),
     "dqd_checks" -> dqdChecks,
     "dqd_summary" -> dqdSummary,
     "event_props_extract" -> eventPropsExtract,
@@ -448,6 +452,47 @@ object EventQueries {
     "agg_cube" -> aggCube)
 
   val oracles: Seq[(String, String)] = Seq(
+    "achilles_analysis_catalog" ->
+      """SELECT CAST(analysis_id AS BIGINT) AS analysis_id, analysis_name,
+        |  stratum_1_name, stratum_2_name, CAST(distribution AS BIGINT) AS distribution
+        |FROM (VALUES
+        |  (0, 'Source name', NULL, NULL, 0),
+        |  (1, 'Number of persons', NULL, NULL, 0),
+        |  (2, 'Number of persons by gender', 'gender_concept_id', NULL, 0),
+        |  (3, 'Number of persons by year of birth', 'year_of_birth', NULL, 0),
+        |  (4, 'Number of persons by race', 'race_concept_id', NULL, 0),
+        |  (5, 'Number of persons by ethnicity', 'ethnicity_concept_id', NULL, 0),
+        |  (101, 'Number of persons by age, with age at first observation period', 'age', NULL, 0),
+        |  (102, 'Number of persons by gender by age, with age at first observation period', 'gender_concept_id', 'age', 0),
+        |  (103, 'Distribution of age at first observation period', NULL, NULL, 1),
+        |  (104, 'Distribution of age at first observation period by gender', 'gender_concept_id', NULL, 1),
+        |  (105, 'Length of observation (days) of first observation period', NULL, NULL, 1),
+        |  (111, 'Number of persons by observation period start month', 'calendar_month', NULL, 0),
+        |  (112, 'Number of persons by observation period end month', 'calendar_month', NULL, 0),
+        |  (113, 'Number of persons by number of observation periods', 'num_periods', NULL, 0),
+        |  (203, 'Distribution of number of visit occurrences per person', NULL, NULL, 1),
+        |  (200, 'Number of persons with at least one visit occurrence, by visit_concept_id', 'visit_concept_id', NULL, 0),
+        |  (201, 'Number of visit occurrence records, by visit_concept_id', 'visit_concept_id', NULL, 0),
+        |  (400, 'Number of persons with at least one condition occurrence, by condition_concept_id', 'condition_concept_id', NULL, 0),
+        |  (401, 'Number of condition occurrence records, by condition_concept_id', 'condition_concept_id', NULL, 0),
+        |  (500, 'Number of persons with at least one death, by cause_concept_id', 'cause_concept_id', NULL, 0),
+        |  (501, 'Number of death records, by cause_concept_id', 'cause_concept_id', NULL, 0),
+        |  (600, 'Number of persons with at least one procedure occurrence, by procedure_concept_id', 'procedure_concept_id', NULL, 0),
+        |  (601, 'Number of procedure occurrence records, by procedure_concept_id', 'procedure_concept_id', NULL, 0),
+        |  (700, 'Number of persons with at least one drug exposure, by drug_concept_id', 'drug_concept_id', NULL, 0),
+        |  (701, 'Number of drug exposure records, by drug_concept_id', 'drug_concept_id', NULL, 0),
+        |  (800, 'Number of persons with at least one observation, by observation_concept_id', 'observation_concept_id', NULL, 0),
+        |  (801, 'Number of observation records, by observation_concept_id', 'observation_concept_id', NULL, 0),
+        |  (900, 'Number of persons with at least one drug era, by drug_concept_id', 'drug_concept_id', NULL, 0),
+        |  (901, 'Number of drug era records, by drug_concept_id', 'drug_concept_id', NULL, 0),
+        |  (1000, 'Number of persons with at least one condition era, by condition_concept_id', 'condition_concept_id', NULL, 0),
+        |  (1001, 'Number of condition era records, by condition_concept_id', 'condition_concept_id', NULL, 0),
+        |  (1800, 'Number of persons with at least one measurement, by measurement_concept_id', 'measurement_concept_id', NULL, 0),
+        |  (1801, 'Number of measurement records, by measurement_concept_id', 'measurement_concept_id', NULL, 0),
+        |  (2100, 'Number of persons with at least one device exposure, by device_concept_id', 'device_concept_id', NULL, 0),
+        |  (2101, 'Number of device exposure records, by device_concept_id', 'device_concept_id', NULL, 0)
+        |) AS t(analysis_id, analysis_name, stratum_1_name, stratum_2_name, distribution)
+        |ORDER BY analysis_id""".stripMargin,
     "stream_windowed_counts" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n_events
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

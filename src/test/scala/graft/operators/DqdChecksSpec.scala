@@ -103,49 +103,50 @@ class DqdChecksSpec extends SparkSpec {
   test("plausibleAfterBirth counts the pre-birth record") {
     // row 102 (1999-12-31 < person 1's 2000-01-01 birth); all 5 obs rows
     // have a person with a birth date
-    assert(results("field_plausibleAfterBirth_obs_obs_date") === ((1L, 5L)))
+    assert(results("field_plausibleafterbirth_obs_obs_date") === ((1L, 5L)))
   }
 
   test("plausibleDuringLife counts the >60-days-post-death record") {
     // persons 1 and 3 have death rows -> denominator 4 (rows 100-103);
     // row 103 is 90 days after person 3's death
-    assert(results("field_plausibleDuringLife_obs_obs_date") === ((1L, 4L)))
+    assert(results("field_plausibleduringlife_obs_obs_date") === ((1L, 4L)))
   }
 
   test("withinVisitDates counts the outside-window record") {
     // rows 100, 101, 104 reference a visit -> denominator 3; row 101 lands
     // 2 days past visit 10's end (slack 1)
-    assert(results("field_withinVisitDates_obs_obs_date") === ((1L, 3L)))
+    assert(results("field_withinvisitdates_obs_obs_date") === ((1L, 3L)))
   }
 
   test("isStandardValidConcept rejects non-standard and invalidated concepts") {
     // rows 102+103 reference 7002 (not standard), row 104 references 7003
     // (invalid_reason set) -> 3 of 5 violated
-    assert(results("field_isStandardValidConcept_obs_obs_concept_id") === ((3L, 5L)))
+    assert(results("field_isstandardvalidconcept_obs_obs_concept_id") === ((3L, 5L)))
   }
 
   test("sourceValueCompleteness is a distinct-value ratio") {
     // no concept id is 0 in this universe -> 0 violated of 4 distinct values
-    val (v, d) = results("field_sourceValueCompleteness_obs_obs_source_value")
+    val (v, d) = results("field_sourcevaluecompleteness_obs_obs_source_value")
     assert(v === 0L && d === 4L)
   }
 
   test("sibling completeness finds entities present in sibling but not table") {
     // persons with an obs row: {1, 2, 3}; persons with a visit: {1, 2}
     // -> person 3 violated, denominator 3
-    assert(results("table_measureConditionEraCompleteness_visit_person_id") === ((1L, 3L)))
+    assert(results("table_measureconditioneracompleteness_visit_person_id") === ((1L, 3L)))
   }
 
   test("plausibleGender checks the person parent's gender within the stratum") {
     // concept 7002 rows: 102 (person 1, male 8507 -> violated), 103
     // (person 3, male -> violated); allowed = female 8532
-    assert(results("concept_plausibleGender_obs_obs_concept_id_7002") === ((2L, 2L)))
+    assert(results("concept_plausiblegender_obs_obs_concept_id_7002") === ((2L, 2L)))
   }
 
   test("plausibleUnitConceptIds flags units outside the concept's list") {
     // concept 7001 rows: 100 (source value "x" allowed), 101 ("a" not
     // in the list -> violated)
-    assert(results("concept_plausibleUnitConceptIds_obs_obs_source_value_7001") === ((1L, 2L)))
+    // literal OHDSI id shape: level_name_table_field_conceptid_unitids
+    assert(results("concept_plausibleunitconceptids_obs_obs_source_value_7001_x") === ((1L, 2L)))
   }
 
   test("CDM 5.4 battery breadth derives from the model (no silent shrink)") {

@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.model.{CdmField, CdmModel}
+import org.apache.spark.sql.DataFrame
+
+/** The literal OHDSI Achilles id layer over small CDM fixtures: catalog
+  * shape, core count battery ids/values, core dist battery moments.
+  */
+class OhdsiAchillesSpec extends SparkSpec {
+
+  private def f(t: String, n: String, dt: String) =
+    CdmField(t, n, dt, required = false, isPk = false, None, "CDM")
+
+  private lazy val model = CdmModel(fields = Seq(
+    f("person", "person_id", "int64"), f("person", "gender_concept_id", "int64"),
+    f("person", "year_of_birth", "int64"), f("person", "race_concept_id", "int64"),
+    f("person", "ethnicity_concept_id", "int64"),
+    f("observation_period", "person_id", "int64"),
+    f("observation_period", "observation_period_start_date", "date"),
+    f("observation_period", "observation_period_end_date", "date"),
+    f("visit_occurrence", "person_id", "int64"),
+    f("visit_occurrence", "visit_concept_id", "int64"),
+    f("condition_occurrence", "person_id", "int64"),
+    f("condition_occurrence", "condition_concept_id", "int64")))
+
+  private def d(s: String) = java.sql.Date.valueOf(s)
+
+  private lazy val tables: Map[String, DataFrame] = {
+    import spark.implicits._
+    val person = (1L to 8L).map(i =>
+        (i, if (i <= 5) 8507L else 8532L, if (i == 8) 1990L else 1980L, 8527L, 38003564L))
+      .toDF("person_id", "gender_concept_id", "year_of_birth",
+        "race_concept_id", "ethnicity_concept_id")
+    // person 1 has a SECOND, later period (999 days) — 113 counts it, and
+    // the "first period" dist analyses must ignore it (min_by start)
+    val obs = ((1L to 8L).map(i => (i, d("2010-01-01"),
+        new java.sql.Date(d("2010-01-01").getTime + (if (i == 1) 50 else 10 * i) * 86400000L))) :+
+      ((1L, d("2015-01-01"), new java.sql.Date(d("2015-01-01").getTime + 999 * 86400000L))))
+      .toDF("person_id", "observation_period_start_date", "observation_period_end_date")
+    val visits = (1L to 8L).flatMap(i => Seq.fill(i.toInt)((i, 9201L)))
+      .toDF("person_id", "visit_concept_id")
+    val conditions = (1L to 6L).map(i => (i, 201826L))
+      .toDF("person_id", "condition_concept_id")
+    Map("person" -> person, "observation_period" -> obs,
+      "visit_occurrence" -> visits, "condition_occurrence" -> conditions)
+  }
+
+  private def resultMap(df: DataFrame): Map[(Long, String), Long] =
+    df.collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+
+  test("analysisCatalog carries the literal core id set") {
+    val cat = OhdsiAchilles.analysisCatalog(spark).collect()
+    assert(cat.length === 35)
+    val ids = cat.map(_.getLong(0))
+    assert(ids.sorted.toSeq === ids.toSeq) // ordered by analysis_id
+    for (core <- Seq(1L, 2L, 101L, 105L, 111L, 201L, 401L, 701L, 1801L))
+      assert(ids.contains(core), s"missing core id $core")
+    val dists = cat.filter(_.getLong(4) == 1L).map(_.getLong(0)).toSet
+    assert(dists === Set(103L, 104L, 105L, 203L))
+  }
+
+  test("cdmCoreResults carries literal ids with correct counts") {
+    val r = resultMap(OhdsiAchilles.cdmCoreResults(model, tables(_), smallCellCount = 0L)
+      .select("analysis_id", "stratum_1", "count_value"))
+    assert(r((1L, "ALL")) === 8L)                  // persons
+    assert(r((2L, "8507")) === 5L)                 // by gender
+    assert(r((2L, "8532")) === 3L)
+    assert(r((3L, "1980")) === 7L)                 // by year of birth
+    assert(r((3L, "1990")) === 1L)
+    assert(r((4L, "8527")) === 8L)                 // race / ethnicity
+    assert(r((5L, "38003564")) === 8L)
+    assert(r((111L, "201001")) === 8L)             // obs start month (persons)
+    assert(r((111L, "201501")) === 1L)
+    assert(r((113L, "1")) === 7L)                  // persons by #periods
+    assert(r((113L, "2")) === 1L)
+    assert(r((200L, "9201")) === 8L)               // persons with a visit
+    assert(r((201L, "9201")) === 36L)              // visit records
+    assert(r((400L, "201826")) === 6L)             // persons with condition
+    assert(r((401L, "201826")) === 6L)             // condition records
+    // default suppression drops small cells, exactly like the reference
+    val suppressed = resultMap(OhdsiAchilles.cdmCoreResults(model, tables(_))
+      .select("analysis_id", "stratum_1", "count_value"))
+    assert(!suppressed.contains((2L, "8532")))     // 3 <= 5 suppressed
+    assert(suppressed((201L, "9201")) === 36L)
+  }
+
+  test("cdmCoreDistResults computes the 103/105/203 dist family") {
+    val rows = OhdsiAchilles.cdmCoreDistResults(model, tables(_))
+      .select("analysis_id", "count_value", "min_value", "max_value",
+        "avg_value", "median_value")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    // 103: ages at first obs period — seven 30s, one 20
+    assert(rows(103L) === ((8L, 20.0, 30.0, 28.75, 30.0)))
+    // 105: first-period lengths — person 1's 999-day SECOND period ignored
+    assert(rows(105L) === ((8L, 20.0, 80.0, 50.0, 50.0)))
+    // 203: visits per person = 1..8
+    assert(rows(203L) === ((8L, 1.0, 8.0, 4.5, 4.5)))
+  }
+}
