@@ -45,104 +45,120 @@ object EtlQueries {
   private val StaleTables = Set("region", "part")
 
   val etlTwoStage: Q = (s, d) => {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
     val m = TpchModel.model
     val zones = Zones("/root/repo/target/graft_zones_etl")
+    // epilogue/overlap pool (the stage-1 tables run on EtlRunner's own pool)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
 
-    // usagi upload (stage 0): priority codes -> concept ids; '1%' codes get
-    // custom concepts over the 2e9 floor, like the usagi composite
-    val codes = t(s, d, "orders").select(col("o_orderpriority").as("code")).distinct()
-    val baseIds = Swap.denseIds(codes, Seq("code"), 0L, "cid")
-    val customIds = Swap.rankIds(
-      codes.filter(col("code").startsWith("1")), "code", MergeOps.CustomConceptBase, "customId")
-    timed("usagi upload")(zones.write(
-      baseIds.join(customIds, Seq("code"), "left")
-        .select(col("code"), coalesce(col("customId"), col("cid")).as("conceptId")),
-      "work", "usagi_priority"))
+    try {
+      // usagi upload (stage 0): priority codes -> concept ids; '1%' codes get
+      // custom concepts over the 2e9 floor, like the usagi composite. Only
+      // the orders table (level 4) consumes it, so it OVERLAPS the early
+      // levels as a concurrent Spark job and is awaited where needed.
+      val usagiDone = Future(timed("usagi upload") {
+        val codes = t(s, d, "orders").select(col("o_orderpriority").as("code")).distinct()
+        val baseIds = Swap.denseIds(codes, Seq("code"), 0L, "cid")
+        val customIds = Swap.rankIds(
+          codes.filter(col("code").startsWith("1")), "code", MergeOps.CustomConceptBase, "customId")
+        zones.write(
+          baseIds.join(customIds, Seq("code"), "left")
+            .select(col("code"), coalesce(col("customId"), col("cid")).as("conceptId")),
+          "work", "usagi_priority")
+      })
 
-    // stage 1: level-barrier scheduled per-table ETL
-    EtlRunner(m).run(m.tables) { tb =>
-      timed(s"stage1 $tb") {
-      val src = t(s, d, tb)
-      m.pk(tb).foreach { pk =>
-        timed(s"stage1 $tb swap")(zones.write(
-          Swap.denseIds(src.select(col(pk).as("x")).distinct(), Seq("x"), 0L),
-          "work", s"${tb}_id_swap"))
+      // stage 1: level-barrier scheduled per-table ETL
+      EtlRunner(m).run(m.tables) { tb =>
+        timed(s"stage1 $tb") {
+        val src = t(s, d, tb)
+        m.pk(tb).foreach { pk =>
+          timed(s"stage1 $tb swap")(zones.write(
+            Swap.denseIds(src.select(col(pk).as("x")).distinct(), Seq("x"), 0L),
+            "work", s"${tb}_id_swap"))
+        }
+        var out = src
+        m.fks(tb).toSeq.sortBy(_._1).foreach { case (fkCol, parent) =>
+          val psw = zones.read(s, "work", s"${parent}_id_swap")
+          out = out.join(psw, out(fkCol) === psw("x"), "left")
+            .withColumn(fkCol, coalesce(col("y"), lit(0L)))
+            .drop("x", "y")
+        }
+        if (tb == "orders") {
+          Await.result(usagiDone, Duration.Inf) // barrier only where consumed
+          val usagi = zones.read(s, "work", "usagi_priority")
+          out = out.join(broadcast(usagi), out("o_orderpriority") === usagi("code"), "left")
+            .withColumn("priority_concept_id", coalesce(col("conceptId"), lit(0L)))
+            .drop("code", "conceptId")
+        }
+        m.pk(tb).foreach { pk =>
+          val swap = zones.read(s, "work", s"${tb}_id_swap")
+          out = out.join(swap, out(pk) === swap("x"))
+            .withColumn(pk, col("y"))
+            .drop("x", "y")
+        }
+        zones.write(out, "omop", tb)
+        }
       }
-      var out = src
-      m.fks(tb).toSeq.sortBy(_._1).foreach { case (fkCol, parent) =>
-        val psw = zones.read(s, "work", s"${parent}_id_swap")
-        out = out.join(psw, out(fkCol) === psw("x"), "left")
-          .withColumn(fkCol, coalesce(col("y"), lit(0L)))
-          .drop("x", "y")
+
+      // Epilogue: stage 2 (event rewrite), the lineage tombstone and the
+      // metadata stamp are INDEPENDENT writes over stage-1 artifacts — run
+      // them as concurrent Spark jobs instead of a driver-serial tail
+      // (round-5 verdict "Next round" #4).
+      val stage2 = Future(timed("stage2 events") {
+        val custSwap = zones.read(s, "work", "customer_id_swap")
+        zones.write(
+          t(s, d, "events")
+            .join(custSwap, col("user_id") === col("x"), "left")
+            .withColumn("user_id", coalesce(col("y"), lit(0L)))
+            .select("event_id", "user_id", "event_type"),
+          "omop", "events_mapped")
+      })
+      val lineageDone = Future(timed("lineage+tombstone") {
+        val lineage = m.tables.filter(m.pk(_).isDefined).sorted.map { tb =>
+          val start =
+            if (StaleTables(tb)) java.sql.Date.valueOf("1990-01-01")
+            else java.sql.Date.valueOf("2026-01-01")
+          Swap.toSourceIdMap(zones.read(s, "work", s"${tb}_id_swap"), tb, "tpch", start)
+        }.reduce(_ unionByName _)
+        zones.write(
+          Cleanup.tombstoneStale(lineage, lit("2000-01-01").cast("date")),
+          "omop", "source_id_to_omop_id_map")
+      })
+      // metadata stamp (deterministic "now")
+      val metadata = Cleanup.versionMetadata(
+        s, "5.4", "0.1.0",
+        java.sql.Date.valueOf("2026-01-01"),
+        java.sql.Timestamp.valueOf("2026-01-01 12:00:00"))
+      Await.result(Future.sequence(Seq(stage2, lineageDone)), Duration.Inf)
+
+      // summary over the READ-BACK zone tables: one row per artifact with a
+      // surrogate-id checksum, so a wrong swap/join anywhere shifts a sum.
+      // ONE aggregate over a union of narrow per-table projections — a
+      // single tiny-shuffle job (and far fewer codegen classes) instead of
+      // eleven separate global aggregates (round-5 verdict #4: the untimed
+      // summary tail was ~3.7 s of the 13.7 s standalone wall).
+      def contrib(tb: String): DataFrame = {
+        val idCols = m.pk(tb).toSeq ++ m.fks(tb).keys.toSeq ++
+          (if (tb == "orders") Seq("priority_concept_id") else Nil)
+        zones.read(s, "omop", tb).select(
+          lit(tb).as("omop_table"),
+          idCols.map(col).reduce(_ + _).as("__contrib"))
       }
-      if (tb == "orders") {
-        val usagi = zones.read(s, "work", "usagi_priority")
-        out = out.join(broadcast(usagi), out("o_orderpriority") === usagi("code"), "left")
-          .withColumn("priority_concept_id", coalesce(col("conceptId"), lit(0L)))
-          .drop("code", "conceptId")
-      }
-      m.pk(tb).foreach { pk =>
-        val swap = zones.read(s, "work", s"${tb}_id_swap")
-        out = out.join(swap, out(pk) === swap("x"))
-          .withColumn(pk, col("y"))
-          .drop("x", "y")
-      }
-      zones.write(out, "omop", tb)
-      }
-    }
-
-    // stage 2: the event step — the event FK rewrites through the swap
-    // tables stage 1 wrote
-    val custSwap = zones.read(s, "work", "customer_id_swap")
-    timed("stage2 events")(zones.write(
-      t(s, d, "events")
-        .join(custSwap, col("user_id") === col("x"), "left")
-        .withColumn("user_id", coalesce(col("y"), lit(0L)))
-        .select("event_id", "user_id", "event_type"),
-      "omop", "events_mapped"))
-
-    // lineage map from the materialized swaps + D7 tombstone
-    val lineage = m.tables.filter(m.pk(_).isDefined).sorted.map { tb =>
-      val start =
-        if (StaleTables(tb)) java.sql.Date.valueOf("1990-01-01")
-        else java.sql.Date.valueOf("2026-01-01")
-      Swap.toSourceIdMap(zones.read(s, "work", s"${tb}_id_swap"), tb, "tpch", start)
-    }.reduce(_ unionByName _)
-    timed("lineage+tombstone")(zones.write(
-      Cleanup.tombstoneStale(lineage, lit("2000-01-01").cast("date")),
-      "omop", "source_id_to_omop_id_map"))
-
-    // metadata stamp (deterministic "now")
-    val metadata = Cleanup.versionMetadata(
-      s, "5.4", "0.1.0",
-      java.sql.Date.valueOf("2026-01-01"),
-      java.sql.Timestamp.valueOf("2026-01-01 12:00:00"))
-
-    // summary over the READ-BACK zone tables: one row per artifact with a
-    // surrogate-id checksum, so a wrong swap/join anywhere shifts a sum
-    def summarize(tb: String): DataFrame = {
-      val idCols = m.pk(tb).toSeq ++ m.fks(tb).keys.toSeq ++
-        (if (tb == "orders") Seq("priority_concept_id") else Nil)
-      zones.read(s, "omop", tb).agg(
-        count(lit(1)).as("n_rows"),
-        sum(idCols.map(col).reduce(_ + _)).as("checksum"))
-        .select(lit(tb).as("omop_table"), col("n_rows"), col("checksum"))
-    }
-    val tableRows = m.tables.sorted.map(summarize).reduce(_ unionByName _)
-    val eventRow = zones.read(s, "omop", "events_mapped")
-      .agg(count(lit(1)).as("n_rows"), sum(col("user_id")).as("checksum"))
-      .select(lit("events_mapped").as("omop_table"), col("n_rows"), col("checksum"))
-    val mapRow = zones.read(s, "omop", "source_id_to_omop_id_map")
-      .agg(
-        count(lit(1)).as("n_rows"),
-        sum(when(col("invalid_reason") === "D", 1L).otherwise(0L)).as("checksum"))
-      .select(lit("source_id_to_omop_id_map").as("omop_table"), col("n_rows"), col("checksum"))
-    val metaRow = metadata
-      .agg(count(lit(1)).as("n_rows"))
-      .select(lit("_metadata").as("omop_table"), col("n_rows"), lit(0L).as("checksum"))
-
-    (tableRows.unionByName(eventRow).unionByName(mapRow).unionByName(metaRow))
-      .orderBy("omop_table")
+      val rows = m.tables.sorted.map(contrib) ++ Seq(
+        zones.read(s, "omop", "events_mapped")
+          .select(lit("events_mapped").as("omop_table"), col("user_id").as("__contrib")),
+        zones.read(s, "omop", "source_id_to_omop_id_map")
+          .select(lit("source_id_to_omop_id_map").as("omop_table"),
+            when(col("invalid_reason") === "D", 1L).otherwise(0L).as("__contrib")),
+        metadata.select(lit("_metadata").as("omop_table"), lit(0L).as("__contrib")))
+      rows.reduce(_ unionByName _)
+        .groupBy("omop_table")
+        .agg(count(lit(1)).as("n_rows"), sum(col("__contrib")).as("checksum"))
+        .orderBy("omop_table")
+    } finally pool.shutdown()
   }
 
   val defs: Seq[(String, Q)] = Seq("etl_two_stage" -> etlTwoStage)
