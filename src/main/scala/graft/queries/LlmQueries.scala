@@ -316,6 +316,37 @@ object LlmQueries {
         round(element_at(col("feature"), 1).cast("double"), 3).as("f0"))
       .orderBy("media_id")
 
+  /** REAL image decode end to end (javax.imageio — no stub): 64 synthetic
+    * PNG fixtures whose pixel channels are analytic functions of the doc id
+    * (PngCodec.syntheticPng), encoded in one mapPartitions stage into a
+    * real binary payload column, then decoded through the
+    * [[Multimodal.decodeImageMoments]] batch boundary. PNG is lossless, so
+    * the decoded channel means equal the values the DuckDB oracle computes
+    * WITHOUT any image library — a wrong decode (stride, channel order,
+    * color model) shifts every mean.
+    */
+  val multimodalDecodeReal: Q = (s, d) => {
+    import org.apache.spark.sql.types._
+    val mediaSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    val media = t(s, d, "documents")
+      .select(col("doc_id")).orderBy("doc_id").limit(64)
+      .repartition(8) // spread the (CPU-bound) encode across tasks
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val (w, h) = (16 + (id % 16).toInt, 16 + (id % 8).toInt)
+          org.apache.spark.sql.Row(id, graft.ops.PngCodec.syntheticPng(id, w, h))
+        }
+      }(enc)
+    Multimodal.decodeImageMoments(media)
+      .select(col("media_id").as("doc_id"), col("width"), col("height"),
+        col("mean_r"), col("mean_g"), col("mean_b"))
+      .orderBy("doc_id")
+  }
+
   /** Sequence packing: documents -> fixed 2048-token context-window bins,
     * 64-way sharded (PackOps.packSequences).
     */
@@ -418,7 +449,8 @@ object LlmQueries {
     "corpus_token_dist" -> corpusTokenDist,
     "multimodal_meta" -> multimodalMeta,
     "multimodal_frames" -> multimodalFrames,
-    "multimodal_decode" -> multimodalDecode)
+    "multimodal_decode" -> multimodalDecode,
+    "multimodal_decode_real" -> multimodalDecodeReal)
 
   private val tokSql = """regexp_split_to_array(trim(lower(text)), '\s+')"""
   private val h32 = (e: String) => s"('0x' || substr(md5($e), 1, 8))::BIGINT"
@@ -939,5 +971,27 @@ object LlmQueries {
         |  round(CAST(CAST(
         |    CAST(list_sum([CAST(ord(c) AS BIGINT) FOR c IN string_split_regex(s, '')]) AS DOUBLE)
         |      / length(s) AS FLOAT) AS DOUBLE), 3) AS f0
-        |FROM m ORDER BY media_id""".stripMargin)
+        |FROM m ORDER BY media_id""".stripMargin,
+    // the REAL decode: the oracle predicts the synthetic fixtures' channel
+    // means analytically (no image library needed) — PNG is lossless, so
+    // the Spark-side javax.imageio decode must recover exactly these
+    "multimodal_decode_real" ->
+      """WITH docs AS (
+        |  SELECT doc_id, CAST(16 + doc_id % 16 AS INT) AS w, CAST(16 + doc_id % 8 AS INT) AS h
+        |  FROM documents ORDER BY doc_id LIMIT 64
+        |),
+        |px AS (
+        |  SELECT d.doc_id, d.w, d.h,
+        |    (d.doc_id + tx.x) % 256 AS r, (d.doc_id + ty.y) % 256 AS g,
+        |    (d.doc_id + tx.x + ty.y) % 256 AS b
+        |  FROM docs d,
+        |    LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS x) tx,
+        |    LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS y) ty
+        |)
+        |SELECT doc_id, w AS width, h AS height,
+        |  CAST(sum(r) AS DOUBLE) / count(*) AS mean_r,
+        |  CAST(sum(g) AS DOUBLE) / count(*) AS mean_g,
+        |  CAST(sum(b) AS DOUBLE) / count(*) AS mean_b
+        |FROM px GROUP BY 1, 2, 3
+        |ORDER BY doc_id""".stripMargin)
 }
