@@ -53,6 +53,12 @@ object RiabConfig {
           section = l.substring(1, l.length - 1).trim
           out.getOrElseUpdate(section, Map.empty)
         case l if l.contains("=") =>
+          // configparser raises MissingSectionHeaderError on a key=value
+          // line before any [section]; match it (ADVICE r5) instead of
+          // silently filing under an empty-string section
+          if (section.isEmpty)
+            throw new IllegalArgumentException(
+              s"File contains no section headers before line: $l")
           val Array(k, v) = l.split("=", 2)
           out(section) = out.getOrElse(section, Map.empty) + (k.trim -> v.trim)
         case l =>

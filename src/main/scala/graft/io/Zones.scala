@@ -11,6 +11,32 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * A table is a parquet directory `<root>/<zone>/<table>`; all writes go
   * through [[AtomicWrite]] so a zone never exposes a half-written table.
   */
+object Zones {
+  /** Root under which the query layer's zone namespaces live. Overridable
+    * via `-Dgraft.zones.root=...` (or the riab.ini `zones_root` for the CLI
+    * path); defaults to the build's `target/` so the library is portable
+    * outside any particular checkout (ADVICE r5: no literal absolute
+    * paths in the query layer).
+    */
+  def defaultRoot: String = sys.props.getOrElse("graft.zones.root", "target")
+
+  /** A zone namespace under [[defaultRoot]], e.g. `forPurpose("dqd")` ->
+    * `<root>/graft_zones_dqd`.
+    */
+  def forPurpose(purpose: String): Zones = Zones(s"$defaultRoot/graft_zones_$purpose")
+
+  /** Stable stored-table suffix for a dataset path: md5 of the FULL path
+    * (ADVICE r5: `String.hashCode` can collide across paths in one JVM and
+    * silently cross-read another dataset's stored results). Cache-lifetime
+    * note: stored tables memoized per (session, path) assume the data under
+    * a path is immutable for the session — true for the driver's read-only
+    * testdata dirs.
+    */
+  def pathKey(path: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(path.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+}
+
 final case class Zones(root: String) {
   val names: Seq[String] = Seq("raw", "work", "omop", "dqd", "achilles")
 

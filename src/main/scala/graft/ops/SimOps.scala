@@ -146,10 +146,11 @@ object SimOps {
     * path. Recall is traded for a corpus-shuffle-free probe; increase
     * `nPlanes` for smaller buckets or probe neighboring buckets for recall.
     */
-  /** Int8 scalar quantization of an embedding column with per-dimension
+  /** UNSIGNED 8-bit (uint8, codes 0..255) scalar quantization of an
+    * embedding column with per-dimension
     * corpus min/max calibration — the compression step an ANN serving
     * pipeline applies before indexing (4x smaller vectors, distance
-    * computed in int8).
+    * computed in uint8).
     *
     * Scale shape: pass 1 reduces the corpus to 2 x dim calibration numbers
     * (posexplode -> groupBy(pos) min/max — map-side combinable to |dim|
@@ -158,7 +159,7 @@ object SimOps {
     * is engine-independent (no round-half mode ambiguity), so the oracle
     * replays it exactly. A constant dimension (max = min) quantizes to 0.
     */
-  def quantizeInt8(embs: DataFrame, idCol: String, embCol: String): DataFrame = {
+  def quantizeUint8(embs: DataFrame, idCol: String, embCol: String): DataFrame = {
     val e = embs
       .select(col(idCol), posexplode(asDouble(col(embCol))).as(Seq("pos", "__v")))
       .select(col(idCol), col("pos").cast("long").as("pos"), col("__v"))

@@ -48,7 +48,7 @@ object EtlQueries {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     val m = TpchModel.model
-    val zones = Zones("/root/repo/target/graft_zones_etl")
+    val zones = Zones.forPurpose("etl")
     // epilogue/overlap pool (the stage-1 tables run on EtlRunner's own pool)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
     implicit val ec: scala.concurrent.ExecutionContext =

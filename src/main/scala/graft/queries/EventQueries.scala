@@ -428,8 +428,8 @@ object EventQueries {
     // in the canonical 5-strata achilles_results shape, stored into the
     // achilles zone via the atomic-replace protocol, report reads the table
     "achilles_merge_results" -> ((s, d) => {
-      val zones = graft.io.Zones("/root/repo/target/graft_zones_achilles")
-      val table = s"achilles_results_${Integer.toHexString(d.hashCode)}"
+      val zones = graft.io.Zones.forPurpose("achilles")
+      val table = s"achilles_results_${graft.io.Zones.pathKey(d)}"
       zones.write(
         graft.operators.AchillesGen.mergedResults(
           graft.model.TpchModel.modelWithEvents, tb => t(s, d, tb)),

@@ -72,7 +72,7 @@ object LifecycleQueries {
     */
   val workTableListing: Q = (s, d) => {
     import s.implicits._
-    val zones = Zones("/root/repo/target/graft_zones_s12")
+    val zones = Zones.forPurpose("s12")
     val nation = t(s, d, "nation").limit(1)
     zones.write(nation, "work", "person__upload__q1")
     zones.write(nation, "work", "person__gender_concept_id_usagi")
@@ -333,8 +333,8 @@ object LifecycleQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def generatedBattery(s: SparkSession, d: String): DataFrame =
     batteryResults.getOrElseUpdate((s, d), {
-      val zones = Zones("/root/repo/target/graft_zones_dqd")
-      val table = s"dqd_results_${Integer.toHexString(d.hashCode)}"
+      val zones = Zones.forPurpose("dqd")
+      val table = s"dqd_results_${Zones.pathKey(d)}"
       zones.write(
         Dqd.fieldLevel(TpchModel.modelWithEvents, tb => t(s, d, tb), dqdRules),
         "dqd", table)
@@ -357,10 +357,24 @@ object LifecycleQueries {
     */
   val dqdCdm54Battery: Q = (s, _) => {
     val m = graft.model.Cdm54.model
+    // This battery is plan-heavy and data-FREE: ~1.4k generated checks over
+    // statically-empty relations compile thousands of Janino classes that
+    // each evaluate zero rows — profiled at ~80% of wall time. Execute it
+    // interpreted — on a FORKED session (newSession: shared SparkContext,
+    // ISOLATED SQLConf; builder-time confs inherit via SparkConf). ADVICE
+    // r5: mutating the shared session's conf around the collect would race
+    // concurrent queries and could leak the disabled-codegen state. The
+    // real-data battery (dqd_field_level) keeps codegen — there the
+    // compiled code earns its cost per row.
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.codegen.wholeStage", "false")
+    s2.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
     // one shared empty relation per table (each is referenced by its own
-    // aggregate AND as the parent of every FK edge pointing at it)
+    // aggregate AND as the parent of every FK edge pointing at it), built
+    // against the clone so the whole plan executes under its conf
     val empty = m.tables.map { tb =>
-      tb -> s.createDataFrame(
+      tb -> s2.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), m.sparkSchema(tb))
     }.toMap
     // every rule family is DERIVED from the CDM 5.4 metadata (field-name
@@ -371,23 +385,9 @@ object LifecycleQueries {
     // Exchange — the whole 39-branch battery runs as one shuffle-free job
     // instead of ~54 empty shuffle stages of pure scheduler overhead
     val plan = sortReport(Dqd.fieldLevel(m, tb => empty(tb).coalesce(1), cdm54Rules))
-    // This battery is plan-heavy and data-FREE: ~1.4k generated checks over
-    // statically-empty relations compile thousands of Janino classes that
-    // each evaluate zero rows — profiled at ~80% of wall time. Execute it
-    // interpreted (conf scoped + restored; queries run sequentially in
-    // Bench/Verify) and hand back the materialized bounded report. The
-    // real-data battery (dqd_field_level) keeps codegen — there the
-    // compiled code earns its cost on every scanned row.
-    val keys = Seq("spark.sql.codegen.wholeStage", "spark.sql.codegen.factoryMode",
-      "spark.sql.adaptive.enabled")
-    val saved = keys.map(k => k -> s.conf.getOption(k))
-    try {
-      s.conf.set("spark.sql.codegen.wholeStage", "false")
-      s.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
-      s.conf.set("spark.sql.adaptive.enabled", "false")
-      val rows = plan.collect()
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), plan.schema)
-    } finally saved.foreach { case (k, v) => v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+    val rows = plan.collect()
+    // hand the materialized bounded report back on the CALLER's session
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), plan.schema)
   }
 
   /** Run-level Overview over the generated battery (`data_quality.py:

@@ -61,8 +61,8 @@ object LlmQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def clusterMap(s: SparkSession, d: String): DataFrame =
     clusterMaps.getOrElseUpdate((s, d), {
-      val zones = graft.io.Zones("/root/repo/target/graft_zones_dedup")
-      val table = s"dedup_clusters_${Integer.toHexString(d.hashCode)}"
+      val zones = graft.io.Zones.forPurpose("dedup")
+      val table = s"dedup_clusters_${graft.io.Zones.pathKey(d)}"
       zones.write(
         DedupOps.connectedComponents(
           DedupOps.jaccardPairs(t(s, d, "documents"), "doc_id", "text", threshold = 0.2),
@@ -380,11 +380,11 @@ object LlmQueries {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .orderBy("doc_id")
 
-  /** Int8 embedding quantization with per-dimension corpus calibration
-    * (SimOps.quantizeInt8), reported as exploded (vec_id, pos, q) rows.
+  /** Uint8 (0..255) embedding quantization with per-dimension corpus calibration
+    * (SimOps.quantizeUint8), reported as exploded (vec_id, pos, q) rows.
     */
   val embedQuantize: Q = (s, d) =>
-    SimOps.quantizeInt8(t(s, d, "embeddings"), "vec_id", "embedding")
+    SimOps.quantizeUint8(t(s, d, "embeddings"), "vec_id", "embedding")
       .orderBy("vec_id", "pos")
 
   /** Per-domain quality cap: keep each source's top-15 documents by

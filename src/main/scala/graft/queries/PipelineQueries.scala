@@ -66,7 +66,7 @@ object PipelineQueries {
 
     // S11: the reference's CREATE OR REPLACE CTAS — write through the
     // atomic swap protocol and read the promoted table back
-    val zones = Zones("/root/repo/target/graft_zones")
+    val zones = Zones.forPurpose("pipeline")
     val path = zones.tablePath("work", "orders_merge")
     AtomicWrite.replace(merged, path)
     AtomicWrite.readTable(s, path)
@@ -126,7 +126,7 @@ object PipelineQueries {
       // step writes the work-zone table too) so the cached inputs can be
       // released HERE instead of leaking into the rest of a shared-JVM run —
       // round 3's bench showed the leaked blocks taxing every later query.
-      val zones = Zones("/root/repo/target/graft_zones")
+      val zones = Zones.forPurpose("pipeline")
       val path = zones.tablePath("work", "events_apply")
       AtomicWrite.replace(rekeyed, path)
       AtomicWrite.readTable(s, path).orderBy("event_id")

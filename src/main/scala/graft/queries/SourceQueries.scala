@@ -120,7 +120,7 @@ object SourceQueries {
       }
     finally zos.close()
 
-    val zones = graft.io.Zones("/root/repo/target/graft_zones_vocab")
+    val zones = graft.io.Zones.forPurpose("vocab")
     val members = Seq("concept" -> "CONCEPT.csv", "vocabulary" -> "VOCABULARY.csv")
     members.foreach { case (tb, _) => zones.drop(s, "work", tb) } // :40-58
     val extractDir = s"$StageDir/vocab_extracted"

@@ -69,4 +69,10 @@ class RiabConfigSpec extends AnyFunSuite {
       RiabConfig.resolve(None, Map.empty, empty.toString)
     }
   }
+
+  test("key=value before any [section] throws like configparser") {
+    val e = intercept[IllegalArgumentException](
+      RiabConfig.parse("db_engine=spark\n[riab]\n"))
+    assert(e.getMessage.contains("no section headers"))
+  }
 }

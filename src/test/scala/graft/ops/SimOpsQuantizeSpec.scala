@@ -12,7 +12,7 @@ class SimOpsQuantizeSpec extends SparkSpec {
       (1L, Array(0.0f, -1.0f, 5.0f)),
       (2L, Array(1.0f, 1.0f, 5.0f)),
       (3L, Array(0.5f, 3.0f, 5.0f))).toDF("vec_id", "embedding")
-    val out = SimOps.quantizeInt8(embs, "vec_id", "embedding")
+    val out = SimOps.quantizeUint8(embs, "vec_id", "embedding")
       .select("vec_id", "pos", "q").as[(Long, Long, Long)].collect()
     assert(out.forall { case (_, _, q) => q >= 0 && q <= 255 })
     val byPos = out.groupBy(_._2)
