@@ -1,0 +1,117 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf1 scale-soak of the dedup/ANN/corpus family (round-5 verdict "Next
+  * round" #6): generate a 10x `documents`/`embeddings` dataset (the
+  * driver's testdata tops out at sf0.1 and is read-only), run the family at
+  * sf0.1 and sf1, and report per-query wall times plus the worst task-time
+  * skew observed — the two signals PlanAuditSpec's static shuffle bounds
+  * cannot see.
+  *
+  * Dataset construction (deterministic, seedless): 10 copies of the sf0.1
+  * tables with shifted ids. Copy 0 is verbatim; for copies c>0, documents
+  * with `id % 3 == 0` keep IDENTICAL text (exact duplicates across copies)
+  * and the rest get a `copy<c>` head token (near-duplicates — high Jaccard
+  * for long docs). Embeddings perturb one id-dependent dimension by
+  * 0.001*c (near-identical vectors). This is DENSER near-dup structure
+  * than an organic 10x corpus — deliberately, to stress the candidate
+  * joins and cluster formation with hot buckets.
+  */
+object Soak {
+
+  private val Families = Seq("dedup_", "sim_", "corpus_", "text_", "embed_", "doc_")
+
+  def main(args: Array[String]): Unit = {
+    val src = "/root/testdata/sf0.1"
+    val out = "target/soak_sf1"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ---- generate (idempotent) ------------------------------------------
+    val docsPath = s"$out/documents.parquet"
+    if (!new java.io.File(docsPath).exists()) {
+      val docs = spark.read.parquet(s"$src/documents.parquet")
+      val nDocs = docs.count()
+      val copies = spark.range(0, 10).select(col("id").as("__copy"))
+      docs.crossJoin(copies)
+        .select(
+          (col("doc_id") + col("__copy") * nDocs).as("doc_id"),
+          when(col("__copy") === 0 || col("doc_id") % 3 === 0, col("text"))
+            .otherwise(concat(lit("copy"), col("__copy"), lit(" "), col("text"))).as("text"),
+          col("lang"), col("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .repartition(32)
+        .write.mode(SaveMode.Overwrite).parquet(docsPath)
+
+      val embs = spark.read.parquet(s"$src/embeddings.parquet")
+      val nEmbs = embs.count()
+      embs.crossJoin(copies)
+        .select(
+          (col("vec_id") + col("__copy") * nEmbs).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === col("vec_id") % size(col("embedding")),
+              x + col("__copy").cast("float") * lit(0.001f)).otherwise(x)).as("embedding"),
+          col("label"))
+        .repartition(32)
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
+      println(s"generated $out: ${nDocs * 10} docs, ${nEmbs * 10} vectors")
+    }
+
+    // ---- task-skew listener ---------------------------------------------
+    val durations = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        if (t.taskInfo != null) durations.add((t.stageId, t.taskInfo.duration))
+    })
+
+    /** Worst per-stage max/median task-duration ratio (stages with >= 8
+      * tasks and a non-trivial max, so scheduler noise on empty stages
+      * doesn't read as skew).
+      */
+    def worstSkew(): (Double, Int) = {
+      import scala.jdk.CollectionConverters._
+      val byStage = durations.asScala.toSeq.groupBy(_._1).view.mapValues(_.map(_._2))
+      val candidates = byStage.filter { case (_, ds) => ds.size >= 8 && ds.max >= 200 }
+      if (candidates.isEmpty) (1.0, -1)
+      else {
+        val (stage, ds) = candidates.maxBy { case (_, ds) =>
+          val sorted = ds.sorted; ds.max.toDouble / math.max(sorted(ds.size / 2), 1L)
+        }
+        val sorted = ds.sorted
+        (ds.max.toDouble / math.max(sorted(ds.size / 2), 1L), stage)
+      }
+    }
+
+    val queries = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => Families.exists(n.startsWith) }
+    val sb = new StringBuilder
+    for (dir <- Seq(src, out)) {
+      val tag = if (dir == src) "sf0.1" else "sf1"
+      queries.foreach { case (name, fn) =>
+        durations.clear()
+        val t0 = System.nanoTime()
+        fn(spark, dir).write.mode("overwrite").format("noop").save()
+        val secs = (System.nanoTime() - t0) / 1e9
+        val (skew, stage) = worstSkew()
+        sb.append(f"""{"sf":"$tag","query":"$name","sec":$secs%.3f,"worst_skew":$skew%.1f,"skew_stage":$stage}%n""")
+        println(f"[$tag] $name%-28s $secs%7.2fs  skew $skew%5.1fx")
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        System.gc()
+      }
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_sf1.jsonl"), sb.result())
+    spark.stop()
+  }
+}
