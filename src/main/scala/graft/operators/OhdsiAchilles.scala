@@ -100,29 +100,45 @@ object OhdsiAchilles {
         "observation_period_start_date", "observation_period_end_date") ||
       DomainSeries.exists { case (tb, _, concept) => has(model, tb, concept) }
 
+  /** Whether the model carries any core DIST analysis's tables. */
+  def supportsDist(model: CdmModel): Boolean =
+    (has(model, "person", "person_id", "year_of_birth") &&
+      has(model, "observation_period", "person_id", "observation_period_start_date")) ||
+      has(model, "observation_period", "person_id",
+        "observation_period_start_date", "observation_period_end_date") ||
+      has(model, "visit_occurrence", "person_id")
+
   /** The literal-id core COUNT battery over a CDM model: every analysis in
     * [[Catalog]] whose tables/columns the model carries, as one
     * map-side-combinable aggregate each, UNION ALL'd into the canonical
-    * `achilles_results` shape with small-cell suppression
+    * two-strata `achilles_results` shape (`stratum_2` NULL except for the
+    * gender-by-age analysis 102) with small-cell suppression
     * (`achilles.py:27`; pass 0 to disable for tiny fixtures).
     */
   def cdmCoreResults(
       model: CdmModel,
       load: String => DataFrame,
-      smallCellCount: Long = 5L): DataFrame = {
+      smallCellCount: Long = 5L,
+      sourceName: String = "graft"): DataFrame = {
+    val noS2 = lit(null).cast("string").as("stratum_2")
     def row(id: Long, stratum: org.apache.spark.sql.Column, df: DataFrame,
         agg: org.apache.spark.sql.Column): DataFrame =
       df.groupBy(stratum.cast("string").as("stratum_1"))
         .agg(agg.as("count_value"))
-        .select(lit(id).as("analysis_id"), col("stratum_1"), col("count_value"))
+        .select(lit(id).as("analysis_id"), col("stratum_1"), noS2, col("count_value"))
 
     val person: Option[Seq[DataFrame]] =
       if (!has(model, "person", "person_id")) None
       else Some {
         val p = load("person")
         Seq(
+          // 0: source name (`achilles.py` stores it as stratum_1, count 1)
+          p.limit(1).agg(count(lit(1)).as("__one")).select(
+            lit(0L).as("analysis_id"), lit(sourceName).as("stratum_1"), noS2,
+            lit(1L).as("count_value")),
           p.agg(count(lit(1)).as("count_value"))
-            .select(lit(1L).as("analysis_id"), lit("ALL").as("stratum_1"), col("count_value"))) ++
+            .select(lit(1L).as("analysis_id"), lit("ALL").as("stratum_1"), noS2,
+              col("count_value"))) ++
           Seq(("gender_concept_id", 2L), ("year_of_birth", 3L),
             ("race_concept_id", 4L), ("ethnicity_concept_id", 5L)).collect {
             case (c, id) if has(model, "person", c) => row(id, col(c), p, count(lit(1)))
@@ -134,7 +150,8 @@ object OhdsiAchilles {
         "observation_period_start_date", "observation_period_end_date")) None
       else Some {
         val op = load("observation_period")
-        Seq(
+        val ageBase = Seq.newBuilder[DataFrame]
+        ageBase ++= Seq(
           // 111/112: persons by start/end month (YYYYMM, the Achilles
           // calendar-month stratum encoding)
           row(111L, date_format(col("observation_period_start_date"), "yyyyMM"),
@@ -145,7 +162,42 @@ object OhdsiAchilles {
           op.groupBy(col("person_id")).agg(count(lit(1)).as("__n"))
             .groupBy(col("__n").cast("string").as("stratum_1"))
             .agg(count(lit(1)).as("count_value"))
-            .select(lit(113L).as("analysis_id"), col("stratum_1"), col("count_value")))
+            .select(lit(113L).as("analysis_id"), col("stratum_1"), noS2, col("count_value")),
+          // 109: persons with CONTINUOUS observation in each year — a year
+          // counts only when some period covers it whole. Candidate years
+          // explode from the period's own span (bounded fan-out), the
+          // cover predicate filters, persons dedup per year.
+          op.select(col("person_id"),
+              explode(sequence(year(col("observation_period_start_date")),
+                year(col("observation_period_end_date")))).as("__y"),
+              col("observation_period_start_date").as("__s"),
+              col("observation_period_end_date").as("__e"))
+            .filter(col("__s") <= to_date(concat(col("__y"), lit("-01-01"))) &&
+              col("__e") >= to_date(concat(col("__y"), lit("-12-31"))))
+            .groupBy(col("__y").cast("string").as("stratum_1"))
+            .agg(countDistinct(col("person_id")).as("count_value"))
+            .select(lit(109L).as("analysis_id"), col("stratum_1"), noS2, col("count_value")))
+        // 101/102: persons by age (and by gender by age) at FIRST
+        // observation period — one shuffle on person_id, then tiny strata
+        if (has(model, "person", "year_of_birth")) {
+          val age = op.groupBy(col("person_id"))
+            .agg(min(col("observation_period_start_date")).as("__first"))
+            .join(load("person").select(
+              col("person_id"), col("year_of_birth"),
+              if (has(model, "person", "gender_concept_id")) col("gender_concept_id")
+              else lit(null).cast("long").as("gender_concept_id")), "person_id")
+            .select(col("person_id"), col("gender_concept_id"),
+              (year(col("__first")) - col("year_of_birth")).as("__age"))
+          ageBase += row(101L, col("__age"), age, count(lit(1)))
+          if (has(model, "person", "gender_concept_id"))
+            ageBase += age
+              .groupBy(col("gender_concept_id").cast("string").as("stratum_1"),
+                col("__age").cast("string").as("stratum_2"))
+              .agg(count(lit(1)).as("count_value"))
+              .select(lit(102L).as("analysis_id"), col("stratum_1"), col("stratum_2"),
+                col("count_value"))
+        }
+        ageBase.result()
       }
 
     val domains: Seq[DataFrame] = DomainSeries.collect {
@@ -160,8 +212,8 @@ object OhdsiAchilles {
 
     ((person.toSeq ++ obsPeriod.toSeq).flatten ++ domains)
       .pipe(graft.Unions.balanced)
-      .filter(col("count_value") > smallCellCount)
-      .orderBy("analysis_id", "stratum_1")
+      .filter(col("count_value") > smallCellCount || col("analysis_id") === 0L)
+      .orderBy("analysis_id", "stratum_1", "stratum_2")
   }
 
   /** The literal-id core DIST battery (`achilles_results_dist` shape):
@@ -183,10 +235,20 @@ object OhdsiAchilles {
       val firstObs = load("observation_period")
         .groupBy(col("person_id"))
         .agg(min(col("observation_period_start_date")).as("__first"))
-      val age = load("person").select(col("person_id"), col("year_of_birth"))
+      val withGender = has(model, "person", "gender_concept_id")
+      val age = load("person").select(
+          col("person_id"), col("year_of_birth"),
+          (if (withGender) col("gender_concept_id")
+          else lit(null).cast("long")).as("__g"))
         .join(firstObs, "person_id")
-        .select((year(col("__first")) - col("year_of_birth")).cast("double").as("__v"))
-      parts += hist(age, 103L)
+        .select(col("__g"), (year(col("__first")) - col("year_of_birth")).cast("double").as("__v"))
+      parts += hist(age.select(col("__v")), 103L)
+      // 104: the same ages stratified by gender (stratum_1 = gender id)
+      if (withGender)
+        parts += age.groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("__cnt"))
+          .withColumn("analysis_id", lit(104L))
+          .withColumn("stratum_1", col("__g").cast("string"))
+          .drop("__g")
     }
     if (has(model, "observation_period", "person_id",
       "observation_period_start_date", "observation_period_end_date")) {

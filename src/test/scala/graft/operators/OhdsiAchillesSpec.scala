@@ -29,7 +29,7 @@ class OhdsiAchillesSpec extends SparkSpec {
   private lazy val tables: Map[String, DataFrame] = {
     import spark.implicits._
     val person = (1L to 8L).map(i =>
-        (i, if (i <= 5) 8507L else 8532L, if (i == 8) 1990L else 1980L, 8527L, 38003564L))
+        (i, if (i <= 7) 8507L else 8532L, if (i == 8) 1990L else 1980L, 8527L, 38003564L))
       .toDF("person_id", "gender_concept_id", "year_of_birth",
         "race_concept_id", "ethnicity_concept_id")
     // person 1 has a SECOND, later period (999 days) — 113 counts it, and
@@ -46,8 +46,9 @@ class OhdsiAchillesSpec extends SparkSpec {
       "visit_occurrence" -> visits, "condition_occurrence" -> conditions)
   }
 
-  private def resultMap(df: DataFrame): Map[(Long, String), Long] =
-    df.collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+  private def resultMap(df: DataFrame): Map[(Long, String, String), Long] =
+    df.collect().map(r =>
+      (r.getLong(0), r.getString(1), Option(r.getString(2)).getOrElse("")) -> r.getLong(3)).toMap
 
   test("analysisCatalog carries the literal core id set") {
     val cat = OhdsiAchilles.analysisCatalog(spark).collect()
@@ -62,40 +63,56 @@ class OhdsiAchillesSpec extends SparkSpec {
 
   test("cdmCoreResults carries literal ids with correct counts") {
     val r = resultMap(OhdsiAchilles.cdmCoreResults(model, tables(_), smallCellCount = 0L)
-      .select("analysis_id", "stratum_1", "count_value"))
-    assert(r((1L, "ALL")) === 8L)                  // persons
-    assert(r((2L, "8507")) === 5L)                 // by gender
-    assert(r((2L, "8532")) === 3L)
-    assert(r((3L, "1980")) === 7L)                 // by year of birth
-    assert(r((3L, "1990")) === 1L)
-    assert(r((4L, "8527")) === 8L)                 // race / ethnicity
-    assert(r((5L, "38003564")) === 8L)
-    assert(r((111L, "201001")) === 8L)             // obs start month (persons)
-    assert(r((111L, "201501")) === 1L)
-    assert(r((113L, "1")) === 7L)                  // persons by #periods
-    assert(r((113L, "2")) === 1L)
-    assert(r((200L, "9201")) === 8L)               // persons with a visit
-    assert(r((201L, "9201")) === 36L)              // visit records
-    assert(r((400L, "201826")) === 6L)             // persons with condition
-    assert(r((401L, "201826")) === 6L)             // condition records
-    // default suppression drops small cells, exactly like the reference
+      .select("analysis_id", "stratum_1", "stratum_2", "count_value"))
+    assert(r((0L, "graft", "")) === 1L)            // source name
+    assert(r((1L, "ALL", "")) === 8L)              // persons
+    assert(r((2L, "8507", "")) === 7L)             // by gender
+    assert(r((2L, "8532", "")) === 1L)
+    assert(r((3L, "1980", "")) === 7L)             // by year of birth
+    assert(r((3L, "1990", "")) === 1L)
+    assert(r((4L, "8527", "")) === 8L)             // race / ethnicity
+    assert(r((5L, "38003564", "")) === 8L)
+    assert(r((101L, "30", "")) === 7L)             // by age at first obs
+    assert(r((101L, "20", "")) === 1L)
+    assert(r((102L, "8507", "30")) === 7L)         // by gender by age
+    assert(r((102L, "8532", "20")) === 1L)
+    // 109: only person 1's SECOND period (2015-01-01 + 999d) covers whole
+    // years — 2015 and 2016; no 2010 period reaches 2010-12-31
+    assert(r((109L, "2015", "")) === 1L)
+    assert(r((109L, "2016", "")) === 1L)
+    assert(!r.keySet.exists { case (id, s, _) => id == 109L && s == "2010" })
+    assert(r((111L, "201001", "")) === 8L)         // obs start month (persons)
+    assert(r((111L, "201501", "")) === 1L)
+    assert(r((113L, "1", "")) === 7L)              // persons by #periods
+    assert(r((113L, "2", "")) === 1L)
+    assert(r((200L, "9201", "")) === 8L)           // persons with a visit
+    assert(r((201L, "9201", "")) === 36L)          // visit records
+    assert(r((400L, "201826", "")) === 6L)         // persons with condition
+    assert(r((401L, "201826", "")) === 6L)         // condition records
+    // default suppression drops small cells, exactly like the reference —
+    // except analysis 0, which the reference always stores
     val suppressed = resultMap(OhdsiAchilles.cdmCoreResults(model, tables(_))
-      .select("analysis_id", "stratum_1", "count_value"))
-    assert(!suppressed.contains((2L, "8532")))     // 3 <= 5 suppressed
-    assert(suppressed((201L, "9201")) === 36L)
+      .select("analysis_id", "stratum_1", "stratum_2", "count_value"))
+    assert(!suppressed.contains((2L, "8532", "")))  // 1 <= 5 suppressed
+    assert(suppressed.contains((0L, "graft", "")))
+    assert(suppressed((201L, "9201", "")) === 36L)
   }
 
-  test("cdmCoreDistResults computes the 103/105/203 dist family") {
+  test("cdmCoreDistResults computes the 103/104/105/203 dist family") {
     val rows = OhdsiAchilles.cdmCoreDistResults(model, tables(_))
-      .select("analysis_id", "count_value", "min_value", "max_value",
+      .select("analysis_id", "stratum_1", "count_value", "min_value", "max_value",
         "avg_value", "median_value")
-      .collect().map(r => r.getLong(0) ->
-        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
     // 103: ages at first obs period — seven 30s, one 20
-    assert(rows(103L) === ((8L, 20.0, 30.0, 28.75, 30.0)))
+    assert(rows((103L, "ALL")) === ((8L, 20.0, 30.0, 28.75, 30.0)))
+    // 104: by gender — male stratum (7 ages of 30) survives suppression,
+    // the 1-person female stratum is suppressed
+    assert(rows((104L, "8507")) === ((7L, 30.0, 30.0, 30.0, 30.0)))
+    assert(!rows.contains((104L, "8532")))
     // 105: first-period lengths — person 1's 999-day SECOND period ignored
-    assert(rows(105L) === ((8L, 20.0, 80.0, 50.0, 50.0)))
+    assert(rows((105L, "ALL")) === ((8L, 20.0, 80.0, 50.0, 50.0)))
     // 203: visits per person = 1..8
-    assert(rows(203L) === ((8L, 1.0, 8.0, 4.5, 4.5)))
+    assert(rows((203L, "ALL")) === ((8L, 1.0, 8.0, 4.5, 4.5)))
   }
 }
