@@ -132,6 +132,40 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style repetition filters: the duplicate-token fraction, top
+    * single-token fraction and duplicate-bigram fraction that catch
+    * boilerplate / degenerate repetition (the "repetitious content" family
+    * of the published Gopher/MassiveText filtering rules).
+    *
+    * Scale shape: each signal is one (doc_id, gram) map-side-combinable
+    * count followed by a per-doc aggregate — shuffles on (doc, gram), never
+    * on raw text; the two signal families join on doc_id (same
+    * partitioning). Docs with < 2 tokens have no bigrams -> NULL fraction,
+    * mirrored by the oracle's LEFT JOIN.
+    */
+  val textRepetition: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val tok = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_count"))
+    val bi = docs
+      .select(col("doc_id"), explode(TextOps.shingles(col("text"), 2)).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c2"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c2")).as("n_bigrams"), count(lit(1)).as("nd2"))
+    tok.join(bi, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 4)
+          .as("dup_token_frac"),
+        round(col("top_count").cast("double") / col("n_tokens"), 4).as("top_token_frac"),
+        round(lit(1.0) - col("nd2").cast("double") / col("n_bigrams"), 4)
+          .as("dup_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
   /** C4-style cleaning composite: the quality-score + length gate a
     * training corpus actually applies before tokenization.
     */
@@ -432,6 +466,7 @@ object LlmQueries {
     "embed_label_centroids" -> embedLabelCentroids,
     "embed_quantize" -> embedQuantize,
     "text_quality" -> textQuality,
+    "text_repetition" -> textRepetition,
     "text_commonness" -> textCommonness,
     "doc_fingerprint" -> docFingerprint,
     "doc_rolling_hash" -> docRollingHash,
@@ -692,6 +727,29 @@ object LlmQueries {
          |       WHEN ${h32("CAST(doc_id AS VARCHAR)")} % 100 < 95 THEN 'valid'
          |       ELSE 'test' END AS split
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |tc AS (
+         |  SELECT doc_id, tok, count(*) AS c
+         |  FROM toks, UNNEST(tk) AS u(tok) GROUP BY 1, 2
+         |),
+         |td AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    count(*) AS n_distinct, max(c) AS top_count
+         |  FROM tc GROUP BY 1
+         |),
+         |bg AS (
+         |  SELECT doc_id, array_to_string(tk[i:i+1], ' ') AS b
+         |  FROM toks, UNNEST(range(1, len(tk))) AS u(i) WHERE len(tk) >= 2
+         |),
+         |bc AS (SELECT doc_id, b, count(*) AS c2 FROM bg GROUP BY 1, 2),
+         |bd AS (SELECT doc_id, sum(c2) AS n_bigrams, count(*) AS nd2 FROM bc GROUP BY 1)
+         |SELECT td.doc_id, n_tokens,
+         |  round(1 - CAST(n_distinct AS DOUBLE) / n_tokens, 4) AS dup_token_frac,
+         |  round(CAST(top_count AS DOUBLE) / n_tokens, 4) AS top_token_frac,
+         |  round(1 - CAST(nd2 AS DOUBLE) / n_bigrams, 4) AS dup_bigram_frac
+         |FROM td LEFT JOIN bd ON td.doc_id = bd.doc_id
+         |ORDER BY td.doc_id""".stripMargin,
     "text_top_ngrams" ->
       s"""WITH toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
          |sh AS (
