@@ -179,6 +179,23 @@ object LlmQueries {
       .select("doc_id", "lang", "quality")
       .orderBy("doc_id")
 
+  /** Deterministic source-mixture resampling (domain reweighting): each
+    * source carries a stable target keep-rate (derived here from its own
+    * content hash, standing in for a curated mixture table) and each doc is
+    * kept iff `hash(source:doc_id) mod 10 < rate_tenths` — the reproducible
+    * "sample domain X at 30%, domain Y at 90%" step every mixture recipe
+    * needs, with no RNG state and identical decisions on any engine,
+    * cluster layout or retry. Pure filter: pushes to the scan, no shuffle.
+    */
+  val corpusMixtureSample: Q = (s, d) => {
+    val rateTenths = TextOps.hash32(col("source")) % 7 + lit(3L) // 3..9 per source
+    val gate = TextOps.hash32(concat(col("source"), lit(":"), col("doc_id").cast("string"))) % 10
+    t(s, d, "documents")
+      .filter(gate < rateTenths)
+      .select(col("doc_id"), col("source"), rateTenths.as("rate_tenths"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic train/valid/test assignment by content-stable hash —
     * reproducible across engines and runs, no RNG state anywhere.
     */
@@ -462,6 +479,7 @@ object LlmQueries {
     "text_token_stats" -> textTokenStats,
     "text_quality_filter" -> textQualityFilter,
     "corpus_split_assign" -> corpusSplitAssign,
+    "corpus_mixture_sample" -> corpusMixtureSample,
     "text_top_ngrams" -> textTopNgrams,
     "embed_label_centroids" -> embedLabelCentroids,
     "embed_quantize" -> embedQuantize,
@@ -720,6 +738,13 @@ object LlmQueries {
          |)
          |SELECT doc_id, lang, quality FROM q
          |WHERE quality >= 0.5 AND toks >= 20
+         |ORDER BY doc_id""".stripMargin,
+    "corpus_mixture_sample" ->
+      s"""SELECT doc_id, source,
+         |  CAST(${h32("source")} % 7 + 3 AS BIGINT) AS rate_tenths
+         |FROM documents
+         |WHERE ${h32("source || ':' || CAST(doc_id AS VARCHAR)")} % 10
+         |  < ${h32("source")} % 7 + 3
          |ORDER BY doc_id""".stripMargin,
     "corpus_split_assign" ->
       s"""SELECT doc_id, ${h32("CAST(doc_id AS VARCHAR)")} % 100 AS bucket,
