@@ -125,4 +125,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(windowLine.contains("windowspecdefinition(source"),
       s"rank window not partitioned by source: $windowLine")
   }
+
+  test("repetition filters join gram families on doc_id with no all-pairs path") {
+    val p = plan("text_repetition")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // both signal families scan only (doc_id, text)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"))
+    assert(!readSchema.contains("source") && !readSchema.contains("n_chars"))
+  }
+
+  test("mixture sampling is a pure scan-side filter: zero pre-order shuffles") {
+    // only the final orderBy may exchange — the keep/drop decision itself
+    // must not shuffle anything
+    val p = plan("corpus_mixture_sample")
+    val exchanges = p.linesIterator.count(_.contains("- Exchange"))
+    assert(exchanges <= 1, s"corpus_mixture_sample plans $exchanges exchanges:\n$p")
+  }
+
+  test("real image decode scans only (doc_id) and never collects payloads") {
+    val p = plan("multimodal_decode_real")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && !readSchema.contains("text"),
+      s"decode fixture scan should prune to doc_id only: $readSchema")
+  }
 }
