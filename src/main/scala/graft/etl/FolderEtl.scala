@@ -174,7 +174,11 @@ object FolderEtl {
     val identity = (model.pk(tb).toSeq ++ conceptCols).distinct
     if (identity.nonEmpty) df = MergeOps.dedupKeepFirst(df, identity)
 
-    zones.write(df, "omop", tb) // S11 atomic replace
+    // S11 atomic replace, laid out on the model's cluster keys (the
+    // reference's per-table `cluster by` — key-range scans skip row groups)
+    val clusterCols = model.clustering.getOrElse(tb, Seq.empty)
+      .filter(df.columns.contains)
+    zones.writeClustered(df, clusterCols, "omop", tb)
     Some(zones.read(s, "omop", tb).count())
   }
 
