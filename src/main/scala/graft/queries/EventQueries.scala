@@ -402,6 +402,24 @@ object EventQueries {
       .orderBy("user_id", "session_start")
   }
 
+  // The merged Achilles battery materializes ONCE per (session, dataset)
+  // into the achilles zone (the reference's own scratch->final flow) and
+  // every consumer — the canonical merge report, the counts view, the
+  // pairs view — reads the stored table. Same run-once-store-report-many
+  // pattern as the DQD battery (r5 lesson).
+  private val achillesStore =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def storedAchilles(s: SparkSession, d: String): DataFrame =
+    achillesStore.getOrElseUpdate((s, d), {
+      val zones = graft.io.Zones.forPurpose("achilles")
+      val table = s"achilles_results_${graft.io.Zones.pathKey(d)}"
+      zones.write(
+        graft.operators.AchillesGen.mergedResults(
+          graft.model.TpchModel.modelWithEvents, tb => t(s, d, tb)),
+        "achilles", table)
+      zones.read(s, "achilles", table)
+    })
+
   val defs: Seq[(String, Q)] = Seq(
     "q1_pricing_summary" -> q1PricingSummary,
     "stream_windowed_counts" -> streamWindowedCounts,
@@ -417,26 +435,24 @@ object EventQueries {
     "achilles_battery" -> achillesBattery,
     "achilles_dist" -> achillesDist,
     "achilles_generated" -> ((s, d) =>
-      graft.operators.AchillesGen.results(graft.model.TpchModel.modelWithEvents, tb => t(s, d, tb))),
+      // counts derive from the STORED merged results (ids < 4000 are the
+      // count battery; pairs start at 4000) — run once, report many
+      storedAchilles(s, d).filter(col("analysis_id") < 4000L)
+        .select("analysis_id", "stratum_1", "count_value")
+        .orderBy("analysis_id", "stratum_1")),
     "achilles_dist_generated" -> ((s, d) =>
       graft.operators.AchillesGen.distResults(graft.model.TpchModel.modelWithEvents, tb => t(s, d, tb))),
     "achilles_fk_dist" -> ((s, d) =>
       graft.operators.AchillesGen.fkDistResults(graft.model.TpchModel.modelWithEvents, tb => t(s, d, tb))),
     "achilles_pairs" -> ((s, d) =>
-      graft.operators.AchillesGen.pairResults(graft.model.TpchModel.modelWithEvents, tb => t(s, d, tb))),
+      storedAchilles(s, d).filter(col("analysis_id") >= 4000L)
+        .select("analysis_id", "stratum_1", "stratum_2", "count_value")
+        .orderBy("analysis_id", "stratum_1", "stratum_2")),
     // the scratch->final merge (`achilles.py:507-561`): every family lands
     // in the canonical 5-strata achilles_results shape, stored into the
     // achilles zone via the atomic-replace protocol, report reads the table
-    "achilles_merge_results" -> ((s, d) => {
-      val zones = graft.io.Zones.forPurpose("achilles")
-      val table = s"achilles_results_${graft.io.Zones.pathKey(d)}"
-      zones.write(
-        graft.operators.AchillesGen.mergedResults(
-          graft.model.TpchModel.modelWithEvents, tb => t(s, d, tb)),
-        "achilles", table)
-      zones.read(s, "achilles", table)
-        .orderBy("analysis_id", "stratum_1", "stratum_2")
-    }),
+    "achilles_merge_results" -> ((s, d) =>
+      storedAchilles(s, d).orderBy("analysis_id", "stratum_1", "stratum_2")),
     "achilles_span_dist" -> ((s, d) =>
       graft.operators.AchillesGen.spanDistResults(graft.model.TpchModel.modelWithEvents, tb => t(s, d, tb))),
     // the populated achilles_analysis catalog (literal OHDSI core ids) —
