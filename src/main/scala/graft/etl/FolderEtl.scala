@@ -170,8 +170,11 @@ object FolderEtl {
           fkCol, model.requiredColumns(tb).contains(fkCol))
     }
 
-    // W3: deterministic dedup over the surrogate identity
-    val identity = (model.pk(tb).toSeq ++ conceptCols).distinct
+    // W3: deterministic dedup over the surrogate identity — restricted to
+    // the columns the user's queries actually emitted (the reference's
+    // merge projects the model columns, NULL-defaulting the absent ones;
+    // absent concept columns cannot partition the dedup window)
+    val identity = (model.pk(tb).toSeq ++ conceptCols).distinct.filter(df.columns.contains)
     if (identity.nonEmpty) df = MergeOps.dedupKeepFirst(df, identity)
 
     // S11 atomic replace, laid out on the model's cluster keys (the

@@ -218,6 +218,54 @@ class GraftCliSpec extends SparkSpec {
       .filter(col("omop_table") === "orders").count() === 0L)
   }
 
+  test("--run-etl over the CDM 5.4 model: person + observation_period from raw EHR") {
+    val zones = newZones("cdm54etl")
+    val folder = Files.createTempDirectory("graft_cli_cdm54")
+    // synthetic raw EHR source tables
+    import spark.implicits._
+    zones.write(
+      Seq((101L, "M", 1980L), (102L, "F", 1990L), (103L, "M", 1975L),
+        (104L, "X", 2000L), (105L, "F", 1985L), (106L, "M", 1995L))
+        .toDF("patient_id", "gender", "yob"),
+      "raw", "ehr_patients")
+    zones.write(
+      Seq((101L, "2010-01-01", "2012-01-01"), (102L, "2011-06-01", "2015-06-01"),
+        (103L, "2009-01-01", "2020-01-01"))
+        .toDF("pid", "start_d", "end_d"),
+      "raw", "ehr_coverage")
+    write(folder.resolve("person/load.sql.jinja"),
+      """SELECT patient_id AS person_id, gender AS gender_concept_id,
+        |  yob AS year_of_birth
+        |FROM {{project_raw}}_ehr_patients""".stripMargin)
+    write(folder.resolve("person/gender_concept_id/map.csv"),
+      """sourceCode,sourceName,mappingStatus,conceptId,conceptName,domainId
+        |M,male,APPROVED,8507,MALE,Gender
+        |F,female,APPROVED,8532,FEMALE,Gender""".stripMargin)
+    write(folder.resolve("observation_period/load.sql.jinja"),
+      """SELECT pid AS observation_period_id, pid AS person_id,
+        |  CAST(start_d AS DATE) AS observation_period_start_date,
+        |  CAST(end_d AS DATE) AS observation_period_end_date
+        |FROM {{project_raw}}_ehr_coverage""".stripMargin)
+
+    val results = GraftCli.runEtl(spark, zones, folder, EtlFlags(), Cdm54.model)
+    assert(results === Map("person" -> 6L, "observation_period" -> 3L))
+
+    val person = zones.read(spark, "omop", "person")
+    // usagi-mapped genders: M->8507, F->8532, unmapped X -> 0 sentinel
+    assert(person.groupBy("gender_concept_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap === Map(8507L -> 3L, 8532L -> 2L, 0L -> 1L))
+    // person_id swapped to dense surrogates 1..6
+    assert(person.agg(min("person_id"), max("person_id")).head()
+      === org.apache.spark.sql.Row(1L, 6L))
+    // observation_period.person_id rewrote through person's swap (level
+    // order guarantees the parent swap exists): all FKs land in 1..6
+    val op = zones.read(spark, "omop", "observation_period")
+    assert(op.filter(col("person_id") < 1L || col("person_id") > 6L).count() === 0L)
+    // the raw source keys are traceable through the lineage map
+    val lineage = zones.read(spark, "omop", "source_id_to_omop_id_map")
+    assert(lineage.filter(col("omop_table") === "person").count() === 6L)
+  }
+
   test("--data-quality stores the battery, exports JSON, dashboard serves it") {
     val zones = newZones("dq")
     val folder = scaffoldFolder()
