@@ -161,9 +161,108 @@ object EtlQueries {
     } finally pool.shutdown()
   }
 
-  val defs: Seq[(String, Q)] = Seq("etl_two_stage" -> etlTwoStage)
+  /** The CLI's folder-driven ETL ([[graft.etl.FolderEtl]]) under the hash
+    * gate: stage a CDM folder (rendered S9 queries + a usagi CSV with an
+    * excluded SEMI-APPROVED row) and a raw zone from the test tables, run
+    * the real `--run-etl` machinery, and summarize the read-back omop zone
+    * exactly like [[etlTwoStage]] — the DuckDB oracle replays the
+    * append-only dense swaps, FK rewrites and status-filtered usagi
+    * mapping independently.
+    */
+  val etlFolderRun: Q = (s, d) => {
+    val key = graft.io.Zones.pathKey(d)
+    val zones = graft.io.Zones.forPurpose(s"folderetl_$key")
+    val folder = java.nio.file.Paths.get(s"${graft.io.Zones.defaultRoot}/folder_etl_stage_$key")
+    def write(p: java.nio.file.Path, content: String): Unit = {
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, content)
+      ()
+    }
+    write(folder.resolve("region/load.sql.jinja"),
+      "SELECT r_regionkey, r_name FROM {{project_raw}}_region")
+    write(folder.resolve("nation/load.sql.jinja"),
+      "SELECT n_nationkey, n_name, n_regionkey FROM {{project_raw}}_nation")
+    write(folder.resolve("customer/load.sql.jinja"),
+      "SELECT c_custkey, c_name, c_nationkey FROM {{project_raw}}_customer")
+    write(folder.resolve("orders/load.sql.jinja"),
+      """SELECT o_orderkey, o_custkey, o_orderpriority,
+        |  o_orderpriority AS priority_concept_id
+        |FROM {{project_raw}}_orders""".stripMargin)
+    write(folder.resolve("orders/priority_concept_id/map.csv"),
+      """sourceCode,sourceName,mappingStatus,conceptId,conceptName,domainId
+        |1-URGENT,urgent,APPROVED,101,Urgent,Observation
+        |2-HIGH,high,SEMI-APPROVED,102,High,Observation
+        |3-MEDIUM,medium,APPROVED,103,Medium,Observation""".stripMargin)
+    Seq("region", "nation", "customer", "orders").foreach(tb =>
+      zones.write(t(s, d, tb), "raw", tb))
+
+    val specModel = {
+      import graft.model.{CdmField, CdmModel}
+      CdmModel(fields = TpchModel.model.fields :+
+        CdmField("orders", "priority_concept_id", "int64",
+          required = false, isPk = false, Some("concept"), "CDM"))
+    }
+    graft.etl.FolderEtl.run(s, specModel, zones, folder)
+
+    // read-back summary: same one-aggregate union-of-contributions shape
+    // (and the same checksum meaning) as etl_two_stage
+    val rows = Seq(
+      zones.read(s, "omop", "region").select(lit("region").as("omop_table"),
+        col("r_regionkey").as("__contrib")),
+      zones.read(s, "omop", "nation").select(lit("nation").as("omop_table"),
+        (col("n_nationkey") + col("n_regionkey")).as("__contrib")),
+      zones.read(s, "omop", "customer").select(lit("customer").as("omop_table"),
+        (col("c_custkey") + col("c_nationkey")).as("__contrib")),
+      zones.read(s, "omop", "orders").select(lit("orders").as("omop_table"),
+        (col("o_orderkey") + col("o_custkey") + col("priority_concept_id")).as("__contrib")))
+    rows.reduce(_ unionByName _)
+      .groupBy("omop_table")
+      .agg(count(lit(1)).as("n_rows"), sum(col("__contrib")).as("checksum"))
+      .orderBy("omop_table")
+  }
+
+  val defs: Seq[(String, Q)] = Seq(
+    "etl_two_stage" -> etlTwoStage,
+    "etl_folder_run" -> etlFolderRun)
 
   val oracles: Seq[(String, String)] = Seq(
+    "etl_folder_run" ->
+      """WITH region_swap AS (
+        |  SELECT r_regionkey AS x, CAST(row_number() OVER (ORDER BY r_regionkey) AS BIGINT) AS y
+        |  FROM (SELECT DISTINCT r_regionkey FROM region)
+        |), nation_swap AS (
+        |  SELECT n_nationkey AS x, CAST(row_number() OVER (ORDER BY n_nationkey) AS BIGINT) AS y
+        |  FROM (SELECT DISTINCT n_nationkey FROM nation)
+        |), customer_swap AS (
+        |  SELECT c_custkey AS x, CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT) AS y
+        |  FROM (SELECT DISTINCT c_custkey FROM customer)
+        |), orders_swap AS (
+        |  SELECT o_orderkey AS x, CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS y
+        |  FROM (SELECT DISTINCT o_orderkey FROM orders)
+        |), usagi AS (
+        |  -- APPROVED rows only: the SEMI-APPROVED 2-HIGH mapping is
+        |  -- excluded under default flags (P2)
+        |  SELECT * FROM (VALUES ('1-URGENT', 101), ('3-MEDIUM', 103)) AS u(code, cid)
+        |), summary AS (
+        |  SELECT 'region' AS omop_table, count(*) AS n_rows, sum(rs.y) AS checksum
+        |  FROM region r JOIN region_swap rs ON r.r_regionkey = rs.x
+        |  UNION ALL
+        |  SELECT 'nation', count(*), sum(ns.y + COALESCE(rs.y, 0))
+        |  FROM nation n JOIN nation_swap ns ON n.n_nationkey = ns.x
+        |  LEFT JOIN region_swap rs ON n.n_regionkey = rs.x
+        |  UNION ALL
+        |  SELECT 'customer', count(*), sum(cs.y + COALESCE(ns.y, 0))
+        |  FROM customer c JOIN customer_swap cs ON c.c_custkey = cs.x
+        |  LEFT JOIN nation_swap ns ON c.c_nationkey = ns.x
+        |  UNION ALL
+        |  SELECT 'orders', count(*), sum(os.y + COALESCE(cs.y, 0) + COALESCE(u.cid, 0))
+        |  FROM orders o JOIN orders_swap os ON o.o_orderkey = os.x
+        |  LEFT JOIN customer_swap cs ON o.o_custkey = cs.x
+        |  LEFT JOIN usagi u ON o.o_orderpriority = u.code
+        |)
+        |SELECT omop_table, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(checksum AS BIGINT) AS checksum
+        |FROM summary ORDER BY omop_table""".stripMargin,
     "etl_two_stage" ->
       """WITH region_swap AS (
         |  SELECT r_regionkey AS x, CAST(row_number() OVER (ORDER BY r_regionkey) AS BIGINT) AS y
