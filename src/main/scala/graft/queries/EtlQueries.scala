@@ -193,8 +193,12 @@ object EtlQueries {
         |1-URGENT,urgent,APPROVED,101,Urgent,Observation
         |2-HIGH,high,SEMI-APPROVED,102,High,Observation
         |3-MEDIUM,medium,APPROVED,103,Medium,Observation""".stripMargin)
-    Seq("region", "nation", "customer", "orders").foreach(tb =>
-      zones.write(t(s, d, tb), "raw", tb))
+    // raw staging is per-dataset-keyed and the driver's test dirs are
+    // immutable — skip the copy when the zone already holds the table
+    val staged = zones.listTables(s, "raw").toSet
+    Seq("region", "nation", "customer", "orders")
+      .filterNot(staged)
+      .foreach(tb => zones.write(t(s, d, tb), "raw", tb))
 
     val specModel = {
       import graft.model.{CdmField, CdmModel}
