@@ -317,6 +317,30 @@ object LlmQueries {
       .orderBy("query_id")
   }
 
+  /** Recall@5 of the IVF tier against exact brute force — the same
+    * honest-ANN measurement [[simLshRecall]] gives the LSH tier, so both
+    * approximate paths carry a recall number, not an assertion.
+    */
+  val simIvfRecall: Q = (s, d) => {
+    val emb = t(s, d, "embeddings")
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val exact = SimOps.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("item_id"))
+    val approx = SimOps.ivfTopK(
+      corpus = emb, queries = queries,
+      centroids = emb.filter(col("vec_id") % 50 === 25),
+      "vec_id", "embedding", k = 5, nprobe = 2)
+      .select(col("query_id"), col("item_id"))
+    val hits = exact.join(approx, Seq("query_id", "item_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    queries.select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / 5.0, 2).as("recall"))
+      .orderBy("query_id")
+  }
+
   /** IVF ANN top-k: probe the 2 nearest centroids' inverted lists only. */
   val simIvfTopk: Q = (s, d) => {
     val emb = t(s, d, "embeddings")
@@ -493,6 +517,7 @@ object LlmQueries {
     "sim_lsh_topk" -> simLshTopk,
     "sim_lsh_recall" -> simLshRecall,
     "sim_ivf_topk" -> simIvfTopk,
+    "sim_ivf_recall" -> simIvfRecall,
     "dedup_embed_cosine" -> dedupEmbedCosine,
     "text_bpe_tokens" -> textBpeTokens,
     "corpus_pack_sequences" -> corpusPackSequences,
@@ -984,6 +1009,52 @@ object LlmQueries {
         |  SELECT b.query_id, count(*) AS n_hits
         |  FROM (SELECT query_id, item_id FROM brute WHERE rk <= 5) b
         |  JOIN (SELECT query_id, item_id FROM lshr WHERE rk <= 5) l
+        |    USING (query_id, item_id)
+        |  GROUP BY 1
+        |)
+        |SELECT qq.query_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 5.0, 2) AS recall
+        |FROM (SELECT DISTINCT vec_id AS query_id FROM embeddings WHERE vec_id % 100 = 0) qq
+        |LEFT JOIN hits h USING (query_id)
+        |ORDER BY query_id""".stripMargin,
+    "sim_ivf_recall" ->
+      """WITH cent AS (
+        |  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id % 50 = 25
+        |), corpus AS (SELECT vec_id AS item_id, embedding::DOUBLE[] AS iv FROM embeddings),
+        |qs AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 100 = 0),
+        |ca AS (
+        |  SELECT item_id, iv, centroid_id,
+        |    row_number() OVER (PARTITION BY item_id ORDER BY csim DESC, centroid_id) AS crk
+        |  FROM (SELECT item_id, iv, centroid_id,
+        |      list_dot_product(iv, cv) / (sqrt(list_dot_product(iv, iv)) * sqrt(list_dot_product(cv, cv))) AS csim
+        |    FROM corpus CROSS JOIN cent)
+        |), inv AS (SELECT item_id, iv, centroid_id FROM ca WHERE crk = 1),
+        |qa AS (
+        |  SELECT query_id, qv, centroid_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY csim DESC, centroid_id) AS crk
+        |  FROM (SELECT query_id, qv, centroid_id,
+        |      list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS csim
+        |    FROM qs CROSS JOIN cent)
+        |), probes AS (SELECT query_id, qv, centroid_id FROM qa WHERE crk <= 2),
+        |ivfr AS (
+        |  SELECT query_id, item_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, item_id) AS rk
+        |  FROM (
+        |    SELECT query_id, item_id,
+        |      list_dot_product(qv, iv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(iv, iv))) AS sim
+        |    FROM probes p JOIN inv USING (centroid_id) WHERE query_id <> item_id)
+        |), bc AS (SELECT vec_id AS item_id, embedding::DOUBLE[] AS iv FROM embeddings),
+        |brute AS (
+        |  SELECT query_id, item_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, item_id) AS rk
+        |  FROM (
+        |    SELECT query_id, item_id,
+        |      list_dot_product(qv, iv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(iv, iv))) AS sim
+        |    FROM qs CROSS JOIN bc WHERE query_id <> item_id)
+        |), hits AS (
+        |  SELECT b.query_id, count(*) AS n_hits
+        |  FROM (SELECT query_id, item_id FROM brute WHERE rk <= 5) b
+        |  JOIN (SELECT query_id, item_id FROM ivfr WHERE rk <= 5) l
         |    USING (query_id, item_id)
         |  GROUP BY 1
         |)
