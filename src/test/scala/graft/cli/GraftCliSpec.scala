@@ -295,6 +295,7 @@ class GraftCliSpec extends SparkSpec {
       }
       val data = get("/data")
       assert(data.startsWith("[") && data.contains("\"checkid\""))
+      assert(get("/overview").contains("\"count_total\""))
       assert(get("/").contains("Data quality results"))
     } finally server.stop(0)
   }
