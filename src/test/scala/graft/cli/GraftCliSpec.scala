@@ -218,6 +218,53 @@ class GraftCliSpec extends SparkSpec {
       .filter(col("omop_table") === "orders").count() === 0L)
   }
 
+  test("--run-etl stage 2 rewrites event columns; --only-query restricts uploads") {
+    import graft.model.{CdmField, CdmModel}
+    def f(t: String, n: String, dt: String, req: Boolean = true,
+        pk: Boolean = false, fk: Option[String] = None) =
+      CdmField(t, n, dt, req, pk, fk, "CDM")
+    // a fact table with a polymorphic event FK discriminated by a sibling
+    // table-name column (the reference's work-table convention)
+    val m = CdmModel(
+      fields = graft.model.TpchModel.model.fields ++ Seq(
+        f("fact", "fact_id", "int64", pk = true),
+        f("fact", "fact_event_id", "int64", req = false),
+        f("fact", "fact_event_table", "string", req = false)),
+      eventFields = Map("fact" -> Map("fact_event_id" -> "fact_event_table")))
+    val zones = newZones("events")
+    val folder = Files.createTempDirectory("graft_cli_events")
+    stageRaw(zones, Seq("region", "nation", "customer", "orders"))
+    write(folder.resolve("customer/load.sql.jinja"),
+      "SELECT c_custkey, c_name, c_nationkey FROM {{project_raw}}_customer")
+    // two activated queries for fact — the --only-query run keeps just one
+    write(folder.resolve("fact/a_events.sql.jinja"),
+      """SELECT o_orderkey AS fact_id, o_custkey AS fact_event_id,
+        |  'customer' AS fact_event_table
+        |FROM {{project_raw}}_orders WHERE o_orderkey % 2 = 0""".stripMargin)
+    write(folder.resolve("fact/b_more.sql.jinja"),
+      """SELECT o_orderkey AS fact_id, o_custkey AS fact_event_id,
+        |  'customer' AS fact_event_table
+        |FROM {{project_raw}}_orders WHERE o_orderkey % 2 = 1""".stripMargin)
+
+    val results = GraftCli.runEtl(spark, zones, folder, EtlFlags(), m)
+    val nOrders = graft.Tables.load(spark, sfDir, "orders").count()
+    assert(results("fact") === nOrders)
+    // stage 2 rewrote fact_event_id through the customer swap: all values
+    // land inside the surrogate range (no raw custkeys survive)
+    val nCust = zones.read(spark, "omop", "customer").count()
+    val fact = zones.read(spark, "omop", "fact")
+    assert(fact.filter(col("fact_event_id") > nCust || col("fact_event_id") < 0L).count() === 0L)
+
+    // --only-query: just the even-keys query feeds the upload
+    val zones2 = newZones("onlyq")
+    stageRaw(zones2, Seq("region", "nation", "customer", "orders"))
+    val only = GraftCli.runEtl(spark, zones2, folder,
+      EtlFlags(onlyQueries = Some(Seq("fact/a_events.sql.jinja"))), m)
+    assert(only("fact") > 0L && only("fact") < nOrders)
+    assert(zones2.read(spark, "work", "fact__upload")
+      .filter(col("fact_id") % 2 === 1).count() === 0L)
+  }
+
   test("--run-etl over the CDM 5.4 model: person + observation_period from raw EHR") {
     val zones = newZones("cdm54etl")
     val folder = Files.createTempDirectory("graft_cli_cdm54")
