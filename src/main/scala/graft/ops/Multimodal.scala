@@ -26,9 +26,29 @@ object Multimodal {
     StructField("byte_len", LongType, nullable = true),
     StructField("content_hash", StringType, nullable = true)))
 
+  /** REAL binary-file ingest: read a directory of media files through
+    * Spark's `binaryFile` source into the canonical media-row shape —
+    * media_id parsed from the file name, payload = file content. The
+    * distributed path an image corpus actually arrives on: the source
+    * splits by file, pushes `pathGlobFilter`, and prunes `content` when a
+    * downstream query touches only metadata.
+    */
+  def fromBinaryFiles(
+      spark: SparkSession, dir: String, glob: String, modality: String, mime: String): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        regexp_extract(col("path"), "(\\d+)\\.[A-Za-z0-9]+$", 1).cast("long").as("media_id"),
+        lit(modality).as("modality"),
+        col("content").as("payload"),
+        lit(mime).as("mime"),
+        col("length").as("byte_len"),
+        md5(col("content")).as("content_hash"))
+
   /** Wrap a text-ish table into media rows (payload = utf8 bytes) — the
-    * plumbing used by tests and the oracle query; a real ingest would read
-    * binaryFile sources (`spark.read.format("binaryFile")`) instead.
+    * plumbing used by tests and the oracle query; real file corpora come
+    * in through [[fromBinaryFiles]] instead.
     */
   def asMedia(df: DataFrame, idCol: String, textCol: String, modality: String): DataFrame =
     df.select(
