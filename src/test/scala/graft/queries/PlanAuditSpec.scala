@@ -150,4 +150,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(readSchema.contains("doc_id") && !readSchema.contains("text"),
       s"decode fixture scan should prune to doc_id only: $readSchema")
   }
+
+  test("q1 exact-sum rewrite keeps the scan narrow and the shuffles tiny") {
+    val p = plan("q1_pricing_summary")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    // only the 5 referenced lineitem columns reach the scan
+    for (c <- Seq("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"))
+      assert(readSchema.contains(c), s"$c missing from ReadSchema: $readSchema")
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_shipdate"),
+      s"q1 scan reads unreferenced columns: $readSchema")
+    // no per-row decimal work: the hot loop sums LONGs (ExactAgg contract)
+    assert(!p.contains("cast(l_quantity") || !p.contains("as decimal"),
+      "q1 plan casts rows to decimal again")
+    // partial agg + two tiny exchanges (pid-group, final group) + sort
+    val exchanges = p.linesIterator.count(_.contains("- Exchange"))
+    assert(exchanges <= 3, s"q1 plans $exchanges exchanges:\n$p")
+  }
 }
