@@ -57,6 +57,35 @@ object PackOps {
     * DISTINCT bucket set first (eval sets are small, so AQE broadcasts
     * it), and the final exclusions apply as one `left_anti` join on the id.
     */
+  /** Exact n-gram contamination report (the GPT-3-style decontamination
+    * complement to the MinHash-band [[decontaminate]]): for every training
+    * document, count the DISTINCT word n-grams it shares with the
+    * benchmark set, and flag any overlap as contamination. Published
+    * pipelines run exactly this as the conservative pass — a single shared
+    * n-gram is grounds for dropping or splitting a document.
+    *
+    * Scale shape: one explode to `(doc, gram)` with an early distinct
+    * (map-side combinable), the benchmark gram set reduces to DISTINCT
+    * grams (eval sets are small, so AQE broadcasts the semi-join), and the
+    * per-doc count is one combinable aggregate. No all-pairs comparison —
+    * cost is linear in total gram count.
+    */
+  def contaminationReport(docs: DataFrame, idCol: String, textCol: String,
+      isBenchmark: Column, w: Int = 3): DataFrame = {
+    val grams = docs.select(col(idCol), isBenchmark.as("__bench"),
+      explode(TextOps.shingles(col(textCol), w)).as("__g"))
+    val benchGrams = grams.filter(col("__bench")).select(col("__g")).distinct()
+    val shared = grams.filter(!col("__bench"))
+      .select(col(idCol), col("__g")).distinct()
+      .join(benchGrams, Seq("__g"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    docs.filter(!isBenchmark).select(col(idCol))
+      .join(shared, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__n"), lit(0L)).as("n_shared_ngrams"),
+        (coalesce(col("__n"), lit(0L)) > 0).as("contaminated"))
+  }
+
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
       isBenchmark: Column, k: Int = 16, rows: Int = 4): DataFrame = {
     val bands = DedupOps.lshBandsFromSigArray(

@@ -86,6 +86,26 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(text))), " "))
 
+  /** PII patterns, written to behave identically under Java regex (Spark)
+    * and RE2 (DuckDB): no backreferences, no lookaround, unambiguous
+    * greedy quantifiers — leftmost non-overlapping matching then agrees
+    * between the engines, which is what keeps the scrub oracle-replayable.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\+\\d{1,2} \\d{3} \\d{4}"
+
+  /** Redact emails, IPv4 addresses, and phone numbers (in that fixed
+    * order — replacement tokens must not re-match a later pattern). Three
+    * chained codegen'd `regexp_replace`s, no UDF.
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, lit(EmailRe), lit("<EMAIL>")),
+        lit(Ipv4Re), lit("<IP>")),
+      lit(PhoneRe), lit("<PHONE>"))
+
   /** Word w-shingles: overlapping w-token windows joined by a space — the
     * MinHash input unit. Backed by the native codegen'd
     * [[graft.functions.WordShingles]] expression (registered by

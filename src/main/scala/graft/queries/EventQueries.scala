@@ -402,6 +402,46 @@ object EventQueries {
       .orderBy("user_id", "session_start")
   }
 
+  /** As-of join: each event picks the user's most recent order at-or-before
+    * the event time (payload: order key + price) — the
+    * latest-observation-per-event lookup. The right side pre-dedups to one
+    * row per (customer, order date) so the match is deterministic; the
+    * oracle replays it with DuckDB's native `ASOF LEFT JOIN`.
+    */
+  val joinAsof: Q = (s, d) => {
+    val ev = t(s, d, "events").select(col("event_id"), col("user_id"), col("ts"))
+    val w = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+      .orderBy(col("o_orderkey").desc)
+    val orders = t(s, d, "orders")
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("o_custkey"), col("o_orderdate"),
+        col("o_orderkey").as("asof_orderkey"), col("o_totalprice").as("asof_price"))
+    graft.ops.JoinOps.asofJoin(ev, "user_id", "ts", orders, "o_custkey", "o_orderdate")
+      .orderBy("event_id")
+  }
+
+  /** Interval (range) join with NO equi-key: events against overlapping
+    * 3-day activity windows anchored at each distinct event day, bucketed
+    * so the plan is an equi-join on bucket ids (never a
+    * BroadcastNestedLoopJoin). Aggregated per window — the windowed
+    * activity rollup a monitoring pipeline computes.
+    */
+  val joinRange: Q = (s, d) => {
+    val epochDay = (c: org.apache.spark.sql.Column) =>
+      datediff(to_date(c), to_date(lit("1970-01-01"))).cast("long")
+    val windows = t(s, d, "events")
+      .select(to_date(col("ts")).as("window_start")).distinct()
+      .withColumn("__s", epochDay(col("window_start")))
+      .withColumn("__e", col("__s") + lit(3L))
+    val points = t(s, d, "events")
+      .select(col("event_id"), col("user_id"), epochDay(col("ts")).as("__p"))
+    graft.ops.JoinOps.intervalJoin(points, "__p", windows, "__s", "__e", bucketWidth = 2L)
+      .groupBy(col("window_start"))
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"))
+      .orderBy("window_start")
+  }
+
   // The merged Achilles battery materializes ONCE per (session, dataset)
   // into the achilles zone (the reference's own scratch->final flow) and
   // every consumer — the canonical merge report, the counts view, the
@@ -463,6 +503,8 @@ object EventQueries {
     "dqd_summary" -> dqdSummary,
     "event_props_extract" -> eventPropsExtract,
     "event_sessionize" -> eventSessionize,
+    "join_asof" -> joinAsof,
+    "join_range" -> joinRange,
     "agg_count_distinct" -> aggCountDistinct,
     "agg_rollup" -> aggRollup,
     "agg_cube" -> aggCube)
@@ -529,6 +571,29 @@ object EventQueries {
         |SELECT min(ts) AS session_start, user_id, CAST(count(*) AS BIGINT) AS n_events
         |FROM sess GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    "join_asof" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey, o_orderdate
+        |      ORDER BY o_orderkey DESC) AS rn
+        |  FROM orders
+        |), od AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM o WHERE rn = 1
+        |)
+        |SELECT e.event_id, e.user_id, e.ts,
+        |  od.o_orderkey AS asof_orderkey, od.o_totalprice AS asof_price
+        |FROM events e ASOF LEFT JOIN od
+        |  ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+    "join_range" ->
+      """WITH w AS (SELECT DISTINCT CAST(ts AS DATE) AS window_start FROM events)
+        |SELECT w.window_start, count(*) AS n_events,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM events e JOIN w
+        |  ON CAST(e.ts AS DATE) >= w.window_start
+        |  AND CAST(e.ts AS DATE) < w.window_start + INTERVAL 3 DAY
+        |GROUP BY w.window_start
+        |ORDER BY w.window_start""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 2) AS sum_qty,

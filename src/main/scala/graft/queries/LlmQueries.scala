@@ -455,6 +455,39 @@ object LlmQueries {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .orderBy("doc_id")
 
+  /** Exact n-gram contamination report (the conservative GPT-3-style pass
+    * complementing the MinHash-band drop above): per training doc, the
+    * count of DISTINCT 3-grams shared with the eval set and a contamination
+    * flag (PackOps.contaminationReport).
+    */
+  val corpusDecontaminateExact: Q = (s, d) =>
+    PackOps.contaminationReport(t(s, d, "documents"), "doc_id", "text",
+      isBenchmark = col("doc_id") % 97 === 0, w = 3)
+      .orderBy("doc_id")
+
+  /** PII detection + redaction: deterministic synthetic PII (an email, an
+    * IPv4, a phone per doc — the container has no real PII) is appended to
+    * each document, then counted and scrubbed with the RE2-compatible
+    * patterns in [[TextOps]]. Pure codegen'd regexp functions; the oracle
+    * replays both the synthesis and the scrub, pinning Java-vs-RE2 regex
+    * agreement.
+    */
+  val textPiiScrub: Q = (s, d) => {
+    val full = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com at 10."), (col("doc_id") % 256).cast("string"),
+      lit(".0."), (col("doc_id") % 200).cast("string"),
+      lit(" tel +1 555 "), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    t(s, d, "documents")
+      .select(col("doc_id"), full.as("__ft"))
+      .select(col("doc_id"),
+        regexp_count(col("__ft"), lit(TextOps.EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("__ft"), lit(TextOps.Ipv4Re)).cast("long").as("n_ips"),
+        regexp_count(col("__ft"), lit(TextOps.PhoneRe)).cast("long").as("n_phones"),
+        TextOps.scrubPii(col("__ft")).as("scrubbed"))
+      .orderBy("doc_id")
+  }
+
   /** Uint8 (0..255) embedding quantization with per-dimension corpus calibration
     * (SimOps.quantizeUint8), reported as exploded (vec_id, pos, q) rows.
     */
@@ -523,6 +556,8 @@ object LlmQueries {
     "corpus_pack_sequences" -> corpusPackSequences,
     "corpus_pack_stats" -> corpusPackStats,
     "corpus_decontaminate" -> corpusDecontaminate,
+    "corpus_decontaminate_exact" -> corpusDecontaminateExact,
+    "text_pii_scrub" -> textPiiScrub,
     "corpus_domain_cap" -> corpusDomainCap,
     "corpus_token_dist" -> corpusTokenDist,
     "multimodal_meta" -> multimodalMeta,
@@ -657,6 +692,37 @@ object LlmQueries {
          |SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM cont)
          |ORDER BY doc_id""".stripMargin,
+    "corpus_decontaminate_exact" ->
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |sh AS (
+         |  SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS g
+         |  FROM toks, UNNEST(range(1, len(tk) - 1)) AS u(i)
+         |  WHERE len(tk) >= 3
+         |),
+         |bg AS (SELECT DISTINCT g FROM sh WHERE doc_id % 97 = 0),
+         |dg AS (SELECT DISTINCT doc_id, g FROM sh WHERE doc_id % 97 <> 0),
+         |cnt AS (SELECT doc_id, count(*) AS n_shared FROM dg JOIN bg USING (g) GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(c.n_shared, 0) AS n_shared_ngrams,
+         |  (COALESCE(c.n_shared, 0) > 0) AS contaminated
+         |FROM documents d LEFT JOIN cnt c ON d.doc_id = c.doc_id
+         |WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id""".stripMargin,
+    "text_pii_scrub" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com at 10.'
+        |      || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 200 AS VARCHAR)
+        |      || ' tel +1 555 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS ft
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(ft, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(ft, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(ft, '\+\d{1,2} \d{3} \d{4}')) AS BIGINT) AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(ft,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+\d{1,2} \d{3} \d{4}', '<PHONE>', 'g') AS scrubbed
+        |FROM s ORDER BY doc_id""".stripMargin,
     "corpus_pack_sequences" ->
       s"""WITH t AS (
          |  SELECT doc_id, ${h32("CAST(doc_id AS VARCHAR)")} % 64 AS shard,

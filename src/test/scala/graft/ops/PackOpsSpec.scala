@@ -82,4 +82,21 @@ class PackOpsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted
     assert(out.toSeq === Seq(3L, 4L))
   }
+
+  test("contaminationReport counts distinct shared n-grams and flags overlap") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),          // benchmark
+      (2L, "zzz alpha beta gamma delta qqq alpha beta gamma"), // shares "alpha beta gamma" (twice) + "beta gamma delta"
+      (3L, "beta gamma delta unrelated tail words"),   // shares 1
+      (4L, "totally disjoint vocabulary only here")    // shares 0
+    ).toDF("doc_id", "text")
+    val out = PackOps.contaminationReport(docs, "doc_id", "text", col("doc_id") === 1)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(2L) == ((2L, true)))  // repeated gram counts once: DISTINCT shared grams only
+    assert(out(3L) == ((1L, true)))
+    assert(out(4L) == ((0L, false)))
+    assert(!out.contains(1L)) // benchmark rows never appear in the report
+  }
 }

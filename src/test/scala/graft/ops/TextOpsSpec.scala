@@ -62,4 +62,28 @@ class TextOpsSpec extends SparkSpec {
     val out = Seq("abc123def x1").toDF("s").select(TextOps.subwordCount($"s")).as[Int].head()
     assert(out == 5) // abc|123|def + x|1
   }
+
+  test("scrubPii redacts emails, IPv4s, and phones; leaves clean text alone") {
+    val out = Seq(
+      "mail a.b-c+tag@sub.example.org now",
+      "from 192.168.0.1 and 10.2.3.44 twice",
+      "call +32 472 1234 today",
+      "no pii in this sentence at all",
+      "version 1.2 is not an ip, nor is 1.2.3 alone").toDF("s")
+      .select(TextOps.scrubPii($"s")).as[String].collect()
+    assert(out(0) == "mail <EMAIL> now")
+    assert(out(1) == "from <IP> and <IP> twice")
+    assert(out(2) == "call <PHONE> today")
+    assert(out(3) == "no pii in this sentence at all")
+    assert(out(4) == "version 1.2 is not an ip, nor is 1.2.3 alone")
+  }
+
+  test("pii counts via regexp_count match the number of redactions") {
+    val s = "a@b.co c@d.org 1.2.3.4 +1 555 0000"
+    val row = Seq(s).toDF("s").select(
+      regexp_count($"s", lit(TextOps.EmailRe)),
+      regexp_count($"s", lit(TextOps.Ipv4Re)),
+      regexp_count($"s", lit(TextOps.PhoneRe))).as[(Int, Int, Int)].head()
+    assert(row == ((2, 1, 1)))
+  }
 }

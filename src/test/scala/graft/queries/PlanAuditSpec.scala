@@ -151,6 +151,21 @@ class PlanAuditSpec extends SparkSpec {
       s"decode fixture scan should prune to doc_id only: $readSchema")
   }
 
+  test("as-of join is join-free: one union-window pass, no nested loop") {
+    val p = plan("join_asof")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // the match itself must be the union-window formulation, not a range join
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"as-of match should not plan a join operator:\n$p")
+    assert(p.contains("Window"), s"expected the as-of window:\n$p")
+  }
+
+  test("interval join stays an equi-join on the bucket key") {
+    val p = plan("join_range")
+    assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join:\n$p")
+  }
+
   test("q1 exact-sum rewrite keeps the scan narrow and the shuffles tiny") {
     val p = plan("q1_pricing_summary")
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
