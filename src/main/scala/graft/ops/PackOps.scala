@@ -57,6 +57,35 @@ object PackOps {
     * DISTINCT bucket set first (eval sets are small, so AQE broadcasts
     * it), and the final exclusions apply as one `left_anti` join on the id.
     */
+  /** Fixed-size token chunking with overlap — the context-window
+    * preprocessing step between cleaning and packing: each document's token
+    * stream cuts into `chunkSize`-token windows advancing by
+    * `chunkSize - overlap`, the last window clamped at the document end.
+    * A document shorter than one chunk yields exactly one chunk.
+    *
+    * Scale shape: a pure projection + explode — zero shuffles, stays
+    * inside WholeStageCodegen (`slice`/`array_join` are ordinary codegen'd
+    * expressions, not lambda-bearing higher-order functions).
+    */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int = 64, overlap: Int = 8): DataFrame = {
+    require(chunkSize > overlap && overlap >= 0,
+      s"need chunkSize > overlap >= 0, got ($chunkSize, $overlap)")
+    val step = chunkSize - overlap
+    val nChunks = when(col("__n") <= chunkSize, lit(1L))
+      .otherwise(lit(1L) +
+        floor((col("__n") - chunkSize + (step - 1)) / lit(step.toDouble)).cast("long"))
+    docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__tk"))
+      .withColumn("__n", size(col("__tk")).cast("long"))
+      .withColumn("__i", explode(sequence(lit(0L), nChunks - 1)))
+      .select(col(idCol), col("__i").as("chunk_id"),
+        slice(col("__tk"), (col("__i") * step + 1).cast("int"), lit(chunkSize)).as("__ck"))
+      .select(col(idCol), col("chunk_id"),
+        size(col("__ck")).cast("long").as("chunk_tokens"),
+        array_join(col("__ck"), " ").as("chunk_text"))
+  }
+
   /** Exact n-gram contamination report (the GPT-3-style decontamination
     * complement to the MinHash-band [[decontaminate]]): for every training
     * document, count the DISTINCT word n-grams it shares with the

@@ -402,6 +402,21 @@ object EventQueries {
       .orderBy("user_id", "session_start")
   }
 
+  /** Arbitrary stateful streaming (`flatMapGroupsWithState`): per-user
+    * running totals folded across micro-batches (StreamingOps
+    * .runningUserStats) — the custom-state API the declarative operators
+    * can't express. Oracle: stream/batch equivalence — after the
+    * AvailableNow drain the Update-mode sink holds each user's final
+    * totals, which the batch GROUP BY replays (all accumulators exact:
+    * counts, epoch-micros min/max, a bounded distinct-type set).
+    */
+  val streamRunningStats: Q = (s, d) => {
+    val stats = graft.streaming.StreamingOps.runningUserStats(
+      eventsStream(s, d, "stream_src_events_rs"), "ts", "user_id", "event_type")
+    drainToTable(stats, "stream_running_stats_sink", "update")
+      .orderBy("user_id")
+  }
+
   /** As-of join: each event picks the user's most recent order at-or-before
     * the event time (payload: order key + price) — the
     * latest-observation-per-event lookup. The right side pre-dedups to one
@@ -465,6 +480,7 @@ object EventQueries {
     "stream_windowed_counts" -> streamWindowedCounts,
     "stream_dedup" -> streamDedup,
     "stream_sessionize" -> streamSessionize,
+    "stream_running_stats" -> streamRunningStats,
     "event_discover_tables" -> eventDiscoverTables,
     "event_case_map" -> eventCaseMap,
     "event_rekey" -> eventRekey,
@@ -571,6 +587,10 @@ object EventQueries {
         |SELECT min(ts) AS session_start, user_id, CAST(count(*) AS BIGINT) AS n_events
         |FROM sess GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    "stream_running_stats" ->
+      """SELECT user_id, count(*) AS n_events, min(ts) AS first_ts,
+        |  max(ts) AS last_ts, count(DISTINCT event_type) AS n_event_types
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "join_asof" ->
       """WITH o AS (
         |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,

@@ -465,6 +465,15 @@ object LlmQueries {
       isBenchmark = col("doc_id") % 97 === 0, w = 3)
       .orderBy("doc_id")
 
+  /** Fixed-size token chunking with overlap (PackOps.chunkDocuments):
+    * 64-token context windows advancing 56 tokens — the pre-packing
+    * chunker. Pure projection + explode, zero shuffles.
+    */
+  val corpusChunk: Q = (s, d) =>
+    PackOps.chunkDocuments(t(s, d, "documents"), "doc_id", "text",
+      chunkSize = 64, overlap = 8)
+      .orderBy("doc_id", "chunk_id")
+
   /** PII detection + redaction: deterministic synthetic PII (an email, an
     * IPv4, a phone per doc — the container has no real PII) is appended to
     * each document, then counted and scrubbed with the RE2-compatible
@@ -557,6 +566,7 @@ object LlmQueries {
     "corpus_pack_stats" -> corpusPackStats,
     "corpus_decontaminate" -> corpusDecontaminate,
     "corpus_decontaminate_exact" -> corpusDecontaminateExact,
+    "corpus_chunk" -> corpusChunk,
     "text_pii_scrub" -> textPiiScrub,
     "corpus_domain_cap" -> corpusDomainCap,
     "corpus_token_dist" -> corpusTokenDist,
@@ -706,6 +716,22 @@ object LlmQueries {
          |  (COALESCE(c.n_shared, 0) > 0) AS contaminated
          |FROM documents d LEFT JOIN cnt c ON d.doc_id = c.doc_id
          |WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id""".stripMargin,
+    "corpus_chunk" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |n AS (SELECT doc_id, tk, len(tk) AS n FROM t),
+         |c AS (
+         |  SELECT doc_id, tk,
+         |    CASE WHEN n <= 64 THEN 1 ELSE 1 + (n - 64 + 55) // 56 END AS nc
+         |  FROM n
+         |),
+         |ch AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+         |    tk[i * 56 + 1 : i * 56 + 64] AS ck
+         |  FROM c, UNNEST(range(0, nc)) AS u(i)
+         |)
+         |SELECT doc_id, chunk_id, CAST(len(ck) AS BIGINT) AS chunk_tokens,
+         |  array_to_string(ck, ' ') AS chunk_text
+         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
     "text_pii_scrub" ->
       """WITH s AS (
         |  SELECT doc_id,

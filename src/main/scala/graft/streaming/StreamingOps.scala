@@ -59,4 +59,54 @@ object StreamingOps {
     events
       .withWatermark(tsCol, watermark)
       .dropDuplicates(keyCols :+ tsCol)
+
+  /** Accumulated per-user state carried across micro-batches by
+    * [[runningUserStats]]: exact counters only (timestamps as epoch
+    * micros, the distinct type set bounded by |event types|) — no
+    * floating-point accumulation, so the emitted stats are
+    * batch-replayable bit-for-bit.
+    */
+  final case class UserRunningState(
+      n: Long, firstUs: Long, lastUs: Long, types: Set[String])
+
+  /** Arbitrary stateful streaming via `flatMapGroupsWithState` — the
+    * custom-state API the built-in windowed/session operators can't
+    * express (e.g. monotone per-user counters that survive across
+    * windows). Each micro-batch folds its rows into the per-user state
+    * and emits the updated running stats (Update mode), so after an
+    * AvailableNow drain the sink holds each user's totals.
+    *
+    * State is exact by construction: counts, min/max epoch-micros, and a
+    * distinct-type set bounded by the (small) event-type vocabulary. A
+    * production deployment with unbounded keys would add a
+    * `GroupStateTimeout` eviction policy; the semantics here are the
+    * demo-scale NoTimeout variant.
+    */
+  def runningUserStats(events: DataFrame, tsCol: String, userCol: String,
+      typeCol: String): DataFrame = {
+    val s = events.sparkSession
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import s.implicits._
+    val typed = events
+      .select(col(userCol).cast("long").as("_1"),
+        unix_micros(col(tsCol)).as("_2"), col(typeCol).as("_3"))
+      .as[(Long, Long, String)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[UserRunningState, (Long, Long, Long, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) { (uid, rows, state) =>
+          var st = state.getOption.getOrElse(
+            UserRunningState(0L, Long.MaxValue, Long.MinValue, Set.empty))
+          rows.foreach { case (_, us, tpe) =>
+            st = UserRunningState(st.n + 1,
+              math.min(st.firstUs, us), math.max(st.lastUs, us), st.types + tpe)
+          }
+          state.update(st)
+          Iterator((uid, st.n, st.firstUs, st.lastUs, st.types.size.toLong))
+      }
+      .toDF("user_id", "n_events", "__f", "__l", "n_event_types")
+      .select(col("user_id"), col("n_events"),
+        timestamp_micros(col("__f")).as("first_ts"),
+        timestamp_micros(col("__l")).as("last_ts"),
+        col("n_event_types"))
+  }
 }

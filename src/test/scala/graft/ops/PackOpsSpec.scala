@@ -83,6 +83,43 @@ class PackOpsSpec extends SparkSpec {
     assert(out.toSeq === Seq(3L, 4L))
   }
 
+  test("chunkDocuments: short doc -> one clamped chunk; long doc -> overlapping windows") {
+    val s = spark
+    import s.implicits._
+    val words = (1 to 130).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, "tiny doc"), (2L, words)).toDF("doc_id", "text")
+    val out = PackOps.chunkDocuments(docs, "doc_id", "text", chunkSize = 64, overlap = 8)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Long, Long, String)].collect()
+    val short = out.filter(_._1 == 1L)
+    assert(short.length == 1 && short.head._3 == 2L && short.head._4 == "tiny doc")
+    val long = out.filter(_._1 == 2L)
+    // 130 tokens, starts 0/56/112 -> 3 chunks of 64/64/18
+    assert(long.map(_._3).toSeq == Seq(64L, 64L, 18L))
+    // consecutive chunks overlap by exactly 8 tokens
+    val c0 = long(0)._4.split(" ")
+    val c1 = long(1)._4.split(" ")
+    assert(c0.takeRight(8).toSeq == c1.take(8).toSeq)
+    // losslessness: stepping each chunk by its start offset rebuilds the doc
+    val rebuilt = long.zipWithIndex.flatMap { case ((_, _, _, txt), i) =>
+      txt.split(" ").drop(if (i == 0) 0 else 8)
+    }
+    assert(rebuilt.toSeq == words.split(" ").toSeq)
+  }
+
+  test("chunkDocuments chunk-count formula matches the closed form at every length") {
+    val s = spark
+    import s.implicits._
+    val docs = (1 to 140).map(n => (n.toLong, (1 to n).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = PackOps.chunkDocuments(docs, "doc_id", "text", chunkSize = 64, overlap = 8)
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    for (n <- 1 to 140) {
+      val expected = if (n <= 64) 1L else 1L + (n - 64 + 55) / 56
+      assert(got(n.toLong) == expected, s"n=$n")
+    }
+  }
+
   test("contaminationReport counts distinct shared n-grams and flags overlap") {
     val s = spark
     import s.implicits._

@@ -41,6 +41,27 @@ class StreamingOpsSpec extends SparkSpec {
     assert(out == Seq((1L, 2L), (2L, 1L), (1L, 1L)))
   }
 
+  test("runningUserStats folds flatMapGroupsWithState across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val stats = StreamingOps.runningUserStats(
+      input.toDF().toDF("ts", "user_id", "event_type"), "ts", "user_id", "event_type")
+    val q = stats.writeStream.format("memory").queryName("rus").outputMode("update").start()
+    input.addData((ts(1), 1L, "click"), (ts(2), 1L, "view"), (ts(1), 2L, "click"))
+    q.processAllAvailable()
+    input.addData((ts(5), 1L, "click")) // state for user 1 must carry over
+    q.processAllAvailable(); q.stop()
+    val rows = spark.sql("SELECT user_id, n_events, n_event_types FROM rus")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.filter(_._1 == 1L).map(_._2).max == 3L) // 2 in batch 1, 3 after batch 2
+    assert(rows.filter(_._1 == 1L).map(_._3).max == 2L) // click + view
+    assert(rows.filter(_._1 == 2L).map(_._2).max == 1L)
+    val fin = spark.sql(
+      "SELECT first_ts, last_ts FROM rus WHERE user_id = 1 AND n_events = 3")
+      .as[(Timestamp, Timestamp)].head()
+    assert(fin._1 == ts(1) && fin._2 == ts(5)) // min survives, max advances
+  }
+
   test("streamingDedup keeps one row per key across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long)]
