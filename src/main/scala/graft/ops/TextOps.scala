@@ -115,4 +115,17 @@ object TextOps {
     */
   def shingles(text: Column, w: Int = 3): Column =
     call_function("word_shingles", tokens(text), lit(w))
+
+  /** Winnowing fingerprint set (MOSS, SIGMOD 2003): the distinct sorted
+    * per-window minima of the shingle rolling hashes — guaranteed-coverage
+    * local fingerprints for plagiarism/overlap detection (any shared run
+    * of `window + shingleW - 1` tokens shares a fingerprint). Backed by
+    * the native codegen'd [[graft.functions.WinnowHashes]] expression.
+    */
+  def winnowFingerprints(text: Column, shingleW: Int = 3, window: Int = 4): Column =
+    // sort_array, NOT array_sort: the lambda comparator of array_sort is a
+    // higher-order function and knocks the whole Project out of
+    // WholeStageCodegen; sort_array is an ordinary codegen'd expression
+    sort_array(array_distinct(
+      call_function("winnow_hashes", shingles(text, shingleW), lit(window))))
 }

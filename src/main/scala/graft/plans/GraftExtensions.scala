@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{RollingHash, WordShingles}
+import graft.functions.{RollingHash, WinnowHashes, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
@@ -29,6 +29,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case Seq(arr, Literal(w: Int, _)) => WordShingles(arr, w)
           case _ => throw new IllegalArgumentException(
             "word_shingles takes (array<string> tokens[, int width-literal])")
+        }))
+    ext.injectFunction((
+      new FunctionIdentifier("winnow_hashes"),
+      new ExpressionInfo(classOf[WinnowHashes].getName, "winnow_hashes"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        children match {
+          case Seq(arr) => WinnowHashes(arr, 4)
+          case Seq(arr, Literal(w: Int, _)) => WinnowHashes(arr, w)
+          case _ => throw new IllegalArgumentException(
+            "winnow_hashes takes (array<string> shingles[, int window-literal])")
         }))
   }
 }

@@ -265,6 +265,16 @@ object LlmQueries {
       .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fingerprint"))
       .orderBy("doc_id")
 
+  /** Winnowing fingerprints (MOSS): one row per distinct selected hash —
+    * the guaranteed-coverage overlap-detection index. Pure projection +
+    * explode; the hash+window-minima pass is one native codegen'd
+    * expression (winnow_hashes), zero shuffles before the output order.
+    */
+  val docWinnow: Q = (s, d) =>
+    t(s, d, "documents")
+      .select(col("doc_id"), explode(TextOps.winnowFingerprints(col("text"))).as("fp"))
+      .orderBy("doc_id", "fp")
+
   val simTopkBrute: Q = (s, d) => {
     val emb = t(s, d, "embeddings")
     SimOps.bruteForceTopK(emb, emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", k = 5)
@@ -554,6 +564,7 @@ object LlmQueries {
     "text_commonness" -> textCommonness,
     "doc_fingerprint" -> docFingerprint,
     "doc_rolling_hash" -> docRollingHash,
+    "doc_winnow" -> docWinnow,
     "sim_topk_brute" -> simTopkBrute,
     "sim_lsh_buckets" -> simLshBuckets,
     "sim_lsh_topk" -> simLshTopk,
@@ -997,6 +1008,28 @@ object LlmQueries {
         |    list_prepend(CAST(0 AS BIGINT), [CAST(ord(c) AS BIGINT) FOR c IN string_split_regex(text, '')]),
         |    (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS rhash
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_winnow" ->
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |sh AS (
+         |  SELECT doc_id, i, array_to_string(tk[i:i+2], ' ') AS shingle
+         |  FROM toks, UNNEST(range(1, len(tk) - 1)) AS u(i)
+         |  WHERE len(tk) >= 3
+         |),
+         |h AS (
+         |  SELECT doc_id, i,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      [CAST(ord(c) AS BIGINT) FOR c IN string_split_regex(shingle, '')]),
+         |      (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+         |  FROM sh
+         |),
+         |arr AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM h GROUP BY doc_id),
+         |mins AS (
+         |  SELECT doc_id,
+         |    UNNEST([list_min(hs[j+1 : j+4]) FOR j IN range(0, len(hs) - 3)]) AS fp
+         |  FROM arr
+         |)
+         |SELECT DISTINCT doc_id, CAST(fp AS BIGINT) AS fp
+         |FROM mins ORDER BY doc_id, fp""".stripMargin,
     "sim_topk_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0),
         |c AS (SELECT vec_id AS item_id, embedding::DOUBLE[] AS iv FROM embeddings),
