@@ -172,6 +172,97 @@ object SimOps {
           .as("q"))
   }
 
+  /** Squared L2 distance of two array<double> columns (left-to-right fold:
+    * deterministic, oracle-replayable accumulation order).
+    */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+
+  /** Deterministic product-quantization codebook: split the embedding into
+    * `m` subspaces and use the `ksub` LOWEST-id vectors' subvectors as the
+    * per-subspace centroids — the reproducible stand-in for an offline
+    * k-means training pass (the codebook is an input artifact in a real
+    * serving pipeline; what the engine owns is encode + ADC scan). The
+    * row_number window runs over exactly `ksub` rows (bounded by the
+    * literal LIMIT), never the corpus.
+    *
+    * Output: (sub, code, cvec) — `m * ksub` rows, always broadcastable.
+    */
+  def pqCodebook(vectors: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int = 4, ksub: Int = 16): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    val w = Window.orderBy(col(idCol))
+    vectors.orderBy(col(idCol)).limit(ksub)
+      .select(asDouble(col(vecCol)).as("__v"),
+        (row_number().over(w) - 1).cast("long").as("code"))
+      .select(col("code"), explode(array((0 until m).map { s =>
+        struct(lit(s.toLong).as("sub"),
+          slice(col("__v"), s * dsub + 1, dsub).as("cvec"))
+      }: _*)).as("__sc"))
+      .select(col("__sc.sub").as("sub"), col("code"), col("__sc.cvec").as("cvec"))
+  }
+
+  /** PQ encode: each vector's nearest centroid per subspace (exact L2,
+    * code tie-break) — `dim` doubles compress to `m` small codes. One
+    * broadcast join against the codebook and one combinable
+    * `min(struct(dist, code))` aggregate; no window, no shuffle beyond the
+    * (id, sub) aggregation.
+    */
+  def pqCodes(vectors: DataFrame, idCol: String, vecCol: String,
+      codebook: DataFrame, dim: Int, m: Int = 4): DataFrame = {
+    val dsub = dim / m
+    val sv = vectors
+      .select(col(idCol), explode(array((0 until m).map { s =>
+        struct(lit(s.toLong).as("sub"),
+          slice(asDouble(col(vecCol)), s * dsub + 1, dsub).as("sv"))
+      }: _*)).as("__s"))
+      .select(col(idCol), col("__s.sub").as("sub"), col("__s.sv").as("sv"))
+    sv.join(broadcast(codebook), Seq("sub"))
+      .withColumn("__dist", l2sq(col("sv"), col("cvec")))
+      .groupBy(col(idCol), col("sub"))
+      .agg(min(struct(col("__dist"), col("code"))).as("__best"))
+      .select(col(idCol), col("sub"), col("__best.code").as("code"))
+  }
+
+  /** PQ ADC (asymmetric distance computation) top-k — the compressed-domain
+    * scan of an IVF-PQ serving tier: queries precompute a distance table to
+    * every (sub, code) centroid, and a candidate's distance is the sum of
+    * `m` table lookups — the corpus is touched only through its codes
+    * (m bytes/vector instead of dim floats).
+    *
+    * Exactness contract: per-subspace distances quantize to micro-units
+    * (floor(d*1e6 + 0.5), the engine's portable rounding) so the m-way sum
+    * is an order-independent LONG — a double sum would depend on partial-
+    * aggregation order. The distance table (nq * m * ksub rows) broadcasts;
+    * the only shuffle is the (query, item) aggregation.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, codebook: DataFrame,
+      idCol: String, vecCol: String, dim: Int, m: Int = 4, k: Int = 5): DataFrame = {
+    val dsub = dim / m
+    val codes = pqCodes(corpus, idCol, vecCol, codebook, dim, m)
+      .withColumnRenamed(idCol, "item_id")
+    val qsub = queries
+      .select(col(idCol).as("query_id"), explode(array((0 until m).map { s =>
+        struct(lit(s.toLong).as("sub"),
+          slice(asDouble(col(vecCol)), s * dsub + 1, dsub).as("qs"))
+      }: _*)).as("__s"))
+      .select(col("query_id"), col("__s.sub").as("sub"), col("__s.qs").as("qs"))
+    val qd = qsub.join(broadcast(codebook), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        floor(l2sq(col("qs"), col("cvec")) * lit(1000000.0) + lit(0.5))
+          .cast("long").as("qdl"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dl"), col("item_id"))
+    codes.join(broadcast(qd), Seq("sub", "code"))
+      .filter(col("query_id") =!= col("item_id"))
+      .groupBy(col("query_id"), col("item_id"))
+      .agg(sum(col("qdl")).as("dl"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("item_id"),
+        round(col("dl") / lit(1000000.0), 6).as("adc_dist"), col("rk"))
+  }
+
   def lshTopK(
       corpus: DataFrame,
       queries: DataFrame,

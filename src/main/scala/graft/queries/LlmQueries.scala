@@ -362,6 +362,29 @@ object LlmQueries {
       .orderBy("query_id", "rk")
   }
 
+  /** PQ encode: every embedding compressed to m=4 codes (ksub=16 deterministic
+    * codebook from the 16 lowest-id vectors' subvectors). 64 doubles -> 4
+    * codes; the compression tier under an IVF-PQ serving index.
+    */
+  val embedPqCodes: Q = (s, d) => {
+    val e = t(s, d, "embeddings")
+    val cb = SimOps.pqCodebook(e, "vec_id", "embedding", dim = 64)
+    SimOps.pqCodes(e, "vec_id", "embedding", cb, dim = 64)
+      .orderBy("vec_id", "sub")
+  }
+
+  /** PQ ADC top-k: queries scan the corpus through its codes only (4 table
+    * lookups per candidate), per-subspace distances quantized to micro-units
+    * so the sum is an exact LONG (SimOps.pqTopK).
+    */
+  val simPqTopk: Q = (s, d) => {
+    val e = t(s, d, "embeddings")
+    val cb = SimOps.pqCodebook(e, "vec_id", "embedding", dim = 64)
+    SimOps.pqTopK(e, e.filter(col("vec_id") % 50 === 0), cb,
+      "vec_id", "embedding", dim = 64)
+      .orderBy("query_id", "rk")
+  }
+
   /** BPE-ish token estimate: non-overlapping greedy matches of short letter
     * chunks / digits / symbols — the subword-count heuristic a training
     * pipeline budgets with (alongside the whitespace count).
@@ -571,6 +594,8 @@ object LlmQueries {
     "sim_lsh_recall" -> simLshRecall,
     "sim_ivf_topk" -> simIvfTopk,
     "sim_ivf_recall" -> simIvfRecall,
+    "embed_pq_codes" -> embedPqCodes,
+    "sim_pq_topk" -> simPqTopk,
     "dedup_embed_cosine" -> dedupEmbedCosine,
     "text_bpe_tokens" -> textBpeTokens,
     "corpus_pack_sequences" -> corpusPackSequences,
@@ -633,6 +658,37 @@ object LlmQueries {
        |    CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
        |  FROM sbits GROUP BY doc_id
        |)""".stripMargin
+
+  /** The deterministic PQ chain as CTEs ending in `codes(vec_id, sub, code)`
+    * (+ `p`, `cb` reused by the ADC oracle) — mirrors SimOps.pqCodebook
+    * (16 lowest-id vectors' subvectors) + pqCodes (exact L2 argmin,
+    * left-to-right fold parity with zip_with/aggregate).
+    */
+  private val pqCtes =
+    """p AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |cb0 AS (SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) - 1 AS code
+      |        FROM p ORDER BY vec_id LIMIT 16),
+      |cb AS (
+      |  SELECT s AS sub, code, v[s*16 + 1 : s*16 + 16] AS cvec
+      |  FROM cb0, UNNEST(range(0, 4)) AS u(s)
+      |),
+      |sv AS (
+      |  SELECT vec_id, s AS sub, v[s*16 + 1 : s*16 + 16] AS sv
+      |  FROM p, UNNEST(range(0, 4)) AS u(s)
+      |),
+      |pqd AS (
+      |  SELECT vec_id, sub, code,
+      |    list_reduce(list_prepend(0.0,
+      |      [ (sv[i] - cvec[i]) * (sv[i] - cvec[i]) FOR i IN range(1, 17) ]),
+      |      (acc, x) -> acc + x) AS dist
+      |  FROM sv JOIN cb USING (sub)
+      |),
+      |enc AS (
+      |  SELECT vec_id, sub, code,
+      |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rk
+      |  FROM pqd
+      |),
+      |codes AS (SELECT vec_id, sub, code FROM enc WHERE rk = 1)""".stripMargin
 
   /** The MinHash-band candidate + exact-Jaccard-verify pipeline as a CTE
     * chain ending in `pairs(id_a, id_b, jaccard)` — shared by the pair,
@@ -1008,6 +1064,37 @@ object LlmQueries {
         |    list_prepend(CAST(0 AS BIGINT), [CAST(ord(c) AS BIGINT) FOR c IN string_split_regex(text, '')]),
         |    (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS rhash
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "embed_pq_codes" ->
+      s"""WITH $pqCtes
+         |SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
+         |FROM codes ORDER BY vec_id, sub""".stripMargin,
+    "sim_pq_topk" ->
+      s"""WITH $pqCtes,
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM p WHERE vec_id % 50 = 0),
+         |qsub AS (
+         |  SELECT query_id, s AS sub, qv[s*16 + 1 : s*16 + 16] AS qs
+         |  FROM q, UNNEST(range(0, 4)) AS u(s)
+         |),
+         |qd AS (
+         |  SELECT query_id, sub, code,
+         |    CAST(floor(list_reduce(list_prepend(0.0,
+         |      [ (qs[i] - cvec[i]) * (qs[i] - cvec[i]) FOR i IN range(1, 17) ]),
+         |      (acc, x) -> acc + x) * 1000000 + 0.5) AS BIGINT) AS qdl
+         |  FROM qsub JOIN cb USING (sub)
+         |),
+         |adc AS (
+         |  SELECT query_id, vec_id AS item_id, CAST(SUM(qdl) AS BIGINT) AS dl
+         |  FROM codes JOIN qd USING (sub, code)
+         |  WHERE query_id <> vec_id
+         |  GROUP BY 1, 2
+         |),
+         |r AS (
+         |  SELECT query_id, item_id, dl,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY dl, item_id) AS rk
+         |  FROM adc
+         |)
+         |SELECT query_id, item_id, round(dl / 1000000.0, 6) AS adc_dist, CAST(rk AS INT) AS rk
+         |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
     "doc_winnow" ->
       s"""WITH toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
          |sh AS (

@@ -1,0 +1,64 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Product quantization: deterministic codebook shape, exact-L2 encoding,
+  * and the ADC compressed-domain scan.
+  */
+class SimOpsPqSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 8-dim vectors, m=2 subspaces of 4, ksub=4 codebook from ids 0..3
+  private def vecs = Seq(
+    (0L, Seq(0f, 0f, 0f, 0f, 9f, 9f, 9f, 9f)),
+    (1L, Seq(1f, 1f, 1f, 1f, 8f, 8f, 8f, 8f)),
+    (2L, Seq(5f, 5f, 5f, 5f, 2f, 2f, 2f, 2f)),
+    (3L, Seq(7f, 7f, 7f, 7f, 0f, 0f, 0f, 0f)),
+    (10L, Seq(1.1f, 1.1f, 0.9f, 1.0f, 7.9f, 8.1f, 8f, 8f)), // ~vector 1
+    (11L, Seq(6.9f, 7f, 7.1f, 7f, 0.1f, 0f, 0f, 0.2f))      // ~vector 3
+  ).toDF("vec_id", "embedding")
+
+  private def codebook = SimOps.pqCodebook(vecs, "vec_id", "embedding", dim = 8, m = 2, ksub = 4)
+
+  test("pqCodebook emits m*ksub subvector centroids with dense codes") {
+    val cb = codebook.collect()
+    assert(cb.length == 8) // 2 subs x 4 codes
+    assert(codebook.select("code").distinct().count() == 4)
+    assert(codebook.select("sub").distinct().count() == 2)
+    val c2sub0 = codebook.filter($"sub" === 0 && $"code" === 2)
+      .select("cvec").as[Seq[Double]].head()
+    assert(c2sub0 == Seq(5.0, 5.0, 5.0, 5.0)) // vector 2's first subvector
+  }
+
+  test("pqCodes: training vectors encode to themselves; near vectors to their neighbor") {
+    val codes = SimOps.pqCodes(vecs, "vec_id", "embedding", codebook, dim = 8, m = 2)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    for (id <- 0L to 3L; sub <- 0L to 1L)
+      assert(codes((id, sub)) == id, s"training vector $id sub $sub")
+    for (sub <- 0L to 1L) {
+      assert(codes((10L, sub)) == 1L) // 10 is a perturbation of vector 1
+      assert(codes((11L, sub)) == 3L)
+    }
+  }
+
+  test("pqTopK ranks by ADC distance, excludes self, caps at k") {
+    val out = SimOps.pqTopK(vecs, vecs.filter($"vec_id" === 10L), codebook,
+      "vec_id", "embedding", dim = 8, m = 2, k = 3)
+      .orderBy("rk").as[(Long, Long, Double, Int)].collect()
+    assert(out.length == 3)
+    assert(out.forall(_._1 == 10L) && out.forall(_._2 != 10L))
+    // vector 10 encodes as (1,1): zero ADC distance to items 1 AND 10; with
+    // 10 excluded, item 1 must rank first
+    assert(out.head._2 == 1L)
+    assert(out.map(_._3).toSeq == out.map(_._3).sorted.toSeq) // ascending distance
+  }
+
+  test("pq plans stay equi-join + broadcast (no nested loop, no sort-merge)") {
+    val plan = SimOps.pqTopK(vecs, vecs.filter($"vec_id" === 10L), codebook,
+      "vec_id", "embedding", dim = 8, m = 2, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("SortMergeJoin"), s"codebook/table joins must broadcast:\n$plan")
+  }
+}
