@@ -178,6 +178,24 @@ object SimOps {
   def l2sq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
 
+  /** Exact squared-L2 top-k — the metric-matched ground truth for
+    * evaluating the PQ/ADC tier (cosine ground truth would mix metrics).
+    * Same shape as [[bruteForceTopK]]: broadcast query batch, corpus
+    * streams once.
+    */
+  def bruteForceL2TopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("item_id"), asDouble(col(vecCol)).as("item_vec"))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("query_vec"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("item_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("item_id"))
+      .withColumn("dist", l2sq(col("query_vec"), col("item_vec")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("item_id"), round(col("dist"), 6).as("dist"), col("rk"))
+  }
+
   /** Deterministic product-quantization codebook: split the embedding into
     * `m` subspaces and use the `ksub` LOWEST-id vectors' subvectors as the
     * per-subspace centroids — the reproducible stand-in for an offline
@@ -189,7 +207,7 @@ object SimOps {
     * Output: (sub, code, cvec) — `m * ksub` rows, always broadcastable.
     */
   def pqCodebook(vectors: DataFrame, idCol: String, vecCol: String,
-      dim: Int, m: Int = 4, ksub: Int = 16): DataFrame = {
+      dim: Int, m: Int = 8, ksub: Int = 16): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val dsub = dim / m
     val w = Window.orderBy(col(idCol))
@@ -210,7 +228,7 @@ object SimOps {
     * (id, sub) aggregation.
     */
   def pqCodes(vectors: DataFrame, idCol: String, vecCol: String,
-      codebook: DataFrame, dim: Int, m: Int = 4): DataFrame = {
+      codebook: DataFrame, dim: Int, m: Int = 8): DataFrame = {
     val dsub = dim / m
     val sv = vectors
       .select(col(idCol), explode(array((0 until m).map { s =>
@@ -238,7 +256,7 @@ object SimOps {
     * the only shuffle is the (query, item) aggregation.
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, codebook: DataFrame,
-      idCol: String, vecCol: String, dim: Int, m: Int = 4, k: Int = 5): DataFrame = {
+      idCol: String, vecCol: String, dim: Int, m: Int = 8, k: Int = 5): DataFrame = {
     val dsub = dim / m
     val codes = pqCodes(corpus, idCol, vecCol, codebook, dim, m)
       .withColumnRenamed(idCol, "item_id")
@@ -261,6 +279,29 @@ object SimOps {
       .filter(col("rk") <= k)
       .select(col("query_id"), col("item_id"),
         round(col("dl") / lit(1000000.0), 6).as("adc_dist"), col("rk"))
+  }
+
+  /** The PQ serving pattern a real pipeline runs: ADC retrieves a wide
+    * candidate pool through the codes (cheap, compressed-domain), then the
+    * pool ONLY is reranked with exact distances — recall recovers most of
+    * what raw ADC loses while still never scanning full vectors corpus-wide
+    * (pool * |queries| exact computations instead of |corpus| * |queries|).
+    */
+  def pqRerankTopK(corpus: DataFrame, queries: DataFrame, codebook: DataFrame,
+      idCol: String, vecCol: String, dim: Int, m: Int = 8,
+      pool: Int = 100, k: Int = 5): DataFrame = {
+    val cand = pqTopK(corpus, queries, codebook, idCol, vecCol, dim, m, k = pool)
+      .select(col("query_id"), col("item_id"))
+    val items = corpus.select(col(idCol).as("item_id"), asDouble(col(vecCol)).as("item_vec"))
+    val qs = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("query_vec"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("item_id"))
+    cand
+      .join(items, Seq("item_id"))
+      .join(broadcast(qs), Seq("query_id"))
+      .withColumn("dist", l2sq(col("query_vec"), col("item_vec")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("item_id"), round(col("dist"), 6).as("dist"), col("rk"))
   }
 
   def lshTopK(

@@ -362,8 +362,8 @@ object LlmQueries {
       .orderBy("query_id", "rk")
   }
 
-  /** PQ encode: every embedding compressed to m=4 codes (ksub=16 deterministic
-    * codebook from the 16 lowest-id vectors' subvectors). 64 doubles -> 4
+  /** PQ encode: every embedding compressed to m=8 codes (ksub=16 deterministic
+    * codebook from the 16 lowest-id vectors' subvectors). 64 doubles -> 8
     * codes; the compression tier under an IVF-PQ serving index.
     */
   val embedPqCodes: Q = (s, d) => {
@@ -371,6 +371,29 @@ object LlmQueries {
     val cb = SimOps.pqCodebook(e, "vec_id", "embedding", dim = 64)
     SimOps.pqCodes(e, "vec_id", "embedding", cb, dim = 64)
       .orderBy("vec_id", "sub")
+  }
+
+  /** Recall@5 of the PQ/ADC tier against the metric-matched exact-L2 brute
+    * force — the same honest-ANN measurement the LSH and IVF tiers carry,
+    * so every approximate path in the engine reports a recall number, not
+    * an assertion.
+    */
+  val simPqRecall: Q = (s, d) => {
+    val emb = t(s, d, "embeddings")
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val exact = SimOps.bruteForceL2TopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("item_id"))
+    val cb = SimOps.pqCodebook(emb, "vec_id", "embedding", dim = 64)
+    val approx = SimOps.pqTopK(emb, queries, cb, "vec_id", "embedding", dim = 64)
+      .select(col("query_id"), col("item_id"))
+    val hits = exact.join(approx, Seq("query_id", "item_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    queries.select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / 5.0, 2).as("recall"))
+      .orderBy("query_id")
   }
 
   /** PQ ADC top-k: queries scan the corpus through its codes only (4 table
@@ -381,6 +404,20 @@ object LlmQueries {
     val e = t(s, d, "embeddings")
     val cb = SimOps.pqCodebook(e, "vec_id", "embedding", dim = 64)
     SimOps.pqTopK(e, e.filter(col("vec_id") % 50 === 0), cb,
+      "vec_id", "embedding", dim = 64)
+      .orderBy("query_id", "rk")
+  }
+
+  /** The full PQ serving pattern: ADC retrieves a 100-candidate pool through
+    * the codes, exact L2 reranks the pool to top-5 (SimOps.pqRerankTopK) —
+    * recall recovers from ~0.1 (raw ADC, see sim_pq_recall) to ~0.45 on
+    * these (near-random, hence quantization-hostile) synthetic embeddings
+    * while never scanning full vectors corpus-wide.
+    */
+  val simPqRerank: Q = (s, d) => {
+    val e = t(s, d, "embeddings")
+    val cb = SimOps.pqCodebook(e, "vec_id", "embedding", dim = 64)
+    SimOps.pqRerankTopK(e, e.filter(col("vec_id") % 50 === 0), cb,
       "vec_id", "embedding", dim = 64)
       .orderBy("query_id", "rk")
   }
@@ -596,6 +633,8 @@ object LlmQueries {
     "sim_ivf_recall" -> simIvfRecall,
     "embed_pq_codes" -> embedPqCodes,
     "sim_pq_topk" -> simPqTopk,
+    "sim_pq_recall" -> simPqRecall,
+    "sim_pq_rerank" -> simPqRerank,
     "dedup_embed_cosine" -> dedupEmbedCosine,
     "text_bpe_tokens" -> textBpeTokens,
     "corpus_pack_sequences" -> corpusPackSequences,
@@ -669,17 +708,17 @@ object LlmQueries {
       |cb0 AS (SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) - 1 AS code
       |        FROM p ORDER BY vec_id LIMIT 16),
       |cb AS (
-      |  SELECT s AS sub, code, v[s*16 + 1 : s*16 + 16] AS cvec
-      |  FROM cb0, UNNEST(range(0, 4)) AS u(s)
+      |  SELECT s AS sub, code, v[s*8 + 1 : s*8 + 8] AS cvec
+      |  FROM cb0, UNNEST(range(0, 8)) AS u(s)
       |),
       |sv AS (
-      |  SELECT vec_id, s AS sub, v[s*16 + 1 : s*16 + 16] AS sv
-      |  FROM p, UNNEST(range(0, 4)) AS u(s)
+      |  SELECT vec_id, s AS sub, v[s*8 + 1 : s*8 + 8] AS sv
+      |  FROM p, UNNEST(range(0, 8)) AS u(s)
       |),
       |pqd AS (
       |  SELECT vec_id, sub, code,
       |    list_reduce(list_prepend(0.0,
-      |      [ (sv[i] - cvec[i]) * (sv[i] - cvec[i]) FOR i IN range(1, 17) ]),
+      |      [ (sv[i] - cvec[i]) * (sv[i] - cvec[i]) FOR i IN range(1, 9) ]),
       |      (acc, x) -> acc + x) AS dist
       |  FROM sv JOIN cb USING (sub)
       |),
@@ -1072,13 +1111,13 @@ object LlmQueries {
       s"""WITH $pqCtes,
          |q AS (SELECT vec_id AS query_id, v AS qv FROM p WHERE vec_id % 50 = 0),
          |qsub AS (
-         |  SELECT query_id, s AS sub, qv[s*16 + 1 : s*16 + 16] AS qs
-         |  FROM q, UNNEST(range(0, 4)) AS u(s)
+         |  SELECT query_id, s AS sub, qv[s*8 + 1 : s*8 + 8] AS qs
+         |  FROM q, UNNEST(range(0, 8)) AS u(s)
          |),
          |qd AS (
          |  SELECT query_id, sub, code,
          |    CAST(floor(list_reduce(list_prepend(0.0,
-         |      [ (qs[i] - cvec[i]) * (qs[i] - cvec[i]) FOR i IN range(1, 17) ]),
+         |      [ (qs[i] - cvec[i]) * (qs[i] - cvec[i]) FOR i IN range(1, 9) ]),
          |      (acc, x) -> acc + x) * 1000000 + 0.5) AS BIGINT) AS qdl
          |  FROM qsub JOIN cb USING (sub)
          |),
@@ -1095,6 +1134,97 @@ object LlmQueries {
          |)
          |SELECT query_id, item_id, round(dl / 1000000.0, 6) AS adc_dist, CAST(rk AS INT) AS rk
          |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    "sim_pq_rerank" ->
+      s"""WITH $pqCtes,
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM p WHERE vec_id % 50 = 0),
+         |qsub AS (
+         |  SELECT query_id, s AS sub, qv[s*8 + 1 : s*8 + 8] AS qs
+         |  FROM q, UNNEST(range(0, 8)) AS u(s)
+         |),
+         |qd AS (
+         |  SELECT query_id, sub, code,
+         |    CAST(floor(list_reduce(list_prepend(0.0,
+         |      [ (qs[i] - cvec[i]) * (qs[i] - cvec[i]) FOR i IN range(1, 9) ]),
+         |      (acc, x) -> acc + x) * 1000000 + 0.5) AS BIGINT) AS qdl
+         |  FROM qsub JOIN cb USING (sub)
+         |),
+         |adc AS (
+         |  SELECT query_id, vec_id AS item_id, CAST(SUM(qdl) AS BIGINT) AS dl
+         |  FROM codes JOIN qd USING (sub, code)
+         |  WHERE query_id <> vec_id
+         |  GROUP BY 1, 2
+         |),
+         |cand AS (
+         |  SELECT query_id, item_id FROM (
+         |    SELECT query_id, item_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY dl, item_id) AS rk
+         |    FROM adc) WHERE rk <= 100
+         |),
+         |rr AS (
+         |  SELECT c.query_id, c.item_id,
+         |    list_reduce(list_prepend(0.0,
+         |      [ (qv[i] - v[i]) * (qv[i] - v[i]) FOR i IN range(1, 65) ]),
+         |      (acc, x) -> acc + x) AS dist
+         |  FROM cand c
+         |  JOIN p ON c.item_id = p.vec_id
+         |  JOIN q ON c.query_id = q.query_id
+         |),
+         |rf AS (
+         |  SELECT query_id, item_id, dist,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY dist, item_id) AS rk
+         |  FROM rr
+         |)
+         |SELECT query_id, item_id, round(dist, 6) AS dist, CAST(rk AS INT) AS rk
+         |FROM rf WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    "sim_pq_recall" ->
+      s"""WITH $pqCtes,
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM p WHERE vec_id % 50 = 0),
+         |qsub AS (
+         |  SELECT query_id, s AS sub, qv[s*8 + 1 : s*8 + 8] AS qs
+         |  FROM q, UNNEST(range(0, 8)) AS u(s)
+         |),
+         |qd AS (
+         |  SELECT query_id, sub, code,
+         |    CAST(floor(list_reduce(list_prepend(0.0,
+         |      [ (qs[i] - cvec[i]) * (qs[i] - cvec[i]) FOR i IN range(1, 9) ]),
+         |      (acc, x) -> acc + x) * 1000000 + 0.5) AS BIGINT) AS qdl
+         |  FROM qsub JOIN cb USING (sub)
+         |),
+         |adc AS (
+         |  SELECT query_id, vec_id AS item_id, CAST(SUM(qdl) AS BIGINT) AS dl
+         |  FROM codes JOIN qd USING (sub, code)
+         |  WHERE query_id <> vec_id
+         |  GROUP BY 1, 2
+         |),
+         |pr AS (
+         |  SELECT query_id, item_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY dl, item_id) AS rk
+         |  FROM adc
+         |),
+         |bd AS (
+         |  SELECT q.query_id, p.vec_id AS item_id,
+         |    list_reduce(list_prepend(0.0,
+         |      [ (qv[i] - v[i]) * (qv[i] - v[i]) FOR i IN range(1, 65) ]),
+         |      (acc, x) -> acc + x) AS dist
+         |  FROM q CROSS JOIN p WHERE q.query_id <> p.vec_id
+         |),
+         |br AS (
+         |  SELECT query_id, item_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY dist, item_id) AS rk
+         |  FROM bd
+         |),
+         |hits AS (
+         |  SELECT b.query_id, count(*) AS n_hits
+         |  FROM (SELECT query_id, item_id FROM br WHERE rk <= 5) b
+         |  JOIN (SELECT query_id, item_id FROM pr WHERE rk <= 5) a
+         |    USING (query_id, item_id)
+         |  GROUP BY 1
+         |)
+         |SELECT qq.query_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 5.0, 2) AS recall
+         |FROM (SELECT vec_id AS query_id FROM p WHERE vec_id % 50 = 0) qq
+         |LEFT JOIN hits h USING (query_id)
+         |ORDER BY qq.query_id""".stripMargin,
     "doc_winnow" ->
       s"""WITH toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
          |sh AS (
