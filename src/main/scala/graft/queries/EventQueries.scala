@@ -338,7 +338,8 @@ object EventQueries {
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    val srcDir = new org.apache.hadoop.fs.Path(s"/root/repo/target/$stageName")
+    val srcDir = new org.apache.hadoop.fs.Path(
+      new java.io.File(s"${graft.io.Zones.defaultRoot}/$stageName").getAbsolutePath)
     val fs = srcDir.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(srcDir, true)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir.toString))
@@ -354,7 +355,8 @@ object EventQueries {
     */
   private def drainToTable(df: DataFrame, sink: String, mode: String): DataFrame = {
     val s = df.sparkSession
-    val ckpt = new org.apache.hadoop.fs.Path(s"/root/repo/target/stream_ckpt_$sink")
+    val ckpt = new org.apache.hadoop.fs.Path(
+      new java.io.File(s"${graft.io.Zones.defaultRoot}/stream_ckpt_$sink").getAbsolutePath)
     ckpt.getFileSystem(s.sparkContext.hadoopConfiguration).delete(ckpt, true)
     val q = df.writeStream
       .format("memory").queryName(sink)

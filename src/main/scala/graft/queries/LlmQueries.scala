@@ -250,6 +250,18 @@ object LlmQueries {
       col("lang"))
       .orderBy("doc_id")
 
+  /** Language-ID confusion matrix: predicted (marker-heuristic langId) vs
+    * labeled language, with per-cell counts — the evaluation a pipeline
+    * runs before trusting a language filter (zh has no marker list, so it
+    * lands in 'und'/false-positives by construction; measured, not hidden).
+    */
+  val textLangidEval: Q = (s, d) =>
+    t(s, d, "documents")
+      .select(col("lang"), TextOps.langId(col("text")).as("lang_pred"))
+      .groupBy("lang", "lang_pred")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "lang_pred")
+
   /** Native-Expression rolling hash (registered by GraftExtensions, used
     * through its SQL name so the whole injectFunction path is exercised).
     * Corpus is ASCII, so DuckDB's per-char `ord` fold replays the utf8-byte
@@ -625,6 +637,7 @@ object LlmQueries {
     "doc_fingerprint" -> docFingerprint,
     "doc_rolling_hash" -> docRollingHash,
     "doc_winnow" -> docWinnow,
+    "text_langid_eval" -> textLangidEval,
     "sim_topk_brute" -> simTopkBrute,
     "sim_lsh_buckets" -> simLshBuckets,
     "sim_lsh_topk" -> simLshTopk,
@@ -1083,6 +1096,25 @@ object LlmQueries {
         |    ELSE 'es' END AS lang_pred,
         |  lang
         |FROM m ORDER BY doc_id""".stripMargin,
+    "text_langid_eval" ->
+      """WITH m AS (
+        |  SELECT lang,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|a|to|in|is)\b')) AS DOUBLE) AS en,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|ein|von)\b')) AS DOUBLE) AS de,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|un|de)\b')) AS DOUBLE) AS fr,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(el|los|las|es|un|una|y)\b')) AS DOUBLE) AS es
+        |  FROM documents
+        |), pred AS (
+        |  SELECT lang,
+        |    CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+        |      WHEN en = greatest(en, de, fr, es) THEN 'en'
+        |      WHEN de = greatest(en, de, fr, es) THEN 'de'
+        |      WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+        |      ELSE 'es' END AS lang_pred
+        |  FROM m
+        |)
+        |SELECT lang, lang_pred, count(*) AS n_docs
+        |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "text_commonness" ->
       s"""WITH toks AS (
          |  SELECT doc_id, UNNEST($tokSql) AS tok FROM documents

@@ -17,7 +17,9 @@ object SourceQueries {
   private type Q = (SparkSession, String) => DataFrame
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
-  val StageDir = "/root/repo/target/csv_stage"
+  // absolute so the oracle SQL dumped into oracle_sql.json points DuckDB at
+  // the same files regardless of the comparing process's cwd
+  val StageDir = new java.io.File(s"${graft.io.Zones.defaultRoot}/csv_stage").getAbsolutePath
 
   private def stage(name: String, lines: Seq[String]): String = {
     Files.createDirectories(Paths.get(StageDir))
