@@ -54,6 +54,24 @@ class SimOpsPqSpec extends SparkSpec {
     assert(out.map(_._3).toSeq == out.map(_._3).sorted.toSeq) // ascending distance
   }
 
+  test("lloydIteration moves centroids to exact cluster means and drops empty clusters") {
+    val vs = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(2f, 0f)),   // cluster around +x
+      (3L, Seq(0f, 4f)), (4L, Seq(0f, 6f)),   // cluster around +y
+      (5L, Seq(1f, 0f))                        // centroid seed, also +x
+    ).toDF("vec_id", "embedding")
+    val seeds = Seq(
+      (100L, Seq(1f, 0.01f)),   // near +x
+      (200L, Seq(0.01f, 1f)),   // near +y
+      (300L, Seq(-1f, -1f))     // attracts nothing (cosine < others everywhere)
+    ).toDF("vec_id", "embedding")
+    val out = SimOps.lloydIteration(vs, seeds, "vec_id", "embedding")
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(out.keySet == Set(100L, 200L)) // empty cluster 300 dropped
+    assert(out(100L) == Seq(1.333333, 0.0)) // exact mean 4/3, rounded to 6dp by contract
+    assert(out(200L) == Seq(0.0, 5.0))
+  }
+
   test("pq plans stay equi-join + broadcast (no nested loop, no sort-merge)") {
     val plan = SimOps.pqTopK(vecs, vecs.filter($"vec_id" === 10L), codebook,
       "vec_id", "embedding", dim = 8, m = 2, k = 3)
