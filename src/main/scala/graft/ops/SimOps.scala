@@ -240,8 +240,10 @@ object SimOps {
     * per-subspace centroids — the reproducible stand-in for an offline
     * k-means training pass (the codebook is an input artifact in a real
     * serving pipeline; what the engine owns is encode + ADC scan). The
-    * row_number window runs over exactly `ksub` rows (bounded by the
-    * literal LIMIT), never the corpus.
+    * code assignment collects the `ksub` training ids to the driver — a
+    * BOUNDED collect (<= the ksub literal, like U4's event-table
+    * discovery), never a global-order window (repo invariant: zero
+    * `WindowExec: No Partition Defined`).
     *
     * Output: (sub, code, cvec) — `m * ksub` rows, always broadcastable.
     */
@@ -249,10 +251,13 @@ object SimOps {
       dim: Int, m: Int = 8, ksub: Int = 16): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val dsub = dim / m
-    val w = Window.orderBy(col(idCol))
-    vectors.orderBy(col(idCol)).limit(ksub)
-      .select(asDouble(col(vecCol)).as("__v"),
-        (row_number().over(w) - 1).cast("long").as("code"))
+    val train = vectors.orderBy(col(idCol)).limit(ksub) // TakeOrdered, no full sort
+    val ids = train.select(col(idCol).cast("long")).collect().map(_.getLong(0)).sorted
+    val codeOf = ids.zipWithIndex.foldLeft(lit(null).cast("long")) {
+      case (acc, (id, c)) => when(col(idCol).cast("long") === id, lit(c.toLong)).otherwise(acc)
+    }
+    train
+      .select(asDouble(col(vecCol)).as("__v"), codeOf.as("code"))
       .select(col("code"), explode(array((0 until m).map { s =>
         struct(lit(s.toLong).as("sub"),
           slice(col("__v"), s * dsub + 1, dsub).as("cvec"))
