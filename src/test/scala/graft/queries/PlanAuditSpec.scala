@@ -166,6 +166,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join:\n$p")
   }
 
+  test("chunking is a pure projection + explode: only the output order shuffles") {
+    val p = plan("corpus_chunk")
+    val exchanges = p.linesIterator.count(_.contains("- Exchange"))
+    assert(exchanges <= 1, s"corpus_chunk plans $exchanges exchanges:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("winnowing fuses into codegen and shuffles only for the output order") {
+    val p = plan("doc_winnow")
+    assert(p.contains("winnow_hashes(word_shingles("), s"native expression chain missing:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("- Exchange"))
+    assert(exchanges <= 1, s"doc_winnow plans $exchanges exchanges:\n$p")
+  }
+
+  test("PQ encode joins the codebook as a broadcast, never a sort-merge") {
+    val p = plan("embed_pq_codes")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast codebook join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), s"PQ encode plan degenerated:\n$p")
+  }
+
   test("q1 exact-sum rewrite keeps the scan narrow and the shuffles tiny") {
     val p = plan("q1_pricing_summary")
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
