@@ -110,6 +110,13 @@ object SimOps {
     * shuffle is the equi-join on centroid id. Centroids are supplied by the
     * caller (trained offline or sampled deterministically); assignment uses
     * exact cosine with an id tie-break so results are reproducible.
+    *
+    * Skew note (sf1 soak: 15x max/median task time on this join): inverted
+    * lists are as imbalanced as the data is clustered. At production scale
+    * the standard remedy is splitting oversized lists — salt the centroid
+    * key of any list above a size threshold and probe all its salts — which
+    * composes with this operator unchanged (pre-split the `centroids`
+    * input); not applied by default because it perturbs nothing at test SFs.
     */
   def ivfTopK(
       corpus: DataFrame,
