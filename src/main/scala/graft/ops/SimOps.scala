@@ -112,12 +112,21 @@ object SimOps {
     * exact cosine with an id tie-break so results are reproducible.
     *
     * Skew note (sf1 soak: 15x max/median task time on this join): inverted
-    * lists are as imbalanced as the data is clustered. At production scale
-    * the standard remedy is splitting oversized lists — salt the centroid
-    * key of any list above a size threshold and probe all its salts — which
-    * composes with this operator unchanged (pre-split the `centroids`
-    * input); not applied by default because it perturbs nothing at test SFs.
+    * lists are as imbalanced as the data is clustered. [[ivfTopKSalted]]
+    * is the remedy — identical results, oversized lists split across
+    * salted join keys so the widest task is bounded by `maxList`.
     */
+  private def assignToCentroids(df: DataFrame, centroidsB: DataFrame,
+      idCol: String, vecCol: String, outId: String, outVec: String, keep: Int): DataFrame = {
+    val w = Window.partitionBy(col(outId)).orderBy(desc("__csim"), col("centroid_id"))
+    df.select(col(idCol).as(outId), asDouble(col(vecCol)).as(outVec))
+      .crossJoin(centroidsB)
+      .withColumn("__csim", cosine(col(outVec), col("centroid_vec")))
+      .withColumn("__crk", row_number().over(w))
+      .filter(col("__crk") <= keep)
+      .drop("centroid_vec", "__csim", "__crk")
+  }
+
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -128,20 +137,56 @@ object SimOps {
       nprobe: Int): DataFrame = {
     val cent = broadcast(centroids.select(
       col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("centroid_vec")))
-    def assign(df: DataFrame, outId: String, outVec: String, keep: Int) = {
-      val w = Window.partitionBy(col(outId)).orderBy(desc("__csim"), col("centroid_id"))
-      df.select(col(idCol).as(outId), asDouble(col(vecCol)).as(outVec))
-        .crossJoin(cent)
-        .withColumn("__csim", cosine(col(outVec), col("centroid_vec")))
-        .withColumn("__crk", row_number().over(w))
-        .filter(col("__crk") <= keep)
-        .drop("centroid_vec", "__csim", "__crk")
-    }
-    val inverted = assign(corpus, "item_id", "item_vec", keep = 1)
-    val probes = assign(queries, "query_id", "query_vec", keep = nprobe)
+    val inverted = assignToCentroids(corpus, cent, idCol, vecCol, "item_id", "item_vec", keep = 1)
+    val probes = assignToCentroids(queries, cent, idCol, vecCol, "query_id", "query_vec", keep = nprobe)
     val w = Window.partitionBy(col("query_id")).orderBy(desc("sim"), col("item_id"))
     probes
       .join(inverted, "centroid_id")
+      .filter(col("query_id") =!= col("item_id"))
+      .withColumn("sim", cosine(col("query_vec"), col("item_vec")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("item_id"), round(col("sim"), 6).as("sim"), col("rk"))
+  }
+
+  /** [[ivfTopK]] with oversized-list splitting — the skew remedy the sf1
+    * soak motivated (15x max/median task time on the inverted-list join
+    * when centroid lists mirror data clustering). Every list larger than
+    * `maxList` splits into `ceil(size / maxList)` salted sub-lists (salt =
+    * hash(item) mod nsalt, so items spread evenly); a probe fans out to
+    * ALL of a probed centroid's salts. The candidate set — and therefore
+    * the result — is IDENTICAL to the unsalted operator (the oracle-gated
+    * query pins this: same DuckDB SQL as `sim_ivf_topk`); what changes is
+    * the join key cardinality: no (centroid, salt) group exceeds
+    * ~`maxList` items, so the widest task is bounded regardless of how
+    * skewed the clustering is. The extra cost is one broadcast-joined
+    * per-centroid size aggregate (|centroids| rows).
+    */
+  def ivfTopKSalted(
+      corpus: DataFrame,
+      queries: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int,
+      maxList: Int = 4096): DataFrame = {
+    require(maxList > 0, s"maxList must be positive, got $maxList")
+    val cent = broadcast(centroids.select(
+      col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("centroid_vec")))
+    val inverted = assignToCentroids(corpus, cent, idCol, vecCol, "item_id", "item_vec", keep = 1)
+    val sizes = inverted.groupBy("centroid_id").agg(count(lit(1)).as("__n"))
+    val nsalt = greatest(ceil(col("__n") / lit(maxList.toDouble)), lit(1.0)).cast("int")
+    val invSalted = inverted.join(broadcast(sizes), "centroid_id")
+      .withColumn("__salt", pmod(hash(col("item_id")), nsalt))
+      .drop("__n")
+    val probes = assignToCentroids(queries, cent, idCol, vecCol, "query_id", "query_vec", keep = nprobe)
+      .join(broadcast(sizes), "centroid_id")
+      .withColumn("__salt", explode(sequence(lit(0), nsalt - 1)))
+      .drop("__n")
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("sim"), col("item_id"))
+    probes
+      .join(invSalted, Seq("centroid_id", "__salt"))
       .filter(col("query_id") =!= col("item_id"))
       .withColumn("sim", cosine(col("query_vec"), col("item_vec")))
       .withColumn("rk", row_number().over(w))

@@ -459,6 +459,21 @@ object LlmQueries {
       .orderBy("query_id", "rk")
   }
 
+  /** Skew-proof IVF top-k: oversized inverted lists split across salted
+    * join keys (maxList=100 here so the splitting actually engages at test
+    * scale) — pinned to the SAME oracle as `sim_ivf_topk`, because the
+    * remedy must change the task-size distribution and nothing else.
+    */
+  val simIvfTopkSalted: Q = (s, d) => {
+    val emb = t(s, d, "embeddings")
+    SimOps.ivfTopKSalted(
+      corpus = emb,
+      queries = emb.filter(col("vec_id") % 100 === 0),
+      centroids = emb.filter(col("vec_id") % 50 === 25),
+      "vec_id", "embedding", k = 5, nprobe = 2, maxList = 100)
+      .orderBy("query_id", "rk")
+  }
+
   /** BPE-ish token estimate: non-overlapping greedy matches of short letter
     * chunks / digits / symbols — the subword-count heuristic a training
     * pipeline budgets with (alongside the whitespace count).
@@ -668,6 +683,7 @@ object LlmQueries {
     "sim_lsh_topk" -> simLshTopk,
     "sim_lsh_recall" -> simLshRecall,
     "sim_ivf_topk" -> simIvfTopk,
+    "sim_ivf_topk_salted" -> simIvfTopkSalted,
     "sim_ivf_recall" -> simIvfRecall,
     "sim_ivf_trained_recall" -> simIvfTrainedRecall,
     "embed_pq_codes" -> embedPqCodes,
@@ -806,6 +822,41 @@ object LlmQueries {
        |  WHERE CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE)
        |      / len(list_distinct(list_concat(sa.toks, sb.toks))) >= 0.2
        |)""".stripMargin
+
+  /** Shared oracle for the salted and unsalted IVF top-k: the salted
+    * operator is REQUIRED to produce identical results, so both queries
+    * pin against the same SQL.
+    */
+  private val ivfTopkOracle =
+    """WITH cent AS (
+        |  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id % 50 = 25
+        |), corpus AS (SELECT vec_id AS item_id, embedding::DOUBLE[] AS iv FROM embeddings),
+        |qs AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 100 = 0),
+        |ca AS (
+        |  SELECT item_id, iv, centroid_id,
+        |    row_number() OVER (PARTITION BY item_id ORDER BY csim DESC, centroid_id) AS crk
+        |  FROM (SELECT item_id, iv, centroid_id,
+        |      list_dot_product(iv, cv) / (sqrt(list_dot_product(iv, iv)) * sqrt(list_dot_product(cv, cv))) AS csim
+        |    FROM corpus CROSS JOIN cent)
+        |), inv AS (SELECT item_id, iv, centroid_id FROM ca WHERE crk = 1),
+        |qa AS (
+        |  SELECT query_id, qv, centroid_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY csim DESC, centroid_id) AS crk
+        |  FROM (SELECT query_id, qv, centroid_id,
+        |      list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS csim
+        |    FROM qs CROSS JOIN cent)
+        |), probes AS (SELECT query_id, qv, centroid_id FROM qa WHERE crk <= 2),
+        |scored AS (
+        |  SELECT query_id, item_id,
+        |    list_dot_product(qv, iv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(iv, iv))) AS sim
+        |  FROM probes p JOIN inv USING (centroid_id) WHERE query_id <> item_id
+        |), r AS (
+        |  SELECT query_id, item_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, item_id) AS rk
+        |  FROM scored
+        |)
+        |SELECT query_id, item_id, round(sim, 6) AS sim, CAST(rk AS INT) AS rk
+        |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(
     "dedup_exact" ->
@@ -1524,36 +1575,8 @@ object LlmQueries {
         |FROM (SELECT DISTINCT vec_id AS query_id FROM embeddings WHERE vec_id % 100 = 0) qq
         |LEFT JOIN hits h USING (query_id)
         |ORDER BY query_id""".stripMargin,
-    "sim_ivf_topk" ->
-      """WITH cent AS (
-        |  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id % 50 = 25
-        |), corpus AS (SELECT vec_id AS item_id, embedding::DOUBLE[] AS iv FROM embeddings),
-        |qs AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 100 = 0),
-        |ca AS (
-        |  SELECT item_id, iv, centroid_id,
-        |    row_number() OVER (PARTITION BY item_id ORDER BY csim DESC, centroid_id) AS crk
-        |  FROM (SELECT item_id, iv, centroid_id,
-        |      list_dot_product(iv, cv) / (sqrt(list_dot_product(iv, iv)) * sqrt(list_dot_product(cv, cv))) AS csim
-        |    FROM corpus CROSS JOIN cent)
-        |), inv AS (SELECT item_id, iv, centroid_id FROM ca WHERE crk = 1),
-        |qa AS (
-        |  SELECT query_id, qv, centroid_id,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY csim DESC, centroid_id) AS crk
-        |  FROM (SELECT query_id, qv, centroid_id,
-        |      list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS csim
-        |    FROM qs CROSS JOIN cent)
-        |), probes AS (SELECT query_id, qv, centroid_id FROM qa WHERE crk <= 2),
-        |scored AS (
-        |  SELECT query_id, item_id,
-        |    list_dot_product(qv, iv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(iv, iv))) AS sim
-        |  FROM probes p JOIN inv USING (centroid_id) WHERE query_id <> item_id
-        |), r AS (
-        |  SELECT query_id, item_id, sim,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, item_id) AS rk
-        |  FROM scored
-        |)
-        |SELECT query_id, item_id, round(sim, 6) AS sim, CAST(rk AS INT) AS rk
-        |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    "sim_ivf_topk" -> ivfTopkOracle,
+    "sim_ivf_topk_salted" -> ivfTopkOracle,
     "text_bpe_tokens" ->
       s"""SELECT doc_id,
          |  CAST(len($tokSql) AS BIGINT) AS n_ws_tokens,

@@ -72,6 +72,24 @@ class SimOpsPqSpec extends SparkSpec {
     assert(out(200L) == Seq(0.0, 5.0))
   }
 
+  test("ivfTopKSalted returns exactly the unsalted results while bounding list width") {
+    val s = spark
+    // clustered corpus: 40 vectors near +x (one hot centroid), 4 near +y
+    val corpus = ((1L to 40L).map(i => (i, Seq(10f + i * 0.01f, 1f))) ++
+      (41L to 44L).map(i => (i, Seq(1f, 10f + i * 0.01f)))).toDF("vec_id", "embedding")
+    val centroids = Seq((900L, Seq(1f, 0.1f)), (901L, Seq(0.1f, 1f))).toDF("vec_id", "embedding")
+    val queries = Seq((500L, Seq(5f, 1f))).toDF("vec_id", "embedding")
+    val plain = SimOps.ivfTopK(corpus, queries, centroids,
+      "vec_id", "embedding", k = 5, nprobe = 1)
+      .select("query_id", "item_id", "sim", "rk").as[(Long, Long, Double, Int)].collect().toSet
+    val salted = SimOps.ivfTopKSalted(corpus, queries, centroids,
+      "vec_id", "embedding", k = 5, nprobe = 1, maxList = 8)
+      .select("query_id", "item_id", "sim", "rk").as[(Long, Long, Double, Int)].collect().toSet
+    // identical results: the hot 40-item list (nsalt = ceil(40/8) = 5)
+    // must re-assemble across its salted sub-lists without loss or dups
+    assert(salted == plain && plain.size == 5)
+  }
+
   test("pq plans stay equi-join + broadcast (no nested loop, no sort-merge)") {
     val plan = SimOps.pqTopK(vecs, vecs.filter($"vec_id" === 10L), codebook,
       "vec_id", "embedding", dim = 8, m = 2, k = 3)
