@@ -65,6 +65,27 @@ class JoinOpsSpec extends SparkSpec {
     }
   }
 
+  test("property: intervalJoin equals the naive BETWEEN join on random data") {
+    val point = Gen.choose(-20L, 40L)
+    val bound = Gen.choose(-20L, 40L)
+    val prop = Prop.forAll(
+      Gen.listOfN(15, point), Gen.listOfN(10, Gen.zip(bound, bound)), Gen.oneOf(1L, 3L, 16L)) {
+      (ps: List[Long], ivs: List[(Long, Long)], width: Long) =>
+        val pdf = ps.zipWithIndex.map { case (p, i) => (i.toLong, p) }.toDF("pid", "p")
+        val idf = ivs.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }.toDF("iid", "s", "e")
+        val got = JoinOps.intervalJoin(pdf, "p", idf, "s", "e", width)
+          .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+        val expected = (for {
+          (p, pi) <- ps.zipWithIndex
+          ((a, b), ii) <- ivs.zipWithIndex
+          if a <= p && p < b
+        } yield (pi.toLong, ii.toLong)).toSet
+        got == expected
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("intervalJoin plans an equi-join on the bucket key (no nested loop)") {
     val points = Seq((1L, 5L)).toDF("pid", "p")
     val ivs = Seq((100L, 0L, 10L)).toDF("iid", "s", "e")
