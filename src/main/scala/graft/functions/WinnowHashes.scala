@@ -20,6 +20,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * formulation would run interpreted per shingle — the round-4/5 lesson).
   * Fewer than `w` shingles -> empty array (no window), matching the
   * DuckDB oracle's `range(0, n - w + 1)` replay.
+  *
+  * A null ELEMENT in the shingle array raises a clear error in both eval
+  * paths: the function is SQL-registered, so users can feed it arbitrary
+  * arrays, and the generated code would otherwise read undefined bytes
+  * from UnsafeArrayData — silently wrong fingerprints, not a crash.
   */
 case class WinnowHashes(child: Expression, width: Int)
   extends UnaryExpression with ExpectsInputTypes {
@@ -40,6 +45,8 @@ case class WinnowHashes(child: Expression, width: Int)
       val hs = new Array[Long](n)
       var i = 0
       while (i < n) {
+        if (arr.isNullAt(i)) throw new IllegalArgumentException(
+          s"winnow_hashes: null shingle at index $i — input array must be non-null")
         val bytes = arr.getUTF8String(i).getBytes
         var acc = 0L
         var b = 0
@@ -83,6 +90,10 @@ case class WinnowHashes(child: Expression, width: Int)
          |} else {
          |  long[] $hs = new long[$n];
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($c.isNullAt($i)) {
+         |      throw new IllegalArgumentException(
+         |        "winnow_hashes: null shingle at index " + $i + " — input array must be non-null");
+         |    }
          |    byte[] $bytes = $c.getUTF8String($i).getBytes();
          |    long $acc = 0L;
          |    for (int $b = 0; $b < $bytes.length; $b++) {

@@ -16,6 +16,30 @@ import org.apache.spark.sql.functions._
   */
 object JoinOps {
 
+  /** Exact floor division of an integral column by a positive width.
+    * `floor(col / b)` routes through DOUBLE division, which can misplace
+    * values with |v| >= 2^53 into the wrong bucket (silently dropping
+    * qualifying pairs). Here every step is exact: `pmod` keeps the
+    * subtraction in long arithmetic, and the decimal division divides a
+    * proven multiple of `b`, so the quotient is an exactly-representable
+    * integer before the final cast.
+    */
+  private def floorDiv(x: org.apache.spark.sql.Column, bw: Long): org.apache.spark.sql.Column = {
+    val xl = x.cast("long")
+    ((xl - pmod(xl, lit(bw))).cast("decimal(20,0)") / lit(bw)).cast("long")
+  }
+
+  /** Internal column names a caller's schema must not shadow: the
+    * union-window machinery computes through these, so a collision would
+    * silently corrupt results rather than fail. */
+  private val asofReserved = Set("__k", "__t", "__tag", "__lv", "__rv", "__m")
+
+  private def requireNoReserved(df: DataFrame, side: String, reserved: Set[String]): Unit = {
+    val bad = df.columns.toSet.intersect(reserved)
+    require(bad.isEmpty,
+      s"$side input uses reserved internal column names ${bad.mkString(", ")} — rename them before joining")
+  }
+
   /** Backward (inclusive) as-of join: each left row picks the single right
     * row with the LARGEST `rTime <= lTime` for its key — the classic
     * "latest observation at-or-before the event" lookup (DuckDB/kdb
@@ -42,6 +66,8 @@ object JoinOps {
     require(payloadCols.nonEmpty, "right side must carry at least one payload column")
     val collisions = payloadCols.toSet.intersect(left.columns.toSet)
     require(collisions.isEmpty, s"right payload collides with left columns: $collisions")
+    requireNoReserved(left, "left", asofReserved)
+    requireNoReserved(right, "right", asofReserved)
 
     val l2 = left.select(
       col(lKey).as("__k"), col(lTime).as("__t"), lit(1).as("__tag"),
@@ -83,11 +109,13 @@ object JoinOps {
       intervals: DataFrame, sCol: String, eCol: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
-    val b = lit(bucketWidth)
+    requireNoReserved(points, "points", Set("__b"))
+    requireNoReserved(intervals, "intervals", Set("__b"))
     val iv = intervals
       .filter(col(eCol) > col(sCol))
-      .withColumn("__b", explode(sequence(floor(col(sCol) / b), floor((col(eCol) - 1) / b))))
-    val pts = points.withColumn("__b", floor(col(pCol) / b))
+      .withColumn("__b", explode(sequence(
+        floorDiv(col(sCol), bucketWidth), floorDiv(col(eCol) - 1, bucketWidth))))
+    val pts = points.withColumn("__b", floorDiv(col(pCol), bucketWidth))
     pts.join(iv, Seq("__b"))
       .filter(col(sCol) <= col(pCol) && col(pCol) < col(eCol))
       .drop("__b")

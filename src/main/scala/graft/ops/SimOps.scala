@@ -302,13 +302,26 @@ object SimOps {
   def pqCodebook(vectors: DataFrame, idCol: String, vecCol: String,
       dim: Int, m: Int = 8, ksub: Int = 16): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val idType = vectors.schema(idCol).dataType
+    require(Seq(org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+        .contains(idType),
+      s"pqCodebook id column '$idCol' must be integral, got $idType — a lossy cast " +
+        "could collide ids and mislabel codes")
     val dsub = dim / m
-    val train = vectors.orderBy(col(idCol)).limit(ksub) // TakeOrdered, no full sort
-    val ids = train.select(col(idCol).cast("long")).collect().map(_.getLong(0)).sorted
+    // ONE evaluation of the TakeOrdered plan: collect the ksub training ids
+    // (bounded by the ksub literal), then rebuild the training frame as an
+    // isin filter — re-running orderBy.limit downstream would evaluate the
+    // plan twice and lean on tie-breaking for determinism.
+    val ids = vectors.orderBy(col(idCol)).limit(ksub)
+      .select(col(idCol).cast("long")).collect().map { r =>
+        require(!r.isNullAt(0), s"pqCodebook id column '$idCol' contains nulls")
+        r.getLong(0)
+      }.sorted
     val codeOf = ids.zipWithIndex.foldLeft(lit(null).cast("long")) {
       case (acc, (id, c)) => when(col(idCol).cast("long") === id, lit(c.toLong)).otherwise(acc)
     }
-    train
+    vectors.filter(col(idCol).cast("long").isin(ids.toIndexedSeq: _*))
       .select(asDouble(col(vecCol)).as("__v"), codeOf.as("code"))
       .select(col("code"), explode(array((0 until m).map { s =>
         struct(lit(s.toLong).as("sub"),

@@ -407,15 +407,24 @@ object EventQueries {
   /** Arbitrary stateful streaming (`flatMapGroupsWithState`): per-user
     * running totals folded across micro-batches (StreamingOps
     * .runningUserStats) — the custom-state API the declarative operators
-    * can't express. Oracle: stream/batch equivalence — after the
-    * AvailableNow drain the Update-mode sink holds each user's final
-    * totals, which the batch GROUP BY replays (all accumulators exact:
-    * counts, epoch-micros min/max, a bounded distinct-type set).
+    * can't express. Oracle: stream/batch equivalence — the Update-mode
+    * memory sink appends one row per (micro-batch, touched user), so the
+    * drain is reduced to each user's FINAL state (n_events is strictly
+    * monotone per update, so max-by-struct picks it) before comparing to
+    * the batch GROUP BY replay. The reduction makes the gate independent
+    * of how AvailableNow splits the source into batches (all accumulators
+    * exact: counts, epoch-micros min/max, a bounded distinct-type set).
     */
   val streamRunningStats: Q = (s, d) => {
     val stats = graft.streaming.StreamingOps.runningUserStats(
       eventsStream(s, d, "stream_src_events_rs"), "ts", "user_id", "event_type")
     drainToTable(stats, "stream_running_stats_sink", "update")
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("n_events"), col("first_ts"), col("last_ts"),
+        col("n_event_types"))).as("__fin"))
+      .select(col("user_id"), col("__fin.n_events").as("n_events"),
+        col("__fin.first_ts").as("first_ts"), col("__fin.last_ts").as("last_ts"),
+        col("__fin.n_event_types").as("n_event_types"))
       .orderBy("user_id")
   }
 

@@ -79,6 +79,25 @@ class WinnowHashesSpec extends SparkSpec {
     assert(fps(0).toSet.intersect(fps(1).toSet).nonEmpty)
   }
 
+  test("a null shingle element raises a clear error in both eval paths") {
+    val s = spark
+    import s.implicits._
+    // codegen path: the SQL-registered function with an explicit NULL element
+    val viaSql = intercept[Exception] {
+      Seq(1).toDF("i").select(expr("winnow_hashes(array('a', cast(null as string), 'b'), 2)"))
+        .collect()
+    }
+    assert(viaSql.toString.contains("null shingle") ||
+      Option(viaSql.getCause).exists(_.toString.contains("null shingle")), viaSql.toString)
+    // interpreted path
+    val e = WinnowHashes(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Seq("a", null, "b"),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)),
+      2)
+    val interp = intercept[IllegalArgumentException] { e.eval(null) }
+    assert(interp.getMessage.contains("null shingle"))
+  }
+
   test("the expression stays inside whole-stage codegen") {
     val plan = spark.range(3)
       .select(concat(col("id").cast("string"), lit(" a b c d e f")).as("text"))

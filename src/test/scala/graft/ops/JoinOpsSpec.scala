@@ -116,6 +116,38 @@ class JoinOpsSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("both joins reject reserved internal column names on either input") {
+    intercept[IllegalArgumentException] {
+      JoinOps.asofJoin(events.withColumn("__m", lit(1)), "k", "t", orders, "k2", "t2")
+    }
+    intercept[IllegalArgumentException] {
+      JoinOps.asofJoin(events, "k", "t", orders.withColumn("__tag", lit(1)), "k2", "t2")
+    }
+    intercept[IllegalArgumentException] {
+      JoinOps.intervalJoin(events.withColumn("__b", lit(1)), "t",
+        orders.withColumnRenamed("t2", "e2"), "t2", "e2", 2L)
+    }
+  }
+
+  test("intervalJoin buckets exactly beyond 2^53 (double floor would misplace)") {
+    // 2^53+3 is not double-representable: floor((2^53+3)/2.0) = 2^52+2, but the
+    // true floor is 2^52+1. Exact integer bucket math must keep every
+    // qualifying pair; compare against the naive BETWEEN reference.
+    val base = (1L << 53) + 1L
+    val ps = (0L until 8L).map(i => (i, base + i))
+    val ivs = (0L until 8L).map(i => (i, base + i, base + i + 3L))
+    val pdf = ps.toDF("pid", "p")
+    val idf = ivs.toDF("iid", "s", "e")
+    val expected = (for {
+      (pid, p) <- ps; (iid, s, e) <- ivs; if s <= p && p < e
+    } yield (pid, iid)).toSet
+    for (w <- Seq(1L, 2L, 3L)) {
+      val got = JoinOps.intervalJoin(pdf, "p", idf, "s", "e", w)
+        .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+      assert(got == expected, s"pairs lost/invented past 2^53 at width $w")
+    }
+  }
+
   test("asofJoin plans a single hash exchange on the key") {
     val out = JoinOps.asofJoin(events, "k", "t", orders, "k2", "t2")
     val plan = out.queryExecution.executedPlan.toString

@@ -90,6 +90,14 @@ class SimOpsPqSpec extends SparkSpec {
     assert(salted == plain && plain.size == 5)
   }
 
+  test("pqCodebook rejects a non-integral id column up front") {
+    val stringIds = vecs.withColumn("vec_id", concat(lit("doc-"), $"vec_id"))
+    val err = intercept[IllegalArgumentException] {
+      SimOps.pqCodebook(stringIds, "vec_id", "embedding", dim = 8, m = 2, ksub = 4)
+    }
+    assert(err.getMessage.contains("must be integral"))
+  }
+
   test("pq plans stay equi-join + broadcast (no nested loop, no sort-merge)") {
     val plan = SimOps.pqTopK(vecs, vecs.filter($"vec_id" === 10L), codebook,
       "vec_id", "embedding", dim = 8, m = 2, k = 3)

@@ -62,6 +62,36 @@ class StreamingOpsSpec extends SparkSpec {
     assert(fin._1 == ts(1) && fin._2 == ts(5)) // min survives, max advances
   }
 
+  test("the Update-sink reduction recovers exactly the final state per user under multi-batch") {
+    // The memory sink holds one row per (batch, touched user) — user 1 is
+    // deliberately updated in TWO batches so it appears as both n=2 and n=3.
+    // The reduction streamRunningStats applies (max-by-struct on the
+    // strictly monotone n_events) must collapse that to the final state
+    // regardless of how the source split into batches.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val stats = StreamingOps.runningUserStats(
+      input.toDF().toDF("ts", "user_id", "event_type"), "ts", "user_id", "event_type")
+    val q = stats.writeStream.format("memory").queryName("rus_mb").outputMode("update").start()
+    input.addData((ts(1), 1L, "click"), (ts(2), 1L, "view"), (ts(1), 2L, "click"))
+    q.processAllAvailable()
+    input.addData((ts(5), 1L, "click"))
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("rus_mb").filter($"user_id" === 1L).count() == 2L) // the hazard is real
+    import org.apache.spark.sql.functions._
+    val reduced = spark.table("rus_mb")
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("n_events"), col("first_ts"), col("last_ts"),
+        col("n_event_types"))).as("__fin"))
+      .select(col("user_id"), col("__fin.n_events").as("n_events"),
+        col("__fin.first_ts").as("first_ts"), col("__fin.last_ts").as("last_ts"),
+        col("__fin.n_event_types").as("n_event_types"))
+    val rows = reduced.as[(Long, Long, Timestamp, Timestamp, Long)].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      (1L, 3L, ts(1), ts(5), 2L),
+      (2L, 1L, ts(1), ts(1), 1L)))
+  }
+
   test("streamingDedup keeps one row per key across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long)]
