@@ -237,12 +237,21 @@ object AchillesGen {
         s"stack(${cols.size}, " +
           cols.map(a => s"CAST(${a.id} AS BIGINT), CAST(`${a.column}` AS DOUBLE)").mkString(", ") +
           ") AS (analysis_id, __v)"
-      val stacked = df
-        .withColumn("stratum_1", stratum)
+      // Per-table VALUE HISTOGRAM, not raw rows: the groupBy is map-side
+      // combinable, so low-cardinality measures (quantity/discount/tax
+      // style domains) collapse at the scan and the rank window downstream
+      // never sees raw fact rows — the round-7 switch from the per-row
+      // distAgg (identical results: the histogram moments are the same
+      // exact decimal sums, the quantile brackets the same order
+      // statistics). Worst case (all-distinct values) degrades to the old
+      // shuffle size, never worse.
+      df.withColumn("stratum_1", stratum)
         .select(col("stratum_1"), expr(stackExpr))
         .filter(col("__v").isNotNull)
-      distAgg(stacked, Seq("analysis_id", "stratum_1"))
+        .groupBy(col("analysis_id"), col("stratum_1"), col("__v"))
+        .agg(count(lit(1)).as("__cnt"))
     }.pipe(graft.Unions.balanced)
+      .pipe(hist => distAggFromValueCounts(hist, Seq("analysis_id", "stratum_1")))
       .orderBy("analysis_id", "stratum_1")
 
   /** The quantile-interpolation + final-projection tail shared by
@@ -292,15 +301,21 @@ object AchillesGen {
         max(when(r > col("__cum") - col("__cnt") && r <= col("__cum"), col("__v")))
       Seq(at(floor(h)).as(s"__lo_$name"), at(floor(h) + 1).as(s"__hi_$name"))
     }
-    // exact decimal moments: decimal(28,10) x decimal(9,0) -> decimal(38,10)
-    // with NO precision loss, so the histogram-weighted sum equals the
-    // oracle's raw-row decimal sum bit for bit (see distAgg's doc)
+    // exact decimal moments: decimal(24,10) x decimal(13,0) -> decimal(38,10)
+    // lands exactly at the 38 cap with NO precision loss, so the
+    // histogram-weighted sum equals the oracle's raw-row decimal sum bit
+    // for bit (see distAgg's doc). Bounds this trades on: |__v| <= 1e7
+    // (so __v*__v fits 14 integer digits — every CDM measure domain:
+    // days, per-entity counts, prices, char counts) and a per-(group,
+    // value) multiplicity < 1e13, which survives a ~1e12-row 100 TB
+    // stratum with a constant hot value (the previous decimal(9,0) cap
+    // overflowed to null at 1e9 identical rows).
     val aggs = Seq(
       sum(col("__cnt")).as("count_value"),
       round(min(col("__v")), 4).as("min_value"),
       round(max(col("__v")), 4).as("max_value"),
-      sum(col("__v").cast("decimal(28,10)") * col("__cnt").cast("decimal(9,0)")).as("__sv"),
-      sum((col("__v") * col("__v")).cast("decimal(28,10)") * col("__cnt").cast("decimal(9,0)"))
+      sum(col("__v").cast("decimal(24,10)") * col("__cnt").cast("decimal(13,0)")).as("__sv"),
+      sum((col("__v") * col("__v")).cast("decimal(24,10)") * col("__cnt").cast("decimal(13,0)"))
         .as("__svv"),
       max(col("__n")).as("__nn")) ++ brackets
     distTail(base.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*), keys)
