@@ -32,20 +32,22 @@ object OhdsiAchilles {
       id: Long, name: String, stratum1: String = "", stratum2: String = "",
       isDist: Boolean = false)
 
-  /** The `x00`/`x01` domain series of the CDM event tables (public Achilles
-    * id convention): table -> (series base, concept column).
+  /** The `x00`/`x01`/`x02` domain series of the CDM event tables (public
+    * Achilles id convention): table -> (series base, concept column, start
+    * date column — the CDM 5.4 event-date field the `x02` calendar-month
+    * stratification uses).
     */
-  val DomainSeries: Seq[(String, Long, String)] = Seq(
-    ("visit_occurrence", 200L, "visit_concept_id"),
-    ("condition_occurrence", 400L, "condition_concept_id"),
-    ("death", 500L, "cause_concept_id"),
-    ("procedure_occurrence", 600L, "procedure_concept_id"),
-    ("drug_exposure", 700L, "drug_concept_id"),
-    ("observation", 800L, "observation_concept_id"),
-    ("drug_era", 900L, "drug_concept_id"),
-    ("condition_era", 1000L, "condition_concept_id"),
-    ("measurement", 1800L, "measurement_concept_id"),
-    ("device_exposure", 2100L, "device_concept_id"))
+  val DomainSeries: Seq[(String, Long, String, String)] = Seq(
+    ("visit_occurrence", 200L, "visit_concept_id", "visit_start_date"),
+    ("condition_occurrence", 400L, "condition_concept_id", "condition_start_date"),
+    ("death", 500L, "cause_concept_id", "death_date"),
+    ("procedure_occurrence", 600L, "procedure_concept_id", "procedure_date"),
+    ("drug_exposure", 700L, "drug_concept_id", "drug_exposure_start_date"),
+    ("observation", 800L, "observation_concept_id", "observation_date"),
+    ("drug_era", 900L, "drug_concept_id", "drug_era_start_date"),
+    ("condition_era", 1000L, "condition_concept_id", "condition_era_start_date"),
+    ("measurement", 1800L, "measurement_concept_id", "measurement_date"),
+    ("device_exposure", 2100L, "device_concept_id", "device_exposure_start_date"))
 
   /** The vendored core catalog (public Achilles `achilles_analysis_details`
     * entries; names follow the published wording).
@@ -64,15 +66,32 @@ object OhdsiAchilles {
     CoreAnalysis(104L, "Distribution of age at first observation period by gender",
       "gender_concept_id", isDist = true),
     CoreAnalysis(105L, "Length of observation (days) of first observation period", isDist = true),
+    CoreAnalysis(106L,
+      "Length of observation (days) of first observation period, by gender",
+      "gender_concept_id", isDist = true),
+    CoreAnalysis(107L,
+      "Length of observation (days) of first observation period, by age decile",
+      "age_decile", isDist = true),
+    CoreAnalysis(108L,
+      "Number of persons by length of first observation period, in 30d increments",
+      "length_30d"),
+    CoreAnalysis(109L, "Number of persons with continuous observation in each year",
+      "calendar_year"),
+    CoreAnalysis(110L, "Number of persons with continuous observation in each month",
+      "calendar_month"),
     CoreAnalysis(111L, "Number of persons by observation period start month", "calendar_month"),
     CoreAnalysis(112L, "Number of persons by observation period end month", "calendar_month"),
     CoreAnalysis(113L, "Number of persons by number of observation periods", "num_periods"),
     CoreAnalysis(203L, "Distribution of number of visit occurrences per person", isDist = true)) ++
-    DomainSeries.flatMap { case (tb, base, concept) =>
+    DomainSeries.flatMap { case (tb, base, concept, _) =>
       val entity = tb.replace('_', ' ')
       Seq(
         CoreAnalysis(base, s"Number of persons with at least one $entity, by $concept", concept),
-        CoreAnalysis(base + 1, s"Number of $entity records, by $concept", concept))
+        CoreAnalysis(base + 1, s"Number of $entity records, by $concept", concept),
+        // x02: the per-concept calendar-month prevalence series Atlas's
+        // by-month trellis charts read (public Achilles id convention)
+        CoreAnalysis(base + 2, s"Number of persons by $entity start month, by $concept",
+          concept, "calendar_month"))
     }
 
   /** The populated `achilles_analysis` catalog table
@@ -98,7 +117,7 @@ object OhdsiAchilles {
     has(model, "person", "person_id") ||
       has(model, "observation_period", "person_id",
         "observation_period_start_date", "observation_period_end_date") ||
-      DomainSeries.exists { case (tb, _, concept) => has(model, tb, concept) }
+      DomainSeries.exists { case (tb, _, concept, _) => has(model, tb, concept) }
 
   /** Whether the model carries any core DIST analysis's tables. */
   def supportsDist(model: CdmModel): Boolean =
@@ -176,7 +195,34 @@ object OhdsiAchilles {
               col("__e") >= to_date(concat(col("__y"), lit("-12-31"))))
             .groupBy(col("__y").cast("string").as("stratum_1"))
             .agg(countDistinct(col("person_id")).as("count_value"))
-            .select(lit(109L).as("analysis_id"), col("stratum_1"), noS2, col("count_value")))
+            .select(lit(109L).as("analysis_id"), col("stratum_1"), noS2, col("count_value")),
+          // 110: persons with CONTINUOUS observation in each month — the
+          // monthly sibling of 109. Candidate months explode from the
+          // period's own span (bounded fan-out: a decade-long period is
+          // 120 rows), the whole-month cover predicate filters, persons
+          // dedup per month.
+          op.select(col("person_id"),
+              explode(sequence(trunc(col("observation_period_start_date"), "MM"),
+                trunc(col("observation_period_end_date"), "MM"),
+                expr("interval 1 month"))).as("__m"),
+              col("observation_period_start_date").as("__s"),
+              col("observation_period_end_date").as("__e"))
+            .filter(col("__s") <= col("__m") && col("__e") >= last_day(col("__m")))
+            .groupBy(date_format(col("__m"), "yyyyMM").as("stratum_1"))
+            .agg(countDistinct(col("person_id")).as("count_value"))
+            .select(lit(110L).as("analysis_id"), col("stratum_1"), noS2, col("count_value")),
+          // 108: persons by length of FIRST observation period in 30-day
+          // increments (stratum = floor(days/30); first period = min-by
+          // start date, matching dist analysis 105's choice of period)
+          op.groupBy(col("person_id"))
+            .agg(min_by(
+              struct(col("observation_period_start_date"), col("observation_period_end_date")),
+              col("observation_period_start_date")).as("__p"))
+            .select(floor(datediff(col("__p.observation_period_end_date"),
+              col("__p.observation_period_start_date")) / 30).as("__len30"))
+            .groupBy(col("__len30").cast("string").as("stratum_1"))
+            .agg(count(lit(1)).as("count_value"))
+            .select(lit(108L).as("analysis_id"), col("stratum_1"), noS2, col("count_value")))
         // 101/102: persons by age (and by gender by age) at FIRST
         // observation period — one shuffle on person_id, then tiny strata
         if (has(model, "person", "year_of_birth")) {
@@ -201,12 +247,24 @@ object OhdsiAchilles {
       }
 
     val domains: Seq[DataFrame] = DomainSeries.collect {
-      case (tb, base, concept) if has(model, tb, concept) && model.columns(tb).contains("person_id") =>
+      case (tb, base, concept, dateCol) if has(model, tb, concept) && model.columns(tb).contains("person_id") =>
         val df = load(tb)
+        val withMonth =
+          if (!has(model, tb, dateCol)) Nil
+          else Seq(
+            // x02: persons by concept by calendar month (two strata — the
+            // Atlas prevalence-by-month series); one map-side-combinable
+            // aggregate on (concept, YYYYMM)
+            df.filter(col(dateCol).isNotNull)
+              .groupBy(col(concept).cast("string").as("stratum_1"),
+                date_format(col(dateCol), "yyyyMM").as("stratum_2"))
+              .agg(countDistinct(col("person_id")).as("count_value"))
+              .select(lit(base + 2).as("analysis_id"), col("stratum_1"), col("stratum_2"),
+                col("count_value")))
         Seq(
           row(base, col(concept), df, countDistinct(col("person_id"))),
-          row(base + 1, col(concept), df, count(lit(1))))
-      case (tb, base, concept) if has(model, tb, concept) =>
+          row(base + 1, col(concept), df, count(lit(1)))) ++ withMonth
+      case (tb, base, concept, _) if has(model, tb, concept) =>
         Seq(row(base + 1, col(concept), load(tb), count(lit(1))))
     }.flatten
 
@@ -229,37 +287,60 @@ object OhdsiAchilles {
         .withColumn("analysis_id", lit(id))
         .withColumn("stratum_1", lit("ALL"))
 
+    /** A stratified histogram: `(stratum expr, __v)` -> dist input rows. */
+    def stratHist(df: DataFrame, id: Long, stratum: org.apache.spark.sql.Column): DataFrame =
+      df.groupBy(stratum.cast("string").as("stratum_1"), col("__v"))
+        .agg(count(lit(1)).as("__cnt"))
+        .withColumn("analysis_id", lit(id))
+
     val parts = Seq.newBuilder[DataFrame]
-    if (has(model, "person", "person_id", "year_of_birth") &&
-      has(model, "observation_period", "person_id", "observation_period_start_date")) {
-      val firstObs = load("observation_period")
-        .groupBy(col("person_id"))
-        .agg(min(col("observation_period_start_date")).as("__first"))
-      val withGender = has(model, "person", "gender_concept_id")
-      val age = load("person").select(
-          col("person_id"), col("year_of_birth"),
-          (if (withGender) col("gender_concept_id")
-          else lit(null).cast("long")).as("__g"))
-        .join(firstObs, "person_id")
-        .select(col("__g"), (year(col("__first")) - col("year_of_birth")).cast("double").as("__v"))
-      parts += hist(age.select(col("__v")), 103L)
-      // 104: the same ages stratified by gender (stratum_1 = gender id)
-      if (withGender)
-        parts += age.groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("__cnt"))
-          .withColumn("analysis_id", lit(104L))
-          .withColumn("stratum_1", col("__g").cast("string"))
-          .drop("__g")
-    }
-    if (has(model, "observation_period", "person_id",
-      "observation_period_start_date", "observation_period_end_date")) {
-      val len = load("observation_period")
+    val hasLen = has(model, "observation_period", "person_id",
+      "observation_period_start_date", "observation_period_end_date")
+    val hasAge = has(model, "person", "person_id", "year_of_birth") &&
+      has(model, "observation_period", "person_id", "observation_period_start_date")
+    if (hasAge || hasLen) {
+      // ONE first-period frame (min-by start date) shared by the whole
+      // 103..107 family: age at first period, its length in days, gender
+      // and age-decile stratifications all derive from the same shuffle.
+      val endCol =
+        if (hasLen) col("observation_period_end_date")
+        else lit(null).cast("date").as("observation_period_end_date")
+      val firstP = load("observation_period")
+        .select(col("person_id"), col("observation_period_start_date"), endCol)
         .groupBy(col("person_id"))
         .agg(min_by(
           struct(col("observation_period_start_date"), col("observation_period_end_date")),
           col("observation_period_start_date")).as("__p"))
-        .select(datediff(col("__p.observation_period_end_date"),
-          col("__p.observation_period_start_date")).cast("double").as("__v"))
-      parts += hist(len, 105L)
+      val withGender = has(model, "person", "gender_concept_id")
+      val enriched =
+        if (!hasAge) firstP.select(col("person_id"),
+          lit(null).cast("long").as("__g"), lit(null).cast("double").as("__age"),
+          col("__p"))
+        else load("person").select(
+            col("person_id"), col("year_of_birth"),
+            (if (withGender) col("gender_concept_id")
+            else lit(null).cast("long")).as("__g"))
+          .join(firstP, "person_id")
+          .select(col("person_id"), col("__g"),
+            (year(col("__p.observation_period_start_date")) - col("year_of_birth"))
+              .cast("double").as("__age"),
+            col("__p"))
+      if (hasAge) {
+        val age = enriched.select(col("__g"), col("__age").as("__v"))
+        parts += hist(age.select(col("__v")), 103L)
+        // 104: the same ages stratified by gender (stratum_1 = gender id)
+        if (withGender) parts += stratHist(age, 104L, col("__g"))
+      }
+      if (hasLen) {
+        val len = enriched.select(col("__g"), col("__age"),
+          datediff(col("__p.observation_period_end_date"),
+            col("__p.observation_period_start_date")).cast("double").as("__v"))
+        parts += hist(len.select(col("__v")), 105L)
+        // 106/107: first-period length by gender / by age decile at first
+        // observation (public Achilles convention ids)
+        if (withGender) parts += stratHist(len, 106L, col("__g"))
+        if (hasAge) parts += stratHist(len, 107L, floor(col("__age") / 10).cast("long"))
+      }
     }
     if (has(model, "visit_occurrence", "person_id")) {
       val perPerson = load("visit_occurrence")

@@ -159,8 +159,18 @@ object SimOps {
     * query pins this: same DuckDB SQL as `sim_ivf_topk`); what changes is
     * the join key cardinality: no (centroid, salt) group exceeds
     * ~`maxList` items, so the widest task is bounded regardless of how
-    * skewed the clustering is. The extra cost is one broadcast-joined
-    * per-centroid size aggregate (|centroids| rows).
+    * skewed the clustering is.
+    *
+    * List widths come from a deterministic hash-SAMPLE of the assignment
+    * (`sizeSampleRate`, default 10%), scaled back up — NOT from a second
+    * full corpus-to-centroid assignment. Salt counts shape task sizes
+    * only, never results, so an estimate is exactly as correct as an
+    * exact count; an exact count costs a full re-evaluation of the
+    * crossJoin-assign (the dominant stage), which the round-7 sf1 soak
+    * measured as a 4.3x slowdown over [[ivfTopK]]. Hot lists — the only
+    * ones that matter — are huge, so their sampled estimate is tight;
+    * a list the sample misses entirely is small and keeps nsalt = 1.
+    * Pass `sizeSampleRate = 1.0` to recover exact widths (tests do).
     */
   def ivfTopKSalted(
       corpus: DataFrame,
@@ -170,20 +180,31 @@ object SimOps {
       vecCol: String,
       k: Int,
       nprobe: Int,
-      maxList: Int = 4096): DataFrame = {
+      maxList: Int = 4096,
+      sizeSampleRate: Double = 0.1): DataFrame = {
     require(maxList > 0, s"maxList must be positive, got $maxList")
+    require(sizeSampleRate > 0 && sizeSampleRate <= 1.0,
+      s"sizeSampleRate must be in (0, 1], got $sizeSampleRate")
     val cent = broadcast(centroids.select(
       col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("centroid_vec")))
     val inverted = assignToCentroids(corpus, cent, idCol, vecCol, "item_id", "item_vec", keep = 1)
-    val sizes = inverted.groupBy("centroid_id").agg(count(lit(1)).as("__n"))
-    val nsalt = greatest(ceil(col("__n") / lit(maxList.toDouble)), lit(1.0)).cast("int")
-    val invSalted = inverted.join(broadcast(sizes), "centroid_id")
+    val sampleMod = math.max(1, math.round(1.0 / sizeSampleRate).toInt)
+    val sampled =
+      if (sampleMod == 1) corpus
+      else corpus.filter(pmod(hash(col(idCol)), lit(sampleMod)) === 0)
+    val salts = assignToCentroids(sampled, cent, idCol, vecCol, "item_id", "item_vec", keep = 1)
+      .groupBy("centroid_id")
+      .agg((count(lit(1)) * sampleMod).as("__n_est"))
+      .select(col("centroid_id"),
+        greatest(ceil(col("__n_est") / lit(maxList.toDouble)), lit(1.0)).cast("int").as("__nsalt"))
+    val nsalt = coalesce(col("__nsalt"), lit(1))
+    val invSalted = inverted.join(broadcast(salts), Seq("centroid_id"), "left")
       .withColumn("__salt", pmod(hash(col("item_id")), nsalt))
-      .drop("__n")
+      .drop("__nsalt")
     val probes = assignToCentroids(queries, cent, idCol, vecCol, "query_id", "query_vec", keep = nprobe)
-      .join(broadcast(sizes), "centroid_id")
+      .join(broadcast(salts), Seq("centroid_id"), "left")
       .withColumn("__salt", explode(sequence(lit(0), nsalt - 1)))
-      .drop("__n")
+      .drop("__nsalt")
     val w = Window.partitionBy(col("query_id")).orderBy(desc("sim"), col("item_id"))
     probes
       .join(invSalted, Seq("centroid_id", "__salt"))

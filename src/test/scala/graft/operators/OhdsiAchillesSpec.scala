@@ -52,13 +52,14 @@ class OhdsiAchillesSpec extends SparkSpec {
 
   test("analysisCatalog carries the literal core id set") {
     val cat = OhdsiAchilles.analysisCatalog(spark).collect()
-    assert(cat.length === 35)
+    assert(cat.length === 50)
     val ids = cat.map(_.getLong(0))
     assert(ids.sorted.toSeq === ids.toSeq) // ordered by analysis_id
-    for (core <- Seq(1L, 2L, 101L, 105L, 111L, 201L, 401L, 701L, 1801L))
+    for (core <- Seq(1L, 2L, 101L, 105L, 108L, 109L, 110L, 111L, 201L, 202L,
+        401L, 402L, 701L, 1801L, 1802L))
       assert(ids.contains(core), s"missing core id $core")
     val dists = cat.filter(_.getLong(4) == 1L).map(_.getLong(0)).toSet
-    assert(dists === Set(103L, 104L, 105L, 203L))
+    assert(dists === Set(103L, 104L, 105L, 106L, 107L, 203L))
   }
 
   test("cdmCoreResults carries literal ids with correct counts") {
@@ -81,6 +82,19 @@ class OhdsiAchillesSpec extends SparkSpec {
     assert(r((109L, "2015", "")) === 1L)
     assert(r((109L, "2016", "")) === 1L)
     assert(!r.keySet.exists { case (id, s, _) => id == 109L && s == "2010" })
+    // 110: months fully covered by some period — Jan 2010 needs length
+    // >= 30d (p1,p3..p8), Feb 2010 only the 60/70/80-day periods reach
+    // Feb 28 (p6,p7,p8); p1's 2015 period covers 201501..201708 alone
+    assert(r((110L, "201001", "")) === 7L)
+    assert(r((110L, "201002", "")) === 3L)
+    assert(r((110L, "201501", "")) === 1L)
+    assert(r((110L, "201708", "")) === 1L)
+    assert(!r.keySet.exists { case (id, s, _) => id == 110L && s == "201709" })
+    // 108: first-period length in 30d increments — p2 (20d) -> 0,
+    // p1/p3/p4/p5 (50/30/40/50) -> 1, p6/p7/p8 (60/70/80) -> 2
+    assert(r((108L, "0", "")) === 1L)
+    assert(r((108L, "1", "")) === 4L)
+    assert(r((108L, "2", "")) === 3L)
     assert(r((111L, "201001", "")) === 8L)         // obs start month (persons)
     assert(r((111L, "201501", "")) === 1L)
     assert(r((113L, "1", "")) === 7L)              // persons by #periods
@@ -112,6 +126,14 @@ class OhdsiAchillesSpec extends SparkSpec {
     assert(!rows.contains((104L, "8532")))
     // 105: first-period lengths — person 1's 999-day SECOND period ignored
     assert(rows((105L, "ALL")) === ((8L, 20.0, 80.0, 50.0, 50.0)))
+    // 106/107: the same first-period lengths by gender / by age decile.
+    // Males = p1..p7, lengths {20,30,40,50,50,60,70}: avg 320/7, median 50;
+    // identical membership for age decile 3 (all seven are age 30). The
+    // single-person female / decile-2 strata are suppressed.
+    assert(rows((106L, "8507")) === ((7L, 20.0, 70.0, 45.7143, 50.0)))
+    assert(!rows.contains((106L, "8532")))
+    assert(rows((107L, "3")) === ((7L, 20.0, 70.0, 45.7143, 50.0)))
+    assert(!rows.contains((107L, "2")))
     // 203: visits per person = 1..8
     assert(rows((203L, "ALL")) === ((8L, 1.0, 8.0, 4.5, 4.5)))
   }

@@ -83,11 +83,17 @@ class SimOpsPqSpec extends SparkSpec {
       "vec_id", "embedding", k = 5, nprobe = 1)
       .select("query_id", "item_id", "sim", "rk").as[(Long, Long, Double, Int)].collect().toSet
     val salted = SimOps.ivfTopKSalted(corpus, queries, centroids,
-      "vec_id", "embedding", k = 5, nprobe = 1, maxList = 8)
+      "vec_id", "embedding", k = 5, nprobe = 1, maxList = 8, sizeSampleRate = 1.0)
       .select("query_id", "item_id", "sim", "rk").as[(Long, Long, Double, Int)].collect().toSet
     // identical results: the hot 40-item list (nsalt = ceil(40/8) = 5)
     // must re-assemble across its salted sub-lists without loss or dups
     assert(salted == plain && plain.size == 5)
+    // the sampled-width path (the production default) must also
+    // re-assemble exactly — salt counts shape task sizes, never results
+    val sampledSalted = SimOps.ivfTopKSalted(corpus, queries, centroids,
+      "vec_id", "embedding", k = 5, nprobe = 1, maxList = 8, sizeSampleRate = 0.25)
+      .select("query_id", "item_id", "sim", "rk").as[(Long, Long, Double, Int)].collect().toSet
+    assert(sampledSalted == plain)
   }
 
   test("pqCodebook rejects a non-integral id column up front") {
