@@ -1,0 +1,244 @@
+package graft.sources
+
+/** A minimal Jinja2-subset renderer for user `.sql.jinja` ETL queries.
+  *
+  * The reference renders user SQL through a full Jinja2 environment
+  * (`/root/reference/src/riab/etl/bigquery/etl.py:325-345`), and its own
+  * templates use variables, `{% if %}`/`{% else %}` and `{% for %}` blocks
+  * (the constructs throughout `src/riab/etl/&lt;dialect&gt;/templates/` `.sql.jinja` files).
+  * This renderer implements exactly that subset with Jinja2's published
+  * semantics — and FAILS LOUDLY on anything else. The round-6 advisory
+  * flagged the previous behavior (unknown `{% ... %}` passed through to
+  * `spark.sql` unrendered) as a silent failure mode; now every
+  * unsupported construct raises "unsupported Jinja construct ..." naming
+  * the offending tag.
+  *
+  * Supported:
+  *  - `{{ var }}` substitution (whitespace-tolerant)
+  *  - `{# comment #}` (stripped)
+  *  - whitespace control (`{%- ... -%}` / `{{- ... -}}`), trimming all
+  *    adjacent whitespace like Jinja2's trim markers
+  *  - `{% if cond %} .. {% elif cond %} .. {% else %} .. {% endif %}`
+  *    where cond is `[not] operand [==|!= operand]` and an operand is a
+  *    variable name, `loop.*` attribute, or a quoted literal; Jinja
+  *    truthiness = defined and non-empty
+  *  - `{% for x in xs %} .. {% endfor %}` over a caller-supplied list
+  *    variable; the loop variable shadows scalars inside the body, and
+  *    `loop.first` / `loop.last` / `loop.index` / `loop.index0` /
+  *    `loop.length` are bound inside the body (the reference's own
+  *    templates use `{%- if not loop.first -%},{%- endif %}` as the
+  *    comma-separator idiom)
+  *  - nesting of the above
+  *
+  * Unsupported (clear error): filters (`{{ x | upper }}`), `{% set %}`,
+  * `{% include %}`, `{% macro %}`, arithmetic/comparison beyond ==/!=,
+  * undefined variables (Jinja's silent-empty default hides typos in SQL,
+  * so undefined names are errors here).
+  */
+object JinjaLite {
+
+  /** Render `template` with scalar and list bindings. */
+  def render(
+      template: String,
+      scalars: Map[String, String],
+      lists: Map[String, Seq[String]] = Map.empty): String = {
+    val (nodes, rest) = parseNodes(tokenize(template), inBlock = false)
+    rest match {
+      case Stmt(s) :: _ => sys.error(s"'{% $s %}' without an opening block")
+      case _ =>
+    }
+    val sb = new StringBuilder
+    eval(nodes, scalars, lists, sb)
+    sb.result()
+  }
+
+  // ---- tokens ------------------------------------------------------------
+
+  private sealed trait Tok
+  private final case class Text(s: String) extends Tok
+  private final case class Expr(s: String) extends Tok // {{ ... }}
+  private final case class Stmt(s: String) extends Tok // {% ... %}
+
+  private val TagRe = raw"(?s)\{\{(.*?)\}\}|\{%(.*?)%\}|\{#(.*?)#\}".r
+
+  /** Jinja2 whitespace control: `{%-` eats whitespace before the tag,
+    * `-%}` after it (same for expression and comment delimiters).
+    */
+  private def applyTrimMarkers(t: String): String =
+    t.replaceAll(raw"(?s)\s*\{([{%#])-", "{$1")
+      .replaceAll(raw"(?s)-([}%#])\}\s*", "$1}")
+
+  private def tokenize(raw: String): List[Tok] = {
+    val t = applyTrimMarkers(raw)
+    val out = List.newBuilder[Tok]
+    var last = 0
+    for (m <- TagRe.findAllMatchIn(t)) {
+      if (m.start > last) out += Text(t.substring(last, m.start))
+      if (m.group(1) != null) out += Expr(m.group(1).trim)
+      else if (m.group(2) != null) out += Stmt(m.group(2).trim)
+      // comments drop
+      last = m.end
+    }
+    if (last < t.length) out += Text(t.substring(last))
+    // a stray half-delimiter means the user wrote Jinja we failed to lex
+    val rendered = out.result()
+    rendered.foreach {
+      case Text(s) =>
+        require(!s.contains("{%") && !s.contains("{{") && !s.contains("{#"),
+          s"malformed Jinja delimiter near: ${s.slice(s.indexOf('{'), s.indexOf('{') + 40)}")
+      case _ =>
+    }
+    rendered
+  }
+
+  // ---- AST ----------------------------------------------------------------
+
+  private sealed trait Node
+  private final case class Lit(s: String) extends Node
+  private final case class Var(name: String) extends Node
+  private final case class If(branches: Seq[(Cond, Seq[Node])], otherwise: Seq[Node]) extends Node
+  private final case class For(v: String, list: String, body: Seq[Node]) extends Node
+
+  private final case class Cond(negated: Boolean, lhs: String, op: Option[(String, String)])
+
+  private val Ident = raw"[A-Za-z_][A-Za-z0-9_]*"
+  // a variable reference in {{ .. }} / conditions: plain name or loop attr
+  private val VarRef = raw"(?:$Ident|loop\.(?:first|last|index0?|length))"
+
+  private def isTerminator(s: String): Boolean =
+    s == "else" || s == "endif" || s == "endfor" || s.startsWith("elif ")
+
+  /** Parse until end-of-input (top level) or an `elif`/`else`/`endif`/
+    * `endfor` terminator (inside a block); returns nodes + remaining tokens
+    * STARTING WITH the terminator `Stmt`.
+    */
+  private def parseNodes(toks: List[Tok], inBlock: Boolean): (Seq[Node], List[Tok]) = {
+    val nodes = Seq.newBuilder[Node]
+    var rest = toks
+    while (rest.nonEmpty) {
+      rest match {
+        case Text(s) :: tl => nodes += Lit(s); rest = tl
+        case Expr(e) :: tl =>
+          require(e.matches(VarRef),
+            s"unsupported Jinja construct '{{ $e }}' — only plain variable " +
+              "substitution is supported (no filters or expressions)")
+          nodes += Var(e); rest = tl
+        case Stmt(s) :: tl if s.startsWith("if ") =>
+          val (n, r) = parseIf(cond(s.drop(3)), tl)
+          nodes += n; rest = r
+        case Stmt(s) :: tl if s.matches(s"for\\s+$Ident\\s+in\\s+$Ident") =>
+          val parts = s.split("\\s+")
+          val (body, r) = parseNodes(tl, inBlock = true)
+          r match {
+            case Stmt("endfor") :: r2 => nodes += For(parts(1), parts(3), body); rest = r2
+            case other => sys.error(
+              s"'{% for %}' closed by '${termName(other)}', expected '{% endfor %}'")
+          }
+        case (all @ Stmt(s) :: _) if isTerminator(s) =>
+          require(inBlock, s"'{% $s %}' without an opening block")
+          return (nodes.result(), all)
+        case Stmt(s) :: _ =>
+          val tag = s.split("\\s+").headOption.getOrElse(s)
+          sys.error(s"unsupported Jinja construct '{% $s %}' — this engine renders " +
+            s"variables, if/elif/else and for blocks only (tag '$tag' is not supported)")
+        case Nil => // exhausted
+      }
+    }
+    (nodes.result(), Nil)
+  }
+
+  private def termName(toks: List[Tok]): String = toks match {
+    case Stmt(s) :: _ => s
+    case _ => "<eof>"
+  }
+
+  private def parseIf(c: Cond, toks: List[Tok]): (Node, List[Tok]) = {
+    val branches = Seq.newBuilder[(Cond, Seq[Node])]
+    var currentCond = c
+    var rest = toks
+    var otherwise: Seq[Node] = Nil
+    var done = false
+    while (!done) {
+      val (body, term) = parseNodes(rest, inBlock = true)
+      term match {
+        case Stmt(t) :: tl if t.startsWith("elif ") =>
+          branches += ((currentCond, body))
+          currentCond = cond(t.drop(5))
+          rest = tl
+        case Stmt("else") :: tl =>
+          branches += ((currentCond, body))
+          val (eb, term2) = parseNodes(tl, inBlock = true)
+          term2 match {
+            case Stmt("endif") :: tl2 => otherwise = eb; rest = tl2; done = true
+            case other => sys.error(
+              s"'{% else %}' closed by '${termName(other)}', expected '{% endif %}'")
+          }
+        case Stmt("endif") :: tl =>
+          branches += ((currentCond, body))
+          rest = tl; done = true
+        case other =>
+          sys.error(s"'{% if %}' closed by '${termName(other)}', expected '{% endif %}'")
+      }
+    }
+    (If(branches.result(), otherwise), rest)
+  }
+
+  private def cond(raw: String): Cond = {
+    val s = raw.trim
+    val (neg, body) = if (s.startsWith("not ")) (true, s.drop(4).trim) else (false, s)
+    val cmp = raw"($VarRef|'[^']*'|\x22[^\x22]*\x22)\s*(==|!=)\s*($VarRef|'[^']*'|\x22[^\x22]*\x22)".r
+    body match {
+      case cmp(l, op, r) => Cond(neg, l, Some((op, r)))
+      case v if v.matches(VarRef) => Cond(neg, v, None)
+      case other => sys.error(s"unsupported Jinja condition '$other' — " +
+        "use a variable, 'not var', or == / != against a quoted literal")
+    }
+  }
+
+  // ---- eval ----------------------------------------------------------------
+
+  private def lookup(name: String, scalars: Map[String, String]): String =
+    scalars.getOrElse(name, sys.error(
+      s"undefined Jinja variable '$name' — provided: ${scalars.keys.toSeq.sorted.mkString(", ")}"))
+
+  private def operand(o: String, scalars: Map[String, String]): String =
+    if (o.startsWith("'") || o.startsWith("\"")) o.substring(1, o.length - 1)
+    else lookup(o, scalars)
+
+  private def truthy(c: Cond, scalars: Map[String, String]): Boolean = {
+    val base = c.op match {
+      case Some((op, r)) =>
+        val l = operand(c.lhs, scalars)
+        val rv = operand(r, scalars)
+        if (op == "==") l == rv else l != rv
+      case None => scalars.get(c.lhs).exists(_.nonEmpty)
+    }
+    if (c.negated) !base else base
+  }
+
+  private def eval(nodes: Seq[Node], scalars: Map[String, String],
+      lists: Map[String, Seq[String]], sb: StringBuilder): Unit =
+    nodes.foreach {
+      case Lit(s) => sb.append(s)
+      case Var(n) => sb.append(lookup(n, scalars))
+      case If(branches, otherwise) =>
+        branches.find { case (c, _) => truthy(c, scalars) } match {
+          case Some((_, body)) => eval(body, scalars, lists, sb)
+          case None => eval(otherwise, scalars, lists, sb)
+        }
+      case For(v, listName, body) =>
+        val xs = lists.getOrElse(listName, sys.error(
+          s"undefined Jinja list '$listName' — provided lists: " +
+            lists.keys.toSeq.sorted.mkString(", ")))
+        xs.zipWithIndex.foreach { case (x, i) =>
+          // truthiness is non-empty, so ""/"true" encode loop booleans
+          val loopVars = Map(
+            "loop.first" -> (if (i == 0) "true" else ""),
+            "loop.last" -> (if (i == xs.size - 1) "true" else ""),
+            "loop.index" -> (i + 1).toString,
+            "loop.index0" -> i.toString,
+            "loop.length" -> xs.size.toString)
+          eval(body, scalars ++ loopVars + (v -> x), lists, sb)
+        }
+    }
+}

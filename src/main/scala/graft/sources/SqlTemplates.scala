@@ -25,8 +25,11 @@ object SqlTemplates {
         Matcher.quoteReplacement(v))
     }
 
-  /** Read a user query file; render variables only for `.jinja` files
-    * (`bigquery/etl.py:335-344`).
+  /** Read a user query file; render only `.jinja` files
+    * (`bigquery/etl.py:335-344`) through the [[JinjaLite]] subset engine,
+    * so `{% if %}`/`{% for %}` blocks work with Jinja2 semantics and any
+    * construct beyond the subset fails loudly instead of reaching
+    * `spark.sql` unrendered (round-6 advisory).
     */
   def fromFile(
       path: Path,
@@ -36,11 +39,16 @@ object SqlTemplates {
       datasetOmop: String): String = {
     val raw = new String(Files.readAllBytes(path), "UTF-8")
     if (path.toString.endsWith(".jinja"))
-      render(raw, Map(
+      try JinjaLite.render(raw, Map(
         "project_raw" -> projectRaw,
         "dataset_work" -> datasetWork,
         "dataset_omop" -> datasetOmop,
         "omop_table" -> omopTable))
+      catch {
+        case e: RuntimeException =>
+          throw new IllegalArgumentException(
+            s"failed to render Jinja template $path: ${e.getMessage}", e)
+      }
     else raw
   }
 }

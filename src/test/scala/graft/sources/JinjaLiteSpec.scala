@@ -1,0 +1,116 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Jinja2-subset renderer semantics (reference renders user `.sql.jinja`
+  * through a full Jinja2 environment, `bigquery/etl.py:325-345`; the
+  * constructs covered here are the ones the reference's own templates
+  * use).
+  */
+class JinjaLiteSpec extends AnyFunSuite {
+
+  private val vars = Map(
+    "project_raw" -> "myraw",
+    "dataset_work" -> "work",
+    "dataset_omop" -> "omop",
+    "omop_table" -> "person")
+
+  test("plain variable substitution, whitespace-tolerant") {
+    assert(JinjaLite.render("SELECT * FROM {{project_raw}}_t", vars) ==
+      "SELECT * FROM myraw_t")
+    assert(JinjaLite.render("{{  omop_table  }}_id", vars) == "person_id")
+  }
+
+  test("comments are stripped") {
+    assert(JinjaLite.render("a {# not rendered #}b", vars) == "a b")
+  }
+
+  test("if/elif/else with == and truthiness") {
+    val t = "{% if omop_table == 'person' %}P{% elif omop_table == 'death' %}D{% else %}X{% endif %}"
+    assert(JinjaLite.render(t, vars) == "P")
+    assert(JinjaLite.render(t, vars + ("omop_table" -> "death")) == "D")
+    assert(JinjaLite.render(t, vars + ("omop_table" -> "visit")) == "X")
+    assert(JinjaLite.render("{% if flag %}y{% else %}n{% endif %}",
+      Map("flag" -> "")) == "n")
+    assert(JinjaLite.render("{% if not flag %}y{% endif %}", Map("flag" -> "")) == "y")
+  }
+
+  test("for loop over caller-supplied list, loop variable shadows scalars") {
+    val out = JinjaLite.render(
+      "{% for c in cols %}[{{ c }}]{% endfor %}",
+      Map("c" -> "outer"),
+      Map("cols" -> Seq("a", "b")))
+    assert(out == "[a][b]")
+  }
+
+  test("loop.first comma-separator idiom and loop.index") {
+    val t = "{% for c in cols %}{% if not loop.first %},{% endif %}{{ c }}{{ loop.index }}{% endfor %}"
+    val out = JinjaLite.render(t, Map.empty, Map("cols" -> Seq("x", "y", "z")))
+    assert(out == "x1,y2,z3")
+  }
+
+  test("whitespace control trims like Jinja2") {
+    val t = "SELECT\n  {%- if flag %} a {%- endif %}\nFROM t"
+    assert(JinjaLite.render(t, Map("flag" -> "1")) == "SELECT a\nFROM t")
+    // {{- -}} variant
+    assert(JinjaLite.render("x  {{- v -}}  y", Map("v" -> "Z")) == "xZy")
+  }
+
+  test("nested blocks") {
+    val t = "{% for c in cols %}{% if c == 'b' %}<{{ c }}>{% else %}{{ c }}{% endif %}{% endfor %}"
+    val out = JinjaLite.render(t, Map.empty, Map("cols" -> Seq("a", "b", "c")))
+    assert(out == "a<b>c")
+  }
+
+  test("unsupported constructs fail loudly with the tag named") {
+    val e1 = intercept[RuntimeException] {
+      JinjaLite.render("{% set x = 1 %}", vars)
+    }
+    assert(e1.getMessage.contains("unsupported Jinja construct"))
+    assert(e1.getMessage.contains("set"))
+    val e2 = intercept[RuntimeException] {
+      JinjaLite.render("{{ x | upper }}", Map("x" -> "a"))
+    }
+    assert(e2.getMessage.contains("unsupported Jinja construct"))
+  }
+
+  test("undefined variables and lists are errors, not silent empties") {
+    val e = intercept[RuntimeException] {
+      JinjaLite.render("{{ missing }}", vars)
+    }
+    assert(e.getMessage.contains("undefined Jinja variable 'missing'"))
+    val e2 = intercept[RuntimeException] {
+      JinjaLite.render("{% for x in nope %}{{ x }}{% endfor %}", vars)
+    }
+    assert(e2.getMessage.contains("undefined Jinja list 'nope'"))
+  }
+
+  test("unbalanced blocks are errors") {
+    val e = intercept[RuntimeException] {
+      JinjaLite.render("{% if flag %}a", Map("flag" -> "1"))
+    }
+    assert(e.getMessage.contains("expected '{% endif %}'"))
+    val e2 = intercept[RuntimeException] {
+      JinjaLite.render("a{% endif %}", vars)
+    }
+    assert(e2.getMessage.contains("without an opening block"))
+  }
+
+  test("SqlTemplates.fromFile renders the contract variables through JinjaLite") {
+    val dir = java.nio.file.Files.createTempDirectory("jinja")
+    val p = dir.resolve("person.sql.jinja")
+    java.nio.file.Files.write(p,
+      ("SELECT 1 AS {{omop_table}}_id FROM {{project_raw}}_t" +
+        "{% if omop_table == 'person' %} WHERE x > 0{% endif %}").getBytes("UTF-8"))
+    val sql = SqlTemplates.fromFile(p, "person", "myraw", "work", "omop")
+    assert(sql == "SELECT 1 AS person_id FROM myraw_t WHERE x > 0")
+    // a construct beyond the subset is a clear error naming the file
+    val bad = dir.resolve("bad.sql.jinja")
+    java.nio.file.Files.write(bad, "{% include 'x' %}".getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      SqlTemplates.fromFile(bad, "person", "myraw", "work", "omop")
+    }
+    assert(e.getMessage.contains("bad.sql.jinja"))
+    assert(e.getMessage.contains("unsupported Jinja construct"))
+  }
+}
