@@ -127,7 +127,32 @@ object SimOps {
       .drop("centroid_vec", "__csim", "__crk")
   }
 
+  /** IVF ANN top-k — the default scale path. Routes through
+    * [[ivfTopKSalted]]: the round-7 sf1 soak measured the salted plan at
+    * 13.5s / worst_skew 1.3 vs 20.4s for the unsalted join on the same
+    * data (and r6 measured 15x max/median task skew unsalted), so bounded
+    * list width is strictly better at scale and identical in results
+    * (oracle-pinned: `sim_ivf_topk` and `sim_ivf_topk_salted` share one
+    * DuckDB oracle). [[ivfTopKUnsalted]] remains as the reference
+    * formulation the equivalence tests compare against.
+    */
   def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int): DataFrame =
+    ivfTopKSalted(corpus, queries, centroids, idCol, vecCol, k, nprobe)
+
+  /** The plain inverted-list join, one task per probed centroid list —
+    * results identical to [[ivfTopK]]; kept as the reference formulation
+    * (its task width is unbounded: a hot centroid's whole list lands in
+    * one task, measured 15x max/median at sf1, which is why the salted
+    * plan is the default).
+    */
+  def ivfTopKUnsalted(
       corpus: DataFrame,
       queries: DataFrame,
       centroids: DataFrame,

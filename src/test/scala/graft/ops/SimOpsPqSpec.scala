@@ -79,7 +79,7 @@ class SimOpsPqSpec extends SparkSpec {
       (41L to 44L).map(i => (i, Seq(1f, 10f + i * 0.01f)))).toDF("vec_id", "embedding")
     val centroids = Seq((900L, Seq(1f, 0.1f)), (901L, Seq(0.1f, 1f))).toDF("vec_id", "embedding")
     val queries = Seq((500L, Seq(5f, 1f))).toDF("vec_id", "embedding")
-    val plain = SimOps.ivfTopK(corpus, queries, centroids,
+    val plain = SimOps.ivfTopKUnsalted(corpus, queries, centroids,
       "vec_id", "embedding", k = 5, nprobe = 1)
       .select("query_id", "item_id", "sim", "rk").as[(Long, Long, Double, Int)].collect().toSet
     val salted = SimOps.ivfTopKSalted(corpus, queries, centroids,

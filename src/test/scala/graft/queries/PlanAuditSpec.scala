@@ -42,11 +42,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges <= 4, s"expected <=4 shuffles, got $exchanges:\n$p")
   }
 
-  test("generated dist battery costs one window shuffle per table branch") {
-    // one hash exchange per table with measure columns (window + groupBy on
-    // the same keys reuse ONE shuffle each) + the final deterministic-order
-    // range exchange; one more would mean a column stopped going through
-    // the stacked single-pass shape. The bound is derived from the model so
+  test("generated dist battery shuffles histograms, not raw rows") {
+    // the r7 histogram path: one map-side-combinable pre-aggregate
+    // exchange per table with measure columns (value-histogram groupBy —
+    // collapses at the scan), then ONE window exchange over the tiny
+    // UNION of histograms (the rank window never sees raw rows), then the
+    // final deterministic-order range exchange: measureTables + 2 total.
+    // One more would mean a branch stopped going through the stacked
+    // single-pass histogram shape. The bound is derived from the model so
     // adding a table grows it automatically.
     import org.apache.spark.sql.types.{DoubleType, LongType}
     val m = graft.model.TpchModel.modelWithEvents
@@ -57,8 +60,8 @@ class PlanAuditSpec extends SparkSpec {
     }
     val p = plan("achilles_dist_generated")
     val exchanges = p.linesIterator.count(_.contains("- Exchange"))
-    assert(exchanges <= measureTables + 1,
-      s"expected <=${measureTables + 1} shuffles, got $exchanges:\n$p")
+    assert(exchanges <= measureTables + 2,
+      s"expected <=${measureTables + 2} shuffles, got $exchanges:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
 
@@ -201,5 +204,22 @@ class PlanAuditSpec extends SparkSpec {
     // partial agg + two tiny exchanges (pid-group, final group) + sort
     val exchanges = p.linesIterator.count(_.contains("- Exchange"))
     assert(exchanges <= 3, s"q1 plans $exchanges exchanges:\n$p")
+  }
+
+  test("default IVF path joins inverted lists on the SALTED key") {
+    // ivfTopK routes through ivfTopKSalted (r7): the inverted-list join
+    // must carry the __salt column in its keys so no task exceeds maxList
+    // items, and the salt-width estimate must join as a broadcast
+    val p = plan("sim_ivf_topk")
+    val joinLine = p.linesIterator.find(l =>
+      l.contains("Join") && l.contains("centroid_id") && l.contains("__salt"))
+    assert(joinLine.isDefined,
+      s"inverted-list join lost the __salt key — skew bound gone:\n$p")
+    // the two salt-width lookups (LeftOuter onto the tiny estimate table)
+    // must broadcast, never shuffle the corpus for them
+    val widthJoins = p.linesIterator.filter(l =>
+      l.contains("Join") && l.contains("LeftOuter")).toSeq
+    assert(widthJoins.nonEmpty && widthJoins.forall(_.contains("BroadcastHashJoin")),
+      s"salt-width join not broadcast:\n${widthJoins.mkString("\n")}")
   }
 }
