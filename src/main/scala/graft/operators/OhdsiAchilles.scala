@@ -32,22 +32,37 @@ object OhdsiAchilles {
       id: Long, name: String, stratum1: String = "", stratum2: String = "",
       isDist: Boolean = false)
 
-  /** The `x00`/`x01`/`x02` domain series of the CDM event tables (public
-    * Achilles id convention): table -> (series base, concept column, start
-    * date column — the CDM 5.4 event-date field the `x02` calendar-month
-    * stratification uses).
+  /** One CDM event-table series of the public Achilles id convention:
+    * `base+0` persons by concept, `+1` records by concept, `+2` persons by
+    * start month by concept, `+3` distinct concepts per person (DIST,
+    * absent for death — one row per person), `+5` records by concept by
+    * type concept (absent where CDM 5.4 has no `_type_concept_id`: visit
+    * kept out conservatively, death, and the era tables).
     */
-  val DomainSeries: Seq[(String, Long, String, String)] = Seq(
-    ("visit_occurrence", 200L, "visit_concept_id", "visit_start_date"),
-    ("condition_occurrence", 400L, "condition_concept_id", "condition_start_date"),
-    ("death", 500L, "cause_concept_id", "death_date"),
-    ("procedure_occurrence", 600L, "procedure_concept_id", "procedure_date"),
-    ("drug_exposure", 700L, "drug_concept_id", "drug_exposure_start_date"),
-    ("observation", 800L, "observation_concept_id", "observation_date"),
-    ("drug_era", 900L, "drug_concept_id", "drug_era_start_date"),
-    ("condition_era", 1000L, "condition_concept_id", "condition_era_start_date"),
-    ("measurement", 1800L, "measurement_concept_id", "measurement_date"),
-    ("device_exposure", 2100L, "device_concept_id", "device_exposure_start_date"))
+  final case class DomainDef(
+      table: String, base: Long, concept: String, startDate: String,
+      typeCol: Option[String] = None, perPersonDist: Boolean = true)
+
+  /** The domain series of the CDM event tables (public Achilles id
+    * convention).
+    */
+  val DomainSeries: Seq[DomainDef] = Seq(
+    DomainDef("visit_occurrence", 200L, "visit_concept_id", "visit_start_date"),
+    DomainDef("condition_occurrence", 400L, "condition_concept_id", "condition_start_date",
+      typeCol = Some("condition_type_concept_id")),
+    DomainDef("death", 500L, "cause_concept_id", "death_date", perPersonDist = false),
+    DomainDef("procedure_occurrence", 600L, "procedure_concept_id", "procedure_date",
+      typeCol = Some("procedure_type_concept_id")),
+    DomainDef("drug_exposure", 700L, "drug_concept_id", "drug_exposure_start_date",
+      typeCol = Some("drug_type_concept_id")),
+    DomainDef("observation", 800L, "observation_concept_id", "observation_date",
+      typeCol = Some("observation_type_concept_id")),
+    DomainDef("drug_era", 900L, "drug_concept_id", "drug_era_start_date"),
+    DomainDef("condition_era", 1000L, "condition_concept_id", "condition_era_start_date"),
+    DomainDef("measurement", 1800L, "measurement_concept_id", "measurement_date",
+      typeCol = Some("measurement_type_concept_id")),
+    DomainDef("device_exposure", 2100L, "device_concept_id", "device_exposure_start_date",
+      typeCol = Some("device_type_concept_id")))
 
   /** The vendored core catalog (public Achilles `achilles_analysis_details`
     * entries; names follow the published wording).
@@ -81,17 +96,26 @@ object OhdsiAchilles {
       "calendar_month"),
     CoreAnalysis(111L, "Number of persons by observation period start month", "calendar_month"),
     CoreAnalysis(112L, "Number of persons by observation period end month", "calendar_month"),
-    CoreAnalysis(113L, "Number of persons by number of observation periods", "num_periods"),
-    CoreAnalysis(203L, "Distribution of number of visit occurrences per person", isDist = true)) ++
-    DomainSeries.flatMap { case (tb, base, concept, _) =>
-      val entity = tb.replace('_', ' ')
+    CoreAnalysis(113L, "Number of persons by number of observation periods", "num_periods")) ++
+    DomainSeries.flatMap { d =>
+      val entity = d.table.replace('_', ' ')
       Seq(
-        CoreAnalysis(base, s"Number of persons with at least one $entity, by $concept", concept),
-        CoreAnalysis(base + 1, s"Number of $entity records, by $concept", concept),
+        CoreAnalysis(d.base, s"Number of persons with at least one $entity, by ${d.concept}",
+          d.concept),
+        CoreAnalysis(d.base + 1, s"Number of $entity records, by ${d.concept}", d.concept),
         // x02: the per-concept calendar-month prevalence series Atlas's
         // by-month trellis charts read (public Achilles id convention)
-        CoreAnalysis(base + 2, s"Number of persons by $entity start month, by $concept",
-          concept, "calendar_month"))
+        CoreAnalysis(d.base + 2, s"Number of persons by $entity start month, by ${d.concept}",
+          d.concept, "calendar_month")) ++
+        // x03: distinct concepts per person (DIST)
+        (if (d.perPersonDist)
+          Seq(CoreAnalysis(d.base + 3,
+            s"Number of distinct $entity concepts per person", isDist = true))
+        else Nil) ++
+        // x05: records by concept by type concept
+        d.typeCol.map(tc =>
+          CoreAnalysis(d.base + 5, s"Number of $entity records, by ${d.concept} by $tc",
+            d.concept, tc)).toSeq
     }
 
   /** The populated `achilles_analysis` catalog table
@@ -117,7 +141,7 @@ object OhdsiAchilles {
     has(model, "person", "person_id") ||
       has(model, "observation_period", "person_id",
         "observation_period_start_date", "observation_period_end_date") ||
-      DomainSeries.exists { case (tb, _, concept, _) => has(model, tb, concept) }
+      DomainSeries.exists(d => has(model, d.table, d.concept))
 
   /** Whether the model carries any core DIST analysis's tables. */
   def supportsDist(model: CdmModel): Boolean =
@@ -125,7 +149,7 @@ object OhdsiAchilles {
       has(model, "observation_period", "person_id", "observation_period_start_date")) ||
       has(model, "observation_period", "person_id",
         "observation_period_start_date", "observation_period_end_date") ||
-      has(model, "visit_occurrence", "person_id")
+      DomainSeries.exists(d => d.perPersonDist && has(model, d.table, d.concept, "person_id"))
 
   /** The literal-id core COUNT battery over a CDM model: every analysis in
     * [[Catalog]] whose tables/columns the model carries, as one
@@ -247,25 +271,34 @@ object OhdsiAchilles {
       }
 
     val domains: Seq[DataFrame] = DomainSeries.collect {
-      case (tb, base, concept, dateCol) if has(model, tb, concept) && model.columns(tb).contains("person_id") =>
-        val df = load(tb)
+      case d if has(model, d.table, d.concept) && model.columns(d.table).contains("person_id") =>
+        val df = load(d.table)
         val withMonth =
-          if (!has(model, tb, dateCol)) Nil
+          if (!has(model, d.table, d.startDate)) Nil
           else Seq(
             // x02: persons by concept by calendar month (two strata — the
             // Atlas prevalence-by-month series); one map-side-combinable
             // aggregate on (concept, YYYYMM)
-            df.filter(col(dateCol).isNotNull)
-              .groupBy(col(concept).cast("string").as("stratum_1"),
-                date_format(col(dateCol), "yyyyMM").as("stratum_2"))
+            df.filter(col(d.startDate).isNotNull)
+              .groupBy(col(d.concept).cast("string").as("stratum_1"),
+                date_format(col(d.startDate), "yyyyMM").as("stratum_2"))
               .agg(countDistinct(col("person_id")).as("count_value"))
-              .select(lit(base + 2).as("analysis_id"), col("stratum_1"), col("stratum_2"),
+              .select(lit(d.base + 2).as("analysis_id"), col("stratum_1"), col("stratum_2"),
                 col("count_value")))
+        val withType = d.typeCol.filter(tc => has(model, d.table, tc)).toSeq.map { tc =>
+          // x05: records by concept by type concept — one map-side-
+          // combinable aggregate on the (concept, type) pair
+          df.groupBy(col(d.concept).cast("string").as("stratum_1"),
+              col(tc).cast("string").as("stratum_2"))
+            .agg(count(lit(1)).as("count_value"))
+            .select(lit(d.base + 5).as("analysis_id"), col("stratum_1"), col("stratum_2"),
+              col("count_value"))
+        }
         Seq(
-          row(base, col(concept), df, countDistinct(col("person_id"))),
-          row(base + 1, col(concept), df, count(lit(1)))) ++ withMonth
-      case (tb, base, concept, _) if has(model, tb, concept) =>
-        Seq(row(base + 1, col(concept), load(tb), count(lit(1))))
+          row(d.base, col(d.concept), df, countDistinct(col("person_id"))),
+          row(d.base + 1, col(d.concept), df, count(lit(1)))) ++ withMonth ++ withType
+      case d if has(model, d.table, d.concept) =>
+        Seq(row(d.base + 1, col(d.concept), load(d.table), count(lit(1))))
     }.flatten
 
     ((person.toSeq ++ obsPeriod.toSeq).flatten ++ domains)
@@ -276,10 +309,10 @@ object OhdsiAchilles {
 
   /** The literal-id core DIST battery (`achilles_results_dist` shape):
     * 103 age at first observation period, 105 length (days) of first
-    * observation period, 203 visit occurrences per person — each via the
-    * scale path ([[AchillesGen.distAggFromValueCounts]]: moments + exact
-    * quantiles over the value HISTOGRAM, so no rank window ever sees the
-    * entities).
+    * observation period, and the x03 family (203, 403, ... distinct
+    * domain concepts per person) — each via the scale path
+    * ([[AchillesGen.distAggFromValueCounts]]: moments + exact quantiles
+    * over the value HISTOGRAM, so no rank window ever sees the entities).
     */
   def cdmCoreDistResults(model: CdmModel, load: String => DataFrame): DataFrame = {
     def hist(df: DataFrame, id: Long): DataFrame =
@@ -342,11 +375,16 @@ object OhdsiAchilles {
         if (hasAge) parts += stratHist(len, 107L, floor(col("__age") / 10).cast("long"))
       }
     }
-    if (has(model, "visit_occurrence", "person_id")) {
-      val perPerson = load("visit_occurrence")
-        .groupBy(col("person_id")).agg(count(lit(1)).cast("double").as("__v"))
+    // x03: number of DISTINCT concepts per person (203 visit, 403
+    // condition, ..., public Achilles convention) — one shuffle on
+    // person_id per domain, then the value histogram is tiny
+    DomainSeries.filter(d => d.perPersonDist &&
+        has(model, d.table, d.concept, "person_id")).foreach { d =>
+      val perPerson = load(d.table)
+        .groupBy(col("person_id"))
+        .agg(countDistinct(col(d.concept)).cast("double").as("__v"))
         .select(col("__v"))
-      parts += hist(perPerson, 203L)
+      parts += hist(perPerson, d.base + 3)
     }
     val hists = parts.result()
     require(hists.nonEmpty, "model carries none of the core dist analyses")

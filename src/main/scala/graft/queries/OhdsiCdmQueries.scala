@@ -12,8 +12,9 @@ import org.apache.spark.sql.functions._
   * DuckDB gate never replayed them, because the driver test tables are
   * TPC-H-shaped. These queries close that gap by DERIVING a deterministic
   * CDM universe from the TPC-H tables (person <- customer,
-  * observation_period <- orders per customer, visit_occurrence <- orders)
-  * and running the real batteries over it; the oracle replays the same
+  * observation_period <- orders per customer, visit_occurrence <- orders,
+  * condition_occurrence <- lineitem x orders — the multi-concept-per-person
+  * domain) and running the real batteries over it; the oracle replays the same
   * derivation and the same analyses in DuckDB SQL, so every literal
   * analysis id is now rows+schema+hash checked at sf0.01 like any other
   * operator (`achilles.py:54-227` is the reference flow being mirrored;
@@ -44,7 +45,11 @@ object OhdsiCdmQueries {
     f("visit_occurrence", "visit_occurrence_id", "int64", pk = true),
     f("visit_occurrence", "person_id", "int64"),
     f("visit_occurrence", "visit_concept_id", "int64"),
-    f("visit_occurrence", "visit_start_date", "date")))
+    f("visit_occurrence", "visit_start_date", "date"),
+    f("condition_occurrence", "person_id", "int64"),
+    f("condition_occurrence", "condition_concept_id", "int64"),
+    f("condition_occurrence", "condition_start_date", "date"),
+    f("condition_occurrence", "condition_type_concept_id", "int64")))
 
   /** Deterministic CDM derivation from the TPC-H universe. Every rule is a
     * pure projection/aggregation the DuckDB oracle replays verbatim:
@@ -77,17 +82,38 @@ object OhdsiCdmQueries {
           .when(col("o_orderstatus") === "F", 9202L)
           .otherwise(9203L).as("visit_concept_id"),
         to_date(col("o_orderdate")).as("visit_start_date"))
+    case "condition_occurrence" =>
+      // one condition per order LINE: the multi-concept-per-person domain
+      // the x03 (distinct concepts per person) and x05 (records by concept
+      // by type) analyses need. Concepts are public SNOMED standard ids
+      // (diabetes/hypertension/MI/COPD), types the public OMOP condition
+      // type ids (EHR 32020 / EHR problem list 32840 / claim 32810).
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(
+          col("o_custkey").as("person_id"),
+          when(col("l_partkey") % 4 === 0, 201826L)
+            .when(col("l_partkey") % 4 === 1, 316866L)
+            .when(col("l_partkey") % 4 === 2, 4329847L)
+            .otherwise(255573L).as("condition_concept_id"),
+          to_date(col("l_shipdate")).as("condition_start_date"),
+          when(col("l_returnflag") === "R", 32810L)
+            .when(col("l_returnflag") === "A", 32840L)
+            .otherwise(32020L).as("condition_type_concept_id"))
     case other => sys.error(s"derived CDM has no table '$other'")
   }
 
   /** The literal-id core COUNT battery over the derived CDM (analyses
-    * 0-5, 101/102, 108-113, 200/201/202 fire for this model).
+    * 0-5, 101/102, 108-113, 200/201/202, 400/401/402/405 fire for this
+    * model).
     */
   val ohdsiCoreCounts: Q = (s, d) =>
     graft.operators.OhdsiAchilles.cdmCoreResults(derivedModel, derive(s, d))
       .orderBy("analysis_id", "stratum_1", "stratum_2")
 
-  /** The literal-id core DIST battery over the derived CDM (103-107, 203). */
+  /** The literal-id core DIST battery over the derived CDM (103-107,
+    * 203, 403).
+    */
   val ohdsiCoreDist: Q = (s, d) =>
     graft.operators.OhdsiAchilles.cdmCoreDistResults(derivedModel, derive(s, d))
       .orderBy("analysis_id", "stratum_1")
@@ -116,6 +142,15 @@ object OhdsiCdmQueries {
       |      AS visit_concept_id,
       |    CAST(o_orderdate AS DATE) AS visit_start_date
       |  FROM orders
+      |), cond AS (
+      |  SELECT o_custkey AS person_id,
+      |    CASE CAST(l_partkey % 4 AS INT)
+      |      WHEN 0 THEN 201826 WHEN 1 THEN 316866 WHEN 2 THEN 4329847
+      |      ELSE 255573 END AS condition_concept_id,
+      |    CAST(l_shipdate AS DATE) AS condition_start_date,
+      |    CASE l_returnflag WHEN 'R' THEN 32810 WHEN 'A' THEN 32840
+      |      ELSE 32020 END AS condition_type_concept_id
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |), first_obs AS (
       |  -- one period per person in this universe, so the "first period"
       |  -- of analyses 101-108 is the period itself
@@ -183,6 +218,19 @@ object OhdsiCdmQueries {
       |  SELECT 202, CAST(visit_concept_id AS VARCHAR), strftime(visit_start_date, '%Y%m'),
       |    count(DISTINCT person_id)
       |  FROM visit GROUP BY 2, 3
+      |  UNION ALL
+      |  SELECT 400, CAST(condition_concept_id AS VARCHAR), NULL, count(DISTINCT person_id)
+      |  FROM cond GROUP BY 2
+      |  UNION ALL
+      |  SELECT 401, CAST(condition_concept_id AS VARCHAR), NULL, count(*) FROM cond GROUP BY 2
+      |  UNION ALL
+      |  SELECT 402, CAST(condition_concept_id AS VARCHAR),
+      |    strftime(condition_start_date, '%Y%m'), count(DISTINCT person_id)
+      |  FROM cond GROUP BY 2, 3
+      |  UNION ALL
+      |  SELECT 405, CAST(condition_concept_id AS VARCHAR),
+      |    CAST(condition_type_concept_id AS VARCHAR), count(*)
+      |  FROM cond GROUP BY 2, 3
       |)
       |SELECT analysis_id, stratum_1, stratum_2, count_value
       |FROM results WHERE count_value > 5 OR analysis_id = 0
@@ -205,7 +253,11 @@ object OhdsiCdmQueries {
       |    CAST(datediff('day', op_start, op_end) AS DOUBLE) FROM first_obs
       |  UNION ALL
       |  SELECT 203, 'ALL', CAST(n AS DOUBLE) FROM (
-      |    SELECT person_id, count(*) AS n FROM visit GROUP BY person_id
+      |    SELECT person_id, count(DISTINCT visit_concept_id) AS n FROM visit GROUP BY person_id
+      |  )
+      |  UNION ALL
+      |  SELECT 403, 'ALL', CAST(n AS DOUBLE) FROM (
+      |    SELECT person_id, count(DISTINCT condition_concept_id) AS n FROM cond GROUP BY person_id
       |  )
       |)
       |SELECT analysis_id, stratum_1, count(*) AS count_value,

@@ -22,7 +22,8 @@ class OhdsiAchillesSpec extends SparkSpec {
     f("visit_occurrence", "person_id", "int64"),
     f("visit_occurrence", "visit_concept_id", "int64"),
     f("condition_occurrence", "person_id", "int64"),
-    f("condition_occurrence", "condition_concept_id", "int64")))
+    f("condition_occurrence", "condition_concept_id", "int64"),
+    f("condition_occurrence", "condition_type_concept_id", "int64")))
 
   private def d(s: String) = java.sql.Date.valueOf(s)
 
@@ -38,10 +39,16 @@ class OhdsiAchillesSpec extends SparkSpec {
         new java.sql.Date(d("2010-01-01").getTime + (if (i == 1) 50 else 10 * i) * 86400000L))) :+
       ((1L, d("2015-01-01"), new java.sql.Date(d("2015-01-01").getTime + 999 * 86400000L))))
       .toDF("person_id", "observation_period_start_date", "observation_period_end_date")
-    val visits = (1L to 8L).flatMap(i => Seq.fill(i.toInt)((i, 9201L)))
+    // persons 1-3 also get an ER visit (9203) so the 203 distinct-concept
+    // dist has a non-degenerate value set {1, 2}
+    val visits = ((1L to 8L).flatMap(i => Seq.fill(i.toInt)((i, 9201L))) ++
+      (1L to 3L).map(i => (i, 9203L)))
       .toDF("person_id", "visit_concept_id")
-    val conditions = (1L to 6L).map(i => (i, 201826L))
-      .toDF("person_id", "condition_concept_id")
+    // person 1 carries a SECOND condition concept (403 distinct count 2);
+    // types split 32020 (EHR, persons 1-4) / 32840 (problem list, 5-6)
+    val conditions = ((1L to 6L).map(i =>
+        (i, 201826L, if (i <= 4L) 32020L else 32840L)) :+ ((1L, 316866L, 32020L)))
+      .toDF("person_id", "condition_concept_id", "condition_type_concept_id")
     Map("person" -> person, "observation_period" -> obs,
       "visit_occurrence" -> visits, "condition_occurrence" -> conditions)
   }
@@ -52,14 +59,15 @@ class OhdsiAchillesSpec extends SparkSpec {
 
   test("analysisCatalog carries the literal core id set") {
     val cat = OhdsiAchilles.analysisCatalog(spark).collect()
-    assert(cat.length === 50)
+    assert(cat.length === 64)
     val ids = cat.map(_.getLong(0))
     assert(ids.sorted.toSeq === ids.toSeq) // ordered by analysis_id
     for (core <- Seq(1L, 2L, 101L, 105L, 108L, 109L, 110L, 111L, 201L, 202L,
-        401L, 402L, 701L, 1801L, 1802L))
+        401L, 402L, 405L, 701L, 705L, 1801L, 1802L, 2105L))
       assert(ids.contains(core), s"missing core id $core")
     val dists = cat.filter(_.getLong(4) == 1L).map(_.getLong(0)).toSet
-    assert(dists === Set(103L, 104L, 105L, 106L, 107L, 203L))
+    assert(dists === Set(103L, 104L, 105L, 106L, 107L,
+      203L, 403L, 603L, 703L, 803L, 903L, 1003L, 1803L, 2103L))
   }
 
   test("cdmCoreResults carries literal ids with correct counts") {
@@ -100,9 +108,17 @@ class OhdsiAchillesSpec extends SparkSpec {
     assert(r((113L, "1", "")) === 7L)              // persons by #periods
     assert(r((113L, "2", "")) === 1L)
     assert(r((200L, "9201", "")) === 8L)           // persons with a visit
+    assert(r((200L, "9203", "")) === 3L)
     assert(r((201L, "9201", "")) === 36L)          // visit records
+    assert(r((201L, "9203", "")) === 3L)
     assert(r((400L, "201826", "")) === 6L)         // persons with condition
+    assert(r((400L, "316866", "")) === 1L)
     assert(r((401L, "201826", "")) === 6L)         // condition records
+    assert(r((401L, "316866", "")) === 1L)
+    // 405: records by concept by TYPE concept (x05 family)
+    assert(r((405L, "201826", "32020")) === 4L)
+    assert(r((405L, "201826", "32840")) === 2L)
+    assert(r((405L, "316866", "32020")) === 1L)
     // default suppression drops small cells, exactly like the reference —
     // except analysis 0, which the reference always stores
     val suppressed = resultMap(OhdsiAchilles.cdmCoreResults(model, tables(_))
@@ -134,7 +150,11 @@ class OhdsiAchillesSpec extends SparkSpec {
     assert(!rows.contains((106L, "8532")))
     assert(rows((107L, "3")) === ((7L, 20.0, 70.0, 45.7143, 50.0)))
     assert(!rows.contains((107L, "2")))
-    // 203: visits per person = 1..8
-    assert(rows((203L, "ALL")) === ((8L, 1.0, 8.0, 4.5, 4.5)))
+    // 203 (x03): DISTINCT visit concepts per person — persons 1-3 have
+    // {9201, 9203}, persons 4-8 only 9201
+    assert(rows((203L, "ALL")) === ((8L, 1.0, 2.0, 1.375, 1.0)))
+    // 403: distinct condition concepts per person — person 1 has two
+    // concepts, persons 2-6 one
+    assert(rows((403L, "ALL")) === ((6L, 1.0, 2.0, 1.1667, 1.0)))
   }
 }
