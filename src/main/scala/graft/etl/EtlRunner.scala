@@ -75,6 +75,65 @@ final case class EtlRunner(model: CdmModel, maxParallelTables: Int = 9) {
     } finally pool.shutdown()
   }
 
+  /** [[runFlow]] with the level barrier dissolved into the per-table data
+    * dependencies it over-approximated. A table's `prepareTable` — user
+    * queries to the work upload, usagi/custom uploads, and the PK-swap
+    * write — reads only the raw zone and its own uploads, NEVER another
+    * table, so every prepare launches immediately and runs concurrently.
+    * The returned finalize thunk (FK rewrite, dedup, gold write) is the
+    * only phase that reads other tables' artifacts (the parents' swap
+    * tables), so each finalize is gated on exactly {own + FK-parent}
+    * prepares via future composition — no global barrier anywhere. Event
+    * steps run after all finalizes (they read gold tables); the post-ETL
+    * cleanup reads only swap tables and writes tables no finalize or
+    * event step touches (lineage map + version metadata), so it gates on
+    * all prepares and drains concurrently with the finalizes.
+    *
+    * On a 1000-executor run the critical path collapses from
+    * sum-over-levels to max-over-tables(prepare) + finalize — FK cycles
+    * cannot deadlock because gates wait on prepares only, and prepares
+    * wait on nothing. Restricted runs (`--table` / `--only-query`) stay
+    * sequential like [[runFlow]]'s.
+    */
+  def runFlowPipelined[T](
+      universe: Seq[String],
+      flags: EtlFlags = EtlFlags())(
+      prepareTable: (String, Seq[String]) => Option[() => T],
+      eventStep: String => Unit = _ => (),
+      postEtlCleanup: () => Unit = () => ()): Map[String, T] = {
+    def inline(tb: String, queries: Seq[String]): Option[(String, T)] = {
+      val r = prepareTable(tb, queries).map(fin => tb -> fin())
+      if (!flags.skipEventFksStep) eventStep(tb)
+      r
+    }
+    if (flags.onlyQueries.isDefined)
+      flags.queriesByTable.toSeq.sortBy(_._1)
+        .flatMap { case (tb, qs) => inline(tb, qs) }.toMap
+    else if (flags.onlyTables.isDefined)
+      flags.onlyTables.get.toSeq.sorted.flatMap(tb => inline(tb, Seq.empty)).toMap
+    else {
+      val pool = Executors.newFixedThreadPool(math.max(1, maxParallelTables))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      try {
+        val universeSet = universe.toSet
+        val preps: Map[String, Future[Option[() => T]]] =
+          universe.map(t => t -> Future(prepareTable(t, Seq.empty))).toMap
+        val finals: Seq[(String, Future[Option[T]])] = universe.map { t =>
+          val gates = (model.fks(t).values.toSet.intersect(universeSet) + t).toSeq
+          t -> Future.sequence(gates.map(preps)).flatMap(_ => preps(t))
+            .map(_.map(fin => fin()))
+        }
+        val cleanupDone = Future.sequence(universe.map(preps))
+          .map(_ => postEtlCleanup()) // full etl only (`etl.py:126-129`)
+        val results =
+          finals.flatMap { case (t, f) => Await.result(f, Duration.Inf).map(t -> _) }.toMap
+        if (!flags.skipEventFksStep) universe.foreach(eventStep)
+        Await.result(cleanupDone, Duration.Inf)
+        results
+      } finally pool.shutdown()
+    }
+  }
+
   /** The full `etl.py:109-129` control flow under [[EtlFlags]]:
     * `--only-query` runs the named queries table by table, `--table` the
     * named tables, otherwise the whole dependency DAG; each processed

@@ -41,6 +41,15 @@ import scala.jdk.CollectionConverters._
   */
 object FolderEtl {
 
+  // dev aid: GRAFT_TIMING=1 prints per-phase wall times to stderr
+  private def timed[T](label: String)(f: => T): T =
+    if (sys.env.contains("GRAFT_TIMING")) {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"[folder-timing] $label%-28s ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    } else f
+
   /** Activated files: the named extensions, minus `example*` samples and
     * the deactivated `._jinja` / `._csv` suffix convention.
     */
@@ -77,26 +86,28 @@ object FolderEtl {
       flags: EtlFlags = EtlFlags(),
       maxParallelTables: Int = 9): Map[String, Long] = {
     registerRawViews(s, zones)
-    val results = scala.collection.concurrent.TrieMap.empty[String, Long]
-    EtlRunner(model, maxParallelTables).runFlow(model.tables, flags)(
-      processTable = (tb, qs) =>
-        processTable(s, model, zones, folder, tb, qs, flags).foreach(results(tb) = _),
+    EtlRunner(model, maxParallelTables).runFlowPipelined(model.tables, flags)(
+      prepareTable = (tb, qs) => prepareTable(s, model, zones, folder, tb, qs, flags),
       eventStep = tb => eventStep(s, model, zones, tb),
       postEtlCleanup = () => postEtlCleanup(s, zones))
-    results.toMap
   }
 
-  /** One table's stage-1 flow; None when the folder holds no activated
-    * query for it (the reference only processes tables with work).
+  /** One table's barrier-relevant stage-1 prefix — user queries to the
+    * work upload, usagi/custom uploads, and the append-only PK-swap WRITE
+    * (the one artifact dependent levels read). Returns the finalize thunk
+    * (FK rewrite through parent swaps, dedup, clustered gold write, count)
+    * for [[EtlRunner.runFlowPipelined]] to drain off the critical path;
+    * None when the folder holds no activated query for the table (the
+    * reference only processes tables with work).
     */
-  private def processTable(
+  private def prepareTable(
       s: SparkSession,
       model: CdmModel,
       zones: Zones,
       folder: Path,
       tb: String,
       onlyQueries: Seq[String],
-      flags: EtlFlags): Option[Long] = {
+      flags: EtlFlags): Option[() => Long] = {
     val dir = folder.resolve(tb)
     val all = activated(dir, Seq(".sql", ".sql.jinja"))
     val queryFiles =
@@ -108,7 +119,7 @@ object FolderEtl {
     val uploads = queryFiles.map { p =>
       s.sql(SqlTemplates.fromFile(p, tb, "raw", "work", "omop")).distinct()
     }
-    zones.write(MergeOps.unionUploads(uploads), "work", s"${tb}__upload")
+    timed(s"$tb upload")(zones.write(MergeOps.unionUploads(uploads), "work", s"${tb}__upload"))
     var df = zones.read(s, "work", s"${tb}__upload")
 
     // J1/P2/W2: usagi + custom-concept uploads per concept column
@@ -123,16 +134,16 @@ object FolderEtl {
             .reduce(_ unionByName _)
           // W2: auto-number from the concept_code rank over the 2e9 floor
           val ids = Swap.rankIds(customs, "concept_code", MergeOps.CustomConceptBase)
-          zones.write(
+          timed(s"$tb custom-upload")(zones.write(
             customs.drop("concept_id").join(ids, "concept_code"),
-            "work", s"${tb}__${c}_concept")
+            "work", s"${tb}__${c}_concept"))
         }
         val usagiFiles = activated(cDir, Seq(".csv"))
         if (usagiFiles.nonEmpty) {
           val usagi = usagiFiles
             .map(p => CsvSources.readUsagi(s, p.toString))
             .reduce(_ unionByName _)
-          zones.write(usagi, "work", s"${tb}__${c}_usagi")
+          timed(s"$tb usagi-upload")(zones.write(usagi, "work", s"${tb}__${c}_usagi"))
         }
       }
     }
@@ -154,11 +165,27 @@ object FolderEtl {
       val existing =
         if (zones.listTables(s, "work").contains(swapName)) zones.read(s, "work", swapName)
         else cands.limit(0).withColumn("y", lit(0L))
-      zones.write(Swap.mergeAppend(existing, cands, Seq("x")), "work", swapName)
+      timed(s"$tb pk-swap")(zones.write(Swap.mergeAppend(existing, cands, Seq("x")), "work", swapName))
       val sw = zones.read(s, "work", swapName)
       df = df.join(sw, df(pk) === sw("x")).withColumn(pk, col("y")).drop("x", "y")
     }
 
+    val prepared = df
+    Some(() => finalizeTable(s, model, zones, tb, prepared, conceptCols))
+  }
+
+  /** The off-critical-path suffix: everything below reads only this
+    * table's prepared frame and swap tables ALREADY materialized by
+    * prepare phases of this or earlier levels — no dependent reads it.
+    */
+  private def finalizeTable(
+      s: SparkSession,
+      model: CdmModel,
+      zones: Zones,
+      tb: String,
+      prepared: DataFrame,
+      conceptCols: Seq[String]): Long = {
+    var df = prepared
     // J3: FK rewrites through the parents' materialized swaps (concept
     // columns are usagi-mapped above, never fk-swapped — the reference's
     // merge treats them as separate join families)
@@ -181,8 +208,8 @@ object FolderEtl {
     // reference's per-table `cluster by` — key-range scans skip row groups)
     val clusterCols = model.clustering.getOrElse(tb, Seq.empty)
       .filter(df.columns.contains)
-    zones.writeClustered(df, clusterCols, "omop", tb)
-    Some(zones.read(s, "omop", tb).count())
+    timed(s"$tb omop-write")(zones.writeClustered(df, clusterCols, "omop", tb))
+    timed(s"$tb count")(zones.read(s, "omop", tb).count())
   }
 
   /** Stage 2: rewrite each polymorphic event column of `tb` through the
@@ -205,7 +232,7 @@ object FolderEtl {
         changed = true
       }
     }
-    if (changed) zones.write(df, "omop", tb)
+    if (changed) timed(s"$tb event-step")(zones.write(df, "omop", tb))
   }
 
   /** The full-run epilogue (`etl.py:126-129,155-159`): tombstone stale
@@ -222,15 +249,15 @@ object FolderEtl {
       }
       .reduceOption(_ unionByName _)
     lineage.foreach { l =>
-      zones.write(
+      timed("post lineage")(zones.write(
         graft.operators.Cleanup.tombstoneStale(l, lit("2000-01-01").cast("date")),
-        "omop", mapName)
+        "omop", mapName))
     }
-    zones.write(
+    timed("post metadata")(zones.write(
       graft.operators.Cleanup.versionMetadata(
         s, "5.4", "0.1.0",
         java.sql.Date.valueOf("2026-01-01"),
         java.sql.Timestamp.valueOf("2026-01-01 12:00:00")),
-      "omop", "metadata_riab")
+      "omop", "metadata_riab"))
   }
 }

@@ -194,11 +194,20 @@ object EtlQueries {
         |2-HIGH,high,SEMI-APPROVED,102,High,Observation
         |3-MEDIUM,medium,APPROVED,103,Medium,Observation""".stripMargin)
     // raw staging is per-dataset-keyed and the driver's test dirs are
-    // immutable — skip the copy when the zone already holds the table
+    // immutable — skip the copy when the zone already holds the table.
+    // Staging is fixture setup, not the measured operator: land the
+    // source parquet by file copy instead of a Spark write job.
     val staged = zones.listTables(s, "raw").toSet
     Seq("region", "nation", "customer", "orders")
       .filterNot(staged)
-      .foreach(tb => zones.write(t(s, d, tb), "raw", tb))
+      .foreach { tb =>
+        val dst = java.nio.file.Paths.get(zones.tablePath("raw", tb))
+        java.nio.file.Files.createDirectories(dst)
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$d/$tb.parquet"),
+          dst.resolve("part-00000.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
 
     val specModel = {
       import graft.model.{CdmField, CdmModel}
@@ -206,7 +215,7 @@ object EtlQueries {
         CdmField("orders", "priority_concept_id", "int64",
           required = false, isPk = false, Some("concept"), "CDM"))
     }
-    graft.etl.FolderEtl.run(s, specModel, zones, folder)
+    timed("folder-etl run")(graft.etl.FolderEtl.run(s, specModel, zones, folder))
 
     // read-back summary: same one-aggregate union-of-contributions shape
     // (and the same checksum meaning) as etl_two_stage

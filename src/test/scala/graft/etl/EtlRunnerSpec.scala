@@ -83,6 +83,64 @@ class EtlRunnerSpec extends AnyFunSuite {
       === Seq("APPROVED", "SEMI-APPROVED"))
   }
 
+  test("pipelined: prepares run barrier-free, finalize gates on own+parent prepares") {
+    val prepDone = new ConcurrentHashMap[String, Long]()
+    val finStart = new ConcurrentHashMap[String, Long]()
+    // region (level 0) blocks until lineitem (deepest level) has PREPARED —
+    // impossible under a level barrier, required here
+    val lineitemPrepared = new CountDownLatch(1)
+    val out = EtlRunner(m).runFlowPipelined(m.tables)(
+      prepareTable = (t, _) => {
+        if (t == "lineitem") lineitemPrepared.countDown()
+        if (t == "region")
+          assert(lineitemPrepared.await(10, TimeUnit.SECONDS),
+            "barrier-free prepares: lineitem's prepare never ran while region's was blocked")
+        prepDone.put(t, System.nanoTime())
+        Some(() => { finStart.put(t, System.nanoTime()); s"done-$t" })
+      })
+    assert(out.keySet == m.tables.toSet)
+    for (t <- m.tables; (_, dep) <- m.fks(t) if dep != t)
+      assert(prepDone.get(dep) < finStart.get(t),
+        s"$t finalized before its parent $dep prepared")
+  }
+
+  test("pipelined: skipped tables absent; cleanup on full flow only; events after finalizes") {
+    val finalized = new ConcurrentHashMap[String, Boolean]()
+    val events = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    var cleanups = 0
+    val runner = EtlRunner(m)
+    val out = runner.runFlowPipelined(m.tables)(
+      prepareTable = (t, _) =>
+        if (t == "part") None
+        else Some(() => { finalized.put(t, true); t }),
+      eventStep = t => {
+        assert(finalized.keySet().size == m.tables.size - 1,
+          s"event step for $t ran before all finalizes drained")
+        events.add(t); ()
+      },
+      postEtlCleanup = () => cleanups += 1)
+    assert(!out.contains("part") && out.size == m.tables.size - 1)
+    assert(cleanups == 1)
+    assert(events.toArray.toSet == m.tables.toSet)
+    runner.runFlowPipelined(m.tables, EtlFlags(onlyTables = Some(Set("region"))))(
+      prepareTable = (t, _) => Some(() => t),
+      postEtlCleanup = () => cleanups += 1)
+    assert(cleanups == 1)
+  }
+
+  test("pipelined: restricted --only-query path stays sequential with event steps") {
+    val events = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val flags = EtlFlags(onlyQueries = Some(Seq(
+      "orders/load_a.sql", "orders/load_b.sql", "nation/load.sql")))
+    val out = EtlRunner(m).runFlowPipelined(m.tables, flags)(
+      prepareTable = (t, qs) => Some(() => qs.sorted.mkString("+")),
+      eventStep = events.add(_))
+    assert(out == Map(
+      "nation" -> "nation/load.sql",
+      "orders" -> "orders/load_a.sql+orders/load_b.sql"))
+    assert(events.toArray.toSet == Set("nation", "orders"))
+  }
+
   test("post-etl cleanup runs only on a FULL etl (etl.py:126-129)") {
     var cleanups = 0
     val runner = EtlRunner(m)
