@@ -59,6 +59,14 @@ object JoinOps {
     * order nondeterministically), keys must be non-null, and right payload
     * column names must not collide with left columns. Unmatched left rows
     * keep null payload columns (left-join semantics).
+    *
+    * Hot-key bound: the per-key window means ONE key's rows serialize in
+    * one task — the same bound as any `groupBy(key)` — so a pathological
+    * key (10^8 rows under one key) is this plan's skew ceiling. Use
+    * [[asofJoinBucketed]] there: it splits the window by fixed-width time
+    * buckets and stitches across boundaries with a bucket-granular carry
+    * pass, bounding tasks by bucket occupancy instead (the as-of analogue
+    * of the salted IVF remedy in SimOps).
     */
   def asofJoin(left: DataFrame, lKey: String, lTime: String,
       right: DataFrame, rKey: String, rTime: String): DataFrame = {
@@ -86,6 +94,88 @@ object JoinOps {
     unioned
       .withColumn("__m", last(col("__rv"), ignoreNulls = true).over(w))
       .filter(col("__tag") === 1)
+      .select(col("__lv.*") +: payloadCols.map(c => col(s"__m.$c").as(c)): _*)
+  }
+
+  /** [[asofJoin]] with the per-key window split by fixed-width time
+    * buckets — the hot-key remedy. The plain as-of join's window is
+    * bounded by ONE key's rows, so a pathological key (one user with 10^8
+    * events) serializes in a single task. Here the main window partitions
+    * by `(key, bucket)`, bounding every task by one BUCKET's occupancy,
+    * and a second, bucket-granular as-of pass stitches matches across
+    * bucket boundaries:
+    *
+    *   1. in-bucket: the union-window of [[asofJoin]] over
+    *      `(key, floor(time / width))` — finds the latest right row
+    *      at-or-before each left row WITHIN its bucket;
+    *   2. carry: reduce the right side to one row per `(key, bucket)`
+    *      (`max_by` — its last value), then a per-key window over the
+    *      BUCKET-level rows (left buckets sort before right bucket-ends at
+    *      equal bucket, so a left bucket sees strictly-earlier buckets
+    *      only) computes the latest right value from any earlier bucket;
+    *   3. stitch: each left row takes its in-bucket match if present —
+    *      always at-or-later than any earlier bucket's value — else the
+    *      carry, joined back on `(key, bucket)`, one row per pair.
+    *
+    * Task bounds: O(max rows per (key, bucket)) for step 1,
+    * O(buckets per key) for step 2 — pick `bucketWidth` near the hot key's
+    * time spread / desired parallelism. Same semantics as [[asofJoin]]
+    * (backward inclusive, left-join, right unique per `(rKey, rTime)`);
+    * both time columns must be integral (epoch seconds/micros — callers
+    * convert first, keeping the bucket math exact like [[intervalJoin]]).
+    */
+  def asofJoinBucketed(left: DataFrame, lKey: String, lTime: String,
+      right: DataFrame, rKey: String, rTime: String, bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val payloadCols = right.columns.filterNot(c => c == rKey || c == rTime).toSeq
+    require(payloadCols.nonEmpty, "right side must carry at least one payload column")
+    val collisions = payloadCols.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty, s"right payload collides with left columns: $collisions")
+    val reserved = asofReserved ++ Set("__b", "__btag", "__c")
+    requireNoReserved(left, "left", reserved)
+    requireNoReserved(right, "right", reserved)
+
+    val l2 = left.select(
+      col(lKey).as("__k"), col(lTime).cast("long").as("__t"), lit(1).as("__tag"),
+      struct(left.columns.map(col).toIndexedSeq: _*).as("__lv"))
+      .withColumn("__b", floorDiv(col("__t"), bucketWidth))
+    val r2 = right.select(
+      col(rKey).as("__k"), col(rTime).cast("long").as("__t"), lit(0).as("__tag"),
+      struct(payloadCols.map(col): _*).as("__rv"))
+      .withColumn("__b", floorDiv(col("__t"), bucketWidth))
+    val lvType = l2.schema("__lv").dataType
+    val rvType = r2.schema("__rv").dataType
+
+    // 1. in-bucket match: window bounded by one bucket's rows, never a key's
+    val unioned = l2.withColumn("__rv", lit(null).cast(rvType))
+      .unionByName(r2.withColumn("__lv", lit(null).cast(lvType)))
+    val wB = Window.partitionBy(col("__k"), col("__b"))
+      .orderBy(col("__t").asc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inBucket = unioned
+      .withColumn("__m", last(col("__rv"), ignoreNulls = true).over(wB))
+      .filter(col("__tag") === 1)
+
+    // 2. carry: bucket-granular as-of — left buckets (tag 0) sort BEFORE
+    // right bucket-ends (tag 1) at equal bucket, so the frame sees
+    // strictly-earlier buckets only (same-bucket rights are step 1's job)
+    val bucketEnds = r2.groupBy(col("__k"), col("__b"))
+      .agg(max_by(col("__rv"), col("__t")).as("__rv"))
+    val leftBuckets = l2.select(col("__k"), col("__b")).distinct()
+    val carryU = leftBuckets
+      .withColumn("__btag", lit(0)).withColumn("__rv", lit(null).cast(rvType))
+      .unionByName(bucketEnds.withColumn("__btag", lit(1)))
+    val wC = Window.partitionBy(col("__k"))
+      .orderBy(col("__b").asc, col("__btag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carry = carryU
+      .withColumn("__c", last(col("__rv"), ignoreNulls = true).over(wC))
+      .filter(col("__btag") === 0)
+      .select(col("__k"), col("__b"), col("__c"))
+
+    // 3. stitch: exactly one carry row per left (key, bucket) — no fanout
+    inBucket.join(carry, Seq("__k", "__b"), "left")
+      .withColumn("__m", coalesce(col("__m"), col("__c")))
       .select(col("__lv.*") +: payloadCols.map(c => col(s"__m.$c").as(c)): _*)
   }
 

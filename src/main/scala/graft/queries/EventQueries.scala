@@ -446,6 +446,30 @@ object EventQueries {
       .orderBy("event_id")
   }
 
+  /** [[joinAsof]] through the hot-key-proof bucketed plan
+    * ([[graft.ops.JoinOps.asofJoinBucketed]]): same inputs, same oracle —
+    * the shared SQL pins the two implementations to identical results.
+    * Times convert to epoch micros first (the bucketed variant requires
+    * integral time, like the interval join); width = 30 days.
+    */
+  val joinAsofBucketed: Q = (s, d) => {
+    val ev = t(s, d, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withColumn("ts_us", unix_micros(col("ts")))
+    val w = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+      .orderBy(col("o_orderkey").desc)
+    val orders = t(s, d, "orders")
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("date_us"),
+        col("o_orderkey").as("asof_orderkey"), col("o_totalprice").as("asof_price"))
+    graft.ops.JoinOps
+      .asofJoinBucketed(ev, "user_id", "ts_us", orders, "o_custkey", "date_us",
+        bucketWidth = 30L * 86400L * 1000000L)
+      .drop("ts_us")
+      .orderBy("event_id")
+  }
+
   /** Interval (range) join with NO equi-key: events against overlapping
     * 3-day activity windows anchored at each distinct event day, bucketed
     * so the plan is an equi-join on bucket ids (never a
@@ -531,6 +555,7 @@ object EventQueries {
     "event_props_extract" -> eventPropsExtract,
     "event_sessionize" -> eventSessionize,
     "join_asof" -> joinAsof,
+    "join_asof_bucketed" -> joinAsofBucketed,
     "join_range" -> joinRange,
     "agg_count_distinct" -> aggCountDistinct,
     "agg_rollup" -> aggRollup,
@@ -632,6 +657,22 @@ object EventQueries {
         |  max(ts) AS last_ts, count(DISTINCT event_type) AS n_event_types
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "join_asof" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey, o_orderdate
+        |      ORDER BY o_orderkey DESC) AS rn
+        |  FROM orders
+        |), od AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM o WHERE rn = 1
+        |)
+        |SELECT e.event_id, e.user_id, e.ts,
+        |  od.o_orderkey AS asof_orderkey, od.o_totalprice AS asof_price
+        |FROM events e ASOF LEFT JOIN od
+        |  ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+    // identical oracle to join_asof: the bucketed plan must produce the
+    // SAME rows — the shared SQL pins the remedy to the reference result
+    "join_asof_bucketed" ->
       """WITH o AS (
         |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
         |    row_number() OVER (PARTITION BY o_custkey, o_orderdate

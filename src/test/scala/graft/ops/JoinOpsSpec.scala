@@ -116,6 +116,48 @@ class JoinOpsSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("asofJoinBucketed matches asofJoin on the hand-built fixture, across widths") {
+    val expected = JoinOps.asofJoin(events, "k", "t", orders, "k2", "t2")
+      .select($"event_id", $"payload").as[(Long, Option[String])].collect().toMap
+    for (w <- Seq(1L, 7L, 50L, 1000L)) {
+      val got = JoinOps.asofJoinBucketed(events, "k", "t", orders, "k2", "t2", w)
+        .select($"event_id", $"payload").as[(Long, Option[String])].collect().toMap
+      assert(got == expected, s"bucketed as-of diverged at width $w")
+    }
+  }
+
+  test("property: asofJoinBucketed equals asofJoin on random data and widths") {
+    val key = Gen.choose(1L, 3L)
+    val time = Gen.choose(-25L, 25L) // negative times: floorDiv must stay exact
+    val leftGen = Gen.listOfN(14, Gen.zip(key, time))
+    val rightGen = Gen.listOfN(9, Gen.zip(key, time)).map(_.distinct)
+    val prop = Prop.forAll(leftGen, rightGen, Gen.oneOf(1L, 4L, 13L, 100L)) {
+      (ls, rs, width) =>
+        val l = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+          .toDF("event_id", "k", "t")
+        val r = rs.map { case (k, t) => (k, t, s"p$k-$t") }.toDF("k2", "t2", "payload")
+        val base = JoinOps.asofJoin(l, "k", "t", r, "k2", "t2")
+          .select($"event_id", $"payload").as[(Long, Option[String])].collect().toMap
+        val got = JoinOps.asofJoinBucketed(l, "k", "t", r, "k2", "t2", width)
+          .select($"event_id", $"payload").as[(Long, Option[String])].collect().toMap
+        got == base
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("asofJoinBucketed's main window partitions by (key, bucket), not key alone") {
+    val plan = JoinOps.asofJoinBucketed(events, "k", "t", orders, "k2", "t2", 10L)
+      .queryExecution.executedPlan.toString
+    // the hot-key remedy: the row-level window must carry both partition keys
+    assert(plan.contains("windowspecdefinition(__k#") || plan.contains("windowspecdefinition(__k"),
+      s"no window found in plan:\n$plan")
+    val rowWindow = plan.linesIterator.find(l =>
+      l.contains("windowspecdefinition") && l.contains("__tag")).getOrElse("")
+    assert(rowWindow.contains("__b"),
+      s"row-level as-of window is not bucket-partitioned:\n$rowWindow")
+  }
+
   test("both joins reject reserved internal column names on either input") {
     intercept[IllegalArgumentException] {
       JoinOps.asofJoin(events.withColumn("__m", lit(1)), "k", "t", orders, "k2", "t2")

@@ -163,6 +163,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Window"), s"expected the as-of window:\n$p")
   }
 
+  test("bucketed as-of join: row window carries the bucket key; only the stitch joins") {
+    val p = plan("join_asof_bucketed")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // the hot-key remedy: the row-level as-of window partitions by
+    // (key, bucket), so no task is bounded by a whole key's rows
+    val rowWindow = p.linesIterator.find(l =>
+      l.contains("windowspecdefinition") && l.contains("__tag")).getOrElse("")
+    assert(rowWindow.contains("__b"),
+      s"row-level as-of window is not bucket-partitioned:\n$rowWindow")
+  }
+
   test("interval join stays an equi-join on the bucket key") {
     val p = plan("join_range")
     assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
