@@ -37,17 +37,39 @@ object OhdsiAchilles {
     * start month by concept, `+3` distinct concepts per person (DIST,
     * absent for death — one row per person), `+5` records by concept by
     * type concept (absent where CDM 5.4 has no `_type_concept_id`: visit
-    * kept out conservatively, death, and the era tables).
+    * kept out conservatively, death, and the era tables), `+6` age at
+    * first occurrence by concept (DIST; death's age-at-death is the
+    * special 506), `+7` records with invalid person_id (occurrence tables
+    * only — for the era tables the published `x07` slot is the era-length
+    * distribution instead), `+20` records by start month.
     */
   final case class DomainDef(
       table: String, base: Long, concept: String, startDate: String,
-      typeCol: Option[String] = None, perPersonDist: Boolean = true)
+      typeCol: Option[String] = None, perPersonDist: Boolean = true,
+      endDate: Option[String] = None)
+
+  /** The occurrence tables carrying the `x07` invalid-person-id and `x20`
+    * records-by-month slots (era tables and death use those ids
+    * differently in the published catalog, so they are excluded).
+    */
+  private val OccurrenceTables = Set(
+    "visit_occurrence", "condition_occurrence", "procedure_occurrence",
+    "drug_exposure", "observation", "measurement", "device_exposure")
+
+  /** Published duration distributions keyed off an end-date column:
+    * 211 length of stay, 907/1007 era lengths.
+    */
+  val DurationDists: Map[String, (Long, String)] = Map(
+    "visit_occurrence" -> (211L, "Distribution of length of stay, by visit_concept_id"),
+    "drug_era" -> (907L, "Distribution of drug era length, by drug_concept_id"),
+    "condition_era" -> (1007L, "Distribution of condition era length, by condition_concept_id"))
 
   /** The domain series of the CDM event tables (public Achilles id
     * convention).
     */
   val DomainSeries: Seq[DomainDef] = Seq(
-    DomainDef("visit_occurrence", 200L, "visit_concept_id", "visit_start_date"),
+    DomainDef("visit_occurrence", 200L, "visit_concept_id", "visit_start_date",
+      endDate = Some("visit_end_date")),
     DomainDef("condition_occurrence", 400L, "condition_concept_id", "condition_start_date",
       typeCol = Some("condition_type_concept_id")),
     DomainDef("death", 500L, "cause_concept_id", "death_date", perPersonDist = false),
@@ -57,8 +79,10 @@ object OhdsiAchilles {
       typeCol = Some("drug_type_concept_id")),
     DomainDef("observation", 800L, "observation_concept_id", "observation_date",
       typeCol = Some("observation_type_concept_id")),
-    DomainDef("drug_era", 900L, "drug_concept_id", "drug_era_start_date"),
-    DomainDef("condition_era", 1000L, "condition_concept_id", "condition_era_start_date"),
+    DomainDef("drug_era", 900L, "drug_concept_id", "drug_era_start_date",
+      endDate = Some("drug_era_end_date")),
+    DomainDef("condition_era", 1000L, "condition_concept_id", "condition_era_start_date",
+      endDate = Some("condition_era_end_date")),
     DomainDef("measurement", 1800L, "measurement_concept_id", "measurement_date",
       typeCol = Some("measurement_type_concept_id")),
     DomainDef("device_exposure", 2100L, "device_concept_id", "device_exposure_start_date",
@@ -96,7 +120,23 @@ object OhdsiAchilles {
       "calendar_month"),
     CoreAnalysis(111L, "Number of persons by observation period start month", "calendar_month"),
     CoreAnalysis(112L, "Number of persons by observation period end month", "calendar_month"),
-    CoreAnalysis(113L, "Number of persons by number of observation periods", "num_periods")) ++
+    CoreAnalysis(113L, "Number of persons by number of observation periods", "num_periods"),
+    CoreAnalysis(114L, "Number of persons with observation period before year-of-birth"),
+    CoreAnalysis(115L, "Number of persons with observation period end < observation period start"),
+    CoreAnalysis(117L, "Number of persons with observation period during each month",
+      "calendar_month"),
+    CoreAnalysis(119L, "Number of observation periods by period type concept",
+      "period_type_concept_id"),
+    CoreAnalysis(506L, "Distribution of age at death, by gender",
+      "gender_concept_id", isDist = true),
+    CoreAnalysis(1815L,
+      "Distribution of numeric values, by measurement_concept_id and unit_concept_id",
+      "measurement_concept_id", "unit_concept_id", isDist = true)) ++
+    DurationDists.toSeq.sortBy(_._2._1).map { case (_, (id, name)) =>
+      CoreAnalysis(id, name,
+        DomainSeries.find(d => DurationDists.get(d.table).exists(_._1 == id)).get.concept,
+        isDist = true)
+    } ++
     DomainSeries.flatMap { d =>
       val entity = d.table.replace('_', ' ')
       Seq(
@@ -115,7 +155,21 @@ object OhdsiAchilles {
         // x05: records by concept by type concept
         d.typeCol.map(tc =>
           CoreAnalysis(d.base + 5, s"Number of $entity records, by ${d.concept} by $tc",
-            d.concept, tc)).toSeq
+            d.concept, tc)).toSeq ++
+        // x06: distribution of age at first occurrence, by concept (DIST;
+        // death's age-at-death carries the special id 506 instead)
+        (if (d.table != "death")
+          Seq(CoreAnalysis(d.base + 6,
+            s"Distribution of age at first $entity, by ${d.concept}", d.concept, isDist = true))
+        else Nil) ++
+        // x07 / x20: occurrence tables only (the published era catalogs
+        // use the +7 slot for era-length distributions)
+        (if (OccurrenceTables(d.table))
+          Seq(
+            CoreAnalysis(d.base + 7, s"Number of $entity records with invalid person_id"),
+            CoreAnalysis(d.base + 20, s"Number of $entity records by $entity start month",
+              "calendar_month"))
+        else Nil)
     }
 
   /** The populated `achilles_analysis` catalog table
@@ -205,7 +259,12 @@ object OhdsiAchilles {
           op.groupBy(col("person_id")).agg(count(lit(1)).as("__n"))
             .groupBy(col("__n").cast("string").as("stratum_1"))
             .agg(count(lit(1)).as("count_value"))
-            .select(lit(113L).as("analysis_id"), col("stratum_1"), noS2, col("count_value")),
+            .select(lit(113L).as("analysis_id"), col("stratum_1"), noS2, col("count_value"))) ++
+        // 119: observation periods by period type concept (only when the
+        // model carries the CDM 5.4 type column)
+        (if (has(model, "observation_period", "period_type_concept_id"))
+          Seq(row(119L, col("period_type_concept_id"), op, count(lit(1))))
+        else Nil) ++ Seq(
           // 109: persons with CONTINUOUS observation in each year — a year
           // counts only when some period covers it whole. Candidate years
           // explode from the period's own span (bounded fan-out), the
@@ -235,6 +294,23 @@ object OhdsiAchilles {
             .groupBy(date_format(col("__m"), "yyyyMM").as("stratum_1"))
             .agg(countDistinct(col("person_id")).as("count_value"))
             .select(lit(110L).as("analysis_id"), col("stratum_1"), noS2, col("count_value")),
+          // 115: persons with a period whose end precedes its start (the
+          // Achilles data-quality count; zero rows under suppression when
+          // the data is clean)
+          op.filter(col("observation_period_end_date") < col("observation_period_start_date"))
+            .agg(countDistinct(col("person_id")).as("count_value"))
+            .select(lit(115L).as("analysis_id"), lit("ALL").as("stratum_1"), noS2,
+              col("count_value")),
+          // 117: persons with at least one observed day in each month —
+          // 110's sibling WITHOUT the whole-month cover requirement, so
+          // the month explode needs no filter
+          op.select(col("person_id"),
+              explode(sequence(trunc(col("observation_period_start_date"), "MM"),
+                trunc(col("observation_period_end_date"), "MM"),
+                expr("interval 1 month"))).as("__m"))
+            .groupBy(date_format(col("__m"), "yyyyMM").as("stratum_1"))
+            .agg(countDistinct(col("person_id")).as("count_value"))
+            .select(lit(117L).as("analysis_id"), col("stratum_1"), noS2, col("count_value")),
           // 108: persons by length of FIRST observation period in 30-day
           // increments (stratum = floor(days/30); first period = min-by
           // start date, matching dist analysis 105's choice of period)
@@ -250,6 +326,14 @@ object OhdsiAchilles {
         // 101/102: persons by age (and by gender by age) at FIRST
         // observation period — one shuffle on person_id, then tiny strata
         if (has(model, "person", "year_of_birth")) {
+          // 114: persons with ANY observation period starting before their
+          // year of birth (data-quality count, 'ALL' stratum)
+          ageBase += op
+            .join(load("person").select(col("person_id"), col("year_of_birth")), "person_id")
+            .filter(year(col("observation_period_start_date")) < col("year_of_birth"))
+            .agg(countDistinct(col("person_id")).as("count_value"))
+            .select(lit(114L).as("analysis_id"), lit("ALL").as("stratum_1"), noS2,
+              col("count_value"))
           val age = op.groupBy(col("person_id"))
             .agg(min(col("observation_period_start_date")).as("__first"))
             .join(load("person").select(
@@ -294,9 +378,30 @@ object OhdsiAchilles {
             .select(lit(d.base + 5).as("analysis_id"), col("stratum_1"), col("stratum_2"),
               col("count_value"))
         }
+        val occurrence =
+          if (!OccurrenceTables(d.table)) Nil
+          else {
+            // x07: records whose person_id resolves to no person row — a
+            // left-anti join on the (usually broadcastable) person keys
+            val invalid =
+              if (!has(model, "person", "person_id")) Nil
+              else Seq(df
+                .join(load("person").select(col("person_id")), Seq("person_id"), "left_anti")
+                .agg(count(lit(1)).as("count_value"))
+                .select(lit(d.base + 7).as("analysis_id"), lit("ALL").as("stratum_1"), noS2,
+                  col("count_value")))
+            // x20: records by start month — one combinable aggregate
+            val byMonth =
+              if (!has(model, d.table, d.startDate)) Nil
+              else Seq(row(d.base + 20,
+                date_format(col(d.startDate), "yyyyMM"),
+                df.filter(col(d.startDate).isNotNull), count(lit(1))))
+            invalid ++ byMonth
+          }
         Seq(
           row(d.base, col(d.concept), df, countDistinct(col("person_id"))),
-          row(d.base + 1, col(d.concept), df, count(lit(1)))) ++ withMonth ++ withType
+          row(d.base + 1, col(d.concept), df, count(lit(1)))) ++ withMonth ++ withType ++
+          occurrence
       case d if has(model, d.table, d.concept) =>
         Seq(row(d.base + 1, col(d.concept), load(d.table), count(lit(1))))
     }.flatten
@@ -315,14 +420,25 @@ object OhdsiAchilles {
     * over the value HISTOGRAM, so no rank window ever sees the entities).
     */
   def cdmCoreDistResults(model: CdmModel, load: String => DataFrame): DataFrame = {
+    val noS2 = lit(null).cast("string").as("stratum_2")
     def hist(df: DataFrame, id: Long): DataFrame =
       df.groupBy(col("__v")).agg(count(lit(1)).as("__cnt"))
         .withColumn("analysis_id", lit(id))
         .withColumn("stratum_1", lit("ALL"))
+        .withColumn("stratum_2", noS2)
 
     /** A stratified histogram: `(stratum expr, __v)` -> dist input rows. */
     def stratHist(df: DataFrame, id: Long, stratum: org.apache.spark.sql.Column): DataFrame =
       df.groupBy(stratum.cast("string").as("stratum_1"), col("__v"))
+        .agg(count(lit(1)).as("__cnt"))
+        .withColumn("analysis_id", lit(id))
+        .withColumn("stratum_2", noS2)
+
+    /** The two-strata histogram (1815's concept x unit). */
+    def stratHist2(df: DataFrame, id: Long,
+        s1: org.apache.spark.sql.Column, s2: org.apache.spark.sql.Column): DataFrame =
+      df.groupBy(s1.cast("string").as("stratum_1"), s2.cast("string").as("stratum_2"),
+          col("__v"))
         .agg(count(lit(1)).as("__cnt"))
         .withColumn("analysis_id", lit(id))
 
@@ -386,10 +502,62 @@ object OhdsiAchilles {
         .select(col("__v"))
       parts += hist(perPerson, d.base + 3)
     }
+    // x06: distribution of age at FIRST occurrence by concept (206, 406,
+    // ...) — one shuffle on (person, concept), birth years broadcast in
+    val hasYob = has(model, "person", "person_id", "year_of_birth")
+    if (hasYob) {
+      val yob = load("person").select(col("person_id"), col("year_of_birth"))
+      DomainSeries.filter(d => d.table != "death" &&
+          has(model, d.table, d.concept, d.startDate, "person_id")).foreach { d =>
+        val firstOcc = load(d.table)
+          .filter(col(d.startDate).isNotNull)
+          .groupBy(col("person_id"), col(d.concept))
+          .agg(min(col(d.startDate)).as("__first"))
+          .join(yob, "person_id")
+          .select(col(d.concept),
+            (year(col("__first")) - col("year_of_birth")).cast("double").as("__v"))
+        parts += stratHist(firstOcc, d.base + 6, col(d.concept))
+      }
+      // 506: distribution of age at death, by gender
+      if (has(model, "death", "person_id", "death_date") &&
+          has(model, "person", "gender_concept_id")) {
+        val atDeath = load("death")
+          .filter(col("death_date").isNotNull)
+          .join(load("person").select(col("person_id"), col("year_of_birth"),
+            col("gender_concept_id")), "person_id")
+          .select(col("gender_concept_id"),
+            (year(col("death_date")) - col("year_of_birth")).cast("double").as("__v"))
+        parts += stratHist(atDeath, 506L, col("gender_concept_id"))
+      }
+    }
+    // 211 / 907 / 1007: duration distributions by concept (length of stay,
+    // era lengths) — pure projections into a per-concept histogram
+    DomainSeries.filter(d => d.endDate.isDefined &&
+        DurationDists.contains(d.table)).foreach { d =>
+      val end = d.endDate.get
+      if (has(model, d.table, d.concept, d.startDate, end)) {
+        val (id, _) = DurationDists(d.table)
+        val dur = load(d.table)
+          .filter(col(d.startDate).isNotNull && col(end).isNotNull)
+          .select(col(d.concept),
+            datediff(col(end), col(d.startDate)).cast("double").as("__v"))
+        parts += stratHist(dur, id, col(d.concept))
+      }
+    }
+    // 1815: numeric measurement values by (concept, unit) — the two-strata
+    // family Ares' value-distribution panels read
+    if (has(model, "measurement", "measurement_concept_id", "unit_concept_id",
+        "value_as_number")) {
+      val vals = load("measurement")
+        .filter(col("value_as_number").isNotNull)
+        .select(col("measurement_concept_id"), col("unit_concept_id"),
+          col("value_as_number").cast("double").as("__v"))
+      parts += stratHist2(vals, 1815L, col("measurement_concept_id"), col("unit_concept_id"))
+    }
     val hists = parts.result()
     require(hists.nonEmpty, "model carries none of the core dist analyses")
     AchillesGen.distAggFromValueCounts(
-      hists.reduce(_ unionByName _), Seq("analysis_id", "stratum_1"))
-      .orderBy("analysis_id", "stratum_1")
+      hists.reduce(_ unionByName _), Seq("analysis_id", "stratum_1", "stratum_2"))
+      .orderBy("analysis_id", "stratum_1", "stratum_2")
   }
 }

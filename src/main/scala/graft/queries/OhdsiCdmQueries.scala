@@ -42,14 +42,25 @@ object OhdsiCdmQueries {
     f("observation_period", "person_id", "int64"),
     f("observation_period", "observation_period_start_date", "date"),
     f("observation_period", "observation_period_end_date", "date"),
+    f("observation_period", "period_type_concept_id", "int64"),
     f("visit_occurrence", "visit_occurrence_id", "int64", pk = true),
     f("visit_occurrence", "person_id", "int64"),
     f("visit_occurrence", "visit_concept_id", "int64"),
     f("visit_occurrence", "visit_start_date", "date"),
+    f("visit_occurrence", "visit_end_date", "date"),
     f("condition_occurrence", "person_id", "int64"),
     f("condition_occurrence", "condition_concept_id", "int64"),
     f("condition_occurrence", "condition_start_date", "date"),
-    f("condition_occurrence", "condition_type_concept_id", "int64")))
+    f("condition_occurrence", "condition_type_concept_id", "int64"),
+    f("death", "person_id", "int64"),
+    f("death", "cause_concept_id", "int64"),
+    f("death", "death_date", "date"),
+    f("measurement", "person_id", "int64"),
+    f("measurement", "measurement_concept_id", "int64"),
+    f("measurement", "measurement_date", "date"),
+    f("measurement", "measurement_type_concept_id", "int64"),
+    f("measurement", "value_as_number", "float64"),
+    f("measurement", "unit_concept_id", "int64")))
 
   /** Deterministic CDM derivation from the TPC-H universe. Every rule is a
     * pure projection/aggregation the DuckDB oracle replays verbatim:
@@ -74,14 +85,48 @@ object OhdsiCdmQueries {
       t(s, d, "orders").groupBy(col("o_custkey").as("person_id"))
         .agg(min(to_date(col("o_orderdate"))).as("observation_period_start_date"),
           max(to_date(col("o_orderdate"))).as("observation_period_end_date"))
+        .withColumn("period_type_concept_id",
+          when(col("person_id") % 2 === 0, 32828L).otherwise(32880L))
     case "visit_occurrence" =>
+      // every ~97th visit is an ORPHAN (person_id pushed out of the person
+      // key space) so the x07 invalid-person analysis counts real rows
       t(s, d, "orders").select(
         col("o_orderkey").as("visit_occurrence_id"),
-        col("o_custkey").as("person_id"),
+        when(col("o_orderkey") % 97 === 0, col("o_custkey") + 100000000L)
+          .otherwise(col("o_custkey")).as("person_id"),
         when(col("o_orderstatus") === "O", 9201L)
           .when(col("o_orderstatus") === "F", 9202L)
           .otherwise(9203L).as("visit_concept_id"),
-        to_date(col("o_orderdate")).as("visit_start_date"))
+        to_date(col("o_orderdate")).as("visit_start_date"),
+        date_add(to_date(col("o_orderdate")),
+          (col("o_orderkey") % 5).cast("int")).as("visit_end_date"))
+    case "death" =>
+      // one death per 11th person with orders: date anchored a few days
+      // past the person's last order, cause from the SNOMED condition set
+      derive(s, d)("observation_period")
+        .filter(col("person_id") % 11 === 0)
+        .select(col("person_id"),
+          when(col("person_id") % 4 === 0, 201826L)
+            .when(col("person_id") % 4 === 1, 316866L)
+            .when(col("person_id") % 4 === 2, 4329847L)
+            .otherwise(255573L).as("cause_concept_id"),
+          date_add(col("observation_period_end_date"),
+            (col("person_id") % 7).cast("int")).as("death_date"))
+    case "measurement" =>
+      // one measurement per lineitem: concept from suppkey, unit from
+      // partkey (two independent strata for 1815), value = quantity
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(
+          col("o_custkey").as("person_id"),
+          when(col("l_suppkey") % 3 === 0, 3027018L)
+            .when(col("l_suppkey") % 3 === 1, 3004249L)
+            .otherwise(3025315L).as("measurement_concept_id"),
+          to_date(col("l_shipdate")).as("measurement_date"),
+          when(col("l_linestatus") === "O", 32817L).otherwise(32856L)
+            .as("measurement_type_concept_id"),
+          col("l_quantity").cast("double").as("value_as_number"),
+          when(col("l_partkey") % 2 === 0, 8587L).otherwise(8576L).as("unit_concept_id"))
     case "condition_occurrence" =>
       // one condition per order LINE: the multi-concept-per-person domain
       // the x03 (distinct concepts per person) and x05 (records by concept
@@ -134,14 +179,37 @@ object OhdsiCdmQueries {
       |), obs AS (
       |  SELECT o_custkey AS person_id,
       |    min(CAST(o_orderdate AS DATE)) AS op_start,
-      |    max(CAST(o_orderdate AS DATE)) AS op_end
+      |    max(CAST(o_orderdate AS DATE)) AS op_end,
+      |    CASE WHEN o_custkey % 2 = 0 THEN 32828 ELSE 32880 END
+      |      AS period_type_concept_id
       |  FROM orders GROUP BY o_custkey
       |), visit AS (
-      |  SELECT o_orderkey AS visit_occurrence_id, o_custkey AS person_id,
+      |  SELECT o_orderkey AS visit_occurrence_id,
+      |    CASE WHEN o_orderkey % 97 = 0 THEN o_custkey + 100000000
+      |      ELSE o_custkey END AS person_id,
       |    CASE o_orderstatus WHEN 'O' THEN 9201 WHEN 'F' THEN 9202 ELSE 9203 END
       |      AS visit_concept_id,
-      |    CAST(o_orderdate AS DATE) AS visit_start_date
+      |    CAST(o_orderdate AS DATE) AS visit_start_date,
+      |    CAST(o_orderdate AS DATE) + CAST(o_orderkey % 5 AS INT) AS visit_end_date
       |  FROM orders
+      |), death AS (
+      |  SELECT person_id,
+      |    CASE CAST(person_id % 4 AS INT)
+      |      WHEN 0 THEN 201826 WHEN 1 THEN 316866 WHEN 2 THEN 4329847
+      |      ELSE 255573 END AS cause_concept_id,
+      |    op_end + CAST(person_id % 7 AS INT) AS death_date
+      |  FROM obs WHERE person_id % 11 = 0
+      |), meas AS (
+      |  SELECT o_custkey AS person_id,
+      |    CASE CAST(l_suppkey % 3 AS INT)
+      |      WHEN 0 THEN 3027018 WHEN 1 THEN 3004249 ELSE 3025315 END
+      |      AS measurement_concept_id,
+      |    CAST(l_shipdate AS DATE) AS measurement_date,
+      |    CASE l_linestatus WHEN 'O' THEN 32817 ELSE 32856 END
+      |      AS measurement_type_concept_id,
+      |    CAST(l_quantity AS DOUBLE) AS value_as_number,
+      |    CASE WHEN l_partkey % 2 = 0 THEN 8587 ELSE 8576 END AS unit_concept_id
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |), cond AS (
       |  SELECT o_custkey AS person_id,
       |    CASE CAST(l_partkey % 4 AS INT)
@@ -210,6 +278,25 @@ object OhdsiCdmQueries {
       |  UNION ALL
       |  SELECT 113, '1', NULL, count(*) FROM obs
       |  UNION ALL
+      |  SELECT 114, 'ALL', NULL, count(DISTINCT o.person_id)
+      |  FROM obs o JOIN person p USING (person_id)
+      |  WHERE year(o.op_start) < p.year_of_birth
+      |  UNION ALL
+      |  SELECT 115, 'ALL', NULL, count(DISTINCT person_id) FROM obs
+      |  WHERE op_end < op_start
+      |  UNION ALL
+      |  SELECT 117, strftime(m, '%Y%m'), NULL, count(DISTINCT person_id) FROM (
+      |    SELECT person_id,
+      |      unnest(generate_series(
+      |        CAST(date_trunc('month', op_start) AS DATE),
+      |        CAST(date_trunc('month', op_end) AS DATE),
+      |        INTERVAL 1 MONTH)) AS m
+      |    FROM obs
+      |  ) GROUP BY 2
+      |  UNION ALL
+      |  SELECT 119, CAST(period_type_concept_id AS VARCHAR), NULL, count(*)
+      |  FROM obs GROUP BY 2
+      |  UNION ALL
       |  SELECT 200, CAST(visit_concept_id AS VARCHAR), NULL, count(DISTINCT person_id)
       |  FROM visit GROUP BY 2
       |  UNION ALL
@@ -231,6 +318,48 @@ object OhdsiCdmQueries {
       |  SELECT 405, CAST(condition_concept_id AS VARCHAR),
       |    CAST(condition_type_concept_id AS VARCHAR), count(*)
       |  FROM cond GROUP BY 2, 3
+      |  UNION ALL
+      |  SELECT 207, 'ALL', NULL, count(*) FROM visit
+      |  WHERE person_id NOT IN (SELECT person_id FROM person)
+      |  UNION ALL
+      |  SELECT 220, strftime(visit_start_date, '%Y%m'), NULL, count(*)
+      |  FROM visit GROUP BY 2
+      |  UNION ALL
+      |  SELECT 407, 'ALL', NULL, count(*) FROM cond
+      |  WHERE person_id NOT IN (SELECT person_id FROM person)
+      |  UNION ALL
+      |  SELECT 420, strftime(condition_start_date, '%Y%m'), NULL, count(*)
+      |  FROM cond GROUP BY 2
+      |  UNION ALL
+      |  SELECT 500, CAST(cause_concept_id AS VARCHAR), NULL, count(DISTINCT person_id)
+      |  FROM death GROUP BY 2
+      |  UNION ALL
+      |  SELECT 501, CAST(cause_concept_id AS VARCHAR), NULL, count(*) FROM death GROUP BY 2
+      |  UNION ALL
+      |  SELECT 502, CAST(cause_concept_id AS VARCHAR), strftime(death_date, '%Y%m'),
+      |    count(DISTINCT person_id)
+      |  FROM death GROUP BY 2, 3
+      |  UNION ALL
+      |  SELECT 1800, CAST(measurement_concept_id AS VARCHAR), NULL,
+      |    count(DISTINCT person_id)
+      |  FROM meas GROUP BY 2
+      |  UNION ALL
+      |  SELECT 1801, CAST(measurement_concept_id AS VARCHAR), NULL, count(*)
+      |  FROM meas GROUP BY 2
+      |  UNION ALL
+      |  SELECT 1802, CAST(measurement_concept_id AS VARCHAR),
+      |    strftime(measurement_date, '%Y%m'), count(DISTINCT person_id)
+      |  FROM meas GROUP BY 2, 3
+      |  UNION ALL
+      |  SELECT 1805, CAST(measurement_concept_id AS VARCHAR),
+      |    CAST(measurement_type_concept_id AS VARCHAR), count(*)
+      |  FROM meas GROUP BY 2, 3
+      |  UNION ALL
+      |  SELECT 1807, 'ALL', NULL, count(*) FROM meas
+      |  WHERE person_id NOT IN (SELECT person_id FROM person)
+      |  UNION ALL
+      |  SELECT 1820, strftime(measurement_date, '%Y%m'), NULL, count(*)
+      |  FROM meas GROUP BY 2
       |)
       |SELECT analysis_id, stratum_1, stratum_2, count_value
       |FROM results WHERE count_value > 5 OR analysis_id = 0
@@ -240,27 +369,66 @@ object OhdsiCdmQueries {
     s"""WITH $deriveSql,
       |d AS (
       |  SELECT CAST(103 AS BIGINT) AS analysis_id, 'ALL' AS stratum_1,
-      |    CAST(age AS DOUBLE) AS v FROM first_obs
+      |    CAST(NULL AS VARCHAR) AS stratum_2, CAST(age AS DOUBLE) AS v FROM first_obs
       |  UNION ALL
-      |  SELECT 104, CAST(gender_concept_id AS VARCHAR), CAST(age AS DOUBLE) FROM first_obs
+      |  SELECT 104, CAST(gender_concept_id AS VARCHAR), NULL, CAST(age AS DOUBLE)
+      |  FROM first_obs
       |  UNION ALL
-      |  SELECT 105, 'ALL', CAST(datediff('day', op_start, op_end) AS DOUBLE) FROM first_obs
+      |  SELECT 105, 'ALL', NULL, CAST(datediff('day', op_start, op_end) AS DOUBLE)
+      |  FROM first_obs
       |  UNION ALL
-      |  SELECT 106, CAST(gender_concept_id AS VARCHAR),
+      |  SELECT 106, CAST(gender_concept_id AS VARCHAR), NULL,
       |    CAST(datediff('day', op_start, op_end) AS DOUBLE) FROM first_obs
       |  UNION ALL
-      |  SELECT 107, CAST(CAST(floor(age / 10) AS BIGINT) AS VARCHAR),
+      |  SELECT 107, CAST(CAST(floor(age / 10) AS BIGINT) AS VARCHAR), NULL,
       |    CAST(datediff('day', op_start, op_end) AS DOUBLE) FROM first_obs
       |  UNION ALL
-      |  SELECT 203, 'ALL', CAST(n AS DOUBLE) FROM (
+      |  SELECT 203, 'ALL', NULL, CAST(n AS DOUBLE) FROM (
       |    SELECT person_id, count(DISTINCT visit_concept_id) AS n FROM visit GROUP BY person_id
       |  )
       |  UNION ALL
-      |  SELECT 403, 'ALL', CAST(n AS DOUBLE) FROM (
+      |  SELECT 403, 'ALL', NULL, CAST(n AS DOUBLE) FROM (
       |    SELECT person_id, count(DISTINCT condition_concept_id) AS n FROM cond GROUP BY person_id
       |  )
+      |  UNION ALL
+      |  SELECT 1803, 'ALL', NULL, CAST(n AS DOUBLE) FROM (
+      |    SELECT person_id, count(DISTINCT measurement_concept_id) AS n
+      |    FROM meas GROUP BY person_id
+      |  )
+      |  UNION ALL
+      |  SELECT 206, CAST(visit_concept_id AS VARCHAR), NULL,
+      |    CAST(year(f) - year_of_birth AS DOUBLE)
+      |  FROM (
+      |    SELECT person_id, visit_concept_id, min(visit_start_date) AS f
+      |    FROM visit GROUP BY 1, 2
+      |  ) JOIN person USING (person_id)
+      |  UNION ALL
+      |  SELECT 406, CAST(condition_concept_id AS VARCHAR), NULL,
+      |    CAST(year(f) - year_of_birth AS DOUBLE)
+      |  FROM (
+      |    SELECT person_id, condition_concept_id, min(condition_start_date) AS f
+      |    FROM cond GROUP BY 1, 2
+      |  ) JOIN person USING (person_id)
+      |  UNION ALL
+      |  SELECT 1806, CAST(measurement_concept_id AS VARCHAR), NULL,
+      |    CAST(year(f) - year_of_birth AS DOUBLE)
+      |  FROM (
+      |    SELECT person_id, measurement_concept_id, min(measurement_date) AS f
+      |    FROM meas GROUP BY 1, 2
+      |  ) JOIN person USING (person_id)
+      |  UNION ALL
+      |  SELECT 211, CAST(visit_concept_id AS VARCHAR), NULL,
+      |    CAST(datediff('day', visit_start_date, visit_end_date) AS DOUBLE) FROM visit
+      |  UNION ALL
+      |  SELECT 506, CAST(gender_concept_id AS VARCHAR), NULL,
+      |    CAST(year(death_date) - year_of_birth AS DOUBLE)
+      |  FROM death JOIN person USING (person_id)
+      |  UNION ALL
+      |  SELECT 1815, CAST(measurement_concept_id AS VARCHAR),
+      |    CAST(unit_concept_id AS VARCHAR), value_as_number
+      |  FROM meas WHERE value_as_number IS NOT NULL
       |)
-      |SELECT analysis_id, stratum_1, count(*) AS count_value,
+      |SELECT analysis_id, stratum_1, stratum_2, count(*) AS count_value,
       |  round(min(v), 4) AS min_value, round(max(v), 4) AS max_value,
       |  ${graft.operators.AchillesGen.MomentsSql}
       |  round(quantile_cont(v, 0.1), 4) AS p10_value,
@@ -269,8 +437,8 @@ object OhdsiCdmQueries {
       |  round(quantile_cont(v, 0.75), 4) AS p75_value,
       |  round(quantile_cont(v, 0.9), 4) AS p90_value
       |FROM d
-      |GROUP BY 1, 2 HAVING count(*) > 5
-      |ORDER BY 1, 2""".stripMargin
+      |GROUP BY 1, 2, 3 HAVING count(*) > 5
+      |ORDER BY 1, 2, 3""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(
     "ohdsi_core_counts" -> countsOracle,

@@ -59,15 +59,21 @@ class OhdsiAchillesSpec extends SparkSpec {
 
   test("analysisCatalog carries the literal core id set") {
     val cat = OhdsiAchilles.analysisCatalog(spark).collect()
-    assert(cat.length === 64)
+    assert(cat.length === 96)
     val ids = cat.map(_.getLong(0))
     assert(ids.sorted.toSeq === ids.toSeq) // ordered by analysis_id
-    for (core <- Seq(1L, 2L, 101L, 105L, 108L, 109L, 110L, 111L, 201L, 202L,
-        401L, 402L, 405L, 701L, 705L, 1801L, 1802L, 2105L))
+    for (core <- Seq(1L, 2L, 101L, 105L, 108L, 109L, 110L, 111L, 114L, 115L,
+        117L, 119L, 201L, 202L, 207L, 220L, 401L, 402L, 405L, 407L, 420L,
+        701L, 705L, 707L, 720L, 1801L, 1802L, 1807L, 1820L, 2105L, 2107L, 2120L))
       assert(ids.contains(core), s"missing core id $core")
+    // era tables carry NO x07/x20 (those published slots differ there)
+    for (absent <- Seq(507L, 520L, 907L + 13L, 920L, 1020L))
+      assert(!ids.contains(absent), s"unexpected id $absent")
     val dists = cat.filter(_.getLong(4) == 1L).map(_.getLong(0)).toSet
     assert(dists === Set(103L, 104L, 105L, 106L, 107L,
-      203L, 403L, 603L, 703L, 803L, 903L, 1003L, 1803L, 2103L))
+      203L, 403L, 603L, 703L, 803L, 903L, 1003L, 1803L, 2103L,
+      206L, 406L, 606L, 706L, 806L, 906L, 1006L, 1806L, 2106L,
+      211L, 506L, 907L, 1007L, 1815L))
   }
 
   test("cdmCoreResults carries literal ids with correct counts") {
@@ -107,6 +113,15 @@ class OhdsiAchillesSpec extends SparkSpec {
     assert(r((111L, "201501", "")) === 1L)
     assert(r((113L, "1", "")) === 7L)              // persons by #periods
     assert(r((113L, "2", "")) === 1L)
+    // 114/115: clean fixture -> zero-count rows are dropped even at
+    // smallCellCount=0 (the > filter)
+    assert(!r.keySet.exists { case (id, _, _) => id == 114L || id == 115L })
+    // 117: observed-day months need NO whole-month cover — all 8 persons
+    // touch Jan 2010; only the 60/70/80-day periods (p6-p8) reach March
+    assert(r((117L, "201001", "")) === 8L)
+    assert(r((117L, "201003", "")) === 3L)
+    // x07 invalid-person counts are zero here (every event row resolves)
+    assert(!r.keySet.exists { case (id, _, _) => id == 207L || id == 407L })
     assert(r((200L, "9201", "")) === 8L)           // persons with a visit
     assert(r((200L, "9203", "")) === 3L)
     assert(r((201L, "9201", "")) === 36L)          // visit records
