@@ -279,21 +279,6 @@ object OhdsiAchilles {
             .groupBy(col("__y").cast("string").as("stratum_1"))
             .agg(countDistinct(col("person_id")).as("count_value"))
             .select(lit(109L).as("analysis_id"), col("stratum_1"), noS2, col("count_value")),
-          // 110: persons with CONTINUOUS observation in each month — the
-          // monthly sibling of 109. Candidate months explode from the
-          // period's own span (bounded fan-out: a decade-long period is
-          // 120 rows), the whole-month cover predicate filters, persons
-          // dedup per month.
-          op.select(col("person_id"),
-              explode(sequence(trunc(col("observation_period_start_date"), "MM"),
-                trunc(col("observation_period_end_date"), "MM"),
-                expr("interval 1 month"))).as("__m"),
-              col("observation_period_start_date").as("__s"),
-              col("observation_period_end_date").as("__e"))
-            .filter(col("__s") <= col("__m") && col("__e") >= last_day(col("__m")))
-            .groupBy(date_format(col("__m"), "yyyyMM").as("stratum_1"))
-            .agg(countDistinct(col("person_id")).as("count_value"))
-            .select(lit(110L).as("analysis_id"), col("stratum_1"), noS2, col("count_value")),
           // 115: persons with a period whose end precedes its start (the
           // Achilles data-quality count; zero rows under suppression when
           // the data is clean)
@@ -301,16 +286,6 @@ object OhdsiAchilles {
             .agg(countDistinct(col("person_id")).as("count_value"))
             .select(lit(115L).as("analysis_id"), lit("ALL").as("stratum_1"), noS2,
               col("count_value")),
-          // 117: persons with at least one observed day in each month —
-          // 110's sibling WITHOUT the whole-month cover requirement, so
-          // the month explode needs no filter
-          op.select(col("person_id"),
-              explode(sequence(trunc(col("observation_period_start_date"), "MM"),
-                trunc(col("observation_period_end_date"), "MM"),
-                expr("interval 1 month"))).as("__m"))
-            .groupBy(date_format(col("__m"), "yyyyMM").as("stratum_1"))
-            .agg(countDistinct(col("person_id")).as("count_value"))
-            .select(lit(117L).as("analysis_id"), col("stratum_1"), noS2, col("count_value")),
           // 108: persons by length of FIRST observation period in 30-day
           // increments (stratum = floor(days/30); first period = min-by
           // start date, matching dist analysis 105's choice of period)
@@ -323,6 +298,28 @@ object OhdsiAchilles {
             .groupBy(col("__len30").cast("string").as("stratum_1"))
             .agg(count(lit(1)).as("count_value"))
             .select(lit(108L).as("analysis_id"), col("stratum_1"), noS2, col("count_value")))
+        // 110/117: persons with continuous (110) / any (117) observation in
+        // each month. The candidate-month explode is the battery's largest
+        // intermediate (rows x months-of-span), so BOTH analyses share ONE
+        // exploded aggregate — 110 is the conditional countDistinct under
+        // the whole-month cover predicate, and the shared subtree plans a
+        // single exchange (reused across the two union branches).
+        val monthly = op.select(col("person_id"),
+            explode(sequence(trunc(col("observation_period_start_date"), "MM"),
+              trunc(col("observation_period_end_date"), "MM"),
+              expr("interval 1 month"))).as("__m"),
+            col("observation_period_start_date").as("__s"),
+            col("observation_period_end_date").as("__e"))
+          .groupBy(date_format(col("__m"), "yyyyMM").as("stratum_1"))
+          .agg(
+            countDistinct(when(
+              col("__s") <= col("__m") && col("__e") >= last_day(col("__m")),
+              col("person_id"))).as("__n110"),
+            countDistinct(col("person_id")).as("__n117"))
+        ageBase += monthly.select(lit(110L).as("analysis_id"), col("stratum_1"), noS2,
+          col("__n110").as("count_value"))
+        ageBase += monthly.select(lit(117L).as("analysis_id"), col("stratum_1"), noS2,
+          col("__n117").as("count_value"))
         // 101/102: persons by age (and by gender by age) at FIRST
         // observation period — one shuffle on person_id, then tiny strata
         if (has(model, "person", "year_of_birth")) {
