@@ -30,7 +30,7 @@ object OhdsiAchilles {
   /** One catalog row of the vendored core set. */
   final case class CoreAnalysis(
       id: Long, name: String, stratum1: String = "", stratum2: String = "",
-      isDist: Boolean = false)
+      isDist: Boolean = false, stratum3: String = "", stratum4: String = "")
 
   /** One CDM event-table series of the public Achilles id convention:
     * `base+0` persons by concept, `+1` records by concept, `+2` persons by
@@ -152,6 +152,14 @@ object OhdsiAchilles {
           Seq(CoreAnalysis(d.base + 3,
             s"Number of distinct $entity concepts per person", isDist = true))
         else Nil) ++
+        // x04: the Atlas drill-down — persons by concept by calendar year
+        // by gender by age decile (published strata order)
+        (if (d.table != "death")
+          Seq(CoreAnalysis(d.base + 4,
+            s"Number of persons with at least one $entity, by ${d.concept} by calendar year by gender by age decile",
+            d.concept, "calendar_year",
+            stratum3 = "gender_concept_id", stratum4 = "age_decile"))
+        else Nil) ++
         // x05: records by concept by type concept
         d.typeCol.map(tc =>
           CoreAnalysis(d.base + 5, s"Number of $entity records, by ${d.concept} by $tc",
@@ -180,8 +188,11 @@ object OhdsiAchilles {
     Catalog.map(a => (a.id, a.name,
         Option(a.stratum1).filter(_.nonEmpty),
         Option(a.stratum2).filter(_.nonEmpty),
+        Option(a.stratum3).filter(_.nonEmpty),
+        Option(a.stratum4).filter(_.nonEmpty),
         if (a.isDist) 1L else 0L))
-      .toDF("analysis_id", "analysis_name", "stratum_1_name", "stratum_2_name", "distribution")
+      .toDF("analysis_id", "analysis_name", "stratum_1_name", "stratum_2_name",
+        "stratum_3_name", "stratum_4_name", "distribution")
       .orderBy("analysis_id")
   }
 
@@ -403,10 +414,42 @@ object OhdsiAchilles {
         Seq(row(d.base + 1, col(d.concept), load(d.table), count(lit(1))))
     }.flatten
 
-    ((person.toSeq ++ obsPeriod.toSeq).flatten ++ domains)
+    // x04: the four-strata Atlas drill-down (204, 404, ..., published
+    // strata order: concept, calendar year, gender, age decile) — one
+    // countDistinct per domain with the person attributes joined in
+    val x04: Seq[DataFrame] =
+      if (!has(model, "person", "person_id", "year_of_birth", "gender_concept_id")) Nil
+      else {
+        val pyg = load("person").select(
+          col("person_id"), col("year_of_birth"), col("gender_concept_id"))
+        DomainSeries.collect {
+          case d if d.table != "death" &&
+              has(model, d.table, d.concept, d.startDate) &&
+              model.columns(d.table).contains("person_id") =>
+            load(d.table)
+              .filter(col(d.startDate).isNotNull)
+              .join(pyg, "person_id")
+              .groupBy(
+                col(d.concept).cast("string").as("stratum_1"),
+                year(col(d.startDate)).cast("string").as("stratum_2"),
+                col("gender_concept_id").cast("string").as("stratum_3"),
+                floor((year(col(d.startDate)) - col("year_of_birth")) / 10)
+                  .cast("string").as("stratum_4"))
+              .agg(countDistinct(col("person_id")).as("count_value"))
+              .select(lit(d.base + 4).as("analysis_id"), col("stratum_1"),
+                col("stratum_2"), col("stratum_3"), col("stratum_4"), col("count_value"))
+        }
+      }
+
+    val noS34 = Seq(lit(null).cast("string").as("stratum_3"),
+      lit(null).cast("string").as("stratum_4"))
+    val narrow = ((person.toSeq ++ obsPeriod.toSeq).flatten ++ domains)
       .pipe(graft.Unions.balanced)
+      .select(Seq(col("analysis_id"), col("stratum_1"), col("stratum_2")) ++ noS34 :+
+        col("count_value"): _*)
+    (narrow +: x04).reduce(_ unionByName _)
       .filter(col("count_value") > smallCellCount || col("analysis_id") === 0L)
-      .orderBy("analysis_id", "stratum_1", "stratum_2")
+      .orderBy("analysis_id", "stratum_1", "stratum_2", "stratum_3", "stratum_4")
   }
 
   /** The literal-id core DIST battery (`achilles_results_dist` shape):

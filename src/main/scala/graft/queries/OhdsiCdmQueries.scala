@@ -380,10 +380,36 @@ object OhdsiCdmQueries {
       |  UNION ALL
       |  SELECT 1820, strftime(measurement_date, '%Y%m'), NULL, count(*)
       |  FROM meas GROUP BY 2
+      |), results5 AS (
+      |  SELECT analysis_id, stratum_1, stratum_2,
+      |    CAST(NULL AS VARCHAR) AS stratum_3, CAST(NULL AS VARCHAR) AS stratum_4,
+      |    count_value
+      |  FROM results
+      |  UNION ALL
+      |  SELECT 204, CAST(visit_concept_id AS VARCHAR),
+      |    CAST(year(visit_start_date) AS VARCHAR),
+      |    CAST(gender_concept_id AS VARCHAR),
+      |    CAST(CAST(floor((year(visit_start_date) - year_of_birth) / 10) AS BIGINT) AS VARCHAR),
+      |    count(DISTINCT person_id)
+      |  FROM visit JOIN person USING (person_id) GROUP BY 2, 3, 4, 5
+      |  UNION ALL
+      |  SELECT 404, CAST(condition_concept_id AS VARCHAR),
+      |    CAST(year(condition_start_date) AS VARCHAR),
+      |    CAST(gender_concept_id AS VARCHAR),
+      |    CAST(CAST(floor((year(condition_start_date) - year_of_birth) / 10) AS BIGINT) AS VARCHAR),
+      |    count(DISTINCT person_id)
+      |  FROM cond JOIN person USING (person_id) GROUP BY 2, 3, 4, 5
+      |  UNION ALL
+      |  SELECT 1804, CAST(measurement_concept_id AS VARCHAR),
+      |    CAST(year(measurement_date) AS VARCHAR),
+      |    CAST(gender_concept_id AS VARCHAR),
+      |    CAST(CAST(floor((year(measurement_date) - year_of_birth) / 10) AS BIGINT) AS VARCHAR),
+      |    count(DISTINCT person_id)
+      |  FROM meas JOIN person USING (person_id) GROUP BY 2, 3, 4, 5
       |)
-      |SELECT analysis_id, stratum_1, stratum_2, count_value
-      |FROM results WHERE count_value > 5 OR analysis_id = 0
-      |ORDER BY analysis_id, stratum_1, stratum_2""".stripMargin
+      |SELECT analysis_id, stratum_1, stratum_2, stratum_3, stratum_4, count_value
+      |FROM results5 WHERE count_value > 5 OR analysis_id = 0
+      |ORDER BY analysis_id, stratum_1, stratum_2, stratum_3, stratum_4""".stripMargin
 
   val distOracle: String =
     s"""WITH $deriveSql,

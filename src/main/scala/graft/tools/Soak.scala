@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   */
 object Soak {
 
-  private val Families = Seq("dedup_", "sim_", "corpus_", "text_", "embed_", "doc_")
+  private val Families = Seq("dedup_", "sim_", "corpus_", "text_", "embed_", "doc_", "join_")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
@@ -66,6 +66,36 @@ object Soak {
         .repartition(32)
         .write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
       println(s"generated $out: ${nDocs * 10} docs, ${nEmbs * 10} vectors")
+    }
+
+    // ---- events at 10x with a deliberately HOT key ----------------------
+    // The as-of join family's scale hazard is one pathological key
+    // serializing a per-key window; copies c>0 remap every 7th user's
+    // events onto user 1, so ~13% of the 10x stream lands on ONE key —
+    // the condition join_asof's skew ceiling and join_asof_bucketed's
+    // remedy are supposed to differ under. ts stays raw nanos (the
+    // Tables.load events contract).
+    val evPath = s"$out/events.parquet"
+    if (!new java.io.File(evPath).exists()) {
+      val ev = spark.read.parquet(s"$src/events.parquet")
+      val nEv = ev.count()
+      val copies = spark.range(0, 10).select(col("id").as("__copy"))
+      ev.crossJoin(copies)
+        .select(
+          (col("event_id") + col("__copy") * nEv).as("event_id"),
+          col("ts"),
+          when(col("__copy") > 0 && col("user_id") % 7 === 0, lit(1L))
+            .otherwise(col("user_id")).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .repartition(32)
+        .write.mode(SaveMode.Overwrite).parquet(evPath)
+      // the as-of right side: sf0.1 orders verbatim (right-side size is
+      // irrelevant to the hot-key question)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$src/orders.parquet"),
+        java.nio.file.Paths.get(s"$out/orders.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      println(s"generated $evPath: ${nEv * 10} events (hot user 1)")
     }
 
     // ---- task-skew listener ---------------------------------------------

@@ -59,17 +59,25 @@ class OhdsiAchillesSpec extends SparkSpec {
 
   test("analysisCatalog carries the literal core id set") {
     val cat = OhdsiAchilles.analysisCatalog(spark).collect()
-    assert(cat.length === 96)
+    assert(cat.length === 105)
     val ids = cat.map(_.getLong(0))
     assert(ids.sorted.toSeq === ids.toSeq) // ordered by analysis_id
     for (core <- Seq(1L, 2L, 101L, 105L, 108L, 109L, 110L, 111L, 114L, 115L,
-        117L, 119L, 201L, 202L, 207L, 220L, 401L, 402L, 405L, 407L, 420L,
-        701L, 705L, 707L, 720L, 1801L, 1802L, 1807L, 1820L, 2105L, 2107L, 2120L))
+        117L, 119L, 201L, 202L, 204L, 207L, 220L, 401L, 402L, 404L, 405L, 407L,
+        420L, 701L, 704L, 705L, 707L, 720L, 904L, 1004L, 1801L, 1802L, 1804L,
+        1807L, 1820L, 2105L, 2107L, 2120L))
       assert(ids.contains(core), s"missing core id $core")
+    // x04 carries the published four strata names
+    val a404 = cat.find(_.getLong(0) == 404L).get
+    assert(a404.getString(2) === "condition_concept_id")
+    assert(a404.getString(3) === "calendar_year")
+    assert(a404.getString(4) === "gender_concept_id")
+    assert(a404.getString(5) === "age_decile")
+    assert(!ids.contains(504L)) // death has no x04 slot here
     // era tables carry NO x07/x20 (those published slots differ there)
     for (absent <- Seq(507L, 520L, 907L + 13L, 920L, 1020L))
       assert(!ids.contains(absent), s"unexpected id $absent")
-    val dists = cat.filter(_.getLong(4) == 1L).map(_.getLong(0)).toSet
+    val dists = cat.filter(_.getLong(6) == 1L).map(_.getLong(0)).toSet
     assert(dists === Set(103L, 104L, 105L, 106L, 107L,
       203L, 403L, 603L, 703L, 803L, 903L, 1003L, 1803L, 2103L,
       206L, 406L, 606L, 706L, 806L, 906L, 1006L, 1806L, 2106L,
