@@ -183,9 +183,45 @@ object OhdsiCdmQueries {
     graft.operators.OhdsiAchilles.cdmCoreDistResults(derivedModel, materialized(s, d))
       .orderBy("analysis_id", "stratum_1")
 
+  /** User-supplied OHDSI-dialect SQL through the SqlRender-subset bridge
+    * ([[graft.sources.OhdsiSql]]): a `{DEFAULT @p}` + `@param` render, a
+    * SQL Server -> Spark translate (TOP, COUNT_BIG, YEAR, DATEDIFF with
+    * its argument flip), one statement — the `sql_render_base.py` flow a
+    * user's own Achilles/DQD SQL file takes.
+    */
+  val ohdsiSqlTopn: Q = (s, d) => {
+    t(s, d, "orders").createOrReplaceTempView("orders")
+    graft.sources.OhdsiSql.execute(s,
+      """{DEFAULT @min_year = 1994}
+        |SELECT TOP 10 o_custkey, COUNT_BIG(*) AS n,
+        |  DATEDIFF(day, MIN(o_orderdate), MAX(o_orderdate)) AS span_days
+        |FROM orders
+        |WHERE YEAR(o_orderdate) >= @min_year
+        |GROUP BY o_custkey
+        |ORDER BY n DESC, o_custkey""".stripMargin)
+  }
+
+  /** The multi-statement temp-table flow OHDSI scripts lean on:
+    * `IF OBJECT_ID .. DROP`, `SELECT .. INTO #t`, then the report off the
+    * temp table — `#t` becomes a session temp view, the drop manages it.
+    */
+  val ohdsiSqlTempflow: Q = (s, d) => {
+    t(s, d, "orders").createOrReplaceTempView("orders")
+    graft.sources.OhdsiSql.execute(s,
+      """IF OBJECT_ID('tempdb..#recent', 'U') IS NOT NULL DROP TABLE #recent;
+        |SELECT o_orderkey, o_custkey, o_totalprice INTO #recent
+        |FROM orders WHERE o_orderdate >= DATEFROMPARTS(@min_year, 1, 1);
+        |SELECT TOP 100 o_custkey, COUNT(*) AS n_orders,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 2) AS total
+        |FROM #recent GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+      params = Map("min_year" -> "1996"))
+  }
+
   val defs: Seq[(String, Q)] = Seq(
     "ohdsi_core_counts" -> ohdsiCoreCounts,
-    "ohdsi_core_dist" -> ohdsiCoreDist)
+    "ohdsi_core_dist" -> ohdsiCoreDist,
+    "ohdsi_sql_topn" -> ohdsiSqlTopn,
+    "ohdsi_sql_tempflow" -> ohdsiSqlTempflow)
 
   /** The derivation CTEs shared by both oracles. */
   private val deriveSql: String =
@@ -488,5 +524,21 @@ object OhdsiCdmQueries {
 
   val oracles: Seq[(String, String)] = Seq(
     "ohdsi_core_counts" -> countsOracle,
-    "ohdsi_core_dist" -> distOracle)
+    "ohdsi_core_dist" -> distOracle,
+    "ohdsi_sql_topn" ->
+      """SELECT o_custkey, count(*) AS n,
+        |  datediff('day', CAST(min(o_orderdate) AS DATE), CAST(max(o_orderdate) AS DATE))
+        |    AS span_days
+        |FROM orders
+        |WHERE year(o_orderdate) >= 1994
+        |GROUP BY o_custkey
+        |ORDER BY n DESC, o_custkey
+        |LIMIT 10""".stripMargin,
+    "ohdsi_sql_tempflow" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 2) AS total
+        |FROM orders
+        |WHERE o_orderdate >= DATE '1996-01-01'
+        |GROUP BY o_custkey ORDER BY o_custkey
+        |LIMIT 100""".stripMargin)
 }

@@ -1,0 +1,156 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A Spark-native subset of the OHDSI SqlRender bridge the reference drives
+  * through `SqlRender.jar` (`/root/reference/src/riab/etl/sql_render_base.py:36-81`:
+  * `renderSql(sql, names, values)` then `translateSqlWithPath(rendered,
+  * dialect)`) — so a user bringing their own OHDSI-dialect (SQL Server
+  * flavored) analysis SQL can run it against the engine's registered views.
+  *
+  * Scope is the documented public SqlRender surface that OHDSI analysis
+  * files actually use, re-expressed against Spark SQL:
+  *
+  *   - render: `{DEFAULT @p = v}` declarations, `@param` substitution
+  *     (longest name first, so `@abc` never partially matches `@ab`);
+  *   - translate: `SELECT TOP n` -> trailing `LIMIT n`, `COUNT_BIG` ->
+  *     `COUNT`, `ISNULL` -> `coalesce`, `LEN` -> `length`, `GETDATE()` ->
+  *     `current_timestamp()`, `EOMONTH` -> `last_day`, `DATEFROMPARTS` ->
+  *     `make_date`, `DATEADD(day|month|year, n, d)` ->
+  *     `date_add`/`add_months`, `DATEDIFF(day, a, b)` -> `datediff(b, a)`
+  *     (argument order flips), `CHARINDEX(needle, hay)` ->
+  *     `instr(hay, needle)`, `#temp` -> session temp views;
+  *   - execute: `;`-separated statements — `IF OBJECT_ID .. DROP TABLE`
+  *     / `DROP TABLE` manage the temp views, `SELECT .. INTO #t`
+  *     materializes one, and the final `SELECT` returns the frame.
+  *
+  * Anything outside the subset FAILS LOUDLY with the construct named
+  * (the round-6 Jinja lesson: a silently-unrendered construct reaching
+  * `spark.sql` produces an opaque parse error downstream).
+  */
+object OhdsiSql {
+
+  private val DefaultDecl = raw"\{\s*DEFAULT\s+@(\w+)\s*=\s*([^}]*?)\s*\}".r
+  private val ParamRef = raw"@(\w+)".r
+  private val Conditional = raw"\{[^}]*\}\s*\?".r
+
+  /** SqlRender's render step: collect `{DEFAULT @p = v}` declarations,
+    * overlay the caller's parameters, substitute every `@p` textually.
+    * Leftover `@p` references or `{...} ? {...}` conditional blocks (not
+    * part of this subset) raise with the construct named.
+    */
+  def render(sql: String, params: Map[String, String] = Map.empty): String = {
+    require(Conditional.findFirstIn(sql).isEmpty,
+      "unsupported SqlRender construct: conditional block '{...} ? {...}' — " +
+        "this subset supports {DEFAULT @p = v} and @param substitution only")
+    val defaults = DefaultDecl.findAllMatchIn(sql).map(m => m.group(1) -> m.group(2)).toMap
+    val stripped = DefaultDecl.replaceAllIn(sql, "")
+    val values = defaults ++ params
+    val substituted = values.toSeq.sortBy(-_._1.length).foldLeft(stripped) {
+      case (acc, (name, value)) =>
+        acc.replaceAll(raw"@$name\b", java.util.regex.Matcher.quoteReplacement(value))
+    }
+    val leftover = ParamRef.findAllMatchIn(substituted).map(_.group(1)).toSet
+    require(leftover.isEmpty,
+      s"unbound SqlRender parameter(s): ${leftover.toSeq.sorted.map("@" + _).mkString(", ")} — " +
+        s"known: ${values.keys.toSeq.sorted.map("@" + _).mkString(", ")}")
+    substituted
+  }
+
+  private def ci(pattern: String) = ("(?i)" + pattern).r
+
+  /** The SqlTranslate step for the SQL Server constructs of the subset.
+    * A `DATEADD`/`DATEDIFF` with an unsupported datepart (or nested
+    * parentheses the simple rules cannot parse) raises rather than
+    * passing through to an opaque Spark parse error.
+    */
+  def translate(sql: String): String = {
+    var s = sql
+    s = ci(raw"COUNT_BIG\s*\(").replaceAllIn(s, "COUNT(")
+    s = ci(raw"\bISNULL\s*\(").replaceAllIn(s, "coalesce(")
+    s = ci(raw"\bLEN\s*\(").replaceAllIn(s, "length(")
+    s = ci(raw"\bGETDATE\s*\(\s*\)").replaceAllIn(s, "current_timestamp()")
+    s = ci(raw"\bEOMONTH\s*\(").replaceAllIn(s, "last_day(")
+    s = ci(raw"\bDATEFROMPARTS\s*\(").replaceAllIn(s, "make_date(")
+    // DATEADD / DATEDIFF: simple (no nested parens in the date args for
+    // DATEADD; DATEDIFF's args may be aggregate calls, matched as
+    // balanced-one-level tokens)
+    val arg = raw"((?:[^(),]|\((?:[^()]*)\))+)" // one arg, one paren level deep
+    s = ci(raw"\bDATEADD\s*\(\s*(\w+)\s*,\s*$arg\s*,\s*$arg\s*\)").replaceAllIn(s, m => {
+      val (unit, n, d) = (m.group(1).toLowerCase, m.group(2).trim, m.group(3).trim)
+      java.util.regex.Matcher.quoteReplacement(unit match {
+        case "day" | "dd" | "d" => s"date_add($d, $n)"
+        case "month" | "mm" | "m" => s"add_months($d, $n)"
+        case "year" | "yy" | "yyyy" => s"add_months($d, 12 * ($n))"
+        case other => throw new IllegalArgumentException(
+          s"unsupported DATEADD datepart '$other' (subset: day, month, year)")
+      })
+    })
+    s = ci(raw"\bDATEDIFF\s*\(\s*(\w+)\s*,\s*$arg\s*,\s*$arg\s*\)").replaceAllIn(s, m => {
+      val (unit, a, b) = (m.group(1).toLowerCase, m.group(2).trim, m.group(3).trim)
+      java.util.regex.Matcher.quoteReplacement(unit match {
+        case "day" | "dd" | "d" => s"datediff($b, $a)"
+        case "month" | "mm" | "m" => s"months_between($b, $a)"
+        case "year" | "yy" | "yyyy" => s"(year($b) - year($a))"
+        case other => throw new IllegalArgumentException(
+          s"unsupported DATEDIFF datepart '$other' (subset: day, month, year)")
+      })
+    })
+    s = ci(raw"\bCHARINDEX\s*\(\s*([^,()]+?)\s*,\s*([^()]+?)\s*\)")
+      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+        s"instr(${m.group(2).trim}, ${m.group(1).trim})"))
+    // leftover detection: DATEADD/CHARINDEX never appear in our output
+    // (we emit date_add/add_months/instr); a surviving DATEDIFF is only an
+    // untranslated SQL Server call when its first argument is a datepart
+    // keyword (Spark's own two-arg datediff — which we emit — never is)
+    for (fn <- Seq("DATEADD", "CHARINDEX"))
+      require(ci(raw"\b$fn\s*\(").findFirstIn(s).isEmpty,
+        s"$fn call too complex for the translate subset (nested parentheses?) — " +
+          "simplify the arguments or pre-translate that expression")
+    require(
+      ci(raw"\bDATEDIFF\s*\(\s*(?:day|dd|d|month|mm|m|year|yy|yyyy)\s*,").findFirstIn(s).isEmpty,
+      "DATEDIFF call too complex for the translate subset (nested parentheses?) — " +
+        "simplify the arguments or pre-translate that expression")
+    // SELECT TOP n -> statement-final LIMIT n (per statement; callers
+    // split on ';' before translating)
+    ci(raw"\bSELECT\s+TOP\s+(\d+)\b").findFirstMatchIn(s) match {
+      case Some(m) =>
+        val n = m.group(1)
+        s = ci(raw"\bSELECT\s+TOP\s+\d+\b").replaceFirstIn(s, "SELECT")
+        s = s.stripTrailing() + s" LIMIT $n"
+      case None => ()
+    }
+    // temp tables: #name -> a session temp view name
+    s = ci(raw"#(\w+)").replaceAllIn(s, "tmp_ohdsi_$1")
+    s
+  }
+
+  private val DropIfExists =
+    ci(raw"^\s*IF\s+OBJECT_ID\s*\(.*\)\s+IS\s+NOT\s+NULL\s+DROP\s+TABLE\s+(\S+)\s*$$")
+  private val DropTable = ci(raw"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\S+)\s*$$")
+  private val SelectInto = ci(raw"(?s)^(.*?\bSELECT\b.*?)\bINTO\s+(tmp_ohdsi_\w+)\s+(FROM\b.*)$$")
+
+  /** Render + translate + run a multi-statement OHDSI SQL script against
+    * the session's registered views; returns the final SELECT's frame.
+    */
+  def execute(spark: SparkSession, sql: String,
+      params: Map[String, String] = Map.empty): DataFrame = {
+    val statements = translateScript(sql, params)
+    var last: Option[DataFrame] = None
+    statements.foreach {
+      case DropIfExists(view) => spark.catalog.dropTempView(view); ()
+      case DropTable(view) => spark.catalog.dropTempView(view); ()
+      case SelectInto(head, view, tail) =>
+        spark.sql(s"$head $tail").createOrReplaceTempView(view)
+      case select => last = Some(spark.sql(select))
+    }
+    last.getOrElse(throw new IllegalArgumentException(
+      "OHDSI SQL script contains no result-producing SELECT"))
+  }
+
+  /** The statement list `execute` runs: rendered, split on `;`, translated
+    * per statement (so `TOP n` becomes that statement's `LIMIT`).
+    */
+  def translateScript(sql: String, params: Map[String, String] = Map.empty): Seq[String] =
+    render(sql, params).split(";").map(_.trim).filter(_.nonEmpty).map(translate).toSeq
+}

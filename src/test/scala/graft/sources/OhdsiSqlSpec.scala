@@ -1,0 +1,80 @@
+package graft.sources
+
+import graft.SparkSpec
+
+/** The SqlRender-subset bridge: render semantics, dialect translation
+  * rules (including the DATEDIFF argument flip), loud failures outside
+  * the subset, and the multi-statement temp-view flow end-to-end.
+  */
+class OhdsiSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("render applies defaults, caller overrides, longest-name-first substitution") {
+    val sql = "{DEFAULT @ab = 1}{DEFAULT @a = 2} SELECT @ab, @a, @abc"
+    val out = OhdsiSql.render(sql, Map("abc" -> "3"))
+    assert(out.trim === "SELECT 1, 2, 3")
+    val overridden = OhdsiSql.render(sql, Map("ab" -> "9", "abc" -> "3"))
+    assert(overridden.trim === "SELECT 9, 2, 3")
+  }
+
+  test("render fails loudly on unbound params and conditional blocks") {
+    val e = intercept[IllegalArgumentException](OhdsiSql.render("SELECT @nope"))
+    assert(e.getMessage.contains("@nope"))
+    val c = intercept[IllegalArgumentException](
+      OhdsiSql.render("{@x == 'a'} ? {SELECT 1} : {SELECT 2}"))
+    assert(c.getMessage.contains("conditional"))
+  }
+
+  test("translate covers the documented SQL Server subset") {
+    assert(OhdsiSql.translate("SELECT COUNT_BIG(*), ISNULL(a, 0), LEN(s) FROM t")
+      === "SELECT COUNT(*), coalesce(a, 0), length(s) FROM t")
+    assert(OhdsiSql.translate("SELECT DATEADD(day, 7, d), DATEADD(month, 1, d) FROM t")
+      === "SELECT date_add(d, 7), add_months(d, 1) FROM t")
+    assert(OhdsiSql.translate("SELECT DATEADD(year, 2, d) FROM t")
+      === "SELECT add_months(d, 12 * (2)) FROM t")
+    // DATEDIFF flips argument order (SQL Server: start, end; Spark: end, start)
+    assert(OhdsiSql.translate("SELECT DATEDIFF(day, MIN(a), MAX(b)) FROM t")
+      === "SELECT datediff(MAX(b), MIN(a)) FROM t")
+    assert(OhdsiSql.translate("SELECT CHARINDEX('x', col1) FROM t")
+      === "SELECT instr(col1, 'x') FROM t")
+    assert(OhdsiSql.translate("SELECT EOMONTH(d), DATEFROMPARTS(2020, 1, 2) FROM t")
+      === "SELECT last_day(d), make_date(2020, 1, 2) FROM t")
+    assert(OhdsiSql.translate("SELECT TOP 5 x FROM t ORDER BY x")
+      === "SELECT x FROM t ORDER BY x LIMIT 5")
+    assert(OhdsiSql.translate("SELECT * FROM #stage")
+      === "SELECT * FROM tmp_ohdsi_stage")
+  }
+
+  test("translate fails loudly on unsupported dateparts and over-nested calls") {
+    val e = intercept[IllegalArgumentException](
+      OhdsiSql.translate("SELECT DATEADD(hour, 1, d) FROM t"))
+    assert(e.getMessage.contains("hour"))
+    val n = intercept[IllegalArgumentException](
+      OhdsiSql.translate("SELECT DATEDIFF(day, f(g(h(a))), b) FROM t"))
+    assert(n.getMessage.contains("DATEDIFF"))
+  }
+
+  test("execute runs the drop / select-into / report flow over temp views") {
+    Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 5.0))
+      .toDF("id", "grp", "v").createOrReplaceTempView("facts")
+    val out = OhdsiSql.execute(spark,
+      """IF OBJECT_ID('tempdb..#big', 'U') IS NOT NULL DROP TABLE #big;
+        |SELECT id, grp INTO #big FROM facts WHERE v >= @cut;
+        |SELECT TOP 10 grp, COUNT_BIG(*) AS n FROM #big GROUP BY grp ORDER BY grp""".stripMargin,
+      params = Map("cut" -> "10"))
+    assert(out.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      === Seq(("a", 2L)))
+    // re-running is idempotent (the IF OBJECT_ID drop clears the view)
+    val again = OhdsiSql.execute(spark,
+      """IF OBJECT_ID('tempdb..#big', 'U') IS NOT NULL DROP TABLE #big;
+        |SELECT id, grp INTO #big FROM facts WHERE v >= 5;
+        |SELECT grp, COUNT(*) AS n FROM #big GROUP BY grp ORDER BY grp""".stripMargin)
+    assert(again.count() === 2)
+  }
+
+  test("execute requires a result-producing statement") {
+    val e = intercept[IllegalArgumentException](
+      OhdsiSql.execute(spark, "DROP TABLE #gone"))
+    assert(e.getMessage.contains("no result-producing SELECT"))
+  }
+}
