@@ -66,7 +66,9 @@ object JoinOps {
     * [[asofJoinBucketed]] there: it splits the window by fixed-width time
     * buckets and stitches across boundaries with a bucket-granular carry
     * pass, bounding tasks by bucket occupancy instead (the as-of analogue
-    * of the salted IVF remedy in SimOps).
+    * of the salted IVF remedy in SimOps). Measured (round-7 sf1 soak,
+    * 10x events with ~13% of the stream on ONE user, `BENCH_sf1.jsonl`):
+    * worst task skew 2.0x here vs 1.6x bucketed, identical results.
     */
   def asofJoin(left: DataFrame, lKey: String, lTime: String,
       right: DataFrame, rKey: String, rTime: String): DataFrame = {

@@ -128,13 +128,13 @@ object SimOps {
   }
 
   /** IVF ANN top-k — the default scale path. Routes through
-    * [[ivfTopKSalted]]: the round-7 sf1 soak measured the salted plan at
-    * 13.5s / worst_skew 1.3 vs 20.4s for the unsalted join on the same
-    * data (and r6 measured 15x max/median task skew unsalted), so bounded
-    * list width is strictly better at scale and identical in results
-    * (oracle-pinned: `sim_ivf_topk` and `sim_ivf_topk_salted` share one
-    * DuckDB oracle). [[ivfTopKUnsalted]] remains as the reference
-    * formulation the equivalence tests compare against.
+    * [[ivfTopKSalted]]: the round-7 clean sf1 soak measured this default
+    * at 10.5s / worst_skew 1.6 (`BENCH_sf1.jsonl`) vs the round-6 unsalted
+    * join's 20.4s with 15x max/median task skew on the same data, so
+    * bounded list width is strictly better at scale and identical in
+    * results (oracle-pinned: `sim_ivf_topk` and `sim_ivf_topk_salted`
+    * share one DuckDB oracle). [[ivfTopKUnsalted]] remains as the
+    * reference formulation the equivalence tests compare against.
     */
   def ivfTopK(
       corpus: DataFrame,
