@@ -123,6 +123,9 @@ object OhdsiAchilles {
     CoreAnalysis(113L, "Number of persons by number of observation periods", "num_periods"),
     CoreAnalysis(114L, "Number of persons with observation period before year-of-birth"),
     CoreAnalysis(115L, "Number of persons with observation period end < observation period start"),
+    CoreAnalysis(116L,
+      "Number of persons with at least one day of observation in each year, by gender and age decile",
+      "calendar_year", "gender_concept_id", stratum3 = "age_decile"),
     CoreAnalysis(117L, "Number of persons with observation period during each month",
       "calendar_month"),
     CoreAnalysis(119L, "Number of observation periods by period type concept",
@@ -441,13 +444,33 @@ object OhdsiAchilles {
         }
       }
 
+    // 116: persons with at least one observed day in each YEAR, by gender
+    // and age decile — the three-strata sibling of 117 (yearly explode,
+    // no cover predicate, person attributes joined in)
+    val wide116: Seq[DataFrame] =
+      if (!has(model, "observation_period", "person_id",
+          "observation_period_start_date", "observation_period_end_date") ||
+        !has(model, "person", "person_id", "year_of_birth", "gender_concept_id")) Nil
+      else Seq(
+        load("observation_period").select(col("person_id"),
+            explode(sequence(year(col("observation_period_start_date")),
+              year(col("observation_period_end_date")))).as("__y"))
+          .join(load("person").select(
+            col("person_id"), col("year_of_birth"), col("gender_concept_id")), "person_id")
+          .groupBy(col("__y").cast("string").as("stratum_1"),
+            col("gender_concept_id").cast("string").as("stratum_2"),
+            floor((col("__y") - col("year_of_birth")) / 10).cast("string").as("stratum_3"))
+          .agg(countDistinct(col("person_id")).as("count_value"))
+          .select(lit(116L).as("analysis_id"), col("stratum_1"), col("stratum_2"),
+            col("stratum_3"), lit(null).cast("string").as("stratum_4"), col("count_value")))
+
     val noS34 = Seq(lit(null).cast("string").as("stratum_3"),
       lit(null).cast("string").as("stratum_4"))
     val narrow = ((person.toSeq ++ obsPeriod.toSeq).flatten ++ domains)
       .pipe(graft.Unions.balanced)
       .select(Seq(col("analysis_id"), col("stratum_1"), col("stratum_2")) ++ noS34 :+
         col("count_value"): _*)
-    (narrow +: x04).reduce(_ unionByName _)
+    (narrow +: (wide116 ++ x04)).reduce(_ unionByName _)
       .filter(col("count_value") > smallCellCount || col("analysis_id") === 0L)
       .orderBy("analysis_id", "stratum_1", "stratum_2", "stratum_3", "stratum_4")
   }

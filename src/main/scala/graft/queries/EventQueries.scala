@@ -588,6 +588,7 @@ object EventQueries {
         |  (113, 'Number of persons by number of observation periods', 'num_periods', NULL, NULL, NULL, 0),
         |  (114, 'Number of persons with observation period before year-of-birth', NULL, NULL, NULL, NULL, 0),
         |  (115, 'Number of persons with observation period end < observation period start', NULL, NULL, NULL, NULL, 0),
+        |  (116, 'Number of persons with at least one day of observation in each year, by gender and age decile', 'calendar_year', 'gender_concept_id', 'age_decile', NULL, 0),
         |  (117, 'Number of persons with observation period during each month', 'calendar_month', NULL, NULL, NULL, 0),
         |  (119, 'Number of observation periods by period type concept', 'period_type_concept_id', NULL, NULL, NULL, 0),
         |  (200, 'Number of persons with at least one visit occurrence, by visit_concept_id', 'visit_concept_id', NULL, NULL, NULL, 0),

@@ -422,6 +422,15 @@ object OhdsiCdmQueries {
       |    count_value
       |  FROM results
       |  UNION ALL
+      |  SELECT 116, CAST(y AS VARCHAR), CAST(gender_concept_id AS VARCHAR),
+      |    CAST(CAST(floor((y - year_of_birth) / 10) AS BIGINT) AS VARCHAR), NULL,
+      |    count(DISTINCT person_id)
+      |  FROM (
+      |    SELECT person_id, unnest(generate_series(year(op_start), year(op_end))) AS y
+      |    FROM obs
+      |  ) JOIN person USING (person_id)
+      |  GROUP BY 2, 3, 4
+      |  UNION ALL
       |  SELECT 204, CAST(visit_concept_id AS VARCHAR),
       |    CAST(year(visit_start_date) AS VARCHAR),
       |    CAST(gender_concept_id AS VARCHAR),

@@ -57,9 +57,16 @@ class OhdsiAchillesSpec extends SparkSpec {
     df.collect().map(r =>
       (r.getLong(0), r.getString(1), Option(r.getString(2)).getOrElse("")) -> r.getLong(3)).toMap
 
+  /** Three-strata view (the 116 family). */
+  private def resultMap3(df: DataFrame): Map[(Long, String, String, String), Long] =
+    df.select("analysis_id", "stratum_1", "stratum_2", "stratum_3", "count_value")
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), Option(r.getString(2)).getOrElse(""),
+          Option(r.getString(3)).getOrElse("")) -> r.getLong(4)).toMap
+
   test("analysisCatalog carries the literal core id set") {
     val cat = OhdsiAchilles.analysisCatalog(spark).collect()
-    assert(cat.length === 105)
+    assert(cat.length === 106)
     val ids = cat.map(_.getLong(0))
     assert(ids.sorted.toSeq === ids.toSeq) // ordered by analysis_id
     for (core <- Seq(1L, 2L, 101L, 105L, 108L, 109L, 110L, 111L, 114L, 115L,
@@ -128,6 +135,12 @@ class OhdsiAchillesSpec extends SparkSpec {
     // touch Jan 2010; only the 60/70/80-day periods (p6-p8) reach March
     assert(r((117L, "201001", "")) === 8L)
     assert(r((117L, "201003", "")) === 3L)
+    // 116: yearly sibling with gender + age-decile strata (persons 1-7:
+    // male, born 1980 -> decile 3 in 2010; person 8: female, decile 2)
+    val r116 = resultMap3(OhdsiAchilles.cdmCoreResults(model, tables(_), smallCellCount = 0L))
+    assert(r116((116L, "2010", "8507", "3")) === 7L)
+    assert(r116((116L, "2010", "8532", "2")) === 1L)
+    assert(r116((116L, "2015", "8507", "3")) === 1L)
     // x07 invalid-person counts are zero here (every event row resolves)
     assert(!r.keySet.exists { case (id, _, _) => id == 207L || id == 407L })
     assert(r((200L, "9201", "")) === 8L)           // persons with a visit
