@@ -459,6 +459,78 @@ object SimOps {
       .select(col("query_id"), col("item_id"), round(col("dist"), 6).as("dist"), col("rk"))
   }
 
+  /** IVF-PQ serving — the full FAISS-style composition and the shape a
+    * 100 TB ANN tier actually runs: coarse-quantize the corpus into
+    * inverted lists (IVF), store candidates ONLY as `m` PQ codes, answer a
+    * query by probing `nprobe` lists, scanning just those lists in the
+    * COMPRESSED domain (ADC — per-subspace micro-unit LONG table lookups,
+    * order-independent sums), pooling the best `pool` candidates, and
+    * exact-reranking the pool with true vectors.
+    *
+    * Cost shape: the probe restricts the ADC scan to the probed lists
+    * (vs [[pqRerankTopK]]'s corpus-wide code scan), the codes make the
+    * scanned bytes `m` per item (vs [[ivfTopK]]'s full-vector cosine per
+    * candidate), and the exact distance touches `pool * |queries|` vectors
+    * only. Broadcasts: centroids, the codebook, the per-query distance
+    * table. The only wide shuffles key on (query, item) and item.
+    */
+  def ivfPqRerankTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int = 8,
+      nprobe: Int = 2,
+      pool: Int = 100,
+      k: Int = 5): DataFrame = {
+    val dsub = dim / m
+    val cent = broadcast(centroids.select(
+      col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("centroid_vec")))
+    val inverted = assignToCentroids(corpus, cent, idCol, vecCol, "item_id", "item_vec", keep = 1)
+      .select(col("centroid_id"), col("item_id"))
+    val cb = pqCodebook(corpus, idCol, vecCol, dim, m)
+    val codes = pqCodes(corpus, idCol, vecCol, cb, dim, m).withColumnRenamed(idCol, "item_id")
+    val probes = assignToCentroids(queries, cent, idCol, vecCol, "query_id", "query_vec", keep = nprobe)
+      .select(col("centroid_id"), col("query_id"))
+    // the per-query ADC distance table (nq * m * ksub rows — broadcastable)
+    val qsub = queries
+      .select(col(idCol).as("query_id"), explode(array((0 until m).map { s =>
+        struct(lit(s.toLong).as("sub"),
+          slice(asDouble(col(vecCol)), s * dsub + 1, dsub).as("qs"))
+      }: _*)).as("__s"))
+      .select(col("query_id"), col("__s.sub").as("sub"), col("__s.qs").as("qs"))
+    val qd = qsub.join(broadcast(cb), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        floor(l2sq(col("qs"), col("cvec")) * lit(1000000.0) + lit(0.5))
+          .cast("long").as("qdl"))
+    // probe -> item-level candidates -> compressed-domain scan of the lists
+    val candidates = inverted.join(probes, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("item_id"))
+      .select(col("query_id"), col("item_id"))
+    val wPool = Window.partitionBy(col("query_id")).orderBy(col("dl"), col("item_id"))
+    val poolSet = candidates
+      .join(codes, Seq("item_id"))
+      .join(broadcast(qd), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("item_id"))
+      .agg(sum(col("qdl")).as("dl"))
+      .withColumn("rk", row_number().over(wPool))
+      .filter(col("rk") <= pool)
+      .select(col("query_id"), col("item_id"))
+    // exact rerank of the pool only
+    val items = corpus.select(col(idCol).as("item_id"), asDouble(col(vecCol)).as("item_vec"))
+    val qs = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("query_vec"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("item_id"))
+    poolSet
+      .join(items, Seq("item_id"))
+      .join(broadcast(qs), Seq("query_id"))
+      .withColumn("dist", l2sq(col("query_vec"), col("item_vec")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("item_id"), round(col("dist"), 6).as("dist"), col("rk"))
+  }
+
   def lshTopK(
       corpus: DataFrame,
       queries: DataFrame,

@@ -474,6 +474,44 @@ object LlmQueries {
       .orderBy("query_id", "rk")
   }
 
+  /** IVF-PQ serving (SimOps.ivfPqRerankTopK) — the full FAISS-style
+    * composition: probe 2 inverted lists, ADC-scan ONLY those lists
+    * through the PQ codes, pool the best 100, exact-rerank to top-5.
+    * Hash-gated end-to-end against a DuckDB replay of the identical
+    * pipeline (coarse cosine assignment + micro-unit ADC + exact L2).
+    */
+  val simIvfPqRerank: Q = (s, d) => {
+    val e = t(s, d, "embeddings")
+    SimOps.ivfPqRerankTopK(
+      corpus = e,
+      queries = e.filter(col("vec_id") % 100 === 0),
+      centroids = e.filter(col("vec_id") % 50 === 25),
+      "vec_id", "embedding", dim = 64, nprobe = 2)
+      .orderBy("query_id", "rk")
+  }
+
+  /** IVF-PQ honest evaluation: recall@5 of the probed-compressed-reranked
+    * pipeline vs metric-matched exact-L2 brute force — the number a user
+    * tunes nprobe/pool against.
+    */
+  val simIvfPqRecall: Q = (s, d) => {
+    val e = t(s, d, "embeddings")
+    val queries = e.filter(col("vec_id") % 100 === 0)
+    val exact = SimOps.bruteForceL2TopK(e, queries, "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("item_id"))
+    val approx = SimOps.ivfPqRerankTopK(e, queries, e.filter(col("vec_id") % 50 === 25),
+        "vec_id", "embedding", dim = 64, nprobe = 2)
+      .select(col("query_id"), col("item_id"))
+    val hits = exact.join(approx, Seq("query_id", "item_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    queries.select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / 5.0, 2).as("recall"))
+      .orderBy("query_id")
+  }
+
   /** BPE-ish token estimate: non-overlapping greedy matches of short letter
     * chunks / digits / symbols — the subword-count heuristic a training
     * pipeline budgets with (alongside the whitespace count).
@@ -690,6 +728,8 @@ object LlmQueries {
     "sim_pq_topk" -> simPqTopk,
     "sim_pq_recall" -> simPqRecall,
     "sim_pq_rerank" -> simPqRerank,
+    "sim_ivfpq_rerank" -> simIvfPqRerank,
+    "sim_ivfpq_recall" -> simIvfPqRecall,
     "dedup_embed_cosine" -> dedupEmbedCosine,
     "text_bpe_tokens" -> textBpeTokens,
     "corpus_pack_sequences" -> corpusPackSequences,
@@ -821,6 +861,72 @@ object LlmQueries {
        |  JOIN sets sb ON cand.id_b = sb.doc_id
        |  WHERE CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE)
        |      / len(list_distinct(list_concat(sa.toks, sb.toks))) >= 0.2
+       |)""".stripMargin
+
+  /** The IVF-PQ pipeline as CTEs ending in `rf(query_id, item_id, dist,
+    * rk)` — coarse cosine assignment, 2-probe, micro-unit ADC over the
+    * probed lists only, 100-pool, exact-L2 rerank; shared by the rerank
+    * and recall oracles.
+    */
+  private val ivfPqCtes =
+    s"""$pqCtes,
+       |cent AS (SELECT vec_id AS centroid_id, v AS cv FROM p WHERE vec_id % 50 = 25),
+       |ia AS (
+       |  SELECT vec_id, centroid_id,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, centroid_id) AS crk
+       |  FROM (SELECT p.vec_id, cent.centroid_id,
+       |      list_dot_product(v, cv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) AS csim
+       |    FROM p CROSS JOIN cent)
+       |),
+       |inv AS (SELECT vec_id AS item_id, centroid_id FROM ia WHERE crk = 1),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM p WHERE vec_id % 100 = 0),
+       |qa AS (
+       |  SELECT query_id, centroid_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY csim DESC, centroid_id) AS crk
+       |  FROM (SELECT query_id, cent.centroid_id,
+       |      list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS csim
+       |    FROM q CROSS JOIN cent)
+       |),
+       |probes AS (SELECT query_id, centroid_id FROM qa WHERE crk <= 2),
+       |qsub AS (
+       |  SELECT query_id, s AS sub, qv[s*8 + 1 : s*8 + 8] AS qs
+       |  FROM q, UNNEST(range(0, 8)) AS u(s)
+       |),
+       |qd AS (
+       |  SELECT query_id, sub, code,
+       |    CAST(floor(list_reduce(list_prepend(0.0,
+       |      [ (qs[i] - cvec[i]) * (qs[i] - cvec[i]) FOR i IN range(1, 9) ]),
+       |      (acc, x) -> acc + x) * 1000000 + 0.5) AS BIGINT) AS qdl
+       |  FROM qsub JOIN cb USING (sub)
+       |),
+       |adc AS (
+       |  SELECT pr.query_id, inv.item_id, CAST(SUM(qd.qdl) AS BIGINT) AS dl
+       |  FROM inv
+       |  JOIN probes pr USING (centroid_id)
+       |  JOIN codes c ON c.vec_id = inv.item_id
+       |  JOIN qd ON qd.query_id = pr.query_id AND qd.sub = c.sub AND qd.code = c.code
+       |  WHERE pr.query_id <> inv.item_id
+       |  GROUP BY 1, 2
+       |),
+       |pool AS (
+       |  SELECT query_id, item_id FROM (
+       |    SELECT query_id, item_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY dl, item_id) AS rk
+       |    FROM adc) WHERE rk <= 100
+       |),
+       |rr AS (
+       |  SELECT pool.query_id, pool.item_id,
+       |    list_reduce(list_prepend(0.0,
+       |      [ (qv[i] - v[i]) * (qv[i] - v[i]) FOR i IN range(1, 65) ]),
+       |      (acc, x) -> acc + x) AS dist
+       |  FROM pool
+       |  JOIN p ON pool.item_id = p.vec_id
+       |  JOIN q ON pool.query_id = q.query_id
+       |),
+       |rf AS (
+       |  SELECT query_id, item_id, dist,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY dist, item_id) AS rk
+       |  FROM rr
        |)""".stripMargin
 
   /** Shared oracle for the salted and unsalted IVF top-k: the salted
@@ -1577,6 +1683,36 @@ object LlmQueries {
         |ORDER BY query_id""".stripMargin,
     "sim_ivf_topk" -> ivfTopkOracle,
     "sim_ivf_topk_salted" -> ivfTopkOracle,
+    "sim_ivfpq_rerank" ->
+      s"""WITH $ivfPqCtes
+         |SELECT query_id, item_id, round(dist, 6) AS dist, CAST(rk AS INT) AS rk
+         |FROM rf WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    "sim_ivfpq_recall" ->
+      s"""WITH $ivfPqCtes,
+         |bd AS (
+         |  SELECT q.query_id, p.vec_id AS item_id,
+         |    list_reduce(list_prepend(0.0,
+         |      [ (qv[i] - v[i]) * (qv[i] - v[i]) FOR i IN range(1, 65) ]),
+         |      (acc, x) -> acc + x) AS dist
+         |  FROM q CROSS JOIN p WHERE q.query_id <> p.vec_id
+         |),
+         |br AS (
+         |  SELECT query_id, item_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY dist, item_id) AS rk
+         |  FROM bd
+         |),
+         |hits AS (
+         |  SELECT b.query_id, count(*) AS n_hits
+         |  FROM (SELECT query_id, item_id FROM br WHERE rk <= 5) b
+         |  JOIN (SELECT query_id, item_id FROM rf WHERE rk <= 5) a
+         |    USING (query_id, item_id)
+         |  GROUP BY 1
+         |)
+         |SELECT qq.query_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 5.0, 2) AS recall
+         |FROM (SELECT vec_id AS query_id FROM p WHERE vec_id % 100 = 0) qq
+         |LEFT JOIN hits h USING (query_id)
+         |ORDER BY qq.query_id""".stripMargin,
     "text_bpe_tokens" ->
       s"""SELECT doc_id,
          |  CAST(len($tokSql) AS BIGINT) AS n_ws_tokens,

@@ -217,6 +217,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges <= 3, s"q1 plans $exchanges exchanges:\n$p")
   }
 
+  test("IVF-PQ serving: distance table and rerank queries broadcast; codes drive the scan") {
+    val p = plan("sim_ivfpq_rerank")
+    // the ADC distance-table join and the rerank query-vector join must be
+    // broadcasts — only (query,item)/item keys may shuffle
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast joins in ivfpq plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in ivfpq plan:\n$p")
+    // every window (centroid assignment, pool, rerank) is partitioned —
+    // by the item for assignments, by the query for pool/rerank
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty && windows.forall(w =>
+        w.contains("query_id") || w.contains("item_id") || w.contains("vec_id")),
+      s"ivfpq window not partitioned:\n${windows.mkString("\n")}")
+  }
+
   test("default IVF path joins inverted lists on the SALTED key") {
     // ivfTopK routes through ivfTopKSalted (r7): the inverted-list join
     // must carry the __salt column in its keys so no task exceeds maxList
