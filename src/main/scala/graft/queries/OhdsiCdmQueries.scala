@@ -12,9 +12,13 @@ import org.apache.spark.sql.functions._
   * DuckDB gate never replayed them, because the driver test tables are
   * TPC-H-shaped. These queries close that gap by DERIVING a deterministic
   * CDM universe from the TPC-H tables (person <- customer,
-  * observation_period <- orders per customer, visit_occurrence <- orders,
-  * condition_occurrence <- lineitem x orders — the multi-concept-per-person
-  * domain) and running the real batteries over it; the oracle replays the same
+  * observation_period <- orders per customer, visit_occurrence /
+  * observation <- orders, condition_occurrence / procedure_occurrence /
+  * drug_exposure / measurement / device_exposure <- lineitem x orders — the
+  * multi-concept-per-person domains — and drug_era / condition_era derived
+  * from their source tables via the published OHDSI gaps-and-islands era
+  * builder, [[graft.operators.EraOps]], so ALL TEN of the battery's domain
+  * series fire) and running the real batteries over it; the oracle replays the same
   * derivation and the same analyses in DuckDB SQL, so every literal
   * analysis id is now rows+schema+hash checked at sf0.01 like any other
   * operator (`achilles.py:54-227` is the reference flow being mirrored;
@@ -60,7 +64,32 @@ object OhdsiCdmQueries {
     f("measurement", "measurement_date", "date"),
     f("measurement", "measurement_type_concept_id", "int64"),
     f("measurement", "value_as_number", "float64"),
-    f("measurement", "unit_concept_id", "int64")))
+    f("measurement", "unit_concept_id", "int64"),
+    f("procedure_occurrence", "person_id", "int64"),
+    f("procedure_occurrence", "procedure_concept_id", "int64"),
+    f("procedure_occurrence", "procedure_date", "date"),
+    f("procedure_occurrence", "procedure_type_concept_id", "int64"),
+    f("drug_exposure", "person_id", "int64"),
+    f("drug_exposure", "drug_concept_id", "int64"),
+    f("drug_exposure", "drug_exposure_start_date", "date"),
+    f("drug_exposure", "drug_exposure_end_date", "date"),
+    f("drug_exposure", "drug_type_concept_id", "int64"),
+    f("observation", "person_id", "int64"),
+    f("observation", "observation_concept_id", "int64"),
+    f("observation", "observation_date", "date"),
+    f("observation", "observation_type_concept_id", "int64"),
+    f("device_exposure", "person_id", "int64"),
+    f("device_exposure", "device_concept_id", "int64"),
+    f("device_exposure", "device_exposure_start_date", "date"),
+    f("device_exposure", "device_type_concept_id", "int64"),
+    f("drug_era", "person_id", "int64"),
+    f("drug_era", "drug_concept_id", "int64"),
+    f("drug_era", "drug_era_start_date", "date"),
+    f("drug_era", "drug_era_end_date", "date"),
+    f("condition_era", "person_id", "int64"),
+    f("condition_era", "condition_concept_id", "int64"),
+    f("condition_era", "condition_era_start_date", "date"),
+    f("condition_era", "condition_era_end_date", "date")))
 
   /** Deterministic CDM derivation from the TPC-H universe. Every rule is a
     * pure projection/aggregation the DuckDB oracle replays verbatim:
@@ -145,6 +174,91 @@ object OhdsiCdmQueries {
           when(col("l_returnflag") === "R", 32810L)
             .when(col("l_returnflag") === "A", 32840L)
             .otherwise(32020L).as("condition_type_concept_id"))
+    case "procedure_occurrence" =>
+      // one procedure per order line; concepts from the public CPT4 concept
+      // block, dated a deterministic few days past the ship date (the
+      // testdata lineitem carries no commit/receipt dates); every ~83rd
+      // part orphans its person
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(
+          when(col("l_partkey") % 83 === 0, col("o_custkey") + 100000000L)
+            .otherwise(col("o_custkey")).as("person_id"),
+          when(col("l_linenumber") % 4 === 0, 2213572L)
+            .when(col("l_linenumber") % 4 === 1, 2211483L)
+            .when(col("l_linenumber") % 4 === 2, 2212618L)
+            .otherwise(2214527L).as("procedure_concept_id"),
+          date_add(to_date(col("l_shipdate")),
+            (col("l_partkey") % 13).cast("int")).as("procedure_date"),
+          when(col("l_linenumber") % 2 === 0, 32817L).otherwise(32810L)
+            .as("procedure_type_concept_id"))
+    case "drug_exposure" =>
+      // one exposure per order line; concepts are the well-known RxNorm
+      // ingredient ids (acetaminophen/metformin/lisinopril/omeprazole/
+      // simvastatin); exposure length = quantity mod 30 days, which gives
+      // the era derivation real overlap/gap structure
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(
+          when(col("l_partkey") % 89 === 0, col("o_custkey") + 100000000L)
+            .otherwise(col("o_custkey")).as("person_id"),
+          when(col("l_suppkey") % 5 === 0, 1125315L)
+            .when(col("l_suppkey") % 5 === 1, 1503297L)
+            .when(col("l_suppkey") % 5 === 2, 1308216L)
+            .when(col("l_suppkey") % 5 === 3, 923645L)
+            .otherwise(1539403L).as("drug_concept_id"),
+          to_date(col("l_shipdate")).as("drug_exposure_start_date"),
+          date_add(to_date(col("l_shipdate")),
+            (col("l_quantity").cast("int") % 30).cast("int"))
+            .as("drug_exposure_end_date"),
+          when(col("l_suppkey") % 2 === 0, 32817L).otherwise(32838L)
+            .as("drug_type_concept_id"))
+    case "observation" =>
+      // one observation per order; concepts from the public LOINC/SNOMED
+      // observation ranges keyed off order priority
+      t(s, d, "orders").select(
+        when(col("o_orderkey") % 79 === 0, col("o_custkey") + 100000000L)
+          .otherwise(col("o_custkey")).as("person_id"),
+        when(col("o_orderpriority") === "1-URGENT", 40766929L)
+          .when(col("o_orderpriority") === "2-HIGH", 40766241L)
+          .when(col("o_orderpriority") === "3-MEDIUM", 40767339L)
+          .when(col("o_orderpriority") === "4-NOT SPECIFIED", 4058243L)
+          .otherwise(4275495L).as("observation_concept_id"),
+        to_date(col("o_orderdate")).as("observation_date"),
+        when(col("o_orderkey") % 2 === 0, 32817L).otherwise(32879L)
+          .as("observation_type_concept_id"))
+    case "device_exposure" =>
+      // one device per order (first line only), dated a supplier-keyed
+      // offset past the ship date; concepts from the public SNOMED device
+      // extension range
+      t(s, d, "lineitem").filter(col("l_linenumber") === 1)
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(
+          when(col("o_orderkey") % 73 === 0, col("o_custkey") + 100000000L)
+            .otherwise(col("o_custkey")).as("person_id"),
+          when(col("l_suppkey") % 3 === 0, 45768222L)
+            .when(col("l_suppkey") % 3 === 1, 45768223L)
+            .otherwise(45768224L).as("device_concept_id"),
+          date_add(to_date(col("l_shipdate")),
+            (col("l_suppkey") % 19).cast("int")).as("device_exposure_start_date"),
+          when(col("l_partkey") % 2 === 0, 32817L).otherwise(32810L)
+            .as("device_type_concept_id"))
+    case "drug_era" =>
+      // the published OHDSI era derivation: collapse same-(person, drug)
+      // exposures within the 30-day persistence window (EraOps
+      // gaps-and-islands)
+      graft.operators.EraOps.buildEras(derive(s, d)("drug_exposure"),
+          "person_id", "drug_concept_id",
+          "drug_exposure_start_date", "drug_exposure_end_date", "drug")
+        .select("person_id", "drug_concept_id",
+          "drug_era_start_date", "drug_era_end_date")
+    case "condition_era" =>
+      // condition occurrences are point events: end = start, 30-day window
+      graft.operators.EraOps.buildEras(derive(s, d)("condition_occurrence"),
+          "person_id", "condition_concept_id",
+          "condition_start_date", "condition_start_date", "condition")
+        .select("person_id", "condition_concept_id",
+          "condition_era_start_date", "condition_era_end_date")
     case other => sys.error(s"derived CDM has no table '$other'")
   }
 
@@ -275,6 +389,86 @@ object OhdsiCdmQueries {
       |    CASE l_returnflag WHEN 'R' THEN 32810 WHEN 'A' THEN 32840
       |      ELSE 32020 END AS condition_type_concept_id
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |), proc AS (
+      |  SELECT CASE WHEN l_partkey % 83 = 0 THEN o_custkey + 100000000
+      |      ELSE o_custkey END AS person_id,
+      |    CASE CAST(l_linenumber % 4 AS INT)
+      |      WHEN 0 THEN 2213572 WHEN 1 THEN 2211483 WHEN 2 THEN 2212618
+      |      ELSE 2214527 END AS procedure_concept_id,
+      |    CAST(l_shipdate AS DATE) + CAST(l_partkey % 13 AS INT)
+      |      AS procedure_date,
+      |    CASE WHEN l_linenumber % 2 = 0 THEN 32817 ELSE 32810 END
+      |      AS procedure_type_concept_id
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |), drug AS (
+      |  SELECT CASE WHEN l_partkey % 89 = 0 THEN o_custkey + 100000000
+      |      ELSE o_custkey END AS person_id,
+      |    CASE CAST(l_suppkey % 5 AS INT)
+      |      WHEN 0 THEN 1125315 WHEN 1 THEN 1503297 WHEN 2 THEN 1308216
+      |      WHEN 3 THEN 923645 ELSE 1539403 END AS drug_concept_id,
+      |    CAST(l_shipdate AS DATE) AS ds,
+      |    CAST(l_shipdate AS DATE)
+      |      + CAST(CAST(l_quantity AS INT) % 30 AS INT) AS de,
+      |    CASE WHEN l_suppkey % 2 = 0 THEN 32817 ELSE 32838 END
+      |      AS drug_type_concept_id
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |), obsv AS (
+      |  SELECT CASE WHEN o_orderkey % 79 = 0 THEN o_custkey + 100000000
+      |      ELSE o_custkey END AS person_id,
+      |    CASE o_orderpriority
+      |      WHEN '1-URGENT' THEN 40766929 WHEN '2-HIGH' THEN 40766241
+      |      WHEN '3-MEDIUM' THEN 40767339 WHEN '4-NOT SPECIFIED' THEN 4058243
+      |      ELSE 4275495 END AS observation_concept_id,
+      |    CAST(o_orderdate AS DATE) AS observation_date,
+      |    CASE WHEN o_orderkey % 2 = 0 THEN 32817 ELSE 32879 END
+      |      AS observation_type_concept_id
+      |  FROM orders
+      |), dev AS (
+      |  SELECT CASE WHEN o_orderkey % 73 = 0 THEN o_custkey + 100000000
+      |      ELSE o_custkey END AS person_id,
+      |    CASE CAST(l_suppkey % 3 AS INT)
+      |      WHEN 0 THEN 45768222 WHEN 1 THEN 45768223 ELSE 45768224 END
+      |      AS device_concept_id,
+      |    CAST(l_shipdate AS DATE) + CAST(l_suppkey % 19 AS INT)
+      |      AS device_exposure_start_date,
+      |    CASE WHEN l_partkey % 2 = 0 THEN 32817 ELSE 32810 END
+      |      AS device_type_concept_id
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_linenumber = 1
+      |), de_isl AS (
+      |  -- the era gaps-and-islands: running max(end) over strictly
+      |  -- preceding rows flags era starts; running sum numbers the islands
+      |  SELECT person_id, drug_concept_id, ds, de,
+      |    sum(CASE WHEN pmax IS NULL OR ds > pmax + 30 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY person_id, drug_concept_id ORDER BY ds, de
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS era
+      |  FROM (
+      |    SELECT person_id, drug_concept_id, ds, de,
+      |      max(de) OVER (PARTITION BY person_id, drug_concept_id
+      |        ORDER BY ds, de
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      |    FROM drug)
+      |), drug_era AS (
+      |  SELECT person_id, drug_concept_id,
+      |    min(ds) AS des, max(de) AS dee
+      |  FROM de_isl GROUP BY person_id, drug_concept_id, era
+      |), ce_isl AS (
+      |  SELECT person_id, condition_concept_id, condition_start_date AS cs,
+      |    sum(CASE WHEN pmax IS NULL OR condition_start_date > pmax + 30
+      |      THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY person_id, condition_concept_id
+      |        ORDER BY condition_start_date
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS era
+      |  FROM (
+      |    SELECT person_id, condition_concept_id, condition_start_date,
+      |      max(condition_start_date) OVER (
+      |        PARTITION BY person_id, condition_concept_id
+      |        ORDER BY condition_start_date
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      |    FROM cond)
+      |), cond_era AS (
+      |  SELECT person_id, condition_concept_id, min(cs) AS ces, max(cs) AS cee
+      |  FROM ce_isl GROUP BY person_id, condition_concept_id, era
       |), first_obs AS (
       |  -- one period per person in this universe, so the "first period"
       |  -- of analyses 101-108 is the period itself
@@ -416,6 +610,113 @@ object OhdsiCdmQueries {
       |  UNION ALL
       |  SELECT 1820, strftime(measurement_date, '%Y%m'), NULL, count(*)
       |  FROM meas GROUP BY 2
+      |  UNION ALL
+      |  SELECT 600, CAST(procedure_concept_id AS VARCHAR), NULL,
+      |    count(DISTINCT person_id)
+      |  FROM proc GROUP BY 2
+      |  UNION ALL
+      |  SELECT 601, CAST(procedure_concept_id AS VARCHAR), NULL, count(*)
+      |  FROM proc GROUP BY 2
+      |  UNION ALL
+      |  SELECT 602, CAST(procedure_concept_id AS VARCHAR),
+      |    strftime(procedure_date, '%Y%m'), count(DISTINCT person_id)
+      |  FROM proc GROUP BY 2, 3
+      |  UNION ALL
+      |  SELECT 605, CAST(procedure_concept_id AS VARCHAR),
+      |    CAST(procedure_type_concept_id AS VARCHAR), count(*)
+      |  FROM proc GROUP BY 2, 3
+      |  UNION ALL
+      |  SELECT 607, 'ALL', NULL, count(*) FROM proc
+      |  WHERE person_id NOT IN (SELECT person_id FROM person)
+      |  UNION ALL
+      |  SELECT 620, strftime(procedure_date, '%Y%m'), NULL, count(*)
+      |  FROM proc GROUP BY 2
+      |  UNION ALL
+      |  SELECT 700, CAST(drug_concept_id AS VARCHAR), NULL,
+      |    count(DISTINCT person_id)
+      |  FROM drug GROUP BY 2
+      |  UNION ALL
+      |  SELECT 701, CAST(drug_concept_id AS VARCHAR), NULL, count(*)
+      |  FROM drug GROUP BY 2
+      |  UNION ALL
+      |  SELECT 702, CAST(drug_concept_id AS VARCHAR), strftime(ds, '%Y%m'),
+      |    count(DISTINCT person_id)
+      |  FROM drug GROUP BY 2, 3
+      |  UNION ALL
+      |  SELECT 705, CAST(drug_concept_id AS VARCHAR),
+      |    CAST(drug_type_concept_id AS VARCHAR), count(*)
+      |  FROM drug GROUP BY 2, 3
+      |  UNION ALL
+      |  SELECT 707, 'ALL', NULL, count(*) FROM drug
+      |  WHERE person_id NOT IN (SELECT person_id FROM person)
+      |  UNION ALL
+      |  SELECT 720, strftime(ds, '%Y%m'), NULL, count(*) FROM drug GROUP BY 2
+      |  UNION ALL
+      |  SELECT 800, CAST(observation_concept_id AS VARCHAR), NULL,
+      |    count(DISTINCT person_id)
+      |  FROM obsv GROUP BY 2
+      |  UNION ALL
+      |  SELECT 801, CAST(observation_concept_id AS VARCHAR), NULL, count(*)
+      |  FROM obsv GROUP BY 2
+      |  UNION ALL
+      |  SELECT 802, CAST(observation_concept_id AS VARCHAR),
+      |    strftime(observation_date, '%Y%m'), count(DISTINCT person_id)
+      |  FROM obsv GROUP BY 2, 3
+      |  UNION ALL
+      |  SELECT 805, CAST(observation_concept_id AS VARCHAR),
+      |    CAST(observation_type_concept_id AS VARCHAR), count(*)
+      |  FROM obsv GROUP BY 2, 3
+      |  UNION ALL
+      |  SELECT 807, 'ALL', NULL, count(*) FROM obsv
+      |  WHERE person_id NOT IN (SELECT person_id FROM person)
+      |  UNION ALL
+      |  SELECT 820, strftime(observation_date, '%Y%m'), NULL, count(*)
+      |  FROM obsv GROUP BY 2
+      |  UNION ALL
+      |  SELECT 2100, CAST(device_concept_id AS VARCHAR), NULL,
+      |    count(DISTINCT person_id)
+      |  FROM dev GROUP BY 2
+      |  UNION ALL
+      |  SELECT 2101, CAST(device_concept_id AS VARCHAR), NULL, count(*)
+      |  FROM dev GROUP BY 2
+      |  UNION ALL
+      |  SELECT 2102, CAST(device_concept_id AS VARCHAR),
+      |    strftime(device_exposure_start_date, '%Y%m'),
+      |    count(DISTINCT person_id)
+      |  FROM dev GROUP BY 2, 3
+      |  UNION ALL
+      |  SELECT 2105, CAST(device_concept_id AS VARCHAR),
+      |    CAST(device_type_concept_id AS VARCHAR), count(*)
+      |  FROM dev GROUP BY 2, 3
+      |  UNION ALL
+      |  SELECT 2107, 'ALL', NULL, count(*) FROM dev
+      |  WHERE person_id NOT IN (SELECT person_id FROM person)
+      |  UNION ALL
+      |  SELECT 2120, strftime(device_exposure_start_date, '%Y%m'), NULL,
+      |    count(*)
+      |  FROM dev GROUP BY 2
+      |  UNION ALL
+      |  SELECT 900, CAST(drug_concept_id AS VARCHAR), NULL,
+      |    count(DISTINCT person_id)
+      |  FROM drug_era GROUP BY 2
+      |  UNION ALL
+      |  SELECT 901, CAST(drug_concept_id AS VARCHAR), NULL, count(*)
+      |  FROM drug_era GROUP BY 2
+      |  UNION ALL
+      |  SELECT 902, CAST(drug_concept_id AS VARCHAR), strftime(des, '%Y%m'),
+      |    count(DISTINCT person_id)
+      |  FROM drug_era GROUP BY 2, 3
+      |  UNION ALL
+      |  SELECT 1000, CAST(condition_concept_id AS VARCHAR), NULL,
+      |    count(DISTINCT person_id)
+      |  FROM cond_era GROUP BY 2
+      |  UNION ALL
+      |  SELECT 1001, CAST(condition_concept_id AS VARCHAR), NULL, count(*)
+      |  FROM cond_era GROUP BY 2
+      |  UNION ALL
+      |  SELECT 1002, CAST(condition_concept_id AS VARCHAR),
+      |    strftime(ces, '%Y%m'), count(DISTINCT person_id)
+      |  FROM cond_era GROUP BY 2, 3
       |), results5 AS (
       |  SELECT analysis_id, stratum_1, stratum_2,
       |    CAST(NULL AS VARCHAR) AS stratum_3, CAST(NULL AS VARCHAR) AS stratum_4,
@@ -451,6 +752,48 @@ object OhdsiCdmQueries {
       |    CAST(CAST(floor((year(measurement_date) - year_of_birth) / 10) AS BIGINT) AS VARCHAR),
       |    count(DISTINCT person_id)
       |  FROM meas JOIN person USING (person_id) GROUP BY 2, 3, 4, 5
+      |  UNION ALL
+      |  SELECT 604, CAST(procedure_concept_id AS VARCHAR),
+      |    CAST(year(procedure_date) AS VARCHAR),
+      |    CAST(gender_concept_id AS VARCHAR),
+      |    CAST(CAST(floor((year(procedure_date) - year_of_birth) / 10) AS BIGINT) AS VARCHAR),
+      |    count(DISTINCT person_id)
+      |  FROM proc JOIN person USING (person_id) GROUP BY 2, 3, 4, 5
+      |  UNION ALL
+      |  SELECT 704, CAST(drug_concept_id AS VARCHAR),
+      |    CAST(year(ds) AS VARCHAR),
+      |    CAST(gender_concept_id AS VARCHAR),
+      |    CAST(CAST(floor((year(ds) - year_of_birth) / 10) AS BIGINT) AS VARCHAR),
+      |    count(DISTINCT person_id)
+      |  FROM drug JOIN person USING (person_id) GROUP BY 2, 3, 4, 5
+      |  UNION ALL
+      |  SELECT 804, CAST(observation_concept_id AS VARCHAR),
+      |    CAST(year(observation_date) AS VARCHAR),
+      |    CAST(gender_concept_id AS VARCHAR),
+      |    CAST(CAST(floor((year(observation_date) - year_of_birth) / 10) AS BIGINT) AS VARCHAR),
+      |    count(DISTINCT person_id)
+      |  FROM obsv JOIN person USING (person_id) GROUP BY 2, 3, 4, 5
+      |  UNION ALL
+      |  SELECT 2104, CAST(device_concept_id AS VARCHAR),
+      |    CAST(year(device_exposure_start_date) AS VARCHAR),
+      |    CAST(gender_concept_id AS VARCHAR),
+      |    CAST(CAST(floor((year(device_exposure_start_date) - year_of_birth) / 10) AS BIGINT) AS VARCHAR),
+      |    count(DISTINCT person_id)
+      |  FROM dev JOIN person USING (person_id) GROUP BY 2, 3, 4, 5
+      |  UNION ALL
+      |  SELECT 904, CAST(drug_concept_id AS VARCHAR),
+      |    CAST(year(des) AS VARCHAR),
+      |    CAST(gender_concept_id AS VARCHAR),
+      |    CAST(CAST(floor((year(des) - year_of_birth) / 10) AS BIGINT) AS VARCHAR),
+      |    count(DISTINCT person_id)
+      |  FROM drug_era JOIN person USING (person_id) GROUP BY 2, 3, 4, 5
+      |  UNION ALL
+      |  SELECT 1004, CAST(condition_concept_id AS VARCHAR),
+      |    CAST(year(ces) AS VARCHAR),
+      |    CAST(gender_concept_id AS VARCHAR),
+      |    CAST(CAST(floor((year(ces) - year_of_birth) / 10) AS BIGINT) AS VARCHAR),
+      |    count(DISTINCT person_id)
+      |  FROM cond_era JOIN person USING (person_id) GROUP BY 2, 3, 4, 5
       |)
       |SELECT analysis_id, stratum_1, stratum_2, stratum_3, stratum_4, count_value
       |FROM results5 WHERE count_value > 5 OR analysis_id = 0
@@ -518,6 +861,85 @@ object OhdsiCdmQueries {
       |  SELECT 1815, CAST(measurement_concept_id AS VARCHAR),
       |    CAST(unit_concept_id AS VARCHAR), value_as_number
       |  FROM meas WHERE value_as_number IS NOT NULL
+      |  UNION ALL
+      |  SELECT 603, 'ALL', NULL, CAST(n AS DOUBLE) FROM (
+      |    SELECT person_id, count(DISTINCT procedure_concept_id) AS n
+      |    FROM proc GROUP BY person_id
+      |  )
+      |  UNION ALL
+      |  SELECT 703, 'ALL', NULL, CAST(n AS DOUBLE) FROM (
+      |    SELECT person_id, count(DISTINCT drug_concept_id) AS n
+      |    FROM drug GROUP BY person_id
+      |  )
+      |  UNION ALL
+      |  SELECT 803, 'ALL', NULL, CAST(n AS DOUBLE) FROM (
+      |    SELECT person_id, count(DISTINCT observation_concept_id) AS n
+      |    FROM obsv GROUP BY person_id
+      |  )
+      |  UNION ALL
+      |  SELECT 903, 'ALL', NULL, CAST(n AS DOUBLE) FROM (
+      |    SELECT person_id, count(DISTINCT drug_concept_id) AS n
+      |    FROM drug_era GROUP BY person_id
+      |  )
+      |  UNION ALL
+      |  SELECT 1003, 'ALL', NULL, CAST(n AS DOUBLE) FROM (
+      |    SELECT person_id, count(DISTINCT condition_concept_id) AS n
+      |    FROM cond_era GROUP BY person_id
+      |  )
+      |  UNION ALL
+      |  SELECT 2103, 'ALL', NULL, CAST(n AS DOUBLE) FROM (
+      |    SELECT person_id, count(DISTINCT device_concept_id) AS n
+      |    FROM dev GROUP BY person_id
+      |  )
+      |  UNION ALL
+      |  SELECT 606, CAST(procedure_concept_id AS VARCHAR), NULL,
+      |    CAST(year(f) - year_of_birth AS DOUBLE)
+      |  FROM (
+      |    SELECT person_id, procedure_concept_id, min(procedure_date) AS f
+      |    FROM proc GROUP BY 1, 2
+      |  ) JOIN person USING (person_id)
+      |  UNION ALL
+      |  SELECT 706, CAST(drug_concept_id AS VARCHAR), NULL,
+      |    CAST(year(f) - year_of_birth AS DOUBLE)
+      |  FROM (
+      |    SELECT person_id, drug_concept_id, min(ds) AS f
+      |    FROM drug GROUP BY 1, 2
+      |  ) JOIN person USING (person_id)
+      |  UNION ALL
+      |  SELECT 806, CAST(observation_concept_id AS VARCHAR), NULL,
+      |    CAST(year(f) - year_of_birth AS DOUBLE)
+      |  FROM (
+      |    SELECT person_id, observation_concept_id, min(observation_date) AS f
+      |    FROM obsv GROUP BY 1, 2
+      |  ) JOIN person USING (person_id)
+      |  UNION ALL
+      |  SELECT 906, CAST(drug_concept_id AS VARCHAR), NULL,
+      |    CAST(year(f) - year_of_birth AS DOUBLE)
+      |  FROM (
+      |    SELECT person_id, drug_concept_id, min(des) AS f
+      |    FROM drug_era GROUP BY 1, 2
+      |  ) JOIN person USING (person_id)
+      |  UNION ALL
+      |  SELECT 1006, CAST(condition_concept_id AS VARCHAR), NULL,
+      |    CAST(year(f) - year_of_birth AS DOUBLE)
+      |  FROM (
+      |    SELECT person_id, condition_concept_id, min(ces) AS f
+      |    FROM cond_era GROUP BY 1, 2
+      |  ) JOIN person USING (person_id)
+      |  UNION ALL
+      |  SELECT 2106, CAST(device_concept_id AS VARCHAR), NULL,
+      |    CAST(year(f) - year_of_birth AS DOUBLE)
+      |  FROM (
+      |    SELECT person_id, device_concept_id,
+      |      min(device_exposure_start_date) AS f
+      |    FROM dev GROUP BY 1, 2
+      |  ) JOIN person USING (person_id)
+      |  UNION ALL
+      |  SELECT 907, CAST(drug_concept_id AS VARCHAR), NULL,
+      |    CAST(datediff('day', des, dee) AS DOUBLE) FROM drug_era
+      |  UNION ALL
+      |  SELECT 1007, CAST(condition_concept_id AS VARCHAR), NULL,
+      |    CAST(datediff('day', ces, cee) AS DOUBLE) FROM cond_era
       |)
       |SELECT analysis_id, stratum_1, stratum_2, count(*) AS count_value,
       |  round(min(v), 4) AS min_value, round(max(v), 4) AS max_value,
