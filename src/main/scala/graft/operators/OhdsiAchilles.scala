@@ -367,52 +367,65 @@ object OhdsiAchilles {
 
     val domains: Seq[DataFrame] = DomainSeries.collect {
       case d if has(model, d.table, d.concept) && model.columns(d.table).contains("person_id") =>
+        // The per-table series fuses into TWO grouping-sets passes (one
+        // scan + one exchange each) instead of five scan+agg branches:
+        //   records pass  — x01 (concept), x05 (concept, type),
+        //                   x20 (month) under count(*);
+        //   persons pass  — x00 (concept), x02 (concept, month) under
+        //                   countDistinct(person_id).
+        // grouping_id() keys each output row back to its analysis id. The
+        // original x02/x20 branches pre-filtered null start dates; the
+        // fused pass drops the null-month OUTPUT rows instead, which is
+        // aggregate-equivalent. x07 (anti-join) stays its own branch.
         val df = load(d.table)
-        val withMonth =
-          if (!has(model, d.table, d.startDate)) Nil
-          else Seq(
-            // x02: persons by concept by calendar month (two strata — the
-            // Atlas prevalence-by-month series); one map-side-combinable
-            // aggregate on (concept, YYYYMM)
-            df.filter(col(d.startDate).isNotNull)
-              .groupBy(col(d.concept).cast("string").as("stratum_1"),
-                date_format(col(d.startDate), "yyyyMM").as("stratum_2"))
-              .agg(countDistinct(col("person_id")).as("count_value"))
-              .select(lit(d.base + 2).as("analysis_id"), col("stratum_1"), col("stratum_2"),
-                col("count_value")))
-        val withType = d.typeCol.filter(tc => has(model, d.table, tc)).toSeq.map { tc =>
-          // x05: records by concept by type concept — one map-side-
-          // combinable aggregate on the (concept, type) pair
-          df.groupBy(col(d.concept).cast("string").as("stratum_1"),
-              col(tc).cast("string").as("stratum_2"))
+        val hasStart = has(model, d.table, d.startDate)
+        val typeOpt = d.typeCol.filter(tc => has(model, d.table, tc))
+        val base = df.select(
+          col(d.concept).cast("string").as("__c"),
+          (if (hasStart) date_format(col(d.startDate), "yyyyMM")
+          else lit(null).cast("string")).as("__m"),
+          typeOpt.map(tc => col(tc).cast("string"))
+            .getOrElse(lit(null).cast("string")).as("__t"),
+          col("person_id").as("__p"))
+        // gid bits over (c, m, t): set (c) -> 3, (c, t) -> 2, (m) -> 5
+        val recordSets = Seq(Seq(col("__c"))) ++
+          typeOpt.map(_ => Seq(col("__c"), col("__t"))).toSeq ++
+          (if (hasStart && OccurrenceTables(d.table)) Seq(Seq(col("__m"))) else Nil)
+        val records = base
+          .groupingSets(recordSets, col("__c"), col("__m"), col("__t"))
+          .agg(count(lit(1)).as("count_value"), grouping_id().as("__gid"))
+          .filter(!(col("__gid") === 5 && col("__m").isNull))
+          .select(
+            when(col("__gid") === 3, lit(d.base + 1))
+              .when(col("__gid") === 2, lit(d.base + 5))
+              .otherwise(lit(d.base + 20)).as("analysis_id"),
+            when(col("__gid") === 5, col("__m")).otherwise(col("__c")).as("stratum_1"),
+            when(col("__gid") === 2, col("__t"))
+              .otherwise(lit(null).cast("string")).as("stratum_2"),
+            col("count_value"))
+        // gid bits over (c, m): set (c) -> 1, (c, m) -> 0
+        val personSets = Seq(Seq(col("__c"))) ++
+          (if (hasStart) Seq(Seq(col("__c"), col("__m"))) else Nil)
+        val persons = base
+          .groupingSets(personSets, col("__c"), col("__m"))
+          .agg(countDistinct(col("__p")).as("count_value"), grouping_id().as("__gid"))
+          .filter(!(col("__gid") === 0 && col("__m").isNull))
+          .select(
+            when(col("__gid") === 1, lit(d.base)).otherwise(lit(d.base + 2)).as("analysis_id"),
+            col("__c").as("stratum_1"),
+            when(col("__gid") === 0, col("__m"))
+              .otherwise(lit(null).cast("string")).as("stratum_2"),
+            col("count_value"))
+        // x07: records whose person_id resolves to no person row — a
+        // left-anti join on the (usually broadcastable) person keys
+        val invalid =
+          if (!OccurrenceTables(d.table) || !has(model, "person", "person_id")) Nil
+          else Seq(df
+            .join(load("person").select(col("person_id")), Seq("person_id"), "left_anti")
             .agg(count(lit(1)).as("count_value"))
-            .select(lit(d.base + 5).as("analysis_id"), col("stratum_1"), col("stratum_2"),
-              col("count_value"))
-        }
-        val occurrence =
-          if (!OccurrenceTables(d.table)) Nil
-          else {
-            // x07: records whose person_id resolves to no person row — a
-            // left-anti join on the (usually broadcastable) person keys
-            val invalid =
-              if (!has(model, "person", "person_id")) Nil
-              else Seq(df
-                .join(load("person").select(col("person_id")), Seq("person_id"), "left_anti")
-                .agg(count(lit(1)).as("count_value"))
-                .select(lit(d.base + 7).as("analysis_id"), lit("ALL").as("stratum_1"), noS2,
-                  col("count_value")))
-            // x20: records by start month — one combinable aggregate
-            val byMonth =
-              if (!has(model, d.table, d.startDate)) Nil
-              else Seq(row(d.base + 20,
-                date_format(col(d.startDate), "yyyyMM"),
-                df.filter(col(d.startDate).isNotNull), count(lit(1))))
-            invalid ++ byMonth
-          }
-        Seq(
-          row(d.base, col(d.concept), df, countDistinct(col("person_id"))),
-          row(d.base + 1, col(d.concept), df, count(lit(1)))) ++ withMonth ++ withType ++
-          occurrence
+            .select(lit(d.base + 7).as("analysis_id"), lit("ALL").as("stratum_1"), noS2,
+              col("count_value")))
+        Seq(records, persons) ++ invalid
       case d if has(model, d.table, d.concept) =>
         Seq(row(d.base + 1, col(d.concept), load(d.table), count(lit(1))))
     }.flatten

@@ -287,15 +287,21 @@ object OhdsiCdmQueries {
     * series with their x07/x20 rows fire for this model).
     */
   val ohdsiCoreCounts: Q = (s, d) =>
+    // the battery output is a bounded report (one row per analysis stratum)
+    // at ANY data scale, so sort in one partition — orderBy would plan a
+    // RangePartitioning exchange whose sampling pass re-executes the whole
+    // ~70-branch union subtree
     graft.operators.OhdsiAchilles.cdmCoreResults(derivedModel, materialized(s, d))
-      .orderBy("analysis_id", "stratum_1", "stratum_2")
+      .coalesce(1)
+      .sortWithinPartitions("analysis_id", "stratum_1", "stratum_2")
 
   /** The literal-id core DIST battery over the derived CDM (103-107, the
     * x03/x06 families, 211, 506, 1815).
     */
   val ohdsiCoreDist: Q = (s, d) =>
     graft.operators.OhdsiAchilles.cdmCoreDistResults(derivedModel, materialized(s, d))
-      .orderBy("analysis_id", "stratum_1")
+      .coalesce(1)
+      .sortWithinPartitions("analysis_id", "stratum_1")
 
   /** User-supplied OHDSI-dialect SQL through the SqlRender-subset bridge
     * ([[graft.sources.OhdsiSql]]): a `{DEFAULT @p}` + `@param` render, a
