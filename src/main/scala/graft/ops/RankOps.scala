@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval ranking — Okapi BM25 (Robertson et al., TREC-3), the
+  * scoring function every large-corpus search / hard-negative-mining /
+  * data-curation pipeline needs next to the embedding ANN tier.
+  *
+  * Scale shape (the reason this formulation): the query vocabulary is
+  * broadcast and pruned SCAN-SIDE (a left-semi join before any shuffle), so
+  * the only wide aggregations are (doc, term) term frequencies over the
+  * pruned posting rows and the per-(query, doc) score sum. Document
+  * frequencies restricted to the query vocabulary are a SMALL frame —
+  * broadcast — so no shuffle ever keys on a hot term ("the" never
+  * concentrates a task). Corpus-level statistics (N, avgdl) ride in as a
+  * broadcast 1-row cross join, the engine's MAX-scalar pattern.
+  *
+  * Per-term scores quantize to micro-unit LONGs before the per-(query, doc)
+  * sum (the engine's order-independent-sum pattern, see the PQ/ADC tier),
+  * so results are bit-reproducible across engines and partitionings.
+  */
+object RankOps {
+
+  /** BM25 top-k: for each query, the `k` highest-scoring documents.
+    *
+    * @return (query_id, doc_id, score, rk) — score rounded to 6dp,
+    *         rk 1..k dense per query, ties broken by doc id.
+    */
+  def bm25TopK(
+      docs: DataFrame, docIdCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k1: Double = 1.2, b: Double = 0.75, k: Int = 10): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    // query terms (and their distinct vocabulary) are small by contract:
+    // broadcast both sides of the pruning
+    val qterms = broadcast(queries
+      .select(col(queryIdCol).as("query_id"),
+        explode(TextOps.tokens(col(queryTextCol))).as("term"))
+      .filter(col("term") =!= "")
+      .distinct())
+    val qvocab = broadcast(qterms.select(col("term")).distinct())
+    // posting rows pruned to the query vocabulary BEFORE the (doc, term)
+    // aggregate — the corpus-wide explode never shuffles
+    val dt = docs
+      .select(col(docIdCol).as("doc_id"), toks.as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).as("dl"), explode(col("__toks")).as("term"))
+      .join(qvocab, Seq("term"), "left_semi")
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // corpus stats: token counts are integral, so the double sum inside
+    // avg() is exact and order-independent
+    val stats = broadcast(docs
+      .select(size(toks).cast("double").as("__dl"))
+      .agg(count(lit(1)).cast("double").as("n_docs"), avg(col("__dl")).as("avgdl")))
+    // document frequencies OF THE QUERY TERMS only — a |query vocab|-sized
+    // frame, broadcast into the scoring join
+    val dfq = broadcast(dt.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df")))
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val denom = col("tf").cast("double") +
+      lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / col("avgdl"))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("__sl"), col("doc_id"))
+    dt.join(dfq, Seq("term"))
+      .join(qterms, Seq("term"))
+      .crossJoin(stats)
+      .withColumn("__s", idf * col("tf").cast("double") * (lit(k1) + lit(1.0)) / denom)
+      .withColumn("__term_sl", floor(col("__s") * lit(1000000.0) + lit(0.5)).cast("long"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__term_sl")).as("__sl"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("doc_id"),
+        round(col("__sl").cast("double") / lit(1000000.0), 6).as("score"), col("rk"))
+  }
+}

@@ -117,14 +117,17 @@ object SimOps {
     * salted join keys so the widest task is bounded by `maxList`.
     */
   private def assignToCentroids(df: DataFrame, centroidsB: DataFrame,
-      idCol: String, vecCol: String, outId: String, outVec: String, keep: Int): DataFrame = {
+      idCol: String, vecCol: String, outId: String, outVec: String, keep: Int,
+      keepSim: Boolean = false): DataFrame = {
     val w = Window.partitionBy(col(outId)).orderBy(desc("__csim"), col("centroid_id"))
-    df.select(col(idCol).as(outId), asDouble(col(vecCol)).as(outVec))
+    val ranked = df.select(col(idCol).as(outId), asDouble(col(vecCol)).as(outVec))
       .crossJoin(centroidsB)
       .withColumn("__csim", cosine(col(outVec), col("centroid_vec")))
       .withColumn("__crk", row_number().over(w))
       .filter(col("__crk") <= keep)
+    if (keepSim) ranked.withColumn("cent_sim", col("__csim"))
       .drop("centroid_vec", "__csim", "__crk")
+    else ranked.drop("centroid_vec", "__csim", "__crk")
   }
 
   /** IVF ANN top-k — the default scale path. Routes through
@@ -529,6 +532,55 @@ object SimOps {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("item_id"), round(col("dist"), 6).as("dist"), col("rk"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023): semantic deduplication of an embedding
+    * corpus. Vectors cluster to their nearest centroid (the IVF coarse
+    * assignment); WITHIN each cluster, any pair with cosine >= `threshold`
+    * is a semantic duplicate, and of the duplicates the member with the
+    * LOWEST centroid similarity survives (the paper's keep-the-outlier
+    * rule, which preserves diversity) — a member drops when ANY
+    * cluster-mate outranks it (lower centroid similarity, ties on id), the
+    * paper's one-pass pairwise operationalization (no transitive closure).
+    *
+    * Scale shape: the published design bounds the quadratic pairwise check
+    * by CLUSTER occupancy — with |centroids| ~ sqrt(N) the expected
+    * per-cluster work is ~N total. The pair join is an equi-join on
+    * centroid id, so a hot cluster's cost is its occupancy squared in one
+    * task: size |centroids| for the corpus's clusteredness (the same
+    * contract as the IVF inverted lists; the salted-IVF remedy does not
+    * apply because BOTH sides of the pair join are the oversized list).
+    * Centroids broadcast; nothing else is ever all-pairs.
+    *
+    * @return one row per corpus vector: (item_id, centroid_id, cent_sim
+    *         rounded to 6dp, is_kept).
+    */
+  def semDedup(
+      corpus: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val cent = broadcast(centroids.select(
+      col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("centroid_vec")))
+    val assigned = assignToCentroids(corpus, cent, idCol, vecCol, "item_id", "item_vec",
+        keep = 1, keepSim = true)
+    val a = assigned.select(col("centroid_id"), col("item_id").as("id_a"),
+      col("item_vec").as("__vec_a"), col("cent_sim").as("__cs_a"))
+    val bb = assigned.select(col("centroid_id"), col("item_id").as("id_b"),
+      col("item_vec").as("__vec_b"), col("cent_sim").as("__cs_b"))
+    val dropped = a.join(bb, Seq("centroid_id"))
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(cosine(col("__vec_a"), col("__vec_b")) >= threshold)
+      .filter(col("__cs_a") < col("__cs_b") ||
+        (col("__cs_a") === col("__cs_b") && col("id_a") < col("id_b")))
+      .select(col("id_b").as("item_id")).distinct()
+      .withColumn("__dropped", lit(1))
+    assigned
+      .join(dropped, Seq("item_id"), "left")
+      .select(col("item_id"), col("centroid_id"),
+        round(col("cent_sim"), 6).as("cent_sim"),
+        col("__dropped").isNull.as("is_kept"))
   }
 
   def lshTopK(

@@ -307,6 +307,31 @@ object LlmQueries {
       t(s, d, "embeddings"), "vec_id", "embedding", nPlanes = 8, dim = 64, threshold = 0.25)
       .orderBy("id_a", "id_b")
 
+  /** SemDeDup (SimOps.semDedup): cluster-bounded semantic dedup — assign
+    * to centroids, pairwise-cosine within clusters only, keep the member
+    * farthest from its centroid. Emits every vector's verdict, hash-gated.
+    */
+  val dedupSemantic: Q = (s, d) => {
+    val e = t(s, d, "embeddings")
+    SimOps.semDedup(e, e.filter(col("vec_id") % 50 === 25), "vec_id", "embedding",
+        threshold = 0.2)
+      .withColumn("is_kept", col("is_kept").cast("long"))
+      .orderBy("item_id")
+  }
+
+  /** Okapi BM25 top-10 (RankOps.bm25TopK): queries are the first 8 tokens
+    * of every 100th document — self-retrieval plus lexical neighbors, the
+    * search/curation ranking baseline next to the ANN tier.
+    */
+  val textBm25Topk: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val queries = docs.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("qid"),
+        concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 8)).as("qtext"))
+    RankOps.bm25TopK(docs, "doc_id", "text", queries, "qid", "qtext")
+      .orderBy("query_id", "rk")
+  }
+
   /** Bucketed ANN top-k: search only the query's LSH bucket. */
   val simLshTopk: Q = (s, d) => {
     val emb = t(s, d, "embeddings")
@@ -731,6 +756,8 @@ object LlmQueries {
     "sim_ivfpq_rerank" -> simIvfPqRerank,
     "sim_ivfpq_recall" -> simIvfPqRecall,
     "dedup_embed_cosine" -> dedupEmbedCosine,
+    "dedup_semantic" -> dedupSemantic,
+    "text_bm25_topk" -> textBm25Topk,
     "text_bpe_tokens" -> textBpeTokens,
     "corpus_pack_sequences" -> corpusPackSequences,
     "corpus_pack_stats" -> corpusPackStats,
@@ -1713,6 +1740,71 @@ object LlmQueries {
          |FROM (SELECT vec_id AS query_id FROM p WHERE vec_id % 100 = 0) qq
          |LEFT JOIN hits h USING (query_id)
          |ORDER BY qq.query_id""".stripMargin,
+    "dedup_semantic" ->
+      """WITH corpus AS (SELECT vec_id AS item_id, embedding::DOUBLE[] AS iv FROM embeddings),
+        |cent AS (
+        |  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv FROM embeddings
+        |  WHERE vec_id % 50 = 25
+        |), ca AS (
+        |  SELECT item_id, iv, centroid_id, csim,
+        |    row_number() OVER (PARTITION BY item_id ORDER BY csim DESC, centroid_id) AS crk
+        |  FROM (SELECT item_id, iv, centroid_id,
+        |      list_dot_product(iv, cv)
+        |        / (sqrt(list_dot_product(iv, iv)) * sqrt(list_dot_product(cv, cv))) AS csim
+        |    FROM corpus CROSS JOIN cent)
+        |), asg AS (SELECT item_id, iv, centroid_id, csim FROM ca WHERE crk = 1),
+        |drp AS (
+        |  SELECT DISTINCT b.item_id
+        |  FROM asg a JOIN asg b USING (centroid_id)
+        |  WHERE a.item_id <> b.item_id
+        |    AND list_dot_product(a.iv, b.iv)
+        |      / (sqrt(list_dot_product(a.iv, a.iv)) * sqrt(list_dot_product(b.iv, b.iv))) >= 0.2
+        |    AND (a.csim < b.csim OR (a.csim = b.csim AND a.item_id < b.item_id))
+        |)
+        |SELECT asg.item_id, asg.centroid_id, round(asg.csim, 6) AS cent_sim,
+        |  CAST(drp.item_id IS NULL AS BIGINT) AS is_kept
+        |FROM asg LEFT JOIN drp ON asg.item_id = drp.item_id
+        |ORDER BY asg.item_id""".stripMargin,
+    "text_bm25_topk" ->
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |q AS (SELECT doc_id AS query_id, tk[1:8] AS qtk FROM toks WHERE doc_id % 100 = 0),
+         |qt AS (
+         |  SELECT DISTINCT query_id, term FROM (
+         |    SELECT query_id, UNNEST(qtk) AS term FROM q)
+         |  WHERE term <> ''
+         |),
+         |qv AS (SELECT DISTINCT term FROM qt),
+         |dt AS (
+         |  SELECT doc_id, dl, term, count(*) AS tf FROM (
+         |    SELECT doc_id, len(tk) AS dl, UNNEST(tk) AS term FROM toks)
+         |  WHERE term IN (SELECT term FROM qv)
+         |  GROUP BY 1, 2, 3
+         |),
+         |stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |    avg(CAST(len(tk) AS DOUBLE)) AS avgdl
+         |  FROM toks
+         |),
+         |dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM dt GROUP BY 1),
+         |sc AS (
+         |  SELECT qt.query_id, dt.doc_id,
+         |    CAST(SUM(CAST(floor(
+         |      ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         |        * CAST(tf AS DOUBLE) * (1.2 + 1.0)
+         |        / (CAST(tf AS DOUBLE)
+         |          + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+         |      * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sl
+         |  FROM dt JOIN dfq USING (term) JOIN qt USING (term) CROSS JOIN stats
+         |  GROUP BY 1, 2
+         |),
+         |r AS (
+         |  SELECT query_id, doc_id, sl,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY sl DESC, doc_id) AS rk
+         |  FROM sc
+         |)
+         |SELECT query_id, doc_id,
+         |  round(CAST(sl AS DOUBLE) / 1000000.0, 6) AS score, CAST(rk AS INT) AS rk
+         |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
     "text_bpe_tokens" ->
       s"""SELECT doc_id,
          |  CAST(len($tokSql) AS BIGINT) AS n_ws_tokens,

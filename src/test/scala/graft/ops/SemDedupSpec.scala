@@ -1,0 +1,66 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** SemDeDup semantics: duplicates resolve within clusters only, the
+  * farthest-from-centroid member survives, and sub-threshold neighbors are
+  * untouched.
+  */
+class SemDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two well-separated clusters on orthogonal axes; within cluster A two
+  // near-identical vectors (cos ~ 1) and one distinct member
+  private def corpus = Seq(
+    (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),     // cluster A, on-centroid
+    (2L, Seq(0.999f, 0.04f, 0.0f, 0.0f)),  // near-dup of 1, slightly off-centroid
+    (3L, Seq(0.6f, 0.8f, 0.0f, 0.0f)),     // cluster A, far from centroid + dups
+    (4L, Seq(0.0f, 0.0f, 1.0f, 0.0f)),     // cluster B, identical to 5
+    (5L, Seq(0.0f, 0.0f, 1.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  private def centroids = Seq(
+    (10L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+    (20L, Seq(0.0f, 0.0f, 1.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  private def run(threshold: Double): Map[Long, Boolean] =
+    SimOps.semDedup(corpus, centroids, "vec_id", "embedding", threshold)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+
+  test("within-cluster near-dups drop all but the farthest-from-centroid member") {
+    val kept = run(0.95)
+    // 1 and 2 are dups; 2 sits farther from the centroid, so 1 drops
+    assert(!kept(1L) && kept(2L))
+    // 3 is below threshold against both -> untouched
+    assert(kept(3L))
+    // 4 and 5 identical: centroid sims tie, lower id outranks -> 5 drops
+    assert(kept(4L) && !kept(5L))
+  }
+
+  test("a lower threshold also collapses the moderate neighbor") {
+    val kept = run(0.5)
+    // cos(2, 3) ~ 0.63 >= 0.5: of {1, 2, 3}, only the farthest (3) survives
+    assert(kept(3L) && !kept(1L) && !kept(2L))
+    assert(kept(4L) && !kept(5L))
+  }
+
+  test("every corpus vector appears exactly once with its cluster") {
+    val out = SimOps.semDedup(corpus, centroids, "vec_id", "embedding", 0.95).collect()
+    assert(out.length == 5)
+    assert(out.map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L, 5L))
+    val clusters = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters(1L) == 10L && clusters(3L) == 10L && clusters(4L) == 20L)
+  }
+
+  test("plan: centroids broadcast; the pair join is an equi-join on the cluster") {
+    val p = SimOps.semDedup(corpus, centroids, "vec_id", "embedding", 0.95)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"cartesian in semdedup plan:\n$p")
+    // the only nested-loop joins are the broadcast centroid assignments
+    // (planned once per use of the assigned frame: pair sides a/b + output)
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 3, s"unexpected nested-loop joins ($bnlj):\n$p")
+  }
+}
