@@ -319,6 +319,16 @@ object LlmQueries {
       .orderBy("item_id")
   }
 
+  /** DSIR importance resampling (SelectOps.dsirSelect): hashed uni+bigram
+    * features, target = the English documents, raw pool = the rest; plain
+    * top-100 and deterministic Gumbel-top-100 selections, every raw doc's
+    * weight hash-gated.
+    */
+  val corpusDsirSelect: Q = (s, d) =>
+    SelectOps.dsirSelect(t(s, d, "documents"), "doc_id", "text",
+        isTarget = col("lang") === "en", buckets = 1024, k = 100)
+      .orderBy("doc_id")
+
   /** Okapi BM25 top-10 (RankOps.bm25TopK): queries are the first 8 tokens
     * of every 100th document — self-retrieval plus lexical neighbors, the
     * search/curation ranking baseline next to the ANN tier.
@@ -758,6 +768,7 @@ object LlmQueries {
     "dedup_embed_cosine" -> dedupEmbedCosine,
     "dedup_semantic" -> dedupSemantic,
     "text_bm25_topk" -> textBm25Topk,
+    "corpus_dsir_select" -> corpusDsirSelect,
     "text_bpe_tokens" -> textBpeTokens,
     "corpus_pack_sequences" -> corpusPackSequences,
     "corpus_pack_stats" -> corpusPackStats,
@@ -1765,6 +1776,56 @@ object LlmQueries {
         |  CAST(drp.item_id IS NULL AS BIGINT) AS is_kept
         |FROM asg LEFT JOIN drp ON asg.item_id = drp.item_id
         |ORDER BY asg.item_id""".stripMargin,
+    "corpus_dsir_select" ->
+      s"""WITH toks AS (SELECT doc_id, (lang = 'en') AS t, $tokSql AS tk FROM documents),
+         |g1 AS (SELECT doc_id, t, UNNEST(tk) AS g FROM toks),
+         |g2 AS (
+         |  SELECT doc_id, t, array_to_string(tk[i:i+1], ' ') AS g
+         |  FROM toks, UNNEST(range(1, len(tk))) AS u(i)
+         |  WHERE len(tk) >= 2
+         |),
+         |grams AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2),
+         |feats AS (
+         |  SELECT doc_id, t, ${h32("g")} % 1024 AS b, count(*) AS c
+         |  FROM grams WHERE g <> '' GROUP BY 1, 2, 3
+         |),
+         |dist AS (
+         |  SELECT b,
+         |    SUM(CASE WHEN t THEN c ELSE 0 END) AS cp,
+         |    SUM(CASE WHEN NOT t THEN c ELSE 0 END) AS cq
+         |  FROM feats GROUP BY 1
+         |),
+         |tot AS (
+         |  SELECT CAST(SUM(cp) AS DOUBLE) AS tp, CAST(SUM(cq) AS DOUBLE) AS tq
+         |  FROM dist
+         |),
+         |llr AS (
+         |  SELECT b, ln((CAST(cp AS DOUBLE) + 0.5) / (tp + 0.5 * 1024.0))
+         |    - ln((CAST(cq AS DOUBLE) + 0.5) / (tq + 0.5 * 1024.0)) AS llr
+         |  FROM dist CROSS JOIN tot
+         |),
+         |w AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(CAST(floor(CAST(c AS DOUBLE) * llr * 1000000.0 + 0.5)
+         |      AS BIGINT)) AS BIGINT) AS wl
+         |  FROM feats JOIN llr USING (b) WHERE NOT t GROUP BY 1
+         |),
+         |kg AS (
+         |  SELECT doc_id, wl,
+         |    CAST(wl AS DOUBLE) / 1000000.0
+         |      - ln(-ln((${h32("CAST(doc_id AS VARCHAR)")} % 1000000 + 0.5)
+         |        / 1000000.0)) AS gk
+         |  FROM w
+         |),
+         |selt AS (SELECT doc_id FROM w ORDER BY wl DESC, doc_id LIMIT 100),
+         |selg AS (SELECT doc_id FROM kg ORDER BY gk DESC, doc_id LIMIT 100)
+         |SELECT w.doc_id, round(CAST(wl AS DOUBLE) / 1000000.0, 6) AS weight,
+         |  CAST(st.doc_id IS NOT NULL AS BIGINT) AS sel_top,
+         |  CAST(sg.doc_id IS NOT NULL AS BIGINT) AS sel_gumbel
+         |FROM w
+         |LEFT JOIN selt st ON w.doc_id = st.doc_id
+         |LEFT JOIN selg sg ON w.doc_id = sg.doc_id
+         |ORDER BY w.doc_id""".stripMargin,
     "text_bm25_topk" ->
       s"""WITH toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
          |q AS (SELECT doc_id AS query_id, tk[1:8] AS qtk FROM toks WHERE doc_id % 100 = 0),
