@@ -42,13 +42,18 @@ object RankOps {
       .distinct())
     val qvocab = broadcast(qterms.select(col("term")).distinct())
     // posting rows pruned to the query vocabulary BEFORE the (doc, term)
-    // aggregate — the corpus-wide explode never shuffles
+    // aggregate — the corpus-wide explode never shuffles. The postings
+    // frame feeds BOTH the document-frequency broadcast and the scoring
+    // join (two plan instances of the corpus explode otherwise, measured
+    // ~2x at the sf1 soak scale), so persist it for the query's lifetime:
+    // the broadcast job populates the cache, the scoring job reuses it.
     val dt = docs
       .select(col(docIdCol).as("doc_id"), toks.as("__toks"))
       .select(col("doc_id"), size(col("__toks")).as("dl"), explode(col("__toks")).as("term"))
       .join(qvocab, Seq("term"), "left_semi")
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .persist()
     // corpus stats: token counts are integral, so the double sum inside
     // avg() is exact and order-independent
     val stats = broadcast(docs

@@ -20,11 +20,15 @@ import org.apache.spark.sql.functions._
   */
 object SimOps {
 
-  /** Dot product of two array<double> columns via zip_with + aggregate
-    * (left-to-right fold: deterministic accumulation order).
+  /** Dot product of two array<double> columns — the native codegen'd
+    * [[graft.functions.VecDot]] (registered by GraftExtensions). Strict
+    * left-to-right accumulation from 0.0, bit-identical to the
+    * `aggregate(zip_with(...))` fold it replaced; that fold ran its lambda
+    * INTERPRETED per element and dominated the `sim_` family's sf1 wall
+    * time (the HOF lesson's third recurrence).
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+    call_function("vec_dot", a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -131,13 +135,15 @@ object SimOps {
   }
 
   /** IVF ANN top-k — the default scale path. Routes through
-    * [[ivfTopKSalted]]: the round-7 clean sf1 soak measured this default
-    * at 10.5s / worst_skew 1.6 (`BENCH_sf1.jsonl`) vs the round-6 unsalted
-    * join's 20.4s with 15x max/median task skew on the same data, so
-    * bounded list width is strictly better at scale and identical in
-    * results (oracle-pinned: `sim_ivf_topk` and `sim_ivf_topk_salted`
-    * share one DuckDB oracle). [[ivfTopKUnsalted]] remains as the
-    * reference formulation the equivalence tests compare against.
+    * [[ivfTopKSalted]]: the round-7 clean sf1 soaks measured this default
+    * at 10.5s / worst_skew 1.6 with the interpreted cosine fold, then
+    * 2.8s / 2.2x after [[graft.functions.VecDot]] replaced the fold
+    * (`BENCH_sf1.jsonl`) — vs the round-6 unsalted join's 20.4s with 15x
+    * max/median task skew on the same data, so bounded list width is
+    * strictly better at scale and identical in results (oracle-pinned:
+    * `sim_ivf_topk` and `sim_ivf_topk_salted` share one DuckDB oracle).
+    * [[ivfTopKUnsalted]] remains as the reference formulation the
+    * equivalence tests compare against.
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -273,11 +279,12 @@ object SimOps {
           .as("q"))
   }
 
-  /** Squared L2 distance of two array<double> columns (left-to-right fold:
-    * deterministic, oracle-replayable accumulation order).
+  /** Squared L2 distance of two array<double> columns — the native
+    * codegen'd [[graft.functions.VecL2sq]]; same left-to-right
+    * accumulation the oracles replay.
     */
   def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+    call_function("vec_l2sq", a, b)
 
   /** One deterministic Lloyd (k-means) refinement step for IVF centroids:
     * assign every vector to its nearest centroid (exact cosine, centroid-id

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{RollingHash, WinnowHashes, WordShingles}
+import graft.functions.{RollingHash, VecDot, VecL2sq, WinnowHashes, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
@@ -30,6 +30,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case _ => throw new IllegalArgumentException(
             "word_shingles takes (array<string> tokens[, int width-literal])")
         }))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "vec_dot takes exactly two array<double> arguments")
+        VecDot(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_l2sq"),
+      new ExpressionInfo(classOf[VecL2sq].getName, "vec_l2sq"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "vec_l2sq takes exactly two array<double> arguments")
+        VecL2sq(children.head, children(1))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("winnow_hashes"),
       new ExpressionInfo(classOf[WinnowHashes].getName, "winnow_hashes"),

@@ -123,10 +123,19 @@ object Soak {
       }
     }
 
+    // SPARK_GRAFT_ONLY=q1,q2 restricts the soak (same contract as
+    // Verify/Bench); SPARK_GRAFT_SOAK_SF=sf1 restricts the scales
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val queries = graft.SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => Families.exists(n.startsWith) }
+      .filter { case (n, _) => only.fold(Families.exists(n.startsWith))(_.contains(n)) }
     val sb = new StringBuilder
-    for (dir <- Seq(src, out)) {
+    val scales = sys.env.get("SPARK_GRAFT_SOAK_SF") match {
+      case Some("sf1") => Seq(out)
+      case Some("sf0.1") => Seq(src)
+      case _ => Seq(src, out)
+    }
+    for (dir <- scales) {
       val tag = if (dir == src) "sf0.1" else "sf1"
       queries.foreach { case (name, fn) =>
         durations.clear()
@@ -141,7 +150,10 @@ object Soak {
         System.gc()
       }
     }
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_sf1.jsonl"), sb.result())
+    // a restricted run must not clobber the full-soak record
+    val outFile =
+      if (only.isDefined || scales.size < 2) "BENCH_sf1_partial.jsonl" else "BENCH_sf1.jsonl"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), sb.result())
     spark.stop()
   }
 }

@@ -1,0 +1,62 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** vec_dot / vec_l2sq: bit-equality with the interpreted fold they
+  * replaced, null semantics, and whole-stage-codegen placement.
+  */
+class VecMathSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def foldDot = aggregate(zip_with(col("a"), col("b"), _ * _), lit(0.0), _ + _)
+  private def foldL2 =
+    aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+
+  test("property: bit-identical to the zip_with/aggregate fold") {
+    val genVec = Gen.choose(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-1e6, 1e6).map(v => math.rint(v * 256) / 256)))
+    val prop = Prop.forAll(genVec) { xs =>
+      val ys = xs.map(v => v * 0.7 - 3.25) // same length, different values
+      val df = Seq((xs, ys)).toDF("a", "b")
+      val row = df.select(
+        call_function("vec_dot", col("a"), col("b")),
+        foldDot,
+        call_function("vec_l2sq", col("a"), col("b")),
+        foldL2).collect().head
+      java.lang.Double.doubleToLongBits(row.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(row.getDouble(1)) &&
+        java.lang.Double.doubleToLongBits(row.getDouble(2)) ==
+          java.lang.Double.doubleToLongBits(row.getDouble(3))
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("length mismatch and null elements yield null, like the fold") {
+    val df = Seq(
+      (Seq(Some(1.0), Some(2.0)), Seq(Some(1.0))),
+      (Seq(Some(1.0), None), Seq(Some(1.0), Some(2.0)))
+    ).toDF("a", "b")
+    val out = df.select(call_function("vec_dot", col("a"), col("b")).as("d")).collect()
+    assert(out.forall(_.isNullAt(0)))
+  }
+
+  test("null inputs yield null") {
+    val df = Seq((Some(Seq(1.0)), None: Option[Seq[Double]])).toDF("a", "b")
+    assert(df.select(call_function("vec_dot", col("a"), col("b"))).collect().head.isNullAt(0))
+  }
+
+  test("the projection stays inside whole-stage codegen") {
+    // a non-local source, so ConvertToLocalRelation can't fold the project
+    val df = spark.range(4).select(
+      array(col("id").cast("double"), lit(2.0)).as("a"),
+      array((col("id") + 1).cast("double"), lit(4.0)).as("b"))
+    val plan = df.select(call_function("vec_dot", col("a"), col("b")).as("d"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("vec_dot"), plan)
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("Project")),
+      s"vec_dot projection not codegen'd:\n$plan")
+  }
+}
