@@ -30,19 +30,21 @@ object Tables {
 
   private def doLoad(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map
-      // to TimestampType. It is read as raw nanos and converted — the data
-      // is micro-precision, so `nanos div 1000` is lossless. The required
-      // `spark.sql.legacy.parquet.nanosAsLong` conf is set at session build
-      // (Bench/Verify/SparkSpec), NOT mutated here: a mid-session flip would
-      // silently leak into every later parquet read of the same session.
-      require(
-        spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-        "session must set spark.sql.legacy.parquet.nanosAsLong=true at build " +
-          "time to read the events table (see Bench/Verify/SparkSpec)")
+      // events.ts arrives as either parquet TIMESTAMP(MICROS) (read natively
+      // as a timestamp type) or TIMESTAMP(NANOS), which Spark 4 refuses to
+      // map to TimestampType and surfaces as raw nano LONGs when the session
+      // was built with `spark.sql.legacy.parquet.nanosAsLong=true`
+      // (Bench/Verify/SparkSpec set it; a NANOS file read without it fails
+      // in the schema converter with its own error). Branch on the REAL
+      // schema rather than assuming a generator version: the nano data is
+      // micro-precision, so `nanos div 1000` is lossless.
       val df = spark.read.parquet(s"$sfDir/$name.parquet")
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      val fixed = df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case _ => df
+      }
+      fixed.select("event_id", "ts", "user_id", "event_type", "value", "props")
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }

@@ -241,6 +241,91 @@ object DedupOps {
     } finally edges.unpersist(blocking = false)
   }
 
+  /** Exact duplicated-substring detection — the distributed analogue of the
+    * suffix-array ExactSubstr pass of Lee et al. 2021 ("Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499): mark
+    * every w-token window that occurs verbatim MORE THAN ONCE in the whole
+    * corpus, then merge each document's marked windows into maximal token
+    * spans. Lee et al. build one suffix array over the concatenated corpus;
+    * that is inherently sequential and memory-bound at 100 TB, whereas the
+    * window formulation is two shuffles: (1) a gram-keyed count with
+    * map-side partial aggregation (duplicated grams = count >= 2, exactly
+    * the paper's "appears elsewhere" test at window granularity), and
+    * (2) a doc-keyed gaps-and-islands window merging adjacent duplicated
+    * positions (`pos - row_number()` is constant within a run). Skew note:
+    * a corpus-wide hot gram (boilerplate) costs ONE row per occurrence —
+    * work is bounded by corpus size, never by gram frequency squared,
+    * because positions are semi-joined against the duplicated-gram set
+    * rather than self-joined.
+    *
+    * Output: (id, span_start, span_end, span_tokens) — token indices are
+    * 0-based inclusive; a span of gram positions [p, q] covers tokens
+    * [p, q + w - 1]. Only spans of at least `minTokens` tokens are
+    * reported (the paper uses 50-BPE-token windows; smaller defaults here
+    * because the synthetic docs are short).
+    */
+  def duplicatedSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 5,
+      minTokens: Int = 10): DataFrame = {
+    val grams = spread(docs)
+      .select(col(idCol), posexplode(TextOps.shingles(col(textCol), w)).as(Seq("pos", "__g")))
+    val dup = grams.groupBy(col("__g")).agg(count(lit(1)).as("__n")).filter(col("__n") >= 2)
+    val marked = grams.join(dup.select(col("__g")), Seq("__g"), "left_semi")
+    val wn = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    marked
+      .withColumn("__grp", col("pos") - row_number().over(wn))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(
+        min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + lit(w - 1)).cast("long").as("span_end"))
+      .withColumn("span_tokens", col("span_end") - col("span_start") + lit(1L))
+      .filter(col("span_tokens") >= minTokens)
+      .select(col(idCol), col("span_start"), col("span_end"), col("span_tokens"))
+  }
+
+  /** ExactSubstr SCRUB — the removal step of Lee et al. 2021: drop every
+    * token covered by a duplicated span (duplicatedSpans) and re-join the
+    * survivors. The covered-token test is an anti-join equi-keyed on the
+    * doc id with a range residual (a doc's spans are co-partitioned with
+    * its tokens, so the residual comparison is intra-task); the rebuild is
+    * one doc-keyed aggregate over `(pos, token)` structs — order restored
+    * by `array_sort` on the struct, not a global sort.
+    *
+    * Output: (id, n_tokens, n_kept, scrubbed) — fully-duplicated docs
+    * surface with n_kept = 0 and an empty string, not a dropped row, so
+    * the removal accounting (`sum(n_tokens - n_kept)`) is complete.
+    */
+  def scrubDuplicatedSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 5,
+      minTokens: Int = 10): DataFrame = {
+    val spans = duplicatedSpans(docs, idCol, textCol, w, minTokens)
+      .select(col(idCol).as("__sid"), col("span_start"), col("span_end"))
+    val tk = docs.select(col(idCol), TextOps.tokens(col(textCol)).as("__tk"))
+    val toks = tk.select(col(idCol), posexplode(col("__tk")).as(Seq("pos", "tok")))
+    val kept = toks.join(spans,
+      toks(idCol) === col("__sid") &&
+        col("pos") >= col("span_start") && col("pos") <= col("span_end"),
+      "left_anti")
+    val rebuilt = kept
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            _.getField("tok"))).as("scrubbed"))
+    tk.select(col(idCol), size(col("__tk")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("scrubbed"), lit("")).as("scrubbed"))
+  }
+
   /** N-gram Jaccard near-dup: candidate pairs are generated by a MinHash
     * LSH *band* equi-join (docs sharing any (band, bucket)), then verified
     * with exact Jaccard over distinct token sets via

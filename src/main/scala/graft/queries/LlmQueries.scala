@@ -52,6 +52,22 @@ object LlmQueries {
     DedupOps.jaccardPairs(t(s, d, "documents"), "doc_id", "text", threshold = 0.2)
       .orderBy("id_a", "id_b")
 
+  /** ExactSubstr span report (Lee et al. 2021, arXiv:2107.06499): maximal
+    * token spans whose every 5-token window occurs >= 2 times corpus-wide,
+    * min 10 tokens (DedupOps.duplicatedSpans).
+    */
+  val dedupSubstringSpans: Q = (s, d) =>
+    DedupOps.duplicatedSpans(t(s, d, "documents"), "doc_id", "text", w = 5, minTokens = 10)
+      .orderBy("doc_id", "span_start")
+
+  /** ExactSubstr removal: documents with their duplicated spans cut out
+    * (DedupOps.scrubDuplicatedSpans) — before/after token accounting plus
+    * the rebuilt text.
+    */
+  val dedupSubstringScrub: Q = (s, d) =>
+    DedupOps.scrubDuplicatedSpans(t(s, d, "documents"), "doc_id", "text", w = 5, minTokens = 10)
+      .orderBy("doc_id")
+
   // A dedup stage materializes its cluster map ONCE and every downstream
   // consumer (the cluster report, the survivor filter) reads the stored
   // table — the iterative component computation is far too expensive to
