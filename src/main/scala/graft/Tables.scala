@@ -28,23 +28,55 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     plans.getOrElseUpdate((spark, sfDir, name), doLoad(spark, sfDir, name))
 
+  /** Normalize a timestamp column read from parquet to session-TZ
+    * `TimestampType`, whatever the on-disk encoding. Test-data generators
+    * have shipped three encodings of `events.ts` across rounds, and the
+    * loader must accept all of them (the driver can change the encoding
+    * between scored rounds — round 7 lost six queries to exactly that):
+    *
+    *  - parquet TIMESTAMP(NANOS): Spark 4 can't map it to TimestampType and
+    *    surfaces raw nano LONGs when the session sets
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` (Bench/Verify/SparkSpec
+    *    do; without the conf the schema converter fails with its own error).
+    *    The nano payload is micro-precision, so `div 1000` is lossless.
+    *  - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 reads it
+    *    as TIMESTAMP_NTZ. The session TZ is pinned UTC everywhere we run,
+    *    so the cast to TimestampType is value-preserving.
+    *  - parquet TIMESTAMP(MICROS, isAdjustedToUTC=true): already
+    *    TimestampType — pass through.
+    *
+    * Anything else (e.g. a plain INT64 column in a session WITHOUT the
+    * nanos conf, or a string column) fails loudly rather than mis-scaling.
+    */
+  def normalizedTs(spark: SparkSession, dt: org.apache.spark.sql.types.DataType,
+      colName: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType =>
+        // A long-typed ts can only legitimately arise from the nanosAsLong
+        // conf on a TIMESTAMP(NANOS) file; a generator emitting plain INT64
+        // epoch-micros/millis would be silently mis-scaled by `div 1000`,
+        // so pin the provenance to the conf and fail loudly otherwise.
+        require(
+          spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+          "long-typed ts without spark.sql.legacy.parquet.nanosAsLong=true: " +
+            "unknown epoch unit, refusing to guess")
+        // SQL `div` is integer division — `/` on longs would detour through
+        // double and lose precision past 2^53 (same trap JoinOps.floorDiv
+        // documents).
+        expr(s"timestamp_micros(`$colName` div 1000)")
+      case TimestampNTZType => col(colName).cast(TimestampType)
+      case TimestampType    => col(colName)
+      case other => throw new IllegalArgumentException(
+        s"unsupported on-disk encoding for event timestamps: $other")
+    }
+  }
+
   private def doLoad(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts arrives as either parquet TIMESTAMP(MICROS) (read natively
-      // as a timestamp type) or TIMESTAMP(NANOS), which Spark 4 refuses to
-      // map to TimestampType and surfaces as raw nano LONGs when the session
-      // was built with `spark.sql.legacy.parquet.nanosAsLong=true`
-      // (Bench/Verify/SparkSpec set it; a NANOS file read without it fails
-      // in the schema converter with its own error). Branch on the REAL
-      // schema rather than assuming a generator version: the nano data is
-      // micro-precision, so `nanos div 1000` is lossless.
       val df = spark.read.parquet(s"$sfDir/$name.parquet")
-      val fixed = df.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        case _ => df
-      }
-      fixed.select("event_id", "ts", "user_id", "event_type", "value", "props")
+      df.withColumn("ts", normalizedTs(spark, df.schema("ts").dataType, "ts"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }

@@ -248,15 +248,26 @@ object DedupOps {
     * corpus, then merge each document's marked windows into maximal token
     * spans. Lee et al. build one suffix array over the concatenated corpus;
     * that is inherently sequential and memory-bound at 100 TB, whereas the
-    * window formulation is two shuffles: (1) a gram-keyed count with
-    * map-side partial aggregation (duplicated grams = count >= 2, exactly
-    * the paper's "appears elsewhere" test at window granularity), and
-    * (2) a doc-keyed gaps-and-islands window merging adjacent duplicated
-    * positions (`pos - row_number()` is constant within a run). Skew note:
-    * a corpus-wide hot gram (boilerplate) costs ONE row per occurrence —
-    * work is bounded by corpus size, never by gram frequency squared,
-    * because positions are semi-joined against the duplicated-gram set
-    * rather than self-joined.
+    * window formulation is two shuffles: (1) a gram-keyed occurrence count
+    * (duplicated grams = count >= 2, exactly the paper's "appears
+    * elsewhere" test at window granularity) as a count-over-window on the
+    * gram key — the corpus-wide tokenize+shingle scan, the expensive part,
+    * is evaluated ONCE (the earlier aggregate + left-semi formulation
+    * re-evaluated it on both sides of the join); and (2) a doc-keyed
+    * gaps-and-islands window merging duplicated positions into maximal
+    * covered runs. Skew note: a corpus-wide hot gram (boilerplate) costs
+    * ONE row per occurrence — work is bounded by corpus size, never by
+    * gram frequency squared, because positions are counted, not
+    * self-joined.
+    *
+    * Island rule: a marked position p covers tokens [p, p + w - 1], so two
+    * marked positions p < q belong to the same covered run iff q <= p + w
+    * (q <= p + w - 1 overlaps, q = p + w abuts) — a new island starts only
+    * when the gap exceeds w. The earlier `pos - row_number()` trick merged
+    * only CONSECUTIVE positions: duplicated windows 2..w apart produced
+    * overlapping, non-maximal spans (double-counting `sum(span_tokens)`)
+    * and fragmented long covered runs into sub-`minTokens` islands that
+    * were silently dropped.
     *
     * Output: (id, span_start, span_end, span_tokens) — token indices are
     * 0-based inclusive; a span of gram positions [p, q] covers tokens
@@ -272,11 +283,15 @@ object DedupOps {
       minTokens: Int = 10): DataFrame = {
     val grams = spread(docs)
       .select(col(idCol), posexplode(TextOps.shingles(col(textCol), w)).as(Seq("pos", "__g")))
-    val dup = grams.groupBy(col("__g")).agg(count(lit(1)).as("__n")).filter(col("__n") >= 2)
-    val marked = grams.join(dup.select(col("__g")), Seq("__g"), "left_semi")
+    val marked = grams
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__g"))))
+      .filter(col("__n") >= 2)
     val wn = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     marked
-      .withColumn("__grp", col("pos") - row_number().over(wn))
+      .withColumn("__brk",
+        when(col("pos") - lag(col("pos"), 1).over(wn) > w, 1L).otherwise(0L))
+      .withColumn("__grp", sum(col("__brk"))
+        .over(wn.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col(idCol), col("__grp"))
       .agg(
         min(col("pos")).cast("long").as("span_start"),

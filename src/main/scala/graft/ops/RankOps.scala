@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -23,15 +23,18 @@ import org.apache.spark.sql.functions._
   */
 object RankOps {
 
-  /** BM25 top-k: for each query, the `k` highest-scoring documents.
-    *
-    * @return (query_id, doc_id, score, rk) — score rounded to 6dp,
-    *         rk 1..k dense per query, ties broken by doc id.
+  /** The lazy BM25 scoring plan plus the shared postings frame it is built
+    * on. The postings frame (corpus explode pruned to the query vocabulary)
+    * feeds BOTH the document-frequency broadcast and the scoring join —
+    * two full plan instances of the corpus explode otherwise, measured ~2x
+    * at the sf1 soak scale — so [[bm25TopK]] persists it for exactly the
+    * evaluation's lifetime. Exposed separately so plan audits can inspect
+    * the distributed plan without materializing anything.
     */
-  def bm25TopK(
+  private[graft] def bm25Plan(
       docs: DataFrame, docIdCol: String, textCol: String,
       queries: DataFrame, queryIdCol: String, queryTextCol: String,
-      k1: Double = 1.2, b: Double = 0.75, k: Int = 10): DataFrame = {
+      k1: Double, b: Double, k: Int): (DataFrame, DataFrame) = {
     val toks = TextOps.tokens(col(textCol))
     // query terms (and their distinct vocabulary) are small by contract:
     // broadcast both sides of the pruning
@@ -42,18 +45,13 @@ object RankOps {
       .distinct())
     val qvocab = broadcast(qterms.select(col("term")).distinct())
     // posting rows pruned to the query vocabulary BEFORE the (doc, term)
-    // aggregate — the corpus-wide explode never shuffles. The postings
-    // frame feeds BOTH the document-frequency broadcast and the scoring
-    // join (two plan instances of the corpus explode otherwise, measured
-    // ~2x at the sf1 soak scale), so persist it for the query's lifetime:
-    // the broadcast job populates the cache, the scoring job reuses it.
+    // aggregate — the corpus-wide explode never shuffles
     val dt = docs
       .select(col(docIdCol).as("doc_id"), toks.as("__toks"))
       .select(col("doc_id"), size(col("__toks")).as("dl"), explode(col("__toks")).as("term"))
       .join(qvocab, Seq("term"), "left_semi")
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .persist()
     // corpus stats: token counts are integral, so the double sum inside
     // avg() is exact and order-independent
     val stats = broadcast(docs
@@ -67,7 +65,7 @@ object RankOps {
     val denom = col("tf").cast("double") +
       lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / col("avgdl"))
     val w = Window.partitionBy(col("query_id")).orderBy(desc("__sl"), col("doc_id"))
-    dt.join(dfq, Seq("term"))
+    val scored = dt.join(dfq, Seq("term"))
       .join(qterms, Seq("term"))
       .crossJoin(stats)
       .withColumn("__s", idf * col("tf").cast("double") * (lit(k1) + lit(1.0)) / denom)
@@ -78,5 +76,34 @@ object RankOps {
       .filter(col("rk") <= k)
       .select(col("query_id"), col("doc_id"),
         round(col("__sl").cast("double") / lit(1000000.0), 6).as("score"), col("rk"))
+    (scored, dt)
+  }
+
+  /** BM25 top-k: for each query, the `k` highest-scoring documents.
+    *
+    * The shared postings frame is persisted for the duration of the
+    * evaluation (the df-broadcast job populates the cache, the scoring job
+    * reuses it) and released in `finally` — the result is materialized
+    * before returning, which is bounded at k rows per query by
+    * construction (the same bounded-collect contract as event-table
+    * discovery); a lazily returned frame would force the persist to
+    * outlive the call and leak one cached frame per query in a long-lived
+    * session (round-7 verdict hygiene item).
+    *
+    * @return (query_id, doc_id, score, rk) — score rounded to 6dp,
+    *         rk 1..k dense per query, ties broken by doc id.
+    */
+  def bm25TopK(
+      docs: DataFrame, docIdCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k1: Double = 1.2, b: Double = 0.75, k: Int = 10): DataFrame = {
+    val (scored, dt) = bm25Plan(docs, docIdCol, textCol,
+      queries, queryIdCol, queryTextCol, k1, b, k)
+    dt.persist()
+    try {
+      val rows: Array[Row] = scored.collect()
+      import scala.jdk.CollectionConverters._
+      docs.sparkSession.createDataFrame(rows.toList.asJava, scored.schema)
+    } finally dt.unpersist(blocking = false)
   }
 }

@@ -553,10 +553,21 @@ object SimOps {
     * Scale shape: the published design bounds the quadratic pairwise check
     * by CLUSTER occupancy — with |centroids| ~ sqrt(N) the expected
     * per-cluster work is ~N total. The pair join is an equi-join on
-    * centroid id, so a hot cluster's cost is its occupancy squared in one
-    * task: size |centroids| for the corpus's clusteredness (the same
-    * contract as the IVF inverted lists; the salted-IVF remedy does not
-    * apply because BOTH sides of the pair join are the oversized list).
+    * centroid id, and a hot cluster (one centroid attracting far more
+    * than its share — the exact failure mode the sf1 IVF soak measured at
+    * 15x task skew) is tamed by BLOCKING: a cluster whose estimated
+    * occupancy exceeds `maxCluster` splits both pair sides into
+    * `g = ceil(occupancy / maxCluster)` hash blocks, the left side keyed
+    * by its own block and fanned out across the right's g blocks (and
+    * vice versa), so every pair still meets EXACTLY once — at join key
+    * (centroid, block(a), block(b)) — but the widest task does
+    * (occ/g)^2 ~ maxCluster^2 comparisons instead of occ^2. One-sided
+    * salting (the IVF remedy) is not enough here because BOTH sides of
+    * the self-join are the oversized list. Results are independent of
+    * the blocking (the oracle-gated query pins this); normal clusters
+    * keep g = 1 and pay nothing. Occupancy estimates come from the same
+    * deterministic hash-sample the IVF tier uses (`sizeSampleRate`) —
+    * block counts shape task sizes only, never results.
     * Centroids broadcast; nothing else is ever all-pairs.
     *
     * @return one row per corpus vector: (item_id, centroid_id, cent_sim
@@ -567,16 +578,38 @@ object SimOps {
       centroids: DataFrame,
       idCol: String,
       vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      maxCluster: Int = 4096,
+      sizeSampleRate: Double = 0.1): DataFrame = {
+    require(maxCluster > 0, s"maxCluster must be positive, got $maxCluster")
+    require(sizeSampleRate > 0 && sizeSampleRate <= 1.0,
+      s"sizeSampleRate must be in (0, 1], got $sizeSampleRate")
     val cent = broadcast(centroids.select(
       col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("centroid_vec")))
     val assigned = assignToCentroids(corpus, cent, idCol, vecCol, "item_id", "item_vec",
         keep = 1, keepSim = true)
-    val a = assigned.select(col("centroid_id"), col("item_id").as("id_a"),
-      col("item_vec").as("__vec_a"), col("cent_sim").as("__cs_a"))
-    val bb = assigned.select(col("centroid_id"), col("item_id").as("id_b"),
-      col("item_vec").as("__vec_b"), col("cent_sim").as("__cs_b"))
-    val dropped = a.join(bb, Seq("centroid_id"))
+    val sampleMod = math.max(1, math.round(1.0 / sizeSampleRate).toInt)
+    val sampled =
+      if (sampleMod == 1) corpus
+      else corpus.filter(pmod(hash(col(idCol)), lit(sampleMod)) === 0)
+    val blocks = assignToCentroids(sampled, cent, idCol, vecCol, "item_id", "item_vec", keep = 1)
+      .groupBy("centroid_id")
+      .agg((count(lit(1)) * sampleMod).as("__n_est"))
+      .select(col("centroid_id"),
+        greatest(ceil(col("__n_est") / lit(maxCluster.toDouble)), lit(1.0)).cast("int").as("__nblk"))
+    val nblk = coalesce(col("__nblk"), lit(1))
+    val withBlocks = assigned.join(broadcast(blocks), Seq("centroid_id"), "left")
+    val a = withBlocks
+      .withColumn("__ba", pmod(hash(col("item_id")), nblk))
+      .withColumn("__bb", explode(sequence(lit(0), nblk - 1)))
+      .select(col("centroid_id"), col("__ba"), col("__bb"), col("item_id").as("id_a"),
+        col("item_vec").as("__vec_a"), col("cent_sim").as("__cs_a"))
+    val bb = withBlocks
+      .withColumn("__bb", pmod(hash(col("item_id")), nblk))
+      .withColumn("__ba", explode(sequence(lit(0), nblk - 1)))
+      .select(col("centroid_id"), col("__ba"), col("__bb"), col("item_id").as("id_b"),
+        col("item_vec").as("__vec_b"), col("cent_sim").as("__cs_b"))
+    val dropped = a.join(bb, Seq("centroid_id", "__ba", "__bb"))
       .filter(col("id_a") =!= col("id_b"))
       .filter(cosine(col("__vec_a"), col("__vec_b")) >= threshold)
       .filter(col("__cs_a") < col("__cs_b") ||

@@ -328,16 +328,17 @@ object EventQueries {
     */
   /** Stream the events table through a file source: stage a directory
     * holding a symlink to the parquet file (the source only accepts
-    * directories; no data copied, testdata untouched) and declare the
-    * nanosAsLong schema explicitly (streaming sources require a fixed
-    * schema) with the same ts conversion `Tables.load` applies.
+    * directories; no data copied, testdata untouched). Streaming sources
+    * require a fixed schema — take it from the staged file's own footer
+    * (one driver-side batch-reader schema probe, no data read) instead of
+    * assuming an encoding, then apply the SAME per-encoding ts conversion
+    * `Tables.load` applies. Round 7 hardcoded the long-nanos schema here
+    * and the generator switched to naive micros: every timestamp silently
+    * shrank 1000× and all four streaming queries lost their oracle — the
+    * footer probe makes the stream source drift-proof the same way the
+    * batch loader is.
     */
-  private def eventsStream(s: SparkSession, d: String, stageName: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+  private[graft] def eventsStream(s: SparkSession, d: String, stageName: String): DataFrame = {
     val srcDir = new org.apache.hadoop.fs.Path(
       new java.io.File(s"${graft.io.Zones.defaultRoot}/$stageName").getAbsolutePath)
     val fs = srcDir.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -346,14 +347,15 @@ object EventQueries {
     java.nio.file.Files.createSymbolicLink(
       java.nio.file.Paths.get(srcDir.toString, "events.parquet"),
       java.nio.file.Paths.get(s"$d/events.parquet"))
-    s.readStream.schema(schema).parquet(srcDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val onDisk = s.read.parquet(s"$d/events.parquet").schema
+    s.readStream.schema(onDisk).parquet(srcDir.toString)
+      .withColumn("ts", graft.Tables.normalizedTs(s, onDisk("ts").dataType, "ts"))
   }
 
   /** Drain a streaming frame through a memory sink with AvailableNow and
     * return the resulting table.
     */
-  private def drainToTable(df: DataFrame, sink: String, mode: String): DataFrame = {
+  private[graft] def drainToTable(df: DataFrame, sink: String, mode: String): DataFrame = {
     val s = df.sparkSession
     val ckpt = new org.apache.hadoop.fs.Path(
       new java.io.File(s"${graft.io.Zones.defaultRoot}/stream_ckpt_$sink").getAbsolutePath)

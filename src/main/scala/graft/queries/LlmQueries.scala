@@ -79,11 +79,14 @@ object LlmQueries {
     clusterMaps.getOrElseUpdate((s, d), {
       val zones = graft.io.Zones.forPurpose("dedup")
       val table = s"dedup_clusters_${graft.io.Zones.pathKey(d)}"
-      zones.write(
-        DedupOps.connectedComponents(
-          DedupOps.jaccardPairs(t(s, d, "documents"), "doc_id", "text", threshold = 0.2),
-          "id_a", "id_b"),
-        "work", table)
+      val cc = DedupOps.connectedComponents(
+        DedupOps.jaccardPairs(t(s, d, "documents"), "doc_id", "text", threshold = 0.2),
+        "id_a", "id_b")
+      zones.write(cc, "work", table)
+      // the component iteration returns its final round still persisted
+      // (it was materialized for convergence detection); release it now
+      // that the stored table holds the results
+      cc.unpersist(blocking = false)
       zones.read(s, "work", table)
     })
 
@@ -750,6 +753,8 @@ object LlmQueries {
     "dedup_simhash" -> dedupSimhash,
     "dedup_simhash_bands" -> dedupSimhashBands,
     "dedup_jaccard_pairs" -> dedupJaccardPairs,
+    "dedup_substring_spans" -> dedupSubstringSpans,
+    "dedup_substring_scrub" -> dedupSubstringScrub,
     "dedup_cluster_components" -> dedupClusterComponents,
     "dedup_cluster_survivors" -> dedupClusterSurvivors,
     "dedup_cluster_best" -> dedupClusterBest,
@@ -1018,7 +1023,69 @@ object LlmQueries {
         |SELECT query_id, item_id, round(sim, 6) AS sim, CAST(rk AS INT) AS rk
         |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
+  /** The ExactSubstr (Lee et al. 2021) duplicated-span chain as CTEs ending
+    * in `spans(doc_id, span_start, span_end, span_tokens)` — mirrors
+    * `DedupOps.duplicatedSpans(w = 5, minTokens = 10)`: 5-token windows
+    * occurring >= 2 times corpus-wide, merged into maximal covered runs
+    * (same island rule: new run only when the position gap exceeds w).
+    */
+  private val dupSpansCtes =
+    s"""toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
+       |g5 AS (
+       |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+       |    array_to_string(tk[i:i+4], ' ') AS g
+       |  FROM toks, UNNEST(range(1, len(tk) - 3)) AS u(i)
+       |  WHERE len(tk) >= 5
+       |),
+       |mk AS (
+       |  SELECT doc_id, pos FROM (
+       |    SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS n FROM g5)
+       |  WHERE n >= 2
+       |),
+       |brk AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 5
+       |      THEN 1 ELSE 0 END AS b
+       |  FROM mk
+       |),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |    SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS UNBOUNDED PRECEDING) AS grp
+       |  FROM brk
+       |),
+       |spans AS (
+       |  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 4 AS span_end,
+       |    MAX(pos) + 4 - MIN(pos) + 1 AS span_tokens
+       |  FROM isl GROUP BY doc_id, grp
+       |  HAVING MAX(pos) + 4 - MIN(pos) + 1 >= 10
+       |)""".stripMargin
+
   val oracles: Seq[(String, String)] = Seq(
+    "dedup_substring_spans" ->
+      s"""WITH $dupSpansCtes
+         |SELECT doc_id, span_start, span_end, span_tokens
+         |FROM spans ORDER BY doc_id, span_start""".stripMargin,
+    "dedup_substring_scrub" ->
+      s"""WITH $dupSpansCtes,
+         |tks AS (
+         |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, tk[i] AS tok
+         |  FROM toks, UNNEST(range(1, len(tk) + 1)) AS u(i)
+         |),
+         |kept AS (
+         |  SELECT t.doc_id, t.pos, t.tok FROM tks t
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM spans sp WHERE sp.doc_id = t.doc_id
+         |      AND t.pos BETWEEN sp.span_start AND sp.span_end)
+         |),
+         |reb AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |    string_agg(tok, ' ' ORDER BY pos) AS scrubbed
+         |  FROM kept GROUP BY doc_id
+         |)
+         |SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+         |  COALESCE(r.n_kept, 0) AS n_kept, COALESCE(r.scrubbed, '') AS scrubbed
+         |FROM toks t LEFT JOIN reb r USING (doc_id) ORDER BY t.doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, count(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,

@@ -43,7 +43,10 @@ class RankOpsSpec extends SparkSpec {
 
   test("plan: query terms and document frequencies broadcast; no term-keyed wide join") {
     val q = Seq((100L, "apple banana"), (200L, "durian")).toDF("qid", "qtext")
-    val p = RankOps.bm25TopK(docs, "doc_id", "text", q, "qid", "qtext")
+    // inspect the lazy plan (bm25TopK materializes its bounded result so it
+    // can release the postings cache deterministically)
+    val p = RankOps.bm25Plan(docs, "doc_id", "text", q, "qid", "qtext",
+        k1 = 1.2, b = 0.75, k = 10)._1
       .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), s"no broadcast joins in bm25 plan:\n$p")
     assert(!p.contains("SortMergeJoin"), s"term-keyed wide join in bm25 plan:\n$p")

@@ -59,8 +59,51 @@ class SemDedupSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), s"cartesian in semdedup plan:\n$p")
     // the only nested-loop joins are the broadcast centroid assignments
-    // (planned once per use of the assigned frame: pair sides a/b + output)
+    // (planned once per use of the assigned frame: pair sides a/b + output,
+    // plus the occupancy-sample assignment feeding the block widths, which
+    // is planned once per pair side)
     val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
-    assert(bnlj <= 3, s"unexpected nested-loop joins ($bnlj):\n$p")
+    assert(bnlj <= 5, s"unexpected nested-loop joins ($bnlj):\n$p")
+  }
+
+  // a deliberately hot cluster: most of the corpus piles onto one centroid,
+  // so the blocked plan actually splits (nblk > 1) while the comparison run
+  // keeps every cluster in one block
+  private def hotCorpus = {
+    val hot = (0 until 40).map { i =>
+      // near-duplicates fanning slightly off e1: consecutive vectors are
+      // above 0.99 cosine, distant ones drift below — a realistic dup pile
+      val t = i * 0.004
+      (i.toLong, Seq((1.0 - t).toFloat, (0.02 + t).toFloat, 0.0f, 0.0f))
+    }
+    val cold = Seq(
+      (100L, Seq(0.0f, 0.0f, 1.0f, 0.0f)),
+      (101L, Seq(0.0f, 0.0f, 0.99f, 0.14f)))
+    (hot ++ cold).toDF("vec_id", "embedding")
+  }
+
+  test("blocking a hot cluster leaves the verdicts identical") {
+    def run(maxCluster: Int) =
+      SimOps.semDedup(hotCorpus, centroids, "vec_id", "embedding", 0.98,
+        maxCluster = maxCluster, sizeSampleRate = 1.0)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+        .sortBy(_._1)
+    val unblocked = run(maxCluster = 1000000) // every cluster in one block
+    val blocked = run(maxCluster = 4)         // hot cluster splits 10 ways
+    assert(blocked.toSeq == unblocked.toSeq,
+      "blocked SemDeDup changed verdicts vs the single-block plan")
+    // sanity: the fixture actually dedups something and keeps something
+    val kept = blocked.count(_._4)
+    assert(kept > 0 && kept < blocked.length)
+  }
+
+  test("the pair join keys include the hash blocks (bounded task width)") {
+    val p = SimOps.semDedup(hotCorpus, centroids, "vec_id", "embedding", 0.98,
+        maxCluster = 4, sizeSampleRate = 1.0)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("__ba") && p.contains("__bb"),
+      s"expected blocked join keys __ba/__bb in plan:\n$p")
+    assert(!p.contains("CartesianProduct"))
   }
 }

@@ -26,6 +26,18 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("semantic dedup pair join carries the hash-block keys (bounded task width)") {
+    // the within-cluster self-join is blocked: oversized clusters split
+    // into hash blocks on BOTH sides, so one hot centroid can never put
+    // its whole occupancy-squared comparison into a single task (the
+    // salting lesson from the IVF inverted lists, applied to the pair
+    // join). The blocked keys must survive into the physical join.
+    val p = plan("dedup_semantic")
+    assert(p.contains("__ba") && p.contains("__bb"),
+      s"dedup_semantic pair join lost its hash-block keys:\n$p")
+    assert(!p.contains("CartesianProduct"), "dedup_semantic has a cartesian")
+  }
+
   test("text analysis scans prune to the referenced columns only") {
     val p = plan("text_token_stats")
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
