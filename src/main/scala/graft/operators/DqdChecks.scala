@@ -48,6 +48,9 @@ import org.apache.spark.sql.functions._
   *     visit parent's [start-slack, end+slack] window
   *  - `plausibleGender` (CONCEPT, Plausibility): records of a
   *     gender-specific concept whose person parent has the wrong gender
+  *  - `plausibleGenderUseDescendants` (CONCEPT, Plausibility): the DQD 2.6
+  *     descendant-aware variant — the stratum is an ancestor concept's
+  *     whole subtree per a CONCEPT_ANCESTOR-style closure table
   *  - `plausibleUnitConceptIds` (CONCEPT, Plausibility): records of a
   *     measured concept whose unit column is missing or outside the
   *     concept's plausible unit list
@@ -142,6 +145,22 @@ object DqdChecks {
       conceptTable: String, conceptPk: String, attrCol: String, allowed: Seq[String],
       invCol: Option[String] = None, excludeZero: Boolean = true)
 
+  /** A plausibleGenderUseDescendants rule — DQD 2.6's descendant-aware
+    * gender plausibility (`concept_plausible_gender_use_descendants.sql`):
+    * instead of enumerating concept ids, the stratum is "the ancestor
+    * concept's whole subtree" per a CONCEPT_ANCESTOR-style closure table.
+    * Rows of `table` whose `conceptCol` appears among
+    * `closureTable.descendantCol` where `closureTable.ancestorCol` =
+    * `ancestorValue` must have an FK parent (via `fkCol`) whose
+    * `parentGenderCol` is in `allowed`. The closure is taken as
+    * authoritative (the real CONCEPT_ANCESTOR carries the reflexive
+    * (c, c) rows, so "self" membership is the closure's call, not ours).
+    */
+  final case class GenderDescRule(table: String, conceptCol: String,
+      closureTable: String, ancestorCol: String, descendantCol: String,
+      ancestorValue: String, fkCol: String, parentGenderCol: String,
+      allowed: Seq[String])
+
   /** A record-completeness rule — DQD's
     * `standardConceptRecordCompleteness` / `sourceConceptRecordCompleteness`:
     * fraction of rows where `field` = 0 (the unmapped sentinel).
@@ -195,6 +214,7 @@ object DqdChecks {
       sourceValues: Seq[SourceValueRule] = Nil,
       siblings: Seq[SiblingCompletenessRule] = Nil,
       genders: Seq[GenderRule] = Nil,
+      genderDesc: Seq[GenderDescRule] = Nil,
       units: Seq[UnitRule] = Nil)
 
   // ---------------------------------------------------------------- derive
@@ -329,6 +349,9 @@ object DqdChecks {
       excludeZero: Boolean = false,        // ConceptAttr: skip sentinel id 0
       siblingOf: Option[(String, String)] = None, // Sibling: (table, key)
       days: Option[Int] = None,            // duringLife grace / visit slack
+      // GenderDesc: (closureTable, ancestorCol, descendantCol) — the
+      // concept-hierarchy closure the descendant set comes from
+      closure: Option[(String, String, String)] = None,
       distinctAgg: Boolean = false) {      // branch B (Expand-confined) check
     /** The LITERAL OHDSI DQD check id
       * (`/root/reference/src/riab/etl/data_quality.py:420-430`
@@ -514,10 +537,27 @@ object DqdChecks {
           parentField = Some(r.parentGenderCol), allowed = Some(r.allowed),
           stratum = Some((r.conceptCol, r.conceptValue)))
       }
+    val genderDescChecks = rules.genderDesc.filter(_.table == table)
+      .sortBy(r => (r.conceptCol, r.ancestorValue)).map { r =>
+        val parent = model.fks(table)(r.fkCol)
+        val parentPk = model.pk(parent).get
+        val g = col(s"__tp_${r.fkCol}_${r.parentGenderCol}").cast("string")
+        val inStratum =
+          col(s"__gd_${r.conceptCol}_${r.ancestorValue}").isNotNull && g.isNotNull
+        Check("plausibleGenderUseDescendants", "CONCEPT", "Plausibility",
+          table, r.conceptCol,
+          sum(when(inStratum && !g.isin(r.allowed: _*), 1L).otherwise(0L)),
+          sum(when(inStratum, 1L).otherwise(0L)),
+          parent = Some((parent, parentPk)), fkCol = Some(r.fkCol),
+          parentField = Some(r.parentGenderCol), allowed = Some(r.allowed),
+          stratum = Some((r.conceptCol, r.ancestorValue)),
+          closure = Some((r.closureTable, r.ancestorCol, r.descendantCol)))
+      }
     presence ++ fieldPresence ++ required ++ valueCompleteness ++ datatype ++
       pk ++ fk ++ plausible ++ temporalChecks ++ startBeforeEnd ++ domainChecks ++
       conceptChecks ++ withinVisitChecks ++ duringLifeChecks ++ conceptAttrChecks ++
-      recordChecks ++ sourceValueChecks ++ unitChecks ++ genderChecks
+      recordChecks ++ sourceValueChecks ++ unitChecks ++ genderChecks ++
+      genderDescChecks
   }
 
   /** TABLE-level checks whose scan runs over a DIFFERENT table than the one
@@ -557,7 +597,8 @@ object DqdChecks {
         val w = rules.withinVisit.filter(_.table == tb)
           .flatMap(r => Seq(r.fkCol -> r.parentStart, r.fkCol -> r.parentEnd))
         val g = rules.genders.filter(_.table == tb).map(r => r.fkCol -> r.parentGenderCol)
-        (t ++ w ++ g).distinct.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+        val gd = rules.genderDesc.filter(_.table == tb).map(r => r.fkCol -> r.parentGenderCol)
+        (t ++ w ++ g ++ gd).distinct.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
       }
       // (1) FK parents: left joins on distinct unique PKs preserve
       // cardinality, so the shared aggregate is exact
@@ -592,11 +633,26 @@ object DqdChecks {
           df.join(c, df(field) === c(s"__ca_pk_$field"), "left")
         }
       }
+      // (4) descendant-set membership joins: the closure restricted to one
+      // ancestor, deduped to one row per descendant id (so the left join
+      // cannot multiply), flagging in-stratum rows for the
+      // plausibleGenderUseDescendants checks
+      val gdJoined = rules.genderDesc.filter(_.table == tb)
+        .map(r => (r.conceptCol, r.closureTable, r.ancestorCol,
+          r.descendantCol, r.ancestorValue))
+        .distinct.sortBy(t => (t._1, t._5))
+        .foldLeft(caJoined) { case (df, (cc, aTb, aCol, dCol, anc)) =>
+          val d = load(aTb)
+            .filter(col(aCol).cast("string") === anc)
+            .select(col(dCol).as(s"__gd_pk_${cc}_$anc")).distinct()
+            .withColumn(s"__gd_${cc}_$anc", lit(1))
+          df.join(d, df(cc) === d(s"__gd_pk_${cc}_$anc"), "left")
+        }
       val branchA = {
         val aggs = checksA.zipWithIndex.flatMap { case (c, i) =>
           Seq(c.violated.as(s"__v$i"), c.denominator.as(s"__d$i"))
         }
-        caJoined
+        gdJoined
           .agg(aggs.head, aggs.tail: _*)
           .select(explode(array(checksA.zipWithIndex.map { case (c, i) =>
             struct(
@@ -821,6 +877,16 @@ object DqdChecks {
             (s"count(*) FILTER (WHERE s.$sc = '$sv' AND p.__g IS NOT NULL AND CAST(p.__g AS VARCHAR) NOT IN ($list))",
               s"count(*) FILTER (WHERE s.$sc = '$sv' AND p.__g IS NOT NULL)",
               s"${c.table} s LEFT JOIN (SELECT DISTINCT $parentPk AS __pk, ${c.parentField.get} AS __g FROM $parent) p ON s.${c.fkCol.get} = p.__pk")
+          case "plausibleGenderUseDescendants" =>
+            val (parent, parentPk) = c.parent.get
+            val (sc, anc) = c.stratum.get
+            val (aTb, aCol, dCol) = c.closure.get
+            val list = c.allowed.get.map(v => s"'${v.replace("'", "''")}'").mkString(", ")
+            (s"count(*) FILTER (WHERE d.__desc IS NOT NULL AND p.__g IS NOT NULL AND CAST(p.__g AS VARCHAR) NOT IN ($list))",
+              s"count(*) FILTER (WHERE d.__desc IS NOT NULL AND p.__g IS NOT NULL)",
+              s"${c.table} s" +
+                s" LEFT JOIN (SELECT DISTINCT $dCol AS __desc FROM $aTb WHERE CAST($aCol AS VARCHAR) = '$anc') d ON s.$sc = d.__desc" +
+                s" LEFT JOIN (SELECT DISTINCT $parentPk AS __pk, ${c.parentField.get} AS __g FROM $parent) p ON s.${c.fkCol.get} = p.__pk")
           case "measurePersonCompleteness" =>
             val (parent, parentPk) = c.parent.get
             ("count(*) FILTER (WHERE c.__fk IS NULL)", "count(*)",

@@ -76,7 +76,7 @@ object OhdsiAchilles {
     DomainDef("procedure_occurrence", 600L, "procedure_concept_id", "procedure_date",
       typeCol = Some("procedure_type_concept_id")),
     DomainDef("drug_exposure", 700L, "drug_concept_id", "drug_exposure_start_date",
-      typeCol = Some("drug_type_concept_id")),
+      typeCol = Some("drug_type_concept_id"), endDate = Some("drug_exposure_end_date")),
     DomainDef("observation", 800L, "observation_concept_id", "observation_date",
       typeCol = Some("observation_type_concept_id")),
     DomainDef("drug_era", 900L, "drug_concept_id", "drug_era_start_date",
@@ -173,14 +173,38 @@ object OhdsiAchilles {
           Seq(CoreAnalysis(d.base + 6,
             s"Distribution of age at first $entity, by ${d.concept}", d.concept, isDist = true))
         else Nil) ++
-        // x07 / x20: occurrence tables only (the published era catalogs
-        // use the +7 slot for era-length distributions)
+        // x07 / x08 / x09 / x20: occurrence tables only (the published era
+        // catalogs use the +7 slot for era-length distributions). x09
+        // (end date before start date) exists only where the table carries
+        // an end date.
         (if (OccurrenceTables(d.table))
           Seq(
             CoreAnalysis(d.base + 7, s"Number of $entity records with invalid person_id"),
+            CoreAnalysis(d.base + 8,
+              s"Number of $entity records outside valid observation period"),
             CoreAnalysis(d.base + 20, s"Number of $entity records by $entity start month",
-              "calendar_month"))
+              "calendar_month")) ++
+            d.endDate.map(_ => CoreAnalysis(d.base + 9,
+              s"Number of $entity records with end date < start date")).toSeq
         else Nil)
+    } ++
+    // The cost domain (CDM 5.x unified `cost` table): fk-validity counts
+    // plus the paid-amount distributions by event concept, following the
+    // published Achilles 1500 (drug cost) / 1600 (procedure cost) id
+    // blocks (`achilles.py:465-505` runs whatever ids the details CSV
+    // carries; the CSV submodule is a stub in this checkout, so the
+    // public id-block convention is the source).
+    Seq(
+      CoreAnalysis(1500L, "Number of drug cost records with invalid drug exposure id"),
+      CoreAnalysis(1600L,
+        "Number of procedure cost records with invalid procedure occurrence id")) ++
+    Seq(("paid copay", 2L), ("paid coinsurance", 3L), ("paid toward deductible", 4L),
+        ("paid by payer", 5L), ("paid by patient", 6L), ("total paid", 7L)).flatMap {
+      case (nm, off) => Seq(
+        CoreAnalysis(1500L + off, s"Distribution of $nm, by drug_concept_id",
+          "drug_concept_id", isDist = true),
+        CoreAnalysis(1600L + off, s"Distribution of $nm, by procedure_concept_id",
+          "procedure_concept_id", isDist = true))
     }
 
   /** The populated `achilles_analysis` catalog table
@@ -209,7 +233,15 @@ object OhdsiAchilles {
     has(model, "person", "person_id") ||
       has(model, "observation_period", "person_id",
         "observation_period_start_date", "observation_period_end_date") ||
-      DomainSeries.exists(d => has(model, d.table, d.concept))
+      DomainSeries.exists(d => has(model, d.table, d.concept)) ||
+      has(model, "cost", "cost_domain_id", "cost_event_id")
+
+  /** The six CDM 5.x cost amount columns the 1502-1507/1602-1607 dist
+    * families read, ordered so `analysis id = block base + index + 2`.
+    */
+  val CostAmounts: Seq[String] = Seq(
+    "paid_patient_copay", "paid_patient_coinsurance", "paid_patient_deductible",
+    "paid_by_payer", "paid_by_patient", "total_paid")
 
   /** Whether the model carries any core DIST analysis's tables. */
   def supportsDist(model: CdmModel): Boolean =
@@ -217,7 +249,8 @@ object OhdsiAchilles {
       has(model, "observation_period", "person_id", "observation_period_start_date")) ||
       has(model, "observation_period", "person_id",
         "observation_period_start_date", "observation_period_end_date") ||
-      DomainSeries.exists(d => d.perPersonDist && has(model, d.table, d.concept, "person_id"))
+      DomainSeries.exists(d => d.perPersonDist && has(model, d.table, d.concept, "person_id")) ||
+      has(model, "cost", ("cost_domain_id" +: "cost_event_id" +: CostAmounts): _*)
 
   /** The literal-id core COUNT battery over a CDM model: every analysis in
     * [[Catalog]] whose tables/columns the model carries, as one
@@ -365,97 +398,154 @@ object OhdsiAchilles {
         ageBase.result()
       }
 
-    val domains: Seq[DataFrame] = DomainSeries.collect {
+    // Each domain table fuses into TWO grouping-sets passes (one scan +
+    // one exchange each) — every additional analysis rides an existing
+    // pass instead of adding a scan:
+    //   records pass  — x01 (concept), x05 (concept, type), x20 (month)
+    //                   under count(*), PLUS the per-record validity
+    //                   counts x07 (person exists) / x08 (covered by an
+    //                   observation period) / x09 (end before start) as
+    //                   conditional sums under the EMPTY grouping set;
+    //   persons pass  — x00 (concept), x02 (concept, month), and the
+    //                   four-strata Atlas drill-down x04 (concept, year,
+    //                   gender, age decile) under countDistinct(person).
+    // grouping_id() keys each output row back to its analysis id. The
+    // original standalone branches pre-filtered rows (null start dates,
+    // the x04 inner person join dropping orphans); the fused passes drop
+    // the corresponding OUTPUT groups instead (null month / null year /
+    // null gender), which is aggregate-equivalent because the filtered
+    // column is a group key. Periods aggregate to a small per-person
+    // array (bounded by CDM semantics), so the x08 cover test is an
+    // intra-row array scan and a record covered by two periods counts
+    // once; the person-flag / period-array / person-attribute joins all
+    // broadcast at report scale.
+    val hasAttrs = has(model, "person", "person_id", "year_of_birth", "gender_concept_id")
+    val domainParts: Seq[(Seq[DataFrame], Seq[DataFrame])] = DomainSeries.collect {
       case d if has(model, d.table, d.concept) && model.columns(d.table).contains("person_id") =>
-        // The per-table series fuses into TWO grouping-sets passes (one
-        // scan + one exchange each) instead of five scan+agg branches:
-        //   records pass  — x01 (concept), x05 (concept, type),
-        //                   x20 (month) under count(*);
-        //   persons pass  — x00 (concept), x02 (concept, month) under
-        //                   countDistinct(person_id).
-        // grouping_id() keys each output row back to its analysis id. The
-        // original x02/x20 branches pre-filtered null start dates; the
-        // fused pass drops the null-month OUTPUT rows instead, which is
-        // aggregate-equivalent. x07 (anti-join) stays its own branch.
         val df = load(d.table)
         val hasStart = has(model, d.table, d.startDate)
         val typeOpt = d.typeCol.filter(tc => has(model, d.table, tc))
-        val base = df.select(
+        val nullS = lit(null).cast("string")
+
+        // ---- records + validity pass ----
+        val wantX07 = OccurrenceTables(d.table) && has(model, "person", "person_id")
+        val wantX08 = OccurrenceTables(d.table) && hasStart &&
+          has(model, "observation_period", "person_id",
+            "observation_period_start_date", "observation_period_end_date")
+        val endOpt = d.endDate.filter(e =>
+          OccurrenceTables(d.table) && has(model, d.table, e, d.startDate))
+        var enriched = df
+        if (wantX07)
+          enriched = enriched.join(
+            load("person").select(col("person_id"), lit(1).as("__hasp")),
+            Seq("person_id"), "left")
+        if (wantX08)
+          enriched = enriched.join(
+            load("observation_period").groupBy(col("person_id"))
+              .agg(collect_list(struct(
+                col("observation_period_start_date").as("s"),
+                col("observation_period_end_date").as("e"))).as("__ops")),
+            Seq("person_id"), "left")
+        val checks = Seq.newBuilder[(Long, org.apache.spark.sql.Column)]
+        if (wantX07) checks += ((d.base + 7, col("__hasp").isNull))
+        if (wantX08) checks += ((d.base + 8, col("__ops").isNull ||
+          !exists(col("__ops"), o => col(d.startDate) >= o.getField("s") &&
+            col(d.startDate) <= o.getField("e"))))
+        endOpt.foreach(e => checks += ((d.base + 9, col(e) < col(d.startDate))))
+        val cs = checks.result()
+        val recBase = enriched.select(Seq(
           col(d.concept).cast("string").as("__c"),
-          (if (hasStart) date_format(col(d.startDate), "yyyyMM")
-          else lit(null).cast("string")).as("__m"),
-          typeOpt.map(tc => col(tc).cast("string"))
-            .getOrElse(lit(null).cast("string")).as("__t"),
-          col("person_id").as("__p"))
-        // gid bits over (c, m, t): set (c) -> 3, (c, t) -> 2, (m) -> 5
+          (if (hasStart) date_format(col(d.startDate), "yyyyMM") else nullS).as("__m"),
+          typeOpt.map(tc => col(tc).cast("string")).getOrElse(nullS).as("__t")) ++
+          cs.zipWithIndex.map { case ((_, p), i) => p.as(s"__v$i") }: _*)
+        // gid bits over (c, m, t): set (c) -> 3, (c, t) -> 2, (m) -> 5,
+        // () -> 7 (the validity row)
         val recordSets = Seq(Seq(col("__c"))) ++
           typeOpt.map(_ => Seq(col("__c"), col("__t"))).toSeq ++
-          (if (hasStart && OccurrenceTables(d.table)) Seq(Seq(col("__m"))) else Nil)
-        val records = base
+          (if (hasStart && OccurrenceTables(d.table)) Seq(Seq(col("__m"))) else Nil) ++
+          (if (cs.nonEmpty) Seq(Seq.empty[org.apache.spark.sql.Column]) else Nil)
+        val recAggs = count(lit(1)).as("count_value") +: grouping_id().as("__gid") +:
+          cs.zipWithIndex.map { case (_, i) =>
+            sum(when(col(s"__v$i"), 1L).otherwise(0L)).as(s"__s$i") }
+        val recAgg = recBase
           .groupingSets(recordSets, col("__c"), col("__m"), col("__t"))
-          .agg(count(lit(1)).as("count_value"), grouping_id().as("__gid"))
+          .agg(recAggs.head, recAggs.tail: _*)
           .filter(!(col("__gid") === 5 && col("__m").isNull))
-          .select(
-            when(col("__gid") === 3, lit(d.base + 1))
-              .when(col("__gid") === 2, lit(d.base + 5))
-              .otherwise(lit(d.base + 20)).as("analysis_id"),
-            when(col("__gid") === 5, col("__m")).otherwise(col("__c")).as("stratum_1"),
-            when(col("__gid") === 2, col("__t"))
-              .otherwise(lit(null).cast("string")).as("stratum_2"),
-            col("count_value"))
-        // gid bits over (c, m): set (c) -> 1, (c, m) -> 0
-        val personSets = Seq(Seq(col("__c"))) ++
-          (if (hasStart) Seq(Seq(col("__c"), col("__m"))) else Nil)
-        val persons = base
-          .groupingSets(personSets, col("__c"), col("__m"))
-          .agg(countDistinct(col("__p")).as("count_value"), grouping_id().as("__gid"))
-          .filter(!(col("__gid") === 0 && col("__m").isNull))
-          .select(
-            when(col("__gid") === 1, lit(d.base)).otherwise(lit(d.base + 2)).as("analysis_id"),
-            col("__c").as("stratum_1"),
-            when(col("__gid") === 0, col("__m"))
-              .otherwise(lit(null).cast("string")).as("stratum_2"),
-            col("count_value"))
-        // x07: records whose person_id resolves to no person row — a
-        // left-anti join on the (usually broadcastable) person keys
-        val invalid =
-          if (!OccurrenceTables(d.table) || !has(model, "person", "person_id")) Nil
-          else Seq(df
-            .join(load("person").select(col("person_id")), Seq("person_id"), "left_anti")
-            .agg(count(lit(1)).as("count_value"))
-            .select(lit(d.base + 7).as("analysis_id"), lit("ALL").as("stratum_1"), noS2,
-              col("count_value")))
-        Seq(records, persons) ++ invalid
-      case d if has(model, d.table, d.concept) =>
-        Seq(row(d.base + 1, col(d.concept), load(d.table), count(lit(1))))
-    }.flatten
+        val recRow = struct(
+          when(col("__gid") === 3, lit(d.base + 1))
+            .when(col("__gid") === 2, lit(d.base + 5))
+            .otherwise(lit(d.base + 20)).as("analysis_id"),
+          when(col("__gid") === 5, col("__m")).otherwise(col("__c")).as("stratum_1"),
+          when(col("__gid") === 2, col("__t")).otherwise(nullS).as("stratum_2"),
+          col("count_value").as("count_value"))
+        val records =
+          if (cs.isEmpty)
+            recAgg.select(col("__gid"), recRow.as("__r"))
+              .select(col("__r.analysis_id").as("analysis_id"),
+                col("__r.stratum_1").as("stratum_1"),
+                col("__r.stratum_2").as("stratum_2"),
+                col("__r.count_value").as("count_value"))
+          else {
+            val valStructs = cs.zipWithIndex.map { case ((id, _), i) =>
+              struct(lit(id).as("analysis_id"), lit("ALL").as("stratum_1"),
+                nullS.as("stratum_2"), col(s"__s$i").as("count_value")) }
+            recAgg.select(explode(
+                when(col("__gid") === 7, array(valStructs: _*))
+                  .otherwise(array(recRow))).as("__r"))
+              .select(col("__r.analysis_id").as("analysis_id"),
+                col("__r.stratum_1").as("stratum_1"),
+                col("__r.stratum_2").as("stratum_2"),
+                col("__r.count_value").as("count_value"))
+          }
 
-    // x04: the four-strata Atlas drill-down (204, 404, ..., published
-    // strata order: concept, calendar year, gender, age decile) — one
-    // countDistinct per domain with the person attributes joined in
-    val x04: Seq[DataFrame] =
-      if (!has(model, "person", "person_id", "year_of_birth", "gender_concept_id")) Nil
-      else {
-        val pyg = load("person").select(
-          col("person_id"), col("year_of_birth"), col("gender_concept_id"))
-        DomainSeries.collect {
-          case d if d.table != "death" &&
-              has(model, d.table, d.concept, d.startDate) &&
-              model.columns(d.table).contains("person_id") =>
-            load(d.table)
-              .filter(col(d.startDate).isNotNull)
-              .join(pyg, "person_id")
-              .groupBy(
-                col(d.concept).cast("string").as("stratum_1"),
-                year(col(d.startDate)).cast("string").as("stratum_2"),
-                col("gender_concept_id").cast("string").as("stratum_3"),
-                floor((year(col(d.startDate)) - col("year_of_birth")) / 10)
-                  .cast("string").as("stratum_4"))
-              .agg(countDistinct(col("person_id")).as("count_value"))
-              .select(lit(d.base + 4).as("analysis_id"), col("stratum_1"),
-                col("stratum_2"), col("stratum_3"), col("stratum_4"), col("count_value"))
-        }
-      }
+        // ---- persons (+ x04 drill-down) pass ----
+        val wantX04 = hasAttrs && d.table != "death" && hasStart
+        val pIn =
+          if (wantX04) df.join(load("person").select(
+            col("person_id"), col("year_of_birth"), col("gender_concept_id")),
+            Seq("person_id"), "left")
+          else df
+        val pBase = pIn.select(
+          col(d.concept).cast("string").as("__c"),
+          (if (hasStart) date_format(col(d.startDate), "yyyyMM") else nullS).as("__m"),
+          (if (wantX04) year(col(d.startDate)).cast("string") else nullS).as("__y"),
+          (if (wantX04) col("gender_concept_id").cast("string") else nullS).as("__g2"),
+          (if (wantX04) floor((year(col(d.startDate)) - col("year_of_birth")) / 10)
+            .cast("string") else nullS).as("__dec"),
+          col("person_id").as("__p"))
+        // gid bits over (c, m, y, g2, dec): set (c) -> 15, (c, m) -> 7,
+        // (c, y, g2, dec) -> 8
+        val personSets = Seq(Seq(col("__c"))) ++
+          (if (hasStart) Seq(Seq(col("__c"), col("__m"))) else Nil) ++
+          (if (wantX04)
+            Seq(Seq(col("__c"), col("__y"), col("__g2"), col("__dec"))) else Nil)
+        val persons = pBase
+          .groupingSets(personSets,
+            col("__c"), col("__m"), col("__y"), col("__g2"), col("__dec"))
+          .agg(countDistinct(col("__p")).as("count_value"), grouping_id().as("__gid"))
+          .filter(!(col("__gid") === 7 && col("__m").isNull))
+          // the x04 inner-join equivalence: orphan records (no person row)
+          // have null gender, rows with null start have null year — both
+          // were dropped pre-agg in the unfused formulation and both are
+          // group keys here, so dropping the output groups is identical
+          .filter(!(col("__gid") === 8 && (col("__y").isNull || col("__g2").isNull)))
+          .select(
+            when(col("__gid") === 15, lit(d.base))
+              .when(col("__gid") === 7, lit(d.base + 2))
+              .otherwise(lit(d.base + 4)).as("analysis_id"),
+            col("__c").as("stratum_1"),
+            when(col("__gid") === 7, col("__m"))
+              .when(col("__gid") === 8, col("__y")).otherwise(nullS).as("stratum_2"),
+            when(col("__gid") === 8, col("__g2")).otherwise(nullS).as("stratum_3"),
+            when(col("__gid") === 8, col("__dec")).otherwise(nullS).as("stratum_4"),
+            col("count_value"))
+        (Seq(records), Seq(persons))
+      case d if has(model, d.table, d.concept) =>
+        (Seq(row(d.base + 1, col(d.concept), load(d.table), count(lit(1)))),
+          Seq.empty[DataFrame])
+    }
+    val domains: Seq[DataFrame] = domainParts.flatMap(_._1)
+    val domainsWide: Seq[DataFrame] = domainParts.flatMap(_._2)
 
     // 116: persons with at least one observed day in each YEAR, by gender
     // and age decile — the three-strata sibling of 117 (yearly explode,
@@ -477,13 +567,33 @@ object OhdsiAchilles {
           .select(lit(116L).as("analysis_id"), col("stratum_1"), col("stratum_2"),
             col("stratum_3"), lit(null).cast("string").as("stratum_4"), col("count_value")))
 
+    // 1500/1600: cost rows whose event id resolves to no row of the
+    // domain's event table (the fk-validity counts of the published cost
+    // id blocks) — one left-anti join per domain on the event key
+    val costCounts: Seq[DataFrame] =
+      if (!has(model, "cost", "cost_domain_id", "cost_event_id")) Nil
+      else {
+        val c = load("cost")
+        Seq(("Drug", "drug_exposure", "drug_exposure_id", 1500L),
+            ("Procedure", "procedure_occurrence", "procedure_occurrence_id", 1600L))
+          .collect {
+            case (dom, tb, idc, aid) if has(model, tb, idc) =>
+              c.filter(col("cost_domain_id") === dom)
+                .join(load(tb).select(col(idc).as("cost_event_id")),
+                  Seq("cost_event_id"), "left_anti")
+                .agg(count(lit(1)).as("count_value"))
+                .select(lit(aid).as("analysis_id"), lit("ALL").as("stratum_1"), noS2,
+                  col("count_value"))
+          }
+      }
+
     val noS34 = Seq(lit(null).cast("string").as("stratum_3"),
       lit(null).cast("string").as("stratum_4"))
-    val narrow = ((person.toSeq ++ obsPeriod.toSeq).flatten ++ domains)
+    val narrow = ((person.toSeq ++ obsPeriod.toSeq).flatten ++ domains ++ costCounts)
       .pipe(graft.Unions.balanced)
       .select(Seq(col("analysis_id"), col("stratum_1"), col("stratum_2")) ++ noS34 :+
         col("count_value"): _*)
-    (narrow +: (wide116 ++ x04)).reduce(_ unionByName _)
+    (narrow +: (wide116 ++ domainsWide)).reduce(_ unionByName _)
       .filter(col("count_value") > smallCellCount || col("analysis_id") === 0L)
       .orderBy("analysis_id", "stratum_1", "stratum_2", "stratum_3", "stratum_4")
   }
@@ -629,6 +739,30 @@ object OhdsiAchilles {
         .select(col("measurement_concept_id"), col("unit_concept_id"),
           col("value_as_number").cast("double").as("__v"))
       parts += stratHist2(vals, 1815L, col("measurement_concept_id"), col("unit_concept_id"))
+    }
+    // 1502-1507 / 1602-1607: cost amount distributions by event concept —
+    // one equi-join per domain (cost -> event table on the event id), the
+    // six amount fields unpivoted in a single posexplode pass so the join
+    // evaluates once (analysis id = block base + field index + 2)
+    if (has(model, "cost", ("cost_domain_id" +: "cost_event_id" +: CostAmounts): _*)) {
+      val c = load("cost")
+      Seq(("Drug", "drug_exposure", "drug_exposure_id", "drug_concept_id", 1500L),
+          ("Procedure", "procedure_occurrence", "procedure_occurrence_id",
+            "procedure_concept_id", 1600L)).foreach {
+        case (dom, tb, idc, cc, base) if has(model, tb, idc, cc) =>
+          val joined = c.filter(col("cost_domain_id") === dom)
+            .join(load(tb).select(col(idc).as("cost_event_id"), col(cc).as("__cc")),
+              "cost_event_id")
+          parts += joined
+            .select(col("__cc").cast("string").as("stratum_1"),
+              posexplode(array(CostAmounts.map(f => col(f).cast("double")): _*))
+                .as(Seq("__i", "__v")))
+            .groupBy((lit(base) + col("__i").cast("long") + lit(2L)).as("analysis_id"),
+              col("stratum_1"), col("__v"))
+            .agg(count(lit(1)).as("__cnt"))
+            .withColumn("stratum_2", noS2)
+        case _ => ()
+      }
     }
     val hists = parts.result()
     require(hists.nonEmpty, "model carries none of the core dist analyses")

@@ -600,6 +600,8 @@ object EventQueries {
         |  (204, 'Number of persons with at least one visit occurrence, by visit_concept_id by calendar year by gender by age decile', 'visit_concept_id', 'calendar_year', 'gender_concept_id', 'age_decile', 0),
         |  (206, 'Distribution of age at first visit occurrence, by visit_concept_id', 'visit_concept_id', NULL, NULL, NULL, 1),
         |  (207, 'Number of visit occurrence records with invalid person_id', NULL, NULL, NULL, NULL, 0),
+        |  (208, 'Number of visit occurrence records outside valid observation period', NULL, NULL, NULL, NULL, 0),
+        |  (209, 'Number of visit occurrence records with end date < start date', NULL, NULL, NULL, NULL, 0),
         |  (211, 'Distribution of length of stay, by visit_concept_id', 'visit_concept_id', NULL, NULL, NULL, 1),
         |  (220, 'Number of visit occurrence records by visit occurrence start month', 'calendar_month', NULL, NULL, NULL, 0),
         |  (400, 'Number of persons with at least one condition occurrence, by condition_concept_id', 'condition_concept_id', NULL, NULL, NULL, 0),
@@ -610,6 +612,7 @@ object EventQueries {
         |  (405, 'Number of condition occurrence records, by condition_concept_id by condition_type_concept_id', 'condition_concept_id', 'condition_type_concept_id', NULL, NULL, 0),
         |  (406, 'Distribution of age at first condition occurrence, by condition_concept_id', 'condition_concept_id', NULL, NULL, NULL, 1),
         |  (407, 'Number of condition occurrence records with invalid person_id', NULL, NULL, NULL, NULL, 0),
+        |  (408, 'Number of condition occurrence records outside valid observation period', NULL, NULL, NULL, NULL, 0),
         |  (420, 'Number of condition occurrence records by condition occurrence start month', 'calendar_month', NULL, NULL, NULL, 0),
         |  (500, 'Number of persons with at least one death, by cause_concept_id', 'cause_concept_id', NULL, NULL, NULL, 0),
         |  (501, 'Number of death records, by cause_concept_id', 'cause_concept_id', NULL, NULL, NULL, 0),
@@ -623,6 +626,7 @@ object EventQueries {
         |  (605, 'Number of procedure occurrence records, by procedure_concept_id by procedure_type_concept_id', 'procedure_concept_id', 'procedure_type_concept_id', NULL, NULL, 0),
         |  (606, 'Distribution of age at first procedure occurrence, by procedure_concept_id', 'procedure_concept_id', NULL, NULL, NULL, 1),
         |  (607, 'Number of procedure occurrence records with invalid person_id', NULL, NULL, NULL, NULL, 0),
+        |  (608, 'Number of procedure occurrence records outside valid observation period', NULL, NULL, NULL, NULL, 0),
         |  (620, 'Number of procedure occurrence records by procedure occurrence start month', 'calendar_month', NULL, NULL, NULL, 0),
         |  (700, 'Number of persons with at least one drug exposure, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 0),
         |  (701, 'Number of drug exposure records, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 0),
@@ -632,6 +636,8 @@ object EventQueries {
         |  (705, 'Number of drug exposure records, by drug_concept_id by drug_type_concept_id', 'drug_concept_id', 'drug_type_concept_id', NULL, NULL, 0),
         |  (706, 'Distribution of age at first drug exposure, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 1),
         |  (707, 'Number of drug exposure records with invalid person_id', NULL, NULL, NULL, NULL, 0),
+        |  (708, 'Number of drug exposure records outside valid observation period', NULL, NULL, NULL, NULL, 0),
+        |  (709, 'Number of drug exposure records with end date < start date', NULL, NULL, NULL, NULL, 0),
         |  (720, 'Number of drug exposure records by drug exposure start month', 'calendar_month', NULL, NULL, NULL, 0),
         |  (800, 'Number of persons with at least one observation, by observation_concept_id', 'observation_concept_id', NULL, NULL, NULL, 0),
         |  (801, 'Number of observation records, by observation_concept_id', 'observation_concept_id', NULL, NULL, NULL, 0),
@@ -641,6 +647,7 @@ object EventQueries {
         |  (805, 'Number of observation records, by observation_concept_id by observation_type_concept_id', 'observation_concept_id', 'observation_type_concept_id', NULL, NULL, 0),
         |  (806, 'Distribution of age at first observation, by observation_concept_id', 'observation_concept_id', NULL, NULL, NULL, 1),
         |  (807, 'Number of observation records with invalid person_id', NULL, NULL, NULL, NULL, 0),
+        |  (808, 'Number of observation records outside valid observation period', NULL, NULL, NULL, NULL, 0),
         |  (820, 'Number of observation records by observation start month', 'calendar_month', NULL, NULL, NULL, 0),
         |  (900, 'Number of persons with at least one drug era, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 0),
         |  (901, 'Number of drug era records, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 0),
@@ -656,6 +663,20 @@ object EventQueries {
         |  (1004, 'Number of persons with at least one condition era, by condition_concept_id by calendar year by gender by age decile', 'condition_concept_id', 'calendar_year', 'gender_concept_id', 'age_decile', 0),
         |  (1006, 'Distribution of age at first condition era, by condition_concept_id', 'condition_concept_id', NULL, NULL, NULL, 1),
         |  (1007, 'Distribution of condition era length, by condition_concept_id', 'condition_concept_id', NULL, NULL, NULL, 1),
+        |  (1500, 'Number of drug cost records with invalid drug exposure id', NULL, NULL, NULL, NULL, 0),
+        |  (1502, 'Distribution of paid copay, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 1),
+        |  (1503, 'Distribution of paid coinsurance, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 1),
+        |  (1504, 'Distribution of paid toward deductible, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 1),
+        |  (1505, 'Distribution of paid by payer, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 1),
+        |  (1506, 'Distribution of paid by patient, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 1),
+        |  (1507, 'Distribution of total paid, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 1),
+        |  (1600, 'Number of procedure cost records with invalid procedure occurrence id', NULL, NULL, NULL, NULL, 0),
+        |  (1602, 'Distribution of paid copay, by procedure_concept_id', 'procedure_concept_id', NULL, NULL, NULL, 1),
+        |  (1603, 'Distribution of paid coinsurance, by procedure_concept_id', 'procedure_concept_id', NULL, NULL, NULL, 1),
+        |  (1604, 'Distribution of paid toward deductible, by procedure_concept_id', 'procedure_concept_id', NULL, NULL, NULL, 1),
+        |  (1605, 'Distribution of paid by payer, by procedure_concept_id', 'procedure_concept_id', NULL, NULL, NULL, 1),
+        |  (1606, 'Distribution of paid by patient, by procedure_concept_id', 'procedure_concept_id', NULL, NULL, NULL, 1),
+        |  (1607, 'Distribution of total paid, by procedure_concept_id', 'procedure_concept_id', NULL, NULL, NULL, 1),
         |  (1800, 'Number of persons with at least one measurement, by measurement_concept_id', 'measurement_concept_id', NULL, NULL, NULL, 0),
         |  (1801, 'Number of measurement records, by measurement_concept_id', 'measurement_concept_id', NULL, NULL, NULL, 0),
         |  (1802, 'Number of persons by measurement start month, by measurement_concept_id', 'measurement_concept_id', 'calendar_month', NULL, NULL, 0),
@@ -664,6 +685,7 @@ object EventQueries {
         |  (1805, 'Number of measurement records, by measurement_concept_id by measurement_type_concept_id', 'measurement_concept_id', 'measurement_type_concept_id', NULL, NULL, 0),
         |  (1806, 'Distribution of age at first measurement, by measurement_concept_id', 'measurement_concept_id', NULL, NULL, NULL, 1),
         |  (1807, 'Number of measurement records with invalid person_id', NULL, NULL, NULL, NULL, 0),
+        |  (1808, 'Number of measurement records outside valid observation period', NULL, NULL, NULL, NULL, 0),
         |  (1815, 'Distribution of numeric values, by measurement_concept_id and unit_concept_id', 'measurement_concept_id', 'unit_concept_id', NULL, NULL, 1),
         |  (1820, 'Number of measurement records by measurement start month', 'calendar_month', NULL, NULL, NULL, 0),
         |  (2100, 'Number of persons with at least one device exposure, by device_concept_id', 'device_concept_id', NULL, NULL, NULL, 0),
@@ -674,6 +696,7 @@ object EventQueries {
         |  (2105, 'Number of device exposure records, by device_concept_id by device_type_concept_id', 'device_concept_id', 'device_type_concept_id', NULL, NULL, 0),
         |  (2106, 'Distribution of age at first device exposure, by device_concept_id', 'device_concept_id', NULL, NULL, NULL, 1),
         |  (2107, 'Number of device exposure records with invalid person_id', NULL, NULL, NULL, NULL, 0),
+        |  (2108, 'Number of device exposure records outside valid observation period', NULL, NULL, NULL, NULL, 0),
         |  (2120, 'Number of device exposure records by device exposure start month', 'calendar_month', NULL, NULL, NULL, 0)
         |) AS t(analysis_id, analysis_name, stratum_1_name, stratum_2_name,
         |       stratum_3_name, stratum_4_name, distribution)

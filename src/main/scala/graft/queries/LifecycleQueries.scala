@@ -195,6 +195,18 @@ object LifecycleQueries {
     Dqd.GenderRule("events", "event_type", "signup", "user_id", "c_mktsegment",
       Seq("AUTOMOBILE", "BUILDING")))
 
+  /** plausibleGenderUseDescendants over the test universe — `part` plays
+    * the CONCEPT_ANCESTOR closure (brand -> its parts = the "subtree"):
+    * lineitems of parts descending from Brand#13 are "expected" on
+    * urgent/high/medium orders only (~40% violated on uniform priorities,
+    * 50% tolerance -> PASS with violations — vs the hard-zero path the
+    * plain plausibleGender signup rule exercises).
+    */
+  private val dqdGenderDesc = Seq(
+    Dqd.GenderDescRule("lineitem", "l_partkey", "part", "p_brand", "p_partkey",
+      "Brand#13", "l_orderkey", "o_orderpriority",
+      Seq("1-URGENT", "2-HIGH", "3-MEDIUM")))
+
   /** fkDomain value lists for the test universe — the analogue of DQD's
     * fkDomain column. o_orderpriority's configured domain deliberately
     * omits '5-LOW' so the violation path is exercised on real data.
@@ -255,7 +267,8 @@ object LifecycleQueries {
     ("standardConceptRecordCompleteness", "lineitem", "l_tax") -> 15.0,
     ("sourceValueCompleteness", "lineitem", "l_returnflag") -> 100.0,
     ("sourceValueCompleteness", "events", "event_type") -> 100.0,
-    ("plausibleGender", "events", "event_type") -> 75.0)
+    ("plausibleGender", "events", "event_type") -> 75.0,
+    ("plausibleGenderUseDescendants", "lineitem", "l_partkey") -> 50.0)
 
   /** The full TPC-H-universe rule configuration — every DQD family
     * instantiated over real data.
@@ -273,6 +286,7 @@ object LifecycleQueries {
     sourceValues = dqdSourceValues,
     siblings = dqdSiblings,
     genders = dqdGenders,
+    genderDesc = dqdGenderDesc,
     units = dqdUnits)
 
   /** The CDM 5.4 rule configuration: every derivable family instantiated

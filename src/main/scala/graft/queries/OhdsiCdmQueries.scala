@@ -65,15 +65,25 @@ object OhdsiCdmQueries {
     f("measurement", "measurement_type_concept_id", "int64"),
     f("measurement", "value_as_number", "float64"),
     f("measurement", "unit_concept_id", "int64"),
+    f("procedure_occurrence", "procedure_occurrence_id", "int64", pk = true),
     f("procedure_occurrence", "person_id", "int64"),
     f("procedure_occurrence", "procedure_concept_id", "int64"),
     f("procedure_occurrence", "procedure_date", "date"),
     f("procedure_occurrence", "procedure_type_concept_id", "int64"),
+    f("drug_exposure", "drug_exposure_id", "int64", pk = true),
     f("drug_exposure", "person_id", "int64"),
     f("drug_exposure", "drug_concept_id", "int64"),
     f("drug_exposure", "drug_exposure_start_date", "date"),
     f("drug_exposure", "drug_exposure_end_date", "date"),
     f("drug_exposure", "drug_type_concept_id", "int64"),
+    f("cost", "cost_event_id", "int64"),
+    f("cost", "cost_domain_id", "string"),
+    f("cost", "paid_patient_copay", "float64"),
+    f("cost", "paid_patient_coinsurance", "float64"),
+    f("cost", "paid_patient_deductible", "float64"),
+    f("cost", "paid_by_payer", "float64"),
+    f("cost", "paid_by_patient", "float64"),
+    f("cost", "total_paid", "float64"),
     f("observation", "person_id", "int64"),
     f("observation", "observation_concept_id", "int64"),
     f("observation", "observation_date", "date"),
@@ -127,8 +137,12 @@ object OhdsiCdmQueries {
           .when(col("o_orderstatus") === "F", 9202L)
           .otherwise(9203L).as("visit_concept_id"),
         to_date(col("o_orderdate")).as("visit_start_date"),
-        date_add(to_date(col("o_orderdate")),
-          (col("o_orderkey") % 5).cast("int")).as("visit_end_date"))
+        // every ~101st visit ends BEFORE it starts, so the 209
+        // end-before-start sanity analysis counts real rows
+        when(col("o_orderkey") % 101 === 0,
+          date_sub(to_date(col("o_orderdate")), 2))
+          .otherwise(date_add(to_date(col("o_orderdate")),
+            (col("o_orderkey") % 5).cast("int"))).as("visit_end_date"))
     case "death" =>
       // one death per 11th person with orders: date anchored a few days
       // past the person's last order, cause from the SNOMED condition set
@@ -182,6 +196,7 @@ object OhdsiCdmQueries {
       t(s, d, "lineitem")
         .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
         .select(
+          (col("l_orderkey") * 8 + col("l_linenumber")).as("procedure_occurrence_id"),
           when(col("l_partkey") % 83 === 0, col("o_custkey") + 100000000L)
             .otherwise(col("o_custkey")).as("person_id"),
           when(col("l_linenumber") % 4 === 0, 2213572L)
@@ -200,6 +215,7 @@ object OhdsiCdmQueries {
       t(s, d, "lineitem")
         .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
         .select(
+          (col("l_orderkey") * 8 + col("l_linenumber")).as("drug_exposure_id"),
           when(col("l_partkey") % 89 === 0, col("o_custkey") + 100000000L)
             .otherwise(col("o_custkey")).as("person_id"),
           when(col("l_suppkey") % 5 === 0, 1125315L)
@@ -243,6 +259,28 @@ object OhdsiCdmQueries {
             (col("l_suppkey") % 19).cast("int")).as("device_exposure_start_date"),
           when(col("l_partkey") % 2 === 0, 32817L).otherwise(32810L)
             .as("device_type_concept_id"))
+    case "cost" =>
+      // the CDM 5.x unified cost table: one row per order line, alternating
+      // Drug / Procedure domains, event id keyed by the same
+      // orderkey*8+linenumber formula as the event tables' PKs. Every
+      // ~61st row orphans its event id (the 1500/1600 fk-validity counts).
+      // Amounts are FLOOR-integral doubles, so the dist moments replay
+      // exactly in both engines (same contract as measurement values).
+      t(s, d, "lineitem")
+        .select(
+          when(col("l_linenumber") % 2 === 0, lit("Drug")).otherwise(lit("Procedure"))
+            .as("cost_domain_id"),
+          when((col("l_orderkey") + col("l_linenumber")) % 61 === 0,
+            col("l_orderkey") * 8 + col("l_linenumber") + 900000000L)
+            .otherwise(col("l_orderkey") * 8 + col("l_linenumber")).as("cost_event_id"),
+          floor(col("l_extendedprice") / 100).cast("double").as("paid_patient_copay"),
+          floor(col("l_extendedprice") / 50).cast("double").as("paid_patient_coinsurance"),
+          floor(col("l_extendedprice") / 20).cast("double").as("paid_patient_deductible"),
+          floor(col("l_extendedprice") / 2).cast("double").as("paid_by_payer"))
+        .withColumn("paid_by_patient",
+          col("paid_patient_copay") + col("paid_patient_coinsurance") +
+            col("paid_patient_deductible"))
+        .withColumn("total_paid", col("paid_by_payer") + col("paid_by_patient"))
     case "drug_era" =>
       // the published OHDSI era derivation: collapse same-(person, drug)
       // exposures within the 30-day persistence window (EraOps
@@ -337,9 +375,27 @@ object OhdsiCdmQueries {
       params = Map("min_year" -> "1996"))
   }
 
+  /** The Achilles benchmark rows (`achilles.py:465-505`,
+    * `_get_benchmark_offset` / `_render_benchmark_selects`): for every
+    * analysis the batteries execute, the reference unions one bookkeeping
+    * row `(2e6 + analysis_id, run_time AS stratum_1,
+    * small_cell_count + 1 AS count_value)` into the results. The derived
+    * model fires EVERY catalog entry, so the executed set is the catalog
+    * itself. Wall-clock run times are inherently nondeterministic, so a
+    * hash-gated harness pins stratum_1 to NULL — the id convention and the
+    * sentinel count are the replayable contract.
+    */
+  val ohdsiBenchmarkRows: Q = (s, _) =>
+    graft.operators.OhdsiAchilles.analysisCatalog(s)
+      .select((col("analysis_id") + 2000000L).as("analysis_id"),
+        lit(null).cast("string").as("stratum_1"),
+        lit(6L).as("count_value"))
+      .orderBy("analysis_id")
+
   val defs: Seq[(String, Q)] = Seq(
     "ohdsi_core_counts" -> ohdsiCoreCounts,
     "ohdsi_core_dist" -> ohdsiCoreDist,
+    "ohdsi_benchmark_rows" -> ohdsiBenchmarkRows,
     "ohdsi_sql_topn" -> ohdsiSqlTopn,
     "ohdsi_sql_tempflow" -> ohdsiSqlTempflow)
 
@@ -366,7 +422,9 @@ object OhdsiCdmQueries {
       |    CASE o_orderstatus WHEN 'O' THEN 9201 WHEN 'F' THEN 9202 ELSE 9203 END
       |      AS visit_concept_id,
       |    CAST(o_orderdate AS DATE) AS visit_start_date,
-      |    CAST(o_orderdate AS DATE) + CAST(o_orderkey % 5 AS INT) AS visit_end_date
+      |    CASE WHEN o_orderkey % 101 = 0 THEN CAST(o_orderdate AS DATE) - 2
+      |      ELSE CAST(o_orderdate AS DATE) + CAST(o_orderkey % 5 AS INT) END
+      |      AS visit_end_date
       |  FROM orders
       |), death AS (
       |  SELECT person_id,
@@ -396,7 +454,8 @@ object OhdsiCdmQueries {
       |      ELSE 32020 END AS condition_type_concept_id
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |), proc AS (
-      |  SELECT CASE WHEN l_partkey % 83 = 0 THEN o_custkey + 100000000
+      |  SELECT l_orderkey * 8 + l_linenumber AS procedure_occurrence_id,
+      |    CASE WHEN l_partkey % 83 = 0 THEN o_custkey + 100000000
       |      ELSE o_custkey END AS person_id,
       |    CASE CAST(l_linenumber % 4 AS INT)
       |      WHEN 0 THEN 2213572 WHEN 1 THEN 2211483 WHEN 2 THEN 2212618
@@ -407,7 +466,8 @@ object OhdsiCdmQueries {
       |      AS procedure_type_concept_id
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |), drug AS (
-      |  SELECT CASE WHEN l_partkey % 89 = 0 THEN o_custkey + 100000000
+      |  SELECT l_orderkey * 8 + l_linenumber AS drug_exposure_id,
+      |    CASE WHEN l_partkey % 89 = 0 THEN o_custkey + 100000000
       |      ELSE o_custkey END AS person_id,
       |    CASE CAST(l_suppkey % 5 AS INT)
       |      WHEN 0 THEN 1125315 WHEN 1 THEN 1503297 WHEN 2 THEN 1308216
@@ -475,6 +535,21 @@ object OhdsiCdmQueries {
       |), cond_era AS (
       |  SELECT person_id, condition_concept_id, min(cs) AS ces, max(cs) AS cee
       |  FROM ce_isl GROUP BY person_id, condition_concept_id, era
+      |), cost AS (
+      |  SELECT CASE WHEN l_linenumber % 2 = 0 THEN 'Drug' ELSE 'Procedure' END
+      |      AS cost_domain_id,
+      |    CASE WHEN (l_orderkey + l_linenumber) % 61 = 0
+      |      THEN l_orderkey * 8 + l_linenumber + 900000000
+      |      ELSE l_orderkey * 8 + l_linenumber END AS cost_event_id,
+      |    floor(l_extendedprice / 100) AS paid_patient_copay,
+      |    floor(l_extendedprice / 50) AS paid_patient_coinsurance,
+      |    floor(l_extendedprice / 20) AS paid_patient_deductible,
+      |    floor(l_extendedprice / 2) AS paid_by_payer,
+      |    floor(l_extendedprice / 100) + floor(l_extendedprice / 50)
+      |      + floor(l_extendedprice / 20) AS paid_by_patient,
+      |    floor(l_extendedprice / 2) + floor(l_extendedprice / 100)
+      |      + floor(l_extendedprice / 50) + floor(l_extendedprice / 20) AS total_paid
+      |  FROM lineitem
       |), first_obs AS (
       |  -- one period per person in this universe, so the "first period"
       |  -- of analyses 101-108 is the period itself
@@ -723,6 +798,48 @@ object OhdsiCdmQueries {
       |  SELECT 1002, CAST(condition_concept_id AS VARCHAR),
       |    strftime(ces, '%Y%m'), count(DISTINCT person_id)
       |  FROM cond_era GROUP BY 2, 3
+      |  UNION ALL
+      |  SELECT 208, 'ALL', NULL, count(*) FROM visit v
+      |  WHERE NOT EXISTS (SELECT 1 FROM obs o WHERE o.person_id = v.person_id
+      |    AND v.visit_start_date >= o.op_start AND v.visit_start_date <= o.op_end)
+      |  UNION ALL
+      |  SELECT 408, 'ALL', NULL, count(*) FROM cond c
+      |  WHERE NOT EXISTS (SELECT 1 FROM obs o WHERE o.person_id = c.person_id
+      |    AND c.condition_start_date >= o.op_start AND c.condition_start_date <= o.op_end)
+      |  UNION ALL
+      |  SELECT 608, 'ALL', NULL, count(*) FROM proc p
+      |  WHERE NOT EXISTS (SELECT 1 FROM obs o WHERE o.person_id = p.person_id
+      |    AND p.procedure_date >= o.op_start AND p.procedure_date <= o.op_end)
+      |  UNION ALL
+      |  SELECT 708, 'ALL', NULL, count(*) FROM drug dr
+      |  WHERE NOT EXISTS (SELECT 1 FROM obs o WHERE o.person_id = dr.person_id
+      |    AND dr.ds >= o.op_start AND dr.ds <= o.op_end)
+      |  UNION ALL
+      |  SELECT 808, 'ALL', NULL, count(*) FROM obsv ob
+      |  WHERE NOT EXISTS (SELECT 1 FROM obs o WHERE o.person_id = ob.person_id
+      |    AND ob.observation_date >= o.op_start AND ob.observation_date <= o.op_end)
+      |  UNION ALL
+      |  SELECT 1808, 'ALL', NULL, count(*) FROM meas m
+      |  WHERE NOT EXISTS (SELECT 1 FROM obs o WHERE o.person_id = m.person_id
+      |    AND m.measurement_date >= o.op_start AND m.measurement_date <= o.op_end)
+      |  UNION ALL
+      |  SELECT 2108, 'ALL', NULL, count(*) FROM dev dv
+      |  WHERE NOT EXISTS (SELECT 1 FROM obs o WHERE o.person_id = dv.person_id
+      |    AND dv.device_exposure_start_date >= o.op_start
+      |    AND dv.device_exposure_start_date <= o.op_end)
+      |  UNION ALL
+      |  SELECT 209, 'ALL', NULL, count(*) FROM visit
+      |  WHERE visit_end_date < visit_start_date
+      |  UNION ALL
+      |  SELECT 709, 'ALL', NULL, count(*) FROM drug WHERE de < ds
+      |  UNION ALL
+      |  SELECT 1500, 'ALL', NULL, count(*) FROM cost
+      |  WHERE cost_domain_id = 'Drug'
+      |    AND cost_event_id NOT IN (SELECT drug_exposure_id FROM drug)
+      |  UNION ALL
+      |  SELECT 1600, 'ALL', NULL, count(*) FROM cost
+      |  WHERE cost_domain_id = 'Procedure'
+      |    AND cost_event_id NOT IN (SELECT procedure_occurrence_id FROM proc)
       |), results5 AS (
       |  SELECT analysis_id, stratum_1, stratum_2,
       |    CAST(NULL AS VARCHAR) AS stratum_3, CAST(NULL AS VARCHAR) AS stratum_4,
@@ -946,6 +1063,56 @@ object OhdsiCdmQueries {
       |  UNION ALL
       |  SELECT 1007, CAST(condition_concept_id AS VARCHAR), NULL,
       |    CAST(datediff('day', ces, cee) AS DOUBLE) FROM cond_era
+      |  UNION ALL
+      |  SELECT 1502, CAST(drug_concept_id AS VARCHAR), NULL, paid_patient_copay
+      |  FROM cost JOIN drug ON cost_event_id = drug_exposure_id
+      |  WHERE cost_domain_id = 'Drug'
+      |  UNION ALL
+      |  SELECT 1503, CAST(drug_concept_id AS VARCHAR), NULL, paid_patient_coinsurance
+      |  FROM cost JOIN drug ON cost_event_id = drug_exposure_id
+      |  WHERE cost_domain_id = 'Drug'
+      |  UNION ALL
+      |  SELECT 1504, CAST(drug_concept_id AS VARCHAR), NULL, paid_patient_deductible
+      |  FROM cost JOIN drug ON cost_event_id = drug_exposure_id
+      |  WHERE cost_domain_id = 'Drug'
+      |  UNION ALL
+      |  SELECT 1505, CAST(drug_concept_id AS VARCHAR), NULL, paid_by_payer
+      |  FROM cost JOIN drug ON cost_event_id = drug_exposure_id
+      |  WHERE cost_domain_id = 'Drug'
+      |  UNION ALL
+      |  SELECT 1506, CAST(drug_concept_id AS VARCHAR), NULL, paid_by_patient
+      |  FROM cost JOIN drug ON cost_event_id = drug_exposure_id
+      |  WHERE cost_domain_id = 'Drug'
+      |  UNION ALL
+      |  SELECT 1507, CAST(drug_concept_id AS VARCHAR), NULL, total_paid
+      |  FROM cost JOIN drug ON cost_event_id = drug_exposure_id
+      |  WHERE cost_domain_id = 'Drug'
+      |  UNION ALL
+      |  SELECT 1602, CAST(procedure_concept_id AS VARCHAR), NULL, paid_patient_copay
+      |  FROM cost JOIN proc ON cost_event_id = procedure_occurrence_id
+      |  WHERE cost_domain_id = 'Procedure'
+      |  UNION ALL
+      |  SELECT 1603, CAST(procedure_concept_id AS VARCHAR), NULL,
+      |    paid_patient_coinsurance
+      |  FROM cost JOIN proc ON cost_event_id = procedure_occurrence_id
+      |  WHERE cost_domain_id = 'Procedure'
+      |  UNION ALL
+      |  SELECT 1604, CAST(procedure_concept_id AS VARCHAR), NULL,
+      |    paid_patient_deductible
+      |  FROM cost JOIN proc ON cost_event_id = procedure_occurrence_id
+      |  WHERE cost_domain_id = 'Procedure'
+      |  UNION ALL
+      |  SELECT 1605, CAST(procedure_concept_id AS VARCHAR), NULL, paid_by_payer
+      |  FROM cost JOIN proc ON cost_event_id = procedure_occurrence_id
+      |  WHERE cost_domain_id = 'Procedure'
+      |  UNION ALL
+      |  SELECT 1606, CAST(procedure_concept_id AS VARCHAR), NULL, paid_by_patient
+      |  FROM cost JOIN proc ON cost_event_id = procedure_occurrence_id
+      |  WHERE cost_domain_id = 'Procedure'
+      |  UNION ALL
+      |  SELECT 1607, CAST(procedure_concept_id AS VARCHAR), NULL, total_paid
+      |  FROM cost JOIN proc ON cost_event_id = procedure_occurrence_id
+      |  WHERE cost_domain_id = 'Procedure'
       |)
       |SELECT analysis_id, stratum_1, stratum_2, count(*) AS count_value,
       |  round(min(v), 4) AS min_value, round(max(v), 4) AS max_value,
@@ -962,6 +1129,15 @@ object OhdsiCdmQueries {
   val oracles: Seq[(String, String)] = Seq(
     "ohdsi_core_counts" -> countsOracle,
     "ohdsi_core_dist" -> distOracle,
+    // generated from the SAME catalog list the query reads, so the id set
+    // can never drift between the two sides
+    "ohdsi_benchmark_rows" -> {
+      val ids = graft.operators.OhdsiAchilles.Catalog.map(_.id).sorted
+      s"""SELECT CAST(2000000 + analysis_id AS BIGINT) AS analysis_id,
+         |  CAST(NULL AS VARCHAR) AS stratum_1, CAST(6 AS BIGINT) AS count_value
+         |FROM (VALUES ${ids.map(i => s"($i)").mkString(", ")}) t(analysis_id)
+         |ORDER BY 1""".stripMargin
+    },
     "ohdsi_sql_topn" ->
       """SELECT o_custkey, count(*) AS n,
         |  datediff('day', CAST(min(o_orderdate) AS DATE), CAST(max(o_orderdate) AS DATE))

@@ -123,6 +123,63 @@ object Soak {
       }
     }
 
+    // ---- SemDeDup hot-centroid soak (round-8 verdict #4) ----------------
+    // Mirrors the r7 hot-user as-of soak: ~9% of a 10x embedding corpus
+    // collapses onto ONE direction (copies c>0 remap every 10th vector to
+    // near-vector-0), so one centroid's cluster holds ~29k members. The
+    // blocked plan (default maxCluster 4096) must bound the widest task
+    // where the single-block plan concentrates the whole
+    // occupancy-squared comparison; verdicts are pinned identical by
+    // SemDedupSpec and the shared oracle.
+    if (sys.env.contains("SPARK_GRAFT_SOAK_SEMDEDUP")) {
+      val hotPath = s"$out/embeddings_hotsem.parquet"
+      if (!new java.io.File(hotPath).exists()) {
+        val embs = spark.read.parquet(s"$src/embeddings.parquet")
+        val nEmbs = embs.count()
+        val copies = spark.range(0, 10).select(col("id").as("__copy"))
+        val v0 = embs.orderBy("vec_id").limit(1).collect()(0).getSeq[Float](1)
+        val v0lit = array(v0.map(x => lit(x)): _*)
+        embs.crossJoin(copies).select(
+            (col("vec_id") + col("__copy") * nEmbs).as("vec_id"),
+            when(col("__copy") > 0 && col("vec_id") % 10 === 0,
+              transform(v0lit, x =>
+                x + (col("vec_id") % 97).cast("float") * lit(1e-6f)))
+              .otherwise(col("embedding")).as("embedding"),
+            col("label"))
+          .repartition(32)
+          .write.mode(SaveMode.Overwrite).parquet(hotPath)
+        println(s"generated $hotPath (hot direction ~9% of corpus)")
+      }
+      val hot = spark.read.parquet(hotPath)
+      val centroids = hot.filter(col("vec_id") % 50 === 25)
+      // untimed warmup: the first plan over this dataset absorbs ~9 s of
+      // parquet-footer IO + JIT + codegen that would otherwise be charged
+      // to whichever variant runs first (measured: the ordering flipped
+      // the comparison entirely)
+      graft.ops.SimOps.semDedup(hot, centroids, "vec_id", "embedding", 0.95)
+        .write.mode("overwrite").format("noop").save()
+      spark.catalog.clearCache()
+      System.gc()
+      val sbSem = new StringBuilder
+      for ((tag, mc) <- Seq(("blocked", 4096), ("single_block", 1 << 30))) {
+        durations.clear()
+        val t0 = System.nanoTime()
+        graft.ops.SimOps
+          .semDedup(hot, centroids, "vec_id", "embedding", 0.95, maxCluster = mc)
+          .write.mode("overwrite").format("noop").save()
+        val secs = (System.nanoTime() - t0) / 1e9
+        val (skew, stage) = worstSkew()
+        sbSem.append(f"""{"sf":"sf1_hotsem","query":"dedup_semantic_$tag","sec":$secs%.3f,"worst_skew":$skew%.1f,"skew_stage":$stage}%n""")
+        println(f"[sf1_hotsem] dedup_semantic_$tag%-24s $secs%7.2fs  skew $skew%5.1fx")
+        spark.catalog.clearCache()
+        System.gc()
+      }
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_sf1_semdedup.jsonl"), sbSem.result())
+      spark.stop()
+      return
+    }
+
     // SPARK_GRAFT_ONLY=q1,q2 restricts the soak (same contract as
     // Verify/Bench); SPARK_GRAFT_SOAK_SF=sf1 restricts the scales
     val only = sys.env.get("SPARK_GRAFT_ONLY")
