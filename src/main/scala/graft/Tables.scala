@@ -22,6 +22,12 @@ object Tables {
   // re-executes, but the parquet file listing + footer schema read happen once
   // per table instead of once per `load` call (the generated DQD/Achilles
   // batteries call `load` once per analysis — dozens of times per table).
+  // Library note: entries live for the SparkSession's lifetime and are never
+  // evicted. That is the right trade for a bench/ETL process reading a fixed
+  // table set; a long-lived service loading from many directories would want
+  // an eviction policy (or to call `spark.read.parquet` directly) — the
+  // cached object is only a logical plan, so the footprint is small but
+  // unbounded in the number of distinct (dir, table) pairs.
   private val plans =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
