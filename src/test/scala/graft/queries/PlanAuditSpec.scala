@@ -26,6 +26,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("the fused ohdsi batteries stay near two passes per domain table") {
+    // 129 analyses ride ~70 exchanges (two grouping-sets passes per domain
+    // table + the fixed person/obs-period/cost branches) — the unfused
+    // one-scan-per-analysis shape costs 150+. The caps (measured + ~20%
+    // margin) fail if an analysis family falls out of its shared pass.
+    val pc = plan("ohdsi_core_counts")
+    val cx = pc.linesIterator.count(_.contains("- Exchange"))
+    assert(cx <= 85, s"ohdsi_core_counts exchanges grew to $cx — a family left its fused pass")
+    val pd = plan("ohdsi_core_dist")
+    val dx = pd.linesIterator.count(_.contains("- Exchange"))
+    assert(dx <= 78, s"ohdsi_core_dist exchanges grew to $dx")
+  }
+
   test("semantic dedup pair join carries the hash-block keys (bounded task width)") {
     // the within-cluster self-join is blocked: oversized clusters split
     // into hash blocks on BOTH sides, so one hot centroid can never put
