@@ -205,7 +205,60 @@ object OhdsiAchilles {
           "drug_concept_id", isDist = true),
         CoreAnalysis(1600L + off, s"Distribution of $nm, by procedure_concept_id",
           "procedure_concept_id", isDist = true))
-    }
+    } ++
+    // The care-network tier: person fk-validity (7/8/9), provider (300s),
+    // location (1100s), care site / place of service (1200s), payer plan
+    // period (the published 1400-block mirrors the observation-period
+    // sub-ids at +1300), cohort (1700s), the measurement value/range
+    // family (1814/1816/1817), the persons-with-multiple-domains
+    // treemap counts (2000s), and note (2200s) — all public Achilles id
+    // conventions.
+    Seq(
+      CoreAnalysis(7L, "Number of persons with invalid provider_id"),
+      CoreAnalysis(8L, "Number of persons with invalid location_id"),
+      CoreAnalysis(9L, "Number of persons with invalid care_site_id"),
+      CoreAnalysis(300L, "Number of providers"),
+      CoreAnalysis(301L, "Number of providers by specialty",
+        "specialty_concept_id"),
+      CoreAnalysis(1100L, "Number of persons by location 3-digit zip", "zip3"),
+      CoreAnalysis(1101L, "Number of persons by location state", "state"),
+      CoreAnalysis(1102L, "Number of care sites by location 3-digit zip", "zip3"),
+      CoreAnalysis(1103L, "Number of care sites by location state", "state"),
+      CoreAnalysis(1200L, "Number of persons by place of service",
+        "place_of_service_concept_id"),
+      CoreAnalysis(1201L, "Number of visits by place of service",
+        "place_of_service_concept_id"),
+      CoreAnalysis(1202L, "Number of care sites by place of service",
+        "place_of_service_concept_id"),
+      CoreAnalysis(1408L,
+        "Number of persons by length of first payer plan period, in 30d increments",
+        "length_30d"),
+      CoreAnalysis(1409L, "Number of persons with continuous payer coverage in each year",
+        "calendar_year"),
+      CoreAnalysis(1411L, "Number of persons by payer plan period start month",
+        "calendar_month"),
+      CoreAnalysis(1412L, "Number of persons by payer plan period end month",
+        "calendar_month"),
+      CoreAnalysis(1413L, "Number of persons by number of payer plan periods",
+        "num_periods"),
+      CoreAnalysis(1700L, "Number of records by cohort_definition_id",
+        "cohort_definition_id"),
+      CoreAnalysis(1701L, "Number of distinct subjects by cohort_definition_id",
+        "cohort_definition_id"),
+      CoreAnalysis(1814L, "Number of measurement records with no value (numeric or concept)"),
+      CoreAnalysis(1816L,
+        "Distribution of low range, by measurement_concept_id and unit_concept_id",
+        "measurement_concept_id", "unit_concept_id", isDist = true),
+      CoreAnalysis(1817L,
+        "Distribution of high range, by measurement_concept_id and unit_concept_id",
+        "measurement_concept_id", "unit_concept_id", isDist = true),
+      CoreAnalysis(2000L, "Number of persons with at least 1 Dx and 1 Rx"),
+      CoreAnalysis(2001L, "Number of persons with at least 1 Dx and 1 Proc"),
+      CoreAnalysis(2002L, "Number of persons with at least 1 Mx and 1 Dx and 1 Rx"),
+      CoreAnalysis(2200L, "Number of persons with at least one note, by note_type_concept_id",
+        "note_type_concept_id"),
+      CoreAnalysis(2201L, "Number of note records, by note_type_concept_id",
+        "note_type_concept_id"))
 
   /** The populated `achilles_analysis` catalog table
     * (`achilles.py:190-200`): what Atlas/Ares join analysis ids against.
@@ -587,9 +640,193 @@ object OhdsiAchilles {
           }
       }
 
+    // ---- the care-network tier ----
+    def unpack(df: DataFrame): DataFrame =
+      df.select(col("__r.analysis_id").as("analysis_id"),
+        col("__r.stratum_1").as("stratum_1"),
+        col("__r.stratum_2").as("stratum_2"),
+        col("__r.count_value").as("count_value"))
+    val nullS2 = lit(null).cast("string").as("stratum_2")
+
+    // 7/8/9: persons whose care-network fk doesn't resolve — ONE person
+    // scan, the three reference id sets broadcast-joined, the three
+    // conditional sums exploded from a single global row
+    val personFks: Seq[DataFrame] = {
+      val fks = Seq(
+        (7L, "provider_id", "provider"),
+        (8L, "location_id", "location"),
+        (9L, "care_site_id", "care_site"))
+        .filter { case (_, c, tb) => has(model, "person", c) && has(model, tb, c) }
+      if (fks.isEmpty) Nil
+      else {
+        var pj = load("person").select(col("person_id") +: fks.map(f => col(f._2)): _*)
+        fks.zipWithIndex.foreach { case ((_, c, tb), i) =>
+          pj = pj.join(
+            broadcast(load(tb).select(col(c)).distinct().withColumn(s"__h$i", lit(1))),
+            Seq(c), "left")
+        }
+        val sums = fks.zipWithIndex.map { case ((_, c, _), i) =>
+          sum(when(col(c).isNotNull && col(s"__h$i").isNull, 1L).otherwise(0L)).as(s"__s$i") }
+        val structs = fks.zipWithIndex.map { case ((id, _, _), i) =>
+          struct(lit(id).as("analysis_id"), lit("ALL").as("stratum_1"),
+            lit(null).cast("string").as("stratum_2"), col(s"__s$i").as("count_value")) }
+        Seq(unpack(pj.agg(sums.head, sums.tail: _*)
+          .select(explode(array(structs: _*)).as("__r"))))
+      }
+    }
+
+    // 300/301 provider, 1100-1103 location, 1200-1202 place of service —
+    // aggregates over the (small) care-network dimensions; the location /
+    // care-site joins broadcast the dimension into the person/visit scan
+    val network = Seq.newBuilder[DataFrame]
+    if (has(model, "provider", "provider_id")) {
+      val pr = load("provider")
+      network += pr.agg(count(lit(1)).as("count_value"))
+        .select(lit(300L).as("analysis_id"), lit("ALL").as("stratum_1"), nullS2,
+          col("count_value"))
+      if (has(model, "provider", "specialty_concept_id"))
+        network += row(301L, col("specialty_concept_id"), pr, count(lit(1)))
+    }
+    if (has(model, "location", "location_id", "zip", "state")) {
+      val locb = broadcast(load("location"))
+      if (has(model, "person", "location_id")) {
+        val pl = load("person").join(locb, "location_id")
+        network += row(1100L, substring(col("zip"), 1, 3), pl, count(lit(1)))
+        network += row(1101L, col("state"), pl, count(lit(1)))
+      }
+      if (has(model, "care_site", "care_site_id", "location_id")) {
+        val cl = load("care_site").join(locb, "location_id")
+        network += row(1102L, substring(col("zip"), 1, 3), cl, count(lit(1)))
+        network += row(1103L, col("state"), cl, count(lit(1)))
+      }
+    }
+    if (has(model, "care_site", "care_site_id", "place_of_service_concept_id")) {
+      val cs = load("care_site")
+      if (has(model, "person", "care_site_id"))
+        network += row(1200L, col("place_of_service_concept_id"),
+          load("person").join(broadcast(cs), "care_site_id"), count(lit(1)))
+      if (has(model, "visit_occurrence", "care_site_id"))
+        network += row(1201L, col("place_of_service_concept_id"),
+          load("visit_occurrence").join(broadcast(cs), "care_site_id"), count(lit(1)))
+      network += row(1202L, col("place_of_service_concept_id"), cs, count(lit(1)))
+    }
+
+    // 1408-1413: the payer-coverage analyses (the published 1400 block
+    // mirrors the observation-period sub-ids at +1300) — same shapes as
+    // 108/109/111/112/113 over payer_plan_period
+    val payer: Option[Seq[DataFrame]] =
+      if (!has(model, "payer_plan_period", "person_id",
+        "payer_plan_period_start_date", "payer_plan_period_end_date")) None
+      else Some {
+        val pp = load("payer_plan_period")
+        Seq(
+          row(1411L, date_format(col("payer_plan_period_start_date"), "yyyyMM"),
+            pp, countDistinct(col("person_id"))),
+          row(1412L, date_format(col("payer_plan_period_end_date"), "yyyyMM"),
+            pp, countDistinct(col("person_id"))),
+          pp.groupBy(col("person_id")).agg(count(lit(1)).as("__n"))
+            .groupBy(col("__n").cast("string").as("stratum_1"))
+            .agg(count(lit(1)).as("count_value"))
+            .select(lit(1413L).as("analysis_id"), col("stratum_1"), nullS2,
+              col("count_value")),
+          pp.groupBy(col("person_id"))
+            .agg(min_by(struct(col("payer_plan_period_start_date"),
+                col("payer_plan_period_end_date")),
+              col("payer_plan_period_start_date")).as("__p"))
+            .select(floor(datediff(col("__p.payer_plan_period_end_date"),
+              col("__p.payer_plan_period_start_date")) / 30).as("__len30"))
+            .groupBy(col("__len30").cast("string").as("stratum_1"))
+            .agg(count(lit(1)).as("count_value"))
+            .select(lit(1408L).as("analysis_id"), col("stratum_1"), nullS2,
+              col("count_value")),
+          pp.select(col("person_id"),
+              explode(sequence(year(col("payer_plan_period_start_date")),
+                year(col("payer_plan_period_end_date")))).as("__y"),
+              col("payer_plan_period_start_date").as("__s"),
+              col("payer_plan_period_end_date").as("__e"))
+            .filter(col("__s") <= to_date(concat(col("__y"), lit("-01-01"))) &&
+              col("__e") >= to_date(concat(col("__y"), lit("-12-31"))))
+            .groupBy(col("__y").cast("string").as("stratum_1"))
+            .agg(countDistinct(col("person_id")).as("count_value"))
+            .select(lit(1409L).as("analysis_id"), col("stratum_1"), nullS2,
+              col("count_value")))
+      }
+
+    // 1700/1701: cohort records + distinct subjects — ONE scan, both
+    // aggregates in the same groupBy, two rows exploded per cohort
+    val cohortRows: Seq[DataFrame] =
+      if (!has(model, "cohort", "cohort_definition_id", "subject_id")) Nil
+      else Seq(unpack(load("cohort")
+        .groupBy(col("cohort_definition_id").cast("string").as("stratum_1"))
+        .agg(count(lit(1)).as("__rec"), countDistinct(col("subject_id")).as("__subj"))
+        .select(explode(array(
+          struct(lit(1700L).as("analysis_id"), col("stratum_1"),
+            lit(null).cast("string").as("stratum_2"), col("__rec").as("count_value")),
+          struct(lit(1701L).as("analysis_id"), col("stratum_1"),
+            lit(null).cast("string").as("stratum_2"), col("__subj").as("count_value"))))
+          .as("__r"))))
+
+    // 1814: measurement records carrying NEITHER a numeric nor a concept
+    // value (the published no-value data-quality count)
+    val measNoValue: Seq[DataFrame] =
+      if (!has(model, "measurement", "value_as_number", "value_as_concept_id")) Nil
+      else Seq(load("measurement")
+        .filter(col("value_as_number").isNull && col("value_as_concept_id").isNull)
+        .agg(count(lit(1)).as("count_value"))
+        .select(lit(1814L).as("analysis_id"), lit("ALL").as("stratum_1"), nullS2,
+          col("count_value")))
+
+    // 2000/2001/2002: persons present in multiple domains (the Achilles
+    // treemap counts) — ONE union of the four domains' person ids and ONE
+    // person-keyed aggregate (map-side combine collapses the raw fact ids
+    // before the shuffle), then all three intersections fall out of a
+    // single global row
+    val coocc: Seq[DataFrame] =
+      if (!Seq("condition_occurrence", "drug_exposure", "procedure_occurrence",
+        "measurement").forall(tb => has(model, tb, "person_id"))) Nil
+      else {
+        val tagged = Seq("condition_occurrence" -> 0, "drug_exposure" -> 1,
+          "procedure_occurrence" -> 2, "measurement" -> 3).map { case (tb, i) =>
+          load(tb).select(col("person_id"), lit(i).as("__src")) }
+          .reduce(_ unionByName _)
+        val flags = tagged.groupBy(col("person_id")).agg(
+          max(when(col("__src") === 0, 1L).otherwise(0L)).as("__dx"),
+          max(when(col("__src") === 1, 1L).otherwise(0L)).as("__rx"),
+          max(when(col("__src") === 2, 1L).otherwise(0L)).as("__px"),
+          max(when(col("__src") === 3, 1L).otherwise(0L)).as("__mx"))
+        Seq(unpack(flags.agg(
+            sum(col("__dx") * col("__rx")).as("__s0"),
+            sum(col("__dx") * col("__px")).as("__s1"),
+            sum(col("__mx") * col("__dx") * col("__rx")).as("__s2"))
+          .select(explode(array(
+            struct(lit(2000L).as("analysis_id"), lit("ALL").as("stratum_1"),
+              lit(null).cast("string").as("stratum_2"), col("__s0").as("count_value")),
+            struct(lit(2001L).as("analysis_id"), lit("ALL").as("stratum_1"),
+              lit(null).cast("string").as("stratum_2"), col("__s1").as("count_value")),
+            struct(lit(2002L).as("analysis_id"), lit("ALL").as("stratum_1"),
+              lit(null).cast("string").as("stratum_2"), col("__s2").as("count_value"))))
+            .as("__r"))))
+      }
+
+    // 2200/2201: note persons + records by note type — one scan, two rows
+    // per type
+    val noteRows: Seq[DataFrame] =
+      if (!has(model, "note", "person_id", "note_type_concept_id")) Nil
+      else Seq(unpack(load("note")
+        .groupBy(col("note_type_concept_id").cast("string").as("stratum_1"))
+        .agg(countDistinct(col("person_id")).as("__p"), count(lit(1)).as("__n"))
+        .select(explode(array(
+          struct(lit(2200L).as("analysis_id"), col("stratum_1"),
+            lit(null).cast("string").as("stratum_2"), col("__p").as("count_value")),
+          struct(lit(2201L).as("analysis_id"), col("stratum_1"),
+            lit(null).cast("string").as("stratum_2"), col("__n").as("count_value"))))
+          .as("__r"))))
+
     val noS34 = Seq(lit(null).cast("string").as("stratum_3"),
       lit(null).cast("string").as("stratum_4"))
-    val narrow = ((person.toSeq ++ obsPeriod.toSeq).flatten ++ domains ++ costCounts)
+    val narrow = ((person.toSeq ++ obsPeriod.toSeq ++ payer.toSeq).flatten ++
+      domains ++ costCounts ++ personFks ++ network.result() ++ cohortRows ++
+      measNoValue ++ coocc ++ noteRows)
       .pipe(graft.Unions.balanced)
       .select(Seq(col("analysis_id"), col("stratum_1"), col("stratum_2")) ++ noS34 :+
         col("count_value"): _*)
@@ -739,6 +976,20 @@ object OhdsiAchilles {
         .select(col("measurement_concept_id"), col("unit_concept_id"),
           col("value_as_number").cast("double").as("__v"))
       parts += stratHist2(vals, 1815L, col("measurement_concept_id"), col("unit_concept_id"))
+    }
+    // 1816/1817: reference low/high ranges by (concept, unit) — the two
+    // range columns unpivoted in ONE scan (analysis id = 1816 + index)
+    if (has(model, "measurement", "measurement_concept_id", "unit_concept_id",
+        "range_low", "range_high")) {
+      parts += load("measurement")
+        .select(col("measurement_concept_id").cast("string").as("stratum_1"),
+          col("unit_concept_id").cast("string").as("stratum_2"),
+          posexplode(array(col("range_low").cast("double"),
+            col("range_high").cast("double"))).as(Seq("__i", "__v")))
+        .filter(col("__v").isNotNull)
+        .groupBy((lit(1816L) + col("__i").cast("long")).as("analysis_id"),
+          col("stratum_1"), col("stratum_2"), col("__v"))
+        .agg(count(lit(1)).as("__cnt"))
     }
     // 1502-1507 / 1602-1607: cost amount distributions by event concept —
     // one equi-join per domain (cost -> event table on the event id), the

@@ -569,135 +569,162 @@ object EventQueries {
         |  stratum_1_name, stratum_2_name, stratum_3_name, stratum_4_name,
         |  CAST(distribution AS BIGINT) AS distribution
         |FROM (VALUES
-        |  (0, 'Source name', NULL, NULL, NULL, NULL, 0),
-        |  (1, 'Number of persons', NULL, NULL, NULL, NULL, 0),
-        |  (2, 'Number of persons by gender', 'gender_concept_id', NULL, NULL, NULL, 0),
-        |  (3, 'Number of persons by year of birth', 'year_of_birth', NULL, NULL, NULL, 0),
-        |  (4, 'Number of persons by race', 'race_concept_id', NULL, NULL, NULL, 0),
-        |  (5, 'Number of persons by ethnicity', 'ethnicity_concept_id', NULL, NULL, NULL, 0),
-        |  (101, 'Number of persons by age, with age at first observation period', 'age', NULL, NULL, NULL, 0),
-        |  (102, 'Number of persons by gender by age, with age at first observation period', 'gender_concept_id', 'age', NULL, NULL, 0),
-        |  (103, 'Distribution of age at first observation period', NULL, NULL, NULL, NULL, 1),
-        |  (104, 'Distribution of age at first observation period by gender', 'gender_concept_id', NULL, NULL, NULL, 1),
-        |  (105, 'Length of observation (days) of first observation period', NULL, NULL, NULL, NULL, 1),
-        |  (106, 'Length of observation (days) of first observation period, by gender', 'gender_concept_id', NULL, NULL, NULL, 1),
-        |  (107, 'Length of observation (days) of first observation period, by age decile', 'age_decile', NULL, NULL, NULL, 1),
-        |  (108, 'Number of persons by length of first observation period, in 30d increments', 'length_30d', NULL, NULL, NULL, 0),
-        |  (109, 'Number of persons with continuous observation in each year', 'calendar_year', NULL, NULL, NULL, 0),
-        |  (110, 'Number of persons with continuous observation in each month', 'calendar_month', NULL, NULL, NULL, 0),
-        |  (111, 'Number of persons by observation period start month', 'calendar_month', NULL, NULL, NULL, 0),
-        |  (112, 'Number of persons by observation period end month', 'calendar_month', NULL, NULL, NULL, 0),
-        |  (113, 'Number of persons by number of observation periods', 'num_periods', NULL, NULL, NULL, 0),
-        |  (114, 'Number of persons with observation period before year-of-birth', NULL, NULL, NULL, NULL, 0),
-        |  (115, 'Number of persons with observation period end < observation period start', NULL, NULL, NULL, NULL, 0),
-        |  (116, 'Number of persons with at least one day of observation in each year, by gender and age decile', 'calendar_year', 'gender_concept_id', 'age_decile', NULL, 0),
-        |  (117, 'Number of persons with observation period during each month', 'calendar_month', NULL, NULL, NULL, 0),
-        |  (119, 'Number of observation periods by period type concept', 'period_type_concept_id', NULL, NULL, NULL, 0),
-        |  (200, 'Number of persons with at least one visit occurrence, by visit_concept_id', 'visit_concept_id', NULL, NULL, NULL, 0),
-        |  (201, 'Number of visit occurrence records, by visit_concept_id', 'visit_concept_id', NULL, NULL, NULL, 0),
-        |  (202, 'Number of persons by visit occurrence start month, by visit_concept_id', 'visit_concept_id', 'calendar_month', NULL, NULL, 0),
-        |  (203, 'Number of distinct visit occurrence concepts per person', NULL, NULL, NULL, NULL, 1),
-        |  (204, 'Number of persons with at least one visit occurrence, by visit_concept_id by calendar year by gender by age decile', 'visit_concept_id', 'calendar_year', 'gender_concept_id', 'age_decile', 0),
-        |  (206, 'Distribution of age at first visit occurrence, by visit_concept_id', 'visit_concept_id', NULL, NULL, NULL, 1),
-        |  (207, 'Number of visit occurrence records with invalid person_id', NULL, NULL, NULL, NULL, 0),
-        |  (208, 'Number of visit occurrence records outside valid observation period', NULL, NULL, NULL, NULL, 0),
-        |  (209, 'Number of visit occurrence records with end date < start date', NULL, NULL, NULL, NULL, 0),
-        |  (211, 'Distribution of length of stay, by visit_concept_id', 'visit_concept_id', NULL, NULL, NULL, 1),
-        |  (220, 'Number of visit occurrence records by visit occurrence start month', 'calendar_month', NULL, NULL, NULL, 0),
-        |  (400, 'Number of persons with at least one condition occurrence, by condition_concept_id', 'condition_concept_id', NULL, NULL, NULL, 0),
-        |  (401, 'Number of condition occurrence records, by condition_concept_id', 'condition_concept_id', NULL, NULL, NULL, 0),
-        |  (402, 'Number of persons by condition occurrence start month, by condition_concept_id', 'condition_concept_id', 'calendar_month', NULL, NULL, 0),
-        |  (403, 'Number of distinct condition occurrence concepts per person', NULL, NULL, NULL, NULL, 1),
-        |  (404, 'Number of persons with at least one condition occurrence, by condition_concept_id by calendar year by gender by age decile', 'condition_concept_id', 'calendar_year', 'gender_concept_id', 'age_decile', 0),
-        |  (405, 'Number of condition occurrence records, by condition_concept_id by condition_type_concept_id', 'condition_concept_id', 'condition_type_concept_id', NULL, NULL, 0),
-        |  (406, 'Distribution of age at first condition occurrence, by condition_concept_id', 'condition_concept_id', NULL, NULL, NULL, 1),
-        |  (407, 'Number of condition occurrence records with invalid person_id', NULL, NULL, NULL, NULL, 0),
-        |  (408, 'Number of condition occurrence records outside valid observation period', NULL, NULL, NULL, NULL, 0),
-        |  (420, 'Number of condition occurrence records by condition occurrence start month', 'calendar_month', NULL, NULL, NULL, 0),
-        |  (500, 'Number of persons with at least one death, by cause_concept_id', 'cause_concept_id', NULL, NULL, NULL, 0),
-        |  (501, 'Number of death records, by cause_concept_id', 'cause_concept_id', NULL, NULL, NULL, 0),
-        |  (502, 'Number of persons by death start month, by cause_concept_id', 'cause_concept_id', 'calendar_month', NULL, NULL, 0),
-        |  (506, 'Distribution of age at death, by gender', 'gender_concept_id', NULL, NULL, NULL, 1),
-        |  (600, 'Number of persons with at least one procedure occurrence, by procedure_concept_id', 'procedure_concept_id', NULL, NULL, NULL, 0),
-        |  (601, 'Number of procedure occurrence records, by procedure_concept_id', 'procedure_concept_id', NULL, NULL, NULL, 0),
-        |  (602, 'Number of persons by procedure occurrence start month, by procedure_concept_id', 'procedure_concept_id', 'calendar_month', NULL, NULL, 0),
-        |  (603, 'Number of distinct procedure occurrence concepts per person', NULL, NULL, NULL, NULL, 1),
-        |  (604, 'Number of persons with at least one procedure occurrence, by procedure_concept_id by calendar year by gender by age decile', 'procedure_concept_id', 'calendar_year', 'gender_concept_id', 'age_decile', 0),
-        |  (605, 'Number of procedure occurrence records, by procedure_concept_id by procedure_type_concept_id', 'procedure_concept_id', 'procedure_type_concept_id', NULL, NULL, 0),
-        |  (606, 'Distribution of age at first procedure occurrence, by procedure_concept_id', 'procedure_concept_id', NULL, NULL, NULL, 1),
-        |  (607, 'Number of procedure occurrence records with invalid person_id', NULL, NULL, NULL, NULL, 0),
-        |  (608, 'Number of procedure occurrence records outside valid observation period', NULL, NULL, NULL, NULL, 0),
-        |  (620, 'Number of procedure occurrence records by procedure occurrence start month', 'calendar_month', NULL, NULL, NULL, 0),
-        |  (700, 'Number of persons with at least one drug exposure, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 0),
-        |  (701, 'Number of drug exposure records, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 0),
-        |  (702, 'Number of persons by drug exposure start month, by drug_concept_id', 'drug_concept_id', 'calendar_month', NULL, NULL, 0),
-        |  (703, 'Number of distinct drug exposure concepts per person', NULL, NULL, NULL, NULL, 1),
-        |  (704, 'Number of persons with at least one drug exposure, by drug_concept_id by calendar year by gender by age decile', 'drug_concept_id', 'calendar_year', 'gender_concept_id', 'age_decile', 0),
-        |  (705, 'Number of drug exposure records, by drug_concept_id by drug_type_concept_id', 'drug_concept_id', 'drug_type_concept_id', NULL, NULL, 0),
-        |  (706, 'Distribution of age at first drug exposure, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 1),
-        |  (707, 'Number of drug exposure records with invalid person_id', NULL, NULL, NULL, NULL, 0),
-        |  (708, 'Number of drug exposure records outside valid observation period', NULL, NULL, NULL, NULL, 0),
-        |  (709, 'Number of drug exposure records with end date < start date', NULL, NULL, NULL, NULL, 0),
-        |  (720, 'Number of drug exposure records by drug exposure start month', 'calendar_month', NULL, NULL, NULL, 0),
-        |  (800, 'Number of persons with at least one observation, by observation_concept_id', 'observation_concept_id', NULL, NULL, NULL, 0),
-        |  (801, 'Number of observation records, by observation_concept_id', 'observation_concept_id', NULL, NULL, NULL, 0),
-        |  (802, 'Number of persons by observation start month, by observation_concept_id', 'observation_concept_id', 'calendar_month', NULL, NULL, 0),
-        |  (803, 'Number of distinct observation concepts per person', NULL, NULL, NULL, NULL, 1),
-        |  (804, 'Number of persons with at least one observation, by observation_concept_id by calendar year by gender by age decile', 'observation_concept_id', 'calendar_year', 'gender_concept_id', 'age_decile', 0),
-        |  (805, 'Number of observation records, by observation_concept_id by observation_type_concept_id', 'observation_concept_id', 'observation_type_concept_id', NULL, NULL, 0),
-        |  (806, 'Distribution of age at first observation, by observation_concept_id', 'observation_concept_id', NULL, NULL, NULL, 1),
-        |  (807, 'Number of observation records with invalid person_id', NULL, NULL, NULL, NULL, 0),
-        |  (808, 'Number of observation records outside valid observation period', NULL, NULL, NULL, NULL, 0),
-        |  (820, 'Number of observation records by observation start month', 'calendar_month', NULL, NULL, NULL, 0),
-        |  (900, 'Number of persons with at least one drug era, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 0),
-        |  (901, 'Number of drug era records, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 0),
-        |  (902, 'Number of persons by drug era start month, by drug_concept_id', 'drug_concept_id', 'calendar_month', NULL, NULL, 0),
-        |  (903, 'Number of distinct drug era concepts per person', NULL, NULL, NULL, NULL, 1),
-        |  (904, 'Number of persons with at least one drug era, by drug_concept_id by calendar year by gender by age decile', 'drug_concept_id', 'calendar_year', 'gender_concept_id', 'age_decile', 0),
-        |  (906, 'Distribution of age at first drug era, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 1),
-        |  (907, 'Distribution of drug era length, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 1),
-        |  (1000, 'Number of persons with at least one condition era, by condition_concept_id', 'condition_concept_id', NULL, NULL, NULL, 0),
-        |  (1001, 'Number of condition era records, by condition_concept_id', 'condition_concept_id', NULL, NULL, NULL, 0),
-        |  (1002, 'Number of persons by condition era start month, by condition_concept_id', 'condition_concept_id', 'calendar_month', NULL, NULL, 0),
-        |  (1003, 'Number of distinct condition era concepts per person', NULL, NULL, NULL, NULL, 1),
-        |  (1004, 'Number of persons with at least one condition era, by condition_concept_id by calendar year by gender by age decile', 'condition_concept_id', 'calendar_year', 'gender_concept_id', 'age_decile', 0),
-        |  (1006, 'Distribution of age at first condition era, by condition_concept_id', 'condition_concept_id', NULL, NULL, NULL, 1),
-        |  (1007, 'Distribution of condition era length, by condition_concept_id', 'condition_concept_id', NULL, NULL, NULL, 1),
-        |  (1500, 'Number of drug cost records with invalid drug exposure id', NULL, NULL, NULL, NULL, 0),
-        |  (1502, 'Distribution of paid copay, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 1),
-        |  (1503, 'Distribution of paid coinsurance, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 1),
-        |  (1504, 'Distribution of paid toward deductible, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 1),
-        |  (1505, 'Distribution of paid by payer, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 1),
-        |  (1506, 'Distribution of paid by patient, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 1),
-        |  (1507, 'Distribution of total paid, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 1),
-        |  (1600, 'Number of procedure cost records with invalid procedure occurrence id', NULL, NULL, NULL, NULL, 0),
-        |  (1602, 'Distribution of paid copay, by procedure_concept_id', 'procedure_concept_id', NULL, NULL, NULL, 1),
-        |  (1603, 'Distribution of paid coinsurance, by procedure_concept_id', 'procedure_concept_id', NULL, NULL, NULL, 1),
-        |  (1604, 'Distribution of paid toward deductible, by procedure_concept_id', 'procedure_concept_id', NULL, NULL, NULL, 1),
-        |  (1605, 'Distribution of paid by payer, by procedure_concept_id', 'procedure_concept_id', NULL, NULL, NULL, 1),
-        |  (1606, 'Distribution of paid by patient, by procedure_concept_id', 'procedure_concept_id', NULL, NULL, NULL, 1),
-        |  (1607, 'Distribution of total paid, by procedure_concept_id', 'procedure_concept_id', NULL, NULL, NULL, 1),
-        |  (1800, 'Number of persons with at least one measurement, by measurement_concept_id', 'measurement_concept_id', NULL, NULL, NULL, 0),
-        |  (1801, 'Number of measurement records, by measurement_concept_id', 'measurement_concept_id', NULL, NULL, NULL, 0),
-        |  (1802, 'Number of persons by measurement start month, by measurement_concept_id', 'measurement_concept_id', 'calendar_month', NULL, NULL, 0),
-        |  (1803, 'Number of distinct measurement concepts per person', NULL, NULL, NULL, NULL, 1),
-        |  (1804, 'Number of persons with at least one measurement, by measurement_concept_id by calendar year by gender by age decile', 'measurement_concept_id', 'calendar_year', 'gender_concept_id', 'age_decile', 0),
-        |  (1805, 'Number of measurement records, by measurement_concept_id by measurement_type_concept_id', 'measurement_concept_id', 'measurement_type_concept_id', NULL, NULL, 0),
-        |  (1806, 'Distribution of age at first measurement, by measurement_concept_id', 'measurement_concept_id', NULL, NULL, NULL, 1),
-        |  (1807, 'Number of measurement records with invalid person_id', NULL, NULL, NULL, NULL, 0),
-        |  (1808, 'Number of measurement records outside valid observation period', NULL, NULL, NULL, NULL, 0),
-        |  (1815, 'Distribution of numeric values, by measurement_concept_id and unit_concept_id', 'measurement_concept_id', 'unit_concept_id', NULL, NULL, 1),
-        |  (1820, 'Number of measurement records by measurement start month', 'calendar_month', NULL, NULL, NULL, 0),
-        |  (2100, 'Number of persons with at least one device exposure, by device_concept_id', 'device_concept_id', NULL, NULL, NULL, 0),
-        |  (2101, 'Number of device exposure records, by device_concept_id', 'device_concept_id', NULL, NULL, NULL, 0),
-        |  (2102, 'Number of persons by device exposure start month, by device_concept_id', 'device_concept_id', 'calendar_month', NULL, NULL, 0),
-        |  (2103, 'Number of distinct device exposure concepts per person', NULL, NULL, NULL, NULL, 1),
-        |  (2104, 'Number of persons with at least one device exposure, by device_concept_id by calendar year by gender by age decile', 'device_concept_id', 'calendar_year', 'gender_concept_id', 'age_decile', 0),
-        |  (2105, 'Number of device exposure records, by device_concept_id by device_type_concept_id', 'device_concept_id', 'device_type_concept_id', NULL, NULL, 0),
-        |  (2106, 'Distribution of age at first device exposure, by device_concept_id', 'device_concept_id', NULL, NULL, NULL, 1),
-        |  (2107, 'Number of device exposure records with invalid person_id', NULL, NULL, NULL, NULL, 0),
-        |  (2108, 'Number of device exposure records outside valid observation period', NULL, NULL, NULL, NULL, 0),
-        |  (2120, 'Number of device exposure records by device exposure start month', 'calendar_month', NULL, NULL, NULL, 0)
+        |(0, 'Source name', NULL, NULL, NULL, NULL, 0),
+        |(1, 'Number of persons', NULL, NULL, NULL, NULL, 0),
+        |(2, 'Number of persons by gender', 'gender_concept_id', NULL, NULL, NULL, 0),
+        |(3, 'Number of persons by year of birth', 'year_of_birth', NULL, NULL, NULL, 0),
+        |(4, 'Number of persons by race', 'race_concept_id', NULL, NULL, NULL, 0),
+        |(5, 'Number of persons by ethnicity', 'ethnicity_concept_id', NULL, NULL, NULL, 0),
+        |(7, 'Number of persons with invalid provider_id', NULL, NULL, NULL, NULL, 0),
+        |(8, 'Number of persons with invalid location_id', NULL, NULL, NULL, NULL, 0),
+        |(9, 'Number of persons with invalid care_site_id', NULL, NULL, NULL, NULL, 0),
+        |(101, 'Number of persons by age, with age at first observation period', 'age', NULL, NULL, NULL, 0),
+        |(102, 'Number of persons by gender by age, with age at first observation period', 'gender_concept_id', 'age', NULL, NULL, 0),
+        |(103, 'Distribution of age at first observation period', NULL, NULL, NULL, NULL, 1),
+        |(104, 'Distribution of age at first observation period by gender', 'gender_concept_id', NULL, NULL, NULL, 1),
+        |(105, 'Length of observation (days) of first observation period', NULL, NULL, NULL, NULL, 1),
+        |(106, 'Length of observation (days) of first observation period, by gender', 'gender_concept_id', NULL, NULL, NULL, 1),
+        |(107, 'Length of observation (days) of first observation period, by age decile', 'age_decile', NULL, NULL, NULL, 1),
+        |(108, 'Number of persons by length of first observation period, in 30d increments', 'length_30d', NULL, NULL, NULL, 0),
+        |(109, 'Number of persons with continuous observation in each year', 'calendar_year', NULL, NULL, NULL, 0),
+        |(110, 'Number of persons with continuous observation in each month', 'calendar_month', NULL, NULL, NULL, 0),
+        |(111, 'Number of persons by observation period start month', 'calendar_month', NULL, NULL, NULL, 0),
+        |(112, 'Number of persons by observation period end month', 'calendar_month', NULL, NULL, NULL, 0),
+        |(113, 'Number of persons by number of observation periods', 'num_periods', NULL, NULL, NULL, 0),
+        |(114, 'Number of persons with observation period before year-of-birth', NULL, NULL, NULL, NULL, 0),
+        |(115, 'Number of persons with observation period end < observation period start', NULL, NULL, NULL, NULL, 0),
+        |(116, 'Number of persons with at least one day of observation in each year, by gender and age decile', 'calendar_year', 'gender_concept_id', 'age_decile', NULL, 0),
+        |(117, 'Number of persons with observation period during each month', 'calendar_month', NULL, NULL, NULL, 0),
+        |(119, 'Number of observation periods by period type concept', 'period_type_concept_id', NULL, NULL, NULL, 0),
+        |(200, 'Number of persons with at least one visit occurrence, by visit_concept_id', 'visit_concept_id', NULL, NULL, NULL, 0),
+        |(201, 'Number of visit occurrence records, by visit_concept_id', 'visit_concept_id', NULL, NULL, NULL, 0),
+        |(202, 'Number of persons by visit occurrence start month, by visit_concept_id', 'visit_concept_id', 'calendar_month', NULL, NULL, 0),
+        |(203, 'Number of distinct visit occurrence concepts per person', NULL, NULL, NULL, NULL, 1),
+        |(204, 'Number of persons with at least one visit occurrence, by visit_concept_id by calendar year by gender by age decile', 'visit_concept_id', 'calendar_year', 'gender_concept_id', 'age_decile', 0),
+        |(206, 'Distribution of age at first visit occurrence, by visit_concept_id', 'visit_concept_id', NULL, NULL, NULL, 1),
+        |(207, 'Number of visit occurrence records with invalid person_id', NULL, NULL, NULL, NULL, 0),
+        |(208, 'Number of visit occurrence records outside valid observation period', NULL, NULL, NULL, NULL, 0),
+        |(209, 'Number of visit occurrence records with end date < start date', NULL, NULL, NULL, NULL, 0),
+        |(211, 'Distribution of length of stay, by visit_concept_id', 'visit_concept_id', NULL, NULL, NULL, 1),
+        |(220, 'Number of visit occurrence records by visit occurrence start month', 'calendar_month', NULL, NULL, NULL, 0),
+        |(300, 'Number of providers', NULL, NULL, NULL, NULL, 0),
+        |(301, 'Number of providers by specialty', 'specialty_concept_id', NULL, NULL, NULL, 0),
+        |(400, 'Number of persons with at least one condition occurrence, by condition_concept_id', 'condition_concept_id', NULL, NULL, NULL, 0),
+        |(401, 'Number of condition occurrence records, by condition_concept_id', 'condition_concept_id', NULL, NULL, NULL, 0),
+        |(402, 'Number of persons by condition occurrence start month, by condition_concept_id', 'condition_concept_id', 'calendar_month', NULL, NULL, 0),
+        |(403, 'Number of distinct condition occurrence concepts per person', NULL, NULL, NULL, NULL, 1),
+        |(404, 'Number of persons with at least one condition occurrence, by condition_concept_id by calendar year by gender by age decile', 'condition_concept_id', 'calendar_year', 'gender_concept_id', 'age_decile', 0),
+        |(405, 'Number of condition occurrence records, by condition_concept_id by condition_type_concept_id', 'condition_concept_id', 'condition_type_concept_id', NULL, NULL, 0),
+        |(406, 'Distribution of age at first condition occurrence, by condition_concept_id', 'condition_concept_id', NULL, NULL, NULL, 1),
+        |(407, 'Number of condition occurrence records with invalid person_id', NULL, NULL, NULL, NULL, 0),
+        |(408, 'Number of condition occurrence records outside valid observation period', NULL, NULL, NULL, NULL, 0),
+        |(420, 'Number of condition occurrence records by condition occurrence start month', 'calendar_month', NULL, NULL, NULL, 0),
+        |(500, 'Number of persons with at least one death, by cause_concept_id', 'cause_concept_id', NULL, NULL, NULL, 0),
+        |(501, 'Number of death records, by cause_concept_id', 'cause_concept_id', NULL, NULL, NULL, 0),
+        |(502, 'Number of persons by death start month, by cause_concept_id', 'cause_concept_id', 'calendar_month', NULL, NULL, 0),
+        |(506, 'Distribution of age at death, by gender', 'gender_concept_id', NULL, NULL, NULL, 1),
+        |(600, 'Number of persons with at least one procedure occurrence, by procedure_concept_id', 'procedure_concept_id', NULL, NULL, NULL, 0),
+        |(601, 'Number of procedure occurrence records, by procedure_concept_id', 'procedure_concept_id', NULL, NULL, NULL, 0),
+        |(602, 'Number of persons by procedure occurrence start month, by procedure_concept_id', 'procedure_concept_id', 'calendar_month', NULL, NULL, 0),
+        |(603, 'Number of distinct procedure occurrence concepts per person', NULL, NULL, NULL, NULL, 1),
+        |(604, 'Number of persons with at least one procedure occurrence, by procedure_concept_id by calendar year by gender by age decile', 'procedure_concept_id', 'calendar_year', 'gender_concept_id', 'age_decile', 0),
+        |(605, 'Number of procedure occurrence records, by procedure_concept_id by procedure_type_concept_id', 'procedure_concept_id', 'procedure_type_concept_id', NULL, NULL, 0),
+        |(606, 'Distribution of age at first procedure occurrence, by procedure_concept_id', 'procedure_concept_id', NULL, NULL, NULL, 1),
+        |(607, 'Number of procedure occurrence records with invalid person_id', NULL, NULL, NULL, NULL, 0),
+        |(608, 'Number of procedure occurrence records outside valid observation period', NULL, NULL, NULL, NULL, 0),
+        |(620, 'Number of procedure occurrence records by procedure occurrence start month', 'calendar_month', NULL, NULL, NULL, 0),
+        |(700, 'Number of persons with at least one drug exposure, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 0),
+        |(701, 'Number of drug exposure records, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 0),
+        |(702, 'Number of persons by drug exposure start month, by drug_concept_id', 'drug_concept_id', 'calendar_month', NULL, NULL, 0),
+        |(703, 'Number of distinct drug exposure concepts per person', NULL, NULL, NULL, NULL, 1),
+        |(704, 'Number of persons with at least one drug exposure, by drug_concept_id by calendar year by gender by age decile', 'drug_concept_id', 'calendar_year', 'gender_concept_id', 'age_decile', 0),
+        |(705, 'Number of drug exposure records, by drug_concept_id by drug_type_concept_id', 'drug_concept_id', 'drug_type_concept_id', NULL, NULL, 0),
+        |(706, 'Distribution of age at first drug exposure, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 1),
+        |(707, 'Number of drug exposure records with invalid person_id', NULL, NULL, NULL, NULL, 0),
+        |(708, 'Number of drug exposure records outside valid observation period', NULL, NULL, NULL, NULL, 0),
+        |(709, 'Number of drug exposure records with end date < start date', NULL, NULL, NULL, NULL, 0),
+        |(720, 'Number of drug exposure records by drug exposure start month', 'calendar_month', NULL, NULL, NULL, 0),
+        |(800, 'Number of persons with at least one observation, by observation_concept_id', 'observation_concept_id', NULL, NULL, NULL, 0),
+        |(801, 'Number of observation records, by observation_concept_id', 'observation_concept_id', NULL, NULL, NULL, 0),
+        |(802, 'Number of persons by observation start month, by observation_concept_id', 'observation_concept_id', 'calendar_month', NULL, NULL, 0),
+        |(803, 'Number of distinct observation concepts per person', NULL, NULL, NULL, NULL, 1),
+        |(804, 'Number of persons with at least one observation, by observation_concept_id by calendar year by gender by age decile', 'observation_concept_id', 'calendar_year', 'gender_concept_id', 'age_decile', 0),
+        |(805, 'Number of observation records, by observation_concept_id by observation_type_concept_id', 'observation_concept_id', 'observation_type_concept_id', NULL, NULL, 0),
+        |(806, 'Distribution of age at first observation, by observation_concept_id', 'observation_concept_id', NULL, NULL, NULL, 1),
+        |(807, 'Number of observation records with invalid person_id', NULL, NULL, NULL, NULL, 0),
+        |(808, 'Number of observation records outside valid observation period', NULL, NULL, NULL, NULL, 0),
+        |(820, 'Number of observation records by observation start month', 'calendar_month', NULL, NULL, NULL, 0),
+        |(900, 'Number of persons with at least one drug era, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 0),
+        |(901, 'Number of drug era records, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 0),
+        |(902, 'Number of persons by drug era start month, by drug_concept_id', 'drug_concept_id', 'calendar_month', NULL, NULL, 0),
+        |(903, 'Number of distinct drug era concepts per person', NULL, NULL, NULL, NULL, 1),
+        |(904, 'Number of persons with at least one drug era, by drug_concept_id by calendar year by gender by age decile', 'drug_concept_id', 'calendar_year', 'gender_concept_id', 'age_decile', 0),
+        |(906, 'Distribution of age at first drug era, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 1),
+        |(907, 'Distribution of drug era length, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 1),
+        |(1000, 'Number of persons with at least one condition era, by condition_concept_id', 'condition_concept_id', NULL, NULL, NULL, 0),
+        |(1001, 'Number of condition era records, by condition_concept_id', 'condition_concept_id', NULL, NULL, NULL, 0),
+        |(1002, 'Number of persons by condition era start month, by condition_concept_id', 'condition_concept_id', 'calendar_month', NULL, NULL, 0),
+        |(1003, 'Number of distinct condition era concepts per person', NULL, NULL, NULL, NULL, 1),
+        |(1004, 'Number of persons with at least one condition era, by condition_concept_id by calendar year by gender by age decile', 'condition_concept_id', 'calendar_year', 'gender_concept_id', 'age_decile', 0),
+        |(1006, 'Distribution of age at first condition era, by condition_concept_id', 'condition_concept_id', NULL, NULL, NULL, 1),
+        |(1007, 'Distribution of condition era length, by condition_concept_id', 'condition_concept_id', NULL, NULL, NULL, 1),
+        |(1100, 'Number of persons by location 3-digit zip', 'zip3', NULL, NULL, NULL, 0),
+        |(1101, 'Number of persons by location state', 'state', NULL, NULL, NULL, 0),
+        |(1102, 'Number of care sites by location 3-digit zip', 'zip3', NULL, NULL, NULL, 0),
+        |(1103, 'Number of care sites by location state', 'state', NULL, NULL, NULL, 0),
+        |(1200, 'Number of persons by place of service', 'place_of_service_concept_id', NULL, NULL, NULL, 0),
+        |(1201, 'Number of visits by place of service', 'place_of_service_concept_id', NULL, NULL, NULL, 0),
+        |(1202, 'Number of care sites by place of service', 'place_of_service_concept_id', NULL, NULL, NULL, 0),
+        |(1408, 'Number of persons by length of first payer plan period, in 30d increments', 'length_30d', NULL, NULL, NULL, 0),
+        |(1409, 'Number of persons with continuous payer coverage in each year', 'calendar_year', NULL, NULL, NULL, 0),
+        |(1411, 'Number of persons by payer plan period start month', 'calendar_month', NULL, NULL, NULL, 0),
+        |(1412, 'Number of persons by payer plan period end month', 'calendar_month', NULL, NULL, NULL, 0),
+        |(1413, 'Number of persons by number of payer plan periods', 'num_periods', NULL, NULL, NULL, 0),
+        |(1500, 'Number of drug cost records with invalid drug exposure id', NULL, NULL, NULL, NULL, 0),
+        |(1502, 'Distribution of paid copay, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 1),
+        |(1503, 'Distribution of paid coinsurance, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 1),
+        |(1504, 'Distribution of paid toward deductible, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 1),
+        |(1505, 'Distribution of paid by payer, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 1),
+        |(1506, 'Distribution of paid by patient, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 1),
+        |(1507, 'Distribution of total paid, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 1),
+        |(1600, 'Number of procedure cost records with invalid procedure occurrence id', NULL, NULL, NULL, NULL, 0),
+        |(1602, 'Distribution of paid copay, by procedure_concept_id', 'procedure_concept_id', NULL, NULL, NULL, 1),
+        |(1603, 'Distribution of paid coinsurance, by procedure_concept_id', 'procedure_concept_id', NULL, NULL, NULL, 1),
+        |(1604, 'Distribution of paid toward deductible, by procedure_concept_id', 'procedure_concept_id', NULL, NULL, NULL, 1),
+        |(1605, 'Distribution of paid by payer, by procedure_concept_id', 'procedure_concept_id', NULL, NULL, NULL, 1),
+        |(1606, 'Distribution of paid by patient, by procedure_concept_id', 'procedure_concept_id', NULL, NULL, NULL, 1),
+        |(1607, 'Distribution of total paid, by procedure_concept_id', 'procedure_concept_id', NULL, NULL, NULL, 1),
+        |(1700, 'Number of records by cohort_definition_id', 'cohort_definition_id', NULL, NULL, NULL, 0),
+        |(1701, 'Number of distinct subjects by cohort_definition_id', 'cohort_definition_id', NULL, NULL, NULL, 0),
+        |(1800, 'Number of persons with at least one measurement, by measurement_concept_id', 'measurement_concept_id', NULL, NULL, NULL, 0),
+        |(1801, 'Number of measurement records, by measurement_concept_id', 'measurement_concept_id', NULL, NULL, NULL, 0),
+        |(1802, 'Number of persons by measurement start month, by measurement_concept_id', 'measurement_concept_id', 'calendar_month', NULL, NULL, 0),
+        |(1803, 'Number of distinct measurement concepts per person', NULL, NULL, NULL, NULL, 1),
+        |(1804, 'Number of persons with at least one measurement, by measurement_concept_id by calendar year by gender by age decile', 'measurement_concept_id', 'calendar_year', 'gender_concept_id', 'age_decile', 0),
+        |(1805, 'Number of measurement records, by measurement_concept_id by measurement_type_concept_id', 'measurement_concept_id', 'measurement_type_concept_id', NULL, NULL, 0),
+        |(1806, 'Distribution of age at first measurement, by measurement_concept_id', 'measurement_concept_id', NULL, NULL, NULL, 1),
+        |(1807, 'Number of measurement records with invalid person_id', NULL, NULL, NULL, NULL, 0),
+        |(1808, 'Number of measurement records outside valid observation period', NULL, NULL, NULL, NULL, 0),
+        |(1814, 'Number of measurement records with no value (numeric or concept)', NULL, NULL, NULL, NULL, 0),
+        |(1815, 'Distribution of numeric values, by measurement_concept_id and unit_concept_id', 'measurement_concept_id', 'unit_concept_id', NULL, NULL, 1),
+        |(1816, 'Distribution of low range, by measurement_concept_id and unit_concept_id', 'measurement_concept_id', 'unit_concept_id', NULL, NULL, 1),
+        |(1817, 'Distribution of high range, by measurement_concept_id and unit_concept_id', 'measurement_concept_id', 'unit_concept_id', NULL, NULL, 1),
+        |(1820, 'Number of measurement records by measurement start month', 'calendar_month', NULL, NULL, NULL, 0),
+        |(2000, 'Number of persons with at least 1 Dx and 1 Rx', NULL, NULL, NULL, NULL, 0),
+        |(2001, 'Number of persons with at least 1 Dx and 1 Proc', NULL, NULL, NULL, NULL, 0),
+        |(2002, 'Number of persons with at least 1 Mx and 1 Dx and 1 Rx', NULL, NULL, NULL, NULL, 0),
+        |(2100, 'Number of persons with at least one device exposure, by device_concept_id', 'device_concept_id', NULL, NULL, NULL, 0),
+        |(2101, 'Number of device exposure records, by device_concept_id', 'device_concept_id', NULL, NULL, NULL, 0),
+        |(2102, 'Number of persons by device exposure start month, by device_concept_id', 'device_concept_id', 'calendar_month', NULL, NULL, 0),
+        |(2103, 'Number of distinct device exposure concepts per person', NULL, NULL, NULL, NULL, 1),
+        |(2104, 'Number of persons with at least one device exposure, by device_concept_id by calendar year by gender by age decile', 'device_concept_id', 'calendar_year', 'gender_concept_id', 'age_decile', 0),
+        |(2105, 'Number of device exposure records, by device_concept_id by device_type_concept_id', 'device_concept_id', 'device_type_concept_id', NULL, NULL, 0),
+        |(2106, 'Distribution of age at first device exposure, by device_concept_id', 'device_concept_id', NULL, NULL, NULL, 1),
+        |(2107, 'Number of device exposure records with invalid person_id', NULL, NULL, NULL, NULL, 0),
+        |(2108, 'Number of device exposure records outside valid observation period', NULL, NULL, NULL, NULL, 0),
+        |(2120, 'Number of device exposure records by device exposure start month', 'calendar_month', NULL, NULL, NULL, 0),
+        |(2200, 'Number of persons with at least one note, by note_type_concept_id', 'note_type_concept_id', NULL, NULL, NULL, 0),
+        |(2201, 'Number of note records, by note_type_concept_id', 'note_type_concept_id', NULL, NULL, NULL, 0)
         |) AS t(analysis_id, analysis_name, stratum_1_name, stratum_2_name,
         |       stratum_3_name, stratum_4_name, distribution)
         |ORDER BY analysis_id""".stripMargin,

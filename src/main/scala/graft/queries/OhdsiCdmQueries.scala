@@ -43,6 +43,9 @@ object OhdsiCdmQueries {
     f("person", "year_of_birth", "int64"),
     f("person", "race_concept_id", "int64"),
     f("person", "ethnicity_concept_id", "int64"),
+    f("person", "provider_id", "int64"),
+    f("person", "location_id", "int64"),
+    f("person", "care_site_id", "int64"),
     f("observation_period", "person_id", "int64"),
     f("observation_period", "observation_period_start_date", "date"),
     f("observation_period", "observation_period_end_date", "date"),
@@ -52,6 +55,7 @@ object OhdsiCdmQueries {
     f("visit_occurrence", "visit_concept_id", "int64"),
     f("visit_occurrence", "visit_start_date", "date"),
     f("visit_occurrence", "visit_end_date", "date"),
+    f("visit_occurrence", "care_site_id", "int64"),
     f("condition_occurrence", "person_id", "int64"),
     f("condition_occurrence", "condition_concept_id", "int64"),
     f("condition_occurrence", "condition_start_date", "date"),
@@ -64,7 +68,10 @@ object OhdsiCdmQueries {
     f("measurement", "measurement_date", "date"),
     f("measurement", "measurement_type_concept_id", "int64"),
     f("measurement", "value_as_number", "float64"),
+    f("measurement", "value_as_concept_id", "int64"),
     f("measurement", "unit_concept_id", "int64"),
+    f("measurement", "range_low", "float64"),
+    f("measurement", "range_high", "float64"),
     f("procedure_occurrence", "procedure_occurrence_id", "int64", pk = true),
     f("procedure_occurrence", "person_id", "int64"),
     f("procedure_occurrence", "procedure_concept_id", "int64"),
@@ -99,7 +106,26 @@ object OhdsiCdmQueries {
     f("condition_era", "person_id", "int64"),
     f("condition_era", "condition_concept_id", "int64"),
     f("condition_era", "condition_era_start_date", "date"),
-    f("condition_era", "condition_era_end_date", "date")))
+    f("condition_era", "condition_era_end_date", "date"),
+    f("location", "location_id", "int64", pk = true),
+    f("location", "state", "string"),
+    f("location", "zip", "string"),
+    f("care_site", "care_site_id", "int64", pk = true),
+    f("care_site", "place_of_service_concept_id", "int64"),
+    f("care_site", "location_id", "int64"),
+    f("provider", "provider_id", "int64", pk = true),
+    f("provider", "specialty_concept_id", "int64"),
+    f("provider", "care_site_id", "int64"),
+    f("payer_plan_period", "person_id", "int64"),
+    f("payer_plan_period", "payer_plan_period_start_date", "date"),
+    f("payer_plan_period", "payer_plan_period_end_date", "date"),
+    f("cohort", "cohort_definition_id", "int64"),
+    f("cohort", "subject_id", "int64"),
+    f("cohort", "cohort_start_date", "date"),
+    f("cohort", "cohort_end_date", "date"),
+    f("note", "person_id", "int64"),
+    f("note", "note_type_concept_id", "int64"),
+    f("note", "note_date", "date")))
 
   /** Deterministic CDM derivation from the TPC-H universe. Every rule is a
     * pure projection/aggregation the DuckDB oracle replays verbatim:
@@ -109,15 +135,35 @@ object OhdsiCdmQueries {
     *    customer's first..last order date.
     *  - visit_occurrence: one per order; visit kind maps from order status.
     */
+  /** The care-network fk id spaces as one broadcastable 1x1 scalar frame:
+    * `__ns` = |supplier| (the provider / care_site key space), `__nl` =
+    * 4 x |nation| (the location key space). Data-dependent on purpose —
+    * the fk derivations stay mostly-valid at EVERY scale factor (a fixed
+    * modulus would orphan 90% of persons at sf0.001), with the deliberate
+    * orphan wrinkle added as `+1000000` on top of a valid id.
+    */
+  private def fkScalars(s: SparkSession, d: String): DataFrame =
+    broadcast(t(s, d, "supplier").agg(count(lit(1)).as("__ns"))
+      .crossJoin(t(s, d, "nation").agg((count(lit(1)) * 4).as("__nl"))))
+
   def derive(s: SparkSession, d: String)(table: String): DataFrame = table match {
     case "person" =>
-      t(s, d, "customer").select(
+      // care-network fks: valid ids modulo the (data-dependent) key space,
+      // with every ~53rd/59th/67th person deliberately orphaned so the
+      // 7/8/9 invalid-fk analyses count real rows
+      t(s, d, "customer").crossJoin(fkScalars(s, d)).select(
         col("c_custkey").as("person_id"),
         when(col("c_custkey") % 2 === 0, 8532L).otherwise(8507L).as("gender_concept_id"),
         (lit(1940L) + col("c_custkey") % 60).as("year_of_birth"),
         (lit(8516L) + col("c_custkey") % 3).as("race_concept_id"),
         when(col("c_custkey") % 2 === 0, 38003563L).otherwise(38003564L)
-          .as("ethnicity_concept_id"))
+          .as("ethnicity_concept_id"),
+        (when(col("c_custkey") % 53 === 0, 1000000L).otherwise(0L) +
+          lit(1L) + col("c_custkey") % col("__ns")).as("provider_id"),
+        (when(col("c_custkey") % 59 === 0, 1000000L).otherwise(0L) +
+          lit(1L) + (col("c_custkey") * 7) % col("__nl")).as("location_id"),
+        (when(col("c_custkey") % 67 === 0, 1000000L).otherwise(0L) +
+          lit(1L) + (col("c_custkey") * 11) % col("__ns")).as("care_site_id"))
     case "observation_period" =>
       // o_orderdate is parquet timestamp[ms]; both engines work in DATE so
       // every datediff/month/year below is coercion-free
@@ -129,7 +175,7 @@ object OhdsiCdmQueries {
     case "visit_occurrence" =>
       // every ~97th visit is an ORPHAN (person_id pushed out of the person
       // key space) so the x07 invalid-person analysis counts real rows
-      t(s, d, "orders").select(
+      t(s, d, "orders").crossJoin(fkScalars(s, d)).select(
         col("o_orderkey").as("visit_occurrence_id"),
         when(col("o_orderkey") % 97 === 0, col("o_custkey") + 100000000L)
           .otherwise(col("o_custkey")).as("person_id"),
@@ -142,7 +188,8 @@ object OhdsiCdmQueries {
         when(col("o_orderkey") % 101 === 0,
           date_sub(to_date(col("o_orderdate")), 2))
           .otherwise(date_add(to_date(col("o_orderdate")),
-            (col("o_orderkey") % 5).cast("int"))).as("visit_end_date"))
+            (col("o_orderkey") % 5).cast("int"))).as("visit_end_date"),
+        (lit(1L) + col("o_orderkey") % col("__ns")).as("care_site_id"))
     case "death" =>
       // one death per 11th person with orders: date anchored a few days
       // past the person's last order, cause from the SNOMED condition set
@@ -168,8 +215,17 @@ object OhdsiCdmQueries {
           to_date(col("l_shipdate")).as("measurement_date"),
           when(col("l_linestatus") === "O", 32817L).otherwise(32856L)
             .as("measurement_type_concept_id"),
-          col("l_quantity").cast("double").as("value_as_number"),
-          when(col("l_partkey") % 2 === 0, 8587L).otherwise(8576L).as("unit_concept_id"))
+          // every ~13th measurement carries NO numeric value and every ~5th
+          // a concept value ("Normal", 4069590) — the overlap where neither
+          // is present is what analysis 1814 counts
+          when(col("l_partkey") % 13 === 0, lit(null).cast("double"))
+            .otherwise(col("l_quantity").cast("double")).as("value_as_number"),
+          when(col("l_partkey") % 5 === 0, 4069590L).otherwise(lit(null).cast("long"))
+            .as("value_as_concept_id"),
+          when(col("l_partkey") % 2 === 0, 8587L).otherwise(8576L).as("unit_concept_id"),
+          // FLOOR-integral reference ranges (1816/1817 dists replay exactly)
+          floor(col("l_quantity") / 2).cast("double").as("range_low"),
+          floor(col("l_quantity") * 2).cast("double").as("range_high"))
     case "condition_occurrence" =>
       // one condition per order LINE: the multi-concept-per-person domain
       // the x03 (distinct concepts per person) and x05 (records by concept
@@ -297,6 +353,64 @@ object OhdsiCdmQueries {
           "condition_start_date", "condition_start_date", "condition")
         .select("person_id", "condition_concept_id",
           "condition_era_start_date", "condition_era_end_date")
+    case "location" =>
+      // four locations per nation: state = nation name, zip = a 3-digit
+      // prefix (what analyses 1100/1102 stratify on) padded to 5 digits
+      t(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name"),
+          explode(array((0 to 3).map(j => lit(j)): _*)).as("__j"))
+        .select(
+          (col("n_nationkey") * 4 + col("__j") + 1).as("location_id"),
+          col("n_name").as("state"),
+          concat(lpad(((col("n_nationkey") * 4 + col("__j")) * 37 % 1000)
+            .cast("string"), 3, "0"), lit("01")).as("zip"))
+    case "care_site" =>
+      // one care site per supplier; place-of-service from the public OMOP
+      // Visit vocabulary (8717 Inpatient Hospital / 8756 Outpatient
+      // Hospital / 8940 Office)
+      t(s, d, "supplier").crossJoin(fkScalars(s, d)).select(
+        col("s_suppkey").as("care_site_id"),
+        when(col("s_suppkey") % 3 === 0, 8717L)
+          .when(col("s_suppkey") % 3 === 1, 8756L)
+          .otherwise(8940L).as("place_of_service_concept_id"),
+        (lit(1L) + (col("s_suppkey") * 3) % col("__nl")).as("location_id"))
+    case "provider" =>
+      // one provider per supplier, practicing at their own care site;
+      // specialties from the contiguous public Medicare-specialty concept
+      // block starting at 38004446
+      t(s, d, "supplier").select(
+        col("s_suppkey").as("provider_id"),
+        (lit(38004446L) + col("s_suppkey") % 4).as("specialty_concept_id"),
+        col("s_suppkey").as("care_site_id"))
+    case "payer_plan_period" =>
+      // one coverage period per (person, order-year): first..last order
+      // date of the year plus a 30-day runout — gives the 1408-1413
+      // payer-coverage analyses real multi-period-per-person structure
+      t(s, d, "orders")
+        .groupBy(col("o_custkey").as("person_id"),
+          year(to_date(col("o_orderdate"))).as("__y"))
+        .agg(min(to_date(col("o_orderdate"))).as("payer_plan_period_start_date"),
+          max(to_date(col("o_orderdate"))).as("__mx"))
+        .select(col("person_id"), col("payer_plan_period_start_date"),
+          date_add(col("__mx"), 30).as("payer_plan_period_end_date"))
+    case "cohort" =>
+      // five cohorts keyed by order priority; 90-day membership windows
+      t(s, d, "orders").select(
+        when(col("o_orderpriority") === "1-URGENT", 1L)
+          .when(col("o_orderpriority") === "2-HIGH", 2L)
+          .when(col("o_orderpriority") === "3-MEDIUM", 3L)
+          .when(col("o_orderpriority") === "4-NOT SPECIFIED", 4L)
+          .otherwise(5L).as("cohort_definition_id"),
+        col("o_custkey").as("subject_id"),
+        to_date(col("o_orderdate")).as("cohort_start_date"),
+        date_add(to_date(col("o_orderdate")), 90).as("cohort_end_date"))
+    case "note" =>
+      // one clinical note per ~7th order; types from the public OMOP Note
+      // Type concept block starting at 44814637
+      t(s, d, "orders").filter(col("o_orderkey") % 7 === 0).select(
+        col("o_custkey").as("person_id"),
+        (lit(44814637L) + col("o_orderkey") % 3).as("note_type_concept_id"),
+        to_date(col("o_orderdate")).as("note_date"))
     case other => sys.error(s"derived CDM has no table '$other'")
   }
 
@@ -311,7 +425,13 @@ object OhdsiCdmQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Unit]
   def materialized(s: SparkSession, d: String): String => DataFrame = {
     val key = graft.io.Zones.pathKey(d)
-    val zones = graft.io.Zones.forPurpose(s"ohdsicdm_$key")
+    // the purpose carries a schema VERSION: bumping it on any change to an
+    // existing table's derivation (not just on new tables — the staged-set
+    // check below only adds missing tables) invalidates warm zones left by
+    // older code instead of silently serving the old schema. v2: the
+    // care-network tier (person/visit fk columns, measurement value/range
+    // columns, six new tables)
+    val zones = graft.io.Zones.forPurpose(s"ohdsicdm2_$key")
     cdmStore.getOrElseUpdate((s, d), {
       val staged = zones.listTables(s, "omop").toSet
       derivedModel.tables.filterNot(staged)
@@ -406,7 +526,13 @@ object OhdsiCdmQueries {
       |    CASE WHEN c_custkey % 2 = 0 THEN 8532 ELSE 8507 END AS gender_concept_id,
       |    1940 + c_custkey % 60 AS year_of_birth,
       |    8516 + c_custkey % 3 AS race_concept_id,
-      |    CASE WHEN c_custkey % 2 = 0 THEN 38003563 ELSE 38003564 END AS ethnicity_concept_id
+      |    CASE WHEN c_custkey % 2 = 0 THEN 38003563 ELSE 38003564 END AS ethnicity_concept_id,
+      |    CASE WHEN c_custkey % 53 = 0 THEN 1000000 ELSE 0 END
+      |      + 1 + c_custkey % (SELECT count(*) FROM supplier) AS provider_id,
+      |    CASE WHEN c_custkey % 59 = 0 THEN 1000000 ELSE 0 END
+      |      + 1 + (c_custkey * 7) % (SELECT 4 * count(*) FROM nation) AS location_id,
+      |    CASE WHEN c_custkey % 67 = 0 THEN 1000000 ELSE 0 END
+      |      + 1 + (c_custkey * 11) % (SELECT count(*) FROM supplier) AS care_site_id
       |  FROM customer
       |), obs AS (
       |  SELECT o_custkey AS person_id,
@@ -424,7 +550,8 @@ object OhdsiCdmQueries {
       |    CAST(o_orderdate AS DATE) AS visit_start_date,
       |    CASE WHEN o_orderkey % 101 = 0 THEN CAST(o_orderdate AS DATE) - 2
       |      ELSE CAST(o_orderdate AS DATE) + CAST(o_orderkey % 5 AS INT) END
-      |      AS visit_end_date
+      |      AS visit_end_date,
+      |    1 + o_orderkey % (SELECT count(*) FROM supplier) AS care_site_id
       |  FROM orders
       |), death AS (
       |  SELECT person_id,
@@ -441,8 +568,13 @@ object OhdsiCdmQueries {
       |    CAST(l_shipdate AS DATE) AS measurement_date,
       |    CASE l_linestatus WHEN 'O' THEN 32817 ELSE 32856 END
       |      AS measurement_type_concept_id,
-      |    CAST(l_quantity AS DOUBLE) AS value_as_number,
-      |    CASE WHEN l_partkey % 2 = 0 THEN 8587 ELSE 8576 END AS unit_concept_id
+      |    CASE WHEN l_partkey % 13 = 0 THEN NULL
+      |      ELSE CAST(l_quantity AS DOUBLE) END AS value_as_number,
+      |    CASE WHEN l_partkey % 5 = 0 THEN 4069590 ELSE NULL END
+      |      AS value_as_concept_id,
+      |    CASE WHEN l_partkey % 2 = 0 THEN 8587 ELSE 8576 END AS unit_concept_id,
+      |    floor(l_quantity / 2) AS range_low,
+      |    floor(l_quantity * 2) AS range_high
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |), cond AS (
       |  SELECT o_custkey AS person_id,
@@ -550,6 +682,41 @@ object OhdsiCdmQueries {
       |    floor(l_extendedprice / 2) + floor(l_extendedprice / 100)
       |      + floor(l_extendedprice / 50) + floor(l_extendedprice / 20) AS total_paid
       |  FROM lineitem
+      |), loc AS (
+      |  SELECT n_nationkey * 4 + j + 1 AS location_id, n_name AS state,
+      |    lpad(CAST((n_nationkey * 4 + j) * 37 % 1000 AS VARCHAR), 3, '0') || '01'
+      |      AS zip
+      |  FROM nation, (SELECT unnest([0, 1, 2, 3]) AS j)
+      |), care_site AS (
+      |  SELECT s_suppkey AS care_site_id,
+      |    CASE CAST(s_suppkey % 3 AS INT)
+      |      WHEN 0 THEN 8717 WHEN 1 THEN 8756 ELSE 8940 END
+      |      AS place_of_service_concept_id,
+      |    1 + (s_suppkey * 3) % (SELECT 4 * count(*) FROM nation) AS location_id
+      |  FROM supplier
+      |), prov AS (
+      |  SELECT s_suppkey AS provider_id,
+      |    38004446 + s_suppkey % 4 AS specialty_concept_id,
+      |    s_suppkey AS care_site_id
+      |  FROM supplier
+      |), ppp AS (
+      |  SELECT o_custkey AS person_id,
+      |    min(CAST(o_orderdate AS DATE)) AS pp_start,
+      |    max(CAST(o_orderdate AS DATE)) + 30 AS pp_end
+      |  FROM orders GROUP BY o_custkey, year(CAST(o_orderdate AS DATE))
+      |), cohort AS (
+      |  SELECT CASE o_orderpriority
+      |      WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2 WHEN '3-MEDIUM' THEN 3
+      |      WHEN '4-NOT SPECIFIED' THEN 4 ELSE 5 END AS cohort_definition_id,
+      |    o_custkey AS subject_id,
+      |    CAST(o_orderdate AS DATE) AS cohort_start_date,
+      |    CAST(o_orderdate AS DATE) + 90 AS cohort_end_date
+      |  FROM orders
+      |), note AS (
+      |  SELECT o_custkey AS person_id,
+      |    44814637 + o_orderkey % 3 AS note_type_concept_id,
+      |    CAST(o_orderdate AS DATE) AS note_date
+      |  FROM orders WHERE o_orderkey % 7 = 0
       |), first_obs AS (
       |  -- one period per person in this universe, so the "first period"
       |  -- of analyses 101-108 is the period itself
@@ -840,6 +1007,97 @@ object OhdsiCdmQueries {
       |  SELECT 1600, 'ALL', NULL, count(*) FROM cost
       |  WHERE cost_domain_id = 'Procedure'
       |    AND cost_event_id NOT IN (SELECT procedure_occurrence_id FROM proc)
+      |  UNION ALL
+      |  SELECT 7, 'ALL', NULL, count(*) FROM person
+      |  WHERE provider_id NOT IN (SELECT provider_id FROM prov)
+      |  UNION ALL
+      |  SELECT 8, 'ALL', NULL, count(*) FROM person
+      |  WHERE location_id NOT IN (SELECT location_id FROM loc)
+      |  UNION ALL
+      |  SELECT 9, 'ALL', NULL, count(*) FROM person
+      |  WHERE care_site_id NOT IN (SELECT care_site_id FROM care_site)
+      |  UNION ALL
+      |  SELECT 300, 'ALL', NULL, count(*) FROM prov
+      |  UNION ALL
+      |  SELECT 301, CAST(specialty_concept_id AS VARCHAR), NULL, count(*)
+      |  FROM prov GROUP BY 2
+      |  UNION ALL
+      |  SELECT 1100, substr(zip, 1, 3), NULL, count(*)
+      |  FROM person JOIN loc USING (location_id) GROUP BY 2
+      |  UNION ALL
+      |  SELECT 1101, state, NULL, count(*)
+      |  FROM person JOIN loc USING (location_id) GROUP BY 2
+      |  UNION ALL
+      |  SELECT 1102, substr(zip, 1, 3), NULL, count(*)
+      |  FROM care_site JOIN loc USING (location_id) GROUP BY 2
+      |  UNION ALL
+      |  SELECT 1103, state, NULL, count(*)
+      |  FROM care_site JOIN loc USING (location_id) GROUP BY 2
+      |  UNION ALL
+      |  SELECT 1200, CAST(place_of_service_concept_id AS VARCHAR), NULL, count(*)
+      |  FROM person JOIN care_site USING (care_site_id) GROUP BY 2
+      |  UNION ALL
+      |  SELECT 1201, CAST(place_of_service_concept_id AS VARCHAR), NULL, count(*)
+      |  FROM visit JOIN care_site USING (care_site_id) GROUP BY 2
+      |  UNION ALL
+      |  SELECT 1202, CAST(place_of_service_concept_id AS VARCHAR), NULL, count(*)
+      |  FROM care_site GROUP BY 2
+      |  UNION ALL
+      |  SELECT 1408,
+      |    CAST(CAST(floor(datediff('day', pp_start, pp_end) / 30) AS BIGINT) AS VARCHAR),
+      |    NULL, count(*)
+      |  FROM (
+      |    SELECT person_id, min(pp_start) AS pp_start,
+      |      min_by(pp_end, pp_start) AS pp_end
+      |    FROM ppp GROUP BY person_id
+      |  ) GROUP BY 2
+      |  UNION ALL
+      |  SELECT 1409, CAST(y AS VARCHAR), NULL, count(DISTINCT person_id) FROM (
+      |    SELECT person_id, pp_start, pp_end,
+      |      unnest(generate_series(year(pp_start), year(pp_end))) AS y
+      |    FROM ppp
+      |  ) WHERE pp_start <= make_date(y, 1, 1) AND pp_end >= make_date(y, 12, 31)
+      |  GROUP BY 2
+      |  UNION ALL
+      |  SELECT 1411, strftime(pp_start, '%Y%m'), NULL, count(DISTINCT person_id)
+      |  FROM ppp GROUP BY 2
+      |  UNION ALL
+      |  SELECT 1412, strftime(pp_end, '%Y%m'), NULL, count(DISTINCT person_id)
+      |  FROM ppp GROUP BY 2
+      |  UNION ALL
+      |  SELECT 1413, CAST(n AS VARCHAR), NULL, count(*) FROM (
+      |    SELECT person_id, count(*) AS n FROM ppp GROUP BY 1
+      |  ) GROUP BY 2
+      |  UNION ALL
+      |  SELECT 1700, CAST(cohort_definition_id AS VARCHAR), NULL, count(*)
+      |  FROM cohort GROUP BY 2
+      |  UNION ALL
+      |  SELECT 1701, CAST(cohort_definition_id AS VARCHAR), NULL,
+      |    count(DISTINCT subject_id)
+      |  FROM cohort GROUP BY 2
+      |  UNION ALL
+      |  SELECT 1814, 'ALL', NULL, count(*) FROM meas
+      |  WHERE value_as_number IS NULL AND value_as_concept_id IS NULL
+      |  UNION ALL
+      |  SELECT 2000, 'ALL', NULL, count(*)
+      |  FROM (SELECT DISTINCT person_id FROM cond)
+      |  JOIN (SELECT DISTINCT person_id FROM drug) USING (person_id)
+      |  UNION ALL
+      |  SELECT 2001, 'ALL', NULL, count(*)
+      |  FROM (SELECT DISTINCT person_id FROM cond)
+      |  JOIN (SELECT DISTINCT person_id FROM proc) USING (person_id)
+      |  UNION ALL
+      |  SELECT 2002, 'ALL', NULL, count(*)
+      |  FROM (SELECT DISTINCT person_id FROM meas)
+      |  JOIN (SELECT DISTINCT person_id FROM cond) USING (person_id)
+      |  JOIN (SELECT DISTINCT person_id FROM drug) USING (person_id)
+      |  UNION ALL
+      |  SELECT 2200, CAST(note_type_concept_id AS VARCHAR), NULL,
+      |    count(DISTINCT person_id)
+      |  FROM note GROUP BY 2
+      |  UNION ALL
+      |  SELECT 2201, CAST(note_type_concept_id AS VARCHAR), NULL, count(*)
+      |  FROM note GROUP BY 2
       |), results5 AS (
       |  SELECT analysis_id, stratum_1, stratum_2,
       |    CAST(NULL AS VARCHAR) AS stratum_3, CAST(NULL AS VARCHAR) AS stratum_4,
@@ -984,6 +1242,14 @@ object OhdsiCdmQueries {
       |  SELECT 1815, CAST(measurement_concept_id AS VARCHAR),
       |    CAST(unit_concept_id AS VARCHAR), value_as_number
       |  FROM meas WHERE value_as_number IS NOT NULL
+      |  UNION ALL
+      |  SELECT 1816, CAST(measurement_concept_id AS VARCHAR),
+      |    CAST(unit_concept_id AS VARCHAR), range_low
+      |  FROM meas WHERE range_low IS NOT NULL
+      |  UNION ALL
+      |  SELECT 1817, CAST(measurement_concept_id AS VARCHAR),
+      |    CAST(unit_concept_id AS VARCHAR), range_high
+      |  FROM meas WHERE range_high IS NOT NULL
       |  UNION ALL
       |  SELECT 603, 'ALL', NULL, CAST(n AS DOUBLE) FROM (
       |    SELECT person_id, count(DISTINCT procedure_concept_id) AS n

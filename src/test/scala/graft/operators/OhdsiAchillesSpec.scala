@@ -66,13 +66,17 @@ class OhdsiAchillesSpec extends SparkSpec {
 
   test("analysisCatalog carries the literal core id set") {
     val cat = OhdsiAchilles.analysisCatalog(spark).collect()
-    assert(cat.length === 129)
+    assert(cat.length === 156)
     val ids = cat.map(_.getLong(0))
     assert(ids.sorted.toSeq === ids.toSeq) // ordered by analysis_id
     for (core <- Seq(1L, 2L, 101L, 105L, 108L, 109L, 110L, 111L, 114L, 115L,
         117L, 119L, 201L, 202L, 204L, 207L, 220L, 401L, 402L, 404L, 405L, 407L,
         420L, 701L, 704L, 705L, 707L, 720L, 904L, 1004L, 1801L, 1802L, 1804L,
-        1807L, 1820L, 2105L, 2107L, 2120L))
+        1807L, 1820L, 2105L, 2107L, 2120L,
+        // the care-network tier
+        7L, 8L, 9L, 300L, 301L, 1100L, 1101L, 1102L, 1103L, 1200L, 1201L,
+        1202L, 1408L, 1409L, 1411L, 1412L, 1413L, 1700L, 1701L, 1814L,
+        2000L, 2001L, 2002L, 2200L, 2201L))
       assert(ids.contains(core), s"missing core id $core")
     // x04 carries the published four strata names
     val a404 = cat.find(_.getLong(0) == 404L).get
@@ -88,7 +92,7 @@ class OhdsiAchillesSpec extends SparkSpec {
     assert(dists === Set(103L, 104L, 105L, 106L, 107L,
       203L, 403L, 603L, 703L, 803L, 903L, 1003L, 1803L, 2103L,
       206L, 406L, 606L, 706L, 806L, 906L, 1006L, 1806L, 2106L,
-      211L, 506L, 907L, 1007L, 1815L) ++
+      211L, 506L, 907L, 1007L, 1815L, 1816L, 1817L) ++
       // the cost amount dist blocks (1502-1507 drug, 1602-1607 procedure)
       (2L to 7L).flatMap(off => Seq(1500L + off, 1600L + off)).toSet)
   }

@@ -27,13 +27,14 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("the fused ohdsi batteries stay near two passes per domain table") {
-    // 129 analyses ride ~70 exchanges (two grouping-sets passes per domain
-    // table + the fixed person/obs-period/cost branches) — the unfused
-    // one-scan-per-analysis shape costs 150+. The caps (measured + ~20%
+    // 156 analyses ride ~100 exchanges (two grouping-sets passes per domain
+    // table + the fixed person/obs-period/cost branches + the care-network
+    // tier's ~15 small-dimension aggregates) — the unfused
+    // one-scan-per-analysis shape costs 180+. The caps (measured + ~10%
     // margin) fail if an analysis family falls out of its shared pass.
     val pc = plan("ohdsi_core_counts")
     val cx = pc.linesIterator.count(_.contains("- Exchange"))
-    assert(cx <= 85, s"ohdsi_core_counts exchanges grew to $cx — a family left its fused pass")
+    assert(cx <= 110, s"ohdsi_core_counts exchanges grew to $cx — a family left its fused pass")
     val pd = plan("ohdsi_core_dist")
     val dx = pd.linesIterator.count(_.contains("- Exchange"))
     assert(dx <= 78, s"ohdsi_core_dist exchanges grew to $dx")
