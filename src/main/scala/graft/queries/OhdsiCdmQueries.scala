@@ -434,8 +434,24 @@ object OhdsiCdmQueries {
     val zones = graft.io.Zones.forPurpose(s"ohdsicdm2_$key")
     cdmStore.getOrElseUpdate((s, d), {
       val staged = zones.listTables(s, "omop").toSet
-      derivedModel.tables.filterNot(staged)
-        .foreach(tb => zones.write(derive(s, d)(tb), "omop", tb))
+      val todo = derivedModel.tables.filterNot(staged).toSeq
+      if (todo.nonEmpty) {
+        // the table derivations are independent of one another (the era
+        // tables re-derive their source inline), so the writes launch as
+        // CONCURRENT Spark jobs on the shared session — same pattern as
+        // EtlRunner's per-table gates. Sequential staging left local[32]
+        // mostly idle per job (~16 s of the cold battery's wall at sf0.1);
+        // a bounded pool overlaps the scans
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(8, todo.size))
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        try scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(todo.map(tb =>
+            scala.concurrent.Future(zones.write(derive(s, d)(tb), "omop", tb)))),
+          scala.concurrent.duration.Duration.Inf)
+        finally pool.shutdown()
+      }
     })
     tb => zones.read(s, "omop", tb)
   }
