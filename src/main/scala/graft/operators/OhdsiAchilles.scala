@@ -235,6 +235,8 @@ object OhdsiAchilles {
         "length_30d"),
       CoreAnalysis(1409L, "Number of persons with continuous payer coverage in each year",
         "calendar_year"),
+      CoreAnalysis(1410L, "Number of persons with continuous payer coverage in each month",
+        "calendar_month"),
       CoreAnalysis(1411L, "Number of persons by payer plan period start month",
         "calendar_month"),
       CoreAnalysis(1412L, "Number of persons by payer plan period end month",
@@ -246,6 +248,8 @@ object OhdsiAchilles {
       CoreAnalysis(1701L, "Number of distinct subjects by cohort_definition_id",
         "cohort_definition_id"),
       CoreAnalysis(1814L, "Number of measurement records with no value (numeric or concept)"),
+      CoreAnalysis(1818L, "Number of measurement records with a value below the normal range"),
+      CoreAnalysis(1819L, "Number of measurement records with a value above the normal range"),
       CoreAnalysis(1816L,
         "Distribution of low range, by measurement_concept_id and unit_concept_id",
         "measurement_concept_id", "unit_concept_id", isDist = true),
@@ -749,6 +753,19 @@ object OhdsiAchilles {
             .groupBy(col("__y").cast("string").as("stratum_1"))
             .agg(countDistinct(col("person_id")).as("count_value"))
             .select(lit(1409L).as("analysis_id"), col("stratum_1"), nullS2,
+              col("count_value")),
+          // 1410: continuous coverage each MONTH (the 110 mirror) —
+          // whole-month cover predicate over the month explode
+          pp.select(col("person_id"),
+              explode(sequence(trunc(col("payer_plan_period_start_date"), "MM"),
+                trunc(col("payer_plan_period_end_date"), "MM"),
+                expr("interval 1 month"))).as("__m"),
+              col("payer_plan_period_start_date").as("__s"),
+              col("payer_plan_period_end_date").as("__e"))
+            .filter(col("__s") <= col("__m") && col("__e") >= last_day(col("__m")))
+            .groupBy(date_format(col("__m"), "yyyyMM").as("stratum_1"))
+            .agg(countDistinct(col("person_id")).as("count_value"))
+            .select(lit(1410L).as("analysis_id"), col("stratum_1"), nullS2,
               col("count_value")))
       }
 
@@ -766,15 +783,31 @@ object OhdsiAchilles {
             lit(null).cast("string").as("stratum_2"), col("__subj").as("count_value"))))
           .as("__r"))))
 
-    // 1814: measurement records carrying NEITHER a numeric nor a concept
-    // value (the published no-value data-quality count)
+    // 1814/1818/1819: measurement value checks — no value at all, value
+    // below the low range, value above the high range — fused into ONE
+    // measurement scan (three conditional sums, rows exploded from the
+    // single global row)
     val measNoValue: Seq[DataFrame] =
       if (!has(model, "measurement", "value_as_number", "value_as_concept_id")) Nil
-      else Seq(load("measurement")
-        .filter(col("value_as_number").isNull && col("value_as_concept_id").isNull)
-        .agg(count(lit(1)).as("count_value"))
-        .select(lit(1814L).as("analysis_id"), lit("ALL").as("stratum_1"), nullS2,
-          col("count_value")))
+      else {
+        val hasRange = has(model, "measurement", "range_low", "range_high")
+        val sums = Seq(
+          sum(when(col("value_as_number").isNull && col("value_as_concept_id").isNull,
+            1L).otherwise(0L)).as("__s14")) ++
+          (if (hasRange) Seq(
+            sum(when(col("value_as_number") < col("range_low"), 1L).otherwise(0L))
+              .as("__s18"),
+            sum(when(col("value_as_number") > col("range_high"), 1L).otherwise(0L))
+              .as("__s19"))
+          else Nil)
+        val structs = (Seq(1814L -> "__s14") ++
+          (if (hasRange) Seq(1818L -> "__s18", 1819L -> "__s19") else Nil))
+          .map { case (id, c) =>
+            struct(lit(id).as("analysis_id"), lit("ALL").as("stratum_1"),
+              lit(null).cast("string").as("stratum_2"), col(c).as("count_value")) }
+        Seq(unpack(load("measurement").agg(sums.head, sums.tail: _*)
+          .select(explode(array(structs: _*)).as("__r"))))
+      }
 
     // 2000/2001/2002: persons present in multiple domains (the Achilles
     // treemap counts) — ONE union of the four domains' person ids and ONE
@@ -967,27 +1000,23 @@ object OhdsiAchilles {
         parts += stratHist(dur, id, col(d.concept))
       }
     }
-    // 1815: numeric measurement values by (concept, unit) — the two-strata
-    // family Ares' value-distribution panels read
+    // 1815/1816/1817: numeric values and reference low/high ranges by
+    // (concept, unit) — the two-strata family Ares' value-distribution
+    // panels read. All available columns unpivot in ONE measurement scan
+    // (analysis id = 1815 + column index; the null filter drops the
+    // no-value rows from 1815 exactly as the standalone formulation did)
     if (has(model, "measurement", "measurement_concept_id", "unit_concept_id",
         "value_as_number")) {
-      val vals = load("measurement")
-        .filter(col("value_as_number").isNotNull)
-        .select(col("measurement_concept_id"), col("unit_concept_id"),
-          col("value_as_number").cast("double").as("__v"))
-      parts += stratHist2(vals, 1815L, col("measurement_concept_id"), col("unit_concept_id"))
-    }
-    // 1816/1817: reference low/high ranges by (concept, unit) — the two
-    // range columns unpivoted in ONE scan (analysis id = 1816 + index)
-    if (has(model, "measurement", "measurement_concept_id", "unit_concept_id",
-        "range_low", "range_high")) {
+      val valueCols = col("value_as_number") +:
+        (if (has(model, "measurement", "range_low", "range_high"))
+          Seq(col("range_low"), col("range_high"))
+        else Nil)
       parts += load("measurement")
         .select(col("measurement_concept_id").cast("string").as("stratum_1"),
           col("unit_concept_id").cast("string").as("stratum_2"),
-          posexplode(array(col("range_low").cast("double"),
-            col("range_high").cast("double"))).as(Seq("__i", "__v")))
+          posexplode(array(valueCols.map(_.cast("double")): _*)).as(Seq("__i", "__v")))
         .filter(col("__v").isNotNull)
-        .groupBy((lit(1816L) + col("__i").cast("long")).as("analysis_id"),
+        .groupBy((lit(1815L) + col("__i").cast("long")).as("analysis_id"),
           col("stratum_1"), col("stratum_2"), col("__v"))
         .agg(count(lit(1)).as("__cnt"))
     }

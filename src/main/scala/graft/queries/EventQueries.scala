@@ -677,6 +677,7 @@ object EventQueries {
         |(1202, 'Number of care sites by place of service', 'place_of_service_concept_id', NULL, NULL, NULL, 0),
         |(1408, 'Number of persons by length of first payer plan period, in 30d increments', 'length_30d', NULL, NULL, NULL, 0),
         |(1409, 'Number of persons with continuous payer coverage in each year', 'calendar_year', NULL, NULL, NULL, 0),
+        |(1410, 'Number of persons with continuous payer coverage in each month', 'calendar_month', NULL, NULL, NULL, 0),
         |(1411, 'Number of persons by payer plan period start month', 'calendar_month', NULL, NULL, NULL, 0),
         |(1412, 'Number of persons by payer plan period end month', 'calendar_month', NULL, NULL, NULL, 0),
         |(1413, 'Number of persons by number of payer plan periods', 'num_periods', NULL, NULL, NULL, 0),
@@ -709,6 +710,8 @@ object EventQueries {
         |(1815, 'Distribution of numeric values, by measurement_concept_id and unit_concept_id', 'measurement_concept_id', 'unit_concept_id', NULL, NULL, 1),
         |(1816, 'Distribution of low range, by measurement_concept_id and unit_concept_id', 'measurement_concept_id', 'unit_concept_id', NULL, NULL, 1),
         |(1817, 'Distribution of high range, by measurement_concept_id and unit_concept_id', 'measurement_concept_id', 'unit_concept_id', NULL, NULL, 1),
+        |(1818, 'Number of measurement records with a value below the normal range', NULL, NULL, NULL, NULL, 0),
+        |(1819, 'Number of measurement records with a value above the normal range', NULL, NULL, NULL, NULL, 0),
         |(1820, 'Number of measurement records by measurement start month', 'calendar_month', NULL, NULL, NULL, 0),
         |(2000, 'Number of persons with at least 1 Dx and 1 Rx', NULL, NULL, NULL, NULL, 0),
         |(2001, 'Number of persons with at least 1 Dx and 1 Proc', NULL, NULL, NULL, NULL, 0),

@@ -68,6 +68,29 @@ object LlmQueries {
     DedupOps.scrubDuplicatedSpans(t(s, d, "documents"), "doc_id", "text", w = 5, minTokens = 10)
       .orderBy("doc_id")
 
+  /** Trainable quality classifier (CCNet-style linear filter): full-batch
+    * GD over six bounded text features, label = the hand-crafted quality
+    * heuristic distilled into the model — one codegen'd aggregate per
+    * step, weights-only driver state ([[ClassifyOps]]).
+    */
+  val qualityLrTrain: Q = (s, d) =>
+    ClassifyOps.qualityLrWeights(t(s, d, "documents"), "text",
+      ClassifyOps.label(col("text")), s)
+
+  /** Serving side of the trained classifier: score the corpus and keep the
+    * top 50 (TakeOrdered, id tiebreak).
+    */
+  val qualityLrTopk: Q = (s, d) =>
+    ClassifyOps.qualityLrTopK(t(s, d, "documents"), "doc_id", "text",
+      ClassifyOps.label(col("text")), 50)
+
+  /** Convergence report for the trained classifier: docs / positive rate /
+    * train accuracy (~98% at sf0.01 — the distillation demonstrably fits).
+    */
+  val qualityLrEval: Q = (s, d) =>
+    ClassifyOps.qualityLrEval(t(s, d, "documents"), "text",
+      ClassifyOps.label(col("text")))
+
   // A dedup stage materializes its cluster map ONCE and every downstream
   // consumer (the cluster report, the survivor filter) reads the stored
   // table — the iterative component computation is far too expensive to
@@ -755,6 +778,9 @@ object LlmQueries {
     "dedup_jaccard_pairs" -> dedupJaccardPairs,
     "dedup_substring_spans" -> dedupSubstringSpans,
     "dedup_substring_scrub" -> dedupSubstringScrub,
+    "quality_lr_train" -> qualityLrTrain,
+    "quality_lr_topk" -> qualityLrTopk,
+    "quality_lr_eval" -> qualityLrEval,
     "dedup_cluster_components" -> dedupClusterComponents,
     "dedup_cluster_survivors" -> dedupClusterSurvivors,
     "dedup_cluster_best" -> dedupClusterBest,
@@ -1086,6 +1112,12 @@ object LlmQueries {
          |SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
          |  COALESCE(r.n_kept, 0) AS n_kept, COALESCE(r.scrubbed, '') AS scrubbed
          |FROM toks t LEFT JOIN reb r USING (doc_id) ORDER BY t.doc_id""".stripMargin,
+    // the LR oracles REPLAY the whole quantized training loop in SQL —
+    // generated from the same feature list / constants as the Spark side
+    "quality_lr_train" -> ClassifyOps.oracleWeightsSql(ClassifyOps.oracleLabelSql),
+    "quality_lr_topk" ->
+      ClassifyOps.oracleTopKSql(ClassifyOps.oracleLabelSql, "doc_id", 50),
+    "quality_lr_eval" -> ClassifyOps.oracleEvalSql(ClassifyOps.oracleLabelSql),
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, count(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,

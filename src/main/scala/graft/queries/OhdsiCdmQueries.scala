@@ -223,9 +223,14 @@ object OhdsiCdmQueries {
           when(col("l_partkey") % 5 === 0, 4069590L).otherwise(lit(null).cast("long"))
             .as("value_as_concept_id"),
           when(col("l_partkey") % 2 === 0, 8587L).otherwise(8576L).as("unit_concept_id"),
-          // FLOOR-integral reference ranges (1816/1817 dists replay exactly)
-          floor(col("l_quantity") / 2).cast("double").as("range_low"),
-          floor(col("l_quantity") * 2).cast("double").as("range_high"))
+          // FLOOR-integral reference ranges (1816/1817 dists replay
+          // exactly); every ~11th row's low bound sits ABOVE its value and
+          // every ~17th row's high bound BELOW it, so the 1818/1819
+          // out-of-range counts are non-vacuous
+          when(col("l_partkey") % 11 === 0, floor(col("l_quantity")) + 5)
+            .otherwise(floor(col("l_quantity") / 2)).cast("double").as("range_low"),
+          when(col("l_partkey") % 17 === 0, floor(col("l_quantity") / 4))
+            .otherwise(floor(col("l_quantity") * 2)).cast("double").as("range_high"))
     case "condition_occurrence" =>
       // one condition per order LINE: the multi-concept-per-person domain
       // the x03 (distinct concepts per person) and x05 (records by concept
@@ -589,8 +594,10 @@ object OhdsiCdmQueries {
       |    CASE WHEN l_partkey % 5 = 0 THEN 4069590 ELSE NULL END
       |      AS value_as_concept_id,
       |    CASE WHEN l_partkey % 2 = 0 THEN 8587 ELSE 8576 END AS unit_concept_id,
-      |    floor(l_quantity / 2) AS range_low,
-      |    floor(l_quantity * 2) AS range_high
+      |    CASE WHEN l_partkey % 11 = 0 THEN floor(l_quantity) + 5
+      |      ELSE floor(l_quantity / 2) END AS range_low,
+      |    CASE WHEN l_partkey % 17 = 0 THEN floor(l_quantity / 4)
+      |      ELSE floor(l_quantity * 2) END AS range_high
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |), cond AS (
       |  SELECT o_custkey AS person_id,
@@ -1075,6 +1082,16 @@ object OhdsiCdmQueries {
       |  ) WHERE pp_start <= make_date(y, 1, 1) AND pp_end >= make_date(y, 12, 31)
       |  GROUP BY 2
       |  UNION ALL
+      |  SELECT 1410, strftime(m, '%Y%m'), NULL, count(DISTINCT person_id) FROM (
+      |    SELECT person_id, pp_start, pp_end,
+      |      unnest(generate_series(
+      |        CAST(date_trunc('month', pp_start) AS DATE),
+      |        CAST(date_trunc('month', pp_end) AS DATE),
+      |        INTERVAL 1 MONTH)) AS m
+      |    FROM ppp
+      |  ) WHERE pp_start <= m AND pp_end >= last_day(CAST(m AS DATE))
+      |  GROUP BY 2
+      |  UNION ALL
       |  SELECT 1411, strftime(pp_start, '%Y%m'), NULL, count(DISTINCT person_id)
       |  FROM ppp GROUP BY 2
       |  UNION ALL
@@ -1094,6 +1111,12 @@ object OhdsiCdmQueries {
       |  UNION ALL
       |  SELECT 1814, 'ALL', NULL, count(*) FROM meas
       |  WHERE value_as_number IS NULL AND value_as_concept_id IS NULL
+      |  UNION ALL
+      |  SELECT 1818, 'ALL', NULL, count(*) FROM meas
+      |  WHERE value_as_number < range_low
+      |  UNION ALL
+      |  SELECT 1819, 'ALL', NULL, count(*) FROM meas
+      |  WHERE value_as_number > range_high
       |  UNION ALL
       |  SELECT 2000, 'ALL', NULL, count(*)
       |  FROM (SELECT DISTINCT person_id FROM cond)

@@ -66,7 +66,7 @@ class OhdsiAchillesSpec extends SparkSpec {
 
   test("analysisCatalog carries the literal core id set") {
     val cat = OhdsiAchilles.analysisCatalog(spark).collect()
-    assert(cat.length === 156)
+    assert(cat.length === 159)
     val ids = cat.map(_.getLong(0))
     assert(ids.sorted.toSeq === ids.toSeq) // ordered by analysis_id
     for (core <- Seq(1L, 2L, 101L, 105L, 108L, 109L, 110L, 111L, 114L, 115L,
@@ -75,7 +75,7 @@ class OhdsiAchillesSpec extends SparkSpec {
         1807L, 1820L, 2105L, 2107L, 2120L,
         // the care-network tier
         7L, 8L, 9L, 300L, 301L, 1100L, 1101L, 1102L, 1103L, 1200L, 1201L,
-        1202L, 1408L, 1409L, 1411L, 1412L, 1413L, 1700L, 1701L, 1814L,
+        1202L, 1408L, 1409L, 1410L, 1411L, 1412L, 1413L, 1700L, 1701L, 1814L, 1818L, 1819L,
         2000L, 2001L, 2002L, 2200L, 2201L))
       assert(ids.contains(core), s"missing core id $core")
     // x04 carries the published four strata names
