@@ -180,6 +180,69 @@ object Soak {
       return
     }
 
+    // ---- OHDSI battery soak: a 10x TPC-H universe -----------------------
+    // The literal batteries' scale story is argued from plan shape (two
+    // grouping-sets passes per domain table); this measures it: 10 copies
+    // of the sf0.1 relational tables with shifted keys (order keys are
+    // SPARSE in TPC-H, so shifts use max+1, not count), nation/region
+    // verbatim — the derived universe's fk moduli are data-dependent and
+    // follow the 10x supplier count automatically. The first query pays
+    // the (parallel) 19-table materialization, exactly like the driver's
+    // fresh checkout; the warm re-run isolates the battery itself.
+    if (sys.env.contains("SPARK_GRAFT_SOAK_OHDSI")) {
+      val dir = s"$out/ohdsi"
+      if (!new java.io.File(s"$dir/lineitem.parquet").exists()) {
+        new java.io.File(dir).mkdirs()
+        val copies = spark.range(0, 10).select(col("id").as("__copy"))
+        val nC = spark.read.parquet(s"$src/customer.parquet").count()
+        val nS = spark.read.parquet(s"$src/supplier.parquet").count()
+        val maxO = spark.read.parquet(s"$src/orders.parquet")
+          .agg(max("o_orderkey")).head().getLong(0) + 1
+        val maxP = spark.read.parquet(s"$src/part.parquet")
+          .agg(max("p_partkey")).head().getLong(0) + 1
+        def gen(tb: String)(
+            f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit =
+          f(spark.read.parquet(s"$src/$tb.parquet").crossJoin(copies))
+            .drop("__copy").repartition(32)
+            .write.mode(SaveMode.Overwrite).parquet(s"$dir/$tb.parquet")
+        val c = col("__copy")
+        gen("customer")(_.withColumn("c_custkey", col("c_custkey") + c * nC))
+        gen("supplier")(_.withColumn("s_suppkey", col("s_suppkey") + c * nS))
+        gen("orders")(_
+          .withColumn("o_orderkey", col("o_orderkey") + c * maxO)
+          .withColumn("o_custkey", col("o_custkey") + c * nC))
+        gen("lineitem")(_
+          .withColumn("l_orderkey", col("l_orderkey") + c * maxO)
+          .withColumn("l_suppkey", col("l_suppkey") + c * nS)
+          .withColumn("l_partkey", col("l_partkey") + c * maxP))
+        for (tb <- Seq("nation", "region", "part"))
+          java.nio.file.Files.copy(
+            java.nio.file.Paths.get(s"$src/$tb.parquet"),
+            java.nio.file.Paths.get(s"$dir/$tb.parquet"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        println(s"generated $dir: 10x TPC-H universe")
+      }
+      val sbO = new StringBuilder
+      for (name <- Seq("ohdsi_core_counts", "ohdsi_core_dist",
+          "ohdsi_core_counts_warm")) {
+        val q = name.stripSuffix("_warm")
+        durations.clear()
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(q)(spark, dir)
+          .write.mode("overwrite").format("noop").save()
+        val secs = (System.nanoTime() - t0) / 1e9
+        val (skew, stage) = worstSkew()
+        sbO.append(f"""{"sf":"sf1_ohdsi","query":"$name","sec":$secs%.3f,"worst_skew":$skew%.1f,"skew_stage":$stage}%n""")
+        println(f"[sf1_ohdsi] $name%-26s $secs%7.2fs  skew $skew%5.1fx")
+        spark.catalog.clearCache()
+        System.gc()
+      }
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_sf1_ohdsi.jsonl"), sbO.result())
+      spark.stop()
+      return
+    }
+
     // SPARK_GRAFT_ONLY=q1,q2 restricts the soak (same contract as
     // Verify/Bench); SPARK_GRAFT_SOAK_SF=sf1 restricts the scales
     val only = sys.env.get("SPARK_GRAFT_ONLY")
