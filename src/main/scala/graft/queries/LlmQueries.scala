@@ -91,6 +91,20 @@ object LlmQueries {
     ClassifyOps.qualityLrEval(t(s, d, "documents"), "text",
       ClassifyOps.label(col("text")))
 
+  /** The trained bigram LM itself: top-20 target-corpus bigrams with their
+    * add-one-smoothed log-probs ([[LmOps.topBigrams]]).
+    */
+  val lmBigramTop: Q = (s, d) =>
+    LmOps.topBigrams(t(s, d, "documents"), "text", ClassifyOps.label(col("text")), 20)
+
+  /** CCNet-style perplexity filter: every document's per-bigram negative
+    * log-likelihood under the target LM, best 100 kept
+    * ([[LmOps.perplexityFilter]] — salted LM join, micro-nat exact sums).
+    */
+  val corpusPplFilter: Q = (s, d) =>
+    LmOps.perplexityFilter(t(s, d, "documents"), "doc_id", "text",
+      ClassifyOps.label(col("text")), 100)
+
   // A dedup stage materializes its cluster map ONCE and every downstream
   // consumer (the cluster report, the survivor filter) reads the stored
   // table — the iterative component computation is far too expensive to
@@ -781,6 +795,8 @@ object LlmQueries {
     "quality_lr_train" -> qualityLrTrain,
     "quality_lr_topk" -> qualityLrTopk,
     "quality_lr_eval" -> qualityLrEval,
+    "lm_bigram_top" -> lmBigramTop,
+    "corpus_ppl_filter" -> corpusPplFilter,
     "dedup_cluster_components" -> dedupClusterComponents,
     "dedup_cluster_survivors" -> dedupClusterSurvivors,
     "dedup_cluster_best" -> dedupClusterBest,
@@ -1118,6 +1134,9 @@ object LlmQueries {
     "quality_lr_topk" ->
       ClassifyOps.oracleTopKSql(ClassifyOps.oracleLabelSql, "doc_id", 50),
     "quality_lr_eval" -> ClassifyOps.oracleEvalSql(ClassifyOps.oracleLabelSql),
+    "lm_bigram_top" -> LmOps.oracleTopBigramsSql(ClassifyOps.oracleLabelSql, 20),
+    "corpus_ppl_filter" ->
+      LmOps.oraclePerplexityFilterSql(ClassifyOps.oracleLabelSql, 100),
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, count(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
