@@ -79,12 +79,33 @@ object Tables {
   }
 
   private def doLoad(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    if (name == "events") {
-      val df = spark.read.parquet(s"$sfDir/$name.parquet")
-      df.withColumn("ts", normalizedTs(spark, df.schema("ts").dataType, "ts"))
-        .select("event_id", "ts", "user_id", "event_type", "value", "props")
-    } else {
-      spark.read.parquet(s"$sfDir/$name.parquet")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    name match {
+      case "events" =>
+        df.withColumn("ts", normalizedTs(spark, df.schema("ts").dataType, "ts"))
+          .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      case "embeddings" =>
+        // the same drift-proofing the events.ts episode taught (a generator
+        // encoding change must never reach operator code): the similarity
+        // tier's contract is `array<float>` + long ids — a generator
+        // switching to float64 vectors or int32 ids would otherwise fail
+        // analysis (vec_dot is float-typed) in a scored round. Casting an
+        // already-float32 column is a no-op in the plan.
+        import org.apache.spark.sql.types._
+        df.schema("embedding").dataType match {
+          case ArrayType(FloatType | DoubleType, _) => ()
+          case other => throw new IllegalArgumentException(
+            s"unsupported on-disk embedding type: $other")
+        }
+        df.withColumn("vec_id", col("vec_id").cast("long"))
+          .withColumn("embedding", col("embedding").cast("array<float>"))
+          .withColumn("label", col("label").cast("int"))
+      case "documents" =>
+        // ids/counters pinned to long — the dedup tier keys every join on
+        // doc_id and the salted paths take doc_id % salt
+        df.withColumn("doc_id", col("doc_id").cast("long"))
+          .withColumn("n_chars", col("n_chars").cast("long"))
+      case _ => df
     }
   }
 

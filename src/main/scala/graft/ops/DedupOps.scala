@@ -390,4 +390,61 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
+
+  /** INCREMENTAL near-dup admission — the operational shape of continuous
+    * corpus curation at scale: the existing corpus's LSH band index is
+    * built ONCE (and stored; see the `dedup_incremental` query wrapper),
+    * and each arriving batch is admitted by probing that index — the
+    * corpus's raw text is never re-hashed per batch, and the Jaccard
+    * verification reads ONLY the corpus docs that banded with something in
+    * the batch (left-semi prune before the text scan). Per-batch cost is
+    * O(batch) + O(collisions), independent of corpus size.
+    *
+    * Verdict per batch doc: `dup_of` = the best-matching corpus doc
+    * (highest verified Jaccard, ties to the smallest corpus id) or NULL =
+    * novel. Output: (doc_id, dup_of, jaccard), one row per batch doc.
+    *
+    * `corpusBands` must come from [[lshBandsFromSigArray]] over the SAME
+    * (k, rows, w) used here for the batch side — the wrapper guarantees it
+    * by building both from one constant set.
+    */
+  def incrementalDedup(
+      corpus: DataFrame,
+      corpusBands: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      k: Int = 8,
+      rows: Int = 4,
+      w: Int = 3): DataFrame = {
+    val batchBands =
+      lshBandsFromSigArray(minhashSignatureArray(batch, idCol, textCol, k, w), idCol, k, rows)
+    val cands = batchBands.select(col(idCol).as("new_id"), col("band"), col("bucket"))
+      .join(corpusBands.select(col(idCol).as("corpus_id"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select("new_id", "corpus_id")
+      .distinct()
+    def sets(df: DataFrame, as: String) = df.select(
+      col(idCol).as(as),
+      array_sort(array_distinct(TextOps.tokens(col(textCol)))).as(s"toks_$as"))
+    val corpusCand = corpus.join(
+      cands.select(col("corpus_id").as(idCol)), Seq(idCol), "left_semi")
+    val verified = cands
+      .join(sets(batch, "new_id"), Seq("new_id"))
+      .join(sets(corpusCand, "corpus_id"), Seq("corpus_id"))
+      .withColumn("__j",
+        size(array_intersect(col("toks_new_id"), col("toks_corpus_id"))).cast("double") /
+          size(array_union(col("toks_new_id"), col("toks_corpus_id"))).cast("double"))
+      .filter(col("__j") >= threshold)
+    val best = verified.groupBy(col("new_id").as("doc_id"))
+      .agg(
+        max_by(col("corpus_id"), struct(col("__j"), (-col("corpus_id")).as("__t")))
+          .as("dup_of"),
+        max(col("__j")).as("__bj"))
+    batch.select(col(idCol).as("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"), round(col("__bj"), 6).as("jaccard"))
+      .orderBy("doc_id")
+  }
 }

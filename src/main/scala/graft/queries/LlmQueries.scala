@@ -127,6 +127,99 @@ object LlmQueries {
       zones.read(s, "work", table)
     })
 
+  /** The stored corpus band index for incremental admission: built once
+    * per dataset over the corpus slice (doc_id % 10 != 0) and read back
+    * from the work zone by every subsequent batch — the corpus text is
+    * hashed exactly once, ever.
+    */
+  private val bandIndexes =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def bandIndex(s: SparkSession, d: String): DataFrame =
+    bandIndexes.getOrElseUpdate((s, d), {
+      val zones = graft.io.Zones.forPurpose("dedup")
+      val table = s"dedup_band_index_${graft.io.Zones.pathKey(d)}"
+      val corpus = t(s, d, "documents").filter(col("doc_id") % 10 =!= 0)
+      zones.write(
+        DedupOps.lshBandsFromSigArray(
+          DedupOps.minhashSignatureArray(corpus, "doc_id", "text", k = 8, w = 3),
+          "doc_id", k = 8, rows = 4),
+        "work", table)
+      zones.read(s, "work", table)
+    })
+
+  /** The end-to-end curation FUNNEL — the composite a training-data
+    * pipeline actually runs, as one report: raw -> exact dedup (md5
+    * keep-first) -> near-dup dedup (one keeper per stored Jaccard
+    * component) -> benchmark decontamination (drop docs banding with the
+    * held-out slice) -> quality filter (the ClassifyOps label), with doc
+    * and token counts per stage.
+    *
+    * Plan shape: each stage is an ID SET (no text carried); membership
+    * flags attach to the per-doc token counts via four left joins on
+    * doc_id (one shuffle key throughout), and the whole funnel aggregates
+    * in ONE pass — five conditional sums exploded into the report rows,
+    * the same single-aggregate trick as the Achilles validity battery.
+    * The component map is the STORED cluster table (run-once), so the
+    * funnel re-plans none of the iterative work.
+    */
+  val corpusCurationFunnel: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val nt = docs.select(col("doc_id"),
+      graft.ops.TextOps.tokenCount(col("text")).cast("long").as("__nt"))
+    val s1 = docs
+      .withColumn("__keep",
+        min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+      .filter(col("doc_id") === col("__keep")).select("doc_id")
+    val s2 = s1
+      .join(clusterMap(s, d).select(col("id").as("doc_id"), col("component_id")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("component_id"), col("doc_id")).as("__c"))
+      .groupBy("__c").agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val bands = DedupOps.lshBandsFromSigArray(
+      DedupOps.minhashSignatureArray(docs, "doc_id", "text", k = 8, w = 3),
+      "doc_id", k = 8, rows = 4)
+    val bb = bands.filter(col("doc_id") % 97 === 0)
+      .select("band", "bucket").distinct()
+    val cont = bands.filter(col("doc_id") % 97 =!= 0)
+      .join(bb, Seq("band", "bucket"), "left_semi")
+      .select("doc_id").distinct()
+    val s3 = s2.filter(col("doc_id") % 97 =!= 0)
+      .join(cont, Seq("doc_id"), "left_anti")
+    val s4 = s3.join(
+      docs.filter(ClassifyOps.label(col("text"))).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val flagged = Seq(s1 -> "__m1", s2 -> "__m2", s3 -> "__m3", s4 -> "__m4")
+      .foldLeft(nt) { case (acc, (ids, m)) =>
+        acc.join(ids.withColumn(m, lit(1)), Seq("doc_id"), "left") }
+    val stages = Seq(
+      ("0_raw", lit(true)), ("1_exact", col("__m1").isNotNull),
+      ("2_neardup", col("__m2").isNotNull), ("3_decontam", col("__m3").isNotNull),
+      ("4_quality", col("__m4").isNotNull))
+    val aggs = stages.zipWithIndex.flatMap { case ((_, cond), i) => Seq(
+      sum(when(cond, 1L).otherwise(0L)).as(s"__d$i"),
+      sum(when(cond, col("__nt")).otherwise(0L)).as(s"__t$i")) }
+    val structs = stages.zipWithIndex.map { case ((nm, _), i) =>
+      struct(lit(nm).as("stage"), col(s"__d$i").as("n_docs"),
+        col(s"__t$i").as("n_tokens")) }
+    flagged.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(structs: _*)).as("__r"))
+      .select(col("__r.stage").as("stage"), col("__r.n_docs").as("n_docs"),
+        col("__r.n_tokens").as("n_tokens"))
+      .orderBy("stage")
+  }
+
+  /** Incremental near-dup admission ([[DedupOps.incrementalDedup]]): the
+    * batch (every 10th doc) probes the STORED corpus band index; verified
+    * best-match or novel per batch doc.
+    */
+  val dedupIncremental: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    DedupOps.incrementalDedup(
+      docs.filter(col("doc_id") % 10 =!= 0), bandIndex(s, d),
+      docs.filter(col("doc_id") % 10 === 0),
+      "doc_id", "text", threshold = 0.2)
+  }
+
   /** Near-dup clusters: connected components over the Jaccard pair graph,
     * each doc labeled with its cluster's smallest doc id.
     */
@@ -797,6 +890,8 @@ object LlmQueries {
     "quality_lr_eval" -> qualityLrEval,
     "lm_bigram_top" -> lmBigramTop,
     "corpus_ppl_filter" -> corpusPplFilter,
+    "dedup_incremental" -> dedupIncremental,
+    "corpus_curation_funnel" -> corpusCurationFunnel,
     "dedup_cluster_components" -> dedupClusterComponents,
     "dedup_cluster_survivors" -> dedupClusterSurvivors,
     "dedup_cluster_best" -> dedupClusterBest,
@@ -1257,6 +1352,92 @@ object LlmQueries {
       s"""WITH $jaccardCtes
          |SELECT id_a, id_b, jaccard FROM pairs
          |ORDER BY id_a, id_b""".stripMargin,
+    "corpus_curation_funnel" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, re.r FROM edges e JOIN reach re ON e.dst = re.id
+         |),
+         |comp AS (SELECT id, min(r) AS component_id FROM reach GROUP BY id),
+         |tc AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS nt FROM toks),
+         |s1 AS (
+         |  SELECT doc_id FROM documents
+         |  WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))
+         |),
+         |s2 AS (
+         |  SELECT min(doc_id) AS doc_id FROM (
+         |    SELECT s1.doc_id, COALESCE(c.component_id, s1.doc_id) AS comp
+         |    FROM s1 LEFT JOIN comp c ON s1.doc_id = c.id
+         |  ) GROUP BY comp
+         |),
+         |bb AS (SELECT DISTINCT band, bucket FROM bandsig WHERE doc_id % 97 = 0),
+         |cont AS (
+         |  SELECT DISTINCT s.doc_id FROM bandsig s JOIN bb USING (band, bucket)
+         |  WHERE s.doc_id % 97 <> 0
+         |),
+         |s3 AS (
+         |  SELECT doc_id FROM s2 WHERE doc_id % 97 <> 0
+         |    AND doc_id NOT IN (SELECT doc_id FROM cont)
+         |),
+         |s4 AS (
+         |  SELECT s3.doc_id FROM s3 JOIN documents USING (doc_id)
+         |  WHERE ${graft.ops.ClassifyOps.oracleLabelSql}
+         |),
+         |flags AS (
+         |  SELECT d.doc_id, tc.nt,
+         |    d.doc_id IN (SELECT doc_id FROM s1) AS m1,
+         |    d.doc_id IN (SELECT doc_id FROM s2) AS m2,
+         |    d.doc_id IN (SELECT doc_id FROM s3) AS m3,
+         |    d.doc_id IN (SELECT doc_id FROM s4) AS m4
+         |  FROM documents d JOIN tc USING (doc_id)
+         |)
+         |SELECT stage, n_docs, n_tokens FROM (
+         |  SELECT '0_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(nt) AS BIGINT) AS n_tokens FROM flags
+         |  UNION ALL
+         |  SELECT '1_exact', CAST(count(*) FILTER (m1) AS BIGINT),
+         |    CAST(COALESCE(sum(nt) FILTER (m1), 0) AS BIGINT) FROM flags
+         |  UNION ALL
+         |  SELECT '2_neardup', CAST(count(*) FILTER (m2) AS BIGINT),
+         |    CAST(COALESCE(sum(nt) FILTER (m2), 0) AS BIGINT) FROM flags
+         |  UNION ALL
+         |  SELECT '3_decontam', CAST(count(*) FILTER (m3) AS BIGINT),
+         |    CAST(COALESCE(sum(nt) FILTER (m3), 0) AS BIGINT) FROM flags
+         |  UNION ALL
+         |  SELECT '4_quality', CAST(count(*) FILTER (m4) AS BIGINT),
+         |    CAST(COALESCE(sum(nt) FILTER (m4), 0) AS BIGINT) FROM flags
+         |)
+         |ORDER BY stage""".stripMargin,
+    "dedup_incremental" ->
+      s"""WITH $jaccardCtes,
+         |icand AS (
+         |  SELECT DISTINCT b.doc_id AS new_id, c.doc_id AS corpus_id
+         |  FROM bandsig b JOIN bandsig c
+         |    ON b.band = c.band AND b.bucket = c.bucket
+         |  WHERE b.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+         |),
+         |iver AS (
+         |  SELECT new_id, corpus_id,
+         |    CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(sa.toks, sb.toks))) AS j
+         |  FROM icand
+         |  JOIN sets sa ON icand.new_id = sa.doc_id
+         |  JOIN sets sb ON icand.corpus_id = sb.doc_id
+         |),
+         |ibest AS (
+         |  SELECT new_id, corpus_id AS dup_of, round(j, 6) AS jaccard FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY new_id ORDER BY j DESC, corpus_id) AS rn
+         |    FROM iver WHERE j >= 0.2
+         |  ) WHERE rn = 1
+         |)
+         |SELECT d.doc_id, ibest.dup_of, ibest.jaccard
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+         |LEFT JOIN ibest ON d.doc_id = ibest.new_id
+         |ORDER BY d.doc_id""".stripMargin,
     "dedup_cluster_components" ->
       s"""WITH RECURSIVE $jaccardCtes,
          |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs

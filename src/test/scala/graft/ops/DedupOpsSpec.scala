@@ -100,4 +100,33 @@ class DedupOpsSpec extends SparkSpec {
       .as[(Long, Long)].collect()
     assert(got.length == 40 && got.forall(_._2 == 0L))
   }
+
+  test("incrementalDedup admits a batch against the corpus band index") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      (1L, base),
+      (2L, base + " lambda mu"),                  // near family of 1
+      (3L, "totally different words here about ships and harbors and tides"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, base),                                // exact copy -> dup of 1 (j=1)
+      (101L, base + " lambda"),                    // near-dup of 1 AND 2
+      (102L, "unrelated novel content mentioning volcanoes and glaciers today"))
+      .toDF("doc_id", "text")
+    val bands = DedupOps.lshBandsFromSigArray(
+      DedupOps.minhashSignatureArray(corpus, "doc_id", "text", k = 8, w = 3),
+      "doc_id", k = 8, rows = 4)
+    val r = DedupOps.incrementalDedup(corpus, bands, batch, "doc_id", "text", 0.2)
+      .collect().map(x => x.getLong(0) ->
+        (Option(x.get(1)).map(_.asInstanceOf[Long]), Option(x.get(2)))).toMap
+    assert(r.size === 3)                           // one verdict per batch doc
+    assert(r(100L)._1 === Some(1L))
+    assert(r(100L)._2 === Some(1.0))
+    // 101 matches both 1 and 2; the best (highest jaccard) wins —
+    // vs 1: 10/11 = 0.909, vs 2 (superset): 11/12 = 0.917
+    assert(r(101L)._1 === Some(2L))
+    assert(r(102L)._1 === None)                    // novel
+    assert(r(102L)._2 === None)
+  }
 }
