@@ -94,7 +94,8 @@ object DedupOps {
     * signature->band->bucket path is whatever the CONSUMER does with the
     * (id, band, bucket) rows. Output identical to [[lshBands]].
     */
-  def lshBandsFromSigArray(sigs: DataFrame, idCol: String, k: Int, rows: Int): DataFrame = {
+  def lshBandsFromSigArray(sigs: DataFrame, idCol: String, k: Int, rows: Int,
+      keep: Seq[String] = Nil): DataFrame = {
     require(k % rows == 0, s"rows=$rows must divide k=$k")
     val bandCols = (0 until k / rows).map { b =>
       struct(
@@ -103,8 +104,9 @@ object DedupOps {
           transform(slice(col("sig"), b * rows + 1, rows), _.cast("string"))).as("bucket"))
     }
     sigs
-      .select(col(idCol), explode(array(bandCols: _*)).as("__bb"))
-      .select(col(idCol), col("__bb.band").as("band"), col("__bb.bucket").as("bucket"))
+      .select(col(idCol) +: keep.map(col) :+ explode(array(bandCols: _*)).as("__bb"): _*)
+      .select(col(idCol) +: keep.map(col) :+
+        col("__bb.band").as("band") :+ col("__bb.bucket").as("bucket"): _*)
   }
 
   /** LSH banding: group the k signature rows into bands of `rows` hashes,
@@ -389,6 +391,30 @@ object DedupOps {
           size(array_union(col("toks_a"), col("toks_b"))).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Map-side (per-row) signature: `sig(j) = min_h (a_j*h + b_j) % P` as a
+    * pure projection — identical output to [[minhashSignatureArray]]
+    * (which takes the codegen'd explode+aggregate path, ~2x faster on
+    * batch), but with NO aggregation, so it composes where stateful
+    * operators can't: ahead of the stream-static joins of the streaming
+    * admission pipeline (Structured Streaming allows at most one stateful
+    * aggregation, which the pipeline spends on the final best-match fold).
+    * Docs with fewer than `w` tokens produce an empty shingle array, whose
+    * `array_min` is NULL — the null-signature filter keeps them out of the
+    * band space exactly like the aggregate path's absent groups.
+    */
+  def minhashSignatureArrayMapSide(docs: DataFrame, idCol: String,
+      textCol: String, k: Int = 16, w: Int = 3): DataFrame = {
+    val hashes = transform(TextOps.shingles(col(textCol), w),
+      sh => TextOps.hash32(sh))
+    val sig = array(minhashCoeffs(k).map { case (_, a, b) =>
+      array_min(transform(col("__hs"), h => (lit(a) * h + lit(b)) % lit(MinhashPrime)))
+    }: _*)
+    docs.withColumn("__hs", hashes)
+      .withColumn("sig", sig)
+      .filter(!exists(col("sig"), _.isNull))
+      .drop("__hs")
   }
 
   /** INCREMENTAL near-dup admission — the operational shape of continuous

@@ -147,6 +147,65 @@ object LlmQueries {
       zones.read(s, "work", table)
     })
 
+  /** A `documents` file-source stream (symlink staging dir + footer-probed
+    * schema + id normalization — the same drift-proof contract as
+    * `eventsStream`).
+    */
+  private def docsStream(s: SparkSession, d: String, stageName: String): org.apache.spark.sql.DataFrame = {
+    val srcDir = new java.io.File(s"${graft.io.Zones.defaultRoot}/$stageName")
+    val p = new org.apache.hadoop.fs.Path(srcDir.getAbsolutePath)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    java.nio.file.Files.createDirectories(srcDir.toPath)
+    java.nio.file.Files.createSymbolicLink(
+      srcDir.toPath.resolve("documents.parquet"),
+      java.nio.file.Paths.get(s"$d/documents.parquet"))
+    val onDisk = s.read.parquet(s"$d/documents.parquet").schema
+    s.readStream.schema(onDisk).parquet(srcDir.getAbsolutePath)
+      .withColumn("doc_id", col("doc_id").cast("long"))
+  }
+
+  /** STREAMING incremental admission — the same verdict as
+    * [[dedupIncremental]] computed as a real Structured Streaming query:
+    * the batch arrives as a document STREAM, signatures/bands are pure
+    * per-row projections (the map-side minhash path — Structured Streaming
+    * allows one stateful aggregation, which this pipeline spends on the
+    * final best-match fold), candidates come from STREAM-STATIC joins
+    * against the stored corpus band index and the corpus token sets, and
+    * the best match per doc folds in a complete-mode `max(struct(j,
+    * -corpus_id))`. Novel docs are reconciled by a batch left join after
+    * the drain. Oracle: IDENTICAL to `dedup_incremental` — stream and
+    * batch must agree row-for-row.
+    */
+  val streamDedupIncremental: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val corpusSets = docs.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id").as("corpus_id"),
+        array_sort(array_distinct(graft.ops.TextOps.tokens(col("text")))).as("toks_c"))
+    val index = bandIndex(s, d)
+      .select(col("doc_id").as("corpus_id"), col("band"), col("bucket"))
+    val stream = docsStream(s, d, "stream_src_docs")
+      .filter(col("doc_id") % 10 === 0)
+    val bands = DedupOps.lshBandsFromSigArray(
+      DedupOps.minhashSignatureArrayMapSide(stream, "doc_id", "text", k = 8, w = 3),
+      "doc_id", k = 8, rows = 4, keep = Seq("text"))
+    val toksN = array_sort(array_distinct(graft.ops.TextOps.tokens(col("text"))))
+    val best = bands
+      .join(index, Seq("band", "bucket"))
+      .join(corpusSets, Seq("corpus_id"))
+      .withColumn("__j",
+        size(array_intersect(toksN, col("toks_c"))).cast("double") /
+          size(array_union(toksN, col("toks_c"))).cast("double"))
+      .filter(col("__j") >= 0.2)
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("__j").as("j"), (-col("corpus_id")).as("negid"))).as("__b"))
+      .select(col("doc_id"), (-col("__b.negid")).as("dup_of"), col("__b.j").as("__bj"))
+    val drained = EventQueries.drainToTable(best, "stream_dedup_incremental_sink", "complete")
+    docs.filter(col("doc_id") % 10 === 0).select("doc_id")
+      .join(drained, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"), round(col("__bj"), 6).as("jaccard"))
+      .orderBy("doc_id")
+  }
+
   /** The end-to-end curation FUNNEL — the composite a training-data
     * pipeline actually runs, as one report: raw -> exact dedup (md5
     * keep-first) -> near-dup dedup (one keeper per stored Jaccard
@@ -891,6 +950,7 @@ object LlmQueries {
     "lm_bigram_top" -> lmBigramTop,
     "corpus_ppl_filter" -> corpusPplFilter,
     "dedup_incremental" -> dedupIncremental,
+    "stream_dedup_incremental" -> streamDedupIncremental,
     "corpus_curation_funnel" -> corpusCurationFunnel,
     "dedup_cluster_components" -> dedupClusterComponents,
     "dedup_cluster_survivors" -> dedupClusterSurvivors,
@@ -1198,6 +1258,37 @@ object LlmQueries {
        |  HAVING MAX(pos) + 4 - MIN(pos) + 1 >= 10
        |)""".stripMargin
 
+  /** Shared by the batch and STREAMING incremental-admission queries —
+    * the two surfaces must agree row-for-row, so they pin ONE oracle.
+    */
+  private val incrementalAdmissionOracle: String =
+    s"""WITH $jaccardCtes,
+         |icand AS (
+         |  SELECT DISTINCT b.doc_id AS new_id, c.doc_id AS corpus_id
+         |  FROM bandsig b JOIN bandsig c
+         |    ON b.band = c.band AND b.bucket = c.bucket
+         |  WHERE b.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+         |),
+         |iver AS (
+         |  SELECT new_id, corpus_id,
+         |    CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(sa.toks, sb.toks))) AS j
+         |  FROM icand
+         |  JOIN sets sa ON icand.new_id = sa.doc_id
+         |  JOIN sets sb ON icand.corpus_id = sb.doc_id
+         |),
+         |ibest AS (
+         |  SELECT new_id, corpus_id AS dup_of, round(j, 6) AS jaccard FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY new_id ORDER BY j DESC, corpus_id) AS rn
+         |    FROM iver WHERE j >= 0.2
+         |  ) WHERE rn = 1
+         |)
+         |SELECT d.doc_id, ibest.dup_of, ibest.jaccard
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+         |LEFT JOIN ibest ON d.doc_id = ibest.new_id
+         |ORDER BY d.doc_id""".stripMargin
+
   val oracles: Seq[(String, String)] = Seq(
     "dedup_substring_spans" ->
       s"""WITH $dupSpansCtes
@@ -1411,33 +1502,8 @@ object LlmQueries {
          |    CAST(COALESCE(sum(nt) FILTER (m4), 0) AS BIGINT) FROM flags
          |)
          |ORDER BY stage""".stripMargin,
-    "dedup_incremental" ->
-      s"""WITH $jaccardCtes,
-         |icand AS (
-         |  SELECT DISTINCT b.doc_id AS new_id, c.doc_id AS corpus_id
-         |  FROM bandsig b JOIN bandsig c
-         |    ON b.band = c.band AND b.bucket = c.bucket
-         |  WHERE b.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
-         |),
-         |iver AS (
-         |  SELECT new_id, corpus_id,
-         |    CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE)
-         |      / len(list_distinct(list_concat(sa.toks, sb.toks))) AS j
-         |  FROM icand
-         |  JOIN sets sa ON icand.new_id = sa.doc_id
-         |  JOIN sets sb ON icand.corpus_id = sb.doc_id
-         |),
-         |ibest AS (
-         |  SELECT new_id, corpus_id AS dup_of, round(j, 6) AS jaccard FROM (
-         |    SELECT *, row_number() OVER (
-         |      PARTITION BY new_id ORDER BY j DESC, corpus_id) AS rn
-         |    FROM iver WHERE j >= 0.2
-         |  ) WHERE rn = 1
-         |)
-         |SELECT d.doc_id, ibest.dup_of, ibest.jaccard
-         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
-         |LEFT JOIN ibest ON d.doc_id = ibest.new_id
-         |ORDER BY d.doc_id""".stripMargin,
+    "dedup_incremental" -> incrementalAdmissionOracle,
+    "stream_dedup_incremental" -> incrementalAdmissionOracle,
     "dedup_cluster_components" ->
       s"""WITH RECURSIVE $jaccardCtes,
          |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs

@@ -129,4 +129,42 @@ class DedupOpsSpec extends SparkSpec {
     assert(r(102L)._1 === None)                    // novel
     assert(r(102L)._2 === None)
   }
+
+  test("incrementalDedup equals the cross-pair slice of jaccardPairs on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val vocab = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta")
+    val docs = (0L until 30L).map { i =>
+      val n = 4 + rnd.nextInt(8)
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+    // reference: the banded-verified pair graph over the UNION, sliced to
+    // cross (batch, corpus) pairs, best per batch doc
+    val cross = DedupOps.jaccardPairs(docs, "doc_id", "text", threshold = 0.2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .flatMap { case (a, b, j) =>
+        (a % 3 == 0, b % 3 == 0) match {
+          case (true, false) => Seq((a, b, j))
+          case (false, true) => Seq((b, a, j))
+          case _ => Nil
+        }
+      }
+    val expected = cross.groupBy(_._1).map { case (id, ms) =>
+      val bestJ = ms.map(_._3).max
+      id -> (ms.filter(_._3 == bestJ).map(_._2).min, bestJ)
+    }
+    val bands = DedupOps.lshBandsFromSigArray(
+      DedupOps.minhashSignatureArray(corpus, "doc_id", "text", k = 8, w = 3),
+      "doc_id", k = 8, rows = 4)
+    val got = DedupOps.incrementalDedup(corpus, bands, batch, "doc_id", "text", 0.2)
+      .collect()
+      .flatMap(r => Option(r.get(1)).map(d =>
+        r.getLong(0) -> (d.asInstanceOf[Long], r.getDouble(2))))
+      .toMap
+    assert(got === expected)
+  }
 }
