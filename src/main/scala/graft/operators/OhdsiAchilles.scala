@@ -1050,4 +1050,130 @@ object OhdsiAchilles {
       hists.reduce(_ unionByName _), Seq("analysis_id", "stratum_1", "stratum_2"))
       .orderBy("analysis_id", "stratum_1", "stratum_2")
   }
+
+  /** The Achilles Heel tier: derived data-quality WARNING/ERROR rows
+    * computed over the PERSISTED `achilles_results`(+`_dist`) report
+    * tables — the published Achilles design runs its heel rules against
+    * the results of the descriptive batteries, never against the facts,
+    * so the whole tier costs O(|report|) at any data scale (the report is
+    * bounded by |analyses| x |strata|, not by row count). The reference
+    * ships the rule corpus inside the Achilles submodule
+    * (`src/riab/libs/Achilles.md` — a stub in this checkout), so the rules
+    * here re-express the PUBLIC heel conventions (invalid-fk counts must
+    * be zero, date-order violations must be zero, unmapped-concept
+    * percentage thresholds, implausible-age distribution bounds) with the
+    * published message shape
+    * `SEVERITY: {analysis_id} - {name}; count (n={x}) {rule text}` and the
+    * output schema `achilles_heel_results(analysis_id,
+    * achilles_heel_warning, rule_id, record_count)`.
+    *
+    * Rule definitions live HERE as data ([[Heel.countRules]],
+    * [[Heel.distRules]]) and both the Spark side ([[heelResults]]) and the
+    * generated DuckDB oracle iterate the same Seq — the two sides cannot
+    * drift.
+    */
+  object Heel {
+    /** A rule over the COUNT results: every analysis in `ids` present in
+      * `achilles_results` fires one heel row with `record_count` = the
+      * summed count_value.
+      */
+    final case class CountRule(ruleId: Long, severity: String, ids: Seq[Long], suffix: String)
+
+    val countRules: Seq[CountRule] = Seq(
+      // x07 invalid-person family + the person 7/8/9 care-network fks +
+      // the 1500/1600 cost-event fks
+      CountRule(1L, "ERROR",
+        Seq(7L, 8L, 9L, 207L, 407L, 607L, 707L, 807L, 1807L, 2107L, 1500L, 1600L),
+        "should not be > 0 (invalid foreign key)"),
+      // x09 end-before-start family + 115 (observation period end < start)
+      CountRule(2L, "ERROR", Seq(115L, 209L, 709L),
+        "should not be > 0 (end date precedes start date)"),
+      // x08 outside-observation-period family
+      CountRule(3L, "WARNING", Seq(208L, 408L, 608L, 708L, 808L, 1808L, 2108L),
+        "should not be > 0 (records outside a valid observation period)"),
+      CountRule(4L, "WARNING", Seq(114L),
+        "should not be > 0 (observation period before year of birth)"))
+
+    /** Unmapped-concept rule: analyses whose stratum_1 is a concept id,
+      * flagged when the `concept_id = 0` share exceeds the threshold.
+      * Person 2/4/5 + the x01 records-by-concept family.
+      */
+    val UnmappedRuleId = 5L
+    val UnmappedPctThreshold = 10L
+    val UnmappedIds: Seq[Long] =
+      Seq(2L, 4L, 5L, 201L, 401L, 501L, 601L, 701L, 801L, 901L, 1001L, 1801L, 2101L)
+    val UnmappedSuffix = "unmapped (concept_id = 0) records exceed 10% of the analysis total"
+
+    /** A rule over the DIST results: `record_count` = number of strata
+      * violating the predicate; `ids = None` applies the rule to every
+      * dist analysis (structural invariants). The predicate is carried as
+      * SQL TEXT and `expr`-parsed on the Spark side — one string, two
+      * engines, zero drift.
+      */
+    final case class DistRule(
+        ruleId: Long, severity: String, ids: Option[Seq[Long]],
+        predicate: String, suffix: String)
+
+    val distRules: Seq[DistRule] = Seq(
+      // age at first observation (103/104) + the x06 age-at-first family
+      DistRule(6L, "WARNING",
+        Some(Seq(103L, 104L, 206L, 406L, 606L, 706L, 806L, 906L, 1006L, 1806L, 2106L)),
+        "max_value > 150", "strata carry an implausible maximum age (> 150)"),
+      DistRule(7L, "WARNING", Some(Seq(506L)),
+        "max_value > 120", "strata carry an implausible age at death (> 120)"),
+      // structural invariant over every dist row
+      DistRule(8L, "ERROR", None,
+        "min_value > max_value", "strata violate min_value <= max_value"),
+      // duration distributions must be non-negative (211 length of stay,
+      // 907/1007 era lengths)
+      DistRule(9L, "WARNING", Some(Seq(211L, 907L, 1007L)),
+        "min_value < 0", "strata carry a negative duration"))
+  }
+
+  /** Run the [[Heel]] rule corpus over materialized battery results.
+    * `results` = `achilles_results` (analysis_id, stratum_1, stratum_2,
+    * count_value); `dists` = `achilles_results_dist`. Output is the
+    * public `achilles_heel_results` shape. Every rule is a groupBy over a
+    * bounded report table joined to the broadcast catalog — no fact-table
+    * scan anywhere in the tier.
+    */
+  def heelResults(s: SparkSession, results: DataFrame, dists: DataFrame): DataFrame = {
+    val names = {
+      import s.implicits._
+      Catalog.map(a => (a.id, a.name)).toDF("analysis_id", "name")
+    }
+    def msg(severity: String, recordCount: org.apache.spark.sql.Column, suffix: String) =
+      concat(lit(severity + ": "), col("analysis_id").cast("string"), lit(" - "),
+        col("name"), lit("; count (n="), recordCount.cast("string"), lit(") " + suffix))
+    def shape(df: DataFrame, severity: String, ruleId: Long, suffix: String) =
+      df.join(broadcast(names), "analysis_id")
+        .select(col("analysis_id"),
+          msg(severity, col("record_count"), suffix).as("achilles_heel_warning"),
+          lit(ruleId).as("rule_id"), col("record_count"))
+
+    val fromCounts = Heel.countRules.map { r =>
+      shape(
+        results.filter(col("analysis_id").isin(r.ids: _*))
+          .groupBy("analysis_id").agg(sum("count_value").as("record_count"))
+          .filter(col("record_count") > 0),
+        r.severity, r.ruleId, r.suffix)
+    }
+    val unmapped = shape(
+      results.filter(col("analysis_id").isin(Heel.UnmappedIds: _*))
+        .groupBy("analysis_id")
+        .agg(sum("count_value").as("__total"),
+          sum(when(col("stratum_1") === "0", col("count_value")).otherwise(0L))
+            .as("record_count"))
+        .filter(col("record_count") * 100 > col("__total") * Heel.UnmappedPctThreshold)
+        .drop("__total"),
+      "WARNING", Heel.UnmappedRuleId, Heel.UnmappedSuffix)
+    val fromDists = Heel.distRules.map { r =>
+      shape(
+        r.ids.fold(dists)(ids => dists.filter(col("analysis_id").isin(ids: _*)))
+          .filter(expr(r.predicate))
+          .groupBy("analysis_id").agg(count(lit(1)).as("record_count")),
+        r.severity, r.ruleId, r.suffix)
+    }
+    (fromCounts ++ Seq(unmapped) ++ fromDists).reduce(_ unionByName _)
+  }
 }

@@ -154,7 +154,13 @@ object OhdsiCdmQueries {
       t(s, d, "customer").crossJoin(fkScalars(s, d)).select(
         col("c_custkey").as("person_id"),
         when(col("c_custkey") % 2 === 0, 8532L).otherwise(8507L).as("gender_concept_id"),
-        (lit(1940L) + col("c_custkey") % 60).as("year_of_birth"),
+        // every ~55th person carries an implausible 1802 birth year so the
+        // Heel age-plausibility rules (age > 150 at first observation /
+        // first occurrence, age > 120 at death — 55 is a multiple of the
+        // death filter's 11, so some 1802-born persons die) fire on real
+        // rows
+        when(col("c_custkey") % 55 === 0, 1802L)
+          .otherwise(lit(1940L) + col("c_custkey") % 60).as("year_of_birth"),
         (lit(8516L) + col("c_custkey") % 3).as("race_concept_id"),
         when(col("c_custkey") % 2 === 0, 38003563L).otherwise(38003564L)
           .as("ethnicity_concept_id"),
@@ -296,7 +302,11 @@ object OhdsiCdmQueries {
       t(s, d, "orders").select(
         when(col("o_orderkey") % 79 === 0, col("o_custkey") + 100000000L)
           .otherwise(col("o_custkey")).as("person_id"),
-        when(col("o_orderpriority") === "1-URGENT", 40766929L)
+        // every ~7th observation is UNMAPPED (concept_id = 0, the OMOP
+        // "no matching concept" sentinel) so the Heel unmapped-percentage
+        // rule crosses its 10% threshold on a real domain
+        when(col("o_orderkey") % 7 === 0, 0L)
+          .when(col("o_orderpriority") === "1-URGENT", 40766929L)
           .when(col("o_orderpriority") === "2-HIGH", 40766241L)
           .when(col("o_orderpriority") === "3-MEDIUM", 40767339L)
           .when(col("o_orderpriority") === "4-NOT SPECIFIED", 4058243L)
@@ -435,8 +445,9 @@ object OhdsiCdmQueries {
     // check below only adds missing tables) invalidates warm zones left by
     // older code instead of silently serving the old schema. v2: the
     // care-network tier (person/visit fk columns, measurement value/range
-    // columns, six new tables)
-    val zones = graft.io.Zones.forPurpose(s"ohdsicdm2_$key")
+    // columns, six new tables). v3: the Heel wrinkles (1802 birth years,
+    // unmapped observation concepts)
+    val zones = graft.io.Zones.forPurpose(s"ohdsicdm3_$key")
     cdmStore.getOrElseUpdate((s, d), {
       val staged = zones.listTables(s, "omop").toSet
       val todo = derivedModel.tables.filterNot(staged).toSeq
@@ -461,6 +472,34 @@ object OhdsiCdmQueries {
     tb => zones.read(s, "omop", tb)
   }
 
+  /** Run-once-store for the BATTERY RESULTS themselves (the reference
+    * persists `achilles_results`(+`_dist`) and every downstream consumer —
+    * Atlas, Ares, the Heel rules — reads the stored report,
+    * `achilles.py:465-505`). First caller pays both batteries once; the
+    * counts, dist, and heel queries then all read the bounded stored
+    * report. The purpose carries the derived-CDM schema version so a warm
+    * results zone from older derivation code invalidates with it.
+    */
+  private val resultsStore =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Unit]
+  private def storedBatteries(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val key = graft.io.Zones.pathKey(d)
+    val zones = graft.io.Zones.forPurpose(s"ohdsires3_$key")
+    resultsStore.getOrElseUpdate((s, d), {
+      val have = zones.listTables(s, "achilles").toSet
+      if (!have("achilles_results"))
+        zones.write(
+          graft.operators.OhdsiAchilles.cdmCoreResults(derivedModel, materialized(s, d)),
+          "achilles", "achilles_results")
+      if (!have("achilles_results_dist"))
+        zones.write(
+          graft.operators.OhdsiAchilles.cdmCoreDistResults(derivedModel, materialized(s, d)),
+          "achilles", "achilles_results_dist")
+    })
+    (zones.read(s, "achilles", "achilles_results"),
+      zones.read(s, "achilles", "achilles_results_dist"))
+  }
+
   /** The literal-id core COUNT battery over the derived CDM (analyses
     * 0-5, 101/102, 108-119, the visit/condition/death/measurement domain
     * series with their x07/x20 rows fire for this model).
@@ -470,7 +509,7 @@ object OhdsiCdmQueries {
     // at ANY data scale, so sort in one partition — orderBy would plan a
     // RangePartitioning exchange whose sampling pass re-executes the whole
     // ~70-branch union subtree
-    graft.operators.OhdsiAchilles.cdmCoreResults(derivedModel, materialized(s, d))
+    storedBatteries(s, d)._1
       .coalesce(1)
       .sortWithinPartitions("analysis_id", "stratum_1", "stratum_2")
 
@@ -478,9 +517,20 @@ object OhdsiCdmQueries {
     * x03/x06 families, 211, 506, 1815).
     */
   val ohdsiCoreDist: Q = (s, d) =>
-    graft.operators.OhdsiAchilles.cdmCoreDistResults(derivedModel, materialized(s, d))
+    storedBatteries(s, d)._2
       .coalesce(1)
       .sortWithinPartitions("analysis_id", "stratum_1")
+
+  /** The Achilles Heel tier over the stored battery report
+    * ([[graft.operators.OhdsiAchilles.heelResults]]): derived WARNING/
+    * ERROR rows, O(|report|) at any scale.
+    */
+  val ohdsiHeelResults: Q = (s, d) => {
+    val (res, dist) = storedBatteries(s, d)
+    graft.operators.OhdsiAchilles.heelResults(s, res, dist)
+      .coalesce(1)
+      .sortWithinPartitions("rule_id", "analysis_id")
+  }
 
   /** User-supplied OHDSI-dialect SQL through the SqlRender-subset bridge
     * ([[graft.sources.OhdsiSql]]): a `{DEFAULT @p}` + `@param` render, a
@@ -536,6 +586,7 @@ object OhdsiCdmQueries {
   val defs: Seq[(String, Q)] = Seq(
     "ohdsi_core_counts" -> ohdsiCoreCounts,
     "ohdsi_core_dist" -> ohdsiCoreDist,
+    "ohdsi_heel_results" -> ohdsiHeelResults,
     "ohdsi_benchmark_rows" -> ohdsiBenchmarkRows,
     "ohdsi_sql_topn" -> ohdsiSqlTopn,
     "ohdsi_sql_tempflow" -> ohdsiSqlTempflow)
@@ -545,7 +596,8 @@ object OhdsiCdmQueries {
     """person AS (
       |  SELECT c_custkey AS person_id,
       |    CASE WHEN c_custkey % 2 = 0 THEN 8532 ELSE 8507 END AS gender_concept_id,
-      |    1940 + c_custkey % 60 AS year_of_birth,
+      |    CASE WHEN c_custkey % 55 = 0 THEN 1802
+      |      ELSE 1940 + c_custkey % 60 END AS year_of_birth,
       |    8516 + c_custkey % 3 AS race_concept_id,
       |    CASE WHEN c_custkey % 2 = 0 THEN 38003563 ELSE 38003564 END AS ethnicity_concept_id,
       |    CASE WHEN c_custkey % 53 = 0 THEN 1000000 ELSE 0 END
@@ -636,10 +688,10 @@ object OhdsiCdmQueries {
       |), obsv AS (
       |  SELECT CASE WHEN o_orderkey % 79 = 0 THEN o_custkey + 100000000
       |      ELSE o_custkey END AS person_id,
-      |    CASE o_orderpriority
+      |    CASE WHEN o_orderkey % 7 = 0 THEN 0 ELSE CASE o_orderpriority
       |      WHEN '1-URGENT' THEN 40766929 WHEN '2-HIGH' THEN 40766241
       |      WHEN '3-MEDIUM' THEN 40767339 WHEN '4-NOT SPECIFIED' THEN 4058243
-      |      ELSE 4275495 END AS observation_concept_id,
+      |      ELSE 4275495 END END AS observation_concept_id,
       |    CAST(o_orderdate AS DATE) AS observation_date,
       |    CASE WHEN o_orderkey % 2 = 0 THEN 32817 ELSE 32879 END
       |      AS observation_type_concept_id
@@ -1431,9 +1483,69 @@ object OhdsiCdmQueries {
       |GROUP BY 1, 2, 3 HAVING count(*) > 5
       |ORDER BY 1, 2, 3""".stripMargin
 
+  /** The heel oracle is GENERATED from the same
+    * [[graft.operators.OhdsiAchilles.Heel]] rule Seq and catalog the
+    * Spark side iterates (the benchmark-rows no-drift trick): both
+    * batteries become CTEs, then one UNION ALL branch per rule.
+    */
+  val heelOracle: String = {
+    import graft.operators.OhdsiAchilles.{Catalog, Heel}
+    val catVals = Catalog
+      .map(a => s"(CAST(${a.id} AS BIGINT), '${a.name.replace("'", "''")}')")
+      .mkString(",\n    ")
+    def msgSql(severity: String, cnt: String, suffix: String) =
+      s"'$severity: ' || CAST(analysis_id AS VARCHAR) || ' - ' || name || " +
+        s"'; count (n=' || CAST($cnt AS VARCHAR) || ') $suffix'"
+    val countParts = Heel.countRules.map { r =>
+      s"""SELECT analysis_id,
+         |  ${msgSql(r.severity, "CAST(sum(count_value) AS BIGINT)", r.suffix)}
+         |    AS achilles_heel_warning,
+         |  CAST(${r.ruleId} AS BIGINT) AS rule_id,
+         |  CAST(sum(count_value) AS BIGINT) AS record_count
+         |FROM hr JOIN cat USING (analysis_id)
+         |WHERE analysis_id IN (${r.ids.mkString(", ")})
+         |GROUP BY analysis_id, name HAVING sum(count_value) > 0""".stripMargin
+    }
+    val unmappedPart =
+      s"""SELECT analysis_id,
+         |  ${msgSql("WARNING", "record_count", Heel.UnmappedSuffix)}
+         |    AS achilles_heel_warning,
+         |  CAST(${Heel.UnmappedRuleId} AS BIGINT) AS rule_id, record_count
+         |FROM (
+         |  SELECT analysis_id, name, CAST(sum(count_value) AS BIGINT) AS total,
+         |    CAST(sum(CASE WHEN stratum_1 = '0' THEN count_value ELSE 0 END)
+         |      AS BIGINT) AS record_count
+         |  FROM hr JOIN cat USING (analysis_id)
+         |  WHERE analysis_id IN (${Heel.UnmappedIds.mkString(", ")})
+         |  GROUP BY analysis_id, name
+         |) WHERE record_count * 100 > total * ${Heel.UnmappedPctThreshold}""".stripMargin
+    val distParts = Heel.distRules.map { r =>
+      val idFilter = r.ids.map(ids => s"analysis_id IN (${ids.mkString(", ")}) AND ")
+        .getOrElse("")
+      s"""SELECT analysis_id,
+         |  ${msgSql(r.severity, "CAST(count(*) AS BIGINT)", r.suffix)}
+         |    AS achilles_heel_warning,
+         |  CAST(${r.ruleId} AS BIGINT) AS rule_id,
+         |  CAST(count(*) AS BIGINT) AS record_count
+         |FROM hd JOIN cat USING (analysis_id)
+         |WHERE $idFilter(${r.predicate})
+         |GROUP BY analysis_id, name""".stripMargin
+    }
+    val branches = (countParts ++ Seq(unmappedPart) ++ distParts)
+      .mkString("\nUNION ALL\n")
+    s"""WITH hr AS ($countsOracle),
+       |hd AS ($distOracle),
+       |cat(analysis_id, name) AS (VALUES
+       |    $catVals)
+       |SELECT * FROM (
+       |$branches
+       |) ORDER BY rule_id, analysis_id""".stripMargin
+  }
+
   val oracles: Seq[(String, String)] = Seq(
     "ohdsi_core_counts" -> countsOracle,
     "ohdsi_core_dist" -> distOracle,
+    "ohdsi_heel_results" -> heelOracle,
     // generated from the SAME catalog list the query reads, so the id set
     // can never drift between the two sides
     "ohdsi_benchmark_rows" -> {
