@@ -512,12 +512,33 @@ object EventQueries {
       zones.read(s, "achilles", table)
     })
 
+  /** Stream-STREAM join run as a real StreamingQuery: purchases landing
+    * within one hour of a click by the same user, both sides file-source
+    * streams of the events table with watermarks, the time bound in the
+    * join condition (state-evictable), append-mode memory sink. Oracle:
+    * the batch self-join — the stream/batch-equivalence contract for the
+    * one streaming join shape the other stream queries don't cover.
+    */
+  val streamJoinWithin: Q = (s, d) => {
+    val clicks = eventsStream(s, d, "stream_src_events_jl")
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+    val purchases = eventsStream(s, d, "stream_src_events_jr")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+    val joined = graft.streaming.StreamingOps.streamStreamJoin(
+      clicks, purchases, "user_id", "click_ts", "purchase_ts")
+    drainToTable(joined, "stream_join_within_sink", "append")
+      .orderBy("user_id", "click_ts", "purchase_ts")
+  }
+
   val defs: Seq[(String, Q)] = Seq(
     "q1_pricing_summary" -> q1PricingSummary,
     "stream_windowed_counts" -> streamWindowedCounts,
     "stream_dedup" -> streamDedup,
     "stream_sessionize" -> streamSessionize,
     "stream_running_stats" -> streamRunningStats,
+    "stream_join_within" -> streamJoinWithin,
     "event_discover_tables" -> eventDiscoverTables,
     "event_case_map" -> eventCaseMap,
     "event_rekey" -> eventRekey,
@@ -755,6 +776,13 @@ object EventQueries {
       """SELECT user_id, count(*) AS n_events, min(ts) AS first_ts,
         |  max(ts) AS last_ts, count(DISTINCT event_type) AS n_event_types
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "stream_join_within" ->
+      """SELECT c.user_id, c.ts AS click_ts, p.ts AS purchase_ts,
+        |  p.value AS purchase_value
+        |FROM events c JOIN events p ON c.user_id = p.user_id
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        |ORDER BY 1, 2, 3""".stripMargin,
     "join_asof" ->
       """WITH o AS (
         |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,

@@ -935,6 +935,29 @@ object LlmQueries {
       Seq("lang"))
       .orderBy("lang")
 
+  /** BPE merge learning ([[graft.ops.BpeOps]]): the tokenizer-training
+    * half beside the fixed segmenter (`text_bpe_tokens`). Trained
+    * artifacts (merge table, final segmented vocabulary) are materialized
+    * once per dataset into the `bpe` zone; both queries read the store.
+    */
+  private val BpeSteps = 10
+  private def bpeTrained(s: SparkSession, d: String): graft.io.Zones = {
+    val z = graft.io.Zones.forPurpose(s"bpe_${graft.io.Zones.pathKey(d)}")
+    graft.ops.BpeOps.train(s, z, t(s, d, "documents"), "text", BpeSteps)
+    z
+  }
+
+  /** The learned merge table: one row per training step. */
+  val bpeTrainMerges: Q = (s, d) =>
+    bpeTrained(s, d).read(s, "work", "merges")
+      .coalesce(1).sortWithinPartitions("step")
+
+  /** The 50 most frequent words with their final learned segmentation. */
+  val bpeSegmentTop: Q = (s, d) =>
+    bpeTrained(s, d).read(s, "work", s"words_$BpeSteps")
+      .select(col("w").as("word"), col("cnt").as("n"), col("sym").as("segmented"))
+      .orderBy(col("n").desc, col("word").asc).limit(50)
+
   val defs: Seq[(String, Q)] = Seq(
     "dedup_exact" -> dedupExact,
     "dedup_exact_survivors" -> dedupExactSurvivors,
@@ -949,6 +972,8 @@ object LlmQueries {
     "quality_lr_eval" -> qualityLrEval,
     "lm_bigram_top" -> lmBigramTop,
     "corpus_ppl_filter" -> corpusPplFilter,
+    "bpe_train_merges" -> bpeTrainMerges,
+    "bpe_segment_top" -> bpeSegmentTop,
     "dedup_incremental" -> dedupIncremental,
     "stream_dedup_incremental" -> streamDedupIncremental,
     "corpus_curation_funnel" -> corpusCurationFunnel,
@@ -1289,7 +1314,86 @@ object LlmQueries {
          |LEFT JOIN ibest ON d.doc_id = ibest.new_id
          |ORDER BY d.doc_id""".stripMargin
 
+  /** The BPE training replay: one MATERIALIZED CTE chain per merge step
+    * (pair count -> arg-max -> greedy merge application), generated for
+    * the same step count the Spark side trains. MATERIALIZED is
+    * load-bearing: each step references its predecessor several times and
+    * non-materialized CTEs would re-expand the whole chain exponentially
+    * (the quality_lr_train lesson). The greedy odd-offset-within-run
+    * selection mirrors `BpeOps.applyMerge` exactly.
+    */
+  private def bpeChainSql(steps: Int): String = {
+    val sb = new StringBuilder
+    sb ++=
+      s"""words0 AS MATERIALIZED (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS cnt,
+         |    array_to_string(string_split(w, ''), ' ') || ' </w>' AS sym
+         |  FROM (SELECT unnest($tokSql) AS w FROM documents)
+         |  WHERE len(w) > 0 GROUP BY w
+         |)""".stripMargin
+    for (i <- 0 until steps) sb ++=
+      s""",
+         |t$i AS MATERIALIZED (
+         |  SELECT w, cnt, unnest(string_split(sym, ' ')) AS tok,
+         |    unnest(generate_series(1, len(string_split(sym, ' ')))) AS pos
+         |  FROM words$i
+         |),
+         |b$i AS MATERIALIZED (
+         |  SELECT pair, CAST(sum(cnt) AS BIGINT) AS n FROM (
+         |    SELECT cnt, tok || ' ' || lead(tok) OVER (PARTITION BY w ORDER BY pos)
+         |      AS pair
+         |    FROM t$i
+         |  ) WHERE pair IS NOT NULL
+         |  GROUP BY pair ORDER BY n DESC, pair LIMIT 1
+         |),
+         |m$i AS MATERIALIZED (
+         |  SELECT w, cnt, pos, tok, pair,
+         |    (tok = split_part(pair, ' ', 1) AND
+         |     lead(tok) OVER (PARTITION BY w ORDER BY pos) = split_part(pair, ' ', 2))
+         |      AS mk
+         |  FROM t$i CROSS JOIN b$i
+         |),
+         |k$i AS MATERIALIZED (
+         |  SELECT w, pos FROM (
+         |    SELECT w, pos, row_number() OVER (PARTITION BY w, isl ORDER BY pos) AS rn
+         |    FROM (
+         |      SELECT w, pos, pos - row_number() OVER (PARTITION BY w ORDER BY pos) AS isl
+         |      FROM m$i WHERE mk
+         |    )
+         |  ) WHERE rn % 2 = 1
+         |),
+         |words${i + 1} AS MATERIALIZED (
+         |  SELECT w, cnt, string_agg(newtok, ' ' ORDER BY pos) AS sym FROM (
+         |    SELECT m.w, m.cnt, m.pos,
+         |      CASE WHEN k.pos IS NOT NULL THEN replace(m.pair, ' ', '')
+         |        ELSE m.tok END AS newtok,
+         |      coalesce(lag(k.pos IS NOT NULL)
+         |        OVER (PARTITION BY m.w ORDER BY m.pos), false) AS dropped
+         |    FROM m$i m LEFT JOIN k$i k ON m.w = k.w AND m.pos = k.pos
+         |  ) WHERE NOT dropped GROUP BY w, cnt
+         |)""".stripMargin
+    sb.result()
+  }
+
+  private val bpeMergesOracle: String = {
+    val branches = (0 until BpeSteps).map(i =>
+      s"""SELECT CAST($i AS BIGINT) AS step, split_part(pair, ' ', 1) AS lhs,
+         |  split_part(pair, ' ', 2) AS rhs, replace(pair, ' ', '') AS merged,
+         |  n AS pair_count FROM b$i""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH ${bpeChainSql(BpeSteps)}
+       |SELECT * FROM (
+       |$branches
+       |) ORDER BY step""".stripMargin
+  }
+
+  private val bpeSegmentOracle: String =
+    s"""WITH ${bpeChainSql(BpeSteps)}
+       |SELECT w AS word, cnt AS n, sym AS segmented FROM words$BpeSteps
+       |ORDER BY n DESC, word LIMIT 50""".stripMargin
+
   val oracles: Seq[(String, String)] = Seq(
+    "bpe_train_merges" -> bpeMergesOracle,
+    "bpe_segment_top" -> bpeSegmentOracle,
     "dedup_substring_spans" ->
       s"""WITH $dupSpansCtes
          |SELECT doc_id, span_start, span_end, span_tokens

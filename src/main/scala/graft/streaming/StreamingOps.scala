@@ -109,4 +109,32 @@ object StreamingOps {
         timestamp_micros(col("__l")).as("last_ts"),
         col("n_event_types"))
   }
+
+  /** Stream-STREAM inner join with an event-time range bound: each left
+    * event pairs with right events for the same key whose timestamp lands
+    * in [left_ts, left_ts + within]. Both sides carry watermarks and the
+    * join condition carries the time bound, so Spark can evict join state
+    * once the watermark passes a row's reach — the state-bounded shape
+    * Structured Streaming requires for unbounded stream-stream joins.
+    * Inner-join matches emit eagerly (no watermark wait), so AvailableNow
+    * drains the complete pair set. Works identically on batch frames
+    * (watermarks no-op), which is how the spec and the DuckDB oracle
+    * cross-check it.
+    */
+  def streamStreamJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsLeft: String,
+      tsRight: String,
+      within: String = "1 hour",
+      watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(tsLeft, watermark)
+    val r = right.withColumnRenamed(keyCol, "__rk").withWatermark(tsRight, watermark)
+    l.join(r,
+      col(keyCol) === col("__rk") &&
+        col(tsRight) >= col(tsLeft) &&
+        col(tsRight) <= col(tsLeft) + expr(s"INTERVAL $within"))
+      .drop("__rk")
+  }
 }

@@ -32,10 +32,17 @@ class PlanAuditSpec extends SparkSpec {
     // tier's ~15 small-dimension aggregates) — the unfused
     // one-scan-per-analysis shape costs 180+. The caps (measured + ~10%
     // margin) fail if an analysis family falls out of its shared pass.
-    val pc = plan("ohdsi_core_counts")
+    // audit the RAW battery plans — the registered queries now read the
+    // stored report (run-once-store), whose plan is a trivial parquet scan
+    val load = OhdsiCdmQueries.materialized(spark, Sf)
+    val pc = graft.operators.OhdsiAchilles
+      .cdmCoreResults(OhdsiCdmQueries.derivedModel, load)
+      .queryExecution.executedPlan.toString
     val cx = pc.linesIterator.count(_.contains("- Exchange"))
     assert(cx <= 110, s"ohdsi_core_counts exchanges grew to $cx — a family left its fused pass")
-    val pd = plan("ohdsi_core_dist")
+    val pd = graft.operators.OhdsiAchilles
+      .cdmCoreDistResults(OhdsiCdmQueries.derivedModel, load)
+      .queryExecution.executedPlan.toString
     val dx = pd.linesIterator.count(_.contains("- Exchange"))
     assert(dx <= 78, s"ohdsi_core_dist exchanges grew to $dx")
   }

@@ -106,4 +106,29 @@ class StreamingOpsSpec extends SparkSpec {
     val ks = spark.sql("SELECT k FROM sdd").as[Long].collect().sorted.toSeq
     assert(ks == Seq(1L, 2L, 3L))
   }
+
+  test("streamStreamJoin pairs right events within the left event's hour") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val buys = MemoryStream[(Long, Timestamp)]
+    val joined = StreamingOps.streamStreamJoin(
+      clicks.toDF().toDF("user_id", "click_ts"),
+      buys.toDF().toDF("user_id", "purchase_ts"),
+      "user_id", "click_ts", "purchase_ts")
+    val q = joined.writeStream
+      .format("memory").queryName("ssj").outputMode("append").start()
+    // user 1: click 10:01 -> purchase 10:30 (in), 11:02 (out: > 1h);
+    // user 2: purchase 10:05 with no prior click (purchase BEFORE the
+    // 10:10 click is out — the bound is one-sided); matches arrive across
+    // micro-batches, exercising buffered join state
+    clicks.addData((1L, ts(1)), (2L, ts(10)))
+    q.processAllAvailable()
+    buys.addData((1L, ts(30)), (2L, ts(5)))
+    q.processAllAvailable()
+    buys.addData((1L, Timestamp.valueOf("2026-01-01 11:02:00")))
+    q.processAllAvailable(); q.stop()
+    val out = spark.sql("SELECT user_id, purchase_ts FROM ssj ORDER BY 1, 2")
+      .as[(Long, Timestamp)].collect().toSeq
+    assert(out == Seq((1L, ts(30))))
+  }
 }
