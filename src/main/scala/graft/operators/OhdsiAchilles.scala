@@ -1130,6 +1130,62 @@ object OhdsiAchilles {
         "min_value < 0", "strata carry a negative duration"))
   }
 
+  /** The concept hierarchy of the derived universe, as (ancestor,
+    * descendant) pairs — the non-self rows of a CONCEPT_ANCESTOR closure.
+    * In production the closure comes from the imported vocabulary (the S4
+    * zip import path); the derived universe uses this vendored fixture so
+    * the descendant rollup is exercised end-to-end: the four SNOMED
+    * condition concepts roll up under 441840 ("Clinical finding") and the
+    * three standard visit concepts under the Visit domain root 8.
+    * Everything else rolls up through its self-row only.
+    */
+  val ConceptClosure: Seq[(Long, Long)] =
+    Seq(201826L, 316866L, 4329847L, 255573L).map(441840L -> _) ++
+      Seq(9201L, 9202L, 9203L).map(8L -> _)
+
+  /** The `achilles_result_concept_count` table (the reference's
+    * `--optimize-atlas-cache` flow, `achilles.py:628-660` — the literal
+    * SQL lives in the stubbed Achilles submodule, so the published field
+    * list/semantics are re-expressed): per-concept record and person
+    * counts drawn from the x01/x00 domain-series results, plus
+    * descendant-inclusive rollups through the CONCEPT_ANCESTOR closure
+    * (self-rows implicit). Atlas reads this table instead of re-scanning
+    * results per drill-down. Cost is O(|report| x |closure|) — the
+    * bounded-report property the heel tier shares.
+    */
+  def resultConceptCounts(s: SparkSession, results: DataFrame): DataFrame = {
+    val x00 = DomainSeries.map(_.base)
+    val x01 = DomainSeries.map(_.base + 1)
+    val base = results
+      .filter(col("analysis_id").isin((x00 ++ x01).map(Long.box): _*))
+      .groupBy(col("stratum_1").cast("long").as("concept_id"))
+      .agg(
+        sum(when(col("analysis_id").isin(x01.map(Long.box): _*), col("count_value"))
+          .otherwise(0L)).as("record_count"),
+        sum(when(col("analysis_id").isin(x00.map(Long.box): _*), col("count_value"))
+          .otherwise(0L)).as("person_count"))
+    val closure = base
+      .select(col("concept_id").as("ancestor_id"), col("concept_id").as("descendant_id"))
+      .unionByName {
+        import s.implicits._
+        ConceptClosure.toDF("ancestor_id", "descendant_id")
+      }
+    val descAgg = closure
+      .join(base, col("descendant_id") === col("concept_id"))
+      .groupBy("ancestor_id")
+      .agg(sum("record_count").as("descendant_record_count"),
+        sum("person_count").as("descendant_person_count"))
+    descAgg
+      .join(
+        base.select(col("concept_id").as("__c"), col("record_count"), col("person_count")),
+        col("ancestor_id") === col("__c"), "left")
+      .select(col("ancestor_id").as("concept_id"),
+        coalesce(col("record_count"), lit(0L)).as("record_count"),
+        col("descendant_record_count"),
+        coalesce(col("person_count"), lit(0L)).as("person_count"),
+        col("descendant_person_count"))
+  }
+
   /** Run the [[Heel]] rule corpus over materialized battery results.
     * `results` = `achilles_results` (analysis_id, stratum_1, stratum_2,
     * count_value); `dists` = `achilles_results_dist`. Output is the

@@ -532,6 +532,14 @@ object OhdsiCdmQueries {
       .sortWithinPartitions("rule_id", "analysis_id")
   }
 
+  /** The Atlas-cache concept-count table over the stored battery report
+    * ([[graft.operators.OhdsiAchilles.resultConceptCounts]]).
+    */
+  val ohdsiConceptCounts: Q = (s, d) =>
+    graft.operators.OhdsiAchilles.resultConceptCounts(s, storedBatteries(s, d)._1)
+      .coalesce(1)
+      .sortWithinPartitions("concept_id")
+
   /** User-supplied OHDSI-dialect SQL through the SqlRender-subset bridge
     * ([[graft.sources.OhdsiSql]]): a `{DEFAULT @p}` + `@param` render, a
     * SQL Server -> Spark translate (TOP, COUNT_BIG, YEAR, DATEDIFF with
@@ -587,6 +595,7 @@ object OhdsiCdmQueries {
     "ohdsi_core_counts" -> ohdsiCoreCounts,
     "ohdsi_core_dist" -> ohdsiCoreDist,
     "ohdsi_heel_results" -> ohdsiHeelResults,
+    "ohdsi_concept_counts" -> ohdsiConceptCounts,
     "ohdsi_benchmark_rows" -> ohdsiBenchmarkRows,
     "ohdsi_sql_topn" -> ohdsiSqlTopn,
     "ohdsi_sql_tempflow" -> ohdsiSqlTempflow)
@@ -1542,10 +1551,51 @@ object OhdsiCdmQueries {
        |) ORDER BY rule_id, analysis_id""".stripMargin
   }
 
+  /** The concept-count oracle: generated from the SAME DomainSeries bases
+    * and ConceptClosure constants the Spark side reads.
+    */
+  val conceptCountsOracle: String = {
+    import graft.operators.OhdsiAchilles.{ConceptClosure, DomainSeries}
+    val x00 = DomainSeries.map(_.base).mkString(", ")
+    val x01 = DomainSeries.map(_.base + 1).mkString(", ")
+    val closureVals = ConceptClosure
+      .map { case (a, d) => s"(CAST($a AS BIGINT), CAST($d AS BIGINT))" }
+      .mkString(",\n    ")
+    s"""WITH rr AS ($countsOracle),
+       |base AS (
+       |  SELECT CAST(stratum_1 AS BIGINT) AS concept_id,
+       |    CAST(sum(CASE WHEN analysis_id IN ($x01) THEN count_value ELSE 0 END)
+       |      AS BIGINT) AS record_count,
+       |    CAST(sum(CASE WHEN analysis_id IN ($x00) THEN count_value ELSE 0 END)
+       |      AS BIGINT) AS person_count
+       |  FROM rr WHERE analysis_id IN ($x00, $x01) GROUP BY 1
+       |),
+       |closure AS (
+       |  SELECT concept_id AS ancestor_id, concept_id AS descendant_id FROM base
+       |  UNION ALL
+       |  SELECT * FROM (VALUES
+       |    $closureVals) v(ancestor_id, descendant_id)
+       |),
+       |desc_agg AS (
+       |  SELECT ancestor_id,
+       |    CAST(sum(record_count) AS BIGINT) AS descendant_record_count,
+       |    CAST(sum(person_count) AS BIGINT) AS descendant_person_count
+       |  FROM closure JOIN base ON descendant_id = concept_id GROUP BY 1
+       |)
+       |SELECT ancestor_id AS concept_id,
+       |  coalesce(b.record_count, 0) AS record_count,
+       |  d.descendant_record_count,
+       |  coalesce(b.person_count, 0) AS person_count,
+       |  d.descendant_person_count
+       |FROM desc_agg d LEFT JOIN base b ON b.concept_id = d.ancestor_id
+       |ORDER BY 1""".stripMargin
+  }
+
   val oracles: Seq[(String, String)] = Seq(
     "ohdsi_core_counts" -> countsOracle,
     "ohdsi_core_dist" -> distOracle,
     "ohdsi_heel_results" -> heelOracle,
+    "ohdsi_concept_counts" -> conceptCountsOracle,
     // generated from the SAME catalog list the query reads, so the id set
     // can never drift between the two sides
     "ohdsi_benchmark_rows" -> {

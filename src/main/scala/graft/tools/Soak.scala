@@ -224,7 +224,7 @@ object Soak {
       }
       val sbO = new StringBuilder
       for (name <- Seq("ohdsi_core_counts", "ohdsi_core_dist",
-          "ohdsi_core_counts_warm")) {
+          "ohdsi_core_counts_warm", "ohdsi_heel_results", "ohdsi_concept_counts")) {
         val q = name.stripSuffix("_warm")
         durations.clear()
         val t0 = System.nanoTime()

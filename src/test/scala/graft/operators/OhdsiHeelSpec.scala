@@ -73,6 +73,26 @@ class OhdsiHeelSpec extends SparkSpec {
     assert(heel.filter(_._3 == 9L).map(t => (t._1, t._4)).toSeq == Seq((211L, 1L)))
   }
 
+  test("concept counts roll descendants up through the closure") {
+    // x00 (400) person counts and x01 (401) record counts for two
+    // condition concepts; 441840 is their closure ancestor with no rows
+    // of its own
+    val res = Seq(
+      (400L, "201826", nullS, 10L),
+      (400L, "316866", nullS, 7L),
+      (401L, "201826", nullS, 100L),
+      (401L, "316866", nullS, 70L)
+    ).toDF("analysis_id", "stratum_1", "stratum_2", "count_value")
+    val got = OhdsiAchilles.resultConceptCounts(spark, res)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (201826L, 100L, 100L, 10L, 10L),
+      (316866L, 70L, 70L, 7L, 7L),
+      (441840L, 0L, 170L, 0L, 17L)))
+  }
+
   test("rule/oracle sides are generated from one rule table") {
     // the oracle embeds every rule id and the exact suffix text the Spark
     // side renders — spot-check a few load-bearing fragments
