@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cross-engine-EXACT HyperLogLog distinct counting (Flajolet et al. 2007,
+  * public algorithm). Spark ships `approx_count_distinct` (HLL++), but its
+  * sketch is engine-private — no other engine can replay the estimate, so
+  * it can never pass a hash-compare oracle gate. This formulation pins the
+  * WHOLE sketch to portable primitives so DuckDB reproduces the estimate
+  * bit-for-bit:
+  *
+  *  - hash: the engine-wide md5-prefix 32-bit hash ([[TextOps.hash32]] —
+  *    already the cross-engine workhorse of the MinHash/LSH tier);
+  *  - bucket = top `p` hash bits, remainder `v` = low `32-p` bits;
+  *  - rho = leading-zero count of `v` within its `32-p` bits, plus one —
+  *    computed by a GENERATED integer comparison ladder (both engines
+  *    iterate the same Scala loop), never floating log2;
+  *  - per-bucket register = max(rho) — an order-independent, MERGEABLE
+  *    aggregate: the groupBy(bucket) map-side combine IS the distributed
+  *    sketch merge, which is the whole point of HLL at 100 TB (the shuffle
+  *    carries at most m rows per group, never the raw values);
+  *  - the harmonic sum is kept EXACT: sum of 2^(32 - rho) as 64-bit
+  *    integers (rho <= 23 at p=10, so each term <= 2^31 and m terms fit
+  *    comfortably) — floating addition is order-dependent, integer
+  *    addition is not;
+  *  - the single double step (alpha_m * m^2 * 2^32 / S) uses one constant
+  *    folded in Scala and embedded in the oracle via its shortest
+  *    round-trip decimal, then floor(x * 1000) — identical IEEE division
+  *    and truncation on both sides.
+  *
+  * The raw estimator only (no small-range linear-counting branch — it
+  * needs ln(), whose libm rounding is NOT pinned across engines); the
+  * estimate column is therefore documented as the raw HLL estimator and
+  * the spec asserts its accuracy envelope instead.
+  */
+object SketchOps {
+
+  /** Registers per (group, bucket): max rho. */
+  private def rhoLadder(v: Column, w: Int): Column = {
+    // bit length ladder: len = k iff 2^(k-1) <= v < 2^k; rho = w + 1 - len.
+    // Fold from 1 UP so the outermost (first-evaluated) branch is the
+    // highest rung — folding down makes `v >= 1` the outer test and every
+    // nonzero v reads as one bit long
+    val len = (1 to w).foldLeft(lit(0)) { (acc, k) =>
+      when(v >= (1L << (k - 1)), lit(k)).otherwise(acc)
+    }
+    when(v === 0L, lit(w + 1)).otherwise(lit(w + 1) - len)
+  }
+
+  /** The alpha_m bias constant of the published raw estimator (m >= 128). */
+  def alpha(m: Int): Double = 0.7213 / (1.0 + 1.079 / m)
+
+  /** The numerator constant alpha_m * m^2 * 2^32, folded once so both
+    * engines perform the IDENTICAL single division.
+    */
+  def numerator(p: Int): Double = {
+    val m = 1 << p
+    alpha(m) * m.toDouble * m.toDouble * 4294967296.0
+  }
+
+  /** HLL distinct estimate per group: (groupCols..., n_buckets, scaled_sum,
+    * est_milli). `est_milli` = floor(estimate * 1000) — the hash-gated
+    * contract; `n_buckets`/`scaled_sum` expose the exact integer sketch
+    * state the estimate derives from.
+    */
+  def hllDistinct(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: Column,
+      p: Int = 10): DataFrame = {
+    require(p >= 7 && p <= 16, s"p must be in [7, 16], got $p")
+    val m = 1 << p
+    val w = 32 - p
+    val h = TextOps.hash32(valueCol.cast("string"))
+    val bucket = shiftright(h, w)
+    val v = h.bitwiseAND(lit((1L << w) - 1))
+    val registers = df
+      .select(groupCols.map(col) :+ bucket.as("__b") :+ rhoLadder(v, w).as("__rho"): _*)
+      .groupBy(groupCols.map(col) :+ col("__b"): _*)
+      .agg(max(col("__rho")).as("__mj"))
+    // scaled harmonic sum: present buckets contribute 2^(32 - mj), the
+    // m - n_present empty buckets contribute 2^32 each — all exact longs
+    // (mj <= w + 1 = 23 at p=10, so terms are >= 2^9; m terms < 2^42)
+    registers
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(expr("shiftleft(cast(1 as bigint), 32 - __mj)")).as("__present"))
+      .withColumn("scaled_sum",
+        col("__present") + (lit(m.toLong) - col("n_buckets")) * lit(4294967296L))
+      .withColumn("est_milli",
+        floor(lit(numerator(p)) / col("scaled_sum") * lit(1000.0)).cast("long"))
+      .drop("__present")
+  }
+
+  /** The DuckDB replay of [[hllDistinct]], generated from the SAME p and
+    * the same constants: `hllSql(ids, "user_id", "events", p)` yields a
+    * complete SELECT producing (ids..., n_buckets, scaled_sum, est_milli).
+    */
+  def hllSql(groupCols: Seq[String], valueExpr: String, from: String, p: Int = 10): String = {
+    val m = 1 << p
+    val w = 32 - p
+    val gc = groupCols.mkString(", ")
+    val ladder = (w to 1 by -1)
+      .map(k => s"WHEN v >= ${1L << (k - 1)} THEN ${w + 1 - k}")
+      .mkString("\n      ")
+    // Double.toString is the shortest decimal that round-trips to the
+    // identical IEEE double, so both engines divide the same numerator
+    val num = java.lang.Double.toString(numerator(p))
+    s"""SELECT $gc, n_buckets, scaled_sum,
+       |  CAST(floor($num / scaled_sum * 1000.0) AS BIGINT) AS est_milli
+       |FROM (
+       |  SELECT $gc, CAST(count(*) AS BIGINT) AS n_buckets,
+       |    CAST(sum(CAST(1 AS BIGINT) << (32 - mj)) AS BIGINT)
+       |      + ($m - count(*)) * 4294967296 AS scaled_sum
+       |  FROM (
+       |    SELECT $gc, b, max(rho) AS mj FROM (
+       |      SELECT $gc, h // ${1L << w} AS b,
+       |        CASE WHEN v = 0 THEN ${w + 1} ELSE CASE
+       |      $ladder
+       |        END END AS rho
+       |      FROM (
+       |        SELECT $gc,
+       |          ('0x' || substr(md5(CAST($valueExpr AS VARCHAR)), 1, 8))::BIGINT AS h,
+       |          ('0x' || substr(md5(CAST($valueExpr AS VARCHAR)), 1, 8))::BIGINT
+       |            % ${1L << w} AS v
+       |        FROM $from
+       |      )
+       |    ) GROUP BY $gc, b
+       |  ) GROUP BY $gc
+       |)""".stripMargin
+  }
+}

@@ -532,6 +532,36 @@ object EventQueries {
       .orderBy("user_id", "click_ts", "purchase_ts")
   }
 
+  /** Time-series resampling with forward fill: each user's events land on
+    * an hourly grid from their first to last event, carrying the last
+    * observed value across empty hours — the gap-filling shape every
+    * time-series feature pipeline needs (and the ASOF-join's grid-side
+    * dual). Grid size is O(users x span-hours) — independent of event
+    * count, bounded by the calendar; the fill is one per-user window, no
+    * global sort. The hour's representative value is max(struct(ts,
+    * event_id, value)) — latest event wins, id-tie-broken, so both
+    * engines pick the identical row.
+    */
+  val eventResampleHourly: Q = (s, d) => {
+    val ev = t(s, d, "events")
+    val b = ev.groupBy("user_id").agg(
+      date_trunc("hour", min(col("ts"))).as("h0"),
+      date_trunc("hour", max(col("ts"))).as("h1"))
+    val grid = b.select(col("user_id"),
+      explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("hour"))
+    val obs = ev
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("__m"))
+      .select(col("user_id"), col("hour"), col("__m.value").as("__v"))
+    val w = Window.partitionBy("user_id").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq("user_id", "hour"), "left")
+      .withColumn("is_observed", col("__v").isNotNull)
+      .withColumn("filled_value", last(col("__v"), ignoreNulls = true).over(w))
+      .select("user_id", "hour", "filled_value", "is_observed")
+      .orderBy("user_id", "hour")
+  }
+
   val defs: Seq[(String, Q)] = Seq(
     "q1_pricing_summary" -> q1PricingSummary,
     "stream_windowed_counts" -> streamWindowedCounts,
@@ -581,8 +611,23 @@ object EventQueries {
     "join_asof_bucketed" -> joinAsofBucketed,
     "join_range" -> joinRange,
     "agg_count_distinct" -> aggCountDistinct,
+    // the sketch beside its ground truth (the sim_*_recall pattern): the
+    // event-key dimension is the one test-data dimension with enough
+    // cardinality to sit in the raw estimator's operating regime at the
+    // driver's scales (the user dimension would need the linear-counting
+    // branch, deliberately omitted — no portable ln)
+    "agg_hll_distinct" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val sk = graft.ops.SketchOps.hllDistinct(ev, Seq("event_type"), col("event_id"), p = 7)
+      val ex = ev.groupBy("event_type").agg(countDistinct("event_id").as("n_exact"))
+      sk.join(ex, Seq("event_type"))
+        .select(col("event_type"), col("n_exact"), col("n_buckets"),
+          col("scaled_sum"), col("est_milli"))
+        .orderBy("event_type")
+    }),
     "agg_rollup" -> aggRollup,
-    "agg_cube" -> aggCube)
+    "agg_cube" -> aggCube,
+    "event_resample_hourly" -> eventResampleHourly)
 
   val oracles: Seq[(String, String)] = Seq(
     "achilles_analysis_catalog" ->
@@ -971,6 +1016,35 @@ object EventQueries {
     "agg_count_distinct" ->
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_customers, count(*) AS n_orders
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // generated from the SAME p/ladder/constant the Spark sketch uses
+    "agg_hll_distinct" ->
+      s"""WITH sk AS (
+         |${graft.ops.SketchOps.hllSql(Seq("event_type"), "event_id", "events", p = 7)}
+         |), ex AS (
+         |  SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT) AS n_exact
+         |  FROM events GROUP BY 1
+         |)
+         |SELECT event_type, n_exact, n_buckets, scaled_sum, est_milli
+         |FROM sk JOIN ex USING (event_type) ORDER BY event_type""".stripMargin,
+    "event_resample_hourly" ->
+      """WITH b AS (
+        |  SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+        |    date_trunc('hour', max(ts)) AS h1
+        |  FROM events GROUP BY 1
+        |), grid AS (
+        |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        |  FROM b
+        |), obs AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hour,
+        |    max({'ts': ts, 'event_id': event_id, 'v': value}) AS m
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT g.user_id, g.hour,
+        |  last_value(m.v IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+        |  m.v IS NOT NULL AS is_observed
+        |FROM grid g LEFT JOIN obs m USING (user_id, hour)
+        |ORDER BY user_id, hour""".stripMargin,
     "agg_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
         |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 2) AS total

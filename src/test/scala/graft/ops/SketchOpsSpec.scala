@@ -1,0 +1,53 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Cross-engine-exact HLL: estimator accuracy in its operating regime,
+  * exact-integer sketch state, and the generated-oracle parity seams.
+  */
+class SketchOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("estimate lands within the published error envelope at n >> m") {
+    // 100k distinct values, p=10 (m=1024): the raw estimator's relative
+    // standard error is 1.04/sqrt(1024) ~ 3.25%; 4 sigma is a safe gate
+    val df = spark.range(100000L).select(col("id"), lit("g").as("g"))
+    val row = SketchOps.hllDistinct(df, Seq("g"), col("id")).collect()(0)
+    val est = row.getAs[Long]("est_milli") / 1000.0
+    assert(math.abs(est / 100000.0 - 1.0) < 0.13, s"estimate $est too far from 100000")
+  }
+
+  test("the sketch is deterministic and mergeable (partitioning-independent)") {
+    val df = spark.range(5000L).select(col("id"), (col("id") % 3).as("g"))
+    val a = SketchOps.hllDistinct(df.repartition(32), Seq("g"), col("id"))
+      .orderBy("g").collect().toSeq
+    val b = SketchOps.hllDistinct(df.coalesce(1), Seq("g"), col("id"))
+      .orderBy("g").collect().toSeq
+    assert(a == b, "register maxima must not depend on partitioning")
+  }
+
+  test("sketch state stays exact integers; empty buckets carry 2^32") {
+    // one value -> one bucket present; the other 1023 buckets contribute
+    // 4294967296 each, and the present bucket 2^(32 - rho)
+    val df = Seq(("g", 42L)).toDF("g", "x")
+    val row = SketchOps.hllDistinct(df, Seq("g"), col("x")).collect()(0)
+    assert(row.getAs[Long]("n_buckets") == 1L)
+    val scaled = row.getAs[Long]("scaled_sum")
+    val present = scaled - 1023L * 4294967296L
+    // present = 2^(32 - rho) for a single register: a power of two in
+    // [2^9, 2^31] (rho in [1, 23])
+    assert(present > 0 && (present & (present - 1)) == 0L, s"not a power of two: $present")
+    assert(present >= (1L << 9) && present <= (1L << 31))
+  }
+
+  test("oracle SQL embeds the same constants the Spark side folds") {
+    val sql = SketchOps.hllSql(Seq("g"), "x", "t")
+    assert(sql.contains(java.lang.Double.toString(SketchOps.numerator(10))))
+    assert(sql.contains("% 4194304"))   // 2^22 remainder split at p=10
+    assert(sql.contains("// 4194304"))  // bucket = top bits
+    assert(sql.contains("WHEN v >= 2097152 THEN 1")) // ladder top rung
+    assert(sql.contains("WHEN v = 0 THEN 23"))
+  }
+}
