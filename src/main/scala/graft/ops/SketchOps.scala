@@ -59,26 +59,39 @@ object SketchOps {
     alpha(m) * m.toDouble * m.toDouble * 4294967296.0
   }
 
-  /** HLL distinct estimate per group: (groupCols..., n_buckets, scaled_sum,
-    * est_milli). `est_milli` = floor(estimate * 1000) — the hash-gated
-    * contract; `n_buckets`/`scaled_sum` expose the exact integer sketch
-    * state the estimate derives from.
+  /** The sketch state: per (group, bucket) register maxima `(groupCols...,
+    * __b, __mj)`. Registers MERGE by max — across partitions (the groupBy
+    * map-side combine), and across groups ([[hllMergeGroups]]).
     */
-  def hllDistinct(
+  def hllRegisters(
       df: DataFrame,
       groupCols: Seq[String],
       valueCol: Column,
       p: Int = 10): DataFrame = {
     require(p >= 7 && p <= 16, s"p must be in [7, 16], got $p")
-    val m = 1 << p
     val w = 32 - p
     val h = TextOps.hash32(valueCol.cast("string"))
     val bucket = shiftright(h, w)
     val v = h.bitwiseAND(lit((1L << w) - 1))
-    val registers = df
-      .select(groupCols.map(col) :+ bucket.as("__b") :+ rhoLadder(v, w).as("__rho"): _*)
+    df.select(groupCols.map(col) :+ bucket.as("__b") :+ rhoLadder(v, w).as("__rho"): _*)
       .groupBy(groupCols.map(col) :+ col("__b"): _*)
       .agg(max(col("__rho")).as("__mj"))
+  }
+
+  /** Union of per-group sketches: max register per bucket — the HLL merge
+    * operation (estimating the distinct count of the UNION without
+    * touching the raw values again).
+    */
+  def hllMergeGroups(registers: DataFrame): DataFrame =
+    registers.groupBy(col("__b")).agg(max(col("__mj")).as("__mj"))
+
+  /** Finish registers into `(groupCols..., n_buckets, scaled_sum,
+    * est_milli)`; `est_milli` = floor(estimate * 1000) is the hash-gated
+    * contract, `n_buckets`/`scaled_sum` expose the exact integer state it
+    * derives from.
+    */
+  def hllFinish(registers: DataFrame, groupCols: Seq[String], p: Int = 10): DataFrame = {
+    val m = 1 << p
     // scaled harmonic sum: present buckets contribute 2^(32 - mj), the
     // m - n_present empty buckets contribute 2^32 each — all exact longs
     // (mj <= w + 1 = 23 at p=10, so terms are >= 2^9; m terms < 2^42)
@@ -93,41 +106,62 @@ object SketchOps {
       .drop("__present")
   }
 
-  /** The DuckDB replay of [[hllDistinct]], generated from the SAME p and
-    * the same constants: `hllSql(ids, "user_id", "events", p)` yields a
-    * complete SELECT producing (ids..., n_buckets, scaled_sum, est_milli).
+  /** HLL distinct estimate per group — registers + finish in one call. */
+  def hllDistinct(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: Column,
+      p: Int = 10): DataFrame =
+    hllFinish(hllRegisters(df, groupCols, valueCol, p), groupCols, p)
+
+  /** The DuckDB replay of [[hllRegisters]]: yields `(groupCols..., b, mj)`
+    * — generated from the same p and ladder.
     */
-  def hllSql(groupCols: Seq[String], valueExpr: String, from: String, p: Int = 10): String = {
-    val m = 1 << p
+  def hllRegistersSql(
+      groupCols: Seq[String], valueExpr: String, from: String, p: Int = 10): String = {
     val w = 32 - p
-    val gc = groupCols.mkString(", ")
+    val gcSel = groupCols.map(_ + ", ").mkString
+    val gcBy = if (groupCols.isEmpty) "" else groupCols.mkString(", ") + ", "
     val ladder = (w to 1 by -1)
       .map(k => s"WHEN v >= ${1L << (k - 1)} THEN ${w + 1 - k}")
       .mkString("\n      ")
+    s"""SELECT ${gcSel}b, max(rho) AS mj FROM (
+       |  SELECT ${gcSel}h // ${1L << w} AS b,
+       |    CASE WHEN v = 0 THEN ${w + 1} ELSE CASE
+       |  $ladder
+       |    END END AS rho
+       |  FROM (
+       |    SELECT ${gcSel}
+       |      ('0x' || substr(md5(CAST($valueExpr AS VARCHAR)), 1, 8))::BIGINT AS h,
+       |      ('0x' || substr(md5(CAST($valueExpr AS VARCHAR)), 1, 8))::BIGINT
+       |        % ${1L << w} AS v
+       |    FROM $from
+       |  )
+       |) GROUP BY ${gcBy}b""".stripMargin
+  }
+
+  /** The DuckDB replay of [[hllFinish]] over a registers relation `(b, mj)`
+    * named `regs`.
+    */
+  def hllFinishSql(groupCols: Seq[String], regs: String, p: Int = 10): String = {
+    val m = 1 << p
+    val gcSel = groupCols.map(_ + ", ").mkString
+    val gcBy = if (groupCols.isEmpty) "" else " GROUP BY " + groupCols.mkString(", ")
     // Double.toString is the shortest decimal that round-trips to the
     // identical IEEE double, so both engines divide the same numerator
     val num = java.lang.Double.toString(numerator(p))
-    s"""SELECT $gc, n_buckets, scaled_sum,
+    s"""SELECT ${gcSel}n_buckets, scaled_sum,
        |  CAST(floor($num / scaled_sum * 1000.0) AS BIGINT) AS est_milli
        |FROM (
-       |  SELECT $gc, CAST(count(*) AS BIGINT) AS n_buckets,
+       |  SELECT ${gcSel}CAST(count(*) AS BIGINT) AS n_buckets,
        |    CAST(sum(CAST(1 AS BIGINT) << (32 - mj)) AS BIGINT)
        |      + ($m - count(*)) * 4294967296 AS scaled_sum
-       |  FROM (
-       |    SELECT $gc, b, max(rho) AS mj FROM (
-       |      SELECT $gc, h // ${1L << w} AS b,
-       |        CASE WHEN v = 0 THEN ${w + 1} ELSE CASE
-       |      $ladder
-       |        END END AS rho
-       |      FROM (
-       |        SELECT $gc,
-       |          ('0x' || substr(md5(CAST($valueExpr AS VARCHAR)), 1, 8))::BIGINT AS h,
-       |          ('0x' || substr(md5(CAST($valueExpr AS VARCHAR)), 1, 8))::BIGINT
-       |            % ${1L << w} AS v
-       |        FROM $from
-       |      )
-       |    ) GROUP BY $gc, b
-       |  ) GROUP BY $gc
+       |  FROM $regs$gcBy
        |)""".stripMargin
   }
+
+  /** Complete DuckDB replay of [[hllDistinct]]. */
+  def hllSql(groupCols: Seq[String], valueExpr: String, from: String, p: Int = 10): String =
+    s"""${hllFinishSql(groupCols,
+        s"(\n${hllRegistersSql(groupCols, valueExpr, from, p)}\n)", p)}""".stripMargin
 }

@@ -562,6 +562,61 @@ object EventQueries {
       .orderBy("user_id", "hour")
   }
 
+  /** Ordered conversion funnel: first click, first view strictly after
+    * it, first purchase strictly after that — per user, then the three
+    * stage counts. Each stage is one aggregate + one user-keyed join; no
+    * windows, no sequence scan.
+    */
+  val eventFunnelConversion: Q = (s, d) => {
+    val ev = t(s, d, "events")
+    val c = ev.filter(col("event_type") === "click")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val v = ev.filter(col("event_type") === "view").join(c, "user_id")
+      .filter(col("ts") > col("t1")).groupBy("user_id").agg(min("ts").as("t2"))
+    val p = ev.filter(col("event_type") === "purchase").join(v, "user_id")
+      .filter(col("ts") > col("t2")).groupBy("user_id").agg(min("ts").as("t3"))
+    c.agg(count(lit(1)).as("n_clicked"))
+      .crossJoin(v.agg(count(lit(1)).as("n_viewed_after")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchased_after")))
+  }
+
+  /** Weekly retention cohorts: users bucketed by the week of their first
+    * event, counted in each later week they were active. Monday-based
+    * week truncation on both engines; the offset division is exact (both
+    * ends week-truncated).
+    */
+  val eventRetentionCohorts: Q = (s, d) => {
+    val ev = t(s, d, "events")
+    val firsts = ev.groupBy("user_id").agg(min("ts").as("first_ts"))
+    ev.join(firsts, "user_id")
+      .select(col("user_id"),
+        to_date(date_trunc("week", col("first_ts"))).as("cohort_week"),
+        (datediff(to_date(date_trunc("week", col("ts"))),
+          to_date(date_trunc("week", col("first_ts")))) / 7).cast("long").as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** HLL merge-invariance, hash-gated: the union of the per-type sketches
+    * (max register per bucket — no second pass over the data) must equal
+    * the sketch computed directly over everything. Both rows ride the
+    * same oracle, so the property is certified cross-engine.
+    */
+  val aggHllUnion: Q = (s, d) => {
+    import graft.ops.SketchOps
+    val ev = t(s, d, "events")
+    val perType = SketchOps.hllRegisters(ev, Seq("event_type"), col("event_id"), p = 7)
+    val merged = SketchOps.hllFinish(SketchOps.hllMergeGroups(perType), Seq.empty, p = 7)
+      .withColumn("source", lit("merged"))
+    val direct = SketchOps.hllFinish(
+      SketchOps.hllRegisters(ev, Seq.empty, col("event_id"), p = 7), Seq.empty, p = 7)
+      .withColumn("source", lit("direct"))
+    merged.unionByName(direct)
+      .select("source", "n_buckets", "scaled_sum", "est_milli")
+      .orderBy("source")
+  }
+
   val defs: Seq[(String, Q)] = Seq(
     "q1_pricing_summary" -> q1PricingSummary,
     "stream_windowed_counts" -> streamWindowedCounts,
@@ -627,7 +682,10 @@ object EventQueries {
     }),
     "agg_rollup" -> aggRollup,
     "agg_cube" -> aggCube,
-    "event_resample_hourly" -> eventResampleHourly)
+    "event_resample_hourly" -> eventResampleHourly,
+    "event_funnel_conversion" -> eventFunnelConversion,
+    "event_retention_cohorts" -> eventRetentionCohorts,
+    "agg_hll_union" -> aggHllUnion)
 
   val oracles: Seq[(String, String)] = Seq(
     "achilles_analysis_catalog" ->
@@ -1045,6 +1103,53 @@ object EventQueries {
         |  m.v IS NOT NULL AS is_observed
         |FROM grid g LEFT JOIN obs m USING (user_id, hour)
         |ORDER BY user_id, hour""".stripMargin,
+    "event_funnel_conversion" ->
+      """WITH c AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'click' GROUP BY 1
+        |), v AS (
+        |  SELECT e.user_id, min(ts) AS t2 FROM events e JOIN c USING (user_id)
+        |  WHERE event_type = 'view' AND ts > t1 GROUP BY 1
+        |), p AS (
+        |  SELECT e.user_id, min(ts) AS t3 FROM events e JOIN v USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1
+        |)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_clicked,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_viewed_after,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchased_after""".stripMargin,
+    "event_retention_cohorts" ->
+      """WITH f AS (
+        |  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1
+        |)
+        |SELECT CAST(date_trunc('week', first_ts) AS DATE) AS cohort_week,
+        |  CAST(datediff('day', CAST(date_trunc('week', first_ts) AS DATE),
+        |    CAST(date_trunc('week', ts) AS DATE)) // 7 AS BIGINT) AS week_offset,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // generated from the same registers/finish templates the Spark side
+    // composes: union of per-type sketches == direct sketch, both rows
+    "agg_hll_union" -> {
+      import graft.ops.SketchOps
+      val regs = SketchOps.hllRegistersSql(Seq("event_type"), "event_id", "events", p = 7)
+      val direct = SketchOps.hllFinishSql(Seq.empty,
+        s"(\n${SketchOps.hllRegistersSql(Seq.empty, "event_id", "events", p = 7)}\n)", p = 7)
+      val merged = SketchOps.hllFinishSql(Seq.empty, "mg", p = 7)
+      s"""WITH regs AS (
+         |$regs
+         |), mg AS (
+         |  SELECT b, max(mj) AS mj FROM regs GROUP BY b
+         |)
+         |SELECT * FROM (
+         |SELECT 'merged' AS source, * FROM (
+         |$merged
+         |)
+         |UNION ALL
+         |SELECT 'direct' AS source, * FROM (
+         |$direct
+         |)
+         |) ORDER BY source""".stripMargin
+    },
     "agg_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
         |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 2) AS total

@@ -98,6 +98,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("the analytics tier prunes events scans and keeps equi-joins") {
+    // funnel touches only (user_id, ts, event_type); the sketch only
+    // (event_id, event_type). The 1x1 stage-count joins in the funnel are
+    // legitimately broadcast-nested-loop (no key); candidate-path
+    // cartesians are still banned.
+    val pf = plan("event_funnel_conversion")
+    val fScans = pf.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(fScans.nonEmpty && fScans.forall(l =>
+      !l.contains("props") && !l.contains("value")), s"unpruned funnel scan:\n$fScans")
+    assert(!pf.contains("CartesianProduct"))
+    val ph = plan("agg_hll_distinct")
+    val hScans = ph.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(hScans.nonEmpty && hScans.forall(l =>
+      !l.contains("props") && !l.contains("user_id")), s"unpruned sketch scan:\n$hScans")
+    val pr = plan("event_retention_cohorts")
+    val rScans = pr.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(rScans.nonEmpty && rScans.forall(l =>
+      !l.contains("props") && !l.contains("value") && !l.contains("event_type")),
+      s"unpruned retention scan:\n$rScans")
+  }
+
+  test("the resample fill rides per-user windows, never a global one") {
+    val p = plan("event_resample_hourly")
+    assert(!p.contains("CartesianProduct"), "resample has a cartesian")
+    val wLines = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(wLines.nonEmpty && wLines.forall(_.contains("user_id")),
+      s"resample window lost its user partitioning:\n${wLines.mkString("\n")}")
+  }
+
   test("the event value filter is pushed down to the parquet scan") {
     val p = plan("event_fact_nonnull")
     val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
