@@ -178,6 +178,56 @@ object PngCodec {
     out.toByteArray
   }
 
+  /** [[syntheticPng]] with pixel (0, 0) forced WHITE — the near-duplicate
+    * fixture: one perturbed pixel leaves the average-hash within a few
+    * bits of the base image's.
+    */
+  def syntheticPngWhiteOrigin(mediaId: Long, width: Int, height: Int): Array[Byte] = {
+    val base = syntheticPng(mediaId, width, height)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(base))
+    img.setRGB(0, 0, 0xffffff)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** The 8x8 average-hash (aHash — the classic perceptual near-dup
+    * fingerprint) as a 64-char '0'/'1' string, row-major over blocks.
+    * Pixel (x, y) lands in block (y*8/h, x*8/w); a block's bit is set iff
+    * its gray sum exceeds the image mean, compared CROSS-MULTIPLIED
+    * (blockSum * totalPixels > totalSum * blockPixels) so the whole hash
+    * is integer-exact and an external SQL oracle replays it from the
+    * synthetic fixtures' pixel formula — certifying decode + hash
+    * end-to-end. A bitstring (not a packed long) keeps bit 63 out of sign
+    * territory and makes banding a substring.
+    */
+  def aHashBits(payload: Array[Byte]): String = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, "payload is not a decodable image")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val gs = Array.ofDim[Long](8, 8)
+    val np = Array.ofDim[Long](8, 8)
+    var y = 0
+    while (y < h) {
+      val by = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val bx = x * 8 / w
+        val rgb = img.getRGB(x, y)
+        gs(by)(bx) += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        np(by)(bx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var (gtot, ntot) = (0L, 0L)
+    for (by <- 0 until 8; bx <- 0 until 8) { gtot += gs(by)(bx); ntot += np(by)(bx) }
+    val sb = new StringBuilder(64)
+    for (by <- 0 until 8; bx <- 0 until 8)
+      sb.append(if (gs(by)(bx) * ntot > gtot * np(by)(bx)) '1' else '0')
+    sb.result()
+  }
+
   /** Decode a PNG payload and return `(width, height, sumR, sumG, sumB)` —
     * exact integer channel sums, so the derived means replay bit-for-bit in
     * any engine (`CAST(sum AS DOUBLE) / count`).

@@ -825,6 +825,63 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Image aHash fixtures: 48 base synthetic PNGs and a one-pixel-white
+    * variant of each (96 images), hashed to 64-bit average-hash
+    * bitstrings at the decode boundary. Shared by the hash and the
+    * near-dup queries.
+    */
+  private def ahashFrames(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("img_id", LongType, nullable = false),
+      StructField("bits", StringType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    t(s, d, "documents")
+      .select(col("doc_id")).orderBy("doc_id").limit(48)
+      .repartition(8)
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val (w, h) = (16 + (id % 16).toInt, 16 + (id % 8).toInt)
+          Seq(
+            org.apache.spark.sql.Row(id * 2,
+              PngCodec.aHashBits(PngCodec.syntheticPng(id, w, h))),
+            org.apache.spark.sql.Row(id * 2 + 1,
+              PngCodec.aHashBits(PngCodec.syntheticPngWhiteOrigin(id, w, h))))
+        }
+      }(enc)
+  }
+
+  /** The perceptual hashes themselves — the oracle replays decode + block
+    * sums + cross-multiplied bits analytically from the pixel formula.
+    */
+  val imageAhash: Q = (s, d) => ahashFrames(s, d).orderBy("img_id")
+
+  /** Image near-dup pairs: SimHash-style banding over the aHash bitstring
+    * (8 bands x 8 bits, equi-join candidates only — never all pairs),
+    * then exact Hamming verification <= 3. Each base image pairs with its
+    * one-pixel variant; the candidate structure is the same
+    * bounded-band-join shape the text near-dup tier scales on.
+    */
+  val imageNeardupPairs: Q = (s, d) => {
+    val bits = ahashFrames(s, d)
+    val bands = bits.select(col("img_id"), col("bits"),
+        explode(sequence(lit(0), lit(7))).as("b"))
+      .withColumn("sig", expr("substring(bits, b * 8 + 1, 8)"))
+    val cand = bands.select(col("b"), col("sig"), col("img_id").as("a_id"))
+      .join(bands.select(col("b"), col("sig"), col("img_id").as("b_id")), Seq("b", "sig"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val ham = cand
+      .join(bits.select(col("img_id").as("a_id"), col("bits").as("ab")), "a_id")
+      .join(bits.select(col("img_id").as("b_id"), col("bits").as("bb")), "b_id")
+      .withColumn("i", explode(sequence(lit(1), lit(64))))
+      .groupBy("a_id", "b_id")
+      .agg(sum(when(expr("substring(ab, i, 1)") =!= expr("substring(bb, i, 1)"), 1L)
+        .otherwise(0L)).as("hamming"))
+    ham.filter(col("hamming") <= 3).orderBy("a_id", "b_id")
+  }
+
   /** Sequence packing: documents -> fixed 2048-token context-window bins,
     * 64-way sharded (PackOps.packSequences).
     */
@@ -942,7 +999,10 @@ object LlmQueries {
     */
   private val BpeSteps = 10
   private def bpeTrained(s: SparkSession, d: String): graft.io.Zones = {
-    val z = graft.io.Zones.forPurpose(s"bpe_${graft.io.Zones.pathKey(d)}")
+    // the purpose carries an algorithm version (the warm-zone staleness
+    // convention every cross-JVM run-once store follows): a zone trained
+    // by older merge-rule code must invalidate, not serve
+    val z = graft.io.Zones.forPurpose(s"bpe1_${graft.io.Zones.pathKey(d)}")
     graft.ops.BpeOps.train(s, z, t(s, d, "documents"), "text", BpeSteps)
     z
   }
@@ -1024,7 +1084,48 @@ object LlmQueries {
     "multimodal_meta" -> multimodalMeta,
     "multimodal_frames" -> multimodalFrames,
     "multimodal_decode" -> multimodalDecode,
-    "multimodal_decode_real" -> multimodalDecodeReal)
+    "multimodal_decode_real" -> multimodalDecodeReal,
+    "image_ahash" -> imageAhash,
+    "image_neardup_pairs" -> imageNeardupPairs)
+
+  /** The shared aHash replay: pixel formula (with the white-origin
+    * variant) -> 8x8 block gray sums -> cross-multiplied bits -> 64-char
+    * bitstrings per image.
+    */
+  private val ahashOracleCtes: String =
+    """WITH docs AS (
+      |  SELECT doc_id, CAST(16 + doc_id % 16 AS INT) AS w,
+      |    CAST(16 + doc_id % 8 AS INT) AS h
+      |  FROM documents ORDER BY doc_id LIMIT 48
+      |),
+      |imgs AS (
+      |  SELECT doc_id, w, h, t.v FROM docs, (VALUES (0), (1)) t(v)
+      |),
+      |px AS (
+      |  SELECT doc_id * 2 + v AS img_id, w, h, tx.x, ty.y,
+      |    CASE WHEN v = 1 AND tx.x = 0 AND ty.y = 0 THEN 765
+      |      ELSE (doc_id + tx.x) % 256 + (doc_id + ty.y) % 256
+      |        + (doc_id + tx.x + ty.y) % 256 END AS gray
+      |  FROM imgs,
+      |    LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) tx,
+      |    LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ty
+      |),
+      |blocks AS (
+      |  SELECT img_id, (y * 8) // h AS by, (x * 8) // w AS bx,
+      |    CAST(sum(gray) AS BIGINT) AS gs, CAST(count(*) AS BIGINT) AS np
+      |  FROM px GROUP BY 1, 2, 3
+      |),
+      |tot AS (
+      |  SELECT img_id, CAST(sum(gs) AS BIGINT) AS gtot,
+      |    CAST(sum(np) AS BIGINT) AS ntot
+      |  FROM blocks GROUP BY 1
+      |),
+      |bits AS (
+      |  SELECT img_id,
+      |    string_agg(CASE WHEN gs * ntot > gtot * np THEN '1' ELSE '0' END,
+      |      '' ORDER BY by * 8 + bx) AS bits
+      |  FROM blocks JOIN tot USING (img_id) GROUP BY img_id
+      |)""".stripMargin
 
   private val tokSql = """regexp_split_to_array(trim(lower(text)), '\s+')"""
   private val h32 = (e: String) => s"('0x' || substr(md5($e), 1, 8))::BIGINT"
@@ -2384,6 +2485,35 @@ object LlmQueries {
         |    CAST(list_sum([CAST(ord(c) AS BIGINT) FOR c IN string_split_regex(s, '')]) AS DOUBLE)
         |      / length(s) AS FLOAT) AS DOUBLE), 3) AS f0
         |FROM m ORDER BY media_id""".stripMargin,
+    // the aHash tier: the oracle replays decode + block sums +
+    // cross-multiplied bits ANALYTICALLY from the synthetic pixel formula
+    // (PNG is lossless), certifying the whole perceptual-hash path; the
+    // shared CTE chain feeds both the hash dump and the banded near-dup
+    "image_ahash" -> (ahashOracleCtes + "\nSELECT img_id, bits FROM bits ORDER BY img_id"),
+    "image_neardup_pairs" ->
+      (ahashOracleCtes +
+        """,
+          |bands AS (
+          |  SELECT img_id, t.b, substr(bits, t.b * 8 + 1, 8) AS sig
+          |  FROM bits, (SELECT unnest(generate_series(0, 7)) AS b) t
+          |),
+          |cand AS (
+          |  SELECT DISTINCT l.img_id AS a_id, r.img_id AS b_id
+          |  FROM bands l JOIN bands r ON l.b = r.b AND l.sig = r.sig
+          |    AND l.img_id < r.img_id
+          |),
+          |ham AS (
+          |  SELECT a_id, b_id,
+          |    CAST(sum(CASE WHEN substr(ab.bits, t.i, 1) <> substr(bb.bits, t.i, 1)
+          |      THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+          |  FROM cand
+          |  JOIN bits ab ON ab.img_id = a_id
+          |  JOIN bits bb ON bb.img_id = b_id,
+          |    (SELECT unnest(generate_series(1, 64)) AS i) t
+          |  GROUP BY 1, 2
+          |)
+          |SELECT a_id, b_id, hamming FROM ham WHERE hamming <= 3
+          |ORDER BY a_id, b_id""".stripMargin),
     // the REAL decode: the oracle predicts the synthetic fixtures' channel
     // means analytically (no image library needed) — PNG is lossless, so
     // the Spark-side javax.imageio decode must recover exactly these

@@ -153,6 +153,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!readSchema.contains("vec_id"), s"unpruned scan: $readSchema")
   }
 
+  test("image near-dup candidates ride the band equi-join, never all pairs") {
+    val p = plan("image_neardup_pairs")
+    assert(!p.contains("CartesianProduct"), "image near-dup has a cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "image near-dup has a nested loop")
+  }
+
   test("cluster formation queries keep equi-join candidate paths") {
     for (q <- Seq("dedup_cluster_components", "dedup_cluster_survivors")) {
       val p = plan(q)
