@@ -86,7 +86,9 @@ object OhdsiAchilles {
     DomainDef("measurement", 1800L, "measurement_concept_id", "measurement_date",
       typeCol = Some("measurement_type_concept_id")),
     DomainDef("device_exposure", 2100L, "device_concept_id", "device_exposure_start_date",
-      typeCol = Some("device_type_concept_id")))
+      typeCol = Some("device_type_concept_id")),
+    DomainDef("specimen", 2400L, "specimen_concept_id", "specimen_date",
+      typeCol = Some("specimen_type_concept_id")))
 
   /** The vendored core catalog (public Achilles `achilles_analysis_details`
     * entries; names follow the published wording).
@@ -1117,7 +1119,7 @@ object OhdsiAchilles {
     val distRules: Seq[DistRule] = Seq(
       // age at first observation (103/104) + the x06 age-at-first family
       DistRule(6L, "WARNING",
-        Some(Seq(103L, 104L, 206L, 406L, 606L, 706L, 806L, 906L, 1006L, 1806L, 2106L)),
+        Some(Seq(103L, 104L, 206L, 406L, 606L, 706L, 806L, 906L, 1006L, 1806L, 2106L, 2406L)),
         "max_value > 150", "strata carry an implausible maximum age (> 150)"),
       DistRule(7L, "WARNING", Some(Seq(506L)),
         "max_value > 120", "strata carry an implausible age at death (> 120)"),

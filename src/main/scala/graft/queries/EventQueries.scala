@@ -851,7 +851,14 @@ object EventQueries {
         |(2108, 'Number of device exposure records outside valid observation period', NULL, NULL, NULL, NULL, 0),
         |(2120, 'Number of device exposure records by device exposure start month', 'calendar_month', NULL, NULL, NULL, 0),
         |(2200, 'Number of persons with at least one note, by note_type_concept_id', 'note_type_concept_id', NULL, NULL, NULL, 0),
-        |(2201, 'Number of note records, by note_type_concept_id', 'note_type_concept_id', NULL, NULL, NULL, 0)
+        |(2201, 'Number of note records, by note_type_concept_id', 'note_type_concept_id', NULL, NULL, NULL, 0),
+        |(2400, 'Number of persons with at least one specimen, by specimen_concept_id', 'specimen_concept_id', NULL, NULL, NULL, 0),
+        |(2401, 'Number of specimen records, by specimen_concept_id', 'specimen_concept_id', NULL, NULL, NULL, 0),
+        |(2402, 'Number of persons by specimen start month, by specimen_concept_id', 'specimen_concept_id', 'calendar_month', NULL, NULL, 0),
+        |(2403, 'Number of distinct specimen concepts per person', NULL, NULL, NULL, NULL, 1),
+        |(2404, 'Number of persons with at least one specimen, by specimen_concept_id by calendar year by gender by age decile', 'specimen_concept_id', 'calendar_year', 'gender_concept_id', 'age_decile', 0),
+        |(2405, 'Number of specimen records, by specimen_concept_id by specimen_type_concept_id', 'specimen_concept_id', 'specimen_type_concept_id', NULL, NULL, 0),
+        |(2406, 'Distribution of age at first specimen, by specimen_concept_id', 'specimen_concept_id', NULL, NULL, NULL, 1)
         |) AS t(analysis_id, analysis_name, stratum_1_name, stratum_2_name,
         |       stratum_3_name, stratum_4_name, distribution)
         |ORDER BY analysis_id""".stripMargin,

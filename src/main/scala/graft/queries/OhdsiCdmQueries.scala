@@ -95,6 +95,10 @@ object OhdsiCdmQueries {
     f("observation", "observation_concept_id", "int64"),
     f("observation", "observation_date", "date"),
     f("observation", "observation_type_concept_id", "int64"),
+    f("specimen", "person_id", "int64"),
+    f("specimen", "specimen_concept_id", "int64"),
+    f("specimen", "specimen_date", "date"),
+    f("specimen", "specimen_type_concept_id", "int64"),
     f("device_exposure", "person_id", "int64"),
     f("device_exposure", "device_concept_id", "int64"),
     f("device_exposure", "device_exposure_start_date", "date"),
@@ -296,6 +300,21 @@ object OhdsiCdmQueries {
             .as("drug_exposure_end_date"),
           when(col("l_suppkey") % 2 === 0, 32817L).otherwise(32838L)
             .as("drug_type_concept_id"))
+    case "specimen" =>
+      // one specimen per ~9th order line; concept ids are deterministic
+      // STAND-INS in the specimen domain (the 2400-block battery certifies
+      // the published ID CONVENTION, not vocabulary membership — unlike
+      // the condition/drug tiers there is no well-known small public
+      // specimen concept set to vendor), types the public OMOP EHR/claim
+      // type concepts
+      t(s, d, "lineitem").filter(col("l_partkey") % 9 === 0)
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(
+          col("o_custkey").as("person_id"),
+          (lit(4300001L) + col("l_suppkey") % 4).as("specimen_concept_id"),
+          to_date(col("l_shipdate")).as("specimen_date"),
+          when(col("l_linenumber") % 2 === 0, 32817L).otherwise(32810L)
+            .as("specimen_type_concept_id"))
     case "observation" =>
       // one observation per order; concepts from the public LOINC/SNOMED
       // observation ranges keyed off order priority
@@ -484,7 +503,13 @@ object OhdsiCdmQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Unit]
   private def storedBatteries(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val key = graft.io.Zones.pathKey(d)
-    val zones = graft.io.Zones.forPurpose(s"ohdsires3_$key")
+    // the purpose carries the derived-CDM schema version AND the catalog
+    // size: a warm report zone from a SMALLER battery (an analysis family
+    // added without touching existing derivations) must invalidate too —
+    // a stale stored report served five red oracles the day the specimen
+    // tier landed, exactly the drift class the cdm zone version guards
+    val zones = graft.io.Zones.forPurpose(
+      s"ohdsires3_${graft.operators.OhdsiAchilles.Catalog.size}_$key")
     resultsStore.getOrElseUpdate((s, d), {
       val have = zones.listTables(s, "achilles").toSet
       if (!have("achilles_results"))
@@ -694,6 +719,14 @@ object OhdsiCdmQueries {
       |    CASE WHEN l_suppkey % 2 = 0 THEN 32817 ELSE 32838 END
       |      AS drug_type_concept_id
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |), spec AS (
+      |  SELECT o_custkey AS person_id,
+      |    4300001 + l_suppkey % 4 AS specimen_concept_id,
+      |    CAST(l_shipdate AS DATE) AS specimen_date,
+      |    CASE WHEN l_linenumber % 2 = 0 THEN 32817 ELSE 32810 END
+      |      AS specimen_type_concept_id
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_partkey % 9 = 0
       |), obsv AS (
       |  SELECT CASE WHEN o_orderkey % 79 = 0 THEN o_custkey + 100000000
       |      ELSE o_custkey END AS person_id,
@@ -1005,6 +1038,21 @@ object OhdsiCdmQueries {
       |  SELECT 820, strftime(observation_date, '%Y%m'), NULL, count(*)
       |  FROM obsv GROUP BY 2
       |  UNION ALL
+      |  SELECT 2400, CAST(specimen_concept_id AS VARCHAR), NULL,
+      |    count(DISTINCT person_id)
+      |  FROM spec GROUP BY 2
+      |  UNION ALL
+      |  SELECT 2401, CAST(specimen_concept_id AS VARCHAR), NULL, count(*)
+      |  FROM spec GROUP BY 2
+      |  UNION ALL
+      |  SELECT 2402, CAST(specimen_concept_id AS VARCHAR),
+      |    strftime(specimen_date, '%Y%m'), count(DISTINCT person_id)
+      |  FROM spec GROUP BY 2, 3
+      |  UNION ALL
+      |  SELECT 2405, CAST(specimen_concept_id AS VARCHAR),
+      |    CAST(specimen_type_concept_id AS VARCHAR), count(*)
+      |  FROM spec GROUP BY 2, 3
+      |  UNION ALL
       |  SELECT 2100, CAST(device_concept_id AS VARCHAR), NULL,
       |    count(DISTINCT person_id)
       |  FROM dev GROUP BY 2
@@ -1262,6 +1310,13 @@ object OhdsiCdmQueries {
       |    count(DISTINCT person_id)
       |  FROM dev JOIN person USING (person_id) GROUP BY 2, 3, 4, 5
       |  UNION ALL
+      |  SELECT 2404, CAST(specimen_concept_id AS VARCHAR),
+      |    CAST(year(specimen_date) AS VARCHAR),
+      |    CAST(gender_concept_id AS VARCHAR),
+      |    CAST(CAST(floor((year(specimen_date) - year_of_birth) / 10) AS BIGINT) AS VARCHAR),
+      |    count(DISTINCT person_id)
+      |  FROM spec JOIN person USING (person_id) GROUP BY 2, 3, 4, 5
+      |  UNION ALL
       |  SELECT 904, CAST(drug_concept_id AS VARCHAR),
       |    CAST(year(des) AS VARCHAR),
       |    CAST(gender_concept_id AS VARCHAR),
@@ -1376,6 +1431,11 @@ object OhdsiCdmQueries {
       |    FROM cond_era GROUP BY person_id
       |  )
       |  UNION ALL
+      |  SELECT 2403, 'ALL', NULL, CAST(n AS DOUBLE) FROM (
+      |    SELECT person_id, count(DISTINCT specimen_concept_id) AS n
+      |    FROM spec GROUP BY person_id
+      |  )
+      |  UNION ALL
       |  SELECT 2103, 'ALL', NULL, CAST(n AS DOUBLE) FROM (
       |    SELECT person_id, count(DISTINCT device_concept_id) AS n
       |    FROM dev GROUP BY person_id
@@ -1422,6 +1482,13 @@ object OhdsiCdmQueries {
       |    SELECT person_id, device_concept_id,
       |      min(device_exposure_start_date) AS f
       |    FROM dev GROUP BY 1, 2
+      |  ) JOIN person USING (person_id)
+      |  UNION ALL
+      |  SELECT 2406, CAST(specimen_concept_id AS VARCHAR), NULL,
+      |    CAST(year(f) - year_of_birth AS DOUBLE)
+      |  FROM (
+      |    SELECT person_id, specimen_concept_id, min(specimen_date) AS f
+      |    FROM spec GROUP BY 1, 2
       |  ) JOIN person USING (person_id)
       |  UNION ALL
       |  SELECT 907, CAST(drug_concept_id AS VARCHAR), NULL,
