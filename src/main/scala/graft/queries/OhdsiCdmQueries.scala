@@ -512,14 +512,28 @@ object OhdsiCdmQueries {
       s"ohdsires3_${graft.operators.OhdsiAchilles.Catalog.size}_$key")
     resultsStore.getOrElseUpdate((s, d), {
       val have = zones.listTables(s, "achilles").toSet
-      if (!have("achilles_results"))
-        zones.write(
-          graft.operators.OhdsiAchilles.cdmCoreResults(derivedModel, materialized(s, d)),
-          "achilles", "achilles_results")
-      if (!have("achilles_results_dist"))
-        zones.write(
-          graft.operators.OhdsiAchilles.cdmCoreDistResults(derivedModel, materialized(s, d)),
-          "achilles", "achilles_results_dist")
+      val load = materialized(s, d)
+      // the two batteries are independent readers of the same warm
+      // derived-CDM zone — write them as concurrent Spark jobs (the
+      // cdm-staging pool pattern); sequential writes left local[32]
+      // mostly idle through the smaller dist pass
+      val todo = Seq(
+        "achilles_results" ->
+          (() => graft.operators.OhdsiAchilles.cdmCoreResults(derivedModel, load)),
+        "achilles_results_dist" ->
+          (() => graft.operators.OhdsiAchilles.cdmCoreDistResults(derivedModel, load))
+      ).filterNot { case (tb, _) => have(tb) }
+      if (todo.size > 1) {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(todo.size)
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        try scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(todo.map { case (tb, df) =>
+            scala.concurrent.Future(zones.write(df(), "achilles", tb))
+          }),
+          scala.concurrent.duration.Duration.Inf)
+        finally pool.shutdown()
+      } else todo.foreach { case (tb, df) => zones.write(df(), "achilles", tb) }
     })
     (zones.read(s, "achilles", "achilles_results"),
       zones.read(s, "achilles", "achilles_results_dist"))
