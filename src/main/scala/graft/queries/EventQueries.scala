@@ -617,6 +617,38 @@ object EventQueries {
       .orderBy("source")
   }
 
+  /** Streaming ETL into the warehouse zone: a `foreachBatch` sink folds
+    * each micro-batch into a keyed work-zone table via the atomic-replace
+    * write — the streaming counterpart of the batch MERGE (J8), closing
+    * the loop from stream source to stored zone table (the other stream
+    * queries sink to memory). Per-key state = max(struct(ts, event_id,
+    * value)) — associative and commutative, so the final stored state is
+    * identical however AvailableNow splits the source into batches, and
+    * re-running is idempotent. The fold rewrites a KEY-CARDINALITY-bounded
+    * table per batch (users x types here) — the right shape for dimension
+    * state; fact-sized streams append, they don't fold.
+    */
+  val streamUpsertZone: Q = (s, d) => {
+    val zones = graft.io.Zones.forPurpose(s"streamup_${graft.io.Zones.pathKey(d)}")
+    val fs = new org.apache.hadoop.fs.Path(zones.root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    // fresh state + checkpoint as a pair: a stale checkpoint beside a
+    // cleaned table would replay NOTHING and leave the state empty
+    fs.delete(new org.apache.hadoop.fs.Path(zones.tablePath("work", "stream_state")), true)
+    val ckpt = new org.apache.hadoop.fs.Path(
+      new java.io.File(s"${graft.io.Zones.defaultRoot}/stream_ckpt_upsert").getAbsolutePath)
+    ckpt.getFileSystem(s.sparkContext.hadoopConfiguration).delete(ckpt, true)
+    val stream = eventsStream(s, d, "stream_src_events_up")
+    graft.streaming.StreamingOps.upsertFold(
+      stream, zones, "stream_state", Seq("user_id", "event_type"),
+      max(struct(col("ts"), col("event_id"), col("value"))), ckpt.toString)
+    zones.read(s, "work", "stream_state")
+      .select(col("user_id"), col("event_type"),
+        col("__m.ts").as("last_ts"), col("__m.event_id").as("last_event_id"),
+        col("__m.value").as("last_value"))
+      .orderBy("user_id", "event_type")
+  }
+
   val defs: Seq[(String, Q)] = Seq(
     "q1_pricing_summary" -> q1PricingSummary,
     "stream_windowed_counts" -> streamWindowedCounts,
@@ -624,6 +656,7 @@ object EventQueries {
     "stream_sessionize" -> streamSessionize,
     "stream_running_stats" -> streamRunningStats,
     "stream_join_within" -> streamJoinWithin,
+    "stream_upsert_zone" -> streamUpsertZone,
     "event_discover_tables" -> eventDiscoverTables,
     "event_case_map" -> eventCaseMap,
     "event_rekey" -> eventRekey,
@@ -886,6 +919,15 @@ object EventQueries {
       """SELECT user_id, count(*) AS n_events, min(ts) AS first_ts,
         |  max(ts) AS last_ts, count(DISTINCT event_type) AS n_event_types
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "stream_upsert_zone" ->
+      """WITH m AS (
+        |  SELECT user_id, event_type,
+        |    max({'ts': ts, 'eid': event_id, 'v': value}) AS s
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT user_id, event_type, s.ts AS last_ts,
+        |  CAST(s.eid AS BIGINT) AS last_event_id, s.v AS last_value
+        |FROM m ORDER BY user_id, event_type""".stripMargin,
     "stream_join_within" ->
       """SELECT c.user_id, c.ts AS click_ts, p.ts AS purchase_ts,
         |  p.value AS purchase_value

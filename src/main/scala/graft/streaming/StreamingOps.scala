@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Beyond-parity streaming surface. The reference is strictly batch
@@ -108,6 +108,52 @@ object StreamingOps {
         timestamp_micros(col("__f")).as("first_ts"),
         timestamp_micros(col("__l")).as("last_ts"),
         col("n_event_types"))
+  }
+
+  /** Streaming upsert sink: run `stream` to completion, folding every
+    * micro-batch into the zone table `table` — per key, the MAX of
+    * `structCol` (an associative, commutative fold, so the stored state
+    * is independent of how the trigger splits the source into batches,
+    * and re-running is idempotent). The streaming counterpart of the
+    * batch MERGE (J8): each batch rewrites a key-cardinality-bounded
+    * dimension table via the atomic-replace write; fact-sized streams
+    * append, they don't fold.
+    */
+  /** One micro-batch of the fold — exposed so the spec can drive the
+    * LITERAL production body through explicit MemoryStream batches.
+    */
+  def foldBatch(
+      zones: graft.io.Zones,
+      table: String,
+      keyCols: Seq[String],
+      structCol: Column)(batch: DataFrame): Unit = {
+    val s = batch.sparkSession
+    val agg = batch.groupBy(keyCols.map(col): _*).agg(structCol.as("__m"))
+    val cur =
+      if (zones.listTables(s, "work").contains(table)) zones.read(s, "work", table)
+      else agg.limit(0)
+    zones.write(
+      cur.unionByName(agg)
+        .groupBy(keyCols.map(col): _*).agg(max(col("__m")).as("__m")),
+      "work", table)
+  }
+
+  def upsertFold(
+      stream: DataFrame,
+      zones: graft.io.Zones,
+      table: String,
+      keyCols: Seq[String],
+      structCol: Column,
+      checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()): Unit = {
+    val fold = foldBatch(zones, table, keyCols, structCol) _
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) => fold(batch) }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+    try q.awaitTermination() finally q.stop()
   }
 
   /** Stream-STREAM inner join with an event-time range bound: each left

@@ -107,6 +107,33 @@ class StreamingOpsSpec extends SparkSpec {
     assert(ks == Seq(1L, 2L, 3L))
   }
 
+  test("upsertFold accumulates per-key state across micro-batches") {
+    import org.apache.spark.sql.functions.{col, max, struct}
+    implicit val sqlCtx = spark.sqlContext
+    val zones = graft.io.Zones(
+      java.nio.file.Files.createTempDirectory("upsert_fold").toString)
+    val ckpt = java.nio.file.Files.createTempDirectory("upsert_ckpt").toString
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val stream = input.toDF().toDF("k", "ts", "v")
+    // the LITERAL production fold, driven by explicit micro-batches
+    val fold = StreamingOps.foldBatch(zones, "st", Seq("k"),
+      max(struct(col("ts"), col("v")))) _
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) => fold(batch) }
+      .option("checkpointLocation", ckpt).start()
+    input.addData((1L, ts(1), 10.0), (2L, ts(2), 20.0))
+    q.processAllAvailable()
+    // batch 2: key 1 advances (later ts wins), key 2 regresses (earlier
+    // ts must NOT overwrite), key 3 is new
+    input.addData((1L, ts(5), 11.0), (2L, ts(1), 19.0), (3L, ts(3), 30.0))
+    q.processAllAvailable(); q.stop()
+    val got = zones.read(spark, "work", "st")
+      .select(col("k"), col("__m.ts").as("t"), col("__m.v").as("v"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((1L, ts(5), 11.0), (2L, ts(2), 20.0), (3L, ts(3), 30.0)))
+  }
+
   test("streamStreamJoin pairs right events within the left event's hour") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Long, Timestamp)]
