@@ -164,4 +164,75 @@ object SketchOps {
   def hllSql(groupCols: Seq[String], valueExpr: String, from: String, p: Int = 10): String =
     s"""${hllFinishSql(groupCols,
         s"(\n${hllRegistersSql(groupCols, valueExpr, from, p)}\n)", p)}""".stripMargin
+
+  // ---- Count-Min sketch (Cormode & Muthukrishnan 2005, public) ---------
+
+  /** Count-Min counter matrix for a value column: `(dpt, slot, cnt)` with
+    * `depth` independent rows, each hashing the value with a
+    * depth-salted md5-prefix hash into `width` slots. Integer counters
+    * summed exactly — like the HLL registers, the matrix is order- and
+    * partitioning-independent, MERGEABLE (counter matrices add), and
+    * every number in it replays bit-for-bit in any engine. The build
+    * explodes `depth` rows per input row before ONE map-side-combinable
+    * aggregate — the d-fold fan-out is the sketch's documented cost, and
+    * the shuffle after combine carries at most depth x width rows.
+    */
+  def cmsCounters(
+      df: DataFrame,
+      valueCol: Column,
+      depth: Int = 4,
+      width: Int = 256): DataFrame = {
+    require(depth >= 1 && depth <= 8 && width >= 16, s"bad cms shape ($depth, $width)")
+    df.select(valueCol.cast("string").as("__v"))
+      .withColumn("dpt", explode(sequence(lit(0), lit(depth - 1))))
+      .withColumn("slot",
+        pmod(TextOps.hash32(concat(col("__v"), lit(":"), col("dpt").cast("string"))),
+          lit(width.toLong)))
+      .groupBy("dpt", "slot").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates for `items` (a frame with `itemCol`): min over the
+    * depth counters — the classic never-underestimates CMS bound. The
+    * counter matrix is bounded (depth x width) and broadcast.
+    */
+  def cmsEstimate(
+      counters: DataFrame,
+      items: DataFrame,
+      itemCol: String,
+      depth: Int = 4,
+      width: Int = 256): DataFrame =
+    items
+      .withColumn("dpt", explode(sequence(lit(0), lit(depth - 1))))
+      .withColumn("slot",
+        pmod(TextOps.hash32(
+          concat(col(itemCol).cast("string"), lit(":"), col("dpt").cast("string"))),
+          lit(width.toLong)))
+      .join(broadcast(counters), Seq("dpt", "slot"))
+      .groupBy(itemCol)
+      .agg(min(col("cnt")).as("n_cms"))
+
+  /** DuckDB replay of counters + point estimates, generated from the same
+    * shape constants and the engine-wide md5-prefix hash.
+    */
+  def cmsSql(
+      valueExpr: String, from: String,
+      itemsSelect: String, itemCol: String,
+      depth: Int = 4, width: Int = 256): String = {
+    def slot(e: String) =
+      s"(('0x' || substr(md5(CAST($e AS VARCHAR) || ':' || CAST(dpt AS VARCHAR)), 1, 8))::BIGINT) % $width"
+    s"""counters AS (
+       |  SELECT dpt, ${slot(valueExpr)} AS slot, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM $from, (SELECT unnest(generate_series(0, ${depth - 1})) AS dpt)
+       |  GROUP BY 1, 2
+       |),
+       |items AS ($itemsSelect),
+       |est AS (
+       |  SELECT $itemCol, min(cnt) AS n_cms
+       |  FROM (
+       |    SELECT i.$itemCol, dpt, ${slot(s"i.$itemCol")} AS slot
+       |    FROM items i, (SELECT unnest(generate_series(0, ${depth - 1})) AS dpt)
+       |  ) JOIN counters USING (dpt, slot)
+       |  GROUP BY 1
+       |)""".stripMargin
+  }
 }

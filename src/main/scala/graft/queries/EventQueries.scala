@@ -649,6 +649,22 @@ object EventQueries {
       .orderBy("user_id", "event_type")
   }
 
+  /** Count-Min heavy hitters beside their ground truth: exact top-10
+    * users by event count, each with its CMS point estimate (min over
+    * depth salted counters — never underestimates; the d x w counter
+    * matrix is mergeable integer state, broadcast at lookup).
+    */
+  val aggCmsTopusers: Q = (s, d) => {
+    val ev = t(s, d, "events")
+    val exact = ev.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("user_id").asc).limit(10)
+    val counters = graft.ops.SketchOps.cmsCounters(ev, col("user_id"))
+    graft.ops.SketchOps.cmsEstimate(counters, exact, "user_id")
+      .join(exact, "user_id")
+      .select("user_id", "n_exact", "n_cms")
+      .orderBy(col("n_exact").desc, col("user_id").asc)
+  }
+
   val defs: Seq[(String, Q)] = Seq(
     "q1_pricing_summary" -> q1PricingSummary,
     "stream_windowed_counts" -> streamWindowedCounts,
@@ -718,7 +734,8 @@ object EventQueries {
     "event_resample_hourly" -> eventResampleHourly,
     "event_funnel_conversion" -> eventFunnelConversion,
     "event_retention_cohorts" -> eventRetentionCohorts,
-    "agg_hll_union" -> aggHllUnion)
+    "agg_hll_union" -> aggHllUnion,
+    "agg_cms_topusers" -> aggCmsTopusers)
 
   val oracles: Seq[(String, String)] = Seq(
     "achilles_analysis_catalog" ->
@@ -1199,6 +1216,13 @@ object EventQueries {
          |)
          |) ORDER BY source""".stripMargin
     },
+    // generated from the same shape constants and hash the Spark sketch uses
+    "agg_cms_topusers" ->
+      s"""WITH ${graft.ops.SketchOps.cmsSql("user_id", "events",
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact FROM events " +
+              "GROUP BY 1 ORDER BY n_exact DESC, user_id LIMIT 10", "user_id")}
+         |SELECT user_id, n_exact, n_cms FROM items JOIN est USING (user_id)
+         |ORDER BY n_exact DESC, user_id""".stripMargin,
     "agg_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
         |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 2) AS total

@@ -42,6 +42,42 @@ class SketchOpsSpec extends SparkSpec {
     assert(present >= (1L << 9) && present <= (1L << 31))
   }
 
+  test("count-min never underestimates and is exact without collisions") {
+    import org.apache.spark.sql.functions.{col, explode, expr, lit}
+    // 20 items with known frequencies 1..20 in a wide sketch: estimates
+    // must be >= exact always, and == exact when slots don't collide
+    val df = spark.range(1L, 21L)
+      .select(col("id"), explode(expr("sequence(1, id)")).as("rep"))
+      .select(col("id"))
+    val exact = df.groupBy("id").agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+    val counters = SketchOps.cmsCounters(df, col("id"), depth = 4, width = 1024)
+    val got = SketchOps.cmsEstimate(counters, exact, "id", depth = 4, width = 1024)
+      .join(exact, "id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("n"), r.getAs[Long]("n_cms")))
+    assert(got.length == 20)
+    got.foreach { case (id, n, est) =>
+      assert(est >= n, s"CMS underestimated item $id: $est < $n")
+      assert(n == id, s"fixture broke: item $id has count $n")
+    }
+    // at 20 items in 4x1024 slots collisions are overwhelmingly unlikely;
+    // min-over-depth removes any single collision anyway
+    assert(got.count { case (_, n, est) => est == n } >= 18)
+  }
+
+  test("count-min counter matrices merge by addition") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val a = spark.range(0L, 500L).select((col("id") % 50).as("v"))
+    val b = spark.range(500L, 1000L).select((col("id") % 50).as("v"))
+    val whole = SketchOps.cmsCounters(a.unionAll(b), col("v"))
+    val merged = SketchOps.cmsCounters(a, col("v"))
+      .unionByName(SketchOps.cmsCounters(b, col("v")))
+      .groupBy("dpt", "slot").agg(sum("cnt").as("cnt"))
+    val diff = whole.join(merged, Seq("dpt", "slot"))
+      .filter(whole("cnt") =!= merged("cnt")).count()
+    assert(diff == 0L, "merged counter matrix differs from the whole-stream matrix")
+    assert(whole.count() == merged.count())
+  }
+
   test("oracle SQL embeds the same constants the Spark side folds") {
     val sql = SketchOps.hllSql(Seq("g"), "x", "t")
     assert(sql.contains(java.lang.Double.toString(SketchOps.numerator(10))))
