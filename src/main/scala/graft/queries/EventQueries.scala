@@ -339,16 +339,30 @@ object EventQueries {
     * batch loader is.
     */
   private[graft] def eventsStream(s: SparkSession, d: String, stageName: String): DataFrame = {
-    val srcDir = new org.apache.hadoop.fs.Path(
-      new java.io.File(s"${graft.io.Zones.defaultRoot}/$stageName").getAbsolutePath)
-    val fs = srcDir.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.delete(srcDir, true)
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir.toString))
-    java.nio.file.Files.createSymbolicLink(
-      java.nio.file.Paths.get(srcDir.toString, "events.parquet"),
-      java.nio.file.Paths.get(s"$d/events.parquet"))
     val onDisk = s.read.parquet(s"$d/events.parquet").schema
-    s.readStream.schema(onDisk).parquet(srcDir.toString)
+    val src =
+      if (new java.io.File(s"$d/events.parquet").isDirectory)
+        // an engine-written dataset is already a DIRECTORY of part files —
+        // stream it directly. Staging a symlink to the directory would
+        // list ZERO files (the file source treats the symlinked subdir as
+        // a partition dir with no leaves): the sf1 soak's streaming lines
+        // silently processed an empty source until this branch existed
+        s"$d/events.parquet"
+      else {
+        // the driver's testdata is a single FILE; the file source only
+        // accepts directories, so stage a dir holding a symlink (no data
+        // copied, testdata untouched)
+        val srcDir = new org.apache.hadoop.fs.Path(
+          new java.io.File(s"${graft.io.Zones.defaultRoot}/$stageName").getAbsolutePath)
+        val fs = srcDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(srcDir, true)
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir.toString))
+        java.nio.file.Files.createSymbolicLink(
+          java.nio.file.Paths.get(srcDir.toString, "events.parquet"),
+          java.nio.file.Paths.get(s"$d/events.parquet"))
+        srcDir.toString
+      }
+    s.readStream.schema(onDisk).parquet(src)
       .withColumn("ts", graft.Tables.normalizedTs(s, onDisk("ts").dataType, "ts"))
   }
 
