@@ -33,6 +33,13 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StringType, TimestampTy
   */
 object AchillesGen {
 
+  /** Offset keeping every generated analysis id clear of the literal
+    * OHDSI catalog range (ids 0..~2900). Family sub-bases stay readable:
+    * counts = +1000, dists = +2000, fk-dists = +3000, pairs = +4000,
+    * span-dists = +5000.
+    */
+  val GeneratedBase = 100000L
+
   sealed private trait Kind
   private case object CountRows extends Kind
   private case object ByValue extends Kind
@@ -67,7 +74,11 @@ object AchillesGen {
           }
         }
     }
-    items.zipWithIndex.map { case ((k, t, c, c2), i) => Analysis(1000L + i, k, t, c, c2) }
+    // Generated ids live at 100000+ — OUTSIDE the literal Achilles id
+    // space (0..~2900, `achilles.py:54-227`), so merged-store consumers
+    // that key on literal ids (heel rules, the Atlas concept-count cache)
+    // can never pick up a generated row by id collision.
+    items.zipWithIndex.map { case ((k, t, c, c2), i) => Analysis(GeneratedBase + 1000L + i, k, t, c, c2) }
   }
 
   def results(model: CdmModel, load: String => DataFrame): DataFrame =
@@ -111,7 +122,7 @@ object AchillesGen {
   private final case class PairAnalysis(id: Long, table: String, strCol: String, tsCol: String)
 
   private def pairAnalyses(model: CdmModel): Seq[PairAnalysis] = {
-    var nextId = 4000L
+    var nextId = GeneratedBase + 4000L
     model.tables.flatMap { tb =>
       val schema = model.sparkSchema(tb)
       schema.fields.find(_.dataType == TimestampType).map(_.name).toSeq.flatMap { ts =>
@@ -211,7 +222,7 @@ object AchillesGen {
   private final case class DistAnalysis(id: Long, table: String, column: String)
 
   private def distAnalyses(model: CdmModel): Seq[(String, Option[String], Seq[DistAnalysis])] = {
-    var nextId = 2000L
+    var nextId = GeneratedBase + 2000L
     model.tables.flatMap { tb =>
       val schema = model.sparkSchema(tb)
       val keyCols = model.pk(tb).toSet ++ model.fks(tb).keySet
@@ -344,7 +355,7 @@ object AchillesGen {
   }
 
   private def fkDistAnalyses(model: CdmModel): Seq[DistAnalysis] = {
-    var nextId = 3000L
+    var nextId = GeneratedBase + 3000L
     model.tables.flatMap { tb =>
       model.fks(tb).keys.toSeq.sorted.map { f =>
         val a = DistAnalysis(nextId, tb, f); nextId += 1; a
@@ -365,7 +376,7 @@ object AchillesGen {
   private final case class SpanAnalysis(id: Long, table: String, fkCol: String, tsCol: String)
 
   private def spanAnalyses(model: CdmModel): Seq[SpanAnalysis] = {
-    var nextId = 5000L
+    var nextId = GeneratedBase + 5000L
     model.tables.flatMap { tb =>
       val firstTs = model.sparkSchema(tb).fields.find(_.dataType == TimestampType).map(_.name)
       firstTs.toSeq.flatMap { ts =>

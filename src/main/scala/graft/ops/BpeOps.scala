@@ -109,7 +109,10 @@ object BpeOps {
       textCol: String,
       steps: Int): Unit = {
     val have = zones.listTables(spark, "work").toSet
-    if (have("merges") && have(s"words_$steps")) return
+    // both artifacts keyed by the step count (ADVICE r8): a zone warmed
+    // at a different step count must retrain, not serve a merges table
+    // inconsistent with this run's words_N
+    if (have(s"merges_$steps") && have(s"words_$steps")) return
     // persist + rebase per round (the DedupOps pointer-jumping pattern):
     // the arg-max collect materializes the round's cache, the rdd rebase
     // keeps lineage bounded, and the finally releases everything — no
@@ -162,7 +165,7 @@ object BpeOps {
       import spark.implicits._
       zones.write(
         merges.toSeq.toDF("step", "lhs", "rhs", "merged", "pair_count"),
-        "work", "merges")
+        "work", s"merges_$steps")
     } finally pinned.foreach(_.unpersist(blocking = false))
   }
 }

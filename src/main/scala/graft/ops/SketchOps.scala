@@ -207,9 +207,13 @@ object SketchOps {
         pmod(TextOps.hash32(
           concat(col(itemCol).cast("string"), lit(":"), col("dpt").cast("string"))),
           lit(width.toLong)))
-      .join(broadcast(counters), Seq("dpt", "slot"))
+      // LEFT join + coalesce(0): an item whose (dpt, slot) counter row is
+      // absent was never observed at that depth — its CMS estimate is 0,
+      // not "drop the item" (inner join) and not "min over fewer counters"
+      // (which overestimates). ADVICE r8.
+      .join(broadcast(counters), Seq("dpt", "slot"), "left")
       .groupBy(itemCol)
-      .agg(min(col("cnt")).as("n_cms"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("n_cms"))
 
   /** DuckDB replay of counters + point estimates, generated from the same
     * shape constants and the engine-wide md5-prefix hash.
@@ -227,11 +231,11 @@ object SketchOps {
        |),
        |items AS ($itemsSelect),
        |est AS (
-       |  SELECT $itemCol, min(cnt) AS n_cms
+       |  SELECT $itemCol, min(COALESCE(cnt, 0)) AS n_cms
        |  FROM (
        |    SELECT i.$itemCol, dpt, ${slot(s"i.$itemCol")} AS slot
        |    FROM items i, (SELECT unnest(generate_series(0, ${depth - 1})) AS dpt)
-       |  ) JOIN counters USING (dpt, slot)
+       |  ) LEFT JOIN counters USING (dpt, slot)
        |  GROUP BY 1
        |)""".stripMargin
   }

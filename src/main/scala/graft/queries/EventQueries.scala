@@ -697,9 +697,10 @@ object EventQueries {
     "achilles_battery" -> achillesBattery,
     "achilles_dist" -> achillesDist,
     "achilles_generated" -> ((s, d) =>
-      // counts derive from the STORED merged results (ids < 4000 are the
-      // count battery; pairs start at 4000) — run once, report many
-      storedAchilles(s, d).filter(col("analysis_id") < 4000L)
+      // counts derive from the STORED merged results (generated count ids
+      // sit below the pair sub-base; pairs start at GeneratedBase+4000) —
+      // run once, report many
+      storedAchilles(s, d).filter(col("analysis_id") < graft.operators.AchillesGen.GeneratedBase + 4000L)
         .select("analysis_id", "stratum_1", "count_value")
         .orderBy("analysis_id", "stratum_1")),
     "achilles_dist_generated" -> ((s, d) =>
@@ -707,7 +708,7 @@ object EventQueries {
     "achilles_fk_dist" -> ((s, d) =>
       graft.operators.AchillesGen.fkDistResults(graft.model.TpchModel.modelWithEvents, tb => t(s, d, tb))),
     "achilles_pairs" -> ((s, d) =>
-      storedAchilles(s, d).filter(col("analysis_id") >= 4000L)
+      storedAchilles(s, d).filter(col("analysis_id") >= graft.operators.AchillesGen.GeneratedBase + 4000L)
         .select("analysis_id", "stratum_1", "stratum_2", "count_value")
         .orderBy("analysis_id", "stratum_1", "stratum_2")),
     // the scratch->final merge (`achilles.py:507-561`): every family lands

@@ -1009,7 +1009,7 @@ object LlmQueries {
 
   /** The learned merge table: one row per training step. */
   val bpeTrainMerges: Q = (s, d) =>
-    bpeTrained(s, d).read(s, "work", "merges")
+    bpeTrained(s, d).read(s, "work", s"merges_$BpeSteps")
       .coalesce(1).sortWithinPartitions("step")
 
   /** The 50 most frequent words with their final learned segmentation. */
@@ -1452,7 +1452,7 @@ object LlmQueries {
          |    (tok = split_part(pair, ' ', 1) AND
          |     lead(tok) OVER (PARTITION BY w ORDER BY pos) = split_part(pair, ' ', 2))
          |      AS mk
-         |  FROM t$i CROSS JOIN b$i
+         |  FROM t$i LEFT JOIN b$i ON true
          |),
          |k$i AS MATERIALIZED (
          |  SELECT w, pos FROM (

@@ -187,13 +187,24 @@ object StreamingOps {
       within: String = "1 hour",
       watermark: String = "1 hour",
       bucketMicros: Long = 3600000000L): DataFrame = {
+    // Enforce the documented invariant instead of trusting the caller:
+    // with bucket < within, a right event landing two-or-more buckets
+    // ahead of its left partner would silently drop. Widen the bucket to
+    // cover the span — bucketing is correctness-preserving for any
+    // bucket >= within, so this never changes the pair set.
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(within))
+    require(iv.months == 0, s"calendar-length 'within' span not supported: $within")
+    val withinMicros = iv.days * 86400000000L + iv.microseconds
+    require(withinMicros > 0, s"non-positive 'within' span: $within")
+    val bucket = math.max(bucketMicros, withinMicros)
     val l = left
-      .withColumn("__lb0", floor(unix_micros(col(tsLeft)) / bucketMicros))
+      .withColumn("__lb0", floor(unix_micros(col(tsLeft)) / bucket))
       .withColumn("__b", explode(array(col("__lb0"), col("__lb0") + 1)))
       .drop("__lb0")
       .withWatermark(tsLeft, watermark)
     val r = right.withColumnRenamed(keyCol, "__rk")
-      .withColumn("__rb", floor(unix_micros(col(tsRight)) / bucketMicros))
+      .withColumn("__rb", floor(unix_micros(col(tsRight)) / bucket))
       .withWatermark(tsRight, watermark)
     l.join(r,
       col(keyCol) === col("__rk") &&

@@ -23,12 +23,12 @@ class AchillesGenSpec extends SparkSpec {
     // l_tax = 10 analyses (suppression can only drop strata, and every
     // sf0.001 table is > 5 rows in at least one stratum)
     assert(ids.length == 10, s"expected 10 analyses, got ${ids.mkString(",")}")
-    assert(ids.head == 2000L && ids.forall(_ < 2010L))
+    assert(ids.head == AchillesGen.GeneratedBase + 2000L && ids.forall(_ < AchillesGen.GeneratedBase + 2010L))
   }
 
   test("oracle SQL renders the same analyses as the Spark battery") {
     val sql = AchillesGen.distOracleSql(model)
-    for (id <- 2000 to 2009) assert(sql.contains(s"CAST($id AS BIGINT)"), s"oracle missing analysis $id")
+    for (id <- 102000 to 102009) assert(sql.contains(s"CAST($id AS BIGINT)"), s"oracle missing analysis $id")
     assert(sql.contains("CAST(year(o_orderdate) AS VARCHAR)"))
     assert(sql.contains("'ALL'"))
   }
@@ -65,5 +65,17 @@ class AchillesGenSpec extends SparkSpec {
       .map { case (g, i) => (g, i.toDouble) }.toDF("g", "__v")
     val groups = AchillesGen.distAgg(df, Seq("g")).collect().map(_.getString(0))
     assert(groups.sameElements(Array("big")), s"expected only 'big', got ${groups.mkString(",")}")
+  }
+
+  test("generated id space is disjoint from the literal Achilles catalog") {
+    // ADVICE r8: generated ids at 1000+i collided with literal catalog ids
+    // (heel UnmappedIds 1001/1801/2101, concept-count x00/x01 bases) and
+    // polluted the merged-store consumers. Pin the non-overlap invariant.
+    val litMax = OhdsiAchilles.Catalog.map(_.id).max
+    val genIds = AchillesGen.distResults(model, load).select("analysis_id")
+      .distinct().collect().map(_.getLong(0))
+    assert(AchillesGen.GeneratedBase > litMax,
+      s"GeneratedBase ${AchillesGen.GeneratedBase} must exceed literal max $litMax")
+    assert(genIds.forall(_ >= AchillesGen.GeneratedBase))
   }
 }

@@ -58,7 +58,7 @@ class BpeOpsSpec extends SparkSpec {
     val zones = graft.io.Zones(
       java.nio.file.Files.createTempDirectory("bpe_spec").toString)
     BpeOps.train(spark, zones, docs, "text", steps = 2)
-    val merges = zones.read(spark, "work", "merges")
+    val merges = zones.read(spark, "work", "merges_2")
       .orderBy("step")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(4)))
     // pairs in "a a </w>"x3 + "a b </w>": (a,a)x3, (a,</w>)x3, (a,b)x1,
