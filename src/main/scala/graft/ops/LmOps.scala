@@ -72,11 +72,13 @@ object LmOps {
     */
   private def boundedResult(report: DataFrame, cached: DataFrame): DataFrame = {
     cached.persist()
-    try {
-      val rows = report.collect()
-      import scala.jdk.CollectionConverters._
-      report.sparkSession.createDataFrame(rows.toList.asJava, report.schema)
-    } finally cached.unpersist(blocking = false)
+    // localCheckpoint(eager): materializes the bounded report EXECUTOR-side
+    // and truncates lineage, so the returned frame no longer references
+    // `cached` and the unpersist is safe — same lifetime guarantee as the
+    // old collect-and-recreate, without routing the rows through the
+    // driver (which stops scaling the moment |queries| grows).
+    try report.localCheckpoint(eager = true)
+    finally cached.unpersist(blocking = false)
   }
 
   /** The LM report: top `k` bigrams by count (count desc, bigram asc) with

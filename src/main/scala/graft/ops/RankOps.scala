@@ -100,10 +100,12 @@ object RankOps {
     val (scored, dt) = bm25Plan(docs, docIdCol, textCol,
       queries, queryIdCol, queryTextCol, k1, b, k)
     dt.persist()
-    try {
-      val rows: Array[Row] = scored.collect()
-      import scala.jdk.CollectionConverters._
-      docs.sparkSession.createDataFrame(rows.toList.asJava, scored.schema)
-    } finally dt.unpersist(blocking = false)
+    // localCheckpoint(eager): executor-side materialization + lineage
+    // truncation — the result stops referencing the persisted doc-term
+    // frame so the finally-unpersist holds, and the driver stays out of
+    // the data path (the old collect-and-recreate shipped k x |queries|
+    // rows through it).
+    try scored.localCheckpoint(eager = true)
+    finally dt.unpersist(blocking = false)
   }
 }

@@ -374,11 +374,17 @@ object SimOps {
         require(!r.isNullAt(0), s"pqCodebook id column '$idCol' contains nulls")
         r.getLong(0)
       }.sorted
-    val codeOf = ids.zipWithIndex.foldLeft(lit(null).cast("long")) {
-      case (acc, (id, c)) => when(col(idCol).cast("long") === id, lit(c.toLong)).otherwise(acc)
-    }
+    // id -> code as a BROADCAST JOIN, not a ksub-deep when() chain: a
+    // 256-arm CaseWhen is O(ksub) per row and bloats the plan, where the
+    // hash-join probe is O(1) — and the tiny map frame is always
+    // broadcastable by construction (ksub rows).
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val codeMap = ids.zipWithIndex.map { case (id, c) => (id, c.toLong) }
+      .toSeq.toDF("__cid", "code")
     vectors.filter(col(idCol).cast("long").isin(ids.toIndexedSeq: _*))
-      .select(asDouble(col(vecCol)).as("__v"), codeOf.as("code"))
+      .join(broadcast(codeMap), col(idCol).cast("long") === col("__cid"))
+      .select(asDouble(col(vecCol)).as("__v"), col("code"))
       .select(col("code"), explode(array((0 until m).map { s =>
         struct(lit(s.toLong).as("sub"),
           slice(col("__v"), s * dsub + 1, dsub).as("cvec"))

@@ -111,4 +111,13 @@ class SimOpsPqSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
     assert(!plan.contains("SortMergeJoin"), s"codebook/table joins must broadcast:\n$plan")
   }
+
+  test("pqCodebook assigns codes via a broadcast join, not a when-chain") {
+    // ADVICE r8 / verdict item 5: the old foldLeft produced a ksub-deep
+    // CaseWhen evaluated per training row. The plan must carry a
+    // BroadcastHashJoin and no CaseWhen at all.
+    val plan = codebook.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CASE WHEN"), "code assignment regressed to a when-chain")
+  }
 }
