@@ -100,6 +100,12 @@ object OhdsiAchilles {
     CoreAnalysis(3L, "Number of persons by year of birth", "year_of_birth"),
     CoreAnalysis(4L, "Number of persons by race", "race_concept_id"),
     CoreAnalysis(5L, "Number of persons by ethnicity", "ethnicity_concept_id"),
+    // 10/12: the published two-strata person demographics (year-of-birth x
+    // gender, race x ethnicity)
+    CoreAnalysis(10L, "Number of all persons by year of birth and by gender",
+      "year_of_birth", "gender_concept_id"),
+    CoreAnalysis(12L, "Number of persons by race and ethnicity",
+      "race_concept_id", "ethnicity_concept_id"),
     CoreAnalysis(101L, "Number of persons by age, with age at first observation period", "age"),
     CoreAnalysis(102L, "Number of persons by gender by age, with age at first observation period",
       "gender_concept_id", "age"),
@@ -264,7 +270,32 @@ object OhdsiAchilles {
       CoreAnalysis(2200L, "Number of persons with at least one note, by note_type_concept_id",
         "note_type_concept_id"),
       CoreAnalysis(2201L, "Number of note records, by note_type_concept_id",
-        "note_type_concept_id"))
+        "note_type_concept_id")) ++
+    // The round-9 parity additions (VERDICT r8 item 1): death type (505),
+    // the drug amount dists (715 days_supply / 716 refills / 717
+    // quantity), the records-per-person cumulative series (x91 — persons
+    // with at least x records), and the observation value family (814 no
+    // value / 815 numeric values by concept x unit) — all published
+    // Achilles id conventions.
+    Seq(
+      CoreAnalysis(505L, "Number of death records, by death_type_concept_id",
+        "death_type_concept_id"),
+      CoreAnalysis(715L, "Distribution of days_supply by drug_concept_id",
+        "drug_concept_id", isDist = true),
+      CoreAnalysis(716L, "Distribution of refills by drug_concept_id",
+        "drug_concept_id", isDist = true),
+      CoreAnalysis(717L, "Distribution of quantity by drug_concept_id",
+        "drug_concept_id", isDist = true),
+      CoreAnalysis(791L, "Number of total persons that have at least x drug exposures",
+        "drug_exposure_count"),
+      CoreAnalysis(814L, "Number of observation records with no value (numeric or concept)"),
+      CoreAnalysis(815L,
+        "Distribution of numeric values, by observation_concept_id and unit_concept_id",
+        "observation_concept_id", "unit_concept_id", isDist = true),
+      CoreAnalysis(891L, "Number of total persons that have at least x observations",
+        "observation_count"),
+      CoreAnalysis(1891L, "Number of total persons that have at least x measurements",
+        "measurement_count"))
 
   /** The populated `achilles_analysis` catalog table
     * (`achilles.py:190-200`): what Atlas/Ares join analysis ids against.
@@ -345,6 +376,16 @@ object OhdsiAchilles {
           Seq(("gender_concept_id", 2L), ("year_of_birth", 3L),
             ("race_concept_id", 4L), ("ethnicity_concept_id", 5L)).collect {
             case (c, id) if has(model, "person", c) => row(id, col(c), p, count(lit(1)))
+          } ++
+          // 10/12: the published two-strata person demographics
+          Seq((10L, "year_of_birth", "gender_concept_id"),
+              (12L, "race_concept_id", "ethnicity_concept_id")).collect {
+            case (id, c1, c2) if has(model, "person", c1, c2) =>
+              p.groupBy(col(c1).cast("string").as("stratum_1"),
+                  col(c2).cast("string").as("stratum_2"))
+                .agg(count(lit(1)).as("count_value"))
+                .select(lit(id).as("analysis_id"), col("stratum_1"), col("stratum_2"),
+                  col("count_value"))
           }
       }
 
@@ -843,6 +884,50 @@ object OhdsiAchilles {
             .as("__r"))))
       }
 
+    // 505: death records by type concept (the death series carries no x05
+    // slot in DomainSeries — its type analysis is this standalone id)
+    val deathType: Seq[DataFrame] =
+      if (!has(model, "death", "death_type_concept_id")) Nil
+      else Seq(row(505L, col("death_type_concept_id"), load("death"), count(lit(1))))
+
+    // 814: observation records carrying NO value at all (numeric or
+    // concept) — the observation twin of measurement's 1814
+    val obsNoValue: Seq[DataFrame] =
+      if (!has(model, "observation", "value_as_number", "value_as_concept_id")) Nil
+      else Seq(load("observation")
+        .agg(sum(when(col("value_as_number").isNull && col("value_as_concept_id").isNull,
+          1L).otherwise(0L)).as("count_value"))
+        .select(lit(814L).as("analysis_id"), lit("ALL").as("stratum_1"), nullS2,
+          col("count_value")))
+
+    // 791/891/1891: persons with AT LEAST x records (the published
+    // cumulative records-per-person series). Per-table: one shuffle to the
+    // per-person count, one to the per-count histogram — bounded by the
+    // maximum records-per-person at ANY data scale — then the cumulative
+    // sum is a window over that bounded report, partitioned by analysis id
+    // (never a global-order window over entity rows).
+    val atLeastX: Seq[DataFrame] = {
+      val specs = Seq(("drug_exposure", 791L), ("observation", 891L),
+          ("measurement", 1891L))
+        .filter { case (tb, _) => has(model, tb) &&
+          model.columns(tb).contains("person_id") }
+      if (specs.isEmpty) Nil
+      else {
+        val hist = specs.map { case (tb, id) =>
+          load(tb).groupBy(col("person_id")).agg(count(lit(1)).as("__c"))
+            .groupBy(col("__c")).agg(count(lit(1)).as("__n"))
+            .select(lit(id).as("analysis_id"), col("__c"), col("__n"))
+        }.reduce(_ unionByName _)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("analysis_id")).orderBy(col("__c").desc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        Seq(hist.select(col("analysis_id"),
+          col("__c").cast("string").as("stratum_1"),
+          lit(null).cast("string").as("stratum_2"),
+          sum(col("__n")).over(w).as("count_value")))
+      }
+    }
+
     // 2200/2201: note persons + records by note type — one scan, two rows
     // per type
     val noteRows: Seq[DataFrame] =
@@ -861,7 +946,7 @@ object OhdsiAchilles {
       lit(null).cast("string").as("stratum_4"))
     val narrow = ((person.toSeq ++ obsPeriod.toSeq ++ payer.toSeq).flatten ++
       domains ++ costCounts ++ personFks ++ network.result() ++ cohortRows ++
-      measNoValue ++ coocc ++ noteRows)
+      measNoValue ++ deathType ++ obsNoValue ++ atLeastX ++ coocc ++ noteRows)
       .pipe(graft.Unions.balanced)
       .select(Seq(col("analysis_id"), col("stratum_1"), col("stratum_2")) ++ noS34 :+
         col("count_value"): _*)
@@ -1021,6 +1106,34 @@ object OhdsiAchilles {
         .groupBy((lit(1815L) + col("__i").cast("long")).as("analysis_id"),
           col("stratum_1"), col("stratum_2"), col("__v"))
         .agg(count(lit(1)).as("__cnt"))
+    }
+    // 715/716/717: the drug amount distributions (days_supply / refills /
+    // quantity by drug_concept_id) — the three columns unpivot in ONE
+    // drug_exposure scan (analysis id = 715 + column index, the same
+    // posexplode pattern as measurement's 1815 family)
+    if (has(model, "drug_exposure", "drug_concept_id", "days_supply",
+        "refills", "quantity")) {
+      parts += load("drug_exposure")
+        .select(col("drug_concept_id").cast("string").as("stratum_1"),
+          posexplode(array(col("days_supply").cast("double"),
+            col("refills").cast("double"), col("quantity").cast("double")))
+            .as(Seq("__i", "__v")))
+        .filter(col("__v").isNotNull)
+        .groupBy((lit(715L) + col("__i").cast("long")).as("analysis_id"),
+          col("stratum_1"), col("__v"))
+        .agg(count(lit(1)).as("__cnt"))
+        .withColumn("stratum_2", noS2)
+    }
+    // 815: observation numeric values by (concept, unit) — the observation
+    // twin of measurement's 1815
+    if (has(model, "observation", "observation_concept_id", "unit_concept_id",
+        "value_as_number")) {
+      parts += stratHist2(
+        load("observation")
+          .filter(col("value_as_number").isNotNull)
+          .select(col("observation_concept_id"), col("unit_concept_id"),
+            col("value_as_number").cast("double").as("__v")),
+        815L, col("observation_concept_id"), col("unit_concept_id"))
     }
     // 1502-1507 / 1602-1607: cost amount distributions by event concept —
     // one equi-join per domain (cost -> event table on the event id), the

@@ -767,6 +767,8 @@ object EventQueries {
         |(7, 'Number of persons with invalid provider_id', NULL, NULL, NULL, NULL, 0),
         |(8, 'Number of persons with invalid location_id', NULL, NULL, NULL, NULL, 0),
         |(9, 'Number of persons with invalid care_site_id', NULL, NULL, NULL, NULL, 0),
+        |(10, 'Number of all persons by year of birth and by gender', 'year_of_birth', 'gender_concept_id', NULL, NULL, 0),
+        |(12, 'Number of persons by race and ethnicity', 'race_concept_id', 'ethnicity_concept_id', NULL, NULL, 0),
         |(101, 'Number of persons by age, with age at first observation period', 'age', NULL, NULL, NULL, 0),
         |(102, 'Number of persons by gender by age, with age at first observation period', 'gender_concept_id', 'age', NULL, NULL, 0),
         |(103, 'Distribution of age at first observation period', NULL, NULL, NULL, NULL, 1),
@@ -811,6 +813,7 @@ object EventQueries {
         |(500, 'Number of persons with at least one death, by cause_concept_id', 'cause_concept_id', NULL, NULL, NULL, 0),
         |(501, 'Number of death records, by cause_concept_id', 'cause_concept_id', NULL, NULL, NULL, 0),
         |(502, 'Number of persons by death start month, by cause_concept_id', 'cause_concept_id', 'calendar_month', NULL, NULL, 0),
+        |(505, 'Number of death records, by death_type_concept_id', 'death_type_concept_id', NULL, NULL, NULL, 0),
         |(506, 'Distribution of age at death, by gender', 'gender_concept_id', NULL, NULL, NULL, 1),
         |(600, 'Number of persons with at least one procedure occurrence, by procedure_concept_id', 'procedure_concept_id', NULL, NULL, NULL, 0),
         |(601, 'Number of procedure occurrence records, by procedure_concept_id', 'procedure_concept_id', NULL, NULL, NULL, 0),
@@ -832,7 +835,11 @@ object EventQueries {
         |(707, 'Number of drug exposure records with invalid person_id', NULL, NULL, NULL, NULL, 0),
         |(708, 'Number of drug exposure records outside valid observation period', NULL, NULL, NULL, NULL, 0),
         |(709, 'Number of drug exposure records with end date < start date', NULL, NULL, NULL, NULL, 0),
+        |(715, 'Distribution of days_supply by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 1),
+        |(716, 'Distribution of refills by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 1),
+        |(717, 'Distribution of quantity by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 1),
         |(720, 'Number of drug exposure records by drug exposure start month', 'calendar_month', NULL, NULL, NULL, 0),
+        |(791, 'Number of total persons that have at least x drug exposures', 'drug_exposure_count', NULL, NULL, NULL, 0),
         |(800, 'Number of persons with at least one observation, by observation_concept_id', 'observation_concept_id', NULL, NULL, NULL, 0),
         |(801, 'Number of observation records, by observation_concept_id', 'observation_concept_id', NULL, NULL, NULL, 0),
         |(802, 'Number of persons by observation start month, by observation_concept_id', 'observation_concept_id', 'calendar_month', NULL, NULL, 0),
@@ -842,7 +849,10 @@ object EventQueries {
         |(806, 'Distribution of age at first observation, by observation_concept_id', 'observation_concept_id', NULL, NULL, NULL, 1),
         |(807, 'Number of observation records with invalid person_id', NULL, NULL, NULL, NULL, 0),
         |(808, 'Number of observation records outside valid observation period', NULL, NULL, NULL, NULL, 0),
+        |(814, 'Number of observation records with no value (numeric or concept)', NULL, NULL, NULL, NULL, 0),
+        |(815, 'Distribution of numeric values, by observation_concept_id and unit_concept_id', 'observation_concept_id', 'unit_concept_id', NULL, NULL, 1),
         |(820, 'Number of observation records by observation start month', 'calendar_month', NULL, NULL, NULL, 0),
+        |(891, 'Number of total persons that have at least x observations', 'observation_count', NULL, NULL, NULL, 0),
         |(900, 'Number of persons with at least one drug era, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 0),
         |(901, 'Number of drug era records, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 0),
         |(902, 'Number of persons by drug era start month, by drug_concept_id', 'drug_concept_id', 'calendar_month', NULL, NULL, 0),
@@ -902,6 +912,7 @@ object EventQueries {
         |(1818, 'Number of measurement records with a value below the normal range', NULL, NULL, NULL, NULL, 0),
         |(1819, 'Number of measurement records with a value above the normal range', NULL, NULL, NULL, NULL, 0),
         |(1820, 'Number of measurement records by measurement start month', 'calendar_month', NULL, NULL, NULL, 0),
+        |(1891, 'Number of total persons that have at least x measurements', 'measurement_count', NULL, NULL, NULL, 0),
         |(2000, 'Number of persons with at least 1 Dx and 1 Rx', NULL, NULL, NULL, NULL, 0),
         |(2001, 'Number of persons with at least 1 Dx and 1 Proc', NULL, NULL, NULL, NULL, 0),
         |(2002, 'Number of persons with at least 1 Mx and 1 Dx and 1 Rx', NULL, NULL, NULL, NULL, 0),

@@ -63,6 +63,7 @@ object OhdsiCdmQueries {
     f("death", "person_id", "int64"),
     f("death", "cause_concept_id", "int64"),
     f("death", "death_date", "date"),
+    f("death", "death_type_concept_id", "int64"),
     f("measurement", "person_id", "int64"),
     f("measurement", "measurement_concept_id", "int64"),
     f("measurement", "measurement_date", "date"),
@@ -83,6 +84,9 @@ object OhdsiCdmQueries {
     f("drug_exposure", "drug_exposure_start_date", "date"),
     f("drug_exposure", "drug_exposure_end_date", "date"),
     f("drug_exposure", "drug_type_concept_id", "int64"),
+    f("drug_exposure", "days_supply", "int64"),
+    f("drug_exposure", "refills", "int64"),
+    f("drug_exposure", "quantity", "float64"),
     f("cost", "cost_event_id", "int64"),
     f("cost", "cost_domain_id", "string"),
     f("cost", "paid_patient_copay", "float64"),
@@ -95,6 +99,9 @@ object OhdsiCdmQueries {
     f("observation", "observation_concept_id", "int64"),
     f("observation", "observation_date", "date"),
     f("observation", "observation_type_concept_id", "int64"),
+    f("observation", "value_as_number", "float64"),
+    f("observation", "value_as_concept_id", "int64"),
+    f("observation", "unit_concept_id", "int64"),
     f("specimen", "person_id", "int64"),
     f("specimen", "specimen_concept_id", "int64"),
     f("specimen", "specimen_date", "date"),
@@ -211,7 +218,9 @@ object OhdsiCdmQueries {
             .when(col("person_id") % 4 === 2, 4329847L)
             .otherwise(255573L).as("cause_concept_id"),
           date_add(col("observation_period_end_date"),
-            (col("person_id") % 7).cast("int")).as("death_date"))
+            (col("person_id") % 7).cast("int")).as("death_date"),
+          when(col("person_id") % 3 === 0, 32817L).otherwise(32810L)
+            .as("death_type_concept_id"))
     case "measurement" =>
       // one measurement per lineitem: concept from suppkey, unit from
       // partkey (two independent strata for 1815), value = quantity
@@ -299,7 +308,12 @@ object OhdsiCdmQueries {
             (col("l_quantity").cast("int") % 30).cast("int"))
             .as("drug_exposure_end_date"),
           when(col("l_suppkey") % 2 === 0, 32817L).otherwise(32838L)
-            .as("drug_type_concept_id"))
+            .as("drug_type_concept_id"),
+          // the drug amount columns the 715/716/717 dists read:
+          // FLOOR-integral values so the dist moments replay exactly
+          (lit(1L) + col("l_quantity").cast("long") % 30L).as("days_supply"),
+          (col("l_linenumber") % 4).cast("long").as("refills"),
+          floor(col("l_quantity")).cast("double").as("quantity"))
     case "specimen" =>
       // one specimen per ~9th order line; concept ids are deterministic
       // STAND-INS in the specimen domain (the 2400-block battery certifies
@@ -332,7 +346,16 @@ object OhdsiCdmQueries {
           .otherwise(4275495L).as("observation_concept_id"),
         to_date(col("o_orderdate")).as("observation_date"),
         when(col("o_orderkey") % 2 === 0, 32817L).otherwise(32879L)
-          .as("observation_type_concept_id"))
+          .as("observation_type_concept_id"),
+        // the observation value family (814/815): every ~6th record has no
+        // numeric value, every ~5th a concept value — the overlap where
+        // NEITHER is present is what 814 counts
+        when(col("o_orderkey") % 6 === 0, lit(null).cast("double"))
+          .otherwise(floor(col("o_totalprice") / 1000).cast("double"))
+          .as("value_as_number"),
+        when(col("o_orderkey") % 5 === 0, 4069590L).otherwise(lit(null).cast("long"))
+          .as("value_as_concept_id"),
+        when(col("o_custkey") % 2 === 0, 8587L).otherwise(8576L).as("unit_concept_id"))
     case "device_exposure" =>
       // one device per order (first line only), dated a supplier-keyed
       // offset past the ship date; concepts from the public SNOMED device
@@ -465,8 +488,10 @@ object OhdsiCdmQueries {
     // older code instead of silently serving the old schema. v2: the
     // care-network tier (person/visit fk columns, measurement value/range
     // columns, six new tables). v3: the Heel wrinkles (1802 birth years,
-    // unmapped observation concepts)
-    val zones = graft.io.Zones.forPurpose(s"ohdsicdm3_$key")
+    // unmapped observation concepts). v4: the round-9 parity columns
+    // (drug days_supply/refills/quantity, observation value family,
+    // death_type_concept_id)
+    val zones = graft.io.Zones.forPurpose(s"ohdsicdm4_$key")
     cdmStore.getOrElseUpdate((s, d), {
       val staged = zones.listTables(s, "omop").toSet
       val todo = derivedModel.tables.filterNot(staged).toSeq
@@ -679,7 +704,9 @@ object OhdsiCdmQueries {
       |    CASE CAST(person_id % 4 AS INT)
       |      WHEN 0 THEN 201826 WHEN 1 THEN 316866 WHEN 2 THEN 4329847
       |      ELSE 255573 END AS cause_concept_id,
-      |    op_end + CAST(person_id % 7 AS INT) AS death_date
+      |    op_end + CAST(person_id % 7 AS INT) AS death_date,
+      |    CASE WHEN person_id % 3 = 0 THEN 32817 ELSE 32810 END
+      |      AS death_type_concept_id
       |  FROM obs WHERE person_id % 11 = 0
       |), meas AS (
       |  SELECT o_custkey AS person_id,
@@ -731,7 +758,10 @@ object OhdsiCdmQueries {
       |    CAST(l_shipdate AS DATE)
       |      + CAST(CAST(l_quantity AS INT) % 30 AS INT) AS de,
       |    CASE WHEN l_suppkey % 2 = 0 THEN 32817 ELSE 32838 END
-      |      AS drug_type_concept_id
+      |      AS drug_type_concept_id,
+      |    1 + CAST(l_quantity AS BIGINT) % 30 AS days_supply,
+      |    CAST(l_linenumber % 4 AS BIGINT) AS refills,
+      |    CAST(floor(l_quantity) AS DOUBLE) AS quantity
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |), spec AS (
       |  SELECT o_custkey AS person_id,
@@ -750,7 +780,12 @@ object OhdsiCdmQueries {
       |      ELSE 4275495 END END AS observation_concept_id,
       |    CAST(o_orderdate AS DATE) AS observation_date,
       |    CASE WHEN o_orderkey % 2 = 0 THEN 32817 ELSE 32879 END
-      |      AS observation_type_concept_id
+      |      AS observation_type_concept_id,
+      |    CASE WHEN o_orderkey % 6 = 0 THEN NULL
+      |      ELSE CAST(floor(o_totalprice / 1000) AS DOUBLE) END AS value_as_number,
+      |    CASE WHEN o_orderkey % 5 = 0 THEN 4069590 ELSE NULL END
+      |      AS value_as_concept_id,
+      |    CASE WHEN o_custkey % 2 = 0 THEN 8587 ELSE 8576 END AS unit_concept_id
       |  FROM orders
       |), dev AS (
       |  SELECT CASE WHEN o_orderkey % 73 = 0 THEN o_custkey + 100000000
@@ -872,6 +907,14 @@ object OhdsiCdmQueries {
       |  SELECT 4, CAST(race_concept_id AS VARCHAR), NULL, count(*) FROM person GROUP BY 2
       |  UNION ALL
       |  SELECT 5, CAST(ethnicity_concept_id AS VARCHAR), NULL, count(*) FROM person GROUP BY 2
+      |  UNION ALL
+      |  SELECT 10, CAST(year_of_birth AS VARCHAR), CAST(gender_concept_id AS VARCHAR),
+      |    count(*)
+      |  FROM person GROUP BY 2, 3
+      |  UNION ALL
+      |  SELECT 12, CAST(race_concept_id AS VARCHAR), CAST(ethnicity_concept_id AS VARCHAR),
+      |    count(*)
+      |  FROM person GROUP BY 2, 3
       |  UNION ALL
       |  SELECT 101, CAST(age AS VARCHAR), NULL, count(*) FROM first_obs GROUP BY 2
       |  UNION ALL
@@ -1260,6 +1303,27 @@ object OhdsiCdmQueries {
       |  UNION ALL
       |  SELECT 2201, CAST(note_type_concept_id AS VARCHAR), NULL, count(*)
       |  FROM note GROUP BY 2
+      |  UNION ALL
+      |  SELECT 505, CAST(death_type_concept_id AS VARCHAR), NULL, count(*)
+      |  FROM death GROUP BY 2
+      |  UNION ALL
+      |  SELECT 814, 'ALL', NULL, count(*) FROM obsv
+      |  WHERE value_as_number IS NULL AND value_as_concept_id IS NULL
+      |  UNION ALL
+      |  SELECT 791, CAST(c AS VARCHAR), NULL,
+      |    CAST(sum(n) OVER (ORDER BY c DESC) AS BIGINT)
+      |  FROM (SELECT cnt AS c, count(*) AS n FROM
+      |    (SELECT person_id, count(*) AS cnt FROM drug GROUP BY 1) GROUP BY 1)
+      |  UNION ALL
+      |  SELECT 891, CAST(c AS VARCHAR), NULL,
+      |    CAST(sum(n) OVER (ORDER BY c DESC) AS BIGINT)
+      |  FROM (SELECT cnt AS c, count(*) AS n FROM
+      |    (SELECT person_id, count(*) AS cnt FROM obsv GROUP BY 1) GROUP BY 1)
+      |  UNION ALL
+      |  SELECT 1891, CAST(c AS VARCHAR), NULL,
+      |    CAST(sum(n) OVER (ORDER BY c DESC) AS BIGINT)
+      |  FROM (SELECT cnt AS c, count(*) AS n FROM
+      |    (SELECT person_id, count(*) AS cnt FROM meas GROUP BY 1) GROUP BY 1)
       |), results5 AS (
       |  SELECT analysis_id, stratum_1, stratum_2,
       |    CAST(NULL AS VARCHAR) AS stratum_3, CAST(NULL AS VARCHAR) AS stratum_4,
@@ -1560,6 +1624,18 @@ object OhdsiCdmQueries {
       |  SELECT 1607, CAST(procedure_concept_id AS VARCHAR), NULL, total_paid
       |  FROM cost JOIN proc ON cost_event_id = procedure_occurrence_id
       |  WHERE cost_domain_id = 'Procedure'
+      |  UNION ALL
+      |  SELECT 715, CAST(drug_concept_id AS VARCHAR), NULL,
+      |    CAST(days_supply AS DOUBLE) FROM drug
+      |  UNION ALL
+      |  SELECT 716, CAST(drug_concept_id AS VARCHAR), NULL,
+      |    CAST(refills AS DOUBLE) FROM drug
+      |  UNION ALL
+      |  SELECT 717, CAST(drug_concept_id AS VARCHAR), NULL, quantity FROM drug
+      |  UNION ALL
+      |  SELECT 815, CAST(observation_concept_id AS VARCHAR),
+      |    CAST(unit_concept_id AS VARCHAR), value_as_number
+      |  FROM obsv WHERE value_as_number IS NOT NULL
       |)
       |SELECT analysis_id, stratum_1, stratum_2, count(*) AS count_value,
       |  round(min(v), 4) AS min_value, round(max(v), 4) AS max_value,

@@ -66,7 +66,7 @@ class OhdsiAchillesSpec extends SparkSpec {
 
   test("analysisCatalog carries the literal core id set") {
     val cat = OhdsiAchilles.analysisCatalog(spark).collect()
-    assert(cat.length === 166)
+    assert(cat.length === 177)
     val ids = cat.map(_.getLong(0))
     assert(ids.sorted.toSeq === ids.toSeq) // ordered by analysis_id
     for (core <- Seq(1L, 2L, 101L, 105L, 108L, 109L, 110L, 111L, 114L, 115L,
@@ -78,7 +78,9 @@ class OhdsiAchillesSpec extends SparkSpec {
         1202L, 1408L, 1409L, 1410L, 1411L, 1412L, 1413L, 1700L, 1701L, 1814L, 1818L, 1819L,
         2000L, 2001L, 2002L, 2200L, 2201L,
         // the specimen tier
-        2400L, 2401L, 2402L, 2403L, 2404L, 2405L, 2406L))
+        2400L, 2401L, 2402L, 2403L, 2404L, 2405L, 2406L,
+        // the round-9 parity additions
+        10L, 12L, 505L, 715L, 716L, 717L, 791L, 814L, 815L, 891L, 1891L))
       assert(ids.contains(core), s"missing core id $core")
     // x04 carries the published four strata names
     val a404 = cat.find(_.getLong(0) == 404L).get
@@ -94,7 +96,8 @@ class OhdsiAchillesSpec extends SparkSpec {
     assert(dists === Set(103L, 104L, 105L, 106L, 107L,
       203L, 403L, 603L, 703L, 803L, 903L, 1003L, 1803L, 2103L, 2403L,
       206L, 406L, 606L, 706L, 806L, 906L, 1006L, 1806L, 2106L, 2406L,
-      211L, 506L, 907L, 1007L, 1815L, 1816L, 1817L) ++
+      211L, 506L, 907L, 1007L, 1815L, 1816L, 1817L,
+      715L, 716L, 717L, 815L) ++
       // the cost amount dist blocks (1502-1507 drug, 1602-1607 procedure)
       (2L to 7L).flatMap(off => Seq(1500L + off, 1600L + off)).toSet)
   }
