@@ -581,6 +581,30 @@ object DqdChecks {
     personCompleteness ++ siblingCompleteness
   }
 
+  /** Cohort-scope a table loader — the reference's optional
+    * `cohort_definition_id` restriction (`data_quality.py:49,268`; the
+    * published DQD SQL joins every checked CDM table to
+    * `cohort ON person_id = subject_id AND cohort_definition_id = @id`).
+    * Every person-keyed table is SEMI-joined to the cohort's subject set
+    * before any check aggregate sees it; tables without a `person_id`
+    * column (vocabulary/dimension tables) pass through unscoped, exactly
+    * as the published templates only guard person-keyed scans. The member
+    * frame broadcasts — a cohort is bounded study metadata, never
+    * fact-scale — so scoping adds zero shuffles to the fused battery.
+    */
+  def cohortScoped(load: String => DataFrame, cohort: DataFrame,
+      cohortDefinitionId: Long): String => DataFrame = {
+    val members = broadcast(
+      cohort.filter(col("cohort_definition_id") === cohortDefinitionId)
+        .select(col("subject_id").as("person_id")).distinct())
+    tb => {
+      val df = load(tb)
+      if (df.columns.contains("person_id"))
+        df.join(members, Seq("person_id"), "left_semi")
+      else df
+    }
+  }
+
   /** The full generated battery as one DataFrame plan. */
   def fieldLevel(model: CdmModel, load: String => DataFrame,
       rules: RuleSet = RuleSet()): DataFrame = {

@@ -655,7 +655,92 @@ object OhdsiCdmQueries {
         lit(6L).as("count_value"))
       .orderBy("analysis_id")
 
+  // ------------------------------------------------- cohort-scoped DQD
+
+  /** The cohort id the gated query restricts to (cohort 3 = the 3-MEDIUM
+    * priority cohort of the derived universe — a real subset at every SF).
+    */
+  val DqdCohortId = 3L
+
+  /** The checked submodel: the four person-keyed event tables whose oracle
+    * CTEs carry exact CDM column names. `person` itself stays out of the
+    * checked set (its unscoped derivation CTE name would collide with the
+    * scoped alias in the oracle), and the submodel carries no FK edges so
+    * no check references an unscoped parent.
+    */
+  val dqdCohortModel: CdmModel = CdmModel(fields = Seq(
+    f("visit_occurrence", "visit_occurrence_id", "int64", pk = true),
+    f("visit_occurrence", "person_id", "int64"),
+    f("visit_occurrence", "visit_concept_id", "int64"),
+    f("visit_occurrence", "visit_start_date", "date"),
+    f("visit_occurrence", "visit_end_date", "date"),
+    f("condition_occurrence", "person_id", "int64"),
+    f("condition_occurrence", "condition_concept_id", "int64"),
+    f("condition_occurrence", "condition_start_date", "date"),
+    f("condition_occurrence", "condition_type_concept_id", "int64"),
+    f("observation", "person_id", "int64"),
+    f("observation", "observation_concept_id", "int64"),
+    f("observation", "observation_date", "date"),
+    f("observation", "observation_type_concept_id", "int64"),
+    f("observation", "value_as_number", "float64"),
+    f("observation", "value_as_concept_id", "int64"),
+    f("observation", "unit_concept_id", "int64"),
+    f("measurement", "person_id", "int64"),
+    f("measurement", "measurement_concept_id", "int64"),
+    f("measurement", "measurement_date", "date"),
+    f("measurement", "measurement_type_concept_id", "int64"),
+    f("measurement", "value_as_number", "float64"),
+    f("measurement", "value_as_concept_id", "int64"),
+    f("measurement", "unit_concept_id", "int64"),
+    f("measurement", "range_low", "float64"),
+    f("measurement", "range_high", "float64")))
+
+  private val dqdCohortRules = graft.operators.DqdChecks.RuleSet(
+    startEnd = Seq(graft.operators.DqdChecks.StartEndRule(
+      "visit_occurrence", "visit_start_date", "visit_end_date")),
+    bounds = Map(
+      ("measurement", "value_as_number") -> (Some(0.0), Some(48.0))),
+    thresholds = Map(
+      ("plausibleStartBeforeEnd", "visit_occurrence", "visit_start_date") -> 5.0,
+      ("plausibleValueHigh", "measurement", "value_as_number") -> 5.0))
+
+  /** Cohort-scoped DQD battery (`data_quality.py:50,219-237`): the SAME
+    * fused field-level generator, with every checked table semi-joined to
+    * cohort [[DqdCohortId]]'s subjects before the shared aggregate
+    * ([[graft.operators.DqdChecks.cohortScoped]]).
+    */
+  val dqdCohortBattery: Q = (s, d) => {
+    val load = materialized(s, d)
+    val scoped = graft.operators.DqdChecks.cohortScoped(
+      load, load("cohort"), DqdCohortId)
+    graft.operators.DqdChecks.fieldLevel(dqdCohortModel, scoped, dqdCohortRules)
+      .coalesce(1).sortWithinPartitions("check_id")
+  }
+
+  /** The cohort-battery oracle: the generated check SQL with the checked
+    * tables rebound to cohort-scoped derivation CTEs (the same semi-join
+    * restriction in DuckDB).
+    */
+  // lazy: `deriveSql` is declared further down the object body, so an
+  // eager val here would capture null at object init
+  lazy val dqdCohortOracle: String = {
+    val body = graft.operators.DqdChecks.oracleSql(dqdCohortModel, dqdCohortRules)
+    require(body.startsWith("WITH checks AS ("), "oracleSql shape changed")
+    val scoped =
+      s"""$deriveSql,
+         |__cm AS (
+         |  SELECT DISTINCT subject_id AS person_id FROM cohort
+         |  WHERE cohort_definition_id = $DqdCohortId
+         |),
+         |visit_occurrence AS (SELECT v.* FROM visit v JOIN __cm USING (person_id)),
+         |condition_occurrence AS (SELECT c.* FROM cond c JOIN __cm USING (person_id)),
+         |observation AS (SELECT o.* FROM obsv o JOIN __cm USING (person_id)),
+         |measurement AS (SELECT m.* FROM meas m JOIN __cm USING (person_id))""".stripMargin
+    s"WITH $scoped,\nchecks AS (" + body.stripPrefix("WITH checks AS (")
+  }
+
   val defs: Seq[(String, Q)] = Seq(
+    "dqd_cohort_battery" -> dqdCohortBattery,
     "ohdsi_core_counts" -> ohdsiCoreCounts,
     "ohdsi_core_dist" -> ohdsiCoreDist,
     "ohdsi_heel_results" -> ohdsiHeelResults,
@@ -1749,6 +1834,7 @@ object OhdsiCdmQueries {
   }
 
   val oracles: Seq[(String, String)] = Seq(
+    "dqd_cohort_battery" -> dqdCohortOracle,
     "ohdsi_core_counts" -> countsOracle,
     "ohdsi_core_dist" -> distOracle,
     "ohdsi_heel_results" -> heelOracle,

@@ -313,6 +313,33 @@ class GraftCliSpec extends SparkSpec {
     assert(lineage.filter(col("omop_table") === "person").count() === 6L)
   }
 
+  test("--cohort-definition-id restricts person-keyed tables before the checks") {
+    import spark.implicits._
+    val zones = newZones("dqcohort")
+    val meas = Seq((1L, 10.0), (2L, 60.0), (3L, 70.0))
+      .toDF("person_id", "value_as_number")
+    val cohort = Seq((7L, 1L), (7L, 2L), (8L, 3L))
+      .toDF("cohort_definition_id", "subject_id")
+    zones.write(meas, "omop", "measurement")
+    zones.write(cohort, "omop", "cohort")
+    val model = CdmModel(fields = Seq(
+      CdmField("measurement", "person_id", "int64", false, false, None, "CDM"),
+      CdmField("measurement", "value_as_number", "float64", false, false, None, "CDM")))
+    val rules = graft.operators.DqdChecks.RuleSet(
+      bounds = Map(("measurement", "value_as_number") -> (None, Some(50.0))))
+    def viol(df: org.apache.spark.sql.DataFrame): Long =
+      df.filter(col("check_name") === "plausibleValueHigh")
+        .select("num_violated_rows").head().getLong(0)
+    val all = viol(GraftCli.dataQuality(spark, zones, model, rules))
+    assert(all === 2L) // 60 and 70 exceed the bound
+    val scoped = viol(GraftCli.dataQuality(spark, zones, model, rules,
+      cohortDefinitionId = Some(7L)))
+    assert(scoped === 1L) // person 3 (value 70) is outside cohort 7
+    // flag parses
+    val args = GraftCli.parseArgs(Seq("--data-quality", "--cohort-definition-id", "7"))
+    assert(args.dataQuality && args.cohortDefinitionId === Some(7L))
+  }
+
   test("--data-quality stores the battery, exports JSON, dashboard serves it") {
     val zones = newZones("dq")
     val folder = scaffoldFolder()
