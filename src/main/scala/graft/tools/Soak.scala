@@ -174,6 +174,61 @@ object Soak {
         spark.catalog.clearCache()
         System.gc()
       }
+      // ---- routed vs flat assignment at a LARGE centroid set ----------
+      // The adaptive cutover's motivating regime: 8k centroids over 40k
+      // vectors (flat scan = 320M dots + a 320M-row rank window; routed =
+      // sqrt-sized coarse probes + triangle-pruned cells). Same results by
+      // construction — this measures the assignment cost only.
+      val bigCents = hot.filter(col("vec_id") % 5 === 1)
+      for ((tag, thr) <- Seq(("assign_flat_8k", Long.MaxValue), ("assign_routed_8k", 0L))) {
+        durations.clear()
+        val t0b = System.nanoTime()
+        graft.ops.SimOps
+          .semDedup(hot, bigCents, "vec_id", "embedding", 0.95, routeThreshold = thr)
+          .write.mode("overwrite").format("noop").save()
+        val secs = (System.nanoTime() - t0b) / 1e9
+        val (skew, stage) = worstSkew()
+        sbSem.append(f"""{"sf":"sf1_hotsem","query":"dedup_semantic_$tag","sec":$secs%.3f,"worst_skew":$skew%.1f,"skew_stage":$stage}%n""")
+        println(f"[sf1_hotsem] dedup_semantic_$tag%-24s $secs%7.2fs  skew $skew%5.1fx")
+        spark.catalog.clearCache()
+        System.gc()
+      }
+      // ---- clustered universe: the regime IVF routing assumes ----------
+      // Real embedding spaces cluster (that is SemDeDup's own premise);
+      // uniform-random 64-dim data defeats ANY exact pruning (cell radii
+      // ~ sqrt(2) — the curse of dimensionality), which is why the flat
+      // scan wins the synthetic soak above and the cutover is adaptive.
+      // Here: 8k centroids in 128 tight direction groups, corpus =
+      // jittered centroids — compact LSH cells, so the triangle bound
+      // actually bites.
+      def vec(id: org.apache.spark.sql.Column, jitterScale: Double, grpMod: Int) =
+        transform(sequence(lit(0), lit(63)), i =>
+          ((((id % grpMod % 128) * 31 + i * 7) % 13 - 6).cast("double")
+            + (((id % grpMod) * 11 + i * 3) % 7 - 3).cast("double") * lit(0.02)
+            + ((id * 13 + i * 5) % 11 - 5).cast("double") * lit(jitterScale))
+            .cast("float"))
+      val cents2 = spark.range(8000).select(col("id").as("vec_id"),
+        vec(col("id"), 0.0, 8000).as("embedding"))
+      val corp2 = spark.range(40000).select(col("id").as("vec_id"),
+        vec(col("id"), 0.005, 8000).as("embedding"))
+      corp2.write.mode("overwrite").parquet(s"$out/emb_clustered.parquet")
+      cents2.write.mode("overwrite").parquet(s"$out/cent_clustered.parquet")
+      val corpC = spark.read.parquet(s"$out/emb_clustered.parquet")
+      val centC = spark.read.parquet(s"$out/cent_clustered.parquet")
+      for ((tag, thr) <- Seq(("assign_flat_8k_clustered", Long.MaxValue),
+          ("assign_routed_8k_clustered", 0L))) {
+        durations.clear()
+        val t0c = System.nanoTime()
+        graft.ops.SimOps
+          .semDedup(corpC, centC, "vec_id", "embedding", 0.95, routeThreshold = thr)
+          .write.mode("overwrite").format("noop").save()
+        val secs = (System.nanoTime() - t0c) / 1e9
+        val (skew, stage) = worstSkew()
+        sbSem.append(f"""{"sf":"sf1_hotsem","query":"dedup_semantic_$tag","sec":$secs%.3f,"worst_skew":$skew%.1f,"skew_stage":$stage}%n""")
+        println(f"[sf1_hotsem] dedup_semantic_$tag%-28s $secs%7.2fs  skew $skew%5.1fx")
+        spark.catalog.clearCache()
+        System.gc()
+      }
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_sf1_semdedup.jsonl"), sbSem.result())
       spark.stop()

@@ -54,16 +54,54 @@ class SemDedupSpec extends SparkSpec {
     assert(clusters(1L) == 10L && clusters(3L) == 10L && clusters(4L) == 20L)
   }
 
-  test("plan: centroids broadcast; the pair join is an equi-join on the cluster") {
+  test("plan: centroids broadcast below the route threshold; pair join is an equi-join") {
     val p = SimOps.semDedup(corpus, centroids, "vec_id", "embedding", 0.95)
       .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), s"cartesian in semdedup plan:\n$p")
-    // the only nested-loop joins are the broadcast centroid assignments
-    // (planned once per use of the assigned frame: pair sides a/b + output,
-    // plus the occupancy-sample assignment feeding the block widths, which
-    // is planned once per pair side)
+    // small centroid sets take the flat broadcast path (strictly cheaper —
+    // the sf1 soak measured routing overhead losing below ~1k centroids);
+    // the only nested-loop joins are those broadcast assignments
     val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
     assert(bnlj <= 5, s"unexpected nested-loop joins ($bnlj):\n$p")
+  }
+
+  test("plan: routed assignment never broadcasts the full centroid set") {
+    val p = SimOps.semDedup(corpus, centroids, "vec_id", "embedding", 0.95,
+        routeThreshold = 0L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"cartesian in routed plan:\n$p")
+    // the only nested-loop products are against the sqrt(|C|)-sized coarse
+    // tier (the LSH-cell mean centers); the full set reaches rows
+    // exclusively through joins keyed by coarse cell. The BNLJ count is a
+    // plan-duplication guard, not a scale bound (each is coarse-sized).
+    assert(p.contains("__cell"), s"coarse cell routing missing:\n$p")
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 30, s"unexpected nested-loop joins ($bnlj):\n$p")
+  }
+
+  test("routed assignment equals the exhaustive broadcast scan") {
+    // the triangle-inequality pool provably contains the true argmax, so
+    // (item -> centroid, sim) must be IDENTICAL to a flat exhaustive
+    // assignment computed here by brute force (routeThreshold = 0 forces
+    // the routed path even for this tiny centroid set)
+    val out = SimOps.semDedup(corpus, centroids, "vec_id", "embedding", 0.95,
+        routeThreshold = 0L)
+      .select("item_id", "centroid_id", "cent_sim")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val cs = centroids.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    corpus.collect().foreach { r =>
+      val id = r.getLong(0)
+      val v = r.getSeq[Float](1).map(_.toDouble)
+      val best = cs.map { case (cid, cv) => (cid, cos(v, cv)) }
+        .minBy { case (cid, s) => (-s, cid) }
+      assert(out(id)._1 === best._1, s"item $id routed to ${out(id)._1}, exhaustive ${best._1}")
+      assert(math.abs(out(id)._2 - best._2) < 1e-6)
+    }
   }
 
   // a deliberately hot cluster: most of the corpus piles onto one centroid,
