@@ -772,6 +772,43 @@ object DqdChecks {
         when(pct * 100 > col("threshold_value"), 1L).otherwise(0L).as("failed"))
   }
 
+  /** Run-history store — the reference's `dqdashboard_runs` /
+    * `dqdashboard_results` pair (`get_last_dqd_runs.sql.jinja`,
+    * `get_dqd_run.sql.jinja`, `get_dqd_run_results.sql.jinja`): every run
+    * appends one summary row keyed by a monotonically increasing run id
+    * and stores its full result rows under `dqd_results_run_<id>`. All
+    * frames are bounded reports (one row per check / per run), so the
+    * read-union-write of the runs table costs nothing at any data scale.
+    * Returns the new run id.
+    */
+  def recordRun(s: org.apache.spark.sql.SparkSession, zones: graft.io.Zones,
+      results: DataFrame, timestamp: Option[String] = None): Long = {
+    val prev =
+      if (zones.listTables(s, "dqd").contains("dqd_runs"))
+        Some(zones.read(s, "dqd", "dqd_runs"))
+      else None
+    val runId = prev.map(_.count()).getOrElse(0L) + 1
+    zones.write(results, "dqd", s"dqd_results_run_$runId")
+    val row = overview(results.drop("run_timestamp"))
+      .select(lit(runId).as("run_id"),
+        lit(timestamp.orNull).cast("string").as("run_timestamp"),
+        col("*"))
+    zones.write(prev.map(p => p.unionByName(row)).getOrElse(row), "dqd", "dqd_runs")
+    runId
+  }
+
+  /** The last `n` runs, newest first (the reference's
+    * `get_last_dqd_runs.sql.jinja` LIMIT 15 listing).
+    */
+  def lastRuns(s: org.apache.spark.sql.SparkSession, zones: graft.io.Zones,
+      n: Int = 15): DataFrame =
+    zones.read(s, "dqd", "dqd_runs").orderBy(col("run_id").desc).limit(n)
+
+  /** One stored run's full results (`get_dqd_run_results.sql.jinja`). */
+  def runResults(s: org.apache.spark.sql.SparkSession, zones: graft.io.Zones,
+      runId: Long): DataFrame =
+    zones.read(s, "dqd", s"dqd_results_run_$runId")
+
   /** The run-level Overview the reference computes from the check results
     * (`data_quality.py:280-320`).
     */
@@ -811,14 +848,13 @@ object DqdChecks {
        |  round((count(*) - sum(failed)) * 100.0 / count(*), 2) AS percent_passed
        |FROM battery""".stripMargin
 
-  /** The same battery rendered as DuckDB SQL from the same metadata. */
-  def oracleSql(model: CdmModel, rules: RuleSet = RuleSet()): String = {
-    val allChecks = model.tables.flatMap { tb =>
-      tableChecks(model, tb, rules, actualCols = None)
-    } ++ crossTableChecks(model, rules)
-    def thr(c: Check): Double = rules.thresholds.getOrElse((c.name, c.table, c.field), 0.0)
-    val selects = allChecks.map { c =>
-        val (violSql, denomSql, fromSql) = c.name match {
+  /** One check's rendered DuckDB query — the oracle's per-check SELECT and
+    * ALSO the `query_text` the dashboard's show-query drill-down serves
+    * (the reference's result rows carry the rendered check SQL,
+    * `data_quality_dashboard.py:358-367`).
+    */
+  private def checkSelectSql(c: Check, threshold: Double): String = {
+    val (violSql, denomSql, fromSql) = c.name match {
           case "cdmTable" =>
             ("CASE WHEN count(*) = 0 THEN 1 ELSE 0 END", "1", c.table)
           case "cdmField" =>
@@ -924,9 +960,28 @@ object DqdChecks {
            |  '${c.category}' AS category, '${c.table}' AS cdm_table_name, '${c.field}' AS cdm_field_name,
            |  CAST($violSql AS BIGINT) AS num_violated_rows,
            |  CAST($denomSql AS BIGINT) AS num_denominator_rows,
-           |  CAST(${thr(c)} AS DOUBLE) AS threshold_value
+           |  CAST($threshold AS DOUBLE) AS threshold_value
            |FROM $fromSql""".stripMargin
-    }
+  }
+
+  /** (check_id, query_text) for every check of a battery — joined into the
+    * stored results so each row carries its own rendered query.
+    */
+  def queryTexts(model: CdmModel, rules: RuleSet = RuleSet()): Seq[(String, String)] = {
+    val allChecks = model.tables.flatMap { tb =>
+      tableChecks(model, tb, rules, actualCols = None)
+    } ++ crossTableChecks(model, rules)
+    allChecks.map(c => c.id ->
+      checkSelectSql(c, rules.thresholds.getOrElse((c.name, c.table, c.field), 0.0)))
+  }
+
+  /** The same battery rendered as DuckDB SQL from the same metadata. */
+  def oracleSql(model: CdmModel, rules: RuleSet = RuleSet()): String = {
+    val allChecks = model.tables.flatMap { tb =>
+      tableChecks(model, tb, rules, actualCols = None)
+    } ++ crossTableChecks(model, rules)
+    def thr(c: Check): Double = rules.thresholds.getOrElse((c.name, c.table, c.field), 0.0)
+    val selects = allChecks.map(c => checkSelectSql(c, thr(c)))
     s"""WITH checks AS (
        |${selects.mkString("\nUNION ALL\n")}
        |)

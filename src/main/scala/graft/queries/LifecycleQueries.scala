@@ -429,7 +429,24 @@ object LifecycleQueries {
       (lit(1L) - col("failed")).as("passed"))
       .coalesce(1).sortWithinPartitions("checkid")
 
+  /** The run-history listing (`dqd/get_last_dqd_runs.sql.jinja` LIMIT 15
+    * + the run summary the dashboard's run selector reads): record the
+    * generated battery twice into a FRESH temp zone (determinism must not
+    * depend on warm state from earlier JVMs) and list newest-first.
+    * Timestamps are wall-clock and therefore dropped from the gated shape
+    * (the ohdsi_benchmark_rows convention).
+    */
+  val dqdLastRuns: Q = (s, d) => {
+    val zones = Zones(
+      java.nio.file.Files.createTempDirectory("graft_dqd_runs").toString)
+    val battery = generatedBattery(s, d)
+    graft.operators.DqdChecks.recordRun(s, zones, battery)
+    graft.operators.DqdChecks.recordRun(s, zones, battery)
+    graft.operators.DqdChecks.lastRuns(s, zones).drop("run_timestamp")
+  }
+
   val defs: Seq[(String, Q)] = Seq(
+    "dqd_last_runs" -> dqdLastRuns,
     "dqd_field_level" -> dqdFieldLevel,
     "dqd_overview" -> dqdOverview,
     "dqd_json_rows" -> dqdJsonRows,
@@ -442,6 +459,16 @@ object LifecycleQueries {
     "dqd_config_driven" -> dqdConfigDriven)
 
   val oracles: Seq[(String, String)] = Seq(
+    "dqd_last_runs" -> {
+      val ov = Dqd.overviewOracleSql(Dqd.oracleSql(TpchModel.modelWithEvents, dqdRules))
+      s"""WITH ov AS (
+         |$ov
+         |)
+         |SELECT CAST(2 AS BIGINT) AS run_id, ov.* FROM ov
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT) AS run_id, ov.* FROM ov
+         |ORDER BY run_id DESC""".stripMargin
+    },
     "dqd_field_level" -> Dqd.oracleSql(TpchModel.modelWithEvents, dqdRules),
     "dqd_overview" -> Dqd.overviewOracleSql(
       Dqd.oracleSql(TpchModel.modelWithEvents, dqdRules)),

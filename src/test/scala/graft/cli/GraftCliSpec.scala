@@ -371,6 +371,16 @@ class GraftCliSpec extends SparkSpec {
       assert(data.startsWith("[") && data.contains("\"checkid\""))
       assert(get("/overview").contains("\"count_total\""))
       assert(get("/").contains("Data quality results"))
+      // run-history drill-down (the Dash app's run selector + show-query)
+      val runs = get("/runs")
+      assert(runs.contains("\"value\":1"), s"run listing missing run 1: $runs")
+      assert(get("/run?id=1").contains("\"count_total\""))
+      val rr = get("/run-results?id=1")
+      assert(rr.contains("\"check_id\"") && rr.contains("\"query_text\""))
+      // pick one check id from the stored rows and fetch its query text
+      val cid = stored.select("check_id").head().getString(0)
+      val qt = get(s"/query?run=1&checkid=${java.net.URLEncoder.encode(cid, "UTF-8")}")
+      assert(qt.contains("SELECT"), s"query text for $cid: $qt")
     } finally server.stop(0)
   }
 
