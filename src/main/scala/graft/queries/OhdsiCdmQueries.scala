@@ -739,7 +739,78 @@ object OhdsiCdmQueries {
     s"WITH $scoped,\nchecks AS (" + body.stripPrefix("WITH checks AS (")
   }
 
+  /** The published DQD `field_is_not_nullable.sql` template shape,
+    * VERBATIM (OHDSI DataQualityDashboard `inst/sql/sql_server` — header
+    * comment, SqlRender conditionals, COUNT_BIG, comma-joined derived
+    * tables, trailing semicolon), exercised end-to-end through the
+    * SqlRender-subset bridge the way `sql_render_base.py:36-81` renders
+    * and runs it. The cohort conditionals render FALSE here, exactly as a
+    * non-cohort DQD run renders them.
+    */
+  private val FieldIsNotNullableSql =
+    """
+      |/*********
+      |FIELD_IS_NOT_NULLABLE
+      |Is the field nullable when it should be not_nullable
+      |
+      |Parameters used in this template:
+      |cdmDatabaseSchema = @cdmDatabaseSchema
+      |cdmTableName = @cdmTableName
+      |cdmFieldName = @cdmFieldName
+      |{@cohort & '@runForCohort' == 'Yes'}?{
+      |cohortDefinitionId = @cohortDefinitionId
+      |cohortDatabaseSchema = @cohortDatabaseSchema
+      |cohortTableName = @cohortTableName
+      |}
+      |**********/
+      |
+      |SELECT num_violated_rows,
+      |	CASE
+      |		WHEN denominator.num_rows = 0 THEN 0
+      |		ELSE 1.0*num_violated_rows/denominator.num_rows
+      |	END AS pct_violated_rows,
+      |	denominator.num_rows AS num_denominator_rows
+      |FROM (
+      |	SELECT COUNT_BIG(violated_rows.violating_field) AS num_violated_rows
+      |	FROM (
+      |		/*violatedRowsBegin*/
+      |		SELECT '@cdmTableName.@cdmFieldName' AS violating_field, cdmTable.*
+      |		FROM @cdmDatabaseSchema.@cdmTableName cdmTable
+      |		{@cohort & '@runForCohort' == 'Yes'}?{
+      |		JOIN @cohortDatabaseSchema.@cohortTableName c
+      |			ON cdmTable.person_id = c.subject_id
+      |			AND c.cohort_definition_id = @cohortDefinitionId
+      |		}
+      |		WHERE cdmTable.@cdmFieldName IS NULL
+      |		/*violatedRowsEnd*/
+      |	) violated_rows
+      |) violated_row_count,
+      |(
+      |	SELECT COUNT_BIG(*) AS num_rows
+      |	FROM @cdmDatabaseSchema.@cdmTableName cdmTable
+      |	{@cohort & '@runForCohort' == 'Yes'}?{
+      |	JOIN @cohortDatabaseSchema.@cohortTableName c
+      |		ON cdmTable.person_id = c.subject_id
+      |		AND c.cohort_definition_id = @cohortDefinitionId
+      |	}
+      |) denominator
+      |;""".stripMargin
+
+  val ohdsiSqlDqdCheck: Q = (s, d) => {
+    t(s, d, "orders").createOrReplaceGlobalTempView("dqd_check_orders")
+    graft.sources.OhdsiSql.execute(s, FieldIsNotNullableSql,
+      params = Map(
+        "cohort" -> "false", "runForCohort" -> "No",
+        "cdmDatabaseSchema" -> "global_temp",
+        "cdmTableName" -> "dqd_check_orders",
+        "cdmFieldName" -> "o_orderpriority",
+        "cohortDefinitionId" -> "0",
+        "cohortDatabaseSchema" -> "unused",
+        "cohortTableName" -> "unused"))
+  }
+
   val defs: Seq[(String, Q)] = Seq(
+    "ohdsi_sql_dqd_check" -> ohdsiSqlDqdCheck,
     "dqd_cohort_battery" -> dqdCohortBattery,
     "ohdsi_core_counts" -> ohdsiCoreCounts,
     "ohdsi_core_dist" -> ohdsiCoreDist,
@@ -1834,6 +1905,14 @@ object OhdsiCdmQueries {
   }
 
   val oracles: Seq[(String, String)] = Seq(
+    "ohdsi_sql_dqd_check" ->
+      """SELECT CAST(v.num_violated_rows AS BIGINT) AS num_violated_rows,
+        |  CASE WHEN d.num_rows = 0 THEN 0
+        |    ELSE 1.0 * v.num_violated_rows / d.num_rows END AS pct_violated_rows,
+        |  CAST(d.num_rows AS BIGINT) AS num_denominator_rows
+        |FROM (SELECT count(o_orderpriority) AS num_violated_rows FROM orders
+        |  WHERE o_orderpriority IS NULL) v
+        |CROSS JOIN (SELECT count(*) AS num_rows FROM orders) d""".stripMargin,
     "dqd_cohort_battery" -> dqdCohortOracle,
     "ohdsi_core_counts" -> countsOracle,
     "ohdsi_core_dist" -> distOracle,

@@ -32,17 +32,38 @@ object OhdsiSql {
 
   private val DefaultDecl = raw"\{\s*DEFAULT\s+@(\w+)\s*=\s*([^}]*?)\s*\}".r
   private val ParamRef = raw"@(\w+)".r
-  private val Conditional = raw"\{[^}]*\}\s*\?".r
+  /** `{cond}?{body}` — SqlRender's conditional block. Bodies in the
+    * published DQD/Achilles templates are plain SQL (no nested braces),
+    * which is the grammar this subset parses.
+    */
+  private val CondBlock = raw"(?s)\{([^{}]*)\}\s*\?\s*\{([^{}]*)\}".r
+
+  /** SqlRender condition evaluation over ALREADY-SUBSTITUTED text:
+    * `|`-separated alternatives of `&`-separated terms; a term is
+    * `'a' == 'b'`, `'a' != 'b'`, or a bare boolean word (SqlRender's
+    * `{@flag}?{...}` after @flag substitutes to true/false). Anything
+    * else fails loudly with the construct named — the subset's contract.
+    */
+  private val CmpTerm = raw"'([^']*)'\s*(==|!=)\s*'([^']*)'".r
+  private def evalCond(cond: String): Boolean =
+    cond.split(raw"\|").exists(_.split("&").forall { raw =>
+      raw.trim match {
+        case CmpTerm(a, op, b) => if (op == "==") a == b else a != b
+        case t if t.equalsIgnoreCase("true") => true
+        case t if t.equalsIgnoreCase("false") => false
+        case other => throw new IllegalArgumentException(
+          s"unsupported SqlRender condition term '$other' in '{$cond}?{...}' — " +
+            "this subset supports 'a' == 'b', 'a' != 'b', and boolean words")
+      }
+    })
 
   /** SqlRender's render step: collect `{DEFAULT @p = v}` declarations,
-    * overlay the caller's parameters, substitute every `@p` textually.
-    * Leftover `@p` references or `{...} ? {...}` conditional blocks (not
-    * part of this subset) raise with the construct named.
+    * overlay the caller's parameters, substitute every `@p` textually,
+    * then evaluate `{cond}?{body}` conditional blocks against the
+    * substituted values. Leftover `@p` references or condition terms
+    * outside the supported grammar raise with the construct named.
     */
   def render(sql: String, params: Map[String, String] = Map.empty): String = {
-    require(Conditional.findFirstIn(sql).isEmpty,
-      "unsupported SqlRender construct: conditional block '{...} ? {...}' — " +
-        "this subset supports {DEFAULT @p = v} and @param substitution only")
     val defaults = DefaultDecl.findAllMatchIn(sql).map(m => m.group(1) -> m.group(2)).toMap
     val stripped = DefaultDecl.replaceAllIn(sql, "")
     val values = defaults ++ params
@@ -50,11 +71,17 @@ object OhdsiSql {
       case (acc, (name, value)) =>
         acc.replaceAll(raw"@$name\b", java.util.regex.Matcher.quoteReplacement(value))
     }
-    val leftover = ParamRef.findAllMatchIn(substituted).map(_.group(1)).toSet
+    // conditional blocks evaluate AFTER substitution (SqlRender semantics:
+    // the condition compares rendered values) — body kept or dropped whole
+    val conditioned = CondBlock.replaceAllIn(substituted, m =>
+      if (evalCond(m.group(1)))
+        java.util.regex.Matcher.quoteReplacement(m.group(2))
+      else "")
+    val leftover = ParamRef.findAllMatchIn(conditioned).map(_.group(1)).toSet
     require(leftover.isEmpty,
       s"unbound SqlRender parameter(s): ${leftover.toSeq.sorted.map("@" + _).mkString(", ")} — " +
         s"known: ${values.keys.toSeq.sorted.map("@" + _).mkString(", ")}")
-    substituted
+    conditioned
   }
 
   private def ci(pattern: String) = ("(?i)" + pattern).r

@@ -17,12 +17,26 @@ class OhdsiSqlSpec extends SparkSpec {
     assert(overridden.trim === "SELECT 9, 2, 3")
   }
 
-  test("render fails loudly on unbound params and conditional blocks") {
+  test("render fails loudly on unbound params and unsupported condition terms") {
     val e = intercept[IllegalArgumentException](OhdsiSql.render("SELECT @nope"))
     assert(e.getMessage.contains("@nope"))
     val c = intercept[IllegalArgumentException](
-      OhdsiSql.render("{@x == 'a'} ? {SELECT 1} : {SELECT 2}"))
-    assert(c.getMessage.contains("conditional"))
+      OhdsiSql.render("{@x IN ('a')}?{SELECT 1}", Map("x" -> "a")))
+    assert(c.getMessage.contains("condition term"))
+  }
+
+  test("render evaluates SqlRender conditional blocks after substitution") {
+    // the published DQD template shape: a boolean flag term and a
+    // rendered-value comparison, '&'-joined
+    val sql = "SELECT 1{@cohort & '@run' == 'Yes'}?{ JOIN c ON x = y} FROM t"
+    assert(OhdsiSql.render(sql, Map("cohort" -> "true", "run" -> "Yes"))
+      === "SELECT 1 JOIN c ON x = y FROM t")
+    assert(OhdsiSql.render(sql, Map("cohort" -> "false", "run" -> "Yes"))
+      === "SELECT 1 FROM t")
+    assert(OhdsiSql.render(sql, Map("cohort" -> "true", "run" -> "No"))
+      === "SELECT 1 FROM t")
+    // '|' alternatives and '!='
+    assert(OhdsiSql.render("{'@a' != 'x' | false}?{K}", Map("a" -> "y")) === "K")
   }
 
   test("translate covers the documented SQL Server subset") {
