@@ -134,6 +134,7 @@ object OhdsiAchilles {
     CoreAnalysis(116L,
       "Number of persons with at least one day of observation in each year, by gender and age decile",
       "calendar_year", "gender_concept_id", stratum3 = "age_decile"),
+    CoreAnalysis(118L, "Number of observation period records with invalid person_id"),
     CoreAnalysis(117L, "Number of persons with observation period during each month",
       "calendar_month"),
     CoreAnalysis(119L, "Number of observation periods by period type concept",
@@ -267,6 +268,13 @@ object OhdsiAchilles {
       CoreAnalysis(2000L, "Number of persons with at least 1 Dx and 1 Rx"),
       CoreAnalysis(2001L, "Number of persons with at least 1 Dx and 1 Proc"),
       CoreAnalysis(2002L, "Number of persons with at least 1 Mx and 1 Dx and 1 Rx"),
+      // 2004: the domain-overlap profile Ares' upset chart reads —
+      // stratum_1 is a presence bitmask over the event domains in the
+      // published order (condition, drug, device, measurement, death,
+      // procedure, observation)
+      CoreAnalysis(2004L,
+        "Number of distinct patients that overlap between specific domains",
+        "domain_bitmask"),
       CoreAnalysis(2200L, "Number of persons with at least one note, by note_type_concept_id",
         "note_type_concept_id"),
       CoreAnalysis(2201L, "Number of note records, by note_type_concept_id",
@@ -445,6 +453,15 @@ object OhdsiAchilles {
             .groupBy(col("__len30").cast("string").as("stratum_1"))
             .agg(count(lit(1)).as("count_value"))
             .select(lit(108L).as("analysis_id"), col("stratum_1"), noS2, col("count_value")))
+        // 118: observation period records whose person_id resolves to no
+        // person row (the x07 shape applied to the period table)
+        if (has(model, "person", "person_id"))
+          ageBase += op
+            .join(load("person").select(col("person_id"), lit(1).as("__hp")),
+              Seq("person_id"), "left")
+            .agg(sum(when(col("__hp").isNull, 1L).otherwise(0L)).as("count_value"))
+            .select(lit(118L).as("analysis_id"), lit("ALL").as("stratum_1"), noS2,
+              col("count_value"))
         // 110/117: persons with continuous (110) / any (117) observation in
         // each month. The candidate-month explode is the battery's largest
         // intermediate (rows x months-of-span), so BOTH analyses share ONE
@@ -852,37 +869,54 @@ object OhdsiAchilles {
           .select(explode(array(structs: _*)).as("__r"))))
       }
 
-    // 2000/2001/2002: persons present in multiple domains (the Achilles
-    // treemap counts) — ONE union of the four domains' person ids and ONE
-    // person-keyed aggregate (map-side combine collapses the raw fact ids
-    // before the shuffle), then all three intersections fall out of a
-    // single global row
-    val coocc: Seq[DataFrame] =
-      if (!Seq("condition_occurrence", "drug_exposure", "procedure_occurrence",
-        "measurement").forall(tb => has(model, tb, "person_id"))) Nil
+    // 2000/2001/2002/2004: persons present in multiple domains — ONE union
+    // of the event domains' person ids (published 2004 order: condition,
+    // drug, device, measurement, death, procedure, observation) and ONE
+    // person-keyed flag aggregate (map-side combine collapses the raw fact
+    // ids before the shuffle). The three treemap intersections (2000-2002)
+    // fall out of a single global row over the flags; the domain-overlap
+    // profile 2004 (Ares' upset chart) groups the SAME flags into a
+    // presence bitmask — absent tables hold position as '0' so the mask
+    // stays 7 characters on any model.
+    val coocc: Seq[DataFrame] = {
+      val overlapOrder = Seq("condition_occurrence" -> 0, "drug_exposure" -> 1,
+        "device_exposure" -> 2, "measurement" -> 3, "death" -> 4,
+        "procedure_occurrence" -> 5, "observation" -> 6)
+      val avail = overlapOrder.filter { case (tb, _) =>
+        has(model, tb) && model.columns(tb).contains("person_id") }
+      if (avail.isEmpty) Nil
       else {
-        val tagged = Seq("condition_occurrence" -> 0, "drug_exposure" -> 1,
-          "procedure_occurrence" -> 2, "measurement" -> 3).map { case (tb, i) =>
+        val tagged = avail.map { case (tb, i) =>
           load(tb).select(col("person_id"), lit(i).as("__src")) }
           .reduce(_ unionByName _)
-        val flags = tagged.groupBy(col("person_id")).agg(
-          max(when(col("__src") === 0, 1L).otherwise(0L)).as("__dx"),
-          max(when(col("__src") === 1, 1L).otherwise(0L)).as("__rx"),
-          max(when(col("__src") === 2, 1L).otherwise(0L)).as("__px"),
-          max(when(col("__src") === 3, 1L).otherwise(0L)).as("__mx"))
-        Seq(unpack(flags.agg(
-            sum(col("__dx") * col("__rx")).as("__s0"),
-            sum(col("__dx") * col("__px")).as("__s1"),
-            sum(col("__mx") * col("__dx") * col("__rx")).as("__s2"))
-          .select(explode(array(
-            struct(lit(2000L).as("analysis_id"), lit("ALL").as("stratum_1"),
-              lit(null).cast("string").as("stratum_2"), col("__s0").as("count_value")),
-            struct(lit(2001L).as("analysis_id"), lit("ALL").as("stratum_1"),
-              lit(null).cast("string").as("stratum_2"), col("__s1").as("count_value")),
-            struct(lit(2002L).as("analysis_id"), lit("ALL").as("stratum_1"),
-              lit(null).cast("string").as("stratum_2"), col("__s2").as("count_value"))))
-            .as("__r"))))
+        val flagCols = overlapOrder.map { case (_, i) =>
+          max(when(col("__src") === i, 1L).otherwise(0L)).as(s"__f$i") }
+        val flags = tagged.groupBy(col("person_id"))
+          .agg(flagCols.head, flagCols.tail: _*)
+        val mask = flags
+          .groupBy(concat(overlapOrder.map { case (_, i) =>
+            col(s"__f$i").cast("string") }: _*).as("stratum_1"))
+          .agg(count(lit(1)).as("count_value"))
+          .select(lit(2004L).as("analysis_id"), col("stratum_1"), nullS2,
+            col("count_value"))
+        val treemap =
+          if (!Seq("condition_occurrence", "drug_exposure", "procedure_occurrence",
+            "measurement").forall(tb => avail.exists(_._1 == tb))) Nil
+          else Seq(unpack(flags.agg(
+              sum(col("__f0") * col("__f1")).as("__s0"),
+              sum(col("__f0") * col("__f5")).as("__s1"),
+              sum(col("__f3") * col("__f0") * col("__f1")).as("__s2"))
+            .select(explode(array(
+              struct(lit(2000L).as("analysis_id"), lit("ALL").as("stratum_1"),
+                lit(null).cast("string").as("stratum_2"), col("__s0").as("count_value")),
+              struct(lit(2001L).as("analysis_id"), lit("ALL").as("stratum_1"),
+                lit(null).cast("string").as("stratum_2"), col("__s1").as("count_value")),
+              struct(lit(2002L).as("analysis_id"), lit("ALL").as("stratum_1"),
+                lit(null).cast("string").as("stratum_2"), col("__s2").as("count_value"))))
+              .as("__r"))))
+        mask +: treemap
       }
+    }
 
     // 505: death records by type concept (the death series carries no x05
     // slot in DomainSeries — its type analysis is this standalone id)

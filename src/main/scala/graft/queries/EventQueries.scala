@@ -786,6 +786,7 @@ object EventQueries {
         |(115, 'Number of persons with observation period end < observation period start', NULL, NULL, NULL, NULL, 0),
         |(116, 'Number of persons with at least one day of observation in each year, by gender and age decile', 'calendar_year', 'gender_concept_id', 'age_decile', NULL, 0),
         |(117, 'Number of persons with observation period during each month', 'calendar_month', NULL, NULL, NULL, 0),
+        |(118, 'Number of observation period records with invalid person_id', NULL, NULL, NULL, NULL, 0),
         |(119, 'Number of observation periods by period type concept', 'period_type_concept_id', NULL, NULL, NULL, 0),
         |(200, 'Number of persons with at least one visit occurrence, by visit_concept_id', 'visit_concept_id', NULL, NULL, NULL, 0),
         |(201, 'Number of visit occurrence records, by visit_concept_id', 'visit_concept_id', NULL, NULL, NULL, 0),
@@ -916,6 +917,7 @@ object EventQueries {
         |(2000, 'Number of persons with at least 1 Dx and 1 Rx', NULL, NULL, NULL, NULL, 0),
         |(2001, 'Number of persons with at least 1 Dx and 1 Proc', NULL, NULL, NULL, NULL, 0),
         |(2002, 'Number of persons with at least 1 Mx and 1 Dx and 1 Rx', NULL, NULL, NULL, NULL, 0),
+        |(2004, 'Number of distinct patients that overlap between specific domains', 'domain_bitmask', NULL, NULL, NULL, 0),
         |(2100, 'Number of persons with at least one device exposure, by device_concept_id', 'device_concept_id', NULL, NULL, NULL, 0),
         |(2101, 'Number of device exposure records, by device_concept_id', 'device_concept_id', NULL, NULL, NULL, 0),
         |(2102, 'Number of persons by device exposure start month, by device_concept_id', 'device_concept_id', 'calendar_month', NULL, NULL, 0),

@@ -1125,6 +1125,9 @@ object OhdsiCdmQueries {
       |  SELECT 119, CAST(period_type_concept_id AS VARCHAR), NULL, count(*)
       |  FROM obs GROUP BY 2
       |  UNION ALL
+      |  SELECT 118, 'ALL', NULL, count(*) FROM obs
+      |  WHERE person_id NOT IN (SELECT person_id FROM person)
+      |  UNION ALL
       |  SELECT 200, CAST(visit_concept_id AS VARCHAR), NULL, count(DISTINCT person_id)
       |  FROM visit GROUP BY 2
       |  UNION ALL
@@ -1452,6 +1455,26 @@ object OhdsiCdmQueries {
       |  FROM (SELECT DISTINCT person_id FROM meas)
       |  JOIN (SELECT DISTINCT person_id FROM cond) USING (person_id)
       |  JOIN (SELECT DISTINCT person_id FROM drug) USING (person_id)
+      |  UNION ALL
+      |  SELECT 2004, mask, NULL, count(*) FROM (
+      |    SELECT person_id, concat(
+      |      CAST(max(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS VARCHAR),
+      |      CAST(max(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS VARCHAR),
+      |      CAST(max(CASE WHEN d = 2 THEN 1 ELSE 0 END) AS VARCHAR),
+      |      CAST(max(CASE WHEN d = 3 THEN 1 ELSE 0 END) AS VARCHAR),
+      |      CAST(max(CASE WHEN d = 4 THEN 1 ELSE 0 END) AS VARCHAR),
+      |      CAST(max(CASE WHEN d = 5 THEN 1 ELSE 0 END) AS VARCHAR),
+      |      CAST(max(CASE WHEN d = 6 THEN 1 ELSE 0 END) AS VARCHAR)) AS mask
+      |    FROM (
+      |      SELECT person_id, 0 AS d FROM cond
+      |      UNION ALL SELECT person_id, 1 FROM drug
+      |      UNION ALL SELECT person_id, 2 FROM dev
+      |      UNION ALL SELECT person_id, 3 FROM meas
+      |      UNION ALL SELECT person_id, 4 FROM death
+      |      UNION ALL SELECT person_id, 5 FROM proc
+      |      UNION ALL SELECT person_id, 6 FROM obsv
+      |    ) GROUP BY person_id
+      |  ) GROUP BY 2
       |  UNION ALL
       |  SELECT 2200, CAST(note_type_concept_id AS VARCHAR), NULL,
       |    count(DISTINCT person_id)

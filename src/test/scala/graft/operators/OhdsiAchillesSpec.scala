@@ -66,7 +66,7 @@ class OhdsiAchillesSpec extends SparkSpec {
 
   test("analysisCatalog carries the literal core id set") {
     val cat = OhdsiAchilles.analysisCatalog(spark).collect()
-    assert(cat.length === 177)
+    assert(cat.length === 179)
     val ids = cat.map(_.getLong(0))
     assert(ids.sorted.toSeq === ids.toSeq) // ordered by analysis_id
     for (core <- Seq(1L, 2L, 101L, 105L, 108L, 109L, 110L, 111L, 114L, 115L,
@@ -80,7 +80,7 @@ class OhdsiAchillesSpec extends SparkSpec {
         // the specimen tier
         2400L, 2401L, 2402L, 2403L, 2404L, 2405L, 2406L,
         // the round-9 parity additions
-        10L, 12L, 505L, 715L, 716L, 717L, 791L, 814L, 815L, 891L, 1891L))
+        10L, 12L, 118L, 505L, 715L, 716L, 717L, 791L, 814L, 815L, 891L, 1891L, 2004L))
       assert(ids.contains(core), s"missing core id $core")
     // x04 carries the published four strata names
     val a404 = cat.find(_.getLong(0) == 404L).get
