@@ -1018,7 +1018,30 @@ object LlmQueries {
       .select(col("w").as("word"), col("cnt").as("n"), col("sym").as("segmented"))
       .orderBy(col("n").desc, col("word").asc).limit(50)
 
+  /** Trained-tokenizer SERVING: encode every document with the learned
+    * merges by joining its whitespace tokens to the stored `words_N`
+    * segmentation table (the corpus vocabulary IS the lookup — the
+    * standard fast-path of a trained BPE encoder; unseen words would fall
+    * back to the merge loop, impossible here because the vocabulary was
+    * trained on this corpus). One explode + one broadcastable
+    * vocabulary join + one per-doc aggregate — no per-round work at
+    * encode time, the shape that scales to any corpus.
+    */
+  val bpeEncodeDocs: Q = (s, d) => {
+    val z = bpeTrained(s, d)
+    val vocab = z.read(s, "work", s"words_$BpeSteps")
+      .select(col("w"), size(split(col("sym"), " ")).as("__pieces"))
+    t(s, d, "documents")
+      .select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(broadcast(vocab), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("__pieces")).as("n_pieces"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[(String, Q)] = Seq(
+    "bpe_encode_docs" -> bpeEncodeDocs,
     "dedup_exact" -> dedupExact,
     "dedup_exact_survivors" -> dedupExactSurvivors,
     "dedup_minhash_bands" -> dedupMinhashBands,
@@ -1492,7 +1515,21 @@ object LlmQueries {
        |SELECT w AS word, cnt AS n, sym AS segmented FROM words$BpeSteps
        |ORDER BY n DESC, word LIMIT 50""".stripMargin
 
+  private val bpeEncodeOracle: String =
+    s"""WITH ${bpeChainSql(BpeSteps)},
+       |vocab AS (
+       |  SELECT w, len(string_split(sym, ' ')) AS pieces FROM words$BpeSteps
+       |)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(pieces) AS BIGINT) AS n_pieces
+       |FROM (
+       |  SELECT doc_id, unnest($tokSql) AS w FROM documents
+       |) t JOIN vocab USING (w)
+       |WHERE len(w) > 0
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val oracles: Seq[(String, String)] = Seq(
+    "bpe_encode_docs" -> bpeEncodeOracle,
     "bpe_train_merges" -> bpeMergesOracle,
     "bpe_segment_top" -> bpeSegmentOracle,
     "dedup_substring_spans" ->
