@@ -694,6 +694,69 @@ object SimOps {
     * @return one row per corpus vector: (item_id, centroid_id, cent_sim
     *         rounded to 6dp, is_kept).
     */
+  /** In-engine Lloyd k-means over an embedding column — the trainer whose
+    * output the IVF / SemDeDup tiers consume ("centroids trained offline"
+    * was the one piece of the clustering loop the engine did not own).
+    *
+    * Determinism/cross-engine exactness contract (the classifier-GD
+    * pattern): initialization is the k LOWEST-id vectors; assignment is
+    * exact squared-L2 argmin with (distance, centroid id) tie-break; the
+    * update accumulates per-dimension sums in DECIMAL(38,12) — decimal
+    * addition is associative, so any partition order produces the same
+    * sum — then rounds the mean to 9 dp; an emptied cluster keeps its
+    * previous centroid. Model state (k x dim doubles) is BOUNDED by the
+    * k literal, so each step collects it and rebroadcasts — per-step cost
+    * is one crossJoin against the k-row broadcast plus two map-side
+    * combinable aggregates, and lineage never grows across steps.
+    *
+    * @return (centroid_id 0..k-1, centroid_vec, n_members) after `iters`
+    *         full Lloyd steps (n_members from the LAST assignment).
+    */
+  def kmeans(vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    require(k > 0 && iters >= 0, s"bad kmeans shape (k=$k, iters=$iters)")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val v = vectors.select(col(idCol).cast("long").as("vec_id"),
+      asDouble(col(vecCol)).as("vec"))
+    // init: the k lowest-id vectors, re-keyed 0..k-1 (bounded collect)
+    var cents: Seq[(Long, Seq[Double])] = v.orderBy(col("vec_id")).limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Double](1).toSeq) }
+    var members: Map[Long, Long] = Map.empty
+    def assigned(c: Seq[(Long, Seq[Double])]): DataFrame =
+      v.crossJoin(broadcast(c.toDF("cid", "cvec")))
+        .withColumn("__d", l2sq(col("vec"), col("cvec")))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("__d"), col("cid"))).as("__b"),
+          first(col("vec")).as("vec"))
+        .select(col("__b.cid").as("cid"), col("vec"))
+    for (_ <- 0 until iters) {
+      val stats = assigned(cents)
+        .select(col("cid"), posexplode(col("vec")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("x").cast("decimal(38,12)")).as("__s"),
+          count(lit(1)).as("__n"))
+        .select(col("cid"), col("pos"),
+          round(col("__s").cast("double") / col("__n"), 9).as("m"), col("__n"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("__pm"),
+          first(col("__n")).as("__n"))
+        .select(col("cid"), transform(col("__pm"), p => p.getField("m")).as("cvec"),
+          col("__n"))
+        .collect()
+      val newC = stats.map(r =>
+        r.getLong(0) -> ((r.getSeq[Double](1).toSeq, r.getLong(2)))).toMap
+      members = newC.view.mapValues(_._2).toMap
+      cents = cents.map { case (cid, old) =>
+        (cid, newC.get(cid).map(_._1).getOrElse(old)) }
+    }
+    cents.toDF("centroid_id", "centroid_vec")
+      .join(members.toSeq.toDF("centroid_id", "n_members"), Seq("centroid_id"), "left")
+      .select(col("centroid_id"), col("centroid_vec"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"))
+  }
+
   def semDedup(
       corpus: DataFrame,
       centroids: DataFrame,

@@ -1040,7 +1040,29 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** In-engine Lloyd k-means ([[graft.ops.SimOps.kmeans]]): the trainer
+    * whose centroids the IVF / SemDeDup tiers consume. k=8, 4 full steps
+    * over the embeddings table; the oracle replays every step as
+    * materialized CTEs (the classifier-training replay pattern).
+    */
+  private val KmK = 8
+  private val KmIters = 4
+  val embedKmeans: Q = (s, d) =>
+    graft.ops.SimOps.kmeans(t(s, d, "embeddings"), "vec_id", "embedding",
+        k = KmK, iters = KmIters)
+      .select(col("centroid_id"), posexplode(col("centroid_vec")).as(Seq("pos", "value")))
+      .orderBy("centroid_id", "pos")
+
+  /** Final-step cluster occupancancies of the same training run. */
+  val embedKmeansSizes: Q = (s, d) =>
+    graft.ops.SimOps.kmeans(t(s, d, "embeddings"), "vec_id", "embedding",
+        k = KmK, iters = KmIters)
+      .select(col("centroid_id"), col("n_members"))
+      .orderBy("centroid_id")
+
   val defs: Seq[(String, Q)] = Seq(
+    "embed_kmeans" -> embedKmeans,
+    "embed_kmeans_sizes" -> embedKmeansSizes,
     "bpe_encode_docs" -> bpeEncodeDocs,
     "dedup_exact" -> dedupExact,
     "dedup_exact_survivors" -> dedupExactSurvivors,
@@ -1528,7 +1550,67 @@ object LlmQueries {
        |WHERE len(w) > 0
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** The k-means training replay: one MATERIALIZED CTE trio per Lloyd
+    * step (assign -> per-dimension decimal-sum means -> empty-cluster
+    * coalesce), exactly mirroring SimOps.kmeans.
+    */
+  private def kmChainSql(iters: Int): String = {
+    def l2(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0, [ ($a[i] - $b[i]) * ($a[i] - $b[i]) FOR i IN range(1, 65) ]), (acc, x) -> acc + x)"
+    val sb = new StringBuilder
+    sb ++=
+      s"""kv AS MATERIALIZED (
+         |  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+         |),
+         |kc0 AS MATERIALIZED (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, vec AS cvec
+         |  FROM kv ORDER BY vec_id LIMIT $KmK
+         |)""".stripMargin
+    for (i <- 1 to iters) sb ++=
+      s""",
+         |ka$i AS MATERIALIZED (
+         |  SELECT vec_id, vec, cid FROM (
+         |    SELECT kv.vec_id, kv.vec, c.cid,
+         |      row_number() OVER (PARTITION BY kv.vec_id
+         |        ORDER BY ${l2("kv.vec", "c.cvec")}, c.cid) AS rn
+         |    FROM kv CROSS JOIN kc${i - 1} c
+         |  ) WHERE rn = 1
+         |),
+         |km$i AS MATERIALIZED (
+         |  SELECT cid, d,
+         |    round(CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / count(*), 9) AS m
+         |  FROM (SELECT cid, unnest(vec) AS x, generate_subscripts(vec, 1) AS d
+         |    FROM ka$i)
+         |  GROUP BY cid, d
+         |),
+         |kc$i AS MATERIALIZED (
+         |  SELECT p.cid, coalesce(mm.cvec, p.cvec) AS cvec
+         |  FROM kc${i - 1} p LEFT JOIN
+         |    (SELECT cid, list(m ORDER BY d) AS cvec FROM km$i GROUP BY cid) mm
+         |  ON p.cid = mm.cid
+         |)""".stripMargin
+    sb.result()
+  }
+
+  private val embedKmeansOracle: String =
+    s"""WITH ${kmChainSql(KmIters)}
+       |SELECT cid AS centroid_id, CAST(d - 1 AS INT) AS pos, m AS value
+       |FROM (SELECT cid, unnest(cvec) AS m, generate_subscripts(cvec, 1) AS d
+       |  FROM kc$KmIters)
+       |ORDER BY centroid_id, pos""".stripMargin
+
+  private val embedKmeansSizesOracle: String =
+    s"""WITH ${kmChainSql(KmIters)}
+       |SELECT c.cid AS centroid_id,
+       |  CAST(coalesce(n.n, 0) AS BIGINT) AS n_members
+       |FROM kc0 c LEFT JOIN
+       |  (SELECT cid, count(*) AS n FROM ka$KmIters GROUP BY cid) n
+       |ON c.cid = n.cid
+       |ORDER BY centroid_id""".stripMargin
+
   val oracles: Seq[(String, String)] = Seq(
+    "embed_kmeans" -> embedKmeansOracle,
+    "embed_kmeans_sizes" -> embedKmeansSizesOracle,
     "bpe_encode_docs" -> bpeEncodeOracle,
     "bpe_train_merges" -> bpeMergesOracle,
     "bpe_segment_top" -> bpeSegmentOracle,
