@@ -1060,7 +1060,23 @@ object LlmQueries {
       .select(col("centroid_id"), col("n_members"))
       .orderBy("centroid_id")
 
+  /** The closed clustering loop: SemDeDup over centroids the engine
+    * TRAINED itself (k=64 keeps per-cluster occupancy bounded at every
+    * SF, so the pair join stays block-free).
+    */
+  private val KmDedupK = 64
+  private val KmDedupIters = 3
+  val dedupSemanticTrained: Q = (s, d) => {
+    val emb = t(s, d, "embeddings")
+    val cents = graft.ops.SimOps.kmeans(emb, "vec_id", "embedding",
+        k = KmDedupK, iters = KmDedupIters)
+      .select(col("centroid_id").as("vec_id"), col("centroid_vec").as("embedding"))
+    graft.ops.SimOps.semDedup(emb, cents, "vec_id", "embedding", threshold = 0.2)
+      .orderBy("item_id")
+  }
+
   val defs: Seq[(String, Q)] = Seq(
+    "dedup_semantic_trained" -> dedupSemanticTrained,
     "embed_kmeans" -> embedKmeans,
     "embed_kmeans_sizes" -> embedKmeansSizes,
     "bpe_encode_docs" -> bpeEncodeDocs,
@@ -1554,7 +1570,7 @@ object LlmQueries {
     * step (assign -> per-dimension decimal-sum means -> empty-cluster
     * coalesce), exactly mirroring SimOps.kmeans.
     */
-  private def kmChainSql(iters: Int): String = {
+  private def kmChainSql(k: Int, iters: Int): String = {
     def l2(a: String, b: String) =
       s"list_reduce(list_prepend(0.0, [ ($a[i] - $b[i]) * ($a[i] - $b[i]) FOR i IN range(1, 65) ]), (acc, x) -> acc + x)"
     val sb = new StringBuilder
@@ -1564,7 +1580,7 @@ object LlmQueries {
          |),
          |kc0 AS MATERIALIZED (
          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, vec AS cvec
-         |  FROM kv ORDER BY vec_id LIMIT $KmK
+         |  FROM kv ORDER BY vec_id LIMIT $k
          |)""".stripMargin
     for (i <- 1 to iters) sb ++=
       s""",
@@ -1593,14 +1609,14 @@ object LlmQueries {
   }
 
   private val embedKmeansOracle: String =
-    s"""WITH ${kmChainSql(KmIters)}
+    s"""WITH ${kmChainSql(KmK, KmIters)}
        |SELECT cid AS centroid_id, CAST(d - 1 AS INT) AS pos, m AS value
        |FROM (SELECT cid, unnest(cvec) AS m, generate_subscripts(cvec, 1) AS d
        |  FROM kc$KmIters)
        |ORDER BY centroid_id, pos""".stripMargin
 
   private val embedKmeansSizesOracle: String =
-    s"""WITH ${kmChainSql(KmIters)}
+    s"""WITH ${kmChainSql(KmK, KmIters)}
        |SELECT c.cid AS centroid_id,
        |  CAST(coalesce(n.n, 0) AS BIGINT) AS n_members
        |FROM kc0 c LEFT JOIN
@@ -1608,7 +1624,33 @@ object LlmQueries {
        |ON c.cid = n.cid
        |ORDER BY centroid_id""".stripMargin
 
+  private val dedupSemanticTrainedOracle: String =
+    s"""WITH ${kmChainSql(KmDedupK, KmDedupIters)},
+       |corpus AS (SELECT vec_id AS item_id, embedding::DOUBLE[] AS iv FROM embeddings),
+       |cent AS (SELECT cid AS centroid_id, cvec AS cv FROM kc$KmDedupIters),
+       |ca AS (
+       |  SELECT item_id, iv, centroid_id, csim,
+       |    row_number() OVER (PARTITION BY item_id ORDER BY csim DESC, centroid_id) AS crk
+       |  FROM (SELECT item_id, iv, centroid_id,
+       |      list_dot_product(iv, cv)
+       |        / (sqrt(list_dot_product(iv, iv)) * sqrt(list_dot_product(cv, cv))) AS csim
+       |    FROM corpus CROSS JOIN cent)
+       |), asg AS (SELECT item_id, iv, centroid_id, csim FROM ca WHERE crk = 1),
+       |drp AS (
+       |  SELECT DISTINCT b.item_id
+       |  FROM asg a JOIN asg b USING (centroid_id)
+       |  WHERE a.item_id <> b.item_id
+       |    AND list_dot_product(a.iv, b.iv)
+       |      / (sqrt(list_dot_product(a.iv, a.iv)) * sqrt(list_dot_product(b.iv, b.iv))) >= 0.2
+       |    AND (a.csim < b.csim OR (a.csim = b.csim AND a.item_id < b.item_id))
+       |)
+       |SELECT asg.item_id, asg.centroid_id, round(asg.csim, 6) AS cent_sim,
+       |  CAST(drp.item_id IS NULL AS BIGINT) AS is_kept
+       |FROM asg LEFT JOIN drp ON asg.item_id = drp.item_id
+       |ORDER BY asg.item_id""".stripMargin
+
   val oracles: Seq[(String, String)] = Seq(
+    "dedup_semantic_trained" -> dedupSemanticTrainedOracle,
     "embed_kmeans" -> embedKmeansOracle,
     "embed_kmeans_sizes" -> embedKmeansSizesOracle,
     "bpe_encode_docs" -> bpeEncodeOracle,

@@ -126,11 +126,27 @@ object OhdsiSql {
     s = ci(raw"\bCHARINDEX\s*\(\s*([^,()]+?)\s*,\s*([^()]+?)\s*\)")
       .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
         s"instr(${m.group(2).trim}, ${m.group(1).trim})"))
+    // IIF(cond, a, b) -> if(cond, a, b); args one paren level deep
+    s = ci(raw"\bIIF\s*\(").replaceAllIn(s, "if(")
+    // DATEPART(part, d) -> year/month/day(d)
+    s = ci(raw"\bDATEPART\s*\(\s*(\w+)\s*,\s*$arg\s*\)").replaceAllIn(s, m => {
+      val (unit, d) = (m.group(1).toLowerCase, m.group(2).trim)
+      java.util.regex.Matcher.quoteReplacement(unit match {
+        case "year" | "yy" | "yyyy" => s"year($d)"
+        case "month" | "mm" | "m" => s"month($d)"
+        case "day" | "dd" | "d" => s"day($d)"
+        case other => throw new IllegalArgumentException(
+          s"unsupported DATEPART datepart '$other' (subset: year, month, day)")
+      })
+    })
+    s = ci(raw"\bSTDEV\s*\(").replaceAllIn(s, "stddev_samp(")
+    s = ci(raw"\bSQUARE\s*\(\s*$arg\s*\)").replaceAllIn(s, m =>
+      java.util.regex.Matcher.quoteReplacement(s"((${m.group(1).trim}) * (${m.group(1).trim}))"))
     // leftover detection: DATEADD/CHARINDEX never appear in our output
     // (we emit date_add/add_months/instr); a surviving DATEDIFF is only an
     // untranslated SQL Server call when its first argument is a datepart
     // keyword (Spark's own two-arg datediff — which we emit — never is)
-    for (fn <- Seq("DATEADD", "CHARINDEX"))
+    for (fn <- Seq("DATEADD", "CHARINDEX", "DATEPART", "SQUARE"))
       require(ci(raw"\b$fn\s*\(").findFirstIn(s).isEmpty,
         s"$fn call too complex for the translate subset (nested parentheses?) — " +
           "simplify the arguments or pre-translate that expression")

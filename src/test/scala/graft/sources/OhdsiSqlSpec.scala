@@ -57,6 +57,13 @@ class OhdsiSqlSpec extends SparkSpec {
       === "SELECT x FROM t ORDER BY x LIMIT 5")
     assert(OhdsiSql.translate("SELECT * FROM #stage")
       === "SELECT * FROM tmp_ohdsi_stage")
+    // the round-9 additions
+    assert(OhdsiSql.translate("SELECT IIF(a > b, 1, 0) FROM t")
+      === "SELECT if(a > b, 1, 0) FROM t")
+    assert(OhdsiSql.translate("SELECT DATEPART(year, d), DATEPART(mm, d), DATEPART(day, d) FROM t")
+      === "SELECT year(d), month(d), day(d) FROM t")
+    assert(OhdsiSql.translate("SELECT STDEV(x), SQUARE(x - 1) FROM t")
+      === "SELECT stddev_samp(x), ((x - 1) * (x - 1)) FROM t")
   }
 
   test("translate fails loudly on unsupported dateparts and over-nested calls") {
