@@ -193,6 +193,22 @@ object Soak {
         spark.catalog.clearCache()
         System.gc()
       }
+      // ---- in-engine k-means at 10x: per-step cost is one crossJoin
+      // against the k-row broadcast + two map-side-combinable aggregates,
+      // so wall should scale ~linearly in rows and steps ----------------
+      {
+        durations.clear()
+        val t0k = System.nanoTime()
+        graft.ops.SimOps.kmeans(hot, "vec_id", "embedding", k = 64, iters = 3)
+          .write.mode("overwrite").format("noop").save()
+        val secs = (System.nanoTime() - t0k) / 1e9
+        val (skew, stage) = worstSkew()
+        sbSem.append(f"""{"sf":"sf1_hotsem","query":"embed_kmeans_64x3","sec":$secs%.3f,"worst_skew":$skew%.1f,"skew_stage":$stage}%n""")
+        println(f"[sf1_hotsem] embed_kmeans_64x3          $secs%7.2fs  skew $skew%5.1fx")
+        spark.catalog.clearCache()
+        System.gc()
+      }
+
       // ---- clustered universe: the regime IVF routing assumes ----------
       // Real embedding spaces cluster (that is SemDeDup's own premise);
       // uniform-random 64-dim data defeats ANY exact pruning (cell radii
