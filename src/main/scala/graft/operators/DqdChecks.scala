@@ -789,7 +789,11 @@ object DqdChecks {
       else None
     val runId = prev.map(_.count()).getOrElse(0L) + 1
     zones.write(results, "dqd", s"dqd_results_run_$runId")
-    val row = overview(results.drop("run_timestamp"))
+    // overview reads the JUST-WRITTEN table, not the caller's plan — the
+    // caller may hand an unmaterialized battery, and re-running it for
+    // one summary row would double the whole battery's cost
+    val stored = zones.read(s, "dqd", s"dqd_results_run_$runId")
+    val row = overview(stored.drop("run_timestamp"))
       .select(lit(runId).as("run_id"),
         lit(timestamp.orNull).cast("string").as("run_timestamp"),
         col("*"))

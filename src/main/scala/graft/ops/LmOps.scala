@@ -76,7 +76,11 @@ object LmOps {
     // and truncates lineage, so the returned frame no longer references
     // `cached` and the unpersist is safe — same lifetime guarantee as the
     // old collect-and-recreate, without routing the rows through the
-    // driver (which stops scaling the moment |queries| grows).
+    // driver (which stops scaling the moment |queries| grows). Cluster
+    // caveat: checkpoint blocks are unreplicated, so losing an executor
+    // AFTER return makes later actions on the report fail (recompute is
+    // impossible past the truncation) — on preemptible fleets, persist
+    // the report to a table instead of holding the frame long-term.
     try report.localCheckpoint(eager = true)
     finally cached.unpersist(blocking = false)
   }

@@ -1933,7 +1933,7 @@ object OhdsiCdmQueries {
         |  CASE WHEN d.num_rows = 0 THEN 0
         |    ELSE 1.0 * v.num_violated_rows / d.num_rows END AS pct_violated_rows,
         |  CAST(d.num_rows AS BIGINT) AS num_denominator_rows
-        |FROM (SELECT count(o_orderpriority) AS num_violated_rows FROM orders
+        |FROM (SELECT count(*) AS num_violated_rows FROM orders
         |  WHERE o_orderpriority IS NULL) v
         |CROSS JOIN (SELECT count(*) AS num_rows FROM orders) d""".stripMargin,
     "dqd_cohort_battery" -> dqdCohortOracle,

@@ -32,11 +32,15 @@ object OhdsiSql {
 
   private val DefaultDecl = raw"\{\s*DEFAULT\s+@(\w+)\s*=\s*([^}]*?)\s*\}".r
   private val ParamRef = raw"@(\w+)".r
-  /** `{cond}?{body}` — SqlRender's conditional block. Bodies in the
-    * published DQD/Achilles templates are plain SQL (no nested braces),
-    * which is the grammar this subset parses.
+  /** `{cond}?{then}` / `{cond}?{then}:{else}` — SqlRender's conditional
+    * block. Bodies in the published DQD/Achilles templates are plain SQL
+    * (no nested braces), which is the grammar this subset parses; a
+    * leftover `{...}?` after substitution (nested-brace body, malformed
+    * form) fails loudly in [[render]].
     */
-  private val CondBlock = raw"(?s)\{([^{}]*)\}\s*\?\s*\{([^{}]*)\}".r
+  private val CondBlock =
+    raw"(?s)\{([^{}]*)\}\s*\?\s*\{([^{}]*)\}(?:\s*:\s*\{([^{}]*)\})?".r
+  private val CondLeftover = raw"\{[^{}]*\}\s*\?".r
 
   /** SqlRender condition evaluation over ALREADY-SUBSTITUTED text:
     * `|`-separated alternatives of `&`-separated terms; a term is
@@ -74,9 +78,13 @@ object OhdsiSql {
     // conditional blocks evaluate AFTER substitution (SqlRender semantics:
     // the condition compares rendered values) — body kept or dropped whole
     val conditioned = CondBlock.replaceAllIn(substituted, m =>
-      if (evalCond(m.group(1)))
-        java.util.regex.Matcher.quoteReplacement(m.group(2))
-      else "")
+      java.util.regex.Matcher.quoteReplacement(
+        if (evalCond(m.group(1))) m.group(2)
+        else Option(m.group(3)).getOrElse("")))
+    require(CondLeftover.findFirstIn(conditioned).isEmpty,
+      "unsupported SqlRender conditional (nested braces in the body?) — " +
+        "this subset parses {cond}?{then} and {cond}?{then}:{else} with " +
+        "brace-free parts")
     val leftover = ParamRef.findAllMatchIn(conditioned).map(_.group(1)).toSet
     require(leftover.isEmpty,
       s"unbound SqlRender parameter(s): ${leftover.toSeq.sorted.map("@" + _).mkString(", ")} — " +

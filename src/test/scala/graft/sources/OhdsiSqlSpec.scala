@@ -37,6 +37,13 @@ class OhdsiSqlSpec extends SparkSpec {
       === "SELECT 1 FROM t")
     // '|' alternatives and '!='
     assert(OhdsiSql.render("{'@a' != 'x' | false}?{K}", Map("a" -> "y")) === "K")
+    // the if-else form takes the else branch whole
+    assert(OhdsiSql.render("{@f}?{A}:{B}", Map("f" -> "true")) === "A")
+    assert(OhdsiSql.render("{@f}?{A}:{B}", Map("f" -> "false")) === "B")
+    // a conditional this subset cannot parse (nested braces) fails loudly
+    val n = intercept[IllegalArgumentException](
+      OhdsiSql.render("{@f}?{x {y} z}", Map("f" -> "true")))
+    assert(n.getMessage.contains("conditional"))
   }
 
   test("translate covers the documented SQL Server subset") {
