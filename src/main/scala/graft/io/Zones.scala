@@ -76,6 +76,32 @@ final case class Zones(root: String) {
     ()
   }
 
+  /** Bucketed table layout: `bucketBy` + `sortBy` on the join key writes
+    * both sides of a recurring big-big equi-join PRE-SHUFFLED ON DISK, so
+    * the join plans with ZERO exchanges (and zero sorts, the files being
+    * bucket-sorted) — the 100 TB answer to a join repeated across a
+    * pipeline on a stable key, where even one shuffle of the fact tables
+    * dominates the run. Bucketing rides CATALOG metadata, not bare
+    * parquet, so the table registers in the session catalog (external, at
+    * a zone-local path) under a deterministic name, returned to the
+    * caller for `spark.table`.
+    */
+  def writeBucketed(df: DataFrame, bucketCol: String, nBuckets: Int,
+      zone: String, table: String): String = {
+    require(names.contains(zone), s"unknown zone: $zone")
+    val name = s"graft_bkt_${Zones.pathKey(root)}_${zone}_$table"
+    df.write.mode("overwrite")
+      .format("parquet")
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      // absolute path: a relative option("path") resolves against the
+      // warehouse dir, scattering bucketed data outside the zone root
+      .option("path",
+        new java.io.File(s"$root/$zone/__bucketed_$table").getAbsolutePath)
+      .saveAsTable(name)
+    name
+  }
+
   /** Physical layout (SURVEY §1.3): the reference clusters every table on
     * its per-table key set (`OMOPCDM_bigquery_5.4_clustering_fields.json`,
     * applied in DDL `cluster by ...`; SQL Server uses clustered indexes).

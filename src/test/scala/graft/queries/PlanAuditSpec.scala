@@ -317,4 +317,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(widthJoins.nonEmpty && widthJoins.forall(_.contains("BroadcastHashJoin")),
       s"salt-width join not broadcast:\n${widthJoins.mkString("\n")}")
   }
+
+  test("bucketed co-located join plans zero exchanges into the join") {
+    val z = graft.io.Zones.forPurpose(
+      s"bkt1_${graft.io.Zones.pathKey(Sf)}")
+    val ot = z.writeBucketed(
+      graft.Tables.load(spark, Sf, "orders"), "o_orderkey", 8, "work", "orders")
+    val lt = z.writeBucketed(
+      graft.Tables.load(spark, Sf, "lineitem")
+        .withColumnRenamed("l_orderkey", "o_orderkey"),
+      "o_orderkey", 8, "work", "lineitem")
+    // force the big-big shape (at the spec's tiny SF the planner would
+    // broadcast and skip bucketing entirely — the layout exists for joins
+    // too large to broadcast)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val joined =
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val j = spark.table(ot).join(spark.table(lt), "o_orderkey")
+        val p = j.queryExecution.executedPlan.toString
+        assert(p.contains("SortMergeJoin"), p)
+        val exchanges = p.linesIterator.count(_.contains("- Exchange"))
+        assert(exchanges === 0,
+          s"bucketed join should read pre-shuffled buckets, found $exchanges exchanges:\n$p")
+        j
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // and the bucketed layout changes NOTHING about the result
+    val plain = graft.Tables.load(spark, Sf, "orders")
+      .join(graft.Tables.load(spark, Sf, "lineitem")
+        .withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey")
+    assert(joined.count() === plain.count())
+  }
 }
