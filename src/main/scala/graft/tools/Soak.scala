@@ -308,6 +308,46 @@ object Soak {
         spark.catalog.clearCache()
         System.gc()
       }
+      // ---- bucketed co-located join at 10x: the layout's payoff is the
+      // recurring join; the one-time bucketed write is reported separately
+      // as the amortized investment ----------------------------------
+      {
+        val orders = spark.read.parquet(s"$dir/orders.parquet")
+        val li = spark.read.parquet(s"$dir/lineitem.parquet")
+          .withColumnRenamed("l_orderkey", "o_orderkey")
+        // materialize the JOINED ROWS (no aggregate): the layout's payoff
+        // is the join's exchange+sort of both fact sides, which an
+        // aggregate-dominated probe would mask
+        def report(j: org.apache.spark.sql.DataFrame) = j
+        val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          def one(tag: String)(body: => Unit): Unit = {
+            durations.clear()
+            val t0 = System.nanoTime()
+            body
+            val secs = (System.nanoTime() - t0) / 1e9
+            val (skew, stage) = worstSkew()
+            sbO.append(f"""{"sf":"sf1_ohdsi","query":"$tag","sec":$secs%.3f,"worst_skew":$skew%.1f,"skew_stage":$stage}%n""")
+            println(f"[sf1_ohdsi] $tag%-26s $secs%7.2fs  skew $skew%5.1fx")
+            spark.catalog.clearCache(); System.gc()
+          }
+          one("join_plain_10x") {
+            report(orders.join(li, "o_orderkey"))
+              .write.mode("overwrite").format("noop").save()
+          }
+          val z = graft.io.Zones(s"$dir/zones")
+          var ot = ""; var lt = ""
+          one("bucketed_write_10x") {
+            ot = z.writeBucketed(orders, "o_orderkey", 32, "work", "orders10x")
+            lt = z.writeBucketed(li, "o_orderkey", 32, "work", "lineitem10x")
+          }
+          one("join_bucketed_10x") {
+            report(spark.table(ot).join(spark.table(lt), "o_orderkey"))
+              .write.mode("overwrite").format("noop").save()
+          }
+        } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+      }
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_sf1_ohdsi.jsonl"), sbO.result())
       spark.stop()
