@@ -688,6 +688,77 @@ object EventQueries {
       .orderBy("user_id", "event_type")
   }
 
+  /** CONTINUOUS data quality: the DQD battery + run-history store driven
+    * from a STREAM. The events table is staged as two deterministic files
+    * (even event ids, then odd), streamed with `maxFilesPerTrigger = 1`
+    * so each file is one micro-batch; `foreachBatch` appends the batch
+    * into an accumulating zone table and records a full DQD run over the
+    * accumulated state ([[graft.operators.DqdChecks.recordRun]]) — the
+    * run history then shows quality metrics EVOLVING with coverage, the
+    * production "data quality as a stream job" shape. The oracle replays
+    * run 1 over the even-id prefix and run 2 over the full table.
+    */
+  private val streamDqdModel: graft.model.CdmModel = graft.model.CdmModel(fields = Seq(
+    graft.model.CdmField("events", "event_id", "int64", false, true, None, "CDM"),
+    graft.model.CdmField("events", "user_id", "int64", false, false, None, "CDM"),
+    graft.model.CdmField("events", "event_type", "string", false, false, None, "CDM"),
+    graft.model.CdmField("events", "value", "float64", false, false, None, "CDM")))
+
+  val streamDqdRuns: Q = (s, d) => {
+    val zones = graft.io.Zones.forPurpose(s"streamdqd_${graft.io.Zones.pathKey(d)}")
+    val hconf = s.sparkContext.hadoopConfiguration
+    def rm(p: String): Unit = {
+      val hp = new org.apache.hadoop.fs.Path(new java.io.File(p).getAbsolutePath)
+      hp.getFileSystem(hconf).delete(hp, true); ()
+    }
+    // fresh accumulated state + run history + checkpoint as a set
+    rm(zones.tablePath("work", "accum"))
+    rm(zones.tablePath("dqd", "dqd_runs"))
+    rm(zones.tablePath("dqd", "dqd_results_run_1"))
+    rm(zones.tablePath("dqd", "dqd_results_run_2"))
+    val ckpt = new java.io.File(
+      s"${graft.io.Zones.defaultRoot}/stream_ckpt_dqd").getAbsolutePath
+    rm(ckpt)
+    // stage two single-file batches in a deterministic order (written
+    // sequentially, so the file source's mod-time ordering is fixed)
+    val stagingDir = new java.io.File(
+      s"${graft.io.Zones.defaultRoot}/stream_src_dqd").getAbsolutePath
+    rm(stagingDir)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stagingDir))
+    val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "value")
+    def stageOne(name: String, part: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = s"$stagingDir/__tmp_$name"
+      part.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(hconf)
+      val f = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+      fs.rename(f, new org.apache.hadoop.fs.Path(s"$stagingDir/$name"))
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      ()
+    }
+    stageOne("batch0.parquet", ev.filter(col("event_id") % 2 === 0))
+    stageOne("batch1.parquet", ev.filter(col("event_id") % 2 =!= 0))
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stagingDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val have = zones.listTables(s, "work").contains("accum")
+        val acc =
+          if (have) zones.read(s, "work", "accum").unionByName(batch)
+          else batch
+        zones.write(acc, "work", "accum")
+        val battery = graft.operators.DqdChecks.fieldLevel(
+          streamDqdModel, _ => zones.read(s, "work", "accum"))
+        graft.operators.DqdChecks.recordRun(s, zones, battery)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    graft.operators.DqdChecks.lastRuns(s, zones).drop("run_timestamp")
+  }
+
   /** Count-Min heavy hitters beside their ground truth: exact top-10
     * users by event count, each with its CMS point estimate (min over
     * depth salted counters — never underestimates; the d x w counter
@@ -712,6 +783,7 @@ object EventQueries {
     "stream_running_stats" -> streamRunningStats,
     "stream_join_within" -> streamJoinWithin,
     "stream_upsert_zone" -> streamUpsertZone,
+    "stream_dqd_runs" -> streamDqdRuns,
     "event_discover_tables" -> eventDiscoverTables,
     "event_case_map" -> eventCaseMap,
     "event_rekey" -> eventRekey,
@@ -778,7 +850,31 @@ object EventQueries {
     "agg_hll_union" -> aggHllUnion,
     "agg_cms_topusers" -> aggCmsTopusers)
 
+  /** One run's overview replay over a filtered events subset: the CTE
+    * shadows the base view for the generated battery SQL; its own body
+    * reaches the real table through the explicit `main.` schema (DuckDB
+    * rejects an unqualified same-name reference inside the CTE).
+    */
+  private def streamDqdOverviewSql(whereSql: String): String = {
+    val battery = graft.operators.DqdChecks.oracleSql(streamDqdModel)
+    val ov = graft.operators.DqdChecks.overviewOracleSql(battery)
+    require(ov.startsWith("WITH battery AS ("), "overview oracle shape changed")
+    s"WITH events AS (SELECT event_id, user_id, event_type, value FROM main.events$whereSql)," +
+      "\nbattery AS (" + ov.stripPrefix("WITH battery AS (")
+  }
+
+  private val streamDqdRunsOracle: String =
+    s"""SELECT CAST(2 AS BIGINT) AS run_id, o2.* FROM (
+       |${streamDqdOverviewSql("")}
+       |) o2
+       |UNION ALL
+       |SELECT CAST(1 AS BIGINT) AS run_id, o1.* FROM (
+       |${streamDqdOverviewSql(" WHERE event_id % 2 = 0")}
+       |) o1
+       |ORDER BY run_id DESC""".stripMargin
+
   val oracles: Seq[(String, String)] = Seq(
+    "stream_dqd_runs" -> streamDqdRunsOracle,
     "join_bucketed_colocated" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
         |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts

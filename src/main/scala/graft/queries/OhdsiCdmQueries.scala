@@ -699,7 +699,19 @@ object OhdsiCdmQueries {
     startEnd = Seq(graft.operators.DqdChecks.StartEndRule(
       "visit_occurrence", "visit_start_date", "visit_end_date")),
     bounds = Map(
-      ("measurement", "value_as_number") -> (Some(0.0), Some(48.0))),
+      ("measurement", "value_as_number") -> (Some(0.0), Some(48.0)),
+      ("observation", "value_as_number") -> (Some(0.0), Some(400.0))),
+    // fkDomain over the derived universe's type/visit vocabularies — each
+    // rides its table's existing fused scan
+    domains = Seq(
+      graft.operators.DqdChecks.DomainRule("visit_occurrence",
+        "visit_concept_id", Seq("9201", "9202", "9203")),
+      graft.operators.DqdChecks.DomainRule("condition_occurrence",
+        "condition_type_concept_id", Seq("32810", "32840", "32020")),
+      graft.operators.DqdChecks.DomainRule("measurement",
+        "measurement_type_concept_id", Seq("32817", "32856")),
+      graft.operators.DqdChecks.DomainRule("observation",
+        "observation_type_concept_id", Seq("32817", "32879"))),
     thresholds = Map(
       ("plausibleStartBeforeEnd", "visit_occurrence", "visit_start_date") -> 5.0,
       ("plausibleValueHigh", "measurement", "value_as_number") -> 5.0))
