@@ -113,6 +113,82 @@ object AchillesGen {
       .filter(col("count_value") > 5)
       .orderBy("analysis_id", "stratum_1")
 
+  /** The SUM-DECOMPOSABLE kinds: per-group COUNT(*) families merge across
+    * disjoint input slices by summing (count is a commutative monoid);
+    * the countDistinct families do NOT decompose and stay out of the
+    * incremental path.
+    */
+  private val SumKinds: Set[Kind] = Set(CountRows, ByValue, ByYear, ByMonth)
+
+  /** UNSUPPRESSED partial battery over the sum-decomposable families —
+    * the incremental-ingest building block: a 100 TB store absorbs a new
+    * batch by computing THIS over the batch alone and merging
+    * ([[mergePartialCounts]]) into the stored partials, instead of
+    * rescanning history. Suppression must NOT apply here (a stratum
+    * crossing the small-cell threshold only across batches would be lost
+    * from a merge of suppressed reports); [[mergePartialCounts]] applies
+    * it after summing.
+    */
+  def partialCounts(model: CdmModel, load: String => DataFrame): DataFrame =
+    analyses(model).filter(a => SumKinds(a.kind)).map { a =>
+      val df = load(a.table)
+      a.kind match {
+        case CountRows =>
+          df.agg(count(lit(1)).as("count_value"))
+            .select(lit(a.id).as("analysis_id"), lit("ALL").as("stratum_1"), col("count_value"))
+        case ByValue =>
+          df.groupBy(col(a.column).as("stratum_1"))
+            .agg(count(lit(1)).as("count_value"))
+            .select(lit(a.id).as("analysis_id"), col("stratum_1"), col("count_value"))
+        case ByYear =>
+          df.groupBy(year(col(a.column)).cast("string").as("stratum_1"))
+            .agg(count(lit(1)).as("count_value"))
+            .select(lit(a.id).as("analysis_id"), col("stratum_1"), col("count_value"))
+        case ByMonth =>
+          df.groupBy(date_format(col(a.column), "yyyyMM").as("stratum_1"))
+            .agg(count(lit(1)).as("count_value"))
+            .select(lit(a.id).as("analysis_id"), col("stratum_1"), col("count_value"))
+        case other => sys.error(s"non-sum kind $other in partialCounts")
+      }
+    }.pipe(graft.Unions.balanced)
+
+  /** Merge partial batteries (one shuffle on the tiny report key) and
+    * apply small-cell suppression AFTER the sum — the merged result is
+    * EXACTLY the full-scan battery restricted to the sum families.
+    */
+  def mergePartialCounts(parts: Seq[DataFrame], smallCellCount: Long = 5L): DataFrame =
+    parts.reduce(_ unionByName _)
+      .groupBy(col("analysis_id"), col("stratum_1"))
+      .agg(sum(col("count_value")).as("count_value"))
+      .filter(col("count_value") > smallCellCount)
+      .orderBy("analysis_id", "stratum_1")
+
+  /** DuckDB rendering of the merged sum-family battery — identical to the
+    * full-scan oracle restricted to the same analyses, which is the
+    * incremental path's correctness contract.
+    */
+  def sumFamilyOracleSql(model: CdmModel): String = {
+    val selects = analyses(model).filter(a => SumKinds(a.kind)).map { a =>
+      a.kind match {
+        case CountRows =>
+          s"SELECT CAST(${a.id} AS BIGINT) AS analysis_id, 'ALL' AS stratum_1, count(*) AS count_value FROM ${a.table}"
+        case ByValue =>
+          s"SELECT ${a.id}, ${a.column}, count(*) FROM ${a.table} GROUP BY 2"
+        case ByYear =>
+          s"SELECT ${a.id}, CAST(year(${a.column}) AS VARCHAR), count(*) FROM ${a.table} GROUP BY 2"
+        case ByMonth =>
+          s"SELECT ${a.id}, strftime(${a.column}, '%Y%m'), count(*) FROM ${a.table} GROUP BY 2"
+        case other => sys.error(s"non-sum kind $other")
+      }
+    }
+    s"""WITH results AS (
+       |${selects.mkString("\nUNION ALL\n")}
+       |)
+       |SELECT analysis_id, stratum_1, count_value FROM results
+       |WHERE count_value > 5
+       |ORDER BY analysis_id, stratum_1""".stripMargin
+  }
+
   /** Cross-stratum pair analyses (Achilles's two-strata shape, e.g.
     * "records by concept and year" — `achilles_results.stratum_2`): for
     * every (string column, first datetime column) pair of a table, record

@@ -793,6 +793,22 @@ object EventQueries {
     "achilles_stats" -> achillesStats,
     "achilles_battery" -> achillesBattery,
     "achilles_dist" -> achillesDist,
+    // INCREMENTAL Achilles: the sum-decomposable count families computed
+    // as two unsuppressed partial batteries over disjoint hash-halves of
+    // every table, merged + suppressed after the sum — hash-gated against
+    // the FULL-scan oracle, so "absorb a batch without rescanning
+    // history" is proven equal to the rescan, not just plausible
+    "achilles_incremental" -> ((s, d) => {
+      val model = graft.model.TpchModel.modelWithEvents
+      def half(keep: Int): String => org.apache.spark.sql.DataFrame = tb => {
+        val df = t(s, d, tb)
+        val h = pmod(hash(col(df.columns.head)), lit(2))
+        if (keep == 0) df.filter(h === 0) else df.filter(h =!= 0)
+      }
+      graft.operators.AchillesGen.mergePartialCounts(Seq(
+        graft.operators.AchillesGen.partialCounts(model, half(0)),
+        graft.operators.AchillesGen.partialCounts(model, half(1))))
+    }),
     "achilles_generated" -> ((s, d) =>
       // counts derive from the STORED merged results (generated count ids
       // sit below the pair sub-base; pairs start at GeneratedBase+4000) —
@@ -1214,6 +1230,8 @@ object EventQueries {
         |)
         |SELECT * FROM results WHERE count_value > 5
         |ORDER BY analysis_id, stratum_1""".stripMargin,
+    "achilles_incremental" ->
+      graft.operators.AchillesGen.sumFamilyOracleSql(graft.model.TpchModel.modelWithEvents),
     "achilles_generated" ->
       graft.operators.AchillesGen.oracleSql(graft.model.TpchModel.modelWithEvents),
     "achilles_dist_generated" ->
