@@ -317,6 +317,18 @@ object AchillesGen {
   }
 
   def distResults(model: CdmModel, load: String => DataFrame): DataFrame =
+    distValueCounts(model, load)
+      .pipe(hist => distAggFromValueCounts(hist, Seq("analysis_id", "stratum_1")))
+      .orderBy("analysis_id", "stratum_1")
+
+  /** The dist battery's VALUE HISTOGRAM stage alone — a mergeable summary:
+    * histograms over disjoint slices merge by summing `__cnt` per
+    * (analysis, stratum, value), and the dist aggregation over the merged
+    * histogram (moments from exact decimal sums, quantiles from order
+    * statistics) equals the full-scan battery EXACTLY — the incremental
+    * path for the distribution families, mirroring [[partialCounts]].
+    */
+  def distValueCounts(model: CdmModel, load: String => DataFrame): DataFrame =
     distAnalyses(model).map { case (tb, stratumCol, cols) =>
       val df = load(tb)
       val stratum = stratumCol.map(c => year(col(c)).cast("string")).getOrElse(lit("ALL"))
@@ -338,6 +350,15 @@ object AchillesGen {
         .groupBy(col("analysis_id"), col("stratum_1"), col("__v"))
         .agg(count(lit(1)).as("__cnt"))
     }.pipe(graft.Unions.balanced)
+
+  /** Merge partial value histograms and run the ONE dist aggregation —
+    * exactly the full-scan dist battery when the partials cover a
+    * partition of the input.
+    */
+  def mergeDistPartials(parts: Seq[DataFrame]): DataFrame =
+    parts.reduce(_ unionByName _)
+      .groupBy(col("analysis_id"), col("stratum_1"), col("__v"))
+      .agg(sum(col("__cnt")).as("__cnt"))
       .pipe(hist => distAggFromValueCounts(hist, Seq("analysis_id", "stratum_1")))
       .orderBy("analysis_id", "stratum_1")
 

@@ -809,6 +809,21 @@ object EventQueries {
         graft.operators.AchillesGen.partialCounts(model, half(0)),
         graft.operators.AchillesGen.partialCounts(model, half(1))))
     }),
+    // the dist-family incremental twin: partial value HISTOGRAMS over the
+    // same hash-halves merge by summing, then ONE dist aggregation —
+    // hash-gated against the full-scan dist oracle (mergeable summaries,
+    // proven equal to the rescan)
+    "achilles_incremental_dist" -> ((s, d) => {
+      val model = graft.model.TpchModel.modelWithEvents
+      def half(keep: Int): String => org.apache.spark.sql.DataFrame = tb => {
+        val df = t(s, d, tb)
+        val h = pmod(hash(col(df.columns.head)), lit(2))
+        if (keep == 0) df.filter(h === 0) else df.filter(h =!= 0)
+      }
+      graft.operators.AchillesGen.mergeDistPartials(Seq(
+        graft.operators.AchillesGen.distValueCounts(model, half(0)),
+        graft.operators.AchillesGen.distValueCounts(model, half(1))))
+    }),
     "achilles_generated" -> ((s, d) =>
       // counts derive from the STORED merged results (generated count ids
       // sit below the pair sub-base; pairs start at GeneratedBase+4000) —
@@ -1232,6 +1247,8 @@ object EventQueries {
         |ORDER BY analysis_id, stratum_1""".stripMargin,
     "achilles_incremental" ->
       graft.operators.AchillesGen.sumFamilyOracleSql(graft.model.TpchModel.modelWithEvents),
+    "achilles_incremental_dist" ->
+      graft.operators.AchillesGen.distOracleSql(graft.model.TpchModel.modelWithEvents),
     "achilles_generated" ->
       graft.operators.AchillesGen.oracleSql(graft.model.TpchModel.modelWithEvents),
     "achilles_dist_generated" ->
