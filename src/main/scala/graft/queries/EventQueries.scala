@@ -775,7 +775,28 @@ object EventQueries {
       .orderBy(col("n_exact").desc, col("user_id").asc)
   }
 
+  /** CMS merge-invariance (the HLL-union twin): counter matrices over
+    * disjoint halves of the stream SUM into exactly the full-scan matrix
+    * (integer counters, commutative), so the store-counters-merge-on-read
+    * production shape yields bit-identical estimates. Gated by the SAME
+    * full-scan oracle as agg_cms_topusers.
+    */
+  val aggCmsUnion: Q = (s, d) => {
+    val ev = t(s, d, "events")
+    val h = pmod(hash(col("event_id")), lit(2))
+    val merged = graft.ops.SketchOps.cmsCounters(ev.filter(h === 0), col("user_id"))
+      .unionByName(graft.ops.SketchOps.cmsCounters(ev.filter(h =!= 0), col("user_id")))
+      .groupBy("dpt", "slot").agg(sum(col("cnt")).as("cnt"))
+    val exact = ev.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("user_id").asc).limit(10)
+    graft.ops.SketchOps.cmsEstimate(merged, exact, "user_id")
+      .join(exact, "user_id")
+      .select("user_id", "n_exact", "n_cms")
+      .orderBy(col("n_exact").desc, col("user_id").asc)
+  }
+
   val defs: Seq[(String, Q)] = Seq(
+    "agg_cms_union" -> aggCmsUnion,
     "q1_pricing_summary" -> q1PricingSummary,
     "stream_windowed_counts" -> streamWindowedCounts,
     "stream_dedup" -> streamDedup,
@@ -1407,6 +1428,14 @@ object EventQueries {
          |) ORDER BY source""".stripMargin
     },
     // generated from the same shape constants and hash the Spark sketch uses
+    // merged counters == full-scan counters, so the union query shares
+    // the full-scan oracle verbatim
+    "agg_cms_union" ->
+      s"""WITH ${graft.ops.SketchOps.cmsSql("user_id", "events",
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact FROM events " +
+              "GROUP BY 1 ORDER BY n_exact DESC, user_id LIMIT 10", "user_id")}
+         |SELECT user_id, n_exact, n_cms FROM items JOIN est USING (user_id)
+         |ORDER BY n_exact DESC, user_id""".stripMargin,
     "agg_cms_topusers" ->
       s"""WITH ${graft.ops.SketchOps.cmsSql("user_id", "events",
             "SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact FROM events " +
