@@ -64,7 +64,8 @@ final case class Zones(root: String) {
       fs.listStatus(dir)
         .filter(_.isDirectory)
         .map(_.getPath.getName)
-        .filterNot(n => n.endsWith(".__tmp") || n.endsWith(".__old"))
+        .filterNot(n => n.endsWith(".__tmp") || n.endsWith(".__old") ||
+          n.startsWith("__bucketed_"))
         .sorted
         .toSeq
   }
@@ -89,16 +90,31 @@ final case class Zones(root: String) {
   def writeBucketed(df: DataFrame, bucketCol: String, nBuckets: Int,
       zone: String, table: String): String = {
     require(names.contains(zone), s"unknown zone: $zone")
+    val spark = df.sparkSession
     val name = s"graft_bkt_${Zones.pathKey(root)}_${zone}_$table"
+    val tmpName = name + "__tmp"
+    // the AtomicWrite staging discipline, carried through the catalog:
+    // write to a `.__tmp` path under a temp table name (a crash exposes
+    // only the staging dir, which listTables filters), swap the
+    // directories, then point the catalog entry at the final path and
+    // rename it in — bucket METADATA lives on the catalog entry, so the
+    // swap must move the entry with the files
+    val finalPath = new java.io.File(s"$root/$zone/__bucketed_$table").getAbsolutePath
+    val tmpPath = finalPath + ".__tmp"
+    spark.sql(s"DROP TABLE IF EXISTS $tmpName")
     df.write.mode("overwrite")
       .format("parquet")
       .bucketBy(nBuckets, bucketCol)
       .sortBy(bucketCol)
-      // absolute path: a relative option("path") resolves against the
-      // warehouse dir, scattering bucketed data outside the zone root
-      .option("path",
-        new java.io.File(s"$root/$zone/__bucketed_$table").getAbsolutePath)
-      .saveAsTable(name)
+      .option("path", tmpPath)
+      .saveAsTable(tmpName)
+    val fp = new Path(finalPath)
+    val fs = fp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(fp, true)
+    fs.rename(new Path(tmpPath), fp)
+    spark.sql(s"ALTER TABLE $tmpName SET LOCATION '$finalPath'")
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(s"ALTER TABLE $tmpName RENAME TO $name")
     name
   }
 

@@ -81,35 +81,39 @@ object AchillesGen {
     items.zipWithIndex.map { case ((k, t, c, c2), i) => Analysis(GeneratedBase + 1000L + i, k, t, c, c2) }
   }
 
+  /** ONE per-analysis shaping, shared by the full battery and the
+    * incremental partials — the incremental path's merge-equals-rescan
+    * contract depends on both paths shaping identically, so the logic
+    * must not fork.
+    */
+  private def shapedCount(a: Analysis, df: DataFrame): DataFrame = a.kind match {
+    case CountRows =>
+      df.agg(count(lit(1)).as("count_value"))
+        .select(lit(a.id).as("analysis_id"), lit("ALL").as("stratum_1"), col("count_value"))
+    case ByValue =>
+      df.groupBy(col(a.column).as("stratum_1"))
+        .agg(count(lit(1)).as("count_value"))
+        .select(lit(a.id).as("analysis_id"), col("stratum_1"), col("count_value"))
+    case ByYear =>
+      df.groupBy(year(col(a.column)).cast("string").as("stratum_1"))
+        .agg(count(lit(1)).as("count_value"))
+        .select(lit(a.id).as("analysis_id"), col("stratum_1"), col("count_value"))
+    case ByMonth =>
+      df.groupBy(date_format(col(a.column), "yyyyMM").as("stratum_1"))
+        .agg(count(lit(1)).as("count_value"))
+        .select(lit(a.id).as("analysis_id"), col("stratum_1"), col("count_value"))
+    case DistinctFk =>
+      df.agg(countDistinct(col(a.column)).as("count_value"))
+        .select(lit(a.id).as("analysis_id"), lit("ALL").as("stratum_1"), col("count_value"))
+    case DistinctFkByYear =>
+      df.groupBy(year(col(a.column2)).cast("string").as("stratum_1"))
+        .agg(countDistinct(col(a.column)).as("count_value"))
+        .select(lit(a.id).as("analysis_id"), col("stratum_1"), col("count_value"))
+  }
+
   def results(model: CdmModel, load: String => DataFrame): DataFrame =
-    analyses(model).map { a =>
-      val df = load(a.table)
-      val shaped = a.kind match {
-        case CountRows =>
-          df.agg(count(lit(1)).as("count_value"))
-            .select(lit(a.id).as("analysis_id"), lit("ALL").as("stratum_1"), col("count_value"))
-        case ByValue =>
-          df.groupBy(col(a.column).as("stratum_1"))
-            .agg(count(lit(1)).as("count_value"))
-            .select(lit(a.id).as("analysis_id"), col("stratum_1"), col("count_value"))
-        case ByYear =>
-          df.groupBy(year(col(a.column)).cast("string").as("stratum_1"))
-            .agg(count(lit(1)).as("count_value"))
-            .select(lit(a.id).as("analysis_id"), col("stratum_1"), col("count_value"))
-        case ByMonth =>
-          df.groupBy(date_format(col(a.column), "yyyyMM").as("stratum_1"))
-            .agg(count(lit(1)).as("count_value"))
-            .select(lit(a.id).as("analysis_id"), col("stratum_1"), col("count_value"))
-        case DistinctFk =>
-          df.agg(countDistinct(col(a.column)).as("count_value"))
-            .select(lit(a.id).as("analysis_id"), lit("ALL").as("stratum_1"), col("count_value"))
-        case DistinctFkByYear =>
-          df.groupBy(year(col(a.column2)).cast("string").as("stratum_1"))
-            .agg(countDistinct(col(a.column)).as("count_value"))
-            .select(lit(a.id).as("analysis_id"), col("stratum_1"), col("count_value"))
-      }
-      shaped
-    }.pipe(graft.Unions.balanced)
+    analyses(model).map(a => shapedCount(a, load(a.table)))
+      .pipe(graft.Unions.balanced)
       .filter(col("count_value") > 5)
       .orderBy("analysis_id", "stratum_1")
 
@@ -130,27 +134,9 @@ object AchillesGen {
     * it after summing.
     */
   def partialCounts(model: CdmModel, load: String => DataFrame): DataFrame =
-    analyses(model).filter(a => SumKinds(a.kind)).map { a =>
-      val df = load(a.table)
-      a.kind match {
-        case CountRows =>
-          df.agg(count(lit(1)).as("count_value"))
-            .select(lit(a.id).as("analysis_id"), lit("ALL").as("stratum_1"), col("count_value"))
-        case ByValue =>
-          df.groupBy(col(a.column).as("stratum_1"))
-            .agg(count(lit(1)).as("count_value"))
-            .select(lit(a.id).as("analysis_id"), col("stratum_1"), col("count_value"))
-        case ByYear =>
-          df.groupBy(year(col(a.column)).cast("string").as("stratum_1"))
-            .agg(count(lit(1)).as("count_value"))
-            .select(lit(a.id).as("analysis_id"), col("stratum_1"), col("count_value"))
-        case ByMonth =>
-          df.groupBy(date_format(col(a.column), "yyyyMM").as("stratum_1"))
-            .agg(count(lit(1)).as("count_value"))
-            .select(lit(a.id).as("analysis_id"), col("stratum_1"), col("count_value"))
-        case other => sys.error(s"non-sum kind $other in partialCounts")
-      }
-    }.pipe(graft.Unions.balanced)
+    analyses(model).filter(a => SumKinds(a.kind))
+      .map(a => shapedCount(a, load(a.table)))
+      .pipe(graft.Unions.balanced)
 
   /** Merge partial batteries (one shuffle on the tiny report key) and
     * apply small-cell suppression AFTER the sum — the merged result is
@@ -168,19 +154,7 @@ object AchillesGen {
     * incremental path's correctness contract.
     */
   def sumFamilyOracleSql(model: CdmModel): String = {
-    val selects = analyses(model).filter(a => SumKinds(a.kind)).map { a =>
-      a.kind match {
-        case CountRows =>
-          s"SELECT CAST(${a.id} AS BIGINT) AS analysis_id, 'ALL' AS stratum_1, count(*) AS count_value FROM ${a.table}"
-        case ByValue =>
-          s"SELECT ${a.id}, ${a.column}, count(*) FROM ${a.table} GROUP BY 2"
-        case ByYear =>
-          s"SELECT ${a.id}, CAST(year(${a.column}) AS VARCHAR), count(*) FROM ${a.table} GROUP BY 2"
-        case ByMonth =>
-          s"SELECT ${a.id}, strftime(${a.column}, '%Y%m'), count(*) FROM ${a.table} GROUP BY 2"
-        case other => sys.error(s"non-sum kind $other")
-      }
-    }
+    val selects = analyses(model).filter(a => SumKinds(a.kind)).map(countSelectSql)
     s"""WITH results AS (
        |${selects.mkString("\nUNION ALL\n")}
        |)
@@ -563,23 +537,27 @@ object AchillesGen {
     distOuterSql(selects.mkString("\nUNION ALL\n"))
   }
 
+  /** ONE per-analysis DuckDB rendering, shared by the full oracle and the
+    * incremental sum-family oracle (same no-fork contract as
+    * [[shapedCount]]).
+    */
+  private def countSelectSql(a: Analysis): String = a.kind match {
+    case CountRows =>
+      s"SELECT CAST(${a.id} AS BIGINT) AS analysis_id, 'ALL' AS stratum_1, count(*) AS count_value FROM ${a.table}"
+    case ByValue =>
+      s"SELECT ${a.id}, ${a.column}, count(*) FROM ${a.table} GROUP BY 2"
+    case ByYear =>
+      s"SELECT ${a.id}, CAST(year(${a.column}) AS VARCHAR), count(*) FROM ${a.table} GROUP BY 2"
+    case ByMonth =>
+      s"SELECT ${a.id}, strftime(${a.column}, '%Y%m'), count(*) FROM ${a.table} GROUP BY 2"
+    case DistinctFk =>
+      s"SELECT ${a.id}, 'ALL', count(DISTINCT ${a.column}) FROM ${a.table}"
+    case DistinctFkByYear =>
+      s"SELECT ${a.id}, CAST(year(${a.column2}) AS VARCHAR), count(DISTINCT ${a.column}) FROM ${a.table} GROUP BY 2"
+  }
+
   private def countSelectsSql(model: CdmModel): String =
-    analyses(model).map { a =>
-      a.kind match {
-        case CountRows =>
-          s"SELECT CAST(${a.id} AS BIGINT) AS analysis_id, 'ALL' AS stratum_1, count(*) AS count_value FROM ${a.table}"
-        case ByValue =>
-          s"SELECT ${a.id}, ${a.column}, count(*) FROM ${a.table} GROUP BY 2"
-        case ByYear =>
-          s"SELECT ${a.id}, CAST(year(${a.column}) AS VARCHAR), count(*) FROM ${a.table} GROUP BY 2"
-        case ByMonth =>
-          s"SELECT ${a.id}, strftime(${a.column}, '%Y%m'), count(*) FROM ${a.table} GROUP BY 2"
-        case DistinctFk =>
-          s"SELECT ${a.id}, 'ALL', count(DISTINCT ${a.column}) FROM ${a.table}"
-        case DistinctFkByYear =>
-          s"SELECT ${a.id}, CAST(year(${a.column2}) AS VARCHAR), count(DISTINCT ${a.column}) FROM ${a.table} GROUP BY 2"
-      }
-    }.mkString("\nUNION ALL\n")
+    analyses(model).map(countSelectSql).mkString("\nUNION ALL\n")
 
   def oracleSql(model: CdmModel): String =
     s"""WITH results AS (

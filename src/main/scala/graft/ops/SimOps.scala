@@ -729,8 +729,10 @@ object SimOps {
         .withColumn("__d", l2sq(col("vec"), col("cvec")))
         .groupBy(col("vec_id"))
         .agg(min(struct(col("__d"), col("cid"))).as("__b"),
-          // one row per vec_id by construction, so first() is
-          // deterministic — it only carries the vector past the aggregate
+          // the group holds k rows (one per candidate centroid) that all
+          // carry the SAME vec — first() is deterministic only because the
+          // carried column is constant within the group; never use it to
+          // carry a per-centroid-varying column
           first(col("vec")).as("vec"))
         .select(col("__b.cid").as("cid"), col("vec"))
     for (_ <- 0 until iters) {

@@ -736,8 +736,11 @@ object EventQueries {
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
       ()
     }
-    stageOne("batch0.parquet", ev.filter(col("event_id") % 2 === 0))
-    stageOne("batch1.parquet", ev.filter(col("event_id") % 2 =!= 0))
+    // null-safe split: a NULL event_id must land in exactly one batch
+    // (arithmetic parity would drop it from both)
+    val par = coalesce(pmod(col("event_id"), lit(2)), lit(0))
+    stageOne("batch0.parquet", ev.filter(par === 0))
+    stageOne("batch1.parquet", ev.filter(par =!= 0))
     val stream = s.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", 1).parquet(stagingDir)
     val q = stream.writeStream
@@ -921,7 +924,7 @@ object EventQueries {
        |) o2
        |UNION ALL
        |SELECT CAST(1 AS BIGINT) AS run_id, o1.* FROM (
-       |${streamDqdOverviewSql(" WHERE event_id % 2 = 0")}
+       |${streamDqdOverviewSql(" WHERE COALESCE(event_id % 2, 0) = 0")}
        |) o1
        |ORDER BY run_id DESC""".stripMargin
 

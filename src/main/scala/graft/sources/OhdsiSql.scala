@@ -38,8 +38,10 @@ object OhdsiSql {
     * leftover `{...}?` after substitution (nested-brace body, malformed
     * form) fails loudly in [[render]].
     */
+  // the negative lookahead keeps a FOLLOWING conditional's condition from
+  // being consumed as this block's else branch ('{c1}?{A} : {c2}?{B}')
   private val CondBlock =
-    raw"(?s)\{([^{}]*)\}\s*\?\s*\{([^{}]*)\}(?:\s*:\s*\{([^{}]*)\})?".r
+    raw"(?s)\{([^{}]*)\}\s*\?\s*\{([^{}]*)\}(?:\s*:\s*\{([^{}]*)\}(?!\s*\?))?".r
   private val CondLeftover = raw"\{[^{}]*\}\s*\?".r
 
   /** SqlRender condition evaluation over ALREADY-SUBSTITUTED text:

@@ -318,7 +318,6 @@ object Soak {
         // materialize the JOINED ROWS (no aggregate): the layout's payoff
         // is the join's exchange+sort of both fact sides, which an
         // aggregate-dominated probe would mask
-        def report(j: org.apache.spark.sql.DataFrame) = j
         val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try {
@@ -333,7 +332,7 @@ object Soak {
             spark.catalog.clearCache(); System.gc()
           }
           one("join_plain_10x") {
-            report(orders.join(li, "o_orderkey"))
+            orders.join(li, "o_orderkey")
               .write.mode("overwrite").format("noop").save()
           }
           val z = graft.io.Zones(s"$dir/zones")
@@ -343,7 +342,7 @@ object Soak {
             lt = z.writeBucketed(li, "o_orderkey", 32, "work", "lineitem10x")
           }
           one("join_bucketed_10x") {
-            report(spark.table(ot).join(spark.table(lt), "o_orderkey"))
+            spark.table(ot).join(spark.table(lt), "o_orderkey")
               .write.mode("overwrite").format("noop").save()
           }
         } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)

@@ -44,6 +44,10 @@ class OhdsiSqlSpec extends SparkSpec {
     val n = intercept[IllegalArgumentException](
       OhdsiSql.render("{@f}?{x {y} z}", Map("f" -> "true")))
     assert(n.getMessage.contains("conditional"))
+    // a FOLLOWING conditional's condition is never consumed as an else
+    // branch ('{c1}?{A} : {c2}?{B}' is two conditionals, not if-else)
+    assert(OhdsiSql.render("{@f}?{A} : {@g}?{B}",
+      Map("f" -> "true", "g" -> "true")) === "A : B")
   }
 
   test("translate covers the documented SQL Server subset") {
