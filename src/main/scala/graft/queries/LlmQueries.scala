@@ -490,6 +490,26 @@ object LlmQueries {
     * explode; the hash+window-minima pass is one native codegen'd
     * expression (winnow_hashes), zero shuffles before the output order.
     */
+  /** MOSS-style winnow near-dup pairs: document pairs sharing >= 5
+    * winnow fingerprints, candidates meeting ONLY at equal fingerprints
+    * (equi-join, never all-pairs) after a document-frequency prune drops
+    * boilerplate fingerprints appearing in > 10 docs — the standard MOSS
+    * move, which also bounds the hottest join key at df <= 10.
+    */
+  val dedupWinnowPairs: Q = (s, d) => {
+    val fps = t(s, d, "documents")
+      .select(col("doc_id"), explode(TextOps.winnowFingerprints(col("text"))).as("fp"))
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= 10).select("fp")
+    val pruned = fps.join(rare, Seq("fp"))
+    val a = pruned.select(col("fp"), col("doc_id").as("id_a"))
+    val b = pruned.select(col("fp"), col("doc_id").as("id_b"))
+    a.join(b, Seq("fp")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 5)
+      .orderBy("id_a", "id_b")
+  }
+
   val docWinnow: Q = (s, d) =>
     t(s, d, "documents")
       .select(col("doc_id"), explode(TextOps.winnowFingerprints(col("text"))).as("fp"))
@@ -1114,6 +1134,7 @@ object LlmQueries {
     "doc_fingerprint" -> docFingerprint,
     "doc_rolling_hash" -> docRollingHash,
     "doc_winnow" -> docWinnow,
+    "dedup_winnow_pairs" -> dedupWinnowPairs,
     "text_langid_eval" -> textLangidEval,
     "sim_topk_brute" -> simTopkBrute,
     "sim_lsh_buckets" -> simLshBuckets,
@@ -1648,6 +1669,31 @@ object LlmQueries {
        |  CAST(drp.item_id IS NULL AS BIGINT) AS is_kept
        |FROM asg LEFT JOIN drp ON asg.item_id = drp.item_id
        |ORDER BY asg.item_id""".stripMargin
+
+  /** The winnow fingerprint chain (shingle -> rolling hash -> windowed
+    * min), shared by the fingerprint dump and the pairs oracle.
+    */
+  private def winnowCtes: String =
+    s"""toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
+       |sh AS (
+       |  SELECT doc_id, i, array_to_string(tk[i:i+2], ' ') AS shingle
+       |  FROM toks, UNNEST(range(1, len(tk) - 1)) AS u(i)
+       |  WHERE len(tk) >= 3
+       |),
+       |h AS (
+       |  SELECT doc_id, i,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      [CAST(ord(c) AS BIGINT) FOR c IN string_split_regex(shingle, '')]),
+       |      (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+       |  FROM sh
+       |),
+       |arr AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM h GROUP BY doc_id),
+       |mins AS (
+       |  SELECT doc_id,
+       |    UNNEST([list_min(hs[j+1 : j+4]) FOR j IN range(0, len(hs) - 3)]) AS fp
+       |  FROM arr
+       |),
+       |wfps AS (SELECT DISTINCT doc_id, CAST(fp AS BIGINT) AS fp FROM mins)""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(
     "dedup_semantic_trained" -> dedupSemanticTrainedOracle,
@@ -2226,27 +2272,17 @@ object LlmQueries {
          |LEFT JOIN hits h USING (query_id)
          |ORDER BY qq.query_id""".stripMargin,
     "doc_winnow" ->
-      s"""WITH toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
-         |sh AS (
-         |  SELECT doc_id, i, array_to_string(tk[i:i+2], ' ') AS shingle
-         |  FROM toks, UNNEST(range(1, len(tk) - 1)) AS u(i)
-         |  WHERE len(tk) >= 3
-         |),
-         |h AS (
-         |  SELECT doc_id, i,
-         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |      [CAST(ord(c) AS BIGINT) FOR c IN string_split_regex(shingle, '')]),
-         |      (acc, x) -> (acc * 31 + x) % 1000000007) AS h
-         |  FROM sh
-         |),
-         |arr AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM h GROUP BY doc_id),
-         |mins AS (
-         |  SELECT doc_id,
-         |    UNNEST([list_min(hs[j+1 : j+4]) FOR j IN range(0, len(hs) - 3)]) AS fp
-         |  FROM arr
-         |)
-         |SELECT DISTINCT doc_id, CAST(fp AS BIGINT) AS fp
-         |FROM mins ORDER BY doc_id, fp""".stripMargin,
+      s"""WITH $winnowCtes
+         |SELECT doc_id, fp FROM wfps ORDER BY doc_id, fp""".stripMargin,
+    "dedup_winnow_pairs" ->
+      s"""WITH $winnowCtes,
+         |rare AS (SELECT fp FROM wfps GROUP BY fp HAVING count(*) <= 10),
+         |p AS (SELECT f.doc_id, f.fp FROM wfps f JOIN rare USING (fp))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(count(*) AS BIGINT) AS n_shared
+         |FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 5
+         |ORDER BY 1, 2""".stripMargin,
     "sim_topk_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0),
         |c AS (SELECT vec_id AS item_id, embedding::DOUBLE[] AS iv FROM embeddings),
