@@ -397,14 +397,42 @@ object SimOps {
   def l2sq(a: Column, b: Column): Column =
     call_function("vec_l2sq", a, b)
 
+  /** Cross-engine-exact mean machinery (the r9 lesson: a mean that passes
+    * through a DOUBLE division differs by 1 ulp across engines and flips
+    * every threshold it feeds). Quantize each double to integer units with
+    * pure-IEEE ops — `floor(x*unit + 0.5)` is bit-identical in any engine —
+    * sum EXACTLY in the decimal-integer domain (associative, so partition
+    * order is irrelevant), then take the round-half-up mean with integer
+    * arithmetic only: rhu(S/n) = floorDiv(2S + n, 2n), and
+    * floorDiv(a, b) = (a - pmod(a, b)) / b where the final division is
+    * exact by construction. The only float op downstream is one
+    * small-integer -> double divide, a single correctly-rounded IEEE op.
+    */
+  def quantUnits(x: Column, unit: Double): Column =
+    floor(x * lit(unit) + lit(0.5)).cast("decimal(38,0)")
+
+  /** Round-half-up mean (in original units, as a double) of a
+    * [[quantUnits]]-quantized sum `s` over `n` rows. */
+  def meanOfQuantUnits(s: Column, n: Column, unit: Double): Column = {
+    val a = s * lit(2) + n
+    val b = n * lit(2)
+    ((a - pmod(a, b)) / b).cast("long").cast("double") / lit(unit)
+  }
+
+  /** Micro-unit (1e-6) quantization of a similarity/score double — the
+    * value every cross-engine threshold, tie-break, and hashed output must
+    * compare, instead of the raw double (engine `round()` semantics on
+    * doubles differ at boundaries; `floor(x*1e6 + 0.5)` does not). */
+  def quantMicro(x: Column): Column = floor(x * lit(1e6) + lit(0.5))
+
   /** One deterministic Lloyd (k-means) refinement step for IVF centroids:
     * assign every vector to its nearest centroid (exact cosine, centroid-id
     * tie-break — the same rule [[ivfTopK]] probes with), then replace each
-    * centroid by the arithmetic mean of its assigned vectors. Means
-    * accumulate through DECIMAL(28,10) so the sum is order-independent
-    * (the engine's exact-mean pattern, see embed_label_centroids) and
-    * round to 6dp so external engines reproduce the trained centroids
-    * bit-for-bit. Cosine against an unnormalized mean ranks identically to
+    * centroid by the arithmetic mean of its assigned vectors. Means use
+    * the [[quantUnits]]/[[meanOfQuantUnits]] integer-domain machinery
+    * (micro-quantize, exact decimal sum, round-half-up via integer
+    * floor-div) so external engines reproduce the trained centroids
+    * bit-for-bit — never through a DOUBLE division. Cosine against an unnormalized mean ranks identically to
     * the normalized spherical-k-means centroid (cosine is scale-invariant),
     * so no sqrt-normalization pass is needed. Empty clusters drop
     * (standard Lloyd behavior; the trained set can only shrink).
@@ -428,8 +456,9 @@ object SimOps {
       .filter(col("__crk") === 1)
       .select(col("centroid_id"), posexplode(col("__v")).as(Seq("pos0", "__x")))
       .groupBy(col("centroid_id"), col("pos0"))
-      .agg(round(sum(col("__x").cast("decimal(28,10)")).cast("double")
-        / count(lit(1)), 6).as("__m"))
+      .agg(sum(quantUnits(col("__x"), 1e6)).as("__s"), count(lit(1)).as("__n"))
+      .select(col("centroid_id"), col("pos0"),
+        meanOfQuantUnits(col("__s"), col("__n"), 1e6).as("__m"))
       .groupBy(col("centroid_id"))
       .agg(array_sort(collect_list(struct(col("pos0"), col("__m")))).as("__sm"))
       .select(col("centroid_id").as(idCol),
@@ -701,10 +730,13 @@ object SimOps {
     * Determinism/cross-engine exactness contract (the classifier-GD
     * pattern): initialization is the k LOWEST-id vectors; assignment is
     * exact squared-L2 argmin with (distance, centroid id) tie-break; the
-    * update accumulates per-dimension sums in DECIMAL(38,12) — decimal
-    * addition is associative, so any partition order produces the same
-    * sum — then rounds the mean to 9 dp; an emptied cluster keeps its
-    * previous centroid. Model state (k x dim doubles) is BOUNDED by the
+    * update nano-quantizes components ([[quantUnits]] at 1e9), accumulates
+    * per-dimension sums in DECIMAL(38,0) — integer decimal addition is
+    * associative AND exact, so any partition order produces the same sum —
+    * and takes the round-half-up mean entirely in the integer domain
+    * ([[meanOfQuantUnits]]); an emptied cluster keeps its previous
+    * centroid. No mean ever passes through a DOUBLE division, so the
+    * trained model is bit-identical on every engine (the r9 lesson). Model state (k x dim doubles) is BOUNDED by the
     * k literal, so each step collects it and rebroadcasts — per-step cost
     * is one crossJoin against the k-row broadcast plus two map-side
     * combinable aggregates, and lineage never grows across steps.
@@ -739,10 +771,10 @@ object SimOps {
       val stats = assigned(cents)
         .select(col("cid"), posexplode(col("vec")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos"))
-        .agg(sum(col("x").cast("decimal(38,12)")).as("__s"),
+        .agg(sum(quantUnits(col("x"), 1e9)).as("__s"),
           count(lit(1)).as("__n"))
         .select(col("cid"), col("pos"),
-          round(col("__s").cast("double") / col("__n"), 9).as("m"), col("__n"))
+          meanOfQuantUnits(col("__s"), col("__n"), 1e9).as("m"), col("__n"))
         .groupBy(col("cid"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("__pm"),
           first(col("__n")).as("__n"))
@@ -797,7 +829,13 @@ object SimOps {
         (df, keepSim) => assignNearestRouted(df, routing, idCol, vecCol,
           "item_id", "item_vec", keepSim = keepSim)
       }
+    // micro-quantize the centroid similarity ONCE; every downstream
+    // threshold, keep-tie-break, and hashed output compares the quantized
+    // LONG, never the raw double (cross-engine exactness — engine round()
+    // on doubles differs at boundaries, floor(x*1e6 + 0.5) does not)
     val assigned = assign(corpus, true)
+      .withColumn("__csq", quantMicro(col("cent_sim")))
+    val thresholdMicro = math.round(threshold * 1e6)
     val sampleMod = math.max(1, math.round(1.0 / sizeSampleRate).toInt)
     // occupancy estimates come from the ASSIGNED frame (sample-then-assign
     // and assign-then-sample pick the same rows, so filtering the assigned
@@ -815,15 +853,15 @@ object SimOps {
       .withColumn("__ba", pmod(hash(col("item_id")), nblk))
       .withColumn("__bb", explode(sequence(lit(0), nblk - 1)))
       .select(col("centroid_id"), col("__ba"), col("__bb"), col("item_id").as("id_a"),
-        col("item_vec").as("__vec_a"), col("cent_sim").as("__cs_a"))
+        col("item_vec").as("__vec_a"), col("__csq").as("__cs_a"))
     val bb = withBlocks
       .withColumn("__bb", pmod(hash(col("item_id")), nblk))
       .withColumn("__ba", explode(sequence(lit(0), nblk - 1)))
       .select(col("centroid_id"), col("__ba"), col("__bb"), col("item_id").as("id_b"),
-        col("item_vec").as("__vec_b"), col("cent_sim").as("__cs_b"))
+        col("item_vec").as("__vec_b"), col("__csq").as("__cs_b"))
     val dropped = a.join(bb, Seq("centroid_id", "__ba", "__bb"))
       .filter(col("id_a") =!= col("id_b"))
-      .filter(cosine(col("__vec_a"), col("__vec_b")) >= threshold)
+      .filter(quantMicro(cosine(col("__vec_a"), col("__vec_b"))) >= thresholdMicro)
       .filter(col("__cs_a") < col("__cs_b") ||
         (col("__cs_a") === col("__cs_b") && col("id_a") < col("id_b")))
       .select(col("id_b").as("item_id")).distinct()
@@ -831,7 +869,7 @@ object SimOps {
     assigned
       .join(dropped, Seq("item_id"), "left")
       .select(col("item_id"), col("centroid_id"),
-        round(col("cent_sim"), 6).as("cent_sim"),
+        (col("__csq").cast("double") / lit(1e6)).as("cent_sim"),
         col("__dropped").isNull.as("is_kept"))
   }
 

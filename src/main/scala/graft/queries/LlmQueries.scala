@@ -437,9 +437,14 @@ object LlmQueries {
       .select(col("label").cast("long").as("label"),
         posexplode(col("embedding")).as(Seq("pos0", "v")))
       .groupBy(col("label"), (col("pos0") + 1).cast("long").as("pos"))
-      // decimal sum -> order-independent (see AchillesGen.distAgg doc)
-      .agg(round(sum(col("v").cast("double").cast("decimal(28,10)")).cast("double")
-        / count(lit(1)), 4).as("centroid"))
+      // nano-quantized exact integer sum, round-half-up mean at 4 dp in the
+      // integer domain (SimOps.meanOfQuantUnits; rhu(S/(n*1e5)) is the
+      // 1e-4-unit mean of 1e-9-unit inputs) — no DOUBLE division
+      .agg(sum(SimOps.quantUnits(col("v").cast("double"), 1e9)).as("__s"),
+        count(lit(1)).as("__n"))
+      .select(col("label"), col("pos"),
+        SimOps.meanOfQuantUnits(col("__s"), col("__n") * lit(100000L), 1e4)
+          .as("centroid"))
       .orderBy("label", "pos")
 
   val textTokenStats: Q = (s, d) =>
@@ -1614,11 +1619,21 @@ object LlmQueries {
          |  ) WHERE rn = 1
          |),
          |km$i AS MATERIALIZED (
+         |  -- integer-domain mean, mirroring SimOps.meanOfQuantUnits:
+         |  -- nano-quantize (pure IEEE), exact integer sum, round-half-up
+         |  -- via floorDiv(2S+n, 2n) — no DOUBLE division anywhere
          |  SELECT cid, d,
-         |    round(CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / count(*), 9) AS m
-         |  FROM (SELECT cid, unnest(vec) AS x, generate_subscripts(vec, 1) AS d
-         |    FROM ka$i)
-         |  GROUP BY cid, d
+         |    CAST((a - (((a % b) + b) % b)) // b AS DOUBLE) / 1e9 AS m
+         |  FROM (
+         |    SELECT cid, d, 2 * s + n AS a, 2 * n AS b
+         |    FROM (
+         |      SELECT cid, d,
+         |        SUM(CAST(floor(x * 1e9 + 0.5) AS BIGINT)) AS s, count(*) AS n
+         |      FROM (SELECT cid, unnest(vec) AS x, generate_subscripts(vec, 1) AS d
+         |        FROM ka$i)
+         |      GROUP BY cid, d
+         |    )
+         |  )
          |),
          |kc$i AS MATERIALIZED (
          |  SELECT p.cid, coalesce(mm.cvec, p.cvec) AS cvec
@@ -1656,16 +1671,17 @@ object LlmQueries {
        |      list_dot_product(iv, cv)
        |        / (sqrt(list_dot_product(iv, iv)) * sqrt(list_dot_product(cv, cv))) AS csim
        |    FROM corpus CROSS JOIN cent)
-       |), asg AS (SELECT item_id, iv, centroid_id, csim FROM ca WHERE crk = 1),
+       |), asg AS (SELECT item_id, iv, centroid_id,
+       |    CAST(floor(csim * 1e6 + 0.5) AS BIGINT) AS csq FROM ca WHERE crk = 1),
        |drp AS (
        |  SELECT DISTINCT b.item_id
        |  FROM asg a JOIN asg b USING (centroid_id)
        |  WHERE a.item_id <> b.item_id
-       |    AND list_dot_product(a.iv, b.iv)
-       |      / (sqrt(list_dot_product(a.iv, a.iv)) * sqrt(list_dot_product(b.iv, b.iv))) >= 0.2
-       |    AND (a.csim < b.csim OR (a.csim = b.csim AND a.item_id < b.item_id))
+       |    AND floor((list_dot_product(a.iv, b.iv)
+       |      / (sqrt(list_dot_product(a.iv, a.iv)) * sqrt(list_dot_product(b.iv, b.iv)))) * 1e6 + 0.5) >= 200000
+       |    AND (a.csq < b.csq OR (a.csq = b.csq AND a.item_id < b.item_id))
        |)
-       |SELECT asg.item_id, asg.centroid_id, round(asg.csim, 6) AS cent_sim,
+       |SELECT asg.item_id, asg.centroid_id, CAST(asg.csq AS DOUBLE) / 1e6 AS cent_sim,
        |  CAST(drp.item_id IS NULL AS BIGINT) AS is_kept
        |FROM asg LEFT JOIN drp ON asg.item_id = drp.item_id
        |ORDER BY asg.item_id""".stripMargin
@@ -2076,11 +2092,17 @@ object LlmQueries {
         |    ELSE floor((v - mn) / (mx - mn) * 255.0 + 0.5) END AS BIGINT) AS q
         |FROM e JOIN d USING (pos) ORDER BY vec_id, pos""".stripMargin,
     "embed_label_centroids" ->
-      """SELECT CAST(label AS BIGINT) AS label, CAST(a.i AS BIGINT) AS pos,
-        |  round(CAST(sum(CAST(CAST(embedding[a.i] AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE)
-        |    / count(*), 4) AS centroid
-        |FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS a(i)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      """WITH q AS (
+        |  SELECT CAST(label AS BIGINT) AS label, CAST(a.i AS BIGINT) AS pos,
+        |    2 * SUM(CAST(floor(CAST(embedding[a.i] AS DOUBLE) * 1e9 + 0.5) AS BIGINT))
+        |      + count(*) * 100000 AS a,
+        |    2 * count(*) * 100000 AS b
+        |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS a(i)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT label, pos,
+        |  CAST((a - (((a % b) + b) % b)) // b AS DOUBLE) / 1e4 AS centroid
+        |FROM q ORDER BY 1, 2""".stripMargin,
     "text_token_stats" ->
       s"""SELECT doc_id,
          |  CAST(len($tokSql) AS BIGINT) AS n_tokens,
@@ -2407,10 +2429,17 @@ object LlmQueries {
         |),
         |a1 AS (SELECT vec_id, v, centroid_id FROM va WHERE crk = 1),
         |mm AS (
-        |  SELECT centroid_id, i AS pos,
-        |    round(CAST(sum(CAST(v[i] AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS mv
-        |  FROM a1, UNNEST(range(1, 65)) AS u(i)
-        |  GROUP BY 1, 2
+        |  -- integer-domain mean (SimOps.meanOfQuantUnits at 1e6): quantize,
+        |  -- exact integer sum, round-half-up via floorDiv(2S+n, 2n)
+        |  SELECT centroid_id, pos,
+        |    CAST((a - (((a % b) + b) % b)) // b AS DOUBLE) / 1e6 AS mv
+        |  FROM (
+        |    SELECT centroid_id, i AS pos,
+        |      2 * SUM(CAST(floor(v[i] * 1e6 + 0.5) AS BIGINT)) + count(*) AS a,
+        |      2 * count(*) AS b
+        |    FROM a1, UNNEST(range(1, 65)) AS u(i)
+        |    GROUP BY 1, 2
+        |  )
         |),
         |cent AS (SELECT centroid_id, list(mv ORDER BY pos) AS cv FROM mm GROUP BY centroid_id),
         |corpus AS (SELECT vec_id AS item_id, embedding::DOUBLE[] AS iv FROM embeddings),
@@ -2546,16 +2575,17 @@ object LlmQueries {
         |      list_dot_product(iv, cv)
         |        / (sqrt(list_dot_product(iv, iv)) * sqrt(list_dot_product(cv, cv))) AS csim
         |    FROM corpus CROSS JOIN cent)
-        |), asg AS (SELECT item_id, iv, centroid_id, csim FROM ca WHERE crk = 1),
+        |), asg AS (SELECT item_id, iv, centroid_id,
+        |    CAST(floor(csim * 1e6 + 0.5) AS BIGINT) AS csq FROM ca WHERE crk = 1),
         |drp AS (
         |  SELECT DISTINCT b.item_id
         |  FROM asg a JOIN asg b USING (centroid_id)
         |  WHERE a.item_id <> b.item_id
-        |    AND list_dot_product(a.iv, b.iv)
-        |      / (sqrt(list_dot_product(a.iv, a.iv)) * sqrt(list_dot_product(b.iv, b.iv))) >= 0.2
-        |    AND (a.csim < b.csim OR (a.csim = b.csim AND a.item_id < b.item_id))
+        |    AND floor((list_dot_product(a.iv, b.iv)
+        |      / (sqrt(list_dot_product(a.iv, a.iv)) * sqrt(list_dot_product(b.iv, b.iv)))) * 1e6 + 0.5) >= 200000
+        |    AND (a.csq < b.csq OR (a.csq = b.csq AND a.item_id < b.item_id))
         |)
-        |SELECT asg.item_id, asg.centroid_id, round(asg.csim, 6) AS cent_sim,
+        |SELECT asg.item_id, asg.centroid_id, CAST(asg.csq AS DOUBLE) / 1e6 AS cent_sim,
         |  CAST(drp.item_id IS NULL AS BIGINT) AS is_kept
         |FROM asg LEFT JOIN drp ON asg.item_id = drp.item_id
         |ORDER BY asg.item_id""".stripMargin,

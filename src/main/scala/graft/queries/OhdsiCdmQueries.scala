@@ -1942,8 +1942,8 @@ object OhdsiCdmQueries {
   val oracles: Seq[(String, String)] = Seq(
     "ohdsi_sql_dqd_check" ->
       """SELECT CAST(v.num_violated_rows AS BIGINT) AS num_violated_rows,
-        |  CASE WHEN d.num_rows = 0 THEN 0
-        |    ELSE 1.0 * v.num_violated_rows / d.num_rows END AS pct_violated_rows,
+        |  CAST(CASE WHEN d.num_rows = 0 THEN 0
+        |    ELSE 1.0 * v.num_violated_rows / d.num_rows END AS DOUBLE) AS pct_violated_rows,
         |  CAST(d.num_rows AS BIGINT) AS num_denominator_rows
         |FROM (SELECT count(*) AS num_violated_rows FROM orders
         |  WHERE o_orderpriority IS NULL) v

@@ -49,10 +49,29 @@ object OhdsiSql {
     * `'a' == 'b'`, `'a' != 'b'`, or a bare boolean word (SqlRender's
     * `{@flag}?{...}` after @flag substitutes to true/false). Anything
     * else fails loudly with the construct named — the subset's contract.
+    * Splitting is QUOTE-AWARE, so a substituted value containing `&`/`|`
+    * inside its quotes ('a&b' == 'x') stays one term. Known subset
+    * limitation (documented, not silently mishandled): a literal
+    * `{...}?` sequence INSIDE a SQL string constant would still parse as
+    * a conditional block — keep brace-question sequences out of string
+    * literals fed through the bridge.
     */
   private val CmpTerm = raw"'([^']*)'\s*(==|!=)\s*'([^']*)'".r
+  /** Split on `sep` only OUTSIDE single-quoted runs. */
+  private def splitTop(s: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inQ = false
+    s.foreach { ch =>
+      if (ch == '\'') { inQ = !inQ; cur += ch }
+      else if (ch == sep && !inQ) { out += cur.result(); cur.clear() }
+      else cur += ch
+    }
+    out += cur.result()
+    out.result()
+  }
   private def evalCond(cond: String): Boolean =
-    cond.split(raw"\|").exists(_.split("&").forall { raw =>
+    splitTop(cond, '|').exists(splitTop(_, '&').forall { raw =>
       raw.trim match {
         case CmpTerm(a, op, b) => if (op == "==") a == b else a != b
         case t if t.equalsIgnoreCase("true") => true
@@ -101,8 +120,26 @@ object OhdsiSql {
     * parentheses the simple rules cannot parse) raises rather than
     * passing through to an opaque Spark parse error.
     */
+  /** A single-quoted string (doubled-quote escapes), or a bare float
+    * literal (decimal point and/or exponent). Matching the string
+    * alternative FIRST protects literals inside quotes from the numeric
+    * rewrite below.
+    */
+  private val StrOrFloatLit =
+    raw"('(?:[^']|'')*')|(?<![\w.])(\d*\.\d+(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+)(?![\w.])".r
+
   def translate(sql: String): String = {
     var s = sql
+    // SqlRender's rendered target dialects type bare decimal literals as
+    // FLOAT (e.g. FLOAT64 on BigQuery; the reference consumes DQD's
+    // `1.0*x/y` pct as a float, data_quality.py) — Spark would type the
+    // same literal DECIMAL(2,1) and propagate DECIMAL(38,16) through the
+    // division, a silent cross-engine semantics fork (the r9 red). Rewrite
+    // every unquoted float literal to an explicit DOUBLE.
+    s = StrOrFloatLit.replaceAllIn(s, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        if (m.group(1) != null) m.group(1)
+        else s"CAST(${m.group(2)} AS DOUBLE)"))
     s = ci(raw"COUNT_BIG\s*\(").replaceAllIn(s, "COUNT(")
     s = ci(raw"\bISNULL\s*\(").replaceAllIn(s, "coalesce(")
     s = ci(raw"\bLEN\s*\(").replaceAllIn(s, "length(")

@@ -16,6 +16,23 @@ class SimOpsSpec extends SparkSpec {
     (4L, Seq(-1.0f, 0.0f, 0.0f))) // opposite of 1
     .toDF("id", "vec")
 
+  test("quantUnits/meanOfQuantUnits: exact integer-domain round-half-up mean") {
+    // rhu is half-toward-+inf in every engine (floorDiv(2S+n, 2n)):
+    // mean(1,2) = 1.5 -> 2; mean(-1,-2) = -1.5 -> -1; exact thirds floor
+    val df = Seq((0L, 1.0), (0L, 2.0), (1L, -1.0), (1L, -2.0),
+      (2L, 0.0), (2L, 0.0), (2L, 1.0)).toDF("g", "x")
+    val out = df.groupBy("g")
+      .agg(sum(SimOps.quantUnits(col("x"), 1.0)).as("s"), count(lit(1)).as("n"))
+      .select(col("g"), SimOps.meanOfQuantUnits(col("s"), col("n"), 1.0).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out === Map(0L -> 2.0, 1L -> -1.0, 2L -> 0.0))
+    // at 1e9 units the mean of exactly-representable doubles is exact
+    val nano = Seq((0L, -0.25), (0L, -0.5)).toDF("g", "x").groupBy("g")
+      .agg(sum(SimOps.quantUnits(col("x"), 1e9)).as("s"), count(lit(1)).as("n"))
+      .select(SimOps.meanOfQuantUnits(col("s"), col("n"), 1e9)).head().getDouble(0)
+    assert(nano === -0.375)
+  }
+
   test("cosine: identical=1, orthogonal=0, opposite=-1") {
     val df = Seq(
       (Seq(1.0, 2.0), Seq(1.0, 2.0)),

@@ -50,6 +50,25 @@ class OhdsiSqlSpec extends SparkSpec {
       Map("f" -> "true", "g" -> "true")) === "A : B")
   }
 
+  test("translate types bare float literals as DOUBLE, protecting quoted strings") {
+    // SqlRender target dialects type decimal literals as floats; Spark
+    // would type them DECIMAL and silently fork the division semantics
+    // (the r9 ohdsi_sql_dqd_check red)
+    assert(OhdsiSql.translate("SELECT 1.0*a/b FROM t")
+      === "SELECT CAST(1.0 AS DOUBLE)*a/b FROM t")
+    assert(OhdsiSql.translate("SELECT .5 + 2e3 + 1.5e-2 FROM t")
+      === "SELECT CAST(.5 AS DOUBLE) + CAST(2e3 AS DOUBLE) + CAST(1.5e-2 AS DOUBLE) FROM t")
+    // integers, identifiers, and quoted strings are untouched
+    assert(OhdsiSql.translate("SELECT 10, tbl.col, 'v1.5 & more' FROM t LIMIT 5")
+      === "SELECT 10, tbl.col, 'v1.5 & more' FROM t LIMIT 5")
+  }
+
+  test("render condition splitting is quote-aware") {
+    // a substituted value containing '&' or '|' must stay one term
+    assert(OhdsiSql.render("{'@v' == 'a&b'}?{K}:{E}", Map("v" -> "a&b")) === "K")
+    assert(OhdsiSql.render("{'@v' == 'a|b'}?{K}:{E}", Map("v" -> "x")) === "E")
+  }
+
   test("translate covers the documented SQL Server subset") {
     assert(OhdsiSql.translate("SELECT COUNT_BIG(*), ISNULL(a, 0), LEN(s) FROM t")
       === "SELECT COUNT(*), coalesce(a, 0), length(s) FROM t")
