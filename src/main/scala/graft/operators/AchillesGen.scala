@@ -252,6 +252,7 @@ object AchillesGen {
       round(max(col("__v")), 4).as("max_value"),
       sum(col("__v").cast("decimal(38,10)")).as("__sv"),
       sum((col("__v") * col("__v")).cast("decimal(38,10)")).as("__svv"),
+      sum(graft.ops.SimOps.quantUnits(col("__v"), 1e6)).as("__s6"),
       max(col("__n")).as("__nn")) ++ brackets
     distTail(base.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*), keys)
   }
@@ -352,7 +353,11 @@ object AchillesGen {
     val n = col("count_value")
     val sv = col("__sv").cast("double")
     val svv = col("__svv").cast("double")
-    val avgCol = round(sv / n, 4).as("avg_value")
+    // the mean never passes through a decimal->double cast or an engine
+    // round(): integer-domain rhu over the micro-quantized sum (the r10
+    // cross-engine-exactness sweep; rhu(S6/(n*100))/1e4 is the 4-dp mean)
+    val avgCol = graft.ops.SimOps
+      .meanOfQuantUnits(col("__s6"), n * lit(100L), 1e4).as("avg_value")
     val sdCol = round(when(n > 1,
       sqrt(greatest(lit(0.0), (svv - sv * sv / n) / (n - lit(1))))), 4).as("stdev_value")
     grouped
@@ -399,6 +404,8 @@ object AchillesGen {
       sum(col("__v").cast("decimal(24,10)") * col("__cnt").cast("decimal(13,0)")).as("__sv"),
       sum((col("__v") * col("__v")).cast("decimal(24,10)") * col("__cnt").cast("decimal(13,0)"))
         .as("__svv"),
+      sum(graft.ops.SimOps.quantUnits(col("__v"), 1e6).cast("decimal(24,0)")
+        * col("__cnt").cast("decimal(13,0)")).as("__s6"),
       max(col("__n")).as("__nn")) ++ brackets
     distTail(base.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*), keys)
   }
@@ -506,8 +513,20 @@ object AchillesGen {
     * [[distTail]]: associative DECIMAL(38,10) sums, then the same double
     * expression tree — summation order can no longer flip a rounding.
     */
+  /** DuckDB mirror of the [[distTail]] avg: integer-domain round-half-up
+    * mean of the micro-quantized values at 4 dp (SUM(BIGINT) is HUGEINT —
+    * exact; `//` on the evenly-divisible numerator is exact; the only
+    * float op is one small-int -> DOUBLE divide).
+    */
+  private def duckAvg4(v: String, n: String): String = {
+    val s = s"sum(CAST(floor(($v) * 1e6 + 0.5) AS BIGINT))"
+    val a = s"(2 * $s + ($n) * 100)"
+    val b = s"(2 * ($n) * 100)"
+    s"CAST(($a - ((($a % $b) + $b) % $b)) // $b AS DOUBLE) / 1e4"
+  }
+
   val MomentsSql: String =
-    """round(CAST(sum(CAST(v AS DECIMAL(38,10))) AS DOUBLE) / count(*), 4) AS avg_value,
+    s"""${duckAvg4("v", "count(*)")} AS avg_value,
       |  round(CASE WHEN count(*) > 1 THEN sqrt(greatest(0.0,
       |    (CAST(sum(CAST(v * v AS DECIMAL(38,10))) AS DOUBLE)
       |     - CAST(sum(CAST(v AS DECIMAL(38,10))) AS DOUBLE)

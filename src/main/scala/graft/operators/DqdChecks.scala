@@ -767,9 +767,14 @@ object DqdChecks {
         col("cdm_table_name"), col("cdm_field_name"),
         viol.as("num_violated_rows"),
         denom.as("num_denominator_rows"),
-        round(pct, 6).as("pct_violated_rows"),
+        // micro-quantized pct presentation + quantized threshold compare
+        // (floor(x*1e6+0.5) both sides; engine round()/raw-double compares
+        // differ at representation boundaries — the r10 sweep)
+        graft.ops.SimOps.roundUnits(pct, 1e6).as("pct_violated_rows"),
         col("threshold_value"),
-        when(pct * 100 > col("threshold_value"), 1L).otherwise(0L).as("failed"))
+        when(graft.ops.SimOps.quantMicro(pct * 100)
+            > graft.ops.SimOps.quantMicro(col("threshold_value")), 1L)
+          .otherwise(0L).as("failed"))
   }
 
   /** Run-history store — the reference's `dqdashboard_runs` /
@@ -832,7 +837,8 @@ object DqdChecks {
       catFailed("Plausibility").as("count_failed_plausibility"),
       catFailed("Conformance").as("count_failed_conformance"),
       catFailed("Completeness").as("count_failed_completeness"),
-      round((total - failed) * lit(100.0) / total, 2).as("percent_passed"))
+      graft.ops.SimOps.roundUnits((total - failed) * lit(100.0) / total, 1e2)
+        .as("percent_passed"))
   }
 
   /** DuckDB rendering of [[overview]] over the rendered battery oracle. */
@@ -849,7 +855,7 @@ object DqdChecks {
        |  CAST(count(*) FILTER (WHERE category = 'Plausibility' AND failed = 1) AS BIGINT) AS count_failed_plausibility,
        |  CAST(count(*) FILTER (WHERE category = 'Conformance' AND failed = 1) AS BIGINT) AS count_failed_conformance,
        |  CAST(count(*) FILTER (WHERE category = 'Completeness' AND failed = 1) AS BIGINT) AS count_failed_completeness,
-       |  round((count(*) - sum(failed)) * 100.0 / count(*), 2) AS percent_passed
+       |  floor((count(*) - sum(failed)) * 100.0 / count(*) * 1e2 + 0.5) / 1e2 AS percent_passed
        |FROM battery""".stripMargin
 
   /** One check's rendered DuckDB query — the oracle's per-check SELECT and
@@ -991,10 +997,10 @@ object DqdChecks {
        |)
        |SELECT check_id, check_name, check_level, category, cdm_table_name, cdm_field_name,
        |  num_violated_rows, num_denominator_rows,
-       |  round(CAST(num_violated_rows AS DOUBLE) / greatest(num_denominator_rows, 1), 6) AS pct_violated_rows,
-       |  threshold_value,
-       |  CAST(CASE WHEN CAST(num_violated_rows AS DOUBLE) / greatest(num_denominator_rows, 1) * 100
-       |    > threshold_value THEN 1 ELSE 0 END AS BIGINT) AS failed
+       |  floor(CAST(num_violated_rows AS DOUBLE) / greatest(num_denominator_rows, 1) * 1e6 + 0.5) / 1e6 AS pct_violated_rows,
+       |  CAST(threshold_value AS DOUBLE) AS threshold_value,
+       |  CAST(CASE WHEN floor(CAST(num_violated_rows AS DOUBLE) / greatest(num_denominator_rows, 1) * 100 * 1e6 + 0.5)
+       |    > floor(CAST(threshold_value AS DOUBLE) * 1e6 + 0.5) THEN 1 ELSE 0 END AS BIGINT) AS failed
        |FROM checks ORDER BY check_id""".stripMargin
   }
 

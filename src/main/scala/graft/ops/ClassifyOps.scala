@@ -142,7 +142,7 @@ object ClassifyOps {
     docs.select(col(idCol), score.as("__s"))
       .orderBy(col("__s").desc, col(idCol))
       .limit(k)
-      .select(col(idCol), round(col("__s"), 6).as("lr_score"))
+      .select(col(idCol), graft.ops.SimOps.roundUnits(col("__s"), 1e6).as("lr_score"))
   }
 
   /** Train + evaluate on the training corpus: one bounded report row
@@ -156,9 +156,10 @@ object ClassifyOps {
       .map { case (c, j) => lit(w(j)) * c }.reduce(_ + _)
     docs.select(labelCol.cast("double").as("__y"), z.as("__z"))
       .agg(count(lit(1)).as("n_docs"),
-        round(avg(col("__y")), 4).as("pos_rate"),
-        round(avg(when((col("__z") > lit(0.0)) === (col("__y") > lit(0.5)), 1.0)
-          .otherwise(0.0)), 4).as("accuracy"))
+        graft.ops.SimOps.roundUnits(avg(col("__y")), 1e4).as("pos_rate"),
+        graft.ops.SimOps.roundUnits(
+          avg(when((col("__z") > lit(0.0)) === (col("__y") > lit(0.5)), 1.0)
+            .otherwise(0.0)), 1e4).as("accuracy"))
   }
 
   // ---- DuckDB oracle generation (same constants, same structure) ----
@@ -219,8 +220,8 @@ object ClassifyOps {
     val z = (0 until K).map(j => s"w.w$j * x$j").mkString(" + ")
     s"""WITH ${oracleTrainCtes(labelSql)}
        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
-       |  round(avg(y), 4) AS pos_rate,
-       |  round(avg(CASE WHEN (($z) > 0.0) = (y > 0.5) THEN 1.0 ELSE 0.0 END), 4)
+       |  floor(avg(y) * 1e4 + 0.5) / 1e4 AS pos_rate,
+       |  floor(avg(CASE WHEN (($z) > 0.0) = (y > 0.5) THEN 1.0 ELSE 0.0 END) * 1e4 + 0.5) / 1e4
        |    AS accuracy
        |FROM f, w$Iters w""".stripMargin
   }
@@ -235,7 +236,7 @@ object ClassifyOps {
         .map { case (e, j) => s"$e AS x$j" }.mkString(", ")}
        |    FROM documents) d, w$Iters w
        |)
-       |SELECT $idCol, round(s, 6) AS lr_score FROM scored
+       |SELECT $idCol, floor(s * 1e6 + 0.5) / 1e6 AS lr_score FROM scored
        |ORDER BY s DESC, $idCol LIMIT $k""".stripMargin
   }
 }

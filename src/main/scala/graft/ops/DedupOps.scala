@@ -390,7 +390,7 @@ object DedupOps {
         size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
           size(array_union(col("toks_a"), col("toks_b"))).cast("double"))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("id_a"), col("id_b"), SimOps.roundMicro(col("jaccard")).as("jaccard"))
   }
 
   /** Map-side (per-row) signature: `sig(j) = min_h (a_j*h + b_j) % P` as a
@@ -470,7 +470,7 @@ object DedupOps {
         max(col("__j")).as("__bj"))
     batch.select(col(idCol).as("doc_id"))
       .join(best, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("dup_of"), round(col("__bj"), 6).as("jaccard"))
+      .select(col("doc_id"), col("dup_of"), SimOps.roundMicro(col("__bj")).as("jaccard"))
       .orderBy("doc_id")
   }
 }

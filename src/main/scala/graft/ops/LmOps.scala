@@ -155,7 +155,8 @@ object LmOps {
     (scored
       .orderBy(col("__nll"), col(idCol))
       .limit(k)
-      .select(col(idCol), col("n_bigrams"), round(col("__nll"), 4).as("log_ppl")),
+      .select(col(idCol), col("n_bigrams"),
+        graft.ops.SimOps.roundUnits(col("__nll"), 1e4).as("log_ppl")),
       uni)
   }
 
@@ -213,7 +214,7 @@ object LmOps {
        |  GROUP BY p.doc_id
        |)
        |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
-       |  round(-CAST(qsum AS DOUBLE) / (CAST(n_bigrams AS DOUBLE) * 1000000.0), 4)
+       |  floor(-CAST(qsum AS DOUBLE) / (CAST(n_bigrams AS DOUBLE) * 1000000.0) * 1e4 + 0.5) / 1e4
        |    AS log_ppl
        |FROM scored
        |ORDER BY -CAST(qsum AS DOUBLE) / (CAST(n_bigrams AS DOUBLE) * 1000000.0), doc_id

@@ -57,7 +57,7 @@ object SimOps {
     scored
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
-      .select(col("query_id"), col("item_id"), round(col("sim"), 6).as("sim"), col("rk"))
+      .select(col("query_id"), col("item_id"), roundMicro(col("sim")).as("sim"), col("rk"))
   }
 
   /** Deterministic integer-valued "random" hyperplanes: plane j has
@@ -103,7 +103,7 @@ object SimOps {
       .filter(col("id_a") < col("id_b"))
       .withColumn("sim", cosine(col("__vec_a"), col("__vec_b")))
       .filter(col("sim") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+      .select(col("id_a"), col("id_b"), roundMicro(col("sim")).as("sim"))
   }
 
   /** IVF (inverted-file) ANN — the other classic scale path: corpus vectors
@@ -291,7 +291,7 @@ object SimOps {
       .withColumn("sim", cosine(col("query_vec"), col("item_vec")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
-      .select(col("query_id"), col("item_id"), round(col("sim"), 6).as("sim"), col("rk"))
+      .select(col("query_id"), col("item_id"), roundMicro(col("sim")).as("sim"), col("rk"))
   }
 
   /** [[ivfTopK]] with oversized-list splitting — the skew remedy the sf1
@@ -357,7 +357,7 @@ object SimOps {
       .withColumn("sim", cosine(col("query_vec"), col("item_vec")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
-      .select(col("query_id"), col("item_id"), round(col("sim"), 6).as("sim"), col("rk"))
+      .select(col("query_id"), col("item_id"), roundMicro(col("sim")).as("sim"), col("rk"))
   }
 
   /** Bucketed ANN: top-k within each query's LSH bucket only — the scale
@@ -425,6 +425,21 @@ object SimOps {
     * doubles differ at boundaries; `floor(x*1e6 + 0.5)` does not). */
   def quantMicro(x: Column): Column = floor(x * lit(1e6) + lit(0.5))
 
+  /** 6-dp presentation of a similarity/distance double via [[quantMicro]]
+    * — replaces `round(x, 6)` in hashed outputs (engine round()
+    * implementations differ at representation boundaries; the floor form
+    * is two exact IEEE ops on both engines). Oracle-side mirror:
+    * `floor(x * 1e6 + 0.5) / 1e6`.
+    */
+  def roundMicro(x: Column): Column = roundUnits(x, 1e6)
+
+  /** Generic fixed-point presentation: `floor(x*unit + 0.5)/unit` — the
+    * cross-engine replacement for `round(x, log10(unit))` on doubles.
+    * Oracle-side mirror: `floor(x * <unit> + 0.5) / <unit>`.
+    */
+  def roundUnits(x: Column, unit: Double): Column =
+    floor(x * lit(unit) + lit(0.5)).cast("double") / lit(unit)
+
   /** One deterministic Lloyd (k-means) refinement step for IVF centroids:
     * assign every vector to its nearest centroid (exact cosine, centroid-id
     * tie-break — the same rule [[ivfTopK]] probes with), then replace each
@@ -480,7 +495,7 @@ object SimOps {
       .withColumn("dist", l2sq(col("query_vec"), col("item_vec")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
-      .select(col("query_id"), col("item_id"), round(col("dist"), 6).as("dist"), col("rk"))
+      .select(col("query_id"), col("item_id"), roundMicro(col("dist")).as("dist"), col("rk"))
   }
 
   /** Deterministic product-quantization codebook: split the embedding into
@@ -612,7 +627,7 @@ object SimOps {
       .withColumn("dist", l2sq(col("query_vec"), col("item_vec")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
-      .select(col("query_id"), col("item_id"), round(col("dist"), 6).as("dist"), col("rk"))
+      .select(col("query_id"), col("item_id"), roundMicro(col("dist")).as("dist"), col("rk"))
   }
 
   /** IVF-PQ serving — the full FAISS-style composition and the shape a
@@ -684,7 +699,7 @@ object SimOps {
       .withColumn("dist", l2sq(col("query_vec"), col("item_vec")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
-      .select(col("query_id"), col("item_id"), round(col("dist"), 6).as("dist"), col("rk"))
+      .select(col("query_id"), col("item_id"), roundMicro(col("dist")).as("dist"), col("rk"))
   }
 
   /** SemDeDup (Abbas et al. 2023): semantic deduplication of an embedding
@@ -895,6 +910,6 @@ object SimOps {
     scored
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
-      .select(col("query_id"), col("item_id"), col("bucket"), round(col("sim"), 6).as("sim"), col("rk"))
+      .select(col("query_id"), col("item_id"), col("bucket"), roundMicro(col("sim")).as("sim"), col("rk"))
   }
 }

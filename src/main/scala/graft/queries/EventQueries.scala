@@ -120,9 +120,11 @@ object EventQueries {
       .agg(
         count(lit(1)).as("stratum_count"),
         countDistinct(col("o_custkey")).as("n_customers"),
-        // decimal sum -> order-independent (see AchillesGen.distAgg doc)
-        round(sum(col("o_totalprice").cast("decimal(38,6)")).cast("double") / count(lit(1)), 2)
-          .as("avg_value"),
+        // integer-domain rhu mean at 2 dp (SimOps.meanOfQuantUnits) — no
+        // decimal->double cast or engine round() in the mean path
+        graft.ops.SimOps.meanOfQuantUnits(
+          sum(graft.ops.SimOps.quantUnits(col("o_totalprice"), 1e6)),
+          count(lit(1)) * lit(10000L), 1e2).as("avg_value"),
         round(min(col("o_totalprice")), 2).as("min_value"),
         round(max(col("o_totalprice")), 2).as("max_value"),
         round(avg(when(isMedianRow, col("o_totalprice"))), 4).as("median_value"))
@@ -205,12 +207,18 @@ object EventQueries {
           lit(category).as("category"),
           col("num_violated_rows"),
           col("num_denominator_rows"),
-          round(col("num_violated_rows").cast("double") / col("num_denominator_rows"), 6)
-            .as("pct_violated"))
+          // micro-quantized pct: the presentation AND the FAIL threshold
+          // both read the quantized LONG, so a ratio 1 ulp from the 5%
+          // boundary can never split the two engines (r10 sweep)
+          graft.ops.SimOps.quantMicro(
+            col("num_violated_rows").cast("double") / col("num_denominator_rows"))
+            .as("__pm"))
     check(events, "plausible_value_nonneg", "Plausibility", col("value") < 0)
       .unionByName(check(events, "completeness_props", "Completeness", col("props").isNull))
       .unionByName(check(lineitem, "plausible_discount_range", "Plausibility", col("l_discount") > 0.5))
-      .withColumn("status", when(col("pct_violated") > 0.05, lit("FAIL")).otherwise(lit("PASS")))
+      .withColumn("pct_violated", col("__pm").cast("double") / lit(1e6))
+      .withColumn("status", when(col("__pm") > 50000, lit("FAIL")).otherwise(lit("PASS")))
+      .drop("__pm")
   }
 
   val dqdChecks: Q = (s, d) => dqdCheckResults(s, d).orderBy("check_name")
@@ -311,7 +319,11 @@ object EventQueries {
         exactSum6(col("p_qty"), 2).as("sum_qty"),
         exactSum6(col("p_base"), 2).as("sum_base_price"),
         exactSum6(col("p_disc_price"), 2).as("sum_disc_price"),
-        round(unscaled6(col("p_disc")).cast("double") / sum(col("p_cnt")), 6).as("avg_disc"),
+        // integer-domain mean (SimOps.meanOfQuantUnits over the exact micro
+        // partial sum) — never decimal->double->divide->round (r10 sweep)
+        graft.ops.SimOps.meanOfQuantUnits(
+          sum(col("p_disc").cast("decimal(38,0)")), sum(col("p_cnt")), 1e6)
+          .as("avg_disc"),
         sum(col("p_cnt")).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
@@ -1203,12 +1215,21 @@ object EventQueries {
         |ORDER BY w.window_start""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 2) AS sum_qty,
-        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE), 2) AS sum_base_price,
-        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE), 2) AS sum_disc_price,
-        |  round(CAST(sum(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6) AS avg_disc,
-        |  count(*) AS count_order
-        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |  round(CAST(sq AS DOUBLE), 2) AS sum_qty,
+        |  round(CAST(sbp AS DOUBLE), 2) AS sum_base_price,
+        |  round(CAST(sdp AS DOUBLE), 2) AS sum_disc_price,
+        |  CAST((a - (((a % b) + b) % b)) // b AS DOUBLE) / 1e6 AS avg_disc,
+        |  count_order
+        |FROM (
+        |  SELECT l_returnflag, l_linestatus,
+        |    sum(CAST(l_quantity AS DECIMAL(38,6))) AS sq,
+        |    sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS sbp,
+        |    sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS sdp,
+        |    2 * sum(CAST(floor(l_discount * 1e6 + 0.5) AS BIGINT)) + count(*) AS a,
+        |    2 * count(*) AS b,
+        |    count(*) AS count_order
+        |  FROM lineitem GROUP BY 1, 2
+        |) ORDER BY 1, 2""".stripMargin,
     "event_discover_tables" ->
       "SELECT DISTINCT event_type AS event_table FROM events ORDER BY event_table",
     "event_case_map" ->
@@ -1249,7 +1270,10 @@ object EventQueries {
       """SELECT o_orderstatus,
         |  count(*) AS stratum_count,
         |  count(DISTINCT o_custkey) AS n_customers,
-        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / count(*), 2) AS avg_value,
+        |  CAST(((2 * sum(CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT)) + count(*) * 10000)
+        |    - ((((2 * sum(CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT)) + count(*) * 10000)
+        |        % (2 * count(*) * 10000)) + (2 * count(*) * 10000)) % (2 * count(*) * 10000)))
+        |    // (2 * count(*) * 10000) AS DOUBLE) / 1e2 AS avg_value,
         |  round(min(o_totalprice), 2) AS min_value,
         |  round(max(o_totalprice), 2) AS max_value,
         |  round(quantile_cont(o_totalprice, 0.5), 4) AS median_value
@@ -1318,8 +1342,9 @@ object EventQueries {
         |    count(*) FILTER (WHERE l_discount > 0.5), count(*) FROM lineitem
         |)
         |SELECT check_name, category, num_violated_rows, num_denominator_rows,
-        |  round(CAST(num_violated_rows AS DOUBLE) / num_denominator_rows, 6) AS pct_violated,
-        |  CASE WHEN CAST(num_violated_rows AS DOUBLE) / num_denominator_rows > 0.05
+        |  floor(CAST(num_violated_rows AS DOUBLE) / num_denominator_rows * 1e6 + 0.5) / 1e6
+        |    AS pct_violated,
+        |  CASE WHEN floor(CAST(num_violated_rows AS DOUBLE) / num_denominator_rows * 1e6 + 0.5) > 50000
         |    THEN 'FAIL' ELSE 'PASS' END AS status
         |FROM checks ORDER BY check_name""".stripMargin,
     "dqd_summary" ->
@@ -1335,7 +1360,7 @@ object EventQueries {
         |    count(*) FILTER (WHERE l_discount > 0.5), count(*) FROM lineitem
         |)
         |SELECT category, count(*) AS n_checks,
-        |  count(*) FILTER (WHERE CAST(num_violated_rows AS DOUBLE) / num_denominator_rows > 0.05) AS n_failed
+        |  count(*) FILTER (WHERE floor(CAST(num_violated_rows AS DOUBLE) / num_denominator_rows * 1e6 + 0.5) > 50000) AS n_failed
         |FROM checks GROUP BY category ORDER BY category""".stripMargin,
     "event_props_extract" ->
       """SELECT event_id, event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val

@@ -118,12 +118,18 @@ object LifecycleQueries {
           lit(category).as("category"),
           col("num_violated_rows"),
           col("num_denominator_rows"),
-          round(col("num_violated_rows").cast("double") / col("num_denominator_rows"), 6)
-            .as("pct_violated"),
+          // micro-quantized pct + threshold: presentation and the FAIL
+          // compare both read quantized LONGs (r10 cross-engine sweep)
+          graft.ops.SimOps.quantMicro(
+            col("num_violated_rows").cast("double") / col("num_denominator_rows"))
+            .as("__pm"),
           lit(threshold).as("threshold"))
     }.reduce(_ unionByName _)
+      .withColumn("pct_violated", col("__pm").cast("double") / lit(1e6))
       .withColumn("status",
-        when(col("pct_violated") > col("threshold"), lit("FAIL")).otherwise(lit("PASS")))
+        when(col("__pm") > graft.ops.SimOps.quantMicro(col("threshold")),
+          lit("FAIL")).otherwise(lit("PASS")))
+      .drop("__pm")
       .orderBy("check_name")
   }
 
@@ -422,8 +428,8 @@ object LifecycleQueries {
       col("check_name"), col("check_level"), col("category"),
       col("cdm_table_name"), col("cdm_field_name"),
       col("num_violated_rows"), col("num_denominator_rows"),
-      round(col("num_violated_rows").cast("double") /
-        greatest(col("num_denominator_rows"), lit(1L)), 4).as("pct_violated_rows"),
+      graft.ops.SimOps.roundUnits(col("num_violated_rows").cast("double") /
+        greatest(col("num_denominator_rows"), lit(1L)), 1e4).as("pct_violated_rows"),
       col("threshold_value"),
       col("failed"),
       (lit(1L) - col("failed")).as("passed"))
@@ -479,7 +485,7 @@ object LifecycleQueries {
          |SELECT lower(check_id) AS checkid,
          |  check_name, check_level, category, cdm_table_name, cdm_field_name,
          |  num_violated_rows, num_denominator_rows,
-         |  round(CAST(num_violated_rows AS DOUBLE) / greatest(num_denominator_rows, 1), 4)
+         |  floor(CAST(num_violated_rows AS DOUBLE) / greatest(num_denominator_rows, 1) * 1e4 + 0.5) / 1e4
          |    AS pct_violated_rows,
          |  threshold_value, failed,
          |  CAST(1 - failed AS BIGINT) AS passed
@@ -546,9 +552,11 @@ object LifecycleQueries {
         |    count(*) FILTER (WHERE value < 0), count(*), 0.3 FROM events
         |)
         |SELECT check_name, category, num_violated_rows, num_denominator_rows,
-        |  round(CAST(num_violated_rows AS DOUBLE) / num_denominator_rows, 6) AS pct_violated,
+        |  floor(CAST(num_violated_rows AS DOUBLE) / num_denominator_rows * 1e6 + 0.5) / 1e6
+        |    AS pct_violated,
         |  CAST(threshold AS DOUBLE) AS threshold,
-        |  CASE WHEN round(CAST(num_violated_rows AS DOUBLE) / num_denominator_rows, 6) > threshold
+        |  CASE WHEN floor(CAST(num_violated_rows AS DOUBLE) / num_denominator_rows * 1e6 + 0.5)
+        |      > floor(CAST(threshold AS DOUBLE) * 1e6 + 0.5)
         |    THEN 'FAIL' ELSE 'PASS' END AS status
         |FROM checks ORDER BY check_name""".stripMargin)
 }

