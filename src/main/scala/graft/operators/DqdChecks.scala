@@ -608,6 +608,83 @@ object DqdChecks {
   /** The full generated battery as one DataFrame plan. */
   def fieldLevel(model: CdmModel, load: String => DataFrame,
       rules: RuleSet = RuleSet()): DataFrame = {
+    val (counts, thrDf) = countsAndThresholds(model, load, rules)
+    shapeBattery(counts, thrDf)
+  }
+
+  /** The battery's raw per-check COUNT rows (check meta +
+    * num_violated_rows/num_denominator_rows), before threshold shaping —
+    * the slice-decomposable summary [[mergeBatteryCounts]] merges.
+    */
+  def fieldLevelCounts(model: CdmModel, load: String => DataFrame,
+      rules: RuleSet = RuleSet()): DataFrame =
+    countsAndThresholds(model, load, rules)._1
+
+  /** The broadcastable (check_id, threshold_value) lookup for
+    * [[shapeBattery]] — metadata-only (reads schemas, never data).
+    */
+  def batteryThresholds(model: CdmModel, load: String => DataFrame,
+      rules: RuleSet = RuleSet()): DataFrame =
+    countsAndThresholds(model, load, rules)._2
+
+  /** Merge battery COUNT partials computed over DISJOINT slices of the
+    * data into the counts the full-scan battery would produce:
+    * `cdmTable` is empty iff empty in EVERY slice (min viol / max denom);
+    * `cdmField` is plan-constant (max / max); every other field-level
+    * check is a row-level count (sum / sum). NOT slice-decomposable and
+    * therefore the CALLER'S responsibility to exclude and re-derive from
+    * state: the DISTINCT-aggregate checks (`isPrimaryKey`,
+    * `sourceValueCompleteness` — a key seen in two slices double-counts)
+    * and the cross-table checks (they join a second table). See
+    * stream_dqd_runs' pk-state derivation for the pattern.
+    */
+  val NonDecomposableChecks: Set[String] =
+    Set("isPrimaryKey", "sourceValueCompleteness",
+      "measurePersonCompleteness", "measureConditionEraCompleteness")
+  def mergeBatteryCounts(parts: Seq[DataFrame]): DataFrame = {
+    val meta = Seq("check_id", "check_name", "check_level", "category",
+      "cdm_table_name", "cdm_field_name")
+    val v = col("num_violated_rows")
+    val dn = col("num_denominator_rows")
+    parts.reduce(_ unionByName _)
+      .groupBy(meta.map(col): _*)
+      .agg(sum(v).as("__vs"), min(v).as("__vm"), max(v).as("__vx"),
+        sum(dn).as("__ds"), max(dn).as("__dx"))
+      .select(meta.map(col) ++ Seq(
+        when(col("check_name") === "cdmTable", col("__vm"))
+          .when(col("check_name") === "cdmField", col("__vx"))
+          .otherwise(col("__vs")).as("num_violated_rows"),
+        when(col("check_name").isin("cdmTable", "cdmField"), col("__dx"))
+          .otherwise(col("__ds")).as("num_denominator_rows")): _*)
+  }
+
+  /** Threshold-join + pct/failed shaping shared by the full battery and
+    * every partial-merge consumer — ONE shaping, so the incremental and
+    * full contracts cannot fork (the AchillesGen.mergeCountPartials rule).
+    */
+  def shapeBattery(counts: DataFrame, thrDf: DataFrame): DataFrame = {
+    val viol = coalesce(col("num_violated_rows"), lit(0L))
+    val denom = coalesce(col("num_denominator_rows"), lit(0L))
+    val pct = viol.cast("double") / greatest(denom, lit(1L))
+    counts
+      .join(broadcast(thrDf), Seq("check_id"))
+      .select(
+        col("check_id"), col("check_name"), col("check_level"), col("category"),
+        col("cdm_table_name"), col("cdm_field_name"),
+        viol.as("num_violated_rows"),
+        denom.as("num_denominator_rows"),
+        // micro-quantized pct presentation + quantized threshold compare
+        // (floor(x*1e6+0.5) both sides; engine round()/raw-double compares
+        // differ at representation boundaries — the r10 sweep)
+        graft.ops.SimOps.roundUnits(pct, 1e6).as("pct_violated_rows"),
+        col("threshold_value"),
+        when(graft.ops.SimOps.quantMicro(pct * 100)
+            > graft.ops.SimOps.quantMicro(col("threshold_value")), 1L)
+          .otherwise(0L).as("failed"))
+  }
+
+  private def countsAndThresholds(model: CdmModel, load: String => DataFrame,
+      rules: RuleSet): (DataFrame, DataFrame) = {
     val byTable = model.tables.map { tb =>
       tb -> tableChecks(model, tb, rules, Some(load(tb).columns.toSet))
     }
@@ -757,24 +834,7 @@ object DqdChecks {
       allCheckMeta.map(c => (c.id, rules.thresholds.getOrElse((c.name, c.table, c.field), 0.0)))
         .toDF("check_id", "threshold_value")
     }
-    val viol = coalesce(col("num_violated_rows"), lit(0L))
-    val denom = coalesce(col("num_denominator_rows"), lit(0L))
-    val pct = viol.cast("double") / greatest(denom, lit(1L))
-    graft.Unions.balanced(perTable ++ crossDfs :+ constDf)
-      .join(broadcast(thrDf), Seq("check_id"))
-      .select(
-        col("check_id"), col("check_name"), col("check_level"), col("category"),
-        col("cdm_table_name"), col("cdm_field_name"),
-        viol.as("num_violated_rows"),
-        denom.as("num_denominator_rows"),
-        // micro-quantized pct presentation + quantized threshold compare
-        // (floor(x*1e6+0.5) both sides; engine round()/raw-double compares
-        // differ at representation boundaries — the r10 sweep)
-        graft.ops.SimOps.roundUnits(pct, 1e6).as("pct_violated_rows"),
-        col("threshold_value"),
-        when(graft.ops.SimOps.quantMicro(pct * 100)
-            > graft.ops.SimOps.quantMicro(col("threshold_value")), 1L)
-          .otherwise(0L).as("failed"))
+    (graft.Unions.balanced(perTable ++ crossDfs :+ constDf), thrDf)
   }
 
   /** Run-history store — the reference's `dqdashboard_runs` /
@@ -792,7 +852,14 @@ object DqdChecks {
       if (zones.listTables(s, "dqd").contains("dqd_runs"))
         Some(zones.read(s, "dqd", "dqd_runs"))
       else None
-    val runId = prev.map(_.count()).getOrElse(0L) + 1
+    // max(run_id)+1, not count()+1: a deleted run row (or any future
+    // compaction) must never mint a duplicate id that silently overwrites
+    // another run's results table. NOT safe for concurrent writers to one
+    // zone — the read-increment-write is unsynchronized by design (the
+    // reference's dashboard store has the same single-writer contract).
+    val runId = prev
+      .map(_.agg(max(col("run_id"))).head().getLong(0))
+      .getOrElse(0L) + 1
     zones.write(results, "dqd", s"dqd_results_run_$runId")
     // overview reads the JUST-WRITTEN table, not the caller's plan — the
     // caller may hand an unmaterialized battery, and re-running it for

@@ -701,14 +701,27 @@ object EventQueries {
   }
 
   /** CONTINUOUS data quality: the DQD battery + run-history store driven
-    * from a STREAM. The events table is staged as two deterministic files
-    * (even event ids, then odd), streamed with `maxFilesPerTrigger = 1`
-    * so each file is one micro-batch; `foreachBatch` appends the batch
-    * into an accumulating zone table and records a full DQD run over the
-    * accumulated state ([[graft.operators.DqdChecks.recordRun]]) — the
-    * run history then shows quality metrics EVOLVING with coverage, the
-    * production "data quality as a stream job" shape. The oracle replays
-    * run 1 over the even-id prefix and run 2 over the full table.
+    * from a STREAM — INCREMENTALLY. The events table is staged as two
+    * deterministic files (even event ids, then odd), streamed with
+    * `maxFilesPerTrigger = 1` so each file is one micro-batch. Each batch
+    * computes the battery COUNT PARTIALS over the BATCH ONLY
+    * ([[graft.operators.DqdChecks.fieldLevelCounts]]) and merges them into
+    * the stored per-check counts ([[graft.operators.DqdChecks
+    * .mergeBatteryCounts]], one bounded row per check) — the r9 shape that
+    * rewrote and re-scanned the WHOLE accumulated table per batch
+    * (O(corpus) per batch, O(n^2) across a stream) is gone; per-batch work
+    * is O(batch) for every slice-decomposable check. The one distinct-
+    * aggregate check (isPrimaryKey) re-derives from a keyed count state
+    * table (event_id, cnt) — the same state Structured Streaming's
+    * dropDuplicates would hold; its per-batch merge is a narrow
+    * groupBy-sum over O(distinct keys) two-column rows, the classic
+    * streaming-state compaction. The shaping is the SAME
+    * [[graft.operators.DqdChecks.shapeBattery]] the full battery uses, so
+    * the incremental and full contracts cannot fork; each merged battery
+    * is recorded as a run ([[graft.operators.DqdChecks.recordRun]]) — run
+    * history shows quality metrics EVOLVING with coverage. The oracle
+    * replays run 1 over the even-id prefix and run 2 over the full table,
+    * certifying merge == rescan.
     */
   private val streamDqdModel: graft.model.CdmModel = graft.model.CdmModel(fields = Seq(
     graft.model.CdmField("events", "event_id", "int64", false, true, None, "CDM"),
@@ -723,8 +736,9 @@ object EventQueries {
       val hp = new org.apache.hadoop.fs.Path(new java.io.File(p).getAbsolutePath)
       hp.getFileSystem(hconf).delete(hp, true); ()
     }
-    // fresh accumulated state + run history + checkpoint as a set
-    rm(zones.tablePath("work", "accum"))
+    // fresh incremental state + run history + checkpoint as a set
+    rm(zones.tablePath("work", "counts"))
+    rm(zones.tablePath("work", "pk_state"))
     rm(zones.tablePath("dqd", "dqd_runs"))
     rm(zones.tablePath("dqd", "dqd_results_run_1"))
     rm(zones.tablePath("dqd", "dqd_results_run_2"))
@@ -738,33 +752,66 @@ object EventQueries {
     rm(stagingDir)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stagingDir))
     val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "value")
-    def stageOne(name: String, part: org.apache.spark.sql.DataFrame): Unit = {
+    def stageOne(name: String, part: org.apache.spark.sql.DataFrame,
+        mtime: Long): Unit = {
       val tmp = s"$stagingDir/__tmp_$name"
       part.coalesce(1).write.mode("overwrite").parquet(tmp)
       val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(hconf)
       val f = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
         .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
-      fs.rename(f, new org.apache.hadoop.fs.Path(s"$stagingDir/$name"))
+      val dst = new org.apache.hadoop.fs.Path(s"$stagingDir/$name")
+      require(fs.rename(f, dst), s"staging rename failed: $f -> $dst")
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      // STRICTLY increasing mtimes, set explicitly: the file source orders
+      // by modification time, and back-to-back writes on a coarse-mtime
+      // filesystem can tie and process in the wrong order
+      fs.setTimes(dst, mtime, -1)
       ()
     }
     // null-safe split: a NULL event_id must land in exactly one batch
     // (arithmetic parity would drop it from both)
     val par = coalesce(pmod(col("event_id"), lit(2)), lit(0))
-    stageOne("batch0.parquet", ev.filter(par === 0))
-    stageOne("batch1.parquet", ev.filter(par =!= 0))
+    val t0 = System.currentTimeMillis()
+    stageOne("batch0.parquet", ev.filter(par === 0), t0)
+    stageOne("batch1.parquet", ev.filter(par =!= 0), t0 + 60000L)
+    // threshold lookup is metadata-only — built once, reused per batch
+    val thrDf = graft.operators.DqdChecks.batteryThresholds(streamDqdModel, _ => ev)
     val stream = s.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", 1).parquet(stagingDir)
     val q = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        val have = zones.listTables(s, "work").contains("accum")
-        val acc =
-          if (have) zones.read(s, "work", "accum").unionByName(batch)
-          else batch
-        zones.write(acc, "work", "accum")
-        val battery = graft.operators.DqdChecks.fieldLevel(
-          streamDqdModel, _ => zones.read(s, "work", "accum"))
-        graft.operators.DqdChecks.recordRun(s, zones, battery)
+        val Dqd = graft.operators.DqdChecks
+        // (1) battery count partials over the BATCH only — O(batch)
+        val batchCounts = Dqd.fieldLevelCounts(streamDqdModel, _ => batch)
+          .localCheckpoint(true)
+        val nonDecomp = Dqd.NonDecomposableChecks.toSeq
+        // (2) merge the slice-decomposable rows into the stored per-check
+        // counts (bounded: one row per check)
+        val decomposable = batchCounts.filter(!col("check_name").isin(nonDecomp: _*))
+        val merged =
+          if (zones.listTables(s, "work").contains("counts"))
+            Dqd.mergeBatteryCounts(Seq(zones.read(s, "work", "counts"), decomposable))
+          else decomposable
+        zones.write(merged, "work", "counts")
+        // (3) the distinct-aggregate pk check re-derives from keyed count
+        // state (event_id, cnt): narrow two-column groupBy-sum merge
+        val batchPk = batch.groupBy(col("event_id")).agg(count(lit(1)).as("cnt"))
+        val pkState =
+          if (zones.listTables(s, "work").contains("pk_state"))
+            zones.read(s, "work", "pk_state").unionByName(batchPk)
+              .groupBy("event_id").agg(sum(col("cnt")).as("cnt"))
+          else batchPk
+        zones.write(pkState, "work", "pk_state")
+        val pkRow = batchCounts
+          .filter(col("check_name") === "isPrimaryKey")
+          .drop("num_violated_rows", "num_denominator_rows")
+          .crossJoin(broadcast(zones.read(s, "work", "pk_state").agg(
+            (sum(col("cnt")) - count(lit(1))).cast("long").as("num_violated_rows"),
+            sum(col("cnt")).cast("long").as("num_denominator_rows"))))
+        // (4) shape with the SAME shaping as the full battery and record
+        val battery = Dqd.shapeBattery(
+          zones.read(s, "work", "counts").unionByName(pkRow), thrDf)
+        Dqd.recordRun(s, zones, battery)
         ()
       }
       .option("checkpointLocation", ckpt)

@@ -176,6 +176,30 @@ class DqdChecksSpec extends SparkSpec {
     assert(rows >= 1000, s"battery shrank to $rows checks")
   }
 
+  test("battery count partials over disjoint fact slices merge to the full-scan counts") {
+    // the streaming-append shape: the fact table (obs) arrives in slices
+    // while the reference tables stay fixed; every slice-decomposable
+    // obs check's merged counts must equal the full scan's EXACTLY
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val nd = NonDecomposableChecks.toSeq
+    def countsWith(obs: DataFrame) =
+      fieldLevelCounts(model, tb => if (tb == "obs") obs else tables(tb), rules)
+        .filter(col("cdm_table_name") === "obs" && !col("check_name").isin(nd: _*))
+    def toMap(df: DataFrame) =
+      df.select("check_id", "num_violated_rows", "num_denominator_rows")
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val full = toMap(countsWith(tables("obs")))
+    val parts = Seq(0, 1).map(r =>
+      countsWith(tables("obs").filter(pmod(col("obs_id"), lit(2)) === r)))
+    val merged = toMap(mergeBatteryCounts(parts))
+    assert(full.nonEmpty && merged === full)
+    // an empty slice must not flip cdmTable back to 'missing' (min rule)
+    val withEmpty = toMap(mergeBatteryCounts(Seq(
+      countsWith(tables("obs")),
+      countsWith(tables("obs").filter(lit(false))))))
+    assert(withEmpty("table_cdmtable_obs") === full("table_cdmtable_obs"))
+  }
+
   test("the battery enumerates exactly the oracle's check set") {
     val oracleIds = "'(field|table|concept)_[A-Za-z]+_[A-Za-z0-9_]+'".r
     val sql = oracleSql(model, rules)
