@@ -837,6 +837,48 @@ object DqdChecks {
     (graft.Unions.balanced(perTable ++ crossDfs :+ constDf), thrDf)
   }
 
+  /** One incremental continuous-DQD micro-batch over a SINGLE-TABLE model:
+    * compute the battery count partials over the BATCH only, merge them
+    * into the stored per-check counts (`work/counts`, one bounded row per
+    * check), refresh the keyed pk state (`work/pk_state` — the distinct
+    * aggregate's streaming state), shape with the shared [[shapeBattery]],
+    * and record a run. Per-batch work is O(batch) for every
+    * slice-decomposable check plus a narrow (key, cnt) groupBy-sum for the
+    * pk check — never a rescan of the accumulated stream. Shared by
+    * stream_dqd_runs and the flat-cost soak.
+    */
+  def incrementalBatch(s: org.apache.spark.sql.SparkSession,
+      zones: graft.io.Zones, model: CdmModel, thrDf: DataFrame,
+      batch: DataFrame): Long = {
+    val table = model.tables.head
+    val batchCounts = fieldLevelCounts(model, _ => batch).localCheckpoint(true)
+    val decomposable =
+      batchCounts.filter(!col("check_name").isin(NonDecomposableChecks.toSeq: _*))
+    val merged =
+      if (zones.listTables(s, "work").contains("counts"))
+        mergeBatteryCounts(Seq(zones.read(s, "work", "counts"), decomposable))
+      else decomposable
+    zones.write(merged, "work", "counts")
+    val pkRows = model.pk(table).toSeq.map { pkCol =>
+      val batchPk = batch.groupBy(col(pkCol).as("__k")).agg(count(lit(1)).as("cnt"))
+      val pkState =
+        if (zones.listTables(s, "work").contains("pk_state"))
+          zones.read(s, "work", "pk_state").unionByName(batchPk)
+            .groupBy("__k").agg(sum(col("cnt")).as("cnt"))
+        else batchPk
+      zones.write(pkState, "work", "pk_state")
+      batchCounts
+        .filter(col("check_name") === "isPrimaryKey")
+        .drop("num_violated_rows", "num_denominator_rows")
+        .crossJoin(broadcast(zones.read(s, "work", "pk_state").agg(
+          (sum(col("cnt")) - count(lit(1))).cast("long").as("num_violated_rows"),
+          sum(col("cnt")).cast("long").as("num_denominator_rows"))))
+    }
+    val battery = shapeBattery(
+      pkRows.foldLeft(zones.read(s, "work", "counts"))(_ unionByName _), thrDf)
+    recordRun(s, zones, battery)
+  }
+
   /** Run-history store — the reference's `dqdashboard_runs` /
     * `dqdashboard_results` pair (`get_last_dqd_runs.sql.jinja`,
     * `get_dqd_run.sql.jinja`, `get_dqd_run_results.sql.jinja`): every run

@@ -780,38 +780,8 @@ object EventQueries {
       .option("maxFilesPerTrigger", 1).parquet(stagingDir)
     val q = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        val Dqd = graft.operators.DqdChecks
-        // (1) battery count partials over the BATCH only — O(batch)
-        val batchCounts = Dqd.fieldLevelCounts(streamDqdModel, _ => batch)
-          .localCheckpoint(true)
-        val nonDecomp = Dqd.NonDecomposableChecks.toSeq
-        // (2) merge the slice-decomposable rows into the stored per-check
-        // counts (bounded: one row per check)
-        val decomposable = batchCounts.filter(!col("check_name").isin(nonDecomp: _*))
-        val merged =
-          if (zones.listTables(s, "work").contains("counts"))
-            Dqd.mergeBatteryCounts(Seq(zones.read(s, "work", "counts"), decomposable))
-          else decomposable
-        zones.write(merged, "work", "counts")
-        // (3) the distinct-aggregate pk check re-derives from keyed count
-        // state (event_id, cnt): narrow two-column groupBy-sum merge
-        val batchPk = batch.groupBy(col("event_id")).agg(count(lit(1)).as("cnt"))
-        val pkState =
-          if (zones.listTables(s, "work").contains("pk_state"))
-            zones.read(s, "work", "pk_state").unionByName(batchPk)
-              .groupBy("event_id").agg(sum(col("cnt")).as("cnt"))
-          else batchPk
-        zones.write(pkState, "work", "pk_state")
-        val pkRow = batchCounts
-          .filter(col("check_name") === "isPrimaryKey")
-          .drop("num_violated_rows", "num_denominator_rows")
-          .crossJoin(broadcast(zones.read(s, "work", "pk_state").agg(
-            (sum(col("cnt")) - count(lit(1))).cast("long").as("num_violated_rows"),
-            sum(col("cnt")).cast("long").as("num_denominator_rows"))))
-        // (4) shape with the SAME shaping as the full battery and record
-        val battery = Dqd.shapeBattery(
-          zones.read(s, "work", "counts").unionByName(pkRow), thrDf)
-        Dqd.recordRun(s, zones, battery)
+        graft.operators.DqdChecks.incrementalBatch(
+          s, zones, streamDqdModel, thrDf, batch)
         ()
       }
       .option("checkpointLocation", ckpt)
