@@ -139,8 +139,18 @@ object OhdsiAchilles {
       "calendar_month"),
     CoreAnalysis(119L, "Number of observation periods by period type concept",
       "period_type_concept_id"),
+    CoreAnalysis(504L, "Distribution of age at death", isDist = true),
     CoreAnalysis(506L, "Distribution of age at death, by gender",
       "gender_concept_id", isDist = true),
+    // 511-514: the published death-to-last-event time distributions
+    CoreAnalysis(511L, "Distribution of time from death to last condition",
+      isDist = true),
+    CoreAnalysis(512L, "Distribution of time from death to last drug",
+      isDist = true),
+    CoreAnalysis(513L, "Distribution of time from death to last visit",
+      isDist = true),
+    CoreAnalysis(514L, "Distribution of time from death to last procedure",
+      isDist = true),
     CoreAnalysis(1815L,
       "Distribution of numeric values, by measurement_concept_id and unit_concept_id",
       "measurement_concept_id", "unit_concept_id", isDist = true)) ++
@@ -288,12 +298,21 @@ object OhdsiAchilles {
     Seq(
       CoreAnalysis(505L, "Number of death records, by death_type_concept_id",
         "death_type_concept_id"),
+      CoreAnalysis(509L, "Number of death records with invalid person_id"),
+      CoreAnalysis(510L,
+        "Number of death records outside valid observation period"),
       CoreAnalysis(715L, "Distribution of days_supply by drug_concept_id",
         "drug_concept_id", isDist = true),
       CoreAnalysis(716L, "Distribution of refills by drug_concept_id",
         "drug_concept_id", isDist = true),
       CoreAnalysis(717L, "Distribution of quantity by drug_concept_id",
         "drug_concept_id", isDist = true),
+      CoreAnalysis(291L, "Number of total persons that have at least x visit occurrences",
+        "visit_occurrence_count"),
+      CoreAnalysis(491L, "Number of total persons that have at least x condition occurrences",
+        "condition_occurrence_count"),
+      CoreAnalysis(691L, "Number of total persons that have at least x procedure occurrences",
+        "procedure_occurrence_count"),
       CoreAnalysis(791L, "Number of total persons that have at least x drug exposures",
         "drug_exposure_count"),
       CoreAnalysis(814L, "Number of observation records with no value (numeric or concept)"),
@@ -924,6 +943,39 @@ object OhdsiAchilles {
       if (!has(model, "death", "death_type_concept_id")) Nil
       else Seq(row(505L, col("death_type_concept_id"), load("death"), count(lit(1))))
 
+    // 509/510: the published death data-quality counts — death records
+    // with an invalid person_id, and death records outside any of the
+    // person's observation periods (anti-join / exists over the bounded
+    // per-person period list, same shape as the x07/x08 families)
+    val deathDq: Seq[DataFrame] = {
+      val inval =
+        if (!has(model, "death", "person_id") || !has(model, "person", "person_id")) Nil
+        else Seq(load("death")
+          .join(load("person").select(col("person_id")), Seq("person_id"), "left_anti")
+          .agg(count(lit(1)).as("count_value"))
+          .select(lit(509L).as("analysis_id"), lit("ALL").as("stratum_1"), nullS2,
+            col("count_value")))
+      val outside =
+        if (!has(model, "death", "person_id", "death_date") ||
+          !has(model, "observation_period", "person_id",
+            "observation_period_start_date", "observation_period_end_date")) Nil
+        else {
+          val ops = load("observation_period")
+            .groupBy(col("person_id"))
+            .agg(collect_list(struct(
+              col("observation_period_start_date").as("s"),
+              col("observation_period_end_date").as("e"))).as("__ops"))
+          Seq(load("death").filter(col("death_date").isNotNull)
+            .join(ops, Seq("person_id"), "left")
+            .agg(sum(when(col("__ops").isNull ||
+              !exists(col("__ops"), o => col("death_date") >= o.getField("s") &&
+                col("death_date") <= o.getField("e")), 1L).otherwise(0L)).as("count_value"))
+            .select(lit(510L).as("analysis_id"), lit("ALL").as("stratum_1"), nullS2,
+              col("count_value")))
+        }
+      inval ++ outside
+    }
+
     // 814: observation records carrying NO value at all (numeric or
     // concept) — the observation twin of measurement's 1814
     val obsNoValue: Seq[DataFrame] =
@@ -941,8 +993,9 @@ object OhdsiAchilles {
     // sum is a window over that bounded report, partitioned by analysis id
     // (never a global-order window over entity rows).
     val atLeastX: Seq[DataFrame] = {
-      val specs = Seq(("drug_exposure", 791L), ("observation", 891L),
-          ("measurement", 1891L))
+      val specs = Seq(("visit_occurrence", 291L), ("condition_occurrence", 491L),
+          ("procedure_occurrence", 691L), ("drug_exposure", 791L),
+          ("observation", 891L), ("measurement", 1891L))
         .filter { case (tb, _) => has(model, tb) &&
           model.columns(tb).contains("person_id") }
       if (specs.isEmpty) Nil
@@ -980,7 +1033,7 @@ object OhdsiAchilles {
       lit(null).cast("string").as("stratum_4"))
     val narrow = ((person.toSeq ++ obsPeriod.toSeq ++ payer.toSeq).flatten ++
       domains ++ costCounts ++ personFks ++ network.result() ++ cohortRows ++
-      measNoValue ++ deathType ++ obsNoValue ++ atLeastX ++ coocc ++ noteRows)
+      measNoValue ++ deathType ++ deathDq ++ obsNoValue ++ atLeastX ++ coocc ++ noteRows)
       .pipe(graft.Unions.balanced)
       .select(Seq(col("analysis_id"), col("stratum_1"), col("stratum_2")) ++ noS34 :+
         col("count_value"): _*)
@@ -1105,6 +1158,40 @@ object OhdsiAchilles {
           .select(col("gender_concept_id"),
             (year(col("death_date")) - col("year_of_birth")).cast("double").as("__v"))
         parts += stratHist(atDeath, 506L, col("gender_concept_id"))
+      }
+      // 504: distribution of age at death (the ungendered sibling of 506,
+      // public Achilles id — r10 catalog growth)
+      if (has(model, "death", "person_id", "death_date")) {
+        val atDeath = load("death")
+          .filter(col("death_date").isNotNull)
+          .join(yob, "person_id")
+          .select((year(col("death_date")) - col("year_of_birth"))
+            .cast("double").as("__v"))
+        parts += hist(atDeath, 504L)
+      }
+    }
+    // 511-514: distribution of time (days) from death to the person's LAST
+    // condition / drug / visit / procedure record (public Achilles ids;
+    // negative values surface post-mortem records, exactly what the
+    // published analyses exist to show). One map-side-combinable
+    // groupBy-max per event table, joined to the bounded death set.
+    if (has(model, "death", "person_id", "death_date")) {
+      val death = load("death").filter(col("death_date").isNotNull)
+        .select(col("person_id"), col("death_date"))
+      Seq(
+        (511L, "condition_occurrence", "condition_start_date"),
+        (512L, "drug_exposure", "drug_exposure_start_date"),
+        (513L, "visit_occurrence", "visit_start_date"),
+        (514L, "procedure_occurrence", "procedure_date")
+      ).foreach { case (id, tb, dateCol) =>
+        if (has(model, tb, "person_id", dateCol)) {
+          val lastEvt = load(tb).filter(col(dateCol).isNotNull)
+            .groupBy(col("person_id")).agg(max(col(dateCol)).as("__last"))
+          parts += hist(
+            death.join(lastEvt, "person_id")
+              .select(datediff(col("death_date"), col("__last"))
+                .cast("double").as("__v")), id)
+        }
       }
     }
     // 211 / 907 / 1007: duration distributions by concept (length of stay,

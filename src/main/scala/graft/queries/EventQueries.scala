@@ -1010,6 +1010,7 @@ object EventQueries {
         |(209, 'Number of visit occurrence records with end date < start date', NULL, NULL, NULL, NULL, 0),
         |(211, 'Distribution of length of stay, by visit_concept_id', 'visit_concept_id', NULL, NULL, NULL, 1),
         |(220, 'Number of visit occurrence records by visit occurrence start month', 'calendar_month', NULL, NULL, NULL, 0),
+        |(291, 'Number of total persons that have at least x visit occurrences', 'visit_occurrence_count', NULL, NULL, NULL, 0),
         |(300, 'Number of providers', NULL, NULL, NULL, NULL, 0),
         |(301, 'Number of providers by specialty', 'specialty_concept_id', NULL, NULL, NULL, 0),
         |(400, 'Number of persons with at least one condition occurrence, by condition_concept_id', 'condition_concept_id', NULL, NULL, NULL, 0),
@@ -1022,11 +1023,19 @@ object EventQueries {
         |(407, 'Number of condition occurrence records with invalid person_id', NULL, NULL, NULL, NULL, 0),
         |(408, 'Number of condition occurrence records outside valid observation period', NULL, NULL, NULL, NULL, 0),
         |(420, 'Number of condition occurrence records by condition occurrence start month', 'calendar_month', NULL, NULL, NULL, 0),
+        |(491, 'Number of total persons that have at least x condition occurrences', 'condition_occurrence_count', NULL, NULL, NULL, 0),
         |(500, 'Number of persons with at least one death, by cause_concept_id', 'cause_concept_id', NULL, NULL, NULL, 0),
         |(501, 'Number of death records, by cause_concept_id', 'cause_concept_id', NULL, NULL, NULL, 0),
         |(502, 'Number of persons by death start month, by cause_concept_id', 'cause_concept_id', 'calendar_month', NULL, NULL, 0),
+        |(504, 'Distribution of age at death', NULL, NULL, NULL, NULL, 1),
         |(505, 'Number of death records, by death_type_concept_id', 'death_type_concept_id', NULL, NULL, NULL, 0),
         |(506, 'Distribution of age at death, by gender', 'gender_concept_id', NULL, NULL, NULL, 1),
+        |(509, 'Number of death records with invalid person_id', NULL, NULL, NULL, NULL, 0),
+        |(510, 'Number of death records outside valid observation period', NULL, NULL, NULL, NULL, 0),
+        |(511, 'Distribution of time from death to last condition', NULL, NULL, NULL, NULL, 1),
+        |(512, 'Distribution of time from death to last drug', NULL, NULL, NULL, NULL, 1),
+        |(513, 'Distribution of time from death to last visit', NULL, NULL, NULL, NULL, 1),
+        |(514, 'Distribution of time from death to last procedure', NULL, NULL, NULL, NULL, 1),
         |(600, 'Number of persons with at least one procedure occurrence, by procedure_concept_id', 'procedure_concept_id', NULL, NULL, NULL, 0),
         |(601, 'Number of procedure occurrence records, by procedure_concept_id', 'procedure_concept_id', NULL, NULL, NULL, 0),
         |(602, 'Number of persons by procedure occurrence start month, by procedure_concept_id', 'procedure_concept_id', 'calendar_month', NULL, NULL, 0),
@@ -1037,6 +1046,7 @@ object EventQueries {
         |(607, 'Number of procedure occurrence records with invalid person_id', NULL, NULL, NULL, NULL, 0),
         |(608, 'Number of procedure occurrence records outside valid observation period', NULL, NULL, NULL, NULL, 0),
         |(620, 'Number of procedure occurrence records by procedure occurrence start month', 'calendar_month', NULL, NULL, NULL, 0),
+        |(691, 'Number of total persons that have at least x procedure occurrences', 'procedure_occurrence_count', NULL, NULL, NULL, 0),
         |(700, 'Number of persons with at least one drug exposure, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 0),
         |(701, 'Number of drug exposure records, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 0),
         |(702, 'Number of persons by drug exposure start month, by drug_concept_id', 'drug_concept_id', 'calendar_month', NULL, NULL, 0),
@@ -1148,7 +1158,7 @@ object EventQueries {
         |(2404, 'Number of persons with at least one specimen, by specimen_concept_id by calendar year by gender by age decile', 'specimen_concept_id', 'calendar_year', 'gender_concept_id', 'age_decile', 0),
         |(2405, 'Number of specimen records, by specimen_concept_id by specimen_type_concept_id', 'specimen_concept_id', 'specimen_type_concept_id', NULL, NULL, 0),
         |(2406, 'Distribution of age at first specimen, by specimen_concept_id', 'specimen_concept_id', NULL, NULL, NULL, 1)
-        |) AS t(analysis_id, analysis_name, stratum_1_name, stratum_2_name,
+        ) AS t(analysis_id, analysis_name, stratum_1_name, stratum_2_name,
         |       stratum_3_name, stratum_4_name, distribution)
         |ORDER BY analysis_id""".stripMargin,
     "stream_windowed_counts" ->

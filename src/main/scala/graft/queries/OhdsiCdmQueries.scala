@@ -1500,8 +1500,31 @@ object OhdsiCdmQueries {
       |  SELECT 505, CAST(death_type_concept_id AS VARCHAR), NULL, count(*)
       |  FROM death GROUP BY 2
       |  UNION ALL
+      |  SELECT 509, 'ALL', NULL, count(*) FROM death d
+      |  WHERE NOT EXISTS (SELECT 1 FROM person p WHERE p.person_id = d.person_id)
+      |  UNION ALL
+      |  SELECT 510, 'ALL', NULL, count(*) FROM death d
+      |  WHERE d.death_date IS NOT NULL AND NOT EXISTS (
+      |    SELECT 1 FROM obs op WHERE op.person_id = d.person_id
+      |      AND d.death_date >= op.op_start AND d.death_date <= op.op_end)
+      |  UNION ALL
       |  SELECT 814, 'ALL', NULL, count(*) FROM obsv
       |  WHERE value_as_number IS NULL AND value_as_concept_id IS NULL
+      |  UNION ALL
+      |  SELECT 291, CAST(c AS VARCHAR), NULL,
+      |    CAST(sum(n) OVER (ORDER BY c DESC) AS BIGINT)
+      |  FROM (SELECT cnt AS c, count(*) AS n FROM
+      |    (SELECT person_id, count(*) AS cnt FROM visit GROUP BY 1) GROUP BY 1)
+      |  UNION ALL
+      |  SELECT 491, CAST(c AS VARCHAR), NULL,
+      |    CAST(sum(n) OVER (ORDER BY c DESC) AS BIGINT)
+      |  FROM (SELECT cnt AS c, count(*) AS n FROM
+      |    (SELECT person_id, count(*) AS cnt FROM cond GROUP BY 1) GROUP BY 1)
+      |  UNION ALL
+      |  SELECT 691, CAST(c AS VARCHAR), NULL,
+      |    CAST(sum(n) OVER (ORDER BY c DESC) AS BIGINT)
+      |  FROM (SELECT cnt AS c, count(*) AS n FROM
+      |    (SELECT person_id, count(*) AS cnt FROM proc GROUP BY 1) GROUP BY 1)
       |  UNION ALL
       |  SELECT 791, CAST(c AS VARCHAR), NULL,
       |    CAST(sum(n) OVER (ORDER BY c DESC) AS BIGINT)
@@ -1664,6 +1687,26 @@ object OhdsiCdmQueries {
       |  SELECT 506, CAST(gender_concept_id AS VARCHAR), NULL,
       |    CAST(year(death_date) - year_of_birth AS DOUBLE)
       |  FROM death JOIN person USING (person_id)
+      |  UNION ALL
+      |  SELECT 504, 'ALL', NULL,
+      |    CAST(year(death_date) - year_of_birth AS DOUBLE)
+      |  FROM death JOIN person USING (person_id)
+      |  UNION ALL
+      |  SELECT 511, 'ALL', NULL, CAST(datediff('day', l, death_date) AS DOUBLE)
+      |  FROM (SELECT person_id, max(condition_start_date) AS l FROM cond GROUP BY 1)
+      |  JOIN death USING (person_id)
+      |  UNION ALL
+      |  SELECT 512, 'ALL', NULL, CAST(datediff('day', l, death_date) AS DOUBLE)
+      |  FROM (SELECT person_id, max(ds) AS l FROM drug GROUP BY 1)
+      |  JOIN death USING (person_id)
+      |  UNION ALL
+      |  SELECT 513, 'ALL', NULL, CAST(datediff('day', l, death_date) AS DOUBLE)
+      |  FROM (SELECT person_id, max(visit_start_date) AS l FROM visit GROUP BY 1)
+      |  JOIN death USING (person_id)
+      |  UNION ALL
+      |  SELECT 514, 'ALL', NULL, CAST(datediff('day', l, death_date) AS DOUBLE)
+      |  FROM (SELECT person_id, max(procedure_date) AS l FROM proc GROUP BY 1)
+      |  JOIN death USING (person_id)
       |  UNION ALL
       |  SELECT 1815, CAST(measurement_concept_id AS VARCHAR),
       |    CAST(unit_concept_id AS VARCHAR), value_as_number

@@ -66,7 +66,7 @@ class OhdsiAchillesSpec extends SparkSpec {
 
   test("analysisCatalog carries the literal core id set") {
     val cat = OhdsiAchilles.analysisCatalog(spark).collect()
-    assert(cat.length === 179)
+    assert(cat.length === 189)
     val ids = cat.map(_.getLong(0))
     assert(ids.sorted.toSeq === ids.toSeq) // ordered by analysis_id
     for (core <- Seq(1L, 2L, 101L, 105L, 108L, 109L, 110L, 111L, 114L, 115L,
@@ -79,6 +79,8 @@ class OhdsiAchillesSpec extends SparkSpec {
         2000L, 2001L, 2002L, 2200L, 2201L,
         // the specimen tier
         2400L, 2401L, 2402L, 2403L, 2404L, 2405L, 2406L,
+        // the round-10 additions
+        291L, 491L, 691L, 504L, 509L, 510L, 511L, 512L, 513L, 514L,
         // the round-9 parity additions
         10L, 12L, 118L, 505L, 715L, 716L, 717L, 791L, 814L, 815L, 891L, 1891L, 2004L))
       assert(ids.contains(core), s"missing core id $core")
@@ -88,7 +90,7 @@ class OhdsiAchillesSpec extends SparkSpec {
     assert(a404.getString(3) === "calendar_year")
     assert(a404.getString(4) === "gender_concept_id")
     assert(a404.getString(5) === "age_decile")
-    assert(!ids.contains(504L)) // death has no x04 slot here
+    // 504 is now the published age-at-death dist (r10), not an x04 slot
     // era tables carry NO x07/x20 (those published slots differ there)
     for (absent <- Seq(507L, 520L, 907L + 13L, 920L, 1020L))
       assert(!ids.contains(absent), s"unexpected id $absent")
@@ -97,6 +99,7 @@ class OhdsiAchillesSpec extends SparkSpec {
       203L, 403L, 603L, 703L, 803L, 903L, 1003L, 1803L, 2103L, 2403L,
       206L, 406L, 606L, 706L, 806L, 906L, 1006L, 1806L, 2106L, 2406L,
       211L, 506L, 907L, 1007L, 1815L, 1816L, 1817L,
+      504L, 511L, 512L, 513L, 514L,
       715L, 716L, 717L, 815L) ++
       // the cost amount dist blocks (1502-1507 drug, 1602-1607 procedure)
       (2L to 7L).flatMap(off => Seq(1500L + off, 1600L + off)).toSet)

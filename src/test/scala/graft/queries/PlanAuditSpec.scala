@@ -27,13 +27,14 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("the fused ohdsi batteries stay near two passes per domain table") {
-    // 167 analyses ride ~117 exchanges (two grouping-sets passes per domain
-    // table + the fixed person/obs-period/cost branches + the care-network
-    // tier's ~15 small-dimension aggregates + the r9 additions: the
-    // two-strata person demographics, 505/814, and the x91 cumulative
-    // series' 3 bounded histograms+window) — the unfused
-    // one-scan-per-analysis shape costs 200+. The caps (measured + ~10%
-    // margin) fail if an analysis family falls out of its shared pass.
+    // the literal catalog's analyses ride ~129 exchanges (two grouping-sets
+    // passes per domain table + the fixed person/obs-period/cost branches
+    // + the care-network tier's ~15 small-dimension aggregates + the r9
+    // additions + the r10 additions: three more x91 cumulative histograms,
+    // the 509/510 death DQ joins, and the 504/511-514 death-time dists) —
+    // the unfused one-scan-per-analysis shape costs 200+. The caps
+    // (measured + ~10% margin) fail if a family falls out of its shared
+    // pass.
     // audit the RAW battery plans — the registered queries now read the
     // stored report (run-once-store), whose plan is a trivial parquet scan
     val load = OhdsiCdmQueries.materialized(spark, Sf)
@@ -41,12 +42,12 @@ class PlanAuditSpec extends SparkSpec {
       .cdmCoreResults(OhdsiCdmQueries.derivedModel, load)
       .queryExecution.executedPlan.toString
     val cx = pc.linesIterator.count(_.contains("- Exchange"))
-    assert(cx <= 128, s"ohdsi_core_counts exchanges grew to $cx — a family left its fused pass")
+    assert(cx <= 142, s"ohdsi_core_counts exchanges grew to $cx — a family left its fused pass")
     val pd = graft.operators.OhdsiAchilles
       .cdmCoreDistResults(OhdsiCdmQueries.derivedModel, load)
       .queryExecution.executedPlan.toString
     val dx = pd.linesIterator.count(_.contains("- Exchange"))
-    assert(dx <= 88, s"ohdsi_core_dist exchanges grew to $dx")
+    assert(dx <= 110, s"ohdsi_core_dist exchanges grew to $dx")
   }
 
   test("semantic dedup pair join carries the hash-block keys (bounded task width)") {
