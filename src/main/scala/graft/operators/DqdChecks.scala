@@ -44,6 +44,9 @@ import org.apache.spark.sql.functions._
   *  - `plausibleStartBeforeEnd` (FIELD, Plausibility): same-row start>end
   *  - `plausibleDuringLife` (FIELD, Plausibility): a date more than 60 days
   *     after the person's death-table date
+  *  - `plausibleBeforeDeath` (FIELD, Plausibility): DQD 2.6's renamed
+  *     reimplementation of plausibleDuringLife (`data_quality.py:113`
+  *     deprecation) — same 60-day-grace machinery, modern check id
   *  - `withinVisitDates` (FIELD, Plausibility): an event date outside its
   *     visit parent's [start-slack, end+slack] window
   *  - `plausibleGender` (CONCEPT, Plausibility): records of a
@@ -132,7 +135,8 @@ object DqdChecks {
     * exceed the death date by more than `graceDays` (DQD: 60).
     */
   final case class DuringLifeRule(table: String, field: String, fkCol: String,
-      deathTable: String, deathKey: String, deathDateField: String, graceDays: Int = 60)
+      deathTable: String, deathKey: String, deathDateField: String, graceDays: Int = 60,
+      name: String = "plausibleDuringLife")
 
   /** A concept-attribute conformance rule — the shared shape of DQD's
     * `isStandardValidConcept` (attr standard_concept='S' AND invalid_reason
@@ -258,6 +262,12 @@ object DqdChecks {
     * person_id): every date field of every person-child table, graced by
     * DQD's 60 days.
     */
+  /** The DQD 2.6 battery's modern name for the duringLife machinery
+    * (`plausibleBeforeDeath`, data_quality.py:113's deprecation notice).
+    */
+  def beforeDeathRules(model: CdmModel): Seq[DuringLifeRule] =
+    duringLifeRules(model).map(_.copy(name = "plausibleBeforeDeath"))
+
   def duringLifeRules(model: CdmModel): Seq[DuringLifeRule] =
     if (!model.tables.contains("death")) Nil
     else model.tables
@@ -485,7 +495,7 @@ object DqdChecks {
       val f = col(r.field)
       val dd = col(s"__dl_dt_${r.fkCol}")
       val grace = expr(s"INTERVAL ${r.graceDays} DAY")
-      Check("plausibleDuringLife", "FIELD", "Plausibility", table, r.field,
+      Check(r.name, "FIELD", "Plausibility", table, r.field,
         sum(when(f.isNotNull && dd.isNotNull && f > dd + grace, 1L).otherwise(0L)),
         sum(when(f.isNotNull && dd.isNotNull, 1L).otherwise(0L)),
         parent = Some((r.deathTable, r.deathKey)), fkCol = Some(r.fkCol),
@@ -1021,7 +1031,7 @@ object DqdChecks {
             (s"count(*) FILTER (WHERE s.${c.field} IS NOT NULL AND p.__vs IS NOT NULL AND p.__ve IS NOT NULL AND (s.${c.field} < p.__vs - INTERVAL $d DAY OR s.${c.field} > p.__ve + INTERVAL $d DAY))",
               s"count(*) FILTER (WHERE s.${c.field} IS NOT NULL AND p.__vs IS NOT NULL AND p.__ve IS NOT NULL)",
               s"${c.table} s LEFT JOIN (SELECT DISTINCT $parentPk AS __pk, ${c.parentField.get} AS __vs, ${c.endField.get} AS __ve FROM $parent) p ON s.${c.fkCol.get} = p.__pk")
-          case "plausibleDuringLife" =>
+          case "plausibleDuringLife" | "plausibleBeforeDeath" =>
             val (dTb, dKey) = c.parent.get
             val d = c.days.get
             (s"count(*) FILTER (WHERE s.${c.field} IS NOT NULL AND p.__dd IS NOT NULL AND s.${c.field} > p.__dd + INTERVAL $d DAY)",

@@ -308,7 +308,10 @@ object LifecycleQueries {
       startEnd = Dqd.startEndRules(m),
       completeness = Dqd.personCompletenessRules(m),
       temporal = Dqd.afterBirthRules(m),
-      duringLife = Dqd.duringLifeRules(m),
+      // both the deprecated name and DQD 2.6's plausibleBeforeDeath
+      // reimplementation run (the reference's battery carries the modern
+      // check id; data_quality.py:113)
+      duringLife = Dqd.duringLifeRules(m) ++ Dqd.beforeDeathRules(m),
       withinVisit = Dqd.withinVisitRules(m),
       conceptAttrs = Dqd.standardConceptRules(m) ++ Seq(
         Dqd.ConceptAttrRule("fkClass", "drug_era", "drug_concept_id",
