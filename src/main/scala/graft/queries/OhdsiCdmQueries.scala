@@ -810,6 +810,94 @@ object OhdsiCdmQueries {
       |) denominator
       |;""".stripMargin
 
+  /** The published DQD CONCEPT-level `concept_plausible_gender.sql`
+    * template shape (OHDSI DataQualityDashboard `inst/sql/sql_server` —
+    * header comment with the parameter manifest, COUNT_BIG, the
+    * violatedRowsBegin/End markers, comma-joined derived tables, the
+    * `{'@plausibleGender' == 'Male'}?{8507}:{8532}` SqlRender if-else, the
+    * cohort conditionals, trailing semicolon), driven end-to-end through
+    * the bridge with a real `@conceptId` — the r9 verdict's prescribed
+    * second verbatim template, proving the numeric-literal typing fix
+    * generalizes past `field_is_not_nullable.sql`.
+    */
+  private val ConceptPlausibleGenderSql =
+    """
+      |/*********
+      |CONCEPT LEVEL check:
+      |PLAUSIBLE_GENDER - number of records of a specific concept which occur in persons with implausible gender for that concept
+      |
+      |Parameters used in this template:
+      |cdmDatabaseSchema = @cdmDatabaseSchema
+      |cdmTableName = @cdmTableName
+      |cdmFieldName = @cdmFieldName
+      |conceptId = @conceptId
+      |plausibleGender = @plausibleGender
+      |{@cohort & '@runForCohort' == 'Yes'}?{
+      |cohortDefinitionId = @cohortDefinitionId
+      |cohortDatabaseSchema = @cohortDatabaseSchema
+      |cohortTableName = @cohortTableName
+      |}
+      |**********/
+      |
+      |SELECT num_violated_rows,
+      |	CASE
+      |		WHEN denominator.num_rows = 0 THEN 0
+      |		ELSE 1.0*num_violated_rows/denominator.num_rows
+      |	END AS pct_violated_rows,
+      |	denominator.num_rows AS num_denominator_rows
+      |FROM (
+      |	SELECT COUNT_BIG(violated_rows.violating_field) AS num_violated_rows
+      |	FROM (
+      |		/*violatedRowsBegin*/
+      |		SELECT '@cdmTableName.@cdmFieldName' AS violating_field, cdmTable.*
+      |		FROM @cdmDatabaseSchema.@cdmTableName cdmTable
+      |		JOIN @cdmDatabaseSchema.person p ON cdmTable.person_id = p.person_id
+      |		{@cohort & '@runForCohort' == 'Yes'}?{
+      |		JOIN @cohortDatabaseSchema.@cohortTableName c
+      |			ON cdmTable.person_id = c.subject_id
+      |			AND c.cohort_definition_id = @cohortDefinitionId
+      |		}
+      |		WHERE cdmTable.@cdmFieldName = @conceptId
+      |			AND p.gender_concept_id <> {'@plausibleGender' == 'Male'}?{8507}:{8532}
+      |		/*violatedRowsEnd*/
+      |	) violated_rows
+      |) violated_row_count,
+      |(
+      |	SELECT COUNT_BIG(*) AS num_rows
+      |	FROM @cdmDatabaseSchema.@cdmTableName cdmTable
+      |	JOIN @cdmDatabaseSchema.person p ON cdmTable.person_id = p.person_id
+      |	{@cohort & '@runForCohort' == 'Yes'}?{
+      |	JOIN @cohortDatabaseSchema.@cohortTableName c
+      |		ON cdmTable.person_id = c.subject_id
+      |		AND c.cohort_definition_id = @cohortDefinitionId
+      |	}
+      |	WHERE cdmTable.@cdmFieldName = @conceptId
+      |) denominator
+      |;""".stripMargin
+
+  /** The concept-level template over the DERIVED CDM universe: concept
+    * 201826 declared Male-plausible, so every condition row of a
+    * gender-8532 person violates — real nonzero counts through the
+    * bridge's render -> translate -> execute flow.
+    */
+  val ohdsiSqlConceptCheck: Q = (s, d) => {
+    val load = materialized(s, d)
+    load("person").createOrReplaceGlobalTempView("person")
+    load("condition_occurrence")
+      .createOrReplaceGlobalTempView("dqd_cc_condition_occurrence")
+    graft.sources.OhdsiSql.execute(s, ConceptPlausibleGenderSql,
+      params = Map(
+        "cohort" -> "false", "runForCohort" -> "No",
+        "cdmDatabaseSchema" -> "global_temp",
+        "cdmTableName" -> "dqd_cc_condition_occurrence",
+        "cdmFieldName" -> "condition_concept_id",
+        "conceptId" -> "201826",
+        "plausibleGender" -> "Male",
+        "cohortDefinitionId" -> "0",
+        "cohortDatabaseSchema" -> "unused",
+        "cohortTableName" -> "unused"))
+  }
+
   val ohdsiSqlDqdCheck: Q = (s, d) => {
     t(s, d, "orders").createOrReplaceGlobalTempView("dqd_check_orders")
     graft.sources.OhdsiSql.execute(s, FieldIsNotNullableSql,
@@ -824,6 +912,7 @@ object OhdsiCdmQueries {
   }
 
   val defs: Seq[(String, Q)] = Seq(
+    "ohdsi_sql_concept_check" -> ohdsiSqlConceptCheck,
     "ohdsi_sql_dqd_check" -> ohdsiSqlDqdCheck,
     "dqd_cohort_battery" -> dqdCohortBattery,
     "ohdsi_core_counts" -> ohdsiCoreCounts,
@@ -1985,6 +2074,24 @@ object OhdsiCdmQueries {
   }
 
   val oracles: Seq[(String, String)] = Seq(
+    "ohdsi_sql_concept_check" ->
+      s"""WITH $deriveSql,
+         |vr AS (
+         |  SELECT count(*) AS num_violated_rows
+         |  FROM cond c JOIN person p USING (person_id)
+         |  WHERE c.condition_concept_id = 201826 AND p.gender_concept_id <> 8507
+         |),
+         |dn AS (
+         |  SELECT count(*) AS num_rows
+         |  FROM cond c JOIN person p USING (person_id)
+         |  WHERE c.condition_concept_id = 201826
+         |)
+         |SELECT CAST(vr.num_violated_rows AS BIGINT) AS num_violated_rows,
+         |  CAST(CASE WHEN dn.num_rows = 0 THEN 0
+         |    ELSE 1.0 * vr.num_violated_rows / dn.num_rows END AS DOUBLE)
+         |    AS pct_violated_rows,
+         |  CAST(dn.num_rows AS BIGINT) AS num_denominator_rows
+         |FROM vr CROSS JOIN dn""".stripMargin,
     "ohdsi_sql_dqd_check" ->
       """SELECT CAST(v.num_violated_rows AS BIGINT) AS num_violated_rows,
         |  CAST(CASE WHEN d.num_rows = 0 THEN 0
