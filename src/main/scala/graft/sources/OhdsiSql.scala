@@ -19,7 +19,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     `make_date`, `DATEADD(day|month|year, n, d)` ->
   *     `date_add`/`add_months`, `DATEDIFF(day, a, b)` -> `datediff(b, a)`
   *     (argument order flips), `CHARINDEX(needle, hay)` ->
-  *     `instr(hay, needle)`, `#temp` -> session temp views;
+  *     `instr(hay, needle)`, `IIF` -> `if`, `DATEPART` ->
+  *     `year/month/day`, `STDEV`/`VAR` -> `stddev_samp`/`var_samp`,
+  *     `SQUARE(x)` -> `x*x`, `CONVERT(type, x)` -> `CAST(x AS type)`,
+  *     `WITH (NOLOCK)` dropped, `[ident]` -> backtick quoting, bare float
+  *     literals -> `CAST(... AS DOUBLE)` (SqlRender target dialects type
+  *     them as floats), `#temp` -> session temp views;
   *   - execute: `;`-separated statements — `IF OBJECT_ID .. DROP TABLE`
   *     / `DROP TABLE` manage the temp views, `SELECT .. INTO #t`
   *     materializes one, and the final `SELECT` returns the frame.
@@ -154,10 +159,11 @@ object OhdsiSql {
       val (unit, n, d) = (m.group(1).toLowerCase, m.group(2).trim, m.group(3).trim)
       java.util.regex.Matcher.quoteReplacement(unit match {
         case "day" | "dd" | "d" => s"date_add($d, $n)"
+        case "week" | "wk" | "ww" => s"date_add($d, 7 * ($n))"
         case "month" | "mm" | "m" => s"add_months($d, $n)"
         case "year" | "yy" | "yyyy" => s"add_months($d, 12 * ($n))"
         case other => throw new IllegalArgumentException(
-          s"unsupported DATEADD datepart '$other' (subset: day, month, year)")
+          s"unsupported DATEADD datepart '$other' (subset: day, week, month, year)")
       })
     })
     s = ci(raw"\bDATEDIFF\s*\(\s*(\w+)\s*,\s*$arg\s*,\s*$arg\s*\)").replaceAllIn(s, m => {
@@ -187,6 +193,28 @@ object OhdsiSql {
       })
     })
     s = ci(raw"\bSTDEV\s*\(").replaceAllIn(s, "stddev_samp(")
+    s = ci(raw"\bVAR\s*\(").replaceAllIn(s, "var_samp(")
+    // CONVERT(type, expr) -> CAST(expr AS type); VARCHAR(n)/DATETIME map
+    // to Spark types the way SqlRender's target dialects render them
+    s = ci(raw"\bCONVERT\s*\(\s*(\w+(?:\s*\(\s*\d+\s*\))?)\s*,\s*$arg\s*\)")
+      .replaceAllIn(s, m => {
+        val ty = m.group(1).replaceAll(raw"\s+", "").toUpperCase match {
+          case t if t.startsWith("VARCHAR") || t.startsWith("NVARCHAR") => "STRING"
+          case "DATETIME" | "DATETIME2" => "TIMESTAMP"
+          case "BIGINT" => "BIGINT"
+          case "INT" | "INTEGER" => "INT"
+          case "FLOAT" => "DOUBLE"
+          case "DATE" => "DATE"
+          case other => throw new IllegalArgumentException(
+            s"unsupported CONVERT target type '$other' (subset: VARCHAR, " +
+              "DATETIME, BIGINT, INT, FLOAT, DATE)")
+        }
+        java.util.regex.Matcher.quoteReplacement(s"CAST(${m.group(2).trim} AS $ty)")
+      })
+    // SQL Server table hints have no Spark meaning — drop them
+    s = ci(raw"\bWITH\s*\(\s*NOLOCK\s*\)").replaceAllIn(s, "")
+    // [bracketed] identifiers -> backtick-quoted (SqlRender's dialect quote)
+    s = raw"\[([A-Za-z_][A-Za-z0-9_]*)\]".r.replaceAllIn(s, "`$1`")
     s = ci(raw"\bSQUARE\s*\(\s*$arg\s*\)").replaceAllIn(s, m =>
       java.util.regex.Matcher.quoteReplacement(s"((${m.group(1).trim}) * (${m.group(1).trim}))"))
     // leftover detection: DATEADD/CHARINDEX never appear in our output

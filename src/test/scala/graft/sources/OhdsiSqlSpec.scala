@@ -63,6 +63,20 @@ class OhdsiSqlSpec extends SparkSpec {
       === "SELECT 10, tbl.col, 'v1.5 & more' FROM t LIMIT 5")
   }
 
+  test("translate covers the r10 dialect additions") {
+    assert(OhdsiSql.translate("SELECT CONVERT(VARCHAR(10), a), CONVERT(BIGINT, b) FROM t")
+      === "SELECT CAST(a AS STRING), CAST(b AS BIGINT) FROM t")
+    assert(OhdsiSql.translate("SELECT VAR(x) FROM t WITH (NOLOCK)")
+      === "SELECT var_samp(x) FROM t ")
+    assert(OhdsiSql.translate("SELECT [person_id] FROM [person]")
+      === "SELECT `person_id` FROM `person`")
+    assert(OhdsiSql.translate("SELECT DATEADD(week, 2, d) FROM t")
+      === "SELECT date_add(d, 7 * (2)) FROM t")
+    val e = intercept[IllegalArgumentException](
+      OhdsiSql.translate("SELECT CONVERT(MONEY, a) FROM t"))
+    assert(e.getMessage.contains("CONVERT"))
+  }
+
   test("render condition splitting is quote-aware") {
     // a substituted value containing '&' or '|' must stay one term
     assert(OhdsiSql.render("{'@v' == 'a&b'}?{K}:{E}", Map("v" -> "a&b")) === "K")
