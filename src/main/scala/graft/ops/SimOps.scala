@@ -888,6 +888,47 @@ object SimOps {
         col("__dropped").isNull.as("is_kept"))
   }
 
+  /** Incremental SemDeDup ADMISSION — the semantic twin of the MinHash
+    * band-index admission ([[graft.ops.DedupOps.incrementalDedup]]): a
+    * batch of new vectors is admitted unless some KEPT corpus member in
+    * its assigned cluster is within `threshold` cosine. The corpus
+    * assignments are computed once here (in production they ARE the stored
+    * SemDeDup output — a zone table); each batch pays its own centroid
+    * assignment plus ONE cluster-keyed equi-join against the stored
+    * assignments — per-batch cost O(batch x cluster occupancy), never a
+    * corpus rescan and never an all-pairs join. All similarity compares
+    * and outputs read the micro-quantized LONG (cross-engine exactness).
+    *
+    * @return one row per batch item: (item_id, centroid_id, admitted,
+    *         dup_of, best_sim) — dup_of/best_sim NULL for admitted items.
+    */
+  def semDedupAdmit(
+      corpus: DataFrame,
+      batch: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val cents = broadcast(centroids.select(
+      col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("centroid_vec")))
+    val corpusA = assignToCentroids(corpus, cents, idCol, vecCol, "corpus_id", "__cv", keep = 1)
+    val batchA = assignToCentroids(batch, cents, idCol, vecCol, "item_id", "__bv", keep = 1)
+    val tm = math.round(threshold * 1e6)
+    val best = batchA.join(corpusA, Seq("centroid_id"))
+      .withColumn("__sq", quantMicro(cosine(col("__bv"), col("__cv"))))
+      .filter(col("__sq") >= tm)
+      .groupBy(col("item_id"))
+      // max over (sim, -corpus_id): highest similarity, smallest id on ties
+      .agg(max(struct(col("__sq"), (-col("corpus_id")).as("__nid"))).as("__b"))
+      .select(col("item_id"), (-col("__b.__nid")).as("dup_of"),
+        (col("__b.__sq").cast("double") / lit(1e6)).as("best_sim"))
+    batchA.select(col("item_id"), col("centroid_id"))
+      .join(best, Seq("item_id"), "left")
+      .select(col("item_id"), col("centroid_id"),
+        col("dup_of").isNull.cast("long").as("admitted"),
+        col("dup_of"), col("best_sim"))
+  }
+
   def lshTopK(
       corpus: DataFrame,
       queries: DataFrame,

@@ -552,6 +552,20 @@ object LlmQueries {
       .orderBy("item_id")
   }
 
+  /** Incremental SemDeDup admission ([[SimOps.semDedupAdmit]]): the batch
+    * (every 10th vector) probes the stored cluster assignments of the
+    * kept corpus — the semantic sibling of [[dedupIncremental]].
+    */
+  val dedupSemanticIncremental: Q = (s, d) => {
+    val e = t(s, d, "embeddings")
+    SimOps.semDedupAdmit(
+      e.filter(col("vec_id") % 10 =!= 0),
+      e.filter(col("vec_id") % 10 === 0),
+      e.filter(col("vec_id") % 50 === 25),
+      "vec_id", "embedding", threshold = 0.2)
+      .orderBy("item_id")
+  }
+
   /** DSIR importance resampling (SelectOps.dsirSelect): hashed uni+bigram
     * features, target = the English documents, raw pool = the rest; plain
     * top-100 and deterministic Gumbel-top-100 selections, every raw doc's
@@ -1157,6 +1171,7 @@ object LlmQueries {
     "sim_ivfpq_recall" -> simIvfPqRecall,
     "dedup_embed_cosine" -> dedupEmbedCosine,
     "dedup_semantic" -> dedupSemantic,
+    "dedup_semantic_incremental" -> dedupSemanticIncremental,
     "text_bm25_topk" -> textBm25Topk,
     "corpus_dsir_select" -> corpusDsirSelect,
     "text_bpe_tokens" -> textBpeTokens,
@@ -2563,6 +2578,49 @@ object LlmQueries {
          |FROM (SELECT vec_id AS query_id FROM p WHERE vec_id % 100 = 0) qq
          |LEFT JOIN hits h USING (query_id)
          |ORDER BY qq.query_id""".stripMargin,
+    "dedup_semantic_incremental" ->
+      """WITH cent AS (
+        |  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv FROM embeddings
+        |  WHERE vec_id % 50 = 25
+        |),
+        |corpus AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings WHERE vec_id % 10 <> 0),
+        |batchv AS (SELECT vec_id AS item_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings WHERE vec_id % 10 = 0),
+        |ca AS (
+        |  SELECT corpus_id, v, centroid_id,
+        |    row_number() OVER (PARTITION BY corpus_id ORDER BY csim DESC, centroid_id) AS crk
+        |  FROM (SELECT corpus_id, v, centroid_id,
+        |      list_dot_product(v, cv)
+        |        / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) AS csim
+        |    FROM corpus CROSS JOIN cent)
+        |),
+        |ba AS (
+        |  SELECT item_id, v, centroid_id,
+        |    row_number() OVER (PARTITION BY item_id ORDER BY csim DESC, centroid_id) AS crk
+        |  FROM (SELECT item_id, v, centroid_id,
+        |      list_dot_product(v, cv)
+        |        / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) AS csim
+        |    FROM batchv CROSS JOIN cent)
+        |),
+        |cnd AS (
+        |  SELECT b.item_id, c.corpus_id,
+        |    CAST(floor(list_dot_product(b.v, c.v)
+        |      / (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(c.v, c.v))) * 1e6 + 0.5) AS BIGINT) AS sq
+        |  FROM (SELECT * FROM ba WHERE crk = 1) b
+        |  JOIN (SELECT * FROM ca WHERE crk = 1) c USING (centroid_id)
+        |),
+        |best AS (
+        |  SELECT item_id, corpus_id AS dup_of, sq,
+        |    row_number() OVER (PARTITION BY item_id ORDER BY sq DESC, corpus_id) AS rk
+        |  FROM cnd WHERE sq >= 200000
+        |)
+        |SELECT b.item_id, b.centroid_id,
+        |  CAST(w.dup_of IS NULL AS BIGINT) AS admitted,
+        |  w.dup_of, CAST(w.sq AS DOUBLE) / 1e6 AS best_sim
+        |FROM (SELECT item_id, centroid_id FROM ba WHERE crk = 1) b
+        |LEFT JOIN (SELECT item_id, dup_of, sq FROM best WHERE rk = 1) w USING (item_id)
+        |ORDER BY b.item_id""".stripMargin,
     "dedup_semantic" ->
       """WITH corpus AS (SELECT vec_id AS item_id, embedding::DOUBLE[] AS iv FROM embeddings),
         |cent AS (
