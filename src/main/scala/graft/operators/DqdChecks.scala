@@ -868,7 +868,9 @@ object DqdChecks {
       if (zones.listTables(s, "work").contains("counts"))
         mergeBatteryCounts(Seq(zones.read(s, "work", "counts"), decomposable))
       else decomposable
-    zones.write(merged, "work", "counts")
+    // bounded report (one row per check) — one output file, not one per
+    // shuffle partition
+    zones.write(merged.coalesce(1), "work", "counts")
     val pkRows = model.pk(table).toSeq.map { pkCol =>
       val batchPk = batch.groupBy(col(pkCol).as("__k")).agg(count(lit(1)).as("cnt"))
       val pkState =

@@ -46,6 +46,25 @@ class SemDedupSpec extends SparkSpec {
     assert(kept(4L) && !kept(5L))
   }
 
+  test("semDedupAdmit rejects near-dups of kept members, admits novel vectors") {
+    val batch = Seq(
+      (101L, Seq(0.999f, 0.03f, 0.0f, 0.0f)), // near-dup of corpus 1/2 (cluster A)
+      (102L, Seq(0.0f, 0.0f, 0.0f, 1.0f)),    // orthogonal to everything -> novel
+      (103L, Seq(0.0f, 0.0f, 1.0f, 0.0f))     // identical to corpus 4/5 (cluster B)
+    ).toDF("vec_id", "embedding")
+    val out = SimOps.semDedupAdmit(corpus, batch, centroids,
+        "vec_id", "embedding", threshold = 0.95)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(out.keySet === Set(101L, 102L, 103L))
+    // 101 rejected; best match is 2 (cos ~0.99995 beats 1's ~0.99955)
+    assert(out(101L) === ((0L, 2L)))
+    // 102 is admitted: nothing in its cluster is within threshold
+    assert(out(102L)._1 === 1L && out(102L)._2 === -1L)
+    // 103 ties 4 and 5 at cos 1.0 -> smallest kept id wins the report
+    assert(out(103L) === ((0L, 4L)))
+  }
+
   test("every corpus vector appears exactly once with its cluster") {
     val out = SimOps.semDedup(corpus, centroids, "vec_id", "embedding", 0.95).collect()
     assert(out.length == 5)
