@@ -509,10 +509,6 @@ object AchillesGen {
        |GROUP BY 1, 2 HAVING count(*) > 5
        |ORDER BY 1, 2""".stripMargin
 
-  /** The avg/stdev oracle arithmetic, operation-for-operation identical to
-    * [[distTail]]: associative DECIMAL(38,10) sums, then the same double
-    * expression tree — summation order can no longer flip a rounding.
-    */
   /** DuckDB mirror of the [[distTail]] avg: integer-domain round-half-up
     * mean of the micro-quantized values at 4 dp (SUM(BIGINT) is HUGEINT —
     * exact; `//` on the evenly-divisible numerator is exact; the only
@@ -525,6 +521,11 @@ object AchillesGen {
     s"CAST(($a - ((($a % $b) + $b) % $b)) // $b AS DOUBLE) / 1e4"
   }
 
+  /** The avg/stdev oracle arithmetic, operation-for-operation identical to
+    * [[distTail]]: the integer-domain quantized mean ([[duckAvg4]]) and,
+    * for stdev, associative DECIMAL(38,10) sums feeding the same double
+    * expression tree — summation order can no longer flip a rounding.
+    */
   val MomentsSql: String =
     s"""${duckAvg4("v", "count(*)")} AS avg_value,
       |  round(CASE WHEN count(*) > 1 THEN sqrt(greatest(0.0,

@@ -140,6 +140,12 @@ object OhdsiAchilles {
     CoreAnalysis(119L, "Number of observation periods by period type concept",
       "period_type_concept_id"),
     CoreAnalysis(504L, "Distribution of age at death", isDist = true),
+    CoreAnalysis(1406L,
+      "Length of payer plan (days) of first payer plan period by gender",
+      "gender_concept_id", isDist = true),
+    CoreAnalysis(1407L,
+      "Length of payer plan (days) of first payer plan period by age decile",
+      "age_decile", isDist = true),
     CoreAnalysis(506L, "Distribution of age at death, by gender",
       "gender_concept_id", isDist = true),
     // 511-514: the published death-to-last-event time distributions
@@ -1158,6 +1164,29 @@ object OhdsiAchilles {
           .select(col("gender_concept_id"),
             (year(col("death_date")) - col("year_of_birth")).cast("double").as("__v"))
         parts += stratHist(atDeath, 506L, col("gender_concept_id"))
+      }
+      // 1406/1407: length of the FIRST payer plan period, by gender / by
+      // age decile at first payer plan (the payer twins of 106/107 —
+      // published Achilles ids)
+      if (has(model, "payer_plan_period", "person_id",
+          "payer_plan_period_start_date", "payer_plan_period_end_date") &&
+          has(model, "person", "gender_concept_id")) {
+        val firstPp = load("payer_plan_period")
+          .groupBy(col("person_id"))
+          .agg(min_by(struct(
+            col("payer_plan_period_start_date").as("s"),
+            col("payer_plan_period_end_date").as("e")),
+            col("payer_plan_period_start_date")).as("__p"))
+          .join(load("person").select(col("person_id"), col("year_of_birth"),
+            col("gender_concept_id")), "person_id")
+          .select(col("gender_concept_id"),
+            floor((year(col("__p.s")) - col("year_of_birth")) / 10).cast("long")
+              .as("__dec"),
+            datediff(col("__p.e"), col("__p.s")).cast("double").as("__v"))
+        parts += stratHist(firstPp.select(col("gender_concept_id"), col("__v")),
+          1406L, col("gender_concept_id"))
+        parts += stratHist(firstPp.select(col("__dec"), col("__v")),
+          1407L, col("__dec"))
       }
       // 504: distribution of age at death (the ungendered sibling of 506,
       // public Achilles id — r10 catalog growth)

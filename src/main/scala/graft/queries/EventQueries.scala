@@ -1096,6 +1096,8 @@ object EventQueries {
         |(1200, 'Number of persons by place of service', 'place_of_service_concept_id', NULL, NULL, NULL, 0),
         |(1201, 'Number of visits by place of service', 'place_of_service_concept_id', NULL, NULL, NULL, 0),
         |(1202, 'Number of care sites by place of service', 'place_of_service_concept_id', NULL, NULL, NULL, 0),
+        |(1406, 'Length of payer plan (days) of first payer plan period by gender', 'gender_concept_id', NULL, NULL, NULL, 1),
+        |(1407, 'Length of payer plan (days) of first payer plan period by age decile', 'age_decile', NULL, NULL, NULL, 1),
         |(1408, 'Number of persons by length of first payer plan period, in 30d increments', 'length_30d', NULL, NULL, NULL, 0),
         |(1409, 'Number of persons with continuous payer coverage in each year', 'calendar_year', NULL, NULL, NULL, 0),
         |(1410, 'Number of persons with continuous payer coverage in each month', 'calendar_month', NULL, NULL, NULL, 0),

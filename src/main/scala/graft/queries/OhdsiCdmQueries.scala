@@ -1781,6 +1781,23 @@ object OhdsiCdmQueries {
       |    CAST(year(death_date) - year_of_birth AS DOUBLE)
       |  FROM death JOIN person USING (person_id)
       |  UNION ALL
+      |  SELECT 1406, CAST(gender_concept_id AS VARCHAR), NULL,
+      |    CAST(datediff('day', s, e) AS DOUBLE)
+      |  FROM (
+      |    SELECT person_id, min_by(pp_start, pp_start) AS s,
+      |      min_by(pp_end, pp_start) AS e
+      |    FROM ppp GROUP BY person_id
+      |  ) JOIN person USING (person_id)
+      |  UNION ALL
+      |  SELECT 1407,
+      |    CAST(CAST(floor((year(s) - year_of_birth) / 10) AS BIGINT) AS VARCHAR), NULL,
+      |    CAST(datediff('day', s, e) AS DOUBLE)
+      |  FROM (
+      |    SELECT person_id, min_by(pp_start, pp_start) AS s,
+      |      min_by(pp_end, pp_start) AS e
+      |    FROM ppp GROUP BY person_id
+      |  ) JOIN person USING (person_id)
+      |  UNION ALL
       |  SELECT 511, 'ALL', NULL, CAST(datediff('day', l, death_date) AS DOUBLE)
       |  FROM (SELECT person_id, max(condition_start_date) AS l FROM cond GROUP BY 1)
       |  JOIN death USING (person_id)

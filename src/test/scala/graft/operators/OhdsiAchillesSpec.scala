@@ -66,7 +66,7 @@ class OhdsiAchillesSpec extends SparkSpec {
 
   test("analysisCatalog carries the literal core id set") {
     val cat = OhdsiAchilles.analysisCatalog(spark).collect()
-    assert(cat.length === 189)
+    assert(cat.length === 191)
     val ids = cat.map(_.getLong(0))
     assert(ids.sorted.toSeq === ids.toSeq) // ordered by analysis_id
     for (core <- Seq(1L, 2L, 101L, 105L, 108L, 109L, 110L, 111L, 114L, 115L,
@@ -99,7 +99,7 @@ class OhdsiAchillesSpec extends SparkSpec {
       203L, 403L, 603L, 703L, 803L, 903L, 1003L, 1803L, 2103L, 2403L,
       206L, 406L, 606L, 706L, 806L, 906L, 1006L, 1806L, 2106L, 2406L,
       211L, 506L, 907L, 1007L, 1815L, 1816L, 1817L,
-      504L, 511L, 512L, 513L, 514L,
+      504L, 511L, 512L, 513L, 514L, 1406L, 1407L,
       715L, 716L, 717L, 815L) ++
       // the cost amount dist blocks (1502-1507 drug, 1602-1607 procedure)
       (2L to 7L).flatMap(off => Seq(1500L + off, 1600L + off)).toSet)
