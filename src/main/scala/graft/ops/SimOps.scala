@@ -828,22 +828,9 @@ object SimOps {
     // broadcast, per-row cost O(sqrt|C| x probed cells) instead of O(|C|)
     // — the sqrt(N)-centroids-at-100TB contract. Both paths produce
     // IDENTICAL assignments (SemDedupSpec pins the equivalence).
-    val cents = centroids.select(
-      col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("centroid_vec"))
-    val nCent = cents.count()
+    val assignF = adaptiveAssign(centroids, idCol, vecCol, routeThreshold)
     val assign: (DataFrame, Boolean) => DataFrame =
-      if (nCent <= routeThreshold) {
-        val centB = broadcast(cents)
-        (df, keepSim) => assignToCentroids(df, centB, idCol, vecCol,
-          "item_id", "item_vec", keep = 1, keepSim = keepSim)
-      } else {
-        // bounded one-row collect: the embedding dimension sizes the LSH
-        // cell planes
-        val dim = cents.select(size(col("centroid_vec"))).head().getInt(0)
-        val routing = buildRouting(cents, nCent, dim)
-        (df, keepSim) => assignNearestRouted(df, routing, idCol, vecCol,
-          "item_id", "item_vec", keepSim = keepSim)
-      }
+      (df, keepSim) => assignF(df, "item_id", "item_vec", keepSim)
     // micro-quantize the centroid similarity ONCE; every downstream
     // threshold, keep-tie-break, and hashed output compares the quantized
     // LONG, never the raw double (cross-engine exactness — engine round()
@@ -888,6 +875,33 @@ object SimOps {
         col("__dropped").isNull.as("is_kept"))
   }
 
+  /** The adaptive nearest-centroid assigner [[semDedup]] and
+    * [[semDedupAdmit]] share: flat broadcast scan at or below
+    * `routeThreshold` centroids, exact triangle-inequality IVF routing
+    * above (no all-centroids broadcast past the ceiling — the r8 soft
+    * spot, closed once for every consumer). Both paths produce IDENTICAL
+    * assignments (SemDedupSpec pins the equivalence).
+    */
+  private def adaptiveAssign(centroids: DataFrame, idCol: String,
+      vecCol: String, routeThreshold: Long)
+      : (DataFrame, String, String, Boolean) => DataFrame = {
+    val cents = centroids.select(
+      col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("centroid_vec"))
+    val nCent = cents.count()
+    if (nCent <= routeThreshold) {
+      val centB = broadcast(cents)
+      (df, outId, outVec, keepSim) => assignToCentroids(df, centB, idCol,
+        vecCol, outId, outVec, keep = 1, keepSim = keepSim)
+    } else {
+      // bounded one-row collect: the embedding dimension sizes the LSH
+      // cell planes
+      val dim = cents.select(size(col("centroid_vec"))).head().getInt(0)
+      val routing = buildRouting(cents, nCent, dim)
+      (df, outId, outVec, keepSim) => assignNearestRouted(df, routing, idCol,
+        vecCol, outId, outVec, keepSim = keepSim)
+    }
+  }
+
   /** Incremental SemDeDup ADMISSION — the semantic twin of the MinHash
     * band-index admission ([[graft.ops.DedupOps.incrementalDedup]]): a
     * batch of new vectors is admitted unless some KEPT corpus member in
@@ -908,11 +922,11 @@ object SimOps {
       centroids: DataFrame,
       idCol: String,
       vecCol: String,
-      threshold: Double): DataFrame = {
-    val cents = broadcast(centroids.select(
-      col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("centroid_vec")))
-    val corpusA = assignToCentroids(corpus, cents, idCol, vecCol, "corpus_id", "__cv", keep = 1)
-    val batchA = assignToCentroids(batch, cents, idCol, vecCol, "item_id", "__bv", keep = 1)
+      threshold: Double,
+      routeThreshold: Long = DefaultRouteThreshold): DataFrame = {
+    val assignF = adaptiveAssign(centroids, idCol, vecCol, routeThreshold)
+    val corpusA = assignF(corpus, "corpus_id", "__cv", false)
+    val batchA = assignF(batch, "item_id", "__bv", false)
     val tm = math.round(threshold * 1e6)
     val best = batchA.join(corpusA, Seq("centroid_id"))
       .withColumn("__sq", quantMicro(cosine(col("__bv"), col("__cv"))))

@@ -63,6 +63,12 @@ class SemDedupSpec extends SparkSpec {
     assert(out(102L)._1 === 1L && out(102L)._2 === -1L)
     // 103 ties 4 and 5 at cos 1.0 -> smallest kept id wins the report
     assert(out(103L) === ((0L, 4L)))
+    // the routed assignment path produces IDENTICAL admissions
+    val routed = SimOps.semDedupAdmit(corpus, batch, centroids,
+        "vec_id", "embedding", threshold = 0.95, routeThreshold = 1L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(routed === out)
   }
 
   test("every corpus vector appears exactly once with its cluster") {
