@@ -902,6 +902,32 @@ object SimOps {
     }
   }
 
+  /** Map-side nearest-centroid assignment for STREAMS: the centroid set is
+    * bounded model state (passed in collected form), so the argmax folds
+    * into ONE `greatest(...)` projection per row — no window, no
+    * aggregation, exactly what Structured Streaming's
+    * single-stateful-aggregation budget requires. Bit-identical to
+    * [[assignToCentroids]]: the same cosine expression tree (the centroid
+    * norm pre-computed on the driver with the identical left fold + sqrt)
+    * and the same (sim desc, centroid id asc) tie-break, expressed as a
+    * struct max. Adds `centroid_id` and `cent_sim` to the frame.
+    */
+  def mapSideAssign(df: DataFrame, cents: Seq[(Long, Seq[Double])],
+      vecCol: String): DataFrame = {
+    require(cents.nonEmpty, "mapSideAssign needs at least one centroid")
+    val v = asDouble(col(vecCol))
+    val structs = cents.map { case (cid, cv) =>
+      val normC = math.sqrt(cv.foldLeft(0.0)((acc, x) => acc + x * x))
+      val cosv = dot(v, array(cv.map(lit): _*)) / (norm(v) * lit(normC))
+      struct(cosv.as("__csim"), lit(-cid).as("__ncid"))
+    }
+    val best = if (structs.size == 1) structs.head else greatest(structs: _*)
+    df.withColumn("__best", best)
+      .withColumn("centroid_id", -col("__best.__ncid"))
+      .withColumn("cent_sim", col("__best.__csim"))
+      .drop("__best")
+  }
+
   /** Incremental SemDeDup ADMISSION — the semantic twin of the MinHash
     * band-index admission ([[graft.ops.DedupOps.incrementalDedup]]): a
     * batch of new vectors is admitted unless some KEPT corpus member in

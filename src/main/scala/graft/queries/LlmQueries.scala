@@ -566,6 +566,66 @@ object LlmQueries {
       .orderBy("item_id")
   }
 
+  /** An `embeddings` file-source stream (symlink staging dir, the
+    * docsStream contract).
+    */
+  private def embsStream(s: SparkSession, d: String, stageName: String): org.apache.spark.sql.DataFrame = {
+    val srcDir = new java.io.File(s"${graft.io.Zones.defaultRoot}/$stageName")
+    val p = new org.apache.hadoop.fs.Path(srcDir.getAbsolutePath)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    java.nio.file.Files.createDirectories(srcDir.toPath)
+    java.nio.file.Files.createSymbolicLink(
+      srcDir.toPath.resolve("embeddings.parquet"),
+      java.nio.file.Paths.get(s"$d/embeddings.parquet"))
+    val onDisk = s.read.parquet(s"$d/embeddings.parquet").schema
+    s.readStream.schema(onDisk).parquet(srcDir.getAbsolutePath)
+      .withColumn("vec_id", col("vec_id").cast("long"))
+  }
+
+  /** STREAMING semantic admission — [[dedupSemanticIncremental]]'s verdict
+    * computed as a real Structured Streaming query: batch vectors arrive
+    * as a STREAM, nearest-centroid assignment is a pure per-row
+    * [[SimOps.mapSideAssign]] projection (bounded model state folded into
+    * one greatest(...) — no window on the stream), candidates come from a
+    * STREAM-STATIC equi-join on centroid_id against the statically
+    * assigned kept corpus, and the best kept match folds in the one
+    * allowed stateful aggregation (complete-mode max(struct(sim, -id))).
+    * Admitted vectors reconcile by a batch left join after the drain.
+    * Oracle: IDENTICAL to `dedup_semantic_incremental` — stream and batch
+    * must agree row-for-row (the stream/batch-equivalence contract,
+    * extended to the semantic dedup family).
+    */
+  val streamSemanticAdmit: Q = (s, d) => {
+    val e = t(s, d, "embeddings")
+    val toDouble = (c: org.apache.spark.sql.Column) => transform(c, _.cast("double"))
+    val centsSeq: Seq[(Long, Seq[Double])] = e.filter(col("vec_id") % 50 === 25)
+      .select(col("vec_id").cast("long"), toDouble(col("embedding")))
+      .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+    val corpusA = SimOps.mapSideAssign(
+      e.filter(col("vec_id") % 10 =!= 0), centsSeq, "embedding")
+      .select(col("centroid_id"), col("vec_id").as("corpus_id"),
+        toDouble(col("embedding")).as("__cv"))
+    val stream = embsStream(s, d, "stream_src_embs").filter(col("vec_id") % 10 === 0)
+    val batchA = SimOps.mapSideAssign(stream, centsSeq, "embedding")
+      .select(col("vec_id").as("item_id"), col("centroid_id"),
+        toDouble(col("embedding")).as("__bv"))
+    val best = batchA.join(corpusA, Seq("centroid_id"))
+      .withColumn("__sq", SimOps.quantMicro(SimOps.cosine(col("__bv"), col("__cv"))))
+      .filter(col("__sq") >= 200000L)
+      .groupBy(col("item_id"))
+      .agg(max(struct(col("__sq"), (-col("corpus_id")).as("__nid"))).as("__b"))
+      .select(col("item_id"), (-col("__b.__nid")).as("dup_of"),
+        (col("__b.__sq").cast("double") / lit(1e6)).as("best_sim"))
+    val drained = EventQueries.drainToTable(best, "stream_semdedup_sink", "complete")
+    SimOps.mapSideAssign(e.filter(col("vec_id") % 10 === 0), centsSeq, "embedding")
+      .select(col("vec_id").as("item_id"), col("centroid_id"))
+      .join(drained, Seq("item_id"), "left")
+      .select(col("item_id"), col("centroid_id"),
+        col("dup_of").isNull.cast("long").as("admitted"),
+        col("dup_of"), col("best_sim"))
+      .orderBy("item_id")
+  }
+
   /** DSIR importance resampling (SelectOps.dsirSelect): hashed uni+bigram
     * features, target = the English documents, raw pool = the rest; plain
     * top-100 and deterministic Gumbel-top-100 selections, every raw doc's
@@ -1172,6 +1232,7 @@ object LlmQueries {
     "dedup_embed_cosine" -> dedupEmbedCosine,
     "dedup_semantic" -> dedupSemantic,
     "dedup_semantic_incremental" -> dedupSemanticIncremental,
+    "stream_semdedup_admit" -> streamSemanticAdmit,
     "text_bm25_topk" -> textBm25Topk,
     "corpus_dsir_select" -> corpusDsirSelect,
     "text_bpe_tokens" -> textBpeTokens,
@@ -1725,6 +1786,54 @@ object LlmQueries {
        |  FROM arr
        |),
        |wfps AS (SELECT DISTINCT doc_id, CAST(fp AS BIGINT) AS fp FROM mins)""".stripMargin
+
+  /** The incremental-admission oracle, shared verbatim by the batch
+    * (`dedup_semantic_incremental`) and streaming (`stream_semdedup_admit`)
+    * paths — the stream/batch-equivalence gate.
+    */
+  private lazy val semanticIncrementalOracle: String =
+    """WITH cent AS (
+        |  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv FROM embeddings
+        |  WHERE vec_id % 50 = 25
+        |),
+        |corpus AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings WHERE vec_id % 10 <> 0),
+        |batchv AS (SELECT vec_id AS item_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings WHERE vec_id % 10 = 0),
+        |ca AS (
+        |  SELECT corpus_id, v, centroid_id,
+        |    row_number() OVER (PARTITION BY corpus_id ORDER BY csim DESC, centroid_id) AS crk
+        |  FROM (SELECT corpus_id, v, centroid_id,
+        |      list_dot_product(v, cv)
+        |        / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) AS csim
+        |    FROM corpus CROSS JOIN cent)
+        |),
+        |ba AS (
+        |  SELECT item_id, v, centroid_id,
+        |    row_number() OVER (PARTITION BY item_id ORDER BY csim DESC, centroid_id) AS crk
+        |  FROM (SELECT item_id, v, centroid_id,
+        |      list_dot_product(v, cv)
+        |        / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) AS csim
+        |    FROM batchv CROSS JOIN cent)
+        |),
+        |cnd AS (
+        |  SELECT b.item_id, c.corpus_id,
+        |    CAST(floor(list_dot_product(b.v, c.v)
+        |      / (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(c.v, c.v))) * 1e6 + 0.5) AS BIGINT) AS sq
+        |  FROM (SELECT * FROM ba WHERE crk = 1) b
+        |  JOIN (SELECT * FROM ca WHERE crk = 1) c USING (centroid_id)
+        |),
+        |best AS (
+        |  SELECT item_id, corpus_id AS dup_of, sq,
+        |    row_number() OVER (PARTITION BY item_id ORDER BY sq DESC, corpus_id) AS rk
+        |  FROM cnd WHERE sq >= 200000
+        |)
+        |SELECT b.item_id, b.centroid_id,
+        |  CAST(w.dup_of IS NULL AS BIGINT) AS admitted,
+        |  w.dup_of, CAST(w.sq AS DOUBLE) / 1e6 AS best_sim
+        |FROM (SELECT item_id, centroid_id FROM ba WHERE crk = 1) b
+        |LEFT JOIN (SELECT item_id, dup_of, sq FROM best WHERE rk = 1) w USING (item_id)
+        |ORDER BY b.item_id""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(
     "dedup_semantic_trained" -> dedupSemanticTrainedOracle,
@@ -2578,49 +2687,9 @@ object LlmQueries {
          |FROM (SELECT vec_id AS query_id FROM p WHERE vec_id % 100 = 0) qq
          |LEFT JOIN hits h USING (query_id)
          |ORDER BY qq.query_id""".stripMargin,
-    "dedup_semantic_incremental" ->
-      """WITH cent AS (
-        |  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv FROM embeddings
-        |  WHERE vec_id % 50 = 25
-        |),
-        |corpus AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS v
-        |  FROM embeddings WHERE vec_id % 10 <> 0),
-        |batchv AS (SELECT vec_id AS item_id, embedding::DOUBLE[] AS v
-        |  FROM embeddings WHERE vec_id % 10 = 0),
-        |ca AS (
-        |  SELECT corpus_id, v, centroid_id,
-        |    row_number() OVER (PARTITION BY corpus_id ORDER BY csim DESC, centroid_id) AS crk
-        |  FROM (SELECT corpus_id, v, centroid_id,
-        |      list_dot_product(v, cv)
-        |        / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) AS csim
-        |    FROM corpus CROSS JOIN cent)
-        |),
-        |ba AS (
-        |  SELECT item_id, v, centroid_id,
-        |    row_number() OVER (PARTITION BY item_id ORDER BY csim DESC, centroid_id) AS crk
-        |  FROM (SELECT item_id, v, centroid_id,
-        |      list_dot_product(v, cv)
-        |        / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) AS csim
-        |    FROM batchv CROSS JOIN cent)
-        |),
-        |cnd AS (
-        |  SELECT b.item_id, c.corpus_id,
-        |    CAST(floor(list_dot_product(b.v, c.v)
-        |      / (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(c.v, c.v))) * 1e6 + 0.5) AS BIGINT) AS sq
-        |  FROM (SELECT * FROM ba WHERE crk = 1) b
-        |  JOIN (SELECT * FROM ca WHERE crk = 1) c USING (centroid_id)
-        |),
-        |best AS (
-        |  SELECT item_id, corpus_id AS dup_of, sq,
-        |    row_number() OVER (PARTITION BY item_id ORDER BY sq DESC, corpus_id) AS rk
-        |  FROM cnd WHERE sq >= 200000
-        |)
-        |SELECT b.item_id, b.centroid_id,
-        |  CAST(w.dup_of IS NULL AS BIGINT) AS admitted,
-        |  w.dup_of, CAST(w.sq AS DOUBLE) / 1e6 AS best_sim
-        |FROM (SELECT item_id, centroid_id FROM ba WHERE crk = 1) b
-        |LEFT JOIN (SELECT item_id, dup_of, sq FROM best WHERE rk = 1) w USING (item_id)
-        |ORDER BY b.item_id""".stripMargin,
+    // the streaming twin is gated by the SAME oracle: stream == batch
+    "stream_semdedup_admit" -> semanticIncrementalOracle,
+    "dedup_semantic_incremental" -> semanticIncrementalOracle,
     "dedup_semantic" ->
       """WITH corpus AS (SELECT vec_id AS item_id, embedding::DOUBLE[] AS iv FROM embeddings),
         |cent AS (
