@@ -371,6 +371,10 @@ class GraftCliSpec extends SparkSpec {
       assert(data.startsWith("[") && data.contains("\"checkid\""))
       assert(get("/overview").contains("\"count_total\""))
       assert(get("/").contains("Data quality results"))
+      // the figure layer: a self-contained SVG with the category bars
+      val fig = get("/figure")
+      assert(fig.startsWith("<svg") && fig.contains("Plausibility")
+        && fig.contains("of checks passed"), s"figure: ${fig.take(200)}")
       // run-history drill-down (the Dash app's run selector + show-query)
       val runs = get("/runs")
       assert(runs.contains("\"value\":1"), s"run listing missing run 1: $runs")
