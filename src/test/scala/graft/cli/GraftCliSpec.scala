@@ -385,6 +385,8 @@ class GraftCliSpec extends SparkSpec {
       val cid = stored.select("check_id").head().getString(0)
       val qt = get(s"/query?run=1&checkid=${java.net.URLEncoder.encode(cid, "UTF-8")}")
       assert(qt.contains("SELECT"), s"query text for $cid: $qt")
+      // the per-run figure refresh
+      assert(get("/figure?id=1").startsWith("<svg"))
     } finally server.stop(0)
   }
 
