@@ -62,6 +62,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "dedup_semantic has a cartesian")
   }
 
+  test("semantic admission candidates meet on centroid_id, never all-pairs") {
+    // assignment crossJoins a BROADCAST bounded centroid set (legitimate);
+    // the batch-vs-kept candidate join must be a centroid-keyed equi-join
+    val p = plan("dedup_semantic_incremental")
+    assert(!p.contains("CartesianProduct"), "semantic admission has a cartesian")
+    val joins = p.linesIterator.filter(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")).toSeq
+    assert(joins.exists(_.contains("centroid_id")),
+      s"candidate join lost its centroid key:\n${joins.mkString("\n")}")
+  }
+
   test("text analysis scans prune to the referenced columns only") {
     val p = plan("text_token_stats")
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
