@@ -902,6 +902,40 @@ object SimOps {
     }
   }
 
+  /** Simplified silhouette over a centroid model (the clustering-quality
+    * report a SemDeDup/IVF pipeline reads before trusting its clusters):
+    * per vector, a = cosine distance to its OWN (nearest) centroid, b =
+    * distance to the second-nearest; silhouette = (b - a) / max(a, b) in
+    * [0, 1] under nearest-assignment. Distances micro-quantize BEFORE the
+    * ranking and the ratio, so the verdict is cross-engine exact (the
+    * ratio itself is one IEEE division of small integers). One broadcast
+    * cross against the bounded centroid set + one per-item window — the
+    * same cost shape as assignment itself.
+    */
+  def silhouette(vectors: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val cents = broadcast(centroids.select(
+      col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("centroid_vec")))
+    val w = Window.partitionBy(col("item_id")).orderBy(col("__dq"), col("centroid_id"))
+    val ranked = vectors
+      .select(col(idCol).as("item_id"), asDouble(col(vecCol)).as("__v"))
+      .crossJoin(cents)
+      .withColumn("__dq", quantMicro(lit(1.0) - cosine(col("__v"), col("centroid_vec"))))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= 2)
+      .select(col("item_id"), col("centroid_id"), col("__dq"), col("__rk"))
+    val a = ranked.filter(col("__rk") === 1)
+      .select(col("item_id"), col("centroid_id"), col("__dq").as("__a"))
+    val b = ranked.filter(col("__rk") === 2)
+      .select(col("item_id"), col("__dq").as("__b"))
+    a.join(b, Seq("item_id"))
+      .select(col("item_id"), col("centroid_id"),
+        roundMicro(when(greatest(col("__a"), col("__b")) === 0, lit(0.0))
+          .otherwise((col("__b") - col("__a")).cast("double")
+            / greatest(col("__a"), col("__b"))))
+          .as("silhouette"))
+  }
+
   /** Map-side nearest-centroid assignment for STREAMS: the centroid set is
     * bounded model state (passed in collected form), so the argmax folds
     * into ONE `greatest(...)` projection per row — no window, no

@@ -626,6 +626,16 @@ object LlmQueries {
       .orderBy("item_id")
   }
 
+  /** Simplified silhouette ([[SimOps.silhouette]]) of the fixture-centroid
+    * clustering — the quality report a pipeline reads before trusting the
+    * SemDeDup clusters; per-vector verdicts hash-gated.
+    */
+  val embedSilhouette: Q = (s, d) => {
+    val e = t(s, d, "embeddings")
+    SimOps.silhouette(e, e.filter(col("vec_id") % 50 === 25), "vec_id", "embedding")
+      .orderBy("item_id")
+  }
+
   /** DSIR importance resampling (SelectOps.dsirSelect): hashed uni+bigram
     * features, target = the English documents, raw pool = the rest; plain
     * top-100 and deterministic Gumbel-top-100 selections, every raw doc's
@@ -1233,6 +1243,7 @@ object LlmQueries {
     "dedup_semantic" -> dedupSemantic,
     "dedup_semantic_incremental" -> dedupSemanticIncremental,
     "stream_semdedup_admit" -> streamSemanticAdmit,
+    "embed_silhouette" -> embedSilhouette,
     "text_bm25_topk" -> textBm25Topk,
     "corpus_dsir_select" -> corpusDsirSelect,
     "text_bpe_tokens" -> textBpeTokens,
@@ -2690,6 +2701,28 @@ object LlmQueries {
     // the streaming twin is gated by the SAME oracle: stream == batch
     "stream_semdedup_admit" -> semanticIncrementalOracle,
     "dedup_semantic_incremental" -> semanticIncrementalOracle,
+    "embed_silhouette" ->
+      """WITH v AS (SELECT vec_id AS item_id, embedding::DOUBLE[] AS iv FROM embeddings),
+        |cent AS (
+        |  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv FROM embeddings
+        |  WHERE vec_id % 50 = 25
+        |),
+        |dq AS (
+        |  SELECT item_id, centroid_id, d,
+        |    row_number() OVER (PARTITION BY item_id ORDER BY d, centroid_id) AS rk
+        |  FROM (
+        |    SELECT item_id, centroid_id,
+        |      CAST(floor((1.0 - list_dot_product(iv, cv)
+        |        / (sqrt(list_dot_product(iv, iv)) * sqrt(list_dot_product(cv, cv)))) * 1e6 + 0.5) AS BIGINT) AS d
+        |    FROM v CROSS JOIN cent)
+        |)
+        |SELECT a.item_id, a.centroid_id,
+        |  floor((CASE WHEN greatest(a.d, b.d) = 0 THEN 0.0
+        |    ELSE CAST(b.d - a.d AS DOUBLE) / greatest(a.d, b.d) END) * 1e6 + 0.5) / 1e6
+        |    AS silhouette
+        |FROM (SELECT * FROM dq WHERE rk = 1) a
+        |JOIN (SELECT item_id, d FROM dq WHERE rk = 2) b USING (item_id)
+        |ORDER BY a.item_id""".stripMargin,
     "dedup_semantic" ->
       """WITH corpus AS (SELECT vec_id AS item_id, embedding::DOUBLE[] AS iv FROM embeddings),
         |cent AS (
