@@ -33,6 +33,22 @@ class SimOpsSpec extends SparkSpec {
     assert(nano === -0.375)
   }
 
+  test("meanOfQuantUnits matches independent long floorDiv(2S+n, 2n) everywhere") {
+    // the decimal-domain plan must agree with plain Long arithmetic across
+    // signs, zero, and large magnitudes (verifies the pmod/cast chain)
+    val cases = Seq((3L, 2L), (1L, 3L), (-3L, 2L), (-1L, 3L), (0L, 5L),
+      (123456789012345L, 7L), (-987654321098765L, 11L), (7L, 2L), (-7L, 2L))
+    val out = cases.toDF("s", "n")
+      .select(col("s"), col("n"),
+        SimOps.meanOfQuantUnits(col("s").cast("decimal(38,0)"), col("n"), 1.0).as("m"))
+      .collect()
+    out.foreach { r =>
+      val (s, n, m) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(m === Math.floorDiv(2 * s + n, 2 * n).toDouble,
+        s"rhu($s / $n) mismatch: got $m")
+    }
+  }
+
   test("cosine: identical=1, orthogonal=0, opposite=-1") {
     val df = Seq(
       (Seq(1.0, 2.0), Seq(1.0, 2.0)),
