@@ -945,6 +945,13 @@ object SimOps {
     * norm pre-computed on the driver with the identical left fold + sqrt)
     * and the same (sim desc, centroid id asc) tie-break, expressed as a
     * struct max. Adds `centroid_id` and `cent_sim` to the frame.
+    *
+    * Scale bound (honest): the centroid set inlines into the PLAN (one
+    * struct per centroid), so this is for model sizes that compile —
+    * hundreds of centroids, the streaming-micro-batch regime. A
+    * 16k-centroid model belongs on the batch path
+    * ([[semDedupAdmit]]/[[semDedup]]'s adaptive assigner), not in a
+    * per-row literal fold.
     */
   def mapSideAssign(df: DataFrame, cents: Seq[(Long, Seq[Double])],
       vecCol: String): DataFrame = {
