@@ -53,8 +53,9 @@ object OhdsiAchilles {
     * differently in the published catalog, so they are excluded).
     */
   private val OccurrenceTables = Set(
-    "visit_occurrence", "condition_occurrence", "procedure_occurrence",
-    "drug_exposure", "observation", "measurement", "device_exposure")
+    "visit_occurrence", "visit_detail", "condition_occurrence",
+    "procedure_occurrence", "drug_exposure", "observation", "measurement",
+    "device_exposure")
 
   /** Published duration distributions keyed off an end-date column:
     * 211 length of stay, 907/1007 era lengths.
@@ -88,7 +89,12 @@ object OhdsiAchilles {
     DomainDef("device_exposure", 2100L, "device_concept_id", "device_exposure_start_date",
       typeCol = Some("device_type_concept_id")),
     DomainDef("specimen", 2400L, "specimen_concept_id", "specimen_date",
-      typeCol = Some("specimen_type_concept_id")))
+      typeCol = Some("specimen_type_concept_id")),
+    // visit_detail rides the published 2500 block (the visit_occurrence
+    // sibling Achilles added with CDM 5.3+)
+    DomainDef("visit_detail", 2500L, "visit_detail_concept_id",
+      "visit_detail_start_date", typeCol = Some("visit_detail_type_concept_id"),
+      endDate = Some("visit_detail_end_date")))
 
   /** The vendored core catalog (public Achilles `achilles_analysis_details`
     * entries; names follow the published wording).

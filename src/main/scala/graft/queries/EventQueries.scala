@@ -1159,7 +1159,18 @@ object EventQueries {
         |(2403, 'Number of distinct specimen concepts per person', NULL, NULL, NULL, NULL, 1),
         |(2404, 'Number of persons with at least one specimen, by specimen_concept_id by calendar year by gender by age decile', 'specimen_concept_id', 'calendar_year', 'gender_concept_id', 'age_decile', 0),
         |(2405, 'Number of specimen records, by specimen_concept_id by specimen_type_concept_id', 'specimen_concept_id', 'specimen_type_concept_id', NULL, NULL, 0),
-        |(2406, 'Distribution of age at first specimen, by specimen_concept_id', 'specimen_concept_id', NULL, NULL, NULL, 1)
+        |(2406, 'Distribution of age at first specimen, by specimen_concept_id', 'specimen_concept_id', NULL, NULL, NULL, 1),
+        |(2500, 'Number of persons with at least one visit detail, by visit_detail_concept_id', 'visit_detail_concept_id', NULL, NULL, NULL, 0),
+        |(2501, 'Number of visit detail records, by visit_detail_concept_id', 'visit_detail_concept_id', NULL, NULL, NULL, 0),
+        |(2502, 'Number of persons by visit detail start month, by visit_detail_concept_id', 'visit_detail_concept_id', 'calendar_month', NULL, NULL, 0),
+        |(2503, 'Number of distinct visit detail concepts per person', NULL, NULL, NULL, NULL, 1),
+        |(2504, 'Number of persons with at least one visit detail, by visit_detail_concept_id by calendar year by gender by age decile', 'visit_detail_concept_id', 'calendar_year', 'gender_concept_id', 'age_decile', 0),
+        |(2505, 'Number of visit detail records, by visit_detail_concept_id by visit_detail_type_concept_id', 'visit_detail_concept_id', 'visit_detail_type_concept_id', NULL, NULL, 0),
+        |(2506, 'Distribution of age at first visit detail, by visit_detail_concept_id', 'visit_detail_concept_id', NULL, NULL, NULL, 1),
+        |(2507, 'Number of visit detail records with invalid person_id', NULL, NULL, NULL, NULL, 0),
+        |(2508, 'Number of visit detail records outside valid observation period', NULL, NULL, NULL, NULL, 0),
+        |(2509, 'Number of visit detail records with end date < start date', NULL, NULL, NULL, NULL, 0),
+        |(2520, 'Number of visit detail records by visit detail start month', 'calendar_month', NULL, NULL, NULL, 0)
         ) AS t(analysis_id, analysis_name, stratum_1_name, stratum_2_name,
         |       stratum_3_name, stratum_4_name, distribution)
         |ORDER BY analysis_id""".stripMargin,

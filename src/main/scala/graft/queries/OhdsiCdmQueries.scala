@@ -56,6 +56,13 @@ object OhdsiCdmQueries {
     f("visit_occurrence", "visit_start_date", "date"),
     f("visit_occurrence", "visit_end_date", "date"),
     f("visit_occurrence", "care_site_id", "int64"),
+    f("visit_detail", "visit_detail_id", "int64", pk = true),
+    f("visit_detail", "person_id", "int64"),
+    f("visit_detail", "visit_detail_concept_id", "int64"),
+    f("visit_detail", "visit_detail_start_date", "date"),
+    f("visit_detail", "visit_detail_end_date", "date"),
+    f("visit_detail", "visit_detail_type_concept_id", "int64"),
+    f("visit_detail", "visit_occurrence_id", "int64"),
     f("condition_occurrence", "person_id", "int64"),
     f("condition_occurrence", "condition_concept_id", "int64"),
     f("condition_occurrence", "condition_start_date", "date"),
@@ -207,6 +214,28 @@ object OhdsiCdmQueries {
           .otherwise(date_add(to_date(col("o_orderdate")),
             (col("o_orderkey") % 5).cast("int"))).as("visit_end_date"),
         (lit(1L) + col("o_orderkey") % col("__ns")).as("care_site_id"))
+    case "visit_detail" =>
+      // the finer-grained child of visit_occurrence: one detail row per
+      // lineitem of the order-visit; every ~89th detail is an ORPHAN (x07)
+      // and every ~103rd ends before it starts (x09)
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(
+          (col("l_orderkey") * 8 + col("l_linenumber")).as("visit_detail_id"),
+          when(col("l_partkey") % 89 === 0, col("o_custkey") + 100000000L)
+            .otherwise(col("o_custkey")).as("person_id"),
+          when(col("l_linenumber") % 3 === 0, 9201L)
+            .when(col("l_linenumber") % 3 === 1, 9202L)
+            .otherwise(9203L).as("visit_detail_concept_id"),
+          to_date(col("l_shipdate")).as("visit_detail_start_date"),
+          when((col("l_orderkey") * 8 + col("l_linenumber")) % 103 === 0,
+            date_sub(to_date(col("l_shipdate")), 5))
+            .otherwise(date_add(to_date(col("l_shipdate")),
+              (col("l_linenumber") % 7).cast("int"))).as("visit_detail_end_date"),
+          when(col("l_returnflag") === "R", 32817L)
+            .when(col("l_returnflag") === "A", 32856L)
+            .otherwise(32810L).as("visit_detail_type_concept_id"),
+          col("l_orderkey").as("visit_occurrence_id"))
     case "death" =>
       // one death per 11th person with orders: date anchored a few days
       // past the person's last order, cause from the SNOMED condition set
@@ -958,6 +987,20 @@ object OhdsiCdmQueries {
       |      AS visit_end_date,
       |    1 + o_orderkey % (SELECT count(*) FROM supplier) AS care_site_id
       |  FROM orders
+      |), vd AS (
+      |  SELECT l_orderkey * 8 + l_linenumber AS visit_detail_id,
+      |    CASE WHEN l_partkey % 89 = 0 THEN o_custkey + 100000000
+      |      ELSE o_custkey END AS person_id,
+      |    CASE CAST(l_linenumber % 3 AS INT) WHEN 0 THEN 9201 WHEN 1 THEN 9202
+      |      ELSE 9203 END AS visit_detail_concept_id,
+      |    CAST(l_shipdate AS DATE) AS vds,
+      |    CASE WHEN (l_orderkey * 8 + l_linenumber) % 103 = 0
+      |      THEN CAST(l_shipdate AS DATE) - 5
+      |      ELSE CAST(l_shipdate AS DATE) + CAST(l_linenumber % 7 AS INT) END AS vde,
+      |    CASE l_returnflag WHEN 'R' THEN 32817 WHEN 'A' THEN 32856
+      |      ELSE 32810 END AS visit_detail_type_concept_id,
+      |    l_orderkey AS visit_occurrence_id
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |), death AS (
       |  SELECT person_id,
       |    CASE CAST(person_id % 4 AS INT)
@@ -1240,6 +1283,15 @@ object OhdsiCdmQueries {
       |    count(DISTINCT person_id)
       |  FROM visit GROUP BY 2, 3
       |  UNION ALL
+      |  SELECT 2500, CAST(visit_detail_concept_id AS VARCHAR), NULL, count(DISTINCT person_id)
+      |  FROM vd GROUP BY 2
+      |  UNION ALL
+      |  SELECT 2501, CAST(visit_detail_concept_id AS VARCHAR), NULL, count(*) FROM vd GROUP BY 2
+      |  UNION ALL
+      |  SELECT 2502, CAST(visit_detail_concept_id AS VARCHAR), strftime(vds, '%Y%m'),
+      |    count(DISTINCT person_id)
+      |  FROM vd GROUP BY 2, 3
+      |  UNION ALL
       |  SELECT 400, CAST(condition_concept_id AS VARCHAR), NULL, count(DISTINCT person_id)
       |  FROM cond GROUP BY 2
       |  UNION ALL
@@ -1253,11 +1305,21 @@ object OhdsiCdmQueries {
       |    CAST(condition_type_concept_id AS VARCHAR), count(*)
       |  FROM cond GROUP BY 2, 3
       |  UNION ALL
+      |  SELECT 2505, CAST(visit_detail_concept_id AS VARCHAR),
+      |    CAST(visit_detail_type_concept_id AS VARCHAR), count(*)
+      |  FROM vd GROUP BY 2, 3
+      |  UNION ALL
       |  SELECT 207, 'ALL', NULL, count(*) FROM visit
+      |  WHERE person_id NOT IN (SELECT person_id FROM person)
+      |  UNION ALL
+      |  SELECT 2507, 'ALL', NULL, count(*) FROM vd
       |  WHERE person_id NOT IN (SELECT person_id FROM person)
       |  UNION ALL
       |  SELECT 220, strftime(visit_start_date, '%Y%m'), NULL, count(*)
       |  FROM visit GROUP BY 2
+      |  UNION ALL
+      |  SELECT 2520, strftime(vds, '%Y%m'), NULL, count(*)
+      |  FROM vd GROUP BY 2
       |  UNION ALL
       |  SELECT 407, 'ALL', NULL, count(*) FROM cond
       |  WHERE person_id NOT IN (SELECT person_id FROM person)
@@ -1446,8 +1508,14 @@ object OhdsiCdmQueries {
       |    AND dv.device_exposure_start_date >= o.op_start
       |    AND dv.device_exposure_start_date <= o.op_end)
       |  UNION ALL
+      |  SELECT 2508, 'ALL', NULL, count(*) FROM vd v
+      |  WHERE NOT EXISTS (SELECT 1 FROM obs o WHERE o.person_id = v.person_id
+      |    AND v.vds >= o.op_start AND v.vds <= o.op_end)
+      |  UNION ALL
       |  SELECT 209, 'ALL', NULL, count(*) FROM visit
       |  WHERE visit_end_date < visit_start_date
+      |  UNION ALL
+      |  SELECT 2509, 'ALL', NULL, count(*) FROM vd WHERE vde < vds
       |  UNION ALL
       |  SELECT 709, 'ALL', NULL, count(*) FROM drug WHERE de < ds
       |  UNION ALL
@@ -1651,6 +1719,13 @@ object OhdsiCdmQueries {
       |    count(DISTINCT person_id)
       |  FROM visit JOIN person USING (person_id) GROUP BY 2, 3, 4, 5
       |  UNION ALL
+      |  SELECT 2504, CAST(visit_detail_concept_id AS VARCHAR),
+      |    CAST(year(vds) AS VARCHAR),
+      |    CAST(gender_concept_id AS VARCHAR),
+      |    CAST(CAST(floor((year(vds) - year_of_birth) / 10) AS BIGINT) AS VARCHAR),
+      |    count(DISTINCT person_id)
+      |  FROM vd JOIN person USING (person_id) GROUP BY 2, 3, 4, 5
+      |  UNION ALL
       |  SELECT 404, CAST(condition_concept_id AS VARCHAR),
       |    CAST(year(condition_start_date) AS VARCHAR),
       |    CAST(gender_concept_id AS VARCHAR),
@@ -1740,6 +1815,10 @@ object OhdsiCdmQueries {
       |    SELECT person_id, count(DISTINCT visit_concept_id) AS n FROM visit GROUP BY person_id
       |  )
       |  UNION ALL
+      |  SELECT 2503, 'ALL', NULL, CAST(n AS DOUBLE) FROM (
+      |    SELECT person_id, count(DISTINCT visit_detail_concept_id) AS n FROM vd GROUP BY person_id
+      |  )
+      |  UNION ALL
       |  SELECT 403, 'ALL', NULL, CAST(n AS DOUBLE) FROM (
       |    SELECT person_id, count(DISTINCT condition_concept_id) AS n FROM cond GROUP BY person_id
       |  )
@@ -1754,6 +1833,13 @@ object OhdsiCdmQueries {
       |  FROM (
       |    SELECT person_id, visit_concept_id, min(visit_start_date) AS f
       |    FROM visit GROUP BY 1, 2
+      |  ) JOIN person USING (person_id)
+      |  UNION ALL
+      |  SELECT 2506, CAST(visit_detail_concept_id AS VARCHAR), NULL,
+      |    CAST(year(f) - year_of_birth AS DOUBLE)
+      |  FROM (
+      |    SELECT person_id, visit_detail_concept_id, min(vds) AS f
+      |    FROM vd GROUP BY 1, 2
       |  ) JOIN person USING (person_id)
       |  UNION ALL
       |  SELECT 406, CAST(condition_concept_id AS VARCHAR), NULL,

@@ -66,7 +66,7 @@ class OhdsiAchillesSpec extends SparkSpec {
 
   test("analysisCatalog carries the literal core id set") {
     val cat = OhdsiAchilles.analysisCatalog(spark).collect()
-    assert(cat.length === 191)
+    assert(cat.length === 202)
     val ids = cat.map(_.getLong(0))
     assert(ids.sorted.toSeq === ids.toSeq) // ordered by analysis_id
     for (core <- Seq(1L, 2L, 101L, 105L, 108L, 109L, 110L, 111L, 114L, 115L,
@@ -79,6 +79,8 @@ class OhdsiAchillesSpec extends SparkSpec {
         2000L, 2001L, 2002L, 2200L, 2201L,
         // the specimen tier
         2400L, 2401L, 2402L, 2403L, 2404L, 2405L, 2406L,
+        // the visit_detail tier (published 2500 block)
+        2500L, 2501L, 2502L, 2504L, 2505L, 2507L, 2508L, 2509L, 2520L,
         // the round-10 additions
         291L, 491L, 691L, 504L, 509L, 510L, 511L, 512L, 513L, 514L,
         // the round-9 parity additions
@@ -100,6 +102,7 @@ class OhdsiAchillesSpec extends SparkSpec {
       206L, 406L, 606L, 706L, 806L, 906L, 1006L, 1806L, 2106L, 2406L,
       211L, 506L, 907L, 1007L, 1815L, 1816L, 1817L,
       504L, 511L, 512L, 513L, 514L, 1406L, 1407L,
+      2503L, 2506L,
       715L, 716L, 717L, 815L) ++
       // the cost amount dist blocks (1502-1507 drug, 1602-1607 procedure)
       (2L to 7L).flatMap(off => Seq(1500L + off, 1600L + off)).toSet)
