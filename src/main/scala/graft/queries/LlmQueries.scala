@@ -636,6 +636,21 @@ object LlmQueries {
       .orderBy("item_id")
   }
 
+  /** Per-cluster mean silhouette — the roll-up a pipeline dashboards:
+    * integer-domain rhu mean ([[SimOps.meanOfQuantUnits]]) of the
+    * micro-quantized per-vector verdicts.
+    */
+  val embedSilhouetteByCluster: Q = (s, d) => {
+    val e = t(s, d, "embeddings")
+    SimOps.silhouette(e, e.filter(col("vec_id") % 50 === 25), "vec_id", "embedding")
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_members"),
+        SimOps.meanOfQuantUnits(
+          sum(SimOps.quantMicro(col("silhouette")).cast("decimal(38,0)")),
+          count(lit(1)), 1e6).as("mean_silhouette"))
+      .orderBy("centroid_id")
+  }
+
   /** DSIR importance resampling (SelectOps.dsirSelect): hashed uni+bigram
     * features, target = the English documents, raw pool = the rest; plain
     * top-100 and deterministic Gumbel-top-100 selections, every raw doc's
@@ -1244,6 +1259,7 @@ object LlmQueries {
     "dedup_semantic_incremental" -> dedupSemanticIncremental,
     "stream_semdedup_admit" -> streamSemanticAdmit,
     "embed_silhouette" -> embedSilhouette,
+    "embed_silhouette_by_cluster" -> embedSilhouetteByCluster,
     "text_bm25_topk" -> textBm25Topk,
     "corpus_dsir_select" -> corpusDsirSelect,
     "text_bpe_tokens" -> textBpeTokens,
@@ -2701,6 +2717,38 @@ object LlmQueries {
     // the streaming twin is gated by the SAME oracle: stream == batch
     "stream_semdedup_admit" -> semanticIncrementalOracle,
     "dedup_semantic_incremental" -> semanticIncrementalOracle,
+    "embed_silhouette_by_cluster" ->
+      """WITH v AS (SELECT vec_id AS item_id, embedding::DOUBLE[] AS iv FROM embeddings),
+        |cent AS (
+        |  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv FROM embeddings
+        |  WHERE vec_id % 50 = 25
+        |),
+        |dq AS (
+        |  SELECT item_id, centroid_id, d,
+        |    row_number() OVER (PARTITION BY item_id ORDER BY d, centroid_id) AS rk
+        |  FROM (
+        |    SELECT item_id, centroid_id,
+        |      CAST(floor((1.0 - list_dot_product(iv, cv)
+        |        / (sqrt(list_dot_product(iv, iv)) * sqrt(list_dot_product(cv, cv)))) * 1e6 + 0.5) AS BIGINT) AS d
+        |    FROM v CROSS JOIN cent)
+        |),
+        |sil AS (
+        |  SELECT a.item_id, a.centroid_id,
+        |    floor((CASE WHEN greatest(a.d, b.d) = 0 THEN 0.0
+        |      ELSE CAST(b.d - a.d AS DOUBLE) / greatest(a.d, b.d) END) * 1e6 + 0.5) / 1e6
+        |      AS s
+        |  FROM (SELECT * FROM dq WHERE rk = 1) a
+        |  JOIN (SELECT item_id, d FROM dq WHERE rk = 2) b USING (item_id)
+        |),
+        |q AS (
+        |  SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_members,
+        |    2 * sum(CAST(floor(s * 1e6 + 0.5) AS BIGINT)) + count(*) AS a,
+        |    2 * count(*) AS b
+        |  FROM sil GROUP BY 1
+        |)
+        |SELECT centroid_id, n_members,
+        |  CAST((a - (((a % b) + b) % b)) // b AS DOUBLE) / 1e6 AS mean_silhouette
+        |FROM q ORDER BY centroid_id""".stripMargin,
     "embed_silhouette" ->
       """WITH v AS (SELECT vec_id AS item_id, embedding::DOUBLE[] AS iv FROM embeddings),
         |cent AS (
