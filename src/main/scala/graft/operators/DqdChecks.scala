@@ -862,6 +862,15 @@ object DqdChecks {
       batch: DataFrame): Long = {
     val table = model.tables.head
     val batchCounts = fieldLevelCounts(model, _ => batch).localCheckpoint(true)
+    // every non-decomposable check EXCEPT isPrimaryKey (re-derived from
+    // keyed state below) would otherwise vanish silently from every
+    // recorded run — fail loudly instead of dropping check rows
+    val unhandled = batchCounts
+      .filter(col("check_name").isin((NonDecomposableChecks - "isPrimaryKey").toSeq: _*))
+      .select("check_name").distinct().limit(1).collect()
+    require(unhandled.isEmpty,
+      s"incrementalBatch cannot slice-merge non-decomposable check '${unhandled.headOption.map(_.getString(0)).getOrElse("")}' " +
+        "for this model; re-derive it from keyed state (the pk_state pattern) before streaming")
     val decomposable =
       batchCounts.filter(!col("check_name").isin(NonDecomposableChecks.toSeq: _*))
     val merged =

@@ -476,9 +476,9 @@ object OhdsiAchilles {
           // increments (stratum = floor(days/30); first period = min-by
           // start date, matching dist analysis 105's choice of period)
           op.groupBy(col("person_id"))
-            .agg(min_by(
-              struct(col("observation_period_start_date"), col("observation_period_end_date")),
-              col("observation_period_start_date")).as("__p"))
+            .agg(min(
+              struct(col("observation_period_start_date"), col("observation_period_end_date")))
+              .as("__p"))
             .select(floor(datediff(col("__p.observation_period_end_date"),
               col("__p.observation_period_start_date")) / 30).as("__len30"))
             .groupBy(col("__len30").cast("string").as("stratum_1"))
@@ -825,9 +825,8 @@ object OhdsiAchilles {
             .select(lit(1413L).as("analysis_id"), col("stratum_1"), nullS2,
               col("count_value")),
           pp.groupBy(col("person_id"))
-            .agg(min_by(struct(col("payer_plan_period_start_date"),
-                col("payer_plan_period_end_date")),
-              col("payer_plan_period_start_date")).as("__p"))
+            .agg(min(struct(col("payer_plan_period_start_date"),
+                col("payer_plan_period_end_date"))).as("__p"))
             .select(floor(datediff(col("__p.payer_plan_period_end_date"),
               col("__p.payer_plan_period_start_date")) / 30).as("__len30"))
             .groupBy(col("__len30").cast("string").as("stratum_1"))
@@ -1099,9 +1098,9 @@ object OhdsiAchilles {
       val firstP = load("observation_period")
         .select(col("person_id"), col("observation_period_start_date"), endCol)
         .groupBy(col("person_id"))
-        .agg(min_by(
-          struct(col("observation_period_start_date"), col("observation_period_end_date")),
-          col("observation_period_start_date")).as("__p"))
+        .agg(min(
+          struct(col("observation_period_start_date"), col("observation_period_end_date")))
+          .as("__p"))
       val withGender = has(model, "person", "gender_concept_id")
       val enriched =
         if (!hasAge) firstP.select(col("person_id"),
@@ -1179,10 +1178,12 @@ object OhdsiAchilles {
           has(model, "person", "gender_concept_id")) {
         val firstPp = load("payer_plan_period")
           .groupBy(col("person_id"))
-          .agg(min_by(struct(
+          // min over struct(s, e): deterministic lexicographic tie-break —
+          // min_by on the start date alone could take e from a different
+          // tied row than the oracle (ADVICE r10)
+          .agg(min(struct(
             col("payer_plan_period_start_date").as("s"),
-            col("payer_plan_period_end_date").as("e")),
-            col("payer_plan_period_start_date")).as("__p"))
+            col("payer_plan_period_end_date").as("e"))).as("__p"))
           .join(load("person").select(col("person_id"), col("year_of_birth"),
             col("gender_concept_id")), "person_id")
           .select(col("gender_concept_id"),

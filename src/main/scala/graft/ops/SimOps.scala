@@ -914,6 +914,11 @@ object SimOps {
     */
   def silhouette(vectors: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String): DataFrame = {
+    // rank 2 must exist for the b-distance — with fewer than 2 centroids
+    // the rank join would silently return an EMPTY frame (ADVICE r10);
+    // the centroid set is a bounded model, so the count is cheap
+    require(centroids.limit(2).count() >= 2,
+      "silhouette needs at least 2 centroids (b = distance to the second-nearest)")
     val cents = broadcast(centroids.select(
       col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("centroid_vec")))
     val w = Window.partitionBy(col("item_id")).orderBy(col("__dq"), col("centroid_id"))

@@ -1171,7 +1171,7 @@ object EventQueries {
         |(2508, 'Number of visit detail records outside valid observation period', NULL, NULL, NULL, NULL, 0),
         |(2509, 'Number of visit detail records with end date < start date', NULL, NULL, NULL, NULL, 0),
         |(2520, 'Number of visit detail records by visit detail start month', 'calendar_month', NULL, NULL, NULL, 0)
-        ) AS t(analysis_id, analysis_name, stratum_1_name, stratum_2_name,
+        |) AS t(analysis_id, analysis_name, stratum_1_name, stratum_2_name,
         |       stratum_3_name, stratum_4_name, distribution)
         |ORDER BY analysis_id""".stripMargin,
     "stream_windowed_counts" ->

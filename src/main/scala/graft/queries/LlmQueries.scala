@@ -1199,8 +1199,32 @@ object LlmQueries {
       .orderBy("item_id")
   }
 
+  /** Bisection probe 1 for the trained chain: the k-means half alone at
+    * the trained shape (k=64, 3 steps), exact component dump — a red row
+    * here pins a driver divergence to the training half.
+    */
+  val embedKmeansK64: Q = (s, d) =>
+    graft.ops.SimOps.kmeans(t(s, d, "embeddings"), "vec_id", "embedding",
+        k = KmDedupK, iters = KmDedupIters)
+      .select(col("centroid_id"), posexplode(col("centroid_vec")).as(Seq("pos", "value")))
+      .orderBy("centroid_id", "pos")
+
+  /** Bisection probe 2: the SemDeDup half alone at the trained chain's
+    * occupancy scale — the 64 lowest-id embeddings stand in as stored
+    * centroids, no k-means in the chain. Oracle shares the phase SQL
+    * verbatim with the trained oracle.
+    */
+  val dedupSemanticK64: Q = (s, d) => {
+    val emb = t(s, d, "embeddings")
+    val cents = emb.orderBy("vec_id").limit(KmDedupK)
+    graft.ops.SimOps.semDedup(emb, cents, "vec_id", "embedding", threshold = 0.2)
+      .orderBy("item_id")
+  }
+
   val defs: Seq[(String, Q)] = Seq(
     "dedup_semantic_trained" -> dedupSemanticTrained,
+    "embed_kmeans_k64" -> embedKmeansK64,
+    "dedup_semantic_k64" -> dedupSemanticK64,
     "embed_kmeans" -> embedKmeans,
     "embed_kmeans_sizes" -> embedKmeansSizes,
     "bpe_encode_docs" -> bpeEncodeDocs,
@@ -1763,16 +1787,38 @@ object LlmQueries {
        |ON c.cid = n.cid
        |ORDER BY centroid_id""".stripMargin
 
-  private val dedupSemanticTrainedOracle: String =
-    s"""WITH ${kmChainSql(KmDedupK, KmDedupIters)},
-       |corpus AS (SELECT vec_id AS item_id, embedding::DOUBLE[] AS iv FROM embeddings),
-       |cent AS (SELECT cid AS centroid_id, cvec AS cv FROM kc$KmDedupIters),
+  /** Strict left-to-right dot-product fold — the explicit-element mirror
+    * of the engine's codegen'd `vec_dot` (0.0 seed, sequential
+    * accumulation). DuckDB's builtin `list_dot_product` was the ONE
+    * numeric kernel in the trained-SemDeDup chain whose accumulation
+    * strategy was engine-private (the r10 driver-red suspect — a build
+    * may vectorize/pairwise-sum it); this fold pins every arithmetic op
+    * in the oracle by IEEE construction, the same way the l2 fold in
+    * [[kmChainSql]] always did.
+    */
+  private def dotFoldSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, [ $a[i] * $b[i] FOR i IN range(1, 65) ]), (acc, x) -> acc + x)"
+
+  private def cosFoldSql(a: String, b: String): String =
+    s"${dotFoldSql(a, b)} / (sqrt(${dotFoldSql(a, a)}) * sqrt(${dotFoldSql(b, b)}))"
+
+  /** The SemDeDup phase over a given `cent` CTE — shared VERBATIM by the
+    * trained oracle (centroids = the k-means chain's final kc) and the
+    * `dedup_semantic_k64` probe (centroids = the 64 lowest-id
+    * embeddings). Together with `embed_kmeans_k64` (the k-means half
+    * alone, exact component dump) the probe pair BISECTS the trained
+    * chain on the driver: a red trained row with both probes green can
+    * only be the composition handoff, which after this factoring is a
+    * verbatim-identical SQL body fed bit-identical centroid lists.
+    */
+  private def semDedupPhaseSql(centSql: String): String =
+    s"""corpus AS (SELECT vec_id AS item_id, embedding::DOUBLE[] AS iv FROM embeddings),
+       |cent AS ($centSql),
        |ca AS (
        |  SELECT item_id, iv, centroid_id, csim,
        |    row_number() OVER (PARTITION BY item_id ORDER BY csim DESC, centroid_id) AS crk
        |  FROM (SELECT item_id, iv, centroid_id,
-       |      list_dot_product(iv, cv)
-       |        / (sqrt(list_dot_product(iv, iv)) * sqrt(list_dot_product(cv, cv))) AS csim
+       |      ${cosFoldSql("iv", "cv")} AS csim
        |    FROM corpus CROSS JOIN cent)
        |), asg AS (SELECT item_id, iv, centroid_id,
        |    CAST(floor(csim * 1e6 + 0.5) AS BIGINT) AS csq FROM ca WHERE crk = 1),
@@ -1780,14 +1826,38 @@ object LlmQueries {
        |  SELECT DISTINCT b.item_id
        |  FROM asg a JOIN asg b USING (centroid_id)
        |  WHERE a.item_id <> b.item_id
-       |    AND floor((list_dot_product(a.iv, b.iv)
-       |      / (sqrt(list_dot_product(a.iv, a.iv)) * sqrt(list_dot_product(b.iv, b.iv)))) * 1e6 + 0.5) >= 200000
+       |    AND floor((${cosFoldSql("a.iv", "b.iv")}) * 1e6 + 0.5) >= 200000
        |    AND (a.csq < b.csq OR (a.csq = b.csq AND a.item_id < b.item_id))
        |)
        |SELECT asg.item_id, asg.centroid_id, CAST(asg.csq AS DOUBLE) / 1e6 AS cent_sim,
        |  CAST(drp.item_id IS NULL AS BIGINT) AS is_kept
        |FROM asg LEFT JOIN drp ON asg.item_id = drp.item_id
        |ORDER BY asg.item_id""".stripMargin
+
+  // plain concatenation, not a nested stripMargin interpolation — the r9
+  // double-stripMargin trap (an embedded line-leading `|` would be eaten)
+  private lazy val dedupSemanticTrainedOracle: String =
+    s"WITH ${kmChainSql(KmDedupK, KmDedupIters)},\n" +
+      semDedupPhaseSql(s"SELECT cid AS centroid_id, cvec AS cv FROM kc$KmDedupIters")
+
+  /** Bisection probe 1: the k-means half of the trained chain alone, at
+    * the trained chain's exact shape (k=64, 3 steps), dumped
+    * component-by-component.
+    */
+  private lazy val embedKmeansK64Oracle: String =
+    s"""WITH ${kmChainSql(KmDedupK, KmDedupIters)}
+       |SELECT cid AS centroid_id, CAST(d - 1 AS INT) AS pos, m AS value
+       |FROM (SELECT cid, unnest(cvec) AS m, generate_subscripts(cvec, 1) AS d
+       |  FROM kc$KmDedupIters)
+       |ORDER BY centroid_id, pos""".stripMargin
+
+  /** Bisection probe 2: the SemDeDup half alone at the trained chain's
+    * occupancy scale — 64 stored (fixture) centroids, no k-means, the
+    * identical phase SQL.
+    */
+  private lazy val dedupSemanticK64Oracle: String =
+    "WITH " + semDedupPhaseSql(
+      "SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv FROM embeddings ORDER BY vec_id LIMIT 64")
 
   /** The winnow fingerprint chain (shingle -> rolling hash -> windowed
     * min), shared by the fingerprint dump and the pairs oracle.
@@ -1819,7 +1889,7 @@ object LlmQueries {
     * paths — the stream/batch-equivalence gate.
     */
   private lazy val semanticIncrementalOracle: String =
-    """WITH cent AS (
+    s"""WITH cent AS (
         |  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv FROM embeddings
         |  WHERE vec_id % 50 = 25
         |),
@@ -1831,22 +1901,19 @@ object LlmQueries {
         |  SELECT corpus_id, v, centroid_id,
         |    row_number() OVER (PARTITION BY corpus_id ORDER BY csim DESC, centroid_id) AS crk
         |  FROM (SELECT corpus_id, v, centroid_id,
-        |      list_dot_product(v, cv)
-        |        / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) AS csim
+        |      ${cosFoldSql("v", "cv")} AS csim
         |    FROM corpus CROSS JOIN cent)
         |),
         |ba AS (
         |  SELECT item_id, v, centroid_id,
         |    row_number() OVER (PARTITION BY item_id ORDER BY csim DESC, centroid_id) AS crk
         |  FROM (SELECT item_id, v, centroid_id,
-        |      list_dot_product(v, cv)
-        |        / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) AS csim
+        |      ${cosFoldSql("v", "cv")} AS csim
         |    FROM batchv CROSS JOIN cent)
         |),
         |cnd AS (
         |  SELECT b.item_id, c.corpus_id,
-        |    CAST(floor(list_dot_product(b.v, c.v)
-        |      / (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(c.v, c.v))) * 1e6 + 0.5) AS BIGINT) AS sq
+        |    CAST(floor((${cosFoldSql("b.v", "c.v")}) * 1e6 + 0.5) AS BIGINT) AS sq
         |  FROM (SELECT * FROM ba WHERE crk = 1) b
         |  JOIN (SELECT * FROM ca WHERE crk = 1) c USING (centroid_id)
         |),
@@ -1864,6 +1931,8 @@ object LlmQueries {
 
   val oracles: Seq[(String, String)] = Seq(
     "dedup_semantic_trained" -> dedupSemanticTrainedOracle,
+    "embed_kmeans_k64" -> embedKmeansK64Oracle,
+    "dedup_semantic_k64" -> dedupSemanticK64Oracle,
     "embed_kmeans" -> embedKmeansOracle,
     "embed_kmeans_sizes" -> embedKmeansSizesOracle,
     "bpe_encode_docs" -> bpeEncodeOracle,

@@ -564,8 +564,10 @@ object OhdsiCdmQueries {
     // tier landed, exactly the drift class the cdm zone version guards
     // v4: the r10 integer-domain avg_value (a stored dist battery from the
     // round-9 decimal->double mean would silently mismatch the new oracle)
+    // v5: the r11 deterministic first-period tie-break (min(struct) for
+    // 108/1406/1407/1408 replaces min_by-on-start)
     val zones = graft.io.Zones.forPurpose(
-      s"ohdsires4_${graft.operators.OhdsiAchilles.Catalog.size}_$key")
+      s"ohdsires5_${graft.operators.OhdsiAchilles.Catalog.size}_$key")
     resultsStore.getOrElseUpdate((s, d), {
       val have = zones.listTables(s, "achilles").toSet
       val load = materialized(s, d)
@@ -1566,8 +1568,9 @@ object OhdsiCdmQueries {
       |    CAST(CAST(floor(datediff('day', pp_start, pp_end) / 30) AS BIGINT) AS VARCHAR),
       |    NULL, count(*)
       |  FROM (
-      |    SELECT person_id, min(pp_start) AS pp_start,
-      |      min_by(pp_end, pp_start) AS pp_end
+      |    SELECT person_id,
+      |      (min(struct_pack(s := pp_start, e := pp_end))).s AS pp_start,
+      |      (min(struct_pack(s := pp_start, e := pp_end))).e AS pp_end
       |    FROM ppp GROUP BY person_id
       |  ) GROUP BY 2
       |  UNION ALL
@@ -1870,8 +1873,9 @@ object OhdsiCdmQueries {
       |  SELECT 1406, CAST(gender_concept_id AS VARCHAR), NULL,
       |    CAST(datediff('day', s, e) AS DOUBLE)
       |  FROM (
-      |    SELECT person_id, min_by(pp_start, pp_start) AS s,
-      |      min_by(pp_end, pp_start) AS e
+      |    SELECT person_id,
+      |      (min(struct_pack(s := pp_start, e := pp_end))).s AS s,
+      |      (min(struct_pack(s := pp_start, e := pp_end))).e AS e
       |    FROM ppp GROUP BY person_id
       |  ) JOIN person USING (person_id)
       |  UNION ALL
@@ -1879,8 +1883,9 @@ object OhdsiCdmQueries {
       |    CAST(CAST(floor((year(s) - year_of_birth) / 10) AS BIGINT) AS VARCHAR), NULL,
       |    CAST(datediff('day', s, e) AS DOUBLE)
       |  FROM (
-      |    SELECT person_id, min_by(pp_start, pp_start) AS s,
-      |      min_by(pp_end, pp_start) AS e
+      |    SELECT person_id,
+      |      (min(struct_pack(s := pp_start, e := pp_end))).s AS s,
+      |      (min(struct_pack(s := pp_start, e := pp_end))).e AS e
       |    FROM ppp GROUP BY person_id
       |  ) JOIN person USING (person_id)
       |  UNION ALL
