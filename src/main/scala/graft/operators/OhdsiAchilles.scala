@@ -57,13 +57,20 @@ object OhdsiAchilles {
     "procedure_occurrence", "drug_exposure", "observation", "measurement",
     "device_exposure")
 
+  /** The era tables: no fk-validity slots (`x07`-`x09` are occurrence-table
+    * ids), but the published catalog DOES carry their records-by-start-month
+    * series (920 / 1020 / 1320).
+    */
+  private val EraTables = Set("drug_era", "condition_era", "dose_era")
+
   /** Published duration distributions keyed off an end-date column:
-    * 211 length of stay, 907/1007 era lengths.
+    * 211 length of stay, 907/1007/1307 era lengths.
     */
   val DurationDists: Map[String, (Long, String)] = Map(
     "visit_occurrence" -> (211L, "Distribution of length of stay, by visit_concept_id"),
     "drug_era" -> (907L, "Distribution of drug era length, by drug_concept_id"),
-    "condition_era" -> (1007L, "Distribution of condition era length, by condition_concept_id"))
+    "condition_era" -> (1007L, "Distribution of condition era length, by condition_concept_id"),
+    "dose_era" -> (1307L, "Distribution of dose era length, by drug_concept_id"))
 
   /** The domain series of the CDM event tables (public Achilles id
     * convention).
@@ -84,6 +91,11 @@ object OhdsiAchilles {
       endDate = Some("drug_era_end_date")),
     DomainDef("condition_era", 1000L, "condition_concept_id", "condition_era_start_date",
       endDate = Some("condition_era_end_date")),
+    // dose_era rides the published 1300 block (the dose-stratified sibling
+    // of drug_era; `achilles.py` runs whatever ids the details CSV carries
+    // — 1300s are the dose-era family in the public catalog)
+    DomainDef("dose_era", 1300L, "drug_concept_id", "dose_era_start_date",
+      endDate = Some("dose_era_end_date")),
     DomainDef("measurement", 1800L, "measurement_concept_id", "measurement_date",
       typeCol = Some("measurement_type_concept_id")),
     DomainDef("device_exposure", 2100L, "device_concept_id", "device_exposure_start_date",
@@ -217,6 +229,11 @@ object OhdsiAchilles {
               "calendar_month")) ++
             d.endDate.map(_ => CoreAnalysis(d.base + 9,
               s"Number of $entity records with end date < start date")).toSeq
+        else if (EraTables(d.table))
+          // era tables skip the fk-validity slots but keep the published
+          // records-by-start-month series (920 / 1020 / 1320)
+          Seq(CoreAnalysis(d.base + 20, s"Number of $entity records by $entity start month",
+            "calendar_month"))
         else Nil)
     } ++
     // The cost domain (CDM 5.x unified `cost` table): fk-validity counts
@@ -290,6 +307,7 @@ object OhdsiAchilles {
       CoreAnalysis(2000L, "Number of persons with at least 1 Dx and 1 Rx"),
       CoreAnalysis(2001L, "Number of persons with at least 1 Dx and 1 Proc"),
       CoreAnalysis(2002L, "Number of persons with at least 1 Mx and 1 Dx and 1 Rx"),
+      CoreAnalysis(2003L, "Number of persons with at least 1 Mx and 1 Rx"),
       // 2004: the domain-overlap profile Ares' upset chart reads —
       // stratum_1 is a presence bitmask over the event domains in the
       // published order (condition, drug, device, measurement, death,
@@ -334,7 +352,11 @@ object OhdsiAchilles {
       CoreAnalysis(891L, "Number of total persons that have at least x observations",
         "observation_count"),
       CoreAnalysis(1891L, "Number of total persons that have at least x measurements",
-        "measurement_count"))
+        "measurement_count"),
+      CoreAnalysis(2191L, "Number of total persons that have at least x device exposures",
+        "device_exposure_count"),
+      CoreAnalysis(2591L, "Number of total persons that have at least x visit details",
+        "visit_detail_count"))
 
   /** The populated `achilles_analysis` catalog table
     * (`achilles.py:190-200`): what Atlas/Ares join analysis ids against.
@@ -610,7 +632,8 @@ object OhdsiAchilles {
         // () -> 7 (the validity row)
         val recordSets = Seq(Seq(col("__c"))) ++
           typeOpt.map(_ => Seq(col("__c"), col("__t"))).toSeq ++
-          (if (hasStart && OccurrenceTables(d.table)) Seq(Seq(col("__m"))) else Nil) ++
+          (if (hasStart && (OccurrenceTables(d.table) || EraTables(d.table)))
+            Seq(Seq(col("__m"))) else Nil) ++
           (if (cs.nonEmpty) Seq(Seq.empty[org.apache.spark.sql.Column]) else Nil)
         val recAggs = count(lit(1)).as("count_value") +: grouping_id().as("__gid") +:
           cs.zipWithIndex.map { case (_, i) =>
@@ -935,14 +958,17 @@ object OhdsiAchilles {
           else Seq(unpack(flags.agg(
               sum(col("__f0") * col("__f1")).as("__s0"),
               sum(col("__f0") * col("__f5")).as("__s1"),
-              sum(col("__f3") * col("__f0") * col("__f1")).as("__s2"))
+              sum(col("__f3") * col("__f0") * col("__f1")).as("__s2"),
+              sum(col("__f3") * col("__f1")).as("__s3"))
             .select(explode(array(
               struct(lit(2000L).as("analysis_id"), lit("ALL").as("stratum_1"),
                 lit(null).cast("string").as("stratum_2"), col("__s0").as("count_value")),
               struct(lit(2001L).as("analysis_id"), lit("ALL").as("stratum_1"),
                 lit(null).cast("string").as("stratum_2"), col("__s1").as("count_value")),
               struct(lit(2002L).as("analysis_id"), lit("ALL").as("stratum_1"),
-                lit(null).cast("string").as("stratum_2"), col("__s2").as("count_value"))))
+                lit(null).cast("string").as("stratum_2"), col("__s2").as("count_value")),
+              struct(lit(2003L).as("analysis_id"), lit("ALL").as("stratum_1"),
+                lit(null).cast("string").as("stratum_2"), col("__s3").as("count_value"))))
               .as("__r"))))
         mask +: treemap
       }
@@ -1006,7 +1032,8 @@ object OhdsiAchilles {
     val atLeastX: Seq[DataFrame] = {
       val specs = Seq(("visit_occurrence", 291L), ("condition_occurrence", 491L),
           ("procedure_occurrence", 691L), ("drug_exposure", 791L),
-          ("observation", 891L), ("measurement", 1891L))
+          ("observation", 891L), ("measurement", 1891L),
+          ("device_exposure", 2191L), ("visit_detail", 2591L))
         .filter { case (tb, _) => has(model, tb) &&
           model.columns(tb).contains("person_id") }
       if (specs.isEmpty) Nil

@@ -1082,6 +1082,7 @@ object EventQueries {
         |(904, 'Number of persons with at least one drug era, by drug_concept_id by calendar year by gender by age decile', 'drug_concept_id', 'calendar_year', 'gender_concept_id', 'age_decile', 0),
         |(906, 'Distribution of age at first drug era, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 1),
         |(907, 'Distribution of drug era length, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 1),
+        |(920, 'Number of drug era records by drug era start month', 'calendar_month', NULL, NULL, NULL, 0),
         |(1000, 'Number of persons with at least one condition era, by condition_concept_id', 'condition_concept_id', NULL, NULL, NULL, 0),
         |(1001, 'Number of condition era records, by condition_concept_id', 'condition_concept_id', NULL, NULL, NULL, 0),
         |(1002, 'Number of persons by condition era start month, by condition_concept_id', 'condition_concept_id', 'calendar_month', NULL, NULL, 0),
@@ -1089,6 +1090,7 @@ object EventQueries {
         |(1004, 'Number of persons with at least one condition era, by condition_concept_id by calendar year by gender by age decile', 'condition_concept_id', 'calendar_year', 'gender_concept_id', 'age_decile', 0),
         |(1006, 'Distribution of age at first condition era, by condition_concept_id', 'condition_concept_id', NULL, NULL, NULL, 1),
         |(1007, 'Distribution of condition era length, by condition_concept_id', 'condition_concept_id', NULL, NULL, NULL, 1),
+        |(1020, 'Number of condition era records by condition era start month', 'calendar_month', NULL, NULL, NULL, 0),
         |(1100, 'Number of persons by location 3-digit zip', 'zip3', NULL, NULL, NULL, 0),
         |(1101, 'Number of persons by location state', 'state', NULL, NULL, NULL, 0),
         |(1102, 'Number of care sites by location 3-digit zip', 'zip3', NULL, NULL, NULL, 0),
@@ -1096,6 +1098,14 @@ object EventQueries {
         |(1200, 'Number of persons by place of service', 'place_of_service_concept_id', NULL, NULL, NULL, 0),
         |(1201, 'Number of visits by place of service', 'place_of_service_concept_id', NULL, NULL, NULL, 0),
         |(1202, 'Number of care sites by place of service', 'place_of_service_concept_id', NULL, NULL, NULL, 0),
+        |(1300, 'Number of persons with at least one dose era, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 0),
+        |(1301, 'Number of dose era records, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 0),
+        |(1302, 'Number of persons by dose era start month, by drug_concept_id', 'drug_concept_id', 'calendar_month', NULL, NULL, 0),
+        |(1303, 'Number of distinct dose era concepts per person', NULL, NULL, NULL, NULL, 1),
+        |(1304, 'Number of persons with at least one dose era, by drug_concept_id by calendar year by gender by age decile', 'drug_concept_id', 'calendar_year', 'gender_concept_id', 'age_decile', 0),
+        |(1306, 'Distribution of age at first dose era, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 1),
+        |(1307, 'Distribution of dose era length, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 1),
+        |(1320, 'Number of dose era records by dose era start month', 'calendar_month', NULL, NULL, NULL, 0),
         |(1406, 'Length of payer plan (days) of first payer plan period by gender', 'gender_concept_id', NULL, NULL, NULL, 1),
         |(1407, 'Length of payer plan (days) of first payer plan period by age decile', 'age_decile', NULL, NULL, NULL, 1),
         |(1408, 'Number of persons by length of first payer plan period, in 30d increments', 'length_30d', NULL, NULL, NULL, 0),
@@ -1140,6 +1150,7 @@ object EventQueries {
         |(2000, 'Number of persons with at least 1 Dx and 1 Rx', NULL, NULL, NULL, NULL, 0),
         |(2001, 'Number of persons with at least 1 Dx and 1 Proc', NULL, NULL, NULL, NULL, 0),
         |(2002, 'Number of persons with at least 1 Mx and 1 Dx and 1 Rx', NULL, NULL, NULL, NULL, 0),
+        |(2003, 'Number of persons with at least 1 Mx and 1 Rx', NULL, NULL, NULL, NULL, 0),
         |(2004, 'Number of distinct patients that overlap between specific domains', 'domain_bitmask', NULL, NULL, NULL, 0),
         |(2100, 'Number of persons with at least one device exposure, by device_concept_id', 'device_concept_id', NULL, NULL, NULL, 0),
         |(2101, 'Number of device exposure records, by device_concept_id', 'device_concept_id', NULL, NULL, NULL, 0),
@@ -1151,6 +1162,7 @@ object EventQueries {
         |(2107, 'Number of device exposure records with invalid person_id', NULL, NULL, NULL, NULL, 0),
         |(2108, 'Number of device exposure records outside valid observation period', NULL, NULL, NULL, NULL, 0),
         |(2120, 'Number of device exposure records by device exposure start month', 'calendar_month', NULL, NULL, NULL, 0),
+        |(2191, 'Number of total persons that have at least x device exposures', 'device_exposure_count', NULL, NULL, NULL, 0),
         |(2200, 'Number of persons with at least one note, by note_type_concept_id', 'note_type_concept_id', NULL, NULL, NULL, 0),
         |(2201, 'Number of note records, by note_type_concept_id', 'note_type_concept_id', NULL, NULL, NULL, 0),
         |(2400, 'Number of persons with at least one specimen, by specimen_concept_id', 'specimen_concept_id', NULL, NULL, NULL, 0),
@@ -1170,7 +1182,8 @@ object EventQueries {
         |(2507, 'Number of visit detail records with invalid person_id', NULL, NULL, NULL, NULL, 0),
         |(2508, 'Number of visit detail records outside valid observation period', NULL, NULL, NULL, NULL, 0),
         |(2509, 'Number of visit detail records with end date < start date', NULL, NULL, NULL, NULL, 0),
-        |(2520, 'Number of visit detail records by visit detail start month', 'calendar_month', NULL, NULL, NULL, 0)
+        |(2520, 'Number of visit detail records by visit detail start month', 'calendar_month', NULL, NULL, NULL, 0),
+        |(2591, 'Number of total persons that have at least x visit details', 'visit_detail_count', NULL, NULL, NULL, 0)
         |) AS t(analysis_id, analysis_name, stratum_1_name, stratum_2_name,
         |       stratum_3_name, stratum_4_name, distribution)
         |ORDER BY analysis_id""".stripMargin,

@@ -125,6 +125,12 @@ object OhdsiCdmQueries {
     f("condition_era", "condition_concept_id", "int64"),
     f("condition_era", "condition_era_start_date", "date"),
     f("condition_era", "condition_era_end_date", "date"),
+    f("dose_era", "person_id", "int64"),
+    f("dose_era", "drug_concept_id", "int64"),
+    f("dose_era", "unit_concept_id", "int64"),
+    f("dose_era", "dose_value", "float64"),
+    f("dose_era", "dose_era_start_date", "date"),
+    f("dose_era", "dose_era_end_date", "date"),
     f("location", "location_id", "int64", pk = true),
     f("location", "state", "string"),
     f("location", "zip", "string"),
@@ -439,6 +445,23 @@ object OhdsiCdmQueries {
           "condition_start_date", "condition_start_date", "condition")
         .select("person_id", "condition_concept_id",
           "condition_era_start_date", "condition_era_end_date")
+    case "dose_era" =>
+      // the published dose-era derivation: the drug_era collapse, but keyed
+      // by (drug, dose) — exposures at DIFFERENT doses never merge. The
+      // dose bucket is floor(quantity / 10) (integral, so both engines
+      // group identically); unit is a constant concept in this universe.
+      // The composite grouping key rides buildEras's conceptCol as a
+      // struct column and splits back out after the collapse.
+      val dx = derive(s, d)("drug_exposure")
+        .withColumn("__dose", floor(col("quantity") / 10).cast("double"))
+        .withColumn("__dk", struct(col("drug_concept_id"), col("__dose")))
+      graft.operators.EraOps.buildEras(dx, "person_id", "__dk",
+          "drug_exposure_start_date", "drug_exposure_end_date", "dose")
+        .select(col("person_id"),
+          col("__dk.drug_concept_id").as("drug_concept_id"),
+          lit(8576L).as("unit_concept_id"),
+          col("__dk.__dose").as("dose_value"),
+          col("dose_era_start_date"), col("dose_era_end_date"))
     case "location" =>
       // four locations per nation: state = nation name, zip = a 3-digit
       // prefix (what analyses 1100/1102 stratify on) padded to 5 digits
@@ -1137,6 +1160,25 @@ object OhdsiCdmQueries {
       |), cond_era AS (
       |  SELECT person_id, condition_concept_id, min(cs) AS ces, max(cs) AS cee
       |  FROM ce_isl GROUP BY person_id, condition_concept_id, era
+      |), do_isl AS (
+      |  -- dose-era islands: the drug collapse keyed by (drug, dose bucket)
+      |  SELECT person_id, drug_concept_id, dose_value, ds, de,
+      |    sum(CASE WHEN pmax IS NULL OR ds > pmax + 30 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY person_id, drug_concept_id, dose_value
+      |        ORDER BY ds, de
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS era
+      |  FROM (
+      |    SELECT person_id, drug_concept_id, floor(quantity / 10) AS dose_value,
+      |      ds, de,
+      |      max(de) OVER (PARTITION BY person_id, drug_concept_id,
+      |          floor(quantity / 10)
+      |        ORDER BY ds, de
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      |    FROM drug)
+      |), dose_era AS (
+      |  SELECT person_id, drug_concept_id, dose_value,
+      |    min(ds) AS dos, max(de) AS doe
+      |  FROM do_isl GROUP BY person_id, drug_concept_id, dose_value, era
       |), cost AS (
       |  SELECT CASE WHEN l_linenumber % 2 = 0 THEN 'Drug' ELSE 'Procedure' END
       |      AS cost_domain_id,
@@ -1481,6 +1523,26 @@ object OhdsiCdmQueries {
       |    strftime(ces, '%Y%m'), count(DISTINCT person_id)
       |  FROM cond_era GROUP BY 2, 3
       |  UNION ALL
+      |  SELECT 1300, CAST(drug_concept_id AS VARCHAR), NULL,
+      |    count(DISTINCT person_id)
+      |  FROM dose_era GROUP BY 2
+      |  UNION ALL
+      |  SELECT 1301, CAST(drug_concept_id AS VARCHAR), NULL, count(*)
+      |  FROM dose_era GROUP BY 2
+      |  UNION ALL
+      |  SELECT 1302, CAST(drug_concept_id AS VARCHAR), strftime(dos, '%Y%m'),
+      |    count(DISTINCT person_id)
+      |  FROM dose_era GROUP BY 2, 3
+      |  UNION ALL
+      |  SELECT 920, strftime(des, '%Y%m'), NULL, count(*)
+      |  FROM drug_era GROUP BY 2
+      |  UNION ALL
+      |  SELECT 1020, strftime(ces, '%Y%m'), NULL, count(*)
+      |  FROM cond_era GROUP BY 2
+      |  UNION ALL
+      |  SELECT 1320, strftime(dos, '%Y%m'), NULL, count(*)
+      |  FROM dose_era GROUP BY 2
+      |  UNION ALL
       |  SELECT 208, 'ALL', NULL, count(*) FROM visit v
       |  WHERE NOT EXISTS (SELECT 1 FROM obs o WHERE o.person_id = v.person_id
       |    AND v.visit_start_date >= o.op_start AND v.visit_start_date <= o.op_end)
@@ -1630,6 +1692,10 @@ object OhdsiCdmQueries {
       |  JOIN (SELECT DISTINCT person_id FROM cond) USING (person_id)
       |  JOIN (SELECT DISTINCT person_id FROM drug) USING (person_id)
       |  UNION ALL
+      |  SELECT 2003, 'ALL', NULL, count(*)
+      |  FROM (SELECT DISTINCT person_id FROM meas)
+      |  JOIN (SELECT DISTINCT person_id FROM drug) USING (person_id)
+      |  UNION ALL
       |  SELECT 2004, mask, NULL, count(*) FROM (
       |    SELECT person_id, concat(
       |      CAST(max(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS VARCHAR),
@@ -1700,6 +1766,16 @@ object OhdsiCdmQueries {
       |    CAST(sum(n) OVER (ORDER BY c DESC) AS BIGINT)
       |  FROM (SELECT cnt AS c, count(*) AS n FROM
       |    (SELECT person_id, count(*) AS cnt FROM meas GROUP BY 1) GROUP BY 1)
+      |  UNION ALL
+      |  SELECT 2191, CAST(c AS VARCHAR), NULL,
+      |    CAST(sum(n) OVER (ORDER BY c DESC) AS BIGINT)
+      |  FROM (SELECT cnt AS c, count(*) AS n FROM
+      |    (SELECT person_id, count(*) AS cnt FROM dev GROUP BY 1) GROUP BY 1)
+      |  UNION ALL
+      |  SELECT 2591, CAST(c AS VARCHAR), NULL,
+      |    CAST(sum(n) OVER (ORDER BY c DESC) AS BIGINT)
+      |  FROM (SELECT cnt AS c, count(*) AS n FROM
+      |    (SELECT person_id, count(*) AS cnt FROM vd GROUP BY 1) GROUP BY 1)
       |), results5 AS (
       |  SELECT analysis_id, stratum_1, stratum_2,
       |    CAST(NULL AS VARCHAR) AS stratum_3, CAST(NULL AS VARCHAR) AS stratum_4,
@@ -1791,6 +1867,13 @@ object OhdsiCdmQueries {
       |    CAST(CAST(floor((year(ces) - year_of_birth) / 10) AS BIGINT) AS VARCHAR),
       |    count(DISTINCT person_id)
       |  FROM cond_era JOIN person USING (person_id) GROUP BY 2, 3, 4, 5
+      |  UNION ALL
+      |  SELECT 1304, CAST(drug_concept_id AS VARCHAR),
+      |    CAST(year(dos) AS VARCHAR),
+      |    CAST(gender_concept_id AS VARCHAR),
+      |    CAST(CAST(floor((year(dos) - year_of_birth) / 10) AS BIGINT) AS VARCHAR),
+      |    count(DISTINCT person_id)
+      |  FROM dose_era JOIN person USING (person_id) GROUP BY 2, 3, 4, 5
       |)
       |SELECT analysis_id, stratum_1, stratum_2, stratum_3, stratum_4, count_value
       |FROM results5 WHERE count_value > 5 OR analysis_id = 0
@@ -1942,6 +2025,11 @@ object OhdsiCdmQueries {
       |    FROM cond_era GROUP BY person_id
       |  )
       |  UNION ALL
+      |  SELECT 1303, 'ALL', NULL, CAST(n AS DOUBLE) FROM (
+      |    SELECT person_id, count(DISTINCT drug_concept_id) AS n
+      |    FROM dose_era GROUP BY person_id
+      |  )
+      |  UNION ALL
       |  SELECT 2403, 'ALL', NULL, CAST(n AS DOUBLE) FROM (
       |    SELECT person_id, count(DISTINCT specimen_concept_id) AS n
       |    FROM spec GROUP BY person_id
@@ -1987,6 +2075,13 @@ object OhdsiCdmQueries {
       |    FROM cond_era GROUP BY 1, 2
       |  ) JOIN person USING (person_id)
       |  UNION ALL
+      |  SELECT 1306, CAST(drug_concept_id AS VARCHAR), NULL,
+      |    CAST(year(f) - year_of_birth AS DOUBLE)
+      |  FROM (
+      |    SELECT person_id, drug_concept_id, min(dos) AS f
+      |    FROM dose_era GROUP BY 1, 2
+      |  ) JOIN person USING (person_id)
+      |  UNION ALL
       |  SELECT 2106, CAST(device_concept_id AS VARCHAR), NULL,
       |    CAST(year(f) - year_of_birth AS DOUBLE)
       |  FROM (
@@ -2007,6 +2102,9 @@ object OhdsiCdmQueries {
       |  UNION ALL
       |  SELECT 1007, CAST(condition_concept_id AS VARCHAR), NULL,
       |    CAST(datediff('day', ces, cee) AS DOUBLE) FROM cond_era
+      |  UNION ALL
+      |  SELECT 1307, CAST(drug_concept_id AS VARCHAR), NULL,
+      |    CAST(datediff('day', dos, doe) AS DOUBLE) FROM dose_era
       |  UNION ALL
       |  SELECT 1502, CAST(drug_concept_id AS VARCHAR), NULL, paid_patient_copay
       |  FROM cost JOIN drug ON cost_event_id = drug_exposure_id

@@ -66,7 +66,7 @@ class OhdsiAchillesSpec extends SparkSpec {
 
   test("analysisCatalog carries the literal core id set") {
     val cat = OhdsiAchilles.analysisCatalog(spark).collect()
-    assert(cat.length === 202)
+    assert(cat.length === 215)
     val ids = cat.map(_.getLong(0))
     assert(ids.sorted.toSeq === ids.toSeq) // ordered by analysis_id
     for (core <- Seq(1L, 2L, 101L, 105L, 108L, 109L, 110L, 111L, 114L, 115L,
@@ -84,7 +84,10 @@ class OhdsiAchillesSpec extends SparkSpec {
         // the round-10 additions
         291L, 491L, 691L, 504L, 509L, 510L, 511L, 512L, 513L, 514L,
         // the round-9 parity additions
-        10L, 12L, 118L, 505L, 715L, 716L, 717L, 791L, 814L, 815L, 891L, 1891L, 2004L))
+        10L, 12L, 118L, 505L, 715L, 716L, 717L, 791L, 814L, 815L, 891L, 1891L, 2004L,
+        // the round-11 additions: dose_era 1300 block, era month series,
+        // Mx&Rx treemap member, device / visit_detail at-least-x
+        1300L, 1301L, 1302L, 1304L, 1320L, 920L, 1020L, 2003L, 2191L, 2591L))
       assert(ids.contains(core), s"missing core id $core")
     // x04 carries the published four strata names
     val a404 = cat.find(_.getLong(0) == 404L).get
@@ -92,15 +95,16 @@ class OhdsiAchillesSpec extends SparkSpec {
     assert(a404.getString(3) === "calendar_year")
     assert(a404.getString(4) === "gender_concept_id")
     assert(a404.getString(5) === "age_decile")
-    // 504 is now the published age-at-death dist (r10), not an x04 slot
-    // era tables carry NO x07/x20 (those published slots differ there)
-    for (absent <- Seq(507L, 520L, 907L + 13L, 920L, 1020L))
+    // 504 is now the published age-at-death dist (r10), not an x04 slot.
+    // era tables carry NO x07-x09 fk-validity slots (those published ids
+    // differ there); r11 ADDED their x20 month series (920/1020/1320)
+    for (absent <- Seq(507L, 520L, 908L, 909L, 1308L, 1309L))
       assert(!ids.contains(absent), s"unexpected id $absent")
     val dists = cat.filter(_.getLong(6) == 1L).map(_.getLong(0)).toSet
     assert(dists === Set(103L, 104L, 105L, 106L, 107L,
       203L, 403L, 603L, 703L, 803L, 903L, 1003L, 1803L, 2103L, 2403L,
       206L, 406L, 606L, 706L, 806L, 906L, 1006L, 1806L, 2106L, 2406L,
-      211L, 506L, 907L, 1007L, 1815L, 1816L, 1817L,
+      211L, 506L, 907L, 1007L, 1303L, 1306L, 1307L, 1815L, 1816L, 1817L,
       504L, 511L, 512L, 513L, 514L, 1406L, 1407L,
       2503L, 2506L,
       715L, 716L, 717L, 815L) ++
