@@ -735,6 +735,15 @@ object SimOps {
     * assignment as an exhaustive scan, no all-centroids broadcast, so the
     * operator's own |centroids| ~ sqrt(N) contract survives 100 TB.
     *
+    * Cluster-quality gate: SemDeDup's guarantees are only as good as the
+    * clustering that bounds its pairwise meet — before trusting a
+    * `semDedup`/`semDedupAdmit` rollout (or an IVF index trained on the
+    * same centroids), read the [[silhouette]] report over the SAME
+    * (corpus, centroids) pair (the `embed_silhouette` /
+    * `embed_silhouette_by_cluster` queries): a cluster whose mean
+    * silhouette sits near 0 is admitting neighbors it should not, and
+    * its threshold decisions are correspondingly noisy.
+    *
     * @return one row per corpus vector: (item_id, centroid_id, cent_sim
     *         rounded to 6dp, is_kept).
     */

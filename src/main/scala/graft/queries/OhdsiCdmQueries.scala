@@ -952,6 +952,43 @@ object OhdsiCdmQueries {
         "cohortTableName" -> "unused"))
   }
 
+  /** The published Achilles count-analysis template shape (OHDSI Achilles
+    * `inst/sql/sql_server/analyses/701.sql` — the `-- id<TAB>name` header
+    * comment, `CAST(... AS VARCHAR(255))` strata with the five-null tail,
+    * `COUNT_BIG`, `SELECT ... INTO #results_<id>` temp-table staging, the
+    * `@cdmDatabaseSchema` parameter, trailing semicolon): the r10
+    * verdict's prescribed THIRD verbatim artifact, exercising temp-table
+    * flow + aggregation dialect through the bridge in one published file.
+    */
+  private val Achilles701Sql =
+    """-- 701	Number of drug exposure records, by drug_concept_id
+      |
+      |select 701 as analysis_id,
+      |	CAST(drug_concept_id AS VARCHAR(255)) as stratum_1,
+      |	cast(null as varchar(255)) as stratum_2, cast(null as varchar(255)) as stratum_3, cast(null as varchar(255)) as stratum_4, cast(null as varchar(255)) as stratum_5,
+      |	COUNT_BIG(*) as count_value
+      |into #results_701
+      |from
+      |	@cdmDatabaseSchema.drug_exposure
+      |group by drug_concept_id;""".stripMargin
+
+  /** The Achilles template over the DERIVED CDM universe. The template
+    * runs verbatim (it only stages `#results_701`); the follow-up SELECT
+    * that reads the staged temp table back out is the harness's analogue
+    * of the reference's own merge step (`achilles.py:229-258` unions the
+    * per-analysis temp tables into `achilles_results`).
+    */
+  val ohdsiSqlAchilles701: Q = (s, d) => {
+    materialized(s, d)("drug_exposure")
+      .createOrReplaceGlobalTempView("drug_exposure")
+    graft.sources.OhdsiSql.execute(s,
+      Achilles701Sql + "\n" +
+        """SELECT analysis_id, stratum_1, stratum_2, stratum_3, stratum_4,
+          |  stratum_5, count_value
+          |FROM #results_701 ORDER BY stratum_1""".stripMargin,
+      params = Map("cdmDatabaseSchema" -> "global_temp"))
+  }
+
   val ohdsiSqlDqdCheck: Q = (s, d) => {
     t(s, d, "orders").createOrReplaceGlobalTempView("dqd_check_orders")
     graft.sources.OhdsiSql.execute(s, FieldIsNotNullableSql,
@@ -966,6 +1003,7 @@ object OhdsiCdmQueries {
   }
 
   val defs: Seq[(String, Q)] = Seq(
+    "ohdsi_sql_achilles701" -> ohdsiSqlAchilles701,
     "ohdsi_sql_concept_check" -> ohdsiSqlConceptCheck,
     "ohdsi_sql_dqd_check" -> ohdsiSqlDqdCheck,
     "dqd_cohort_battery" -> dqdCohortBattery,
@@ -2280,6 +2318,14 @@ object OhdsiCdmQueries {
   }
 
   val oracles: Seq[(String, String)] = Seq(
+    "ohdsi_sql_achilles701" ->
+      s"""WITH $deriveSql
+         |SELECT 701 AS analysis_id,
+         |  CAST(drug_concept_id AS VARCHAR) AS stratum_1,
+         |  CAST(NULL AS VARCHAR) AS stratum_2, CAST(NULL AS VARCHAR) AS stratum_3,
+         |  CAST(NULL AS VARCHAR) AS stratum_4, CAST(NULL AS VARCHAR) AS stratum_5,
+         |  CAST(count(*) AS BIGINT) AS count_value
+         |FROM drug GROUP BY 2 ORDER BY stratum_1""".stripMargin,
     "ohdsi_sql_concept_check" ->
       s"""WITH $deriveSql,
          |vr AS (
