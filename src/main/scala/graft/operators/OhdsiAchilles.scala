@@ -296,6 +296,7 @@ object OhdsiAchilles {
       CoreAnalysis(1701L, "Number of distinct subjects by cohort_definition_id",
         "cohort_definition_id"),
       CoreAnalysis(1814L, "Number of measurement records with no value (numeric or concept)"),
+      CoreAnalysis(1821L, "Number of measurement records with no numeric value"),
       CoreAnalysis(1818L, "Number of measurement records with a value below the normal range"),
       CoreAnalysis(1819L, "Number of measurement records with a value above the normal range"),
       CoreAnalysis(1816L,
@@ -906,14 +907,17 @@ object OhdsiAchilles {
         val hasRange = has(model, "measurement", "range_low", "range_high")
         val sums = Seq(
           sum(when(col("value_as_number").isNull && col("value_as_concept_id").isNull,
-            1L).otherwise(0L)).as("__s14")) ++
+            1L).otherwise(0L)).as("__s14"),
+          // 1821: no NUMERIC value (value_as_concept may still be set) —
+          // the published sibling of 1814
+          sum(when(col("value_as_number").isNull, 1L).otherwise(0L)).as("__s21")) ++
           (if (hasRange) Seq(
             sum(when(col("value_as_number") < col("range_low"), 1L).otherwise(0L))
               .as("__s18"),
             sum(when(col("value_as_number") > col("range_high"), 1L).otherwise(0L))
               .as("__s19"))
           else Nil)
-        val structs = (Seq(1814L -> "__s14") ++
+        val structs = (Seq(1814L -> "__s14", 1821L -> "__s21") ++
           (if (hasRange) Seq(1818L -> "__s18", 1819L -> "__s19") else Nil))
           .map { case (id, c) =>
             struct(lit(id).as("analysis_id"), lit("ALL").as("stratum_1"),

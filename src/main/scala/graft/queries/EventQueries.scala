@@ -1146,6 +1146,7 @@ object EventQueries {
         |(1818, 'Number of measurement records with a value below the normal range', NULL, NULL, NULL, NULL, 0),
         |(1819, 'Number of measurement records with a value above the normal range', NULL, NULL, NULL, NULL, 0),
         |(1820, 'Number of measurement records by measurement start month', 'calendar_month', NULL, NULL, NULL, 0),
+        |(1821, 'Number of measurement records with no numeric value', NULL, NULL, NULL, NULL, 0),
         |(1891, 'Number of total persons that have at least x measurements', 'measurement_count', NULL, NULL, NULL, 0),
         |(2000, 'Number of persons with at least 1 Dx and 1 Rx', NULL, NULL, NULL, NULL, 0),
         |(2001, 'Number of persons with at least 1 Dx and 1 Proc', NULL, NULL, NULL, NULL, 0),

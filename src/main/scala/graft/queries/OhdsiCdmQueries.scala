@@ -973,20 +973,28 @@ object OhdsiCdmQueries {
       |group by drug_concept_id;""".stripMargin
 
   /** The Achilles template over the DERIVED CDM universe. The template
-    * runs verbatim (it only stages `#results_701`); the follow-up SELECT
-    * that reads the staged temp table back out is the harness's analogue
-    * of the reference's own merge step (`achilles.py:229-258` unions the
-    * per-analysis temp tables into `achilles_results`).
+    * runs verbatim (it only stages `#results_701`); the follow-up
+    * statements replay the reference's own merge flow
+    * (`achilles.py:507-560` + the published `merge_achilles_tables.sql`
+    * shape: INSERT INTO the results accumulator from each
+    * `#results_<id>` scratch table, small-cell filter, then read the
+    * merged report).
     */
   val ohdsiSqlAchilles701: Q = (s, d) => {
     materialized(s, d)("drug_exposure")
       .createOrReplaceGlobalTempView("drug_exposure")
     graft.sources.OhdsiSql.execute(s,
       Achilles701Sql + "\n" +
-        """SELECT analysis_id, stratum_1, stratum_2, stratum_3, stratum_4,
+        """DROP TABLE IF EXISTS #achilles_results;
+          |INSERT INTO #achilles_results (analysis_id, stratum_1, stratum_2,
+          |  stratum_3, stratum_4, stratum_5, count_value)
+          |SELECT analysis_id, stratum_1, stratum_2, stratum_3, stratum_4,
           |  stratum_5, count_value
-          |FROM #results_701 ORDER BY stratum_1""".stripMargin,
-      params = Map("cdmDatabaseSchema" -> "global_temp"))
+          |FROM #results_701 WHERE count_value > @smallCellCount;
+          |SELECT analysis_id, stratum_1, stratum_2, stratum_3, stratum_4,
+          |  stratum_5, count_value
+          |FROM #achilles_results ORDER BY stratum_1""".stripMargin,
+      params = Map("cdmDatabaseSchema" -> "global_temp", "smallCellCount" -> "5"))
   }
 
   val ohdsiSqlDqdCheck: Q = (s, d) => {
@@ -1711,6 +1719,9 @@ object OhdsiCdmQueries {
       |  SELECT 1814, 'ALL', NULL, count(*) FROM meas
       |  WHERE value_as_number IS NULL AND value_as_concept_id IS NULL
       |  UNION ALL
+      |  SELECT 1821, 'ALL', NULL, count(*) FROM meas
+      |  WHERE value_as_number IS NULL
+      |  UNION ALL
       |  SELECT 1818, 'ALL', NULL, count(*) FROM meas
       |  WHERE value_as_number < range_low
       |  UNION ALL
@@ -2325,7 +2336,7 @@ object OhdsiCdmQueries {
          |  CAST(NULL AS VARCHAR) AS stratum_2, CAST(NULL AS VARCHAR) AS stratum_3,
          |  CAST(NULL AS VARCHAR) AS stratum_4, CAST(NULL AS VARCHAR) AS stratum_5,
          |  CAST(count(*) AS BIGINT) AS count_value
-         |FROM drug GROUP BY 2 ORDER BY stratum_1""".stripMargin,
+         |FROM drug GROUP BY 2 HAVING count(*) > 5 ORDER BY stratum_1""".stripMargin,
     "ohdsi_sql_concept_check" ->
       s"""WITH $deriveSql,
          |vr AS (

@@ -247,6 +247,8 @@ object OhdsiSql {
     ci(raw"^\s*IF\s+OBJECT_ID\s*\(.*\)\s+IS\s+NOT\s+NULL\s+DROP\s+TABLE\s+(\S+)\s*$$")
   private val DropTable = ci(raw"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\S+)\s*$$")
   private val SelectInto = ci(raw"(?s)^(.*?\bSELECT\b.*?)\bINTO\s+(tmp_ohdsi_\w+)\s+(FROM\b.*)$$")
+  private val InsertInto = ci(
+    raw"(?s)^\s*INSERT\s+INTO\s+(tmp_ohdsi_\w+)\s*(?:\(\s*([\w\s,]+?)\s*\)\s*)?(SELECT\b.*|WITH\b.*)$$")
 
   /** Render + translate + run a multi-statement OHDSI SQL script against
     * the session's registered views; returns the final SELECT's frame.
@@ -260,6 +262,23 @@ object OhdsiSql {
       case DropTable(view) => spark.catalog.dropTempView(view); ()
       case SelectInto(head, view, tail) =>
         spark.sql(s"$head $tail").createOrReplaceTempView(view)
+      case InsertInto(view, colList, select) =>
+        // the reference's merge step (`achilles.py` INSERT INTO the results
+        // table from each #results_<id>): append into the session temp
+        // view. A column list maps the SELECT's output positionally, the
+        // INSERT contract; absent target view = first write, creates it.
+        var df = spark.sql(select)
+        Option(colList).foreach { cl =>
+          val cols = cl.split(",").map(_.trim).filter(_.nonEmpty)
+          require(cols.length == df.columns.length,
+            s"INSERT INTO $view column list has ${cols.length} names but the " +
+              s"SELECT produces ${df.columns.length} columns")
+          df = df.toDF(cols.toIndexedSeq: _*)
+        }
+        val merged =
+          if (spark.catalog.tableExists(view)) spark.table(view).unionByName(df)
+          else df
+        merged.createOrReplaceTempView(view)
       case select => last = Some(spark.sql(select))
     }
     last.getOrElse(throw new IllegalArgumentException(

@@ -142,4 +142,25 @@ class OhdsiSqlSpec extends SparkSpec {
       OhdsiSql.execute(spark, "DROP TABLE #gone"))
     assert(e.getMessage.contains("no result-producing SELECT"))
   }
+
+  test("execute appends INSERT INTO temp-table statements (the merge flow)") {
+    Seq((1L, "x"), (2L, "y")).toDF("id", "s").createOrReplaceTempView("m_src")
+    // first INSERT creates the view; second appends; the column list maps
+    // the SELECT positionally (the reference's achilles_results merge)
+    val out = OhdsiSql.execute(spark,
+      """DROP TABLE IF EXISTS #acc;
+        |INSERT INTO #acc (analysis_id, stratum_1, count_value)
+        |SELECT 701 AS a, s, COUNT_BIG(*) AS n FROM m_src GROUP BY s;
+        |INSERT INTO #acc (analysis_id, stratum_1, count_value)
+        |SELECT 702 AS a, s, COUNT_BIG(*) AS n FROM m_src GROUP BY s;
+        |SELECT analysis_id, stratum_1, count_value FROM #acc
+        |ORDER BY analysis_id, stratum_1""".stripMargin)
+    val rows = out.collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows === Seq((701, "x", 1L), (701, "y", 1L), (702, "x", 1L), (702, "y", 1L)))
+    // a column-count mismatch fails loudly, not silently misaligned
+    val e = intercept[IllegalArgumentException](OhdsiSql.execute(spark,
+      """INSERT INTO #acc2 (a, b) SELECT 1 AS x;
+        |SELECT * FROM #acc2""".stripMargin))
+    assert(e.getMessage.contains("column list"))
+  }
 }
