@@ -115,4 +115,27 @@ class EraOpsSpec extends SparkSpec {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(60), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("a struct concept key separates eras by dose (the dose_era contract)") {
+    // same person, same drug, overlapping windows — but two DOSE buckets:
+    // drug_era would merge all three rows into one era; keying the
+    // collapse by struct(drug, dose) must keep the dose-5 row apart
+    val rows = Seq(
+      (1L, 10L, 1.0, d("2020-01-01"), d("2020-01-10")),
+      (1L, 10L, 1.0, d("2020-01-15"), d("2020-01-20")), // within 30d: merges
+      (1L, 10L, 5.0, d("2020-01-05"), d("2020-01-08"))) // other dose: separate
+      .toDF("person_id", "drug_concept_id", "dose_value", "s", "e")
+      .withColumn("__k", org.apache.spark.sql.functions.struct(
+        org.apache.spark.sql.functions.col("drug_concept_id"),
+        org.apache.spark.sql.functions.col("dose_value")))
+    val eras = EraOps.buildEras(rows, "person_id", "__k", "s", "e", "dose")
+      .select("__k.drug_concept_id", "__k.dose_value",
+        "dose_era_start_date", "dose_era_end_date")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        r.getDate(2).toString, r.getDate(3).toString)).toSet
+    assert(eras === Set(
+      (10L, 1.0, "2020-01-01", "2020-01-20"),
+      (10L, 5.0, "2020-01-05", "2020-01-08")))
+  }
 }
