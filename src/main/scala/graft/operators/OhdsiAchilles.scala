@@ -36,8 +36,8 @@ object OhdsiAchilles {
     * `base+0` persons by concept, `+1` records by concept, `+2` persons by
     * start month by concept, `+3` distinct concepts per person (DIST,
     * absent for death — one row per person), `+5` records by concept by
-    * type concept (absent where CDM 5.4 has no `_type_concept_id`: visit
-    * kept out conservatively, death, and the era tables), `+6` age at
+    * type concept (absent where CDM 5.4 has no `_type_concept_id`: death
+    * and the era tables), `+6` age at
     * first occurrence by concept (DIST; death's age-at-death is the
     * special 506), `+7` records with invalid person_id (occurrence tables
     * only — for the era tables the published `x07` slot is the era-length
@@ -77,7 +77,7 @@ object OhdsiAchilles {
     */
   val DomainSeries: Seq[DomainDef] = Seq(
     DomainDef("visit_occurrence", 200L, "visit_concept_id", "visit_start_date",
-      endDate = Some("visit_end_date")),
+      typeCol = Some("visit_type_concept_id"), endDate = Some("visit_end_date")),
     DomainDef("condition_occurrence", 400L, "condition_concept_id", "condition_start_date",
       typeCol = Some("condition_type_concept_id")),
     DomainDef("death", 500L, "cause_concept_id", "death_date", perPersonDist = false),
@@ -99,7 +99,8 @@ object OhdsiAchilles {
     DomainDef("measurement", 1800L, "measurement_concept_id", "measurement_date",
       typeCol = Some("measurement_type_concept_id")),
     DomainDef("device_exposure", 2100L, "device_concept_id", "device_exposure_start_date",
-      typeCol = Some("device_type_concept_id")),
+      typeCol = Some("device_type_concept_id"),
+      endDate = Some("device_exposure_end_date")),
     DomainDef("specimen", 2400L, "specimen_concept_id", "specimen_date",
       typeCol = Some("specimen_type_concept_id")),
     // visit_detail rides the published 2500 block (the visit_occurrence

@@ -1004,6 +1004,7 @@ object EventQueries {
         |(202, 'Number of persons by visit occurrence start month, by visit_concept_id', 'visit_concept_id', 'calendar_month', NULL, NULL, 0),
         |(203, 'Number of distinct visit occurrence concepts per person', NULL, NULL, NULL, NULL, 1),
         |(204, 'Number of persons with at least one visit occurrence, by visit_concept_id by calendar year by gender by age decile', 'visit_concept_id', 'calendar_year', 'gender_concept_id', 'age_decile', 0),
+        |(205, 'Number of visit occurrence records, by visit_concept_id by visit_type_concept_id', 'visit_concept_id', 'visit_type_concept_id', NULL, NULL, 0),
         |(206, 'Distribution of age at first visit occurrence, by visit_concept_id', 'visit_concept_id', NULL, NULL, NULL, 1),
         |(207, 'Number of visit occurrence records with invalid person_id', NULL, NULL, NULL, NULL, 0),
         |(208, 'Number of visit occurrence records outside valid observation period', NULL, NULL, NULL, NULL, 0),
@@ -1162,6 +1163,7 @@ object EventQueries {
         |(2106, 'Distribution of age at first device exposure, by device_concept_id', 'device_concept_id', NULL, NULL, NULL, 1),
         |(2107, 'Number of device exposure records with invalid person_id', NULL, NULL, NULL, NULL, 0),
         |(2108, 'Number of device exposure records outside valid observation period', NULL, NULL, NULL, NULL, 0),
+        |(2109, 'Number of device exposure records with end date < start date', NULL, NULL, NULL, NULL, 0),
         |(2120, 'Number of device exposure records by device exposure start month', 'calendar_month', NULL, NULL, NULL, 0),
         |(2191, 'Number of total persons that have at least x device exposures', 'device_exposure_count', NULL, NULL, NULL, 0),
         |(2200, 'Number of persons with at least one note, by note_type_concept_id', 'note_type_concept_id', NULL, NULL, NULL, 0),

@@ -55,6 +55,7 @@ object OhdsiCdmQueries {
     f("visit_occurrence", "visit_concept_id", "int64"),
     f("visit_occurrence", "visit_start_date", "date"),
     f("visit_occurrence", "visit_end_date", "date"),
+    f("visit_occurrence", "visit_type_concept_id", "int64"),
     f("visit_occurrence", "care_site_id", "int64"),
     f("visit_detail", "visit_detail_id", "int64", pk = true),
     f("visit_detail", "person_id", "int64"),
@@ -116,6 +117,7 @@ object OhdsiCdmQueries {
     f("device_exposure", "person_id", "int64"),
     f("device_exposure", "device_concept_id", "int64"),
     f("device_exposure", "device_exposure_start_date", "date"),
+    f("device_exposure", "device_exposure_end_date", "date"),
     f("device_exposure", "device_type_concept_id", "int64"),
     f("drug_era", "person_id", "int64"),
     f("drug_era", "drug_concept_id", "int64"),
@@ -219,6 +221,11 @@ object OhdsiCdmQueries {
           date_sub(to_date(col("o_orderdate")), 2))
           .otherwise(date_add(to_date(col("o_orderdate")),
             (col("o_orderkey") % 5).cast("int"))).as("visit_end_date"),
+        // visit type from the published visit-type vocabulary (claim /
+        // EHR / study visit) — the 205 type-stratified record counts
+        when(col("o_orderkey") % 3 === 0, 44818517L)
+          .when(col("o_orderkey") % 3 === 1, 44818518L)
+          .otherwise(44818519L).as("visit_type_concept_id"),
         (lit(1L) + col("o_orderkey") % col("__ns")).as("care_site_id"))
     case "visit_detail" =>
       // the finer-grained child of visit_occurrence: one detail row per
@@ -405,6 +412,14 @@ object OhdsiCdmQueries {
             .otherwise(45768224L).as("device_concept_id"),
           date_add(to_date(col("l_shipdate")),
             (col("l_suppkey") % 19).cast("int")).as("device_exposure_start_date"),
+          // every ~107th device exposure ends BEFORE it starts, so the
+          // 2109 end-before-start sanity analysis counts real rows
+          when(col("o_orderkey") % 107 === 0,
+            date_add(to_date(col("l_shipdate")),
+              ((col("l_suppkey") % 19) - 3).cast("int")))
+            .otherwise(date_add(to_date(col("l_shipdate")),
+              ((col("l_suppkey") % 19) + (col("l_partkey") % 11)).cast("int")))
+            .as("device_exposure_end_date"),
           when(col("l_partkey") % 2 === 0, 32817L).otherwise(32810L)
             .as("device_type_concept_id"))
     case "cost" =>
@@ -542,8 +557,9 @@ object OhdsiCdmQueries {
     // columns, six new tables). v3: the Heel wrinkles (1802 birth years,
     // unmapped observation concepts). v4: the round-9 parity columns
     // (drug days_supply/refills/quantity, observation value family,
-    // death_type_concept_id)
-    val zones = graft.io.Zones.forPurpose(s"ohdsicdm4_$key")
+    // death_type_concept_id). v5: the r11 visit_type_concept_id and
+    // device_exposure_end_date columns (205 / 2109 analyses)
+    val zones = graft.io.Zones.forPurpose(s"ohdsicdm5_$key")
     cdmStore.getOrElseUpdate((s, d), {
       val staged = zones.listTables(s, "omop").toSet
       val todo = derivedModel.tables.filterNot(staged).toSeq
@@ -1056,6 +1072,8 @@ object OhdsiCdmQueries {
       |    CASE WHEN o_orderkey % 101 = 0 THEN CAST(o_orderdate AS DATE) - 2
       |      ELSE CAST(o_orderdate AS DATE) + CAST(o_orderkey % 5 AS INT) END
       |      AS visit_end_date,
+      |    CASE CAST(o_orderkey % 3 AS INT) WHEN 0 THEN 44818517
+      |      WHEN 1 THEN 44818518 ELSE 44818519 END AS visit_type_concept_id,
       |    1 + o_orderkey % (SELECT count(*) FROM supplier) AS care_site_id
       |  FROM orders
       |), vd AS (
@@ -1168,6 +1186,11 @@ object OhdsiCdmQueries {
       |      AS device_concept_id,
       |    CAST(l_shipdate AS DATE) + CAST(l_suppkey % 19 AS INT)
       |      AS device_exposure_start_date,
+      |    CASE WHEN o_orderkey % 107 = 0
+      |      THEN CAST(l_shipdate AS DATE) + CAST(l_suppkey % 19 - 3 AS INT)
+      |      ELSE CAST(l_shipdate AS DATE)
+      |        + CAST(l_suppkey % 19 + l_partkey % 11 AS INT) END
+      |      AS device_exposure_end_date,
       |    CASE WHEN l_partkey % 2 = 0 THEN 32817 ELSE 32810 END
       |      AS device_type_concept_id
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -1399,6 +1422,10 @@ object OhdsiCdmQueries {
       |    CAST(visit_detail_type_concept_id AS VARCHAR), count(*)
       |  FROM vd GROUP BY 2, 3
       |  UNION ALL
+      |  SELECT 205, CAST(visit_concept_id AS VARCHAR),
+      |    CAST(visit_type_concept_id AS VARCHAR), count(*)
+      |  FROM visit GROUP BY 2, 3
+      |  UNION ALL
       |  SELECT 207, 'ALL', NULL, count(*) FROM visit
       |  WHERE person_id NOT IN (SELECT person_id FROM person)
       |  UNION ALL
@@ -1628,6 +1655,9 @@ object OhdsiCdmQueries {
       |  SELECT 2509, 'ALL', NULL, count(*) FROM vd WHERE vde < vds
       |  UNION ALL
       |  SELECT 709, 'ALL', NULL, count(*) FROM drug WHERE de < ds
+      |  UNION ALL
+      |  SELECT 2109, 'ALL', NULL, count(*) FROM dev
+      |  WHERE device_exposure_end_date < device_exposure_start_date
       |  UNION ALL
       |  SELECT 1500, 'ALL', NULL, count(*) FROM cost
       |  WHERE cost_domain_id = 'Drug'

@@ -66,7 +66,7 @@ class OhdsiAchillesSpec extends SparkSpec {
 
   test("analysisCatalog carries the literal core id set") {
     val cat = OhdsiAchilles.analysisCatalog(spark).collect()
-    assert(cat.length === 216)
+    assert(cat.length === 218)
     val ids = cat.map(_.getLong(0))
     assert(ids.sorted.toSeq === ids.toSeq) // ordered by analysis_id
     for (core <- Seq(1L, 2L, 101L, 105L, 108L, 109L, 110L, 111L, 114L, 115L,
@@ -87,7 +87,9 @@ class OhdsiAchillesSpec extends SparkSpec {
         10L, 12L, 118L, 505L, 715L, 716L, 717L, 791L, 814L, 815L, 891L, 1891L, 2004L,
         // the round-11 additions: dose_era 1300 block, era month series,
         // Mx&Rx treemap member, device / visit_detail at-least-x
-        1300L, 1301L, 1302L, 1304L, 1320L, 920L, 1020L, 2003L, 2191L, 2591L))
+        1300L, 1301L, 1302L, 1304L, 1320L, 920L, 1020L, 2003L, 2191L, 2591L,
+        // the round-11 type/end-date additions
+        205L, 2109L))
       assert(ids.contains(core), s"missing core id $core")
     // x04 carries the published four strata names
     val a404 = cat.find(_.getLong(0) == 404L).get
