@@ -428,6 +428,28 @@ object LlmQueries {
       .orderBy(col("n").desc, col("ngram"))
       .limit(20)
 
+  // ------------------- Gopher repetition filters ([[RepetitionOps]]) ----
+
+  /** Per-doc duplicate line/paragraph profile (8- and 32-token windows). */
+  val textRepWindows: Q = (s, d) =>
+    graft.ops.RepetitionOps.lineParagraphProfile(t(s, d, "documents"))
+      .orderBy("doc_id")
+
+  /** Per-doc top {2,3,4}-gram char-mass micros. */
+  val textRepTopgram: Q = (s, d) =>
+    graft.ops.RepetitionOps.topGramMass(t(s, d, "documents"))
+      .orderBy("doc_id", "n")
+
+  /** Per-doc duplicated {5..10}-gram char-mass micros. */
+  val textRepDupgram: Q = (s, d) =>
+    graft.ops.RepetitionOps.dupGramMass(t(s, d, "documents"))
+      .orderBy("doc_id", "n")
+
+  /** The composed 13-rule Gopher repetition gate. */
+  val corpusGopherGate: Q = (s, d) =>
+    graft.ops.RepetitionOps.gopherGate(t(s, d, "documents"))
+      .orderBy("doc_id")
+
   /** Per-label embedding centroids in long form (label, dim position,
     * mean) — posexplode + one combinable aggregate, no array re-assembly
     * on the hot path.
@@ -1258,6 +1280,10 @@ object LlmQueries {
     "embed_quantize" -> embedQuantize,
     "text_quality" -> textQuality,
     "text_repetition" -> textRepetition,
+    "text_rep_windows" -> textRepWindows,
+    "text_rep_topgram" -> textRepTopgram,
+    "text_rep_dupgram" -> textRepDupgram,
+    "corpus_gopher_gate" -> corpusGopherGate,
     "text_commonness" -> textCommonness,
     "doc_fingerprint" -> docFingerprint,
     "doc_rolling_hash" -> docRollingHash,
@@ -1929,7 +1955,117 @@ object LlmQueries {
         |LEFT JOIN (SELECT item_id, dup_of, sq FROM best WHERE rk = 1) w USING (item_id)
         |ORDER BY b.item_id""".stripMargin
 
+  /** Shared repetition-oracle CTEs ([[graft.ops.RepetitionOps]]): the
+    * non-overlapping window views at 8/32 tokens and their per-doc dup
+    * profiles. All fractions are HUGEINT floor-divisions (`//`) — the
+    * integer mirror of the Spark side's decimal pmod idiom.
+    */
+  private def repProfSql(src: String): String =
+    s"""(
+       |  SELECT doc_id,
+       |    CAST(sum(cnt) AS BIGINT) AS n_win,
+       |    CAST((1000000 * sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END))
+       |      // sum(cnt) AS BIGINT) AS dup_micro,
+       |    CAST((1000000 * sum(CASE WHEN cnt > 1 THEN cnt * length(win) ELSE 0 END))
+       |      // sum(cnt * length(win)) AS BIGINT) AS dup_char_micro
+       |  FROM (SELECT doc_id, win, count(*) AS cnt FROM $src GROUP BY 1, 2)
+       |  GROUP BY 1
+       |)""".stripMargin
+
+  private val repWindowCtes: String =
+    s"""toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
+       |win8 AS (
+       |  SELECT doc_id, array_to_string(tk[i+1:i+8], ' ') AS win
+       |  FROM toks, UNNEST(range(0, len(tk) - 7)) AS u(i)
+       |  WHERE i % 8 = 0
+       |),
+       |win32 AS (
+       |  SELECT doc_id, array_to_string(tk[i+1:i+32], ' ') AS win
+       |  FROM toks, UNNEST(range(0, len(tk) - 31)) AS u(i)
+       |  WHERE i % 32 = 0
+       |),
+       |prof8 AS ${repProfSql("win8")},
+       |prof32 AS ${repProfSql("win32")}""".stripMargin
+
+  /** The n-gram char-mass CTEs for a contiguous n range: per-doc gram
+    * counts and the whitespace-normalized char denominator.
+    */
+  private def repGramCtes(nLo: Int, nHi: Int, withToks: Boolean = true): String =
+    (if (withToks) s"toks AS (SELECT doc_id, $tokSql AS tk FROM documents),\n"
+     else "") +
+    s"""tc AS (SELECT doc_id,
+       |  CAST(length(array_to_string(tk, ' ')) AS BIGINT) AS total_chars
+       |  FROM toks),
+       |gcnt AS (
+       |  SELECT doc_id, CAST(n AS BIGINT) AS n, gram, count(*) AS cnt FROM (
+       |    SELECT doc_id, n, array_to_string(tk[i+1:i+n], ' ') AS gram
+       |    FROM toks, (SELECT unnest(range($nLo, ${nHi + 1})) AS n) ns,
+       |      UNNEST(range(0, len(tk) - (n - 1))) AS u(i)
+       |  ) GROUP BY 1, 2, 3
+       |)""".stripMargin
+
+  private val repGateOracle: String =
+    s"""WITH $repWindowCtes,
+       |$${REP_GRAMS}
+       |winf AS (
+       |  SELECT p8.doc_id,
+       |    CAST(p8.dup_micro > 300000 AS BIGINT)
+       |      + CAST(coalesce(p32.dup_micro, 0) > 300000 AS BIGINT)
+       |      + CAST(p8.dup_char_micro > 200000 AS BIGINT)
+       |      + CAST(coalesce(p32.dup_char_micro, 0) > 200000 AS BIGINT) AS win_fails
+       |  FROM prof8 p8 LEFT JOIN prof32 p32 USING (doc_id)
+       |),
+       |mass AS (
+       |  SELECT g.doc_id, g.n,
+       |    CASE WHEN g.n <= 4
+       |      THEN least((1000000 * max(cnt * length(gram))) // any_value(total_chars), 1000000)
+       |      ELSE least((1000000 * sum(CASE WHEN cnt > 1 THEN cnt * length(gram) ELSE 0 END))
+       |        // any_value(total_chars), 1000000) END AS micro
+       |  FROM gcnt g JOIN tc USING (doc_id) GROUP BY 1, 2
+       |),
+       |gramf AS (
+       |  SELECT doc_id,
+       |    sum(CASE WHEN (n = 2 AND micro > 200000) OR (n = 3 AND micro > 180000)
+       |      OR (n = 4 AND micro > 160000) OR (n = 5 AND micro > 150000)
+       |      OR (n = 6 AND micro > 140000) OR (n = 7 AND micro > 130000)
+       |      OR (n = 8 AND micro > 120000) OR (n = 9 AND micro > 110000)
+       |      OR (n = 10 AND micro > 100000) THEN 1 ELSE 0 END) AS gram_fails
+       |  FROM mass GROUP BY 1
+       |)
+       |SELECT w.doc_id,
+       |  CAST(w.win_fails + coalesce(g.gram_fails, 0) AS BIGINT) AS fails,
+       |  CAST(CASE WHEN w.win_fails + coalesce(g.gram_fails, 0) = 0
+       |    THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |FROM winf w LEFT JOIN gramf g USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+      .replace("${REP_GRAMS}", repGramCtes(2, 10, withToks = false) + ",")
+
   val oracles: Seq[(String, String)] = Seq(
+    "text_rep_windows" ->
+      s"""WITH $repWindowCtes
+         |SELECT p8.doc_id, p8.n_win AS n_lines, p8.dup_micro AS dup_line_micro,
+         |  p8.dup_char_micro AS dup_line_char_micro,
+         |  CAST(coalesce(p32.n_win, 0) AS BIGINT) AS n_paras,
+         |  CAST(coalesce(p32.dup_micro, 0) AS BIGINT) AS dup_para_micro,
+         |  CAST(coalesce(p32.dup_char_micro, 0) AS BIGINT) AS dup_para_char_micro
+         |FROM prof8 p8 LEFT JOIN prof32 p32 USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "text_rep_topgram" ->
+      s"""WITH ${repGramCtes(2, 4)}
+         |SELECT g.doc_id, g.n,
+         |  CAST(least((1000000 * max(cnt * length(gram))) // any_value(total_chars),
+         |    1000000) AS BIGINT) AS top_mass_micro
+         |FROM gcnt g JOIN tc USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "text_rep_dupgram" ->
+      s"""WITH ${repGramCtes(5, 10)}
+         |SELECT g.doc_id, g.n,
+         |  CAST(least(
+         |    (1000000 * sum(CASE WHEN cnt > 1 THEN cnt * length(gram) ELSE 0 END))
+         |      // any_value(total_chars), 1000000) AS BIGINT) AS dup_mass_micro
+         |FROM gcnt g JOIN tc USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "corpus_gopher_gate" -> repGateOracle,
     "dedup_semantic_trained" -> dedupSemanticTrainedOracle,
     "embed_kmeans_k64" -> embedKmeansK64Oracle,
     "dedup_semantic_k64" -> dedupSemanticK64Oracle,

@@ -220,6 +220,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!readSchema.contains("source") && !readSchema.contains("n_chars"))
   }
 
+  test("gopher repetition gate: equi-joins on doc_id only, pruned scans") {
+    for (q <- Seq("text_rep_windows", "text_rep_topgram", "text_rep_dupgram",
+        "corpus_gopher_gate")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q plan has an all-pairs join")
+      val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+      assert(readSchema.contains("doc_id") && readSchema.contains("text") &&
+        !readSchema.contains("source"), s"$q scan not pruned: $readSchema")
+    }
+  }
+
   test("mixture sampling is a pure scan-side filter: zero pre-order shuffles") {
     // only the final orderBy may exchange — the keep/drop decision itself
     // must not shuffle anything
