@@ -1013,6 +1013,100 @@ object OhdsiCdmQueries {
       params = Map("cdmDatabaseSchema" -> "global_temp", "smallCellCount" -> "5"))
   }
 
+  /** The published Achilles DIST analysis 105 ("Length of observation
+    * (days) of first observation period", `inst/sql/sql_server/analyses/
+    * 105.sql` of the vendored Achilles lib, `achilles.py:229-256` renders
+    * and runs it per id) — the canonical dist-analysis shape: rawData ->
+    * overallStats -> statsView -> priorStats column-aliased CTE chain with
+    * the accumulated-count percentile rule, SELECT ... INTO a
+    * `#results_dist_<id>` scratch table. Exercises column-aliased CTEs,
+    * DATEDIFF(dd,..), stdev, count_big, leading-dot float literals
+    * (`.50 *`), CAST AS FLOAT, and CROSS JOIN through the bridge.
+    */
+  private val Achilles105Sql =
+    """-- 105	Length of observation (days) of first observation period
+      |
+      |with rawData (count_value) as
+      |(
+      |  select DATEDIFF(dd,op.observation_period_start_date, op.observation_period_end_date) as count_value
+      |  from
+      |  (
+      |    select person_id,
+      |  	observation_period_start_date,
+      |  	observation_period_end_date,
+      |  	row_number() over (partition by person_id order by observation_period_start_date asc) as rn
+      |    from @cdmDatabaseSchema.observation_period
+      |  ) op
+      |  where op.rn = 1
+      |),
+      |overallStats (avg_value, stdev_value, min_value, max_value, total) as
+      |(
+      |  select CAST(avg(1.0 * count_value) AS FLOAT) as avg_value,
+      |  CAST(stdev(count_value) AS FLOAT) as stdev_value,
+      |  min(count_value) as min_value,
+      |  max(count_value) as max_value,
+      |  count_big(*) as total
+      |  from rawData
+      |),
+      |statsView (count_value, total, rn) as
+      |(
+      |  select count_value,
+      |  	count_big(*) as total,
+      |	row_number() over (order by count_value) as rn
+      |  from rawData
+      |  group by count_value
+      |),
+      |priorStats (count_value, total, accumulated) as
+      |(
+      |  select s.count_value, s.total, sum(p.total) as accumulated
+      |  from statsView s
+      |  join statsView p on p.rn <= s.rn
+      |  group by s.count_value, s.total, s.rn
+      |)
+      |select 105 as analysis_id,
+      |  o.total as count_value,
+      |  o.min_value,
+      |	o.max_value,
+      |	o.avg_value,
+      |	o.stdev_value,
+      |	MIN(case when p.accumulated >= .50 * o.total then count_value else o.max_value end) as median_value,
+      |	MIN(case when p.accumulated >= .10 * o.total then count_value else o.max_value end) as p10_value,
+      |	MIN(case when p.accumulated >= .25 * o.total then count_value else o.max_value end) as p25_value,
+      |	MIN(case when p.accumulated >= .75 * o.total then count_value else o.max_value end) as p75_value,
+      |	MIN(case when p.accumulated >= .90 * o.total then count_value else o.max_value end) as p90_value
+      |into #results_dist_105
+      |from priorStats p
+      |CROSS JOIN overallStats o
+      |GROUP BY o.total, o.min_value, o.max_value, o.avg_value, o.stdev_value;""".stripMargin
+
+  /** The dist template over the DERIVED CDM universe, then the reference's
+    * dist merge flow (INSERT INTO the `_dist` results accumulator,
+    * `achilles.py:507-560`). The final read returns the INTEGER-domain
+    * columns only (total, min/max, the accumulated-rule percentiles —
+    * all exact day counts): `avg_value`/`stdev_value` are genuine doubles
+    * whose parallel accumulation order differs between engines (the r10
+    * exactness lesson), so the template computes them verbatim but the
+    * hash-gated surface excludes them.
+    */
+  val ohdsiSqlAchilles105: Q = (s, d) => {
+    materialized(s, d)("observation_period")
+      .createOrReplaceGlobalTempView("observation_period")
+    graft.sources.OhdsiSql.execute(s,
+      Achilles105Sql + "\n" +
+        """DROP TABLE IF EXISTS #achilles_results_dist;
+          |INSERT INTO #achilles_results_dist (analysis_id, count_value,
+          |  min_value, max_value, avg_value, stdev_value, median_value,
+          |  p10_value, p25_value, p75_value, p90_value)
+          |SELECT analysis_id, count_value, min_value, max_value, avg_value,
+          |  stdev_value, median_value, p10_value, p25_value, p75_value,
+          |  p90_value
+          |FROM #results_dist_105;
+          |SELECT analysis_id, count_value, min_value, max_value,
+          |  median_value, p10_value, p25_value, p75_value, p90_value
+          |FROM #achilles_results_dist ORDER BY analysis_id""".stripMargin,
+      params = Map("cdmDatabaseSchema" -> "global_temp"))
+  }
+
   val ohdsiSqlDqdCheck: Q = (s, d) => {
     t(s, d, "orders").createOrReplaceGlobalTempView("dqd_check_orders")
     graft.sources.OhdsiSql.execute(s, FieldIsNotNullableSql,
@@ -1028,6 +1122,7 @@ object OhdsiCdmQueries {
 
   val defs: Seq[(String, Q)] = Seq(
     "ohdsi_sql_achilles701" -> ohdsiSqlAchilles701,
+    "ohdsi_sql_achilles105" -> ohdsiSqlAchilles105,
     "ohdsi_sql_concept_check" -> ohdsiSqlConceptCheck,
     "ohdsi_sql_dqd_check" -> ohdsiSqlDqdCheck,
     "dqd_cohort_battery" -> dqdCohortBattery,
@@ -2359,6 +2454,46 @@ object OhdsiCdmQueries {
   }
 
   val oracles: Seq[(String, String)] = Seq(
+    "ohdsi_sql_achilles105" ->
+      s"""WITH $deriveSql,
+         |rawData AS (
+         |  SELECT datediff('day', op_start, op_end) AS count_value
+         |  FROM (SELECT person_id, op_start, op_end,
+         |          row_number() OVER (PARTITION BY person_id
+         |            ORDER BY op_start ASC) AS rn
+         |        FROM obs) op
+         |  WHERE op.rn = 1
+         |),
+         |overallStats AS (
+         |  SELECT min(count_value) AS min_value, max(count_value) AS max_value,
+         |    CAST(count(*) AS BIGINT) AS total
+         |  FROM rawData
+         |),
+         |statsView AS (
+         |  SELECT count_value, CAST(count(*) AS BIGINT) AS total,
+         |    row_number() OVER (ORDER BY count_value) AS rn
+         |  FROM rawData GROUP BY count_value
+         |),
+         |priorStats AS (
+         |  SELECT s.count_value, s.total, CAST(sum(p.total) AS BIGINT) AS accumulated
+         |  FROM statsView s JOIN statsView p ON p.rn <= s.rn
+         |  GROUP BY s.count_value, s.total, s.rn
+         |)
+         |SELECT 105 AS analysis_id,
+         |  o.total AS count_value, o.min_value, o.max_value,
+         |  CAST(MIN(CASE WHEN p.accumulated >= CAST(.50 AS DOUBLE) * o.total
+         |    THEN p.count_value ELSE o.max_value END) AS BIGINT) AS median_value,
+         |  CAST(MIN(CASE WHEN p.accumulated >= CAST(.10 AS DOUBLE) * o.total
+         |    THEN p.count_value ELSE o.max_value END) AS BIGINT) AS p10_value,
+         |  CAST(MIN(CASE WHEN p.accumulated >= CAST(.25 AS DOUBLE) * o.total
+         |    THEN p.count_value ELSE o.max_value END) AS BIGINT) AS p25_value,
+         |  CAST(MIN(CASE WHEN p.accumulated >= CAST(.75 AS DOUBLE) * o.total
+         |    THEN p.count_value ELSE o.max_value END) AS BIGINT) AS p75_value,
+         |  CAST(MIN(CASE WHEN p.accumulated >= CAST(.90 AS DOUBLE) * o.total
+         |    THEN p.count_value ELSE o.max_value END) AS BIGINT) AS p90_value
+         |FROM priorStats p CROSS JOIN overallStats o
+         |GROUP BY o.total, o.min_value, o.max_value
+         |ORDER BY analysis_id""".stripMargin,
     "ohdsi_sql_achilles701" ->
       s"""WITH $deriveSql
          |SELECT 701 AS analysis_id,

@@ -22,6 +22,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     `instr(hay, needle)`, `IIF` -> `if`, `DATEPART` ->
   *     `year/month/day`, `STDEV`/`VAR` -> `stddev_samp`/`var_samp`,
   *     `SQUARE(x)` -> `x*x`, `CONVERT(type, x)` -> `CAST(x AS type)`,
+  *     `AS FLOAT` -> `AS DOUBLE` (SQL Server FLOAT is 8-byte),
   *     `WITH (NOLOCK)` dropped, `[ident]` -> backtick quoting, bare float
   *     literals -> `CAST(... AS DOUBLE)` (SqlRender target dialects type
   *     them as floats), `#temp` -> session temp views;
@@ -211,6 +212,10 @@ object OhdsiSql {
         }
         java.util.regex.Matcher.quoteReplacement(s"CAST(${m.group(2).trim} AS $ty)")
       })
+    // SQL Server FLOAT is an 8-byte float (SqlRender targets render it
+    // FLOAT64/DOUBLE PRECISION); Spark's FLOAT is 4-byte — a verbatim
+    // `CAST(x AS FLOAT)` would silently halve precision
+    s = ci(raw"\bAS\s+FLOAT\b").replaceAllIn(s, "AS DOUBLE")
     // SQL Server table hints have no Spark meaning — drop them
     s = ci(raw"\bWITH\s*\(\s*NOLOCK\s*\)").replaceAllIn(s, "")
     // [bracketed] identifiers -> backtick-quoted (SqlRender's dialect quote)

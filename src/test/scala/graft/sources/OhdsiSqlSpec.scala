@@ -108,6 +108,12 @@ class OhdsiSqlSpec extends SparkSpec {
       === "SELECT year(d), month(d), day(d) FROM t")
     assert(OhdsiSql.translate("SELECT STDEV(x), SQUARE(x - 1) FROM t")
       === "SELECT stddev_samp(x), ((x - 1) * (x - 1)) FROM t")
+    // the round-11 additions: SQL Server FLOAT is 8-byte; leading-dot
+    // float literals get the explicit DOUBLE typing
+    assert(OhdsiSql.translate("SELECT CAST(avg(x) AS FLOAT) FROM t")
+      === "SELECT CAST(avg(x) AS DOUBLE) FROM t")
+    assert(OhdsiSql.translate("SELECT a FROM t WHERE acc >= .50 * n")
+      === "SELECT a FROM t WHERE acc >= CAST(.50 AS DOUBLE) * n")
   }
 
   test("translate fails loudly on unsupported dateparts and over-nested calls") {
