@@ -307,7 +307,26 @@ object LifecycleQueries {
     Dqd.RuleSet(
       startEnd = Dqd.startEndRules(m),
       completeness = Dqd.personCompletenessRules(m),
-      temporal = Dqd.afterBirthRules(m),
+      // r11: the four check types the CDM 5.4 battery still lacked (each
+      // already shipped in the events battery): plausibleValueLow/High
+      // from published Field_Level bounds, fkDomain over the two standard
+      // gender concepts, the deprecated plausibleTemporalAfter name
+      // (`data_quality.py:116` — published batteries still carry it) on
+      // the visit_detail -> visit_occurrence timeline, and
+      // plausibleGenderUseDescendants through the CONCEPT_ANCESTOR closure
+      bounds = Map(
+        ("person", "year_of_birth") -> (Some(1850.0), None),
+        ("drug_exposure", "refills") -> (Some(0.0), Some(24.0)),
+        ("drug_exposure", "days_supply") -> (Some(0.0), Some(365.0))),
+      domains = Seq(
+        Dqd.DomainRule("person", "gender_concept_id", Seq("8507", "8532"))),
+      temporal = Dqd.afterBirthRules(m) ++ Seq(
+        Dqd.TemporalRule("visit_detail", "visit_detail_start_date",
+          "visit_occurrence_id", "visit_start_date")),
+      genderDesc = Seq(
+        Dqd.GenderDescRule("condition_occurrence", "condition_concept_id",
+          "concept_ancestor", "ancestor_concept_id", "descendant_concept_id",
+          "4163261", "person_id", "gender_concept_id", Seq("8507"))),
       // both the deprecated name and DQD 2.6's plausibleBeforeDeath
       // reimplementation run (the reference's battery carries the modern
       // check id; data_quality.py:113)

@@ -200,6 +200,27 @@ class DqdChecksSpec extends SparkSpec {
     assert(withEmpty("table_cdmtable_obs") === full("table_cdmtable_obs"))
   }
 
+  test("the CDM 5.4 battery carries all 26 DQD v2.6 check types") {
+    // the published check-type census (check_descriptions CSV of DQD
+    // v2.6): every type the engine implements must be INSTANTIATED in the
+    // full CDM 5.4 battery, not just available — a rule-set edit that
+    // drops a family must fail here, not silently shrink the battery
+    val all26 = Set(
+      "cdmTable", "cdmField", "isRequired", "cdmDatatype", "isPrimaryKey",
+      "isForeignKey", "fkDomain", "fkClass", "measureValueCompleteness",
+      "measurePersonCompleteness", "measureConditionEraCompleteness",
+      "isStandardValidConcept", "standardConceptRecordCompleteness",
+      "sourceConceptRecordCompleteness", "sourceValueCompleteness",
+      "plausibleValueLow", "plausibleValueHigh", "plausibleTemporalAfter",
+      "plausibleAfterBirth", "plausibleStartBeforeEnd", "plausibleDuringLife",
+      "plausibleBeforeDeath", "withinVisitDates", "plausibleGender",
+      "plausibleGenderUseDescendants", "plausibleUnitConceptIds")
+    val sql = emptyUniverseOracleSql(
+      graft.model.Cdm54.model, graft.queries.LifecycleQueries.cdm54Rules)
+    val missing = all26.filterNot(n => sql.contains(s"'$n'"))
+    assert(missing.isEmpty, s"battery lacks check types: $missing")
+  }
+
   test("the battery enumerates exactly the oracle's check set") {
     val oracleIds = "'(field|table|concept)_[A-Za-z]+_[A-Za-z0-9_]+'".r
     val sql = oracleSql(model, rules)
