@@ -279,6 +279,20 @@ object OhdsiAchilles {
         "place_of_service_concept_id"),
       CoreAnalysis(1202L, "Number of care sites by place of service",
         "place_of_service_concept_id"),
+      // 1400-1403: the payer_source_value series (the x00/x01/x02/x03
+      // shapes over payer_plan_period — CDM's payer dimension is the
+      // source value, not a concept id; public Achilles id convention)
+      CoreAnalysis(1400L,
+        "Number of persons with at least one payer plan period, by payer_source_value",
+        "payer_source_value"),
+      CoreAnalysis(1401L, "Number of payer plan period records, by payer_source_value",
+        "payer_source_value"),
+      CoreAnalysis(1402L,
+        "Number of persons by payer plan period start month, by payer_source_value",
+        "payer_source_value", "calendar_month"),
+      CoreAnalysis(1403L,
+        "Number of distinct payer plan period values (payer_source_value) per person",
+        isDist = true),
       CoreAnalysis(1408L,
         "Number of persons by length of first payer plan period, in 30d increments",
         "length_30d"),
@@ -839,7 +853,18 @@ object OhdsiAchilles {
         "payer_plan_period_start_date", "payer_plan_period_end_date")) None
       else Some {
         val pp = load("payer_plan_period")
-        Seq(
+        // 1400/1401/1402: the payer_source_value series — persons and
+        // records by payer, persons by start month by payer (the x00/x01/
+        // x02 shapes with the source value as the "concept")
+        (if (has(model, "payer_plan_period", "payer_source_value")) Seq(
+          row(1400L, col("payer_source_value"), pp, countDistinct(col("person_id"))),
+          row(1401L, col("payer_source_value"), pp, count(lit(1))),
+          pp.groupBy(col("payer_source_value").cast("string").as("stratum_1"),
+              date_format(col("payer_plan_period_start_date"), "yyyyMM").as("stratum_2"))
+            .agg(countDistinct(col("person_id")).as("count_value"))
+            .select(lit(1402L).as("analysis_id"), col("stratum_1"), col("stratum_2"),
+              col("count_value")))
+        else Nil) ++ Seq(
           row(1411L, date_format(col("payer_plan_period_start_date"), "yyyyMM"),
             pp, countDistinct(col("person_id"))),
           row(1412L, date_format(col("payer_plan_period_end_date"), "yyyyMM"),
@@ -1175,6 +1200,13 @@ object OhdsiAchilles {
         .select(col("__v"))
       parts += hist(perPerson, d.base + 3)
     }
+    // 1403: the payer sibling of the x03 family — distinct
+    // payer_source_value values per person
+    if (has(model, "payer_plan_period", "person_id", "payer_source_value"))
+      parts += hist(load("payer_plan_period")
+        .groupBy(col("person_id"))
+        .agg(countDistinct(col("payer_source_value")).cast("double").as("__v"))
+        .select(col("__v")), 1403L)
     // x06: distribution of age at FIRST occurrence by concept (206, 406,
     // ...) — one shuffle on (person, concept), birth years broadcast in
     val hasYob = has(model, "person", "person_id", "year_of_birth")

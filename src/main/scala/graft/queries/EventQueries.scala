@@ -1107,6 +1107,10 @@ object EventQueries {
         |(1306, 'Distribution of age at first dose era, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 1),
         |(1307, 'Distribution of dose era length, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 1),
         |(1320, 'Number of dose era records by dose era start month', 'calendar_month', NULL, NULL, NULL, 0),
+        |(1400, 'Number of persons with at least one payer plan period, by payer_source_value', 'payer_source_value', NULL, NULL, NULL, 0),
+        |(1401, 'Number of payer plan period records, by payer_source_value', 'payer_source_value', NULL, NULL, NULL, 0),
+        |(1402, 'Number of persons by payer plan period start month, by payer_source_value', 'payer_source_value', 'calendar_month', NULL, NULL, 0),
+        |(1403, 'Number of distinct payer plan period values (payer_source_value) per person', NULL, NULL, NULL, NULL, 1),
         |(1406, 'Length of payer plan (days) of first payer plan period by gender', 'gender_concept_id', NULL, NULL, NULL, 1),
         |(1407, 'Length of payer plan (days) of first payer plan period by age decile', 'age_decile', NULL, NULL, NULL, 1),
         |(1408, 'Number of persons by length of first payer plan period, in 30d increments', 'length_30d', NULL, NULL, NULL, 0),

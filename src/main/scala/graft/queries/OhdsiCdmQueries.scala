@@ -145,6 +145,7 @@ object OhdsiCdmQueries {
     f("payer_plan_period", "person_id", "int64"),
     f("payer_plan_period", "payer_plan_period_start_date", "date"),
     f("payer_plan_period", "payer_plan_period_end_date", "date"),
+    f("payer_plan_period", "payer_source_value", "string"),
     f("cohort", "cohort_definition_id", "int64"),
     f("cohort", "subject_id", "int64"),
     f("cohort", "cohort_start_date", "date"),
@@ -509,14 +510,20 @@ object OhdsiCdmQueries {
     case "payer_plan_period" =>
       // one coverage period per (person, order-year): first..last order
       // date of the year plus a 30-day runout — gives the 1408-1413
-      // payer-coverage analyses real multi-period-per-person structure
+      // payer-coverage analyses real multi-period-per-person structure.
+      // The payer rotates per (person, year) so persons genuinely switch
+      // payers across periods — the 1400-1403 payer_source_value series
+      // sees real multi-payer-per-person structure
       t(s, d, "orders")
         .groupBy(col("o_custkey").as("person_id"),
           year(to_date(col("o_orderdate"))).as("__y"))
         .agg(min(to_date(col("o_orderdate"))).as("payer_plan_period_start_date"),
           max(to_date(col("o_orderdate"))).as("__mx"))
         .select(col("person_id"), col("payer_plan_period_start_date"),
-          date_add(col("__mx"), 30).as("payer_plan_period_end_date"))
+          date_add(col("__mx"), 30).as("payer_plan_period_end_date"),
+          when((col("person_id") + col("__y")) % 3 === 0, "Medicare")
+            .when((col("person_id") + col("__y")) % 3 === 1, "Medicaid")
+            .otherwise("Commercial").as("payer_source_value"))
     case "cohort" =>
       // five cohorts keyed by order priority; 90-day membership windows
       t(s, d, "orders").select(
@@ -558,8 +565,9 @@ object OhdsiCdmQueries {
     // unmapped observation concepts). v4: the round-9 parity columns
     // (drug days_supply/refills/quantity, observation value family,
     // death_type_concept_id). v5: the r11 visit_type_concept_id and
-    // device_exposure_end_date columns (205 / 2109 analyses)
-    val zones = graft.io.Zones.forPurpose(s"ohdsicdm5_$key")
+    // device_exposure_end_date columns (205 / 2109 analyses). v6: the
+    // payer_plan_period payer_source_value column (1400-1403 series)
+    val zones = graft.io.Zones.forPurpose(s"ohdsicdm6_$key")
     cdmStore.getOrElseUpdate((s, d), {
       val staged = zones.listTables(s, "omop").toSet
       val todo = derivedModel.tables.filterNot(staged).toSeq
@@ -604,9 +612,10 @@ object OhdsiCdmQueries {
     // v4: the r10 integer-domain avg_value (a stored dist battery from the
     // round-9 decimal->double mean would silently mismatch the new oracle)
     // v5: the r11 deterministic first-period tie-break (min(struct) for
-    // 108/1406/1407/1408 replaces min_by-on-start)
+    // 108/1406/1407/1408 replaces min_by-on-start). v6: the derived
+    // payer_plan_period gained payer_source_value (1400-1403)
     val zones = graft.io.Zones.forPurpose(
-      s"ohdsires5_${graft.operators.OhdsiAchilles.Catalog.size}_$key")
+      s"ohdsires6_${graft.operators.OhdsiAchilles.Catalog.size}_$key")
     resultsStore.getOrElseUpdate((s, d), {
       val have = zones.listTables(s, "achilles").toSet
       val load = materialized(s, d)
@@ -1378,7 +1387,10 @@ object OhdsiCdmQueries {
       |), ppp AS (
       |  SELECT o_custkey AS person_id,
       |    min(CAST(o_orderdate AS DATE)) AS pp_start,
-      |    max(CAST(o_orderdate AS DATE)) + 30 AS pp_end
+      |    max(CAST(o_orderdate AS DATE)) + 30 AS pp_end,
+      |    CASE (o_custkey + year(CAST(o_orderdate AS DATE))) % 3
+      |      WHEN 0 THEN 'Medicare' WHEN 1 THEN 'Medicaid'
+      |      ELSE 'Commercial' END AS payer_source_value
       |  FROM orders GROUP BY o_custkey, year(CAST(o_orderdate AS DATE))
       |), cohort AS (
       |  SELECT CASE o_orderpriority
@@ -1797,6 +1809,16 @@ object OhdsiCdmQueries {
       |  SELECT 1202, CAST(place_of_service_concept_id AS VARCHAR), NULL, count(*)
       |  FROM care_site GROUP BY 2
       |  UNION ALL
+      |  SELECT 1400, payer_source_value, NULL, count(DISTINCT person_id)
+      |  FROM ppp GROUP BY 2
+      |  UNION ALL
+      |  SELECT 1401, payer_source_value, NULL, count(*)
+      |  FROM ppp GROUP BY 2
+      |  UNION ALL
+      |  SELECT 1402, payer_source_value, strftime(pp_start, '%Y%m'),
+      |    count(DISTINCT person_id)
+      |  FROM ppp GROUP BY 2, 3
+      |  UNION ALL
       |  SELECT 1408,
       |    CAST(CAST(floor(datediff('day', pp_start, pp_end) / 30) AS BIGINT) AS VARCHAR),
       |    NULL, count(*)
@@ -2086,6 +2108,11 @@ object OhdsiCdmQueries {
       |  SELECT 1803, 'ALL', NULL, CAST(n AS DOUBLE) FROM (
       |    SELECT person_id, count(DISTINCT measurement_concept_id) AS n
       |    FROM meas GROUP BY person_id
+      |  )
+      |  UNION ALL
+      |  SELECT 1403, 'ALL', NULL, CAST(n AS DOUBLE) FROM (
+      |    SELECT person_id, count(DISTINCT payer_source_value) AS n
+      |    FROM ppp GROUP BY person_id
       |  )
       |  UNION ALL
       |  SELECT 206, CAST(visit_concept_id AS VARCHAR), NULL,

@@ -66,7 +66,7 @@ class OhdsiAchillesSpec extends SparkSpec {
 
   test("analysisCatalog carries the literal core id set") {
     val cat = OhdsiAchilles.analysisCatalog(spark).collect()
-    assert(cat.length === 218)
+    assert(cat.length === 222)
     val ids = cat.map(_.getLong(0))
     assert(ids.sorted.toSeq === ids.toSeq) // ordered by analysis_id
     for (core <- Seq(1L, 2L, 101L, 105L, 108L, 109L, 110L, 111L, 114L, 115L,
@@ -89,7 +89,9 @@ class OhdsiAchillesSpec extends SparkSpec {
         // Mx&Rx treemap member, device / visit_detail at-least-x
         1300L, 1301L, 1302L, 1304L, 1320L, 920L, 1020L, 2003L, 2191L, 2591L,
         // the round-11 type/end-date additions
-        205L, 2109L))
+        205L, 2109L,
+        // the round-11 payer_source_value series
+        1400L, 1401L, 1402L, 1403L))
       assert(ids.contains(core), s"missing core id $core")
     // x04 carries the published four strata names
     val a404 = cat.find(_.getLong(0) == 404L).get
@@ -107,7 +109,7 @@ class OhdsiAchillesSpec extends SparkSpec {
       203L, 403L, 603L, 703L, 803L, 903L, 1003L, 1803L, 2103L, 2403L,
       206L, 406L, 606L, 706L, 806L, 906L, 1006L, 1806L, 2106L, 2406L,
       211L, 506L, 907L, 1007L, 1303L, 1306L, 1307L, 1815L, 1816L, 1817L,
-      504L, 511L, 512L, 513L, 514L, 1406L, 1407L,
+      504L, 511L, 512L, 513L, 514L, 1403L, 1406L, 1407L,
       2503L, 2506L,
       715L, 716L, 717L, 815L) ++
       // the cost amount dist blocks (1502-1507 drug, 1602-1607 procedure)
