@@ -1116,6 +1116,61 @@ object OhdsiCdmQueries {
       params = Map("cdmDatabaseSchema" -> "global_temp"))
   }
 
+  /** The published Achilles Heel invalid-data rule shape (the
+    * `achilles_heel.sql` rule-1 idiom: INSERT INTO ACHILLES_HEEL_results a
+    * SELECT DISTINCT over `achilles_results` joined to `achilles_analysis`,
+    * the warning message built with SQL Server string `+` concatenation of
+    * literals, `CAST(... AS VARCHAR)` and the analysis name, fired where
+    * `count_value > 0` over the id list of the zero-expected analyses).
+    * The id list is this catalog's fk-validity family
+    * ([[graft.operators.OhdsiAchilles.Heel]] rule 1), interpolated so the
+    * template and the native heel rule can never drift. Exercises string
+    * `+` -> concat, bare `AS VARCHAR`, DISTINCT-over-join, and the
+    * create-on-first-INSERT temp flow through the bridge.
+    */
+  private lazy val HeelRule1Sql = {
+    val ids = graft.operators.OhdsiAchilles.Heel.countRules.head.ids.mkString(",\n\t\t")
+    s"""--ruleid 1 check for non-zero counts from checks of improper data (invalid ids)
+       |
+       |INSERT INTO @resultsDatabaseSchema.ACHILLES_HEEL_results (
+       |	analysis_id,
+       |	ACHILLES_HEEL_warning,
+       |	rule_id,
+       |	record_count
+       |	)
+       |SELECT DISTINCT or1.analysis_id,
+       |	'ERROR: ' + cast(or1.analysis_id as VARCHAR) + '-' + oa1.analysis_name + '; count (n=' + cast(or1.count_value as VARCHAR) + ') should not be > 0' AS ACHILLES_HEEL_warning,
+       |	1 as rule_id,
+       |	or1.count_value as record_count
+       |FROM @resultsDatabaseSchema.achilles_results or1
+       |INNER JOIN @resultsDatabaseSchema.ACHILLES_analysis oa1
+       |	ON or1.analysis_id = oa1.analysis_id
+       |WHERE or1.analysis_id IN (
+       |		$ids
+       |		)
+       |	AND or1.count_value > 0;""".stripMargin
+  }
+
+  /** The heel rule over the STORED battery report + the populated
+    * `achilles_analysis` catalog table — the same two tables the
+    * reference's heel pass reads. `@resultsDatabaseSchema` renders to the
+    * session temp namespace the views are registered under; the scratch
+    * heel table is created by the bridge's first-INSERT flow.
+    */
+  val ohdsiSqlHeelRule: Q = (s, d) => {
+    storedBatteries(s, d)._1.createOrReplaceGlobalTempView("achilles_results")
+    graft.operators.OhdsiAchilles.analysisCatalog(s)
+      .createOrReplaceGlobalTempView("achilles_analysis")
+    graft.sources.OhdsiSql.execute(s,
+      """DROP TABLE IF EXISTS #heel_scratch;
+        |""".stripMargin +
+        HeelRule1Sql.replace("@resultsDatabaseSchema.ACHILLES_HEEL_results",
+          "#heel_scratch") + "\n" +
+        """SELECT analysis_id, ACHILLES_HEEL_warning, rule_id, record_count
+          |FROM #heel_scratch ORDER BY analysis_id""".stripMargin,
+      params = Map("resultsDatabaseSchema" -> "global_temp"))
+  }
+
   val ohdsiSqlDqdCheck: Q = (s, d) => {
     t(s, d, "orders").createOrReplaceGlobalTempView("dqd_check_orders")
     graft.sources.OhdsiSql.execute(s, FieldIsNotNullableSql,
@@ -1132,6 +1187,7 @@ object OhdsiCdmQueries {
   val defs: Seq[(String, Q)] = Seq(
     "ohdsi_sql_achilles701" -> ohdsiSqlAchilles701,
     "ohdsi_sql_achilles105" -> ohdsiSqlAchilles105,
+    "ohdsi_sql_heel_rule" -> ohdsiSqlHeelRule,
     "ohdsi_sql_concept_check" -> ohdsiSqlConceptCheck,
     "ohdsi_sql_dqd_check" -> ohdsiSqlDqdCheck,
     "dqd_cohort_battery" -> dqdCohortBattery,
@@ -2559,6 +2615,26 @@ object OhdsiCdmQueries {
     "ohdsi_core_counts" -> countsOracle,
     "ohdsi_core_dist" -> distOracle,
     "ohdsi_heel_results" -> heelOracle,
+    // the heel rule-1 template: same message the bridge's concat chain
+    // renders, over the same counts + catalog the template joins
+    "ohdsi_sql_heel_rule" -> {
+      import graft.operators.OhdsiAchilles.{Catalog, Heel}
+      val ids = Heel.countRules.head.ids.mkString(", ")
+      val catVals = Catalog
+        .map(a => s"(CAST(${a.id} AS BIGINT), '${a.name.replace("'", "''")}')")
+        .mkString(",\n    ")
+      s"""WITH hr AS ($countsOracle),
+         |cat(analysis_id, name) AS (VALUES
+         |    $catVals)
+         |SELECT analysis_id,
+         |  'ERROR: ' || CAST(analysis_id AS VARCHAR) || '-' || name ||
+         |    '; count (n=' || CAST(count_value AS VARCHAR) ||
+         |    ') should not be > 0' AS ACHILLES_HEEL_warning,
+         |  1 AS rule_id, count_value AS record_count
+         |FROM hr JOIN cat USING (analysis_id)
+         |WHERE analysis_id IN ($ids) AND count_value > 0
+         |ORDER BY analysis_id""".stripMargin
+    },
     "ohdsi_concept_counts" -> conceptCountsOracle,
     // generated from the SAME catalog list the query reads, so the id set
     // can never drift between the two sides

@@ -25,7 +25,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     `AS FLOAT` -> `AS DOUBLE` (SQL Server FLOAT is 8-byte),
   *     `WITH (NOLOCK)` dropped, `[ident]` -> backtick quoting, bare float
   *     literals -> `CAST(... AS DOUBLE)` (SqlRender target dialects type
-  *     them as floats), `#temp` -> session temp views;
+  *     them as floats), string `+` concatenation chains -> `concat(...)`
+  *     (the Achilles Heel warning idiom; chains with no string-literal
+  *     term stay arithmetic), bare `AS VARCHAR` -> `AS STRING`,
+  *     `#temp` -> session temp views;
   *   - execute: `;`-separated statements — `IF OBJECT_ID .. DROP TABLE`
   *     / `DROP TABLE` manage the temp views, `SELECT .. INTO #t`
   *     materializes one, and the final `SELECT` returns the frame.
@@ -134,6 +137,34 @@ object OhdsiSql {
   private val StrOrFloatLit =
     raw"('(?:[^']|'')*')|(?<![\w.])(\d*\.\d+(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+)(?![\w.])".r
 
+  /** One term of a SQL Server `+` string-concatenation chain: a string
+    * literal, a function call one paren level deep (string literals
+    * allowed inside the call body), or a (qualified/backticked) identifier
+    * or number. Alternation order matters: the call form must win over its
+    * own leading identifier, or `CAST` would match bare and the chain
+    * would stop at the open paren.
+    */
+  private val ConcatTerm =
+    raw"(?:'(?:[^']|'')*'|\w+(?:\.\w+)*\s*\((?:[^()']|'(?:[^']|'')*'|\([^()]*\))*\)|`\w+`(?:\.`?\w+`?)*|\w+(?:\.\w+)*)"
+  private val StrPlusChain = (s"$ConcatTerm(?:\\s*\\+\\s*$ConcatTerm)+").r
+
+  /** Split a matched chain on the `+`s at paren depth 0 outside quotes. */
+  private def splitPlus(chain: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inQ = false
+    var depth = 0
+    chain.foreach { ch =>
+      if (ch == '\'') { inQ = !inQ; cur += ch }
+      else if (!inQ && ch == '(') { depth += 1; cur += ch }
+      else if (!inQ && ch == ')') { depth -= 1; cur += ch }
+      else if (!inQ && depth == 0 && ch == '+') { out += cur.result(); cur.clear() }
+      else cur += ch
+    }
+    out += cur.result()
+    out.result()
+  }
+
   def translate(sql: String): String = {
     var s = sql
     // SqlRender's rendered target dialects type bare decimal literals as
@@ -216,6 +247,32 @@ object OhdsiSql {
     // FLOAT64/DOUBLE PRECISION); Spark's FLOAT is 4-byte — a verbatim
     // `CAST(x AS FLOAT)` would silently halve precision
     s = ci(raw"\bAS\s+FLOAT\b").replaceAllIn(s, "AS DOUBLE")
+    // SQL Server's bare `CAST(x AS VARCHAR)` (no length) is legal and
+    // means a short string; Spark requires a length on VARCHAR — map the
+    // bare form to STRING (parenthesized VARCHAR(n) passes through)
+    s = ci(raw"\bAS\s+VARCHAR\b(?!\s*\()").replaceAllIn(s, "AS STRING")
+    // SQL Server string concatenation: `'lit' + expr + ...` chains (the
+    // Achilles Heel warning-message idiom) -> concat(...). A chain is
+    // rewritten only when at least one term is a string literal — numeric
+    // addition never is. Terms are the grammar published heel/DQD SQL
+    // actually uses: string literals, one-call-deep function calls
+    // (CAST(x AS STRING)), and (qualified) identifiers.
+    s = StrPlusChain.replaceAllIn(s, m => {
+      val chain = m.matched
+      java.util.regex.Matcher.quoteReplacement(
+        if (!chain.trim.startsWith("'") && !splitPlus(chain).exists(_.trim.startsWith("'")))
+          chain // all-identifier/number chain: genuine addition, untouched
+        else s"concat(${splitPlus(chain).map(_.trim).mkString(", ")})")
+    })
+    // a string literal still adjacent to `+` means a chain the term
+    // grammar could not parse (nested calls two levels deep, subqueries)
+    // — fail loudly rather than hand Spark a type error
+    require(ci(raw"'\s*\+|\+\s*'").findFirstIn(
+      StrOrFloatLit.replaceAllIn(s, m => if (m.group(1) != null) "''" else m.matched))
+      .isEmpty,
+      "string '+' concatenation too complex for the translate subset " +
+        "(term grammar: literals, one-level calls, identifiers) — " +
+        "simplify the expression or use concat() directly")
     // SQL Server table hints have no Spark meaning — drop them
     s = ci(raw"\bWITH\s*\(\s*NOLOCK\s*\)").replaceAllIn(s, "")
     // [bracketed] identifiers -> backtick-quoted (SqlRender's dialect quote)
@@ -262,7 +319,13 @@ object OhdsiSql {
       params: Map[String, String] = Map.empty): DataFrame = {
     val statements = translateScript(sql, params)
     var last: Option[DataFrame] = None
-    statements.foreach {
+    // leading `--` comment lines (the published templates' rule/analysis
+    // headers) would defeat the ^-anchored statement dispatch below —
+    // drop them for dispatch (semantically neutral; inline comments stay)
+    statements.map(_.linesIterator
+        .dropWhile(l => l.trim.isEmpty || l.trim.startsWith("--"))
+        .mkString("\n"))
+      .foreach {
       case DropIfExists(view) => spark.catalog.dropTempView(view); ()
       case DropTable(view) => spark.catalog.dropTempView(view); ()
       case SelectInto(head, view, tail) =>
@@ -290,9 +353,11 @@ object OhdsiSql {
       "OHDSI SQL script contains no result-producing SELECT"))
   }
 
-  /** The statement list `execute` runs: rendered, split on `;`, translated
-    * per statement (so `TOP n` becomes that statement's `LIMIT`).
+  /** The statement list `execute` runs: rendered, split on `;` OUTSIDE
+    * string literals (the heel warning messages carry semicolons inside
+    * their quotes), translated per statement (so `TOP n` becomes that
+    * statement's `LIMIT`).
     */
   def translateScript(sql: String, params: Map[String, String] = Map.empty): Seq[String] =
-    render(sql, params).split(";").map(_.trim).filter(_.nonEmpty).map(translate).toSeq
+    splitTop(render(sql, params), ';').map(_.trim).filter(_.nonEmpty).map(translate)
 }

@@ -143,6 +143,26 @@ class OhdsiSqlSpec extends SparkSpec {
     assert(again.count() === 2)
   }
 
+  test("translate rewrites string '+' chains to concat, leaves arithmetic alone") {
+    // the Achilles Heel warning idiom: literal + CAST + identifier chain
+    assert(OhdsiSql.translate(
+      "SELECT 'ERROR: ' + CAST(a.id AS VARCHAR) + '-' + a.name AS w FROM t a")
+      === "SELECT concat('ERROR: ', CAST(a.id AS STRING), '-', a.name) AS w FROM t a")
+    // chains with no string-literal term are genuine addition — untouched
+    assert(OhdsiSql.translate("SELECT a + b + 1 FROM t")
+      === "SELECT a + b + 1 FROM t")
+    // quoted '+' stays data; escaped quotes survive
+    assert(OhdsiSql.translate("SELECT 'a+b' + c FROM t")
+      === "SELECT concat('a+b', c) FROM t")
+    assert(OhdsiSql.translate("SELECT 'it''s' + x FROM t")
+      === "SELECT concat('it''s', x) FROM t")
+    // a literal adjacent to '+' that the term grammar cannot parse fails
+    // loudly instead of reaching Spark as a type error
+    val e = intercept[IllegalArgumentException](
+      OhdsiSql.translate("SELECT 'x' + (SELECT max(v) FROM u (SELECT 1)) FROM t"))
+    assert(e.getMessage.contains("concatenation too complex"))
+  }
+
   test("execute requires a result-producing statement") {
     val e = intercept[IllegalArgumentException](
       OhdsiSql.execute(spark, "DROP TABLE #gone"))
