@@ -791,6 +791,90 @@ object EventQueries {
     graft.operators.DqdChecks.lastRuns(s, zones).drop("run_timestamp")
   }
 
+  /** The events model the streaming ACHILLES battery generates from —
+    * streamDqdModel plus the ts axis, so the generated families include
+    * the by-year and by-month series (all sum-decomposable).
+    */
+  private val streamAchModel: graft.model.CdmModel = graft.model.CdmModel(fields = Seq(
+    graft.model.CdmField("events", "event_id", "int64", false, true, None, "CDM"),
+    graft.model.CdmField("events", "user_id", "int64", false, false, None, "CDM"),
+    graft.model.CdmField("events", "event_type", "string", false, false, None, "CDM"),
+    graft.model.CdmField("events", "value", "float64", false, false, None, "CDM"),
+    graft.model.CdmField("events", "ts", "datetime", false, false, None, "CDM")))
+
+  /** CONTINUOUS Achilles: the generated count battery maintained
+    * incrementally over a stream of fact batches — the Achilles sibling of
+    * [[streamDqdRuns]], and the operational shape a 100 TB store actually
+    * wants (nightly appends update `achilles_results` without rescanning
+    * history). Each micro-batch computes the UNSUPPRESSED sum-family
+    * partials over the batch alone ([[graft.operators.AchillesGen
+    * .partialCounts]] — per-batch cost O(batch), never O(corpus)) and
+    * merges them into a stored partials table by a bounded groupBy-sum on
+    * the report key; small-cell suppression applies only at READ (a
+    * stratum crossing the threshold across batches must not be lost). The
+    * oracle is the FULL-SCAN sum-family battery over the same model:
+    * stream merge == rescan, row for row.
+    */
+  val streamAchillesCounts: Q = (s, d) => {
+    val zones = graft.io.Zones.forPurpose(s"streamach_${graft.io.Zones.pathKey(d)}")
+    val hconf = s.sparkContext.hadoopConfiguration
+    def rm(p: String): Unit = {
+      val hp = new org.apache.hadoop.fs.Path(new java.io.File(p).getAbsolutePath)
+      hp.getFileSystem(hconf).delete(hp, true); ()
+    }
+    rm(zones.tablePath("work", "ach_partials"))
+    val ckpt = new java.io.File(
+      s"${graft.io.Zones.defaultRoot}/stream_ckpt_ach").getAbsolutePath
+    rm(ckpt)
+    val stagingDir = new java.io.File(
+      s"${graft.io.Zones.defaultRoot}/stream_src_ach").getAbsolutePath
+    rm(stagingDir)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stagingDir))
+    val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "value", "ts")
+    def stageOne(name: String, part: org.apache.spark.sql.DataFrame,
+        mtime: Long): Unit = {
+      val tmp = s"$stagingDir/__tmp_$name"
+      part.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(hconf)
+      val f = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+      val dst = new org.apache.hadoop.fs.Path(s"$stagingDir/$name")
+      require(fs.rename(f, dst), s"staging rename failed: $f -> $dst")
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      fs.setTimes(dst, mtime, -1)
+      ()
+    }
+    val par = coalesce(pmod(col("event_id"), lit(2)), lit(0))
+    val t0 = System.currentTimeMillis()
+    stageOne("batch0.parquet", ev.filter(par === 0), t0)
+    stageOne("batch1.parquet", ev.filter(par =!= 0), t0 + 60000L)
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stagingDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val part = graft.operators.AchillesGen
+          .partialCounts(streamAchModel, _ => batch)
+        val merged =
+          if (zones.listTables(s, "work").contains("ach_partials"))
+            graft.operators.AchillesGen.mergePartialCounts(
+              Seq(zones.read(s, "work", "ach_partials"), part), -1L)
+          else part
+        // bounded report (one row per stratum); the zone write is
+        // staging-then-swap, so reading the prior table while writing the
+        // next is safe
+        zones.write(merged.coalesce(1), "work", "ach_partials")
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    zones.read(s, "work", "ach_partials")
+      .filter(col("count_value") > 5)
+      .coalesce(1)
+      .sortWithinPartitions("analysis_id", "stratum_1")
+  }
+
   /** Count-Min heavy hitters beside their ground truth: exact top-10
     * users by event count, each with its CMS point estimate (min over
     * depth salted counters — never underestimates; the d x w counter
@@ -837,6 +921,7 @@ object EventQueries {
     "stream_join_within" -> streamJoinWithin,
     "stream_upsert_zone" -> streamUpsertZone,
     "stream_dqd_runs" -> streamDqdRuns,
+    "stream_achilles_counts" -> streamAchillesCounts,
     "event_discover_tables" -> eventDiscoverTables,
     "event_case_map" -> eventCaseMap,
     "event_rekey" -> eventRekey,
@@ -959,6 +1044,10 @@ object EventQueries {
 
   val oracles: Seq[(String, String)] = Seq(
     "stream_dqd_runs" -> streamDqdRunsOracle,
+    // stream merge == rescan: the full-scan sum-family battery over the
+    // same generated model
+    "stream_achilles_counts" ->
+      graft.operators.AchillesGen.sumFamilyOracleSql(streamAchModel),
     "join_bucketed_colocated" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
         |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
