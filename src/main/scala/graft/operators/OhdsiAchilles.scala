@@ -855,10 +855,22 @@ object OhdsiAchilles {
         val pp = load("payer_plan_period")
         // 1400/1401/1402: the payer_source_value series — persons and
         // records by payer, persons by start month by payer (the x00/x01/
-        // x02 shapes with the source value as the "concept")
+        // x02 shapes with the source value as the "concept"). 1400 and
+        // 1401 share ONE scan+aggregate (the 1700/1701 pattern: both
+        // aggregates in the same groupBy, two rows exploded per payer);
+        // 1402's (payer, month) countDistinct is its own granularity and
+        // cannot roll up from the fused pass.
         (if (has(model, "payer_plan_period", "payer_source_value")) Seq(
-          row(1400L, col("payer_source_value"), pp, countDistinct(col("person_id"))),
-          row(1401L, col("payer_source_value"), pp, count(lit(1))),
+          unpack(pp
+            .groupBy(col("payer_source_value").cast("string").as("stratum_1"))
+            .agg(countDistinct(col("person_id")).as("__per"),
+              count(lit(1)).as("__rec"))
+            .select(explode(array(
+              struct(lit(1400L).as("analysis_id"), col("stratum_1"),
+                lit(null).cast("string").as("stratum_2"), col("__per").as("count_value")),
+              struct(lit(1401L).as("analysis_id"), col("stratum_1"),
+                lit(null).cast("string").as("stratum_2"), col("__rec").as("count_value"))))
+              .as("__r"))),
           pp.groupBy(col("payer_source_value").cast("string").as("stratum_1"),
               date_format(col("payer_plan_period_start_date"), "yyyyMM").as("stratum_2"))
             .agg(countDistinct(col("person_id")).as("count_value"))
