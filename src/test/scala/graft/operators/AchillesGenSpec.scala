@@ -67,6 +67,30 @@ class AchillesGenSpec extends SparkSpec {
     assert(groups.sameElements(Array("big")), s"expected only 'big', got ${groups.mkString(",")}")
   }
 
+  test("a stratum crossing the small-cell threshold only ACROSS batches survives the merge") {
+    // the continuous-Achilles contract: partials are stored UNSUPPRESSED
+    // and suppression applies at read — a stratum with 4 rows in each of
+    // two batches (4 <= smallCellCount in isolation, 8 > it merged) must
+    // appear in the merged report exactly as the full scan would show it
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val evModel = graft.model.CdmModel(fields = Seq(
+      graft.model.CdmField("events", "event_id", "int64", false, true, None, "CDM"),
+      graft.model.CdmField("events", "event_type", "string", false, false, None, "CDM")))
+    val rows = (1L to 8L).map(i => (i, "rare")) ++ (9L to 30L).map(i => (i, "common"))
+    val ev = rows.toDF("event_id", "event_type")
+    val parts = Seq(0, 1).map(b =>
+      AchillesGen.partialCounts(evModel, _ => ev.filter(col("event_id") % 2 === b)))
+    val merged = AchillesGen.mergePartialCounts(parts)
+      .filter(col("stratum_1") === "rare").collect()
+    assert(merged.length === 1 && merged.head.getLong(2) === 8L,
+      s"rare stratum lost or miscounted across batches: ${merged.mkString(",")}")
+    // and per-batch suppression WOULD have lost it — the trap this guards
+    val suppressedEach = parts.map(p => AchillesGen.mergePartialCounts(Seq(p))
+      .filter(col("stratum_1") === "rare").count())
+    assert(suppressedEach.forall(_ === 0L))
+  }
+
   test("generated id space is disjoint from the literal Achilles catalog") {
     // ADVICE r8: generated ids at 1000+i collided with literal catalog ids
     // (heel UnmappedIds 1001/1801/2101, concept-count x00/x01 bases) and
