@@ -34,6 +34,27 @@ object SimOps {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** EXACT integer dot product of micro-quantized components
+    * ([[graft.functions.VecQDot]]): `sum_i floor(a_i*1e6+0.5) *
+    * floor(b_i*1e6+0.5)` as LONG — bit-identical under any evaluation
+    * order or engine build, because integer addition is exact.
+    */
+  def qdot(a: Column, b: Column): Column = call_function("vec_qdot", a, b)
+
+  /** Cross-engine-EXACT cosine: the [[qdot]] integers (order-independent
+    * by construction) fed through a fixed 4-op correctly-rounded IEEE DAG
+    * (two sqrt, one multiply, one divide; every LONG < 2^53 so the casts
+    * are exact). Unlike [[cosine]] — whose double fold is only
+    * bit-reproducible on engines that accumulate in the same order — this
+    * value cannot fork across conforming engines, which is why the
+    * SemDeDup family (the r11 driver-red) ranks and thresholds on it.
+    * Semantics: cosine of the component-wise micro-quantized vectors
+    * (relative error vs the raw cosine ~1e-5 at unit scale).
+    */
+  def qcosine(a: Column, b: Column): Column =
+    qdot(a, b).cast("double") /
+      (sqrt(qdot(a, a).cast("double")) * sqrt(qdot(b, b).cast("double")))
+
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
@@ -122,11 +143,21 @@ object SimOps {
     */
   private def assignToCentroids(df: DataFrame, centroidsB: DataFrame,
       idCol: String, vecCol: String, outId: String, outVec: String, keep: Int,
-      keepSim: Boolean = false): DataFrame = {
-    val w = Window.partitionBy(col(outId)).orderBy(desc("__csim"), col("centroid_id"))
+      keepSim: Boolean = false, exact: Boolean = false): DataFrame = {
+    // exact mode (SemDeDup family): score with the integer-exact [[qcosine]]
+    // and rank by its micro-quantized LONG — quantize-BEFORE-rank, the
+    // green silhouette's discipline — so neither the score nor the ranking
+    // can fork across engines. ANN paths keep the raw-double kernel (their
+    // oracles replay the same fold and are boundary-robust by rounding
+    // only presentation columns).
+    val score =
+      if (exact) qcosine(col(outVec), col("centroid_vec"))
+      else cosine(col(outVec), col("centroid_vec"))
+    val rankKey = if (exact) quantMicro(col("__csim")) else col("__csim")
+    val w = Window.partitionBy(col(outId)).orderBy(rankKey.desc, col("centroid_id"))
     val ranked = df.select(col(idCol).as(outId), asDouble(col(vecCol)).as(outVec))
       .crossJoin(centroidsB)
-      .withColumn("__csim", cosine(col(outVec), col("centroid_vec")))
+      .withColumn("__csim", score)
       .withColumn("__crk", row_number().over(w))
       .filter(col("__crk") <= keep)
     if (keepSim) ranked.withColumn("cent_sim", col("__csim"))
@@ -207,7 +238,7 @@ object SimOps {
     */
   private def assignNearestRouted(df: DataFrame, routing: CentroidRouting,
       idCol: String, vecCol: String, outId: String, outVec: String,
-      keepSim: Boolean = false): DataFrame = {
+      keepSim: Boolean = false, exact: Boolean = false): DataFrame = {
     val rows = df.select(col(idCol).as(outId), asDouble(col(vecCol)).as(outVec))
     val wr = Window.partitionBy(col(outId)).orderBy(col("__cd"), col("__cell"))
     val rowCells = rows.crossJoin(routing.coarse)
@@ -226,17 +257,29 @@ object SimOps {
     // (zero-norm vector, degenerate mean) keeps the cell — exactness
     // must never hinge on a comparison NaN can flip
     val lb = col("__cd") - coalesce(col("__rmax"), lit(0.0))
-    val ub = coalesce(col("__u"), lit(Double.MaxValue)) + lit(1e-9)
+    // exact mode ranks by the micro-quantized qcosine, whose argmax can be
+    // a centroid up to one micro-bucket (1e-6 cos, + the ~1e-5 kernel
+    // quantization skew) below the raw-cos max — widen the pruning slack
+    // so every same-bucket runner-up survives into the pool (worst case
+    // d' - d <= sqrt(2*dc) at d = 0, so 2e-2 covers dc <= 2e-4 with a wide
+    // margin; pruning still discards everything not within ~2e-2 normalized
+    // distance of the best).
+    val slack = if (exact) 2e-2 else 1e-9
+    val ub = coalesce(col("__u"), lit(Double.MaxValue)) + lit(slack)
     val pool = rowCells
       .join(routing.radii, Seq("__cell"), "left")
       .join(u, Seq(outId), "left")
       .filter(isnan(lb) || isnan(ub) || lb <= ub)
       .select(col(outId), col(outVec), col("__cell"))
-    val wf = Window.partitionBy(col(outId)).orderBy(desc("__csim"), col("centroid_id"))
+    val score =
+      if (exact) qcosine(col(outVec), col("centroid_vec"))
+      else cosine(col(outVec), col("centroid_vec"))
+    val rankKey = if (exact) quantMicro(col("__csim")) else col("__csim")
+    val wf = Window.partitionBy(col(outId)).orderBy(rankKey.desc, col("centroid_id"))
     val ranked = pool
       .join(routing.members.select(col("__cell"), col("centroid_id"), col("centroid_vec")),
         Seq("__cell"))
-      .withColumn("__csim", cosine(col(outVec), col("centroid_vec")))
+      .withColumn("__csim", score)
       .withColumn("__crk", row_number().over(wf))
       .filter(col("__crk") === 1)
     if (keepSim)
@@ -837,13 +880,17 @@ object SimOps {
     // broadcast, per-row cost O(sqrt|C| x probed cells) instead of O(|C|)
     // — the sqrt(N)-centroids-at-100TB contract. Both paths produce
     // IDENTICAL assignments (SemDedupSpec pins the equivalence).
-    val assignF = adaptiveAssign(centroids, idCol, vecCol, routeThreshold)
+    val assignF = adaptiveAssign(centroids, idCol, vecCol, routeThreshold,
+      exact = true)
     val assign: (DataFrame, Boolean) => DataFrame =
       (df, keepSim) => assignF(df, "item_id", "item_vec", keepSim)
-    // micro-quantize the centroid similarity ONCE; every downstream
-    // threshold, keep-tie-break, and hashed output compares the quantized
-    // LONG, never the raw double (cross-engine exactness — engine round()
-    // on doubles differs at boundaries, floor(x*1e6 + 0.5) does not)
+    // EXACT kernel throughout (r11 driver fork, closed structurally): the
+    // assigner scores with [[qcosine]] and ranks by its micro-quantized
+    // LONG; every downstream threshold, keep-tie-break, and hashed output
+    // also compares that quantized LONG. qcosine's only accumulation is an
+    // integer sum (order-independent), so no engine build can fork a
+    // compare — the raw-double fold this replaced was bit-reproducible
+    // only on engines accumulating in the same order.
     val assigned = assign(corpus, true)
       .withColumn("__csq", quantMicro(col("cent_sim")))
     val thresholdMicro = math.round(threshold * 1e6)
@@ -872,7 +919,7 @@ object SimOps {
         col("item_vec").as("__vec_b"), col("__csq").as("__cs_b"))
     val dropped = a.join(bb, Seq("centroid_id", "__ba", "__bb"))
       .filter(col("id_a") =!= col("id_b"))
-      .filter(quantMicro(cosine(col("__vec_a"), col("__vec_b"))) >= thresholdMicro)
+      .filter(quantMicro(qcosine(col("__vec_a"), col("__vec_b"))) >= thresholdMicro)
       .filter(col("__cs_a") < col("__cs_b") ||
         (col("__cs_a") === col("__cs_b") && col("id_a") < col("id_b")))
       .select(col("id_b").as("item_id")).distinct()
@@ -884,6 +931,23 @@ object SimOps {
         col("__dropped").isNull.as("is_kept"))
   }
 
+  /** Assignment-only probe surface: the SemDeDup family's exact
+    * nearest-centroid assignment ([[adaptiveAssign]] with the integer
+    * [[qcosine]] kernel and quantize-before-rank), dumped as
+    * (item_id, centroid_id, csq). Registered as `dedup_semantic_assign_k64`
+    * to bisect the phase on the driver: a red phase row with this probe
+    * green pins any residual fork to the pairwise-drop half.
+    */
+  def assignSemantic(corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String,
+      routeThreshold: Long = DefaultRouteThreshold): DataFrame = {
+    val assignF = adaptiveAssign(centroids, idCol, vecCol, routeThreshold,
+      exact = true)
+    assignF(corpus, "item_id", "item_vec", true)
+      .select(col("item_id"), col("centroid_id"),
+        quantMicro(col("cent_sim")).cast("long").as("csq"))
+  }
+
   /** The adaptive nearest-centroid assigner [[semDedup]] and
     * [[semDedupAdmit]] share: flat broadcast scan at or below
     * `routeThreshold` centroids, exact triangle-inequality IVF routing
@@ -892,7 +956,7 @@ object SimOps {
     * assignments (SemDedupSpec pins the equivalence).
     */
   private def adaptiveAssign(centroids: DataFrame, idCol: String,
-      vecCol: String, routeThreshold: Long)
+      vecCol: String, routeThreshold: Long, exact: Boolean = false)
       : (DataFrame, String, String, Boolean) => DataFrame = {
     val cents = centroids.select(
       col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("centroid_vec"))
@@ -900,14 +964,14 @@ object SimOps {
     if (nCent <= routeThreshold) {
       val centB = broadcast(cents)
       (df, outId, outVec, keepSim) => assignToCentroids(df, centB, idCol,
-        vecCol, outId, outVec, keep = 1, keepSim = keepSim)
+        vecCol, outId, outVec, keep = 1, keepSim = keepSim, exact = exact)
     } else {
       // bounded one-row collect: the embedding dimension sizes the LSH
       // cell planes
       val dim = cents.select(size(col("centroid_vec"))).head().getInt(0)
       val routing = buildRouting(cents, nCent, dim)
       (df, outId, outVec, keepSim) => assignNearestRouted(df, routing, idCol,
-        vecCol, outId, outVec, keepSim = keepSim)
+        vecCol, outId, outVec, keepSim = keepSim, exact = exact)
     }
   }
 
@@ -954,10 +1018,11 @@ object SimOps {
     * bounded model state (passed in collected form), so the argmax folds
     * into ONE `greatest(...)` projection per row — no window, no
     * aggregation, exactly what Structured Streaming's
-    * single-stateful-aggregation budget requires. Bit-identical to
-    * [[assignToCentroids]]: the same cosine expression tree (the centroid
-    * norm pre-computed on the driver with the identical left fold + sqrt)
-    * and the same (sim desc, centroid id asc) tie-break, expressed as a
+    * single-stateful-aggregation budget requires. Bit-identical to the
+    * exact batch assigner ([[assignToCentroids]] with `exact = true`): the
+    * same [[qcosine]] DAG (the centroid's quantized self-dot pre-computed
+    * on the driver in exact LONG arithmetic) and the same
+    * (quantized sim desc, centroid id asc) tie-break, expressed as a
     * struct max. Adds `centroid_id` and `cent_sim` to the frame.
     *
     * Scale bound (honest): the centroid set inlines into the PLAN (one
@@ -972,9 +1037,19 @@ object SimOps {
     require(cents.nonEmpty, "mapSideAssign needs at least one centroid")
     val v = asDouble(col(vecCol))
     val structs = cents.map { case (cid, cv) =>
-      val normC = math.sqrt(cv.foldLeft(0.0)((acc, x) => acc + x * x))
-      val cosv = dot(v, array(cv.map(lit): _*)) / (norm(v) * lit(normC))
-      struct(cosv.as("__csim"), lit(-cid).as("__ncid"))
+      // the centroid's quantized self-dot folds on the DRIVER in exact
+      // LONG arithmetic — the identical integer the engine-side
+      // vec_qdot(c, c) would produce, so sqrt(lit(...)) is bit-equal to
+      // the batch assigner's sqrt(qdot(c,c)) and the stream==batch
+      // equivalence is by construction, not by accumulation-order luck
+      val qc = cv.map(x => math.floor(x * 1e6 + 0.5).toLong)
+      val qnormC = math.sqrt(qc.foldLeft(0L)((acc, q) => acc + q * q).toDouble)
+      val cosv = qdot(v, array(cv.map(lit): _*)).cast("double") /
+        (sqrt(qdot(v, v).cast("double")) * lit(qnormC))
+      // rank by the micro-quantized LONG first (same key as the batch
+      // assigner's quantize-before-rank window), centroid id breaks ties
+      struct(quantMicro(cosv).as("__csq"), lit(-cid).as("__ncid"),
+        cosv.as("__csim"))
     }
     val best = if (structs.size == 1) structs.head else greatest(structs: _*)
     df.withColumn("__best", best)
@@ -1005,12 +1080,13 @@ object SimOps {
       vecCol: String,
       threshold: Double,
       routeThreshold: Long = DefaultRouteThreshold): DataFrame = {
-    val assignF = adaptiveAssign(centroids, idCol, vecCol, routeThreshold)
+    val assignF = adaptiveAssign(centroids, idCol, vecCol, routeThreshold,
+      exact = true)
     val corpusA = assignF(corpus, "corpus_id", "__cv", false)
     val batchA = assignF(batch, "item_id", "__bv", false)
     val tm = math.round(threshold * 1e6)
     val best = batchA.join(corpusA, Seq("centroid_id"))
-      .withColumn("__sq", quantMicro(cosine(col("__bv"), col("__cv"))))
+      .withColumn("__sq", quantMicro(qcosine(col("__bv"), col("__cv"))))
       .filter(col("__sq") >= tm)
       .groupBy(col("item_id"))
       // max over (sim, -corpus_id): highest similarity, smallest id on ties

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{RollingHash, VecDot, VecL2sq, WinnowHashes, WordShingles}
+import graft.functions.{RollingHash, VecDot, VecL2sq, VecQDot, WinnowHashes, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
@@ -43,6 +43,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 2, "vec_l2sq takes exactly two array<double> arguments")
         VecL2sq(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_qdot"),
+      new ExpressionInfo(classOf[VecQDot].getName, "vec_qdot"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "vec_qdot takes exactly two array<double> arguments")
+        VecQDot(children.head, children(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("winnow_hashes"),

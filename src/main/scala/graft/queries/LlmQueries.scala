@@ -632,7 +632,7 @@ object LlmQueries {
       .select(col("vec_id").as("item_id"), col("centroid_id"),
         toDouble(col("embedding")).as("__bv"))
     val best = batchA.join(corpusA, Seq("centroid_id"))
-      .withColumn("__sq", SimOps.quantMicro(SimOps.cosine(col("__bv"), col("__cv"))))
+      .withColumn("__sq", SimOps.quantMicro(SimOps.qcosine(col("__bv"), col("__cv"))))
       .filter(col("__sq") >= 200000L)
       .groupBy(col("item_id"))
       .agg(max(struct(col("__sq"), (-col("corpus_id")).as("__nid"))).as("__b"))
@@ -1243,10 +1243,22 @@ object LlmQueries {
       .orderBy("item_id")
   }
 
+  /** Bisection probe 3: assignment half of the k64 phase alone
+    * ([[graft.ops.SimOps.assignSemantic]]) — (item_id, centroid_id, csq)
+    * over the 64 stored fixture centroids.
+    */
+  val dedupSemanticAssignK64: Q = (s, d) => {
+    val emb = t(s, d, "embeddings")
+    val cents = emb.orderBy("vec_id").limit(KmDedupK)
+    graft.ops.SimOps.assignSemantic(emb, cents, "vec_id", "embedding")
+      .orderBy("item_id")
+  }
+
   val defs: Seq[(String, Q)] = Seq(
     "dedup_semantic_trained" -> dedupSemanticTrained,
     "embed_kmeans_k64" -> embedKmeansK64,
     "dedup_semantic_k64" -> dedupSemanticK64,
+    "dedup_semantic_assign_k64" -> dedupSemanticAssignK64,
     "embed_kmeans" -> embedKmeans,
     "embed_kmeans_sizes" -> embedKmeansSizes,
     "bpe_encode_docs" -> bpeEncodeDocs,
@@ -1813,20 +1825,28 @@ object LlmQueries {
        |ON c.cid = n.cid
        |ORDER BY centroid_id""".stripMargin
 
-  /** Strict left-to-right dot-product fold — the explicit-element mirror
-    * of the engine's codegen'd `vec_dot` (0.0 seed, sequential
-    * accumulation). DuckDB's builtin `list_dot_product` was the ONE
-    * numeric kernel in the trained-SemDeDup chain whose accumulation
-    * strategy was engine-private (the r10 driver-red suspect — a build
-    * may vectorize/pairwise-sum it); this fold pins every arithmetic op
-    * in the oracle by IEEE construction, the same way the l2 fold in
-    * [[kmChainSql]] always did.
+  /** EXACT integer dot product of micro-quantized components — the DuckDB
+    * mirror of the engine's `vec_qdot` ([[graft.functions.VecQDot]]).
+    * Component quantization is a fixed correctly-rounded IEEE sequence;
+    * everything after is exact BIGINT arithmetic, so the value is
+    * bit-identical under ANY accumulation order or engine build. This is
+    * the r12 structural close of the trained-SemDeDup driver fork: the
+    * r11 sequential double fold pinned the ORDER of operations, but only
+    * an integer sum is immune to a build that fuses or vectorizes the
+    * fold itself.
     */
-  private def dotFoldSql(a: String, b: String): String =
-    s"list_reduce(list_prepend(0.0, [ $a[i] * $b[i] FOR i IN range(1, 65) ]), (acc, x) -> acc + x)"
+  private def qdotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"[ CAST(floor($a[i] * 1e6 + 0.5) AS BIGINT) * CAST(floor($b[i] * 1e6 + 0.5) AS BIGINT) " +
+      s"FOR i IN range(1, 65) ]), (acc, x) -> acc + x)"
 
-  private def cosFoldSql(a: String, b: String): String =
-    s"${dotFoldSql(a, b)} / (sqrt(${dotFoldSql(a, a)}) * sqrt(${dotFoldSql(b, b)}))"
+  /** Cross-engine-exact cosine over [[qdotSql]] integers: a fixed 4-op
+    * correctly-rounded DAG (every BIGINT < 2^53, so the casts are exact) —
+    * bit-identical to the engine's `SimOps.qcosine` on any IEEE engine.
+    */
+  private def qcosSql(a: String, b: String): String =
+    s"(CAST(${qdotSql(a, b)} AS DOUBLE) / " +
+      s"(sqrt(CAST(${qdotSql(a, a)} AS DOUBLE)) * sqrt(CAST(${qdotSql(b, b)} AS DOUBLE))))"
 
   /** The SemDeDup phase over a given `cent` CTE — shared VERBATIM by the
     * trained oracle (centroids = the k-means chain's final kc) and the
@@ -1837,22 +1857,31 @@ object LlmQueries {
     * only be the composition handoff, which after this factoring is a
     * verbatim-identical SQL body fed bit-identical centroid lists.
     */
-  private def semDedupPhaseSql(centSql: String): String =
+  /** The assignment half of the phase alone — shared by
+    * [[semDedupPhaseSql]] and the `dedup_semantic_assign_k64` probe, so
+    * the probe bisects the phase on exactly the SQL the full chain runs.
+    */
+  private def semAssignCtes(centSql: String): String =
     s"""corpus AS (SELECT vec_id AS item_id, embedding::DOUBLE[] AS iv FROM embeddings),
        |cent AS ($centSql),
        |ca AS (
-       |  SELECT item_id, iv, centroid_id, csim,
-       |    row_number() OVER (PARTITION BY item_id ORDER BY csim DESC, centroid_id) AS crk
+       |  -- quantize-BEFORE-rank: assignment ranks the micro-quantized
+       |  -- LONG of the integer-exact qcosine (r12; mirrors the engine's
+       |  -- exact assigner), so neither the score nor the ranking can fork
+       |  SELECT item_id, iv, centroid_id, csq,
+       |    row_number() OVER (PARTITION BY item_id ORDER BY csq DESC, centroid_id) AS crk
        |  FROM (SELECT item_id, iv, centroid_id,
-       |      ${cosFoldSql("iv", "cv")} AS csim
+       |      CAST(floor(${qcosSql("iv", "cv")} * 1e6 + 0.5) AS BIGINT) AS csq
        |    FROM corpus CROSS JOIN cent)
-       |), asg AS (SELECT item_id, iv, centroid_id,
-       |    CAST(floor(csim * 1e6 + 0.5) AS BIGINT) AS csq FROM ca WHERE crk = 1),
+       |), asg AS (SELECT item_id, iv, centroid_id, csq FROM ca WHERE crk = 1)""".stripMargin
+
+  private def semDedupPhaseSql(centSql: String): String =
+    s"""${semAssignCtes(centSql)},
        |drp AS (
        |  SELECT DISTINCT b.item_id
        |  FROM asg a JOIN asg b USING (centroid_id)
        |  WHERE a.item_id <> b.item_id
-       |    AND floor((${cosFoldSql("a.iv", "b.iv")}) * 1e6 + 0.5) >= 200000
+       |    AND floor(${qcosSql("a.iv", "b.iv")} * 1e6 + 0.5) >= 200000
        |    AND (a.csq < b.csq OR (a.csq = b.csq AND a.item_id < b.item_id))
        |)
        |SELECT asg.item_id, asg.centroid_id, CAST(asg.csq AS DOUBLE) / 1e6 AS cent_sim,
@@ -1884,6 +1913,16 @@ object LlmQueries {
   private lazy val dedupSemanticK64Oracle: String =
     "WITH " + semDedupPhaseSql(
       "SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv FROM embeddings ORDER BY vec_id LIMIT 64")
+
+  /** Bisection probe 3 (r12): the ASSIGNMENT half of the k64 phase alone —
+    * shares [[semAssignCtes]] verbatim with the phase SQL. If the phase
+    * ever reds again on the driver with this green, the fork is in the
+    * pairwise-drop half; red here pins it to assignment.
+    */
+  private lazy val dedupSemanticAssignK64Oracle: String =
+    "WITH " + semAssignCtes(
+      "SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv FROM embeddings ORDER BY vec_id LIMIT 64") +
+      "\nSELECT item_id, centroid_id, csq FROM asg ORDER BY item_id"
 
   /** The winnow fingerprint chain (shingle -> rolling hash -> windowed
     * min), shared by the fingerprint dump and the pairs oracle.
@@ -1924,22 +1963,24 @@ object LlmQueries {
         |batchv AS (SELECT vec_id AS item_id, embedding::DOUBLE[] AS v
         |  FROM embeddings WHERE vec_id % 10 = 0),
         |ca AS (
+        |  -- quantize-before-rank over the integer-exact qcosine (r12),
+        |  -- mirroring the engine's exact assigner
         |  SELECT corpus_id, v, centroid_id,
-        |    row_number() OVER (PARTITION BY corpus_id ORDER BY csim DESC, centroid_id) AS crk
+        |    row_number() OVER (PARTITION BY corpus_id ORDER BY csq DESC, centroid_id) AS crk
         |  FROM (SELECT corpus_id, v, centroid_id,
-        |      ${cosFoldSql("v", "cv")} AS csim
+        |      CAST(floor(${qcosSql("v", "cv")} * 1e6 + 0.5) AS BIGINT) AS csq
         |    FROM corpus CROSS JOIN cent)
         |),
         |ba AS (
         |  SELECT item_id, v, centroid_id,
-        |    row_number() OVER (PARTITION BY item_id ORDER BY csim DESC, centroid_id) AS crk
+        |    row_number() OVER (PARTITION BY item_id ORDER BY csq DESC, centroid_id) AS crk
         |  FROM (SELECT item_id, v, centroid_id,
-        |      ${cosFoldSql("v", "cv")} AS csim
+        |      CAST(floor(${qcosSql("v", "cv")} * 1e6 + 0.5) AS BIGINT) AS csq
         |    FROM batchv CROSS JOIN cent)
         |),
         |cnd AS (
         |  SELECT b.item_id, c.corpus_id,
-        |    CAST(floor((${cosFoldSql("b.v", "c.v")}) * 1e6 + 0.5) AS BIGINT) AS sq
+        |    CAST(floor(${qcosSql("b.v", "c.v")} * 1e6 + 0.5) AS BIGINT) AS sq
         |  FROM (SELECT * FROM ba WHERE crk = 1) b
         |  JOIN (SELECT * FROM ca WHERE crk = 1) c USING (centroid_id)
         |),
@@ -2069,6 +2110,7 @@ object LlmQueries {
     "dedup_semantic_trained" -> dedupSemanticTrainedOracle,
     "embed_kmeans_k64" -> embedKmeansK64Oracle,
     "dedup_semantic_k64" -> dedupSemanticK64Oracle,
+    "dedup_semantic_assign_k64" -> dedupSemanticAssignK64Oracle,
     "embed_kmeans" -> embedKmeansOracle,
     "embed_kmeans_sizes" -> embedKmeansSizesOracle,
     "bpe_encode_docs" -> bpeEncodeOracle,
@@ -2976,32 +3018,12 @@ object LlmQueries {
         |FROM (SELECT * FROM dq WHERE rk = 1) a
         |JOIN (SELECT item_id, d FROM dq WHERE rk = 2) b USING (item_id)
         |ORDER BY a.item_id""".stripMargin,
+    // shares semDedupPhaseSql VERBATIM with the trained/k64 pair (r12) —
+    // the whole semantic family replays one kernel, so it cannot fork
+    // internally
     "dedup_semantic" ->
-      """WITH corpus AS (SELECT vec_id AS item_id, embedding::DOUBLE[] AS iv FROM embeddings),
-        |cent AS (
-        |  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv FROM embeddings
-        |  WHERE vec_id % 50 = 25
-        |), ca AS (
-        |  SELECT item_id, iv, centroid_id, csim,
-        |    row_number() OVER (PARTITION BY item_id ORDER BY csim DESC, centroid_id) AS crk
-        |  FROM (SELECT item_id, iv, centroid_id,
-        |      list_dot_product(iv, cv)
-        |        / (sqrt(list_dot_product(iv, iv)) * sqrt(list_dot_product(cv, cv))) AS csim
-        |    FROM corpus CROSS JOIN cent)
-        |), asg AS (SELECT item_id, iv, centroid_id,
-        |    CAST(floor(csim * 1e6 + 0.5) AS BIGINT) AS csq FROM ca WHERE crk = 1),
-        |drp AS (
-        |  SELECT DISTINCT b.item_id
-        |  FROM asg a JOIN asg b USING (centroid_id)
-        |  WHERE a.item_id <> b.item_id
-        |    AND floor((list_dot_product(a.iv, b.iv)
-        |      / (sqrt(list_dot_product(a.iv, a.iv)) * sqrt(list_dot_product(b.iv, b.iv)))) * 1e6 + 0.5) >= 200000
-        |    AND (a.csq < b.csq OR (a.csq = b.csq AND a.item_id < b.item_id))
-        |)
-        |SELECT asg.item_id, asg.centroid_id, CAST(asg.csq AS DOUBLE) / 1e6 AS cent_sim,
-        |  CAST(drp.item_id IS NULL AS BIGINT) AS is_kept
-        |FROM asg LEFT JOIN drp ON asg.item_id = drp.item_id
-        |ORDER BY asg.item_id""".stripMargin,
+      ("WITH " + semDedupPhaseSql(
+        "SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id % 50 = 25")),
     "corpus_dsir_select" ->
       s"""WITH toks AS (SELECT doc_id, (lang = 'en') AS t, $tokSql AS tk FROM documents),
          |g1 AS (SELECT doc_id, t, UNNEST(tk) AS g FROM toks),

@@ -125,7 +125,10 @@ class SemDedupSpec extends SparkSpec {
       val best = cs.map { case (cid, cv) => (cid, cos(v, cv)) }
         .minBy { case (cid, s) => (-s, cid) }
       assert(out(id)._1 === best._1, s"item $id routed to ${out(id)._1}, exhaustive ${best._1}")
-      assert(math.abs(out(id)._2 - best._2) < 1e-6)
+      // cent_sim is the micro-quantized integer-exact qcosine (r12): it
+      // differs from this raw-double reference cosine by the component
+      // quantization skew (~1e-5) plus the 1e-6 bucket width
+      assert(math.abs(out(id)._2 - best._2) < 5e-5)
     }
   }
 
