@@ -183,9 +183,17 @@ object RepetitionOps {
       .agg(sum(DupGramThresholdMicro.toSeq.sortBy(_._1).map { case (n, th) =>
         when(col("n") === n && col("dup_mass_micro") > th, 1L).otherwise(0L)
       }.reduce(_ + _)).as("dup_fails"))
-    lp.join(top, Seq("doc_id"), "left").join(dup, Seq("doc_id"), "left")
+    // anchor on the DOCS frame so the gate is TOTAL over the corpus
+    // (ADVICE r11): a document too short for any window or n-gram has
+    // nothing to repeat — it fails zero rules and is kept, not silently
+    // dropped from the verdict a downstream keep-join would read
+    docs.select(col("doc_id"))
+      .join(lp, Seq("doc_id"), "left")
+      .join(top, Seq("doc_id"), "left")
+      .join(dup, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        (col("win_fails") + coalesce(col("top_fails"), lit(0L)) +
+        (coalesce(col("win_fails"), lit(0L)) +
+          coalesce(col("top_fails"), lit(0L)) +
           coalesce(col("dup_fails"), lit(0L))).as("fails"))
       .select(col("doc_id"), col("fails"),
         (col("fails") === 0L).cast("long").as("kept"))

@@ -988,16 +988,23 @@ object SimOps {
   def silhouette(vectors: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String): DataFrame = {
     // rank 2 must exist for the b-distance — with fewer than 2 centroids
-    // the rank join would silently return an EMPTY frame (ADVICE r10);
-    // the centroid set is a bounded model, so the count is cheap
-    require(centroids.limit(2).count() >= 2,
-      "silhouette needs at least 2 centroids (b = distance to the second-nearest)")
+    // the rank join would silently return an EMPTY frame (ADVICE r10).
+    // The guard is LAZY (ADVICE r11: an eager count here turned a plan
+    // builder into a job-per-call): the bounded centroid count rides the
+    // plan as a broadcast 1-row frame and assert_true fires on the first
+    // evaluated row. (A 0-centroid model still yields empty-in/empty-out
+    // — the cross join produces no rows to assert on.)
+    val nc = broadcast(centroids.agg(count(lit(1)).as("__nc")))
     val cents = broadcast(centroids.select(
       col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("centroid_vec")))
     val w = Window.partitionBy(col("item_id")).orderBy(col("__dq"), col("centroid_id"))
     val ranked = vectors
       .select(col(idCol).as("item_id"), asDouble(col(vecCol)).as("__v"))
       .crossJoin(cents)
+      .crossJoin(nc)
+      .filter(assert_true(col("__nc") >= 2, lit(
+        "silhouette needs at least 2 centroids (b = distance to the second-nearest)"))
+        .isNull)
       .withColumn("__dq", quantMicro(lit(1.0) - cosine(col("__v"), col("centroid_vec"))))
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= 2)

@@ -851,18 +851,34 @@ object EventQueries {
     val stream = s.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", 1).parquet(stagingDir)
     val q = stream.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        val part = graft.operators.AchillesGen
-          .partialCounts(streamAchModel, _ => batch)
-        val merged =
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        // foreachBatch is AT-LEAST-ONCE: after a failure/restart the same
+        // batchId can re-execute, and an unconditional merge would double
+        // every stratum it carries. The last-applied id rides IN the
+        // partials table itself (a constant __last_batch column), so the
+        // skip decision and the merged counts commit in ONE atomic
+        // staging-then-swap write — no separate meta table to drift.
+        val stored =
           if (zones.listTables(s, "work").contains("ach_partials"))
-            graft.operators.AchillesGen.mergePartialCounts(
-              Seq(zones.read(s, "work", "ach_partials"), part), -1L)
-          else part
-        // bounded report (one row per stratum); the zone write is
-        // staging-then-swap, so reading the prior table while writing the
-        // next is safe
-        zones.write(merged.coalesce(1), "work", "ach_partials")
+            Some(zones.read(s, "work", "ach_partials"))
+          else None
+        val lastApplied = stored.map(
+          _.agg(coalesce(max(col("__last_batch")), lit(-1L))).head.getLong(0))
+          .getOrElse(-1L)
+        if (batchId > lastApplied) {
+          val part = graft.operators.AchillesGen
+            .partialCounts(streamAchModel, _ => batch)
+          val merged = stored match {
+            case Some(p) => graft.operators.AchillesGen.mergePartialCounts(
+              Seq(p.drop("__last_batch"), part), -1L)
+            case None => part
+          }
+          // bounded report (one row per stratum); the zone write is
+          // staging-then-swap, so reading the prior table while writing
+          // the next is safe
+          zones.write(merged.withColumn("__last_batch", lit(batchId))
+            .coalesce(1), "work", "ach_partials")
+        }
         ()
       }
       .option("checkpointLocation", ckpt)
@@ -870,6 +886,7 @@ object EventQueries {
       .start()
     try q.awaitTermination() finally q.stop()
     zones.read(s, "work", "ach_partials")
+      .drop("__last_batch")
       .filter(col("count_value") > 5)
       .coalesce(1)
       .sortWithinPartitions("analysis_id", "stratum_1")

@@ -1918,6 +1918,18 @@ object LlmQueries {
     * shares [[semAssignCtes]] verbatim with the phase SQL. If the phase
     * ever reds again on the driver with this green, the fork is in the
     * pairwise-drop half; red here pins it to assignment.
+    *
+    * Margin record (VERDICT r11 #1b, measured at sf0.01 over the k64
+    * phase BEFORE the kernel swap): closest raw assignment tie across the
+    * 32,000 item x centroid sims = 1.6e-4 (~1e12 ulps); closest rank-1
+    * sim to a floor(x*1e6+0.5) boundary = 2.7e-3 micro-units (~6e7
+    * ulps); closest of the 1,951 in-cluster pairwise sims to a boundary
+    * = 3.8e-5 micro-units (~1e6 ulps); closest quantized pairwise sim to
+    * the 200000 threshold = 372 units. ALL margins are wide — a 1-ulp
+    * (even 1000-ulp) kernel difference could not flip any compare, so
+    * the r10/r11 sub-ulp theories were dead: the driver's build computes
+    * the double fold MATERIALLY differently. The integer-exact kernel
+    * retires the entire class instead of out-guessing it.
     */
   private lazy val dedupSemanticAssignK64Oracle: String =
     "WITH " + semAssignCtes(
@@ -2073,12 +2085,14 @@ object LlmQueries {
        |      OR (n = 10 AND micro > 100000) THEN 1 ELSE 0 END) AS gram_fails
        |  FROM mass GROUP BY 1
        |)
-       |SELECT w.doc_id,
-       |  CAST(w.win_fails + coalesce(g.gram_fails, 0) AS BIGINT) AS fails,
-       |  CAST(CASE WHEN w.win_fails + coalesce(g.gram_fails, 0) = 0
+       |SELECT d.doc_id,
+       |  CAST(coalesce(w.win_fails, 0) + coalesce(g.gram_fails, 0) AS BIGINT) AS fails,
+       |  CAST(CASE WHEN coalesce(w.win_fails, 0) + coalesce(g.gram_fails, 0) = 0
        |    THEN 1 ELSE 0 END AS BIGINT) AS kept
-       |FROM winf w LEFT JOIN gramf g USING (doc_id)
-       |ORDER BY doc_id""".stripMargin
+       |FROM documents d
+       |LEFT JOIN winf w ON d.doc_id = w.doc_id
+       |LEFT JOIN gramf g ON d.doc_id = g.doc_id
+       |ORDER BY d.doc_id""".stripMargin
       .replace("${REP_GRAMS}", repGramCtes(2, 10, withToks = false) + ",")
 
   val oracles: Seq[(String, String)] = Seq(

@@ -353,11 +353,35 @@ object OhdsiSql {
       "OHDSI SQL script contains no result-producing SELECT"))
   }
 
-  /** The statement list `execute` runs: rendered, split on `;` OUTSIDE
-    * string literals (the heel warning messages carry semicolons inside
-    * their quotes), translated per statement (so `TOP n` becomes that
-    * statement's `LIMIT`).
+  /** Remove `--` line comments OUTSIDE string literals. Must run BEFORE
+    * any structural pass: a single apostrophe inside a template comment
+    * ("-- don't ...") would otherwise flip the quote tracking of the `;`
+    * splitter and the translate rewrites, swallowing a real statement
+    * boundary or mangling the comment (ADVICE r11). `--` INSIDE quotes
+    * is content and survives; doubled `''` escapes toggle the tracker
+    * twice, which keeps it consistent.
+    */
+  private def stripLineComments(s: String): String = {
+    val out = new StringBuilder
+    var inQ = false
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch == '\'') { inQ = !inQ; out += ch; i += 1 }
+      else if (!inQ && ch == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
+        while (i < s.length && s.charAt(i) != '\n') i += 1
+      } else { out += ch; i += 1 }
+    }
+    out.result()
+  }
+
+  /** The statement list `execute` runs: rendered, comment-stripped
+    * ([[stripLineComments]] — quote tracking must only ever see real
+    * SQL), split on `;` OUTSIDE string literals (the heel warning
+    * messages carry semicolons inside their quotes), translated per
+    * statement (so `TOP n` becomes that statement's `LIMIT`).
     */
   def translateScript(sql: String, params: Map[String, String] = Map.empty): Seq[String] =
-    splitTop(render(sql, params), ';').map(_.trim).filter(_.nonEmpty).map(translate)
+    splitTop(stripLineComments(render(sql, params)), ';')
+      .map(_.trim).filter(_.nonEmpty).map(translate)
 }

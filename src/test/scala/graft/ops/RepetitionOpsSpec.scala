@@ -57,11 +57,14 @@ class RepetitionOpsSpec extends SparkSpec {
   }
 
   test("microRatio is exact integer floor division at LONG-overflow scale") {
+    // 1e13 * 1e6 = 1e19 > Long.MaxValue (~9.22e18): the numerator really
+    // does leave the LONG domain, so this exercises the decimal-domain
+    // protection (ADVICE r11 — the previous 3e12 operand stayed inside)
     val out = Seq((1L, 3L)).toDF("a", "b")
       .select(RepetitionOps.microRatio(
-        org.apache.spark.sql.functions.lit(3000000000000L), // 3e12 * 1e6 > 2^63
-        org.apache.spark.sql.functions.lit(7000000000000L)))
+        org.apache.spark.sql.functions.lit(10000000000000L),
+        org.apache.spark.sql.functions.lit(70000000000000L)))
       .as[Long].head()
-    assert(out == 428571L) // floor(1e6 * 3/7)
+    assert(out == 142857L) // floor(1e6 * 1e13 / 7e13)
   }
 }

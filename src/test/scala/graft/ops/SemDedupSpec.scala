@@ -164,6 +164,21 @@ class SemDedupSpec extends SparkSpec {
     assert(kept > 0 && kept < blocked.length)
   }
 
+  test("silhouette's 2-centroid guard is lazy and fires on evaluation") {
+    // constructing the plan must NOT run a job (ADVICE r11: the eager
+    // require cost one count per call even when never executed)
+    val one = centroids.filter(col("vec_id") === 10L)
+    val df = SimOps.silhouette(corpus, one, "vec_id", "embedding")
+    // ...but evaluating it raises the guard, instead of the silent empty
+    // frame the guard exists to prevent
+    val e = intercept[Exception](df.collect())
+    assert(e.getMessage != null && e.getMessage.contains("at least 2 centroids"),
+      s"unexpected: $e")
+    // with a valid model the plan still evaluates normally
+    assert(SimOps.silhouette(corpus, centroids, "vec_id", "embedding")
+      .count() == 5L)
+  }
+
   test("the pair join keys include the hash blocks (bounded task width)") {
     val p = SimOps.semDedup(hotCorpus, centroids, "vec_id", "embedding", 0.98,
         maxCluster = 4, sizeSampleRate = 1.0)

@@ -189,4 +189,19 @@ class OhdsiSqlSpec extends SparkSpec {
         |SELECT * FROM #acc2""".stripMargin))
     assert(e.getMessage.contains("column list"))
   }
+
+  test("an apostrophe in a -- comment does not flip the ';' quote tracking") {
+    // ADVICE r11: "don't" in a template comment made the splitter treat
+    // the following ';' as inside-quotes, swallowing a statement boundary
+    val stmts = OhdsiSql.translateScript(
+      """-- don't count placeholders
+        |SELECT 1 AS a;
+        |SELECT 'it''s fine; really' AS b -- trailing note, isn't it
+        |;
+        |SELECT 3 AS c""".stripMargin)
+    assert(stmts.length === 3, stmts.mkString("\n---\n"))
+    assert(stmts(1).contains("'it''s fine; really'"),
+      "quoted content (including its ';' and '') must survive comment stripping")
+    assert(!stmts.exists(_.contains("--")), "comments must be stripped")
+  }
 }
