@@ -231,10 +231,18 @@ object OhdsiAchilles {
             d.endDate.map(_ => CoreAnalysis(d.base + 9,
               s"Number of $entity records with end date < start date")).toSeq
         else if (EraTables(d.table))
-          // era tables skip the fk-validity slots but keep the published
-          // records-by-start-month series (920 / 1020 / 1320)
-          Seq(CoreAnalysis(d.base + 20, s"Number of $entity records by $entity start month",
-            "calendar_month"))
+          // era validity family (public Achilles convention — the x07 slot
+          // is the era-length distribution, so the validity checks shift
+          // one: x08 invalid person, x09 outside valid observation period,
+          // x10 era end < era start) plus the records-by-start-month
+          // series (920 / 1020 / 1320)
+          Seq(
+            CoreAnalysis(d.base + 8, s"Number of $entity records with invalid person_id"),
+            CoreAnalysis(d.base + 9,
+              s"Number of $entity records outside valid observation period"),
+            CoreAnalysis(d.base + 10, s"Number of $entity records with end date < start date"),
+            CoreAnalysis(d.base + 20, s"Number of $entity records by $entity start month",
+              "calendar_month"))
         else Nil)
     } ++
     // The cost domain (CDM 5.x unified `cost` table): fk-validity counts
@@ -614,12 +622,18 @@ object OhdsiAchilles {
         val nullS = lit(null).cast("string")
 
         // ---- records + validity pass ----
-        val wantX07 = OccurrenceTables(d.table) && has(model, "person", "person_id")
-        val wantX08 = OccurrenceTables(d.table) && hasStart &&
+        // era tables carry the same three validity checks, shifted one id
+        // (x07 is their era-length dist): person fk at x08, observation
+        // coverage at x09, end-before-start at x10 — public Achilles
+        // convention, same fused single scan either way
+        val validityTable = OccurrenceTables(d.table) || EraTables(d.table)
+        val slotShift = if (EraTables(d.table)) 1L else 0L
+        val wantX07 = validityTable && has(model, "person", "person_id")
+        val wantX08 = validityTable && hasStart &&
           has(model, "observation_period", "person_id",
             "observation_period_start_date", "observation_period_end_date")
         val endOpt = d.endDate.filter(e =>
-          OccurrenceTables(d.table) && has(model, d.table, e, d.startDate))
+          validityTable && has(model, d.table, e, d.startDate))
         var enriched = df
         if (wantX07)
           enriched = enriched.join(
@@ -633,11 +647,11 @@ object OhdsiAchilles {
                 col("observation_period_end_date").as("e"))).as("__ops")),
             Seq("person_id"), "left")
         val checks = Seq.newBuilder[(Long, org.apache.spark.sql.Column)]
-        if (wantX07) checks += ((d.base + 7, col("__hasp").isNull))
-        if (wantX08) checks += ((d.base + 8, col("__ops").isNull ||
+        if (wantX07) checks += ((d.base + 7 + slotShift, col("__hasp").isNull))
+        if (wantX08) checks += ((d.base + 8 + slotShift, col("__ops").isNull ||
           !exists(col("__ops"), o => col(d.startDate) >= o.getField("s") &&
             col(d.startDate) <= o.getField("e"))))
-        endOpt.foreach(e => checks += ((d.base + 9, col(e) < col(d.startDate))))
+        endOpt.foreach(e => checks += ((d.base + 9 + slotShift, col(e) < col(d.startDate))))
         val cs = checks.result()
         val recBase = enriched.select(Seq(
           col(d.concept).cast("string").as("__c"),
@@ -1428,16 +1442,21 @@ object OhdsiAchilles {
     final case class CountRule(ruleId: Long, severity: String, ids: Seq[Long], suffix: String)
 
     val countRules: Seq[CountRule] = Seq(
-      // x07 invalid-person family + the person 7/8/9 care-network fks +
-      // the 1500/1600 cost-event fks
+      // invalid-person family (occurrence x07, visit_detail 2507, era x08)
+      // + the person 7/8/9 care-network fks + the 1500/1600 cost-event fks
       CountRule(1L, "ERROR",
-        Seq(7L, 8L, 9L, 207L, 407L, 607L, 707L, 807L, 1807L, 2107L, 1500L, 1600L),
+        Seq(7L, 8L, 9L, 207L, 407L, 607L, 707L, 807L, 1807L, 2107L, 2507L,
+          908L, 1008L, 1308L, 1500L, 1600L),
         "should not be > 0 (invalid foreign key)"),
-      // x09 end-before-start family + 115 (observation period end < start)
-      CountRule(2L, "ERROR", Seq(115L, 209L, 709L),
+      // end-before-start family (occurrence x09, era x10) + 115
+      // (observation period end < start)
+      CountRule(2L, "ERROR",
+        Seq(115L, 209L, 709L, 2109L, 2509L, 910L, 1010L, 1310L),
         "should not be > 0 (end date precedes start date)"),
-      // x08 outside-observation-period family
-      CountRule(3L, "WARNING", Seq(208L, 408L, 608L, 708L, 808L, 1808L, 2108L),
+      // outside-observation-period family (occurrence x08, era x09)
+      CountRule(3L, "WARNING",
+        Seq(208L, 408L, 608L, 708L, 808L, 1808L, 2108L, 2508L,
+          909L, 1009L, 1309L),
         "should not be > 0 (records outside a valid observation period)"),
       CountRule(4L, "WARNING", Seq(114L),
         "should not be > 0 (observation period before year of birth)"))

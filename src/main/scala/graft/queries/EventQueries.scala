@@ -1189,6 +1189,9 @@ object EventQueries {
         |(904, 'Number of persons with at least one drug era, by drug_concept_id by calendar year by gender by age decile', 'drug_concept_id', 'calendar_year', 'gender_concept_id', 'age_decile', 0),
         |(906, 'Distribution of age at first drug era, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 1),
         |(907, 'Distribution of drug era length, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 1),
+        |(908, 'Number of drug era records with invalid person_id', NULL, NULL, NULL, NULL, 0),
+        |(909, 'Number of drug era records outside valid observation period', NULL, NULL, NULL, NULL, 0),
+        |(910, 'Number of drug era records with end date < start date', NULL, NULL, NULL, NULL, 0),
         |(920, 'Number of drug era records by drug era start month', 'calendar_month', NULL, NULL, NULL, 0),
         |(1000, 'Number of persons with at least one condition era, by condition_concept_id', 'condition_concept_id', NULL, NULL, NULL, 0),
         |(1001, 'Number of condition era records, by condition_concept_id', 'condition_concept_id', NULL, NULL, NULL, 0),
@@ -1197,6 +1200,9 @@ object EventQueries {
         |(1004, 'Number of persons with at least one condition era, by condition_concept_id by calendar year by gender by age decile', 'condition_concept_id', 'calendar_year', 'gender_concept_id', 'age_decile', 0),
         |(1006, 'Distribution of age at first condition era, by condition_concept_id', 'condition_concept_id', NULL, NULL, NULL, 1),
         |(1007, 'Distribution of condition era length, by condition_concept_id', 'condition_concept_id', NULL, NULL, NULL, 1),
+        |(1008, 'Number of condition era records with invalid person_id', NULL, NULL, NULL, NULL, 0),
+        |(1009, 'Number of condition era records outside valid observation period', NULL, NULL, NULL, NULL, 0),
+        |(1010, 'Number of condition era records with end date < start date', NULL, NULL, NULL, NULL, 0),
         |(1020, 'Number of condition era records by condition era start month', 'calendar_month', NULL, NULL, NULL, 0),
         |(1100, 'Number of persons by location 3-digit zip', 'zip3', NULL, NULL, NULL, 0),
         |(1101, 'Number of persons by location state', 'state', NULL, NULL, NULL, 0),
@@ -1212,6 +1218,9 @@ object EventQueries {
         |(1304, 'Number of persons with at least one dose era, by drug_concept_id by calendar year by gender by age decile', 'drug_concept_id', 'calendar_year', 'gender_concept_id', 'age_decile', 0),
         |(1306, 'Distribution of age at first dose era, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 1),
         |(1307, 'Distribution of dose era length, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 1),
+        |(1308, 'Number of dose era records with invalid person_id', NULL, NULL, NULL, NULL, 0),
+        |(1309, 'Number of dose era records outside valid observation period', NULL, NULL, NULL, NULL, 0),
+        |(1310, 'Number of dose era records with end date < start date', NULL, NULL, NULL, NULL, 0),
         |(1320, 'Number of dose era records by dose era start month', 'calendar_month', NULL, NULL, NULL, 0),
         |(1400, 'Number of persons with at least one payer plan period, by payer_source_value', 'payer_source_value', NULL, NULL, NULL, 0),
         |(1401, 'Number of payer plan period records, by payer_source_value', 'payer_source_value', NULL, NULL, NULL, 0),

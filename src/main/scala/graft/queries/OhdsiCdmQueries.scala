@@ -1779,6 +1779,36 @@ object OhdsiCdmQueries {
       |  SELECT 1320, strftime(dos, '%Y%m'), NULL, count(*)
       |  FROM dose_era GROUP BY 2
       |  UNION ALL
+      |  -- era validity family (x08 invalid person / x09 outside valid
+      |  -- observation period / x10 end < start — the occurrence slots
+      |  -- shifted one, x07 being the era-length dist)
+      |  SELECT 908, 'ALL', NULL, count(*) FROM drug_era
+      |  WHERE person_id NOT IN (SELECT person_id FROM person)
+      |  UNION ALL
+      |  SELECT 909, 'ALL', NULL, count(*) FROM drug_era e
+      |  WHERE NOT EXISTS (SELECT 1 FROM obs o WHERE o.person_id = e.person_id
+      |    AND e.des >= o.op_start AND e.des <= o.op_end)
+      |  UNION ALL
+      |  SELECT 910, 'ALL', NULL, count(*) FROM drug_era WHERE dee < des
+      |  UNION ALL
+      |  SELECT 1008, 'ALL', NULL, count(*) FROM cond_era
+      |  WHERE person_id NOT IN (SELECT person_id FROM person)
+      |  UNION ALL
+      |  SELECT 1009, 'ALL', NULL, count(*) FROM cond_era e
+      |  WHERE NOT EXISTS (SELECT 1 FROM obs o WHERE o.person_id = e.person_id
+      |    AND e.ces >= o.op_start AND e.ces <= o.op_end)
+      |  UNION ALL
+      |  SELECT 1010, 'ALL', NULL, count(*) FROM cond_era WHERE cee < ces
+      |  UNION ALL
+      |  SELECT 1308, 'ALL', NULL, count(*) FROM dose_era
+      |  WHERE person_id NOT IN (SELECT person_id FROM person)
+      |  UNION ALL
+      |  SELECT 1309, 'ALL', NULL, count(*) FROM dose_era e
+      |  WHERE NOT EXISTS (SELECT 1 FROM obs o WHERE o.person_id = e.person_id
+      |    AND e.dos >= o.op_start AND e.dos <= o.op_end)
+      |  UNION ALL
+      |  SELECT 1310, 'ALL', NULL, count(*) FROM dose_era WHERE doe < dos
+      |  UNION ALL
       |  SELECT 208, 'ALL', NULL, count(*) FROM visit v
       |  WHERE NOT EXISTS (SELECT 1 FROM obs o WHERE o.person_id = v.person_id
       |    AND v.visit_start_date >= o.op_start AND v.visit_start_date <= o.op_end)

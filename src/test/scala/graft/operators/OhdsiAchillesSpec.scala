@@ -66,7 +66,7 @@ class OhdsiAchillesSpec extends SparkSpec {
 
   test("analysisCatalog carries the literal core id set") {
     val cat = OhdsiAchilles.analysisCatalog(spark).collect()
-    assert(cat.length === 222)
+    assert(cat.length === 231)
     val ids = cat.map(_.getLong(0))
     assert(ids.sorted.toSeq === ids.toSeq) // ordered by analysis_id
     for (core <- Seq(1L, 2L, 101L, 105L, 108L, 109L, 110L, 111L, 114L, 115L,
@@ -91,7 +91,10 @@ class OhdsiAchillesSpec extends SparkSpec {
         // the round-11 type/end-date additions
         205L, 2109L,
         // the round-11 payer_source_value series
-        1400L, 1401L, 1402L, 1403L))
+        1400L, 1401L, 1402L, 1403L,
+        // the round-12 era validity family (x08 invalid person / x09
+        // outside observation period / x10 end < start)
+        908L, 909L, 910L, 1008L, 1009L, 1010L, 1308L, 1309L, 1310L))
       assert(ids.contains(core), s"missing core id $core")
     // x04 carries the published four strata names
     val a404 = cat.find(_.getLong(0) == 404L).get
@@ -100,9 +103,10 @@ class OhdsiAchillesSpec extends SparkSpec {
     assert(a404.getString(4) === "gender_concept_id")
     assert(a404.getString(5) === "age_decile")
     // 504 is now the published age-at-death dist (r10), not an x04 slot.
-    // era tables carry NO x07-x09 fk-validity slots (those published ids
-    // differ there); r11 ADDED their x20 month series (920/1020/1320)
-    for (absent <- Seq(507L, 520L, 908L, 909L, 1308L, 1309L))
+    // era validity rides the SHIFTED x08/x09/x10 slots (r12) — the
+    // occurrence-table x07 slot is their era-length dist, so 907/1007/1307
+    // stay dists and no era x05/x07-count ids exist
+    for (absent <- Seq(507L, 520L, 905L, 1305L, 1311L, 911L))
       assert(!ids.contains(absent), s"unexpected id $absent")
     val dists = cat.filter(_.getLong(6) == 1L).map(_.getLong(0)).toSet
     assert(dists === Set(103L, 104L, 105L, 106L, 107L,

@@ -227,9 +227,17 @@ class PlanAuditSpec extends SparkSpec {
       val p = plan(q)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$q plan has an all-pairs join")
-      val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
-      assert(readSchema.contains("doc_id") && readSchema.contains("text") &&
-        !readSchema.contains("source"), s"$q scan not pruned: $readSchema")
+      // every documents scan reads at most (doc_id, text) — the gate's
+      // totality anchor (r12) is a doc_id-only scan, which is MORE pruned,
+      // so assert the absence of wide columns on every scan line instead
+      // of the presence of `text` on the first
+      val scans = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+      assert(scans.nonEmpty, s"$q has no scans in plan")
+      scans.foreach { readSchema =>
+        assert(readSchema.contains("doc_id") && !readSchema.contains("source") &&
+          !readSchema.contains("n_chars"), s"$q scan not pruned: $readSchema")
+      }
+      assert(scans.exists(_.contains("text")), s"$q never scans text")
     }
   }
 
