@@ -892,6 +892,87 @@ object EventQueries {
       .sortWithinPartitions("analysis_id", "stratum_1")
   }
 
+  /** CONTINUOUS Achilles, DIST tier — [[streamAchillesCounts]]'s twin for
+    * the distribution families: each micro-batch computes the mergeable
+    * VALUE-HISTOGRAM partials over the batch alone
+    * ([[graft.operators.AchillesGen.distValueCounts]]) and merges them
+    * into a stored histogram table by one bounded groupBy-sum on
+    * (analysis, stratum, value); the single dist aggregation (exact
+    * decimal moments + order-statistic quantiles) runs only at READ over
+    * the merged histogram — per-batch cost O(batch), and the report is
+    * EXACTLY the full-scan dist battery (the oracle), because histogram
+    * merge is a sum and the aggregation is a function of the histogram.
+    * Idempotent under foreachBatch replay via the same in-table
+    * __last_batch protocol as the counts tier.
+    */
+  val streamAchillesDist: Q = (s, d) => {
+    val zones = graft.io.Zones.forPurpose(s"streamachd_${graft.io.Zones.pathKey(d)}")
+    val hconf = s.sparkContext.hadoopConfiguration
+    def rm(p: String): Unit = {
+      val hp = new org.apache.hadoop.fs.Path(new java.io.File(p).getAbsolutePath)
+      hp.getFileSystem(hconf).delete(hp, true); ()
+    }
+    rm(zones.tablePath("work", "ach_dist_partials"))
+    val ckpt = new java.io.File(
+      s"${graft.io.Zones.defaultRoot}/stream_ckpt_achd").getAbsolutePath
+    rm(ckpt)
+    val stagingDir = new java.io.File(
+      s"${graft.io.Zones.defaultRoot}/stream_src_achd").getAbsolutePath
+    rm(stagingDir)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stagingDir))
+    val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "value", "ts")
+    def stageOne(name: String, part: org.apache.spark.sql.DataFrame,
+        mtime: Long): Unit = {
+      val tmp = s"$stagingDir/__tmp_$name"
+      part.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(hconf)
+      val f = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+      val dst = new org.apache.hadoop.fs.Path(s"$stagingDir/$name")
+      require(fs.rename(f, dst), s"staging rename failed: $f -> $dst")
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      fs.setTimes(dst, mtime, -1)
+      ()
+    }
+    val par = coalesce(pmod(col("event_id"), lit(2)), lit(0))
+    val t0 = System.currentTimeMillis()
+    stageOne("batch0.parquet", ev.filter(par === 0), t0)
+    stageOne("batch1.parquet", ev.filter(par =!= 0), t0 + 60000L)
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stagingDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val stored =
+          if (zones.listTables(s, "work").contains("ach_dist_partials"))
+            Some(zones.read(s, "work", "ach_dist_partials"))
+          else None
+        val lastApplied = stored.map(
+          _.agg(coalesce(max(col("__last_batch")), lit(-1L))).head.getLong(0))
+          .getOrElse(-1L)
+        if (batchId > lastApplied) {
+          val part = graft.operators.AchillesGen
+            .distValueCounts(streamAchModel, _ => batch)
+          val merged = stored match {
+            // histogram merge IS the sum — the dist aggregation stays at
+            // read so a value's count can keep accumulating across batches
+            case Some(p) => p.drop("__last_batch").unionByName(part)
+              .groupBy(col("analysis_id"), col("stratum_1"), col("__v"))
+              .agg(sum(col("__cnt")).as("__cnt"))
+            case None => part
+          }
+          zones.write(merged.withColumn("__last_batch", lit(batchId))
+            .coalesce(1), "work", "ach_dist_partials")
+        }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    graft.operators.AchillesGen.mergeDistPartials(Seq(
+      zones.read(s, "work", "ach_dist_partials").drop("__last_batch")))
+  }
+
   /** Count-Min heavy hitters beside their ground truth: exact top-10
     * users by event count, each with its CMS point estimate (min over
     * depth salted counters — never underestimates; the d x w counter
@@ -939,6 +1020,7 @@ object EventQueries {
     "stream_upsert_zone" -> streamUpsertZone,
     "stream_dqd_runs" -> streamDqdRuns,
     "stream_achilles_counts" -> streamAchillesCounts,
+    "stream_achilles_dist" -> streamAchillesDist,
     "event_discover_tables" -> eventDiscoverTables,
     "event_case_map" -> eventCaseMap,
     "event_rekey" -> eventRekey,
@@ -1065,6 +1147,10 @@ object EventQueries {
     // same generated model
     "stream_achilles_counts" ->
       graft.operators.AchillesGen.sumFamilyOracleSql(streamAchModel),
+    // stream merge == rescan for the dist tier too: the oracle is the
+    // FULL-SCAN dist battery over the same events model
+    "stream_achilles_dist" ->
+      graft.operators.AchillesGen.distOracleSql(streamAchModel),
     "join_bucketed_colocated" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
         |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts

@@ -54,6 +54,31 @@ object AchStreamSoak {
       sec
     }
     println(f"""{"first":${times.head}%.2f,"last":${times.last}%.2f,"ratio_last_first":${times.last / times.head}%.2f}""")
+
+    // dist tier (stream_achilles_dist): per-batch VALUE-HISTOGRAM partials
+    // merged by one groupBy-sum on (analysis, stratum, value); the dist
+    // aggregation itself runs once at the end (read-side cost). Flatness
+    // contract is the same: the merge key is histogram cardinality, not
+    // corpus size.
+    val dtimes = (0 until n).map { b =>
+      val slice = ev.filter(coalesce(pmod(col("event_id"), lit(n)), lit(0)) === b)
+      val t0 = System.nanoTime()
+      val part = graft.operators.AchillesGen.distValueCounts(model, _ => slice)
+      val merged =
+        if (zones.listTables(spark, "work").contains("ach_dist_partials"))
+          zones.read(spark, "work", "ach_dist_partials").unionByName(part)
+            .groupBy(col("analysis_id"), col("stratum_1"), col("__v"))
+            .agg(sum(col("__cnt")).as("__cnt"))
+        else part
+      zones.write(merged.coalesce(1), "work", "ach_dist_partials")
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"dist_batch":$b,"sec":$sec%.2f}""")
+      sec
+    }
+    val t0 = System.nanoTime()
+    val nOut = graft.operators.AchillesGen.mergeDistPartials(
+      Seq(zones.read(spark, "work", "ach_dist_partials"))).count()
+    println(f"""{"dist_first":${dtimes.head}%.2f,"dist_last":${dtimes.last}%.2f,"dist_ratio":${dtimes.last / dtimes.head}%.2f,"read_agg_sec":${(System.nanoTime() - t0) / 1e9}%.2f,"dist_rows":$nOut}""")
     spark.stop()
   }
 }
