@@ -788,7 +788,9 @@ object SimOps {
     * its threshold decisions are correspondingly noisy.
     *
     * @return one row per corpus vector: (item_id, centroid_id, cent_sim
-    *         rounded to 6dp, is_kept).
+    *         rounded to 6dp, is_kept as LONG 0/1 — rendered-hash-stable
+    *         against `CAST(... AS BIGINT)` oracles; a raw boolean here
+    *         stringifies as "true" vs the oracle's "1" and forks every row).
     */
   /** In-engine Lloyd k-means over an embedding column — the trainer whose
     * output the IVF / SemDeDup tiers consume ("centroids trained offline"
@@ -928,7 +930,7 @@ object SimOps {
       .join(dropped, Seq("item_id"), "left")
       .select(col("item_id"), col("centroid_id"),
         (col("__csq").cast("double") / lit(1e6)).as("cent_sim"),
-        col("__dropped").isNull.as("is_kept"))
+        col("__dropped").isNull.cast("long").as("is_kept"))
   }
 
   /** Assignment-only probe surface: the SemDeDup family's exact

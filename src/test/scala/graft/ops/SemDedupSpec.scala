@@ -27,7 +27,7 @@ class SemDedupSpec extends SparkSpec {
 
   private def run(threshold: Double): Map[Long, Boolean] =
     SimOps.semDedup(corpus, centroids, "vec_id", "embedding", threshold)
-      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+      .collect().map(r => r.getLong(0) -> (r.getLong(3) == 1L)).toMap
 
   test("within-cluster near-dups drop all but the farthest-from-centroid member") {
     val kept = run(0.95)
@@ -153,7 +153,7 @@ class SemDedupSpec extends SparkSpec {
       SimOps.semDedup(hotCorpus, centroids, "vec_id", "embedding", 0.98,
         maxCluster = maxCluster, sizeSampleRate = 1.0)
         .collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3) == 1L))
         .sortBy(_._1)
     val unblocked = run(maxCluster = 1000000) // every cluster in one block
     val blocked = run(maxCluster = 4)         // hot cluster splits 10 ways

@@ -23,10 +23,11 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime"):
             df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
-        # unify int widths across engines (int32 vs int64); the driver
-        # tolerates bool-vs-int (observed across 9 rounds), so mirror it
-        if str(df[c].dtype) in ("int8", "int16", "int32", "uint32", "Int64",
-                                "bool", "boolean"):
+        # unify int widths across engines (int32 vs int64). Deliberately
+        # NOT bool: the driver hashes stringified cells, so "True" vs "1"
+        # forks the hash — leave bools alone so stringify_mismatch sees it
+        # (the dedup_semantic_trained/_k64 5-round red was exactly this).
+        if str(df[c].dtype) in ("int8", "int16", "int32", "uint32", "Int64"):
             df[c] = df[c].astype("int64")
     if len(df.columns):
         df = df.sort_values(by=list(df.columns), kind="mergesort")
