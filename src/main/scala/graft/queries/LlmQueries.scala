@@ -1153,6 +1153,20 @@ object LlmQueries {
     z
   }
 
+  /** Explicit owner of the cross-JVM BPE artifact store: [[bpeTrained]]
+    * skips training when a warm zone from a previous JVM exists, so
+    * without this entry the bench bills the cold training run to
+    * `bpe_encode_docs` (alphabetically first consumer — the 8.5 s vs
+    * 1.9 s cold/warm swing in r12/r13). Named to sort BEFORE every
+    * `bpe_*` consumer; returns the staged-artifact manifest.
+    */
+  val bpeArtifactStoreBuild: Q = (s, d) => {
+    bpeTrained(s, d)
+    import s.implicits._
+    Seq(s"merges_$BpeSteps", s"words_$BpeSteps").sorted.toDF("table_name")
+      .coalesce(1).sortWithinPartitions("table_name")
+  }
+
   /** The learned merge table: one row per training step. */
   val bpeTrainMerges: Q = (s, d) =>
     bpeTrained(s, d).read(s, "work", s"merges_$BpeSteps")
@@ -1261,6 +1275,7 @@ object LlmQueries {
     "dedup_semantic_assign_k64" -> dedupSemanticAssignK64,
     "embed_kmeans" -> embedKmeans,
     "embed_kmeans_sizes" -> embedKmeansSizes,
+    "bpe_artifact_store_build" -> bpeArtifactStoreBuild,
     "bpe_encode_docs" -> bpeEncodeDocs,
     "dedup_exact" -> dedupExact,
     "dedup_exact_survivors" -> dedupExactSurvivors,
@@ -2127,6 +2142,10 @@ object LlmQueries {
     "dedup_semantic_assign_k64" -> dedupSemanticAssignK64Oracle,
     "embed_kmeans" -> embedKmeansOracle,
     "embed_kmeans_sizes" -> embedKmeansSizesOracle,
+    "bpe_artifact_store_build" ->
+      Seq(s"merges_$BpeSteps", s"words_$BpeSteps").sorted.map(n => s"('$n')")
+        .mkString("SELECT table_name FROM (VALUES ", ", ",
+          ") AS t(table_name) ORDER BY table_name"),
     "bpe_encode_docs" -> bpeEncodeOracle,
     "bpe_train_merges" -> bpeMergesOracle,
     "bpe_segment_top" -> bpeSegmentOracle,

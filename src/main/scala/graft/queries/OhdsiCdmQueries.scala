@@ -685,6 +685,32 @@ object OhdsiCdmQueries {
       .coalesce(1)
       .sortWithinPartitions("concept_id")
 
+  /** The manifest the store-build query emits and its oracle replays —
+    * one list, interpolated into both sides, so they can never drift.
+    */
+  private lazy val cdmStoreManifest: Seq[String] =
+    (derivedModel.tables.map("omop." + _) ++
+      Seq("achilles.achilles_results", "achilles.achilles_results_dist")).sorted
+
+  /** Explicit owner of the cross-JVM run-once stores (the derived CDM
+    * zone and the stored Achilles batteries). These stores skip their
+    * build when a warm zone from a previous JVM exists, so WITHOUT this
+    * entry the bench bills the cold build to whichever consumer runs
+    * first alphabetically (`dqd_cohort_battery` for the CDM,
+    * `ohdsi_benchmark_rows`/`ohdsi_concept_counts` for the batteries) —
+    * a 41 s swing between cold and warm rounds that reads as a fake
+    * regression (r12/r13 verdicts). Named to sort BEFORE every consumer
+    * in the bench's alphabetical run order, it forces both stores and
+    * returns the staged-table manifest; consumers are then warm-only in
+    * the same JVM AND across JVMs.
+    */
+  val achillesCdmStoreBuild: Q = (s, d) => {
+    storedBatteries(s, d) // forces materialized(s, d) first
+    import s.implicits._
+    cdmStoreManifest.toDF("table_name")
+      .coalesce(1).sortWithinPartitions("table_name")
+  }
+
   /** User-supplied OHDSI-dialect SQL through the SqlRender-subset bridge
     * ([[graft.sources.OhdsiSql]]): a `{DEFAULT @p}` + `@param` render, a
     * SQL Server -> Spark translate (TOP, COUNT_BIG, YEAR, DATEDIFF with
@@ -1185,6 +1211,7 @@ object OhdsiCdmQueries {
   }
 
   val defs: Seq[(String, Q)] = Seq(
+    "achilles_cdm_store_build" -> achillesCdmStoreBuild,
     "ohdsi_sql_achilles701" -> ohdsiSqlAchilles701,
     "ohdsi_sql_achilles105" -> ohdsiSqlAchilles105,
     "ohdsi_sql_heel_rule" -> ohdsiSqlHeelRule,
@@ -2567,6 +2594,10 @@ object OhdsiCdmQueries {
   }
 
   val oracles: Seq[(String, String)] = Seq(
+    "achilles_cdm_store_build" ->
+      cdmStoreManifest.map(n => s"('$n')")
+        .mkString("SELECT table_name FROM (VALUES ", ", ",
+          ") AS t(table_name) ORDER BY table_name"),
     "ohdsi_sql_achilles105" ->
       s"""WITH $deriveSql,
          |rawData AS (
