@@ -1210,6 +1210,92 @@ object OhdsiCdmQueries {
         "cohortTableName" -> "unused"))
   }
 
+  /** The published DQD FIELD-level `field_plausible_value_low.sql`
+    * template shape (OHDSI DataQualityDashboard `inst/sql/sql_server`,
+    * the v2 threshold-check family — the reference renders these via
+    * `data_quality.py:440-455` from its vendored DQD submodule): header
+    * parameter manifest with a COHORT-CONDITIONAL section, COUNT_BIG,
+    * violatedRowsBegin/End markers, the `< @plausibleValueLow` predicate,
+    * NOT-NULL-restricted denominator, trailing semicolon.
+    */
+  private val FieldPlausibleValueLowSql =
+    """
+      |/*********
+      |PLAUSIBLE_VALUE_LOW
+      |get number of records and the proportion to total number of eligible records that fall below this threshold
+      |
+      |Parameters used in this template:
+      |cdmDatabaseSchema = @cdmDatabaseSchema
+      |cdmTableName = @cdmTableName
+      |cdmFieldName = @cdmFieldName
+      |plausibleValueLow = @plausibleValueLow
+      |{@cohort & '@runForCohort' == 'Yes'}?{
+      |cohortDefinitionId = @cohortDefinitionId
+      |cohortDatabaseSchema = @cohortDatabaseSchema
+      |cohortTableName = @cohortTableName
+      |}
+      |**********/
+      |
+      |SELECT num_violated_rows,
+      |	CASE
+      |		WHEN denominator.num_rows = 0 THEN 0
+      |		ELSE 1.0*num_violated_rows/denominator.num_rows
+      |	END AS pct_violated_rows,
+      |	denominator.num_rows AS num_denominator_rows
+      |FROM (
+      |	SELECT COUNT_BIG(violated_rows.violating_field) AS num_violated_rows
+      |	FROM (
+      |		/*violatedRowsBegin*/
+      |		SELECT '@cdmTableName.@cdmFieldName' AS violating_field, cdmTable.*
+      |		FROM @cdmDatabaseSchema.@cdmTableName cdmTable
+      |		{@cohort & '@runForCohort' == 'Yes'}?{
+      |		JOIN @cohortDatabaseSchema.@cohortTableName c
+      |			ON cdmTable.person_id = c.subject_id
+      |			AND c.cohort_definition_id = @cohortDefinitionId
+      |		}
+      |		WHERE cdmTable.@cdmFieldName < @plausibleValueLow
+      |		/*violatedRowsEnd*/
+      |	) violated_rows
+      |) violated_row_count,
+      |(
+      |	SELECT COUNT_BIG(*) AS num_rows
+      |	FROM @cdmDatabaseSchema.@cdmTableName cdmTable
+      |	{@cohort & '@runForCohort' == 'Yes'}?{
+      |	JOIN @cohortDatabaseSchema.@cohortTableName c
+      |		ON cdmTable.person_id = c.subject_id
+      |		AND c.cohort_definition_id = @cohortDefinitionId
+      |	}
+      |	WHERE cdmTable.@cdmFieldName IS NOT NULL
+      |) denominator
+      |;""".stripMargin
+
+  /** The plausible-value-low template with the cohort branch TAKEN —
+    * `cohort=true, runForCohort=Yes` renders the `{cond}?{...}` blocks
+    * TRUE, so the cohort JOINs and the `@cohortDefinitionId` /
+    * `@cohortDatabaseSchema` / `@cohortTableName` cascade inside the
+    * conditional bodies are exercised end-to-end (the two earlier
+    * templates only ever rendered the conditionals FALSE). Runs over the
+    * derived `measurement`+`cohort` tables scoped to cohort
+    * [[DqdCohortId]]; the published template's join is NOT distinct, so
+    * a subject with several cohort rows multiplies — the oracle replays
+    * exactly that.
+    */
+  val ohdsiSqlPlausibleLow: Q = (s, d) => {
+    val load = materialized(s, d)
+    load("measurement").createOrReplaceGlobalTempView("dqd_pvl_measurement")
+    load("cohort").createOrReplaceGlobalTempView("dqd_pvl_cohort")
+    graft.sources.OhdsiSql.execute(s, FieldPlausibleValueLowSql,
+      params = Map(
+        "cohort" -> "true", "runForCohort" -> "Yes",
+        "cdmDatabaseSchema" -> "global_temp",
+        "cdmTableName" -> "dqd_pvl_measurement",
+        "cdmFieldName" -> "value_as_number",
+        "plausibleValueLow" -> "2.0",
+        "cohortDefinitionId" -> DqdCohortId.toString,
+        "cohortDatabaseSchema" -> "global_temp",
+        "cohortTableName" -> "dqd_pvl_cohort"))
+  }
+
   val defs: Seq[(String, Q)] = Seq(
     "achilles_cdm_store_build" -> achillesCdmStoreBuild,
     "ohdsi_sql_achilles701" -> ohdsiSqlAchilles701,
@@ -1217,6 +1303,7 @@ object OhdsiCdmQueries {
     "ohdsi_sql_heel_rule" -> ohdsiSqlHeelRule,
     "ohdsi_sql_concept_check" -> ohdsiSqlConceptCheck,
     "ohdsi_sql_dqd_check" -> ohdsiSqlDqdCheck,
+    "ohdsi_sql_plausible_low" -> ohdsiSqlPlausibleLow,
     "dqd_cohort_battery" -> dqdCohortBattery,
     "ohdsi_core_counts" -> ohdsiCoreCounts,
     "ohdsi_core_dist" -> ohdsiCoreDist,
@@ -2672,6 +2759,24 @@ object OhdsiCdmQueries {
         |FROM (SELECT count(*) AS num_violated_rows FROM orders
         |  WHERE o_orderpriority IS NULL) v
         |CROSS JOIN (SELECT count(*) AS num_rows FROM orders) d""".stripMargin,
+    // the cohort-branch-TAKEN plausible-value-low template: the oracle
+    // replays the published template's (non-distinct) cohort join over the
+    // derived measurement + cohort CTEs
+    "ohdsi_sql_plausible_low" ->
+      s"""WITH $deriveSql
+         |SELECT CAST(v.num_violated_rows AS BIGINT) AS num_violated_rows,
+         |  CAST(CASE WHEN d.num_rows = 0 THEN 0
+         |    ELSE 1.0 * v.num_violated_rows / d.num_rows END AS DOUBLE)
+         |    AS pct_violated_rows,
+         |  CAST(d.num_rows AS BIGINT) AS num_denominator_rows
+         |FROM (SELECT count(*) AS num_violated_rows
+         |  FROM meas m JOIN cohort c ON m.person_id = c.subject_id
+         |    AND c.cohort_definition_id = $DqdCohortId
+         |  WHERE m.value_as_number < 2.0) v
+         |CROSS JOIN (SELECT count(*) AS num_rows
+         |  FROM meas m JOIN cohort c ON m.person_id = c.subject_id
+         |    AND c.cohort_definition_id = $DqdCohortId
+         |  WHERE m.value_as_number IS NOT NULL) d""".stripMargin,
     "dqd_cohort_battery" -> dqdCohortOracle,
     "ohdsi_core_counts" -> countsOracle,
     "ohdsi_core_dist" -> distOracle,
