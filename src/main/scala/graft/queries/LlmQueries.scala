@@ -210,13 +210,15 @@ object LlmQueries {
     * pipeline actually runs, as one report: raw -> exact dedup (md5
     * keep-first) -> near-dup dedup (one keeper per stored Jaccard
     * component) -> benchmark decontamination (drop docs banding with the
-    * held-out slice) -> quality filter (the ClassifyOps label), with doc
-    * and token counts per stage.
+    * held-out slice) -> quality filter (the ClassifyOps label) ->
+    * repetition gate (the 13-rule Gopher battery,
+    * [[graft.ops.RepetitionOps.gopherGate]]), with doc and token counts
+    * per stage.
     *
     * Plan shape: each stage is an ID SET (no text carried); membership
-    * flags attach to the per-doc token counts via four left joins on
+    * flags attach to the per-doc token counts via five left joins on
     * doc_id (one shuffle key throughout), and the whole funnel aggregates
-    * in ONE pass — five conditional sums exploded into the report rows,
+    * in ONE pass — six conditional sums exploded into the report rows,
     * the same single-aggregate trick as the Achilles validity battery.
     * The component map is the STORED cluster table (run-once), so the
     * funnel re-plans none of the iterative work.
@@ -247,13 +249,19 @@ object LlmQueries {
     val s4 = s3.join(
       docs.filter(ClassifyOps.label(col("text"))).select("doc_id"),
       Seq("doc_id"), "left_semi")
-    val flagged = Seq(s1 -> "__m1", s2 -> "__m2", s3 -> "__m3", s4 -> "__m4")
+    val s5 = s4.join(
+      graft.ops.RepetitionOps.gopherGate(docs)
+        .filter(col("kept") === 1L).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val flagged = Seq(s1 -> "__m1", s2 -> "__m2", s3 -> "__m3", s4 -> "__m4",
+        s5 -> "__m5")
       .foldLeft(nt) { case (acc, (ids, m)) =>
         acc.join(ids.withColumn(m, lit(1)), Seq("doc_id"), "left") }
     val stages = Seq(
       ("0_raw", lit(true)), ("1_exact", col("__m1").isNotNull),
       ("2_neardup", col("__m2").isNotNull), ("3_decontam", col("__m3").isNotNull),
-      ("4_quality", col("__m4").isNotNull))
+      ("4_quality", col("__m4").isNotNull),
+      ("5_repetition", col("__m5").isNotNull))
     val aggs = stages.zipWithIndex.flatMap { case ((_, cond), i) => Seq(
       sum(when(cond, 1L).otherwise(0L)).as(s"__d$i"),
       sum(when(cond, col("__nt")).otherwise(0L)).as(s"__t$i")) }
@@ -2040,9 +2048,10 @@ object LlmQueries {
        |  GROUP BY 1
        |)""".stripMargin
 
-  private val repWindowCtes: String =
-    s"""toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
-       |win8 AS (
+  private def repWindowCtes(withToks: Boolean = true): String =
+    (if (withToks) s"toks AS (SELECT doc_id, $tokSql AS tk FROM documents),\n"
+     else "") +
+    s"""win8 AS (
        |  SELECT doc_id, array_to_string(tk[i+1:i+8], ' ') AS win
        |  FROM toks, UNNEST(range(0, len(tk) - 7)) AS u(i)
        |  WHERE i % 8 = 0
@@ -2072,47 +2081,56 @@ object LlmQueries {
        |  ) GROUP BY 1, 2, 3
        |)""".stripMargin
 
+  /** The per-doc Gopher-gate verdict CTEs (winf/mass/gramf ending in
+    * `gate(doc_id, fails, kept)`) — requires prof8/prof32 from
+    * [[repWindowCtes]] and tc/gcnt from [[repGramCtes]] in scope. Shared
+    * by the standalone gate oracle and the curation-funnel stage 5.
+    */
+  private val repGateCtes: String =
+    """winf AS (
+      |  SELECT p8.doc_id,
+      |    CAST(p8.dup_micro > 300000 AS BIGINT)
+      |      + CAST(coalesce(p32.dup_micro, 0) > 300000 AS BIGINT)
+      |      + CAST(p8.dup_char_micro > 200000 AS BIGINT)
+      |      + CAST(coalesce(p32.dup_char_micro, 0) > 200000 AS BIGINT) AS win_fails
+      |  FROM prof8 p8 LEFT JOIN prof32 p32 USING (doc_id)
+      |),
+      |mass AS (
+      |  SELECT g.doc_id, g.n,
+      |    CASE WHEN g.n <= 4
+      |      THEN least((1000000 * max(cnt * length(gram))) // any_value(total_chars), 1000000)
+      |      ELSE least((1000000 * sum(CASE WHEN cnt > 1 THEN cnt * length(gram) ELSE 0 END))
+      |        // any_value(total_chars), 1000000) END AS micro
+      |  FROM gcnt g JOIN tc USING (doc_id) GROUP BY 1, 2
+      |),
+      |gramf AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN (n = 2 AND micro > 200000) OR (n = 3 AND micro > 180000)
+      |      OR (n = 4 AND micro > 160000) OR (n = 5 AND micro > 150000)
+      |      OR (n = 6 AND micro > 140000) OR (n = 7 AND micro > 130000)
+      |      OR (n = 8 AND micro > 120000) OR (n = 9 AND micro > 110000)
+      |      OR (n = 10 AND micro > 100000) THEN 1 ELSE 0 END) AS gram_fails
+      |  FROM mass GROUP BY 1
+      |),
+      |gate AS (
+      |  SELECT d.doc_id,
+      |    CAST(coalesce(w.win_fails, 0) + coalesce(g.gram_fails, 0) AS BIGINT) AS fails,
+      |    CAST(CASE WHEN coalesce(w.win_fails, 0) + coalesce(g.gram_fails, 0) = 0
+      |      THEN 1 ELSE 0 END AS BIGINT) AS kept
+      |  FROM documents d
+      |  LEFT JOIN winf w ON d.doc_id = w.doc_id
+      |  LEFT JOIN gramf g ON d.doc_id = g.doc_id
+      |)""".stripMargin
+
   private val repGateOracle: String =
-    s"""WITH $repWindowCtes,
-       |$${REP_GRAMS}
-       |winf AS (
-       |  SELECT p8.doc_id,
-       |    CAST(p8.dup_micro > 300000 AS BIGINT)
-       |      + CAST(coalesce(p32.dup_micro, 0) > 300000 AS BIGINT)
-       |      + CAST(p8.dup_char_micro > 200000 AS BIGINT)
-       |      + CAST(coalesce(p32.dup_char_micro, 0) > 200000 AS BIGINT) AS win_fails
-       |  FROM prof8 p8 LEFT JOIN prof32 p32 USING (doc_id)
-       |),
-       |mass AS (
-       |  SELECT g.doc_id, g.n,
-       |    CASE WHEN g.n <= 4
-       |      THEN least((1000000 * max(cnt * length(gram))) // any_value(total_chars), 1000000)
-       |      ELSE least((1000000 * sum(CASE WHEN cnt > 1 THEN cnt * length(gram) ELSE 0 END))
-       |        // any_value(total_chars), 1000000) END AS micro
-       |  FROM gcnt g JOIN tc USING (doc_id) GROUP BY 1, 2
-       |),
-       |gramf AS (
-       |  SELECT doc_id,
-       |    sum(CASE WHEN (n = 2 AND micro > 200000) OR (n = 3 AND micro > 180000)
-       |      OR (n = 4 AND micro > 160000) OR (n = 5 AND micro > 150000)
-       |      OR (n = 6 AND micro > 140000) OR (n = 7 AND micro > 130000)
-       |      OR (n = 8 AND micro > 120000) OR (n = 9 AND micro > 110000)
-       |      OR (n = 10 AND micro > 100000) THEN 1 ELSE 0 END) AS gram_fails
-       |  FROM mass GROUP BY 1
-       |)
-       |SELECT d.doc_id,
-       |  CAST(coalesce(w.win_fails, 0) + coalesce(g.gram_fails, 0) AS BIGINT) AS fails,
-       |  CAST(CASE WHEN coalesce(w.win_fails, 0) + coalesce(g.gram_fails, 0) = 0
-       |    THEN 1 ELSE 0 END AS BIGINT) AS kept
-       |FROM documents d
-       |LEFT JOIN winf w ON d.doc_id = w.doc_id
-       |LEFT JOIN gramf g ON d.doc_id = g.doc_id
-       |ORDER BY d.doc_id""".stripMargin
-      .replace("${REP_GRAMS}", repGramCtes(2, 10, withToks = false) + ",")
+    s"""WITH ${repWindowCtes()},
+       |${repGramCtes(2, 10, withToks = false)},
+       |$repGateCtes
+       |SELECT doc_id, fails, kept FROM gate ORDER BY doc_id""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(
     "text_rep_windows" ->
-      s"""WITH $repWindowCtes
+      s"""WITH ${repWindowCtes()}
          |SELECT p8.doc_id, p8.n_win AS n_lines, p8.dup_micro AS dup_line_micro,
          |  p8.dup_char_micro AS dup_line_char_micro,
          |  CAST(coalesce(p32.n_win, 0) AS BIGINT) AS n_paras,
@@ -2312,7 +2330,10 @@ object LlmQueries {
          |  SELECT e.src, re.r FROM edges e JOIN reach re ON e.dst = re.id
          |),
          |comp AS (SELECT id, min(r) AS component_id FROM reach GROUP BY id),
-         |tc AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS nt FROM toks),
+         |ntok AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS nt FROM toks),
+         |${repWindowCtes(withToks = false)},
+         |${repGramCtes(2, 10, withToks = false)},
+         |$repGateCtes,
          |s1 AS (
          |  SELECT doc_id FROM documents
          |  WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))
@@ -2336,13 +2357,17 @@ object LlmQueries {
          |  SELECT s3.doc_id FROM s3 JOIN documents USING (doc_id)
          |  WHERE ${graft.ops.ClassifyOps.oracleLabelSql}
          |),
+         |s5 AS (
+         |  SELECT s4.doc_id FROM s4 JOIN gate g USING (doc_id) WHERE g.kept = 1
+         |),
          |flags AS (
-         |  SELECT d.doc_id, tc.nt,
+         |  SELECT d.doc_id, ntok.nt,
          |    d.doc_id IN (SELECT doc_id FROM s1) AS m1,
          |    d.doc_id IN (SELECT doc_id FROM s2) AS m2,
          |    d.doc_id IN (SELECT doc_id FROM s3) AS m3,
-         |    d.doc_id IN (SELECT doc_id FROM s4) AS m4
-         |  FROM documents d JOIN tc USING (doc_id)
+         |    d.doc_id IN (SELECT doc_id FROM s4) AS m4,
+         |    d.doc_id IN (SELECT doc_id FROM s5) AS m5
+         |  FROM documents d JOIN ntok USING (doc_id)
          |)
          |SELECT stage, n_docs, n_tokens FROM (
          |  SELECT '0_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
@@ -2359,6 +2384,9 @@ object LlmQueries {
          |  UNION ALL
          |  SELECT '4_quality', CAST(count(*) FILTER (m4) AS BIGINT),
          |    CAST(COALESCE(sum(nt) FILTER (m4), 0) AS BIGINT) FROM flags
+         |  UNION ALL
+         |  SELECT '5_repetition', CAST(count(*) FILTER (m5) AS BIGINT),
+         |    CAST(COALESCE(sum(nt) FILTER (m5), 0) AS BIGINT) FROM flags
          |)
          |ORDER BY stage""".stripMargin,
     "dedup_incremental" -> incrementalAdmissionOracle,
