@@ -99,7 +99,12 @@ case class VecDot(left: Expression, right: Expression) extends VecFold {
   * Overflow bound: |component| < 10 keeps every product below 1e14 and a
   * 4096-dim sum below 2^62; the embedding regime (|x| <= 1, dim <= 1k)
   * is orders of magnitude inside it. Quantized sums stay <= 2^53, so the
-  * LONG->DOUBLE cast downstream is exact.
+  * LONG->DOUBLE cast downstream is exact. The contract is ENFORCED, not
+  * assumed: products and the running sum accumulate through
+  * `Math.multiplyExact`/`addExact` (JIT intrinsics — an overflow-checked
+  * add costs the same branch-predicted cycle as a raw one), so an input
+  * outside the documented regime raises ArithmeticException instead of
+  * silently wrapping into a wrong-but-plausible similarity.
   */
 case class VecQDot(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
@@ -117,8 +122,9 @@ case class VecQDot(left: Expression, right: Expression)
     var i = 0
     while (i < n) {
       if (xs.isNullAt(i) || ys.isNullAt(i)) return null
-      acc += math.floor(xs.getDouble(i) * 1e6 + 0.5).toLong *
-        math.floor(ys.getDouble(i) * 1e6 + 0.5).toLong
+      acc = Math.addExact(acc, Math.multiplyExact(
+        math.floor(xs.getDouble(i) * 1e6 + 0.5).toLong,
+        math.floor(ys.getDouble(i) * 1e6 + 0.5).toLong))
       i += 1
     }
     java.lang.Long.valueOf(acc)
@@ -137,8 +143,9 @@ case class VecQDot(left: Expression, right: Expression)
          |  long $acc = 0L;
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    $acc += (long) Math.floor($a.getDouble($i) * 1.0E6 + 0.5) *
-         |      (long) Math.floor($b.getDouble($i) * 1.0E6 + 0.5);
+         |    $acc = Math.addExact($acc, Math.multiplyExact(
+         |      (long) Math.floor($a.getDouble($i) * 1.0E6 + 0.5),
+         |      (long) Math.floor($b.getDouble($i) * 1.0E6 + 0.5)));
          |  }
          |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}

@@ -57,9 +57,12 @@ object OhdsiAchilles {
     "procedure_occurrence", "drug_exposure", "observation", "measurement",
     "device_exposure")
 
-  /** The era tables: no fk-validity slots (`x07`-`x09` are occurrence-table
-    * ids), but the published catalog DOES carry their records-by-start-month
-    * series (920 / 1020 / 1320).
+  /** The era tables: their `x07` slot is the era-length distribution (not
+    * the occurrence tables' invalid-person-id count), and their validity
+    * checks live in the dedicated 908-910 / 1008-1010 / 1308-1310 rows
+    * (invalid person, end-before-start, invalid concept — in the catalog
+    * since r12). The published catalog also carries their
+    * records-by-start-month series (920 / 1020 / 1320).
     */
   private val EraTables = Set("drug_era", "condition_era", "dose_era")
 

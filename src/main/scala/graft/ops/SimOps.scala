@@ -238,7 +238,7 @@ object SimOps {
     */
   private def assignNearestRouted(df: DataFrame, routing: CentroidRouting,
       idCol: String, vecCol: String, outId: String, outVec: String,
-      keepSim: Boolean = false, exact: Boolean = false): DataFrame = {
+      keepSim: Boolean = false, exact: Boolean = false, dim: Int = 64): DataFrame = {
     val rows = df.select(col(idCol).as(outId), asDouble(col(vecCol)).as(outVec))
     val wr = Window.partitionBy(col(outId)).orderBy(col("__cd"), col("__cell"))
     val rowCells = rows.crossJoin(routing.coarse)
@@ -258,13 +258,19 @@ object SimOps {
     // must never hinge on a comparison NaN can flip
     val lb = col("__cd") - coalesce(col("__rmax"), lit(0.0))
     // exact mode ranks by the micro-quantized qcosine, whose argmax can be
-    // a centroid up to one micro-bucket (1e-6 cos, + the ~1e-5 kernel
-    // quantization skew) below the raw-cos max — widen the pruning slack
-    // so every same-bucket runner-up survives into the pool (worst case
-    // d' - d <= sqrt(2*dc) at d = 0, so 2e-2 covers dc <= 2e-4 with a wide
-    // margin; pruning still discards everything not within ~2e-2 normalized
-    // distance of the best).
-    val slack = if (exact) 2e-2 else 1e-9
+    // a centroid up to one micro-bucket (1e-6 cos) plus the kernel's
+    // component-quantization skew below the raw-cos max — widen the
+    // pruning slack so every same-bucket runner-up survives into the
+    // pool. The skew is DIM-DERIVED (ADVICE r12), not a fixed regime
+    // assumption: each component quantizes within 5e-7, so the cosine of
+    // near-unit vectors moves at most dc = 1e-6*(2*sqrt(dim) + 1); the
+    // worst-case distance gap at d = 0 is sqrt(2*dc), taken with a 4x
+    // margin (dim 64 -> ~2.3e-2, the previously-hardcoded 2e-2 regime;
+    // dim 4096 -> ~5e-2 — still pruning everything not within a hair of
+    // the best, at any embedding width instead of only the validated one).
+    val slack =
+      if (exact) 4.0 * math.sqrt(2.0 * (1e-6 * (2.0 * math.sqrt(dim.toDouble) + 1.0)))
+      else 1e-9
     val ub = coalesce(col("__u"), lit(Double.MaxValue)) + lit(slack)
     val pool = rowCells
       .join(routing.radii, Seq("__cell"), "left")
@@ -973,7 +979,7 @@ object SimOps {
       val dim = cents.select(size(col("centroid_vec"))).head().getInt(0)
       val routing = buildRouting(cents, nCent, dim)
       (df, outId, outVec, keepSim) => assignNearestRouted(df, routing, idCol,
-        vecCol, outId, outVec, keepSim = keepSim, exact = exact)
+        vecCol, outId, outVec, keepSim = keepSim, exact = exact, dim = dim)
     }
   }
 

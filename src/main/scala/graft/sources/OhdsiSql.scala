@@ -353,15 +353,24 @@ object OhdsiSql {
       "OHDSI SQL script contains no result-producing SELECT"))
   }
 
-  /** Remove `--` line comments OUTSIDE string literals. Must run BEFORE
-    * any structural pass: a single apostrophe inside a template comment
-    * ("-- don't ...") would otherwise flip the quote tracking of the `;`
-    * splitter and the translate rewrites, swallowing a real statement
-    * boundary or mangling the comment (ADVICE r11). `--` INSIDE quotes
-    * is content and survives; doubled `''` escapes toggle the tracker
-    * twice, which keeps it consistent.
+  /** Remove `--` line comments AND `/* */` block comments OUTSIDE string
+    * literals, in ONE quote-aware pass. Must run BEFORE any structural
+    * pass: a single apostrophe inside a template comment ("-- don't ...",
+    * a header block with "shouldn't") would otherwise flip the quote
+    * tracking of the `;` splitter and the translate rewrites, swallowing
+    * a real statement boundary or mangling the comment (ADVICE r11/r13).
+    * The two forms must strip TOGETHER — sequential passes mis-nest (a
+    * `--` inside a block comment line-stripped first eats the block's
+    * closing marker; a line comment containing a block opener opens a
+    * phantom block). Block comments nest, the T-SQL rule; a `;` or a leading
+    * keyword inside a block comment is invisible to the splitter and the
+    * ^-anchored statement dispatch, so a template OPENING with its
+    * parameter-manifest header dispatches on its first real statement.
+    * Comment markers INSIDE quotes are content and survive; doubled `''`
+    * escapes toggle the tracker twice, which keeps it consistent. A block
+    * comment is replaced by one space so it can never fuse two tokens.
     */
-  private def stripLineComments(s: String): String = {
+  private def stripComments(s: String): String = {
     val out = new StringBuilder
     var inQ = false
     var i = 0
@@ -370,18 +379,29 @@ object OhdsiSql {
       if (ch == '\'') { inQ = !inQ; out += ch; i += 1 }
       else if (!inQ && ch == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
         while (i < s.length && s.charAt(i) != '\n') i += 1
+      } else if (!inQ && ch == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
+        var depth = 1
+        i += 2
+        while (i < s.length && depth > 0) {
+          if (s.charAt(i) == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
+            depth += 1; i += 2
+          } else if (s.charAt(i) == '*' && i + 1 < s.length && s.charAt(i + 1) == '/') {
+            depth -= 1; i += 2
+          } else i += 1
+        }
+        out += ' '
       } else { out += ch; i += 1 }
     }
     out.result()
   }
 
   /** The statement list `execute` runs: rendered, comment-stripped
-    * ([[stripLineComments]] — quote tracking must only ever see real
+    * ([[stripComments]] — quote tracking must only ever see real
     * SQL), split on `;` OUTSIDE string literals (the heel warning
     * messages carry semicolons inside their quotes), translated per
     * statement (so `TOP n` becomes that statement's `LIMIT`).
     */
   def translateScript(sql: String, params: Map[String, String] = Map.empty): Seq[String] =
-    splitTop(stripLineComments(render(sql, params)), ';')
+    splitTop(stripComments(render(sql, params)), ';')
       .map(_.trim).filter(_.nonEmpty).map(translate)
 }

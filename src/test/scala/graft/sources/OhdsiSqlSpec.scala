@@ -204,4 +204,24 @@ class OhdsiSqlSpec extends SparkSpec {
       "quoted content (including its ';' and '') must survive comment stripping")
     assert(!stmts.exists(_.contains("--")), "comments must be stripped")
   }
+
+  test("block comments strip quote-aware, nested, and with embedded ';'/keywords") {
+    // ADVICE r13: a template's /********/ header carries apostrophes,
+    // semicolons, and statement keywords — all must be invisible to the
+    // splitter and the ^-anchored dispatch
+    val stmts = OhdsiSql.translateScript(
+      """/*********
+        |PLAUSIBLE_VALUE_LOW; don't dispatch on this INSERT INTO header
+        |/* nested per the T-SQL rule */ still comment
+        |*********/
+        |SELECT 1 AS a;
+        |SELECT '/* not a comment; content */' AS b /* mid /* nest */ gone */;
+        |SELECT 3 AS c""".stripMargin)
+    assert(stmts.length === 3, stmts.mkString("\n---\n"))
+    assert(stmts(1).contains("'/* not a comment; content */'"),
+      "block-comment markers inside quotes are content")
+    assert(!stmts(1).contains("gone"), "real block comments are stripped")
+    assert(stmts(0).trim.startsWith("SELECT"),
+      "a leading header block must not shadow statement dispatch")
+  }
 }
