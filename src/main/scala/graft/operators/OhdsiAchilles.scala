@@ -82,7 +82,8 @@ object OhdsiAchilles {
     DomainDef("visit_occurrence", 200L, "visit_concept_id", "visit_start_date",
       typeCol = Some("visit_type_concept_id"), endDate = Some("visit_end_date")),
     DomainDef("condition_occurrence", 400L, "condition_concept_id", "condition_start_date",
-      typeCol = Some("condition_type_concept_id")),
+      typeCol = Some("condition_type_concept_id"),
+      endDate = Some("condition_end_date")),
     DomainDef("death", 500L, "cause_concept_id", "death_date", perPersonDist = false),
     DomainDef("procedure_occurrence", 600L, "procedure_concept_id", "procedure_date",
       typeCol = Some("procedure_type_concept_id")),
@@ -383,7 +384,15 @@ object OhdsiAchilles {
       CoreAnalysis(2191L, "Number of total persons that have at least x device exposures",
         "device_exposure_count"),
       CoreAnalysis(2591L, "Number of total persons that have at least x visit details",
-        "visit_detail_count"))
+        "visit_detail_count"),
+      // r14: the x91 cumulative series extended to the era tables (the
+      // same public id convention — base + 91)
+      CoreAnalysis(991L, "Number of total persons that have at least x drug eras",
+        "drug_era_count"),
+      CoreAnalysis(1091L, "Number of total persons that have at least x condition eras",
+        "condition_era_count"),
+      CoreAnalysis(1391L, "Number of total persons that have at least x dose eras",
+        "dose_era_count"))
 
   /** The populated `achilles_analysis` catalog table
     * (`achilles.py:190-200`): what Atlas/Ares join analysis ids against.
@@ -1092,7 +1101,8 @@ object OhdsiAchilles {
       val specs = Seq(("visit_occurrence", 291L), ("condition_occurrence", 491L),
           ("procedure_occurrence", 691L), ("drug_exposure", 791L),
           ("observation", 891L), ("measurement", 1891L),
-          ("device_exposure", 2191L), ("visit_detail", 2591L))
+          ("device_exposure", 2191L), ("visit_detail", 2591L),
+          ("drug_era", 991L), ("condition_era", 1091L), ("dose_era", 1391L))
         .filter { case (tb, _) => has(model, tb) &&
           model.columns(tb).contains("person_id") }
       if (specs.isEmpty) Nil
@@ -1454,7 +1464,7 @@ object OhdsiAchilles {
       // end-before-start family (occurrence x09, era x10) + 115
       // (observation period end < start)
       CountRule(2L, "ERROR",
-        Seq(115L, 209L, 709L, 2109L, 2509L, 910L, 1010L, 1310L),
+        Seq(115L, 209L, 409L, 709L, 2109L, 2509L, 910L, 1010L, 1310L),
         "should not be > 0 (end date precedes start date)"),
       // outside-observation-period family (occurrence x08, era x09)
       CountRule(3L, "WARNING",

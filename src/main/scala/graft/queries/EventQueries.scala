@@ -1215,6 +1215,7 @@ object EventQueries {
         |(406, 'Distribution of age at first condition occurrence, by condition_concept_id', 'condition_concept_id', NULL, NULL, NULL, 1),
         |(407, 'Number of condition occurrence records with invalid person_id', NULL, NULL, NULL, NULL, 0),
         |(408, 'Number of condition occurrence records outside valid observation period', NULL, NULL, NULL, NULL, 0),
+        |(409, 'Number of condition occurrence records with end date < start date', NULL, NULL, NULL, NULL, 0),
         |(420, 'Number of condition occurrence records by condition occurrence start month', 'calendar_month', NULL, NULL, NULL, 0),
         |(491, 'Number of total persons that have at least x condition occurrences', 'condition_occurrence_count', NULL, NULL, NULL, 0),
         |(500, 'Number of persons with at least one death, by cause_concept_id', 'cause_concept_id', NULL, NULL, NULL, 0),
@@ -1279,6 +1280,7 @@ object EventQueries {
         |(909, 'Number of drug era records outside valid observation period', NULL, NULL, NULL, NULL, 0),
         |(910, 'Number of drug era records with end date < start date', NULL, NULL, NULL, NULL, 0),
         |(920, 'Number of drug era records by drug era start month', 'calendar_month', NULL, NULL, NULL, 0),
+        |(991, 'Number of total persons that have at least x drug eras', 'drug_era_count', NULL, NULL, NULL, 0),
         |(1000, 'Number of persons with at least one condition era, by condition_concept_id', 'condition_concept_id', NULL, NULL, NULL, 0),
         |(1001, 'Number of condition era records, by condition_concept_id', 'condition_concept_id', NULL, NULL, NULL, 0),
         |(1002, 'Number of persons by condition era start month, by condition_concept_id', 'condition_concept_id', 'calendar_month', NULL, NULL, 0),
@@ -1290,6 +1292,7 @@ object EventQueries {
         |(1009, 'Number of condition era records outside valid observation period', NULL, NULL, NULL, NULL, 0),
         |(1010, 'Number of condition era records with end date < start date', NULL, NULL, NULL, NULL, 0),
         |(1020, 'Number of condition era records by condition era start month', 'calendar_month', NULL, NULL, NULL, 0),
+        |(1091, 'Number of total persons that have at least x condition eras', 'condition_era_count', NULL, NULL, NULL, 0),
         |(1100, 'Number of persons by location 3-digit zip', 'zip3', NULL, NULL, NULL, 0),
         |(1101, 'Number of persons by location state', 'state', NULL, NULL, NULL, 0),
         |(1102, 'Number of care sites by location 3-digit zip', 'zip3', NULL, NULL, NULL, 0),
@@ -1308,6 +1311,7 @@ object EventQueries {
         |(1309, 'Number of dose era records outside valid observation period', NULL, NULL, NULL, NULL, 0),
         |(1310, 'Number of dose era records with end date < start date', NULL, NULL, NULL, NULL, 0),
         |(1320, 'Number of dose era records by dose era start month', 'calendar_month', NULL, NULL, NULL, 0),
+        |(1391, 'Number of total persons that have at least x dose eras', 'dose_era_count', NULL, NULL, NULL, 0),
         |(1400, 'Number of persons with at least one payer plan period, by payer_source_value', 'payer_source_value', NULL, NULL, NULL, 0),
         |(1401, 'Number of payer plan period records, by payer_source_value', 'payer_source_value', NULL, NULL, NULL, 0),
         |(1402, 'Number of persons by payer plan period start month, by payer_source_value', 'payer_source_value', 'calendar_month', NULL, NULL, 0),

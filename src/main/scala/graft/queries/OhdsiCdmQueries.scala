@@ -67,6 +67,7 @@ object OhdsiCdmQueries {
     f("condition_occurrence", "person_id", "int64"),
     f("condition_occurrence", "condition_concept_id", "int64"),
     f("condition_occurrence", "condition_start_date", "date"),
+    f("condition_occurrence", "condition_end_date", "date"),
     f("condition_occurrence", "condition_type_concept_id", "int64"),
     f("death", "person_id", "int64"),
     f("death", "cause_concept_id", "int64"),
@@ -308,6 +309,13 @@ object OhdsiCdmQueries {
             .when(col("l_partkey") % 4 === 2, 4329847L)
             .otherwise(255573L).as("condition_concept_id"),
           to_date(col("l_shipdate")).as("condition_start_date"),
+          // resolution a deterministic few days out; every ~29th row ends
+          // BEFORE it starts, so the 409 end-before-start count is
+          // non-vacuous (the era builder keys off the start date only)
+          date_add(to_date(col("l_shipdate")),
+            when(col("l_suppkey") % 29 === 0, -3)
+              .otherwise(col("l_partkey") % 15).cast("int"))
+            .as("condition_end_date"),
           when(col("l_returnflag") === "R", 32810L)
             .when(col("l_returnflag") === "A", 32840L)
             .otherwise(32020L).as("condition_type_concept_id"))
@@ -566,8 +574,9 @@ object OhdsiCdmQueries {
     // (drug days_supply/refills/quantity, observation value family,
     // death_type_concept_id). v5: the r11 visit_type_concept_id and
     // device_exposure_end_date columns (205 / 2109 analyses). v6: the
-    // payer_plan_period payer_source_value column (1400-1403 series)
-    val zones = graft.io.Zones.forPurpose(s"ohdsicdm6_$key")
+    // payer_plan_period payer_source_value column (1400-1403 series).
+    // v7: the r14 condition_end_date column (analysis 409)
+    val zones = graft.io.Zones.forPurpose(s"ohdsicdm7_$key")
     cdmStore.getOrElseUpdate((s, d), {
       val staged = zones.listTables(s, "omop").toSet
       val todo = derivedModel.tables.filterNot(staged).toSeq
@@ -613,9 +622,10 @@ object OhdsiCdmQueries {
     // round-9 decimal->double mean would silently mismatch the new oracle)
     // v5: the r11 deterministic first-period tie-break (min(struct) for
     // 108/1406/1407/1408 replaces min_by-on-start). v6: the derived
-    // payer_plan_period gained payer_source_value (1400-1403)
+    // payer_plan_period gained payer_source_value (1400-1403). v7: the
+    // r14 condition_end_date / 409 + the era x91 series (991/1091/1391)
     val zones = graft.io.Zones.forPurpose(
-      s"ohdsires6_${graft.operators.OhdsiAchilles.Catalog.size}_$key")
+      s"ohdsires7_${graft.operators.OhdsiAchilles.Catalog.size}_$key")
     resultsStore.getOrElseUpdate((s, d), {
       val have = zones.listTables(s, "achilles").toSet
       val load = materialized(s, d)
@@ -1397,6 +1407,8 @@ object OhdsiCdmQueries {
       |      WHEN 0 THEN 201826 WHEN 1 THEN 316866 WHEN 2 THEN 4329847
       |      ELSE 255573 END AS condition_concept_id,
       |    CAST(l_shipdate AS DATE) AS condition_start_date,
+      |    CAST(l_shipdate AS DATE) + CAST(CASE WHEN l_suppkey % 29 = 0 THEN -3
+      |      ELSE l_partkey % 15 END AS INT) AS condition_end_date,
       |    CASE l_returnflag WHEN 'R' THEN 32810 WHEN 'A' THEN 32840
       |      ELSE 32020 END AS condition_type_concept_id
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -1931,6 +1943,9 @@ object OhdsiCdmQueries {
       |  WHERE NOT EXISTS (SELECT 1 FROM obs o WHERE o.person_id = c.person_id
       |    AND c.condition_start_date >= o.op_start AND c.condition_start_date <= o.op_end)
       |  UNION ALL
+      |  SELECT 409, 'ALL', NULL, count(*) FROM cond
+      |  WHERE condition_end_date < condition_start_date
+      |  UNION ALL
       |  SELECT 608, 'ALL', NULL, count(*) FROM proc p
       |  WHERE NOT EXISTS (SELECT 1 FROM obs o WHERE o.person_id = p.person_id
       |    AND p.procedure_date >= o.op_start AND p.procedure_date <= o.op_end)
@@ -2172,6 +2187,21 @@ object OhdsiCdmQueries {
       |    CAST(sum(n) OVER (ORDER BY c DESC) AS BIGINT)
       |  FROM (SELECT cnt AS c, count(*) AS n FROM
       |    (SELECT person_id, count(*) AS cnt FROM vd GROUP BY 1) GROUP BY 1)
+      |  UNION ALL
+      |  SELECT 991, CAST(c AS VARCHAR), NULL,
+      |    CAST(sum(n) OVER (ORDER BY c DESC) AS BIGINT)
+      |  FROM (SELECT cnt AS c, count(*) AS n FROM
+      |    (SELECT person_id, count(*) AS cnt FROM drug_era GROUP BY 1) GROUP BY 1)
+      |  UNION ALL
+      |  SELECT 1091, CAST(c AS VARCHAR), NULL,
+      |    CAST(sum(n) OVER (ORDER BY c DESC) AS BIGINT)
+      |  FROM (SELECT cnt AS c, count(*) AS n FROM
+      |    (SELECT person_id, count(*) AS cnt FROM cond_era GROUP BY 1) GROUP BY 1)
+      |  UNION ALL
+      |  SELECT 1391, CAST(c AS VARCHAR), NULL,
+      |    CAST(sum(n) OVER (ORDER BY c DESC) AS BIGINT)
+      |  FROM (SELECT cnt AS c, count(*) AS n FROM
+      |    (SELECT person_id, count(*) AS cnt FROM dose_era GROUP BY 1) GROUP BY 1)
       |), results5 AS (
       |  SELECT analysis_id, stratum_1, stratum_2,
       |    CAST(NULL AS VARCHAR) AS stratum_3, CAST(NULL AS VARCHAR) AS stratum_4,

@@ -66,7 +66,7 @@ class OhdsiAchillesSpec extends SparkSpec {
 
   test("analysisCatalog carries the literal core id set") {
     val cat = OhdsiAchilles.analysisCatalog(spark).collect()
-    assert(cat.length === 231)
+    assert(cat.length === 235)
     val ids = cat.map(_.getLong(0))
     assert(ids.sorted.toSeq === ids.toSeq) // ordered by analysis_id
     for (core <- Seq(1L, 2L, 101L, 105L, 108L, 109L, 110L, 111L, 114L, 115L,
@@ -94,7 +94,10 @@ class OhdsiAchillesSpec extends SparkSpec {
         1400L, 1401L, 1402L, 1403L,
         // the round-12 era validity family (x08 invalid person / x09
         // outside observation period / x10 end < start)
-        908L, 909L, 910L, 1008L, 1009L, 1010L, 1308L, 1309L, 1310L))
+        908L, 909L, 910L, 1008L, 1009L, 1010L, 1308L, 1309L, 1310L,
+        // the round-14 additions: condition end-before-start + the era
+        // at-least-x cumulative series
+        409L, 991L, 1091L, 1391L))
       assert(ids.contains(core), s"missing core id $core")
     // x04 carries the published four strata names
     val a404 = cat.find(_.getLong(0) == 404L).get
