@@ -112,6 +112,25 @@ object LlmQueries {
   // atomic-replace write into a work zone, read back.
   private val clusterMaps =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  /** The stored per-doc Gopher-gate verdict (doc_id, fails, kept):
+    * computed once per (session, dataset) and read back by both the
+    * standalone gate report and the curation funnel's stage 5 — the
+    * run-once-store-report-many pattern (the unconditional per-JVM write
+    * keeps it staleness-proof, like the cluster map). Without it the
+    * funnel re-ran the full 13-rule scan beside the standalone gate
+    * (r14 bench: funnel 6.5 -> 11.7 s the day the stage landed).
+    */
+  private val gateVerdicts =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def gopherVerdicts(s: SparkSession, d: String): DataFrame =
+    gateVerdicts.getOrElseUpdate((s, d), {
+      val zones = graft.io.Zones.forPurpose("dedup")
+      val table = s"gopher_gate_${graft.io.Zones.pathKey(d)}"
+      zones.write(
+        graft.ops.RepetitionOps.gopherGate(t(s, d, "documents")), "work", table)
+      zones.read(s, "work", table)
+    })
+
   private def clusterMap(s: SparkSession, d: String): DataFrame =
     clusterMaps.getOrElseUpdate((s, d), {
       val zones = graft.io.Zones.forPurpose("dedup")
@@ -250,8 +269,7 @@ object LlmQueries {
       docs.filter(ClassifyOps.label(col("text"))).select("doc_id"),
       Seq("doc_id"), "left_semi")
     val s5 = s4.join(
-      graft.ops.RepetitionOps.gopherGate(docs)
-        .filter(col("kept") === 1L).select("doc_id"),
+      gopherVerdicts(s, d).filter(col("kept") === 1L).select("doc_id"),
       Seq("doc_id"), "left_semi")
     val flagged = Seq(s1 -> "__m1", s2 -> "__m2", s3 -> "__m3", s4 -> "__m4",
         s5 -> "__m5")
@@ -453,10 +471,12 @@ object LlmQueries {
     graft.ops.RepetitionOps.dupGramMass(t(s, d, "documents"))
       .orderBy("doc_id", "n")
 
-  /** The composed 13-rule Gopher repetition gate. */
+  /** The composed 13-rule Gopher repetition gate, reading the STORED
+    * per-doc verdict table ([[gopherVerdicts]] — shared with the
+    * curation funnel's stage 5).
+    */
   val corpusGopherGate: Q = (s, d) =>
-    graft.ops.RepetitionOps.gopherGate(t(s, d, "documents"))
-      .orderBy("doc_id")
+    gopherVerdicts(s, d).orderBy("doc_id")
 
   /** Per-label embedding centroids in long form (label, dim position,
     * mean) — posexplode + one combinable aggregate, no array re-assembly
