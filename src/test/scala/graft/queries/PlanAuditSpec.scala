@@ -237,7 +237,14 @@ class PlanAuditSpec extends SparkSpec {
         assert(readSchema.contains("doc_id") && !readSchema.contains("source") &&
           !readSchema.contains("n_chars"), s"$q scan not pruned: $readSchema")
       }
-      assert(scans.exists(_.contains("text")), s"$q never scans text")
+      // corpus_gopher_gate reads the STORED verdict table (r14: one
+      // 13-rule scan per dataset, shared with the curation funnel), so
+      // its plan never touches text; the profile queries still must
+      if (q != "corpus_gopher_gate")
+        assert(scans.exists(_.contains("text")), s"$q never scans text")
+      else
+        assert(scans.forall(rs => rs.contains("fails") || rs.contains("kept")),
+          s"$q should read only the stored verdict table: ${scans.mkString("\n")}")
     }
   }
 
