@@ -1207,6 +1207,28 @@ object OhdsiCdmQueries {
       params = Map("resultsDatabaseSchema" -> "global_temp"))
   }
 
+  /** The update-given-analyses maintenance flow the reference runs before
+    * re-computing a chosen id set (`achilles.py:117-136`
+    * `preserve_results` branch): the DELETE statement it renders VERBATIM
+    * (`achilles.py:243-270` — `delete from
+    * @resultsDatabaseSchema.achilles_results where analysis_id in
+    * (@analysisIds)`) against the real stored battery report, then the
+    * survivors' per-analysis rollup. Exercises the bridge's DELETE
+    * dispatch (view re-registration, null-safe predicate) end-to-end.
+    */
+  val ohdsiSqlDeleteFlow: Q = (s, d) => {
+    storedBatteries(s, d)._1.createOrReplaceGlobalTempView("achilles_results")
+    graft.sources.OhdsiSql.execute(s,
+      """delete from @resultsDatabaseSchema.achilles_results where analysis_id in (@analysisIds);
+        |SELECT analysis_id, COUNT_BIG(*) AS n_rows,
+        |  CAST(sum(count_value) AS BIGINT) AS total_count
+        |FROM @resultsDatabaseSchema.achilles_results
+        |WHERE analysis_id < 200
+        |GROUP BY analysis_id ORDER BY analysis_id""".stripMargin,
+      params = Map("resultsDatabaseSchema" -> "global_temp",
+        "analysisIds" -> "101,102,108"))
+  }
+
   val ohdsiSqlDqdCheck: Q = (s, d) => {
     t(s, d, "orders").createOrReplaceGlobalTempView("dqd_check_orders")
     graft.sources.OhdsiSql.execute(s, FieldIsNotNullableSql,
@@ -1314,6 +1336,7 @@ object OhdsiCdmQueries {
     "ohdsi_sql_concept_check" -> ohdsiSqlConceptCheck,
     "ohdsi_sql_dqd_check" -> ohdsiSqlDqdCheck,
     "ohdsi_sql_plausible_low" -> ohdsiSqlPlausibleLow,
+    "ohdsi_sql_delete_flow" -> ohdsiSqlDeleteFlow,
     "dqd_cohort_battery" -> dqdCohortBattery,
     "ohdsi_core_counts" -> ohdsiCoreCounts,
     "ohdsi_core_dist" -> ohdsiCoreDist,
@@ -2807,6 +2830,15 @@ object OhdsiCdmQueries {
          |  FROM meas m JOIN cohort c ON m.person_id = c.subject_id
          |    AND c.cohort_definition_id = $DqdCohortId
          |  WHERE m.value_as_number IS NOT NULL) d""".stripMargin,
+    // the delete-given-analyses flow: the oracle replays the stored
+    // report minus the deleted id set, rolled up per analysis
+    "ohdsi_sql_delete_flow" ->
+      s"""WITH hr AS ($countsOracle)
+         |SELECT analysis_id, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(count_value) AS BIGINT) AS total_count
+         |FROM hr
+         |WHERE analysis_id < 200 AND analysis_id NOT IN (101, 102, 108)
+         |GROUP BY analysis_id ORDER BY analysis_id""".stripMargin,
     "dqd_cohort_battery" -> dqdCohortOracle,
     "ohdsi_core_counts" -> countsOracle,
     "ohdsi_core_dist" -> distOracle,

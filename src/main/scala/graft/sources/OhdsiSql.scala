@@ -311,6 +311,46 @@ object OhdsiSql {
   private val SelectInto = ci(raw"(?s)^(.*?\bSELECT\b.*?)\bINTO\s+(tmp_ohdsi_\w+)\s+(FROM\b.*)$$")
   private val InsertInto = ci(
     raw"(?s)^\s*INSERT\s+INTO\s+(tmp_ohdsi_\w+)\s*(?:\(\s*([\w\s,]+?)\s*\)\s*)?(SELECT\b.*|WITH\b.*)$$")
+  // DELETE / UPDATE over registered views — the statement classes the
+  // reference renders directly: `delete from
+  // @resultsDatabaseSchema.achilles_results where analysis_id in
+  // (@analysisIds)` (the update-given-analyses flow, `achilles.py:243-270`
+  // and `:117-136`) and `UPDATE <t> SET invalid_reason = 'D' where ...`
+  // (the tombstoning templates,
+  // `SOURCE_TO_CONCEPT_MAP_update_invalid_reason.sql.jinja:3-5`). The
+  // view is re-registered over the rewritten frame (views are the
+  // bridge's tables — same discipline as the INSERT merge flow).
+  private val DeleteFrom =
+    ci(raw"(?s)^\s*DELETE\s+FROM\s+([\w.]+)\s*(?:\bWHERE\b(.*?))?\s*$$")
+  private val UpdateSet =
+    ci(raw"(?s)^\s*UPDATE\s+([\w.]+)\s+SET\s+(.*?)\s*$$")
+
+  /** Split on `sep` at paren depth 0 outside single-quoted runs. */
+  private def splitTopDepth(s: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inQ = false
+    var depth = 0
+    s.foreach { ch =>
+      if (ch == '\'') { inQ = !inQ; cur += ch }
+      else if (!inQ && ch == '(') { depth += 1; cur += ch }
+      else if (!inQ && ch == ')') { depth -= 1; cur += ch }
+      else if (!inQ && depth == 0 && ch == sep) { out += cur.result(); cur.clear() }
+      else cur += ch
+    }
+    out += cur.result()
+    out.result()
+  }
+
+  /** Re-register `target` (a session or global temp view name) over a
+    * rewritten frame. `spark.table` analyzes eagerly, so the new view
+    * snapshots the OLD view's plan rather than self-referencing — the
+    * same property the INSERT merge flow relies on.
+    */
+  private def reRegister(spark: SparkSession, target: String, df: DataFrame): Unit =
+    if (target.toLowerCase.startsWith("global_temp."))
+      df.createOrReplaceGlobalTempView(target.substring("global_temp.".length))
+    else df.createOrReplaceTempView(target)
 
   /** Render + translate + run a multi-statement OHDSI SQL script against
     * the session's registered views; returns the final SELECT's frame.
@@ -328,6 +368,64 @@ object OhdsiSql {
       .foreach {
       case DropIfExists(view) => spark.catalog.dropTempView(view); ()
       case DropTable(view) => spark.catalog.dropTempView(view); ()
+      case DeleteFrom(target, cond) =>
+        // DELETE removes rows where the predicate is TRUE; rows where it
+        // is NULL survive (SQL three-valued semantics), hence the
+        // coalesce-to-false before negation. A bare DELETE truncates.
+        val df = spark.table(target)
+        val kept = Option(cond).map(_.trim).filter(_.nonEmpty) match {
+          case Some(c) =>
+            df.filter(!org.apache.spark.sql.functions.coalesce(
+              org.apache.spark.sql.functions.expr(c),
+              org.apache.spark.sql.functions.lit(false)))
+          case None => df.limit(0)
+        }
+        reRegister(spark, target, kept)
+      case UpdateSet(target, body) =>
+        // UPDATE t SET a = e1, b = e2 [WHERE cond]: rewrite as a
+        // projection — each assigned column becomes
+        // when(cond, e).otherwise(old). The WHERE splits off at depth 0
+        // outside quotes (an `=` inside a CASE WHEN stays in its expr).
+        import org.apache.spark.sql.functions.{col => fcol, expr => fexpr, lit => flit, when => fwhen}
+        val upperNoQ = {
+          var inQ = false
+          body.map { ch => if (ch == '\'') { inQ = !inQ; ch }
+            else if (inQ) ' ' else ch.toUpper }
+        }
+        val whereIdx = {
+          val m = raw"\bWHERE\b".r.findAllMatchIn(upperNoQ)
+            .filter(mm => { // depth 0 only
+              val prefix = body.substring(0, mm.start)
+              var inQ = false; var d = 0
+              prefix.foreach { ch =>
+                if (ch == '\'') inQ = !inQ
+                else if (!inQ && ch == '(') d += 1
+                else if (!inQ && ch == ')') d -= 1 }
+              d == 0
+            }).toSeq
+          m.lastOption.map(_.start)
+        }
+        val (setPart, condPart) = whereIdx match {
+          case Some(i) => (body.substring(0, i), Some(body.substring(i + 5)))
+          case None => (body, None)
+        }
+        val cond = condPart.map(c => fexpr(c.trim)).getOrElse(flit(true))
+        val assigns = splitTopDepth(setPart, ',').map(_.trim).filter(_.nonEmpty).map { a =>
+          val eq = a.indexOf('=')
+          require(eq > 0, s"unsupported UPDATE assignment '$a' (expected col = expr)")
+          (a.substring(0, eq).trim.toLowerCase, a.substring(eq + 1).trim)
+        }.toMap
+        val df = spark.table(target)
+        val unknown = assigns.keySet -- df.columns.map(_.toLowerCase).toSet
+        require(unknown.isEmpty,
+          s"UPDATE $target assigns unknown column(s): ${unknown.mkString(", ")}")
+        val projected = df.select(df.columns.map { c =>
+          assigns.get(c.toLowerCase) match {
+            case Some(e) => fwhen(cond, fexpr(e)).otherwise(fcol(c)).as(c)
+            case None => fcol(c)
+          }
+        }: _*)
+        reRegister(spark, target, projected)
       case SelectInto(head, view, tail) =>
         spark.sql(s"$head $tail").createOrReplaceTempView(view)
       case InsertInto(view, colList, select) =>

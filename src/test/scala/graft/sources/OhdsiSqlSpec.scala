@@ -205,6 +205,55 @@ class OhdsiSqlSpec extends SparkSpec {
     assert(!stmts.exists(_.contains("--")), "comments must be stripped")
   }
 
+  test("DELETE FROM re-registers the view minus matching rows (null-safe)") {
+    // the statement the reference renders verbatim in its
+    // update-given-analyses flow (achilles.py:243-270)
+    import spark.implicits._
+    Seq((101L, Option(5L)), (102L, Option(3L)), (108L, Option.empty[Long]),
+        (200L, Option(1L)))
+      .toDF("analysis_id", "count_value")
+      .createOrReplaceTempView("tmp_ohdsi_delrows")
+    val out = OhdsiSql.execute(spark,
+      """DELETE FROM #delrows WHERE analysis_id IN (@analysisIds);
+        |SELECT analysis_id, count_value FROM #delrows ORDER BY analysis_id
+        |""".stripMargin,
+      params = Map("analysisIds" -> "101,102"))
+      .collect().map(_.getLong(0))
+    assert(out.toSeq === Seq(108L, 200L))
+    // NULL-predicate rows survive (three-valued DELETE semantics)
+    val out2 = OhdsiSql.execute(spark,
+      """DELETE FROM #delrows WHERE count_value < 10;
+        |SELECT analysis_id FROM #delrows ORDER BY analysis_id""".stripMargin)
+      .collect().map(_.getLong(0))
+    assert(out2.toSeq === Seq(108L), "NULL count_value must survive the DELETE")
+  }
+
+  test("UPDATE ... SET rewrites assigned columns under the WHERE predicate") {
+    // the tombstoning template shape
+    // (SOURCE_TO_CONCEPT_MAP_update_invalid_reason.sql.jinja:3-5)
+    import spark.implicits._
+    Seq((1L, "V", "2019-06-01"), (2L, "V", "2021-01-01"))
+      .toDF("id", "invalid_reason", "valid_start_date")
+      .createOrReplaceTempView("tmp_ohdsi_s2cm")
+    val out = OhdsiSql.execute(spark,
+      """UPDATE #s2cm SET invalid_reason = 'D'
+        |WHERE valid_start_date < '2020-01-01';
+        |SELECT id, invalid_reason FROM #s2cm ORDER BY id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq === Seq((1L, "D"), (2L, "V")))
+    // multi-assignment with a CASE WHEN carrying '=' inside the expr
+    val out2 = OhdsiSql.execute(spark,
+      """UPDATE #s2cm SET invalid_reason = CASE WHEN id = 2 THEN 'X' ELSE 'Y' END,
+        |  valid_start_date = '1900-01-01';
+        |SELECT id, invalid_reason, valid_start_date FROM #s2cm ORDER BY id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(out2.toSeq === Seq((1L, "Y", "1900-01-01"), (2L, "X", "1900-01-01")))
+    // unknown assigned column fails loudly
+    val e = intercept[IllegalArgumentException](OhdsiSql.execute(spark,
+      "UPDATE #s2cm SET nope = 1;\nSELECT id FROM #s2cm"))
+    assert(e.getMessage.contains("unknown column"))
+  }
+
   test("block comments strip quote-aware, nested, and with embedded ';'/keywords") {
     // ADVICE r13: a template's /********/ header carries apostrophes,
     // semicolons, and statement keywords — all must be invisible to the
