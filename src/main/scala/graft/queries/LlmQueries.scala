@@ -225,6 +225,69 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** CONTINUOUS ingestion quality-gating: the 13-rule Gopher repetition
+    * gate over a document STREAM — the admission shape a training-data
+    * pipeline runs on every incoming shard. The verdict is PER-DOCUMENT
+    * (no cross-document state), so each micro-batch applies the EXACT
+    * batch gate ([[graft.ops.RepetitionOps.gopherGate]]) inside
+    * `foreachBatch` and lands its verdicts in a batchId-keyed zone table
+    * (overwrite per id — at-least-once replay rewrites the same rows,
+    * idempotent); the report is the union of batch tables. Two
+    * deterministically-staged files drive a genuinely multi-batch drain
+    * (`maxFilesPerTrigger = 1`, strictly increasing mtimes — the
+    * streamDqdRuns staging discipline). Oracle: the SAME SQL as
+    * `corpus_gopher_gate` — stream == batch, row for row.
+    */
+  val streamGopherGate: Q = (s, d) => {
+    val zones = graft.io.Zones.forPurpose(s"streamgg_${graft.io.Zones.pathKey(d)}")
+    val hconf = s.sparkContext.hadoopConfiguration
+    def rm(p: String): Unit = {
+      val hp = new org.apache.hadoop.fs.Path(new java.io.File(p).getAbsolutePath)
+      hp.getFileSystem(hconf).delete(hp, true); ()
+    }
+    rm(zones.root)
+    val ckpt = new java.io.File(
+      s"${graft.io.Zones.defaultRoot}/stream_ckpt_gg").getAbsolutePath
+    rm(ckpt)
+    val stagingDir = new java.io.File(
+      s"${graft.io.Zones.defaultRoot}/stream_src_gg").getAbsolutePath
+    rm(stagingDir)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stagingDir))
+    val docs = t(s, d, "documents").select("doc_id", "text")
+    def stageOne(name: String, part: DataFrame, mtime: Long): Unit = {
+      val tmp = s"$stagingDir/__tmp_$name"
+      part.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(hconf)
+      val f = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+      val dst = new org.apache.hadoop.fs.Path(s"$stagingDir/$name")
+      require(fs.rename(f, dst), s"staging rename failed: $f -> $dst")
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      fs.setTimes(dst, mtime, -1)
+      ()
+    }
+    val par = coalesce(pmod(col("doc_id"), lit(2)), lit(0))
+    val t0 = System.currentTimeMillis()
+    stageOne("batch0.parquet", docs.filter(par === 0), t0)
+    stageOne("batch1.parquet", docs.filter(par =!= 0), t0 + 60000L)
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stagingDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        zones.write(graft.ops.RepetitionOps.gopherGate(batch),
+          "work", s"gate_batch_$id")
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    zones.listTables(s, "work").filter(_.startsWith("gate_batch_"))
+      .map(tb => zones.read(s, "work", tb))
+      .reduce(_ unionByName _)
+      .orderBy("doc_id")
+  }
+
   /** The end-to-end curation FUNNEL — the composite a training-data
     * pipeline actually runs, as one report: raw -> exact dedup (md5
     * keep-first) -> near-dup dedup (one keeper per stored Jaccard
@@ -1339,6 +1402,7 @@ object LlmQueries {
     "text_rep_topgram" -> textRepTopgram,
     "text_rep_dupgram" -> textRepDupgram,
     "corpus_gopher_gate" -> corpusGopherGate,
+    "stream_gopher_gate" -> streamGopherGate,
     "text_commonness" -> textCommonness,
     "doc_fingerprint" -> docFingerprint,
     "doc_rolling_hash" -> docRollingHash,
@@ -2174,6 +2238,7 @@ object LlmQueries {
          |FROM gcnt g JOIN tc USING (doc_id)
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "corpus_gopher_gate" -> repGateOracle,
+    "stream_gopher_gate" -> repGateOracle,
     "dedup_semantic_trained" -> dedupSemanticTrainedOracle,
     "embed_kmeans_k64" -> embedKmeansK64Oracle,
     "dedup_semantic_k64" -> dedupSemanticK64Oracle,
