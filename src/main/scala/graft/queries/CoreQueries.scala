@@ -252,6 +252,53 @@ object CoreQueries {
       .orderBy("omop_table", "omop_id")
   }
 
+  /** [[sourceIdMapMerge]] driven through the SqlRender-subset bridge as a
+    * SQL Server `MERGE INTO` statement — the reference ETL's statement
+    * class (`SOURCE_ID_TO_OMOP_ID_MAP_merge.sql.jinja` shape: USING
+    * subquery, qualified-ON, WHEN MATCHED UPDATE SET cascade, WHEN NOT
+    * MATCHED INSERT). Same inputs and the SAME oracle as the native
+    * [[graft.operators.Upsert.merge]] path, pinning the bridge's MERGE
+    * emulation to the native operator row-for-row.
+    */
+  val ohdsiSqlMergeFlow: Q = (s, d) => {
+    import s.implicits._
+    val swap = Swap.denseIds(
+      t(s, d, "orders").select(col("o_custkey").as("x")).distinct(), Seq("x"), 0L)
+    Swap.toSourceIdMap(
+        swap, "customer", "orders_upload", java.sql.Date.valueOf("2026-01-01"))
+      .createOrReplaceTempView("merge_flow_src")
+    Seq(
+      ("customer", 1L, "stale", "stale-1",
+        java.sql.Date.valueOf("2020-01-01"), java.sql.Date.valueOf("2099-12-31"), Some("D")),
+      ("provider", 999L, "other", "prov-999",
+        java.sql.Date.valueOf("2020-01-01"), java.sql.Date.valueOf("2099-12-31"), None: Option[String]))
+      .toDF("omop_table", "omop_id", "source", "source_id",
+        "valid_start_date", "valid_end_date", "invalid_reason")
+      .createOrReplaceTempView("tmp_ohdsi_s2omap")
+    graft.sources.OhdsiSql.execute(s,
+      """MERGE INTO #s2omap AS T
+        |USING (
+        |  SELECT omop_table, omop_id, source, source_id,
+        |    valid_start_date, valid_end_date, invalid_reason
+        |  FROM merge_flow_src
+        |) AS S
+        |ON S.omop_table = T.omop_table AND S.omop_id = T.omop_id
+        |WHEN MATCHED THEN
+        |  UPDATE SET T.source = S.source
+        |    ,T.source_id = S.source_id
+        |    ,T.valid_start_date = S.valid_start_date
+        |    ,T.valid_end_date = S.valid_end_date
+        |    ,T.invalid_reason = S.invalid_reason
+        |WHEN NOT MATCHED THEN
+        |  INSERT (omop_table, omop_id, source, source_id,
+        |    valid_start_date, valid_end_date, invalid_reason)
+        |  VALUES (S.omop_table, S.omop_id, S.source, S.source_id,
+        |    S.valid_start_date, S.valid_end_date, S.invalid_reason);
+        |SELECT omop_table, omop_id, source, source_id, valid_start_date,
+        |  valid_end_date, invalid_reason
+        |FROM #s2omap ORDER BY omop_table, omop_id""".stripMargin)
+  }
+
   /** S9+S10+A6 (§2.12-1): arbitrary user SELECT over registered raw views,
     * DISTINCT'ed into an upload table.
     */
@@ -263,6 +310,38 @@ object CoreQueries {
       .distinct()
       .orderBy("segment", "nation")
   }
+
+  /** Shared by the native Upsert path and the bridge MERGE statement —
+    * one oracle, two implementations pinned identical.
+    */
+  private lazy val sourceIdMapOracle: String =
+    """WITH swap AS (
+        |  SELECT x, CAST(row_number() OVER (ORDER BY x) AS BIGINT) AS y
+        |  FROM (SELECT DISTINCT o_custkey AS x FROM orders)
+        |), map_rows AS (
+        |  SELECT DISTINCT 'customer' AS omop_table, y AS omop_id,
+        |    'orders_upload' AS source, CAST(x AS VARCHAR) AS source_id,
+        |    DATE '2026-01-01' AS valid_start_date, DATE '2099-12-31' AS valid_end_date,
+        |    CAST(NULL AS VARCHAR) AS invalid_reason
+        |  FROM swap
+        |), existing AS (
+        |  SELECT 'customer' AS omop_table, CAST(1 AS BIGINT) AS omop_id, 'stale' AS source,
+        |    'stale-1' AS source_id, DATE '2020-01-01' AS valid_start_date,
+        |    DATE '2099-12-31' AS valid_end_date, 'D' AS invalid_reason
+        |  UNION ALL
+        |  SELECT 'provider', 999, 'other', 'prov-999', DATE '2020-01-01',
+        |    DATE '2099-12-31', NULL
+        |)
+        |SELECT COALESCE(t.omop_table, s.omop_table) AS omop_table,
+        |  COALESCE(t.omop_id, s.omop_id) AS omop_id,
+        |  CASE WHEN s.omop_id IS NOT NULL THEN s.source ELSE t.source END AS source,
+        |  CASE WHEN s.omop_id IS NOT NULL THEN s.source_id ELSE t.source_id END AS source_id,
+        |  CASE WHEN s.omop_id IS NOT NULL THEN s.valid_start_date ELSE t.valid_start_date END AS valid_start_date,
+        |  CASE WHEN s.omop_id IS NOT NULL THEN s.valid_end_date ELSE t.valid_end_date END AS valid_end_date,
+        |  CASE WHEN s.omop_id IS NOT NULL THEN s.invalid_reason ELSE t.invalid_reason END AS invalid_reason
+        |FROM existing t FULL OUTER JOIN map_rows s
+        |  ON t.omop_table = s.omop_table AND t.omop_id = s.omop_id
+        |ORDER BY omop_table, omop_id""".stripMargin
 
   val defs: Seq[(String, Q)] = Seq(
     "swap_dense_ids" -> swapDenseIds,
@@ -285,6 +364,7 @@ object CoreQueries {
     "max_scalar_crossjoin" -> maxScalarCrossjoin,
     "merge_upsert" -> mergeUpsert,
     "source_id_map_merge" -> sourceIdMapMerge,
+    "ohdsi_sql_merge_flow" -> ohdsiSqlMergeFlow,
     "etl_user_query" -> etlUserQuery)
 
   val oracles: Seq[(String, String)] = Seq(
@@ -428,34 +508,8 @@ object CoreQueries {
         |  CASE WHEN s.k IS NOT NULL THEN s.src ELSE t.src END AS src
         |FROM target t FULL OUTER JOIN source s ON t.k = s.k
         |ORDER BY k""".stripMargin,
-    "source_id_map_merge" ->
-      """WITH swap AS (
-        |  SELECT x, CAST(row_number() OVER (ORDER BY x) AS BIGINT) AS y
-        |  FROM (SELECT DISTINCT o_custkey AS x FROM orders)
-        |), map_rows AS (
-        |  SELECT DISTINCT 'customer' AS omop_table, y AS omop_id,
-        |    'orders_upload' AS source, CAST(x AS VARCHAR) AS source_id,
-        |    DATE '2026-01-01' AS valid_start_date, DATE '2099-12-31' AS valid_end_date,
-        |    CAST(NULL AS VARCHAR) AS invalid_reason
-        |  FROM swap
-        |), existing AS (
-        |  SELECT 'customer' AS omop_table, CAST(1 AS BIGINT) AS omop_id, 'stale' AS source,
-        |    'stale-1' AS source_id, DATE '2020-01-01' AS valid_start_date,
-        |    DATE '2099-12-31' AS valid_end_date, 'D' AS invalid_reason
-        |  UNION ALL
-        |  SELECT 'provider', 999, 'other', 'prov-999', DATE '2020-01-01',
-        |    DATE '2099-12-31', NULL
-        |)
-        |SELECT COALESCE(t.omop_table, s.omop_table) AS omop_table,
-        |  COALESCE(t.omop_id, s.omop_id) AS omop_id,
-        |  CASE WHEN s.omop_id IS NOT NULL THEN s.source ELSE t.source END AS source,
-        |  CASE WHEN s.omop_id IS NOT NULL THEN s.source_id ELSE t.source_id END AS source_id,
-        |  CASE WHEN s.omop_id IS NOT NULL THEN s.valid_start_date ELSE t.valid_start_date END AS valid_start_date,
-        |  CASE WHEN s.omop_id IS NOT NULL THEN s.valid_end_date ELSE t.valid_end_date END AS valid_end_date,
-        |  CASE WHEN s.omop_id IS NOT NULL THEN s.invalid_reason ELSE t.invalid_reason END AS invalid_reason
-        |FROM existing t FULL OUTER JOIN map_rows s
-        |  ON t.omop_table = s.omop_table AND t.omop_id = s.omop_id
-        |ORDER BY omop_table, omop_id""".stripMargin,
+    "source_id_map_merge" -> sourceIdMapOracle,
+    "ohdsi_sql_merge_flow" -> sourceIdMapOracle,
     "etl_user_query" ->
       """SELECT DISTINCT c_mktsegment AS segment, n_name AS nation
         |FROM customer JOIN nation ON c_nationkey = n_nationkey

@@ -352,6 +352,169 @@ object OhdsiSql {
       df.createOrReplaceGlobalTempView(target.substring("global_temp.".length))
     else df.createOrReplaceTempView(target)
 
+  /** First span at paren depth 0 OUTSIDE quotes where the keyword phrase
+    * (words separated by ANY whitespace, including newlines) starts on a
+    * word boundary: `Some((startIdx, idxAfterLastWord))`, `None` if
+    * absent.
+    */
+  private def topLevelSpanOf(s: String, phrase: String, from: Int = 0): Option[(Int, Int)] = {
+    val words = phrase.split(" ").toSeq
+    var i = from
+    var inQ = false
+    var depth = 0
+    def wordAt(pos: Int, w: String): Int = { // end index, -1 on mismatch
+      if (!s.regionMatches(true, pos, w, 0, w.length)) -1
+      else {
+        val before = pos == 0 ||
+          (!Character.isLetterOrDigit(s.charAt(pos - 1)) && s.charAt(pos - 1) != '_')
+        val after = pos + w.length >= s.length ||
+          (!Character.isLetterOrDigit(s.charAt(pos + w.length)) && s.charAt(pos + w.length) != '_')
+        if (before && after) pos + w.length else -1
+      }
+    }
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch == '\'') inQ = !inQ
+      else if (!inQ && ch == '(') depth += 1
+      else if (!inQ && ch == ')') depth -= 1
+      else if (!inQ && depth == 0) {
+        var pos = i
+        var lastEnd = -1
+        var ok = true
+        for (w <- words if ok) {
+          val end = wordAt(pos, w)
+          if (end < 0) ok = false
+          else {
+            lastEnd = end
+            pos = end
+            while (pos < s.length && Character.isWhitespace(s.charAt(pos))) pos += 1
+          }
+        }
+        if (ok) return Some((i, lastEnd))
+      }
+      i += 1
+    }
+    None
+  }
+
+  /** The SQL Server `MERGE INTO` statement of the reference's ETL
+    * templates (`SOURCE_TO_CONCEPT_MAP_merge.sql.jinja`,
+    * `SOURCE_ID_TO_OMOP_ID_MAP_merge.sql.jinja`,
+    * `{omop_table}_merge.sql.jinja:168-240` — the grammar: `MERGE INTO t
+    * AS T USING (subquery) AS S ON cond WHEN MATCHED THEN UPDATE SET
+    * T.c = e, ... WHEN NOT MATCHED THEN INSERT (cols) VALUES (exprs)`),
+    * emulated over the registered views: matched target rows take the
+    * UPDATE projection, unmatched source rows project into the target
+    * schema and union in — the same upsert semantics
+    * [[graft.operators.Upsert.merge]] implements natively. SQL Server
+    * raises error 8672 when a target row matches MORE than one source
+    * row; the emulation enforces the same contract with a bounded
+    * duplicate-match probe instead of producing nondeterministic output.
+    */
+  private def executeMerge(spark: SparkSession, stmt: String): Unit = {
+    import org.apache.spark.sql.functions.{col => fcol, expr => fexpr, lit => flit,
+      when => fwhen, monotonically_increasing_id}
+    val head = ci(raw"^\s*MERGE\s+INTO\s+([\w.]+)\s+(?:AS\s+)?(\w+)\s+USING\s*")
+      .findFirstMatchIn(stmt)
+      .getOrElse(throw new IllegalArgumentException(
+        "unsupported MERGE shape (expected: MERGE INTO <t> [AS] <alias> USING (...))"))
+    val (target, tA) = (head.group(1), head.group(2))
+    // balanced-paren source subquery
+    var i = head.end
+    while (i < stmt.length && stmt.charAt(i) != '(') i += 1
+    require(i < stmt.length, "MERGE USING must be a parenthesized subquery")
+    var depth = 0
+    var inQ = false
+    val start = i
+    var end = -1
+    while (i < stmt.length && end < 0) {
+      val ch = stmt.charAt(i)
+      if (ch == '\'') inQ = !inQ
+      else if (!inQ && ch == '(') depth += 1
+      else if (!inQ && ch == ')') { depth -= 1; if (depth == 0) end = i }
+      i += 1
+    }
+    require(end > start, "unbalanced parentheses in MERGE USING subquery")
+    val srcSql = stmt.substring(start + 1, end)
+    val tail = stmt.substring(end + 1)
+    val tailM = ci(raw"^\s*(?:AS\s+)?(\w+)\s+ON\b").findFirstMatchIn(tail)
+      .getOrElse(throw new IllegalArgumentException(
+        "unsupported MERGE shape (expected: ... ) [AS] <alias> ON <cond>)"))
+    val sA = tailM.group(1)
+    val afterOn = tail.substring(tailM.end)
+    val wm = topLevelSpanOf(afterOn, "WHEN MATCHED THEN UPDATE SET")
+    val wnm = topLevelSpanOf(afterOn, "WHEN NOT MATCHED THEN INSERT")
+    require(wm.isDefined || wnm.isDefined,
+      "MERGE needs a WHEN MATCHED or WHEN NOT MATCHED clause")
+    val condEnd = Seq(wm, wnm).flatten.map(_._1).min
+    val cond = afterOn.substring(0, condEnd).trim
+    val assigns: Map[String, String] = wm match {
+      case None => Map.empty
+      case Some((ws, we)) =>
+        val setBody = afterOn.substring(we,
+          wnm.map(_._1).filter(_ > ws).getOrElse(afterOn.length))
+        splitTopDepth(setBody, ',').map(_.trim).filter(_.nonEmpty).map { a =>
+          val eq = a.indexOf('=')
+          require(eq > 0, s"unsupported MERGE assignment '$a'")
+          val lhs = a.substring(0, eq).trim
+          val name = lhs.substring(lhs.lastIndexOf('.') + 1) // strip T. prefix
+          (name.toLowerCase, a.substring(eq + 1).trim)
+        }.toMap
+    }
+    val insertOpt: Option[(Seq[String], Seq[String])] =
+      wnm.map { case (_, we) =>
+        val body = afterOn.substring(we)
+        val im = ci(raw"(?s)^\s*\(([\w\s,]+?)\)\s*VALUES\s*\((.*)\)\s*$$")
+          .findFirstMatchIn(body)
+          .getOrElse(throw new IllegalArgumentException(
+            "unsupported MERGE INSERT shape (expected: INSERT (cols) VALUES (exprs))"))
+        (im.group(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+          splitTopDepth(im.group(2), ',').map(_.trim).toSeq)
+      }
+    val tgtSchema = spark.table(target).schema
+    // duplicate-match guard (SQL Server error 8672): bounded — stops at
+    // the first offending target row
+    val keyed = spark.table(target)
+      .withColumn("__t_rid", monotonically_increasing_id()).alias(tA)
+    val srcM = spark.sql(srcSql)
+      .withColumn("__s_m", flit(1)).alias(sA)
+    val joined = keyed.join(srcM, fexpr(cond), "left")
+    val dups = joined.filter(fcol("__s_m").isNotNull)
+      .groupBy(fcol("__t_rid")).count()
+      .filter(fcol("count") > 1).limit(1).count()
+    require(dups == 0,
+      s"MERGE INTO $target: a target row matches more than one source row " +
+        "(SQL Server raises error 8672 here; dedup the USING subquery)")
+    val updated = joined.select(tgtSchema.map { f =>
+      assigns.get(f.name.toLowerCase) match {
+        case Some(e) =>
+          fwhen(fcol("__s_m").isNotNull, fexpr(e)).otherwise(fcol(s"$tA.${f.name}"))
+            .cast(f.dataType).as(f.name)
+        case None => fcol(s"$tA.${f.name}").as(f.name)
+      }
+    }: _*)
+    val result = insertOpt match {
+      case None => updated
+      case Some((cols, vals)) =>
+        require(cols.length == vals.length,
+          s"MERGE INSERT has ${cols.length} columns but ${vals.length} values")
+        val pairs = cols.map(_.toLowerCase).zip(vals).toMap
+        val unknown = pairs.keySet -- tgtSchema.map(_.name.toLowerCase).toSet
+        require(unknown.isEmpty,
+          s"MERGE INSERT names unknown column(s): ${unknown.mkString(", ")}")
+        val anti = spark.sql(srcSql).alias(sA)
+          .join(spark.table(target).alias(tA), fexpr(cond), "left_anti")
+        val inserted = anti.select(tgtSchema.map { f =>
+          pairs.get(f.name.toLowerCase) match {
+            case Some(v) => fexpr(v).cast(f.dataType).as(f.name)
+            case None => flit(null).cast(f.dataType).as(f.name)
+          }
+        }: _*)
+        updated.unionByName(inserted)
+    }
+    reRegister(spark, target, result)
+  }
+
   /** Render + translate + run a multi-statement OHDSI SQL script against
     * the session's registered views; returns the final SELECT's frame.
     */
@@ -368,6 +531,8 @@ object OhdsiSql {
       .foreach {
       case DropIfExists(view) => spark.catalog.dropTempView(view); ()
       case DropTable(view) => spark.catalog.dropTempView(view); ()
+      case stmt if ci(raw"^\s*MERGE\s+INTO\b").findFirstIn(stmt).isDefined =>
+        executeMerge(spark, stmt)
       case DeleteFrom(target, cond) =>
         // DELETE removes rows where the predicate is TRUE; rows where it
         // is NULL survive (SQL three-valued semantics), hence the

@@ -254,6 +254,72 @@ class OhdsiSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("unknown column"))
   }
 
+  test("MERGE INTO upserts: matched rows update, unmatched source rows insert") {
+    // the reference ETL's statement class
+    // (SOURCE_TO_CONCEPT_MAP_merge.sql.jinja / {omop_table}_merge.sql.jinja)
+    import spark.implicits._
+    Seq((1L, "stale", "D"), (2L, "keep", "V"))
+      .toDF("omop_id", "source", "invalid_reason")
+      .createOrReplaceTempView("tmp_ohdsi_map")
+    Seq((1L, "fresh"), (3L, "new"))
+      .toDF("omop_id", "src_name")
+      .createOrReplaceTempView("merge_src_rows")
+    val out = OhdsiSql.execute(spark,
+      """MERGE INTO #map AS T
+        |USING (
+        |  SELECT omop_id, src_name FROM merge_src_rows
+        |) AS S
+        |ON S.omop_id = T.omop_id
+        |WHEN MATCHED THEN
+        |  UPDATE SET T.source = S.src_name, T.invalid_reason = NULL
+        |WHEN NOT MATCHED THEN
+        |  INSERT (omop_id, source) VALUES (S.omop_id, S.src_name);
+        |SELECT omop_id, source, invalid_reason FROM #map ORDER BY omop_id
+        |""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
+    assert(out.toSeq === Seq(
+      (1L, "fresh", None),        // matched: updated, invalid_reason cleared
+      (2L, "keep", Some("V")),    // untouched
+      (3L, "new", None)))         // inserted; unnamed column defaults NULL
+  }
+
+  test("MERGE refuses a target row matching more than one source row (8672)") {
+    import spark.implicits._
+    Seq((1L, "x")).toDF("omop_id", "source")
+      .createOrReplaceTempView("tmp_ohdsi_map2")
+    Seq((1L, "a"), (1L, "b")).toDF("omop_id", "src_name")
+      .createOrReplaceTempView("merge_dup_rows")
+    val e = intercept[IllegalArgumentException](OhdsiSql.execute(spark,
+      """MERGE INTO #map2 AS T
+        |USING (SELECT omop_id, src_name FROM merge_dup_rows) AS S
+        |ON S.omop_id = T.omop_id
+        |WHEN MATCHED THEN UPDATE SET T.source = S.src_name;
+        |SELECT * FROM #map2""".stripMargin))
+    assert(e.getMessage.contains("more than one source row"))
+  }
+
+  test("MERGE with a join (and its ON) inside the USING subquery parses") {
+    import spark.implicits._
+    Seq((1L, "one"), (2L, "two")).toDF("k", "v")
+      .createOrReplaceTempView("merge_dim")
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "n")
+      .createOrReplaceTempView("merge_fact")
+    Seq((1L, "old", 0L)).toDF("k", "label", "n")
+      .createOrReplaceTempView("tmp_ohdsi_map3")
+    val out = OhdsiSql.execute(spark,
+      """MERGE INTO #map3 AS T
+        |USING (
+        |  SELECT f.k, d.v AS label, f.n
+        |  FROM merge_fact f INNER JOIN merge_dim d ON d.k = f.k
+        |) AS S
+        |ON S.k = T.k
+        |WHEN MATCHED THEN UPDATE SET T.label = S.label, T.n = S.n
+        |WHEN NOT MATCHED THEN INSERT (k, label, n) VALUES (S.k, S.label, S.n);
+        |SELECT k, label, n FROM #map3 ORDER BY k""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, "one", 10L), (2L, "two", 20L)))
+  }
+
   test("block comments strip quote-aware, nested, and with embedded ';'/keywords") {
     // ADVICE r13: a template's /********/ header carries apostrophes,
     // semicolons, and statement keywords — all must be invisible to the
