@@ -320,6 +320,11 @@ object OhdsiSql {
   // `SOURCE_TO_CONCEPT_MAP_update_invalid_reason.sql.jinja:3-5`). The
   // view is re-registered over the rewritten frame (views are the
   // bridge's tables — same discipline as the INSERT merge flow).
+  // the S7/D6 vocabulary-refill statement class
+  // (`vocabulary_table_truncate.sql.jinja:3`): empty the view, keep the
+  // schema
+  private val TruncateTable =
+    ci(raw"^\s*TRUNCATE\s+TABLE\s+([\w.]+)\s*$$")
   private val DeleteFrom =
     ci(raw"(?s)^\s*DELETE\s+FROM\s+([\w.]+)\s*(?:\bWHERE\b(.*?))?\s*$$")
   private val UpdateSet =
@@ -533,6 +538,8 @@ object OhdsiSql {
       case DropTable(view) => spark.catalog.dropTempView(view); ()
       case stmt if ci(raw"^\s*MERGE\s+INTO\b").findFirstIn(stmt).isDefined =>
         executeMerge(spark, stmt)
+      case TruncateTable(target) =>
+        reRegister(spark, target, spark.table(target).limit(0))
       case DeleteFrom(target, cond) =>
         // DELETE removes rows where the predicate is TRUE; rows where it
         // is NULL survive (SQL three-valued semantics), hence the

@@ -283,6 +283,24 @@ class OhdsiSqlSpec extends SparkSpec {
       (3L, "new", None)))         // inserted; unnamed column defaults NULL
   }
 
+  test("TRUNCATE TABLE empties the view, keeping its schema") {
+    // the vocabulary-refill statement class
+    // (vocabulary_table_truncate.sql.jinja:3): truncate, re-fill, read
+    import spark.implicits._
+    Seq((1L, "old")).toDF("concept_id", "concept_name")
+      .createOrReplaceTempView("tmp_ohdsi_vocab")
+    Seq((2L, "new")).toDF("concept_id", "concept_name")
+      .createOrReplaceTempView("vocab_staged")
+    val out = OhdsiSql.execute(spark,
+      """TRUNCATE TABLE #vocab;
+        |INSERT INTO #vocab (concept_id, concept_name)
+        |SELECT concept_id, concept_name FROM vocab_staged;
+        |SELECT concept_id, concept_name FROM #vocab ORDER BY concept_id
+        |""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq === Seq((2L, "new")), "refill must replace, not append")
+  }
+
   test("MERGE refuses a target row matching more than one source row (8672)") {
     import spark.implicits._
     Seq((1L, "x")).toDF("omop_id", "source")
