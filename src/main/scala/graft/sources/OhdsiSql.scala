@@ -402,6 +402,102 @@ object OhdsiSql {
     None
   }
 
+  /** Split a statement's leading `WITH name AS (...) [, name AS (...)]*`
+    * prefix (quote-aware, balanced parens) from its body: `(ctePrefix,
+    * body)`; ctePrefix is empty when the statement has no WITH.
+    */
+  private def splitLeadingWith(stmt: String): (String, String) = {
+    val m = ci(raw"^\s*WITH\b").findFirstMatchIn(stmt)
+    m match {
+      case None => ("", stmt)
+      case Some(w) =>
+        var i = w.end
+        var more = true
+        while (more) {
+          // skip to the CTE body's opening paren
+          var inQ = false
+          while (i < stmt.length && (inQ || stmt.charAt(i) != '(')) {
+            if (stmt.charAt(i) == '\'') inQ = !inQ
+            i += 1
+          }
+          require(i < stmt.length, "malformed WITH: missing CTE body")
+          // balanced body
+          var depth = 0
+          inQ = false
+          var closed = false
+          while (i < stmt.length && !closed) {
+            val ch = stmt.charAt(i)
+            if (ch == '\'') inQ = !inQ
+            else if (!inQ && ch == '(') depth += 1
+            else if (!inQ && ch == ')') { depth -= 1; if (depth == 0) closed = true }
+            i += 1
+          }
+          require(closed, "malformed WITH: unbalanced CTE body")
+          var j = i
+          while (j < stmt.length && Character.isWhitespace(stmt.charAt(j))) j += 1
+          if (j < stmt.length && stmt.charAt(j) == ',') { i = j + 1 }
+          else { more = false; i = j }
+        }
+        (stmt.substring(0, i), stmt.substring(i))
+    }
+  }
+
+  /** The SQL Server `UPDATE <alias> SET ... FROM <table> AS <alias>
+    * INNER JOIN <rel> <ra> ON <cond>` statement (optionally under a
+    * leading CTE) — the reference's update-from-join templates
+    * (`{omop_table}__{concept_id_column}_usagi_update_custom_concepts
+    * .sql.jinja:9-16`, the custom-concept id injection; natively
+    * [[graft.operators.Upsert.updateFromJoin]]). Emulated as ONE
+    * rewritten SELECT: target LEFT JOIN the (match-flagged) join
+    * relation under the original ON — predicates on the target inside
+    * the ON restrict WHICH rows update, exactly the UPDATE..FROM
+    * semantics — with each assigned column a CASE over the match flag.
+    * SQL Server silently picks an arbitrary source row when a target row
+    * matches several; this bridge REFUSES instead (the MERGE 8672
+    * discipline) — a documented strictness, never a silent
+    * nondeterminism.
+    */
+  private def executeUpdateFrom(spark: SparkSession, ctes: String, body: String): Unit = {
+    val hm = ci(raw"(?s)^\s*UPDATE\s+(\w+)\s+SET\s+(.*?)\s+FROM\s+([\w.]+)\s+(?:AS\s+)?(\w+)\s+INNER\s+JOIN\s+([\w.]+)\s+(?:AS\s+)?(\w+)\s+ON\s+(.*?)\s*;?\s*$$")
+      .findFirstMatchIn(body)
+      .getOrElse(throw new IllegalArgumentException(
+        "unsupported UPDATE..FROM shape (expected: UPDATE a SET ... FROM t " +
+          "[AS] a INNER JOIN rel [AS] r ON cond)"))
+    val (ua, setBody, tbl, ta, rel, ra, cond) =
+      (hm.group(1), hm.group(2), hm.group(3), hm.group(4), hm.group(5),
+        hm.group(6), hm.group(7))
+    require(ua.equalsIgnoreCase(ta),
+      s"UPDATE alias '$ua' must name the FROM target alias '$ta'")
+    val assigns = splitTopDepth(setBody, ',').map(_.trim).filter(_.nonEmpty).map { a =>
+      val eq = a.indexOf('=')
+      require(eq > 0, s"unsupported UPDATE assignment '$a'")
+      val lhs = a.substring(0, eq).trim
+      (lhs.substring(lhs.lastIndexOf('.') + 1).toLowerCase, a.substring(eq + 1).trim)
+    }.toMap
+    val cols = spark.table(tbl).columns
+    val unknown = assigns.keySet -- cols.map(_.toLowerCase).toSet
+    require(unknown.isEmpty,
+      s"UPDATE $tbl assigns unknown column(s): ${unknown.mkString(", ")}")
+    val joinSrc = s"(SELECT *, 1 AS __upd_m FROM $rel) $ra"
+    // one-match contract: a second join row would duplicate target rows
+    val base = spark.table(tbl).count()
+    val joinedN = spark.sql(
+      s"$ctes SELECT count(*) FROM $tbl AS $ta LEFT JOIN $joinSrc ON $cond")
+      .head().getLong(0)
+    require(joinedN == base,
+      s"UPDATE..FROM $tbl: a target row matches more than one join row " +
+        "(SQL Server picks one arbitrarily; this bridge refuses — dedup the join side)")
+    val proj = cols.map { c =>
+      assigns.get(c.toLowerCase) match {
+        case Some(e) =>
+          s"CASE WHEN $ra.__upd_m IS NOT NULL THEN ($e) ELSE $ta.$c END AS $c"
+        case None => s"$ta.$c AS $c"
+      }
+    }.mkString(",\n  ")
+    reRegister(spark, tbl, spark.sql(
+      s"$ctes SELECT $proj FROM $tbl AS $ta LEFT JOIN $joinSrc ON $cond"))
+  }
+
   /** The SQL Server `MERGE INTO` statement of the reference's ETL
     * templates (`SOURCE_TO_CONCEPT_MAP_merge.sql.jinja`,
     * `SOURCE_ID_TO_OMOP_ID_MAP_merge.sql.jinja`,
@@ -553,6 +649,13 @@ object OhdsiSql {
           case None => df.limit(0)
         }
         reRegister(spark, target, kept)
+      case stmt if {
+        val (_, b) = splitLeadingWith(stmt)
+        ci(raw"^\s*UPDATE\b").findFirstIn(b).isDefined &&
+          topLevelSpanOf(b, "FROM").isDefined
+      } =>
+        val (ctes, b) = splitLeadingWith(stmt)
+        executeUpdateFrom(spark, ctes, b)
       case UpdateSet(target, body) =>
         // UPDATE t SET a = e1, b = e2 [WHERE cond]: rewrite as a
         // projection — each assigned column becomes

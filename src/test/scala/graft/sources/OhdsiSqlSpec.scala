@@ -283,6 +283,48 @@ class OhdsiSqlSpec extends SparkSpec {
       (3L, "new", None)))         // inserted; unnamed column defaults NULL
   }
 
+  test("UPDATE..FROM under a CTE injects join values into matched rows only") {
+    // the custom-concept id-injection template shape
+    // ({omop_table}__{concept_id_column}_usagi_update_custom_concepts
+    // .sql.jinja:3-16): CTE -> UPDATE T SET ... FROM usagi AS T INNER
+    // JOIN cte ON code match AND status AND unmapped-only
+    import spark.implicits._
+    Seq(("a", 0L, "APPROVED"), ("b", 0L, "FLAGGED"), ("c", 7L, "APPROVED"),
+        ("d", 0L, "APPROVED"))
+      .toDF("sourceCode", "conceptId", "mappingStatus")
+      .createOrReplaceTempView("tmp_ohdsi_usagi_upd")
+    Seq(("a", 2000000001L), ("b", 2000000002L), ("d", 2000000004L))
+      .toDF("concept_code", "concept_id")
+      .createOrReplaceTempView("usagi_upd_concepts")
+    val out = OhdsiSql.execute(spark,
+      """WITH cte_custom_concepts AS (
+        |  SELECT DISTINCT concept_code, concept_id FROM usagi_upd_concepts
+        |)
+        |UPDATE T
+        |SET T.conceptId = c.concept_id
+        |FROM #usagi_upd AS T
+        |INNER JOIN cte_custom_concepts c ON T.sourceCode = c.concept_code
+        |  AND T.mappingStatus = 'APPROVED'
+        |  AND (T.conceptId IS NULL or T.conceptId = 0);
+        |SELECT sourceCode, conceptId FROM #usagi_upd ORDER BY sourceCode
+        |""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq === Seq(
+      ("a", 2000000001L),  // approved + unmapped -> injected
+      ("b", 0L),           // not approved -> untouched
+      ("c", 7L),           // already mapped -> untouched
+      ("d", 2000000004L)))
+    // a join side matching one target row twice is refused, not arbitrary
+    Seq(("a", 1L), ("a", 2L)).toDF("concept_code", "concept_id")
+      .createOrReplaceTempView("usagi_upd_dups")
+    val e = intercept[IllegalArgumentException](OhdsiSql.execute(spark,
+      """UPDATE T SET T.conceptId = c.concept_id
+        |FROM #usagi_upd AS T
+        |INNER JOIN usagi_upd_dups c ON T.sourceCode = c.concept_code;
+        |SELECT * FROM #usagi_upd""".stripMargin))
+    assert(e.getMessage.contains("more than one join row"))
+  }
+
   test("TRUNCATE TABLE empties the view, keeping its schema") {
     // the vocabulary-refill statement class
     // (vocabulary_table_truncate.sql.jinja:3): truncate, re-fill, read
