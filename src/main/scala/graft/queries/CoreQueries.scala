@@ -299,6 +299,73 @@ object CoreQueries {
         |FROM #s2omap ORDER BY omop_table, omop_id""".stripMargin)
   }
 
+  /** The reference's ETL MAINTENANCE SCRIPT pattern end-to-end through
+    * the bridge — one multi-statement script composing every statement
+    * class its template tree renders: UPDATE..FROM under a CTE (custom-
+    * concept id injection, `..._usagi_update_custom_concepts.sql.jinja`),
+    * MERGE INTO (the map upsert, `SOURCE_TO_CONCEPT_MAP_merge.sql
+    * .jinja`), plain UPDATE (tombstoning,
+    * `SOURCE_TO_CONCEPT_MAP_update_invalid_reason.sql.jinja`), and
+    * DELETE (the cleanup class). The oracle replays the script's net
+    * effect declaratively.
+    */
+  val ohdsiSqlEtlScript: Q = (s, d) => {
+    import s.implicits._
+    val codes = t(s, d, "orders")
+      .select(col("o_orderpriority").as("sourceCode")).distinct()
+    codes
+      .withColumn("conceptId", lit(0L))
+      .withColumn("mappingStatus",
+        when(col("sourceCode").startsWith("5"), lit("FLAGGED"))
+          .otherwise(lit("APPROVED")))
+      .createOrReplaceTempView("tmp_ohdsi_usagi_scr")
+    Swap.rankIds(codes, "sourceCode", MergeOps.CustomConceptBase)
+      .select(col("sourceCode").as("concept_code"), col("concept_id"))
+      .createOrReplaceTempView("usagi_scr_concepts")
+    Seq(
+      ("1-URGENT", 999L, java.sql.Date.valueOf("2020-01-01"),
+        Option.empty[String]),
+      ("0-ZOMBIE", 111L, java.sql.Date.valueOf("2020-01-01"),
+        Option.empty[String]))
+      .toDF("source_code", "target_concept_id", "valid_start_date", "invalid_reason")
+      .createOrReplaceTempView("tmp_ohdsi_s2cm_scr")
+    graft.sources.OhdsiSql.execute(s,
+      """-- inject custom-concept ids into unmapped APPROVED usagi rows
+        |WITH cte_custom_concepts AS (
+        |  SELECT DISTINCT concept_code, concept_id FROM usagi_scr_concepts
+        |)
+        |UPDATE T
+        |SET T.conceptId = c.concept_id
+        |FROM #usagi_scr AS T
+        |INNER JOIN cte_custom_concepts c ON T.sourceCode = c.concept_code
+        |  AND T.mappingStatus = 'APPROVED'
+        |  AND (T.conceptId IS NULL or T.conceptId = 0);
+        |-- upsert the approved mappings into the map
+        |MERGE INTO #s2cm_scr AS T
+        |USING (
+        |  SELECT sourceCode AS source_code, conceptId AS target_concept_id,
+        |    CAST('2026-06-01' AS DATE) AS valid_start_date,
+        |    NULL AS invalid_reason
+        |  FROM #usagi_scr WHERE mappingStatus = 'APPROVED'
+        |) AS S
+        |ON S.source_code = T.source_code
+        |WHEN MATCHED THEN
+        |  UPDATE SET T.target_concept_id = S.target_concept_id
+        |    ,T.valid_start_date = S.valid_start_date
+        |    ,T.invalid_reason = S.invalid_reason
+        |WHEN NOT MATCHED THEN
+        |  INSERT (source_code, target_concept_id, valid_start_date, invalid_reason)
+        |  VALUES (S.source_code, S.target_concept_id, S.valid_start_date,
+        |    S.invalid_reason);
+        |-- tombstone mappings not refreshed by this run
+        |UPDATE #s2cm_scr SET invalid_reason = 'D'
+        |WHERE valid_start_date < CAST('2026-01-01' AS DATE);
+        |-- cleanup: drop the tombstoned rows
+        |DELETE FROM #s2cm_scr WHERE invalid_reason = 'D';
+        |SELECT source_code, target_concept_id, valid_start_date
+        |FROM #s2cm_scr ORDER BY source_code""".stripMargin)
+  }
+
   /** S9+S10+A6 (§2.12-1): arbitrary user SELECT over registered raw views,
     * DISTINCT'ed into an upload table.
     */
@@ -365,6 +432,7 @@ object CoreQueries {
     "merge_upsert" -> mergeUpsert,
     "source_id_map_merge" -> sourceIdMapMerge,
     "ohdsi_sql_merge_flow" -> ohdsiSqlMergeFlow,
+    "ohdsi_sql_etl_script" -> ohdsiSqlEtlScript,
     "etl_user_query" -> etlUserQuery)
 
   val oracles: Seq[(String, String)] = Seq(
@@ -510,6 +578,17 @@ object CoreQueries {
         |ORDER BY k""".stripMargin,
     "source_id_map_merge" -> sourceIdMapOracle,
     "ohdsi_sql_merge_flow" -> sourceIdMapOracle,
+    // the maintenance script's net effect: approved codes carry rank-based
+    // custom ids and the refreshed date; flagged codes never merge; the
+    // stale zombie row tombstones and is deleted
+    "ohdsi_sql_etl_script" ->
+      """WITH codes AS (SELECT DISTINCT o_orderpriority AS source_code FROM orders)
+        |SELECT source_code,
+        |  CAST(2000000000 + rank() OVER (ORDER BY source_code) AS BIGINT)
+        |    AS target_concept_id,
+        |  DATE '2026-06-01' AS valid_start_date
+        |FROM codes WHERE source_code NOT LIKE '5%'
+        |ORDER BY source_code""".stripMargin,
     "etl_user_query" ->
       """SELECT DISTINCT c_mktsegment AS segment, n_name AS nation
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
