@@ -141,9 +141,21 @@ object LlmQueries {
     * consumers then read stored tables only.
     */
   val corpusArtifactStoreBuild: Q = (s, d) => {
-    clusterMap(s, d)
-    bandIndex(s, d)
-    gopherVerdicts(s, d)
+    // the three builds are independent scans of the documents table —
+    // launch them as CONCURRENT Spark jobs on the shared session (the
+    // derived-CDM staging pool pattern): the iterative cluster map leaves
+    // local[32] mostly idle between its bounded rounds, and the band/gate
+    // scans fill those gaps instead of queueing behind them
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(Seq(
+        scala.concurrent.Future(clusterMap(s, d)),
+        scala.concurrent.Future(bandIndex(s, d)),
+        scala.concurrent.Future(gopherVerdicts(s, d)))),
+      scala.concurrent.duration.Duration.Inf)
+    finally pool.shutdown()
     import s.implicits._
     Seq("dedup_band_index", "dedup_clusters", "gopher_gate")
       .toDF("table_name").coalesce(1).sortWithinPartitions("table_name")
