@@ -146,20 +146,38 @@ object LlmQueries {
     // derived-CDM staging pool pattern): the iterative cluster map leaves
     // local[32] mostly idle between its bounded rounds, and the band/gate
     // scans fill those gaps instead of queueing behind them
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
     try scala.concurrent.Await.result(
       scala.concurrent.Future.sequence(Seq(
         scala.concurrent.Future(clusterMap(s, d)),
         scala.concurrent.Future(bandIndex(s, d)),
-        scala.concurrent.Future(gopherVerdicts(s, d)))),
+        scala.concurrent.Future(gopherVerdicts(s, d)),
+        scala.concurrent.Future(corpusMd5(s, d)))),
       scala.concurrent.duration.Duration.Inf)
     finally pool.shutdown()
     import s.implicits._
-    Seq("dedup_band_index", "dedup_clusters", "gopher_gate")
+    Seq("corpus_md5", "dedup_band_index", "dedup_clusters", "gopher_gate")
       .toDF("table_name").coalesce(1).sortWithinPartitions("table_name")
   }
+
+  /** The stored corpus md5 set (one hash per kept-corpus document) — the
+    * exact-dup admission probe's index, built once per (session, dataset)
+    * like the band index.
+    */
+  private val corpusMd5s =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def corpusMd5(s: SparkSession, d: String): DataFrame =
+    corpusMd5s.getOrElseUpdate((s, d), {
+      val zones = graft.io.Zones.forPurpose("dedup")
+      val table = s"corpus_md5_${graft.io.Zones.pathKey(d)}"
+      zones.write(
+        t(s, d, "documents").filter(col("doc_id") % 10 =!= 0)
+          .select(md5(col("text")).as("__h")).distinct(),
+        "work", table)
+      zones.read(s, "work", table)
+    })
 
   private def clusterMap(s: SparkSession, d: String): DataFrame =
     clusterMaps.getOrElseUpdate((s, d), {
@@ -384,6 +402,47 @@ object LlmQueries {
       .select(col("__r.stage").as("stage"), col("__r.n_docs").as("n_docs"),
         col("__r.n_tokens").as("n_tokens"))
       .orderBy("stage")
+  }
+
+  /** The production ADMISSION PIPELINE: an incoming batch (every 10th
+    * doc) runs the full curation gauntlet against the STORED corpus
+    * artifacts — exact dup (md5 probe of the stored corpus hash set),
+    * near-dup (band-index candidates, Jaccard-verified), quality
+    * classifier, Gopher repetition gate — and every doc gets a verdict
+    * with its FIRST failing stage (precedence: exact > neardup >
+    * quality > repetition). The per-batch cost is O(batch): every
+    * corpus-sized structure is a stored table probed by equi-joins,
+    * never recomputed — the operational shape of admitting a shard into
+    * a 100 TB corpus.
+    */
+  val corpusAdmissionPipeline: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val exactDup = batch.select(col("doc_id"), md5(col("text")).as("__h"))
+      .join(corpusMd5(s, d), Seq("__h"), "left_semi")
+      .select("doc_id").withColumn("__m1", lit(1))
+    val nearDup = DedupOps.incrementalDedup(
+        docs.filter(col("doc_id") % 10 =!= 0), bandIndex(s, d), batch,
+        "doc_id", "text", threshold = 0.2)
+      .filter(col("dup_of").isNotNull)
+      .select("doc_id").withColumn("__m2", lit(1))
+    val quality = batch.filter(ClassifyOps.label(col("text")))
+      .select("doc_id").withColumn("__m4", lit(1))
+    batch.select("doc_id")
+      .join(exactDup, Seq("doc_id"), "left")
+      .join(nearDup, Seq("doc_id"), "left")
+      .join(gopherVerdicts(s, d).select(col("doc_id"), col("kept")),
+        Seq("doc_id"), "left")
+      .join(quality, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("__m1").isNull && col("__m2").isNull &&
+          col("__m4").isNotNull && col("kept") === 1L).cast("long").as("admitted"),
+        when(col("__m1").isNotNull, "1_exact")
+          .when(col("__m2").isNotNull, "2_neardup")
+          .when(col("__m4").isNull, "3_quality")
+          .when(col("kept") =!= 1L, "4_repetition")
+          .as("reject_reason"))
+      .orderBy("doc_id")
   }
 
   /** Incremental near-dup admission ([[DedupOps.incrementalDedup]]): the
@@ -1415,6 +1474,7 @@ object LlmQueries {
     "bpe_segment_top" -> bpeSegmentTop,
     "dedup_incremental" -> dedupIncremental,
     "stream_dedup_incremental" -> streamDedupIncremental,
+    "corpus_admission_pipeline" -> corpusAdmissionPipeline,
     "corpus_artifact_store_build" -> corpusArtifactStoreBuild,
     "corpus_curation_funnel" -> corpusCurationFunnel,
     "dedup_cluster_components" -> dedupClusterComponents,
@@ -2271,7 +2331,7 @@ object LlmQueries {
     "corpus_gopher_gate" -> repGateOracle,
     "stream_gopher_gate" -> repGateOracle,
     "corpus_artifact_store_build" ->
-      """SELECT table_name FROM (VALUES ('dedup_band_index'),
+      """SELECT table_name FROM (VALUES ('corpus_md5'), ('dedup_band_index'),
         |  ('dedup_clusters'), ('gopher_gate')) AS t(table_name)
         |ORDER BY table_name""".stripMargin,
     "dedup_semantic_trained" -> dedupSemanticTrainedOracle,
@@ -2511,6 +2571,49 @@ object LlmQueries {
          |ORDER BY stage""".stripMargin,
     "dedup_incremental" -> incrementalAdmissionOracle,
     "stream_dedup_incremental" -> incrementalAdmissionOracle,
+    // the admission gauntlet: exact (md5 set), near-dup (band candidates
+    // Jaccard-verified), quality, repetition — reject precedence matches
+    // the Spark side's when-chain
+    "corpus_admission_pipeline" ->
+      s"""WITH $jaccardCtes,
+         |icand AS (
+         |  SELECT DISTINCT b.doc_id AS new_id, c.doc_id AS corpus_id
+         |  FROM bandsig b JOIN bandsig c
+         |    ON b.band = c.band AND b.bucket = c.bucket
+         |  WHERE b.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+         |),
+         |iver AS (
+         |  SELECT new_id,
+         |    CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(sa.toks, sb.toks))) AS j
+         |  FROM icand
+         |  JOIN sets sa ON icand.new_id = sa.doc_id
+         |  JOIN sets sb ON icand.corpus_id = sb.doc_id
+         |),
+         |idup AS (SELECT DISTINCT new_id FROM iver WHERE j >= 0.2),
+         |${repWindowCtes(withToks = false)},
+         |${repGramCtes(2, 10, withToks = false)},
+         |$repGateCtes,
+         |bh AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 = 0),
+         |ch AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 <> 0),
+         |m AS (
+         |  SELECT b.doc_id,
+         |    b.h IN (SELECT h FROM ch) AS exact_dup,
+         |    b.doc_id IN (SELECT new_id FROM idup) AS near_dup,
+         |    g.kept = 1 AS gate_ok,
+         |    ${graft.ops.ClassifyOps.oracleLabelSql} AS quality_ok
+         |  FROM bh b
+         |  JOIN gate g ON b.doc_id = g.doc_id
+         |  JOIN documents d ON b.doc_id = d.doc_id
+         |)
+         |SELECT doc_id,
+         |  CAST(CASE WHEN NOT exact_dup AND NOT near_dup AND quality_ok AND gate_ok
+         |    THEN 1 ELSE 0 END AS BIGINT) AS admitted,
+         |  CASE WHEN exact_dup THEN '1_exact'
+         |       WHEN near_dup THEN '2_neardup'
+         |       WHEN NOT quality_ok THEN '3_quality'
+         |       WHEN NOT gate_ok THEN '4_repetition' END AS reject_reason
+         |FROM m ORDER BY doc_id""".stripMargin,
     "dedup_cluster_components" ->
       s"""WITH RECURSIVE $jaccardCtes,
          |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
