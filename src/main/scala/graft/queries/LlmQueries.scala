@@ -415,15 +415,19 @@ object LlmQueries {
     * never recomputed — the operational shape of admitting a shard into
     * a 100 TB corpus.
     */
-  val corpusAdmissionPipeline: Q = (s, d) => {
-    val docs = t(s, d, "documents")
-    val batch = docs.filter(col("doc_id") % 10 === 0)
+  /** One batch's admission verdicts against the stored corpus artifacts —
+    * shared by the batch pipeline and the streaming admitter (each
+    * micro-batch runs this exact logic; the repetition gate is computed
+    * ON THE BATCH, per-doc stateless, while exact/near-dup probe the
+    * stored corpus structures).
+    */
+  private def admissionVerdicts(s: SparkSession, d: String, batch: DataFrame): DataFrame = {
     val exactDup = batch.select(col("doc_id"), md5(col("text")).as("__h"))
       .join(corpusMd5(s, d), Seq("__h"), "left_semi")
       .select("doc_id").withColumn("__m1", lit(1))
     val nearDup = DedupOps.incrementalDedup(
-        docs.filter(col("doc_id") % 10 =!= 0), bandIndex(s, d), batch,
-        "doc_id", "text", threshold = 0.2)
+        t(s, d, "documents").filter(col("doc_id") % 10 =!= 0), bandIndex(s, d),
+        batch, "doc_id", "text", threshold = 0.2)
       .filter(col("dup_of").isNotNull)
       .select("doc_id").withColumn("__m2", lit(1))
     val quality = batch.filter(ClassifyOps.label(col("text")))
@@ -431,8 +435,8 @@ object LlmQueries {
     batch.select("doc_id")
       .join(exactDup, Seq("doc_id"), "left")
       .join(nearDup, Seq("doc_id"), "left")
-      .join(gopherVerdicts(s, d).select(col("doc_id"), col("kept")),
-        Seq("doc_id"), "left")
+      .join(graft.ops.RepetitionOps.gopherGate(batch)
+        .select(col("doc_id"), col("kept")), Seq("doc_id"), "left")
       .join(quality, Seq("doc_id"), "left")
       .select(col("doc_id"),
         (col("__m1").isNull && col("__m2").isNull &&
@@ -442,6 +446,68 @@ object LlmQueries {
           .when(col("__m4").isNull, "3_quality")
           .when(col("kept") =!= 1L, "4_repetition")
           .as("reject_reason"))
+  }
+
+  val corpusAdmissionPipeline: Q = (s, d) =>
+    admissionVerdicts(s, d,
+      t(s, d, "documents").filter(col("doc_id") % 10 === 0))
+      .orderBy("doc_id")
+
+  /** The STREAMING admitter: the same gauntlet run per micro-batch of a
+    * document stream (two deterministically-staged batch files), each
+    * batch's verdicts landing in a batchId-keyed zone table — idempotent
+    * under replay, per-batch cost O(batch). Same oracle as the batch
+    * pipeline: stream == batch, verdict for verdict.
+    */
+  val streamCorpusAdmit: Q = (s, d) => {
+    val zones = graft.io.Zones.forPurpose(s"streamadm_${graft.io.Zones.pathKey(d)}")
+    val hconf = s.sparkContext.hadoopConfiguration
+    def rm(p: String): Unit = {
+      val hp = new org.apache.hadoop.fs.Path(new java.io.File(p).getAbsolutePath)
+      hp.getFileSystem(hconf).delete(hp, true); ()
+    }
+    rm(zones.root)
+    val ckpt = new java.io.File(
+      s"${graft.io.Zones.defaultRoot}/stream_ckpt_adm").getAbsolutePath
+    rm(ckpt)
+    val stagingDir = new java.io.File(
+      s"${graft.io.Zones.defaultRoot}/stream_src_adm").getAbsolutePath
+    rm(stagingDir)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stagingDir))
+    val batchDocs = t(s, d, "documents")
+      .filter(col("doc_id") % 10 === 0).select("doc_id", "text")
+    def stageOne(name: String, part: DataFrame, mtime: Long): Unit = {
+      val tmp = s"$stagingDir/__tmp_$name"
+      part.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(hconf)
+      val f = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+      val dst = new org.apache.hadoop.fs.Path(s"$stagingDir/$name")
+      require(fs.rename(f, dst), s"staging rename failed: $f -> $dst")
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      fs.setTimes(dst, mtime, -1)
+      ()
+    }
+    val par = coalesce(pmod(col("doc_id"), lit(20)), lit(0))
+    val t0 = System.currentTimeMillis()
+    stageOne("batch0.parquet", batchDocs.filter(par === 0), t0)
+    stageOne("batch1.parquet", batchDocs.filter(par =!= 0), t0 + 60000L)
+    // force the stored static sides ONCE, outside the per-batch loop
+    corpusMd5(s, d); bandIndex(s, d)
+    val stream = s.readStream.schema(batchDocs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stagingDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        zones.write(admissionVerdicts(s, d, batch), "work", s"admit_batch_$id")
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    zones.listTables(s, "work").filter(_.startsWith("admit_batch_"))
+      .map(tb => zones.read(s, "work", tb))
+      .reduce(_ unionByName _)
       .orderBy("doc_id")
   }
 
@@ -1475,6 +1541,7 @@ object LlmQueries {
     "dedup_incremental" -> dedupIncremental,
     "stream_dedup_incremental" -> streamDedupIncremental,
     "corpus_admission_pipeline" -> corpusAdmissionPipeline,
+    "stream_corpus_admit" -> streamCorpusAdmit,
     "corpus_artifact_store_build" -> corpusArtifactStoreBuild,
     "corpus_curation_funnel" -> corpusCurationFunnel,
     "dedup_cluster_components" -> dedupClusterComponents,
@@ -2303,6 +2370,50 @@ object LlmQueries {
        |$repGateCtes
        |SELECT doc_id, fails, kept FROM gate ORDER BY doc_id""".stripMargin
 
+  /** The admission-gauntlet oracle — shared by the batch pipeline and
+    * the streaming admitter (stream == batch, verdict for verdict).
+    */
+  private lazy val admissionOracle: String =
+    s"""WITH $jaccardCtes,
+         |icand AS (
+         |  SELECT DISTINCT b.doc_id AS new_id, c.doc_id AS corpus_id
+         |  FROM bandsig b JOIN bandsig c
+         |    ON b.band = c.band AND b.bucket = c.bucket
+         |  WHERE b.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+         |),
+         |iver AS (
+         |  SELECT new_id,
+         |    CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(sa.toks, sb.toks))) AS j
+         |  FROM icand
+         |  JOIN sets sa ON icand.new_id = sa.doc_id
+         |  JOIN sets sb ON icand.corpus_id = sb.doc_id
+         |),
+         |idup AS (SELECT DISTINCT new_id FROM iver WHERE j >= 0.2),
+         |${repWindowCtes(withToks = false)},
+         |${repGramCtes(2, 10, withToks = false)},
+         |$repGateCtes,
+         |bh AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 = 0),
+         |ch AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 <> 0),
+         |m AS (
+         |  SELECT b.doc_id,
+         |    b.h IN (SELECT h FROM ch) AS exact_dup,
+         |    b.doc_id IN (SELECT new_id FROM idup) AS near_dup,
+         |    g.kept = 1 AS gate_ok,
+         |    ${graft.ops.ClassifyOps.oracleLabelSql} AS quality_ok
+         |  FROM bh b
+         |  JOIN gate g ON b.doc_id = g.doc_id
+         |  JOIN documents d ON b.doc_id = d.doc_id
+         |)
+         |SELECT doc_id,
+         |  CAST(CASE WHEN NOT exact_dup AND NOT near_dup AND quality_ok AND gate_ok
+         |    THEN 1 ELSE 0 END AS BIGINT) AS admitted,
+         |  CASE WHEN exact_dup THEN '1_exact'
+         |       WHEN near_dup THEN '2_neardup'
+         |       WHEN NOT quality_ok THEN '3_quality'
+         |       WHEN NOT gate_ok THEN '4_repetition' END AS reject_reason
+         |FROM m ORDER BY doc_id""".stripMargin
+
   val oracles: Seq[(String, String)] = Seq(
     "text_rep_windows" ->
       s"""WITH ${repWindowCtes()}
@@ -2574,46 +2685,8 @@ object LlmQueries {
     // the admission gauntlet: exact (md5 set), near-dup (band candidates
     // Jaccard-verified), quality, repetition — reject precedence matches
     // the Spark side's when-chain
-    "corpus_admission_pipeline" ->
-      s"""WITH $jaccardCtes,
-         |icand AS (
-         |  SELECT DISTINCT b.doc_id AS new_id, c.doc_id AS corpus_id
-         |  FROM bandsig b JOIN bandsig c
-         |    ON b.band = c.band AND b.bucket = c.bucket
-         |  WHERE b.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
-         |),
-         |iver AS (
-         |  SELECT new_id,
-         |    CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE)
-         |      / len(list_distinct(list_concat(sa.toks, sb.toks))) AS j
-         |  FROM icand
-         |  JOIN sets sa ON icand.new_id = sa.doc_id
-         |  JOIN sets sb ON icand.corpus_id = sb.doc_id
-         |),
-         |idup AS (SELECT DISTINCT new_id FROM iver WHERE j >= 0.2),
-         |${repWindowCtes(withToks = false)},
-         |${repGramCtes(2, 10, withToks = false)},
-         |$repGateCtes,
-         |bh AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 = 0),
-         |ch AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 <> 0),
-         |m AS (
-         |  SELECT b.doc_id,
-         |    b.h IN (SELECT h FROM ch) AS exact_dup,
-         |    b.doc_id IN (SELECT new_id FROM idup) AS near_dup,
-         |    g.kept = 1 AS gate_ok,
-         |    ${graft.ops.ClassifyOps.oracleLabelSql} AS quality_ok
-         |  FROM bh b
-         |  JOIN gate g ON b.doc_id = g.doc_id
-         |  JOIN documents d ON b.doc_id = d.doc_id
-         |)
-         |SELECT doc_id,
-         |  CAST(CASE WHEN NOT exact_dup AND NOT near_dup AND quality_ok AND gate_ok
-         |    THEN 1 ELSE 0 END AS BIGINT) AS admitted,
-         |  CASE WHEN exact_dup THEN '1_exact'
-         |       WHEN near_dup THEN '2_neardup'
-         |       WHEN NOT quality_ok THEN '3_quality'
-         |       WHEN NOT gate_ok THEN '4_repetition' END AS reject_reason
-         |FROM m ORDER BY doc_id""".stripMargin,
+    "corpus_admission_pipeline" -> admissionOracle,
+    "stream_corpus_admit" -> admissionOracle,
     "dedup_cluster_components" ->
       s"""WITH RECURSIVE $jaccardCtes,
          |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
