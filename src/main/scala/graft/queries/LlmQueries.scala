@@ -1540,7 +1540,7 @@ object LlmQueries {
     "bpe_segment_top" -> bpeSegmentTop,
     "dedup_incremental" -> dedupIncremental,
     "stream_dedup_incremental" -> streamDedupIncremental,
-    "corpus_admission_pipeline" -> corpusAdmissionPipeline,
+    "corpus_batch_admit" -> corpusAdmissionPipeline,
     "stream_corpus_admit" -> streamCorpusAdmit,
     "corpus_artifact_store_build" -> corpusArtifactStoreBuild,
     "corpus_curation_funnel" -> corpusCurationFunnel,
@@ -2685,7 +2685,7 @@ object LlmQueries {
     // the admission gauntlet: exact (md5 set), near-dup (band candidates
     // Jaccard-verified), quality, repetition — reject precedence matches
     // the Spark side's when-chain
-    "corpus_admission_pipeline" -> admissionOracle,
+    "corpus_batch_admit" -> admissionOracle,
     "stream_corpus_admit" -> admissionOracle,
     "dedup_cluster_components" ->
       s"""WITH RECURSIVE $jaccardCtes,
