@@ -15,6 +15,28 @@ class PlanAuditSpec extends SparkSpec {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, Sf).queryExecution.executedPlan.toString
 
+  test("store-build entries sort before every consumer in bench order") {
+    // the bench runs queries alphabetically; a *_store_build entry owns
+    // its stores' build cost ONLY if it runs before every consumer — the
+    // r14 admission query initially sorted before its build entry and
+    // silently re-absorbed the cost this guard now pins
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    def idx(n: String): Int = {
+      val i = names.indexOf(n); assert(i >= 0, s"unknown query $n"); i
+    }
+    def firstWith(prefix: String): Int = {
+      val i = names.indexWhere(_.startsWith(prefix))
+      assert(i >= 0, s"no query starts with $prefix"); i
+    }
+    assert(idx("achilles_cdm_store_build") < idx("dqd_cohort_battery"))
+    assert(idx("achilles_cdm_store_build") < firstWith("ohdsi_"))
+    assert(idx("bpe_artifact_store_build") < firstWith("bpe_encode"))
+    assert(idx("corpus_artifact_store_build") < idx("corpus_batch_admit"))
+    assert(idx("corpus_artifact_store_build") < idx("corpus_curation_funnel"))
+    assert(idx("corpus_artifact_store_build") < firstWith("dedup_"))
+    assert(idx("corpus_artifact_store_build") < firstWith("stream_corpus"))
+  }
+
   test("no dedup/ANN candidate path contains an all-pairs join") {
     // brute-force top-k legitimately crossJoins a BROADCAST query batch;
     // every other candidate generator must stay an equi-join
