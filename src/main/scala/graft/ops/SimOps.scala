@@ -238,7 +238,10 @@ object SimOps {
     */
   private def assignNearestRouted(df: DataFrame, routing: CentroidRouting,
       idCol: String, vecCol: String, outId: String, outVec: String,
-      keepSim: Boolean = false, exact: Boolean = false, dim: Int = 64): DataFrame = {
+      // dim is REQUIRED (no default): the exact-mode pruning slack is
+      // derived from it, and a silently-defaulted 64 on wider embeddings
+      // would reintroduce the over-pruning bug the dim-derived slack fixed
+      keepSim: Boolean = false, exact: Boolean = false, dim: Int): DataFrame = {
     val rows = df.select(col(idCol).as(outId), asDouble(col(vecCol)).as(outVec))
     val wr = Window.partitionBy(col(outId)).orderBy(col("__cd"), col("__cell"))
     val rowCells = rows.crossJoin(routing.coarse)

@@ -365,7 +365,9 @@ object EventQueries {
         // accepts directories, so stage a dir holding a symlink (no data
         // copied, testdata untouched)
         val srcDir = new org.apache.hadoop.fs.Path(
-          new java.io.File(s"${graft.io.Zones.defaultRoot}/$stageName").getAbsolutePath)
+          new java.io.File(
+            s"${graft.io.Zones.defaultRoot}/${stageName}_${graft.io.Zones.pathKey(d)}")
+            .getAbsolutePath)
         val fs = srcDir.getFileSystem(s.sparkContext.hadoopConfiguration)
         fs.delete(srcDir, true)
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir.toString))
@@ -687,7 +689,9 @@ object EventQueries {
     // cleaned table would replay NOTHING and leave the state empty
     fs.delete(new org.apache.hadoop.fs.Path(zones.tablePath("work", "stream_state")), true)
     val ckpt = new org.apache.hadoop.fs.Path(
-      new java.io.File(s"${graft.io.Zones.defaultRoot}/stream_ckpt_upsert").getAbsolutePath)
+      new java.io.File(
+        s"${graft.io.Zones.defaultRoot}/stream_ckpt_upsert_${graft.io.Zones.pathKey(d)}")
+        .getAbsolutePath)
     ckpt.getFileSystem(s.sparkContext.hadoopConfiguration).delete(ckpt, true)
     val stream = eventsStream(s, d, "stream_src_events_up")
     graft.streaming.StreamingOps.upsertFold(
@@ -743,12 +747,12 @@ object EventQueries {
     rm(zones.tablePath("dqd", "dqd_results_run_1"))
     rm(zones.tablePath("dqd", "dqd_results_run_2"))
     val ckpt = new java.io.File(
-      s"${graft.io.Zones.defaultRoot}/stream_ckpt_dqd").getAbsolutePath
+      s"${graft.io.Zones.defaultRoot}/stream_ckpt_dqd_${graft.io.Zones.pathKey(d)}").getAbsolutePath
     rm(ckpt)
     // stage two single-file batches in a deterministic order (written
     // sequentially, so the file source's mod-time ordering is fixed)
     val stagingDir = new java.io.File(
-      s"${graft.io.Zones.defaultRoot}/stream_src_dqd").getAbsolutePath
+      s"${graft.io.Zones.defaultRoot}/stream_src_dqd_${graft.io.Zones.pathKey(d)}").getAbsolutePath
     rm(stagingDir)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stagingDir))
     val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "value")
@@ -824,10 +828,10 @@ object EventQueries {
     }
     rm(zones.tablePath("work", "ach_partials"))
     val ckpt = new java.io.File(
-      s"${graft.io.Zones.defaultRoot}/stream_ckpt_ach").getAbsolutePath
+      s"${graft.io.Zones.defaultRoot}/stream_ckpt_ach_${graft.io.Zones.pathKey(d)}").getAbsolutePath
     rm(ckpt)
     val stagingDir = new java.io.File(
-      s"${graft.io.Zones.defaultRoot}/stream_src_ach").getAbsolutePath
+      s"${graft.io.Zones.defaultRoot}/stream_src_ach_${graft.io.Zones.pathKey(d)}").getAbsolutePath
     rm(stagingDir)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stagingDir))
     val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "value", "ts")
@@ -914,10 +918,10 @@ object EventQueries {
     }
     rm(zones.tablePath("work", "ach_dist_partials"))
     val ckpt = new java.io.File(
-      s"${graft.io.Zones.defaultRoot}/stream_ckpt_achd").getAbsolutePath
+      s"${graft.io.Zones.defaultRoot}/stream_ckpt_achd_${graft.io.Zones.pathKey(d)}").getAbsolutePath
     rm(ckpt)
     val stagingDir = new java.io.File(
-      s"${graft.io.Zones.defaultRoot}/stream_src_achd").getAbsolutePath
+      s"${graft.io.Zones.defaultRoot}/stream_src_achd_${graft.io.Zones.pathKey(d)}").getAbsolutePath
     rm(stagingDir)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stagingDir))
     val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "value", "ts")

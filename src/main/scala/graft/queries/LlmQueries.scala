@@ -219,7 +219,10 @@ object LlmQueries {
     * `eventsStream`).
     */
   private def docsStream(s: SparkSession, d: String, stageName: String): org.apache.spark.sql.DataFrame = {
-    val srcDir = new java.io.File(s"${graft.io.Zones.defaultRoot}/$stageName")
+    // staging dir keyed by dataset like the zone roots: interleaved runs
+    // over two datasets in one JVM must not clobber each other's staging
+    val srcDir = new java.io.File(
+      s"${graft.io.Zones.defaultRoot}/${stageName}_${graft.io.Zones.pathKey(d)}")
     val p = new org.apache.hadoop.fs.Path(srcDir.getAbsolutePath)
     p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
     java.nio.file.Files.createDirectories(srcDir.toPath)
@@ -295,10 +298,10 @@ object LlmQueries {
     }
     rm(zones.root)
     val ckpt = new java.io.File(
-      s"${graft.io.Zones.defaultRoot}/stream_ckpt_gg").getAbsolutePath
+      s"${graft.io.Zones.defaultRoot}/stream_ckpt_gg_${graft.io.Zones.pathKey(d)}").getAbsolutePath
     rm(ckpt)
     val stagingDir = new java.io.File(
-      s"${graft.io.Zones.defaultRoot}/stream_src_gg").getAbsolutePath
+      s"${graft.io.Zones.defaultRoot}/stream_src_gg_${graft.io.Zones.pathKey(d)}").getAbsolutePath
     rm(stagingDir)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stagingDir))
     val docs = t(s, d, "documents").select("doc_id", "text")
@@ -468,10 +471,10 @@ object LlmQueries {
     }
     rm(zones.root)
     val ckpt = new java.io.File(
-      s"${graft.io.Zones.defaultRoot}/stream_ckpt_adm").getAbsolutePath
+      s"${graft.io.Zones.defaultRoot}/stream_ckpt_adm_${graft.io.Zones.pathKey(d)}").getAbsolutePath
     rm(ckpt)
     val stagingDir = new java.io.File(
-      s"${graft.io.Zones.defaultRoot}/stream_src_adm").getAbsolutePath
+      s"${graft.io.Zones.defaultRoot}/stream_src_adm_${graft.io.Zones.pathKey(d)}").getAbsolutePath
     rm(stagingDir)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stagingDir))
     val batchDocs = t(s, d, "documents")
@@ -838,7 +841,9 @@ object LlmQueries {
     * docsStream contract).
     */
   private def embsStream(s: SparkSession, d: String, stageName: String): org.apache.spark.sql.DataFrame = {
-    val srcDir = new java.io.File(s"${graft.io.Zones.defaultRoot}/$stageName")
+    // dataset-keyed like docsStream
+    val srcDir = new java.io.File(
+      s"${graft.io.Zones.defaultRoot}/${stageName}_${graft.io.Zones.pathKey(d)}")
     val p = new org.apache.hadoop.fs.Path(srcDir.getAbsolutePath)
     p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
     java.nio.file.Files.createDirectories(srcDir.toPath)

@@ -563,8 +563,13 @@ object OhdsiSql {
         }.toMap
     }
     val insertOpt: Option[(Seq[String], Seq[String])] =
-      wnm.map { case (_, we) =>
-        val body = afterOn.substring(we)
+      wnm.map { case (ws, we) =>
+        // T-SQL allows the clauses in either order: when WHEN MATCHED
+        // FOLLOWS the insert clause, bound the insert body at it (the
+        // greedy VALUES regex would otherwise swallow the UPDATE clause
+        // and fail with a misleading "unsupported INSERT shape")
+        val body = afterOn.substring(we,
+          wm.map(_._1).filter(_ > ws).getOrElse(afterOn.length))
         val im = ci(raw"(?s)^\s*\(([\w\s,]+?)\)\s*VALUES\s*\((.*)\)\s*$$")
           .findFirstMatchIn(body)
           .getOrElse(throw new IllegalArgumentException(
@@ -762,6 +767,11 @@ object OhdsiSql {
             depth -= 1; i += 2
           } else i += 1
         }
+        // T-SQL raises an error on an unterminated block comment; silently
+        // swallowing the rest of the script could hand execute() an earlier
+        // SELECT as the "result" of a malformed script
+        require(depth == 0,
+          "unterminated block comment in OHDSI SQL script (missing closing marker)")
         out += ' '
       } else { out += ch; i += 1 }
     }

@@ -358,6 +358,33 @@ class OhdsiSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("more than one source row"))
   }
 
+  test("MERGE accepts WHEN NOT MATCHED before WHEN MATCHED (T-SQL clause order)") {
+    // ADVICE r14: the reverse clause order is valid T-SQL; the INSERT body
+    // must stop at the following WHEN MATCHED instead of swallowing it
+    import spark.implicits._
+    Seq((1L, "stale"), (2L, "keep")).toDF("omop_id", "source")
+      .createOrReplaceTempView("tmp_ohdsi_map4")
+    Seq((1L, "fresh"), (3L, "new")).toDF("omop_id", "src_name")
+      .createOrReplaceTempView("merge_rev_rows")
+    val out = OhdsiSql.execute(spark,
+      """MERGE INTO #map4 AS T
+        |USING (SELECT omop_id, src_name FROM merge_rev_rows) AS S
+        |ON S.omop_id = T.omop_id
+        |WHEN NOT MATCHED THEN INSERT (omop_id, source) VALUES (S.omop_id, S.src_name)
+        |WHEN MATCHED THEN UPDATE SET T.source = S.src_name;
+        |SELECT omop_id, source FROM #map4 ORDER BY omop_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq === Seq((1L, "fresh"), (2L, "keep"), (3L, "new")))
+  }
+
+  test("unterminated block comment fails loudly instead of returning an earlier SELECT") {
+    // ADVICE r14: T-SQL errors on an unterminated block comment; silently
+    // swallowing the tail could hand back a WRONG earlier result
+    val e = intercept[IllegalArgumentException](OhdsiSql.translateScript(
+      "SELECT 1 AS a;\n/* comment never closed\nSELECT 2 AS b"))
+    assert(e.getMessage.contains("unterminated block comment"))
+  }
+
   test("MERGE with a join (and its ON) inside the USING subquery parses") {
     import spark.implicits._
     Seq((1L, "one"), (2L, "two")).toDF("k", "v")
