@@ -51,11 +51,14 @@ object OhdsiAchilles {
   /** The occurrence tables carrying the `x07` invalid-person-id and `x20`
     * records-by-month slots (era tables and death use those ids
     * differently in the published catalog, so they are excluded).
+    * specimen and note joined in round 15 — their published families
+    * (2400/2200 blocks) carry the same record-validity sub-ids under the
+    * id convention.
     */
   private val OccurrenceTables = Set(
     "visit_occurrence", "visit_detail", "condition_occurrence",
     "procedure_occurrence", "drug_exposure", "observation", "measurement",
-    "device_exposure")
+    "device_exposure", "specimen", "note")
 
   /** The era tables: their `x07` slot is the era-length distribution (not
     * the occurrence tables' invalid-person-id count), and their validity
@@ -111,7 +114,14 @@ object OhdsiAchilles {
     // sibling Achilles added with CDM 5.3+)
     DomainDef("visit_detail", 2500L, "visit_detail_concept_id",
       "visit_detail_start_date", typeCol = Some("visit_detail_type_concept_id"),
-      endDate = Some("visit_detail_end_date")))
+      endDate = Some("visit_detail_end_date")),
+    // note rides the published 2200 block: its published 2200/2201 rows
+    // ("persons with at least one note / note records, by
+    // note_type_concept_id") are EXACTLY the x00/x01 shapes with the type
+    // concept as the series concept, so the full series extends them by
+    // convention (r15; CDM note has no separate type column beyond the
+    // series concept, so no x05 slot)
+    DomainDef("note", 2200L, "note_type_concept_id", "note_date"))
 
   /** The vendored core catalog (public Achilles `achilles_analysis_details`
     * entries; names follow the published wording).
@@ -220,6 +230,18 @@ object OhdsiAchilles {
         (if (d.table != "death")
           Seq(CoreAnalysis(d.base + 6,
             s"Distribution of age at first $entity, by ${d.concept}", d.concept, isDist = true))
+        else Nil) ++
+        // x93/x94: per-person density distributions (records per person,
+        // and days between first and last record per person) — graft
+        // CONVENTION EXTENSIONS on the reserved x9x sub-id block (see
+        // [[NonStandardIds]]), r15
+        (if (d.table != "death")
+          Seq(
+            CoreAnalysis(d.base + 93,
+              s"Distribution of number of $entity records per person", isDist = true),
+            CoreAnalysis(d.base + 94,
+              s"Distribution of days between first and last $entity per person",
+              isDist = true))
         else Nil) ++
         // x07 / x08 / x09 / x20: occurrence tables only (the published era
         // catalogs use the +7 slot for era-length distributions). x09
@@ -343,10 +365,38 @@ object OhdsiAchilles {
       CoreAnalysis(2004L,
         "Number of distinct patients that overlap between specific domains",
         "domain_bitmask"),
-      CoreAnalysis(2200L, "Number of persons with at least one note, by note_type_concept_id",
-        "note_type_concept_id"),
-      CoreAnalysis(2201L, "Number of note records, by note_type_concept_id",
-        "note_type_concept_id")) ++
+      // 210: the published visit care-site fk-validity count (r15); 212:
+      // the published concept-free visit data-density drill-down
+      CoreAnalysis(210L, "Number of visit records with invalid care_site_id"),
+      CoreAnalysis(212L,
+        "Number of persons with at least one visit occurrence, by calendar year by gender by age decile",
+        "calendar_year", "gender_concept_id", stratum3 = "age_decile"),
+      // 1414/1415/1417/1418: the remaining observation-period mirrors of
+      // the payer 1400 block (+1300 over 114/115/117/118 — the same
+      // mirror convention as the shipped 1408-1413)
+      CoreAnalysis(1414L, "Number of persons with payer plan period before year-of-birth"),
+      CoreAnalysis(1415L,
+        "Number of persons with payer plan period end < payer plan period start"),
+      CoreAnalysis(1417L, "Number of persons with payer coverage during each month",
+        "calendar_month"),
+      CoreAnalysis(1418L, "Number of payer plan period records with invalid person_id"),
+      // 1501/1601: the published cost blocks' second fk-validity slot
+      // (payer plan period); 1509-1511 the drug-cost money distributions
+      // beyond the shared six (ingredient cost / dispensing fee / amount
+      // allowed — CDM 5.x cost columns); 1610 procedure cost by revenue
+      // code
+      CoreAnalysis(1501L,
+        "Number of drug cost records with invalid payer plan period id"),
+      CoreAnalysis(1601L,
+        "Number of procedure cost records with invalid payer plan period id"),
+      CoreAnalysis(1509L, "Distribution of ingredient cost paid, by drug_concept_id",
+        "drug_concept_id", isDist = true),
+      CoreAnalysis(1510L, "Distribution of dispensing fee paid, by drug_concept_id",
+        "drug_concept_id", isDist = true),
+      CoreAnalysis(1511L, "Distribution of amount allowed, by drug_concept_id",
+        "drug_concept_id", isDist = true),
+      CoreAnalysis(1610L, "Number of procedure cost records by revenue code",
+        "revenue_code_concept_id")) ++
     // The round-9 parity additions (VERDICT r8 item 1): death type (505),
     // the drug amount dists (715 days_supply / 716 refills / 717
     // quantity), the records-per-person cumulative series (x91 — persons
@@ -392,7 +442,37 @@ object OhdsiAchilles {
       CoreAnalysis(1091L, "Number of total persons that have at least x condition eras",
         "condition_era_count"),
       CoreAnalysis(1391L, "Number of total persons that have at least x dose eras",
-        "dose_era_count"))
+        "dose_era_count"),
+      // r15: the x91 series completed over note and specimen
+      CoreAnalysis(2291L, "Number of total persons that have at least x notes",
+        "note_count"),
+      CoreAnalysis(2491L, "Number of total persons that have at least x specimens",
+        "specimen_count"))
+
+  /** Ids carried by this catalog under the PUBLIC Achilles id CONVENTION
+    * but not verifiable against the published `achilles_analysis_details`
+    * CSV from this checkout (the Achilles submodule is an empty stub —
+    * ADVICE r14): the x91 at-least-x cumulative series beyond the
+    * occurrence tables (991/1091/1391/2291/2491), the whole x93/x94
+    * per-person density block (a graft extension on the reserved x9x
+    * sub-id range), the payer 1400-block observation-period mirrors
+    * (1408-1418), the dose-era 1300 block, the specimen 2400 and
+    * visit_detail 2500 series, the note 2200 series beyond the published
+    * 2200/2201, and the cost money-dist offsets (1502-1511/1602-1607,
+    * 1610). A future upstream id collision is possible in principle;
+    * consumers validating against the upstream catalog should treat these
+    * as graft-specific until cross-checked against a real Achilles
+    * checkout.
+    */
+  lazy val NonStandardIds: Set[Long] =
+    (Set(991L, 1091L, 1391L, 2291L, 2491L) ++
+      DomainSeries.filter(_.table != "death").flatMap(d =>
+        Seq(d.base + 93, d.base + 94)) ++
+      (1408L to 1418L).toSet ++
+      DomainSeries.filter(d => Set("dose_era", "specimen", "visit_detail")(d.table))
+        .flatMap(d => Catalog.collect { case a if a.id / 100 == d.base / 100 => a.id }) ++
+      Catalog.collect { case a if a.id >= 2202 && a.id < 2300 => a.id } ++
+      (1502L to 1511L).toSet ++ (1602L to 1610L).toSet).toSet
 
   /** The populated `achilles_analysis` catalog table
     * (`achilles.py:190-200`): what Atlas/Ares join analysis ids against.
@@ -646,6 +726,12 @@ object OhdsiAchilles {
             "observation_period_start_date", "observation_period_end_date")
         val endOpt = d.endDate.filter(e =>
           validityTable && has(model, d.table, e, d.startDate))
+        // 210: the published visit care-site fk-validity count (r15) —
+        // rides the same fused scan as the person/period checks (the x10
+        // slot is free here; the era tables use it for end-before-start)
+        val wantCs = d.table == "visit_occurrence" &&
+          has(model, d.table, "care_site_id") &&
+          has(model, "care_site", "care_site_id")
         var enriched = df
         if (wantX07)
           enriched = enriched.join(
@@ -658,12 +744,19 @@ object OhdsiAchilles {
                 col("observation_period_start_date").as("s"),
                 col("observation_period_end_date").as("e"))).as("__ops")),
             Seq("person_id"), "left")
+        if (wantCs)
+          enriched = enriched.join(
+            broadcast(load("care_site").select(col("care_site_id")).distinct()
+              .withColumn("__hacs", lit(1))),
+            Seq("care_site_id"), "left")
         val checks = Seq.newBuilder[(Long, org.apache.spark.sql.Column)]
         if (wantX07) checks += ((d.base + 7 + slotShift, col("__hasp").isNull))
         if (wantX08) checks += ((d.base + 8 + slotShift, col("__ops").isNull ||
           !exists(col("__ops"), o => col(d.startDate) >= o.getField("s") &&
             col(d.startDate) <= o.getField("e"))))
         endOpt.foreach(e => checks += ((d.base + 9 + slotShift, col(e) < col(d.startDate))))
+        if (wantCs) checks += ((d.base + 10,
+          col("care_site_id").isNotNull && col("__hacs").isNull))
         val cs = checks.result()
         val recBase = enriched.select(Seq(
           col(d.concept).cast("string").as("__c"),
@@ -727,11 +820,16 @@ object OhdsiAchilles {
             .cast("string") else nullS).as("__dec"),
           col("person_id").as("__p"))
         // gid bits over (c, m, y, g2, dec): set (c) -> 15, (c, m) -> 7,
-        // (c, y, g2, dec) -> 8
+        // (c, y, g2, dec) -> 8, and for the visit series the concept-free
+        // published density drill-down 212 rides the SAME pass as set
+        // (y, g2, dec) -> 24 (c and m aggregated: 16 + 8)
+        val want212 = wantX04 && d.base == 200L
         val personSets = Seq(Seq(col("__c"))) ++
           (if (hasStart) Seq(Seq(col("__c"), col("__m"))) else Nil) ++
           (if (wantX04)
-            Seq(Seq(col("__c"), col("__y"), col("__g2"), col("__dec"))) else Nil)
+            Seq(Seq(col("__c"), col("__y"), col("__g2"), col("__dec"))) else Nil) ++
+          (if (want212)
+            Seq(Seq(col("__y"), col("__g2"), col("__dec"))) else Nil)
         val persons = pBase
           .groupingSets(personSets,
             col("__c"), col("__m"), col("__y"), col("__g2"), col("__dec"))
@@ -742,14 +840,18 @@ object OhdsiAchilles {
           // were dropped pre-agg in the unfused formulation and both are
           // group keys here, so dropping the output groups is identical
           .filter(!(col("__gid") === 8 && (col("__y").isNull || col("__g2").isNull)))
+          .filter(!(col("__gid") === 24 && (col("__y").isNull || col("__g2").isNull)))
           .select(
             when(col("__gid") === 15, lit(d.base))
               .when(col("__gid") === 7, lit(d.base + 2))
+              .when(col("__gid") === 24, lit(212L))
               .otherwise(lit(d.base + 4)).as("analysis_id"),
-            col("__c").as("stratum_1"),
+            when(col("__gid") === 24, col("__y")).otherwise(col("__c")).as("stratum_1"),
             when(col("__gid") === 7, col("__m"))
-              .when(col("__gid") === 8, col("__y")).otherwise(nullS).as("stratum_2"),
-            when(col("__gid") === 8, col("__g2")).otherwise(nullS).as("stratum_3"),
+              .when(col("__gid") === 8, col("__y"))
+              .when(col("__gid") === 24, col("__g2")).otherwise(nullS).as("stratum_2"),
+            when(col("__gid") === 8, col("__g2"))
+              .when(col("__gid") === 24, col("__dec")).otherwise(nullS).as("stratum_3"),
             when(col("__gid") === 8, col("__dec")).otherwise(nullS).as("stratum_4"),
             col("count_value"))
         (Seq(records), Seq(persons))
@@ -797,7 +899,24 @@ object OhdsiAchilles {
                 .agg(count(lit(1)).as("count_value"))
                 .select(lit(aid).as("analysis_id"), lit("ALL").as("stratum_1"), noS2,
                   col("count_value"))
-          }
+          } ++
+          // 1501/1601: the cost blocks' payer-plan-period fk-validity slot
+          // (r15) — same left-anti shape on the period key
+          (if (!has(model, "cost", "payer_plan_period_id") ||
+            !has(model, "payer_plan_period", "payer_plan_period_id")) Nil
+          else Seq(("Drug", 1501L), ("Procedure", 1601L)).map { case (dom, aid) =>
+            c.filter(col("cost_domain_id") === dom &&
+                col("payer_plan_period_id").isNotNull)
+              .join(load("payer_plan_period").select(col("payer_plan_period_id")),
+                Seq("payer_plan_period_id"), "left_anti")
+              .agg(count(lit(1)).as("count_value"))
+              .select(lit(aid).as("analysis_id"), lit("ALL").as("stratum_1"), noS2,
+                col("count_value"))
+          }) ++
+          // 1610: procedure cost records by revenue code (r15)
+          (if (!has(model, "cost", "revenue_code_concept_id")) Nil
+          else Seq(row(1610L, col("revenue_code_concept_id"),
+            c.filter(col("cost_domain_id") === "Procedure"), count(lit(1)))))
       }
 
     // ---- the care-network tier ----
@@ -932,19 +1051,57 @@ object OhdsiAchilles {
             .agg(countDistinct(col("person_id")).as("count_value"))
             .select(lit(1409L).as("analysis_id"), col("stratum_1"), nullS2,
               col("count_value")),
-          // 1410: continuous coverage each MONTH (the 110 mirror) —
-          // whole-month cover predicate over the month explode
-          pp.select(col("person_id"),
-              explode(sequence(trunc(col("payer_plan_period_start_date"), "MM"),
-                trunc(col("payer_plan_period_end_date"), "MM"),
-                expr("interval 1 month"))).as("__m"),
-              col("payer_plan_period_start_date").as("__s"),
-              col("payer_plan_period_end_date").as("__e"))
-            .filter(col("__s") <= col("__m") && col("__e") >= last_day(col("__m")))
-            .groupBy(date_format(col("__m"), "yyyyMM").as("stratum_1"))
+          // 1410/1417: continuous (1410) / any (1417) coverage in each
+          // month — the 110/117 mirrors, sharing ONE month explode and
+          // one aggregate exactly like the observation-period pair
+          {
+            val monthlyPp = pp.select(col("person_id"),
+                explode(sequence(trunc(col("payer_plan_period_start_date"), "MM"),
+                  trunc(col("payer_plan_period_end_date"), "MM"),
+                  expr("interval 1 month"))).as("__m"),
+                col("payer_plan_period_start_date").as("__s"),
+                col("payer_plan_period_end_date").as("__e"))
+              .groupBy(date_format(col("__m"), "yyyyMM").as("stratum_1"))
+              .agg(
+                countDistinct(when(
+                  col("__s") <= col("__m") && col("__e") >= last_day(col("__m")),
+                  col("person_id"))).as("__n1410"),
+                countDistinct(col("person_id")).as("__n1417"))
+            unpack(monthlyPp.select(explode(array(
+              struct(lit(1410L).as("analysis_id"), col("stratum_1"),
+                lit(null).cast("string").as("stratum_2"),
+                col("__n1410").as("count_value")),
+              struct(lit(1417L).as("analysis_id"), col("stratum_1"),
+                lit(null).cast("string").as("stratum_2"),
+                col("__n1417").as("count_value")))).as("__r")))
+          },
+          // 1415: persons with a period whose end precedes its start (the
+          // 115 mirror)
+          pp.filter(col("payer_plan_period_end_date") <
+              col("payer_plan_period_start_date"))
             .agg(countDistinct(col("person_id")).as("count_value"))
-            .select(lit(1410L).as("analysis_id"), col("stratum_1"), nullS2,
-              col("count_value")))
+            .select(lit(1415L).as("analysis_id"), lit("ALL").as("stratum_1"),
+              nullS2, col("count_value"))) ++
+        // 1414/1418: the 114/118 mirrors (person-joined checks)
+        (if (!has(model, "person", "person_id")) Nil
+        else {
+          val inval = pp
+            .join(load("person").select(col("person_id"), lit(1).as("__hp")),
+              Seq("person_id"), "left")
+            .agg(sum(when(col("__hp").isNull, 1L).otherwise(0L)).as("count_value"))
+            .select(lit(1418L).as("analysis_id"), lit("ALL").as("stratum_1"),
+              nullS2, col("count_value"))
+          val before =
+            if (!has(model, "person", "year_of_birth")) Nil
+            else Seq(pp
+              .join(load("person").select(col("person_id"), col("year_of_birth")),
+                "person_id")
+              .filter(year(col("payer_plan_period_start_date")) < col("year_of_birth"))
+              .agg(countDistinct(col("person_id")).as("count_value"))
+              .select(lit(1414L).as("analysis_id"), lit("ALL").as("stratum_1"),
+                nullS2, col("count_value")))
+          inval +: before
+        })
       }
 
     // 1700/1701: cohort records + distinct subjects — ONE scan, both
@@ -1102,7 +1259,8 @@ object OhdsiAchilles {
           ("procedure_occurrence", 691L), ("drug_exposure", 791L),
           ("observation", 891L), ("measurement", 1891L),
           ("device_exposure", 2191L), ("visit_detail", 2591L),
-          ("drug_era", 991L), ("condition_era", 1091L), ("dose_era", 1391L))
+          ("drug_era", 991L), ("condition_era", 1091L), ("dose_era", 1391L),
+          ("note", 2291L), ("specimen", 2491L))
         .filter { case (tb, _) => has(model, tb) &&
           model.columns(tb).contains("person_id") }
       if (specs.isEmpty) Nil
@@ -1122,25 +1280,14 @@ object OhdsiAchilles {
       }
     }
 
-    // 2200/2201: note persons + records by note type — one scan, two rows
-    // per type
-    val noteRows: Seq[DataFrame] =
-      if (!has(model, "note", "person_id", "note_type_concept_id")) Nil
-      else Seq(unpack(load("note")
-        .groupBy(col("note_type_concept_id").cast("string").as("stratum_1"))
-        .agg(countDistinct(col("person_id")).as("__p"), count(lit(1)).as("__n"))
-        .select(explode(array(
-          struct(lit(2200L).as("analysis_id"), col("stratum_1"),
-            lit(null).cast("string").as("stratum_2"), col("__p").as("count_value")),
-          struct(lit(2201L).as("analysis_id"), col("stratum_1"),
-            lit(null).cast("string").as("stratum_2"), col("__n").as("count_value"))))
-          .as("__r"))))
+    // (the note 2200/2201 rows ride the DomainSeries pass since r15 —
+    // note is a full domain series now)
 
     val noS34 = Seq(lit(null).cast("string").as("stratum_3"),
       lit(null).cast("string").as("stratum_4"))
     val narrow = ((person.toSeq ++ obsPeriod.toSeq ++ payer.toSeq).flatten ++
       domains ++ costCounts ++ personFks ++ network.result() ++ cohortRows ++
-      measNoValue ++ deathType ++ deathDq ++ obsNoValue ++ atLeastX ++ coocc ++ noteRows)
+      measNoValue ++ deathType ++ deathDq ++ obsNoValue ++ atLeastX ++ coocc)
       .pipe(graft.Unions.balanced)
       .select(Seq(col("analysis_id"), col("stratum_1"), col("stratum_2")) ++ noS34 :+
         col("count_value"): _*)
@@ -1238,6 +1385,22 @@ object OhdsiAchilles {
         .agg(countDistinct(col(d.concept)).cast("double").as("__v"))
         .select(col("__v"))
       parts += hist(perPerson, d.base + 3)
+    }
+    // x93/x94: per-person density distributions (records per person, and
+    // days between first and last record per person — graft convention
+    // extensions, [[NonStandardIds]]). BOTH derive from ONE shuffle on
+    // person_id per table (count + min/max date in the same aggregate);
+    // the value histograms downstream are tiny at any scale.
+    DomainSeries.filter(d => d.table != "death" &&
+        has(model, d.table, "person_id", d.startDate)).foreach { d =>
+      val perPerson = load(d.table)
+        .groupBy(col("person_id"))
+        .agg(count(lit(1)).cast("double").as("__v93"),
+          datediff(to_date(max(col(d.startDate))), to_date(min(col(d.startDate))))
+            .cast("double").as("__v94"))
+      parts += hist(perPerson.select(col("__v93").as("__v")), d.base + 93)
+      parts += hist(perPerson.filter(col("__v94").isNotNull)
+        .select(col("__v94").as("__v")), d.base + 94)
     }
     // 1403: the payer sibling of the x03 family — distinct
     // payer_source_value values per person
@@ -1419,6 +1582,26 @@ object OhdsiAchilles {
         case _ => ()
       }
     }
+    // 1509/1510/1511: the drug-cost money distributions beyond the shared
+    // six (ingredient cost / dispensing fee / amount allowed) — the same
+    // one-join one-posexplode shape as the 1502-1507 block (r15)
+    if (has(model, "cost", "cost_domain_id", "cost_event_id",
+        "paid_ingredient_cost", "paid_dispensing_fee", "amount_allowed") &&
+      has(model, "drug_exposure", "drug_exposure_id", "drug_concept_id")) {
+      parts += load("cost").filter(col("cost_domain_id") === "Drug")
+        .join(load("drug_exposure").select(
+          col("drug_exposure_id").as("cost_event_id"),
+          col("drug_concept_id").as("__cc")), "cost_event_id")
+        .select(col("__cc").cast("string").as("stratum_1"),
+          posexplode(array(col("paid_ingredient_cost").cast("double"),
+            col("paid_dispensing_fee").cast("double"),
+            col("amount_allowed").cast("double"))).as(Seq("__i", "__v")))
+        .filter(col("__v").isNotNull)
+        .groupBy((lit(1509L) + col("__i").cast("long")).as("analysis_id"),
+          col("stratum_1"), col("__v"))
+        .agg(count(lit(1)).as("__cnt"))
+        .withColumn("stratum_2", noS2)
+    }
     val hists = parts.result()
     require(hists.nonEmpty, "model carries none of the core dist analyses")
     AchillesGen.distAggFromValueCounts(
@@ -1459,17 +1642,18 @@ object OhdsiAchilles {
       // + the person 7/8/9 care-network fks + the 1500/1600 cost-event fks
       CountRule(1L, "ERROR",
         Seq(7L, 8L, 9L, 207L, 407L, 607L, 707L, 807L, 1807L, 2107L, 2507L,
-          908L, 1008L, 1308L, 1500L, 1600L),
+          2207L, 2407L, 908L, 1008L, 1308L, 210L, 1418L,
+          1500L, 1600L, 1501L, 1601L),
         "should not be > 0 (invalid foreign key)"),
       // end-before-start family (occurrence x09, era x10) + 115
       // (observation period end < start)
       CountRule(2L, "ERROR",
-        Seq(115L, 209L, 409L, 709L, 2109L, 2509L, 910L, 1010L, 1310L),
+        Seq(115L, 209L, 409L, 709L, 2109L, 2509L, 910L, 1010L, 1310L, 1415L),
         "should not be > 0 (end date precedes start date)"),
       // outside-observation-period family (occurrence x08, era x09)
       CountRule(3L, "WARNING",
         Seq(208L, 408L, 608L, 708L, 808L, 1808L, 2108L, 2508L,
-          909L, 1009L, 1309L),
+          2208L, 2408L, 909L, 1009L, 1309L),
         "should not be > 0 (records outside a valid observation period)"),
       CountRule(4L, "WARNING", Seq(114L),
         "should not be > 0 (observation period before year of birth)"))
@@ -1497,7 +1681,8 @@ object OhdsiAchilles {
     val distRules: Seq[DistRule] = Seq(
       // age at first observation (103/104) + the x06 age-at-first family
       DistRule(6L, "WARNING",
-        Some(Seq(103L, 104L, 206L, 406L, 606L, 706L, 806L, 906L, 1006L, 1806L, 2106L, 2406L)),
+        Some(Seq(103L, 104L, 206L, 406L, 606L, 706L, 806L, 906L, 1006L, 1806L,
+          2106L, 2206L, 2406L, 2506L)),
         "max_value > 150", "strata carry an implausible maximum age (> 150)"),
       DistRule(7L, "WARNING", Some(Seq(506L)),
         "max_value > 120", "strata carry an implausible age at death (> 120)"),

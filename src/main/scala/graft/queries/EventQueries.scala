@@ -1205,9 +1205,13 @@ object EventQueries {
         |(207, 'Number of visit occurrence records with invalid person_id', NULL, NULL, NULL, NULL, 0),
         |(208, 'Number of visit occurrence records outside valid observation period', NULL, NULL, NULL, NULL, 0),
         |(209, 'Number of visit occurrence records with end date < start date', NULL, NULL, NULL, NULL, 0),
+        |(210, 'Number of visit records with invalid care_site_id', NULL, NULL, NULL, NULL, 0),
         |(211, 'Distribution of length of stay, by visit_concept_id', 'visit_concept_id', NULL, NULL, NULL, 1),
+        |(212, 'Number of persons with at least one visit occurrence, by calendar year by gender by age decile', 'calendar_year', 'gender_concept_id', 'age_decile', NULL, 0),
         |(220, 'Number of visit occurrence records by visit occurrence start month', 'calendar_month', NULL, NULL, NULL, 0),
         |(291, 'Number of total persons that have at least x visit occurrences', 'visit_occurrence_count', NULL, NULL, NULL, 0),
+        |(293, 'Distribution of number of visit occurrence records per person', NULL, NULL, NULL, NULL, 1),
+        |(294, 'Distribution of days between first and last visit occurrence per person', NULL, NULL, NULL, NULL, 1),
         |(300, 'Number of providers', NULL, NULL, NULL, NULL, 0),
         |(301, 'Number of providers by specialty', 'specialty_concept_id', NULL, NULL, NULL, 0),
         |(400, 'Number of persons with at least one condition occurrence, by condition_concept_id', 'condition_concept_id', NULL, NULL, NULL, 0),
@@ -1222,6 +1226,8 @@ object EventQueries {
         |(409, 'Number of condition occurrence records with end date < start date', NULL, NULL, NULL, NULL, 0),
         |(420, 'Number of condition occurrence records by condition occurrence start month', 'calendar_month', NULL, NULL, NULL, 0),
         |(491, 'Number of total persons that have at least x condition occurrences', 'condition_occurrence_count', NULL, NULL, NULL, 0),
+        |(493, 'Distribution of number of condition occurrence records per person', NULL, NULL, NULL, NULL, 1),
+        |(494, 'Distribution of days between first and last condition occurrence per person', NULL, NULL, NULL, NULL, 1),
         |(500, 'Number of persons with at least one death, by cause_concept_id', 'cause_concept_id', NULL, NULL, NULL, 0),
         |(501, 'Number of death records, by cause_concept_id', 'cause_concept_id', NULL, NULL, NULL, 0),
         |(502, 'Number of persons by death start month, by cause_concept_id', 'cause_concept_id', 'calendar_month', NULL, NULL, 0),
@@ -1245,6 +1251,8 @@ object EventQueries {
         |(608, 'Number of procedure occurrence records outside valid observation period', NULL, NULL, NULL, NULL, 0),
         |(620, 'Number of procedure occurrence records by procedure occurrence start month', 'calendar_month', NULL, NULL, NULL, 0),
         |(691, 'Number of total persons that have at least x procedure occurrences', 'procedure_occurrence_count', NULL, NULL, NULL, 0),
+        |(693, 'Distribution of number of procedure occurrence records per person', NULL, NULL, NULL, NULL, 1),
+        |(694, 'Distribution of days between first and last procedure occurrence per person', NULL, NULL, NULL, NULL, 1),
         |(700, 'Number of persons with at least one drug exposure, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 0),
         |(701, 'Number of drug exposure records, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 0),
         |(702, 'Number of persons by drug exposure start month, by drug_concept_id', 'drug_concept_id', 'calendar_month', NULL, NULL, 0),
@@ -1260,6 +1268,8 @@ object EventQueries {
         |(717, 'Distribution of quantity by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 1),
         |(720, 'Number of drug exposure records by drug exposure start month', 'calendar_month', NULL, NULL, NULL, 0),
         |(791, 'Number of total persons that have at least x drug exposures', 'drug_exposure_count', NULL, NULL, NULL, 0),
+        |(793, 'Distribution of number of drug exposure records per person', NULL, NULL, NULL, NULL, 1),
+        |(794, 'Distribution of days between first and last drug exposure per person', NULL, NULL, NULL, NULL, 1),
         |(800, 'Number of persons with at least one observation, by observation_concept_id', 'observation_concept_id', NULL, NULL, NULL, 0),
         |(801, 'Number of observation records, by observation_concept_id', 'observation_concept_id', NULL, NULL, NULL, 0),
         |(802, 'Number of persons by observation start month, by observation_concept_id', 'observation_concept_id', 'calendar_month', NULL, NULL, 0),
@@ -1273,6 +1283,8 @@ object EventQueries {
         |(815, 'Distribution of numeric values, by observation_concept_id and unit_concept_id', 'observation_concept_id', 'unit_concept_id', NULL, NULL, 1),
         |(820, 'Number of observation records by observation start month', 'calendar_month', NULL, NULL, NULL, 0),
         |(891, 'Number of total persons that have at least x observations', 'observation_count', NULL, NULL, NULL, 0),
+        |(893, 'Distribution of number of observation records per person', NULL, NULL, NULL, NULL, 1),
+        |(894, 'Distribution of days between first and last observation per person', NULL, NULL, NULL, NULL, 1),
         |(900, 'Number of persons with at least one drug era, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 0),
         |(901, 'Number of drug era records, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 0),
         |(902, 'Number of persons by drug era start month, by drug_concept_id', 'drug_concept_id', 'calendar_month', NULL, NULL, 0),
@@ -1285,6 +1297,8 @@ object EventQueries {
         |(910, 'Number of drug era records with end date < start date', NULL, NULL, NULL, NULL, 0),
         |(920, 'Number of drug era records by drug era start month', 'calendar_month', NULL, NULL, NULL, 0),
         |(991, 'Number of total persons that have at least x drug eras', 'drug_era_count', NULL, NULL, NULL, 0),
+        |(993, 'Distribution of number of drug era records per person', NULL, NULL, NULL, NULL, 1),
+        |(994, 'Distribution of days between first and last drug era per person', NULL, NULL, NULL, NULL, 1),
         |(1000, 'Number of persons with at least one condition era, by condition_concept_id', 'condition_concept_id', NULL, NULL, NULL, 0),
         |(1001, 'Number of condition era records, by condition_concept_id', 'condition_concept_id', NULL, NULL, NULL, 0),
         |(1002, 'Number of persons by condition era start month, by condition_concept_id', 'condition_concept_id', 'calendar_month', NULL, NULL, 0),
@@ -1297,6 +1311,8 @@ object EventQueries {
         |(1010, 'Number of condition era records with end date < start date', NULL, NULL, NULL, NULL, 0),
         |(1020, 'Number of condition era records by condition era start month', 'calendar_month', NULL, NULL, NULL, 0),
         |(1091, 'Number of total persons that have at least x condition eras', 'condition_era_count', NULL, NULL, NULL, 0),
+        |(1093, 'Distribution of number of condition era records per person', NULL, NULL, NULL, NULL, 1),
+        |(1094, 'Distribution of days between first and last condition era per person', NULL, NULL, NULL, NULL, 1),
         |(1100, 'Number of persons by location 3-digit zip', 'zip3', NULL, NULL, NULL, 0),
         |(1101, 'Number of persons by location state', 'state', NULL, NULL, NULL, 0),
         |(1102, 'Number of care sites by location 3-digit zip', 'zip3', NULL, NULL, NULL, 0),
@@ -1316,6 +1332,8 @@ object EventQueries {
         |(1310, 'Number of dose era records with end date < start date', NULL, NULL, NULL, NULL, 0),
         |(1320, 'Number of dose era records by dose era start month', 'calendar_month', NULL, NULL, NULL, 0),
         |(1391, 'Number of total persons that have at least x dose eras', 'dose_era_count', NULL, NULL, NULL, 0),
+        |(1393, 'Distribution of number of dose era records per person', NULL, NULL, NULL, NULL, 1),
+        |(1394, 'Distribution of days between first and last dose era per person', NULL, NULL, NULL, NULL, 1),
         |(1400, 'Number of persons with at least one payer plan period, by payer_source_value', 'payer_source_value', NULL, NULL, NULL, 0),
         |(1401, 'Number of payer plan period records, by payer_source_value', 'payer_source_value', NULL, NULL, NULL, 0),
         |(1402, 'Number of persons by payer plan period start month, by payer_source_value', 'payer_source_value', 'calendar_month', NULL, NULL, 0),
@@ -1328,20 +1346,30 @@ object EventQueries {
         |(1411, 'Number of persons by payer plan period start month', 'calendar_month', NULL, NULL, NULL, 0),
         |(1412, 'Number of persons by payer plan period end month', 'calendar_month', NULL, NULL, NULL, 0),
         |(1413, 'Number of persons by number of payer plan periods', 'num_periods', NULL, NULL, NULL, 0),
+        |(1414, 'Number of persons with payer plan period before year-of-birth', NULL, NULL, NULL, NULL, 0),
+        |(1415, 'Number of persons with payer plan period end < payer plan period start', NULL, NULL, NULL, NULL, 0),
+        |(1417, 'Number of persons with payer coverage during each month', 'calendar_month', NULL, NULL, NULL, 0),
+        |(1418, 'Number of payer plan period records with invalid person_id', NULL, NULL, NULL, NULL, 0),
         |(1500, 'Number of drug cost records with invalid drug exposure id', NULL, NULL, NULL, NULL, 0),
+        |(1501, 'Number of drug cost records with invalid payer plan period id', NULL, NULL, NULL, NULL, 0),
         |(1502, 'Distribution of paid copay, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 1),
         |(1503, 'Distribution of paid coinsurance, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 1),
         |(1504, 'Distribution of paid toward deductible, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 1),
         |(1505, 'Distribution of paid by payer, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 1),
         |(1506, 'Distribution of paid by patient, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 1),
         |(1507, 'Distribution of total paid, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 1),
+        |(1509, 'Distribution of ingredient cost paid, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 1),
+        |(1510, 'Distribution of dispensing fee paid, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 1),
+        |(1511, 'Distribution of amount allowed, by drug_concept_id', 'drug_concept_id', NULL, NULL, NULL, 1),
         |(1600, 'Number of procedure cost records with invalid procedure occurrence id', NULL, NULL, NULL, NULL, 0),
+        |(1601, 'Number of procedure cost records with invalid payer plan period id', NULL, NULL, NULL, NULL, 0),
         |(1602, 'Distribution of paid copay, by procedure_concept_id', 'procedure_concept_id', NULL, NULL, NULL, 1),
         |(1603, 'Distribution of paid coinsurance, by procedure_concept_id', 'procedure_concept_id', NULL, NULL, NULL, 1),
         |(1604, 'Distribution of paid toward deductible, by procedure_concept_id', 'procedure_concept_id', NULL, NULL, NULL, 1),
         |(1605, 'Distribution of paid by payer, by procedure_concept_id', 'procedure_concept_id', NULL, NULL, NULL, 1),
         |(1606, 'Distribution of paid by patient, by procedure_concept_id', 'procedure_concept_id', NULL, NULL, NULL, 1),
         |(1607, 'Distribution of total paid, by procedure_concept_id', 'procedure_concept_id', NULL, NULL, NULL, 1),
+        |(1610, 'Number of procedure cost records by revenue code', 'revenue_code_concept_id', NULL, NULL, NULL, 0),
         |(1700, 'Number of records by cohort_definition_id', 'cohort_definition_id', NULL, NULL, NULL, 0),
         |(1701, 'Number of distinct subjects by cohort_definition_id', 'cohort_definition_id', NULL, NULL, NULL, 0),
         |(1800, 'Number of persons with at least one measurement, by measurement_concept_id', 'measurement_concept_id', NULL, NULL, NULL, 0),
@@ -1362,6 +1390,8 @@ object EventQueries {
         |(1820, 'Number of measurement records by measurement start month', 'calendar_month', NULL, NULL, NULL, 0),
         |(1821, 'Number of measurement records with no numeric value', NULL, NULL, NULL, NULL, 0),
         |(1891, 'Number of total persons that have at least x measurements', 'measurement_count', NULL, NULL, NULL, 0),
+        |(1893, 'Distribution of number of measurement records per person', NULL, NULL, NULL, NULL, 1),
+        |(1894, 'Distribution of days between first and last measurement per person', NULL, NULL, NULL, NULL, 1),
         |(2000, 'Number of persons with at least 1 Dx and 1 Rx', NULL, NULL, NULL, NULL, 0),
         |(2001, 'Number of persons with at least 1 Dx and 1 Proc', NULL, NULL, NULL, NULL, 0),
         |(2002, 'Number of persons with at least 1 Mx and 1 Dx and 1 Rx', NULL, NULL, NULL, NULL, 0),
@@ -1379,8 +1409,20 @@ object EventQueries {
         |(2109, 'Number of device exposure records with end date < start date', NULL, NULL, NULL, NULL, 0),
         |(2120, 'Number of device exposure records by device exposure start month', 'calendar_month', NULL, NULL, NULL, 0),
         |(2191, 'Number of total persons that have at least x device exposures', 'device_exposure_count', NULL, NULL, NULL, 0),
+        |(2193, 'Distribution of number of device exposure records per person', NULL, NULL, NULL, NULL, 1),
+        |(2194, 'Distribution of days between first and last device exposure per person', NULL, NULL, NULL, NULL, 1),
         |(2200, 'Number of persons with at least one note, by note_type_concept_id', 'note_type_concept_id', NULL, NULL, NULL, 0),
         |(2201, 'Number of note records, by note_type_concept_id', 'note_type_concept_id', NULL, NULL, NULL, 0),
+        |(2202, 'Number of persons by note start month, by note_type_concept_id', 'note_type_concept_id', 'calendar_month', NULL, NULL, 0),
+        |(2203, 'Number of distinct note concepts per person', NULL, NULL, NULL, NULL, 1),
+        |(2204, 'Number of persons with at least one note, by note_type_concept_id by calendar year by gender by age decile', 'note_type_concept_id', 'calendar_year', 'gender_concept_id', 'age_decile', 0),
+        |(2206, 'Distribution of age at first note, by note_type_concept_id', 'note_type_concept_id', NULL, NULL, NULL, 1),
+        |(2207, 'Number of note records with invalid person_id', NULL, NULL, NULL, NULL, 0),
+        |(2208, 'Number of note records outside valid observation period', NULL, NULL, NULL, NULL, 0),
+        |(2220, 'Number of note records by note start month', 'calendar_month', NULL, NULL, NULL, 0),
+        |(2291, 'Number of total persons that have at least x notes', 'note_count', NULL, NULL, NULL, 0),
+        |(2293, 'Distribution of number of note records per person', NULL, NULL, NULL, NULL, 1),
+        |(2294, 'Distribution of days between first and last note per person', NULL, NULL, NULL, NULL, 1),
         |(2400, 'Number of persons with at least one specimen, by specimen_concept_id', 'specimen_concept_id', NULL, NULL, NULL, 0),
         |(2401, 'Number of specimen records, by specimen_concept_id', 'specimen_concept_id', NULL, NULL, NULL, 0),
         |(2402, 'Number of persons by specimen start month, by specimen_concept_id', 'specimen_concept_id', 'calendar_month', NULL, NULL, 0),
@@ -1388,6 +1430,12 @@ object EventQueries {
         |(2404, 'Number of persons with at least one specimen, by specimen_concept_id by calendar year by gender by age decile', 'specimen_concept_id', 'calendar_year', 'gender_concept_id', 'age_decile', 0),
         |(2405, 'Number of specimen records, by specimen_concept_id by specimen_type_concept_id', 'specimen_concept_id', 'specimen_type_concept_id', NULL, NULL, 0),
         |(2406, 'Distribution of age at first specimen, by specimen_concept_id', 'specimen_concept_id', NULL, NULL, NULL, 1),
+        |(2407, 'Number of specimen records with invalid person_id', NULL, NULL, NULL, NULL, 0),
+        |(2408, 'Number of specimen records outside valid observation period', NULL, NULL, NULL, NULL, 0),
+        |(2420, 'Number of specimen records by specimen start month', 'calendar_month', NULL, NULL, NULL, 0),
+        |(2491, 'Number of total persons that have at least x specimens', 'specimen_count', NULL, NULL, NULL, 0),
+        |(2493, 'Distribution of number of specimen records per person', NULL, NULL, NULL, NULL, 1),
+        |(2494, 'Distribution of days between first and last specimen per person', NULL, NULL, NULL, NULL, 1),
         |(2500, 'Number of persons with at least one visit detail, by visit_detail_concept_id', 'visit_detail_concept_id', NULL, NULL, NULL, 0),
         |(2501, 'Number of visit detail records, by visit_detail_concept_id', 'visit_detail_concept_id', NULL, NULL, NULL, 0),
         |(2502, 'Number of persons by visit detail start month, by visit_detail_concept_id', 'visit_detail_concept_id', 'calendar_month', NULL, NULL, 0),
@@ -1399,7 +1447,9 @@ object EventQueries {
         |(2508, 'Number of visit detail records outside valid observation period', NULL, NULL, NULL, NULL, 0),
         |(2509, 'Number of visit detail records with end date < start date', NULL, NULL, NULL, NULL, 0),
         |(2520, 'Number of visit detail records by visit detail start month', 'calendar_month', NULL, NULL, NULL, 0),
-        |(2591, 'Number of total persons that have at least x visit details', 'visit_detail_count', NULL, NULL, NULL, 0)
+        |(2591, 'Number of total persons that have at least x visit details', 'visit_detail_count', NULL, NULL, NULL, 0),
+        |(2593, 'Distribution of number of visit detail records per person', NULL, NULL, NULL, NULL, 1),
+        |(2594, 'Distribution of days between first and last visit detail per person', NULL, NULL, NULL, NULL, 1)
         |) AS t(analysis_id, analysis_name, stratum_1_name, stratum_2_name,
         |       stratum_3_name, stratum_4_name, distribution)
         |ORDER BY analysis_id""".stripMargin,

@@ -104,6 +104,11 @@ object OhdsiCdmQueries {
     f("cost", "paid_by_payer", "float64"),
     f("cost", "paid_by_patient", "float64"),
     f("cost", "total_paid", "float64"),
+    f("cost", "paid_ingredient_cost", "float64"),
+    f("cost", "paid_dispensing_fee", "float64"),
+    f("cost", "amount_allowed", "float64"),
+    f("cost", "revenue_code_concept_id", "int64"),
+    f("cost", "payer_plan_period_id", "int64"),
     f("observation", "person_id", "int64"),
     f("observation", "observation_concept_id", "int64"),
     f("observation", "observation_date", "date"),
@@ -143,6 +148,7 @@ object OhdsiCdmQueries {
     f("provider", "provider_id", "int64", pk = true),
     f("provider", "specialty_concept_id", "int64"),
     f("provider", "care_site_id", "int64"),
+    f("payer_plan_period", "payer_plan_period_id", "int64", pk = true),
     f("payer_plan_period", "person_id", "int64"),
     f("payer_plan_period", "payer_plan_period_start_date", "date"),
     f("payer_plan_period", "payer_plan_period_end_date", "date"),
@@ -228,7 +234,10 @@ object OhdsiCdmQueries {
         when(col("o_orderkey") % 3 === 0, 44818517L)
           .when(col("o_orderkey") % 3 === 1, 44818518L)
           .otherwise(44818519L).as("visit_type_concept_id"),
-        (lit(1L) + col("o_orderkey") % col("__ns")).as("care_site_id"))
+        // every ~109th visit orphans its care site so the 210 invalid
+        // care-site analysis counts real rows (r15)
+        (when(col("o_orderkey") % 109 === 0, 1000000L).otherwise(0L) +
+          lit(1L) + col("o_orderkey") % col("__ns")).as("care_site_id"))
     case "visit_detail" =>
       // the finer-grained child of visit_occurrence: one detail row per
       // lineitem of the order-visit; every ~89th detail is an ORPHAN (x07)
@@ -438,7 +447,12 @@ object OhdsiCdmQueries {
       // ~61st row orphans its event id (the 1500/1600 fk-validity counts).
       // Amounts are FLOOR-integral doubles, so the dist moments replay
       // exactly in both engines (same contract as measurement values).
+      // r15: joined to orders for the payer-plan fk (the derived ppp keys
+      // on (person, order-year), so (o_custkey, year) always resolves —
+      // except the deliberate ~71st-row orphan feeding 1501/1601; every
+      // ~19th row carries NO period fk, exercising the null filter)
       t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
         .select(
           when(col("l_linenumber") % 2 === 0, lit("Drug")).otherwise(lit("Procedure"))
             .as("cost_domain_id"),
@@ -448,7 +462,18 @@ object OhdsiCdmQueries {
           floor(col("l_extendedprice") / 100).cast("double").as("paid_patient_copay"),
           floor(col("l_extendedprice") / 50).cast("double").as("paid_patient_coinsurance"),
           floor(col("l_extendedprice") / 20).cast("double").as("paid_patient_deductible"),
-          floor(col("l_extendedprice") / 2).cast("double").as("paid_by_payer"))
+          floor(col("l_extendedprice") / 2).cast("double").as("paid_by_payer"),
+          floor(col("l_extendedprice") / 40).cast("double").as("paid_ingredient_cost"),
+          floor(col("l_extendedprice") / 200).cast("double").as("paid_dispensing_fee"),
+          floor(col("l_extendedprice") / 3).cast("double").as("amount_allowed"),
+          (lit(38000001L) + col("l_suppkey") % 5).as("revenue_code_concept_id"),
+          when((col("l_orderkey") + col("l_partkey")) % 19 === 0,
+            lit(null).cast("long"))
+            .when((col("l_orderkey") + col("l_partkey")) % 71 === 0,
+              col("o_custkey") * 10000L + year(to_date(col("o_orderdate"))) +
+                900000000L)
+            .otherwise(col("o_custkey") * 10000L + year(to_date(col("o_orderdate"))))
+            .as("payer_plan_period_id"))
         .withColumn("paid_by_patient",
           col("paid_patient_copay") + col("paid_patient_coinsurance") +
             col("paid_patient_deductible"))
@@ -527,7 +552,11 @@ object OhdsiCdmQueries {
           year(to_date(col("o_orderdate"))).as("__y"))
         .agg(min(to_date(col("o_orderdate"))).as("payer_plan_period_start_date"),
           max(to_date(col("o_orderdate"))).as("__mx"))
-        .select(col("person_id"), col("payer_plan_period_start_date"),
+        .select(
+          // the (person, year) key IS the period identity, so the id is
+          // pure arithmetic on it — what the cost 1501/1601 fk checks join
+          (col("person_id") * 10000L + col("__y")).as("payer_plan_period_id"),
+          col("person_id"), col("payer_plan_period_start_date"),
           date_add(col("__mx"), 30).as("payer_plan_period_end_date"),
           when((col("person_id") + col("__y")) % 3 === 0, "Medicare")
             .when((col("person_id") + col("__y")) % 3 === 1, "Medicaid")
@@ -575,8 +604,10 @@ object OhdsiCdmQueries {
     // death_type_concept_id). v5: the r11 visit_type_concept_id and
     // device_exposure_end_date columns (205 / 2109 analyses). v6: the
     // payer_plan_period payer_source_value column (1400-1403 series).
-    // v7: the r14 condition_end_date column (analysis 409)
-    val zones = graft.io.Zones.forPurpose(s"ohdsicdm7_$key")
+    // v7: the r14 condition_end_date column (analysis 409). v8: the r15
+    // catalog growth — visit care-site orphan wrinkle (210), cost
+    // payer-plan fk + money columns (1501/1601/1509-1511/1610), ppp id
+    val zones = graft.io.Zones.forPurpose(s"ohdsicdm8_$key")
     cdmStore.getOrElseUpdate((s, d), {
       val staged = zones.listTables(s, "omop").toSet
       val todo = derivedModel.tables.filterNot(staged).toSeq
@@ -623,9 +654,11 @@ object OhdsiCdmQueries {
     // v5: the r11 deterministic first-period tie-break (min(struct) for
     // 108/1406/1407/1408 replaces min_by-on-start). v6: the derived
     // payer_plan_period gained payer_source_value (1400-1403). v7: the
-    // r14 condition_end_date / 409 + the era x91 series (991/1091/1391)
+    // r14 condition_end_date / 409 + the era x91 series (991/1091/1391).
+    // v8: the r15 catalog growth (note/specimen series, 210/212, payer
+    // mirrors, cost completion, the x93/x94 density dists)
     val zones = graft.io.Zones.forPurpose(
-      s"ohdsires7_${graft.operators.OhdsiAchilles.Catalog.size}_$key")
+      s"ohdsires8_${graft.operators.OhdsiAchilles.Catalog.size}_$key")
     resultsStore.getOrElseUpdate((s, d), {
       val have = zones.listTables(s, "achilles").toSet
       val load = materialized(s, d)
@@ -1328,8 +1361,38 @@ object OhdsiCdmQueries {
         "cohortTableName" -> "dqd_pvl_cohort"))
   }
 
+  /** DQD-shape temporal check over SUB-DAY dateparts — the r15 dialect
+    * widening: `DATEDIFF(hour|minute)` with SQL Server BOUNDARY-CROSSING
+    * semantics (not elapsed units), `DATEPART(quarter|hour)`, `IIF`, a
+    * `{DEFAULT @p}` declaration, and the manifest-header template shape
+    * the published DQD SQL opens with. Every sub-day datepart here was
+    * REFUSED by the bridge before this round
+    * (`sql_render_base.py:36-81` is the reference's full replacement
+    * list; the grammar is property-tested in OhdsiSqlPropSpec).
+    */
+  val ohdsiSqlSessionSpan: Q = (s, d) => {
+    t(s, d, "events").createOrReplaceTempView("events_src")
+    graft.sources.OhdsiSql.execute(s,
+      """/*********
+        |SESSION_SPAN
+        |per-user event span in sub-day units; long-span flag at @bucket_hours
+        |*********/
+        |{DEFAULT @bucket_hours = 6}
+        |SELECT TOP 50 user_id,
+        |  COUNT_BIG(*) AS n_events,
+        |  DATEDIFF(minute, MIN(ts), MAX(ts)) AS span_minutes,
+        |  DATEDIFF(hour, MIN(ts), MAX(ts)) AS span_hours,
+        |  DATEPART(quarter, MIN(ts)) AS first_quarter,
+        |  DATEPART(hour, MIN(ts)) AS first_hour,
+        |  IIF(DATEDIFF(hour, MIN(ts), MAX(ts)) >= @bucket_hours, 1, 0) AS long_span
+        |FROM events_src
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin)
+  }
+
   val defs: Seq[(String, Q)] = Seq(
     "achilles_cdm_store_build" -> achillesCdmStoreBuild,
+    "ohdsi_sql_session_span" -> ohdsiSqlSessionSpan,
     "ohdsi_sql_achilles701" -> ohdsiSqlAchilles701,
     "ohdsi_sql_achilles105" -> ohdsiSqlAchilles105,
     "ohdsi_sql_heel_rule" -> ohdsiSqlHeelRule,
@@ -1381,7 +1444,8 @@ object OhdsiCdmQueries {
       |      AS visit_end_date,
       |    CASE CAST(o_orderkey % 3 AS INT) WHEN 0 THEN 44818517
       |      WHEN 1 THEN 44818518 ELSE 44818519 END AS visit_type_concept_id,
-      |    1 + o_orderkey % (SELECT count(*) FROM supplier) AS care_site_id
+      |    CASE WHEN o_orderkey % 109 = 0 THEN 1000000 ELSE 0 END
+      |      + 1 + o_orderkey % (SELECT count(*) FROM supplier) AS care_site_id
       |  FROM orders
       |), vd AS (
       |  SELECT l_orderkey * 8 + l_linenumber AS visit_detail_id,
@@ -1570,8 +1634,17 @@ object OhdsiCdmQueries {
       |    floor(l_extendedprice / 100) + floor(l_extendedprice / 50)
       |      + floor(l_extendedprice / 20) AS paid_by_patient,
       |    floor(l_extendedprice / 2) + floor(l_extendedprice / 100)
-      |      + floor(l_extendedprice / 50) + floor(l_extendedprice / 20) AS total_paid
-      |  FROM lineitem
+      |      + floor(l_extendedprice / 50) + floor(l_extendedprice / 20) AS total_paid,
+      |    floor(l_extendedprice / 40) AS paid_ingredient_cost,
+      |    floor(l_extendedprice / 200) AS paid_dispensing_fee,
+      |    floor(l_extendedprice / 3) AS amount_allowed,
+      |    38000001 + l_suppkey % 5 AS revenue_code_concept_id,
+      |    CASE WHEN (l_orderkey + l_partkey) % 19 = 0 THEN NULL
+      |      WHEN (l_orderkey + l_partkey) % 71 = 0
+      |      THEN o_custkey * 10000 + year(CAST(o_orderdate AS DATE)) + 900000000
+      |      ELSE o_custkey * 10000 + year(CAST(o_orderdate AS DATE)) END
+      |      AS payer_plan_period_id
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |), loc AS (
       |  SELECT n_nationkey * 4 + j + 1 AS location_id, n_name AS state,
       |    lpad(CAST((n_nationkey * 4 + j) * 37 % 1000 AS VARCHAR), 3, '0') || '01'
@@ -1590,7 +1663,9 @@ object OhdsiCdmQueries {
       |    s_suppkey AS care_site_id
       |  FROM supplier
       |), ppp AS (
-      |  SELECT o_custkey AS person_id,
+      |  SELECT o_custkey * 10000 + year(CAST(o_orderdate AS DATE))
+      |      AS payer_plan_period_id,
+      |    o_custkey AS person_id,
       |    min(CAST(o_orderdate AS DATE)) AS pp_start,
       |    max(CAST(o_orderdate AS DATE)) + 30 AS pp_end,
       |    CASE (o_custkey + year(CAST(o_orderdate AS DATE))) % 3
@@ -1740,6 +1815,10 @@ object OhdsiCdmQueries {
       |  UNION ALL
       |  SELECT 207, 'ALL', NULL, count(*) FROM visit
       |  WHERE person_id NOT IN (SELECT person_id FROM person)
+      |  UNION ALL
+      |  SELECT 210, 'ALL', NULL, count(*) FROM visit
+      |  WHERE care_site_id IS NOT NULL
+      |    AND care_site_id NOT IN (SELECT care_site_id FROM care_site)
       |  UNION ALL
       |  SELECT 2507, 'ALL', NULL, count(*) FROM vd
       |  WHERE person_id NOT IN (SELECT person_id FROM person)
@@ -2094,6 +2173,38 @@ object OhdsiCdmQueries {
       |    SELECT person_id, count(*) AS n FROM ppp GROUP BY 1
       |  ) GROUP BY 2
       |  UNION ALL
+      |  SELECT 1414, 'ALL', NULL, count(DISTINCT pp.person_id)
+      |  FROM ppp pp JOIN person p ON pp.person_id = p.person_id
+      |  WHERE year(pp.pp_start) < p.year_of_birth
+      |  UNION ALL
+      |  SELECT 1415, 'ALL', NULL, count(DISTINCT person_id) FROM ppp
+      |  WHERE pp_end < pp_start
+      |  UNION ALL
+      |  SELECT 1417, strftime(m, '%Y%m'), NULL, count(DISTINCT person_id) FROM (
+      |    SELECT person_id,
+      |      unnest(generate_series(
+      |        CAST(date_trunc('month', pp_start) AS DATE),
+      |        CAST(date_trunc('month', pp_end) AS DATE),
+      |        INTERVAL 1 MONTH)) AS m
+      |    FROM ppp
+      |  ) GROUP BY 2
+      |  UNION ALL
+      |  SELECT 1418, 'ALL', NULL, count(*) FROM ppp
+      |  WHERE person_id NOT IN (SELECT person_id FROM person)
+      |  UNION ALL
+      |  SELECT 1501, 'ALL', NULL, count(*) FROM cost
+      |  WHERE cost_domain_id = 'Drug' AND payer_plan_period_id IS NOT NULL
+      |    AND payer_plan_period_id NOT IN
+      |      (SELECT payer_plan_period_id FROM ppp)
+      |  UNION ALL
+      |  SELECT 1601, 'ALL', NULL, count(*) FROM cost
+      |  WHERE cost_domain_id = 'Procedure' AND payer_plan_period_id IS NOT NULL
+      |    AND payer_plan_period_id NOT IN
+      |      (SELECT payer_plan_period_id FROM ppp)
+      |  UNION ALL
+      |  SELECT 1610, CAST(revenue_code_concept_id AS VARCHAR), NULL, count(*)
+      |  FROM cost WHERE cost_domain_id = 'Procedure' GROUP BY 2
+      |  UNION ALL
       |  SELECT 1700, CAST(cohort_definition_id AS VARCHAR), NULL, count(*)
       |  FROM cohort GROUP BY 2
       |  UNION ALL
@@ -2156,6 +2267,30 @@ object OhdsiCdmQueries {
       |  UNION ALL
       |  SELECT 2201, CAST(note_type_concept_id AS VARCHAR), NULL, count(*)
       |  FROM note GROUP BY 2
+      |  UNION ALL
+      |  SELECT 2202, CAST(note_type_concept_id AS VARCHAR),
+      |    strftime(note_date, '%Y%m'), count(DISTINCT person_id)
+      |  FROM note GROUP BY 2, 3
+      |  UNION ALL
+      |  SELECT 2207, 'ALL', NULL, count(*) FROM note
+      |  WHERE person_id NOT IN (SELECT person_id FROM person)
+      |  UNION ALL
+      |  SELECT 2208, 'ALL', NULL, count(*) FROM note n
+      |  WHERE NOT EXISTS (SELECT 1 FROM obs o WHERE o.person_id = n.person_id
+      |    AND n.note_date >= o.op_start AND n.note_date <= o.op_end)
+      |  UNION ALL
+      |  SELECT 2220, strftime(note_date, '%Y%m'), NULL, count(*)
+      |  FROM note GROUP BY 2
+      |  UNION ALL
+      |  SELECT 2407, 'ALL', NULL, count(*) FROM spec
+      |  WHERE person_id NOT IN (SELECT person_id FROM person)
+      |  UNION ALL
+      |  SELECT 2408, 'ALL', NULL, count(*) FROM spec sp
+      |  WHERE NOT EXISTS (SELECT 1 FROM obs o WHERE o.person_id = sp.person_id
+      |    AND sp.specimen_date >= o.op_start AND sp.specimen_date <= o.op_end)
+      |  UNION ALL
+      |  SELECT 2420, strftime(specimen_date, '%Y%m'), NULL, count(*)
+      |  FROM spec GROUP BY 2
       |  UNION ALL
       |  SELECT 505, CAST(death_type_concept_id AS VARCHAR), NULL, count(*)
       |  FROM death GROUP BY 2
@@ -2225,6 +2360,16 @@ object OhdsiCdmQueries {
       |    CAST(sum(n) OVER (ORDER BY c DESC) AS BIGINT)
       |  FROM (SELECT cnt AS c, count(*) AS n FROM
       |    (SELECT person_id, count(*) AS cnt FROM dose_era GROUP BY 1) GROUP BY 1)
+      |  UNION ALL
+      |  SELECT 2291, CAST(c AS VARCHAR), NULL,
+      |    CAST(sum(n) OVER (ORDER BY c DESC) AS BIGINT)
+      |  FROM (SELECT cnt AS c, count(*) AS n FROM
+      |    (SELECT person_id, count(*) AS cnt FROM note GROUP BY 1) GROUP BY 1)
+      |  UNION ALL
+      |  SELECT 2491, CAST(c AS VARCHAR), NULL,
+      |    CAST(sum(n) OVER (ORDER BY c DESC) AS BIGINT)
+      |  FROM (SELECT cnt AS c, count(*) AS n FROM
+      |    (SELECT person_id, count(*) AS cnt FROM spec GROUP BY 1) GROUP BY 1)
       |), results5 AS (
       |  SELECT analysis_id, stratum_1, stratum_2,
       |    CAST(NULL AS VARCHAR) AS stratum_3, CAST(NULL AS VARCHAR) AS stratum_4,
@@ -2246,6 +2391,19 @@ object OhdsiCdmQueries {
       |    CAST(CAST(floor((year(visit_start_date) - year_of_birth) / 10) AS BIGINT) AS VARCHAR),
       |    count(DISTINCT person_id)
       |  FROM visit JOIN person USING (person_id) GROUP BY 2, 3, 4, 5
+      |  UNION ALL
+      |  SELECT 212, CAST(year(visit_start_date) AS VARCHAR),
+      |    CAST(gender_concept_id AS VARCHAR),
+      |    CAST(CAST(floor((year(visit_start_date) - year_of_birth) / 10) AS BIGINT) AS VARCHAR),
+      |    NULL, count(DISTINCT person_id)
+      |  FROM visit JOIN person USING (person_id) GROUP BY 2, 3, 4
+      |  UNION ALL
+      |  SELECT 2204, CAST(note_type_concept_id AS VARCHAR),
+      |    CAST(year(note_date) AS VARCHAR),
+      |    CAST(gender_concept_id AS VARCHAR),
+      |    CAST(CAST(floor((year(note_date) - year_of_birth) / 10) AS BIGINT) AS VARCHAR),
+      |    count(DISTINCT person_id)
+      |  FROM note JOIN person USING (person_id) GROUP BY 2, 3, 4, 5
       |  UNION ALL
       |  SELECT 2504, CAST(visit_detail_concept_id AS VARCHAR),
       |    CAST(year(vds) AS VARCHAR),
@@ -2327,6 +2485,36 @@ object OhdsiCdmQueries {
       |SELECT analysis_id, stratum_1, stratum_2, stratum_3, stratum_4, count_value
       |FROM results5 WHERE count_value > 5 OR analysis_id = 0
       |ORDER BY analysis_id, stratum_1, stratum_2, stratum_3, stratum_4""".stripMargin
+
+  /** The x93/x94 per-person density dist oracle branches, GENERATED from
+    * one table list so the Spark side (DomainSeries, minus death) and the
+    * oracle can never drift in which series they cover. Each tuple is
+    * (series base, oracle CTE name, start-date column inside the CTE).
+    * Lines carry the distOracle stripMargin prefix — the block is
+    * interpolated into that literal BEFORE stripMargin runs.
+    */
+  private val perPersonDistSql: String = Seq(
+    (200L, "visit", "visit_start_date"), (400L, "cond", "condition_start_date"),
+    (600L, "proc", "procedure_date"), (700L, "drug", "ds"),
+    (800L, "obsv", "observation_date"), (900L, "drug_era", "des"),
+    (1000L, "cond_era", "ces"), (1300L, "dose_era", "dos"),
+    (1800L, "meas", "measurement_date"), (2100L, "dev", "device_exposure_start_date"),
+    (2200L, "note", "note_date"), (2400L, "spec", "specimen_date"),
+    (2500L, "vd", "vds")).map { case (base, cte, dc) =>
+    // plain line-joins, NOT a nested stripMargin: the r9 double-stripMargin
+    // trap would strip this block's own margin prefix before the outer
+    // literal's stripMargin runs
+    Seq(
+      s"      |  SELECT ${base + 93}, 'ALL', NULL, CAST(c AS DOUBLE) FROM (",
+      s"      |    SELECT person_id, count(*) AS c FROM $cte GROUP BY person_id",
+      "      |  )",
+      "      |  UNION ALL",
+      s"      |  SELECT ${base + 94}, 'ALL', NULL, CAST(datediff('day', mn, mx) AS DOUBLE)",
+      "      |  FROM (",
+      s"      |    SELECT person_id, min($dc) AS mn, max($dc) AS mx",
+      s"      |    FROM $cte GROUP BY person_id",
+      "      |  ) WHERE mn IS NOT NULL").mkString("\n")
+  }.mkString("\n      |  UNION ALL\n")
 
   val distOracle: String =
     s"""WITH $deriveSql,
@@ -2584,6 +2772,18 @@ object OhdsiCdmQueries {
       |  FROM cost JOIN drug ON cost_event_id = drug_exposure_id
       |  WHERE cost_domain_id = 'Drug'
       |  UNION ALL
+      |  SELECT 1509, CAST(drug_concept_id AS VARCHAR), NULL, paid_ingredient_cost
+      |  FROM cost JOIN drug ON cost_event_id = drug_exposure_id
+      |  WHERE cost_domain_id = 'Drug'
+      |  UNION ALL
+      |  SELECT 1510, CAST(drug_concept_id AS VARCHAR), NULL, paid_dispensing_fee
+      |  FROM cost JOIN drug ON cost_event_id = drug_exposure_id
+      |  WHERE cost_domain_id = 'Drug'
+      |  UNION ALL
+      |  SELECT 1511, CAST(drug_concept_id AS VARCHAR), NULL, amount_allowed
+      |  FROM cost JOIN drug ON cost_event_id = drug_exposure_id
+      |  WHERE cost_domain_id = 'Drug'
+      |  UNION ALL
       |  SELECT 1602, CAST(procedure_concept_id AS VARCHAR), NULL, paid_patient_copay
       |  FROM cost JOIN proc ON cost_event_id = procedure_occurrence_id
       |  WHERE cost_domain_id = 'Procedure'
@@ -2621,6 +2821,20 @@ object OhdsiCdmQueries {
       |  SELECT 815, CAST(observation_concept_id AS VARCHAR),
       |    CAST(unit_concept_id AS VARCHAR), value_as_number
       |  FROM obsv WHERE value_as_number IS NOT NULL
+      |  UNION ALL
+      |  SELECT 2203, 'ALL', NULL, CAST(n AS DOUBLE) FROM (
+      |    SELECT person_id, count(DISTINCT note_type_concept_id) AS n
+      |    FROM note GROUP BY person_id
+      |  )
+      |  UNION ALL
+      |  SELECT 2206, CAST(note_type_concept_id AS VARCHAR), NULL,
+      |    CAST(year(f) - year_of_birth AS DOUBLE)
+      |  FROM (
+      |    SELECT person_id, note_type_concept_id, min(note_date) AS f
+      |    FROM note GROUP BY 1, 2
+      |  ) JOIN person USING (person_id)
+      |  UNION ALL
+$perPersonDistSql
       |)
       |SELECT analysis_id, stratum_1, stratum_2, count(*) AS count_value,
       |  round(min(v), 4) AS min_value, round(max(v), 4) AS max_value,
@@ -2873,6 +3087,21 @@ object OhdsiCdmQueries {
          |FROM (VALUES ${ids.map(i => s"($i)").mkString(", ")}) t(analysis_id)
          |ORDER BY 1""".stripMargin
     },
+    // DuckDB's date_diff counts partition-boundary crossings — the same
+    // semantics SQL Server's DATEDIFF has and the translate layer now
+    // reproduces via unit-truncated unix_timestamp differences
+    "ohdsi_sql_session_span" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(datediff('minute', min(ts), max(ts)) AS BIGINT) AS span_minutes,
+        |  CAST(datediff('hour', min(ts), max(ts)) AS BIGINT) AS span_hours,
+        |  quarter(min(ts)) AS first_quarter,
+        |  hour(min(ts)) AS first_hour,
+        |  CASE WHEN datediff('hour', min(ts), max(ts)) >= 6 THEN 1 ELSE 0 END
+        |    AS long_span
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id
+        |LIMIT 50""".stripMargin,
     "ohdsi_sql_topn" ->
       """SELECT o_custkey, count(*) AS n,
         |  datediff('day', CAST(min(o_orderdate) AS DATE), CAST(max(o_orderdate) AS DATE))

@@ -193,19 +193,43 @@ object OhdsiSql {
         case "day" | "dd" | "d" => s"date_add($d, $n)"
         case "week" | "wk" | "ww" => s"date_add($d, 7 * ($n))"
         case "month" | "mm" | "m" => s"add_months($d, $n)"
+        case "quarter" | "qq" | "q" => s"add_months($d, 3 * ($n))"
         case "year" | "yy" | "yyyy" => s"add_months($d, 12 * ($n))"
+        // sub-day units promote to TIMESTAMP, exactly as SQL Server's
+        // DATEADD over datetime does (r15 widening)
+        case "hour" | "hh" => s"timestampadd(HOUR, $n, $d)"
+        case "minute" | "mi" | "n" => s"timestampadd(MINUTE, $n, $d)"
+        case "second" | "ss" | "s" => s"timestampadd(SECOND, $n, $d)"
         case other => throw new IllegalArgumentException(
-          s"unsupported DATEADD datepart '$other' (subset: day, week, month, year)")
+          s"unsupported DATEADD datepart '$other' (subset: day, week, month, " +
+            "quarter, year, hour, minute, second)")
       })
     })
     s = ci(raw"\bDATEDIFF\s*\(\s*(\w+)\s*,\s*$arg\s*,\s*$arg\s*\)").replaceAllIn(s, m => {
       val (unit, a, b) = (m.group(1).toLowerCase, m.group(2).trim, m.group(3).trim)
+      // SQL Server DATEDIFF counts BOUNDARY CROSSINGS (an int), never
+      // fractional elapsed units: DATEDIFF(hour, 10:59, 11:00) = 1. Each
+      // mapping truncates both endpoints to the unit boundary and
+      // differences the truncations (r15 — the old month mapping through
+      // months_between returned fractional months, a different function)
       java.util.regex.Matcher.quoteReplacement(unit match {
         case "day" | "dd" | "d" => s"datediff($b, $a)"
-        case "month" | "mm" | "m" => s"months_between($b, $a)"
+        case "month" | "mm" | "m" =>
+          s"((year($b) - year($a)) * 12 + (month($b) - month($a)))"
+        case "quarter" | "qq" | "q" =>
+          s"((year($b) - year($a)) * 4 + (quarter($b) - quarter($a)))"
         case "year" | "yy" | "yyyy" => s"(year($b) - year($a))"
+        case "hour" | "hh" =>
+          s"((unix_timestamp(date_trunc('HOUR', $b)) - " +
+            s"unix_timestamp(date_trunc('HOUR', $a))) DIV 3600)"
+        case "minute" | "mi" | "n" =>
+          s"((unix_timestamp(date_trunc('MINUTE', $b)) - " +
+            s"unix_timestamp(date_trunc('MINUTE', $a))) DIV 60)"
+        // unix_timestamp already truncates to the second boundary
+        case "second" | "ss" | "s" => s"(unix_timestamp($b) - unix_timestamp($a))"
         case other => throw new IllegalArgumentException(
-          s"unsupported DATEDIFF datepart '$other' (subset: day, month, year)")
+          s"unsupported DATEDIFF datepart '$other' (subset: day, month, " +
+            "quarter, year, hour, minute, second)")
       })
     })
     s = ci(raw"\bCHARINDEX\s*\(\s*([^,()]+?)\s*,\s*([^()]+?)\s*\)")
@@ -218,10 +242,15 @@ object OhdsiSql {
       val (unit, d) = (m.group(1).toLowerCase, m.group(2).trim)
       java.util.regex.Matcher.quoteReplacement(unit match {
         case "year" | "yy" | "yyyy" => s"year($d)"
+        case "quarter" | "qq" | "q" => s"quarter($d)"
         case "month" | "mm" | "m" => s"month($d)"
         case "day" | "dd" | "d" => s"day($d)"
+        case "hour" | "hh" => s"hour($d)"
+        case "minute" | "mi" | "n" => s"minute($d)"
+        case "second" | "ss" | "s" => s"second($d)"
         case other => throw new IllegalArgumentException(
-          s"unsupported DATEPART datepart '$other' (subset: year, month, day)")
+          s"unsupported DATEPART datepart '$other' (subset: year, quarter, " +
+            "month, day, hour, minute, second)")
       })
     })
     s = ci(raw"\bSTDEV\s*\(").replaceAllIn(s, "stddev_samp(")
@@ -288,7 +317,8 @@ object OhdsiSql {
         s"$fn call too complex for the translate subset (nested parentheses?) — " +
           "simplify the arguments or pre-translate that expression")
     require(
-      ci(raw"\bDATEDIFF\s*\(\s*(?:day|dd|d|month|mm|m|year|yy|yyyy)\s*,").findFirstIn(s).isEmpty,
+      ci(raw"\bDATEDIFF\s*\(\s*(?:day|dd|d|month|mm|m|year|yy|yyyy|quarter|qq|hour|hh|minute|mi|second|ss)\s*,")
+        .findFirstIn(s).isEmpty,
       "DATEDIFF call too complex for the translate subset (nested parentheses?) — " +
         "simplify the arguments or pre-translate that expression")
     // SELECT TOP n -> statement-final LIMIT n (per statement; callers

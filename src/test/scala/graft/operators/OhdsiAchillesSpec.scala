@@ -66,7 +66,7 @@ class OhdsiAchillesSpec extends SparkSpec {
 
   test("analysisCatalog carries the literal core id set") {
     val cat = OhdsiAchilles.analysisCatalog(spark).collect()
-    assert(cat.length === 235)
+    assert(cat.length === 285)
     val ids = cat.map(_.getLong(0))
     assert(ids.sorted.toSeq === ids.toSeq) // ordered by analysis_id
     for (core <- Seq(1L, 2L, 101L, 105L, 108L, 109L, 110L, 111L, 114L, 115L,
@@ -97,7 +97,17 @@ class OhdsiAchillesSpec extends SparkSpec {
         908L, 909L, 910L, 1008L, 1009L, 1010L, 1308L, 1309L, 1310L,
         // the round-14 additions: condition end-before-start + the era
         // at-least-x cumulative series
-        409L, 991L, 1091L, 1391L))
+        409L, 991L, 1091L, 1391L,
+        // the round-15 additions: visit care-site validity + concept-free
+        // density (210/212), the full note series, the specimen validity
+        // slots, the payer mirrors, the cost completion, the x93/x94
+        // density dists, the note/specimen at-least-x
+        210L, 212L, 2202L, 2203L, 2204L, 2206L, 2207L, 2208L, 2220L,
+        2407L, 2408L, 2420L, 1414L, 1415L, 1417L, 1418L,
+        1501L, 1509L, 1510L, 1511L, 1601L, 1610L, 2291L, 2491L,
+        293L, 294L, 493L, 494L, 693L, 694L, 793L, 794L, 893L, 894L,
+        993L, 994L, 1093L, 1094L, 1393L, 1394L, 1893L, 1894L,
+        2193L, 2194L, 2293L, 2294L, 2493L, 2494L, 2593L, 2594L))
       assert(ids.contains(core), s"missing core id $core")
     // x04 carries the published four strata names
     val a404 = cat.find(_.getLong(0) == 404L).get
@@ -120,7 +130,12 @@ class OhdsiAchillesSpec extends SparkSpec {
       2503L, 2506L,
       715L, 716L, 717L, 815L) ++
       // the cost amount dist blocks (1502-1507 drug, 1602-1607 procedure)
-      (2L to 7L).flatMap(off => Seq(1500L + off, 1600L + off)).toSet)
+      (2L to 7L).flatMap(off => Seq(1500L + off, 1600L + off)).toSet ++
+      // r15: the note series dists, the extra drug-cost money dists, and
+      // the x93/x94 per-person density block (every series except death)
+      Set(2203L, 2206L, 1509L, 1510L, 1511L) ++
+      OhdsiAchilles.DomainSeries.filter(_.table != "death")
+        .flatMap(d => Seq(d.base + 93, d.base + 94)).toSet)
   }
 
   test("cdmCoreResults carries literal ids with correct counts") {

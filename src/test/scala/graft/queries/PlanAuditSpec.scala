@@ -64,13 +64,18 @@ class PlanAuditSpec extends SparkSpec {
     val pc = graft.operators.OhdsiAchilles
       .cdmCoreResults(OhdsiCdmQueries.derivedModel, load)
       .queryExecution.executedPlan.toString
+    // r15 re-measure: 169 counts exchanges after the catalog 235 -> 285
+    // growth (+11 for ~25 new count analyses: the note domain passes,
+    // payer mirrors with 1410/1417 sharing one explode, cost fk/revenue
+    // rows, two new x91 histograms — the care-site check broadcast-rides
+    // the visit fused scan at zero exchanges); cap = measured + ~10%
     val cx = pc.linesIterator.count(_.contains("- Exchange"))
-    assert(cx <= 158, s"ohdsi_core_counts exchanges grew to $cx — a family left its fused pass")
+    assert(cx <= 186, s"ohdsi_core_counts exchanges grew to $cx — a family left its fused pass")
     val pd = graft.operators.OhdsiAchilles
       .cdmCoreDistResults(OhdsiCdmQueries.derivedModel, load)
       .queryExecution.executedPlan.toString
     val dx = pd.linesIterator.count(_.contains("- Exchange"))
-    assert(dx <= 110, s"ohdsi_core_dist exchanges grew to $dx")
+    assert(dx <= 160, s"ohdsi_core_dist exchanges grew to $dx")
   }
 
   test("semantic dedup pair join carries the hash-block keys (bounded task width)") {

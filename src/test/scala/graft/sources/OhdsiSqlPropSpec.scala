@@ -76,4 +76,68 @@ class OhdsiSqlPropSpec extends SparkSpec {
       row.getString(1) == stmts.last._2.replace("''", "'")
     })
   }
+
+  // ---- the r15 datepart widening ----
+
+  private val dateaddUnits = Seq("day", "dd", "d", "week", "wk", "ww",
+    "month", "mm", "m", "quarter", "qq", "q", "year", "yy", "yyyy",
+    "hour", "hh", "minute", "mi", "n", "second", "ss", "s")
+  private val datediffUnits = Seq("day", "dd", "d", "month", "mm", "m",
+    "quarter", "qq", "q", "year", "yy", "yyyy",
+    "hour", "hh", "minute", "mi", "n", "second", "ss", "s")
+  private val datepartUnits = Seq("year", "yy", "yyyy", "quarter", "qq", "q",
+    "month", "mm", "m", "day", "dd", "d", "hour", "hh", "minute", "mi", "n",
+    "second", "ss", "s")
+
+  test("property: every supported datepart synonym translates; unknown dateparts refuse by name") {
+    val genCase = for {
+      (fn, units) <- Gen.oneOf(
+        ("DATEADD", dateaddUnits), ("DATEDIFF", datediffUnits),
+        ("DATEPART", datepartUnits))
+      unit <- Gen.oneOf(units)
+      colA <- Gen.oneOf("start_ts", "visit_end_date", "MIN(ts)")
+    } yield (fn, unit, colA)
+    check(Prop.forAll(genCase) { case (fn, unit, colA) =>
+      val sql = fn match {
+        case "DATEADD" => s"SELECT DATEADD($unit, 3, $colA) AS v FROM t"
+        case "DATEDIFF" => s"SELECT DATEDIFF($unit, $colA, other_ts) AS v FROM t"
+        case _ => s"SELECT DATEPART($unit, $colA) AS v FROM t"
+      }
+      val out = OhdsiSql.translate(sql)
+      // translated: the SQL Server datepart-first form is gone (for day
+      // units the output legitimately contains Spark's own two-arg
+      // datediff, so the check is on the datepart-keyword form)
+      raw"(?is)\b$fn\s*\(\s*$unit\b".r.findFirstIn(out).isEmpty
+    })
+    // unknown units name both the construct and the offending datepart
+    for ((fn, call) <- Seq(
+        "DATEADD" -> "DATEADD(fortnight, 3, a)",
+        "DATEDIFF" -> "DATEDIFF(fortnight, a, b)",
+        "DATEPART" -> "DATEPART(fortnight, a)")) {
+      val e = intercept[IllegalArgumentException](OhdsiSql.translate(
+        s"SELECT $call FROM t"))
+      assert(e.getMessage.contains(fn) && e.getMessage.contains("fortnight"))
+    }
+  }
+
+  test("property: sub-day DATEDIFF counts boundary crossings (SQL Server semantics)") {
+    // SQL Server's DATEDIFF is the number of unit BOUNDARIES crossed —
+    // DATEDIFF(hour, 10:59:59, 11:00:00) = 1 — never elapsed full units.
+    // The oracle-side mirror (DuckDB date_diff) has the same contract.
+    val zone = java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone"))
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+    def lit(e: Long) = java.time.LocalDateTime
+      .ofInstant(java.time.Instant.ofEpochSecond(e), zone).format(fmt)
+    val gen = for {
+      a <- Gen.choose(946684800L, 946684800L + 100000000L) // y2000 +/- ~3y
+      delta <- Gen.choose(-100000L, 100000L)
+      unit <- Gen.oneOf("hour" -> 3600L, "minute" -> 60L, "second" -> 1L)
+    } yield (a, a + delta, unit)
+    check(Prop.forAll(gen) { case (ae, be, (unit, div)) =>
+      val sql = OhdsiSql.translate(
+        s"SELECT DATEDIFF($unit, TIMESTAMP '${lit(ae)}', TIMESTAMP '${lit(be)}') AS v")
+      val got = spark.sql(sql).head().getLong(0)
+      got == Math.floorDiv(be, div) - Math.floorDiv(ae, div)
+    })
+  }
 }

@@ -117,9 +117,13 @@ class OhdsiSqlSpec extends SparkSpec {
   }
 
   test("translate fails loudly on unsupported dateparts and over-nested calls") {
+    // hour is SUPPORTED since r15 (timestampadd); a genuinely unknown
+    // datepart still refuses by name
+    assert(OhdsiSql.translate("SELECT DATEADD(hour, 1, d) FROM t")
+      === "SELECT timestampadd(HOUR, 1, d) FROM t")
     val e = intercept[IllegalArgumentException](
-      OhdsiSql.translate("SELECT DATEADD(hour, 1, d) FROM t"))
-    assert(e.getMessage.contains("hour"))
+      OhdsiSql.translate("SELECT DATEADD(fortnight, 1, d) FROM t"))
+    assert(e.getMessage.contains("fortnight"))
     val n = intercept[IllegalArgumentException](
       OhdsiSql.translate("SELECT DATEDIFF(day, f(g(h(a))), b) FROM t"))
     assert(n.getMessage.contains("DATEDIFF"))
