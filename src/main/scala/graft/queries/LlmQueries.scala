@@ -424,12 +424,24 @@ object LlmQueries {
     * ON THE BATCH, per-doc stateless, while exact/near-dup probe the
     * stored corpus structures).
     */
-  private def admissionVerdicts(s: SparkSession, d: String, batch: DataFrame): DataFrame = {
+  private def admissionVerdicts(s: SparkSession, d: String, batch: DataFrame): DataFrame =
+    admissionVerdictsAgainst(
+      t(s, d, "documents").filter(col("doc_id") % 10 =!= 0),
+      corpusMd5(s, d), bandIndex(s, d), batch)
+
+  /** The same gauntlet against CALLER-SUPPLIED corpus structures — the
+    * index-growth path: after a batch's admits are appended to the stored
+    * hash set / band index (delta tables), the next batch probes the
+    * grown structures through this entry point (r15,
+    * [[corpusAdmitSequential]]).
+    */
+  private def admissionVerdictsAgainst(corpusDocs: DataFrame, md5Set: DataFrame,
+      index: DataFrame, batch: DataFrame): DataFrame = {
     val exactDup = batch.select(col("doc_id"), md5(col("text")).as("__h"))
-      .join(corpusMd5(s, d), Seq("__h"), "left_semi")
+      .join(md5Set, Seq("__h"), "left_semi")
       .select("doc_id").withColumn("__m1", lit(1))
     val nearDup = DedupOps.incrementalDedup(
-        t(s, d, "documents").filter(col("doc_id") % 10 =!= 0), bandIndex(s, d),
+        corpusDocs, index,
         batch, "doc_id", "text", threshold = 0.2)
       .filter(col("dup_of").isNotNull)
       .select("doc_id").withColumn("__m2", lit(1))
@@ -455,6 +467,64 @@ object LlmQueries {
     admissionVerdicts(s, d,
       t(s, d, "documents").filter(col("doc_id") % 10 === 0))
       .orderBy("doc_id")
+
+  /** SEQUENTIAL admission with INDEX GROWTH (r15 — the verdict's
+    * index-update-on-admit): batch 1 (every 20th doc) runs the gauntlet
+    * against the stored corpus artifacts; its ADMITTED docs' hashes and
+    * bands are then APPENDED to the index as delta zone tables (the
+    * append-only segment growth a 100 TB corpus index does — the base is
+    * never rewritten); batch 2 probes base ∪ delta, so near-dups and
+    * copies of batch-1 admits are rejected IN batch 2 even though they
+    * match nothing in the original corpus.
+    *
+    * Batch 2 = the second natural half (doc_id % 20 == 10) PLUS two
+    * deterministic synthetic probes per (>= 3-token) batch-1 admit:
+    *  - a COPY (identical text, doc_id + 2e7) — caught by the md5 DELTA
+    *    at stage 1;
+    *  - a VARIANT (text + two trailing spaces, doc_id + 1e7) — different
+    *    md5, but the whitespace tokenizer yields the IDENTICAL token
+    *    sequence, hence identical shingles, minhash signature, and band
+    *    buckets: the variant provably collides with the batch-1 admit's
+    *    DELTA index entries and Jaccard-verifies at 1.0 — caught at
+    *    stage 2 by the grown band index, deterministically at any scale
+    *    factor. (The >= 3-token filter guarantees the original banded at
+    *    all — shorter docs have no shingles.)
+    */
+  val corpusAdmitSequential: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0).select("doc_id", "text")
+    val b1 = docs.filter(col("doc_id") % 20 === 0).select("doc_id", "text")
+    val v1 = admissionVerdicts(s, d, b1)
+    val admitted1 = b1.join(
+      v1.filter(col("admitted") === 1L).select("doc_id"), "doc_id")
+    // append-only growth: the admits' hashes/bands land in DELTA tables
+    val zones = graft.io.Zones.forPurpose("dedup")
+    val key = graft.io.Zones.pathKey(d)
+    zones.write(admitted1.select(md5(col("text")).as("__h")).distinct(),
+      "work", s"corpus_md5_delta_b1_$key")
+    zones.write(
+      DedupOps.lshBandsFromSigArray(
+        DedupOps.minhashSignatureArray(admitted1, "doc_id", "text", k = 8, w = 3),
+        "doc_id", k = 8, rows = 4),
+      "work", s"band_index_delta_b1_$key")
+    val md52 = corpusMd5(s, d)
+      .unionByName(zones.read(s, "work", s"corpus_md5_delta_b1_$key"))
+    val idx2 = bandIndex(s, d)
+      .unionByName(zones.read(s, "work", s"band_index_delta_b1_$key")
+        .select(bandIndex(s, d).columns.map(col): _*))
+    val corpus2 = corpus.unionByName(admitted1)
+    val admProbe = admitted1
+      .filter(size(graft.ops.TextOps.tokens(col("text"))) >= 3)
+    val b2 = docs.filter(col("doc_id") % 20 === 10).select("doc_id", "text")
+      .unionByName(admProbe.select((col("doc_id") + 10000000L).as("doc_id"),
+        concat(col("text"), lit("  ")).as("text")))
+      .unionByName(admProbe.select((col("doc_id") + 20000000L).as("doc_id"),
+        col("text")))
+    val v2 = admissionVerdictsAgainst(corpus2, md52, idx2, b2)
+    v1.withColumn("batch", lit(1L))
+      .unionByName(v2.withColumn("batch", lit(2L)))
+      .orderBy("batch", "doc_id")
+  }
 
   /** The STREAMING admitter: the same gauntlet run per micro-batch of a
     * document stream (two deterministically-staged batch files), each
@@ -1546,6 +1616,7 @@ object LlmQueries {
     "dedup_incremental" -> dedupIncremental,
     "stream_dedup_incremental" -> streamDedupIncremental,
     "corpus_batch_admit" -> corpusAdmissionPipeline,
+    "corpus_batch_admit_sequential" -> corpusAdmitSequential,
     "stream_corpus_admit" -> streamCorpusAdmit,
     "corpus_artifact_store_build" -> corpusArtifactStoreBuild,
     "corpus_curation_funnel" -> corpusCurationFunnel,
@@ -2419,7 +2490,107 @@ object LlmQueries {
          |       WHEN NOT gate_ok THEN '4_repetition' END AS reject_reason
          |FROM m ORDER BY doc_id""".stripMargin
 
+  /** The two-batch index-growth flow replayed in SQL: batch-1 verdicts,
+    * the admitted set, then batch-2 verdicts against base ∪ delta. The
+    * synthetic probes reuse the ORIGINAL doc's bands/sets (`src_id`
+    * mapping) — sound because the variant's token sequence is provably
+    * identical to the original's (trailing whitespace only), so its
+    * shingles, signature, and buckets are too.
+    */
+  private lazy val sequentialAdmissionOracle: String =
+    s"""WITH $jaccardCtes,
+       |${repWindowCtes(withToks = false)},
+       |${repGramCtes(2, 10, withToks = false)},
+       |$repGateCtes,
+       |ch AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 <> 0),
+       |icand1 AS (
+       |  SELECT DISTINCT b.doc_id AS new_id, c.doc_id AS corpus_id
+       |  FROM bandsig b JOIN bandsig c ON b.band = c.band AND b.bucket = c.bucket
+       |  WHERE b.doc_id % 20 = 0 AND c.doc_id % 10 <> 0
+       |),
+       |iver1 AS (
+       |  SELECT new_id,
+       |    CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(sa.toks, sb.toks))) AS j
+       |  FROM icand1
+       |  JOIN sets sa ON icand1.new_id = sa.doc_id
+       |  JOIN sets sb ON icand1.corpus_id = sb.doc_id
+       |),
+       |idup1 AS (SELECT DISTINCT new_id FROM iver1 WHERE j >= 0.2),
+       |v1 AS (
+       |  SELECT d.doc_id,
+       |    md5(d.text) IN (SELECT h FROM ch) AS exact_dup,
+       |    d.doc_id IN (SELECT new_id FROM idup1) AS near_dup,
+       |    g.kept = 1 AS gate_ok,
+       |    ${graft.ops.ClassifyOps.oracleLabelSql} AS quality_ok
+       |  FROM documents d JOIN gate g USING (doc_id)
+       |  WHERE d.doc_id % 20 = 0
+       |),
+       |adm1 AS (
+       |  SELECT d.doc_id, d.text FROM documents d JOIN v1 USING (doc_id)
+       |  WHERE NOT v1.exact_dup AND NOT v1.near_dup AND v1.quality_ok AND v1.gate_ok
+       |),
+       |admp AS (
+       |  SELECT doc_id, text FROM adm1
+       |  WHERE len(regexp_split_to_array(trim(lower(text)), '\\s+')) >= 3
+       |),
+       |admh AS (SELECT DISTINCT md5(text) AS h FROM adm1),
+       |idx2 AS (
+       |  SELECT doc_id FROM documents WHERE doc_id % 10 <> 0
+       |  UNION SELECT doc_id FROM adm1
+       |),
+       |b2 AS (
+       |  SELECT doc_id, doc_id AS src_id, text
+       |  FROM documents WHERE doc_id % 20 = 10
+       |  UNION ALL SELECT doc_id + 10000000, doc_id, text || '  ' FROM admp
+       |  UNION ALL SELECT doc_id + 20000000, doc_id, text FROM admp
+       |),
+       |icand2 AS (
+       |  SELECT DISTINCT b2.doc_id AS new_id, c.doc_id AS corpus_id
+       |  FROM b2
+       |  JOIN bandsig b ON b.doc_id = b2.src_id
+       |  JOIN bandsig c ON b.band = c.band AND b.bucket = c.bucket
+       |  JOIN idx2 ON c.doc_id = idx2.doc_id
+       |),
+       |iver2 AS (
+       |  SELECT icand2.new_id,
+       |    CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(sa.toks, sb.toks))) AS j
+       |  FROM icand2
+       |  JOIN b2 ON icand2.new_id = b2.doc_id
+       |  JOIN sets sa ON b2.src_id = sa.doc_id
+       |  JOIN sets sb ON icand2.corpus_id = sb.doc_id
+       |),
+       |idup2 AS (SELECT DISTINCT new_id FROM iver2 WHERE j >= 0.2),
+       |v2 AS (
+       |  SELECT b2.doc_id,
+       |    md5(b2.text) IN (SELECT h FROM ch UNION SELECT h FROM admh) AS exact_dup,
+       |    b2.doc_id IN (SELECT new_id FROM idup2) AS near_dup,
+       |    g.kept = 1 AS gate_ok,
+       |    ${graft.ops.ClassifyOps.oracleLabelSql} AS quality_ok
+       |  FROM b2 LEFT JOIN gate g ON b2.doc_id = g.doc_id
+       |)
+       |SELECT CAST(1 AS BIGINT) AS batch, doc_id,
+       |  CAST(CASE WHEN NOT exact_dup AND NOT near_dup AND quality_ok AND gate_ok
+       |    THEN 1 ELSE 0 END AS BIGINT) AS admitted,
+       |  CASE WHEN exact_dup THEN '1_exact'
+       |       WHEN near_dup THEN '2_neardup'
+       |       WHEN NOT quality_ok THEN '3_quality'
+       |       WHEN NOT gate_ok THEN '4_repetition' END AS reject_reason
+       |FROM v1
+       |UNION ALL
+       |SELECT CAST(2 AS BIGINT), doc_id,
+       |  CAST(CASE WHEN NOT exact_dup AND NOT near_dup AND quality_ok AND gate_ok
+       |    THEN 1 ELSE 0 END AS BIGINT),
+       |  CASE WHEN exact_dup THEN '1_exact'
+       |       WHEN near_dup THEN '2_neardup'
+       |       WHEN NOT quality_ok THEN '3_quality'
+       |       WHEN NOT gate_ok THEN '4_repetition' END
+       |FROM v2
+       |ORDER BY batch, doc_id""".stripMargin
+
   val oracles: Seq[(String, String)] = Seq(
+    "corpus_batch_admit_sequential" -> sequentialAdmissionOracle,
     "text_rep_windows" ->
       s"""WITH ${repWindowCtes()}
          |SELECT p8.doc_id, p8.n_win AS n_lines, p8.dup_micro AS dup_line_micro,
