@@ -584,6 +584,102 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** STREAMING continuous curation with INDEX GROWTH (r15): each
+    * micro-batch's verdicts run against base ∪ the ACCUMULATED delta
+    * tables, and the batch's admits append their hashes/bands/docs to
+    * the delta BEFORE the next micro-batch — so batch N+1 rejects
+    * near-dups of batch-N admits, the full production loop as a stream.
+    * Two staged halves (doc_id % 20 == 0, then % 20 == 10); pinned to
+    * the natural-docs subset of the sequential oracle (stream == batch).
+    */
+  val streamCorpusAdmitSequential: Q = (s, d) => {
+    val key = graft.io.Zones.pathKey(d)
+    val zones = graft.io.Zones.forPurpose(s"streamadmseq_$key")
+    val hconf = s.sparkContext.hadoopConfiguration
+    def rm(p: String): Unit = {
+      val hp = new org.apache.hadoop.fs.Path(new java.io.File(p).getAbsolutePath)
+      hp.getFileSystem(hconf).delete(hp, true); ()
+    }
+    rm(zones.root)
+    val ckpt = new java.io.File(
+      s"${graft.io.Zones.defaultRoot}/stream_ckpt_admseq_$key").getAbsolutePath
+    rm(ckpt)
+    val stagingDir = new java.io.File(
+      s"${graft.io.Zones.defaultRoot}/stream_src_admseq_$key").getAbsolutePath
+    rm(stagingDir)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stagingDir))
+    val docs = t(s, d, "documents")
+    def stageOne(name: String, part: DataFrame, mtime: Long): Unit = {
+      val tmp = s"$stagingDir/__tmp_$name"
+      part.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(hconf)
+      val f = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+      val dst = new org.apache.hadoop.fs.Path(s"$stagingDir/$name")
+      require(fs.rename(f, dst), s"staging rename failed: $f -> $dst")
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      fs.setTimes(dst, mtime, -1)
+      ()
+    }
+    val t0 = System.currentTimeMillis()
+    val b1 = docs.filter(col("doc_id") % 20 === 0).select("doc_id", "text")
+    stageOne("batch0.parquet", b1, t0)
+    // FIXTURE PREP (producer side): the second staged file carries the
+    // same deterministic copy/variant probes as the batch entry, derived
+    // from batch-1's admits — computed here only to AUTHOR the staged
+    // input; the STREAM itself still computes every verdict and grows the
+    // delta, and the probes' rejections can only come from that growth
+    val admProbe = b1.join(
+        admissionVerdicts(s, d, b1).filter(col("admitted") === 1L)
+          .select("doc_id"), "doc_id")
+      .filter(size(graft.ops.TextOps.tokens(col("text"))) >= 3)
+    stageOne("batch1.parquet",
+      docs.filter(col("doc_id") % 20 === 10).select("doc_id", "text")
+        .unionByName(admProbe.select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(col("text"), lit("  ")).as("text")))
+        .unionByName(admProbe.select((col("doc_id") + 20000000L).as("doc_id"),
+          col("text"))),
+      t0 + 60000L)
+    corpusMd5(s, d); bandIndex(s, d) // force the static base ONCE
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0).select("doc_id", "text")
+    val stream = s.readStream
+      .schema(docs.select("doc_id", "text").schema)
+      .option("maxFilesPerTrigger", 1).parquet(stagingDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        def deltas(prefix: String): Seq[DataFrame] =
+          zones.listTables(s, "work").filter(_.startsWith(prefix)).sorted
+            .map(tb => zones.read(s, "work", tb))
+        val md5All = (corpusMd5(s, d) +: deltas("delta_md5_")).reduce(_ unionByName _)
+        val idxAll = (bandIndex(s, d) +: deltas("delta_band_")).reduce(_ unionByName _)
+        val corpusAll = (corpus +: deltas("delta_docs_")).reduce(_ unionByName _)
+        val v = admissionVerdictsAgainst(corpusAll, md5All, idxAll, batch)
+          .withColumn("batch", lit(id + 1L))
+        zones.write(v, "work", s"admit_batch_$id")
+        // GROW the index: this batch's admits append as new delta segments
+        val adm = batch.join(
+          zones.read(s, "work", s"admit_batch_$id")
+            .filter(col("admitted") === 1L).select("doc_id"), "doc_id")
+        zones.write(adm.select(md5(col("text")).as("__h")).distinct(),
+          "work", s"delta_md5_$id")
+        zones.write(
+          DedupOps.lshBandsFromSigArray(
+            DedupOps.minhashSignatureArray(adm, "doc_id", "text", k = 8, w = 3),
+            "doc_id", k = 8, rows = 4),
+          "work", s"delta_band_$id")
+        zones.write(adm, "work", s"delta_docs_$id")
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    zones.listTables(s, "work").filter(_.startsWith("admit_batch_"))
+      .map(tb => zones.read(s, "work", tb))
+      .reduce(_ unionByName _)
+      .orderBy("batch", "doc_id")
+  }
+
   /** Incremental near-dup admission ([[DedupOps.incrementalDedup]]): the
     * batch (every 10th doc) probes the STORED corpus band index; verified
     * best-match or novel per batch doc.
@@ -1618,6 +1714,7 @@ object LlmQueries {
     "corpus_batch_admit" -> corpusAdmissionPipeline,
     "corpus_batch_admit_sequential" -> corpusAdmitSequential,
     "stream_corpus_admit" -> streamCorpusAdmit,
+    "stream_corpus_admit_sequential" -> streamCorpusAdmitSequential,
     "corpus_artifact_store_build" -> corpusArtifactStoreBuild,
     "corpus_curation_funnel" -> corpusCurationFunnel,
     "dedup_cluster_components" -> dedupClusterComponents,
@@ -2497,7 +2594,13 @@ object LlmQueries {
     * identical to the original's (trailing whitespace only), so its
     * shingles, signature, and buckets are too.
     */
-  private lazy val sequentialAdmissionOracle: String =
+  private lazy val sequentialAdmissionOracle: String = {
+    // the synthetic copy/variant probes ride BOTH entries — the batch
+    // pipeline constructs them inline; the streaming admitter stages them
+    // into its second file — so batch and stream pin to ONE oracle
+    val probeSql =
+      "\n       |  UNION ALL SELECT doc_id + 10000000, doc_id, text || '  ' FROM admp" +
+        "\n       |  UNION ALL SELECT doc_id + 20000000, doc_id, text FROM admp"
     s"""WITH $jaccardCtes,
        |${repWindowCtes(withToks = false)},
        |${repGramCtes(2, 10, withToks = false)},
@@ -2541,9 +2644,7 @@ object LlmQueries {
        |),
        |b2 AS (
        |  SELECT doc_id, doc_id AS src_id, text
-       |  FROM documents WHERE doc_id % 20 = 10
-       |  UNION ALL SELECT doc_id + 10000000, doc_id, text || '  ' FROM admp
-       |  UNION ALL SELECT doc_id + 20000000, doc_id, text FROM admp
+       |  FROM documents WHERE doc_id % 20 = 10$probeSql
        |),
        |icand2 AS (
        |  SELECT DISTINCT b2.doc_id AS new_id, c.doc_id AS corpus_id
@@ -2588,9 +2689,11 @@ object LlmQueries {
        |       WHEN NOT gate_ok THEN '4_repetition' END
        |FROM v2
        |ORDER BY batch, doc_id""".stripMargin
+  }
 
   val oracles: Seq[(String, String)] = Seq(
     "corpus_batch_admit_sequential" -> sequentialAdmissionOracle,
+    "stream_corpus_admit_sequential" -> sequentialAdmissionOracle,
     "text_rep_windows" ->
       s"""WITH ${repWindowCtes()}
          |SELECT p8.doc_id, p8.n_win AS n_lines, p8.dup_micro AS dup_line_micro,
