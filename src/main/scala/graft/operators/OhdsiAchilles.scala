@@ -74,6 +74,8 @@ object OhdsiAchilles {
     */
   val DurationDists: Map[String, (Long, String)] = Map(
     "visit_occurrence" -> (211L, "Distribution of length of stay, by visit_concept_id"),
+    "visit_detail" -> (2511L,
+      "Distribution of visit detail length of stay, by visit_detail_concept_id"),
     "drug_era" -> (907L, "Distribution of drug era length, by drug_concept_id"),
     "condition_era" -> (1007L, "Distribution of condition era length, by condition_concept_id"),
     "dose_era" -> (1307L, "Distribution of dose era length, by drug_concept_id"))
@@ -370,6 +372,11 @@ object OhdsiAchilles {
       CoreAnalysis(210L, "Number of visit records with invalid care_site_id"),
       CoreAnalysis(212L,
         "Number of persons with at least one visit occurrence, by calendar year by gender by age decile",
+        "calendar_year", "gender_concept_id", stratum3 = "age_decile"),
+      // 2510/2512: the visit_detail convention siblings of 210/212 (r15)
+      CoreAnalysis(2510L, "Number of visit detail records with invalid care_site_id"),
+      CoreAnalysis(2512L,
+        "Number of persons with at least one visit detail, by calendar year by gender by age decile",
         "calendar_year", "gender_concept_id", stratum3 = "age_decile"),
       // 1414/1415/1417/1418: the remaining observation-period mirrors of
       // the payer 1400 block (+1300 over 114/115/117/118 — the same
@@ -726,10 +733,10 @@ object OhdsiAchilles {
             "observation_period_start_date", "observation_period_end_date")
         val endOpt = d.endDate.filter(e =>
           validityTable && has(model, d.table, e, d.startDate))
-        // 210: the published visit care-site fk-validity count (r15) —
-        // rides the same fused scan as the person/period checks (the x10
+        // 210/2510: the visit-table care-site fk-validity counts (r15) —
+        // ride the same fused scan as the person/period checks (the x10
         // slot is free here; the era tables use it for end-before-start)
-        val wantCs = d.table == "visit_occurrence" &&
+        val wantCs = Set("visit_occurrence", "visit_detail")(d.table) &&
           has(model, d.table, "care_site_id") &&
           has(model, "care_site", "care_site_id")
         var enriched = df
@@ -821,9 +828,10 @@ object OhdsiAchilles {
           col("person_id").as("__p"))
         // gid bits over (c, m, y, g2, dec): set (c) -> 15, (c, m) -> 7,
         // (c, y, g2, dec) -> 8, and for the visit series the concept-free
-        // published density drill-down 212 rides the SAME pass as set
-        // (y, g2, dec) -> 24 (c and m aggregated: 16 + 8)
-        val want212 = wantX04 && d.base == 200L
+        // published density drill-down 212 (visit_detail convention
+        // sibling 2512) rides the SAME pass as set (y, g2, dec) -> 24
+        // (c and m aggregated: 16 + 8)
+        val want212 = wantX04 && Set(200L, 2500L)(d.base)
         val personSets = Seq(Seq(col("__c"))) ++
           (if (hasStart) Seq(Seq(col("__c"), col("__m"))) else Nil) ++
           (if (wantX04)
@@ -844,7 +852,7 @@ object OhdsiAchilles {
           .select(
             when(col("__gid") === 15, lit(d.base))
               .when(col("__gid") === 7, lit(d.base + 2))
-              .when(col("__gid") === 24, lit(212L))
+              .when(col("__gid") === 24, lit(d.base + 12))
               .otherwise(lit(d.base + 4)).as("analysis_id"),
             when(col("__gid") === 24, col("__y")).otherwise(col("__c")).as("stratum_1"),
             when(col("__gid") === 7, col("__m"))
@@ -1642,7 +1650,7 @@ object OhdsiAchilles {
       // + the person 7/8/9 care-network fks + the 1500/1600 cost-event fks
       CountRule(1L, "ERROR",
         Seq(7L, 8L, 9L, 207L, 407L, 607L, 707L, 807L, 1807L, 2107L, 2507L,
-          2207L, 2407L, 908L, 1008L, 1308L, 210L, 1418L,
+          2207L, 2407L, 908L, 1008L, 1308L, 210L, 2510L, 1418L,
           1500L, 1600L, 1501L, 1601L),
         "should not be > 0 (invalid foreign key)"),
       // end-before-start family (occurrence x09, era x10) + 115
@@ -1691,7 +1699,7 @@ object OhdsiAchilles {
         "min_value > max_value", "strata violate min_value <= max_value"),
       // duration distributions must be non-negative (211 length of stay,
       // 907/1007 era lengths)
-      DistRule(9L, "WARNING", Some(Seq(211L, 907L, 1007L)),
+      DistRule(9L, "WARNING", Some(Seq(211L, 2511L, 907L, 1007L, 1307L)),
         "min_value < 0", "strata carry a negative duration"))
   }
 

@@ -1446,6 +1446,9 @@ object EventQueries {
         |(2507, 'Number of visit detail records with invalid person_id', NULL, NULL, NULL, NULL, 0),
         |(2508, 'Number of visit detail records outside valid observation period', NULL, NULL, NULL, NULL, 0),
         |(2509, 'Number of visit detail records with end date < start date', NULL, NULL, NULL, NULL, 0),
+        |(2510, 'Number of visit detail records with invalid care_site_id', NULL, NULL, NULL, NULL, 0),
+        |(2511, 'Distribution of visit detail length of stay, by visit_detail_concept_id', 'visit_detail_concept_id', NULL, NULL, NULL, 1),
+        |(2512, 'Number of persons with at least one visit detail, by calendar year by gender by age decile', 'calendar_year', 'gender_concept_id', 'age_decile', NULL, 0),
         |(2520, 'Number of visit detail records by visit detail start month', 'calendar_month', NULL, NULL, NULL, 0),
         |(2591, 'Number of total persons that have at least x visit details', 'visit_detail_count', NULL, NULL, NULL, 0),
         |(2593, 'Distribution of number of visit detail records per person', NULL, NULL, NULL, NULL, 1),

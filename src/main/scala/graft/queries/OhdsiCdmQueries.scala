@@ -64,6 +64,7 @@ object OhdsiCdmQueries {
     f("visit_detail", "visit_detail_end_date", "date"),
     f("visit_detail", "visit_detail_type_concept_id", "int64"),
     f("visit_detail", "visit_occurrence_id", "int64"),
+    f("visit_detail", "care_site_id", "int64"),
     f("condition_occurrence", "person_id", "int64"),
     f("condition_occurrence", "condition_concept_id", "int64"),
     f("condition_occurrence", "condition_start_date", "date"),
@@ -244,6 +245,7 @@ object OhdsiCdmQueries {
       // and every ~103rd ends before it starts (x09)
       t(s, d, "lineitem")
         .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .crossJoin(fkScalars(s, d))
         .select(
           (col("l_orderkey") * 8 + col("l_linenumber")).as("visit_detail_id"),
           when(col("l_partkey") % 89 === 0, col("o_custkey") + 100000000L)
@@ -259,7 +261,10 @@ object OhdsiCdmQueries {
           when(col("l_returnflag") === "R", 32817L)
             .when(col("l_returnflag") === "A", 32856L)
             .otherwise(32810L).as("visit_detail_type_concept_id"),
-          col("l_orderkey").as("visit_occurrence_id"))
+          col("l_orderkey").as("visit_occurrence_id"),
+          // every ~113th detail orphans its care site (2510, r15)
+          (when(col("l_suppkey") % 113 === 0, 1000000L).otherwise(0L) +
+            lit(1L) + col("l_suppkey") % col("__ns")).as("care_site_id"))
     case "death" =>
       // one death per 11th person with orders: date anchored a few days
       // past the person's last order, cause from the SNOMED condition set
@@ -606,8 +611,9 @@ object OhdsiCdmQueries {
     // payer_plan_period payer_source_value column (1400-1403 series).
     // v7: the r14 condition_end_date column (analysis 409). v8: the r15
     // catalog growth — visit care-site orphan wrinkle (210), cost
-    // payer-plan fk + money columns (1501/1601/1509-1511/1610), ppp id
-    val zones = graft.io.Zones.forPurpose(s"ohdsicdm8_$key")
+    // payer-plan fk + money columns (1501/1601/1509-1511/1610), ppp id.
+    // v9: visit_detail care_site_id (2510)
+    val zones = graft.io.Zones.forPurpose(s"ohdsicdm9_$key")
     cdmStore.getOrElseUpdate((s, d), {
       val staged = zones.listTables(s, "omop").toSet
       val todo = derivedModel.tables.filterNot(staged).toSeq
@@ -656,9 +662,10 @@ object OhdsiCdmQueries {
     // payer_plan_period gained payer_source_value (1400-1403). v7: the
     // r14 condition_end_date / 409 + the era x91 series (991/1091/1391).
     // v8: the r15 catalog growth (note/specimen series, 210/212, payer
-    // mirrors, cost completion, the x93/x94 density dists)
+    // mirrors, cost completion, the x93/x94 density dists). v9: the
+    // visit_detail siblings 2510/2511/2512
     val zones = graft.io.Zones.forPurpose(
-      s"ohdsires8_${graft.operators.OhdsiAchilles.Catalog.size}_$key")
+      s"ohdsires9_${graft.operators.OhdsiAchilles.Catalog.size}_$key")
     resultsStore.getOrElseUpdate((s, d), {
       val have = zones.listTables(s, "achilles").toSet
       val load = materialized(s, d)
@@ -1459,7 +1466,9 @@ object OhdsiCdmQueries {
       |      ELSE CAST(l_shipdate AS DATE) + CAST(l_linenumber % 7 AS INT) END AS vde,
       |    CASE l_returnflag WHEN 'R' THEN 32817 WHEN 'A' THEN 32856
       |      ELSE 32810 END AS visit_detail_type_concept_id,
-      |    l_orderkey AS visit_occurrence_id
+      |    l_orderkey AS visit_occurrence_id,
+      |    CASE WHEN l_suppkey % 113 = 0 THEN 1000000 ELSE 0 END
+      |      + 1 + l_suppkey % (SELECT count(*) FROM supplier) AS care_site_id
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |), death AS (
       |  SELECT person_id,
@@ -1817,6 +1826,10 @@ object OhdsiCdmQueries {
       |  WHERE person_id NOT IN (SELECT person_id FROM person)
       |  UNION ALL
       |  SELECT 210, 'ALL', NULL, count(*) FROM visit
+      |  WHERE care_site_id IS NOT NULL
+      |    AND care_site_id NOT IN (SELECT care_site_id FROM care_site)
+      |  UNION ALL
+      |  SELECT 2510, 'ALL', NULL, count(*) FROM vd
       |  WHERE care_site_id IS NOT NULL
       |    AND care_site_id NOT IN (SELECT care_site_id FROM care_site)
       |  UNION ALL
@@ -2398,6 +2411,12 @@ object OhdsiCdmQueries {
       |    NULL, count(DISTINCT person_id)
       |  FROM visit JOIN person USING (person_id) GROUP BY 2, 3, 4
       |  UNION ALL
+      |  SELECT 2512, CAST(year(vds) AS VARCHAR),
+      |    CAST(gender_concept_id AS VARCHAR),
+      |    CAST(CAST(floor((year(vds) - year_of_birth) / 10) AS BIGINT) AS VARCHAR),
+      |    NULL, count(DISTINCT person_id)
+      |  FROM vd JOIN person USING (person_id) GROUP BY 2, 3, 4
+      |  UNION ALL
       |  SELECT 2204, CAST(note_type_concept_id AS VARCHAR),
       |    CAST(year(note_date) AS VARCHAR),
       |    CAST(gender_concept_id AS VARCHAR),
@@ -2586,6 +2605,9 @@ object OhdsiCdmQueries {
       |  UNION ALL
       |  SELECT 211, CAST(visit_concept_id AS VARCHAR), NULL,
       |    CAST(datediff('day', visit_start_date, visit_end_date) AS DOUBLE) FROM visit
+      |  UNION ALL
+      |  SELECT 2511, CAST(visit_detail_concept_id AS VARCHAR), NULL,
+      |    CAST(datediff('day', vds, vde) AS DOUBLE) FROM vd
       |  UNION ALL
       |  SELECT 506, CAST(gender_concept_id AS VARCHAR), NULL,
       |    CAST(year(death_date) - year_of_birth AS DOUBLE)

@@ -66,7 +66,7 @@ class OhdsiAchillesSpec extends SparkSpec {
 
   test("analysisCatalog carries the literal core id set") {
     val cat = OhdsiAchilles.analysisCatalog(spark).collect()
-    assert(cat.length === 285)
+    assert(cat.length === 288)
     val ids = cat.map(_.getLong(0))
     assert(ids.sorted.toSeq === ids.toSeq) // ordered by analysis_id
     for (core <- Seq(1L, 2L, 101L, 105L, 108L, 109L, 110L, 111L, 114L, 115L,
@@ -133,7 +133,7 @@ class OhdsiAchillesSpec extends SparkSpec {
       (2L to 7L).flatMap(off => Seq(1500L + off, 1600L + off)).toSet ++
       // r15: the note series dists, the extra drug-cost money dists, and
       // the x93/x94 per-person density block (every series except death)
-      Set(2203L, 2206L, 1509L, 1510L, 1511L) ++
+      Set(2203L, 2206L, 1509L, 1510L, 1511L, 2511L) ++
       OhdsiAchilles.DomainSeries.filter(_.table != "death")
         .flatMap(d => Seq(d.base + 93, d.base + 94)).toSet)
   }
