@@ -42,7 +42,10 @@ class PlanAuditSpec extends SparkSpec {
     // brute-force top-k legitimately crossJoins a BROADCAST query batch;
     // every other candidate generator must stay an equi-join
     for (q <- Seq("dedup_minhash_bands", "dedup_jaccard_pairs", "dedup_simhash",
-        "dedup_embed_cosine", "sim_lsh_topk", "dedup_exact")) {
+        "dedup_embed_cosine", "sim_lsh_topk", "dedup_exact",
+        // r15: the index-growth admission — both batches' candidate
+        // generation must stay banded equi-joins against base ∪ delta
+        "corpus_batch_admit_sequential")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plan has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plan has a nested-loop join")
