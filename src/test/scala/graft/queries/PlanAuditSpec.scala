@@ -78,8 +78,11 @@ class PlanAuditSpec extends SparkSpec {
     val pd = graft.operators.OhdsiAchilles
       .cdmCoreDistResults(OhdsiCdmQueries.derivedModel, load)
       .queryExecution.executedPlan.toString
+    // r15 measured: 157 dist exchanges after the x93/x94 density block
+    // (one person-keyed pre-aggregate per table feeding two histograms)
+    // + 2203/2206/2511 + the 1509-1511 cost block; cap = measured + ~10%
     val dx = pd.linesIterator.count(_.contains("- Exchange"))
-    assert(dx <= 160, s"ohdsi_core_dist exchanges grew to $dx")
+    assert(dx <= 173, s"ohdsi_core_dist exchanges grew to $dx")
   }
 
   test("semantic dedup pair join carries the hash-block keys (bounded task width)") {
