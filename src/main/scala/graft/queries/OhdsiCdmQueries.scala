@@ -1397,9 +1397,131 @@ object OhdsiCdmQueries {
         |ORDER BY user_id""".stripMargin)
   }
 
+  /** The reference's upload duplicate-row check template, VERBATIM
+    * (`sql_server/templates/etl/{omop_work_table}_merge_check_for_duplicate_rows.sql.jinja`
+    * — the A2 operator's own published SQL): Jinja loop over the upload
+    * tables with `loop.first` separators, the per-omop-table elif chain,
+    * the `not column in events.values()` membership guard (the r15
+    * JinjaLite widening), bracketed three-part names, `SELECT TOP` with
+    * `STRING_AGG` + HAVING. Vendored unmodified to prove the template
+    * runs through JinjaLite + the SqlRender-subset bridge.
+    */
+  private val DupRowsTemplateSql =
+    """{#- Copyright 2024 RADar-AZDelta -#}
+      |{#- SPDX-License-Identifier: gpl3+ -#}
+      |WITH cte_uploaded_tables AS (
+      |    {%- for upload_table in upload_tables -%}
+      |        {%- if not loop.first %}
+      |    UNION ALL
+      |        {%- endif %}
+      |    SELECT DISTINCT *, '{{upload_table}}' as upload_table
+      |    FROM [{{work_database_catalog}}].[{{work_database_schema}}].[{{omop_table}}__upload__{{upload_table}}]
+      |    {%- endfor %}
+      |)
+      |SELECT TOP 100
+      |    STRING_AGG(upload_table, ', ') as upload_tables
+      |{%- if omop_table == 'fact_relationship' %}
+      |    , fact_id_1
+      |    , fact_id_2
+      |{%- elif omop_table == 'death' -%}
+      |    , person_id
+      |{%- elif omop_table == 'cdm_source' -%}
+      |    , cdm_source_name
+      |{%- elif omop_table == 'episode_event' %}
+      |    , episode_id
+      |{%- elif primary_key_column -%}
+      |    , {{primary_key_column}}
+      |{%- endif %}
+      |{%- for column in concept_id_columns -%}
+      |    {%- if not column in events.values() %}
+      |    , [{{column}}]
+      |    {%- endif -%}
+      |{%- endfor -%}
+      |{%- for column in events -%}
+      |    {%- if omop_table != 'fact_relationship' %}
+      |    , [{{column}}]
+      |    {%- endif -%}
+      |{%- endfor %}
+      |    , count(*)
+      |FROM cte_uploaded_tables
+      |GROUP BY
+      |{%- if omop_table == 'fact_relationship' %}
+      |    fact_id_1
+      |    , fact_id_2
+      |{%- elif omop_table == 'death' %}
+      |    person_id
+      |{%- elif omop_table == 'cdm_source' %}
+      |    cdm_source_name
+      |{%- elif omop_table == 'episode_event' %}
+      |    episode_id
+      |{%- elif primary_key_column %}
+      |    {{primary_key_column}}
+      |{%- endif -%}
+      |{%- for column in concept_id_columns -%}
+      |    {%- if not column in events.values() %}
+      |    , [{{column}}]
+      |    {%- else %}
+      |    , [{{column}}]
+      |    {%- endif -%}
+      |{%- endfor -%}
+      |{%- for column in events -%}
+      |    {%- if omop_table != 'fact_relationship' %}
+      |    , [{{column}}]
+      |    {%- endif -%}
+      |{%- endfor %}
+      |HAVING COUNT(*) > 1""".stripMargin
+
+  /** The verbatim duplicate-rows template over two provider upload views
+    * (u2 ⊂ u1 by modulus, so the duplicate set is the u2 key set — 41
+    * groups at sf0.01, safely inside the template's own TOP 100). The
+    * returned frame canonicalizes ONLY what the published SQL leaves
+    * engine-unspecified: STRING_AGG's aggregation order (sorted rejoin)
+    * and the row order / count column name — the benchmark-rows
+    * precedent for pinning an unhashable facet.
+    */
+  val ohdsiSqlDupRows: Q = (s, d) => {
+    val orders = t(s, d, "orders")
+    def upload(m: Long) = orders.filter(col("o_orderkey") % m === 0)
+      .select(col("o_orderkey").as("provider_id"),
+        (col("o_custkey") % 5).as("specialty_concept_id"))
+    // the template addresses its uploads by the THREE-part
+    // catalog.schema.table name the reference's warehouse uses — real
+    // catalog tables, not temp views (global temp views are not
+    // catalog-addressable)
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_work")
+    for ((df, tb) <- Seq(upload(97L) -> "provider__upload__u1",
+        upload(1455L) -> "provider__upload__u2")) {
+      // a managed table's LOCATION outlives the in-memory catalog across
+      // JVMs — drop both the entry and the stale location, then recreate
+      s.sql(s"DROP TABLE IF EXISTS graft_work.$tb")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir") + s"/graft_work.db/$tb")
+      loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+      df.write.saveAsTable(s"graft_work.$tb")
+    }
+    val rendered = graft.sources.JinjaLite.render(DupRowsTemplateSql,
+      scalars = Map(
+        "work_database_catalog" -> "spark_catalog",
+        "work_database_schema" -> "graft_work",
+        "omop_table" -> "provider",
+        "primary_key_column" -> "provider_id"),
+      lists = Map(
+        "upload_tables" -> Seq("u1", "u2"),
+        "concept_id_columns" -> Seq("specialty_concept_id"),
+        "events" -> Seq.empty))
+    val raw = graft.sources.OhdsiSql.execute(s, rendered)
+    raw.select(
+      concat_ws(", ", array_sort(split(col("upload_tables"), ",\\s*")))
+        .as("upload_tables"),
+      col("provider_id"), col("specialty_concept_id"),
+      col(raw.columns.last).as("cnt"))
+      .orderBy("provider_id", "specialty_concept_id")
+  }
+
   val defs: Seq[(String, Q)] = Seq(
     "achilles_cdm_store_build" -> achillesCdmStoreBuild,
     "ohdsi_sql_session_span" -> ohdsiSqlSessionSpan,
+    "ohdsi_sql_dup_rows" -> ohdsiSqlDupRows,
     "ohdsi_sql_achilles701" -> ohdsiSqlAchilles701,
     "ohdsi_sql_achilles105" -> ohdsiSqlAchilles105,
     "ohdsi_sql_heel_rule" -> ohdsiSqlHeelRule,
@@ -3109,6 +3231,24 @@ $perPersonDistSql
          |FROM (VALUES ${ids.map(i => s"($i)").mkString(", ")}) t(analysis_id)
          |ORDER BY 1""".stripMargin
     },
+    // the verbatim duplicate-rows template: u2 ⊂ u1, so HAVING > 1 keeps
+    // exactly the u2 keys; the canonicalized STRING_AGG is the sorted
+    // upload-name join
+    "ohdsi_sql_dup_rows" ->
+      """WITH up AS (
+        |  SELECT DISTINCT o_orderkey AS provider_id,
+        |    o_custkey % 5 AS specialty_concept_id, 'u1' AS upload_table
+        |  FROM orders WHERE o_orderkey % 97 = 0
+        |  UNION ALL
+        |  SELECT DISTINCT o_orderkey, o_custkey % 5, 'u2'
+        |  FROM orders WHERE o_orderkey % 1455 = 0
+        |)
+        |SELECT array_to_string(list_sort(list(upload_table)), ', ') AS upload_tables,
+        |  provider_id, specialty_concept_id, CAST(count(*) AS BIGINT) AS cnt
+        |FROM up GROUP BY provider_id, specialty_concept_id
+        |HAVING count(*) > 1
+        |ORDER BY provider_id, specialty_concept_id
+        |LIMIT 100""".stripMargin,
     // DuckDB's date_diff counts partition-boundary crossings — the same
     // semantics SQL Server's DATEDIFF has and the translate layer now
     // reproduces via unit-truncated unix_timestamp differences

@@ -99,7 +99,14 @@ object JinjaLite {
   private final case class If(branches: Seq[(Cond, Seq[Node])], otherwise: Seq[Node]) extends Node
   private final case class For(v: String, list: String, body: Seq[Node]) extends Node
 
-  private final case class Cond(negated: Boolean, lhs: String, op: Option[(String, String)])
+  /** `op` carries (== / != , rhs) comparisons; `inList` a list-membership
+    * test `lhs in <list>` (the reference's duplicate-rows template guards
+    * columns with `not column in events.values()` — the subset treats a
+    * list-valued variable's `.values()` as the list itself; callers with
+    * dict-typed template vars supply the VALUES as the list, r15).
+    */
+  private final case class Cond(negated: Boolean, lhs: String,
+      op: Option[(String, String)], inList: Option[String] = None)
 
   private val Ident = raw"[A-Za-z_][A-Za-z0-9_]*"
   // a variable reference in {{ .. }} / conditions: plain name or loop attr
@@ -187,11 +194,14 @@ object JinjaLite {
     val s = raw.trim
     val (neg, body) = if (s.startsWith("not ")) (true, s.drop(4).trim) else (false, s)
     val cmp = raw"($VarRef|'[^']*'|\x22[^\x22]*\x22)\s*(==|!=)\s*($VarRef|'[^']*'|\x22[^\x22]*\x22)".r
+    val mem = raw"($VarRef)\s+in\s+($Ident)(?:\.values\(\))?".r
     body match {
       case cmp(l, op, r) => Cond(neg, l, Some((op, r)))
+      case mem(l, listName) => Cond(neg, l, None, inList = Some(listName))
       case v if v.matches(VarRef) => Cond(neg, v, None)
       case other => sys.error(s"unsupported Jinja condition '$other' — " +
-        "use a variable, 'not var', or == / != against a quoted literal")
+        "use a variable, 'not var', == / != against a quoted literal, " +
+        "or 'x in somelist' membership")
     }
   }
 
@@ -205,13 +215,19 @@ object JinjaLite {
     if (o.startsWith("'") || o.startsWith("\"")) o.substring(1, o.length - 1)
     else lookup(o, scalars)
 
-  private def truthy(c: Cond, scalars: Map[String, String]): Boolean = {
-    val base = c.op match {
-      case Some((op, r)) =>
+  private def truthy(c: Cond, scalars: Map[String, String],
+      lists: Map[String, Seq[String]]): Boolean = {
+    val base = (c.op, c.inList) match {
+      case (Some((op, r)), _) =>
         val l = operand(c.lhs, scalars)
         val rv = operand(r, scalars)
         if (op == "==") l == rv else l != rv
-      case None => scalars.get(c.lhs).exists(_.nonEmpty)
+      case (None, Some(listName)) =>
+        lists.getOrElse(listName, sys.error(
+          s"undefined Jinja list '$listName' in membership test — provided: " +
+            lists.keys.toSeq.sorted.mkString(", ")))
+          .contains(operand(c.lhs, scalars))
+      case (None, None) => scalars.get(c.lhs).exists(_.nonEmpty)
     }
     if (c.negated) !base else base
   }
@@ -222,7 +238,7 @@ object JinjaLite {
       case Lit(s) => sb.append(s)
       case Var(n) => sb.append(lookup(n, scalars))
       case If(branches, otherwise) =>
-        branches.find { case (c, _) => truthy(c, scalars) } match {
+        branches.find { case (c, _) => truthy(c, scalars, lists) } match {
           case Some((_, body)) => eval(body, scalars, lists, sb)
           case None => eval(otherwise, scalars, lists, sb)
         }

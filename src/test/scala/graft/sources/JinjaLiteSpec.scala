@@ -96,6 +96,24 @@ class JinjaLiteSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("without an opening block"))
   }
 
+  test("list-membership conditions: 'x in somelist' and the .values() form") {
+    // the duplicate-rows template's guard shape (r15):
+    // `{%- if not column in events.values() %}`
+    val out = JinjaLite.render(
+      "{% for c in cols %}{% if not c in events.values() %}[{{c}}]{% endif %}{% endfor %}",
+      Map.empty,
+      lists = Map("cols" -> Seq("a", "b", "c"), "events" -> Seq("b")))
+    assert(out == "[a][c]")
+    // positive membership, no .values()
+    assert(JinjaLite.render(
+      "{% if k in keep %}yes{% else %}no{% endif %}",
+      Map("k" -> "x"), lists = Map("keep" -> Seq("x", "y"))) == "yes")
+    // an undefined list in a membership test names itself
+    val e = intercept[RuntimeException](JinjaLite.render(
+      "{% if k in nope %}y{% endif %}", Map("k" -> "x"), lists = Map.empty))
+    assert(e.getMessage.contains("nope"))
+  }
+
   test("SqlTemplates.fromFile renders the contract variables through JinjaLite") {
     val dir = java.nio.file.Files.createTempDirectory("jinja")
     val p = dir.resolve("person.sql.jinja")
