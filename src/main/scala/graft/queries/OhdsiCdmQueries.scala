@@ -1488,17 +1488,8 @@ object OhdsiCdmQueries {
     // catalog.schema.table name the reference's warehouse uses — real
     // catalog tables, not temp views (global temp views are not
     // catalog-addressable)
-    s.sql("CREATE DATABASE IF NOT EXISTS graft_work")
-    for ((df, tb) <- Seq(upload(97L) -> "provider__upload__u1",
-        upload(1455L) -> "provider__upload__u2")) {
-      // a managed table's LOCATION outlives the in-memory catalog across
-      // JVMs — drop both the entry and the stale location, then recreate
-      s.sql(s"DROP TABLE IF EXISTS graft_work.$tb")
-      val loc = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir") + s"/graft_work.db/$tb")
-      loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
-      df.write.saveAsTable(s"graft_work.$tb")
-    }
+    stageCatalogTable(s, "graft_work", "provider__upload__u1", upload(97L))
+    stageCatalogTable(s, "graft_work", "provider__upload__u2", upload(1455L))
     val rendered = graft.sources.JinjaLite.render(DupRowsTemplateSql,
       scalars = Map(
         "work_database_catalog" -> "spark_catalog",
@@ -1518,10 +1509,146 @@ object OhdsiCdmQueries {
       .orderBy("provider_id", "specialty_concept_id")
   }
 
+  /** Create-or-replace a managed catalog table, tolerating a LOCATION
+    * left by a previous JVM whose in-memory catalog forgot the entry.
+    */
+  private def stageCatalogTable(s: SparkSession, db: String, tb: String,
+      df: DataFrame): Unit = {
+    s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    s.sql(s"DROP TABLE IF EXISTS $db.$tb")
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir") + s"/$db.db/$tb")
+    loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+    df.write.saveAsTable(s"$db.$tb")
+  }
+
+  /** The shared usagi/concept fixture of the two verbatim check
+    * templates below: every column is MODULAR in c_custkey and the usagi
+    * table is the DISTINCT of the projection, so the table holds at most
+    * lcm(24,7,6,4) = 168 rows at ANY scale factor — the templates' own
+    * un-ordered `TOP 100` is then provably a no-op, which is what makes
+    * their verbatim output hash-gateable.
+    */
+  private def stageUsagiFixture(s: SparkSession, d: String): Unit = {
+    stageCatalogTable(s, "graft_work", "provider__specialty_concept_id_usagi",
+      t(s, d, "customer").select(
+        concat(lit("S"), (col("c_custkey") % 24).cast("string")).as("sourceCode"),
+        // % 7, COPRIME to the 24 of sourceCode: a modulus dividing 24
+        // would make the name functional of the code class and no
+        // duplicate could ever form; 24 (not 30) keeps the saturated
+        // domain-violation set at 84 rows — inside the template's own
+        // un-ordered TOP 100 (this synthetic universe's nations take
+        // round-robin regions, so 3 of the 5 joinable concepts are
+        // outside the allowed-domain set)
+        concat(lit("n"), (col("c_custkey") % 7).cast("string")).as("sourceName"),
+        (col("c_custkey") % 6).as("conceptId"),
+        when(col("c_custkey") % 4 =!= 0, "APPROVED").otherwise("FLAGGED")
+          .as("mappingStatus")).distinct())
+    stageCatalogTable(s, "graft_omop", "concept",
+      t(s, d, "nation").select(
+        col("n_nationkey").as("concept_id"),
+        concat(lit("V"), col("n_regionkey").cast("string")).as("vocabulary_id"),
+        col("n_name").as("domain_id")))
+  }
+
+  /** The reference's SOURCE_TO_CONCEPT_MAP duplicate check, VERBATIM
+    * (`etl/SOURCE_TO_CONCEPT_MAP_check_for_duplicates.sql.jinja` — the A3
+    * operator's published SQL): the s2cm projection with its GETDATE()
+    * stamp (constant per query, so DISTINCT multiplicity and the output
+    * are deterministic — the stamp itself never reaches the output),
+    * the APPROVED-only conditional branch, grouped HAVING > 1.
+    */
+  val ohdsiSqlS2cmDups: Q = (s, d) => {
+    stageUsagiFixture(s, d)
+    val rendered = graft.sources.JinjaLite.render(
+      """{#- Copyright 2024 RADar-AZDelta -#}
+        |{#- SPDX-License-Identifier: gpl3+ -#}
+        |select top 100 source_code, target_concept_id, count(*) as nbr_of_rows
+        |from (
+        |    SELECT DISTINCT
+        |        t.sourceCode as source_code
+        |        ,0 as source_concept_id
+        |        ,'' as source_vocabulary_id
+        |        ,t.sourceName as source_code_description
+        |        ,t.conceptId as target_concept_id
+        |        ,c.vocabulary_id as target_vocabulary_id
+        |        ,GETDATE() as valid_start_date
+        |        ,CAST('2099-12-31' AS DATE) as valid_end_date
+        |        ,NULL as invalid_reason
+        |    FROM [{{work_database_catalog}}].[{{work_database_schema}}].[{{omop_table}}__{{concept_id_column}}_usagi] t
+        |    INNER JOIN [{{omop_database_catalog}}].[{{omop_database_schema}}].[concept] c on c.concept_id = t.conceptId
+        |{%- if not process_semi_approved_mappings %}
+        |    where t.mappingStatus = 'APPROVED'
+        |{%- else %}
+        |    where t.mappingStatus in ('APPROVED', 'SEMI-APPROVED')
+        |{%- endif %}
+        |) t
+        |group by source_code, target_concept_id
+        |having count(*) > 1;""".stripMargin,
+      scalars = Map(
+        "work_database_catalog" -> "spark_catalog",
+        "work_database_schema" -> "graft_work",
+        "omop_database_catalog" -> "spark_catalog",
+        "omop_database_schema" -> "graft_omop",
+        "omop_table" -> "provider",
+        "concept_id_column" -> "specialty_concept_id",
+        "process_semi_approved_mappings" -> ""))
+    graft.sources.OhdsiSql.execute(s, rendered)
+      .orderBy("source_code", "target_concept_id")
+  }
+
+  /** The reference's usagi domain check, VERBATIM
+    * (`etl/{omop_table}__{concept_id_column}_usagi_fk_domain_check
+    * .sql.jinja` — the J7 operator's published SQL): the Jinja loop over
+    * the allowed domains with `loop.first` comma control, the
+    * `cast(u.conceptId as integer)` join with the concept-0 guard, the
+    * APPROVED-only branch. The allowed set is fetched driver-side from
+    * the concept dimension exactly like the reference's `_get_fk_domains`
+    * (`etl_base.py:323-347`).
+    */
+  val ohdsiSqlUsagiDomainCheck: Q = (s, d) => {
+    stageUsagiFixture(s, d)
+    val allowed = t(s, d, "nation").filter(col("n_regionkey") < 2)
+      .select(lower(col("n_name"))).orderBy("lower(n_name)")
+      .collect().map(_.getString(0)).toSeq
+    val rendered = graft.sources.JinjaLite.render(
+      """{#- Copyright 2024 RADar-AZDelta -#}
+        |{#- SPDX-License-Identifier: gpl3+ -#}
+        |select top 100 u.*, c.domain_id
+        |from [{{work_database_catalog}}].[{{work_database_schema}}].[{{omop_table}}__{{concept_id_column}}_usagi] u
+        |inner join [{{omop_database_catalog}}].[{{omop_database_schema}}].[concept] c on c.concept_id = cast(u.conceptId as integer)
+        |  and c.concept_id <> 0
+        |  and lower(c.domain_id) not in (
+        |  {%- for domain in domains -%}
+        |    {%- if not loop.first -%}
+        |        {{', '}}
+        |    {%- endif -%}
+        |    '{{domain}}'
+        |  {%- endfor -%})
+        |{% if not process_semi_approved_mappings -%}
+        |where u.mappingStatus = 'APPROVED'
+        |{%- else -%}
+        |where u.mappingStatus in ('APPROVED', 'SEMI-APPROVED')
+        |{%- endif %}""".stripMargin,
+      scalars = Map(
+        "work_database_catalog" -> "spark_catalog",
+        "work_database_schema" -> "graft_work",
+        "omop_database_catalog" -> "spark_catalog",
+        "omop_database_schema" -> "graft_omop",
+        "omop_table" -> "provider",
+        "concept_id_column" -> "specialty_concept_id",
+        "process_semi_approved_mappings" -> ""),
+      lists = Map("domains" -> allowed))
+    graft.sources.OhdsiSql.execute(s, rendered)
+      .orderBy("sourceCode", "sourceName", "conceptId")
+  }
+
   val defs: Seq[(String, Q)] = Seq(
     "achilles_cdm_store_build" -> achillesCdmStoreBuild,
     "ohdsi_sql_session_span" -> ohdsiSqlSessionSpan,
     "ohdsi_sql_dup_rows" -> ohdsiSqlDupRows,
+    "ohdsi_sql_s2cm_dups" -> ohdsiSqlS2cmDups,
+    "ohdsi_sql_usagi_domain_check" -> ohdsiSqlUsagiDomainCheck,
     "ohdsi_sql_achilles701" -> ohdsiSqlAchilles701,
     "ohdsi_sql_achilles105" -> ohdsiSqlAchilles105,
     "ohdsi_sql_heel_rule" -> ohdsiSqlHeelRule,
@@ -3231,6 +3358,59 @@ $perPersonDistSql
          |FROM (VALUES ${ids.map(i => s"($i)").mkString(", ")}) t(analysis_id)
          |ORDER BY 1""".stripMargin
     },
+    // the verbatim s2cm duplicate check: the inner DISTINCT's constant
+    // columns (0, '', the GETDATE stamp, dates, NULL) never change
+    // multiplicity, so the oracle carries only the varying ones
+    "ohdsi_sql_s2cm_dups" ->
+      """WITH usagi AS (
+        |  SELECT DISTINCT 'S' || CAST(c_custkey % 24 AS VARCHAR) AS sourceCode,
+        |    'n' || CAST(c_custkey % 7 AS VARCHAR) AS sourceName,
+        |    c_custkey % 6 AS conceptId,
+        |    CASE WHEN c_custkey % 4 <> 0 THEN 'APPROVED' ELSE 'FLAGGED' END
+        |      AS mappingStatus
+        |  FROM customer
+        |), concept AS (
+        |  SELECT n_nationkey AS concept_id,
+        |    'V' || CAST(n_regionkey AS VARCHAR) AS vocabulary_id,
+        |    n_name AS domain_id
+        |  FROM nation
+        |)
+        |SELECT source_code, target_concept_id,
+        |  CAST(count(*) AS BIGINT) AS nbr_of_rows
+        |FROM (
+        |  SELECT DISTINCT t.sourceCode AS source_code,
+        |    t.sourceName AS source_code_description,
+        |    t.conceptId AS target_concept_id,
+        |    c.vocabulary_id AS target_vocabulary_id
+        |  FROM usagi t JOIN concept c ON c.concept_id = t.conceptId
+        |  WHERE t.mappingStatus = 'APPROVED'
+        |)
+        |GROUP BY 1, 2 HAVING count(*) > 1
+        |ORDER BY source_code, target_concept_id
+        |LIMIT 100""".stripMargin,
+    "ohdsi_sql_usagi_domain_check" ->
+      """WITH usagi AS (
+        |  SELECT DISTINCT 'S' || CAST(c_custkey % 24 AS VARCHAR) AS sourceCode,
+        |    'n' || CAST(c_custkey % 7 AS VARCHAR) AS sourceName,
+        |    c_custkey % 6 AS conceptId,
+        |    CASE WHEN c_custkey % 4 <> 0 THEN 'APPROVED' ELSE 'FLAGGED' END
+        |      AS mappingStatus
+        |  FROM customer
+        |), concept AS (
+        |  SELECT n_nationkey AS concept_id,
+        |    'V' || CAST(n_regionkey AS VARCHAR) AS vocabulary_id,
+        |    n_name AS domain_id
+        |  FROM nation
+        |)
+        |SELECT u.sourceCode, u.sourceName, u.conceptId, u.mappingStatus,
+        |  c.domain_id
+        |FROM usagi u JOIN concept c ON c.concept_id = CAST(u.conceptId AS INTEGER)
+        |  AND c.concept_id <> 0
+        |  AND lower(c.domain_id) NOT IN
+        |    (SELECT lower(n_name) FROM nation WHERE n_regionkey < 2)
+        |WHERE u.mappingStatus = 'APPROVED'
+        |ORDER BY sourceCode, sourceName, conceptId
+        |LIMIT 100""".stripMargin,
     // the verbatim duplicate-rows template: u2 ⊂ u1, so HAVING > 1 keeps
     // exactly the u2 keys; the canonicalized STRING_AGG is the sorted
     // upload-name join

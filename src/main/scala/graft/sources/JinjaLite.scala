@@ -126,10 +126,18 @@ object JinjaLite {
       rest match {
         case Text(s) :: tl => nodes += Lit(s); rest = tl
         case Expr(e) :: tl =>
-          require(e.matches(VarRef),
-            s"unsupported Jinja construct '{{ $e }}' — only plain variable " +
-              "substitution is supported (no filters or expressions)")
-          nodes += Var(e); rest = tl
+          // a quoted literal expression is the published templates' comma
+          // separator idiom (`{%- if not loop.first -%}{{', '}}{%- endif %}`)
+          if (e.matches(raw"'[^']*'|\x22[^\x22]*\x22"))
+            nodes += Lit(e.substring(1, e.length - 1))
+          else {
+            require(e.matches(VarRef),
+              s"unsupported Jinja construct '{{ $e }}' — only plain variable " +
+                "and quoted-literal substitution is supported (no filters or " +
+                "expressions)")
+            nodes += Var(e)
+          }
+          rest = tl
         case Stmt(s) :: tl if s.startsWith("if ") =>
           val (n, r) = parseIf(cond(s.drop(3)), tl)
           nodes += n; rest = r

@@ -114,6 +114,17 @@ class JinjaLiteSpec extends AnyFunSuite {
     assert(e.getMessage.contains("nope"))
   }
 
+  test("quoted-literal expressions render verbatim (the loop-separator idiom)") {
+    // `{%- if not loop.first -%}{{', '}}{%- endif -%}` — the published
+    // domain-check template's comma control (r15)
+    assert(JinjaLite.render(
+      "{% for d in ds %}{% if not loop.first %}{{ ', ' }}{% endif %}'{{d}}'{% endfor %}",
+      Map.empty, lists = Map("ds" -> Seq("a", "b"))) == "'a', 'b'")
+    // a filter expression still refuses by name
+    val e = intercept[RuntimeException](JinjaLite.render("{{ x|upper }}", Map("x" -> "a")))
+    assert(e.getMessage.contains("unsupported Jinja construct"))
+  }
+
   test("SqlTemplates.fromFile renders the contract variables through JinjaLite") {
     val dir = java.nio.file.Files.createTempDirectory("jinja")
     val p = dir.resolve("person.sql.jinja")
