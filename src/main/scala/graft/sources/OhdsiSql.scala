@@ -91,6 +91,41 @@ object OhdsiSql {
       }
     })
 
+  /** Substitute named `:param` bind placeholders OUTSIDE string literals —
+    * the reference executes several templates with execute-time query
+    * parameters distinct from the Jinja render variables
+    * (`sql_server/etl.py:73-100` passes `{"etl_start": date}` to
+    * `run_query`; `dqd/get_dqd_run.sql.jinja` binds `:id`). The caller
+    * supplies each value as SQL literal TEXT (e.g. `DATE '2024-01-01'`) —
+    * the bridge does no type inference, exactly like a driver's literal
+    * binding. When any binds are supplied, an unbound `:name` fails
+    * loudly; with NO binds the scan is skipped entirely (a colon outside
+    * quotes then keeps its legacy pass-through meaning). A colon inside
+    * quotes ('12:30') is content and never a bind.
+    */
+  private def substituteBinds(sql: String, binds: Map[String, String]): String = {
+    if (binds.isEmpty) return sql
+    val out = new StringBuilder
+    var inQ = false
+    var i = 0
+    while (i < sql.length) {
+      val ch = sql.charAt(i)
+      if (ch == '\'') { inQ = !inQ; out += ch; i += 1 }
+      else if (!inQ && ch == ':' && i + 1 < sql.length &&
+          (Character.isLetter(sql.charAt(i + 1)) || sql.charAt(i + 1) == '_')) {
+        var j = i + 1
+        while (j < sql.length &&
+            (Character.isLetterOrDigit(sql.charAt(j)) || sql.charAt(j) == '_')) j += 1
+        val name = sql.substring(i + 1, j)
+        out ++= binds.getOrElse(name, throw new IllegalArgumentException(
+          s"unbound bind parameter :$name — known: " +
+            binds.keys.toSeq.sorted.map(":" + _).mkString(", ")))
+        i = j
+      } else { out += ch; i += 1 }
+    }
+    out.result()
+  }
+
   /** SqlRender's render step: collect `{DEFAULT @p = v}` declarations,
     * overlay the caller's parameters, substitute every `@p` textually,
     * then evaluate `{cond}?{body}` conditional blocks against the
@@ -335,6 +370,19 @@ object OhdsiSql {
     s
   }
 
+  /** A possibly-backtick-quoted, possibly-qualified table name as it
+    * looks AFTER [[translate]] (brackets become backticks): each dotted
+    * component either `` `name` `` or bare. The published templates
+    * address warehouse tables by their full
+    * `[catalog].[schema].[table]` three-part names.
+    */
+  private val QNamePat = "(?:`\\w+`|\\w+)(?:\\.(?:`\\w+`|\\w+))*"
+
+  /** Strip backtick quoting from a translated qualified name — the form
+    * `spark.table` / `spark.catalog` APIs take.
+    */
+  private def cleanName(n: String): String = n.replace("`", "")
+
   private val DropIfExists =
     ci(raw"^\s*IF\s+OBJECT_ID\s*\(.*\)\s+IS\s+NOT\s+NULL\s+DROP\s+TABLE\s+(\S+)\s*$$")
   private val DropTable = ci(raw"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\S+)\s*$$")
@@ -354,11 +402,20 @@ object OhdsiSql {
   // (`vocabulary_table_truncate.sql.jinja:3`): empty the view, keep the
   // schema
   private val TruncateTable =
-    ci(raw"^\s*TRUNCATE\s+TABLE\s+([\w.]+)\s*$$")
+    ci(raw"^\s*TRUNCATE\s+TABLE\s+($QNamePat)\s*$$")
   private val DeleteFrom =
-    ci(raw"(?s)^\s*DELETE\s+FROM\s+([\w.]+)\s*(?:\bWHERE\b(.*?))?\s*$$")
+    ci(raw"(?s)^\s*DELETE\s+FROM\s+($QNamePat)\s*(?:\bWHERE\b(.*?))?\s*$$")
   private val UpdateSet =
-    ci(raw"(?s)^\s*UPDATE\s+([\w.]+)\s+SET\s+(.*?)\s*$$")
+    ci(raw"(?s)^\s*UPDATE\s+($QNamePat)\s+SET\s+(.*?)\s*$$")
+  /** `USE [catalog];` — SQL Server's database-context switch
+    * (`CONCEPT_ID_swap_create.sql.jinja:3`,
+    * `all_work_table_names.sql.jinja:3`). Every table reference the
+    * published templates make after a USE is still FULLY QUALIFIED, so
+    * the bridge records nothing and treats the statement as a no-op
+    * (changing the Spark session's current database would leak context
+    * into unrelated queries sharing the session).
+    */
+  private val UseDb = ci(raw"^\s*USE\s+($QNamePat)\s*$$")
 
   /** Split on `sep` at paren depth 0 outside single-quoted runs. */
   private def splitTopDepth(s: String, sep: Char): Seq[String] = {
@@ -377,15 +434,46 @@ object OhdsiSql {
     out.result()
   }
 
-  /** Re-register `target` (a session or global temp view name) over a
-    * rewritten frame. `spark.table` analyzes eagerly, so the new view
-    * snapshots the OLD view's plan rather than self-referencing — the
-    * same property the INSERT merge flow relies on.
+  /** Re-register `target` over a rewritten frame. A bare name is a
+    * session temp view, `global_temp.x` a global one — `spark.table`
+    * analyzes eagerly, so the new view snapshots the OLD view's plan
+    * rather than self-referencing (the property the INSERT merge flow
+    * relies on). A DOTTED name that is not `global_temp` is a real
+    * catalog table (the published templates' three-part warehouse
+    * names): the rewrite MATERIALIZES first (Spark refuses to overwrite
+    * a table from a plan still reading it) and then atomically swaps the
+    * managed table — the reference's own CTAS-replace discipline (S11).
     */
-  private def reRegister(spark: SparkSession, target: String, df: DataFrame): Unit =
-    if (target.toLowerCase.startsWith("global_temp."))
-      df.createOrReplaceGlobalTempView(target.substring("global_temp.".length))
-    else df.createOrReplaceTempView(target)
+  private def reRegister(spark: SparkSession, target: String, df: DataFrame): Unit = {
+    val clean = cleanName(target)
+    if (clean.toLowerCase.startsWith("global_temp."))
+      df.createOrReplaceGlobalTempView(clean.substring("global_temp.".length))
+    else if (clean.contains(".")) replaceCatalogTable(spark, clean, df)
+    else df.createOrReplaceTempView(clean)
+  }
+
+  /** Drop-and-recreate a managed catalog table (`[db.]table` or
+    * `catalog.db.table`, catalog stripped — the session has one). The
+    * location is deleted alongside the DROP: a managed-table LOCATION
+    * left by a previous JVM whose in-memory catalog forgot the entry
+    * would otherwise fail the recreate (the r15 lesson).
+    */
+  def replaceCatalogTable(spark: SparkSession, name: String, df: DataFrame): Unit = {
+    val parts = cleanName(name).split('.')
+    val dbTbl = if (parts.length == 3) s"${parts(1)}.${parts(2)}" else cleanName(name)
+    val db = dbTbl.split('.').head
+    // materialize the new contents OUTSIDE the table's own location so
+    // the swap never reads what it overwrites
+    val tmp = java.nio.file.Files.createTempDirectory("ohdsi_writeback").toString
+    df.write.mode("overwrite").parquet(tmp)
+    val fresh = spark.read.parquet(tmp)
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    spark.sql(s"DROP TABLE IF EXISTS $dbTbl")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + s"/$db.db/${dbTbl.split('.').last}")
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    fresh.write.saveAsTable(dbTbl)
+  }
 
   /** First span at paren depth 0 OUTSIDE quotes where the keyword phrase
     * (words separated by ANY whitespace, including newlines) starts on a
@@ -488,7 +576,7 @@ object OhdsiSql {
     * nondeterminism.
     */
   private def executeUpdateFrom(spark: SparkSession, ctes: String, body: String): Unit = {
-    val hm = ci(raw"(?s)^\s*UPDATE\s+(\w+)\s+SET\s+(.*?)\s+FROM\s+([\w.]+)\s+(?:AS\s+)?(\w+)\s+INNER\s+JOIN\s+([\w.]+)\s+(?:AS\s+)?(\w+)\s+ON\s+(.*?)\s*;?\s*$$")
+    val hm = ci(raw"(?s)^\s*UPDATE\s+(\w+)\s+SET\s+(.*?)\s+FROM\s+($QNamePat)\s+(?:AS\s+)?(\w+)\s+INNER\s+JOIN\s+($QNamePat)\s+(?:AS\s+)?(\w+)\s+ON\s+(.*?)\s*;?\s*$$")
       .findFirstMatchIn(body)
       .getOrElse(throw new IllegalArgumentException(
         "unsupported UPDATE..FROM shape (expected: UPDATE a SET ... FROM t " +
@@ -542,10 +630,10 @@ object OhdsiSql {
     * row; the emulation enforces the same contract with a bounded
     * duplicate-match probe instead of producing nondeterministic output.
     */
-  private def executeMerge(spark: SparkSession, stmt: String): Unit = {
+  private def executeMerge(spark: SparkSession, stmt: String, ctes: String = ""): Unit = {
     import org.apache.spark.sql.functions.{col => fcol, expr => fexpr, lit => flit,
       when => fwhen, monotonically_increasing_id}
-    val head = ci(raw"^\s*MERGE\s+INTO\s+([\w.]+)\s+(?:AS\s+)?(\w+)\s+USING\s*")
+    val head = ci(raw"^\s*MERGE\s+INTO\s+($QNamePat)\s+(?:AS\s+)?(\w+)\s+USING\s*")
       .findFirstMatchIn(stmt)
       .getOrElse(throw new IllegalArgumentException(
         "unsupported MERGE shape (expected: MERGE INTO <t> [AS] <alias> USING (...))"))
@@ -567,6 +655,10 @@ object OhdsiSql {
     }
     require(end > start, "unbalanced parentheses in MERGE USING subquery")
     val srcSql = stmt.substring(start + 1, end)
+    // a leading `WITH name AS (...)` prefix (the CONCEPT_ID_swap_merge
+    // shape) scopes over the USING subquery — the only place the
+    // published MERGE templates reference their CTEs
+    val srcFull = if (ctes.trim.isEmpty) srcSql else s"${ctes.trim} $srcSql"
     val tail = stmt.substring(end + 1)
     val tailM = ci(raw"^\s*(?:AS\s+)?(\w+)\s+ON\b").findFirstMatchIn(tail)
       .getOrElse(throw new IllegalArgumentException(
@@ -612,7 +704,7 @@ object OhdsiSql {
     // the first offending target row
     val keyed = spark.table(target)
       .withColumn("__t_rid", monotonically_increasing_id()).alias(tA)
-    val srcM = spark.sql(srcSql)
+    val srcM = spark.sql(srcFull)
       .withColumn("__s_m", flit(1)).alias(sA)
     val joined = keyed.join(srcM, fexpr(cond), "left")
     val dups = joined.filter(fcol("__s_m").isNotNull)
@@ -638,7 +730,7 @@ object OhdsiSql {
         val unknown = pairs.keySet -- tgtSchema.map(_.name.toLowerCase).toSet
         require(unknown.isEmpty,
           s"MERGE INSERT names unknown column(s): ${unknown.mkString(", ")}")
-        val anti = spark.sql(srcSql).alias(sA)
+        val anti = spark.sql(srcFull).alias(sA)
           .join(spark.table(target).alias(tA), fexpr(cond), "left_anti")
         val inserted = anti.select(tgtSchema.map { f =>
           pairs.get(f.name.toLowerCase) match {
@@ -655,8 +747,20 @@ object OhdsiSql {
     * the session's registered views; returns the final SELECT's frame.
     */
   def execute(spark: SparkSession, sql: String,
-      params: Map[String, String] = Map.empty): DataFrame = {
-    val statements = translateScript(sql, params)
+      params: Map[String, String] = Map.empty,
+      binds: Map[String, String] = Map.empty): DataFrame =
+    executeAll(spark, sql, params, binds).getOrElse(
+      throw new IllegalArgumentException(
+        "OHDSI SQL script contains no result-producing SELECT"))
+
+  /** Like [[execute]] but tolerates a script with no final SELECT (many
+    * published templates are pure mutations — the tombstoning UPDATEs,
+    * the cleanup DELETEs): returns the last SELECT's frame if any.
+    */
+  def executeAll(spark: SparkSession, sql: String,
+      params: Map[String, String] = Map.empty,
+      binds: Map[String, String] = Map.empty): Option[DataFrame] = {
+    val statements = translateScript(sql, params, binds)
     var last: Option[DataFrame] = None
     // leading `--` comment lines (the published templates' rule/analysis
     // headers) would defeat the ^-anchored statement dispatch below —
@@ -664,11 +768,25 @@ object OhdsiSql {
     statements.map(_.linesIterator
         .dropWhile(l => l.trim.isEmpty || l.trim.startsWith("--"))
         .mkString("\n"))
+      .map(rewriteSysCatalog(spark, _))
       .foreach {
       case DropIfExists(view) => spark.catalog.dropTempView(view); ()
       case DropTable(view) => spark.catalog.dropTempView(view); ()
-      case stmt if ci(raw"^\s*MERGE\s+INTO\b").findFirstIn(stmt).isDefined =>
-        executeMerge(spark, stmt)
+      case UseDb(_) => () // context no-op: template names are fully qualified
+      case stmt if ci(raw"^\s*IF\s+NOT\s+EXISTS\s*\(").findFirstIn(stmt).isDefined =>
+        executeIfNotExists(spark, stmt)
+      case stmt if ci(raw"^\s*CREATE\s+TABLE\b").findFirstIn(stmt).isDefined =>
+        executeCreateTable(spark, stmt)
+      // indexes have no Spark analogue (data layout is partitioning /
+      // bucketing); the reference's own BigQuery dialect likewise skips
+      // them ("INDEX CREATION SKIPPED", achilles.py) — accept and ignore
+      case stmt if ci(raw"^\s*CREATE\s+(?:UNIQUE\s+)?INDEX\b").findFirstIn(stmt).isDefined => ()
+      case stmt if {
+        val (_, b) = splitLeadingWith(stmt)
+        ci(raw"^\s*MERGE\s+INTO\b").findFirstIn(b).isDefined
+      } =>
+        val (ctes, b) = splitLeadingWith(stmt)
+        executeMerge(spark, b, ctes)
       case TruncateTable(target) =>
         reRegister(spark, target, spark.table(target).limit(0))
       case DeleteFrom(target, cond) =>
@@ -757,8 +875,101 @@ object OhdsiSql {
         merged.createOrReplaceTempView(view)
       case select => last = Some(spark.sql(select))
     }
-    last.getOrElse(throw new IllegalArgumentException(
-      "OHDSI SQL script contains no result-producing SELECT"))
+    last
+  }
+
+  /** The `IF NOT EXISTS (probe-subquery) CREATE TABLE ...` conditional
+    * DDL of the swap-table templates (`CONCEPT_ID_swap_create
+    * .sql.jinja:4-6`): run the probe (its `sys.tables` references were
+    * already mapped by [[rewriteSysCatalog]]); when it returns no row,
+    * execute the guarded statement. Only CREATE TABLE is guarded in the
+    * published tree — anything else refuses with the shape named.
+    */
+  private def executeIfNotExists(spark: SparkSession, stmt: String): Unit = {
+    val m = ci(raw"^\s*IF\s+NOT\s+EXISTS\s*").findFirstMatchIn(stmt).get
+    var i = m.end
+    while (i < stmt.length && stmt.charAt(i) != '(') i += 1
+    require(i < stmt.length, "IF NOT EXISTS needs a parenthesized probe subquery")
+    var depth = 0
+    var inQ = false
+    val start = i
+    var end = -1
+    while (i < stmt.length && end < 0) {
+      val ch = stmt.charAt(i)
+      if (ch == '\'') inQ = !inQ
+      else if (!inQ && ch == '(') depth += 1
+      else if (!inQ && ch == ')') { depth -= 1; if (depth == 0) end = i }
+      i += 1
+    }
+    require(end > start, "unbalanced parentheses in IF NOT EXISTS probe")
+    val probe = stmt.substring(start + 1, end)
+    val guarded = stmt.substring(end + 1).trim
+    require(ci(raw"^\s*CREATE\s+TABLE\b").findFirstIn(guarded).isDefined,
+      "unsupported IF NOT EXISTS shape (the published templates guard " +
+        "CREATE TABLE; got: " + guarded.linesIterator.take(1).mkString + ")")
+    if (spark.sql(probe).limit(1).count() == 0L) executeCreateTable(spark, guarded)
+  }
+
+  /** `CREATE TABLE [cat].[schema].[t] (col type, ...)` — the swap-table
+    * DDL statement class. T-SQL column types map exactly as SqlRender's
+    * Spark dialect renders them (varchar -> STRING, integer -> INT, ...);
+    * an unknown type refuses loudly. The table is created EMPTY as a
+    * managed catalog table (the location-cleanup discipline of
+    * [[replaceCatalogTable]]).
+    */
+  private def executeCreateTable(spark: SparkSession, stmt: String): Unit = {
+    val m = ci(raw"(?s)^\s*CREATE\s+TABLE\s+($QNamePat)\s*\((.*)\)\s*$$")
+      .findFirstMatchIn(stmt)
+      .getOrElse(throw new IllegalArgumentException(
+        "unsupported CREATE TABLE shape (expected: CREATE TABLE <name> (col type, ...))"))
+    val name = m.group(1)
+    val cols = splitTopDepth(m.group(2), ',').map(_.trim).filter(_.nonEmpty).map { c =>
+      val cm = ci(raw"^(`?\w+`?)\s+(\w+(?:\s*\(\s*[\d,\s]+\s*\))?)\s*$$").findFirstMatchIn(c)
+        .getOrElse(throw new IllegalArgumentException(
+          s"unsupported CREATE TABLE column definition '$c' (expected: name type)"))
+      val ty = cm.group(2).replaceAll(raw"\s+", "").toUpperCase match {
+        case t if t.startsWith("VARCHAR") || t.startsWith("NVARCHAR") => "STRING"
+        case "INTEGER" | "INT" => "INT"
+        case "BIGINT" => "BIGINT"
+        case "FLOAT" => "DOUBLE"
+        case "DATE" => "DATE"
+        case "DATETIME" | "DATETIME2" => "TIMESTAMP"
+        case other => throw new IllegalArgumentException(
+          s"unsupported CREATE TABLE column type '$other' (subset: VARCHAR, " +
+            "INTEGER, BIGINT, FLOAT, DATE, DATETIME)")
+      }
+      s"CAST(NULL AS $ty) AS ${cleanName(cm.group(1))}"
+    }
+    val empty = spark.sql(s"SELECT ${cols.mkString(", ")} WHERE 1=0")
+    replaceCatalogTable(spark, name, empty)
+  }
+
+  /** Map SQL Server catalog-introspection references onto the Spark
+    * catalog (the `all_work_table_names.sql.jinja` /
+    * `CONCEPT_ID_swap_create.sql.jinja` probe shape): when a statement
+    * references `sys.tables` / `sys.schemas`, snapshot the session
+    * catalog into two temp views shaped like the sys views the templates
+    * read — `name` + `schema_id` — and rewrite `schema_name(x)` to the
+    * identity (the snapshot carries the schema NAME in `schema_id`,
+    * collapsing the id->name indirection Spark does not have). Bounded
+    * metadata: one catalog listing per statement that asks.
+    */
+  private def rewriteSysCatalog(spark: SparkSession, stmt: String): String = {
+    if (ci(raw"\bsys\.(tables|schemas)\b").findFirstIn(stmt).isEmpty) stmt
+    else {
+      import spark.implicits._
+      val dbs = spark.catalog.listDatabases().collect().map(_.name)
+      val tables = dbs.flatMap { db =>
+        spark.catalog.listTables(db).collect()
+          .filter(_.tableType != "TEMPORARY").map(t => (t.name, db))
+      }.toSeq
+      tables.toDF("name", "schema_id").createOrReplaceTempView("sys_tables_snap")
+      dbs.toSeq.map(db => (db, db)).toDF("schema_id", "name")
+        .createOrReplaceTempView("sys_schemas_snap")
+      val s1 = ci(raw"\bsys\.tables\b").replaceAllIn(stmt, "sys_tables_snap")
+      val s2 = ci(raw"\bsys\.schemas\b").replaceAllIn(s1, "sys_schemas_snap")
+      ci(raw"\bSCHEMA_NAME\s*\(").replaceAllIn(s2, "(")
+    }
   }
 
   /** Remove `--` line comments AND `/* */` block comments OUTSIDE string
@@ -814,7 +1025,8 @@ object OhdsiSql {
     * messages carry semicolons inside their quotes), translated per
     * statement (so `TOP n` becomes that statement's `LIMIT`).
     */
-  def translateScript(sql: String, params: Map[String, String] = Map.empty): Seq[String] =
-    splitTop(stripComments(render(sql, params)), ';')
+  def translateScript(sql: String, params: Map[String, String] = Map.empty,
+      binds: Map[String, String] = Map.empty): Seq[String] =
+    splitTop(substituteBinds(stripComments(render(sql, params)), binds), ';')
       .map(_.trim).filter(_.nonEmpty).map(translate)
 }

@@ -411,6 +411,97 @@ class OhdsiSqlSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, "one", 10L), (2L, "two", 20L)))
   }
 
+  test("named :binds substitute outside quotes, error when unbound, skip when none supplied") {
+    // the reference's execute-time query parameters (sql_server/etl.py:73-100)
+    val stmts = OhdsiSql.translateScript(
+      "SELECT ':not_a_bind' AS a WHERE d < :etl_start",
+      binds = Map("etl_start" -> "DATE '2024-01-01'"))
+    assert(stmts.head.contains("DATE '2024-01-01'"))
+    assert(stmts.head.contains("':not_a_bind'"), "colon inside quotes is content")
+    val e = intercept[IllegalArgumentException](OhdsiSql.translateScript(
+      "SELECT 1 WHERE id = :missing", binds = Map("other" -> "1")))
+    assert(e.getMessage.contains(":missing"))
+    // legacy scripts with no binds keep pass-through colons
+    assert(OhdsiSql.translateScript("SELECT 'a:b' AS x").nonEmpty)
+  }
+
+  test("USE is a context no-op; sys.tables maps to the session catalog") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS ohdsi_spec_db")
+    spark.sql("DROP TABLE IF EXISTS ohdsi_spec_db.t_alpha")
+    Seq((1L, "x")).toDF("k", "v").write.mode("overwrite")
+      .saveAsTable("ohdsi_spec_db.t_alpha")
+    val out = OhdsiSql.execute(spark,
+      """use [spark_catalog];
+        |select t.name as table_name
+        |from sys.tables t
+        |where schema_name(t.schema_id) = 'ohdsi_spec_db'
+        |order by table_name""".stripMargin)
+      .collect().map(_.getString(0))
+    assert(out.toSeq === Seq("t_alpha"))
+  }
+
+  test("UPDATE / DELETE against a three-part catalog name write back to the table") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS ohdsi_spec_db")
+    spark.sql("DROP TABLE IF EXISTS ohdsi_spec_db.wb")
+    Seq((1L, "keep"), (2L, "stale"), (3L, "stale")).toDF("id", "status")
+      .write.mode("overwrite").saveAsTable("ohdsi_spec_db.wb")
+    OhdsiSql.executeAll(spark,
+      """UPDATE [spark_catalog].[ohdsi_spec_db].[wb]
+        |SET status = 'D'
+        |where id >= :floor""".stripMargin, binds = Map("floor" -> "3"))
+    OhdsiSql.executeAll(spark,
+      "DELETE FROM [spark_catalog].[ohdsi_spec_db].[wb] WHERE id = 2")
+    val rows = spark.table("ohdsi_spec_db.wb").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq === Seq((1L, "keep"), (3L, "D")))
+  }
+
+  test("IF NOT EXISTS probe guards CREATE TABLE; second run is a no-op") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS ohdsi_spec_db")
+    spark.sql("DROP TABLE IF EXISTS ohdsi_spec_db.concept_id_swap")
+    val ddl =
+      """USE  [spark_catalog];
+        |IF NOT EXISTS (SELECT 1 FROM sys.tables t INNER JOIN sys.schemas s ON s.schema_id = t.schema_id WHERE t.name = 'concept_id_swap' AND s.name = 'ohdsi_spec_db')
+        |CREATE TABLE [spark_catalog].[ohdsi_spec_db].[concept_id_swap]
+        |(x varchar(100), y integer);""".stripMargin
+    OhdsiSql.executeAll(spark, ddl)
+    assert(spark.table("ohdsi_spec_db.concept_id_swap").schema.map(_.name) ===
+      Seq("x", "y"))
+    // seed a row, re-run the guarded DDL: the probe now finds the table
+    // and the CREATE must NOT clobber it
+    spark.sql("INSERT INTO ohdsi_spec_db.concept_id_swap VALUES ('a', 1)")
+    OhdsiSql.executeAll(spark, ddl)
+    assert(spark.table("ohdsi_spec_db.concept_id_swap").count() === 1L)
+  }
+
+  test("MERGE under a leading WITH scopes the CTE over the USING subquery") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS ohdsi_spec_db")
+    spark.sql("DROP TABLE IF EXISTS ohdsi_spec_db.swp")
+    Seq(("seed", 100L)).toDF("x", "y").write.mode("overwrite")
+      .saveAsTable("ohdsi_spec_db.swp")
+    Seq("b", "a", "b").toDF("code").createOrReplaceTempView("merge_src_codes")
+    OhdsiSql.executeAll(spark,
+      """WITH cte_max AS (
+        |    SELECT COALESCE(MAX(y), 0) as y
+        |    FROM [spark_catalog].[ohdsi_spec_db].[swp]
+        |)
+        |MERGE INTO [spark_catalog].[ohdsi_spec_db].[swp] AS T
+        |USING (
+        |    SELECT distinct concat('c__', t.code) as x, RANK() OVER(ORDER BY t.code) + cte_max.y as y
+        |    FROM merge_src_codes t
+        |    INNER JOIN cte_max on 1=1
+        |    LEFT OUTER JOIN [spark_catalog].[ohdsi_spec_db].[swp] swap
+        |        on swap.x = concat('c__', t.code)
+        |    where swap.x is null
+        |) AS S
+        |ON S.x = T.x
+        |WHEN NOT MATCHED THEN
+        |    INSERT (x, y) VALUES (S.x, S.y)""".stripMargin)
+    val rows = spark.table("ohdsi_spec_db.swp").orderBy("y")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq === Seq(("seed", 100L), ("c__a", 101L), ("c__b", 102L)))
+  }
+
   test("block comments strip quote-aware, nested, and with embedded ';'/keywords") {
     // ADVICE r13: a template's /********/ header carries apostrophes,
     // semicolons, and statement keywords — all must be invisible to the
