@@ -193,12 +193,517 @@ object OhdsiTemplateQueries {
     s.table("graft_omop.source_id_to_omop_id_map").orderBy("source_id")
   }
 
+  // ---- P6/W2: the custom-concept id flow (swap create+merge, CONCEPT
+  // merge, custom validate) -------------------------------------------------
+
+  /** The saturated work-side custom-concept fixture: one concept per
+    * NATION row (25 at every SF — the table is constant in TPC-H), every
+    * attribute MODULAR in the key so the violating subset is provably
+    * under the validate template's un-ordered `TOP 100` (the r15
+    * saturated-fixture rule). `%4==3` rows carry an unknown domain,
+    * `%3==2` rows an unknown concept class.
+    */
+  private def workConceptFixture(s: SparkSession, d: String): DataFrame =
+    t(s, d, "nation").select(
+      col("n_name").as("concept_name"),
+      element_at(array(lit("Condition"), lit("Procedure"), lit("Measurement"),
+        lit("BadDomain")), (col("n_nationkey") % 4 + 1).cast("int")).as("domain_id"),
+      element_at(array(lit("LOCAL"), lit("SNOMED")),
+        (col("n_nationkey") % 2 + 1).cast("int")).as("vocabulary_id"),
+      element_at(array(lit("Clinical Finding"), lit("Custom"), lit("Unknown Class")),
+        (col("n_nationkey") % 3 + 1).cast("int")).as("concept_class_id"),
+      when(col("n_nationkey") % 5 === 0, lit("S"))
+        .when(col("n_nationkey") % 5 === 1, lit("C"))
+        .otherwise(lit(null).cast("string")).as("standard_concept"),
+      concat(lit("SRC_"), col("n_name")).as("concept_code"),
+      date_add(lit(java.sql.Date.valueOf("2000-01-01")),
+        col("n_nationkey").cast("int")).as("valid_start_date"),
+      lit(java.sql.Date.valueOf("2099-12-31")).as("valid_end_date"),
+      lit(null).cast("string").as("invalid_reason"))
+
+  /** The second-batch codes (one per REGION row, 5 at every SF) the
+    * sequential swap-merge run appends.
+    */
+  private def regionConceptFixture(s: SparkSession, d: String): DataFrame =
+    t(s, d, "region").select(
+      col("r_name").as("concept_name"),
+      lit("Condition").as("domain_id"),
+      lit("LOCAL").as("vocabulary_id"),
+      lit("Custom").as("concept_class_id"),
+      lit(null).cast("string").as("standard_concept"),
+      concat(lit("SRCZ_"), col("r_name")).as("concept_code"),
+      date_add(lit(java.sql.Date.valueOf("2000-01-01")),
+        (col("r_regionkey") + 30).cast("int")).as("valid_start_date"),
+      lit(java.sql.Date.valueOf("2099-12-31")).as("valid_end_date"),
+      lit(null).cast("string").as("invalid_reason"))
+
+  /** Verbatim `etl/CONCEPT_ID_swap_create.sql.jinja` — the conditional
+    * swap-table DDL (`USE`, the `sys.tables` existence probe, CREATE
+    * TABLE — all r15 bridge widenings).
+    */
+  private val ConceptIdSwapCreateSql =
+    """{#- Copyright 2024 RADar-AZDelta -#}
+      |{#- SPDX-License-Identifier: gpl3+ -#}
+      |USE  [{{work_database_catalog}}];
+      |IF NOT EXISTS (SELECT 1 FROM sys.tables t INNER JOIN sys.schemas s ON s.schema_id = t.schema_id WHERE t.name = 'concept_id_swap' AND s.name = '{{work_database_schema}}')
+      |CREATE TABLE [{{work_database_catalog}}].[{{work_database_schema}}].[concept_id_swap]
+      |(x varchar(100), y integer);""".stripMargin
+
+  /** Verbatim `etl/CONCEPT_ID_swap_merge.sql.jinja` — the rank-id
+    * assignment MERGE (natively `concept_rank_ids` / W2 and the ≥2e9
+    * custom-concept floor, P6): a leading `WITH cte_max` scoping over
+    * the USING subquery, `INNER JOIN cte_max on 1=1` (1-row broadcast),
+    * anti-join via `LEFT OUTER JOIN ... where swap.x is null`, and a
+    * WHEN NOT MATCHED-only MERGE. The template's own `RANK() OVER
+    * (ORDER BY ...)` is a global window — bounded by the batch's NEW
+    * codes, the published shape (the achilles105 precedent).
+    */
+  private val ConceptIdSwapMergeSql =
+    """{#- Copyright 2024 RADar-AZDelta -#}
+      |{#- SPDX-License-Identifier: gpl3+ -#}
+      |WITH cte_max AS (
+      |    SELECT COALESCE(MAX(y), {{min_custom_concept_id}}) as y
+      |    FROM [{{work_database_catalog}}].[{{work_database_schema}}].[concept_id_swap]
+      |)
+      |MERGE INTO [{{work_database_catalog}}].[{{work_database_schema}}].[concept_id_swap] AS T
+      |USING (
+      |    SELECT distinct concat('{{concept_id_column}}__', t.concept_code) as x, RANK() OVER(ORDER BY t.concept_code) + cte_max.y as y
+      |    FROM [{{work_database_catalog}}].[{{work_database_schema}}].[{{omop_table}}__{{concept_id_column}}_concept] t
+      |    INNER JOIN cte_max on 1=1
+      |    LEFT OUTER JOIN [{{work_database_catalog}}].[{{work_database_schema}}].[concept_id_swap] swap
+      |        on swap.x = concat('{{concept_id_column}}__', t.concept_code)
+      |    where swap.x is null
+      |) AS S
+      |ON S.x = T.x
+      |WHEN NOT MATCHED THEN
+      |    INSERT (x, y) VALUES (S.x, S.y);""".stripMargin
+
+  private def swapJinja(db: String) = Map(
+    "work_database_catalog" -> "spark_catalog",
+    "work_database_schema" -> db,
+    "omop_table" -> "provider",
+    "concept_id_column" -> "specialty_concept_id",
+    "min_custom_concept_id" -> "2000000000")
+
+  /** Run the published create + merge flow in `db` over the staged work
+    * concept table; both templates verbatim.
+    */
+  private def runSwapFlow(s: SparkSession, db: String): Unit = {
+    OhdsiSql.executeAll(s, JinjaLite.render(ConceptIdSwapCreateSql, swapJinja(db)))
+    OhdsiSql.executeAll(s, JinjaLite.render(ConceptIdSwapMergeSql, swapJinja(db)))
+  }
+
+  /** Two sequential batches through the verbatim swap flow: batch 1
+    * assigns ranks above the 2e9 floor (`cte_max` COALESCEs to
+    * `min_custom_concept_id` on the empty table), batch 2 re-stages the
+    * work table with five extra codes and re-runs the SAME merge — the
+    * anti-join keeps batch-1 ids stable and the new codes rank above
+    * `MAX(y)`, the id-growth semantics of the native `swap_append_anti`.
+    */
+  val ohdsiSqlConceptSwap: Q = (s, d) => {
+    s.sql("DROP DATABASE IF EXISTS graft_work_cs1 CASCADE")
+    stage(s, "graft_work_cs1", "provider__specialty_concept_id_concept",
+      workConceptFixture(s, d))
+    runSwapFlow(s, "graft_work_cs1")
+    stage(s, "graft_work_cs1", "provider__specialty_concept_id_concept",
+      workConceptFixture(s, d).unionByName(regionConceptFixture(s, d)))
+    runSwapFlow(s, "graft_work_cs1")
+    s.table("graft_work_cs1.concept_id_swap").orderBy("y")
+  }
+
+  /** Verbatim `etl/CONCEPT_merge.sql.jinja` — the custom-concept upsert
+    * into the OMOP concept table (natively the custom-concept pipeline,
+    * §2.12-2): full WHEN MATCHED UPDATE + WHEN NOT MATCHED INSERT MERGE
+    * whose USING joins the work concepts to their swap-assigned ids.
+    */
+  private val ConceptMergeSql =
+    """{#- Copyright 2024 RADar-AZDelta -#}
+      |{#- SPDX-License-Identifier: gpl3+ -#}
+      |MERGE INTO [{{omop_database_catalog}}].[{{omop_database_schema}}].[concept] AS T
+      |USING (
+      |    SELECT DISTINCT swap.y as concept_id
+      |        ,t.concept_name
+      |        ,t.domain_id
+      |        ,t.vocabulary_id
+      |        ,t.concept_class_id
+      |        ,t.standard_concept
+      |        ,t.concept_code
+      |        ,t.valid_start_date
+      |        ,t.valid_end_date
+      |        ,t.invalid_reason
+      |    FROM [{{work_database_catalog}}].[{{work_database_schema}}].[{{omop_table}}__{{concept_id_column}}_concept] t
+      |    INNER JOIN [{{work_database_catalog}}].[{{work_database_schema}}].[concept_id_swap] swap
+      |        on swap.x = concat('{{concept_id_column}}__', t.concept_code)
+      |) AS S
+      |ON S.concept_id = T.concept_id
+      |WHEN MATCHED THEN
+      |    UPDATE SET T.concept_name = S.concept_name
+      |        ,T.domain_id = S.domain_id
+      |        ,T.vocabulary_id = S.vocabulary_id
+      |        ,T.concept_class_id = S.concept_class_id
+      |        ,T.standard_concept = S.standard_concept
+      |        ,T.concept_code = S.concept_code
+      |        ,T.valid_start_date = S.valid_start_date
+      |        ,T.valid_end_date = S.valid_end_date
+      |        ,T.invalid_reason = S.invalid_reason
+      |WHEN NOT MATCHED THEN
+      |    INSERT (concept_id
+      |        ,concept_name
+      |        ,domain_id
+      |        ,vocabulary_id
+      |        ,concept_class_id
+      |        ,standard_concept
+      |        ,concept_code
+      |        ,valid_start_date
+      |        ,valid_end_date
+      |        ,invalid_reason)
+      |    VALUES (S.concept_id
+      |        ,S.concept_name
+      |        ,S.domain_id
+      |        ,S.vocabulary_id
+      |        ,S.concept_class_id
+      |        ,S.standard_concept
+      |        ,S.concept_code
+      |        ,S.valid_start_date
+      |        ,S.valid_end_date
+      |        ,S.invalid_reason);""".stripMargin
+
+  /** The standard-concept seed of the OMOP concept table (ids 0..24 from
+    * nation), plus ONE pre-existing custom row at the rank-1 id whose
+    * stale attributes the verbatim MERGE must overwrite (exercising the
+    * WHEN MATCHED branch).
+    */
+  private def conceptSeed(s: SparkSession, d: String): DataFrame =
+    t(s, d, "nation").select(
+      col("n_nationkey").cast("int").as("concept_id"),
+      col("n_name").as("concept_name"),
+      lit("Condition").as("domain_id"),
+      lit("SNOMED").as("vocabulary_id"),
+      lit("Clinical Finding").as("concept_class_id"),
+      lit("S").as("standard_concept"),
+      concat(lit("STD_"), col("n_name")).as("concept_code"),
+      lit(java.sql.Date.valueOf("1990-01-01")).as("valid_start_date"),
+      lit(java.sql.Date.valueOf("2099-12-31")).as("valid_end_date"),
+      lit(null).cast("string").as("invalid_reason"))
+      .unionByName(s.range(1).select(
+        lit(2000000001).as("concept_id"),
+        lit("stale name").as("concept_name"),
+        lit("Condition").as("domain_id"),
+        lit("LOCAL").as("vocabulary_id"),
+        lit("Custom").as("concept_class_id"),
+        lit(null).cast("string").as("standard_concept"),
+        lit("stale_code").as("concept_code"),
+        lit(java.sql.Date.valueOf("1990-01-01")).as("valid_start_date"),
+        lit(java.sql.Date.valueOf("2099-12-31")).as("valid_end_date"),
+        lit(null).cast("string").as("invalid_reason")))
+
+  val ohdsiSqlConceptMerge: Q = (s, d) => {
+    s.sql("DROP DATABASE IF EXISTS graft_work_cs2 CASCADE")
+    stage(s, "graft_work_cs2", "provider__specialty_concept_id_concept",
+      workConceptFixture(s, d))
+    runSwapFlow(s, "graft_work_cs2")
+    stage(s, "graft_omop_cs2", "concept", conceptSeed(s, d))
+    val vars = swapJinja("graft_work_cs2") ++ Map(
+      "omop_database_catalog" -> "spark_catalog",
+      "omop_database_schema" -> "graft_omop_cs2")
+    OhdsiSql.executeAll(s, JinjaLite.render(ConceptMergeSql, vars))
+    s.table("graft_omop_cs2.concept").orderBy("concept_id")
+  }
+
+  /** Verbatim `etl/CONCEPT_custom_validate.sql.jinja` — the referential
+    * check of uploaded custom concepts against the OMOP domain /
+    * vocabulary / concept_class vocabularies (natively
+    * `custom_concept_validate`, J6/A4): three LEFT OUTER JOINs with an
+    * any-null WHERE; `TOP 100 c.*` is a no-op on the saturated fixture
+    * (12 violating rows at every SF).
+    */
+  private val ConceptCustomValidateSql =
+    """{#- Copyright 2024 RADar-AZDelta -#}
+      |{#- SPDX-License-Identifier: gpl3+ -#}
+      |SELECT TOP 100 c.*
+      |FROM [{{work_database_catalog}}].[{{work_database_schema}}].[{{omop_table}}__{{concept_id_column}}_concept] c
+      |LEFT OUTER JOIN [{{omop_database_catalog}}].[{{omop_database_schema}}].[domain] d on d.domain_id = c.domain_id
+      |LEFT OUTER JOIN [{{omop_database_catalog}}].[{{omop_database_schema}}].[vocabulary] v on v.vocabulary_id = c.vocabulary_id
+      |LEFT OUTER JOIN [{{omop_database_catalog}}].[{{omop_database_schema}}].[concept_class] cc on cc.concept_class_id = c.concept_class_id
+      |WHERE d.domain_id IS NULL
+      |	OR v.vocabulary_id IS NULL
+      |	OR cc.concept_class_id IS NULL;""".stripMargin
+
+  val ohdsiSqlCustomValidate: Q = (s, d) => {
+    import s.implicits._
+    s.sql("DROP DATABASE IF EXISTS graft_work_cs3 CASCADE")
+    stage(s, "graft_work_cs3", "provider__specialty_concept_id_concept",
+      workConceptFixture(s, d))
+    stage(s, "graft_omop_cs3", "domain",
+      Seq("Condition", "Procedure", "Measurement").toDF("domain_id"))
+    stage(s, "graft_omop_cs3", "vocabulary",
+      Seq("LOCAL", "SNOMED").toDF("vocabulary_id"))
+    stage(s, "graft_omop_cs3", "concept_class",
+      Seq("Clinical Finding", "Custom").toDF("concept_class_id"))
+    val vars = swapJinja("graft_work_cs3") ++ Map(
+      "omop_database_catalog" -> "spark_catalog",
+      "omop_database_schema" -> "graft_omop_cs3")
+    OhdsiSql.execute(s, JinjaLite.render(ConceptCustomValidateSql, vars))
+      .orderBy("concept_code")
+  }
+
+  // ---- the usagi -> concept -> map chain (published ETL sequence) --------
+
+  /** The usagi fixture (camelCase Usagi CSV shape): even nation keys are
+    * APPROVED mappings, odd keys FLAGGED; all conceptIds start unassigned
+    * (-1) — the verbatim update template injects the swap-assigned ids.
+    */
+  private def usagiFixture(s: SparkSession, d: String): DataFrame =
+    t(s, d, "nation").select(
+      concat(lit("SRC_"), col("n_name")).as("sourceCode"),
+      concat(lit("name "), col("n_name")).as("sourceName"),
+      lit(-1).as("conceptId"),
+      when(col("n_nationkey") % 2 === 0, lit("APPROVED")).otherwise(lit("FLAGGED"))
+        .as("mappingStatus"))
+
+  /** Verbatim
+    * `etl/{omop_table}__{concept_id_column}_usagi_update_custom_concepts.sql.jinja`
+    * — the custom-concept id injection into the usagi table (natively
+    * J10 `update_from_join`): an UPDATE..FROM under a leading CTE whose
+    * ON carries the mapping-status restriction, against a three-part
+    * catalog target.
+    */
+  private val UsagiUpdateSql =
+    """{#- Copyright 2024 RADar-AZDelta -#}
+      |{#- SPDX-License-Identifier: gpl3+ -#}
+      |WITH cte_custom_concepts AS (
+      |    SELECT DISTINCT t.concept_code AS concept_code, swap.y AS concept_id
+      |    FROM [{{work_database_catalog}}].[{{work_database_schema}}].[{{omop_table}}__{{concept_id_column}}_concept] t
+      |    INNER JOIN [{{work_database_catalog}}].[{{work_database_schema}}].[concept_id_swap] swap
+      |        ON swap.x = concat('{{concept_id_column}}__', t.concept_code)
+      |)
+      |UPDATE T
+      |SET T.conceptId = c.concept_id
+      |FROM [{{work_database_catalog}}].[{{work_database_schema}}].[{{omop_table}}__{{concept_id_column}}_usagi] AS T
+      |INNER JOIN cte_custom_concepts c ON T.sourceCode = c.concept_code
+      |{% if not process_semi_approved_mappings -%}
+      |    AND T.mappingStatus = 'APPROVED'
+      |{%- else -%}
+      |    AND T.mappingStatus IN ('APPROVED', 'SEMI-APPROVED')
+      |{%- endif %}""".stripMargin
+
+  /** Stage + run the published custom-concept sequence VERBATIM in a
+    * dedicated db pair: work concept upload -> swap create+merge ->
+    * usagi id injection -> OMOP concept upsert. Every step is the
+    * reference's own template text; each caller gets isolated state so
+    * the suite is order-independent.
+    */
+  private def stageConceptFlow(s: SparkSession, d: String, tag: String): (String, String) = {
+    val (workDb, omopDb) = (s"graft_work_$tag", s"graft_omop_$tag")
+    s.sql(s"DROP DATABASE IF EXISTS $workDb CASCADE")
+    s.sql(s"DROP DATABASE IF EXISTS $omopDb CASCADE")
+    stage(s, workDb, "provider__specialty_concept_id_concept", workConceptFixture(s, d))
+    runSwapFlow(s, workDb)
+    stage(s, workDb, "provider__specialty_concept_id_usagi", usagiFixture(s, d))
+    OhdsiSql.executeAll(s, JinjaLite.render(UsagiUpdateSql,
+      swapJinja(workDb) + ("process_semi_approved_mappings" -> "")))
+    stage(s, omopDb, "concept", conceptSeed(s, d))
+    OhdsiSql.executeAll(s, JinjaLite.render(ConceptMergeSql,
+      swapJinja(workDb) ++ Map(
+        "omop_database_catalog" -> "spark_catalog",
+        "omop_database_schema" -> omopDb)))
+    (workDb, omopDb)
+  }
+
+  val ohdsiSqlUsagiUpdate: Q = (s, d) => {
+    val (workDb, _) = stageConceptFlow(s, d, "cs4")
+    s.table(s"$workDb.provider__specialty_concept_id_usagi").orderBy("sourceCode")
+  }
+
+  /** Verbatim `etl/SOURCE_TO_CONCEPT_MAP_merge.sql.jinja` (natively J8
+    * `merge_upsert` / the s2cm flow): full two-clause MERGE whose USING
+    * joins the id-injected usagi rows to the merged concept table. The
+    * template stamps `GETDATE()` into `valid_start_date` — wall-clock,
+    * so that single column is dropped from the gated shape (the
+    * dqd_last_runs precedent); everything else hash-gates.
+    */
+  private val StcmMergeSql =
+    """{#- Copyright 2024 RADar-AZDelta -#}
+      |{#- SPDX-License-Identifier: gpl3+ -#}
+      |MERGE INTO [{{omop_database_catalog}}].[{{omop_database_schema}}].[source_to_concept_map] AS T
+      |USING (
+      |    SELECT DISTINCT
+      |        t.sourceCode as source_code
+      |        ,0 as source_concept_id
+      |        ,'' as source_vocabulary_id
+      |        ,t.sourceName as source_code_description
+      |        ,t.conceptId as target_concept_id
+      |        ,c.vocabulary_id as target_vocabulary_id
+      |        ,GETDATE() as valid_start_date
+      |        ,CAST('2099-12-31' AS DATE) as valid_end_date
+      |        ,NULL as invalid_reason
+      |    FROM [{{work_database_catalog}}].[{{work_database_schema}}].[{{omop_table}}__{{concept_id_column}}_usagi] t
+      |    INNER JOIN [{{omop_database_catalog}}].[{{omop_database_schema}}].[concept] c on c.concept_id = t.conceptId
+      |{%- if not process_semi_approved_mappings %}
+      |    where t.mappingStatus = 'APPROVED'
+      |{%- else %}
+      |    where t.mappingStatus in ('APPROVED', 'SEMI-APPROVED')
+      |{%- endif -%}
+      |) AS S
+      |ON S.source_code = T.source_code and S.target_concept_id = T.target_concept_id
+      |WHEN MATCHED THEN
+      |    UPDATE SET T.source_concept_id = S.source_concept_id
+      |        ,T.source_vocabulary_id = S.source_vocabulary_id
+      |        ,T.source_code_description = S.source_code_description
+      |        ,T.target_concept_id = S.target_concept_id
+      |        ,T.target_vocabulary_id = S.target_vocabulary_id
+      |        ,T.valid_start_date = S.valid_start_date
+      |        ,T.valid_end_date = S.valid_end_date
+      |        ,T.invalid_reason = S.invalid_reason
+      |WHEN NOT MATCHED THEN
+      |    INSERT (source_code
+      |        ,source_concept_id
+      |        ,source_vocabulary_id
+      |        ,source_code_description
+      |        ,target_concept_id
+      |        ,target_vocabulary_id
+      |        ,valid_start_date
+      |        ,valid_end_date
+      |        ,invalid_reason)
+      |    VALUES (S.source_code
+      |        ,S.source_concept_id
+      |        ,S.source_vocabulary_id
+      |        ,S.source_code_description
+      |        ,S.target_concept_id
+      |        ,S.target_vocabulary_id
+      |        ,S.valid_start_date
+      |        ,S.valid_end_date
+      |        ,S.invalid_reason);""".stripMargin
+
+  val ohdsiSqlStcmMerge: Q = (s, d) => {
+    val (workDb, omopDb) = stageConceptFlow(s, d, "cs5")
+    // pre-seed one stale mapping at the rank-1 custom id so the verbatim
+    // MERGE exercises its WHEN MATCHED branch. The seed's key must be the
+    // rank-1 code COMPUTED from the data (this universe's nation names
+    // are synthetic NATION_*, not TPC-H canon — the r15 fixture lesson)
+    val rank1Code = workConceptFixture(s, d)
+      .agg(min(col("concept_code"))).head().getString(0)
+    stage(s, omopDb, "source_to_concept_map", s.range(1).select(
+      lit(rank1Code).as("source_code"),
+      lit(99).as("source_concept_id"),
+      lit("OLDVOCAB").as("source_vocabulary_id"),
+      lit("stale desc").as("source_code_description"),
+      lit(2000000001).as("target_concept_id"),
+      lit("OLDVOCAB").as("target_vocabulary_id"),
+      lit(java.sql.Date.valueOf("1990-01-01")).as("valid_start_date"),
+      lit(java.sql.Date.valueOf("1990-01-01")).as("valid_end_date"),
+      lit("D").as("invalid_reason")))
+    OhdsiSql.executeAll(s, JinjaLite.render(StcmMergeSql,
+      swapJinja(workDb) ++ Map(
+        "omop_database_catalog" -> "spark_catalog",
+        "omop_database_schema" -> omopDb,
+        "process_semi_approved_mappings" -> "")))
+    s.table(s"$omopDb.source_to_concept_map")
+      .drop("valid_start_date").orderBy("source_code")
+  }
+
+  /** Verbatim `etl/SOURCE_ID_TO_OMOP_ID_MAP_merge.sql.jinja` (natively
+    * `source_id_map_merge`, §2.12-4): the pk-swap rows upserted into the
+    * id map. Same GETDATE() column-drop canonicalization as the s2cm
+    * merge.
+    */
+  private val MapMergeSql =
+    """{#- Copyright 2024 RADar-AZDelta -#}
+      |{#- SPDX-License-Identifier: gpl3+ -#}
+      |MERGE INTO [{{omop_database_catalog}}].[{{omop_database_schema}}].[source_id_to_omop_id_map] AS T
+      |USING (
+      |    SELECT DISTINCT
+      |        '{{omop_table}}' as omop_table
+      |        ,t.y as omop_id
+      |        ,t.source
+      |        ,t.x as source_id
+      |        ,GETDATE() as valid_start_date
+      |        ,CAST('2099-12-31' AS DATE) as valid_end_date
+      |        ,NULL as invalid_reason
+      |    FROM [{{work_database_catalog}}].[{{work_database_schema}}].[{{primary_key_column}}_swap] t
+      |) AS S
+      |ON S.omop_table = T.omop_table and S.omop_id = T.omop_id
+      |WHEN MATCHED THEN
+      |    UPDATE SET T.source = S.source
+      |        ,T.source_id = S.source_id
+      |        ,T.valid_start_date = S.valid_start_date
+      |        ,T.valid_end_date = S.valid_end_date
+      |        ,T.invalid_reason = S.invalid_reason
+      |WHEN NOT MATCHED THEN
+      |    INSERT (omop_table, omop_id, source, source_id, valid_start_date, valid_end_date, invalid_reason)
+      |    VALUES (S.omop_table, S.omop_id, S.source, S.source_id, S.valid_start_date, S.valid_end_date, S.invalid_reason);""".stripMargin
+
+  val ohdsiSqlMapMerge: Q = (s, d) => {
+    s.sql("DROP DATABASE IF EXISTS graft_work_cs6 CASCADE")
+    s.sql("DROP DATABASE IF EXISTS graft_omop_cs6 CASCADE")
+    stage(s, "graft_work_cs6", "provider_id_swap", t(s, d, "nation").select(
+      concat(lit("PRV_"), col("n_name")).as("x"),
+      (col("n_nationkey") + 1).cast("int").as("y"),
+      lit("q1").as("source")))
+    // pre-seed one stale map row at omop_id 1 (the WHEN MATCHED branch)
+    stage(s, "graft_omop_cs6", "source_id_to_omop_id_map", s.range(1).select(
+      lit("provider").as("omop_table"),
+      lit(1).as("omop_id"),
+      lit("old_source").as("source"),
+      lit("stale_x").as("source_id"),
+      lit(java.sql.Date.valueOf("1990-01-01")).as("valid_start_date"),
+      lit(java.sql.Date.valueOf("1990-01-01")).as("valid_end_date"),
+      lit("D").as("invalid_reason")))
+    OhdsiSql.executeAll(s, JinjaLite.render(MapMergeSql, Map(
+      "omop_database_catalog" -> "spark_catalog",
+      "omop_database_schema" -> "graft_omop_cs6",
+      "work_database_catalog" -> "spark_catalog",
+      "work_database_schema" -> "graft_work_cs6",
+      "omop_table" -> "provider",
+      "primary_key_column" -> "provider_id")))
+    s.table("graft_omop_cs6.source_id_to_omop_id_map")
+      .drop("valid_start_date").orderBy("omop_id")
+  }
+
+  /** Verbatim
+    * `etl/{omop_table}__{concept_id_column}_usagi_non_standard.sql.jinja`
+    * (natively `usagi_nonstandard`, J7): approved mappings whose target
+    * concept is NOT a standard concept — an inner join with a
+    * cast-in-the-ON and the `<> 'S'` three-valued filter (NULL
+    * standard_concept rows drop, the template's own semantics).
+    */
+  private val UsagiNonStdSql =
+    """{#- Copyright 2024 RADar-AZDelta -#}
+      |{#- SPDX-License-Identifier: gpl3+ -#}
+      |select top 100 u.*, c.standard_concept
+      |from [{{work_database_catalog}}].[{{work_database_schema}}].[{{omop_table}}__{{concept_id_column}}_usagi] u
+      |inner join [{{omop_database_catalog}}].[{{omop_database_schema}}].[concept] c on c.concept_id = cast(u.conceptId as integer)
+      |  and c.concept_id <> 0
+      |{% if not process_semi_approved_mappings -%}
+      |where u.mappingStatus = 'APPROVED'
+      |{%- else -%}
+      |where u.mappingStatus in ('APPROVED', 'SEMI-APPROVED')
+      |{%- endif %}
+      |  and c.standard_concept <> 'S'""".stripMargin
+
+  val ohdsiSqlUsagiNonStd: Q = (s, d) => {
+    val (workDb, omopDb) = stageConceptFlow(s, d, "cs7")
+    OhdsiSql.execute(s, JinjaLite.render(UsagiNonStdSql,
+      swapJinja(workDb) ++ Map(
+        "omop_database_catalog" -> "spark_catalog",
+        "omop_database_schema" -> omopDb,
+        "process_semi_approved_mappings" -> "")))
+      .orderBy("sourceCode")
+  }
+
   val defs: Seq[(String, Q)] = Seq(
+    "ohdsi_sql_usagi_update" -> ohdsiSqlUsagiUpdate,
+    "ohdsi_sql_stcm_merge" -> ohdsiSqlStcmMerge,
+    "ohdsi_sql_map_merge" -> ohdsiSqlMapMerge,
+    "ohdsi_sql_usagi_nonstd" -> ohdsiSqlUsagiNonStd,
     "ohdsi_sql_stcm_invalidate" -> ohdsiSqlStcmInvalidate,
     "ohdsi_sql_get_dqd_run" -> ohdsiSqlGetDqdRun,
     "ohdsi_sql_last_dqd_runs" -> ohdsiSqlLastDqdRuns,
     "ohdsi_sql_work_tables" -> ohdsiSqlWorkTables,
-    "ohdsi_sql_map_cleanup" -> ohdsiSqlMapCleanup)
+    "ohdsi_sql_map_cleanup" -> ohdsiSqlMapCleanup,
+    "ohdsi_sql_concept_swap" -> ohdsiSqlConceptSwap,
+    "ohdsi_sql_concept_merge" -> ohdsiSqlConceptMerge,
+    "ohdsi_sql_custom_validate" -> ohdsiSqlCustomValidate)
 
   /** The deterministic runs fixture, mirrored in DuckDB. */
   private val DqdRunsOracle =
@@ -210,7 +715,52 @@ object OhdsiTemplateQueries {
       |  CAST(id % 3 AS BIGINT) AS checks_failed
       |FROM range(1, 21) t(id)""".stripMargin
 
+  /** The swap-rank id assignment, mirrored in DuckDB (shared by the
+    * usagi/stcm/nonstd oracles). Lazy: object-init order (the r9 trap).
+    */
+  private lazy val RankedCte =
+    """SELECT n_nationkey, n_name, concat('SRC_', n_name) AS code,
+      |    CAST(2000000000 + rank() OVER (ORDER BY concat('SRC_', n_name)) AS BIGINT) AS cid
+      |  FROM nation""".stripMargin
+
   val oracles: Seq[(String, String)] = Seq(
+    "ohdsi_sql_usagi_update" ->
+      s"""WITH ranked AS (
+         |  $RankedCte
+         |)
+         |SELECT code AS sourceCode, concat('name ', n_name) AS sourceName,
+         |  CASE WHEN n_nationkey % 2 = 0 THEN cid ELSE -1 END AS conceptId,
+         |  CASE WHEN n_nationkey % 2 = 0 THEN 'APPROVED' ELSE 'FLAGGED' END AS mappingStatus
+         |FROM ranked ORDER BY sourceCode""".stripMargin,
+    "ohdsi_sql_stcm_merge" ->
+      s"""WITH ranked AS (
+         |  $RankedCte
+         |)
+         |SELECT code AS source_code,
+         |  CAST(0 AS BIGINT) AS source_concept_id,
+         |  '' AS source_vocabulary_id,
+         |  concat('name ', n_name) AS source_code_description,
+         |  cid AS target_concept_id,
+         |  'LOCAL' AS target_vocabulary_id,
+         |  DATE '2099-12-31' AS valid_end_date,
+         |  CAST(NULL AS VARCHAR) AS invalid_reason
+         |FROM ranked WHERE n_nationkey % 2 = 0 ORDER BY source_code""".stripMargin,
+    "ohdsi_sql_map_merge" ->
+      """SELECT 'provider' AS omop_table,
+        |  CAST(n_nationkey + 1 AS BIGINT) AS omop_id,
+        |  'q1' AS source,
+        |  concat('PRV_', n_name) AS source_id,
+        |  DATE '2099-12-31' AS valid_end_date,
+        |  CAST(NULL AS VARCHAR) AS invalid_reason
+        |FROM nation ORDER BY omop_id""".stripMargin,
+    "ohdsi_sql_usagi_nonstd" ->
+      s"""WITH ranked AS (
+         |  $RankedCte
+         |)
+         |SELECT code AS sourceCode, concat('name ', n_name) AS sourceName,
+         |  cid AS conceptId, 'APPROVED' AS mappingStatus, 'C' AS standard_concept
+         |FROM ranked WHERE n_nationkey % 2 = 0 AND n_nationkey % 5 = 1
+         |ORDER BY sourceCode""".stripMargin,
     "ohdsi_sql_stcm_invalidate" ->
       """SELECT o_orderkey AS source_code, o_custkey AS target_concept_id,
         |  CAST(o_orderdate AS DATE) AS valid_start_date,
@@ -236,5 +786,53 @@ object OhdsiTemplateQueries {
     "ohdsi_sql_map_cleanup" ->
       """SELECT 'visit_occurrence' AS omop_table, o_orderkey AS source_id,
         |  o_orderkey * 10 AS omop_id
-        |FROM orders WHERE o_orderkey % 3 = 2 ORDER BY source_id""".stripMargin)
+        |FROM orders WHERE o_orderkey % 3 = 2 ORDER BY source_id""".stripMargin,
+    "ohdsi_sql_concept_swap" ->
+      """WITH b1 AS (
+        |  SELECT 'specialty_concept_id__SRC_' || n_name AS x,
+        |    CAST(2000000000 + rank() OVER (ORDER BY ('SRC_' || n_name)) AS BIGINT) AS y
+        |  FROM nation
+        |), b2 AS (
+        |  SELECT 'specialty_concept_id__SRCZ_' || r_name AS x,
+        |    CAST(2000000000 + (SELECT count(*) FROM nation)
+        |      + rank() OVER (ORDER BY ('SRCZ_' || r_name)) AS BIGINT) AS y
+        |  FROM region
+        |)
+        |SELECT x, y FROM b1 UNION ALL SELECT x, y FROM b2 ORDER BY y""".stripMargin,
+    "ohdsi_sql_concept_merge" ->
+      """WITH customs AS (
+        |  SELECT CAST(2000000000 + rank() OVER (ORDER BY ('SRC_' || n_name)) AS BIGINT) AS concept_id,
+        |    n_name AS concept_name,
+        |    (['Condition','Procedure','Measurement','BadDomain'])[CAST(n_nationkey % 4 AS INT) + 1] AS domain_id,
+        |    (['LOCAL','SNOMED'])[CAST(n_nationkey % 2 AS INT) + 1] AS vocabulary_id,
+        |    (['Clinical Finding','Custom','Unknown Class'])[CAST(n_nationkey % 3 AS INT) + 1] AS concept_class_id,
+        |    CASE WHEN n_nationkey % 5 = 0 THEN 'S' WHEN n_nationkey % 5 = 1 THEN 'C' ELSE NULL END AS standard_concept,
+        |    'SRC_' || n_name AS concept_code,
+        |    DATE '2000-01-01' + CAST(n_nationkey AS INT) AS valid_start_date,
+        |    DATE '2099-12-31' AS valid_end_date,
+        |    CAST(NULL AS VARCHAR) AS invalid_reason
+        |  FROM nation
+        |), standards AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS concept_id, n_name AS concept_name,
+        |    'Condition' AS domain_id, 'SNOMED' AS vocabulary_id,
+        |    'Clinical Finding' AS concept_class_id, 'S' AS standard_concept,
+        |    'STD_' || n_name AS concept_code,
+        |    DATE '1990-01-01' AS valid_start_date, DATE '2099-12-31' AS valid_end_date,
+        |    CAST(NULL AS VARCHAR) AS invalid_reason
+        |  FROM nation
+        |)
+        |SELECT * FROM standards UNION ALL SELECT * FROM customs ORDER BY concept_id""".stripMargin,
+    "ohdsi_sql_custom_validate" ->
+      """SELECT n_name AS concept_name,
+        |  (['Condition','Procedure','Measurement','BadDomain'])[CAST(n_nationkey % 4 AS INT) + 1] AS domain_id,
+        |  (['LOCAL','SNOMED'])[CAST(n_nationkey % 2 AS INT) + 1] AS vocabulary_id,
+        |  (['Clinical Finding','Custom','Unknown Class'])[CAST(n_nationkey % 3 AS INT) + 1] AS concept_class_id,
+        |  CASE WHEN n_nationkey % 5 = 0 THEN 'S' WHEN n_nationkey % 5 = 1 THEN 'C' ELSE NULL END AS standard_concept,
+        |  'SRC_' || n_name AS concept_code,
+        |  DATE '2000-01-01' + CAST(n_nationkey AS INT) AS valid_start_date,
+        |  DATE '2099-12-31' AS valid_end_date,
+        |  CAST(NULL AS VARCHAR) AS invalid_reason
+        |FROM nation
+        |WHERE n_nationkey % 4 = 3 OR n_nationkey % 3 = 2
+        |ORDER BY concept_code""".stripMargin)
 }

@@ -28,10 +28,15 @@ package graft.sources
   *    `loop.length` are bound inside the body (the reference's own
   *    templates use `{%- if not loop.first -%},{%- endif %}` as the
   *    comma-separator idiom)
+  *  - `{% set x = expr %}` (block-scoped) and `{% set ns = namespace(a=0) %}`
+  *    / `{% set ns.a = ns.a + 1 %}` mutable namespaces (the pk-swap
+  *    template's loop counter idiom, r15); expressions cover literals,
+  *    variables, `ns.attr`, `list[idxExpr]`, `x.lower()` and `+` addition
+  *  - `and`-joined condition terms
   *  - nesting of the above
   *
-  * Unsupported (clear error): filters (`{{ x | upper }}`), `{% set %}`,
-  * `{% include %}`, `{% macro %}`, arithmetic/comparison beyond ==/!=,
+  * Unsupported (clear error): filters (`{{ x | upper }}`),
+  * `{% include %}`, `{% macro %}`, comparison beyond ==/!=,
   * undefined variables (Jinja's silent-empty default hides typos in SQL,
   * so undefined names are errors here).
   */
@@ -95,9 +100,18 @@ object JinjaLite {
 
   private sealed trait Node
   private final case class Lit(s: String) extends Node
-  private final case class Var(name: String) extends Node
-  private final case class If(branches: Seq[(Cond, Seq[Node])], otherwise: Seq[Node]) extends Node
+  private final case class Var(expr: String) extends Node
+  private final case class If(branches: Seq[(Seq[Cond], Seq[Node])], otherwise: Seq[Node]) extends Node
   private final case class For(v: String, list: String, body: Seq[Node]) extends Node
+  /** `{% set name = expr %}` — scoped scalar binding (does not leak out
+    * of the enclosing block, Jinja2 semantics); when `expr` is a
+    * `namespace(attr=v)` call the binding is a MUTABLE namespace object
+    * (the Jinja2 idiom for state that must survive loop iterations — the
+    * pk-swap template's `ns.ci_counter`, r15).
+    */
+  private final case class SetVar(name: String, expr: String) extends Node
+  /** `{% set ns.attr = expr %}` — namespace attribute mutation. */
+  private final case class SetAttr(ns: String, attr: String, expr: String) extends Node
 
   /** `op` carries (== / != , rhs) comparisons; `inList` a list-membership
     * test `lhs in <list>` (the reference's duplicate-rows template guards
@@ -131,11 +145,22 @@ object JinjaLite {
           if (e.matches(raw"'[^']*'|\x22[^\x22]*\x22"))
             nodes += Lit(e.substring(1, e.length - 1))
           else {
-            require(e.matches(VarRef),
-              s"unsupported Jinja construct '{{ $e }}' — only plain variable " +
-                "and quoted-literal substitution is supported (no filters or " +
-                "expressions)")
+            // filters stay unsupported — fail at parse time with the
+            // construct named; other expressions defer to evalExpr
+            require(!e.contains("|"),
+              s"unsupported Jinja construct '{{ $e }}' — filters are not supported")
             nodes += Var(e)
+          }
+          rest = tl
+        case Stmt(s) :: tl if s.startsWith("set ") =>
+          val assign = s.drop(4).trim
+          val attrSet = raw"(?s)^($Ident)\.($Ident)\s*=\s*(.+)$$".r
+          val varSet = raw"(?s)^($Ident)\s*=\s*(.+)$$".r
+          assign match {
+            case attrSet(n, a, e) => nodes += SetAttr(n, a, e.trim)
+            case varSet(n, e) => nodes += SetVar(n, e.trim)
+            case other => sys.error(s"unsupported Jinja set '$other' — " +
+              "expected 'name = expr' or 'ns.attr = expr'")
           }
           rest = tl
         case Stmt(s) :: tl if s.startsWith("if ") =>
@@ -167,8 +192,8 @@ object JinjaLite {
     case _ => "<eof>"
   }
 
-  private def parseIf(c: Cond, toks: List[Tok]): (Node, List[Tok]) = {
-    val branches = Seq.newBuilder[(Cond, Seq[Node])]
+  private def parseIf(c: Seq[Cond], toks: List[Tok]): (Node, List[Tok]) = {
+    val branches = Seq.newBuilder[(Seq[Cond], Seq[Node])]
     var currentCond = c
     var rest = toks
     var otherwise: Seq[Node] = Nil
@@ -198,7 +223,15 @@ object JinjaLite {
     (If(branches.result(), otherwise), rest)
   }
 
-  private def cond(raw: String): Cond = {
+  /** An `and`-joined condition list (Jinja2: `and` binds looser than
+    * `not`/`in`, so each side parses as one term — the pk-swap template's
+    * `not column in events and not column in events.values()`, r15); a
+    * branch is truthy when EVERY term is.
+    */
+  private def cond(raw: String): Seq[Cond] =
+    raw.split(raw"\s+and\s+").toSeq.map(condTerm)
+
+  private def condTerm(raw: String): Cond = {
     val s = raw.trim
     val (neg, body) = if (s.startsWith("not ")) (true, s.drop(4).trim) else (false, s)
     val cmp = raw"($VarRef|'[^']*'|\x22[^\x22]*\x22)\s*(==|!=)\s*($VarRef|'[^']*'|\x22[^\x22]*\x22)".r
@@ -209,7 +242,7 @@ object JinjaLite {
       case v if v.matches(VarRef) => Cond(neg, v, None)
       case other => sys.error(s"unsupported Jinja condition '$other' — " +
         "use a variable, 'not var', == / != against a quoted literal, " +
-        "or 'x in somelist' membership")
+        "or 'x in somelist' membership (terms may be 'and'-joined)")
     }
   }
 
@@ -240,15 +273,86 @@ object JinjaLite {
     if (c.negated) !base else base
   }
 
-  private def eval(nodes: Seq[Node], scalars: Map[String, String],
-      lists: Map[String, Seq[String]], sb: StringBuilder): Unit =
+  /** Mutable namespace objects (`{% set ns = namespace(a=0) %}`) — Jinja2's
+    * escape hatch for state that must survive loop-iteration scoping.
+    * Keyed by binding name; re-binding replaces the object (the pk-swap
+    * template re-initializes its counter namespace before each loop).
+    */
+  private type NsEnv = scala.collection.mutable.Map[String, scala.collection.mutable.Map[String, String]]
+
+  private val NamespaceCall = raw"(?s)^namespace\(\s*($Ident)\s*=\s*(.+?)\s*\)$$".r
+
+  /** Evaluate a Jinja expression to a string: quoted/int literals,
+    * (loop-)variables, `ns.attr` reads, `list[indexExpr]` indexing,
+    * `var.lower()`, and top-level `+` integer addition. Anything else
+    * fails loudly with the expression named.
+    */
+  private def evalExpr(e: String, scalars: Map[String, String],
+      lists: Map[String, Seq[String]], env: NsEnv): String = {
+    val s = e.trim
+    val plusParts = {
+      // split on '+' outside quotes/brackets/parens
+      val out = Seq.newBuilder[String]
+      val cur = new StringBuilder
+      var inQ = false
+      var depth = 0
+      s.foreach { ch =>
+        if (ch == '\'') { inQ = !inQ; cur += ch }
+        else if (!inQ && (ch == '(' || ch == '[')) { depth += 1; cur += ch }
+        else if (!inQ && (ch == ')' || ch == ']')) { depth -= 1; cur += ch }
+        else if (!inQ && depth == 0 && ch == '+') { out += cur.result(); cur.clear() }
+        else cur += ch
+      }
+      out += cur.result()
+      out.result()
+    }
+    if (plusParts.length > 1)
+      return plusParts.map(p => evalExpr(p, scalars, lists, env).toLong).sum.toString
+    val attrRef = raw"^($Ident)\.($Ident)$$".r
+    val indexRef = raw"(?s)^($Ident)\[(.+)\]$$".r
+    val lowerCall = raw"^($Ident)\.lower\(\)$$".r
+    s match {
+      case q if q.matches(raw"'[^']*'|\x22[^\x22]*\x22") => q.substring(1, q.length - 1)
+      case n if n.matches(raw"-?\d+") => n
+      case v if v.matches(VarRef) => lookup(v, scalars)
+      case lowerCall(n) => lookup(n, scalars).toLowerCase
+      case attrRef(n, a) if env.contains(n) =>
+        env(n).getOrElse(a, sys.error(s"namespace '$n' has no attribute '$a'"))
+      case indexRef(n, idx) =>
+        val xs = lists.getOrElse(n, sys.error(
+          s"undefined Jinja list '$n' in index expression — provided: " +
+            lists.keys.toSeq.sorted.mkString(", ")))
+        val i = evalExpr(idx, scalars, lists, env).toInt
+        require(i >= 0 && i < xs.size, s"index $i out of range for list '$n' (size ${xs.size})")
+        xs(i)
+      case other => sys.error(s"unsupported Jinja expression '$other' — " +
+        "supported: literals, variables, ns.attr, list[idx], x.lower(), '+' addition")
+    }
+  }
+
+  private def eval(nodes: Seq[Node], scalars0: Map[String, String],
+      lists: Map[String, Seq[String]], sb: StringBuilder,
+      env: NsEnv = scala.collection.mutable.Map.empty): Unit = {
+    // {% set %} bindings apply to the REST of this node list only (block
+    // scoped, Jinja2 semantics) — thread an updatable view
+    var scalars = scalars0
     nodes.foreach {
       case Lit(s) => sb.append(s)
-      case Var(n) => sb.append(lookup(n, scalars))
+      case Var(e) => sb.append(evalExpr(e, scalars, lists, env))
+      case SetVar(n, e) => e match {
+        case NamespaceCall(attr, v) =>
+          env(n) = scala.collection.mutable.Map(
+            attr -> evalExpr(v, scalars, lists, env))
+        case expr => scalars = scalars + (n -> evalExpr(expr, scalars, lists, env))
+      }
+      case SetAttr(n, a, e) =>
+        env.getOrElse(n, sys.error(
+          s"'$n' is not a namespace — bind it with {{% set $n = namespace(...) %}} first"))
+          .update(a, evalExpr(e, scalars, lists, env))
       case If(branches, otherwise) =>
-        branches.find { case (c, _) => truthy(c, scalars, lists) } match {
-          case Some((_, body)) => eval(body, scalars, lists, sb)
-          case None => eval(otherwise, scalars, lists, sb)
+        branches.find { case (cs, _) => cs.forall(truthy(_, scalars, lists)) } match {
+          case Some((_, body)) => eval(body, scalars, lists, sb, env)
+          case None => eval(otherwise, scalars, lists, sb, env)
         }
       case For(v, listName, body) =>
         val xs = lists.getOrElse(listName, sys.error(
@@ -262,7 +366,8 @@ object JinjaLite {
             "loop.index" -> (i + 1).toString,
             "loop.index0" -> i.toString,
             "loop.length" -> xs.size.toString)
-          eval(body, scalars ++ loopVars + (v -> x), lists, sb)
+          eval(body, scalars ++ loopVars + (v -> x), lists, sb, env)
         }
     }
+  }
 }

@@ -64,14 +64,36 @@ class JinjaLiteSpec extends AnyFunSuite {
 
   test("unsupported constructs fail loudly with the tag named") {
     val e1 = intercept[RuntimeException] {
-      JinjaLite.render("{% set x = 1 %}", vars)
+      JinjaLite.render("{% macro x() %}{% endmacro %}", vars)
     }
     assert(e1.getMessage.contains("unsupported Jinja construct"))
-    assert(e1.getMessage.contains("set"))
+    assert(e1.getMessage.contains("macro"))
     val e2 = intercept[RuntimeException] {
       JinjaLite.render("{{ x | upper }}", Map("x" -> "a"))
     }
     assert(e2.getMessage.contains("unsupported Jinja construct"))
+  }
+
+  test("set / namespace / indexing / lower / 'and' conditions (the pk-swap grammar)") {
+    // block-scoped set + list indexing by loop.index0
+    val t1 = JinjaLite.render(
+      "{% for f in files %}{% set u = uploads[loop.index0] %}{{f}}:{{u}};{% endfor %}",
+      Map.empty, Map("files" -> Seq("a", "b"), "uploads" -> Seq("u1", "u2")))
+    assert(t1 === "a:u1;b:u2;")
+    // namespace counters survive loop iterations; plain set does not leak
+    val t2 = JinjaLite.render(
+      "{% set ns = namespace(ci=0) %}" +
+        "{% for c in cols %}ci{{ns.ci}} {% set ns.ci = ns.ci + 1 %}{% endfor %}total={{ns.ci}}",
+      Map.empty, Map("cols" -> Seq("x", "y", "z")))
+    assert(t2 === "ci0 ci1 ci2 total=3")
+    // method call + and-joined membership conditions
+    val t3 = JinjaLite.render(
+      "{% for c in cols %}{% if not c in events and not c in events %}[{{c.lower()}}]{% endif %}{% endfor %}",
+      Map.empty, Map("cols" -> Seq("AB", "CD"), "events" -> Seq("CD")))
+    assert(t3 === "[ab]")
+    // a set-bound scalar is visible to the remainder of its block
+    val t4 = JinjaLite.render("{% set x = 'V' %}{{x}}{{x}}", Map.empty)
+    assert(t4 === "VV")
   }
 
   test("undefined variables and lists are errors, not silent empties") {

@@ -427,9 +427,8 @@ class OhdsiSqlSpec extends SparkSpec {
 
   test("USE is a context no-op; sys.tables maps to the session catalog") {
     spark.sql("CREATE DATABASE IF NOT EXISTS ohdsi_spec_db")
-    spark.sql("DROP TABLE IF EXISTS ohdsi_spec_db.t_alpha")
-    Seq((1L, "x")).toDF("k", "v").write.mode("overwrite")
-      .saveAsTable("ohdsi_spec_db.t_alpha")
+    OhdsiSql.replaceCatalogTable(spark, "ohdsi_spec_db.t_alpha",
+      Seq((1L, "x")).toDF("k", "v"))
     val out = OhdsiSql.execute(spark,
       """use [spark_catalog];
         |select t.name as table_name
@@ -442,9 +441,8 @@ class OhdsiSqlSpec extends SparkSpec {
 
   test("UPDATE / DELETE against a three-part catalog name write back to the table") {
     spark.sql("CREATE DATABASE IF NOT EXISTS ohdsi_spec_db")
-    spark.sql("DROP TABLE IF EXISTS ohdsi_spec_db.wb")
-    Seq((1L, "keep"), (2L, "stale"), (3L, "stale")).toDF("id", "status")
-      .write.mode("overwrite").saveAsTable("ohdsi_spec_db.wb")
+    OhdsiSql.replaceCatalogTable(spark, "ohdsi_spec_db.wb",
+      Seq((1L, "keep"), (2L, "stale"), (3L, "stale")).toDF("id", "status"))
     OhdsiSql.executeAll(spark,
       """UPDATE [spark_catalog].[ohdsi_spec_db].[wb]
         |SET status = 'D'
@@ -459,6 +457,9 @@ class OhdsiSqlSpec extends SparkSpec {
   test("IF NOT EXISTS probe guards CREATE TABLE; second run is a no-op") {
     spark.sql("CREATE DATABASE IF NOT EXISTS ohdsi_spec_db")
     spark.sql("DROP TABLE IF EXISTS ohdsi_spec_db.concept_id_swap")
+    val swapLoc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + "/ohdsi_spec_db.db/concept_id_swap")
+    swapLoc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(swapLoc, true)
     val ddl =
       """USE  [spark_catalog];
         |IF NOT EXISTS (SELECT 1 FROM sys.tables t INNER JOIN sys.schemas s ON s.schema_id = t.schema_id WHERE t.name = 'concept_id_swap' AND s.name = 'ohdsi_spec_db')
@@ -476,9 +477,8 @@ class OhdsiSqlSpec extends SparkSpec {
 
   test("MERGE under a leading WITH scopes the CTE over the USING subquery") {
     spark.sql("CREATE DATABASE IF NOT EXISTS ohdsi_spec_db")
-    spark.sql("DROP TABLE IF EXISTS ohdsi_spec_db.swp")
-    Seq(("seed", 100L)).toDF("x", "y").write.mode("overwrite")
-      .saveAsTable("ohdsi_spec_db.swp")
+    OhdsiSql.replaceCatalogTable(spark, "ohdsi_spec_db.swp",
+      Seq(("seed", 100L)).toDF("x", "y"))
     Seq("b", "a", "b").toDF("code").createOrReplaceTempView("merge_src_codes")
     OhdsiSql.executeAll(spark,
       """WITH cte_max AS (
