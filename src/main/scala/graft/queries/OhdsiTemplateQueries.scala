@@ -691,7 +691,201 @@ object OhdsiTemplateQueries {
       .orderBy("sourceCode")
   }
 
+  // ---- the pk-swap flow (W1/§2.12-4): {primary_key_column}_swap_create
+  // + _swap_merge --------------------------------------------------------
+
+  /** Verbatim `etl/{primary_key_column}_swap_create.sql.jinja` — the
+    * guarded multi-statement DDL block (`IF NOT EXISTS (...) BEGIN
+    * CREATE TABLE ...; CREATE INDEX x3; END` — the r15 BEGIN..END-aware
+    * splitter), with the per-column Jinja type switch.
+    */
+  private val PkSwapCreateSql =
+    """{#- Copyright 2024 RADar-AZDelta -#}
+      |{#- SPDX-License-Identifier: gpl3+ -#}
+      |USE  [{{work_database_catalog}}];
+      |IF NOT EXISTS (SELECT 1 FROM sys.tables t INNER JOIN sys.schemas s ON s.schema_id = t.schema_id WHERE t.name = '{{primary_key_column}}_swap' AND s.name = '{{work_database_schema}}')
+      |BEGIN
+      |    CREATE TABLE [{{work_database_catalog}}].[{{work_database_schema}}].[{{primary_key_column}}_swap]
+      |    (x varchar(255),
+      |    {%- for column in concept_id_columns -%}
+      |        [{{column}}]
+      |        {% if not column in events.values() -%}
+      |            integer,
+      |        {# {{column}}_source_value STRING, #}
+      |        {%- else -%}
+      |            varchar(255),
+      |        {%- endif -%}
+      |    {%- endfor -%}
+      |    {%- for column in events %}
+      |        [{{column}}] varchar(255),
+      |    {%- endfor -%}
+      |        source varchar(255),
+      |        y integer
+      |    );
+      |    CREATE INDEX idx_{{primary_key_column}}_swap_1 ON [{{work_database_catalog}}].[{{work_database_schema}}].[{{primary_key_column}}_swap] (x);
+      |    CREATE INDEX idx_{{primary_key_column}}_swap_2 ON [{{work_database_catalog}}].[{{work_database_schema}}].[{{primary_key_column}}_swap] (y);
+      |    CREATE INDEX idx_{{primary_key_column}}_swap_3 ON [{{work_database_catalog}}].[{{work_database_schema}}].[{{primary_key_column}}_swap] (x, source, y);
+      |END""".stripMargin
+
+  /** Verbatim `etl/{primary_key_column}_swap_merge.sql.jinja` — the
+    * reference's CORE pk-id assignment (natively W1 `swap_dense_ids` /
+    * `swap_merge_append`): the full Jinja surface (set + namespace
+    * counters, `upload_tables[loop.index0]`, `column.lower()`,
+    * `and`-joined membership conditions — all r15 JinjaLite widenings),
+    * a two-CTE prefix scoping over the MERGE USING, per-upload UNION ALL
+    * with usagi concept-id joins, and `ROW_NUMBER() + cte_max.y` id
+    * growth. The template's global ROW_NUMBER is bounded by the batch's
+    * NEW rows (the published shape — the achilles105 precedent).
+    */
+  private val PkSwapMergeSql =
+    """{#- Copyright 2024 RADar-AZDelta -#}
+      |{#- SPDX-License-Identifier: gpl3+ -#}
+      |WITH cte_max AS (
+      |    SELECT COALESCE(MAX(y), 0) as y
+      |    FROM [{{work_database_catalog}}].[{{work_database_schema}}].[{{primary_key_column}}_swap]
+      |),
+      |swap AS (
+      |    SELECT DISTINCT *
+      |    from (
+      |    {%- for sql_file in sql_files -%}
+      |        {%- set upload_table = upload_tables[loop.index0] -%}
+      |        {%- if not loop.first %}
+      |
+      |        UNION ALL
+      |
+      |        {%- endif %}
+      |        SELECT t.{{primary_key_column}} as x,
+      |            {%- set ns = namespace(ci_counter=0) -%}
+      |            {%- for column in concept_id_columns %}
+      |                {%- if not column in events.values() %}
+      |            swap_ci{{ns.ci_counter}}.conceptId as [{{column}}],
+      |                    {%- set ns.ci_counter = ns.ci_counter + 1 -%}
+      |                {%- else %}
+      |            t.[{{column}}],
+      |                {%- endif -%}
+      |            {%- endfor -%}
+      |            {%- for column in events %}
+      |                t.[{{column}}],
+      |            {%- endfor %}
+      |            '{{sql_file}}' as source
+      |        FROM [{{work_database_catalog}}].[{{work_database_schema}}].[{{omop_table}}__upload__{{upload_table}}] t
+      |        {%- set ns = namespace(ci_counter=0) %}
+      |        LEFT OUTER JOIN [{{work_database_catalog}}].[{{work_database_schema}}].[{{primary_key_column}}_swap] swap on swap.x = t.{{primary_key_column}}
+      |            {%- set ns = namespace(ci_counter=0) %}
+      |            {%- for column in concept_id_columns %}
+      |                {%- if not column in events and not column in events.values() %}
+      |        LEFT OUTER JOIN [{{work_database_catalog}}].[{{work_database_schema}}].[{{omop_table}}__{{column.lower()}}_usagi] swap_ci{{ns.ci_counter}} on swap_ci{{ns.ci_counter}}.sourceCode = t.[{{column}}]
+      |                    {% if not process_semi_approved_mappings -%}
+      |            and swap_ci{{ns.ci_counter}}.mappingStatus = 'APPROVED'
+      |                    {%- else -%}
+      |            and swap_ci{{ns.ci_counter}}.mappingStatus in ('APPROVED', 'SEMI-APPROVED')
+      |                    {%- endif -%}
+      |                    {%- set ns.ci_counter = ns.ci_counter + 1 -%}
+      |                {%- endif -%}
+      |            {%- endfor %}
+      |        where swap.x is null
+      |    {%- endfor %}
+      |    ) t
+      |)
+      |MERGE INTO [{{work_database_catalog}}].[{{work_database_schema}}].[{{primary_key_column}}_swap] AS T
+      |USING (
+      |    SELECT
+      |        s.x,
+      |        {%- for column in concept_id_columns %}
+      |        s.[{{column}}],
+      |        {%- endfor %}
+      |        {%- for column in events -%}
+      |        s.[{{column}}],
+      |        {%- endfor %}
+      |        s.source,
+      |        ROW_NUMBER() OVER(
+      |            ORDER BY
+      |                s.x,
+      |                {%- for column in concept_id_columns %}
+      |                s.[{{column}}],
+      |                {%- endfor %}
+      |                {%- for column in events -%}
+      |                s.[{{column}}],
+      |                {%- endfor %}
+      |                s.source
+      |        ) + cte_max.y as y
+      |    FROM swap s
+      |    INNER JOIN cte_max on 1=1
+      |) AS S
+      |ON S.x = T.x
+      |{%- for column in concept_id_columns %}
+      |    {% if not column in events.values() -%}
+      |    and S.[{{column}}] = T.[{{column}}]
+      |    {%- else -%}
+      |    and coalesce(S.[{{column}}], '') = coalesce(T.[{{column}}], '')
+      |    {%- endif -%}
+      |{%- endfor %}
+      |WHEN NOT MATCHED THEN
+      |    INSERT (
+      |        x
+      |    {%- for column in concept_id_columns %}
+      |        ,[{{column}}]
+      |    {%- endfor %}
+      |    {%- for column in events -%}
+      |        ,[{{column}}]
+      |    {%- endfor %}
+      |        ,source
+      |        ,y
+      |    ) VALUES (
+      |        S.x
+      |    {%- for column in concept_id_columns %}
+      |        ,S.[{{column}}]
+      |    {%- endfor %}
+      |    {%- for column in events -%}
+      |        ,S.[{{column}}]
+      |    {%- endfor %}
+      |        ,S.source
+      |        ,S.y
+      |    );""".stripMargin
+
+  /** Two upload batches through the verbatim pk-swap flow: u1 carries one
+    * provider per nation with a mapped specialty source code; u2 one per
+    * region, its specialty keyed to a nation code THROUGH THE DATA
+    * (r_regionkey -> NATION_<k>) so every concept id resolves and the
+    * swap column never holds NULL (a NULL int column would fork the
+    * pandas dtype between the engine dump and the DuckDB oracle). A
+    * second merge run proves idempotence (anti-join finds nothing new).
+    */
+  val ohdsiSqlPkSwap: Q = (s, d) => {
+    s.sql("DROP DATABASE IF EXISTS graft_work_cs8 CASCADE")
+    val db = "graft_work_cs8"
+    stage(s, db, "provider__upload__u1", t(s, d, "nation").select(
+      concat(lit("P_"), col("n_name")).as("provider_id"),
+      concat(lit("SRC_"), col("n_name")).as("specialty_concept_id")))
+    stage(s, db, "provider__upload__u2", t(s, d, "region")
+      .join(t(s, d, "nation"), col("r_regionkey") === col("n_nationkey"))
+      .select(
+        concat(lit("PZ_"), col("r_name")).as("provider_id"),
+        concat(lit("SRC_"), col("n_name")).as("specialty_concept_id")))
+    stage(s, db, "provider__specialty_concept_id_usagi", t(s, d, "nation").select(
+      concat(lit("SRC_"), col("n_name")).as("sourceCode"),
+      (col("n_nationkey") + 100).cast("int").as("conceptId"),
+      lit("APPROVED").as("mappingStatus")))
+    val vars = Map(
+      "work_database_catalog" -> "spark_catalog",
+      "work_database_schema" -> db,
+      "omop_table" -> "provider",
+      "primary_key_column" -> "provider_id",
+      "process_semi_approved_mappings" -> "")
+    val listVars = Map(
+      "concept_id_columns" -> Seq("specialty_concept_id"),
+      "events" -> Seq.empty[String],
+      "sql_files" -> Seq("provider1", "provider2"),
+      "upload_tables" -> Seq("u1", "u2"))
+    OhdsiSql.executeAll(s, JinjaLite.render(PkSwapCreateSql, vars, listVars))
+    OhdsiSql.executeAll(s, JinjaLite.render(PkSwapMergeSql, vars, listVars))
+    // idempotence: the re-run's anti-join finds no new x, ids stay stable
+    OhdsiSql.executeAll(s, JinjaLite.render(PkSwapMergeSql, vars, listVars))
+    s.table(s"$db.provider_id_swap").orderBy("y")
+  }
+
   val defs: Seq[(String, Q)] = Seq(
+    "ohdsi_sql_pk_swap" -> ohdsiSqlPkSwap,
     "ohdsi_sql_usagi_update" -> ohdsiSqlUsagiUpdate,
     "ohdsi_sql_stcm_merge" -> ohdsiSqlStcmMerge,
     "ohdsi_sql_map_merge" -> ohdsiSqlMapMerge,
@@ -724,6 +918,21 @@ object OhdsiTemplateQueries {
       |  FROM nation""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(
+    "ohdsi_sql_pk_swap" ->
+      """WITH src AS (
+        |  SELECT concat('P_', n_name) AS x,
+        |    CAST(n_nationkey + 100 AS BIGINT) AS specialty_concept_id,
+        |    'provider1' AS source
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT concat('PZ_', r_name) AS x,
+        |    CAST(r_regionkey + 100 AS BIGINT) AS specialty_concept_id,
+        |    'provider2' AS source
+        |  FROM region
+        |)
+        |SELECT x, specialty_concept_id, source,
+        |  CAST(row_number() OVER (ORDER BY x) AS BIGINT) AS y
+        |FROM src ORDER BY y""".stripMargin,
     "ohdsi_sql_usagi_update" ->
       s"""WITH ranked AS (
          |  $RankedCte

@@ -680,7 +680,9 @@ object OhdsiSql {
           val eq = a.indexOf('=')
           require(eq > 0, s"unsupported MERGE assignment '$a'")
           val lhs = a.substring(0, eq).trim
-          val name = lhs.substring(lhs.lastIndexOf('.') + 1) // strip T. prefix
+          // strip the T. prefix and any backtick quoting (bracketed
+          // template columns translate to backticks)
+          val name = cleanName(lhs.substring(lhs.lastIndexOf('.') + 1))
           (name.toLowerCase, a.substring(eq + 1).trim)
         }.toMap
     }
@@ -692,11 +694,11 @@ object OhdsiSql {
         // and fail with a misleading "unsupported INSERT shape")
         val body = afterOn.substring(we,
           wm.map(_._1).filter(_ > ws).getOrElse(afterOn.length))
-        val im = ci(raw"(?s)^\s*\(([\w\s,]+?)\)\s*VALUES\s*\((.*)\)\s*$$")
+        val im = ci(raw"(?s)^\s*\(([\w\s,`]+?)\)\s*VALUES\s*\((.*)\)\s*$$")
           .findFirstMatchIn(body)
           .getOrElse(throw new IllegalArgumentException(
             "unsupported MERGE INSERT shape (expected: INSERT (cols) VALUES (exprs))"))
-        (im.group(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+        (im.group(1).split(",").map(c => cleanName(c.trim)).filter(_.nonEmpty).toSeq,
           splitTopDepth(im.group(2), ',').map(_.trim).toSeq)
       }
     val tgtSchema = spark.table(target).schema
@@ -904,10 +906,22 @@ object OhdsiSql {
     require(end > start, "unbalanced parentheses in IF NOT EXISTS probe")
     val probe = stmt.substring(start + 1, end)
     val guarded = stmt.substring(end + 1).trim
-    require(ci(raw"^\s*CREATE\s+TABLE\b").findFirstIn(guarded).isDefined,
-      "unsupported IF NOT EXISTS shape (the published templates guard " +
-        "CREATE TABLE; got: " + guarded.linesIterator.take(1).mkString + ")")
-    if (spark.sql(probe).limit(1).count() == 0L) executeCreateTable(spark, guarded)
+    if (spark.sql(probe).limit(1).count() != 0L) return
+    // a BEGIN ... END body holds `;`-separated DDL (CREATE TABLE followed
+    // by its CREATE INDEX statements — the pk-swap create shape); a bare
+    // body is a single CREATE TABLE
+    val beginM = ci(raw"(?s)^\s*BEGIN\b(.*)\bEND\s*$$").findFirstMatchIn(guarded)
+    val inner = beginM.map(_.group(1)).getOrElse(guarded)
+    splitTop(inner, ';').map(_.trim).filter(_.nonEmpty).foreach {
+      case st if ci(raw"^\s*CREATE\s+TABLE\b").findFirstIn(st).isDefined =>
+        executeCreateTable(spark, st)
+      case st if ci(raw"^\s*CREATE\s+(?:UNIQUE\s+)?INDEX\b").findFirstIn(st).isDefined =>
+        () // no Spark analogue; the reference's BigQuery dialect skips too
+      case st => throw new IllegalArgumentException(
+        "unsupported IF NOT EXISTS shape (the published templates guard " +
+          "CREATE TABLE / CREATE INDEX; got: " +
+          st.linesIterator.take(1).mkString + ")")
+    }
   }
 
   /** `CREATE TABLE [cat].[schema].[t] (col type, ...)` — the swap-table
@@ -1027,6 +1041,44 @@ object OhdsiSql {
     */
   def translateScript(sql: String, params: Map[String, String] = Map.empty,
       binds: Map[String, String] = Map.empty): Seq[String] =
-    splitTop(substituteBinds(stripComments(render(sql, params)), binds), ';')
+    splitStatements(substituteBinds(stripComments(render(sql, params)), binds))
       .map(_.trim).filter(_.nonEmpty).map(translate)
+
+  /** Split a script on `;` OUTSIDE string literals AND outside
+    * `BEGIN ... END` blocks — a guarded DDL block
+    * (`{primary_key_column}_swap_create.sql.jinja:5-25`: `IF NOT EXISTS
+    * (...) BEGIN CREATE TABLE ...; CREATE INDEX ...; END`) is ONE
+    * statement whose inner semicolons must not sever the guard from its
+    * body. `CASE` also pairs with `END` (the T-SQL shared terminator), so
+    * both openers count — a CASE expression can never contain a
+    * top-level `;`, which keeps the accounting safe.
+    */
+  private def splitStatements(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inQ = false
+    var depth = 0
+    var i = 0
+    def wordAt(w: String): Boolean =
+      s.regionMatches(true, i, w, 0, w.length) &&
+        (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1)) && s.charAt(i - 1) != '_') &&
+        (i + w.length >= s.length ||
+          !Character.isLetterOrDigit(s.charAt(i + w.length)) && s.charAt(i + w.length) != '_')
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch == '\'') { inQ = !inQ; cur += ch; i += 1 }
+      else if (!inQ && (wordAt("BEGIN") || wordAt("CASE"))) {
+        depth += 1
+        val w = if (wordAt("BEGIN")) 5 else 4
+        cur ++= s.substring(i, i + w); i += w
+      } else if (!inQ && wordAt("END")) {
+        depth -= 1
+        cur ++= s.substring(i, i + 3); i += 3
+      } else if (!inQ && depth == 0 && ch == ';') {
+        out += cur.result(); cur.clear(); i += 1
+      } else { cur += ch; i += 1 }
+    }
+    out += cur.result()
+    out.result()
+  }
 }

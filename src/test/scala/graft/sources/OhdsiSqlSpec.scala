@@ -502,6 +502,35 @@ class OhdsiSqlSpec extends SparkSpec {
     assert(rows.toSeq === Seq(("seed", 100L), ("c__a", 101L), ("c__b", 102L)))
   }
 
+  test("BEGIN..END blocks are one statement; the guard creates table and skips indexes") {
+    // the {primary_key_column}_swap_create shape: inner ';' must not
+    // sever the IF NOT EXISTS guard from its body, and CASE..END inside
+    // ordinary statements must not unbalance the accounting
+    val stmts = OhdsiSql.translateScript(
+      """SELECT CASE WHEN a > 0 THEN 'x;y' ELSE end_col END AS c FROM t;
+        |IF NOT EXISTS (SELECT 1 FROM sys.tables t WHERE t.name = 'zz')
+        |BEGIN
+        |  CREATE TABLE w.zz (x varchar(255), y integer);
+        |  CREATE INDEX idx_zz_1 ON w.zz (x);
+        |END;
+        |SELECT 2 AS b""".stripMargin)
+    assert(stmts.length === 3, stmts.mkString("\n---\n"))
+    assert(stmts(1).contains("CREATE INDEX"), "the block body stays attached")
+    spark.sql("CREATE DATABASE IF NOT EXISTS ohdsi_spec_db")
+    spark.sql("DROP TABLE IF EXISTS ohdsi_spec_db.blk")
+    val blkLoc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + "/ohdsi_spec_db.db/blk")
+    blkLoc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(blkLoc, true)
+    OhdsiSql.executeAll(spark,
+      """IF NOT EXISTS (SELECT 1 FROM sys.tables t INNER JOIN sys.schemas s ON s.schema_id = t.schema_id WHERE t.name = 'blk' AND s.name = 'ohdsi_spec_db')
+        |BEGIN
+        |  CREATE TABLE [spark_catalog].[ohdsi_spec_db].[blk] (x varchar(255), y integer);
+        |  CREATE INDEX idx_blk_1 ON [spark_catalog].[ohdsi_spec_db].[blk] (x);
+        |  CREATE INDEX idx_blk_2 ON [spark_catalog].[ohdsi_spec_db].[blk] (y);
+        |END""".stripMargin)
+    assert(spark.table("ohdsi_spec_db.blk").schema.map(_.name) === Seq("x", "y"))
+  }
+
   test("block comments strip quote-aware, nested, and with embedded ';'/keywords") {
     // ADVICE r13: a template's /********/ header carries apostrophes,
     // semicolons, and statement keywords — all must be invisible to the
