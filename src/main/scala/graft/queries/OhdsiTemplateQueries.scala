@@ -884,7 +884,229 @@ object OhdsiTemplateQueries {
     s.table(s"$db.provider_id_swap").orderBy("y")
   }
 
+  // ---- DDL / cleanup / discovery templates -------------------------------
+
+  /** A (table, ordinal, column, type) listing of a staged catalog table —
+    * the shape the DDL-template entries gate on.
+    */
+  private def schemaListing(s: SparkSession, dbTbl: String): DataFrame = {
+    import s.implicits._
+    val short = dbTbl.split('.').last
+    s.table(dbTbl).schema.fields.zipWithIndex.map { case (f, i) =>
+      (short, i + 1, f.name, f.dataType.simpleString)
+    }.toSeq.toDF("table_name", "ordinal", "column_name", "data_type")
+  }
+
+  /** Verbatim `dqd/get_dqd_run_results.sql.jinja` — the dashboard's
+    * per-run drill-down (`where run_id = :id` bind).
+    */
+  private val GetDqdRunResultsSql =
+    """{#- Copyright 2024 RADar-AZDelta -#}
+      |{#- SPDX-License-Identifier: gpl3+ -#}
+      |select *
+      |from [{{dqd_database_catalog}}].[{{dqd_database_schema}}].dqdashboard_results
+      |where run_id = :id""".stripMargin
+
+  val ohdsiSqlDqdRunResults: Q = (s, _) => {
+    stage(s, "graft_dqd", "dqdashboard_results", s.range(1, 27).select(
+      when(col("id") % 2 === 0, lit("run-07")).otherwise(lit("run-08")).as("run_id"),
+      format_string("check_%02d", col("id")).as("checkid"),
+      (col("id") % 5 === 0).cast("long").as("failed"),
+      (col("id") * 3).as("num_violated_rows")))
+    OhdsiSql.execute(s, JinjaLite.render(GetDqdRunResultsSql, scalars = Map(
+      "dqd_database_catalog" -> "spark_catalog",
+      "dqd_database_schema" -> "graft_dqd")),
+      binds = Map("id" -> "'run-07'")).orderBy("checkid")
+  }
+
+  /** Verbatim `ddl/SOURCE_ID_TO_OMOP_ID_MAP_ddl.sql.jinja` (natively D2):
+    * `IF OBJECT_ID(...) DROP TABLE` against a catalog table (the drop is
+    * exercised — a stale table is pre-staged), lower-case `create table`
+    * with NOT NULL markers, and the `ALTER TABLE ADD CONSTRAINT PRIMARY
+    * KEY` statement class (accepted and ignored — no constraints in
+    * Spark, D3 n/a by design).
+    */
+  private val MapDdlSql =
+    """{#- Copyright 2024 RADar-AZDelta -#}
+      |{#- SPDX-License-Identifier: gpl3+ -#}
+      |IF OBJECT_ID(N'[{{omop_database_catalog}}].[{{omop_database_schema}}].source_id_to_omop_id_map', N'U') IS NOT NULL
+      |	DROP TABLE [{{omop_database_catalog}}].[{{omop_database_schema}}].source_id_to_omop_id_map;
+      |create table [{{omop_database_catalog}}].[{{omop_database_schema}}].source_id_to_omop_id_map (
+      |    omop_table varchar(50) not null,
+      |    omop_id integer not null,
+      |    source varchar(50),
+      |    source_id varchar(255) not null,
+      |    valid_start_date DATE not null,
+      |    valid_end_date DATE not null,
+      |    invalid_reason varchar(50)
+      |);
+      |ALTER TABLE [{{omop_database_catalog}}].[{{omop_database_schema}}].source_id_to_omop_id_map ADD CONSTRAINT xpk_source_id_to_omop_id_map PRIMARY KEY NONCLUSTERED (omop_table, omop_id);""".stripMargin
+
+  val ohdsiSqlMapDdl: Q = (s, d) => {
+    s.sql("DROP DATABASE IF EXISTS graft_omop_ddl CASCADE")
+    // a stale table with a DIFFERENT shape, so the DROP branch is real
+    stage(s, "graft_omop_ddl", "source_id_to_omop_id_map",
+      t(s, d, "nation").select(col("n_name").as("junk")))
+    OhdsiSql.executeAll(s, JinjaLite.render(MapDdlSql, scalars = Map(
+      "omop_database_catalog" -> "spark_catalog",
+      "omop_database_schema" -> "graft_omop_ddl")))
+    schemaListing(s, "graft_omop_ddl.source_id_to_omop_id_map").orderBy("ordinal")
+  }
+
+  /** Verbatim `etl/{omop_table}__{concept_id_column}_usagi_create` +
+    * `_concept_create` (natively D4 work-table DDL): both guarded
+    * BEGIN..END DDL blocks with composite/INCLUDE index statements.
+    */
+  private val UsagiCreateSql =
+    """{#- Copyright 2024 RADar-AZDelta -#}
+      |{#- SPDX-License-Identifier: gpl3+ -#}
+      |USE  [{{work_database_catalog}}];
+      |IF NOT EXISTS (SELECT 1 FROM sys.tables t INNER JOIN sys.schemas s ON s.schema_id = t.schema_id WHERE t.name = '{{omop_table}}__{{concept_id_column}}_usagi' AND s.name = '{{work_database_schema}}')
+      |BEGIN
+      |    CREATE TABLE [{{work_database_catalog}}].[{{work_database_schema}}].[{{omop_table}}__{{concept_id_column}}_usagi]
+      |    (sourceCode varchar(255), sourceName varchar(255), mappingStatus varchar(50), conceptId integer, conceptName varchar(255), domainId varchar(20));
+      |    CREATE INDEX idx_{{omop_table}}__{{concept_id_column}}_usagi_1 ON [{{work_database_catalog}}].[{{work_database_schema}}].[{{omop_table}}__{{concept_id_column}}_usagi] (sourceCode, mappingStatus) INCLUDE (conceptId);
+      |    CREATE INDEX idx_{{omop_table}}__{{concept_id_column}}_usagi_2 ON [{{work_database_catalog}}].[{{work_database_schema}}].[{{omop_table}}__{{concept_id_column}}_usagi] (mappingStatus) INCLUDE (sourceCode, sourceName, conceptId);
+      |END""".stripMargin
+
+  private val ConceptCreateSql =
+    """{#- Copyright 2024 RADar-AZDelta -#}
+      |{#- SPDX-License-Identifier: gpl3+ -#}
+      |USE  [{{work_database_catalog}}];
+      |IF NOT EXISTS (SELECT 1 FROM sys.tables t INNER JOIN sys.schemas s ON s.schema_id = t.schema_id WHERE t.name = '{{omop_table}}__{{concept_id_column}}_concept' AND s.name = '{{work_database_schema}}')
+      |BEGIN
+      |    CREATE TABLE [{{work_database_catalog}}].[{{work_database_schema}}].[{{omop_table}}__{{concept_id_column}}_concept]
+      |    (concept_id integer,concept_name varchar(255),domain_id varchar(255),vocabulary_id varchar(510),concept_class_id varchar(255),standard_concept varchar(1),concept_code varchar(255),valid_start_date DATE,valid_end_date DATE,invalid_reason varchar(1));
+      |    CREATE INDEX idx_{{omop_table}}__{{concept_id_column}}_concept_1 ON [{{work_database_catalog}}].[{{work_database_schema}}].[{{omop_table}}__{{concept_id_column}}_concept] (concept_code);
+      |END""".stripMargin
+
+  val ohdsiSqlWorkDdl: Q = (s, _) => {
+    s.sql("DROP DATABASE IF EXISTS graft_work_ddl CASCADE")
+    val vars = Map(
+      "work_database_catalog" -> "spark_catalog",
+      "work_database_schema" -> "graft_work_ddl",
+      "omop_table" -> "provider",
+      "concept_id_column" -> "specialty_concept_id")
+    OhdsiSql.executeAll(s, JinjaLite.render(UsagiCreateSql, vars))
+    OhdsiSql.executeAll(s, JinjaLite.render(ConceptCreateSql, vars))
+    schemaListing(s, "graft_work_ddl.provider__specialty_concept_id_usagi")
+      .unionByName(schemaListing(s, "graft_work_ddl.provider__specialty_concept_id_concept"))
+      .orderBy("table_name", "ordinal")
+  }
+
+  /** Verbatim `etl/{omop_table}_get_event_tables.sql.jinja` (natively U4
+    * `event_discover_tables`): the Jinja loop iterates the events DICT's
+    * `.values()` (the r15 for-over-values widening).
+    */
+  private val GetEventTablesSql =
+    """{#- Copyright 2024 RADar-AZDelta -#}
+      |{#- SPDX-License-Identifier: gpl3+ -#}
+      |SELECT DISTINCT *
+      |FROM (
+      |{%- for column in events.values() -%}
+      |    {%- if not loop.first %}
+      |    UNION ALL
+      |    {%- endif %}
+      |    SELECT DISTINCT [{{column}}] as event_table
+      |    FROM [{{work_database_catalog}}].[{{work_database_schema}}].[{{omop_table}}]
+      |{%- endfor %}
+      |) T""".stripMargin
+
+  val ohdsiSqlEventTables: Q = (s, d) => {
+    stage(s, "graft_work_ev", "fact_relationship", t(s, d, "orders").select(
+      when(col("o_orderkey") % 2 === 0, lit("person")).otherwise(lit("observation"))
+        .as("fact_id_1_event"),
+      when(col("o_orderkey") % 3 === 0, lit("measurement")).otherwise(lit("person"))
+        .as("fact_id_2_event")))
+    OhdsiSql.execute(s, JinjaLite.render(GetEventTablesSql,
+      scalars = Map(
+        "work_database_catalog" -> "spark_catalog",
+        "work_database_schema" -> "graft_work_ev",
+        "omop_table" -> "fact_relationship"),
+      lists = Map("events" -> Seq("fact_id_1_event", "fact_id_2_event"))))
+      .orderBy("event_table")
+  }
+
+  /** Verbatim `cleanup/drop.sql.jinja` — a catalog-table DROP, observed
+    * through the verbatim `all_work_table_names` listing.
+    */
+  private val DropTableSql =
+    """{#- Copyright 2024 RADar-AZDelta -#}
+      |{#- SPDX-License-Identifier: gpl3+ -#}
+      |DROP TABLE [{{work_database_catalog}}].[{{work_database_schema}}].[{{table_name}}];""".stripMargin
+
+  val ohdsiSqlDropTable: Q = (s, d) => {
+    s.sql("DROP DATABASE IF EXISTS graft_work_dp CASCADE")
+    val one = t(s, d, "nation").limit(1)
+    stage(s, "graft_work_dp", "person__upload__q1", one)
+    stage(s, "graft_work_dp", "person_id_swap", one)
+    OhdsiSql.executeAll(s, JinjaLite.render(DropTableSql, scalars = Map(
+      "work_database_catalog" -> "spark_catalog",
+      "work_database_schema" -> "graft_work_dp",
+      "table_name" -> "person__upload__q1")))
+    OhdsiSql.execute(s, JinjaLite.render(WorkTableNamesSql, scalars = Map(
+      "work_database_catalog" -> "spark_catalog",
+      "work_database_schema" -> "graft_work_dp")))
+  }
+
+  /** Verbatim `cleanup/truncate.sql.jinja` (BOTH Jinja branches: plain
+    * TRUNCATE, and the vocabulary DELETE that spares non-custom rows) +
+    * `cleanup/CONCEPT_remove_custom_concepts.sql.jinja` (P6/D5/D6
+    * natively). Gated on the post-cleanup row counts.
+    */
+  private val TruncateSql =
+    """{#- Copyright 2024 RADar-AZDelta -#}
+      |{#- SPDX-License-Identifier: gpl3+ -#}
+      |{%- if table_name != 'vocabulary' %}
+      |truncate table [{{omop_database_catalog}}].[{{omop_database_schema}}].[{{table_name}}];
+      |{%- else %}
+      |delete from [{{omop_database_catalog}}].[{{omop_database_schema}}].[vocabulary]
+      |where vocabulary_concept_id >= {{min_custom_concept_id}}
+      |{%- endif %}""".stripMargin
+
+  private val ConceptRemoveSql =
+    """{#- Copyright 2024 RADar-AZDelta -#}
+      |{#- SPDX-License-Identifier: gpl3+ -#}
+      |delete from [{{omop_database_catalog}}].[{{omop_database_schema}}].[concept]
+      |where concept_id >= {{min_custom_concept_id}}""".stripMargin
+
+  val ohdsiSqlVocabCleanup: Q = (s, d) => {
+    s.sql("DROP DATABASE IF EXISTS graft_omop_vc CASCADE")
+    val nat = t(s, d, "nation")
+    stage(s, "graft_omop_vc", "provider",
+      t(s, d, "orders").select(col("o_orderkey").as("provider_id")))
+    stage(s, "graft_omop_vc", "vocabulary", nat.select(
+      col("n_name").as("vocabulary_id"),
+      col("n_nationkey").cast("long").as("vocabulary_concept_id"))
+      .unionByName(nat.select(
+        concat(lit("CUSTOM_"), col("n_name")).as("vocabulary_id"),
+        (col("n_nationkey") + 2000000000L).as("vocabulary_concept_id"))))
+    stage(s, "graft_omop_vc", "concept", nat.select(
+      col("n_nationkey").cast("long").as("concept_id"),
+      col("n_name").as("concept_name"))
+      .unionByName(nat.select(
+        (col("n_nationkey") + 2000000000L).as("concept_id"),
+        concat(lit("CUSTOM_"), col("n_name")).as("concept_name"))))
+    val base = Map(
+      "omop_database_catalog" -> "spark_catalog",
+      "omop_database_schema" -> "graft_omop_vc",
+      "min_custom_concept_id" -> "2000000000")
+    OhdsiSql.executeAll(s, JinjaLite.render(TruncateSql, base + ("table_name" -> "provider")))
+    OhdsiSql.executeAll(s, JinjaLite.render(TruncateSql, base + ("table_name" -> "vocabulary")))
+    OhdsiSql.executeAll(s, JinjaLite.render(ConceptRemoveSql, base))
+    Seq("provider", "vocabulary", "concept").map { tb =>
+      s.table(s"graft_omop_vc.$tb").agg(count(lit(1)).as("n_rows"))
+        .select(lit(tb).as("table_name"), col("n_rows"))
+    }.reduce(_ unionByName _).orderBy("table_name")
+  }
+
   val defs: Seq[(String, Q)] = Seq(
+    "ohdsi_sql_dqd_run_results" -> ohdsiSqlDqdRunResults,
+    "ohdsi_sql_map_ddl" -> ohdsiSqlMapDdl,
+    "ohdsi_sql_work_ddl_create" -> ohdsiSqlWorkDdl,
+    "ohdsi_sql_event_tables" -> ohdsiSqlEventTables,
+    "ohdsi_sql_drop_table" -> ohdsiSqlDropTable,
+    "ohdsi_sql_vocab_cleanup" -> ohdsiSqlVocabCleanup,
     "ohdsi_sql_pk_swap" -> ohdsiSqlPkSwap,
     "ohdsi_sql_usagi_update" -> ohdsiSqlUsagiUpdate,
     "ohdsi_sql_stcm_merge" -> ohdsiSqlStcmMerge,
@@ -918,6 +1140,51 @@ object OhdsiTemplateQueries {
       |  FROM nation""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(
+    "ohdsi_sql_dqd_run_results" ->
+      """SELECT 'run-07' AS run_id, printf('check_%02d', id) AS checkid,
+        |  CAST(id % 5 = 0 AS BIGINT) AS failed,
+        |  CAST(id * 3 AS BIGINT) AS num_violated_rows
+        |FROM range(1, 27) t(id) WHERE id % 2 = 0 ORDER BY checkid""".stripMargin,
+    "ohdsi_sql_map_ddl" ->
+      """SELECT * FROM (VALUES
+        |  ('source_id_to_omop_id_map', 1, 'omop_table', 'string'),
+        |  ('source_id_to_omop_id_map', 2, 'omop_id', 'int'),
+        |  ('source_id_to_omop_id_map', 3, 'source', 'string'),
+        |  ('source_id_to_omop_id_map', 4, 'source_id', 'string'),
+        |  ('source_id_to_omop_id_map', 5, 'valid_start_date', 'date'),
+        |  ('source_id_to_omop_id_map', 6, 'valid_end_date', 'date'),
+        |  ('source_id_to_omop_id_map', 7, 'invalid_reason', 'string')
+        |) AS t(table_name, ordinal, column_name, data_type) ORDER BY ordinal""".stripMargin,
+    "ohdsi_sql_work_ddl_create" ->
+      """SELECT * FROM (VALUES
+        |  ('provider__specialty_concept_id_concept', 1, 'concept_id', 'int'),
+        |  ('provider__specialty_concept_id_concept', 2, 'concept_name', 'string'),
+        |  ('provider__specialty_concept_id_concept', 3, 'domain_id', 'string'),
+        |  ('provider__specialty_concept_id_concept', 4, 'vocabulary_id', 'string'),
+        |  ('provider__specialty_concept_id_concept', 5, 'concept_class_id', 'string'),
+        |  ('provider__specialty_concept_id_concept', 6, 'standard_concept', 'string'),
+        |  ('provider__specialty_concept_id_concept', 7, 'concept_code', 'string'),
+        |  ('provider__specialty_concept_id_concept', 8, 'valid_start_date', 'date'),
+        |  ('provider__specialty_concept_id_concept', 9, 'valid_end_date', 'date'),
+        |  ('provider__specialty_concept_id_concept', 10, 'invalid_reason', 'string'),
+        |  ('provider__specialty_concept_id_usagi', 1, 'sourceCode', 'string'),
+        |  ('provider__specialty_concept_id_usagi', 2, 'sourceName', 'string'),
+        |  ('provider__specialty_concept_id_usagi', 3, 'mappingStatus', 'string'),
+        |  ('provider__specialty_concept_id_usagi', 4, 'conceptId', 'int'),
+        |  ('provider__specialty_concept_id_usagi', 5, 'conceptName', 'string'),
+        |  ('provider__specialty_concept_id_usagi', 6, 'domainId', 'string')
+        |) AS t(table_name, ordinal, column_name, data_type)
+        |ORDER BY table_name, ordinal""".stripMargin,
+    "ohdsi_sql_event_tables" ->
+      """SELECT event_table FROM (VALUES
+        |  ('measurement'), ('observation'), ('person')
+        |) AS t(event_table) ORDER BY event_table""".stripMargin,
+    "ohdsi_sql_drop_table" ->
+      "SELECT 'person_id_swap' AS table_name",
+    "ohdsi_sql_vocab_cleanup" ->
+      """SELECT table_name, CAST(n_rows AS BIGINT) AS n_rows FROM (VALUES
+        |  ('concept', 25), ('provider', 0), ('vocabulary', 25)
+        |) AS t(table_name, n_rows) ORDER BY table_name""".stripMargin,
     "ohdsi_sql_pk_swap" ->
       """WITH src AS (
         |  SELECT concat('P_', n_name) AS x,

@@ -166,11 +166,15 @@ object JinjaLite {
         case Stmt(s) :: tl if s.startsWith("if ") =>
           val (n, r) = parseIf(cond(s.drop(3)), tl)
           nodes += n; rest = r
-        case Stmt(s) :: tl if s.matches(s"for\\s+$Ident\\s+in\\s+$Ident") =>
+        case Stmt(s) :: tl if s.matches(s"for\\s+$Ident\\s+in\\s+$Ident(?:\\.values\\(\\))?") =>
+          // `for x in somedict.values()` iterates the same caller-supplied
+          // list as the bare name (the subset's dict-as-values convention,
+          // matching the membership test's treatment)
           val parts = s.split("\\s+")
+          val listName = parts(3).stripSuffix(".values()")
           val (body, r) = parseNodes(tl, inBlock = true)
           r match {
-            case Stmt("endfor") :: r2 => nodes += For(parts(1), parts(3), body); rest = r2
+            case Stmt("endfor") :: r2 => nodes += For(parts(1), listName, body); rest = r2
             case other => sys.error(
               s"'{% for %}' closed by '${termName(other)}', expected '{% endfor %}'")
           }

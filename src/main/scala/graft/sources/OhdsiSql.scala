@@ -384,8 +384,33 @@ object OhdsiSql {
   private def cleanName(n: String): String = n.replace("`", "")
 
   private val DropIfExists =
-    ci(raw"^\s*IF\s+OBJECT_ID\s*\(.*\)\s+IS\s+NOT\s+NULL\s+DROP\s+TABLE\s+(\S+)\s*$$")
+    ci(raw"(?s)^\s*IF\s+OBJECT_ID\s*\(.*?\)\s+IS\s+NOT\s+NULL\s+DROP\s+TABLE\s+(\S+)\s*$$")
   private val DropTable = ci(raw"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\S+)\s*$$")
+  /** `ALTER TABLE ... ADD CONSTRAINT ...` — constraints have no Spark
+    * analogue (D3 n/a by design; the DQD battery is the checking
+    * analogue), so the published DDL's PRIMARY KEY / FOREIGN KEY
+    * statements are accepted and ignored, exactly like the reference's
+    * BigQuery dialect which has no constraints either.
+    */
+  private val AlterAddConstraint =
+    ci(raw"(?s)^\s*ALTER\s+TABLE\s+\S+\s+ADD\s+CONSTRAINT\b.*$$")
+
+  /** Drop a table by its translated name: a dotted non-global-temp name
+    * is a catalog table (dropped WITH its managed location — the stale
+    * location trap); a bare name is a session temp view.
+    */
+  private def dropAnyTable(spark: SparkSession, target: String): Unit = {
+    val clean = cleanName(target)
+    if (clean.contains(".") && !clean.toLowerCase.startsWith("global_temp.")) {
+      val parts = clean.split('.')
+      val dbTbl = if (parts.length == 3) s"${parts(1)}.${parts(2)}" else clean
+      spark.sql(s"DROP TABLE IF EXISTS $dbTbl")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") +
+          s"/${dbTbl.split('.').head}.db/${dbTbl.split('.').last}")
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    } else spark.catalog.dropTempView(clean)
+  }
   private val SelectInto = ci(raw"(?s)^(.*?\bSELECT\b.*?)\bINTO\s+(tmp_ohdsi_\w+)\s+(FROM\b.*)$$")
   private val InsertInto = ci(
     raw"(?s)^\s*INSERT\s+INTO\s+(tmp_ohdsi_\w+)\s*(?:\(\s*([\w\s,]+?)\s*\)\s*)?(SELECT\b.*|WITH\b.*)$$")
@@ -772,9 +797,10 @@ object OhdsiSql {
         .mkString("\n"))
       .map(rewriteSysCatalog(spark, _))
       .foreach {
-      case DropIfExists(view) => spark.catalog.dropTempView(view); ()
-      case DropTable(view) => spark.catalog.dropTempView(view); ()
+      case DropIfExists(tgt) => dropAnyTable(spark, tgt)
+      case DropTable(tgt) => dropAnyTable(spark, tgt)
       case UseDb(_) => () // context no-op: template names are fully qualified
+      case stmt if AlterAddConstraint.findFirstIn(stmt).isDefined => ()
       case stmt if ci(raw"^\s*IF\s+NOT\s+EXISTS\s*\(").findFirstIn(stmt).isDefined =>
         executeIfNotExists(spark, stmt)
       case stmt if ci(raw"^\s*CREATE\s+TABLE\b").findFirstIn(stmt).isDefined =>
@@ -938,9 +964,13 @@ object OhdsiSql {
         "unsupported CREATE TABLE shape (expected: CREATE TABLE <name> (col type, ...))"))
     val name = m.group(1)
     val cols = splitTopDepth(m.group(2), ',').map(_.trim).filter(_.nonEmpty).map { c =>
-      val cm = ci(raw"^(`?\w+`?)\s+(\w+(?:\s*\(\s*[\d,\s]+\s*\))?)\s*$$").findFirstMatchIn(c)
+      // a trailing NULL / NOT NULL nullability marker is accepted and
+      // dropped: Spark parquet tables are nullable (the DQD battery is
+      // the enforcement analogue, same rationale as constraints)
+      val cm = ci(raw"^(`?\w+`?)\s+(\w+(?:\s*\(\s*[\d,\s]+\s*\))?)\s*(?:NOT\s+NULL|NULL)?\s*$$")
+        .findFirstMatchIn(c)
         .getOrElse(throw new IllegalArgumentException(
-          s"unsupported CREATE TABLE column definition '$c' (expected: name type)"))
+          s"unsupported CREATE TABLE column definition '$c' (expected: name type [NOT NULL])"))
       val ty = cm.group(2).replaceAll(raw"\s+", "").toUpperCase match {
         case t if t.startsWith("VARCHAR") || t.startsWith("NVARCHAR") => "STRING"
         case "INTEGER" | "INT" => "INT"
