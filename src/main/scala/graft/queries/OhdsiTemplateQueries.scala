@@ -1100,7 +1100,55 @@ object OhdsiTemplateQueries {
     }.reduce(_ unionByName _).orderBy("table_name")
   }
 
+  /** The FULL published OMOP CDM 5.4 DDL
+    * (`ddl/OMOPCDM_sql_server_5.4_ddl.sql.jinja`, 599 lines — vendored
+    * byte-identical as a resource), run verbatim: the dynamic
+    * constraint-drop preamble (`DECLARE`/`SELECT +=`/`EXECUTE
+    * sp_executesql` over `sys.foreign_keys` — a no-op over Spark's
+    * constraint-free catalog), 39 `IF OBJECT_ID .. DROP TABLE` +
+    * `CREATE TABLE` pairs with the full T-SQL type surface
+    * (varchar(n)/varchar(MAX)/integer/float/date/datetime, NOT NULL
+    * markers). This is the reference's dialect-NATIVE path — Jinja +
+    * driver, no SqlRender — hence `sqlRender = false`. Natively D1
+    * (`cdm_ddl_schemas` from CdmModel metadata); gated on the
+    * (table, column-count) inventory of the created schema.
+    */
+  val ohdsiSqlCdm54Ddl: Q = (s, _) => {
+    import s.implicits._
+    s.sql("DROP DATABASE IF EXISTS graft_omop_cdm54 CASCADE")
+    s.sql("CREATE DATABASE graft_omop_cdm54")
+    val in = getClass.getResourceAsStream(
+      "/graft/ohdsi/OMOPCDM_sql_server_5.4_ddl.sql.jinja")
+    val text = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    val rendered = JinjaLite.render(text, scalars = Map(
+      "omop_database_catalog" -> "spark_catalog",
+      "omop_database_schema" -> "graft_omop_cdm54"))
+    OhdsiSql.executeAll(s, rendered, sqlRender = false)
+    s.catalog.listTables("graft_omop_cdm54").collect().toSeq
+      .map(tb => (tb.name, s.table(s"graft_omop_cdm54.${tb.name}").schema.length))
+      .toDF("table_name", "n_columns").orderBy("table_name")
+  }
+
+  /** Verbatim `ddl/DataQualityDashboard_ddl.sql.jinja` (vendored as a
+    * resource; natively D2): both dashboard tables with their PRIMARY
+    * KEY constraints (accepted + ignored), gated on the created schema.
+    */
+  val ohdsiSqlDqdDdl: Q = (s, _) => {
+    s.sql("DROP DATABASE IF EXISTS graft_dqd_ddl CASCADE")
+    val in = getClass.getResourceAsStream(
+      "/graft/ohdsi/DataQualityDashboard_ddl.sql.jinja")
+    val text = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    OhdsiSql.executeAll(s, JinjaLite.render(text, scalars = Map(
+      "dqd_database_catalog" -> "spark_catalog",
+      "dqd_database_schema" -> "graft_dqd_ddl")), sqlRender = false)
+    schemaListing(s, "graft_dqd_ddl.dqdashboard_runs")
+      .unionByName(schemaListing(s, "graft_dqd_ddl.dqdashboard_results"))
+      .orderBy("table_name", "ordinal")
+  }
+
   val defs: Seq[(String, Q)] = Seq(
+    "ohdsi_sql_cdm54_ddl" -> ohdsiSqlCdm54Ddl,
+    "ohdsi_sql_dqd_ddl" -> ohdsiSqlDqdDdl,
     "ohdsi_sql_dqd_run_results" -> ohdsiSqlDqdRunResults,
     "ohdsi_sql_map_ddl" -> ohdsiSqlMapDdl,
     "ohdsi_sql_work_ddl_create" -> ohdsiSqlWorkDdl,
@@ -1140,6 +1188,71 @@ object OhdsiTemplateQueries {
       |  FROM nation""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(
+    "ohdsi_sql_cdm54_ddl" ->
+      """SELECT table_name, n_columns FROM (VALUES
+        |  ('care_site', 6), ('cdm_source', 11), ('cohort', 4),
+        |  ('cohort_definition', 7), ('concept', 10), ('concept_ancestor', 4),
+        |  ('concept_class', 3), ('concept_relationship', 6),
+        |  ('concept_synonym', 3), ('condition_era', 6),
+        |  ('condition_occurrence', 16), ('cost', 22), ('death', 7),
+        |  ('device_exposure', 19), ('domain', 3), ('dose_era', 7),
+        |  ('drug_era', 7), ('drug_exposure', 23), ('drug_strength', 12),
+        |  ('episode', 13), ('episode_event', 3), ('fact_relationship', 5),
+        |  ('location', 12), ('measurement', 23), ('metadata', 9),
+        |  ('note', 16), ('note_nlp', 14), ('observation', 21),
+        |  ('observation_period', 5), ('payer_plan_period', 17),
+        |  ('person', 18), ('procedure_occurrence', 16), ('provider', 13),
+        |  ('relationship', 6), ('source_to_concept_map', 9),
+        |  ('specimen', 15), ('visit_detail', 19), ('visit_occurrence', 17),
+        |  ('vocabulary', 5)
+        |) AS t(table_name, n_columns) ORDER BY table_name""".stripMargin,
+    "ohdsi_sql_dqd_ddl" ->
+      """SELECT * FROM (VALUES
+        |  ('dqdashboard_results', 1, 'run_id', 'string'),
+        |  ('dqdashboard_results', 2, 'checkid', 'string'),
+        |  ('dqdashboard_results', 3, 'num_violated_rows', 'int'),
+        |  ('dqdashboard_results', 4, 'pct_violated_rows', 'double'),
+        |  ('dqdashboard_results', 5, 'num_denominator_rows', 'int'),
+        |  ('dqdashboard_results', 6, 'execution_time', 'string'),
+        |  ('dqdashboard_results', 7, 'query_text', 'string'),
+        |  ('dqdashboard_results', 8, 'check_name', 'string'),
+        |  ('dqdashboard_results', 9, 'check_level', 'string'),
+        |  ('dqdashboard_results', 10, 'check_description', 'string'),
+        |  ('dqdashboard_results', 11, 'cdm_table_name', 'string'),
+        |  ('dqdashboard_results', 12, 'cdm_field_name', 'string'),
+        |  ('dqdashboard_results', 13, 'concept_id', 'string'),
+        |  ('dqdashboard_results', 14, 'unit_concept_id', 'string'),
+        |  ('dqdashboard_results', 15, 'sql_file', 'string'),
+        |  ('dqdashboard_results', 16, 'category', 'string'),
+        |  ('dqdashboard_results', 17, 'subcategory', 'string'),
+        |  ('dqdashboard_results', 18, 'context', 'string'),
+        |  ('dqdashboard_results', 19, 'warning', 'string'),
+        |  ('dqdashboard_results', 20, 'error', 'string'),
+        |  ('dqdashboard_results', 21, 'failed', 'int'),
+        |  ('dqdashboard_results', 22, 'threshold_value', 'int'),
+        |  ('dqdashboard_results', 23, 'notes_value', 'string'),
+        |  ('dqdashboard_runs', 1, 'id', 'string'),
+        |  ('dqdashboard_runs', 2, 'startTimestamp', 'timestamp'),
+        |  ('dqdashboard_runs', 3, 'endTimestamp', 'timestamp'),
+        |  ('dqdashboard_runs', 4, 'executionTime', 'string'),
+        |  ('dqdashboard_runs', 5, 'countTotal', 'int'),
+        |  ('dqdashboard_runs', 6, 'countThresholdFailed', 'int'),
+        |  ('dqdashboard_runs', 7, 'countErrorFailed', 'int'),
+        |  ('dqdashboard_runs', 8, 'countOverallFailed', 'int'),
+        |  ('dqdashboard_runs', 9, 'countPassed', 'int'),
+        |  ('dqdashboard_runs', 10, 'percentPassed', 'int'),
+        |  ('dqdashboard_runs', 11, 'percentFailed', 'int'),
+        |  ('dqdashboard_runs', 12, 'countTotalPlausibility', 'int'),
+        |  ('dqdashboard_runs', 13, 'countTotalConformance', 'int'),
+        |  ('dqdashboard_runs', 14, 'countTotalCompleteness', 'int'),
+        |  ('dqdashboard_runs', 15, 'countFailedPlausibility', 'int'),
+        |  ('dqdashboard_runs', 16, 'countFailedConformance', 'int'),
+        |  ('dqdashboard_runs', 17, 'countFailedCompleteness', 'int'),
+        |  ('dqdashboard_runs', 18, 'countPassedPlausibility', 'int'),
+        |  ('dqdashboard_runs', 19, 'countPassedConformance', 'int'),
+        |  ('dqdashboard_runs', 20, 'countPassedCompleteness', 'int')
+        |) AS t(table_name, ordinal, column_name, data_type)
+        |ORDER BY table_name, ordinal""".stripMargin,
     "ohdsi_sql_dqd_run_results" ->
       """SELECT 'run-07' AS run_id, printf('check_%02d', id) AS checkid,
         |  CAST(id % 5 = 0 AS BIGINT) AS failed,

@@ -202,6 +202,10 @@ object OhdsiSql {
 
   def translate(sql: String): String = {
     var s = sql
+    // a T-SQL DECLARE blob (the CDM DDL's dynamic constraint-drop
+    // preamble) is dispatched whole by execute — its QUOTENAME chains are
+    // not the string-concat grammar the rewrites below parse
+    if (ci(raw"^\s*DECLARE\s+@").findFirstIn(s).isDefined) return s
     // SqlRender's rendered target dialects type bare decimal literals as
     // FLOAT (e.g. FLOAT64 on BigQuery; the reference consumes DQD's
     // `1.0*x/y` pct as a float, data_quality.py) — Spark would type the
@@ -403,7 +407,9 @@ object OhdsiSql {
     val clean = cleanName(target)
     if (clean.contains(".") && !clean.toLowerCase.startsWith("global_temp.")) {
       val parts = clean.split('.')
-      val dbTbl = if (parts.length == 3) s"${parts(1)}.${parts(2)}" else clean
+      // lowercased: the managed location on disk is lowercase even when
+      // the DDL wrote PERSON-style caps
+      val dbTbl = (if (parts.length == 3) s"${parts(1)}.${parts(2)}" else clean).toLowerCase
       spark.sql(s"DROP TABLE IF EXISTS $dbTbl")
       val loc = new org.apache.hadoop.fs.Path(
         spark.conf.get("spark.sql.warehouse.dir") +
@@ -485,7 +491,11 @@ object OhdsiSql {
     */
   def replaceCatalogTable(spark: SparkSession, name: String, df: DataFrame): Unit = {
     val parts = cleanName(name).split('.')
-    val dbTbl = if (parts.length == 3) s"${parts(1)}.${parts(2)}" else cleanName(name)
+    // catalog identifiers are case-insensitive and STORED lowercased —
+    // the managed location on disk is lowercase even when the DDL wrote
+    // the name in caps (the published CDM DDL's PERSON/COST style)
+    val dbTbl = (if (parts.length == 3) s"${parts(1)}.${parts(2)}"
+      else cleanName(name)).toLowerCase
     val db = dbTbl.split('.').head
     // materialize the new contents OUTSIDE the table's own location so
     // the swap never reads what it overwrites
@@ -786,8 +796,9 @@ object OhdsiSql {
     */
   def executeAll(spark: SparkSession, sql: String,
       params: Map[String, String] = Map.empty,
-      binds: Map[String, String] = Map.empty): Option[DataFrame] = {
-    val statements = translateScript(sql, params, binds)
+      binds: Map[String, String] = Map.empty,
+      sqlRender: Boolean = true): Option[DataFrame] = {
+    val statements = translateScript(sql, params, binds, sqlRender)
     var last: Option[DataFrame] = None
     // leading `--` comment lines (the published templates' rule/analysis
     // headers) would defeat the ^-anchored statement dispatch below —
@@ -801,6 +812,18 @@ object OhdsiSql {
       case DropTable(tgt) => dropAnyTable(spark, tgt)
       case UseDb(_) => () // context no-op: template names are fully qualified
       case stmt if AlterAddConstraint.findFirstIn(stmt).isDefined => ()
+      case stmt if ci(raw"^\s*DECLARE\s+@").findFirstIn(stmt).isDefined =>
+        // the CDM DDL preamble: DECLARE @v = '' / SELECT @v += ... FROM
+        // sys.foreign_keys / EXECUTE sp_executesql @v — one fused blob
+        // (T-SQL needs no separators). Spark tables carry NO foreign-key
+        // constraints, so the accumulation runs over an empty set and the
+        // dynamic drop script stays '' — the whole blob is a no-op. Any
+        // OTHER dynamic-SQL shape refuses loudly.
+        require(
+          ci(raw"\bFROM\s+sys\.foreign_keys\b").findFirstIn(stmt).isDefined &&
+            ci(raw"\bEXECUTE\s+sp_executesql\b").findFirstIn(stmt).isDefined,
+          "unsupported DECLARE/dynamic-SQL shape (only the published CDM " +
+            "DDL's sys.foreign_keys constraint-drop preamble is recognized)")
       case stmt if ci(raw"^\s*IF\s+NOT\s+EXISTS\s*\(").findFirstIn(stmt).isDefined =>
         executeIfNotExists(spark, stmt)
       case stmt if ci(raw"^\s*CREATE\s+TABLE\b").findFirstIn(stmt).isDefined =>
@@ -967,7 +990,9 @@ object OhdsiSql {
       // a trailing NULL / NOT NULL nullability marker is accepted and
       // dropped: Spark parquet tables are nullable (the DQD battery is
       // the enforcement analogue, same rationale as constraints)
-      val cm = ci(raw"^(`?\w+`?)\s+(\w+(?:\s*\(\s*[\d,\s]+\s*\))?)\s*(?:NOT\s+NULL|NULL)?\s*$$")
+      // a column name may be backtick-quoted (translated brackets) or
+      // double-quoted (the CDM DDL's reserved-word "offset")
+      val cm = ci(raw"""^(`\w+`|"\w+"|\w+)\s+(\w+(?:\s*\(\s*(?:[\d,\s]+|MAX)\s*\))?)\s*(?:NOT\s+NULL|NULL)?\s*$$""")
         .findFirstMatchIn(c)
         .getOrElse(throw new IllegalArgumentException(
           s"unsupported CREATE TABLE column definition '$c' (expected: name type [NOT NULL])"))
@@ -982,7 +1007,7 @@ object OhdsiSql {
           s"unsupported CREATE TABLE column type '$other' (subset: VARCHAR, " +
             "INTEGER, BIGINT, FLOAT, DATE, DATETIME)")
       }
-      s"CAST(NULL AS $ty) AS ${cleanName(cm.group(1))}"
+      s"CAST(NULL AS $ty) AS ${cleanName(cm.group(1)).replace("\"", "")}"
     }
     val empty = spark.sql(s"SELECT ${cols.mkString(", ")} WHERE 1=0")
     replaceCatalogTable(spark, name, empty)
@@ -1070,9 +1095,16 @@ object OhdsiSql {
     * statement (so `TOP n` becomes that statement's `LIMIT`).
     */
   def translateScript(sql: String, params: Map[String, String] = Map.empty,
-      binds: Map[String, String] = Map.empty): Seq[String] =
-    splitStatements(substituteBinds(stripComments(render(sql, params)), binds))
+      binds: Map[String, String] = Map.empty,
+      sqlRender: Boolean = true): Seq[String] = {
+    // the reference runs its dialect-NATIVE templates (the DDL tree)
+    // through Jinja + the warehouse driver only — no SqlRender pass — and
+    // T-SQL variables (`DECLARE @x`) would read as unbound SqlRender
+    // params; sqlRender=false mirrors that flow
+    val rendered = if (sqlRender) render(sql, params) else sql
+    splitStatements(substituteBinds(stripComments(rendered), binds))
       .map(_.trim).filter(_.nonEmpty).map(translate)
+  }
 
   /** Split a script on `;` OUTSIDE string literals AND outside
     * `BEGIN ... END` blocks — a guarded DDL block
