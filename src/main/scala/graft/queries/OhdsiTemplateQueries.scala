@@ -1146,7 +1146,81 @@ object OhdsiTemplateQueries {
       .orderBy("table_name", "ordinal")
   }
 
+  /** THE reference's core ETL load — `etl/{omop_table}_merge.sql.jinja`
+    * (230 lines, vendored byte-identical as a resource) — run VERBATIM,
+    * downstream of the verbatim pk-swap flow: uploads union → usagi
+    * concept-id swap join → pk-swap id join → `_source_value`
+    * STRING_AGG grouping → windowed duplicate elimination → TRUNCATE +
+    * WITH-prefixed INSERT INTO the OMOP table. Exercises the full r15
+    * Jinja grammar (`events.keys()|length > 0 or ...`,
+    * `column.endswith(...)`, `column in ["...", ...]` literal lists,
+    * parenthesized and/or groups, namespace counters) and the bridge's
+    * catalog INSERT. The provider fixture keeps every group single-row,
+    * so the template's STRING_AGG is order-free and the output
+    * hash-gates.
+    */
+  val ohdsiSqlOmopMerge: Q = (s, d) => {
+    s.sql("DROP DATABASE IF EXISTS graft_work_om CASCADE")
+    s.sql("DROP DATABASE IF EXISTS graft_omop_om CASCADE")
+    val db = "graft_work_om"
+    stage(s, db, "provider__upload__u1", t(s, d, "nation").select(
+      concat(lit("P_"), col("n_name")).as("provider_id"),
+      col("n_name").as("provider_name"),
+      concat(lit("SRC_"), col("n_name")).as("specialty_concept_id"),
+      concat(lit("SV_"), col("n_name")).as("specialty_source_value"),
+      (lit(1950) + col("n_nationkey")).cast("int").as("year_of_birth"),
+      concat(lit("CS_"), col("n_name")).as("care_site_id")))
+    stage(s, db, "provider__upload__u2", t(s, d, "region")
+      .join(t(s, d, "nation"), col("r_regionkey") === col("n_nationkey"))
+      .select(
+        concat(lit("PZ_"), col("r_name")).as("provider_id"),
+        col("r_name").as("provider_name"),
+        concat(lit("SRC_"), col("n_name")).as("specialty_concept_id"),
+        concat(lit("SVZ_"), col("r_name")).as("specialty_source_value"),
+        (lit(1980) + col("r_regionkey")).cast("int").as("year_of_birth"),
+        concat(lit("CS_"), col("n_name")).as("care_site_id")))
+    stage(s, db, "provider__specialty_concept_id_usagi", t(s, d, "nation").select(
+      concat(lit("SRC_"), col("n_name")).as("sourceCode"),
+      (col("n_nationkey") + 100).cast("int").as("conceptId"),
+      lit("APPROVED").as("mappingStatus")))
+    stage(s, db, "care_site_id_swap", t(s, d, "nation").select(
+      concat(lit("CS_"), col("n_name")).as("x"),
+      (col("n_nationkey") + 500).cast("int").as("y")))
+    // empty OMOP target with the template's column order
+    stage(s, "graft_omop_om", "provider", s.range(0).select(
+      lit(0).as("provider_id"), lit("").as("provider_name"),
+      lit(0).as("specialty_concept_id"), lit("").as("specialty_source_value"),
+      lit(0).as("year_of_birth"), lit(0).as("care_site_id")))
+    val vars = Map(
+      "work_database_catalog" -> "spark_catalog",
+      "work_database_schema" -> db,
+      "omop_database_catalog" -> "spark_catalog",
+      "omop_database_schema" -> "graft_omop_om",
+      "omop_table" -> "provider",
+      "primary_key_column" -> "provider_id",
+      "pk_auto_numbering" -> "true",
+      "process_semi_approved_mappings" -> "",
+      "min_custom_concept_id" -> "2000000000")
+    val listVars = Map(
+      "columns" -> Seq("provider_id", "provider_name", "specialty_concept_id",
+        "specialty_source_value", "year_of_birth", "care_site_id"),
+      "concept_id_columns" -> Seq("specialty_concept_id"),
+      "foreign_key_columns" -> Seq("care_site_id"),
+      "required_columns" -> Seq("care_site_id"),
+      "events" -> Seq.empty[String],
+      "sql_files" -> Seq("provider1", "provider2"),
+      "upload_tables" -> Seq("u1", "u2"))
+    // the published chain: pk-swap create + merge, then the table merge
+    OhdsiSql.executeAll(s, JinjaLite.render(PkSwapCreateSql, vars, listVars))
+    OhdsiSql.executeAll(s, JinjaLite.render(PkSwapMergeSql, vars, listVars))
+    val in = getClass.getResourceAsStream("/graft/ohdsi/omop_table_merge.sql.jinja")
+    val text = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    OhdsiSql.executeAll(s, JinjaLite.render(text, vars, listVars))
+    s.table("graft_omop_om.provider").orderBy("provider_id")
+  }
+
   val defs: Seq[(String, Q)] = Seq(
+    "ohdsi_sql_omop_merge" -> ohdsiSqlOmopMerge,
     "ohdsi_sql_cdm54_ddl" -> ohdsiSqlCdm54Ddl,
     "ohdsi_sql_dqd_ddl" -> ohdsiSqlDqdDdl,
     "ohdsi_sql_dqd_run_results" -> ohdsiSqlDqdRunResults,
@@ -1188,6 +1262,26 @@ object OhdsiTemplateQueries {
       |  FROM nation""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(
+    "ohdsi_sql_omop_merge" ->
+      """WITH src AS (
+        |  SELECT concat('P_', n_name) AS x, n_name AS provider_name,
+        |    CAST(n_nationkey + 100 AS BIGINT) AS specialty_concept_id,
+        |    concat('SV_', n_name) AS specialty_source_value,
+        |    CAST(1950 + n_nationkey AS BIGINT) AS year_of_birth,
+        |    CAST(n_nationkey + 500 AS BIGINT) AS care_site_id
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT concat('PZ_', r_name) AS x, r_name AS provider_name,
+        |    CAST(r_regionkey + 100 AS BIGINT) AS specialty_concept_id,
+        |    concat('SVZ_', r_name) AS specialty_source_value,
+        |    CAST(1980 + r_regionkey AS BIGINT) AS year_of_birth,
+        |    CAST(r_regionkey + 500 AS BIGINT) AS care_site_id
+        |  FROM region
+        |)
+        |SELECT CAST(row_number() OVER (ORDER BY x) AS BIGINT) AS provider_id,
+        |  provider_name, specialty_concept_id, specialty_source_value,
+        |  year_of_birth, care_site_id
+        |FROM src ORDER BY provider_id""".stripMargin,
     "ohdsi_sql_cdm54_ddl" ->
       """SELECT table_name, n_columns FROM (VALUES
         |  ('care_site', 6), ('cdm_source', 11), ('cohort', 4),

@@ -101,7 +101,7 @@ object JinjaLite {
   private sealed trait Node
   private final case class Lit(s: String) extends Node
   private final case class Var(expr: String) extends Node
-  private final case class If(branches: Seq[(Seq[Cond], Seq[Node])], otherwise: Seq[Node]) extends Node
+  private final case class If(branches: Seq[(BExpr, Seq[Node])], otherwise: Seq[Node]) extends Node
   private final case class For(v: String, list: String, body: Seq[Node]) extends Node
   /** `{% set name = expr %}` — scoped scalar binding (does not leak out
     * of the enclosing block, Jinja2 semantics); when `expr` is a
@@ -123,8 +123,11 @@ object JinjaLite {
       op: Option[(String, String)], inList: Option[String] = None)
 
   private val Ident = raw"[A-Za-z_][A-Za-z0-9_]*"
-  // a variable reference in {{ .. }} / conditions: plain name or loop attr
-  private val VarRef = raw"(?:$Ident|loop\.(?:first|last|index0?|length))"
+  // a variable reference in {{ .. }} / conditions: plain name or loop
+  // attr. The loop.* alternative comes FIRST — in a prefix match the
+  // bare-Ident alternative would otherwise stop at 'loop' and leave
+  // '.first' as trailing input (the r15 CondParser regression).
+  private val VarRef = raw"(?:loop\.(?:first|last|index0?|length)|$Ident)"
 
   private def isTerminator(s: String): Boolean =
     s == "else" || s == "endif" || s == "endfor" || s.startsWith("elif ")
@@ -196,8 +199,8 @@ object JinjaLite {
     case _ => "<eof>"
   }
 
-  private def parseIf(c: Seq[Cond], toks: List[Tok]): (Node, List[Tok]) = {
-    val branches = Seq.newBuilder[(Seq[Cond], Seq[Node])]
+  private def parseIf(c: BExpr, toks: List[Tok]): (Node, List[Tok]) = {
+    val branches = Seq.newBuilder[(BExpr, Seq[Node])]
     var currentCond = c
     var rest = toks
     var otherwise: Seq[Node] = Nil
@@ -227,26 +230,134 @@ object JinjaLite {
     (If(branches.result(), otherwise), rest)
   }
 
-  /** An `and`-joined condition list (Jinja2: `and` binds looser than
-    * `not`/`in`, so each side parses as one term — the pk-swap template's
-    * `not column in events and not column in events.values()`, r15); a
-    * branch is truthy when EVERY term is.
+  /** Full boolean condition grammar (the published merge template's
+    * shapes, r15): `or` / `and` / `not` with Jinja2 precedence
+    * (or < and < not), parenthesized groups, and the terms —
+    * truthiness, `==`/`!=`, `x in somelist[.values()|.keys()]`,
+    * `x in ["lit", ...]` literal lists (lhs may be a quoted literal
+    * too), `x.endswith("lit")`, and `xs.keys()|length > n` (the one
+    * filter the published tree compares on).
     */
-  private def cond(raw: String): Seq[Cond] =
-    raw.split(raw"\s+and\s+").toSeq.map(condTerm)
+  private def cond(raw: String): BExpr = {
+    val p = new CondParser(raw)
+    val e = p.parseOr()
+    p.skipWs()
+    require(p.atEnd, s"unsupported Jinja condition '$raw' — trailing input at '${p.rest}'")
+    e
+  }
 
-  private def condTerm(raw: String): Cond = {
-    val s = raw.trim
-    val (neg, body) = if (s.startsWith("not ")) (true, s.drop(4).trim) else (false, s)
-    val cmp = raw"($VarRef|'[^']*'|\x22[^\x22]*\x22)\s*(==|!=)\s*($VarRef|'[^']*'|\x22[^\x22]*\x22)".r
-    val mem = raw"($VarRef)\s+in\s+($Ident)(?:\.values\(\))?".r
-    body match {
-      case cmp(l, op, r) => Cond(neg, l, Some((op, r)))
-      case mem(l, listName) => Cond(neg, l, None, inList = Some(listName))
-      case v if v.matches(VarRef) => Cond(neg, v, None)
-      case other => sys.error(s"unsupported Jinja condition '$other' — " +
-        "use a variable, 'not var', == / != against a quoted literal, " +
-        "or 'x in somelist' membership (terms may be 'and'-joined)")
+  private sealed trait BExpr
+  private final case class BOr(a: BExpr, b: BExpr) extends BExpr
+  private final case class BAnd(a: BExpr, b: BExpr) extends BExpr
+  private final case class BNot(a: BExpr) extends BExpr
+  private final case class BTerm(c: Cond) extends BExpr
+  private final case class BEndsWith(x: String, suffix: String) extends BExpr
+  private final case class BInLits(x: String, lits: Seq[String]) extends BExpr
+  private final case class BLenGt(list: String, n: Int) extends BExpr
+
+  /** Recursive-descent parser over one `{% if %}` condition. */
+  private final class CondParser(s: String) {
+    private var i = 0
+    def atEnd: Boolean = i >= s.length
+    def rest: String = s.substring(i)
+    def skipWs(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    private def word(w: String): Boolean = {
+      skipWs()
+      if (s.regionMatches(false, i, w, 0, w.length) &&
+          (i + w.length >= s.length || !s.charAt(i + w.length).isLetterOrDigit)) {
+        i += w.length; true
+      } else false
+    }
+    private def peekWord(w: String): Boolean = {
+      val save = i
+      val ok = word(w)
+      i = save
+      ok
+    }
+    private val OperandRe = raw"($VarRef|'[^']*'|\x22[^\x22]*\x22)".r
+    private def operandTok(): String = {
+      skipWs()
+      OperandRe.findPrefixOf(s.substring(i)) match {
+        case Some(tok) => i += tok.length; tok
+        case None => sys.error(
+          s"unsupported Jinja condition '$s' — expected a variable or quoted literal at '${rest.take(30)}'")
+      }
+    }
+    def parseOr(): BExpr = {
+      var l = parseAnd()
+      while (peekWord("or")) { word("or"); l = BOr(l, parseAnd()) }
+      l
+    }
+    private def parseAnd(): BExpr = {
+      var l = parseNot()
+      while (peekWord("and")) { word("and"); l = BAnd(l, parseNot()) }
+      l
+    }
+    private def parseNot(): BExpr =
+      if (word("not")) BNot(parseNot())
+      else {
+        skipWs()
+        if (i < s.length && s.charAt(i) == '(') {
+          i += 1
+          val e = parseOr()
+          skipWs()
+          require(i < s.length && s.charAt(i) == ')',
+            s"unsupported Jinja condition '$s' — missing ')' at '${rest.take(30)}'")
+          i += 1
+          e
+        } else parseTerm()
+      }
+    private def parseTerm(): BExpr = {
+      // xs.keys()|length > n — the only filter comparison the tree uses
+      skipWs()
+      val lenRe = raw"($Ident)\.keys\(\)\s*\|\s*length\s*>\s*(\d+)".r
+      lenRe.findPrefixMatchOf(s.substring(i)) match {
+        case Some(m) => i += m.end; return BLenGt(m.group(1), m.group(2).toInt)
+        case None =>
+      }
+      val endsRe = raw"($Ident)\.endswith\(\s*('[^']*'|\x22[^\x22]*\x22)\s*\)".r
+      endsRe.findPrefixMatchOf(s.substring(i)) match {
+        case Some(m) =>
+          i += m.end
+          val q = m.group(2)
+          return BEndsWith(m.group(1), q.substring(1, q.length - 1))
+        case None =>
+      }
+      val lhs = operandTok()
+      skipWs()
+      if (s.startsWith("==", i) || s.startsWith("!=", i)) {
+        val op = s.substring(i, i + 2); i += 2
+        BTerm(Cond(negated = false, lhs, Some((op, operandTok()))))
+      } else if (peekWord("in")) {
+        word("in")
+        skipWs()
+        if (i < s.length && s.charAt(i) == '[') {
+          // literal list: in ["a", "b", ...]
+          val close = {
+            var j = i + 1; var inQ = false
+            while (j < s.length && (inQ || s.charAt(j) != ']')) {
+              if (s.charAt(j) == '\'' || s.charAt(j) == '"') inQ = !inQ
+              j += 1
+            }
+            require(j < s.length, s"unsupported Jinja condition '$s' — missing ']'")
+            j
+          }
+          val lits = s.substring(i + 1, close).split(",").toSeq
+            .map(_.trim).filter(_.nonEmpty)
+            .map(q => q.substring(1, q.length - 1))
+          i = close + 1
+          BInLits(lhs, lits)
+        } else {
+          val memRe = raw"($Ident)(?:\.(?:values|keys)\(\))?".r
+          memRe.findPrefixMatchOf(s.substring(i)) match {
+            case Some(m) =>
+              i += m.end
+              BTerm(Cond(negated = false, lhs, None, inList = Some(m.group(1))))
+            case None => sys.error(
+              s"unsupported Jinja condition '$s' — expected a list name after 'in'")
+          }
+        }
+      } else BTerm(Cond(negated = false, lhs, None))
     }
   }
 
@@ -277,6 +388,19 @@ object JinjaLite {
     if (c.negated) !base else base
   }
 
+  private def evalB(e: BExpr, scalars: Map[String, String],
+      lists: Map[String, Seq[String]]): Boolean = e match {
+    case BOr(a, b) => evalB(a, scalars, lists) || evalB(b, scalars, lists)
+    case BAnd(a, b) => evalB(a, scalars, lists) && evalB(b, scalars, lists)
+    case BNot(a) => !evalB(a, scalars, lists)
+    case BTerm(c) => truthy(c, scalars, lists)
+    case BEndsWith(x, suffix) => lookup(x, scalars).endsWith(suffix)
+    case BInLits(x, lits) => lits.contains(operand(x, scalars))
+    case BLenGt(l, n) => lists.getOrElse(l, sys.error(
+      s"undefined Jinja list '$l' in |length — provided: " +
+        lists.keys.toSeq.sorted.mkString(", "))).size > n
+  }
+
   /** Mutable namespace objects (`{% set ns = namespace(a=0) %}`) — Jinja2's
     * escape hatch for state that must survive loop-iteration scoping.
     * Keyed by binding name; re-binding replaces the object (the pk-swap
@@ -284,7 +408,9 @@ object JinjaLite {
     */
   private type NsEnv = scala.collection.mutable.Map[String, scala.collection.mutable.Map[String, String]]
 
-  private val NamespaceCall = raw"(?s)^namespace\(\s*($Ident)\s*=\s*(.+?)\s*\)$$".r
+  /** `namespace(a=0[, b=0, ...])` — one or more attribute initializers. */
+  private val NamespaceCall = raw"(?s)^namespace\(\s*(.+?)\s*\)$$".r
+  private val NsKv = raw"^($Ident)\s*=\s*(.+)$$".r
 
   /** Evaluate a Jinja expression to a string: quoted/int literals,
     * (loop-)variables, `ns.attr` reads, `list[indexExpr]` indexing,
@@ -344,9 +470,14 @@ object JinjaLite {
       case Lit(s) => sb.append(s)
       case Var(e) => sb.append(evalExpr(e, scalars, lists, env))
       case SetVar(n, e) => e match {
-        case NamespaceCall(attr, v) =>
-          env(n) = scala.collection.mutable.Map(
-            attr -> evalExpr(v, scalars, lists, env))
+        case NamespaceCall(kvs) =>
+          val m = scala.collection.mutable.Map.empty[String, String]
+          kvs.split(",").map(_.trim).filter(_.nonEmpty).foreach {
+            case NsKv(attr, v) => m(attr) = evalExpr(v, scalars, lists, env)
+            case other => sys.error(
+              s"unsupported namespace initializer '$other' — expected attr = expr")
+          }
+          env(n) = m
         case expr => scalars = scalars + (n -> evalExpr(expr, scalars, lists, env))
       }
       case SetAttr(n, a, e) =>
@@ -354,7 +485,7 @@ object JinjaLite {
           s"'$n' is not a namespace — bind it with {{% set $n = namespace(...) %}} first"))
           .update(a, evalExpr(e, scalars, lists, env))
       case If(branches, otherwise) =>
-        branches.find { case (cs, _) => cs.forall(truthy(_, scalars, lists)) } match {
+        branches.find { case (c, _) => evalB(c, scalars, lists) } match {
           case Some((_, body)) => eval(body, scalars, lists, sb, env)
           case None => eval(otherwise, scalars, lists, sb, env)
         }

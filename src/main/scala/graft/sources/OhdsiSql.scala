@@ -420,6 +420,11 @@ object OhdsiSql {
   private val SelectInto = ci(raw"(?s)^(.*?\bSELECT\b.*?)\bINTO\s+(tmp_ohdsi_\w+)\s+(FROM\b.*)$$")
   private val InsertInto = ci(
     raw"(?s)^\s*INSERT\s+INTO\s+(tmp_ohdsi_\w+)\s*(?:\(\s*([\w\s,]+?)\s*\)\s*)?(SELECT\b.*|WITH\b.*)$$")
+  /** INSERT INTO a qualified catalog table (the `{omop_table}_merge`
+    * final-load statement; the temp-view form above matches first).
+    */
+  private val InsertIntoTable = ci(
+    raw"(?s)^\s*INSERT\s+INTO\s+($QNamePat)\s*(?:\(\s*([\w\s,`]+?)\s*\)\s*)?(SELECT\b.*|WITH\b.*)$$")
   // DELETE / UPDATE over registered views — the statement classes the
   // reference renders directly: `delete from
   // @resultsDatabaseSchema.achilles_results where analysis_id in
@@ -908,25 +913,84 @@ object OhdsiSql {
       case SelectInto(head, view, tail) =>
         spark.sql(s"$head $tail").createOrReplaceTempView(view)
       case InsertInto(view, colList, select) =>
-        // the reference's merge step (`achilles.py` INSERT INTO the results
-        // table from each #results_<id>): append into the session temp
-        // view. A column list maps the SELECT's output positionally, the
-        // INSERT contract; absent target view = first write, creates it.
-        var df = spark.sql(select)
-        Option(colList).foreach { cl =>
-          val cols = cl.split(",").map(_.trim).filter(_.nonEmpty)
-          require(cols.length == df.columns.length,
-            s"INSERT INTO $view column list has ${cols.length} names but the " +
-              s"SELECT produces ${df.columns.length} columns")
-          df = df.toDF(cols.toIndexedSeq: _*)
+        executeInsertView(spark, view, colList, select)
+      case InsertIntoTable(target, colList, select) =>
+        executeInsertCatalog(spark, target, colList, select)
+      case stmt if {
+        val (c, b) = splitLeadingWith(stmt)
+        c.trim.nonEmpty && ci(raw"^\s*INSERT\s+INTO\b").findFirstIn(b).isDefined
+      } =>
+        // WITH-prefixed INSERT (the {omop_table}_merge shape): the CTEs
+        // scope over the SELECT, so they prepend to it verbatim
+        val (c, b) = splitLeadingWith(stmt)
+        b match {
+          case InsertInto(view, colList, select) =>
+            executeInsertView(spark, view, colList, s"${c.trim} $select")
+          case InsertIntoTable(target, colList, select) =>
+            executeInsertCatalog(spark, target, colList, s"${c.trim} $select")
+          case other => throw new IllegalArgumentException(
+            "unsupported WITH..INSERT shape: " + other.linesIterator.take(1).mkString)
         }
-        val merged =
-          if (spark.catalog.tableExists(view)) spark.table(view).unionByName(df)
-          else df
-        merged.createOrReplaceTempView(view)
       case select => last = Some(spark.sql(select))
     }
     last
+  }
+
+  /** INSERT INTO a session temp view (the reference's merge step —
+    * `achilles.py` INSERT INTO the results table from each
+    * #results_<id>): append into the view. A column list maps the
+    * SELECT's output positionally, the INSERT contract; absent target
+    * view = first write, creates it.
+    */
+  private def executeInsertView(spark: SparkSession, view: String,
+      colList: String, select: String): Unit = {
+    var df = spark.sql(select)
+    Option(colList).foreach { cl =>
+      val cols = cl.split(",").map(_.trim).filter(_.nonEmpty)
+      require(cols.length == df.columns.length,
+        s"INSERT INTO $view column list has ${cols.length} names but the " +
+          s"SELECT produces ${df.columns.length} columns")
+      df = df.toDF(cols.toIndexedSeq: _*)
+    }
+    val merged =
+      if (spark.catalog.tableExists(view)) spark.table(view).unionByName(df)
+      else df
+    merged.createOrReplaceTempView(view)
+  }
+
+  /** INSERT INTO a CATALOG table (the `{omop_table}_merge` template's
+    * final load): positional column mapping against the target schema —
+    * the SQL INSERT contract — casting each position to the target type;
+    * appended rows join the existing ones through the atomic catalog
+    * replace.
+    */
+  private def executeInsertCatalog(spark: SparkSession, target: String,
+      colList: String, select: String): Unit = {
+    import org.apache.spark.sql.functions.{col => fcol, lit => flit}
+    val tgt = spark.table(target)
+    val df = spark.sql(select)
+    val mapped = Option(colList) match {
+      case Some(cl) =>
+        val cols = cl.split(",").map(c => cleanName(c.trim)).filter(_.nonEmpty)
+        require(cols.length == df.columns.length,
+          s"INSERT INTO $target column list has ${cols.length} names but " +
+            s"the SELECT produces ${df.columns.length} columns")
+        val byName = cols.map(_.toLowerCase).zip(df.columns).toMap
+        tgt.schema.map { f =>
+          byName.get(f.name.toLowerCase) match {
+            case Some(src) => fcol(src).cast(f.dataType).as(f.name)
+            case None => flit(null).cast(f.dataType).as(f.name)
+          }
+        }
+      case None =>
+        require(df.columns.length == tgt.schema.length,
+          s"INSERT INTO $target: the SELECT produces ${df.columns.length} " +
+            s"columns but the table has ${tgt.schema.length}")
+        tgt.schema.zipWithIndex.map { case (f, i) =>
+          fcol(df.columns(i)).cast(f.dataType).as(f.name)
+        }
+    }
+    reRegister(spark, target, tgt.unionByName(df.select(mapped.toSeq: _*)))
   }
 
   /** The `IF NOT EXISTS (probe-subquery) CREATE TABLE ...` conditional
