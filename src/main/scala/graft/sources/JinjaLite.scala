@@ -42,18 +42,26 @@ package graft.sources
   */
 object JinjaLite {
 
-  /** Render `template` with scalar and list bindings. */
+  /** Render `template` with scalar / list / dict / record-list bindings.
+    * `dicts` carries ordered key->value pairs (Jinja dict semantics:
+    * membership and bare iteration see KEYS, `.values()` the values,
+    * `.items()` the pairs); `records` carries lists of attribute maps
+    * (the sample queries' `column.cdmFieldName` row shape).
+    */
   def render(
       template: String,
       scalars: Map[String, String],
-      lists: Map[String, Seq[String]] = Map.empty): String = {
+      lists: Map[String, Seq[String]] = Map.empty,
+      dicts: Map[String, Seq[(String, String)]] = Map.empty,
+      records: Map[String, Seq[Map[String, String]]] = Map.empty): String = {
     val (nodes, rest) = parseNodes(tokenize(template), inBlock = false)
     rest match {
       case Stmt(s) :: _ => sys.error(s"'{% $s %}' without an opening block")
       case _ =>
     }
     val sb = new StringBuilder
-    eval(nodes, scalars, lists, sb)
+    eval(nodes, Ctx(scalars, lists, dicts, records, Map.empty,
+      scala.collection.mutable.Map.empty), sb)
     sb.result()
   }
 
@@ -102,7 +110,9 @@ object JinjaLite {
   private final case class Lit(s: String) extends Node
   private final case class Var(expr: String) extends Node
   private final case class If(branches: Seq[(BExpr, Seq[Node])], otherwise: Seq[Node]) extends Node
-  private final case class For(v: String, list: String, body: Seq[Node]) extends Node
+  private final case class For(v: String, list: String, mode: String, body: Seq[Node]) extends Node
+  /** `{% for (k, v) in d.items() %}` — dict pair iteration. */
+  private final case class ForPair(k: String, v: String, dict: String, body: Seq[Node]) extends Node
   /** `{% set name = expr %}` — scoped scalar binding (does not leak out
     * of the enclosing block, Jinja2 semantics); when `expr` is a
     * `namespace(attr=v)` call the binding is a MUTABLE namespace object
@@ -120,7 +130,7 @@ object JinjaLite {
     * dict-typed template vars supply the VALUES as the list, r15).
     */
   private final case class Cond(negated: Boolean, lhs: String,
-      op: Option[(String, String)], inList: Option[String] = None)
+      op: Option[(String, String)], inList: Option[(String, String)] = None)
 
   private val Ident = raw"[A-Za-z_][A-Za-z0-9_]*"
   // a variable reference in {{ .. }} / conditions: plain name or loop
@@ -169,15 +179,30 @@ object JinjaLite {
         case Stmt(s) :: tl if s.startsWith("if ") =>
           val (n, r) = parseIf(cond(s.drop(3)), tl)
           nodes += n; rest = r
-        case Stmt(s) :: tl if s.matches(s"for\\s+$Ident\\s+in\\s+$Ident(?:\\.values\\(\\))?") =>
-          // `for x in somedict.values()` iterates the same caller-supplied
-          // list as the bare name (the subset's dict-as-values convention,
-          // matching the membership test's treatment)
+        case Stmt(s) :: tl if s.matches(s"for\\s+$Ident\\s+in\\s+$Ident(?:\\.(?:values|keys)\\(\\))?") =>
           val parts = s.split("\\s+")
-          val listName = parts(3).stripSuffix(".values()")
+          val mode =
+            if (parts(3).endsWith(".values()")) "values"
+            else if (parts(3).endsWith(".keys()")) "keys"
+            else "bare"
+          val listName = parts(3).stripSuffix(".values()").stripSuffix(".keys()")
           val (body, r) = parseNodes(tl, inBlock = true)
           r match {
-            case Stmt("endfor") :: r2 => nodes += For(parts(1), listName, body); rest = r2
+            case Stmt("endfor") :: r2 =>
+              nodes += For(parts(1), listName, mode, body); rest = r2
+            case other => sys.error(
+              s"'{% for %}' closed by '${termName(other)}', expected '{% endfor %}'")
+          }
+        case Stmt(s) :: tl if s.matches(
+            s"for\\s*\\(\\s*$Ident\\s*,\\s*$Ident\\s*\\)\\s+in\\s+$Ident\\.items\\(\\)") =>
+          // `{% for (table, key) in event_tables.items() %}` — the
+          // apply-event-columns pair iteration (r15)
+          val pm = raw"for\s*\(\s*($Ident)\s*,\s*($Ident)\s*\)\s+in\s+($Ident)\.items\(\)".r
+          val m = pm.findFirstMatchIn(s).get
+          val (body, r) = parseNodes(tl, inBlock = true)
+          r match {
+            case Stmt("endfor") :: r2 =>
+              nodes += ForPair(m.group(1), m.group(2), m.group(3), body); rest = r2
             case other => sys.error(
               s"'{% for %}' closed by '${termName(other)}', expected '{% endfor %}'")
           }
@@ -348,11 +373,12 @@ object JinjaLite {
           i = close + 1
           BInLits(lhs, lits)
         } else {
-          val memRe = raw"($Ident)(?:\.(?:values|keys)\(\))?".r
+          val memRe = raw"($Ident)(?:\.(values|keys)\(\))?".r
           memRe.findPrefixMatchOf(s.substring(i)) match {
             case Some(m) =>
               i += m.end
-              BTerm(Cond(negated = false, lhs, None, inList = Some(m.group(1))))
+              val accessor = Option(m.group(2)).getOrElse("bare")
+              BTerm(Cond(negated = false, lhs, None, inList = Some((m.group(1), accessor))))
             case None => sys.error(
               s"unsupported Jinja condition '$s' — expected a list name after 'in'")
           }
@@ -363,44 +389,6 @@ object JinjaLite {
 
   // ---- eval ----------------------------------------------------------------
 
-  private def lookup(name: String, scalars: Map[String, String]): String =
-    scalars.getOrElse(name, sys.error(
-      s"undefined Jinja variable '$name' — provided: ${scalars.keys.toSeq.sorted.mkString(", ")}"))
-
-  private def operand(o: String, scalars: Map[String, String]): String =
-    if (o.startsWith("'") || o.startsWith("\"")) o.substring(1, o.length - 1)
-    else lookup(o, scalars)
-
-  private def truthy(c: Cond, scalars: Map[String, String],
-      lists: Map[String, Seq[String]]): Boolean = {
-    val base = (c.op, c.inList) match {
-      case (Some((op, r)), _) =>
-        val l = operand(c.lhs, scalars)
-        val rv = operand(r, scalars)
-        if (op == "==") l == rv else l != rv
-      case (None, Some(listName)) =>
-        lists.getOrElse(listName, sys.error(
-          s"undefined Jinja list '$listName' in membership test — provided: " +
-            lists.keys.toSeq.sorted.mkString(", ")))
-          .contains(operand(c.lhs, scalars))
-      case (None, None) => scalars.get(c.lhs).exists(_.nonEmpty)
-    }
-    if (c.negated) !base else base
-  }
-
-  private def evalB(e: BExpr, scalars: Map[String, String],
-      lists: Map[String, Seq[String]]): Boolean = e match {
-    case BOr(a, b) => evalB(a, scalars, lists) || evalB(b, scalars, lists)
-    case BAnd(a, b) => evalB(a, scalars, lists) && evalB(b, scalars, lists)
-    case BNot(a) => !evalB(a, scalars, lists)
-    case BTerm(c) => truthy(c, scalars, lists)
-    case BEndsWith(x, suffix) => lookup(x, scalars).endsWith(suffix)
-    case BInLits(x, lits) => lits.contains(operand(x, scalars))
-    case BLenGt(l, n) => lists.getOrElse(l, sys.error(
-      s"undefined Jinja list '$l' in |length — provided: " +
-        lists.keys.toSeq.sorted.mkString(", "))).size > n
-  }
-
   /** Mutable namespace objects (`{% set ns = namespace(a=0) %}`) — Jinja2's
     * escape hatch for state that must survive loop-iteration scoping.
     * Keyed by binding name; re-binding replaces the object (the pk-swap
@@ -408,17 +396,88 @@ object JinjaLite {
     */
   private type NsEnv = scala.collection.mutable.Map[String, scala.collection.mutable.Map[String, String]]
 
+  /** The evaluation context: immutable scalar/list/dict/record bindings,
+    * the record-typed loop variables currently in scope, and the SHARED
+    * mutable namespace env.
+    */
+  private final case class Ctx(
+      scalars: Map[String, String],
+      lists: Map[String, Seq[String]],
+      dicts: Map[String, Seq[(String, String)]],
+      records: Map[String, Seq[Map[String, String]]],
+      recVars: Map[String, Map[String, String]],
+      env: NsEnv)
+
   /** `namespace(a=0[, b=0, ...])` — one or more attribute initializers. */
   private val NamespaceCall = raw"(?s)^namespace\(\s*(.+?)\s*\)$$".r
   private val NsKv = raw"^($Ident)\s*=\s*(.+)$$".r
 
+  private def lookup(name: String, ctx: Ctx): String =
+    ctx.scalars.getOrElse(name, sys.error(
+      s"undefined Jinja variable '$name' — provided: ${ctx.scalars.keys.toSeq.sorted.mkString(", ")}"))
+
+  /** A condition operand: quoted literal, scalar/loop variable, record
+    * attribute (`column.cdmFieldName`), or namespace attribute.
+    */
+  private def operand(o: String, ctx: Ctx): String =
+    if (o.startsWith("'") || o.startsWith("\"")) o.substring(1, o.length - 1)
+    else if (ctx.scalars.contains(o)) ctx.scalars(o)
+    else {
+      val attrRef = raw"^($Ident)\.($Ident)$$".r
+      o match {
+        case attrRef(n, a) if ctx.recVars.contains(n) =>
+          ctx.recVars(n).getOrElse(a, sys.error(
+            s"record '$n' has no attribute '$a' — attributes: ${ctx.recVars(n).keys.toSeq.sorted.mkString(", ")}"))
+        case attrRef(n, a) if ctx.env.contains(n) =>
+          ctx.env(n).getOrElse(a, sys.error(s"namespace '$n' has no attribute '$a'"))
+        case other => lookup(other, ctx) // raises the undefined-variable error
+      }
+    }
+
+  /** The sequence a name denotes in membership / |length / iteration
+    * position: a DICT resolves to keys (bare/keys accessor) or values;
+    * a plain list resolves to itself under every accessor (the legacy
+    * dict-as-values convention for list-typed callers).
+    */
+  private def seqOf(name: String, accessor: String, ctx: Ctx): Seq[String] =
+    ctx.dicts.get(name) match {
+      case Some(pairs) =>
+        if (accessor == "values") pairs.map(_._2) else pairs.map(_._1)
+      case None => ctx.lists.getOrElse(name, sys.error(
+        s"undefined Jinja list '$name' — provided: " +
+          (ctx.lists.keys ++ ctx.dicts.keys).toSeq.sorted.mkString(", ")))
+    }
+
+  private def truthy(c: Cond, ctx: Ctx): Boolean = {
+    val base = (c.op, c.inList) match {
+      case (Some((op, r)), _) =>
+        val l = operand(c.lhs, ctx)
+        val rv = operand(r, ctx)
+        if (op == "==") l == rv else l != rv
+      case (None, Some((listName, accessor))) =>
+        seqOf(listName, accessor, ctx).contains(operand(c.lhs, ctx))
+      case (None, None) => ctx.scalars.get(c.lhs).exists(_.nonEmpty)
+    }
+    if (c.negated) !base else base
+  }
+
+  private def evalB(e: BExpr, ctx: Ctx): Boolean = e match {
+    case BOr(a, b) => evalB(a, ctx) || evalB(b, ctx)
+    case BAnd(a, b) => evalB(a, ctx) && evalB(b, ctx)
+    case BNot(a) => !evalB(a, ctx)
+    case BTerm(c) => truthy(c, ctx)
+    case BEndsWith(x, suffix) => operand(x, ctx).endsWith(suffix)
+    case BInLits(x, lits) => lits.contains(operand(x, ctx))
+    case BLenGt(l, n) => seqOf(l, "keys", ctx).size > n
+  }
+
   /** Evaluate a Jinja expression to a string: quoted/int literals,
-    * (loop-)variables, `ns.attr` reads, `list[indexExpr]` indexing,
+    * (loop-)variables, record/namespace attribute reads,
+    * `list[indexExpr]` / `dict[keyExpr]` / `record["attr"]` indexing,
     * `var.lower()`, and top-level `+` integer addition. Anything else
     * fails loudly with the expression named.
     */
-  private def evalExpr(e: String, scalars: Map[String, String],
-      lists: Map[String, Seq[String]], env: NsEnv): String = {
+  private def evalExpr(e: String, ctx: Ctx): String = {
     val s = e.trim
     val plusParts = {
       // split on '+' outside quotes/brackets/parens
@@ -437,71 +496,97 @@ object JinjaLite {
       out.result()
     }
     if (plusParts.length > 1)
-      return plusParts.map(p => evalExpr(p, scalars, lists, env).toLong).sum.toString
+      return plusParts.map(p => evalExpr(p, ctx).toLong).sum.toString
     val attrRef = raw"^($Ident)\.($Ident)$$".r
     val indexRef = raw"(?s)^($Ident)\[(.+)\]$$".r
     val lowerCall = raw"^($Ident)\.lower\(\)$$".r
     s match {
       case q if q.matches(raw"'[^']*'|\x22[^\x22]*\x22") => q.substring(1, q.length - 1)
       case n if n.matches(raw"-?\d+") => n
-      case v if v.matches(VarRef) => lookup(v, scalars)
-      case lowerCall(n) => lookup(n, scalars).toLowerCase
-      case attrRef(n, a) if env.contains(n) =>
-        env(n).getOrElse(a, sys.error(s"namespace '$n' has no attribute '$a'"))
+      case v if v.matches(VarRef) && ctx.scalars.contains(v) => ctx.scalars(v)
+      case lowerCall(n) => lookup(n, ctx).toLowerCase
+      case attrRef(_, _) => operand(s, ctx)
+      case indexRef(n, idx) if ctx.recVars.contains(n) =>
+        val key = evalExpr(idx, ctx)
+        ctx.recVars(n).getOrElse(key, sys.error(
+          s"record '$n' has no attribute '$key'"))
+      case indexRef(n, idx) if ctx.dicts.contains(n) =>
+        val key = evalExpr(idx, ctx)
+        ctx.dicts(n).collectFirst { case (k, v) if k == key => v }
+          .getOrElse(sys.error(s"dict '$n' has no key '$key'"))
       case indexRef(n, idx) =>
-        val xs = lists.getOrElse(n, sys.error(
+        val xs = ctx.lists.getOrElse(n, sys.error(
           s"undefined Jinja list '$n' in index expression — provided: " +
-            lists.keys.toSeq.sorted.mkString(", ")))
-        val i = evalExpr(idx, scalars, lists, env).toInt
+            ctx.lists.keys.toSeq.sorted.mkString(", ")))
+        val i = evalExpr(idx, ctx).toInt
         require(i >= 0 && i < xs.size, s"index $i out of range for list '$n' (size ${xs.size})")
         xs(i)
+      case v if v.matches(VarRef) => lookup(v, ctx)
       case other => sys.error(s"unsupported Jinja expression '$other' — " +
-        "supported: literals, variables, ns.attr, list[idx], x.lower(), '+' addition")
+        "supported: literals, variables, attrs, list/dict/record indexing, " +
+        "x.lower(), '+' addition")
     }
   }
 
-  private def eval(nodes: Seq[Node], scalars0: Map[String, String],
-      lists: Map[String, Seq[String]], sb: StringBuilder,
-      env: NsEnv = scala.collection.mutable.Map.empty): Unit = {
+  private def loopVars(i: Int, n: Int): Map[String, String] = Map(
+    // truthiness is non-empty, so ""/"true" encode loop booleans
+    "loop.first" -> (if (i == 0) "true" else ""),
+    "loop.last" -> (if (i == n - 1) "true" else ""),
+    "loop.index" -> (i + 1).toString,
+    "loop.index0" -> i.toString,
+    "loop.length" -> n.toString)
+
+  private def eval(nodes: Seq[Node], ctx0: Ctx, sb: StringBuilder): Unit = {
     // {% set %} bindings apply to the REST of this node list only (block
     // scoped, Jinja2 semantics) — thread an updatable view
-    var scalars = scalars0
+    var ctx = ctx0
     nodes.foreach {
       case Lit(s) => sb.append(s)
-      case Var(e) => sb.append(evalExpr(e, scalars, lists, env))
+      case Var(e) => sb.append(evalExpr(e, ctx))
       case SetVar(n, e) => e match {
         case NamespaceCall(kvs) =>
           val m = scala.collection.mutable.Map.empty[String, String]
           kvs.split(",").map(_.trim).filter(_.nonEmpty).foreach {
-            case NsKv(attr, v) => m(attr) = evalExpr(v, scalars, lists, env)
+            case NsKv(attr, v) => m(attr) = evalExpr(v, ctx)
             case other => sys.error(
               s"unsupported namespace initializer '$other' — expected attr = expr")
           }
-          env(n) = m
-        case expr => scalars = scalars + (n -> evalExpr(expr, scalars, lists, env))
+          ctx.env(n) = m
+        case expr => ctx = ctx.copy(scalars = ctx.scalars + (n -> evalExpr(expr, ctx)))
       }
       case SetAttr(n, a, e) =>
-        env.getOrElse(n, sys.error(
-          s"'$n' is not a namespace — bind it with {{% set $n = namespace(...) %}} first"))
-          .update(a, evalExpr(e, scalars, lists, env))
+        ctx.env.getOrElse(n, sys.error(
+          s"'$n' is not a namespace — bind it with {% set ... = namespace(...) %} first"))
+          .update(a, evalExpr(e, ctx))
       case If(branches, otherwise) =>
-        branches.find { case (c, _) => evalB(c, scalars, lists) } match {
-          case Some((_, body)) => eval(body, scalars, lists, sb, env)
-          case None => eval(otherwise, scalars, lists, sb, env)
+        branches.find { case (c, _) => evalB(c, ctx) } match {
+          case Some((_, body)) => eval(body, ctx, sb)
+          case None => eval(otherwise, ctx, sb)
         }
-      case For(v, listName, body) =>
-        val xs = lists.getOrElse(listName, sys.error(
-          s"undefined Jinja list '$listName' — provided lists: " +
-            lists.keys.toSeq.sorted.mkString(", ")))
-        xs.zipWithIndex.foreach { case (x, i) =>
-          // truthiness is non-empty, so ""/"true" encode loop booleans
-          val loopVars = Map(
-            "loop.first" -> (if (i == 0) "true" else ""),
-            "loop.last" -> (if (i == xs.size - 1) "true" else ""),
-            "loop.index" -> (i + 1).toString,
-            "loop.index0" -> i.toString,
-            "loop.length" -> xs.size.toString)
-          eval(body, scalars ++ loopVars + (v -> x), lists, sb, env)
+      case For(v, name, mode, body) =>
+        if (ctx.records.contains(name)) {
+          require(mode == "bare",
+            s"'.$mode()' iteration over record list '$name' is not supported")
+          val xs = ctx.records(name)
+          xs.zipWithIndex.foreach { case (rec, i) =>
+            eval(body, ctx.copy(
+              scalars = ctx.scalars ++ loopVars(i, xs.size),
+              recVars = ctx.recVars + (v -> rec)), sb)
+          }
+        } else {
+          val xs = seqOf(name, mode, ctx)
+          xs.zipWithIndex.foreach { case (x, i) =>
+            eval(body, ctx.copy(
+              scalars = ctx.scalars ++ loopVars(i, xs.size) + (v -> x)), sb)
+          }
+        }
+      case ForPair(kv, vv, name, body) =>
+        val pairs = ctx.dicts.getOrElse(name, sys.error(
+          s"undefined Jinja dict '$name' in .items() — provided dicts: " +
+            ctx.dicts.keys.toSeq.sorted.mkString(", ")))
+        pairs.zipWithIndex.foreach { case ((k, v), i) =>
+          eval(body, ctx.copy(
+            scalars = ctx.scalars ++ loopVars(i, pairs.size) + (kv -> k) + (vv -> v)), sb)
         }
     }
   }
