@@ -1219,7 +1219,216 @@ object OhdsiTemplateQueries {
     s.table("graft_omop_om.provider").orderBy("provider_id")
   }
 
+  /** Verbatim `etl/{omop_table}_apply_event_columns.sql.jinja` (215
+    * lines, vendored as a resource; natively J12/W4 `event_apply_columns`)
+    * for the fact_relationship path: the events DICT drives
+    * `{{events[column]}}` indexing, `(table, key) in event_tables.items()`
+    * pair iteration builds one `[<key>_swap]` join per (event column ×
+    * event table) with a shared namespace counter, the event-concept CASE
+    * carries the PUBLISHED per-table concept ids, and `omop_table not in
+    * [...]` picks the no-renumber branch — all r15 dict/record Jinja
+    * widenings.
+    */
+  val ohdsiSqlApplyEvents: Q = (s, d) => {
+    s.sql("DROP DATABASE IF EXISTS graft_work_ae CASCADE")
+    s.sql("DROP DATABASE IF EXISTS graft_omop_ae CASCADE")
+    val k = col("o_orderkey")
+    stage(s, "graft_work_ae", "fact_relationship", t(s, d, "orders").select(
+      when(k % 2 === 0, lit("person")).otherwise(lit("observation"))
+        .as("domain_concept_id_1"),
+      when(k % 2 === 0, concat(lit("P_"), (k % 5).cast("string"))).otherwise(concat(lit("O_"), (k % 5).cast("string")))
+        .as("fact_id_1"),
+      when(k % 3 === 0, lit("person")).otherwise(lit("observation"))
+        .as("domain_concept_id_2"),
+      when(k % 3 === 0, concat(lit("P_"), (k % 7).cast("string"))).otherwise(concat(lit("O_"), (k % 7).cast("string")))
+        .as("fact_id_2"),
+      (lit(44818821) + k % 2).cast("int").as("relationship_concept_id")))
+    stage(s, "graft_work_ae", "person_id_swap", s.range(0, 10).select(
+      concat(lit("P_"), col("id").cast("string")).as("x"), (col("id") + 1).cast("int").as("y")))
+    stage(s, "graft_work_ae", "observation_id_swap", s.range(0, 10).select(
+      concat(lit("O_"), col("id").cast("string")).as("x"), (col("id") + 1001).cast("int").as("y")))
+    stage(s, "graft_omop_ae", "fact_relationship", s.range(0).select(
+      lit(0).as("domain_concept_id_1"), lit(0).as("fact_id_1"),
+      lit(0).as("domain_concept_id_2"), lit(0).as("fact_id_2"),
+      lit(0).as("relationship_concept_id")))
+    val in = getClass.getResourceAsStream(
+      "/graft/ohdsi/omop_table_apply_event_columns.sql.jinja")
+    val text = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    val rendered = JinjaLite.render(text,
+      scalars = Map(
+        "work_database_catalog" -> "spark_catalog",
+        "work_database_schema" -> "graft_work_ae",
+        "omop_database_catalog" -> "spark_catalog",
+        "omop_database_schema" -> "graft_omop_ae",
+        "omop_table" -> "fact_relationship"),
+      lists = Map(
+        "columns" -> Seq("domain_concept_id_1", "fact_id_1",
+          "domain_concept_id_2", "fact_id_2", "relationship_concept_id")),
+      dicts = Map(
+        "events" -> Seq(
+          "fact_id_1" -> "domain_concept_id_1",
+          "fact_id_2" -> "domain_concept_id_2"),
+        "event_tables" -> Seq(
+          "person" -> "person_id",
+          "observation" -> "observation_id")))
+    OhdsiSql.executeAll(s, rendered)
+    s.table("graft_omop_ae.fact_relationship")
+      .orderBy("domain_concept_id_1", "fact_id_1", "domain_concept_id_2",
+        "fact_id_2", "relationship_concept_id")
+  }
+
+  /** Verbatim `cdm_folders/sample_etl_query.sql.jinja` — the S9 user
+    * SELECT the reference documents for a CDM folder: record-typed
+    * `columns` drive the PK/FK/CONCEPT `_PREQUAL_` prefixes and the
+    * per-column CAST to the CDM datatype.
+    */
+  private val SampleEtlQuerySql =
+    """SELECT
+      |{%- for column in columns -%}
+      |    {%- if not loop.first %}
+      |    {{ ',' }}
+      |    {%- else %}
+      |    {{ '' }}
+      |    {%- endif -%}
+      |    {%- if column.isPrimaryKey == 'Yes' -%}
+      |    CONCAT('PK_PREQUAL_', CAST(raw.[{{ column.cdmFieldName }}_column] as VARCHAR(255)))
+      |    {%- elif column.isForeignKey == 'Yes' and column.fkTableName != "CONCEPT" -%}
+      |    CONCAT('FK_PREQUAL_', CAST(raw.[{{ column.cdmFieldName }}_column] as VARCHAR(255)))
+      |    {%- elif column.isForeignKey == 'Yes' and column.fkTableName == "CONCEPT" -%}
+      |    CONCAT('CONCEPT_PREQUAL_', CAST(raw.[{{ column.cdmFieldName }}_column] as VARCHAR(255)))
+      |    {%- else -%}
+      |    CAST(raw.[{{ column.cdmFieldName }}_column] as {{ column.cdmDatatype }})
+      |    {%- endif -%}
+      |    {{" "}}AS {{ column.cdmFieldName }}
+      |{%- endfor %}
+      |FROM dbo.raw_{{ omop_table }} raw""".stripMargin
+
+  /** Verbatim `etl/{omop_table}_{sql_file}_insert.sql.jinja` (natively
+    * S10 upload-table sink): record-typed column DDL switch (PK/FK/event
+    * columns become varchar(255), the rest their CDM datatype), the
+    * commented-out index block, and `{{ctes}}` + `{{select_query}}` —
+    * the user's rendered S9 SELECT — loaded via catalog INSERT INTO.
+    */
+  private val UploadInsertSql =
+    """{#- Copyright 2024 RADar-AZDelta -#}
+      |{#- SPDX-License-Identifier: gpl3+ -#}
+      |DROP TABLE IF EXISTS [{{work_database_catalog}}].[{{work_database_schema}}].[{{upload_table}}];
+      |
+      |CREATE TABLE [{{work_database_catalog}}].[{{work_database_schema}}].[{{upload_table}}] (
+      |  {% for column in columns -%}
+      |      {% if not loop.first %}
+      |  {{ ',' }}
+      |      {%- endif -%}
+      |      [{{ column["cdmFieldName"] }}]
+      |      {%- if column["isPrimaryKey"] == 'Yes' %} varchar(255)
+      |      {%- elif column["isForeignKey"] == 'Yes' %} varchar(255)
+      |      {%- elif column["cdmFieldName"] in events.keys() %} varchar(255)
+      |      {%- else %} {{ column["cdmDatatype"] }}
+      |      {%- endif -%}
+      |  {%- endfor %}
+      |);
+      |
+      |CREATE INDEX idx_{{upload_table}}_1 ON [{{work_database_catalog}}].[{{work_database_schema}}].[{{upload_table}}] (
+      |{%- if omop_table == 'fact_relationship' %}
+      |    fact_id_1
+      |    , fact_id_2
+      |{%- elif omop_table == 'death' %}
+      |    person_id
+      |{%- elif omop_table == 'cdm_source' %}
+      |    cdm_source_name
+      |{%- elif primary_key_column %}
+      |    {{primary_key_column}}
+      |{%- endif -%}
+      |{# {%- for column in concept_id_columns -%}
+      |    {%- if not column in events.values() %}
+      |    , [{{column}}]
+      |    {%- endif -%}
+      |{%- endfor -%}
+      |{%- for column in events -%}
+      |    {%- if omop_table != 'fact_relationship' %}
+      |    , [{{column}}]
+      |    {%- endif -%}
+      |{%- endfor %} #}
+      |);
+      |
+      |{{ctes}}
+      |INSERT INTO [{{work_database_catalog}}].[{{work_database_schema}}].[{{upload_table}}]
+      |{{select_query}}""".stripMargin
+
+  /** The sample CDM-folder column metadata (the CdmModel row shape). */
+  private val SampleColumns: Seq[Map[String, String]] = Seq(
+    Map("cdmFieldName" -> "provider_id", "isPrimaryKey" -> "Yes",
+      "isForeignKey" -> "No", "fkTableName" -> "", "cdmDatatype" -> "integer"),
+    Map("cdmFieldName" -> "provider_name", "isPrimaryKey" -> "No",
+      "isForeignKey" -> "No", "fkTableName" -> "", "cdmDatatype" -> "varchar(255)"),
+    Map("cdmFieldName" -> "specialty_concept_id", "isPrimaryKey" -> "No",
+      "isForeignKey" -> "Yes", "fkTableName" -> "CONCEPT", "cdmDatatype" -> "integer"),
+    Map("cdmFieldName" -> "year_of_birth", "isPrimaryKey" -> "No",
+      "isForeignKey" -> "No", "fkTableName" -> "", "cdmDatatype" -> "integer"),
+    Map("cdmFieldName" -> "care_site_id", "isPrimaryKey" -> "No",
+      "isForeignKey" -> "Yes", "fkTableName" -> "CARE_SITE", "cdmDatatype" -> "integer"))
+
+  /** The raw source table the sample queries read (`dbo.raw_provider`). */
+  private def stageRawProvider(s: SparkSession, d: String): Unit =
+    stage(s, "dbo", "raw_provider", t(s, d, "nation").select(
+      col("n_nationkey").as("provider_id_column"),
+      col("n_name").as("provider_name_column"),
+      concat(lit("SPEC_"), (col("n_nationkey") % 4).cast("string"))
+        .as("specialty_concept_id_column"),
+      (lit(1950) + col("n_nationkey")).cast("int").as("year_of_birth_column"),
+      (col("n_nationkey") % 6).as("care_site_id_column")))
+
+  val ohdsiSqlUploadInsert: Q = (s, d) => {
+    s.sql("DROP DATABASE IF EXISTS graft_work_ui CASCADE")
+    stageRawProvider(s, d)
+    val userSelect = JinjaLite.render(SampleEtlQuerySql,
+      scalars = Map("omop_table" -> "provider"),
+      records = Map("columns" -> SampleColumns))
+    val rendered = JinjaLite.render(UploadInsertSql,
+      scalars = Map(
+        "work_database_catalog" -> "spark_catalog",
+        "work_database_schema" -> "graft_work_ui",
+        "upload_table" -> "provider__upload__u1",
+        "omop_table" -> "provider",
+        "primary_key_column" -> "provider_id",
+        "ctes" -> "",
+        "select_query" -> userSelect),
+      dicts = Map("events" -> Seq.empty),
+      records = Map("columns" -> SampleColumns))
+    OhdsiSql.executeAll(s, rendered)
+    s.table("graft_work_ui.provider__upload__u1").orderBy("provider_id")
+  }
+
+  /** Verbatim `cdm_folders/sample_usagi_query.sql.jinja` (natively A8
+    * sourceFrequency): the single-record `concept_column.cdmFieldName`
+    * attribute form, GROUP BY aliases, frequency-desc ordering (ties
+    * canonicalized by source code after the verbatim run).
+    */
+  private val SampleUsagiQuerySql =
+    """SELECT
+      |    CONCAT('CONCEPT_PREQUAL_', CAST(raw.{{ concept_column.cdmFieldName }}_column as VARCHAR(255))) AS sourceCode
+      |    ,raw.{{ concept_column.cdmFieldName }}_column_with_description AS sourceName
+      |    ,COUNT(*) AS sourceFrequency
+      |FROM dbo.raw_{{ omop_table }} raw
+      |GROUP BY sourceCode, sourceName
+      |ORDER BY sourceFrequency DESC""".stripMargin
+
+  val ohdsiSqlSampleUsagi: Q = (s, d) => {
+    stage(s, "dbo", "raw_provider2", t(s, d, "orders").select(
+      concat(lit("SPEC_"), (col("o_orderkey") % 4).cast("string"))
+        .as("specialty_concept_id_column"),
+      concat(lit("desc "), (col("o_orderkey") % 4).cast("string"))
+        .as("specialty_concept_id_column_with_description")))
+    val rendered = JinjaLite.render(SampleUsagiQuerySql, scalars = Map(
+      "omop_table" -> "provider2",
+      "concept_column.cdmFieldName" -> "specialty_concept_id"))
+    OhdsiSql.execute(s, rendered).orderBy(desc("sourceFrequency"), col("sourceCode"))
+  }
+
   val defs: Seq[(String, Q)] = Seq(
+    "ohdsi_sql_upload_insert" -> ohdsiSqlUploadInsert,
+    "ohdsi_sql_sample_usagi" -> ohdsiSqlSampleUsagi,
+    "ohdsi_sql_apply_events" -> ohdsiSqlApplyEvents,
     "ohdsi_sql_omop_merge" -> ohdsiSqlOmopMerge,
     "ohdsi_sql_cdm54_ddl" -> ohdsiSqlCdm54Ddl,
     "ohdsi_sql_dqd_ddl" -> ohdsiSqlDqdDdl,
@@ -1262,6 +1471,33 @@ object OhdsiTemplateQueries {
       |  FROM nation""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(
+    "ohdsi_sql_upload_insert" ->
+      """SELECT concat('PK_PREQUAL_', CAST(n_nationkey AS VARCHAR)) AS provider_id,
+        |  n_name AS provider_name,
+        |  concat('CONCEPT_PREQUAL_SPEC_', CAST(n_nationkey % 4 AS VARCHAR)) AS specialty_concept_id,
+        |  CAST(1950 + n_nationkey AS INT) AS year_of_birth,
+        |  concat('FK_PREQUAL_', CAST(n_nationkey % 6 AS VARCHAR)) AS care_site_id
+        |FROM nation ORDER BY provider_id""".stripMargin,
+    "ohdsi_sql_sample_usagi" ->
+      """SELECT concat('CONCEPT_PREQUAL_SPEC_', CAST(o_orderkey % 4 AS VARCHAR)) AS sourceCode,
+        |  concat('desc ', CAST(o_orderkey % 4 AS VARCHAR)) AS sourceName,
+        |  CAST(count(*) AS BIGINT) AS sourceFrequency
+        |FROM orders GROUP BY sourceCode, sourceName
+        |ORDER BY sourceFrequency DESC, sourceCode""".stripMargin,
+    "ohdsi_sql_apply_events" ->
+      """SELECT DISTINCT
+        |  CAST(CASE WHEN o_orderkey % 2 = 0 THEN 1147026 ELSE 1147165 END AS BIGINT)
+        |    AS domain_concept_id_1,
+        |  CAST(CASE WHEN o_orderkey % 2 = 0 THEN o_orderkey % 5 + 1
+        |    ELSE o_orderkey % 5 + 1001 END AS BIGINT) AS fact_id_1,
+        |  CAST(CASE WHEN o_orderkey % 3 = 0 THEN 1147026 ELSE 1147165 END AS BIGINT)
+        |    AS domain_concept_id_2,
+        |  CAST(CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey % 7 + 1
+        |    ELSE o_orderkey % 7 + 1001 END AS BIGINT) AS fact_id_2,
+        |  CAST(44818821 + o_orderkey % 2 AS BIGINT) AS relationship_concept_id
+        |FROM orders
+        |ORDER BY domain_concept_id_1, fact_id_1, domain_concept_id_2,
+        |  fact_id_2, relationship_concept_id""".stripMargin,
     "ohdsi_sql_omop_merge" ->
       """WITH src AS (
         |  SELECT concat('P_', n_name) AS x, n_name AS provider_name,

@@ -299,7 +299,12 @@ object JinjaLite {
       i = save
       ok
     }
-    private val OperandRe = raw"($VarRef|'[^']*'|\x22[^\x22]*\x22)".r
+    // an operand: loop attr, record/namespace attr (`column.fkTableName`),
+    // record/dict index (`column["isPrimaryKey"]`), plain variable, or a
+    // quoted literal — longest shapes first so a prefix match never stops
+    // at the bare identifier
+    private val OperandRe =
+      raw"(loop\.(?:first|last|index0?|length)|$Ident\.$Ident|$Ident\[[^\]]+\]|$Ident|'[^']*'|\x22[^\x22]*\x22)".r
     private def operandTok(): String = {
       skipWs()
       OperandRe.findPrefixOf(s.substring(i)) match {
@@ -350,10 +355,16 @@ object JinjaLite {
       }
       val lhs = operandTok()
       skipWs()
-      if (s.startsWith("==", i) || s.startsWith("!=", i)) {
+      // `x not in xs` — the infix negation form (Jinja2 operator)
+      val notIn = {
+        val save = i
+        if (word("not") && peekWord("in")) true else { i = save; false }
+      }
+      if (!notIn && (s.startsWith("==", i) || s.startsWith("!=", i))) {
         val op = s.substring(i, i + 2); i += 2
         BTerm(Cond(negated = false, lhs, Some((op, operandTok()))))
-      } else if (peekWord("in")) {
+      } else if (notIn || peekWord("in")) {
+        val wrap: BExpr => BExpr = if (notIn) BNot.apply else identity
         word("in")
         skipWs()
         if (i < s.length && s.charAt(i) == '[') {
@@ -371,14 +382,14 @@ object JinjaLite {
             .map(_.trim).filter(_.nonEmpty)
             .map(q => q.substring(1, q.length - 1))
           i = close + 1
-          BInLits(lhs, lits)
+          wrap(BInLits(lhs, lits))
         } else {
           val memRe = raw"($Ident)(?:\.(values|keys)\(\))?".r
           memRe.findPrefixMatchOf(s.substring(i)) match {
             case Some(m) =>
               i += m.end
               val accessor = Option(m.group(2)).getOrElse("bare")
-              BTerm(Cond(negated = false, lhs, None, inList = Some((m.group(1), accessor))))
+              wrap(BTerm(Cond(negated = false, lhs, None, inList = Some((m.group(1), accessor)))))
             case None => sys.error(
               s"unsupported Jinja condition '$s' — expected a list name after 'in'")
           }
@@ -416,23 +427,12 @@ object JinjaLite {
     ctx.scalars.getOrElse(name, sys.error(
       s"undefined Jinja variable '$name' — provided: ${ctx.scalars.keys.toSeq.sorted.mkString(", ")}"))
 
-  /** A condition operand: quoted literal, scalar/loop variable, record
-    * attribute (`column.cdmFieldName`), or namespace attribute.
+  /** A condition operand: quoted literal, or any readable expression
+    * (scalar/loop variable, record/namespace attribute, indexing).
     */
   private def operand(o: String, ctx: Ctx): String =
     if (o.startsWith("'") || o.startsWith("\"")) o.substring(1, o.length - 1)
-    else if (ctx.scalars.contains(o)) ctx.scalars(o)
-    else {
-      val attrRef = raw"^($Ident)\.($Ident)$$".r
-      o match {
-        case attrRef(n, a) if ctx.recVars.contains(n) =>
-          ctx.recVars(n).getOrElse(a, sys.error(
-            s"record '$n' has no attribute '$a' — attributes: ${ctx.recVars(n).keys.toSeq.sorted.mkString(", ")}"))
-        case attrRef(n, a) if ctx.env.contains(n) =>
-          ctx.env(n).getOrElse(a, sys.error(s"namespace '$n' has no attribute '$a'"))
-        case other => lookup(other, ctx) // raises the undefined-variable error
-      }
-    }
+    else evalExpr(o, ctx)
 
   /** The sequence a name denotes in membership / |length / iteration
     * position: a DICT resolves to keys (bare/keys accessor) or values;
@@ -505,7 +505,14 @@ object JinjaLite {
       case n if n.matches(raw"-?\d+") => n
       case v if v.matches(VarRef) && ctx.scalars.contains(v) => ctx.scalars(v)
       case lowerCall(n) => lookup(n, ctx).toLowerCase
-      case attrRef(_, _) => operand(s, ctx)
+      case attrRef(n, a) if ctx.recVars.contains(n) =>
+        ctx.recVars(n).getOrElse(a, sys.error(
+          s"record '$n' has no attribute '$a' — attributes: ${ctx.recVars(n).keys.toSeq.sorted.mkString(", ")}"))
+      case attrRef(n, a) if ctx.env.contains(n) =>
+        ctx.env(n).getOrElse(a, sys.error(s"namespace '$n' has no attribute '$a'"))
+      // a dotted SCALAR binding ('concept_column.cdmFieldName' supplied
+      // whole) — the sample-query single-record convention
+      case attrRef(_, _) if ctx.scalars.contains(s) => ctx.scalars(s)
       case indexRef(n, idx) if ctx.recVars.contains(n) =>
         val key = evalExpr(idx, ctx)
         ctx.recVars(n).getOrElse(key, sys.error(
