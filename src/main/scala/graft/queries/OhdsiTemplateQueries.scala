@@ -1425,7 +1425,193 @@ object OhdsiTemplateQueries {
     OhdsiSql.execute(s, rendered).orderBy(desc("sourceFrequency"), col("sourceCode"))
   }
 
+  /** Verbatim
+    * `cleanup/SOURCE_TO_CONCEPT_MAP_remove_concepts_by_..._usagi_table.sql.jinja`
+    * (natively J9 `merge_delete_anti`): the MERGE `WHEN MATCHED THEN
+    * DELETE` clause — matched mappings are removed, the rest survive.
+    */
+  private val S2cmRemoveSql =
+    """{#- Copyright 2024 RADar-AZDelta -#}
+      |{#- SPDX-License-Identifier: gpl3+ -#}
+      |MERGE INTO [{{omop_database_catalog}}].[{{omop_database_schema}}].[source_to_concept_map] AS T
+      |USING (
+      |    SELECT
+      |        t.sourceCode as source_code
+      |        ,t.conceptId as target_concept_id
+      |    FROM [{{work_database_catalog}}].[{{work_database_schema}}].[{{omop_table}}__{{concept_id_column}}_usagi] t
+      |) AS S
+      |ON S.source_code = T.source_code
+      |    and S.target_concept_id = T.target_concept_id
+      |WHEN MATCHED THEN
+      |  DELETE;""".stripMargin
+
+  val ohdsiSqlS2cmRemove: Q = (s, d) => {
+    s.sql("DROP DATABASE IF EXISTS graft_work_sr CASCADE")
+    s.sql("DROP DATABASE IF EXISTS graft_omop_sr CASCADE")
+    stage(s, "graft_omop_sr", "source_to_concept_map", t(s, d, "nation").select(
+      concat(lit("SRC_"), col("n_name")).as("source_code"),
+      (col("n_nationkey") + 100).cast("int").as("target_concept_id"),
+      lit("keepable").as("source_code_description")))
+    stage(s, "graft_work_sr", "provider__specialty_concept_id_usagi",
+      t(s, d, "nation").filter(col("n_nationkey") % 3 === 0).select(
+        concat(lit("SRC_"), col("n_name")).as("sourceCode"),
+        (col("n_nationkey") + 100).cast("int").as("conceptId")))
+    OhdsiSql.executeAll(s, JinjaLite.render(S2cmRemoveSql, scalars = Map(
+      "omop_database_catalog" -> "spark_catalog",
+      "omop_database_schema" -> "graft_omop_sr",
+      "work_database_catalog" -> "spark_catalog",
+      "work_database_schema" -> "graft_work_sr",
+      "omop_table" -> "provider",
+      "concept_id_column" -> "specialty_concept_id")))
+    s.table("graft_omop_sr.source_to_concept_map").orderBy("source_code")
+  }
+
+  /** Verbatim
+    * `cleanup/CONCEPT_remove_custom_concepts_by_..._usagi_table.sql.jinja`
+    * (natively P6): a FROM-less T-SQL DELETE with two nested IN
+    * subqueries and the ≥2e9 custom-concept floor.
+    */
+  private val ConceptRemoveByUsagiSql =
+    """{#- Copyright 2024 RADar-AZDelta -#}
+      |{#- SPDX-License-Identifier: gpl3+ -#}
+      |delete [{{omop_database_catalog}}].[{{omop_database_schema}}].[concept]
+      |where concept_id in (
+      |    select conceptId
+      |    from [{{work_database_catalog}}].[{{work_database_schema}}].[{{omop_table}}__{{concept_id_column}}_usagi]
+      |    where sourceCode in (
+      |        select concept_code
+      |        from [{{work_database_catalog}}].[{{work_database_schema}}].[{{omop_table}}__{{concept_id_column}}_concept]
+      |    )
+      |) and concept_id >= {{min_custom_concept_id}}""".stripMargin
+
+  val ohdsiSqlConceptRemove: Q = (s, d) => {
+    s.sql("DROP DATABASE IF EXISTS graft_work_cr CASCADE")
+    s.sql("DROP DATABASE IF EXISTS graft_omop_cr CASCADE")
+    val nat = t(s, d, "nation")
+    stage(s, "graft_omop_cr", "concept", nat.select(
+      col("n_nationkey").cast("long").as("concept_id"),
+      col("n_name").as("concept_name"))
+      .unionByName(nat.select(
+        (col("n_nationkey") + 2000000000L).as("concept_id"),
+        concat(lit("CUSTOM_"), col("n_name")).as("concept_name"))))
+    stage(s, "graft_work_cr", "provider__specialty_concept_id_usagi",
+      nat.filter(col("n_nationkey") % 2 === 0).select(
+        concat(lit("SRC_"), col("n_name")).as("sourceCode"),
+        (col("n_nationkey") + 2000000000L).as("conceptId")))
+    stage(s, "graft_work_cr", "provider__specialty_concept_id_concept",
+      nat.select(concat(lit("SRC_"), col("n_name")).as("concept_code")))
+    OhdsiSql.executeAll(s, JinjaLite.render(ConceptRemoveByUsagiSql, scalars = Map(
+      "omop_database_catalog" -> "spark_catalog",
+      "omop_database_schema" -> "graft_omop_cr",
+      "work_database_catalog" -> "spark_catalog",
+      "work_database_schema" -> "graft_work_cr",
+      "omop_table" -> "provider",
+      "concept_id_column" -> "specialty_concept_id",
+      "min_custom_concept_id" -> "2000000000")))
+    s.table("graft_omop_cr.concept").orderBy("concept_id")
+  }
+
+  /** Verbatim `ddl/result_table_ddl_field.sql.jinja` (natively D2): the
+    * DQD results DDL whose published two-part target name is the
+    * rendered `{{catalog}}.{{schema}}` pair itself.
+    */
+  private val ResultFieldDdlSql =
+    """--DDL to create dqdashboard_results table.
+      |IF OBJECT_ID('{{dqd_database_catalog}}.{{dqd_database_schema}}', 'U') IS NOT NULL
+      |	DROP TABLE {{dqd_database_catalog}}.{{dqd_database_schema}};
+      |CREATE TABLE {{dqd_database_catalog}}.{{dqd_database_schema}}
+      |(
+      |  num_violated_rows     BIGINT,
+      |  pct_violated_rows     FLOAT,
+      |  num_denominator_rows  BIGINT,
+      |  execution_time        VARCHAR(255),
+      |  query_text            VARCHAR(8000),
+      |  check_name            VARCHAR(255),
+      |  check_level           VARCHAR(255),
+      |  check_description     VARCHAR(8000),
+      |  cdm_table_name        VARCHAR(255),
+      |  sql_file              VARCHAR(255),
+      |  category              VARCHAR(255),
+      |  subcategory           VARCHAR(255),
+      |  context               VARCHAR(255),
+      |  checkid               VARCHAR(1024),
+      |  is_error              INTEGER,
+      |  not_applicable        INTEGER,
+      |  failed                INTEGER,
+      |  passed                INTEGER,
+      |  not_applicable_reason VARCHAR(8000),
+      |  threshold_value       INTEGER,
+      |  notes_value           VARCHAR(8000),
+      |  x_row                 VARCHAR(255),
+      |  cdm_field_name        VARCHAR(255),
+      |  error                 VARCHAR(8000),
+      |  concept_id            VARCHAR(255),
+      |  unit_concept_id       VARCHAR(255)
+      |);""".stripMargin
+
+  val ohdsiSqlResultDdl: Q = (s, _) => {
+    s.sql("DROP DATABASE IF EXISTS graft_dqd_rt CASCADE")
+    s.sql("CREATE DATABASE graft_dqd_rt")
+    OhdsiSql.executeAll(s, JinjaLite.render(ResultFieldDdlSql, scalars = Map(
+      "dqd_database_catalog" -> "graft_dqd_rt",
+      "dqd_database_schema" -> "results_field")), sqlRender = false)
+    schemaListing(s, "graft_dqd_rt.results_field").orderBy("ordinal")
+  }
+
+  /** Verbatim `etl/cdm_metadata_riab_version.sql.jinja` +
+    * `cdm_metadata_git_commit_hash.sql.jinja` (natively D7
+    * `metadata_version`): the two version-stamping metadata rows; the
+    * GETDATE() wall-clock date/datetime columns are dropped from the
+    * gated shape (the dqd_last_runs precedent).
+    */
+  private val MetadataRiabSql =
+    """{#- Copyright 2024 RADar-AZDelta -#}
+      |{#- SPDX-License-Identifier: gpl3+ -#}
+      |SELECT
+      |    CONCAT('RIAB_', 'VERSION') AS metadata_id,
+      |    CONCAT('RIAB_', 'OMOPCDM{{cdm_version}}') AS metadata_concept_id,
+      |    CONCAT('RIAB_', 'EHR') AS metadata_type_concept_id,
+      |    'Rabbit-in-a-Blender version' AS name,
+      |    '{{riab_version}}' AS value_as_string,
+      |    NULL AS value_as_concept_id,
+      |    NULL AS value_as_number,
+      |    CONVERT(date, GETDATE()) AS metadata_date,
+      |    GETDATE() AS metadata_datetime""".stripMargin
+
+  private val MetadataGitSql =
+    """{#- Copyright 2024 RADar-AZDelta -#}
+      |{#- SPDX-License-Identifier: gpl3+ -#}
+      |SELECT
+      |    CONCAT('GIT_', 'VERSION') AS metadata_id,
+      |    CONCAT('GIT_', 'OMOPCDM{{cdm_version}}') AS metadata_concept_id,
+      |    CONCAT('GIT_', 'EHR') AS metadata_type_concept_id,
+      |    'Git commit hash of the CDM folder' AS name,
+      |    '{{git_commit_hash}}' AS value_as_string,
+      |    NULL AS value_as_concept_id,
+      |    NULL AS value_as_number,
+      |    CONVERT(date, GETDATE()) AS metadata_date,
+      |    GETDATE() AS metadata_datetime""".stripMargin
+
+  val ohdsiSqlMetadataRows: Q = (s, _) => {
+    val riab = OhdsiSql.execute(s, JinjaLite.render(MetadataRiabSql, scalars = Map(
+      "cdm_version" -> "5.4", "riab_version" -> "0.1.0")))
+    val git = OhdsiSql.execute(s, JinjaLite.render(MetadataGitSql, scalars = Map(
+      "cdm_version" -> "5.4", "git_commit_hash" -> "abc123def")))
+    riab.unionByName(git)
+      .drop("metadata_date", "metadata_datetime")
+      // the template's bare NULLs are untyped (the warehouse types them);
+      // parquet cannot store a VOID column, so the gated shape casts them
+      // to the CDM metadata column types
+      .withColumn("value_as_concept_id", col("value_as_concept_id").cast("string"))
+      .withColumn("value_as_number", col("value_as_number").cast("double"))
+      .orderBy("metadata_id")
+  }
+
   val defs: Seq[(String, Q)] = Seq(
+    "ohdsi_sql_s2cm_remove" -> ohdsiSqlS2cmRemove,
+    "ohdsi_sql_concept_remove" -> ohdsiSqlConceptRemove,
+    "ohdsi_sql_result_ddl" -> ohdsiSqlResultDdl,
+    "ohdsi_sql_metadata_rows" -> ohdsiSqlMetadataRows,
     "ohdsi_sql_upload_insert" -> ohdsiSqlUploadInsert,
     "ohdsi_sql_sample_usagi" -> ohdsiSqlSampleUsagi,
     "ohdsi_sql_apply_events" -> ohdsiSqlApplyEvents,
@@ -1471,6 +1657,60 @@ object OhdsiTemplateQueries {
       |  FROM nation""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(
+    "ohdsi_sql_s2cm_remove" ->
+      """SELECT concat('SRC_', n_name) AS source_code,
+        |  CAST(n_nationkey + 100 AS BIGINT) AS target_concept_id,
+        |  'keepable' AS source_code_description
+        |FROM nation WHERE n_nationkey % 3 <> 0 ORDER BY source_code""".stripMargin,
+    "ohdsi_sql_concept_remove" ->
+      """SELECT * FROM (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS concept_id, n_name AS concept_name
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT CAST(n_nationkey + 2000000000 AS BIGINT) AS concept_id,
+        |    concat('CUSTOM_', n_name) AS concept_name
+        |  FROM nation WHERE n_nationkey % 2 = 1
+        |) t ORDER BY concept_id""".stripMargin,
+    "ohdsi_sql_result_ddl" ->
+      """SELECT * FROM (VALUES
+        |  ('results_field', 1, 'num_violated_rows', 'bigint'),
+        |  ('results_field', 2, 'pct_violated_rows', 'double'),
+        |  ('results_field', 3, 'num_denominator_rows', 'bigint'),
+        |  ('results_field', 4, 'execution_time', 'string'),
+        |  ('results_field', 5, 'query_text', 'string'),
+        |  ('results_field', 6, 'check_name', 'string'),
+        |  ('results_field', 7, 'check_level', 'string'),
+        |  ('results_field', 8, 'check_description', 'string'),
+        |  ('results_field', 9, 'cdm_table_name', 'string'),
+        |  ('results_field', 10, 'sql_file', 'string'),
+        |  ('results_field', 11, 'category', 'string'),
+        |  ('results_field', 12, 'subcategory', 'string'),
+        |  ('results_field', 13, 'context', 'string'),
+        |  ('results_field', 14, 'checkid', 'string'),
+        |  ('results_field', 15, 'is_error', 'int'),
+        |  ('results_field', 16, 'not_applicable', 'int'),
+        |  ('results_field', 17, 'failed', 'int'),
+        |  ('results_field', 18, 'passed', 'int'),
+        |  ('results_field', 19, 'not_applicable_reason', 'string'),
+        |  ('results_field', 20, 'threshold_value', 'int'),
+        |  ('results_field', 21, 'notes_value', 'string'),
+        |  ('results_field', 22, 'x_row', 'string'),
+        |  ('results_field', 23, 'cdm_field_name', 'string'),
+        |  ('results_field', 24, 'error', 'string'),
+        |  ('results_field', 25, 'concept_id', 'string'),
+        |  ('results_field', 26, 'unit_concept_id', 'string')
+        |) AS t(table_name, ordinal, column_name, data_type) ORDER BY ordinal""".stripMargin,
+    "ohdsi_sql_metadata_rows" ->
+      """SELECT * FROM (VALUES
+        |  ('GIT_VERSION', 'GIT_OMOPCDM5.4', 'GIT_EHR',
+        |   'Git commit hash of the CDM folder', 'abc123def',
+        |   CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)),
+        |  ('RIAB_VERSION', 'RIAB_OMOPCDM5.4', 'RIAB_EHR',
+        |   'Rabbit-in-a-Blender version', '0.1.0',
+        |   CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE))
+        |) AS t(metadata_id, metadata_concept_id, metadata_type_concept_id,
+        |       name, value_as_string, value_as_concept_id, value_as_number)
+        |ORDER BY metadata_id""".stripMargin,
     "ohdsi_sql_upload_insert" ->
       """SELECT concat('PK_PREQUAL_', CAST(n_nationkey AS VARCHAR)) AS provider_id,
         |  n_name AS provider_name,

@@ -439,8 +439,10 @@ object OhdsiSql {
   // schema
   private val TruncateTable =
     ci(raw"^\s*TRUNCATE\s+TABLE\s+($QNamePat)\s*$$")
+  // FROM is optional: T-SQL allows `DELETE <table> WHERE ...` (the
+  // remove-custom-concepts-by-usagi cleanup template's form)
   private val DeleteFrom =
-    ci(raw"(?s)^\s*DELETE\s+FROM\s+($QNamePat)\s*(?:\bWHERE\b(.*?))?\s*$$")
+    ci(raw"(?s)^\s*DELETE\s+(?:FROM\s+)?($QNamePat)\s*(?:\bWHERE\b(.*?))?\s*$$")
   private val UpdateSet =
     ci(raw"(?s)^\s*UPDATE\s+($QNamePat)\s+SET\s+(.*?)\s*$$")
   /** `USE [catalog];` — SQL Server's database-context switch
@@ -707,9 +709,13 @@ object OhdsiSql {
     val afterOn = tail.substring(tailM.end)
     val wm = topLevelSpanOf(afterOn, "WHEN MATCHED THEN UPDATE SET")
     val wnm = topLevelSpanOf(afterOn, "WHEN NOT MATCHED THEN INSERT")
-    require(wm.isDefined || wnm.isDefined,
+    // the targeted-removal cleanup templates' form: matched rows DELETE
+    val wd = topLevelSpanOf(afterOn, "WHEN MATCHED THEN DELETE")
+    require(wm.isDefined || wnm.isDefined || wd.isDefined,
       "MERGE needs a WHEN MATCHED or WHEN NOT MATCHED clause")
-    val condEnd = Seq(wm, wnm).flatten.map(_._1).min
+    require(wm.isEmpty || wd.isEmpty,
+      "MERGE cannot both UPDATE and DELETE matched rows")
+    val condEnd = Seq(wm, wnm, wd).flatten.map(_._1).min
     val cond = afterOn.substring(0, condEnd).trim
     val assigns: Map[String, String] = wm match {
       case None => Map.empty
@@ -755,14 +761,19 @@ object OhdsiSql {
     require(dups == 0,
       s"MERGE INTO $target: a target row matches more than one source row " +
         "(SQL Server raises error 8672 here; dedup the USING subquery)")
-    val updated = joined.select(tgtSchema.map { f =>
-      assigns.get(f.name.toLowerCase) match {
-        case Some(e) =>
-          fwhen(fcol("__s_m").isNotNull, fexpr(e)).otherwise(fcol(s"$tA.${f.name}"))
-            .cast(f.dataType).as(f.name)
-        case None => fcol(s"$tA.${f.name}").as(f.name)
-      }
-    }: _*)
+    val updated =
+      if (wd.isDefined)
+        // WHEN MATCHED THEN DELETE: unmatched target rows survive
+        joined.filter(fcol("__s_m").isNull)
+          .select(tgtSchema.map(f => fcol(s"$tA.${f.name}").as(f.name)): _*)
+      else joined.select(tgtSchema.map { f =>
+        assigns.get(f.name.toLowerCase) match {
+          case Some(e) =>
+            fwhen(fcol("__s_m").isNotNull, fexpr(e)).otherwise(fcol(s"$tA.${f.name}"))
+              .cast(f.dataType).as(f.name)
+          case None => fcol(s"$tA.${f.name}").as(f.name)
+        }
+      }: _*)
     val result = insertOpt match {
       case None => updated
       case Some((cols, vals)) =>
