@@ -1124,7 +1124,10 @@ object OhdsiTemplateQueries {
       "omop_database_catalog" -> "spark_catalog",
       "omop_database_schema" -> "graft_omop_cdm54"))
     OhdsiSql.executeAll(s, rendered, sqlRender = false)
+    // listTables(db) also returns SESSION temp views (the sys-catalog
+    // snapshots another query may have staged) — keep only real tables
     s.catalog.listTables("graft_omop_cdm54").collect().toSeq
+      .filter(_.tableType != "TEMPORARY")
       .map(tb => (tb.name, s.table(s"graft_omop_cdm54.${tb.name}").schema.length))
       .toDF("table_name", "n_columns").orderBy("table_name")
   }
@@ -1607,7 +1610,115 @@ object OhdsiTemplateQueries {
       .orderBy("metadata_id")
   }
 
+  /** The complete published CDM 5.4 DDL SUITE verbatim — base DDL plus
+    * the primary-keys, indices (incl. CLUSTERED), and foreign-key
+    * constraint scripts (all vendored byte-identical): constraints and
+    * indexes are accepted-and-ignored statement classes (no Spark
+    * analogue; D3 n/a by design), so the inventory after all four
+    * scripts equals the base DDL's.
+    */
+  val ohdsiSqlCdm54Full: Q = (s, _) => {
+    import s.implicits._
+    s.sql("DROP DATABASE IF EXISTS graft_omop_cdmf CASCADE")
+    s.sql("CREATE DATABASE graft_omop_cdmf")
+    val scalars = Map(
+      "omop_database_catalog" -> "spark_catalog",
+      "omop_database_schema" -> "graft_omop_cdmf")
+    Seq("OMOPCDM_sql_server_5.4_ddl", "OMOPCDM_sql_server_5.4_primary_keys",
+      "OMOPCDM_sql_server_5.4_indices", "OMOPCDM_sql_server_5.4_constraints")
+      .foreach { f =>
+        val in = getClass.getResourceAsStream(s"/graft/ohdsi/$f.sql.jinja")
+        val text = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        OhdsiSql.executeAll(s, JinjaLite.render(text, scalars), sqlRender = false)
+      }
+    s.catalog.listTables("graft_omop_cdmf").collect().toSeq
+      .filter(_.tableType != "TEMPORARY") // temp views are session-wide, not CDM tables
+      .map(tb => (tb.name, s.table(s"graft_omop_cdmf.${tb.name}").schema.length))
+      .toDF("table_name", "n_columns").orderBy("table_name")
+  }
+
+  /** Verbatim `etl/CONCEPT_custom_validate_duplicates.sql.jinja`
+    * (natively A4): concept codes whose DISTINCT attribute rows collide —
+    * the fixture plants one code with two names.
+    */
+  private val CustomValidateDupsSql =
+    """{#- Copyright 2024 RADar-AZDelta -#}
+      |{#- SPDX-License-Identifier: gpl3+ -#}
+      |select T.concept_code, count(*) as amount
+      |from (
+      |    SELECT DISTINCT swap.y as concept_id
+      |        ,t.concept_name
+      |        ,t.domain_id
+      |        ,t.vocabulary_id
+      |        ,t.concept_class_id
+      |        ,t.standard_concept
+      |        ,t.concept_code
+      |        ,t.valid_start_date
+      |        ,t.valid_end_date
+      |        ,t.invalid_reason
+      |    FROM [{{work_database_catalog}}].[{{work_database_schema}}].[{{omop_table}}__{{concept_id_column}}_concept] t
+      |    INNER JOIN [{{work_database_catalog}}].[{{work_database_schema}}].[concept_id_swap] swap
+      |        on swap.x = concat('{{concept_id_column}}__', t.concept_code)
+      |) T
+      |group by T.concept_code
+      |having count(*) > 1;""".stripMargin
+
+  val ohdsiSqlValidateDups: Q = (s, d) => {
+    s.sql("DROP DATABASE IF EXISTS graft_work_vd CASCADE")
+    val rank1Code = workConceptFixture(s, d)
+      .agg(min(col("concept_code"))).head().getString(0)
+    // plant ONE duplicate: the rank-1 code appears again with a second name
+    val dupRow = workConceptFixture(s, d)
+      .filter(col("concept_code") === rank1Code)
+      .withColumn("concept_name", lit("conflicting name"))
+    stage(s, "graft_work_vd", "provider__specialty_concept_id_concept",
+      workConceptFixture(s, d).unionByName(dupRow))
+    runSwapFlow(s, "graft_work_vd")
+    OhdsiSql.execute(s, JinjaLite.render(CustomValidateDupsSql,
+      swapJinja("graft_work_vd"))).orderBy("concept_code")
+  }
+
+  /** Verbatim `etl/{omop_work}_ddl.sql.jinja` (natively D4 work-table
+    * DDL): record-typed columns with the event-column varchar override
+    * and per-column `not null` markers from `column['isRequired']`.
+    */
+  private val OmopWorkDdlSql =
+    """{#- Copyright 2024 RADar-AZDelta -#}
+      |{#- SPDX-License-Identifier: gpl3+ -#}
+      |USE  [{{work_database_catalog}}];
+      |IF NOT EXISTS (SELECT 1 FROM sys.tables t INNER JOIN sys.schemas s ON s.schema_id = t.schema_id WHERE t.name = '{{omop_table}}' AND s.name = '{{work_database_schema}}')
+      |CREATE TABLE [{{work_database_catalog}}].[{{work_database_schema}}].[{{omop_table}}] (
+      |  {%- for column in columns -%}
+      |      {%- if not loop.first -%}
+      |          {{ ',' }}
+      |      {%- endif %}
+      |      {{ column["cdmFieldName"] }}
+      |      {%- if column["cdmFieldName"] in events or column["cdmFieldName"] in events.values() %} varchar(255)
+      |      {%- else %} {{ column["cdmDatatype"] }}
+      |      {%- endif -%}
+      |      {%- if column['isRequired'] == "Yes" %} not null
+      |      {%- endif -%}
+      |  {%- endfor %}
+      |);""".stripMargin
+
+  val ohdsiSqlWorkTableDdl: Q = (s, _) => {
+    s.sql("DROP DATABASE IF EXISTS graft_work_wd CASCADE")
+    val cols = SampleColumns.map(c => c +
+      ("isRequired" -> (if (c("cdmFieldName") == "provider_id") "Yes" else "No")))
+    OhdsiSql.executeAll(s, JinjaLite.render(OmopWorkDdlSql,
+      scalars = Map(
+        "work_database_catalog" -> "spark_catalog",
+        "work_database_schema" -> "graft_work_wd",
+        "omop_table" -> "provider"),
+      dicts = Map("events" -> Seq.empty),
+      records = Map("columns" -> cols)))
+    schemaListing(s, "graft_work_wd.provider").orderBy("ordinal")
+  }
+
   val defs: Seq[(String, Q)] = Seq(
+    "ohdsi_sql_cdm54_full" -> ohdsiSqlCdm54Full,
+    "ohdsi_sql_validate_dups" -> ohdsiSqlValidateDups,
+    "ohdsi_sql_work_table_ddl" -> ohdsiSqlWorkTableDdl,
     "ohdsi_sql_s2cm_remove" -> ohdsiSqlS2cmRemove,
     "ohdsi_sql_concept_remove" -> ohdsiSqlConceptRemove,
     "ohdsi_sql_result_ddl" -> ohdsiSqlResultDdl,
@@ -1655,6 +1766,26 @@ object OhdsiTemplateQueries {
     """SELECT n_nationkey, n_name, concat('SRC_', n_name) AS code,
       |    CAST(2000000000 + rank() OVER (ORDER BY concat('SRC_', n_name)) AS BIGINT) AS cid
       |  FROM nation""".stripMargin
+
+  /** The 39-table column inventory of the published CDM 5.4 DDL. */
+  private val Cdm54InventoryOracle =
+    """SELECT table_name, n_columns FROM (VALUES
+          |  ('care_site', 6), ('cdm_source', 11), ('cohort', 4),
+          |  ('cohort_definition', 7), ('concept', 10), ('concept_ancestor', 4),
+          |  ('concept_class', 3), ('concept_relationship', 6),
+          |  ('concept_synonym', 3), ('condition_era', 6),
+          |  ('condition_occurrence', 16), ('cost', 22), ('death', 7),
+          |  ('device_exposure', 19), ('domain', 3), ('dose_era', 7),
+          |  ('drug_era', 7), ('drug_exposure', 23), ('drug_strength', 12),
+          |  ('episode', 13), ('episode_event', 3), ('fact_relationship', 5),
+          |  ('location', 12), ('measurement', 23), ('metadata', 9),
+          |  ('note', 16), ('note_nlp', 14), ('observation', 21),
+          |  ('observation_period', 5), ('payer_plan_period', 17),
+          |  ('person', 18), ('procedure_occurrence', 16), ('provider', 13),
+          |  ('relationship', 6), ('source_to_concept_map', 9),
+          |  ('specimen', 15), ('visit_detail', 19), ('visit_occurrence', 17),
+          |  ('vocabulary', 5)
+          |) AS t(table_name, n_columns) ORDER BY table_name""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(
     "ohdsi_sql_s2cm_remove" ->
@@ -1758,24 +1889,20 @@ object OhdsiTemplateQueries {
         |  provider_name, specialty_concept_id, specialty_source_value,
         |  year_of_birth, care_site_id
         |FROM src ORDER BY provider_id""".stripMargin,
-    "ohdsi_sql_cdm54_ddl" ->
-      """SELECT table_name, n_columns FROM (VALUES
-        |  ('care_site', 6), ('cdm_source', 11), ('cohort', 4),
-        |  ('cohort_definition', 7), ('concept', 10), ('concept_ancestor', 4),
-        |  ('concept_class', 3), ('concept_relationship', 6),
-        |  ('concept_synonym', 3), ('condition_era', 6),
-        |  ('condition_occurrence', 16), ('cost', 22), ('death', 7),
-        |  ('device_exposure', 19), ('domain', 3), ('dose_era', 7),
-        |  ('drug_era', 7), ('drug_exposure', 23), ('drug_strength', 12),
-        |  ('episode', 13), ('episode_event', 3), ('fact_relationship', 5),
-        |  ('location', 12), ('measurement', 23), ('metadata', 9),
-        |  ('note', 16), ('note_nlp', 14), ('observation', 21),
-        |  ('observation_period', 5), ('payer_plan_period', 17),
-        |  ('person', 18), ('procedure_occurrence', 16), ('provider', 13),
-        |  ('relationship', 6), ('source_to_concept_map', 9),
-        |  ('specimen', 15), ('visit_detail', 19), ('visit_occurrence', 17),
-        |  ('vocabulary', 5)
-        |) AS t(table_name, n_columns) ORDER BY table_name""".stripMargin,
+    "ohdsi_sql_cdm54_full" -> Cdm54InventoryOracle,
+    "ohdsi_sql_validate_dups" ->
+      """SELECT concat('SRC_', min(n_name)) AS concept_code,
+        |  CAST(2 AS BIGINT) AS amount
+        |FROM nation""".stripMargin,
+    "ohdsi_sql_work_table_ddl" ->
+      """SELECT * FROM (VALUES
+        |  ('provider', 1, 'provider_id', 'int'),
+        |  ('provider', 2, 'provider_name', 'string'),
+        |  ('provider', 3, 'specialty_concept_id', 'int'),
+        |  ('provider', 4, 'year_of_birth', 'int'),
+        |  ('provider', 5, 'care_site_id', 'int')
+        |) AS t(table_name, ordinal, column_name, data_type) ORDER BY ordinal""".stripMargin,
+    "ohdsi_sql_cdm54_ddl" -> Cdm54InventoryOracle,
     "ohdsi_sql_dqd_ddl" ->
       """SELECT * FROM (VALUES
         |  ('dqdashboard_results', 1, 'run_id', 'string'),

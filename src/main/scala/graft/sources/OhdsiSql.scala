@@ -847,7 +847,7 @@ object OhdsiSql {
       // indexes have no Spark analogue (data layout is partitioning /
       // bucketing); the reference's own BigQuery dialect likewise skips
       // them ("INDEX CREATION SKIPPED", achilles.py) — accept and ignore
-      case stmt if ci(raw"^\s*CREATE\s+(?:UNIQUE\s+)?INDEX\b").findFirstIn(stmt).isDefined => ()
+      case stmt if ci(raw"^\s*CREATE\s+(?:UNIQUE\s+|CLUSTERED\s+)?INDEX\b").findFirstIn(stmt).isDefined => ()
       case stmt if {
         val (_, b) = splitLeadingWith(stmt)
         ci(raw"^\s*MERGE\s+INTO\b").findFirstIn(b).isDefined
@@ -1039,7 +1039,7 @@ object OhdsiSql {
     splitTop(inner, ';').map(_.trim).filter(_.nonEmpty).foreach {
       case st if ci(raw"^\s*CREATE\s+TABLE\b").findFirstIn(st).isDefined =>
         executeCreateTable(spark, st)
-      case st if ci(raw"^\s*CREATE\s+(?:UNIQUE\s+)?INDEX\b").findFirstIn(st).isDefined =>
+      case st if ci(raw"^\s*CREATE\s+(?:UNIQUE\s+|CLUSTERED\s+)?INDEX\b").findFirstIn(st).isDefined =>
         () // no Spark analogue; the reference's BigQuery dialect skips too
       case st => throw new IllegalArgumentException(
         "unsupported IF NOT EXISTS shape (the published templates guard " +
