@@ -66,6 +66,31 @@ object OhdsiTemplateQueries {
     s.table("graft_omop.source_to_concept_map").orderBy("source_code")
   }
 
+  /** Verbatim `etl/SOURCE_ID_TO_OMOP_ID_MAP_update_invalid_reason.sql.jinja`
+    * — the sibling tombstoning template over the id map (same bind flow,
+    * `sql_server/etl.py:87-100`).
+    */
+  private val MapInvalidateSql =
+    """{#- Copyright 2024 RADar-AZDelta -#}
+      |{#- SPDX-License-Identifier: gpl3+ -#}
+      |UPDATE [{{omop_database_catalog}}].[{{omop_database_schema}}].[source_id_to_omop_id_map]
+      |SET invalid_reason = 'D'
+      |where valid_start_date < :etl_start""".stripMargin
+
+  val ohdsiSqlMapInvalidate: Q = (s, d) => {
+    val map = t(s, d, "orders").select(
+      lit("provider").as("omop_table"),
+      col("o_orderkey").as("omop_id"),
+      col("o_orderdate").cast("date").as("valid_start_date"),
+      lit(null).cast("string").as("invalid_reason"))
+    stage(s, "graft_omop_mi", "source_id_to_omop_id_map", map)
+    OhdsiSql.executeAll(s, JinjaLite.render(MapInvalidateSql, scalars = Map(
+      "omop_database_catalog" -> "spark_catalog",
+      "omop_database_schema" -> "graft_omop_mi")),
+      binds = Map("etl_start" -> "DATE '1995-06-01'"))
+    s.table("graft_omop_mi.source_id_to_omop_id_map").orderBy("omop_id")
+  }
+
   // ---- A7 run history: get_dqd_run / get_last_dqd_runs ------------------
 
   /** The deterministic `dqdashboard_runs` fixture the two dashboard
@@ -1035,15 +1060,33 @@ object OhdsiTemplateQueries {
       |{#- SPDX-License-Identifier: gpl3+ -#}
       |DROP TABLE [{{work_database_catalog}}].[{{work_database_schema}}].[{{table_name}}];""".stripMargin
 
+  /** Verbatim `etl/{omop_work}_drop_table.sql.jinja` — the IF EXISTS
+    * guarded work-table drop; run TWICE to prove the second pass is the
+    * guard's no-op (the probe finds nothing).
+    */
+  private val WorkDropTableSql =
+    """{#- Copyright 2024 RADar-AZDelta -#}
+      |{#- SPDX-License-Identifier: gpl3+ -#}
+      |USE  [{{work_database_catalog}}];
+      |IF EXISTS (SELECT 1 FROM sys.tables t INNER JOIN sys.schemas s ON s.schema_id = t.schema_id WHERE t.name = '{{work_table}}' AND s.name = '{{work_database_schema}}')
+      |DROP TABLE [{{work_database_catalog}}].[{{work_database_schema}}].[{{work_table}}];""".stripMargin
+
   val ohdsiSqlDropTable: Q = (s, d) => {
     s.sql("DROP DATABASE IF EXISTS graft_work_dp CASCADE")
     val one = t(s, d, "nation").limit(1)
     stage(s, "graft_work_dp", "person__upload__q1", one)
+    stage(s, "graft_work_dp", "person__gender_concept_id_usagi", one)
     stage(s, "graft_work_dp", "person_id_swap", one)
     OhdsiSql.executeAll(s, JinjaLite.render(DropTableSql, scalars = Map(
       "work_database_catalog" -> "spark_catalog",
       "work_database_schema" -> "graft_work_dp",
       "table_name" -> "person__upload__q1")))
+    val guardedDrop = JinjaLite.render(WorkDropTableSql, scalars = Map(
+      "work_database_catalog" -> "spark_catalog",
+      "work_database_schema" -> "graft_work_dp",
+      "work_table" -> "person__gender_concept_id_usagi"))
+    OhdsiSql.executeAll(s, guardedDrop)
+    OhdsiSql.executeAll(s, guardedDrop) // second pass: probe empty, no-op
     OhdsiSql.execute(s, JinjaLite.render(WorkTableNamesSql, scalars = Map(
       "work_database_catalog" -> "spark_catalog",
       "work_database_schema" -> "graft_work_dp")))
@@ -1087,6 +1130,8 @@ object OhdsiTemplateQueries {
       .unionByName(nat.select(
         (col("n_nationkey") + 2000000000L).as("concept_id"),
         concat(lit("CUSTOM_"), col("n_name")).as("concept_name"))))
+    stage(s, "graft_omop_vc", "relationship",
+      nat.select(col("n_name").as("relationship_id")))
     val base = Map(
       "omop_database_catalog" -> "spark_catalog",
       "omop_database_schema" -> "graft_omop_vc",
@@ -1094,11 +1139,20 @@ object OhdsiTemplateQueries {
     OhdsiSql.executeAll(s, JinjaLite.render(TruncateSql, base + ("table_name" -> "provider")))
     OhdsiSql.executeAll(s, JinjaLite.render(TruncateSql, base + ("table_name" -> "vocabulary")))
     OhdsiSql.executeAll(s, JinjaLite.render(ConceptRemoveSql, base))
-    Seq("provider", "vocabulary", "concept").map { tb =>
+    // verbatim `vocabulary/vocabulary_table_truncate.sql.jinja` — the D6
+    // refill's per-table truncation
+    OhdsiSql.executeAll(s, JinjaLite.render(VocabTableTruncateSql,
+      base + ("vocabulary_table" -> "relationship")))
+    Seq("concept", "provider", "relationship", "vocabulary").map { tb =>
       s.table(s"graft_omop_vc.$tb").agg(count(lit(1)).as("n_rows"))
         .select(lit(tb).as("table_name"), col("n_rows"))
     }.reduce(_ unionByName _).orderBy("table_name")
   }
+
+  private val VocabTableTruncateSql =
+    """{#- Copyright 2024 RADar-AZDelta -#}
+      |{#- SPDX-License-Identifier: gpl3+ -#}
+      |TRUNCATE TABLE [{{omop_database_catalog}}].[{{omop_database_schema}}].[{{vocabulary_table}}];""".stripMargin
 
   /** The FULL published OMOP CDM 5.4 DDL
     * (`ddl/OMOPCDM_sql_server_5.4_ddl.sql.jinja`, 599 lines — vendored
@@ -1741,6 +1795,7 @@ object OhdsiTemplateQueries {
     "ohdsi_sql_map_merge" -> ohdsiSqlMapMerge,
     "ohdsi_sql_usagi_nonstd" -> ohdsiSqlUsagiNonStd,
     "ohdsi_sql_stcm_invalidate" -> ohdsiSqlStcmInvalidate,
+    "ohdsi_sql_map_invalidate" -> ohdsiSqlMapInvalidate,
     "ohdsi_sql_get_dqd_run" -> ohdsiSqlGetDqdRun,
     "ohdsi_sql_last_dqd_runs" -> ohdsiSqlLastDqdRuns,
     "ohdsi_sql_work_tables" -> ohdsiSqlWorkTables,
@@ -1993,7 +2048,7 @@ object OhdsiTemplateQueries {
       "SELECT 'person_id_swap' AS table_name",
     "ohdsi_sql_vocab_cleanup" ->
       """SELECT table_name, CAST(n_rows AS BIGINT) AS n_rows FROM (VALUES
-        |  ('concept', 25), ('provider', 0), ('vocabulary', 25)
+        |  ('concept', 25), ('provider', 0), ('relationship', 0), ('vocabulary', 25)
         |) AS t(table_name, n_rows) ORDER BY table_name""".stripMargin,
     "ohdsi_sql_pk_swap" ->
       """WITH src AS (
@@ -2047,6 +2102,11 @@ object OhdsiTemplateQueries {
          |  cid AS conceptId, 'APPROVED' AS mappingStatus, 'C' AS standard_concept
          |FROM ranked WHERE n_nationkey % 2 = 0 AND n_nationkey % 5 = 1
          |ORDER BY sourceCode""".stripMargin,
+    "ohdsi_sql_map_invalidate" ->
+      """SELECT 'provider' AS omop_table, o_orderkey AS omop_id,
+        |  CAST(o_orderdate AS DATE) AS valid_start_date,
+        |  CASE WHEN CAST(o_orderdate AS DATE) < DATE '1995-06-01' THEN 'D' ELSE NULL END AS invalid_reason
+        |FROM orders ORDER BY omop_id""".stripMargin,
     "ohdsi_sql_stcm_invalidate" ->
       """SELECT o_orderkey AS source_code, o_custkey AS target_concept_id,
         |  CAST(o_orderdate AS DATE) AS valid_start_date,

@@ -842,6 +842,8 @@ object OhdsiSql {
             "DDL's sys.foreign_keys constraint-drop preamble is recognized)")
       case stmt if ci(raw"^\s*IF\s+NOT\s+EXISTS\s*\(").findFirstIn(stmt).isDefined =>
         executeIfNotExists(spark, stmt)
+      case stmt if ci(raw"^\s*IF\s+EXISTS\s*\(").findFirstIn(stmt).isDefined =>
+        executeIfExists(spark, stmt)
       case stmt if ci(raw"^\s*CREATE\s+TABLE\b").findFirstIn(stmt).isDefined =>
         executeCreateTable(spark, stmt)
       // indexes have no Spark analogue (data layout is partitioning /
@@ -1086,6 +1088,36 @@ object OhdsiSql {
     }
     val empty = spark.sql(s"SELECT ${cols.mkString(", ")} WHERE 1=0")
     replaceCatalogTable(spark, name, empty)
+  }
+
+  /** The inverse guard — `IF EXISTS (probe) DROP TABLE <t>` (the
+    * `{omop_work}_drop_table.sql.jinja` shape): run the probe; when it
+    * returns a row, drop the guarded table.
+    */
+  private def executeIfExists(spark: SparkSession, stmt: String): Unit = {
+    val m = ci(raw"^\s*IF\s+EXISTS\s*").findFirstMatchIn(stmt).get
+    var i = m.end
+    while (i < stmt.length && stmt.charAt(i) != '(') i += 1
+    require(i < stmt.length, "IF EXISTS needs a parenthesized probe subquery")
+    var depth = 0
+    var inQ = false
+    val start = i
+    var end = -1
+    while (i < stmt.length && end < 0) {
+      val ch = stmt.charAt(i)
+      if (ch == '\'') inQ = !inQ
+      else if (!inQ && ch == '(') depth += 1
+      else if (!inQ && ch == ')') { depth -= 1; if (depth == 0) end = i }
+      i += 1
+    }
+    require(end > start, "unbalanced parentheses in IF EXISTS probe")
+    val probe = stmt.substring(start + 1, end)
+    val guarded = stmt.substring(end + 1).trim
+    val dm = ci(raw"^\s*DROP\s+TABLE\s+(\S+)\s*$$").findFirstMatchIn(guarded)
+      .getOrElse(throw new IllegalArgumentException(
+        "unsupported IF EXISTS shape (the published templates guard DROP " +
+          "TABLE; got: " + guarded.linesIterator.take(1).mkString + ")"))
+    if (spark.sql(probe).limit(1).count() > 0L) dropAnyTable(spark, dm.group(1))
   }
 
   /** Map SQL Server catalog-introspection references onto the Spark

@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Certifies that EVERY template in the reference's sql_server tree is
+  * exercised by a verbatim `ohdsi_sql_*` query (or is an intentionally
+  * documented near-duplicate of one). Runs only where the reference
+  * checkout is present; a template added upstream that this map does not
+  * know fails the suite, keeping the verbatim coverage honest.
+  */
+class TemplateCoverageSpec extends AnyFunSuite {
+
+  /** template file name -> the verbatim entry (or the documented reason). */
+  private val Covered: Map[String, String] = Map(
+    "sample_etl_query.sql.jinja" -> "ohdsi_sql_upload_insert",
+    "sample_usagi_query.sql.jinja" -> "ohdsi_sql_sample_usagi",
+    "CONCEPT_remove_custom_concepts.sql.jinja" -> "ohdsi_sql_vocab_cleanup",
+    "CONCEPT_remove_custom_concepts_by_{omop_table}__{concept_id_column}_usagi_table.sql.jinja" -> "ohdsi_sql_concept_remove",
+    "SOURCE_ID_TO_OMOP_ID_MAP_remove_ids_by_omop_table.sql.jinja" -> "ohdsi_sql_map_cleanup",
+    "SOURCE_TO_CONCEPT_MAP_remove_concepts_by_{omop_table}__{concept_id_column}_usagi_table.sql.jinja" -> "ohdsi_sql_s2cm_remove",
+    "all_work_table_names.sql.jinja" -> "ohdsi_sql_work_tables",
+    "drop.sql.jinja" -> "ohdsi_sql_drop_table",
+    "{omop_work}_drop_table.sql.jinja" -> "ohdsi_sql_drop_table",
+    "vocabulary_table_truncate.sql.jinja" -> "ohdsi_sql_vocab_cleanup",
+    "truncate.sql.jinja" -> "ohdsi_sql_vocab_cleanup",
+    "DataQualityDashboard_ddl.sql.jinja" -> "ohdsi_sql_dqd_ddl",
+    "OMOPCDM_sql_server_5.4_ddl.sql.jinja" -> "ohdsi_sql_cdm54_ddl + ohdsi_sql_cdm54_full",
+    "OMOPCDM_sql_server_5.4_constraints.sql.jinja" -> "ohdsi_sql_cdm54_full",
+    "OMOPCDM_sql_server_5.4_indices.sql.jinja" -> "ohdsi_sql_cdm54_full",
+    "OMOPCDM_sql_server_5.4_primary_keys.sql.jinja" -> "ohdsi_sql_cdm54_full",
+    "SOURCE_ID_TO_OMOP_ID_MAP_ddl.sql.jinja" -> "ohdsi_sql_map_ddl",
+    "result_table_ddl_field.sql.jinja" -> "ohdsi_sql_result_ddl",
+    "result_table_ddl_concept.sql.jinja" ->
+      "column-subset twin of result_table_ddl_field (ohdsi_sql_result_ddl)",
+    "result_table_ddl_table.sql.jinja" ->
+      "column-subset twin of result_table_ddl_field (ohdsi_sql_result_ddl)",
+    "get_dqd_run.sql.jinja" -> "ohdsi_sql_get_dqd_run",
+    "get_dqd_run_results.sql.jinja" -> "ohdsi_sql_dqd_run_results",
+    "get_last_dqd_runs.sql.jinja" -> "ohdsi_sql_last_dqd_runs",
+    "CONCEPT_ID_swap_create.sql.jinja" -> "ohdsi_sql_concept_swap",
+    "CONCEPT_ID_swap_merge.sql.jinja" -> "ohdsi_sql_concept_swap",
+    "CONCEPT_custom_validate.sql.jinja" -> "ohdsi_sql_custom_validate",
+    "CONCEPT_custom_validate_duplicates.sql.jinja" -> "ohdsi_sql_validate_dups",
+    "CONCEPT_merge.sql.jinja" -> "ohdsi_sql_concept_merge",
+    "SOURCE_ID_TO_OMOP_ID_MAP_merge.sql.jinja" -> "ohdsi_sql_map_merge",
+    "SOURCE_ID_TO_OMOP_ID_MAP_update_invalid_reason.sql.jinja" -> "ohdsi_sql_map_invalidate",
+    "SOURCE_TO_CONCEPT_MAP_check_for_duplicates.sql.jinja" -> "ohdsi_sql_s2cm_dups",
+    "SOURCE_TO_CONCEPT_MAP_merge.sql.jinja" -> "ohdsi_sql_stcm_merge",
+    "SOURCE_TO_CONCEPT_MAP_update_invalid_reason.sql.jinja" -> "ohdsi_sql_stcm_invalidate",
+    "cdm_metadata_git_commit_hash.sql.jinja" -> "ohdsi_sql_metadata_rows",
+    "cdm_metadata_riab_version.sql.jinja" -> "ohdsi_sql_metadata_rows",
+    "{omop_table}__{concept_id_column}_concept_create.sql.jinja" -> "ohdsi_sql_work_ddl_create",
+    "{omop_table}__{concept_id_column}_usagi_create.sql.jinja" -> "ohdsi_sql_work_ddl_create",
+    "{omop_table}__{concept_id_column}_usagi_fk_domain_check.sql.jinja" -> "ohdsi_sql_usagi_domain_check",
+    "{omop_table}__{concept_id_column}_usagi_non_standard.sql.jinja" -> "ohdsi_sql_usagi_nonstd",
+    "{omop_table}__{concept_id_column}_usagi_update_custom_concepts.sql.jinja" -> "ohdsi_sql_usagi_update",
+    "{omop_table}_apply_event_columns.sql.jinja" -> "ohdsi_sql_apply_events",
+    "{omop_table}_get_event_tables.sql.jinja" -> "ohdsi_sql_event_tables",
+    "{omop_table}_merge.sql.jinja" -> "ohdsi_sql_omop_merge",
+    "{omop_table}_{sql_file}_insert.sql.jinja" -> "ohdsi_sql_upload_insert",
+    "{omop_work_table}_merge_check_for_duplicate_rows.sql.jinja" -> "ohdsi_sql_dup_rows",
+    "{omop_work}_ddl.sql.jinja" -> "ohdsi_sql_work_table_ddl",
+    "{primary_key_column}_swap_create.sql.jinja" -> "ohdsi_sql_pk_swap",
+    "{primary_key_column}_swap_merge.sql.jinja" -> "ohdsi_sql_pk_swap")
+
+  test("every sql_server template is exercised by a verbatim entry") {
+    val root = new java.io.File(
+      "/root/reference/src/riab/etl/sql_server/templates")
+    assume(root.isDirectory, "reference checkout not present — skipping")
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val templates = walk(root).map(_.getName).filter(_.endsWith(".sql.jinja"))
+    assert(templates.nonEmpty)
+    val uncovered = templates.filterNot(Covered.contains)
+    assert(uncovered.isEmpty,
+      s"templates without a verbatim entry: ${uncovered.sorted.mkString(", ")}")
+    // and every claimed entry name actually exists in the registered suite
+    val queries = graft.SparkEntry.queries.keySet
+    val claimed = Covered.values.flatMap(_.split(raw"[\s(+)]+"))
+      .filter(_.startsWith("ohdsi_sql_")).toSet
+    val missing = claimed -- queries
+    assert(missing.isEmpty, s"claimed entries not registered: ${missing.mkString(", ")}")
+  }
+}
