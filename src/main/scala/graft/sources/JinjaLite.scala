@@ -31,14 +31,22 @@ package graft.sources
   *  - `{% set x = expr %}` (block-scoped) and `{% set ns = namespace(a=0) %}`
   *    / `{% set ns.a = ns.a + 1 %}` mutable namespaces (the pk-swap
   *    template's loop counter idiom, r15); expressions cover literals,
-  *    variables, `ns.attr`, `list[idxExpr]`, `x.lower()` and `+` addition
-  *  - `and`-joined condition terms
+  *    variables, `ns.attr`, record attrs/indexing, `dict[keyExpr]`,
+  *    `list[idxExpr]`, `x.lower()` and `+` addition
+  *  - full boolean conditions: `or`/`and`/`not` with parens,
+  *    `x [not] in list|dict|["lit", ...]`, `x.endswith("lit")`,
+  *    `xs.keys()|length > n`, ==/!= over any readable operand
+  *  - dict-typed variables (keys for bare iteration/membership,
+  *    `.values()`, `.items()` pair loops) and record-list variables
+  *    (`column.cdmFieldName` attribute access) — the full surface the
+  *    reference's own template tree uses (r15: every sql_server template
+  *    renders through this engine, certified by TemplateCoverageSpec)
   *  - nesting of the above
   *
-  * Unsupported (clear error): filters (`{{ x | upper }}`),
-  * `{% include %}`, `{% macro %}`, comparison beyond ==/!=,
-  * undefined variables (Jinja's silent-empty default hides typos in SQL,
-  * so undefined names are errors here).
+  * Unsupported (clear error): filters beyond the `|length` comparison
+  * (`{{ x | upper }}`), `{% include %}`, `{% macro %}`, undefined
+  * variables (Jinja's silent-empty default hides typos in SQL, so
+  * undefined names are errors here).
   */
 object JinjaLite {
 

@@ -1084,10 +1084,23 @@ object OhdsiSql {
           s"unsupported CREATE TABLE column type '$other' (subset: VARCHAR, " +
             "INTEGER, BIGINT, FLOAT, DATE, DATETIME)")
       }
-      s"CAST(NULL AS $ty) AS ${cleanName(cm.group(1)).replace("\"", "")}"
+      s"${cleanName(cm.group(1)).replace("\"", "")} $ty"
     }
-    val empty = spark.sql(s"SELECT ${cols.mkString(", ")} WHERE 1=0")
-    replaceCatalogTable(spark, name, empty)
+    // an empty CREATE needs NO Spark job: emit the native catalog DDL
+    // directly (the tmp-parquet materialize-and-swap path exists only for
+    // rewrites that READ the table they replace — the published CDM DDL's
+    // 39 creates each cost three jobs through it, ~14 s of pure overhead
+    // in the sf0.1 bench)
+    val parts = cleanName(name).split('.')
+    val dbTbl = (if (parts.length == 3) s"${parts(1)}.${parts(2)}"
+      else cleanName(name)).toLowerCase
+    val db = dbTbl.split('.').head
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    spark.sql(s"DROP TABLE IF EXISTS $dbTbl")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + s"/$db.db/${dbTbl.split('.').last}")
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    spark.sql(s"CREATE TABLE $dbTbl (${cols.mkString(", ")}) USING parquet")
   }
 
   /** The inverse guard — `IF EXISTS (probe) DROP TABLE <t>` (the
