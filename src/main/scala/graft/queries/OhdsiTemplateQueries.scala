@@ -423,16 +423,10 @@ object OhdsiTemplateQueries {
         lit(null).cast("string").as("invalid_reason")))
 
   val ohdsiSqlConceptMerge: Q = (s, d) => {
-    s.sql("DROP DATABASE IF EXISTS graft_work_cs2 CASCADE")
-    stage(s, "graft_work_cs2", "provider__specialty_concept_id_concept",
-      workConceptFixture(s, d))
-    runSwapFlow(s, "graft_work_cs2")
-    stage(s, "graft_omop_cs2", "concept", conceptSeed(s, d))
-    val vars = swapJinja("graft_work_cs2") ++ Map(
-      "omop_database_catalog" -> "spark_catalog",
-      "omop_database_schema" -> "graft_omop_cs2")
-    OhdsiSql.executeAll(s, JinjaLite.render(ConceptMergeSql, vars))
-    s.table("graft_omop_cs2.concept").orderBy("concept_id")
+    // the shared flow's LAST verbatim step IS the CONCEPT merge — this
+    // entry gates the merged concept table it produced
+    val (_, omopDb) = sharedConceptFlow(s, d)
+    s.table(s"$omopDb.concept").orderBy("concept_id")
   }
 
   /** Verbatim `etl/CONCEPT_custom_validate.sql.jinja` — the referential
@@ -518,6 +512,17 @@ object OhdsiTemplateQueries {
     * reference's own template text; each caller gets isolated state so
     * the suite is order-independent.
     */
+  /** Per-JVM run-once memo for the shared flow: four entries read the
+    * SAME staged chain (the alphabetically-first consumer owns the build
+    * each run — the r14 run-once discipline; each entry's own mutations
+    * target tables no sibling reads).
+    */
+  private val flowMemo =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  private def sharedConceptFlow(s: SparkSession, d: String): (String, String) =
+    flowMemo.getOrElseUpdate(d, stageConceptFlow(s, d, "csh"))
+
   private def stageConceptFlow(s: SparkSession, d: String, tag: String): (String, String) = {
     val (workDb, omopDb) = (s"graft_work_$tag", s"graft_omop_$tag")
     s.sql(s"DROP DATABASE IF EXISTS $workDb CASCADE")
@@ -536,7 +541,7 @@ object OhdsiTemplateQueries {
   }
 
   val ohdsiSqlUsagiUpdate: Q = (s, d) => {
-    val (workDb, _) = stageConceptFlow(s, d, "cs4")
+    val (workDb, _) = sharedConceptFlow(s, d)
     s.table(s"$workDb.provider__specialty_concept_id_usagi").orderBy("sourceCode")
   }
 
@@ -601,7 +606,7 @@ object OhdsiTemplateQueries {
       |        ,S.invalid_reason);""".stripMargin
 
   val ohdsiSqlStcmMerge: Q = (s, d) => {
-    val (workDb, omopDb) = stageConceptFlow(s, d, "cs5")
+    val (workDb, omopDb) = sharedConceptFlow(s, d)
     // pre-seed one stale mapping at the rank-1 custom id so the verbatim
     // MERGE exercises its WHEN MATCHED branch. The seed's key must be the
     // rank-1 code COMPUTED from the data (this universe's nation names
@@ -707,7 +712,7 @@ object OhdsiTemplateQueries {
       |  and c.standard_concept <> 'S'""".stripMargin
 
   val ohdsiSqlUsagiNonStd: Q = (s, d) => {
-    val (workDb, omopDb) = stageConceptFlow(s, d, "cs7")
+    val (workDb, omopDb) = sharedConceptFlow(s, d)
     OhdsiSql.execute(s, JinjaLite.render(UsagiNonStdSql,
       swapJinja(workDb) ++ Map(
         "omop_database_catalog" -> "spark_catalog",
