@@ -1573,51 +1573,26 @@ object OhdsiTemplateQueries {
     s.table("graft_omop_cr.concept").orderBy("concept_id")
   }
 
-  /** Verbatim `ddl/result_table_ddl_field.sql.jinja` (natively D2): the
-    * DQD results DDL whose published two-part target name is the
-    * rendered `{{catalog}}.{{schema}}` pair itself.
+  /** Verbatim `ddl/result_table_ddl_{field,concept,table}.sql.jinja`
+    * (all three vendored byte-identical as resources; natively D2): the
+    * DQD results DDLs whose published two-part target name is the
+    * rendered `{{catalog}}.{{schema}}` pair itself. Gated on the union
+    * of the three created schemas.
     */
-  private val ResultFieldDdlSql =
-    """--DDL to create dqdashboard_results table.
-      |IF OBJECT_ID('{{dqd_database_catalog}}.{{dqd_database_schema}}', 'U') IS NOT NULL
-      |	DROP TABLE {{dqd_database_catalog}}.{{dqd_database_schema}};
-      |CREATE TABLE {{dqd_database_catalog}}.{{dqd_database_schema}}
-      |(
-      |  num_violated_rows     BIGINT,
-      |  pct_violated_rows     FLOAT,
-      |  num_denominator_rows  BIGINT,
-      |  execution_time        VARCHAR(255),
-      |  query_text            VARCHAR(8000),
-      |  check_name            VARCHAR(255),
-      |  check_level           VARCHAR(255),
-      |  check_description     VARCHAR(8000),
-      |  cdm_table_name        VARCHAR(255),
-      |  sql_file              VARCHAR(255),
-      |  category              VARCHAR(255),
-      |  subcategory           VARCHAR(255),
-      |  context               VARCHAR(255),
-      |  checkid               VARCHAR(1024),
-      |  is_error              INTEGER,
-      |  not_applicable        INTEGER,
-      |  failed                INTEGER,
-      |  passed                INTEGER,
-      |  not_applicable_reason VARCHAR(8000),
-      |  threshold_value       INTEGER,
-      |  notes_value           VARCHAR(8000),
-      |  x_row                 VARCHAR(255),
-      |  cdm_field_name        VARCHAR(255),
-      |  error                 VARCHAR(8000),
-      |  concept_id            VARCHAR(255),
-      |  unit_concept_id       VARCHAR(255)
-      |);""".stripMargin
-
   val ohdsiSqlResultDdl: Q = (s, _) => {
     s.sql("DROP DATABASE IF EXISTS graft_dqd_rt CASCADE")
     s.sql("CREATE DATABASE graft_dqd_rt")
-    OhdsiSql.executeAll(s, JinjaLite.render(ResultFieldDdlSql, scalars = Map(
-      "dqd_database_catalog" -> "graft_dqd_rt",
-      "dqd_database_schema" -> "results_field")), sqlRender = false)
-    schemaListing(s, "graft_dqd_rt.results_field").orderBy("ordinal")
+    Seq("field", "concept", "table").foreach { v =>
+      val in = getClass.getResourceAsStream(s"/graft/ohdsi/result_table_ddl_$v.sql.jinja")
+      val text = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      OhdsiSql.executeAll(s, JinjaLite.render(text, scalars = Map(
+        "dqd_database_catalog" -> "graft_dqd_rt",
+        "dqd_database_schema" -> s"results_$v")), sqlRender = false)
+    }
+    schemaListing(s, "graft_dqd_rt.results_field")
+      .unionByName(schemaListing(s, "graft_dqd_rt.results_concept"))
+      .unionByName(schemaListing(s, "graft_dqd_rt.results_table"))
+      .orderBy("table_name", "ordinal")
   }
 
   /** Verbatim `etl/cdm_metadata_riab_version.sql.jinja` +
@@ -1873,24 +1848,70 @@ object OhdsiTemplateQueries {
         |  ('results_field', 7, 'check_level', 'string'),
         |  ('results_field', 8, 'check_description', 'string'),
         |  ('results_field', 9, 'cdm_table_name', 'string'),
-        |  ('results_field', 10, 'sql_file', 'string'),
-        |  ('results_field', 11, 'category', 'string'),
-        |  ('results_field', 12, 'subcategory', 'string'),
-        |  ('results_field', 13, 'context', 'string'),
-        |  ('results_field', 14, 'checkid', 'string'),
-        |  ('results_field', 15, 'is_error', 'int'),
-        |  ('results_field', 16, 'not_applicable', 'int'),
-        |  ('results_field', 17, 'failed', 'int'),
-        |  ('results_field', 18, 'passed', 'int'),
-        |  ('results_field', 19, 'not_applicable_reason', 'string'),
-        |  ('results_field', 20, 'threshold_value', 'int'),
-        |  ('results_field', 21, 'notes_value', 'string'),
-        |  ('results_field', 22, 'x_row', 'string'),
-        |  ('results_field', 23, 'cdm_field_name', 'string'),
-        |  ('results_field', 24, 'error', 'string'),
-        |  ('results_field', 25, 'concept_id', 'string'),
-        |  ('results_field', 26, 'unit_concept_id', 'string')
-        |) AS t(table_name, ordinal, column_name, data_type) ORDER BY ordinal""".stripMargin,
+        |  ('results_field', 10, 'cdm_field_name', 'string'),
+        |  ('results_field', 11, 'sql_file', 'string'),
+        |  ('results_field', 12, 'category', 'string'),
+        |  ('results_field', 13, 'subcategory', 'string'),
+        |  ('results_field', 14, 'context', 'string'),
+        |  ('results_field', 15, 'checkid', 'string'),
+        |  ('results_field', 16, 'is_error', 'int'),
+        |  ('results_field', 17, 'not_applicable', 'int'),
+        |  ('results_field', 18, 'failed', 'int'),
+        |  ('results_field', 19, 'passed', 'int'),
+        |  ('results_field', 20, 'not_applicable_reason', 'string'),
+        |  ('results_field', 21, 'threshold_value', 'int'),
+        |  ('results_field', 22, 'notes_value', 'string'),
+        |  ('results_field', 23, 'x_row', 'string'),
+        |  ('results_concept', 1, 'num_violated_rows', 'bigint'),
+        |  ('results_concept', 2, 'pct_violated_rows', 'double'),
+        |  ('results_concept', 3, 'num_denominator_rows', 'bigint'),
+        |  ('results_concept', 4, 'execution_time', 'string'),
+        |  ('results_concept', 5, 'query_text', 'string'),
+        |  ('results_concept', 6, 'check_name', 'string'),
+        |  ('results_concept', 7, 'check_level', 'string'),
+        |  ('results_concept', 8, 'check_description', 'string'),
+        |  ('results_concept', 9, 'cdm_table_name', 'string'),
+        |  ('results_concept', 10, 'sql_file', 'string'),
+        |  ('results_concept', 11, 'category', 'string'),
+        |  ('results_concept', 12, 'subcategory', 'string'),
+        |  ('results_concept', 13, 'context', 'string'),
+        |  ('results_concept', 14, 'checkid', 'string'),
+        |  ('results_concept', 15, 'is_error', 'int'),
+        |  ('results_concept', 16, 'not_applicable', 'int'),
+        |  ('results_concept', 17, 'failed', 'int'),
+        |  ('results_concept', 18, 'passed', 'int'),
+        |  ('results_concept', 19, 'not_applicable_reason', 'string'),
+        |  ('results_concept', 20, 'threshold_value', 'int'),
+        |  ('results_concept', 21, 'notes_value', 'string'),
+        |  ('results_concept', 22, 'x_row', 'string'),
+        |  ('results_concept', 23, 'cdm_field_name', 'string'),
+        |  ('results_concept', 24, 'error', 'string'),
+        |  ('results_concept', 25, 'concept_id', 'string'),
+        |  ('results_concept', 26, 'unit_concept_id', 'string'),
+        |  ('results_table', 1, 'num_violated_rows', 'bigint'),
+        |  ('results_table', 2, 'pct_violated_rows', 'double'),
+        |  ('results_table', 3, 'num_denominator_rows', 'bigint'),
+        |  ('results_table', 4, 'execution_time', 'string'),
+        |  ('results_table', 5, 'query_text', 'string'),
+        |  ('results_table', 6, 'check_name', 'string'),
+        |  ('results_table', 7, 'check_level', 'string'),
+        |  ('results_table', 8, 'check_description', 'string'),
+        |  ('results_table', 9, 'cdm_table_name', 'string'),
+        |  ('results_table', 10, 'sql_file', 'string'),
+        |  ('results_table', 11, 'category', 'string'),
+        |  ('results_table', 12, 'subcategory', 'string'),
+        |  ('results_table', 13, 'context', 'string'),
+        |  ('results_table', 14, 'checkid', 'string'),
+        |  ('results_table', 15, 'is_error', 'int'),
+        |  ('results_table', 16, 'not_applicable', 'int'),
+        |  ('results_table', 17, 'failed', 'int'),
+        |  ('results_table', 18, 'passed', 'int'),
+        |  ('results_table', 19, 'not_applicable_reason', 'string'),
+        |  ('results_table', 20, 'threshold_value', 'int'),
+        |  ('results_table', 21, 'notes_value', 'string'),
+        |  ('results_table', 22, 'x_row', 'string')
+        |) AS t(table_name, ordinal, column_name, data_type)
+        |ORDER BY table_name, ordinal""".stripMargin,
     "ohdsi_sql_metadata_rows" ->
       """SELECT * FROM (VALUES
         |  ('GIT_VERSION', 'GIT_OMOPCDM5.4', 'GIT_EHR',

@@ -30,10 +30,8 @@ class TemplateCoverageSpec extends AnyFunSuite {
     "OMOPCDM_sql_server_5.4_primary_keys.sql.jinja" -> "ohdsi_sql_cdm54_full",
     "SOURCE_ID_TO_OMOP_ID_MAP_ddl.sql.jinja" -> "ohdsi_sql_map_ddl",
     "result_table_ddl_field.sql.jinja" -> "ohdsi_sql_result_ddl",
-    "result_table_ddl_concept.sql.jinja" ->
-      "column-subset twin of result_table_ddl_field (ohdsi_sql_result_ddl)",
-    "result_table_ddl_table.sql.jinja" ->
-      "column-subset twin of result_table_ddl_field (ohdsi_sql_result_ddl)",
+    "result_table_ddl_concept.sql.jinja" -> "ohdsi_sql_result_ddl",
+    "result_table_ddl_table.sql.jinja" -> "ohdsi_sql_result_ddl",
     "get_dqd_run.sql.jinja" -> "ohdsi_sql_get_dqd_run",
     "get_dqd_run_results.sql.jinja" -> "ohdsi_sql_dqd_run_results",
     "get_last_dqd_runs.sql.jinja" -> "ohdsi_sql_last_dqd_runs",
