@@ -74,6 +74,47 @@ class JinjaLiteSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("unsupported Jinja construct"))
   }
 
+  test("boolean condition grammar: or/and/not, parens, endswith, literal lists, not-in, |length") {
+    def r(t: String, lists: Map[String, Seq[String]] = Map.empty,
+        dicts: Map[String, Seq[(String, String)]] = Map.empty) =
+      JinjaLite.render(t, Map("tbl" -> "measurement", "flag" -> ""), lists, dicts)
+    // parenthesized or/and with endswith and a literal list (the omop-merge shape)
+    assert(r("{% if tbl == 'vocabulary' or (tbl == \"measurement\" and ('value_as_concept_id' in [\"value_as_concept_id\", \"unit_concept_id\"])) %}Y{% endif %}") === "Y")
+    assert(r("{% for c in cols %}{% if c.endswith(\"_source_concept_id\") %}[{{c}}]{% endif %}{% endfor %}",
+      lists = Map("cols" -> Seq("a_source_concept_id", "b_concept_id"))) === "[a_source_concept_id]")
+    // not over a parenthesized group; truthiness of an empty scalar is false
+    assert(r("{% if not (flag and tbl == 'measurement') %}N{% endif %}") === "N")
+    // infix `not in` over a literal list and over a dict's keys
+    assert(r("{% if tbl not in ['person', 'death'] %}K{% endif %}") === "K")
+    assert(r("{% if 'person' in evts %}P{% endif %}{% if 'nope' not in evts %}Q{% endif %}",
+      dicts = Map("evts" -> Seq("person" -> "x"))) === "PQ")
+    // keys()|length comparison: dict size and the legacy list convention
+    assert(r("{% if evts.keys()|length > 0 %}D{% endif %}",
+      dicts = Map("evts" -> Seq("a" -> "b"))) === "D")
+    assert(r("{% if evts.keys()|length > 0 %}D{% else %}E{% endif %}",
+      lists = Map("evts" -> Seq.empty)) === "E")
+  }
+
+  test("dict and record bindings: items pairs, dict indexing, record attrs") {
+    val t1 = JinjaLite.render(
+      "{% for (t, k) in et.items() %}{{t}}->{{k}};{% endfor %}",
+      Map.empty, dicts = Map("et" -> Seq("person" -> "person_id", "obs" -> "observation_id")))
+    assert(t1 === "person->person_id;obs->observation_id;")
+    // dict indexed by a loop variable's VALUE (the apply-event-columns shape)
+    val t2 = JinjaLite.render(
+      "{% for c in ev %}{{ev[c]}} {% endfor %}",
+      Map.empty, dicts = Map("ev" -> Seq("fact_id_1" -> "domain_1", "fact_id_2" -> "domain_2")))
+    assert(t2 === "domain_1 domain_2 ")
+    // record attribute + ["key"] access and attr conditions (the sample-query shape)
+    val recs = Seq(
+      Map("cdmFieldName" -> "id", "isPrimaryKey" -> "Yes"),
+      Map("cdmFieldName" -> "name", "isPrimaryKey" -> "No"))
+    val t3 = JinjaLite.render(
+      "{% for c in cols %}{% if c.isPrimaryKey == 'Yes' %}PK:{{c[\"cdmFieldName\"]}}{% else %}{{c.cdmFieldName}}{% endif %};{% endfor %}",
+      Map.empty, records = Map("cols" -> recs))
+    assert(t3 === "PK:id;name;")
+  }
+
   test("set / namespace / indexing / lower / 'and' conditions (the pk-swap grammar)") {
     // block-scoped set + list indexing by loop.index0
     val t1 = JinjaLite.render(
