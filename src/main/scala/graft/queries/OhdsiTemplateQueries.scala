@@ -1208,6 +1208,88 @@ object OhdsiTemplateQueries {
       .orderBy("table_name", "ordinal")
   }
 
+  /** STREAMING continuous ingestion through the PUBLISHED pk-swap merge
+    * (r15): upload waves arrive as micro-batches (file source,
+    * AvailableNow, one file per trigger in staged mtime order); each
+    * foreachBatch stages the wave as the upload work table and runs the
+    * VERBATIM `{primary_key_column}_swap_merge.sql.jinja` — the
+    * template's own `cte_max` + anti-join make it naturally incremental,
+    * so wave N+1's new providers rank ABOVE wave N's ids without any
+    * engine-side state. The swap table after both waves pins to a
+    * deterministic oracle (wave 0 = nation providers y 1..25, wave 1 =
+    * region providers y 26..30): stream == the sequential batch
+    * semantics of the published SQL.
+    */
+  val streamPkSwapMerge: Q = (s, d) => {
+    val key = graft.io.Zones.pathKey(d)
+    val db = "graft_stream_up"
+    s.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    val hconf = s.sparkContext.hadoopConfiguration
+    def rm(p: String): Unit = {
+      val hp = new org.apache.hadoop.fs.Path(new java.io.File(p).getAbsolutePath)
+      hp.getFileSystem(hconf).delete(hp, true); ()
+    }
+    val ckpt = new java.io.File(
+      s"${graft.io.Zones.defaultRoot}/stream_ckpt_pkswap_$key").getAbsolutePath
+    rm(ckpt)
+    val stagingDir = new java.io.File(
+      s"${graft.io.Zones.defaultRoot}/stream_src_pkswap_$key").getAbsolutePath
+    rm(stagingDir)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stagingDir))
+    def stageOne(name: String, part: DataFrame, mtime: Long): Unit = {
+      val tmp = s"$stagingDir/__tmp_$name"
+      part.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(hconf)
+      val f = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+      val dst = new org.apache.hadoop.fs.Path(s"$stagingDir/$name")
+      require(fs.rename(f, dst), s"staging rename failed: $f -> $dst")
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      fs.setTimes(dst, mtime, -1)
+      ()
+    }
+    val wave0 = t(s, d, "nation").select(
+      concat(lit("P_"), col("n_name")).as("provider_id"),
+      concat(lit("SRC_"), col("n_name")).as("specialty_concept_id"))
+    val wave1 = t(s, d, "region")
+      .join(t(s, d, "nation"), col("r_regionkey") === col("n_nationkey"))
+      .select(
+        concat(lit("PZ_"), col("r_name")).as("provider_id"),
+        concat(lit("SRC_"), col("n_name")).as("specialty_concept_id"))
+    val t0 = System.currentTimeMillis()
+    stageOne("wave0.parquet", wave0, t0)
+    stageOne("wave1.parquet", wave1, t0 + 60000L)
+    stage(s, db, "provider__specialty_concept_id_usagi", t(s, d, "nation").select(
+      concat(lit("SRC_"), col("n_name")).as("sourceCode"),
+      (col("n_nationkey") + 100).cast("int").as("conceptId"),
+      lit("APPROVED").as("mappingStatus")))
+    val baseVars = Map(
+      "work_database_catalog" -> "spark_catalog",
+      "work_database_schema" -> db,
+      "omop_table" -> "provider",
+      "primary_key_column" -> "provider_id",
+      "process_semi_approved_mappings" -> "")
+    val listVars = Map(
+      "concept_id_columns" -> Seq("specialty_concept_id"),
+      "events" -> Seq.empty[String],
+      "upload_tables" -> Seq("stream"))
+    OhdsiSql.executeAll(s, JinjaLite.render(PkSwapCreateSql, baseVars, listVars))
+    val stream = s.readStream.schema(wave0.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stagingDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        stage(s, db, "provider__upload__stream", batch)
+        OhdsiSql.executeAll(s, JinjaLite.render(PkSwapMergeSql, baseVars,
+          listVars + ("sql_files" -> Seq(s"batch_$id"))))
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    s.table(s"$db.provider_id_swap").orderBy("y")
+  }
+
   /** THE reference's core ETL load — `etl/{omop_table}_merge.sql.jinja`
     * (230 lines, vendored byte-identical as a resource) — run VERBATIM,
     * downstream of the verbatim pk-swap flow: uploads union → usagi
@@ -1852,6 +1934,7 @@ object OhdsiTemplateQueries {
     "ohdsi_sql_drop_table" -> ohdsiSqlDropTable,
     "ohdsi_sql_vocab_cleanup" -> ohdsiSqlVocabCleanup,
     "ohdsi_sql_pk_swap" -> ohdsiSqlPkSwap,
+    "stream_pk_swap_merge" -> streamPkSwapMerge,
     "ohdsi_sql_usagi_update" -> ohdsiSqlUsagiUpdate,
     "ohdsi_sql_stcm_merge" -> ohdsiSqlStcmMerge,
     "ohdsi_sql_map_merge" -> ohdsiSqlMapMerge,
@@ -2158,6 +2241,24 @@ object OhdsiTemplateQueries {
       """SELECT table_name, CAST(n_rows AS BIGINT) AS n_rows FROM (VALUES
         |  ('concept', 25), ('provider', 0), ('relationship', 0), ('vocabulary', 25)
         |) AS t(table_name, n_rows) ORDER BY table_name""".stripMargin,
+    "stream_pk_swap_merge" ->
+      """WITH b0 AS (
+        |  SELECT concat('P_', n_name) AS x,
+        |    CAST(n_nationkey + 100 AS BIGINT) AS specialty_concept_id,
+        |    'batch_0' AS source,
+        |    CAST(rank() OVER (ORDER BY concat('P_', n_name)) AS BIGINT) AS y
+        |  FROM nation
+        |), b1 AS (
+        |  SELECT concat('PZ_', r_name) AS x,
+        |    CAST(r_regionkey + 100 AS BIGINT) AS specialty_concept_id,
+        |    'batch_1' AS source,
+        |    CAST((SELECT count(*) FROM nation)
+        |      + rank() OVER (ORDER BY concat('PZ_', r_name)) AS BIGINT) AS y
+        |  FROM region
+        |)
+        |SELECT x, specialty_concept_id, source, y FROM b0
+        |UNION ALL SELECT x, specialty_concept_id, source, y FROM b1
+        |ORDER BY y""".stripMargin,
     "ohdsi_sql_pk_swap" ->
       """WITH src AS (
         |  SELECT concat('P_', n_name) AS x,
