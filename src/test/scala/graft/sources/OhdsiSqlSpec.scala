@@ -531,6 +531,58 @@ class OhdsiSqlSpec extends SparkSpec {
     assert(spark.table("ohdsi_spec_db.blk").schema.map(_.name) === Seq("x", "y"))
   }
 
+  test("MERGE WHEN MATCHED THEN DELETE removes matched target rows") {
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .createOrReplaceTempView("tmp_ohdsi_md_tgt")
+    Seq(2L).toDF("k").createOrReplaceTempView("md_hits")
+    val out = OhdsiSql.execute(spark,
+      """MERGE INTO #md_tgt AS T
+        |USING (SELECT k FROM md_hits) AS S
+        |ON S.k = T.k
+        |WHEN MATCHED THEN
+        |  DELETE;
+        |SELECT k, v FROM #md_tgt ORDER BY k""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq === Seq((1L, "a"), (3L, "c")))
+    // UPDATE and DELETE on matched rows together is a refused shape
+    val e = intercept[IllegalArgumentException](OhdsiSql.executeAll(spark,
+      """MERGE INTO #md_tgt AS T USING (SELECT k FROM md_hits) AS S ON S.k = T.k
+        |WHEN MATCHED THEN UPDATE SET T.v = 'x'
+        |WHEN MATCHED THEN DELETE""".stripMargin))
+    assert(e.getMessage.contains("cannot both"))
+  }
+
+  test("the CDM DDL's DECLARE/sp_executesql constraint preamble is a recognized no-op") {
+    // dialect-native flow (the CDM DDL path): no SqlRender pass, so the
+    // T-SQL @variable never reads as an unbound render parameter
+    OhdsiSql.executeAll(spark,
+      """DECLARE @DropConstraints NVARCHAR(max) = ''
+        |SELECT @DropConstraints += 'ALTER TABLE ' + QUOTENAME(OBJECT_SCHEMA_NAME(parent_object_id))
+        |FROM sys.foreign_keys
+        |EXECUTE sp_executesql @DropConstraints;""".stripMargin, sqlRender = false)
+    // any OTHER dynamic-SQL shape refuses loudly
+    val e = intercept[IllegalArgumentException](OhdsiSql.executeAll(spark,
+      "DECLARE @x NVARCHAR(max) = 'DROP TABLE t' EXECUTE sp_executesql @x",
+      sqlRender = false))
+    assert(e.getMessage.contains("DECLARE"))
+  }
+
+  test("catalog INSERT INTO appends positionally with target-type casts, WITH prefix allowed") {
+    OhdsiSql.replaceCatalogTable(spark, "ohdsi_spec_db.ins",
+      Seq((1, "a")).toDF("k", "v"))
+    OhdsiSql.executeAll(spark,
+      """WITH src AS (SELECT 2 AS n, 'b' AS s)
+        |INSERT INTO [spark_catalog].[ohdsi_spec_db].[ins]
+        |SELECT n, s FROM src""".stripMargin)
+    val rows = spark.table("ohdsi_spec_db.ins").orderBy("k")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(rows.toSeq === Seq((1, "a"), (2, "b")))
+    // arity mismatch refuses
+    val e = intercept[IllegalArgumentException](OhdsiSql.executeAll(spark,
+      "INSERT INTO [spark_catalog].[ohdsi_spec_db].[ins] SELECT 1"))
+    assert(e.getMessage.contains("columns"))
+  }
+
   test("block comments strip quote-aware, nested, and with embedded ';'/keywords") {
     // ADVICE r13: a template's /********/ header carries apostrophes,
     // semicolons, and statement keywords — all must be invisible to the
