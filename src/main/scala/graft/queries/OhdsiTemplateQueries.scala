@@ -1208,6 +1208,68 @@ object OhdsiTemplateQueries {
       .orderBy("table_name", "ordinal")
   }
 
+  /** The VOCABULARY branch of the verbatim `{omop_table}_merge` template
+    * (the published S7/D6 refill semantics — the one template code path
+    * the provider entry does not take): work-table TRUNCATE + dedup'd
+    * upload UNION ALL the PRESERVED standard rows
+    * (`vocabulary_concept_id < min_custom_concept_id`), then the
+    * TRUNCATE-and-copy-back coda into the OMOP vocabulary.
+    */
+  val ohdsiSqlVocabMerge: Q = (s, d) => {
+    s.sql("DROP DATABASE IF EXISTS graft_work_vm CASCADE")
+    s.sql("DROP DATABASE IF EXISTS graft_omop_vm CASCADE")
+    val nat = t(s, d, "nation")
+    val vocabCols = Seq("vocabulary_id", "vocabulary_name",
+      "vocabulary_reference", "vocabulary_version", "vocabulary_concept_id")
+    stage(s, "graft_work_vm", "vocabulary__upload__u1", nat.select(
+      concat(lit("CUSTOM_"), col("n_name")).as("vocabulary_id"),
+      concat(lit("vocab "), col("n_name")).as("vocabulary_name"),
+      lit("ref").as("vocabulary_reference"),
+      lit("v1").as("vocabulary_version"),
+      (col("n_nationkey") + 2000000000L).as("vocabulary_concept_id")))
+    // the work-side vocabulary copy the template truncates and loads
+    stage(s, "graft_work_vm", "vocabulary", s.range(0).select(
+      lit("").as("vocabulary_id"), lit("").as("vocabulary_name"),
+      lit("").as("vocabulary_reference"), lit("").as("vocabulary_version"),
+      lit(0L).as("vocabulary_concept_id")))
+    // the OMOP vocabulary: preserved standards (< 2e9) + stale customs the
+    // refill replaces
+    stage(s, "graft_omop_vm", "vocabulary", t(s, d, "region").select(
+      col("r_name").as("vocabulary_id"),
+      concat(lit("std "), col("r_name")).as("vocabulary_name"),
+      lit("ref").as("vocabulary_reference"),
+      lit("v0").as("vocabulary_version"),
+      col("r_regionkey").cast("long").as("vocabulary_concept_id"))
+      .unionByName(nat.limit(3).select(
+        concat(lit("STALE_"), col("n_name")).as("vocabulary_id"),
+        lit("stale").as("vocabulary_name"),
+        lit("ref").as("vocabulary_reference"),
+        lit("old").as("vocabulary_version"),
+        (col("n_nationkey") + 2000000000L).as("vocabulary_concept_id"))))
+    val vars = Map(
+      "work_database_catalog" -> "spark_catalog",
+      "work_database_schema" -> "graft_work_vm",
+      "omop_database_catalog" -> "spark_catalog",
+      "omop_database_schema" -> "graft_omop_vm",
+      "omop_table" -> "vocabulary",
+      "primary_key_column" -> "vocabulary_id",
+      "pk_auto_numbering" -> "", // the vocabulary pk is its natural string id
+      "process_semi_approved_mappings" -> "",
+      "min_custom_concept_id" -> "2000000000")
+    val listVars = Map(
+      "columns" -> vocabCols,
+      "concept_id_columns" -> Seq.empty[String],
+      "foreign_key_columns" -> Seq.empty[String],
+      "required_columns" -> Seq.empty[String],
+      "events" -> Seq.empty[String],
+      "sql_files" -> Seq("vocab1"),
+      "upload_tables" -> Seq("u1"))
+    val in = getClass.getResourceAsStream("/graft/ohdsi/omop_table_merge.sql.jinja")
+    val text = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    OhdsiSql.executeAll(s, JinjaLite.render(text, vars, listVars))
+    s.table("graft_omop_vm.vocabulary").orderBy("vocabulary_id")
+  }
+
   /** STREAMING continuous ingestion through the PUBLISHED pk-swap merge
     * (r15): upload waves arrive as micro-batches (file source,
     * AvailableNow, one file per trigger in staged mtime order); each
@@ -1935,6 +1997,7 @@ object OhdsiTemplateQueries {
     "ohdsi_sql_vocab_cleanup" -> ohdsiSqlVocabCleanup,
     "ohdsi_sql_pk_swap" -> ohdsiSqlPkSwap,
     "stream_pk_swap_merge" -> streamPkSwapMerge,
+    "ohdsi_sql_vocab_merge" -> ohdsiSqlVocabMerge,
     "ohdsi_sql_usagi_update" -> ohdsiSqlUsagiUpdate,
     "ohdsi_sql_stcm_merge" -> ohdsiSqlStcmMerge,
     "ohdsi_sql_map_merge" -> ohdsiSqlMapMerge,
@@ -2241,6 +2304,20 @@ object OhdsiTemplateQueries {
       """SELECT table_name, CAST(n_rows AS BIGINT) AS n_rows FROM (VALUES
         |  ('concept', 25), ('provider', 0), ('relationship', 0), ('vocabulary', 25)
         |) AS t(table_name, n_rows) ORDER BY table_name""".stripMargin,
+    "ohdsi_sql_vocab_merge" ->
+      """SELECT * FROM (
+        |  SELECT concat('CUSTOM_', n_name) AS vocabulary_id,
+        |    concat('vocab ', n_name) AS vocabulary_name,
+        |    'ref' AS vocabulary_reference, 'v1' AS vocabulary_version,
+        |    CAST(n_nationkey + 2000000000 AS BIGINT) AS vocabulary_concept_id
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT r_name AS vocabulary_id,
+        |    concat('std ', r_name) AS vocabulary_name,
+        |    'ref' AS vocabulary_reference, 'v0' AS vocabulary_version,
+        |    CAST(r_regionkey AS BIGINT) AS vocabulary_concept_id
+        |  FROM region
+        |) t ORDER BY vocabulary_id""".stripMargin,
     "stream_pk_swap_merge" ->
       """WITH b0 AS (
         |  SELECT concat('P_', n_name) AS x,
