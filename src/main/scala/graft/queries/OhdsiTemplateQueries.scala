@@ -1208,6 +1208,77 @@ object OhdsiTemplateQueries {
       .orderBy("table_name", "ordinal")
   }
 
+  /** The BIGQUERY-dialect flagship chain VERBATIM — the reference's
+    * PRIMARY backend's own template texts
+    * (`bigquery/templates/etl/{primary_key_column}_swap_create/merge`,
+    * `{omop_table}_merge`; vendored byte-identical as resources), run
+    * through [[graft.sources.OhdsiSql.translateBigQuery]] + the shared
+    * statement executor: GoogleSQL whole-path backquotes, `CREATE TABLE
+    * IF NOT EXISTS .. CLUSTER BY`, a MERGE whose CTEs live INSIDE the
+    * USING subquery, windowed STRING_AGG instead of GROUP BY, `SELECT *
+    * EXCEPT(rn)`, and `CREATE OR REPLACE TABLE .. LIKE .. AS ( .. )` —
+    * the atomic CTAS-replace that is the reference's own S11 semantics.
+    * Same fixture as the sql_server twin, pinned to the SAME expected
+    * rows: both dialect trees produce identical results on this engine.
+    */
+  val ohdsiSqlBqFlow: Q = (s, d) => {
+    s.sql("DROP DATABASE IF EXISTS graft_bq_work CASCADE")
+    s.sql("DROP DATABASE IF EXISTS graft_bq_omop CASCADE")
+    val db = "graft_bq_work"
+    stage(s, db, "provider__upload__u1", t(s, d, "nation").select(
+      concat(lit("P_"), col("n_name")).as("provider_id"),
+      col("n_name").as("provider_name"),
+      concat(lit("SRC_"), col("n_name")).as("specialty_concept_id"),
+      concat(lit("SV_"), col("n_name")).as("specialty_source_value"),
+      (lit(1950) + col("n_nationkey")).cast("int").as("year_of_birth"),
+      concat(lit("CS_"), col("n_name")).as("care_site_id")))
+    stage(s, db, "provider__upload__u2", t(s, d, "region")
+      .join(t(s, d, "nation"), col("r_regionkey") === col("n_nationkey"))
+      .select(
+        concat(lit("PZ_"), col("r_name")).as("provider_id"),
+        col("r_name").as("provider_name"),
+        concat(lit("SRC_"), col("n_name")).as("specialty_concept_id"),
+        concat(lit("SVZ_"), col("r_name")).as("specialty_source_value"),
+        (lit(1980) + col("r_regionkey")).cast("int").as("year_of_birth"),
+        concat(lit("CS_"), col("n_name")).as("care_site_id")))
+    stage(s, db, "provider__specialty_concept_id_usagi", t(s, d, "nation").select(
+      concat(lit("SRC_"), col("n_name")).as("sourceCode"),
+      (col("n_nationkey") + 100).cast("int").as("conceptId"),
+      lit("APPROVED").as("mappingStatus")))
+    stage(s, db, "care_site_id_swap", t(s, d, "nation").select(
+      concat(lit("CS_"), col("n_name")).as("x"),
+      (col("n_nationkey") + 500).cast("int").as("y")))
+    stage(s, "graft_bq_omop", "provider", s.range(0).select(
+      lit(0).as("provider_id"), lit("").as("provider_name"),
+      lit(0).as("specialty_concept_id"), lit("").as("specialty_source_value"),
+      lit(0).as("year_of_birth"), lit(0).as("care_site_id")))
+    val vars = Map(
+      "dataset_work" -> db,
+      "dataset_omop" -> "graft_bq_omop",
+      "omop_table" -> "provider",
+      "primary_key_column" -> "provider_id",
+      "pk_auto_numbering" -> "true",
+      "process_semi_approved_mappings" -> "",
+      "min_custom_concept_id" -> "2000000000")
+    val listVars = Map(
+      "columns" -> Seq("provider_id", "provider_name", "specialty_concept_id",
+        "specialty_source_value", "year_of_birth", "care_site_id"),
+      "concept_id_columns" -> Seq("specialty_concept_id"),
+      "foreign_key_columns" -> Seq("care_site_id"),
+      "required_columns" -> Seq("care_site_id"),
+      "events" -> Seq.empty[String],
+      "sql_files" -> Seq("provider1", "provider2"),
+      "upload_tables" -> Seq("u1", "u2"))
+    Seq("bq_pk_swap_create", "bq_pk_swap_merge", "bq_omop_table_merge").foreach { f =>
+      val in = getClass.getResourceAsStream(s"/graft/ohdsi/$f.sql.jinja")
+      val text = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      OhdsiSql.executeAll(s,
+        OhdsiSql.translateBigQuery(JinjaLite.render(text, vars, listVars)),
+        sqlRender = false)
+    }
+    s.table("graft_bq_omop.provider").orderBy("provider_id")
+  }
+
   /** The VOCABULARY branch of the verbatim `{omop_table}_merge` template
     * (the published S7/D6 refill semantics — the one template code path
     * the provider entry does not take): work-table TRUNCATE + dedup'd
@@ -1998,6 +2069,7 @@ object OhdsiTemplateQueries {
     "ohdsi_sql_pk_swap" -> ohdsiSqlPkSwap,
     "stream_pk_swap_merge" -> streamPkSwapMerge,
     "ohdsi_sql_vocab_merge" -> ohdsiSqlVocabMerge,
+    "ohdsi_sql_bq_flow" -> ohdsiSqlBqFlow,
     "ohdsi_sql_usagi_update" -> ohdsiSqlUsagiUpdate,
     "ohdsi_sql_stcm_merge" -> ohdsiSqlStcmMerge,
     "ohdsi_sql_map_merge" -> ohdsiSqlMapMerge,
@@ -2049,6 +2121,28 @@ object OhdsiTemplateQueries {
           |  ('specimen', 15), ('visit_detail', 19), ('visit_occurrence', 17),
           |  ('vocabulary', 5)
           |) AS t(table_name, n_columns) ORDER BY table_name""".stripMargin
+
+  /** Both dialect trees' core-merge chains pin to the SAME rows. */
+  private lazy val OmopMergeExpectedOracle =
+    """WITH src AS (
+          |  SELECT concat('P_', n_name) AS x, n_name AS provider_name,
+          |    CAST(n_nationkey + 100 AS BIGINT) AS specialty_concept_id,
+          |    concat('SV_', n_name) AS specialty_source_value,
+          |    CAST(1950 + n_nationkey AS BIGINT) AS year_of_birth,
+          |    CAST(n_nationkey + 500 AS BIGINT) AS care_site_id
+          |  FROM nation
+          |  UNION ALL
+          |  SELECT concat('PZ_', r_name) AS x, r_name AS provider_name,
+          |    CAST(r_regionkey + 100 AS BIGINT) AS specialty_concept_id,
+          |    concat('SVZ_', r_name) AS specialty_source_value,
+          |    CAST(1980 + r_regionkey AS BIGINT) AS year_of_birth,
+          |    CAST(r_regionkey + 500 AS BIGINT) AS care_site_id
+          |  FROM region
+          |)
+          |SELECT CAST(row_number() OVER (ORDER BY x) AS BIGINT) AS provider_id,
+          |  provider_name, specialty_concept_id, specialty_source_value,
+          |  year_of_birth, care_site_id
+          |FROM src ORDER BY provider_id""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(
     "ohdsi_sql_s2cm_remove" ->
@@ -2178,26 +2272,8 @@ object OhdsiTemplateQueries {
         |FROM orders
         |ORDER BY domain_concept_id_1, fact_id_1, domain_concept_id_2,
         |  fact_id_2, relationship_concept_id""".stripMargin,
-    "ohdsi_sql_omop_merge" ->
-      """WITH src AS (
-        |  SELECT concat('P_', n_name) AS x, n_name AS provider_name,
-        |    CAST(n_nationkey + 100 AS BIGINT) AS specialty_concept_id,
-        |    concat('SV_', n_name) AS specialty_source_value,
-        |    CAST(1950 + n_nationkey AS BIGINT) AS year_of_birth,
-        |    CAST(n_nationkey + 500 AS BIGINT) AS care_site_id
-        |  FROM nation
-        |  UNION ALL
-        |  SELECT concat('PZ_', r_name) AS x, r_name AS provider_name,
-        |    CAST(r_regionkey + 100 AS BIGINT) AS specialty_concept_id,
-        |    concat('SVZ_', r_name) AS specialty_source_value,
-        |    CAST(1980 + r_regionkey AS BIGINT) AS year_of_birth,
-        |    CAST(r_regionkey + 500 AS BIGINT) AS care_site_id
-        |  FROM region
-        |)
-        |SELECT CAST(row_number() OVER (ORDER BY x) AS BIGINT) AS provider_id,
-        |  provider_name, specialty_concept_id, specialty_source_value,
-        |  year_of_birth, care_site_id
-        |FROM src ORDER BY provider_id""".stripMargin,
+    "ohdsi_sql_omop_merge" -> OmopMergeExpectedOracle,
+    "ohdsi_sql_bq_flow" -> OmopMergeExpectedOracle,
     "ohdsi_sql_cdm54_full" -> Cdm54InventoryOracle,
     "ohdsi_sql_validate_dups" ->
       """SELECT concat('SRC_', min(n_name)) AS concept_code,

@@ -740,12 +740,18 @@ object OhdsiSql {
         // and fail with a misleading "unsupported INSERT shape")
         val body = afterOn.substring(we,
           wm.map(_._1).filter(_ > ws).getOrElse(afterOn.length))
-        val im = ci(raw"(?s)^\s*\(([\w\s,`]+?)\)\s*VALUES\s*\((.*)\)\s*$$")
-          .findFirstMatchIn(body)
-          .getOrElse(throw new IllegalArgumentException(
-            "unsupported MERGE INSERT shape (expected: INSERT (cols) VALUES (exprs))"))
-        (im.group(1).split(",").map(c => cleanName(c.trim)).filter(_.nonEmpty).toSeq,
-          splitTopDepth(im.group(2), ',').map(_.trim).toSeq)
+        if (body.trim.equalsIgnoreCase("ROW")) {
+          // GoogleSQL `INSERT ROW`: the whole source row, columns by name
+          val srcCols = spark.sql(srcFull).columns.toSeq
+          (srcCols, srcCols.map(c => s"$sA.$c"))
+        } else {
+          val im = ci(raw"(?s)^\s*\(([\w\s,`]+?)\)\s*VALUES\s*\((.*)\)\s*$$")
+            .findFirstMatchIn(body)
+            .getOrElse(throw new IllegalArgumentException(
+              "unsupported MERGE INSERT shape (expected: INSERT (cols) VALUES (exprs) or INSERT ROW)"))
+          (im.group(1).split(",").map(c => cleanName(c.trim)).filter(_.nonEmpty).toSeq,
+            splitTopDepth(im.group(2), ',').map(_.trim).toSeq)
+        }
       }
     val tgtSchema = spark.table(target).schema
     // duplicate-match guard (SQL Server error 8672): bounded — stops at
@@ -842,6 +848,21 @@ object OhdsiSql {
             "DDL's sys.foreign_keys constraint-drop preamble is recognized)")
       case stmt if ci(raw"^\s*IF\s+NOT\s+EXISTS\s*\(").findFirstIn(stmt).isDefined =>
         executeIfNotExists(spark, stmt)
+      case stmt if ci(raw"^\s*CREATE\s+TABLE\s+IF\s+NOT\s+EXISTS\b").findFirstIn(stmt).isDefined =>
+        // the GoogleSQL guarded-DDL form (swap_create in the bigquery
+        // tree); a trailing CLUSTER BY clause is data layout — the Spark
+        // analogue is bucketing, accepted and ignored like indexes
+        val m = ci(raw"(?s)^\s*CREATE\s+TABLE\s+IF\s+NOT\s+EXISTS\s+($QNamePat)\s*\((.*)\)\s*(?:CLUSTER\s+BY\b.*)?$$")
+          .findFirstMatchIn(stmt)
+          .getOrElse(throw new IllegalArgumentException(
+            "unsupported CREATE TABLE IF NOT EXISTS shape"))
+        val parts = cleanName(m.group(1)).split('.')
+        val dbTbl = (if (parts.length == 3) s"${parts(1)}.${parts(2)}"
+          else cleanName(m.group(1))).toLowerCase
+        if (!spark.catalog.tableExists(dbTbl))
+          executeCreateTable(spark, s"CREATE TABLE ${m.group(1)} (${m.group(2)})")
+      case stmt if ci(raw"^\s*CREATE\s+OR\s+REPLACE\s+TABLE\b").findFirstIn(stmt).isDefined =>
+        executeCreateOrReplace(spark, stmt)
       case stmt if ci(raw"^\s*IF\s+EXISTS\s*\(").findFirstIn(stmt).isDefined =>
         executeIfExists(spark, stmt)
       case stmt if ci(raw"^\s*CREATE\s+TABLE\b").findFirstIn(stmt).isDefined =>
@@ -1075,14 +1096,16 @@ object OhdsiSql {
           s"unsupported CREATE TABLE column definition '$c' (expected: name type [NOT NULL])"))
       val ty = cm.group(2).replaceAll(raw"\s+", "").toUpperCase match {
         case t if t.startsWith("VARCHAR") || t.startsWith("NVARCHAR") => "STRING"
+        case "STRING" => "STRING" // the GoogleSQL type name
         case "INTEGER" | "INT" => "INT"
         case "BIGINT" => "BIGINT"
         case "FLOAT" => "DOUBLE"
+        case "DOUBLE" => "DOUBLE"
         case "DATE" => "DATE"
-        case "DATETIME" | "DATETIME2" => "TIMESTAMP"
+        case "DATETIME" | "DATETIME2" | "TIMESTAMP" => "TIMESTAMP"
         case other => throw new IllegalArgumentException(
           s"unsupported CREATE TABLE column type '$other' (subset: VARCHAR, " +
-            "INTEGER, BIGINT, FLOAT, DATE, DATETIME)")
+            "STRING, INTEGER, BIGINT, FLOAT, DOUBLE, DATE, DATETIME)")
       }
       s"${cleanName(cm.group(1)).replace("\"", "")} $ty"
     }
@@ -1101,6 +1124,35 @@ object OhdsiSql {
       spark.conf.get("spark.sql.warehouse.dir") + s"/$db.db/${dbTbl.split('.').last}")
     loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
     spark.sql(s"CREATE TABLE $dbTbl (${cols.mkString(", ")}) USING parquet")
+  }
+
+  /** The GoogleSQL CTAS-replace — `CREATE OR REPLACE TABLE t [LIKE t2]
+    * AS ( select )` (the bigquery tree's atomic-merge statement, the S11
+    * semantics): run the select, align its output to the LIKE template's
+    * schema BY NAME when one is given (GoogleSQL enforces the kept
+    * schema), and atomically replace the catalog table. The select may
+    * read the replaced table itself (the vocabulary preserve branch) —
+    * the materialize-then-swap protocol makes that safe.
+    */
+  private def executeCreateOrReplace(spark: SparkSession, stmt: String): Unit = {
+    import org.apache.spark.sql.functions.{col => fcol}
+    val m = ci(raw"(?s)^\s*CREATE\s+OR\s+REPLACE\s+TABLE\s+($QNamePat)\s*(?:LIKE\s+($QNamePat)\s*)?AS\s*\((.*)\)\s*$$")
+      .findFirstMatchIn(stmt)
+      .getOrElse(throw new IllegalArgumentException(
+        "unsupported CREATE OR REPLACE TABLE shape (expected: CREATE OR " +
+          "REPLACE TABLE <t> [LIKE <t2>] AS ( select ))"))
+    val df = spark.sql(m.group(3))
+    val aligned = Option(m.group(2)) match {
+      case Some(like) =>
+        val tmpl = spark.table(like).schema
+        val have = df.columns.map(_.toLowerCase).toSet
+        val missing = tmpl.map(_.name.toLowerCase).filterNot(have)
+        require(missing.isEmpty,
+          s"CREATE OR REPLACE ... LIKE $like: the select lacks column(s) ${missing.mkString(", ")}")
+        df.select(tmpl.map(f => fcol(f.name).cast(f.dataType).as(f.name)): _*)
+      case None => df
+    }
+    replaceCatalogTable(spark, m.group(1), aligned)
   }
 
   /** The inverse guard — `IF EXISTS (probe) DROP TABLE <t>` (the
@@ -1214,6 +1266,46 @@ object OhdsiSql {
     * messages carry semicolons inside their quotes), translated per
     * statement (so `TOP n` becomes that statement's `LIMIT`).
     */
+  /** The GoogleSQL (BigQuery-dialect) pre-pass — the reference's PRIMARY
+    * backend writes its templates in this dialect
+    * (`bigquery/templates/`). The surface those templates actually use
+    * beyond portable SQL is tiny: whole-path backquoting
+    * (`` `ds.table` `` quotes the dotted path as ONE identifier — split
+    * into per-part quotes, the Spark meaning), the INT64/FLOAT64/DATETIME
+    * type names, and `CURRENT_DATETIME()`. `IFNULL`, `CONCAT`,
+    * `STRING_AGG`, window functions and `SELECT * EXCEPT(c)` are native
+    * Spark SQL already.
+    */
+  def translateBigQuery(sql: String): String = {
+    var s = raw"`([\w.]+)`".r.replaceAllIn(sql, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        m.group(1).split('.').map(p => s"`$p`").mkString(".")))
+    s = ci(raw"\bCURRENT_DATETIME\s*\(\s*\)").replaceAllIn(s, "current_timestamp()")
+    s = ci(raw"\bINT64\b").replaceAllIn(s, "BIGINT")
+    s = ci(raw"\bFLOAT64\b").replaceAllIn(s, "DOUBLE")
+    s = ci(raw"\bDATETIME\b").replaceAllIn(s, "TIMESTAMP")
+    // GoogleSQL allows an UNORDERED ROW_NUMBER window (the dedup CTE in
+    // `{omop_table}_merge.sql.jinja:115-138`) and picks an arbitrary row;
+    // Spark requires an ordering. Ordering by the partition keys
+    // themselves is the faithful mapping: within a partition it is as
+    // arbitrary as BigQuery's pick, and deterministic where the gated
+    // fixtures make partitions unambiguous. Applied ONLY to ROW_NUMBER —
+    // adding ORDER BY to an aggregate window (the STRING_AGG) would
+    // change its frame to a running one.
+    s = ci(raw"ROW_NUMBER\s*\(\s*\)\s*OVER\s*\(\s*(PARTITION\s+BY\s+[^()]*?)\s*\)")
+      .replaceAllIn(s, m => {
+        val part = m.group(1)
+        if (ci(raw"\bORDER\s+BY\b").findFirstIn(part).isDefined)
+          java.util.regex.Matcher.quoteReplacement(m.matched)
+        else {
+          val keys = ci(raw"^PARTITION\s+BY\s+").replaceFirstIn(part, "")
+          java.util.regex.Matcher.quoteReplacement(
+            s"ROW_NUMBER() OVER ($part ORDER BY $keys)")
+        }
+      })
+    s
+  }
+
   def translateScript(sql: String, params: Map[String, String] = Map.empty,
       binds: Map[String, String] = Map.empty,
       sqlRender: Boolean = true): Seq[String] = {
