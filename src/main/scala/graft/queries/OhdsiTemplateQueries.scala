@@ -1279,6 +1279,135 @@ object OhdsiTemplateQueries {
     s.table("graft_bq_omop.provider").orderBy("provider_id")
   }
 
+  /** The BIGQUERY-dialect concept-id swap chain VERBATIM
+    * (`bigquery/templates/etl/CONCEPT_ID_swap_create/merge` — vendored
+    * byte-identical): `CLUSTER BY`-suffixed guarded DDL, a MERGE with
+    * its cte INSIDE the USING subquery and `INSERT ROW`. Same two-batch
+    * fixture and SAME expected ids as the sql_server twin.
+    */
+  val ohdsiSqlBqConceptSwap: Q = (s, d) => {
+    s.sql("DROP DATABASE IF EXISTS graft_bq_cs CASCADE")
+    val db = "graft_bq_cs"
+    def run(name: String): Unit = {
+      val in = getClass.getResourceAsStream(s"/graft/ohdsi/$name.sql.jinja")
+      val text = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      OhdsiSql.executeAll(s,
+        OhdsiSql.translateBigQuery(JinjaLite.render(text, Map(
+          "dataset_work" -> db,
+          "omop_table" -> "provider",
+          "concept_id_column" -> "specialty_concept_id",
+          "min_custom_concept_id" -> "2000000000"))), sqlRender = false)
+    }
+    stage(s, db, "provider__specialty_concept_id_concept", workConceptFixture(s, d))
+    run("bq_concept_id_swap_create")
+    run("bq_concept_id_swap_merge")
+    stage(s, db, "provider__specialty_concept_id_concept",
+      workConceptFixture(s, d).unionByName(regionConceptFixture(s, d)))
+    run("bq_concept_id_swap_merge")
+    s.table(s"$db.concept_id_swap").orderBy("y")
+  }
+
+  /** The BIGQUERY-dialect duplicate-rows check VERBATIM
+    * (`bigquery/templates/etl/{omop_work_table}_merge_check_for_duplicate_rows`):
+    * same Jinja surface as the sql_server twin but GoogleSQL quoting,
+    * a double-quoted STRING_AGG separator, and a bare trailing LIMIT.
+    * Same fixture; the same canonicalization of the published SQL's
+    * engine-unspecified facets (STRING_AGG order, row order, count name).
+    */
+  val ohdsiSqlBqDupRows: Q = (s, d) => {
+    s.sql("DROP DATABASE IF EXISTS graft_bq_dr CASCADE")
+    val orders = t(s, d, "orders")
+    def upload(m: Long) = orders.filter(col("o_orderkey") % m === 0)
+      .select(col("o_orderkey").as("provider_id"),
+        (col("o_custkey") % 5).as("specialty_concept_id"))
+    stage(s, "graft_bq_dr", "provider__upload__u1", upload(97L))
+    stage(s, "graft_bq_dr", "provider__upload__u2", upload(1455L))
+    val in = getClass.getResourceAsStream("/graft/ohdsi/bq_dup_rows.sql.jinja")
+    val text = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    val raw = OhdsiSql.execute(s,
+      OhdsiSql.translateBigQuery(JinjaLite.render(text,
+        scalars = Map(
+          "dataset_work" -> "graft_bq_dr",
+          "omop_table" -> "provider",
+          "primary_key_column" -> "provider_id"),
+        lists = Map(
+          "upload_tables" -> Seq("u1", "u2"),
+          "concept_id_columns" -> Seq("specialty_concept_id"),
+          "events" -> Seq.empty))), sqlRender = false)
+    raw.select(
+      concat_ws(", ", array_sort(split(col("upload_tables"), ",\\s*")))
+        .as("upload_tables"),
+      col("provider_id"), col("specialty_concept_id"),
+      col(raw.columns.last).as("cnt"))
+      .orderBy("provider_id", "specialty_concept_id")
+  }
+
+  /** BIGQUERY-dialect CONCEPT merge VERBATIM
+    * (`bigquery/templates/etl/CONCEPT_merge.sql.jinja`): the bq swap
+    * chain feeding a MERGE whose USING selects `swap.y as concept_id,
+    * t.* EXCEPT(concept_id)` (the GoogleSQL qualified star-except) and
+    * inserts with `INSERT ROW`. Same expected rows as the sql_server
+    * twin.
+    */
+  val ohdsiSqlBqConceptMerge: Q = (s, d) => {
+    s.sql("DROP DATABASE IF EXISTS graft_bq_cm CASCADE")
+    s.sql("DROP DATABASE IF EXISTS graft_bq_cm_omop CASCADE")
+    val db = "graft_bq_cm"
+    def run(name: String, extra: Map[String, String] = Map.empty): Unit = {
+      val in = getClass.getResourceAsStream(s"/graft/ohdsi/$name.sql.jinja")
+      val text = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      OhdsiSql.executeAll(s,
+        OhdsiSql.translateBigQuery(JinjaLite.render(text, Map(
+          "dataset_work" -> db,
+          "dataset_omop" -> "graft_bq_cm_omop",
+          "omop_table" -> "provider",
+          "concept_id_column" -> "specialty_concept_id",
+          "min_custom_concept_id" -> "2000000000") ++ extra)), sqlRender = false)
+    }
+    // the bq work concept table carries a concept_id column (its
+    // concept_create DDL does) — the merge's star-except drops it
+    stage(s, db, "provider__specialty_concept_id_concept",
+      workConceptFixture(s, d).select(
+        (lit(0L).as("concept_id") +: workConceptFixture(s, d).columns
+          .map(col)): _*))
+    run("bq_concept_id_swap_create")
+    run("bq_concept_id_swap_merge")
+    stage(s, "graft_bq_cm_omop", "concept", conceptSeed(s, d))
+    run("bq_concept_merge")
+    s.table("graft_bq_cm_omop.concept").orderBy("concept_id")
+  }
+
+  /** BIGQUERY-dialect usagi checks VERBATIM (`usagi_non_standard` +
+    * `usagi_fk_domain_check` from the bigquery tree): double-quoted
+    * string literals, bare LIMIT, and the domains-list Jinja loop — run
+    * over the SAME staged universe as the sql_server flow (the shared
+    * concept chain), returning one union frame.
+    */
+  val ohdsiSqlBqUsagiChecks: Q = (s, d) => {
+    val (workDb, omopDb) = sharedConceptFlow(s, d)
+    def run(name: String, lists: Map[String, Seq[String]]): DataFrame = {
+      val in = getClass.getResourceAsStream(s"/graft/ohdsi/$name.sql.jinja")
+      val text = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      OhdsiSql.execute(s,
+        OhdsiSql.translateBigQuery(JinjaLite.render(text, Map(
+          "dataset_work" -> workDb,
+          "dataset_omop" -> omopDb,
+          "omop_table" -> "provider",
+          "concept_id_column" -> "specialty_concept_id",
+          "process_semi_approved_mappings" -> ""), lists)), sqlRender = false)
+    }
+    val nonStd = run("bq_usagi_non_standard", Map.empty)
+      .select(lit("non_standard").as("check"), col("sourceCode"),
+        col("conceptId").cast("long").as("conceptId"),
+        col("standard_concept").as("detail"))
+    val domain = run("bq_usagi_fk_domain_check",
+      Map("domains" -> Seq("condition", "procedure")))
+      .select(lit("domain").as("check"), col("sourceCode"),
+        col("conceptId").cast("long").as("conceptId"),
+        col("domain_id").as("detail"))
+    nonStd.unionByName(domain).orderBy("check", "sourceCode")
+  }
+
   /** The VOCABULARY branch of the verbatim `{omop_table}_merge` template
     * (the published S7/D6 refill semantics — the one template code path
     * the provider entry does not take): work-table TRUNCATE + dedup'd
@@ -2070,6 +2199,10 @@ object OhdsiTemplateQueries {
     "stream_pk_swap_merge" -> streamPkSwapMerge,
     "ohdsi_sql_vocab_merge" -> ohdsiSqlVocabMerge,
     "ohdsi_sql_bq_flow" -> ohdsiSqlBqFlow,
+    "ohdsi_sql_bq_concept_swap" -> ohdsiSqlBqConceptSwap,
+    "ohdsi_sql_bq_concept_merge" -> ohdsiSqlBqConceptMerge,
+    "ohdsi_sql_bq_usagi_checks" -> ohdsiSqlBqUsagiChecks,
+    "ohdsi_sql_bq_dup_rows" -> ohdsiSqlBqDupRows,
     "ohdsi_sql_usagi_update" -> ohdsiSqlUsagiUpdate,
     "ohdsi_sql_stcm_merge" -> ohdsiSqlStcmMerge,
     "ohdsi_sql_map_merge" -> ohdsiSqlMapMerge,
@@ -2144,7 +2277,74 @@ object OhdsiTemplateQueries {
           |  year_of_birth, care_site_id
           |FROM src ORDER BY provider_id""".stripMargin
 
+  /** Both dialects' concept-swap chains pin to the SAME ids. */
+  private lazy val ConceptSwapExpectedOracle =
+    """WITH b1 AS (
+          |  SELECT 'specialty_concept_id__SRC_' || n_name AS x,
+          |    CAST(2000000000 + rank() OVER (ORDER BY ('SRC_' || n_name)) AS BIGINT) AS y
+          |  FROM nation
+          |), b2 AS (
+          |  SELECT 'specialty_concept_id__SRCZ_' || r_name AS x,
+          |    CAST(2000000000 + (SELECT count(*) FROM nation)
+          |      + rank() OVER (ORDER BY ('SRCZ_' || r_name)) AS BIGINT) AS y
+          |  FROM region
+          |)
+          |SELECT x, y FROM b1 UNION ALL SELECT x, y FROM b2 ORDER BY y""".stripMargin
+
+  /** Both dialects' CONCEPT merges pin to the SAME rows. */
+  private lazy val ConceptMergeExpectedOracle =
+    """WITH customs AS (
+          |  SELECT CAST(2000000000 + rank() OVER (ORDER BY ('SRC_' || n_name)) AS BIGINT) AS concept_id,
+          |    n_name AS concept_name,
+          |    (['Condition','Procedure','Measurement','BadDomain'])[CAST(n_nationkey % 4 AS INT) + 1] AS domain_id,
+          |    (['LOCAL','SNOMED'])[CAST(n_nationkey % 2 AS INT) + 1] AS vocabulary_id,
+          |    (['Clinical Finding','Custom','Unknown Class'])[CAST(n_nationkey % 3 AS INT) + 1] AS concept_class_id,
+          |    CASE WHEN n_nationkey % 5 = 0 THEN 'S' WHEN n_nationkey % 5 = 1 THEN 'C' ELSE NULL END AS standard_concept,
+          |    'SRC_' || n_name AS concept_code,
+          |    DATE '2000-01-01' + CAST(n_nationkey AS INT) AS valid_start_date,
+          |    DATE '2099-12-31' AS valid_end_date,
+          |    CAST(NULL AS VARCHAR) AS invalid_reason
+          |  FROM nation
+          |), standards AS (
+          |  SELECT CAST(n_nationkey AS BIGINT) AS concept_id, n_name AS concept_name,
+          |    'Condition' AS domain_id, 'SNOMED' AS vocabulary_id,
+          |    'Clinical Finding' AS concept_class_id, 'S' AS standard_concept,
+          |    'STD_' || n_name AS concept_code,
+          |    DATE '1990-01-01' AS valid_start_date, DATE '2099-12-31' AS valid_end_date,
+          |    CAST(NULL AS VARCHAR) AS invalid_reason
+          |  FROM nation
+          |)
+          |SELECT * FROM standards UNION ALL SELECT * FROM customs ORDER BY concept_id""".stripMargin
+
   val oracles: Seq[(String, String)] = Seq(
+    "ohdsi_sql_bq_usagi_checks" -> {
+      s"""WITH ranked AS (
+         |  $RankedCte
+         |)
+         |SELECT 'non_standard' AS "check", code AS sourceCode,
+         |  cid AS conceptId, 'C' AS detail
+         |FROM ranked WHERE n_nationkey % 2 = 0 AND n_nationkey % 5 = 1
+         |UNION ALL
+         |SELECT 'domain' AS "check", code AS sourceCode,
+         |  cid AS conceptId, 'Measurement' AS detail
+         |FROM ranked WHERE n_nationkey % 2 = 0 AND n_nationkey % 4 = 2
+         |ORDER BY "check", sourceCode""".stripMargin
+    },
+    "ohdsi_sql_bq_dup_rows" ->
+      """WITH up AS (
+        |  SELECT DISTINCT o_orderkey AS provider_id,
+        |    o_custkey % 5 AS specialty_concept_id, 'u1' AS upload_table
+        |  FROM orders WHERE o_orderkey % 97 = 0
+        |  UNION ALL
+        |  SELECT DISTINCT o_orderkey, o_custkey % 5, 'u2'
+        |  FROM orders WHERE o_orderkey % 1455 = 0
+        |)
+        |SELECT array_to_string(list_sort(list(upload_table)), ', ') AS upload_tables,
+        |  provider_id, specialty_concept_id, CAST(count(*) AS BIGINT) AS cnt
+        |FROM up GROUP BY provider_id, specialty_concept_id
+        |HAVING count(*) > 1
+        |ORDER BY provider_id, specialty_concept_id
+        |LIMIT 100""".stripMargin,
     "ohdsi_sql_s2cm_remove" ->
       """SELECT concat('SRC_', n_name) AS source_code,
         |  CAST(n_nationkey + 100 AS BIGINT) AS target_concept_id,
@@ -2495,41 +2695,10 @@ object OhdsiTemplateQueries {
       """SELECT 'visit_occurrence' AS omop_table, o_orderkey AS source_id,
         |  o_orderkey * 10 AS omop_id
         |FROM orders WHERE o_orderkey % 3 = 2 ORDER BY source_id""".stripMargin,
-    "ohdsi_sql_concept_swap" ->
-      """WITH b1 AS (
-        |  SELECT 'specialty_concept_id__SRC_' || n_name AS x,
-        |    CAST(2000000000 + rank() OVER (ORDER BY ('SRC_' || n_name)) AS BIGINT) AS y
-        |  FROM nation
-        |), b2 AS (
-        |  SELECT 'specialty_concept_id__SRCZ_' || r_name AS x,
-        |    CAST(2000000000 + (SELECT count(*) FROM nation)
-        |      + rank() OVER (ORDER BY ('SRCZ_' || r_name)) AS BIGINT) AS y
-        |  FROM region
-        |)
-        |SELECT x, y FROM b1 UNION ALL SELECT x, y FROM b2 ORDER BY y""".stripMargin,
-    "ohdsi_sql_concept_merge" ->
-      """WITH customs AS (
-        |  SELECT CAST(2000000000 + rank() OVER (ORDER BY ('SRC_' || n_name)) AS BIGINT) AS concept_id,
-        |    n_name AS concept_name,
-        |    (['Condition','Procedure','Measurement','BadDomain'])[CAST(n_nationkey % 4 AS INT) + 1] AS domain_id,
-        |    (['LOCAL','SNOMED'])[CAST(n_nationkey % 2 AS INT) + 1] AS vocabulary_id,
-        |    (['Clinical Finding','Custom','Unknown Class'])[CAST(n_nationkey % 3 AS INT) + 1] AS concept_class_id,
-        |    CASE WHEN n_nationkey % 5 = 0 THEN 'S' WHEN n_nationkey % 5 = 1 THEN 'C' ELSE NULL END AS standard_concept,
-        |    'SRC_' || n_name AS concept_code,
-        |    DATE '2000-01-01' + CAST(n_nationkey AS INT) AS valid_start_date,
-        |    DATE '2099-12-31' AS valid_end_date,
-        |    CAST(NULL AS VARCHAR) AS invalid_reason
-        |  FROM nation
-        |), standards AS (
-        |  SELECT CAST(n_nationkey AS BIGINT) AS concept_id, n_name AS concept_name,
-        |    'Condition' AS domain_id, 'SNOMED' AS vocabulary_id,
-        |    'Clinical Finding' AS concept_class_id, 'S' AS standard_concept,
-        |    'STD_' || n_name AS concept_code,
-        |    DATE '1990-01-01' AS valid_start_date, DATE '2099-12-31' AS valid_end_date,
-        |    CAST(NULL AS VARCHAR) AS invalid_reason
-        |  FROM nation
-        |)
-        |SELECT * FROM standards UNION ALL SELECT * FROM customs ORDER BY concept_id""".stripMargin,
+    "ohdsi_sql_concept_swap" -> ConceptSwapExpectedOracle,
+    "ohdsi_sql_bq_concept_swap" -> ConceptSwapExpectedOracle,
+    "ohdsi_sql_concept_merge" -> ConceptMergeExpectedOracle,
+    "ohdsi_sql_bq_concept_merge" -> ConceptMergeExpectedOracle,
     "ohdsi_sql_custom_validate" ->
       """SELECT n_name AS concept_name,
         |  (['Condition','Procedure','Measurement','BadDomain'])[CAST(n_nationkey % 4 AS INT) + 1] AS domain_id,

@@ -807,8 +807,9 @@ object OhdsiSql {
     */
   def execute(spark: SparkSession, sql: String,
       params: Map[String, String] = Map.empty,
-      binds: Map[String, String] = Map.empty): DataFrame =
-    executeAll(spark, sql, params, binds).getOrElse(
+      binds: Map[String, String] = Map.empty,
+      sqlRender: Boolean = true): DataFrame =
+    executeAll(spark, sql, params, binds, sqlRender).getOrElse(
       throw new IllegalArgumentException(
         "OHDSI SQL script contains no result-producing SELECT"))
 
