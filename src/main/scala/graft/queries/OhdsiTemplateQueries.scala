@@ -1408,6 +1408,42 @@ object OhdsiTemplateQueries {
     nonStd.unionByName(domain).orderBy("check", "sourceCode")
   }
 
+  /** BIGQUERY-dialect usagi id injection VERBATIM
+    * (`bigquery/templates/etl/{omop_table}__{concept_id_column}_usagi_update_custom_concepts`):
+    * the GoogleSQL `UPDATE t AS T SET .. FROM ( subquery ) c WHERE ..`
+    * shape (the r15 second UPDATE..FROM grammar), whose own
+    * `conceptId IS NULL or = 0` guard updates only unassigned rows —
+    * the full pure-BQ chain: work concept upload → bq swap create+merge
+    * → bq id injection.
+    */
+  val ohdsiSqlBqUsagiUpdate: Q = (s, d) => {
+    s.sql("DROP DATABASE IF EXISTS graft_bq_uu CASCADE")
+    val db = "graft_bq_uu"
+    def run(name: String): Unit = {
+      val in = getClass.getResourceAsStream(s"/graft/ohdsi/$name.sql.jinja")
+      val text = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      OhdsiSql.executeAll(s,
+        OhdsiSql.translateBigQuery(JinjaLite.render(text, Map(
+          "dataset_work" -> db,
+          "omop_table" -> "provider",
+          "concept_id_column" -> "specialty_concept_id",
+          "min_custom_concept_id" -> "2000000000",
+          "process_semi_approved_mappings" -> ""))), sqlRender = false)
+    }
+    stage(s, db, "provider__specialty_concept_id_concept", workConceptFixture(s, d))
+    run("bq_concept_id_swap_create")
+    run("bq_concept_id_swap_merge")
+    // unassigned = 0 (the template's own NULL-or-zero guard)
+    stage(s, db, "provider__specialty_concept_id_usagi", t(s, d, "nation").select(
+      concat(lit("SRC_"), col("n_name")).as("sourceCode"),
+      concat(lit("name "), col("n_name")).as("sourceName"),
+      lit(0).as("conceptId"),
+      when(col("n_nationkey") % 2 === 0, lit("APPROVED")).otherwise(lit("FLAGGED"))
+        .as("mappingStatus")))
+    run("bq_usagi_update")
+    s.table(s"$db.provider__specialty_concept_id_usagi").orderBy("sourceCode")
+  }
+
   /** The VOCABULARY branch of the verbatim `{omop_table}_merge` template
     * (the published S7/D6 refill semantics — the one template code path
     * the provider entry does not take): work-table TRUNCATE + dedup'd
@@ -2202,6 +2238,7 @@ object OhdsiTemplateQueries {
     "ohdsi_sql_bq_concept_swap" -> ohdsiSqlBqConceptSwap,
     "ohdsi_sql_bq_concept_merge" -> ohdsiSqlBqConceptMerge,
     "ohdsi_sql_bq_usagi_checks" -> ohdsiSqlBqUsagiChecks,
+    "ohdsi_sql_bq_usagi_update" -> ohdsiSqlBqUsagiUpdate,
     "ohdsi_sql_bq_dup_rows" -> ohdsiSqlBqDupRows,
     "ohdsi_sql_usagi_update" -> ohdsiSqlUsagiUpdate,
     "ohdsi_sql_stcm_merge" -> ohdsiSqlStcmMerge,
@@ -2317,6 +2354,15 @@ object OhdsiTemplateQueries {
           |SELECT * FROM standards UNION ALL SELECT * FROM customs ORDER BY concept_id""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(
+    "ohdsi_sql_bq_usagi_update" -> {
+      s"""WITH ranked AS (
+         |  $RankedCte
+         |)
+         |SELECT code AS sourceCode, concat('name ', n_name) AS sourceName,
+         |  CASE WHEN n_nationkey % 2 = 0 THEN cid ELSE 0 END AS conceptId,
+         |  CASE WHEN n_nationkey % 2 = 0 THEN 'APPROVED' ELSE 'FLAGGED' END AS mappingStatus
+         |FROM ranked ORDER BY sourceCode""".stripMargin
+    },
     "ohdsi_sql_bq_usagi_checks" -> {
       s"""WITH ranked AS (
          |  $RankedCte

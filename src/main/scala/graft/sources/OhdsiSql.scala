@@ -618,14 +618,45 @@ object OhdsiSql {
     * nondeterminism.
     */
   private def executeUpdateFrom(spark: SparkSession, ctes: String, body: String): Unit = {
-    val hm = ci(raw"(?s)^\s*UPDATE\s+(\w+)\s+SET\s+(.*?)\s+FROM\s+($QNamePat)\s+(?:AS\s+)?(\w+)\s+INNER\s+JOIN\s+($QNamePat)\s+(?:AS\s+)?(\w+)\s+ON\s+(.*?)\s*;?\s*$$")
+    // two published shapes share the semantics:
+    //   T-SQL:     UPDATE a SET ... FROM t [AS] a INNER JOIN rel [AS] r ON cond
+    //   GoogleSQL: UPDATE t [AS] a SET ... FROM ( subquery ) r WHERE cond
+    //              (the bigquery usagi_update_custom_concepts form)
+    val tsql = ci(raw"(?s)^\s*UPDATE\s+(\w+)\s+SET\s+(.*?)\s+FROM\s+($QNamePat)\s+(?:AS\s+)?(\w+)\s+INNER\s+JOIN\s+($QNamePat)\s+(?:AS\s+)?(\w+)\s+ON\s+(.*?)\s*;?\s*$$")
       .findFirstMatchIn(body)
-      .getOrElse(throw new IllegalArgumentException(
-        "unsupported UPDATE..FROM shape (expected: UPDATE a SET ... FROM t " +
-          "[AS] a INNER JOIN rel [AS] r ON cond)"))
-    val (ua, setBody, tbl, ta, rel, ra, cond) =
-      (hm.group(1), hm.group(2), hm.group(3), hm.group(4), hm.group(5),
-        hm.group(6), hm.group(7))
+    val (ua, setBody, tbl, ta, rel, ra, cond) = tsql match {
+      case Some(hm) =>
+        (hm.group(1), hm.group(2), hm.group(3), hm.group(4), hm.group(5),
+          hm.group(6), hm.group(7))
+      case None =>
+        val gm = ci(raw"(?s)^\s*UPDATE\s+($QNamePat)\s+(?:AS\s+)?(\w+)\s+SET\s+(.*?)\s+FROM\s*\(")
+          .findFirstMatchIn(body)
+          .getOrElse(throw new IllegalArgumentException(
+            "unsupported UPDATE..FROM shape (expected: UPDATE a SET ... FROM t " +
+              "[AS] a INNER JOIN rel [AS] r ON cond, or UPDATE t [AS] a SET ... " +
+              "FROM ( subquery ) r WHERE cond)"))
+        // balanced subquery
+        var i = body.indexOf('(', gm.end - 1)
+        var depth = 0
+        var inQ = false
+        val start = i
+        var end = -1
+        while (i < body.length && end < 0) {
+          val ch = body.charAt(i)
+          if (ch == '\'') inQ = !inQ
+          else if (!inQ && ch == '(') depth += 1
+          else if (!inQ && ch == ')') { depth -= 1; if (depth == 0) end = i }
+          i += 1
+        }
+        require(end > start, "unbalanced parentheses in UPDATE..FROM subquery")
+        val sub = body.substring(start + 1, end)
+        val tm = ci(raw"(?s)^\s*(\w+)\s+WHERE\s+(.*?)\s*;?\s*$$")
+          .findFirstMatchIn(body.substring(end + 1))
+          .getOrElse(throw new IllegalArgumentException(
+            "unsupported UPDATE..FROM tail (expected: ) <alias> WHERE <cond>)"))
+        (gm.group(2), gm.group(3), gm.group(1), gm.group(2),
+          s"( $sub )", tm.group(1), tm.group(2))
+      }
     require(ua.equalsIgnoreCase(ta),
       s"UPDATE alias '$ua' must name the FROM target alias '$ta'")
     val assigns = splitTopDepth(setBody, ',').map(_.trim).filter(_.nonEmpty).map { a =>
