@@ -521,7 +521,11 @@ object OhdsiTemplateQueries {
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
 
   private def sharedConceptFlow(s: SparkSession, d: String): (String, String) =
-    flowMemo.getOrElseUpdate(d, stageConceptFlow(s, d, "csh"))
+    // the staged databases are KEYED BY DATASET: with two datasets
+    // interleaved in one JVM, a fixed db name would let dataset A's memo
+    // hit read dataset B's re-staged rows (r15 ADVICE)
+    flowMemo.getOrElseUpdate(d,
+      stageConceptFlow(s, d, s"csh_${graft.io.Zones.pathKey(d)}"))
 
   private def stageConceptFlow(s: SparkSession, d: String, tag: String): (String, String) = {
     val (workDb, omopDb) = (s"graft_work_$tag", s"graft_omop_$tag")

@@ -348,7 +348,9 @@ object JinjaLite {
     private def parseTerm(): BExpr = {
       // xs.keys()|length > n — the only filter comparison the tree uses
       skipWs()
-      val lenRe = raw"($Ident)\.keys\(\)\s*\|\s*length\s*>\s*(\d+)".r
+      // `.keys()` is optional: the bq work-table DDL compares a plain
+      // list (`cluster_fields | length > 0`)
+      val lenRe = raw"($Ident)(?:\.keys\(\))?\s*\|\s*length\s*>\s*(\d+)".r
       lenRe.findPrefixMatchOf(s.substring(i)) match {
         case Some(m) => i += m.end; return BLenGt(m.group(1), m.group(2).toInt)
         case None =>
@@ -464,7 +466,22 @@ object JinjaLite {
         if (op == "==") l == rv else l != rv
       case (None, Some((listName, accessor))) =>
         seqOf(listName, accessor, ctx).contains(operand(c.lhs, ctx))
-      case (None, None) => ctx.scalars.get(c.lhs).exists(_.nonEmpty)
+      case (None, None) =>
+        // bare truthiness over ANY readable operand (Jinja: defined and
+        // non-empty). A dotted/indexed reference resolves through
+        // evalExpr (namespace/record attrs — the r15 ADVICE fix: the
+        // scalars-only lookup silently yielded false); a plain name
+        // checks scalars THEN list/dict non-emptiness, and a truly
+        // undefined name raises (the engine's fail-loud contract).
+        val l = c.lhs
+        if (l.startsWith("'") || l.startsWith("\"")) l.length > 2
+        else if (ctx.scalars.contains(l)) ctx.scalars(l).nonEmpty
+        else if (l.contains(".") || l.contains("[")) evalExpr(l, ctx).nonEmpty
+        else if (ctx.lists.contains(l)) ctx.lists(l).nonEmpty
+        else if (ctx.dicts.contains(l)) ctx.dicts(l).nonEmpty
+        else if (ctx.recVars.contains(l) || ctx.env.contains(l)) true
+        else sys.error(s"undefined Jinja variable '$l' in condition — " +
+          s"provided: ${(ctx.scalars.keys ++ ctx.lists.keys ++ ctx.dicts.keys).toSeq.sorted.mkString(", ")}")
     }
     if (c.negated) !base else base
   }
@@ -567,6 +584,35 @@ object JinjaLite {
               s"unsupported namespace initializer '$other' — expected attr = expr")
           }
           ctx.env(n) = m
+        case expr if expr.trim.startsWith("{") =>
+          // a dict LITERAL (`{% set types = {'a': 'b', ...} %}` — the bq
+          // sample-query datatype map): quoted keys and values, bound as
+          // an ordered dict like a caller-supplied one
+          val body = expr.trim
+          require(body.endsWith("}"),
+            s"unsupported Jinja dict literal '$expr' — missing closing brace")
+          val QuotedPair =
+            raw"""(?s)^\s*('[^']*'|\x22[^\x22]*\x22)\s*:\s*('[^']*'|\x22[^\x22]*\x22)\s*$$""".r
+          val pairs = {
+            // split on commas outside quotes
+            val out = Seq.newBuilder[String]
+            val cur = new StringBuilder
+            var q: Char = 0
+            body.substring(1, body.length - 1).foreach { ch =>
+              if (q == 0 && (ch == '\'' || ch == '"')) { q = ch; cur += ch }
+              else if (q != 0 && ch == q) { q = 0; cur += ch }
+              else if (q == 0 && ch == ',') { out += cur.result(); cur.clear() }
+              else cur += ch
+            }
+            out += cur.result()
+            out.result()
+          }.map(_.trim).filter(_.nonEmpty).map {
+            case QuotedPair(k, v) =>
+              (k.substring(1, k.length - 1), v.substring(1, v.length - 1))
+            case other => sys.error(
+              s"unsupported Jinja dict entry '$other' — expected 'key': 'value'")
+          }
+          ctx = ctx.copy(dicts = ctx.dicts + (n -> pairs))
         case expr => ctx = ctx.copy(scalars = ctx.scalars + (n -> evalExpr(expr, ctx)))
       }
       case SetAttr(n, a, e) =>

@@ -504,17 +504,50 @@ object OhdsiSql {
     val dbTbl = (if (parts.length == 3) s"${parts(1)}.${parts(2)}"
       else cleanName(name)).toLowerCase
     val db = dbTbl.split('.').head
+    // clustering parity (SURVEY §1.3): a table created with the published
+    // CLUSTER BY carries its keys in graft.cluster_by — every rewrite
+    // re-sorts within partitions, so the stored layout keeps the
+    // BigQuery clustering semantics (block-local key order -> parquet
+    // row-group min/max skipping on the cluster keys)
+    val clusterBy = tableClusterBy(spark, dbTbl)
     // materialize the new contents OUTSIDE the table's own location so
     // the swap never reads what it overwrites
     val tmp = java.nio.file.Files.createTempDirectory("ohdsi_writeback").toString
-    df.write.mode("overwrite").parquet(tmp)
-    val fresh = spark.read.parquet(tmp)
-    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
-    spark.sql(s"DROP TABLE IF EXISTS $dbTbl")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir") + s"/$db.db/${dbTbl.split('.').last}")
-    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
-    fresh.write.saveAsTable(dbTbl)
+    try {
+      df.write.mode("overwrite").parquet(tmp)
+      val freshRaw = spark.read.parquet(tmp)
+      val fresh = clusterBy match {
+        case Some(keys) => freshRaw.sortWithinPartitions(
+          keys.map(org.apache.spark.sql.functions.col): _*)
+        case None => freshRaw
+      }
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+      spark.sql(s"DROP TABLE IF EXISTS $dbTbl")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + s"/$db.db/${dbTbl.split('.').last}")
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+      fresh.write.saveAsTable(dbTbl)
+      clusterBy.foreach(keys => spark.sql(
+        s"ALTER TABLE $dbTbl SET TBLPROPERTIES ('graft.cluster_by' = '${keys.mkString(",")}')"))
+    } finally {
+      // the materialized copy is dead once the managed table is written
+      // — deleting it here closes the one-parquet-copy-per-write-back
+      // /tmp leak (r15 ADVICE)
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  /** The recorded CLUSTER BY keys of a catalog table (None when the
+    * table does not exist or was created without clustering).
+    */
+  def tableClusterBy(spark: SparkSession, dbTbl: String): Option[Seq[String]] = {
+    val parts = dbTbl.split('.')
+    if (parts.length != 2 || !spark.catalog.tableExists(dbTbl)) None
+    else spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(parts(1), Some(parts(0))))
+      .properties.get("graft.cluster_by")
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
   }
 
   /** First span at paren depth 0 OUTSIDE quotes where the keyword phrase
@@ -861,6 +894,7 @@ object OhdsiSql {
         .dropWhile(l => l.trim.isEmpty || l.trim.startsWith("--"))
         .mkString("\n"))
       .map(rewriteSysCatalog(spark, _))
+      .map(rewriteInfoSchema(spark, _))
       .foreach {
       case DropIfExists(tgt) => dropAnyTable(spark, tgt)
       case DropTable(tgt) => dropAnyTable(spark, tgt)
@@ -882,9 +916,9 @@ object OhdsiSql {
         executeIfNotExists(spark, stmt)
       case stmt if ci(raw"^\s*CREATE\s+TABLE\s+IF\s+NOT\s+EXISTS\b").findFirstIn(stmt).isDefined =>
         // the GoogleSQL guarded-DDL form (swap_create in the bigquery
-        // tree); a trailing CLUSTER BY clause is data layout — the Spark
-        // analogue is bucketing, accepted and ignored like indexes
-        val m = ci(raw"(?s)^\s*CREATE\s+TABLE\s+IF\s+NOT\s+EXISTS\s+($QNamePat)\s*\((.*)\)\s*(?:CLUSTER\s+BY\b.*)?$$")
+        // tree); a trailing CLUSTER BY clause forwards so the created
+        // table records its clustering keys
+        val m = ci(raw"(?s)^\s*CREATE\s+TABLE\s+IF\s+NOT\s+EXISTS\s+($QNamePat)\s*\((.*)\)\s*(CLUSTER\s+BY\b.*?)?\s*$$")
           .findFirstMatchIn(stmt)
           .getOrElse(throw new IllegalArgumentException(
             "unsupported CREATE TABLE IF NOT EXISTS shape"))
@@ -892,7 +926,8 @@ object OhdsiSql {
         val dbTbl = (if (parts.length == 3) s"${parts(1)}.${parts(2)}"
           else cleanName(m.group(1))).toLowerCase
         if (!spark.catalog.tableExists(dbTbl))
-          executeCreateTable(spark, s"CREATE TABLE ${m.group(1)} (${m.group(2)})")
+          executeCreateTable(spark,
+            s"CREATE TABLE ${m.group(1)} (${m.group(2)}) ${Option(m.group(3)).getOrElse("")}")
       case stmt if ci(raw"^\s*CREATE\s+OR\s+REPLACE\s+TABLE\b").findFirstIn(stmt).isDefined =>
         executeCreateOrReplace(spark, stmt)
       case stmt if ci(raw"^\s*IF\s+EXISTS\s*\(").findFirstIn(stmt).isDefined =>
@@ -1111,11 +1146,16 @@ object OhdsiSql {
     * [[replaceCatalogTable]]).
     */
   private def executeCreateTable(spark: SparkSession, stmt: String): Unit = {
-    val m = ci(raw"(?s)^\s*CREATE\s+TABLE\s+($QNamePat)\s*\((.*)\)\s*$$")
+    // an optional trailing CLUSTER BY (the BigQuery dialect's data-layout
+    // clause, `OMOPCDM_bigquery_5.4_ddl.sql.jinja`) is RECORDED as table
+    // metadata — writes through the bridge then keep the clustered order
+    val m = ci(raw"(?s)^\s*CREATE\s+TABLE\s+($QNamePat)\s*\((.*)\)\s*(?:CLUSTER\s+BY\s+([\w\s,`]+?))?\s*$$")
       .findFirstMatchIn(stmt)
       .getOrElse(throw new IllegalArgumentException(
-        "unsupported CREATE TABLE shape (expected: CREATE TABLE <name> (col type, ...))"))
+        "unsupported CREATE TABLE shape (expected: CREATE TABLE <name> (col type, ...) [CLUSTER BY cols])"))
     val name = m.group(1)
+    val clusterKeys = Option(m.group(3)).map(
+      _.split(',').toSeq.map(c => cleanName(c.trim)).filter(_.nonEmpty))
     val cols = splitTopDepth(m.group(2), ',').map(_.trim).filter(_.nonEmpty).map { c =>
       // a trailing NULL / NOT NULL nullability marker is accepted and
       // dropped: Spark parquet tables are nullable (the DQD battery is
@@ -1151,11 +1191,23 @@ object OhdsiSql {
       else cleanName(name)).toLowerCase
     val db = dbTbl.split('.').head
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
-    spark.sql(s"DROP TABLE IF EXISTS $dbTbl")
+    // SQL Server raises on CREATE TABLE over an existing object and
+    // leaves the data intact — an unguarded CREATE must NOT act as a
+    // destructive replace (r15 ADVICE). The published scripts that mean
+    // replace say so: DROP TABLE IF EXISTS / IF NOT EXISTS guards /
+    // CREATE OR REPLACE all route around this check.
+    require(!spark.catalog.tableExists(dbTbl),
+      s"CREATE TABLE $dbTbl: table already exists (SQL Server raises here; " +
+        "the published templates DROP or guard first)")
+    // a LOCATION left by a previous JVM whose in-memory catalog forgot
+    // the entry would fail the create — clear it (the r15 trap; the
+    // catalog-existence check above still protects live tables)
     val loc = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir") + s"/$db.db/${dbTbl.split('.').last}")
     loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
-    spark.sql(s"CREATE TABLE $dbTbl (${cols.mkString(", ")}) USING parquet")
+    val props = clusterKeys.map(k =>
+      s" TBLPROPERTIES ('graft.cluster_by' = '${k.mkString(",")}')").getOrElse("")
+    spark.sql(s"CREATE TABLE $dbTbl (${cols.mkString(", ")}) USING parquet$props")
   }
 
   /** The GoogleSQL CTAS-replace — `CREATE OR REPLACE TABLE t [LIKE t2]
@@ -1168,12 +1220,31 @@ object OhdsiSql {
     */
   private def executeCreateOrReplace(spark: SparkSession, stmt: String): Unit = {
     import org.apache.spark.sql.functions.{col => fcol}
-    val m = ci(raw"(?s)^\s*CREATE\s+OR\s+REPLACE\s+TABLE\s+($QNamePat)\s*(?:LIKE\s+($QNamePat)\s*)?AS\s*\((.*)\)\s*$$")
+    val m = ci(raw"(?s)^\s*CREATE\s+OR\s+REPLACE\s+TABLE\s+($QNamePat)\s*(?:LIKE\s+($QNamePat)\s*)?AS\s+(.+)$$")
       .findFirstMatchIn(stmt)
       .getOrElse(throw new IllegalArgumentException(
         "unsupported CREATE OR REPLACE TABLE shape (expected: CREATE OR " +
-          "REPLACE TABLE <t> [LIKE <t2>] AS ( select ))"))
-    val df = spark.sql(m.group(3))
+          "REPLACE TABLE <t> [LIKE <t2>] AS ( select ) or AS select)"))
+    // the select may be parenthesized (`AS ( .. )`, the apply-event form)
+    // or bare (`AS SELECT ..`, the upload-insert form) — strip one outer
+    // paren pair only when it closes at the end of the statement
+    val bodyRaw = m.group(3).trim
+    val body =
+      if (bodyRaw.startsWith("(")) {
+        var depth = 0
+        var inQ = false
+        var closeAt = -1
+        var i = 0
+        while (i < bodyRaw.length && closeAt < 0) {
+          val ch = bodyRaw.charAt(i)
+          if (ch == '\'') inQ = !inQ
+          else if (!inQ && ch == '(') depth += 1
+          else if (!inQ && ch == ')') { depth -= 1; if (depth == 0) closeAt = i }
+          i += 1
+        }
+        if (closeAt == bodyRaw.length - 1) bodyRaw.substring(1, closeAt) else bodyRaw
+      } else bodyRaw
+    val df = spark.sql(body)
     val aligned = Option(m.group(2)) match {
       case Some(like) =>
         val tmpl = spark.table(like).schema
@@ -1227,6 +1298,27 @@ object OhdsiSql {
     * collapsing the id->name indirection Spark does not have). Bounded
     * metadata: one catalog listing per statement that asks.
     */
+  /** Map GoogleSQL `<dataset>.INFORMATION_SCHEMA.COLUMNS` references (the
+    * bigquery `all_work_table_names.sql.jinja` listing) onto a snapshot
+    * temp view of the Spark catalog's (table_name, column_name) pairs for
+    * that database — the same bounded-metadata discipline as the
+    * `sys.tables` mapping below.
+    */
+  private def rewriteInfoSchema(spark: SparkSession, stmt: String): String = {
+    val ref = ci(raw"`?(\w+)`?\.`?INFORMATION_SCHEMA`?\.`?COLUMNS`?")
+    ref.replaceAllIn(stmt, m => {
+      import spark.implicits._
+      val db = m.group(1).toLowerCase
+      val snap = s"info_schema_columns_${db}_snap"
+      val rows = spark.catalog.listTables(db).collect().toSeq
+        .filter(_.tableType != "TEMPORARY")
+        .flatMap(t => spark.table(s"$db.${t.name}").schema.fields
+          .map(f => (t.name, f.name)))
+      rows.toDF("table_name", "column_name").createOrReplaceTempView(snap)
+      snap
+    })
+  }
+
   private def rewriteSysCatalog(spark: SparkSession, stmt: String): String = {
     if (ci(raw"\bsys\.(tables|schemas)\b").findFirstIn(stmt).isEmpty) stmt
     else {
@@ -1308,14 +1400,96 @@ object OhdsiSql {
     * `STRING_AGG`, window functions and `SELECT * EXCEPT(c)` are native
     * Spark SQL already.
     */
+  /** Apply `f` to the runs of `s` OUTSIDE string literals — GoogleSQL
+    * accepts BOTH single- and double-quoted strings, so both quote
+    * styles shield their content. Keeps a literal 'DATETIME' value or an
+    * `@` inside a quoted string from being rewritten as a type name or a
+    * bind parameter (the r15 ADVICE hardening).
+    */
+  private def mapOutsideQuotes(s: String)(f: String => String): String = {
+    val out = new StringBuilder
+    val cur = new StringBuilder
+    var q: Char = 0
+    s.foreach { ch =>
+      if (q == 0 && (ch == '\'' || ch == '"')) {
+        out ++= f(cur.result()); cur.clear(); q = ch; out += ch
+      } else if (q != 0) {
+        out += ch
+        if (ch == q) q = 0
+      } else cur += ch
+    }
+    out ++= f(cur.result())
+    out.result()
+  }
+
+  /** The strftime subset the published BQ dashboard template uses
+    * (`FORMAT_TIMESTAMP("%Y-%m-%d %T", ...)`), mapped to Spark's Java
+    * datetime pattern; an unknown `%` code refuses with the code named.
+    */
+  private def strftimeToJava(fmt: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < fmt.length) {
+      val ch = fmt.charAt(i)
+      if (ch == '%' && i + 1 < fmt.length) {
+        fmt.charAt(i + 1) match {
+          case 'Y' => out ++= "yyyy"
+          case 'm' => out ++= "MM"
+          case 'd' => out ++= "dd"
+          case 'H' => out ++= "HH"
+          case 'M' => out ++= "mm"
+          case 'S' => out ++= "ss"
+          case 'T' => out ++= "HH:mm:ss"
+          case other => throw new IllegalArgumentException(
+            s"unsupported FORMAT_TIMESTAMP code '%$other' (subset: %Y %m %d %H %M %S %T)")
+        }
+        i += 2
+      } else { out += ch; i += 1 }
+    }
+    out.result()
+  }
+
   def translateBigQuery(sql: String): String = {
-    var s = raw"`([\w.]+)`".r.replaceAllIn(sql, m =>
-      java.util.regex.Matcher.quoteReplacement(
-        m.group(1).split('.').map(p => s"`$p`").mkString(".")))
-    s = ci(raw"\bCURRENT_DATETIME\s*\(\s*\)").replaceAllIn(s, "current_timestamp()")
-    s = ci(raw"\bINT64\b").replaceAllIn(s, "BIGINT")
-    s = ci(raw"\bFLOAT64\b").replaceAllIn(s, "DOUBLE")
-    s = ci(raw"\bDATETIME\b").replaceAllIn(s, "TIMESTAMP")
+    // FORMAT_TIMESTAMP consumes its own quoted pattern — rewrite BEFORE
+    // the quote-aware pass (the pattern itself must translate, not be
+    // shielded as string content)
+    var s = ci(raw"""\bFORMAT_TIMESTAMP\s*\(\s*("[^"]*"|'[^']*')\s*,\s*((?:[^(),]|\((?:[^()]*)\))+)\s*\)""")
+      .replaceAllIn(sql, m => {
+        val fmt = m.group(1).substring(1, m.group(1).length - 1)
+        java.util.regex.Matcher.quoteReplacement(
+          s"date_format(${m.group(2).trim}, '${strftimeToJava(fmt)}')")
+      })
+    // the GoogleSQL DATETIME(y,m,d,...) CONSTRUCTOR would be silently
+    // corrupted by the type-name rewrite below — refuse it loudly (no
+    // published template uses it; this guards the assumption)
+    locally {
+      var ctorFound = false
+      mapOutsideQuotes(s) { seg =>
+        if (ci(raw"\bDATETIME\s*\(").findFirstIn(seg).isDefined) ctorFound = true
+        seg
+      }
+      require(!ctorFound,
+        "unsupported GoogleSQL DATETIME(...) constructor — the BigQuery " +
+          "pre-pass maps only the DATETIME type name")
+    }
+    s = mapOutsideQuotes(s) { seg =>
+      var x = raw"`([\w.]+)`".r.replaceAllIn(seg, m =>
+        java.util.regex.Matcher.quoteReplacement(
+          m.group(1).split('.').map(p => s"`$p`").mkString(".")))
+      x = ci(raw"\bCURRENT_DATETIME\s*\(\s*\)").replaceAllIn(x, "current_timestamp()")
+      x = ci(raw"\bINT64\b").replaceAllIn(x, "BIGINT")
+      x = ci(raw"\bFLOAT64\b").replaceAllIn(x, "DOUBLE")
+      x = ci(raw"\bDATETIME\b").replaceAllIn(x, "TIMESTAMP")
+      // the GoogleSQL DATE(y, m, d) constructor (the merge templates'
+      // valid_end_date) — numeric args only, so the DATE column type
+      // never matches
+      x = ci(raw"\bDATE\s*\(\s*(\d+)\s*,\s*(\d+)\s*,\s*(\d+)\s*\)")
+        .replaceAllIn(x, "make_date($1, $2, $3)")
+      // GoogleSQL named query parameters are `@name`; the bridge's bind
+      // machinery is `:name` (substituteBinds) — same execute-time flow
+      x = raw"@(\w+)".r.replaceAllIn(x, ":$1")
+      x
+    }
     // GoogleSQL allows an UNORDERED ROW_NUMBER window (the dedup CTE in
     // `{omop_table}_merge.sql.jinja:115-138`) and picks an arbitrary row;
     // Spark requires an ordering. Ordering by the partition keys
