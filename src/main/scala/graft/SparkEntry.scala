@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CdmQueries, CoreQueries, EtlQueries, EventQueries, LifecycleQueries, LlmQueries, OhdsiCdmQueries, OhdsiTemplateQueries, PipelineQueries, SourceQueries}
+import graft.queries.{CdmQueries, CoreQueries, EtlQueries, EventQueries, LifecycleQueries, LlmQueries, OhdsiBqTemplateQueries, OhdsiCdmQueries, OhdsiTemplateQueries, PipelineQueries, SourceQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,7 +22,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     (CoreQueries.defs ++ EventQueries.defs ++ LlmQueries.defs ++ CdmQueries.defs ++
       PipelineQueries.defs ++ SourceQueries.defs ++ LifecycleQueries.defs ++ EtlQueries.defs ++
-      OhdsiCdmQueries.defs ++ OhdsiTemplateQueries.defs).toMap
+      OhdsiCdmQueries.defs ++ OhdsiTemplateQueries.defs ++ OhdsiBqTemplateQueries.defs).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — EVERY registered query has one (the decode
@@ -32,5 +32,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     (CoreQueries.oracles ++ EventQueries.oracles ++ LlmQueries.oracles ++ CdmQueries.oracles ++
       PipelineQueries.oracles ++ SourceQueries.oracles ++ LifecycleQueries.oracles ++
-      EtlQueries.oracles ++ OhdsiCdmQueries.oracles ++ OhdsiTemplateQueries.oracles).toMap
+      EtlQueries.oracles ++ OhdsiCdmQueries.oracles ++ OhdsiTemplateQueries.oracles ++ OhdsiBqTemplateQueries.oracles).toMap
 }

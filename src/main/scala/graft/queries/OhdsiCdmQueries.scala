@@ -1512,7 +1512,7 @@ object OhdsiCdmQueries {
   /** Create-or-replace a managed catalog table, tolerating a LOCATION
     * left by a previous JVM whose in-memory catalog forgot the entry.
     */
-  private def stageCatalogTable(s: SparkSession, db: String, tb: String,
+  private[queries] def stageCatalogTable(s: SparkSession, db: String, tb: String,
       df: DataFrame): Unit = {
     s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
     s.sql(s"DROP TABLE IF EXISTS $db.$tb")
@@ -1529,7 +1529,7 @@ object OhdsiCdmQueries {
     * un-ordered `TOP 100` is then provably a no-op, which is what makes
     * their verbatim output hash-gateable.
     */
-  private def stageUsagiFixture(s: SparkSession, d: String): Unit = {
+  private[queries] def stageUsagiFixture(s: SparkSession, d: String): Unit = {
     stageCatalogTable(s, "graft_work", "provider__specialty_concept_id_usagi",
       t(s, d, "customer").select(
         concat(lit("S"), (col("c_custkey") % 24).cast("string")).as("sourceCode"),

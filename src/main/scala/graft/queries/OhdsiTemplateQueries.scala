@@ -20,13 +20,13 @@ import org.apache.spark.sql.functions._
   */
 object OhdsiTemplateQueries {
   private type Q = (SparkSession, String) => DataFrame
-  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+  private[queries] def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
   /** Create-or-replace a managed catalog table under `db`, tolerating a
     * LOCATION left by a previous JVM whose in-memory catalog forgot the
     * entry (the r15 trap — drop table AND location before recreation).
     */
-  private def stage(s: SparkSession, db: String, tb: String, df: DataFrame): Unit = {
+  private[queries] def stage(s: SparkSession, db: String, tb: String, df: DataFrame): Unit = {
     s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
     s.sql(s"DROP TABLE IF EXISTS $db.$tb")
     val loc = new org.apache.hadoop.fs.Path(
@@ -99,7 +99,7 @@ object OhdsiTemplateQueries {
     * humanized execution time, overview counts). Wall-clock fields are
     * derived from the run ordinal so the verbatim output hash-gates.
     */
-  private def stageDqdRuns(s: SparkSession): Unit = {
+  private[queries] def stageDqdRuns(s: SparkSession): Unit = {
     val runs = s.range(1, 21).select(
       format_string("run-%02d", col("id")).as("id"),
       expr("timestampadd(HOUR, CAST(id AS INT), TIMESTAMP '2026-01-01 00:00:00')")
@@ -228,7 +228,7 @@ object OhdsiTemplateQueries {
     * saturated-fixture rule). `%4==3` rows carry an unknown domain,
     * `%3==2` rows an unknown concept class.
     */
-  private def workConceptFixture(s: SparkSession, d: String): DataFrame =
+  private[queries] def workConceptFixture(s: SparkSession, d: String): DataFrame =
     t(s, d, "nation").select(
       col("n_name").as("concept_name"),
       element_at(array(lit("Condition"), lit("Procedure"), lit("Measurement"),
@@ -249,7 +249,7 @@ object OhdsiTemplateQueries {
   /** The second-batch codes (one per REGION row, 5 at every SF) the
     * sequential swap-merge run appends.
     */
-  private def regionConceptFixture(s: SparkSession, d: String): DataFrame =
+  private[queries] def regionConceptFixture(s: SparkSession, d: String): DataFrame =
     t(s, d, "region").select(
       col("r_name").as("concept_name"),
       lit("Condition").as("domain_id"),
@@ -398,7 +398,7 @@ object OhdsiTemplateQueries {
     * stale attributes the verbatim MERGE must overwrite (exercising the
     * WHEN MATCHED branch).
     */
-  private def conceptSeed(s: SparkSession, d: String): DataFrame =
+  private[queries] def conceptSeed(s: SparkSession, d: String): DataFrame =
     t(s, d, "nation").select(
       col("n_nationkey").cast("int").as("concept_id"),
       col("n_name").as("concept_name"),
@@ -472,7 +472,7 @@ object OhdsiTemplateQueries {
     * APPROVED mappings, odd keys FLAGGED; all conceptIds start unassigned
     * (-1) — the verbatim update template injects the swap-assigned ids.
     */
-  private def usagiFixture(s: SparkSession, d: String): DataFrame =
+  private[queries] def usagiFixture(s: SparkSession, d: String): DataFrame =
     t(s, d, "nation").select(
       concat(lit("SRC_"), col("n_name")).as("sourceCode"),
       concat(lit("name "), col("n_name")).as("sourceName"),
@@ -520,7 +520,7 @@ object OhdsiTemplateQueries {
   private val flowMemo =
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
 
-  private def sharedConceptFlow(s: SparkSession, d: String): (String, String) =
+  private[queries] def sharedConceptFlow(s: SparkSession, d: String): (String, String) =
     // the staged databases are KEYED BY DATASET: with two datasets
     // interleaved in one JVM, a fixed db name would let dataset A's memo
     // hit read dataset B's re-staged rows (r15 ADVICE)
@@ -923,7 +923,7 @@ object OhdsiTemplateQueries {
   /** A (table, ordinal, column, type) listing of a staged catalog table —
     * the shape the DDL-template entries gate on.
     */
-  private def schemaListing(s: SparkSession, dbTbl: String): DataFrame = {
+  private[queries] def schemaListing(s: SparkSession, dbTbl: String): DataFrame = {
     import s.implicits._
     val short = dbTbl.split('.').last
     s.table(dbTbl).schema.fields.zipWithIndex.map { case (f, i) =>
@@ -1802,7 +1802,7 @@ object OhdsiTemplateQueries {
       |{{select_query}}""".stripMargin
 
   /** The sample CDM-folder column metadata (the CdmModel row shape). */
-  private val SampleColumns: Seq[Map[String, String]] = Seq(
+  private[queries] val SampleColumns: Seq[Map[String, String]] = Seq(
     Map("cdmFieldName" -> "provider_id", "isPrimaryKey" -> "Yes",
       "isForeignKey" -> "No", "fkTableName" -> "", "cdmDatatype" -> "integer"),
     Map("cdmFieldName" -> "provider_name", "isPrimaryKey" -> "No",
@@ -1815,7 +1815,7 @@ object OhdsiTemplateQueries {
       "isForeignKey" -> "Yes", "fkTableName" -> "CARE_SITE", "cdmDatatype" -> "integer"))
 
   /** The raw source table the sample queries read (`dbo.raw_provider`). */
-  private def stageRawProvider(s: SparkSession, d: String): Unit =
+  private[queries] def stageRawProvider(s: SparkSession, d: String): Unit =
     stage(s, "dbo", "raw_provider", t(s, d, "nation").select(
       col("n_nationkey").as("provider_id_column"),
       col("n_name").as("provider_name_column"),
@@ -2259,7 +2259,7 @@ object OhdsiTemplateQueries {
     "ohdsi_sql_custom_validate" -> ohdsiSqlCustomValidate)
 
   /** The deterministic runs fixture, mirrored in DuckDB. */
-  private val DqdRunsOracle =
+  private[queries] val DqdRunsOracle =
     """SELECT printf('run-%02d', id) AS id,
       |  TIMESTAMP '2026-01-01 00:00:00' + to_hours(id) AS startTimestamp,
       |  TIMESTAMP '2026-01-01 00:00:00' + to_minutes(id * 60 + 10) AS endTimestamp,
@@ -2277,7 +2277,7 @@ object OhdsiTemplateQueries {
       |  FROM nation""".stripMargin
 
   /** The 39-table column inventory of the published CDM 5.4 DDL. */
-  private val Cdm54InventoryOracle =
+  private[queries] val Cdm54InventoryOracle =
     """SELECT table_name, n_columns FROM (VALUES
           |  ('care_site', 6), ('cdm_source', 11), ('cohort', 4),
           |  ('cohort_definition', 7), ('concept', 10), ('concept_ancestor', 4),
@@ -2297,7 +2297,7 @@ object OhdsiTemplateQueries {
           |) AS t(table_name, n_columns) ORDER BY table_name""".stripMargin
 
   /** Both dialect trees' core-merge chains pin to the SAME rows. */
-  private lazy val OmopMergeExpectedOracle =
+  private[queries] lazy val OmopMergeExpectedOracle =
     """WITH src AS (
           |  SELECT concat('P_', n_name) AS x, n_name AS provider_name,
           |    CAST(n_nationkey + 100 AS BIGINT) AS specialty_concept_id,
@@ -2319,7 +2319,7 @@ object OhdsiTemplateQueries {
           |FROM src ORDER BY provider_id""".stripMargin
 
   /** Both dialects' concept-swap chains pin to the SAME ids. */
-  private lazy val ConceptSwapExpectedOracle =
+  private[queries] lazy val ConceptSwapExpectedOracle =
     """WITH b1 AS (
           |  SELECT 'specialty_concept_id__SRC_' || n_name AS x,
           |    CAST(2000000000 + rank() OVER (ORDER BY ('SRC_' || n_name)) AS BIGINT) AS y
@@ -2333,7 +2333,7 @@ object OhdsiTemplateQueries {
           |SELECT x, y FROM b1 UNION ALL SELECT x, y FROM b2 ORDER BY y""".stripMargin
 
   /** Both dialects' CONCEPT merges pin to the SAME rows. */
-  private lazy val ConceptMergeExpectedOracle =
+  private[queries] lazy val ConceptMergeExpectedOracle =
     """WITH customs AS (
           |  SELECT CAST(2000000000 + rank() OVER (ORDER BY ('SRC_' || n_name)) AS BIGINT) AS concept_id,
           |    n_name AS concept_name,

@@ -443,8 +443,11 @@ object OhdsiSql {
   // remove-custom-concepts-by-usagi cleanup template's form)
   private val DeleteFrom =
     ci(raw"(?s)^\s*DELETE\s+(?:FROM\s+)?($QNamePat)\s*(?:\bWHERE\b(.*?))?\s*$$")
+  // the optional alias (`UPDATE <t> T SET ...`) is the GoogleSQL
+  // tombstoning shape (`bigquery/.../SOURCE_TO_CONCEPT_MAP_update_invalid_reason
+  // .sql.jinja:3`); the negative lookahead keeps SET from parsing as it
   private val UpdateSet =
-    ci(raw"(?s)^\s*UPDATE\s+($QNamePat)\s+SET\s+(.*?)\s*$$")
+    ci(raw"(?s)^\s*UPDATE\s+($QNamePat)(?:\s+(?:AS\s+)?(?!SET\b)(\w+))?\s+SET\s+(.*?)\s*$$")
   /** `USE [catalog];` — SQL Server's database-context switch
     * (`CONCEPT_ID_swap_create.sql.jinja:3`,
     * `all_work_table_names.sql.jinja:3`). Every table reference the
@@ -966,12 +969,31 @@ object OhdsiSql {
       } =>
         val (ctes, b) = splitLeadingWith(stmt)
         executeUpdateFrom(spark, ctes, b)
-      case UpdateSet(target, body) =>
-        // UPDATE t SET a = e1, b = e2 [WHERE cond]: rewrite as a
+      case UpdateSet(target, aliasOpt, bodyRaw) =>
+        // UPDATE t [alias] SET a = e1, b = e2 [WHERE cond]: rewrite as a
         // projection — each assigned column becomes
         // when(cond, e).otherwise(old). The WHERE splits off at depth 0
         // outside quotes (an `=` inside a CASE WHEN stays in its expr).
         import org.apache.spark.sql.functions.{col => fcol, expr => fexpr, lit => flit, when => fwhen}
+        // an alias only qualifies the target's own columns here — strip
+        // its prefix (outside quotes) so expressions resolve on the frame
+        val body = Option(aliasOpt) match {
+          case Some(a) =>
+            val out = new StringBuilder
+            var inQ = false
+            var i = 0
+            while (i < bodyRaw.length) {
+              val ch = bodyRaw.charAt(i)
+              if (ch == '\'') { inQ = !inQ; out += ch; i += 1 }
+              else if (!inQ && bodyRaw.regionMatches(true, i, a + ".", 0, a.length + 1) &&
+                  (i == 0 || !Character.isLetterOrDigit(bodyRaw.charAt(i - 1)) &&
+                    bodyRaw.charAt(i - 1) != '_' && bodyRaw.charAt(i - 1) != '.'))
+                i += a.length + 1
+              else { out += ch; i += 1 }
+            }
+            out.result()
+          case None => bodyRaw
+        }
         val upperNoQ = {
           var inQ = false
           body.map { ch => if (ch == '\'') { inQ = !inQ; ch }
