@@ -289,6 +289,56 @@ object LlmQueries {
     * streamDqdRuns staging discipline). Oracle: the SAME SQL as
     * `corpus_gopher_gate` — stream == batch, row for row.
     */
+  /** Stage one single-file parquet into a stream-source directory with a
+    * pinned mtime (the streamDqdRuns staging discipline — strictly
+    * increasing mtimes drive a deterministic multi-batch drain).
+    */
+  private def stageStreamFile(s: SparkSession, stagingDir: String,
+      name: String, part: DataFrame, mtime: Long): Unit = {
+    val hconf = s.sparkContext.hadoopConfiguration
+    val tmp = s"$stagingDir/__tmp_$name"
+    part.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(hconf)
+    val f = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    val dst = new org.apache.hadoop.fs.Path(s"$stagingDir/$name")
+    require(fs.rename(f, dst), s"staging rename failed: $f -> $dst")
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    fs.setTimes(dst, mtime, -1)
+    ()
+  }
+
+  /** ONE staged document stream source per (JVM, dataset), shared by the
+    * per-document gate streams (gopher gate, corpus admit) — each gate
+    * previously re-staged its own copy of the documents table, a fixed
+    * coalesce(1)-write cost per query (r15 bench finding). The split is
+    * `pmod(doc_id, 20) < 10`, which puts `% 20 == 0` docs in batch 0 and
+    * `% 20 == 10` docs in batch 1 — exactly the admit gate's original
+    * two-batch structure — while the gopher gate (per-doc stateless over
+    * ALL docs) is split-agnostic. Consumers filter their subset INSIDE
+    * foreachBatch; verdicts are per-document, so the filtered union is
+    * identical to the dedicated-staging rows (oracles unchanged).
+    */
+  private val stagedDocsMemo =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def sharedDocsSource(s: SparkSession, d: String): String =
+    stagedDocsMemo.getOrElseUpdate(d, {
+      val hconf = s.sparkContext.hadoopConfiguration
+      val stagingDir = new java.io.File(
+        s"${graft.io.Zones.defaultRoot}/stream_src_shared_docs_${graft.io.Zones.pathKey(d)}")
+        .getAbsolutePath
+      val hp = new org.apache.hadoop.fs.Path(stagingDir)
+      hp.getFileSystem(hconf).delete(hp, true)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stagingDir))
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val par = coalesce(pmod(col("doc_id"), lit(20)), lit(0))
+      val t0 = System.currentTimeMillis()
+      stageStreamFile(s, stagingDir, "batch0.parquet", docs.filter(par < 10), t0)
+      stageStreamFile(s, stagingDir, "batch1.parquet", docs.filter(par >= 10), t0 + 60000L)
+      stagingDir
+    })
+
   val streamGopherGate: Q = (s, d) => {
     val zones = graft.io.Zones.forPurpose(s"streamgg_${graft.io.Zones.pathKey(d)}")
     val hconf = s.sparkContext.hadoopConfiguration
@@ -300,27 +350,8 @@ object LlmQueries {
     val ckpt = new java.io.File(
       s"${graft.io.Zones.defaultRoot}/stream_ckpt_gg_${graft.io.Zones.pathKey(d)}").getAbsolutePath
     rm(ckpt)
-    val stagingDir = new java.io.File(
-      s"${graft.io.Zones.defaultRoot}/stream_src_gg_${graft.io.Zones.pathKey(d)}").getAbsolutePath
-    rm(stagingDir)
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stagingDir))
     val docs = t(s, d, "documents").select("doc_id", "text")
-    def stageOne(name: String, part: DataFrame, mtime: Long): Unit = {
-      val tmp = s"$stagingDir/__tmp_$name"
-      part.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(hconf)
-      val f = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
-        .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
-      val dst = new org.apache.hadoop.fs.Path(s"$stagingDir/$name")
-      require(fs.rename(f, dst), s"staging rename failed: $f -> $dst")
-      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-      fs.setTimes(dst, mtime, -1)
-      ()
-    }
-    val par = coalesce(pmod(col("doc_id"), lit(2)), lit(0))
-    val t0 = System.currentTimeMillis()
-    stageOne("batch0.parquet", docs.filter(par === 0), t0)
-    stageOne("batch1.parquet", docs.filter(par =!= 0), t0 + 60000L)
+    val stagingDir = sharedDocsSource(s, d)
     val stream = s.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", 1).parquet(stagingDir)
     val q = stream.writeStream
@@ -548,35 +579,22 @@ object LlmQueries {
     val ckpt = new java.io.File(
       s"${graft.io.Zones.defaultRoot}/stream_ckpt_adm_${graft.io.Zones.pathKey(d)}").getAbsolutePath
     rm(ckpt)
-    val stagingDir = new java.io.File(
-      s"${graft.io.Zones.defaultRoot}/stream_src_adm_${graft.io.Zones.pathKey(d)}").getAbsolutePath
-    rm(stagingDir)
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stagingDir))
     val batchDocs = t(s, d, "documents")
       .filter(col("doc_id") % 10 === 0).select("doc_id", "text")
-    def stageOne(name: String, part: DataFrame, mtime: Long): Unit = {
-      val tmp = s"$stagingDir/__tmp_$name"
-      part.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(hconf)
-      val f = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
-        .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
-      val dst = new org.apache.hadoop.fs.Path(s"$stagingDir/$name")
-      require(fs.rename(f, dst), s"staging rename failed: $f -> $dst")
-      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-      fs.setTimes(dst, mtime, -1)
-      ()
-    }
-    val par = coalesce(pmod(col("doc_id"), lit(20)), lit(0))
-    val t0 = System.currentTimeMillis()
-    stageOne("batch0.parquet", batchDocs.filter(par === 0), t0)
-    stageOne("batch1.parquet", batchDocs.filter(par =!= 0), t0 + 60000L)
+    // the SHARED staged source (pmod 20 split): batch 0 carries this
+    // gate's % 20 == 0 docs, batch 1 its % 20 == 10 docs — the original
+    // two-batch structure; the % 10 == 0 subset filter moves INSIDE the
+    // micro-batch (per-doc verdicts, so the union is row-identical)
+    val stagingDir = sharedDocsSource(s, d)
     // force the stored static sides ONCE, outside the per-batch loop
     corpusMd5(s, d); bandIndex(s, d)
     val stream = s.readStream.schema(batchDocs.schema)
       .option("maxFilesPerTrigger", 1).parquet(stagingDir)
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        zones.write(admissionVerdicts(s, d, batch), "work", s"admit_batch_$id")
+        zones.write(
+          admissionVerdicts(s, d, batch.filter(col("doc_id") % 10 === 0)),
+          "work", s"admit_batch_$id")
         ()
       }
       .option("checkpointLocation", ckpt)
@@ -614,18 +632,11 @@ object LlmQueries {
     rm(stagingDir)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stagingDir))
     val docs = t(s, d, "documents")
-    def stageOne(name: String, part: DataFrame, mtime: Long): Unit = {
-      val tmp = s"$stagingDir/__tmp_$name"
-      part.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(hconf)
-      val f = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
-        .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
-      val dst = new org.apache.hadoop.fs.Path(s"$stagingDir/$name")
-      require(fs.rename(f, dst), s"staging rename failed: $f -> $dst")
-      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-      fs.setTimes(dst, mtime, -1)
-      ()
-    }
+    // this stream CANNOT share the memoized docs source: its second
+    // staged file carries AUTHORED probe docs derived from batch-1's
+    // admits (the index-growth fixture)
+    def stageOne(name: String, part: DataFrame, mtime: Long): Unit =
+      stageStreamFile(s, stagingDir, name, part, mtime)
     val t0 = System.currentTimeMillis()
     val b1 = docs.filter(col("doc_id") % 20 === 0).select("doc_id", "text")
     stageOne("batch0.parquet", b1, t0)
