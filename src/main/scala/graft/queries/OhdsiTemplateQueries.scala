@@ -2133,6 +2133,35 @@ object OhdsiTemplateQueries {
     schemaListing(s, "graft_work_wd.provider").orderBy("ordinal")
   }
 
+  /** The r16 SqlRender datepart LONG-TAIL (`weekday`/`dayofyear`/`week`/
+    * `millisecond` + DATEDIFF week/millisecond + DATEADD millisecond, all
+    * with SQL Server DATEFIRST-7 / boundary-crossing semantics,
+    * property-tested in OhdsiSqlPropSpec): no template in the vendored
+    * reference tree reaches these units (the DataQualityDashboard
+    * submodule is a stub — its check SQL is not vendored), so this entry
+    * drives the widened grammar with an OHDSI-dialect analysis query of
+    * the published checks' shape over the events table — demand-named
+    * rather than vendored (the r15 VERDICT's item-5 discipline: each
+    * widening ships with a green entry naming it).
+    */
+  private val DatepartTailSql =
+    """SELECT DATEPART(weekday, ts) AS weekday_num,
+      |  COUNT_BIG(*) AS n_events,
+      |  SUM(IIF(DATEPART(millisecond, ts) < 500, 1, 0)) AS n_low_ms,
+      |  MIN(DATEPART(dayofyear, ts)) AS min_doy,
+      |  MAX(DATEPART(week, ts)) AS max_week,
+      |  MAX(DATEDIFF(week, CAST('2020-01-05' AS DATE), ts)) AS max_weeks_since,
+      |  MAX(DATEDIFF(millisecond, CAST('2020-01-01' AS DATE), ts)) AS max_ms_since,
+      |  MAX(DATEADD(millisecond, 250, ts)) AS max_shifted_ts
+      |FROM ohdsi_events_v
+      |GROUP BY DATEPART(weekday, ts)
+      |ORDER BY weekday_num""".stripMargin
+
+  val ohdsiSqlDatepartTail: Q = (s, d) => {
+    t(s, d, "events").createOrReplaceTempView("ohdsi_events_v")
+    OhdsiSql.execute(s, DatepartTailSql)
+  }
+
   /** Scale soak (dev aid, driven by [[graft.tools.TemplateSoak]]): the
     * DATA-PATH templates — pk-swap create+merge and the core
     * `{omop_table}_merge` — run VERBATIM over sf-scaled uploads (one
@@ -2256,7 +2285,8 @@ object OhdsiTemplateQueries {
     "ohdsi_sql_map_cleanup" -> ohdsiSqlMapCleanup,
     "ohdsi_sql_concept_swap" -> ohdsiSqlConceptSwap,
     "ohdsi_sql_concept_merge" -> ohdsiSqlConceptMerge,
-    "ohdsi_sql_custom_validate" -> ohdsiSqlCustomValidate)
+    "ohdsi_sql_custom_validate" -> ohdsiSqlCustomValidate,
+    "ohdsi_sql_datepart_tail" -> ohdsiSqlDatepartTail)
 
   /** The deterministic runs fixture, mirrored in DuckDB. */
   private[queries] val DqdRunsOracle =
@@ -2761,5 +2791,21 @@ object OhdsiTemplateQueries {
         |  CAST(NULL AS VARCHAR) AS invalid_reason
         |FROM nation
         |WHERE n_nationkey % 4 = 3 OR n_nationkey % 3 = 2
-        |ORDER BY concept_code""".stripMargin)
+        |ORDER BY concept_code""".stripMargin,
+    // the r16 datepart long tail: SQL Server DATEFIRST-7 weekday
+    // (duckdb dayofweek is Sunday=0 -> +1), week-of-year = 1 + Sunday
+    // boundaries since Jan 1, duckdb millisecond() = sec*1000+ms -> %1000,
+    // week diff via floor-division from the 1970-01-04 Sunday anchor
+    "ohdsi_sql_datepart_tail" ->
+      """SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS weekday_num,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN millisecond(ts) % 1000 < 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_ms,
+        |  CAST(min(dayofyear(ts)) AS BIGINT) AS min_doy,
+        |  CAST(max(CAST(floor((dayofyear(ts) + dayofweek(date_trunc('year', ts)) - 1) / 7.0) AS BIGINT) + 1) AS BIGINT) AS max_week,
+        |  CAST(max(CAST(floor(date_diff('day', DATE '1970-01-04', CAST(ts AS DATE)) / 7.0) AS BIGINT)
+        |    - CAST(floor(date_diff('day', DATE '1970-01-04', DATE '2020-01-05') / 7.0) AS BIGINT)) AS BIGINT) AS max_weeks_since,
+        |  CAST(max(date_diff('millisecond', TIMESTAMP '2020-01-01 00:00:00', ts)) AS BIGINT) AS max_ms_since,
+        |  max(ts + INTERVAL 250 MILLISECOND) AS max_shifted_ts
+        |FROM events
+        |GROUP BY 1 ORDER BY weekday_num""".stripMargin)
 }

@@ -239,9 +239,10 @@ object OhdsiSql {
         case "hour" | "hh" => s"timestampadd(HOUR, $n, $d)"
         case "minute" | "mi" | "n" => s"timestampadd(MINUTE, $n, $d)"
         case "second" | "ss" | "s" => s"timestampadd(SECOND, $n, $d)"
+        case "millisecond" | "ms" => s"timestampadd(MILLISECOND, $n, $d)"
         case other => throw new IllegalArgumentException(
           s"unsupported DATEADD datepart '$other' (subset: day, week, month, " +
-            "quarter, year, hour, minute, second)")
+            "quarter, year, hour, minute, second, millisecond)")
       })
     })
     s = ci(raw"\bDATEDIFF\s*\(\s*(\w+)\s*,\s*$arg\s*,\s*$arg\s*\)").replaceAllIn(s, m => {
@@ -266,9 +267,18 @@ object OhdsiSql {
             s"unix_timestamp(date_trunc('MINUTE', $a))) DIV 60)"
         // unix_timestamp already truncates to the second boundary
         case "second" | "ss" | "s" => s"(unix_timestamp($b) - unix_timestamp($a))"
+        // unix_millis likewise truncates micros to the ms boundary
+        case "millisecond" | "ms" =>
+          s"(unix_millis(CAST($b AS TIMESTAMP)) - unix_millis(CAST($a AS TIMESTAMP)))"
+        // SQL Server weeks cross on SUNDAY (default DATEFIRST 7) — count
+        // Sunday boundaries via floor-division from a known Sunday
+        // (1970-01-04); floor (not DIV) so pre-epoch dates stay correct
+        case "week" | "wk" | "ww" =>
+          s"(CAST(FLOOR(datediff($b, DATE '1970-01-04') / 7.0) AS BIGINT) - " +
+            s"CAST(FLOOR(datediff($a, DATE '1970-01-04') / 7.0) AS BIGINT))"
         case other => throw new IllegalArgumentException(
-          s"unsupported DATEDIFF datepart '$other' (subset: day, month, " +
-            "quarter, year, hour, minute, second)")
+          s"unsupported DATEDIFF datepart '$other' (subset: day, week, month, " +
+            "quarter, year, hour, minute, second, millisecond)")
       })
     })
     s = ci(raw"\bCHARINDEX\s*\(\s*([^,()]+?)\s*,\s*([^()]+?)\s*\)")
@@ -287,9 +297,21 @@ object OhdsiSql {
         case "hour" | "hh" => s"hour($d)"
         case "minute" | "mi" | "n" => s"minute($d)"
         case "second" | "ss" | "s" => s"second($d)"
+        // SQL Server's default DATEFIRST 7 numbers Sunday=1..Saturday=7 —
+        // exactly Spark's dayofweek
+        case "weekday" | "dw" => s"dayofweek($d)"
+        case "dayofyear" | "dy" => s"dayofyear($d)"
+        // the 0-999 millisecond component: epoch-millis mod 1000 (pmod so
+        // pre-epoch instants still land in 0..999, the SQL Server range)
+        case "millisecond" | "ms" =>
+          s"CAST(pmod(unix_millis(CAST($d AS TIMESTAMP)), 1000) AS INT)"
+        // SQL Server week-of-year: 1 + Sunday boundaries since Jan 1
+        // (default DATEFIRST 7)
+        case "week" | "wk" | "ww" =>
+          s"(CAST(FLOOR((dayofyear($d) + dayofweek(make_date(year($d), 1, 1)) - 2) / 7.0) AS INT) + 1)"
         case other => throw new IllegalArgumentException(
           s"unsupported DATEPART datepart '$other' (subset: year, quarter, " +
-            "month, day, hour, minute, second)")
+            "month, week, day, hour, minute, second, millisecond, weekday, dayofyear)")
       })
     })
     s = ci(raw"\bSTDEV\s*\(").replaceAllIn(s, "stddev_samp(")

@@ -81,13 +81,14 @@ class OhdsiSqlPropSpec extends SparkSpec {
 
   private val dateaddUnits = Seq("day", "dd", "d", "week", "wk", "ww",
     "month", "mm", "m", "quarter", "qq", "q", "year", "yy", "yyyy",
-    "hour", "hh", "minute", "mi", "n", "second", "ss", "s")
+    "hour", "hh", "minute", "mi", "n", "second", "ss", "s", "millisecond", "ms")
   private val datediffUnits = Seq("day", "dd", "d", "month", "mm", "m",
-    "quarter", "qq", "q", "year", "yy", "yyyy",
-    "hour", "hh", "minute", "mi", "n", "second", "ss", "s")
+    "quarter", "qq", "q", "year", "yy", "yyyy", "week", "wk", "ww",
+    "hour", "hh", "minute", "mi", "n", "second", "ss", "s", "millisecond", "ms")
   private val datepartUnits = Seq("year", "yy", "yyyy", "quarter", "qq", "q",
     "month", "mm", "m", "day", "dd", "d", "hour", "hh", "minute", "mi", "n",
-    "second", "ss", "s")
+    "second", "ss", "s", "weekday", "dw", "dayofyear", "dy",
+    "millisecond", "ms", "week", "wk", "ww")
 
   test("property: every supported datepart synonym translates; unknown dateparts refuse by name") {
     val genCase = for {
@@ -138,6 +139,61 @@ class OhdsiSqlPropSpec extends SparkSpec {
         s"SELECT DATEDIFF($unit, TIMESTAMP '${lit(ae)}', TIMESTAMP '${lit(be)}') AS v")
       val got = spark.sql(sql).head().getLong(0)
       got == Math.floorDiv(be, div) - Math.floorDiv(ae, div)
+    })
+  }
+
+  // ---- the r16 long-tail widening: weekday/dayofyear/millisecond/week ----
+
+  test("property: DATEPART weekday/dayofyear/week match SQL Server DATEFIRST-7 semantics") {
+    val gen = Gen.choose(-7000L, 29000L) // epoch days, ~1950..2049
+    check(Prop.forAll(gen) { epochDay =>
+      val d = java.time.LocalDate.ofEpochDay(epochDay)
+      val litD = s"DATE '$d'"
+      // SQL Server weekday (DATEFIRST 7): Sunday=1..Saturday=7; java.time
+      // numbers Monday=1..Sunday=7
+      val expWeekday = d.getDayOfWeek.getValue % 7 + 1
+      val expDoy = d.getDayOfYear
+      // SQL Server week-of-year = 1 + Sunday boundaries since Jan 1
+      val jan1 = d.withDayOfYear(1)
+      val sundayAnchor = 3L // 1970-01-04 is a Sunday
+      def weeksSinceAnchor(x: java.time.LocalDate): Long =
+        Math.floorDiv(x.toEpochDay - sundayAnchor, 7L)
+      val expWeek = 1 + (weeksSinceAnchor(d) - weeksSinceAnchor(jan1)).toInt
+      val sql = OhdsiSql.translate(
+        s"SELECT DATEPART(weekday, $litD) AS a, DATEPART(dayofyear, $litD) AS b, " +
+          s"DATEPART(week, $litD) AS c")
+      val r = spark.sql(sql).head()
+      r.getInt(0) == expWeekday && r.getInt(1) == expDoy && r.getInt(2) == expWeek
+    })
+  }
+
+  test("property: DATEDIFF week/millisecond count boundary crossings") {
+    val zone = java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone"))
+    val genDays = for {
+      a <- Gen.choose(-7000L, 29000L)
+      b <- Gen.choose(-7000L, 29000L)
+    } yield (a, b)
+    check(Prop.forAll(genDays) { case (ad, bd) =>
+      val (a, b) = (java.time.LocalDate.ofEpochDay(ad), java.time.LocalDate.ofEpochDay(bd))
+      val exp = Math.floorDiv(bd - 3L, 7L) - Math.floorDiv(ad - 3L, 7L)
+      val sql = OhdsiSql.translate(s"SELECT DATEDIFF(week, DATE '$a', DATE '$b') AS v")
+      spark.sql(sql).head().getLong(0) == exp
+    })
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+    val genMs = for {
+      a <- Gen.choose(946684800000L, 946684800000L + 10000000000L)
+      delta <- Gen.choose(-100000L, 100000L)
+    } yield (a, a + delta)
+    check(Prop.forAll(genMs) { case (ae, be) =>
+      def lit(e: Long) = java.time.LocalDateTime
+        .ofInstant(java.time.Instant.ofEpochMilli(e), zone).format(fmt)
+      val sql = OhdsiSql.translate(
+        s"SELECT DATEDIFF(millisecond, TIMESTAMP '${lit(ae)}', TIMESTAMP '${lit(be)}') AS v, " +
+          s"DATEPART(millisecond, TIMESTAMP '${lit(be)}') AS p, " +
+          s"DATEADD(millisecond, 7, TIMESTAMP '${lit(ae)}') AS t")
+      val r = spark.sql(sql).head()
+      r.getLong(0) == be - ae && r.getInt(1) == (be % 1000 + 1000) % 1000 &&
+        r.getTimestamp(2).getTime == ae + 7L
     })
   }
 }
