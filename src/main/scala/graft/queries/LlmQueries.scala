@@ -168,7 +168,7 @@ object LlmQueries {
     */
   private val corpusMd5s =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private def corpusMd5(s: SparkSession, d: String): DataFrame =
+  private[graft] def corpusMd5(s: SparkSession, d: String): DataFrame =
     corpusMd5s.getOrElseUpdate((s, d), {
       val zones = graft.io.Zones.forPurpose("dedup")
       val table = s"corpus_md5_${graft.io.Zones.pathKey(d)}"
@@ -201,7 +201,7 @@ object LlmQueries {
     */
   private val bandIndexes =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private def bandIndex(s: SparkSession, d: String): DataFrame =
+  private[graft] def bandIndex(s: SparkSession, d: String): DataFrame =
     bandIndexes.getOrElseUpdate((s, d), {
       val zones = graft.io.Zones.forPurpose("dedup")
       val table = s"dedup_band_index_${graft.io.Zones.pathKey(d)}"
@@ -455,7 +455,7 @@ object LlmQueries {
     * ON THE BATCH, per-doc stateless, while exact/near-dup probe the
     * stored corpus structures).
     */
-  private def admissionVerdicts(s: SparkSession, d: String, batch: DataFrame): DataFrame =
+  private[graft] def admissionVerdicts(s: SparkSession, d: String, batch: DataFrame): DataFrame =
     admissionVerdictsAgainst(
       t(s, d, "documents").filter(col("doc_id") % 10 =!= 0),
       corpusMd5(s, d), bandIndex(s, d), batch)
@@ -466,7 +466,7 @@ object LlmQueries {
     * grown structures through this entry point (r15,
     * [[corpusAdmitSequential]]).
     */
-  private def admissionVerdictsAgainst(corpusDocs: DataFrame, md5Set: DataFrame,
+  private[graft] def admissionVerdictsAgainst(corpusDocs: DataFrame, md5Set: DataFrame,
       index: DataFrame, batch: DataFrame): DataFrame = {
     val exactDup = batch.select(col("doc_id"), md5(col("text")).as("__h"))
       .join(md5Set, Seq("__h"), "left_semi")
@@ -560,6 +560,81 @@ object LlmQueries {
     v1.withColumn("batch", lit(1L))
       .unionByName(v2.withColumn("batch", lit(2L)))
       .orderBy("batch", "doc_id")
+  }
+
+  /** Delta COMPACTION for the admission index (r16 — the r15 VERDICT's
+    * item 6): production appends one delta segment per admitted batch,
+    * so after thousands of batches the probe-side union spans thousands
+    * of segments; compaction periodically folds them back into ONE base
+    * via the engine's atomic table replace, keeping probe cost flat.
+    * This entry builds the many-segment state (batch-1 admits split into
+    * FOUR per-shard delta segments for each structure — hash set, band
+    * index, docs), computes batch-2 verdicts against base ∪ 4 segments
+    * (pre), compacts (one atomic zone write per structure, segments
+    * retired), and recomputes the SAME verdicts against the compacted
+    * base alone (post). The gated shape is BOTH verdict sets pinned to
+    * the sequential oracle's batch-2 rows — verdict equivalence under
+    * compaction is the oracle's own assertion, not a self-check.
+    */
+  val corpusAdmitCompact: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0).select("doc_id", "text")
+    val b1 = docs.filter(col("doc_id") % 20 === 0).select("doc_id", "text")
+    val zones = graft.io.Zones.forPurpose(s"admcomp_${graft.io.Zones.pathKey(d)}")
+    zones.write(admissionVerdicts(s, d, b1), "work", "v1")
+    val admitted1 = b1.join(
+      zones.read(s, "work", "v1").filter(col("admitted") === 1L).select("doc_id"),
+      "doc_id")
+    val nSegs = 4
+    (0 until nSegs).foreach { i =>
+      val part = admitted1.filter(pmod(col("doc_id"), lit(nSegs)) === i)
+      zones.write(part.select(md5(col("text")).as("__h")).distinct(),
+        "work", s"delta_md5_$i")
+      zones.write(
+        DedupOps.lshBandsFromSigArray(
+          DedupOps.minhashSignatureArray(part, "doc_id", "text", k = 8, w = 3),
+          "doc_id", k = 8, rows = 4),
+        "work", s"delta_band_$i")
+      zones.write(part, "work", s"delta_docs_$i")
+    }
+    def segs(prefix: String): Seq[DataFrame] =
+      (0 until nSegs).map(i => zones.read(s, "work", s"$prefix$i"))
+    val idxCols = bandIndex(s, d).columns
+    val md5Pre = (corpusMd5(s, d) +: segs("delta_md5_")).reduce(_ unionByName _)
+    val idxPre = (bandIndex(s, d) +: segs("delta_band_")
+      .map(_.select(idxCols.map(col): _*))).reduce(_ unionByName _)
+    val corpusPre = (corpus +: segs("delta_docs_")).reduce(_ unionByName _)
+    val admProbe = admitted1
+      .filter(size(graft.ops.TextOps.tokens(col("text"))) >= 3)
+    val b2 = docs.filter(col("doc_id") % 20 === 10).select("doc_id", "text")
+      .unionByName(admProbe.select((col("doc_id") + 10000000L).as("doc_id"),
+        concat(col("text"), lit("  ")).as("text")))
+      .unionByName(admProbe.select((col("doc_id") + 20000000L).as("doc_id"),
+        col("text")))
+    zones.write(admissionVerdictsAgainst(corpusPre, md5Pre, idxPre, b2),
+      "work", "v2_pre")
+    // COMPACT: fold base ∪ segments into a new base, one atomic table
+    // replace per structure (zones.write IS the engine's atomic swap)
+    zones.write(md5Pre, "work", "base_md5_compacted")
+    zones.write(idxPre, "work", "base_band_compacted")
+    zones.write(corpusPre, "work", "base_docs_compacted")
+    // the segments retire AFTER the swap — the compaction protocol's
+    // read-before-delete ordering
+    val hconf = s.sparkContext.hadoopConfiguration
+    (0 until nSegs).foreach { i =>
+      Seq("delta_md5_", "delta_band_", "delta_docs_").foreach { p =>
+        val hp = new org.apache.hadoop.fs.Path(
+          new java.io.File(zones.tablePath("work", s"$p$i")).getAbsolutePath)
+        hp.getFileSystem(hconf).delete(hp, true)
+      }
+    }
+    val v2Post = admissionVerdictsAgainst(
+      zones.read(s, "work", "base_docs_compacted"),
+      zones.read(s, "work", "base_md5_compacted"),
+      zones.read(s, "work", "base_band_compacted"), b2)
+    zones.read(s, "work", "v2_pre").withColumn("phase", lit("1_pre"))
+      .unionByName(v2Post.withColumn("phase", lit("2_post")))
+      .orderBy("phase", "doc_id")
   }
 
   /** The STREAMING admitter: the same gauntlet run per micro-batch of a
@@ -1728,6 +1803,7 @@ object LlmQueries {
     "dedup_incremental" -> dedupIncremental,
     "stream_dedup_incremental" -> streamDedupIncremental,
     "corpus_batch_admit" -> corpusAdmissionPipeline,
+    "corpus_batch_admit_compact" -> corpusAdmitCompact,
     "corpus_batch_admit_sequential" -> corpusAdmitSequential,
     "stream_corpus_admit" -> streamCorpusAdmit,
     "stream_corpus_admit_sequential" -> streamCorpusAdmitSequential,
@@ -2710,6 +2786,20 @@ object LlmQueries {
   val oracles: Seq[(String, String)] = Seq(
     "corpus_batch_admit_sequential" -> sequentialAdmissionOracle,
     "stream_corpus_admit_sequential" -> sequentialAdmissionOracle,
+    // compaction must be verdict-invariant: the SAME batch-2 rows, once
+    // against base ∪ segments (pre) and once against the compacted base
+    // (post) — both phases pin to the sequential oracle's batch-2 slice
+    "corpus_batch_admit_compact" -> {
+      s"""WITH seq AS (
+         |$sequentialAdmissionOracle
+         |)
+         |SELECT '1_pre' AS phase, doc_id, admitted, reject_reason
+         |FROM seq WHERE batch = 2
+         |UNION ALL
+         |SELECT '2_post' AS phase, doc_id, admitted, reject_reason
+         |FROM seq WHERE batch = 2
+         |ORDER BY phase, doc_id""".stripMargin
+    },
     "text_rep_windows" ->
       s"""WITH ${repWindowCtes()}
          |SELECT p8.doc_id, p8.n_win AS n_lines, p8.dup_micro AS dup_line_micro,

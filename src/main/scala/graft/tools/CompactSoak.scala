@@ -1,0 +1,88 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Segment-count soak for the admission index's delta-compaction path
+  * (r16): probe the SAME incoming batch against base ∪ N delta segments
+  * for growing N, then against the COMPACTED base — the evidence that
+  * (a) probe cost degrades with accumulated segments (why production
+  * compacts at all) or stays flat at this scale, and (b) compaction
+  * restores the single-table probe cost while the verdicts stay
+  * IDENTICAL (count + admitted sum printed per mode). Run:
+  * `sbt "runMain graft.tools.CompactSoak [sfDir]"` (default sf0.1).
+  */
+object CompactSoak {
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.Tables.load(spark, d, "documents")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0).select("doc_id", "text")
+    val b1 = docs.filter(col("doc_id") % 20 === 0).select("doc_id", "text")
+    val b2 = docs.filter(col("doc_id") % 20 === 10).select("doc_id", "text")
+      .localCheckpoint(true)
+    val q = graft.queries.LlmQueries
+    val baseMd5 = q.corpusMd5(spark, d)
+    val baseIdx = q.bandIndex(spark, d)
+    val admitted1 = b1.join(
+      q.admissionVerdicts(spark, d, b1).filter(col("admitted") === 1L)
+        .select("doc_id"), "doc_id").localCheckpoint(true)
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    def verdictStats(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), sum("admitted")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    for (n <- Seq(1, 8, 32)) {
+      // n segments per structure, written as real parquet tables (the
+      // production shape: each probe lists and reads n+1 tables)
+      val zones = graft.io.Zones.forPurpose(s"compactsoak_$n")
+      val segs = (0 until n).map { i =>
+        val part = admitted1.filter(pmod(col("doc_id"), lit(n)) === i)
+        zones.write(part.select(md5(col("text")).as("__h")).distinct(),
+          "work", s"md5_$i")
+        zones.write(
+          graft.ops.DedupOps.lshBandsFromSigArray(
+            graft.ops.DedupOps.minhashSignatureArray(
+              part, "doc_id", "text", k = 8, w = 3),
+            "doc_id", k = 8, rows = 4),
+          "work", s"band_$i")
+        zones.write(part, "work", s"docs_$i")
+        i
+      }
+      val idxCols = baseIdx.columns
+      val md5All = (baseMd5 +: segs.map(i => zones.read(spark, "work", s"md5_$i")))
+        .reduce(_ unionByName _)
+      val idxAll = (baseIdx +: segs.map(i =>
+        zones.read(spark, "work", s"band_$i").select(idxCols.map(col): _*)))
+        .reduce(_ unionByName _)
+      val corpusAll = (corpus +: segs.map(i => zones.read(spark, "work", s"docs_$i")))
+        .reduce(_ unionByName _)
+      val ((rows, adm), t) = time(verdictStats(
+        q.admissionVerdictsAgainst(corpusAll, md5All, idxAll, b2)))
+      println(f"""{"mode":"base_plus_${n}_segments","rows":$rows,"admitted":$adm,"sec":$t%.2f}""")
+      if (n == 32) {
+        // compact the 32-segment state and re-probe: cost back to the
+        // single-table shape, verdicts identical
+        zones.write(md5All, "work", "md5_compacted")
+        zones.write(idxAll, "work", "band_compacted")
+        zones.write(corpusAll, "work", "docs_compacted")
+        val ((r2, a2), t2) = time(verdictStats(q.admissionVerdictsAgainst(
+          zones.read(spark, "work", "docs_compacted"),
+          zones.read(spark, "work", "md5_compacted"),
+          zones.read(spark, "work", "band_compacted"), b2)))
+        println(f"""{"mode":"compacted_from_32","rows":$r2,"admitted":$a2,"sec":$t2%.2f}""")
+      }
+    }
+    spark.stop()
+  }
+}
