@@ -599,6 +599,24 @@ object OhdsiBqTemplateQueries {
         "fact_id_2", "relationship_concept_id")
   }
 
+  /** The RENUMBER branch of the bq `{omop_table}_apply_event_columns`
+    * template (the GoogleSQL `cte_events_mapped_to_multiple_rows` /
+    * `SELECT * EXCEPT(rn)` / `inner join cte_max_id m on true = true`
+    * shapes) — same fixture and expected rows as the sql_server twin.
+    */
+  val bqApplyEventsRenumber: Q = (s, d) => {
+    T.stageApplyEventsRenumber(s, d, "graft_bq_aer2", "graft_bq_aer2_omop")
+    runBq(s, "bq_apply_event_columns",
+      scalars = Map(
+        "dataset_work" -> "graft_bq_aer2",
+        "dataset_omop" -> "graft_bq_aer2_omop",
+        "omop_table" -> "observation",
+        "primary_key_column" -> "observation_id"),
+      lists = T.ApplyEventsRenumberLists,
+      dicts = T.ApplyEventsRenumberDicts)
+    s.table("graft_bq_aer2_omop.observation").orderBy("observation_id")
+  }
+
   /** Verbatim bq `etl/{omop_table}_get_event_tables.sql.jinja` — the
     * `events.values()` UNION ALL discovery (alias-free subquery).
     */
@@ -685,6 +703,7 @@ object OhdsiBqTemplateQueries {
     "ohdsi_sql_bq_custom_validate" -> bqCustomValidate,
     "ohdsi_sql_bq_validate_dups" -> bqValidateDups,
     "ohdsi_sql_bq_apply_events" -> bqApplyEvents,
+    "ohdsi_sql_bq_apply_events_renumber" -> bqApplyEventsRenumber,
     "ohdsi_sql_bq_event_tables" -> bqEventTables,
     "ohdsi_sql_bq_upload_insert" -> bqUploadInsert,
     "ohdsi_sql_bq_sample_usagi" -> bqSampleUsagi)
@@ -735,6 +754,7 @@ object OhdsiBqTemplateQueries {
     "ohdsi_sql_bq_custom_validate" -> twin("ohdsi_sql_custom_validate"),
     "ohdsi_sql_bq_validate_dups" -> twin("ohdsi_sql_validate_dups"),
     "ohdsi_sql_bq_apply_events" -> twin("ohdsi_sql_apply_events"),
+    "ohdsi_sql_bq_apply_events_renumber" -> OhdsiTemplateQueries.ApplyEventsRenumberOracle,
     "ohdsi_sql_bq_event_tables" -> twin("ohdsi_sql_event_tables"),
     "ohdsi_sql_bq_upload_insert" -> twin("ohdsi_sql_upload_insert"),
     "ohdsi_sql_bq_sample_usagi" -> twin("ohdsi_sql_sample_usagi"))

@@ -1723,6 +1723,70 @@ object OhdsiTemplateQueries {
         "fact_id_2", "relationship_concept_id")
   }
 
+  /** The RENUMBER branch of the verbatim `{omop_table}_apply_event_columns`
+    * template (r16 — the `omop_table not in [fact_relationship,
+    * episode_event]` path both dialect entries had left unexercised):
+    * when the event-swap projection maps one pk to MULTIPLE rows, row 1
+    * keeps the pk and the rest re-key as `max_id + ROW_NUMBER()` (the W4
+    * semantics, natively `event_rekey`). Fixture: every `% 10 == 0`
+    * observation carries TWO work rows — one 'person'-routed, one
+    * 'observation'-routed — whose projections differ in the event concept
+    * (1147026 vs 1147165) and swap id, so both dialects' dedup windows
+    * order deterministically (sql_server sorts all columns; bigquery
+    * sorts the concept column) and agree on the kept row.
+    */
+  private[queries] def stageApplyEventsRenumber(
+      s: SparkSession, d: String, workDb: String, omopDb: String): Unit = {
+    s.sql(s"DROP DATABASE IF EXISTS $workDb CASCADE")
+    s.sql(s"DROP DATABASE IF EXISTS $omopDb CASCADE")
+    val k = col("o_orderkey")
+    val base = t(s, d, "orders").select(
+      k.as("observation_id"),
+      concat(lit("v"), (k % 7).cast("string")).as("value_as_string"),
+      concat(lit("P_"), (k % 5).cast("string")).as("observation_event_id"),
+      lit("person").as("obs_event_field_concept_id"))
+    val dups = t(s, d, "orders").filter(k % 10 === 0).select(
+      k.as("observation_id"),
+      concat(lit("v"), (k % 7).cast("string")).as("value_as_string"),
+      concat(lit("O_"), (k % 7).cast("string")).as("observation_event_id"),
+      lit("observation").as("obs_event_field_concept_id"))
+    stage(s, workDb, "observation", base.unionByName(dups))
+    stage(s, workDb, "person_id_swap", s.range(0, 10).select(
+      concat(lit("P_"), col("id").cast("string")).as("x"),
+      (col("id") + 1).cast("int").as("y")))
+    stage(s, workDb, "observation_id_swap", s.range(0, 10).select(
+      concat(lit("O_"), col("id").cast("string")).as("x"),
+      (col("id") + 1001).cast("int").as("y")))
+    stage(s, omopDb, "observation", s.range(0).select(
+      lit(0L).as("observation_id"), lit("").as("value_as_string"),
+      lit(0).as("observation_event_id"), lit(0).as("obs_event_field_concept_id")))
+  }
+
+  private[queries] val ApplyEventsRenumberLists = Map(
+    "columns" -> Seq("observation_id", "value_as_string",
+      "observation_event_id", "obs_event_field_concept_id"))
+  private[queries] val ApplyEventsRenumberDicts = Map(
+    "events" -> Seq("observation_event_id" -> "obs_event_field_concept_id"),
+    "event_tables" -> Seq("person" -> "person_id", "observation" -> "observation_id"))
+
+  val ohdsiSqlApplyEventsRenumber: Q = (s, d) => {
+    stageApplyEventsRenumber(s, d, "graft_work_aer", "graft_omop_aer")
+    val in = getClass.getResourceAsStream(
+      "/graft/ohdsi/omop_table_apply_event_columns.sql.jinja")
+    val text = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    OhdsiSql.executeAll(s, JinjaLite.render(text,
+      scalars = Map(
+        "work_database_catalog" -> "spark_catalog",
+        "work_database_schema" -> "graft_work_aer",
+        "omop_database_catalog" -> "spark_catalog",
+        "omop_database_schema" -> "graft_omop_aer",
+        "omop_table" -> "observation",
+        "primary_key_column" -> "observation_id"),
+      lists = ApplyEventsRenumberLists,
+      dicts = ApplyEventsRenumberDicts))
+    s.table("graft_omop_aer.observation").orderBy("observation_id")
+  }
+
   /** Verbatim `cdm_folders/sample_etl_query.sql.jinja` — the S9 user
     * SELECT the reference documents for a CDM folder: record-typed
     * `columns` drive the PK/FK/CONCEPT `_PREQUAL_` prefixes and the
@@ -2286,7 +2350,32 @@ object OhdsiTemplateQueries {
     "ohdsi_sql_concept_swap" -> ohdsiSqlConceptSwap,
     "ohdsi_sql_concept_merge" -> ohdsiSqlConceptMerge,
     "ohdsi_sql_custom_validate" -> ohdsiSqlCustomValidate,
-    "ohdsi_sql_datepart_tail" -> ohdsiSqlDatepartTail)
+    "ohdsi_sql_datepart_tail" -> ohdsiSqlDatepartTail,
+    "ohdsi_sql_apply_events_renumber" -> ohdsiSqlApplyEventsRenumber)
+
+  /** The re-keying branch's expected rows — shared by both dialects'
+    * renumber entries (they must agree on the kept row; lazy: the r9
+    * object-init-order trap).
+    */
+  private[queries] lazy val ApplyEventsRenumberOracle =
+    """WITH mx AS (SELECT max(o_orderkey) AS max_id FROM orders),
+      |kept AS (
+      |  SELECT o_orderkey AS observation_id,
+      |    'v' || CAST(o_orderkey % 7 AS VARCHAR) AS value_as_string,
+      |    CAST(o_orderkey % 5 + 1 AS BIGINT) AS observation_event_id,
+      |    CAST(1147026 AS BIGINT) AS obs_event_field_concept_id
+      |  FROM orders
+      |),
+      |rekeyed AS (
+      |  SELECT CAST(mx.max_id + row_number() OVER (ORDER BY o_orderkey) AS BIGINT)
+      |      AS observation_id,
+      |    'v' || CAST(o_orderkey % 7 AS VARCHAR) AS value_as_string,
+      |    CAST(o_orderkey % 7 + 1001 AS BIGINT) AS observation_event_id,
+      |    CAST(1147165 AS BIGINT) AS obs_event_field_concept_id
+      |  FROM orders, mx WHERE o_orderkey % 10 = 0
+      |)
+      |SELECT * FROM kept UNION ALL SELECT * FROM rekeyed
+      |ORDER BY observation_id""".stripMargin
 
   /** The deterministic runs fixture, mirrored in DuckDB. */
   private[queries] val DqdRunsOracle =
@@ -2792,6 +2881,7 @@ object OhdsiTemplateQueries {
         |FROM nation
         |WHERE n_nationkey % 4 = 3 OR n_nationkey % 3 = 2
         |ORDER BY concept_code""".stripMargin,
+    "ohdsi_sql_apply_events_renumber" -> ApplyEventsRenumberOracle,
     // the r16 datepart long tail: SQL Server DATEFIRST-7 weekday
     // (duckdb dayofweek is Sunday=0 -> +1), week-of-year = 1 + Sunday
     // boundaries since Jan 1, duckdb millisecond() = sec*1000+ms -> %1000,

@@ -52,7 +52,7 @@ class TemplateCoverageSpec extends AnyFunSuite {
     "{omop_table}__{concept_id_column}_usagi_fk_domain_check.sql.jinja" -> "ohdsi_sql_usagi_domain_check",
     "{omop_table}__{concept_id_column}_usagi_non_standard.sql.jinja" -> "ohdsi_sql_usagi_nonstd",
     "{omop_table}__{concept_id_column}_usagi_update_custom_concepts.sql.jinja" -> "ohdsi_sql_usagi_update",
-    "{omop_table}_apply_event_columns.sql.jinja" -> "ohdsi_sql_apply_events",
+    "{omop_table}_apply_event_columns.sql.jinja" -> "ohdsi_sql_apply_events + ohdsi_sql_apply_events_renumber",
     "{omop_table}_get_event_tables.sql.jinja" -> "ohdsi_sql_event_tables",
     "{omop_table}_merge.sql.jinja" -> "ohdsi_sql_omop_merge",
     "{omop_table}_{sql_file}_insert.sql.jinja" -> "ohdsi_sql_upload_insert",
@@ -105,7 +105,7 @@ class TemplateCoverageSpec extends AnyFunSuite {
     "cdm_metadata_riab_version.sql.jinja" -> "ohdsi_sql_bq_metadata_rows",
     "{omop_table}__{concept_id_column}_concept_create.sql.jinja" -> "ohdsi_sql_bq_work_ddl_create",
     "{omop_table}__{concept_id_column}_usagi_create.sql.jinja" -> "ohdsi_sql_bq_work_ddl_create",
-    "{omop_table}_apply_event_columns.sql.jinja" -> "ohdsi_sql_bq_apply_events",
+    "{omop_table}_apply_event_columns.sql.jinja" -> "ohdsi_sql_bq_apply_events + ohdsi_sql_bq_apply_events_renumber",
     "{omop_table}_get_event_tables.sql.jinja" -> "ohdsi_sql_bq_event_tables",
     "{omop_table}_{sql_file}_insert.sql.jinja" -> "ohdsi_sql_bq_upload_insert",
     "{omop_work}_ddl.sql.jinja" -> "ohdsi_sql_bq_work_table_ddl",
@@ -174,6 +174,35 @@ class TemplateCoverageSpec extends AnyFunSuite {
     val root = new java.io.File("/root/reference/src/riab/etl/bigquery/templates")
     assume(root.isDirectory, "reference checkout not present — skipping")
     BqVendored.foreach { case (resName, relPath) =>
+      val in = getClass.getResourceAsStream(s"/graft/ohdsi/$resName.sql.jinja")
+      assert(in != null, s"missing vendored resource $resName.sql.jinja")
+      val vendored = in.readAllBytes()
+      val original = java.nio.file.Files.readAllBytes(
+        new java.io.File(root, relPath).toPath)
+      assert(java.util.Arrays.equals(vendored, original),
+        s"$resName.sql.jinja drifted from $relPath")
+    }
+  }
+
+  /** vendored sql_server resource name -> reference path (relative to
+    * the sql_server templates root).
+    */
+  private val SqlServerVendored: Map[String, String] = Map(
+    "DataQualityDashboard_ddl" -> "ddl/DataQualityDashboard_ddl.sql.jinja",
+    "OMOPCDM_sql_server_5.4_ddl" -> "ddl/OMOPCDM_sql_server_5.4_ddl.sql.jinja",
+    "OMOPCDM_sql_server_5.4_primary_keys" -> "ddl/OMOPCDM_sql_server_5.4_primary_keys.sql.jinja",
+    "OMOPCDM_sql_server_5.4_indices" -> "ddl/OMOPCDM_sql_server_5.4_indices.sql.jinja",
+    "OMOPCDM_sql_server_5.4_constraints" -> "ddl/OMOPCDM_sql_server_5.4_constraints.sql.jinja",
+    "result_table_ddl_concept" -> "ddl/result_table_ddl_concept.sql.jinja",
+    "result_table_ddl_field" -> "ddl/result_table_ddl_field.sql.jinja",
+    "result_table_ddl_table" -> "ddl/result_table_ddl_table.sql.jinja",
+    "omop_table_apply_event_columns" -> "etl/{omop_table}_apply_event_columns.sql.jinja",
+    "omop_table_merge" -> "etl/{omop_table}_merge.sql.jinja")
+
+  test("every vendored sql_server resource is byte-identical to its reference original") {
+    val root = new java.io.File("/root/reference/src/riab/etl/sql_server/templates")
+    assume(root.isDirectory, "reference checkout not present — skipping")
+    SqlServerVendored.foreach { case (resName, relPath) =>
       val in = getClass.getResourceAsStream(s"/graft/ohdsi/$resName.sql.jinja")
       assert(in != null, s"missing vendored resource $resName.sql.jinja")
       val vendored = in.readAllBytes()
