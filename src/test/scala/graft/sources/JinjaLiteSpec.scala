@@ -205,4 +205,56 @@ class JinjaLiteSpec extends AnyFunSuite {
     assert(e.getMessage.contains("bad.sql.jinja"))
     assert(e.getMessage.contains("unsupported Jinja construct"))
   }
+
+  // ---- r16: dict literals in {% set %}, truthiness over attrs ----
+
+  test("a dict literal binds via {% set %} and indexes by expression") {
+    val out = JinjaLite.render(
+      """{%- set types = {
+        |    'integer': 'INT64',
+        |    'varchar(255)': 'STRING'
+        |} -%}
+        |{%- for column in columns -%}
+        |{{ types[column.cdmDatatype] }};
+        |{%- endfor -%}""".stripMargin,
+      scalars = Map.empty,
+      records = Map("columns" -> Seq(
+        Map("cdmDatatype" -> "integer"),
+        Map("cdmDatatype" -> "varchar(255)"))))
+    assert(out == "INT64;STRING;")
+    val e = intercept[RuntimeException](JinjaLite.render(
+      "{% set t = {'a': 'b'} %}{{ t['missing'] }}", Map.empty))
+    assert(e.getMessage.contains("no key"))
+  }
+
+  test("bare truthiness resolves dotted/indexed refs; undefined names error") {
+    // a namespace flag (the r15 ADVICE gap: scalars-only lookup silently
+    // yielded false)
+    val out = JinjaLite.render(
+      "{% set ns = namespace(flag='yes') %}{% if ns.flag %}ON{% else %}OFF{% endif %}",
+      Map.empty)
+    assert(out == "ON")
+    // a record attribute
+    val out2 = JinjaLite.render(
+      "{% for c in columns %}{% if c.fkTableName %}FK{% else %}--{% endif %}{% endfor %}",
+      scalars = Map.empty,
+      records = Map("columns" -> Seq(
+        Map("fkTableName" -> "CONCEPT"), Map("fkTableName" -> ""))))
+    assert(out2 == "FK--")
+    // undefined bare names raise (the fail-loud contract)
+    val e = intercept[RuntimeException](JinjaLite.render(
+      "{% if nonexistent %}x{% endif %}", Map.empty))
+    assert(e.getMessage.contains("undefined"))
+  }
+
+  test("plain-list '| length' comparison (the bq work-ddl cluster_fields guard)") {
+    val out = JinjaLite.render(
+      "{% if cluster_fields | length > 0 %}CLUSTER{% else %}PLAIN{% endif %}",
+      scalars = Map.empty, lists = Map("cluster_fields" -> Seq("a")))
+    assert(out == "CLUSTER")
+    val out2 = JinjaLite.render(
+      "{% if cluster_fields | length > 0 %}CLUSTER{% else %}PLAIN{% endif %}",
+      scalars = Map.empty, lists = Map("cluster_fields" -> Seq.empty))
+    assert(out2 == "PLAIN")
+  }
 }

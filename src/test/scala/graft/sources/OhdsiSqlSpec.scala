@@ -602,4 +602,77 @@ class OhdsiSqlSpec extends SparkSpec {
     assert(stmts(0).trim.startsWith("SELECT"),
       "a leading header block must not shadow statement dispatch")
   }
+
+  // ---- r16: the GoogleSQL pre-pass hardening + clustering metadata ----
+
+  test("translateBigQuery is quote-aware: literals survive, code rewrites") {
+    val out = OhdsiSql.translateBigQuery(
+      """SELECT 'DATETIME' AS lit1, "has INT64 and @not_a_bind" AS lit2,
+        |  CAST(x AS INT64) AS a, CAST(y AS FLOAT64) AS b,
+        |  DATE(2099, 12, 31) AS d, CURRENT_DATETIME() AS now
+        |FROM `ds.tbl` WHERE id = @id""".stripMargin)
+    assert(out.contains("'DATETIME'"), "single-quoted literal must survive")
+    assert(out.contains("\"has INT64 and @not_a_bind\""),
+      "double-quoted literal must survive")
+    assert(out.contains("CAST(x AS BIGINT)") && out.contains("CAST(y AS DOUBLE)"))
+    assert(out.contains("make_date(2099, 12, 31)"))
+    assert(out.contains("current_timestamp()"))
+    assert(out.contains("`ds`.`tbl`"), "whole-path backquotes split per part")
+    assert(out.contains(":id"), "GoogleSQL @param maps to the bridge's :bind")
+  }
+
+  test("translateBigQuery refuses the DATETIME(...) constructor loudly") {
+    val e = intercept[IllegalArgumentException](
+      OhdsiSql.translateBigQuery("SELECT DATETIME(2020, 1, 1, 0, 0, 0)"))
+    assert(e.getMessage.contains("DATETIME"))
+  }
+
+  test("FORMAT_TIMESTAMP maps its strftime pattern; unknown codes refuse") {
+    val out = OhdsiSql.translateBigQuery(
+      """SELECT FORMAT_TIMESTAMP("%Y-%m-%d %T", ts) AS label FROM t""")
+    assert(out.contains("date_format(ts, 'yyyy-MM-dd HH:mm:ss')"), out)
+    val e = intercept[IllegalArgumentException](OhdsiSql.translateBigQuery(
+      """SELECT FORMAT_TIMESTAMP("%Q", ts) FROM t"""))
+    assert(e.getMessage.contains("%Q"))
+  }
+
+  test("unguarded CREATE TABLE fails loudly on an existing table (SQL Server parity)") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_spec_ct")
+    OhdsiSql.executeAll(spark,
+      "CREATE TABLE graft_spec_ct.t_exists (a integer)")
+    val e = intercept[IllegalArgumentException](OhdsiSql.executeAll(spark,
+      "CREATE TABLE graft_spec_ct.t_exists (a integer)"))
+    assert(e.getMessage.contains("already exists"))
+    // the guarded forms still replace / no-op
+    OhdsiSql.executeAll(spark,
+      "DROP TABLE IF EXISTS graft_spec_ct.t_exists; CREATE TABLE graft_spec_ct.t_exists (b varchar(10))")
+    assert(spark.table("graft_spec_ct.t_exists").columns.toSeq == Seq("b"))
+  }
+
+  test("CREATE TABLE records CLUSTER BY keys; write-backs keep them") {
+    spark.sql("DROP DATABASE IF EXISTS graft_spec_cb CASCADE")
+    OhdsiSql.executeAll(spark, OhdsiSql.translateBigQuery(
+      "CREATE TABLE `graft_spec_cb.c` (k INT64, v STRING) CLUSTER BY k"),
+      sqlRender = false)
+    assert(OhdsiSql.tableClusterBy(spark, "graft_spec_cb.c") == Some(Seq("k")))
+    spark.range(10).selectExpr("CAST(10 - id AS BIGINT) AS k", "'x' AS v")
+      .createOrReplaceTempView("spec_cb_src")
+    OhdsiSql.executeAll(spark,
+      "INSERT INTO graft_spec_cb.c SELECT k, v FROM spec_cb_src")
+    // the clustering survives the write-back swap
+    assert(OhdsiSql.tableClusterBy(spark, "graft_spec_cb.c") == Some(Seq("k")))
+    assert(spark.table("graft_spec_cb.c").count() == 10L)
+  }
+
+  test("aliased UPDATE <t> T SET (the GoogleSQL tombstone shape) resolves") {
+    spark.sql("DROP DATABASE IF EXISTS graft_spec_up CASCADE")
+    spark.sql("CREATE DATABASE graft_spec_up")
+    spark.range(5).selectExpr("id", "CAST(NULL AS STRING) AS invalid_reason")
+      .write.saveAsTable("graft_spec_up.m")
+    OhdsiSql.executeAll(spark,
+      "UPDATE graft_spec_up.m T SET invalid_reason = 'D' where T.id < 2")
+    val marked = spark.table("graft_spec_up.m")
+      .where("invalid_reason = 'D'").count()
+    assert(marked == 2L)
+  }
 }
