@@ -19,6 +19,10 @@ object TemplateSoak {
     graft.queries.OhdsiTemplateQueries.templateSoak(spark, sfDir).foreach {
       case (step, secs, rows) => println(f"$step%-26s $secs%8.2f s  $rows%10d rows")
     }
+    // the BIGQUERY-dialect chain over the same uploads (r16)
+    graft.queries.OhdsiTemplateQueries.templateSoakBq(spark, sfDir).foreach {
+      case (step, secs, rows) => println(f"$step%-26s $secs%8.2f s  $rows%10d rows")
+    }
     spark.stop()
   }
 }
