@@ -786,6 +786,105 @@ object LlmQueries {
       .orderBy("batch", "doc_id")
   }
 
+  /** STREAMING continuous curation WITH MINOR COMPACTION (r16): the
+    * index-growth stream plus the maintenance step production actually
+    * runs — after each micro-batch appends its admit segments, ALL delta
+    * segments fold into ONE merged segment per structure (a
+    * log-structured minor compaction: one atomic replace, retired
+    * segments deleted after the swap), so the next batch probes
+    * base ∪ exactly one segment regardless of how many batches ran.
+    * Compaction is verdict-invariant, so the stream pins to the SAME
+    * oracle as the sequential entries.
+    */
+  val streamCorpusAdmitCompact: Q = (s, d) => {
+    val key = graft.io.Zones.pathKey(d)
+    val zones = graft.io.Zones.forPurpose(s"streamadmcpt_$key")
+    val hconf = s.sparkContext.hadoopConfiguration
+    def rm(p: String): Unit = {
+      val hp = new org.apache.hadoop.fs.Path(new java.io.File(p).getAbsolutePath)
+      hp.getFileSystem(hconf).delete(hp, true); ()
+    }
+    rm(zones.root)
+    val ckpt = new java.io.File(
+      s"${graft.io.Zones.defaultRoot}/stream_ckpt_admcpt_$key").getAbsolutePath
+    rm(ckpt)
+    val stagingDir = new java.io.File(
+      s"${graft.io.Zones.defaultRoot}/stream_src_admcpt_$key").getAbsolutePath
+    rm(stagingDir)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stagingDir))
+    val docs = t(s, d, "documents")
+    val t0 = System.currentTimeMillis()
+    val b1 = docs.filter(col("doc_id") % 20 === 0).select("doc_id", "text")
+    stageStreamFile(s, stagingDir, "batch0.parquet", b1, t0)
+    // same authored copy/variant probes as the sequential stream (they
+    // can only be rejected through the grown-then-compacted segments)
+    val admProbe = b1.join(seqB1Verdicts(s, d).filter(col("admitted") === 1L)
+        .select("doc_id"), "doc_id")
+      .filter(size(graft.ops.TextOps.tokens(col("text"))) >= 3)
+    stageStreamFile(s, stagingDir, "batch1.parquet",
+      docs.filter(col("doc_id") % 20 === 10).select("doc_id", "text")
+        .unionByName(admProbe.select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(col("text"), lit("  ")).as("text")))
+        .unionByName(admProbe.select((col("doc_id") + 20000000L).as("doc_id"),
+          col("text"))),
+      t0 + 60000L)
+    corpusMd5(s, d); bandIndex(s, d) // force the static base ONCE
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0).select("doc_id", "text")
+    val stream = s.readStream
+      .schema(docs.select("doc_id", "text").schema)
+      .option("maxFilesPerTrigger", 1).parquet(stagingDir)
+    def minorCompact(prefix: String): Unit = {
+      val segs = zones.listTables(s, "work").filter(_.startsWith(prefix)).sorted
+      if (segs.length > 1) {
+        val merged = segs.map(tb => zones.read(s, "work", tb))
+          .reduce(_ unionByName _)
+        // fold INTO the merged segment name (AtomicWrite materializes
+        // before the swap, so reading the old merged segment is safe),
+        // then retire the per-batch segments
+        zones.write(merged, "work", s"${prefix}merged")
+        segs.filterNot(_ == s"${prefix}merged").foreach { tb =>
+          val hp = new org.apache.hadoop.fs.Path(
+            new java.io.File(zones.tablePath("work", tb)).getAbsolutePath)
+          hp.getFileSystem(hconf).delete(hp, true)
+        }
+      }
+    }
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        def deltas(prefix: String): Seq[DataFrame] =
+          zones.listTables(s, "work").filter(_.startsWith(prefix)).sorted
+            .map(tb => zones.read(s, "work", tb))
+        val md5All = (corpusMd5(s, d) +: deltas("delta_md5_")).reduce(_ unionByName _)
+        val idxAll = (bandIndex(s, d) +: deltas("delta_band_")).reduce(_ unionByName _)
+        val corpusAll = (corpus +: deltas("delta_docs_")).reduce(_ unionByName _)
+        val v = admissionVerdictsAgainst(corpusAll, md5All, idxAll, batch)
+          .withColumn("batch", lit(id + 1L))
+        zones.write(v, "work", s"admit_batch_$id")
+        val adm = batch.join(
+          zones.read(s, "work", s"admit_batch_$id")
+            .filter(col("admitted") === 1L).select("doc_id"), "doc_id")
+        zones.write(adm.select(md5(col("text")).as("__h")).distinct(),
+          "work", s"delta_md5_b$id")
+        zones.write(
+          DedupOps.lshBandsFromSigArray(
+            DedupOps.minhashSignatureArray(adm, "doc_id", "text", k = 8, w = 3),
+            "doc_id", k = 8, rows = 4),
+          "work", s"delta_band_b$id")
+        zones.write(adm, "work", s"delta_docs_b$id")
+        // MINOR COMPACTION: fold every segment into one per structure
+        Seq("delta_md5_", "delta_band_", "delta_docs_").foreach(minorCompact)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    zones.listTables(s, "work").filter(_.startsWith("admit_batch_"))
+      .map(tb => zones.read(s, "work", tb))
+      .reduce(_ unionByName _)
+      .orderBy("batch", "doc_id")
+  }
+
   /** Incremental near-dup admission ([[DedupOps.incrementalDedup]]): the
     * batch (every 10th doc) probes the STORED corpus band index; verified
     * best-match or novel per batch doc.
@@ -1821,6 +1920,7 @@ object LlmQueries {
     "corpus_batch_admit_compact" -> corpusAdmitCompact,
     "corpus_batch_admit_sequential" -> corpusAdmitSequential,
     "stream_corpus_admit" -> streamCorpusAdmit,
+    "stream_corpus_admit_compact" -> streamCorpusAdmitCompact,
     "stream_corpus_admit_sequential" -> streamCorpusAdmitSequential,
     "corpus_artifact_store_build" -> corpusArtifactStoreBuild,
     "corpus_curation_funnel" -> corpusCurationFunnel,
@@ -2801,6 +2901,7 @@ object LlmQueries {
   val oracles: Seq[(String, String)] = Seq(
     "corpus_batch_admit_sequential" -> sequentialAdmissionOracle,
     "stream_corpus_admit_sequential" -> sequentialAdmissionOracle,
+    "stream_corpus_admit_compact" -> sequentialAdmissionOracle,
     // compaction must be verdict-invariant: the SAME batch-2 rows, once
     // against base ∪ segments (pre) and once against the compacted base
     // (post) — both phases pin to the sequential oracle's batch-2 slice
