@@ -32,6 +32,7 @@ class PlanAuditSpec extends SparkSpec {
     assert(idx("achilles_cdm_store_build") < firstWith("ohdsi_"))
     assert(idx("bpe_artifact_store_build") < firstWith("bpe_encode"))
     assert(idx("corpus_artifact_store_build") < idx("corpus_batch_admit"))
+    assert(idx("corpus_artifact_store_build") < idx("corpus_batch_admit_compact"))
     assert(idx("corpus_artifact_store_build") < idx("corpus_batch_admit_sequential"))
     assert(idx("corpus_artifact_store_build") < idx("corpus_curation_funnel"))
     assert(idx("corpus_artifact_store_build") < firstWith("dedup_"))
