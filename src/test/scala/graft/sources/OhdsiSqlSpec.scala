@@ -667,6 +667,11 @@ class OhdsiSqlSpec extends SparkSpec {
   test("aliased UPDATE <t> T SET (the GoogleSQL tombstone shape) resolves") {
     spark.sql("DROP DATABASE IF EXISTS graft_spec_up CASCADE")
     spark.sql("CREATE DATABASE graft_spec_up")
+    // a LOCATION left by a previous JVM outlives the in-memory catalog
+    // (the r15 trap) — clear it before the managed write
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + "/graft_spec_up.db/m")
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
     spark.range(5).selectExpr("id", "CAST(NULL AS STRING) AS invalid_reason")
       .write.saveAsTable("graft_spec_up.m")
     OhdsiSql.executeAll(spark,
