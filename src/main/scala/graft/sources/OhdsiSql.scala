@@ -1367,7 +1367,21 @@ object OhdsiSql {
     if (ci(raw"\bsys\.(tables|schemas)\b").findFirstIn(stmt).isEmpty) stmt
     else {
       import spark.implicits._
-      val dbs = spark.catalog.listDatabases().collect().map(_.name)
+      val dbsAll = spark.catalog.listDatabases().collect().map(_.name)
+      // the published probes compare the schema against a QUOTED literal
+      // (`s.name = 'db'`); snapshotting every database makes each probe
+      // O(catalog) — dozens of listTables calls once a session has run
+      // many entries (the r16 in-bench finding: 1.3 s standalone vs ~6 s
+      // mid-bench). Scope the snapshot to databases the statement
+      // actually names; a statement naming none (or only non-databases,
+      // e.g. a LIKE pattern) falls back to the full listing — a SUPERSET
+      // of the scoped rows is always correct, a subset only when every
+      // db the predicate can match is included, which quoted-equality
+      // probes guarantee.
+      val quoted = raw"'([^']*)'".r.findAllMatchIn(stmt)
+        .map(_.group(1).toLowerCase).toSet
+      val scoped = dbsAll.filter(db => quoted.contains(db.toLowerCase))
+      val dbs = if (scoped.nonEmpty) scoped else dbsAll
       val tables = dbs.flatMap { db =>
         spark.catalog.listTables(db).collect()
           .filter(_.tableType != "TEMPORARY").map(t => (t.name, db))
