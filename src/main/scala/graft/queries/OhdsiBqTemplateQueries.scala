@@ -599,6 +599,57 @@ object OhdsiBqTemplateQueries {
         "fact_id_2", "relationship_concept_id")
   }
 
+  /** The VOCABULARY branch of the bq `{omop_table}_merge` (r16): the
+    * GoogleSQL refill writes `CREATE OR REPLACE TABLE omop.vocabulary
+    * LIKE .. AS (dedup'd uploads UNION ALL the preserved standards
+    * `vocabulary_concept_id < min_custom_concept_id`)` — reading the
+    * REPLACED table inside its own replacement (the materialize-then-
+    * swap protocol makes that safe). Same fixture and expected rows as
+    * the sql_server twin's vocab branch.
+    */
+  val bqVocabMerge: Q = (s, d) => {
+    s.sql("DROP DATABASE IF EXISTS graft_bq_vm CASCADE")
+    s.sql("DROP DATABASE IF EXISTS graft_bq_vm_omop CASCADE")
+    val nat = T.t(s, d, "nation")
+    T.stage(s, "graft_bq_vm", "vocabulary__upload__u1", nat.select(
+      concat(lit("CUSTOM_"), col("n_name")).as("vocabulary_id"),
+      concat(lit("vocab "), col("n_name")).as("vocabulary_name"),
+      lit("ref").as("vocabulary_reference"),
+      lit("v1").as("vocabulary_version"),
+      (col("n_nationkey") + 2000000000L).as("vocabulary_concept_id")))
+    T.stage(s, "graft_bq_vm_omop", "vocabulary", T.t(s, d, "region").select(
+      col("r_name").as("vocabulary_id"),
+      concat(lit("std "), col("r_name")).as("vocabulary_name"),
+      lit("ref").as("vocabulary_reference"),
+      lit("v0").as("vocabulary_version"),
+      col("r_regionkey").cast("long").as("vocabulary_concept_id"))
+      .unionByName(nat.limit(3).select(
+        concat(lit("STALE_"), col("n_name")).as("vocabulary_id"),
+        lit("stale").as("vocabulary_name"),
+        lit("ref").as("vocabulary_reference"),
+        lit("old").as("vocabulary_version"),
+        (col("n_nationkey") + 2000000000L).as("vocabulary_concept_id"))))
+    runBq(s, "bq_omop_table_merge",
+      scalars = Map(
+        "dataset_work" -> "graft_bq_vm",
+        "dataset_omop" -> "graft_bq_vm_omop",
+        "omop_table" -> "vocabulary",
+        "primary_key_column" -> "vocabulary_id",
+        "pk_auto_numbering" -> "", // the vocabulary pk is its natural id
+        "process_semi_approved_mappings" -> "",
+        "min_custom_concept_id" -> "2000000000"),
+      lists = Map(
+        "columns" -> Seq("vocabulary_id", "vocabulary_name",
+          "vocabulary_reference", "vocabulary_version", "vocabulary_concept_id"),
+        "concept_id_columns" -> Seq.empty,
+        "foreign_key_columns" -> Seq.empty,
+        "required_columns" -> Seq.empty,
+        "sql_files" -> Seq("vocab1"),
+        "upload_tables" -> Seq("u1")),
+      dicts = Map("events" -> Seq.empty))
+    s.table("graft_bq_vm_omop.vocabulary").orderBy("vocabulary_id")
+  }
+
   /** The RENUMBER branch of the bq `{omop_table}_apply_event_columns`
     * template (the GoogleSQL `cte_events_mapped_to_multiple_rows` /
     * `SELECT * EXCEPT(rn)` / `inner join cte_max_id m on true = true`
@@ -704,6 +755,7 @@ object OhdsiBqTemplateQueries {
     "ohdsi_sql_bq_validate_dups" -> bqValidateDups,
     "ohdsi_sql_bq_apply_events" -> bqApplyEvents,
     "ohdsi_sql_bq_apply_events_renumber" -> bqApplyEventsRenumber,
+    "ohdsi_sql_bq_vocab_merge" -> bqVocabMerge,
     "ohdsi_sql_bq_event_tables" -> bqEventTables,
     "ohdsi_sql_bq_upload_insert" -> bqUploadInsert,
     "ohdsi_sql_bq_sample_usagi" -> bqSampleUsagi)
@@ -755,6 +807,7 @@ object OhdsiBqTemplateQueries {
     "ohdsi_sql_bq_validate_dups" -> twin("ohdsi_sql_validate_dups"),
     "ohdsi_sql_bq_apply_events" -> twin("ohdsi_sql_apply_events"),
     "ohdsi_sql_bq_apply_events_renumber" -> OhdsiTemplateQueries.ApplyEventsRenumberOracle,
+    "ohdsi_sql_bq_vocab_merge" -> twin("ohdsi_sql_vocab_merge"),
     "ohdsi_sql_bq_event_tables" -> twin("ohdsi_sql_event_tables"),
     "ohdsi_sql_bq_upload_insert" -> twin("ohdsi_sql_upload_insert"),
     "ohdsi_sql_bq_sample_usagi" -> twin("ohdsi_sql_sample_usagi"))

@@ -69,7 +69,7 @@ class TemplateCoverageSpec extends AnyFunSuite {
   private val BqCovered: Map[String, String] = Map(
     "{primary_key_column}_swap_create.sql.jinja" -> "ohdsi_sql_bq_flow",
     "{primary_key_column}_swap_merge.sql.jinja" -> "ohdsi_sql_bq_flow",
-    "{omop_table}_merge.sql.jinja" -> "ohdsi_sql_bq_flow",
+    "{omop_table}_merge.sql.jinja" -> "ohdsi_sql_bq_flow + ohdsi_sql_bq_vocab_merge",
     "CONCEPT_ID_swap_create.sql.jinja" -> "ohdsi_sql_bq_concept_swap",
     "CONCEPT_ID_swap_merge.sql.jinja" -> "ohdsi_sql_bq_concept_swap",
     "CONCEPT_merge.sql.jinja" -> "ohdsi_sql_bq_concept_merge",
