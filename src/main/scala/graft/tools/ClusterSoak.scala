@@ -38,6 +38,13 @@ object ClusterSoak {
     println(s"""{"n_rows":$n}""")
     spark.sql("DROP TABLE IF EXISTS default.clsoak_unsorted")
     spark.sql("DROP TABLE IF EXISTS default.clsoak_clustered")
+    // a LOCATION left by a previous JVM outlives the in-memory catalog
+    // (the r15 trap) — clear both before the managed writes
+    for (tb <- Seq("clsoak_unsorted", "clsoak_clustered")) {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + s"/$tb")
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    }
     // unsorted: rows land in scan order (omop_id scattered per file)
     rows.write.mode("overwrite").saveAsTable("default.clsoak_unsorted")
     // clustered: the bridge's write-back layout (sort within partitions
