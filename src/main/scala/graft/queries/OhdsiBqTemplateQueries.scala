@@ -650,6 +650,26 @@ object OhdsiBqTemplateQueries {
     s.table("graft_bq_vm_omop.vocabulary").orderBy("vocabulary_id")
   }
 
+  /** The EVENTS branch of the bq `{omop_table}_merge` chained into the
+    * bq discovery + apply steps — the full published GoogleSQL
+    * fact_relationship sequence (upload -> merge-into-WORK ->
+    * get_event_tables -> apply_event_columns), same fixture and expected
+    * rows as the sql_server chain.
+    */
+  val bqFactMergeChain: Q = (s, d) => {
+    T.stageFactChainFixture(s, d, "graft_bq_fc", "graft_bq_fc_omop")
+    val scalars = T.FactChainScalars ++ Map(
+      "dataset_work" -> "graft_bq_fc",
+      "dataset_omop" -> "graft_bq_fc_omop")
+    runBq(s, "bq_omop_table_merge", scalars, T.FactChainLists, T.FactChainDicts)
+    execBq(s, "bq_get_event_tables", scalars,
+      lists = Map("events" -> Seq("domain_concept_id_1", "domain_concept_id_2")))
+    runBq(s, "bq_apply_event_columns", scalars, T.FactChainLists, T.FactChainDicts)
+    s.table("graft_bq_fc_omop.fact_relationship")
+      .orderBy("domain_concept_id_1", "fact_id_1", "domain_concept_id_2",
+        "fact_id_2", "relationship_concept_id")
+  }
+
   /** The RENUMBER branch of the bq `{omop_table}_apply_event_columns`
     * template (the GoogleSQL `cte_events_mapped_to_multiple_rows` /
     * `SELECT * EXCEPT(rn)` / `inner join cte_max_id m on true = true`
@@ -756,6 +776,7 @@ object OhdsiBqTemplateQueries {
     "ohdsi_sql_bq_apply_events" -> bqApplyEvents,
     "ohdsi_sql_bq_apply_events_renumber" -> bqApplyEventsRenumber,
     "ohdsi_sql_bq_vocab_merge" -> bqVocabMerge,
+    "ohdsi_sql_bq_fact_merge_chain" -> bqFactMergeChain,
     "ohdsi_sql_bq_event_tables" -> bqEventTables,
     "ohdsi_sql_bq_upload_insert" -> bqUploadInsert,
     "ohdsi_sql_bq_sample_usagi" -> bqSampleUsagi)
@@ -808,6 +829,7 @@ object OhdsiBqTemplateQueries {
     "ohdsi_sql_bq_apply_events" -> twin("ohdsi_sql_apply_events"),
     "ohdsi_sql_bq_apply_events_renumber" -> OhdsiTemplateQueries.ApplyEventsRenumberOracle,
     "ohdsi_sql_bq_vocab_merge" -> twin("ohdsi_sql_vocab_merge"),
+    "ohdsi_sql_bq_fact_merge_chain" -> OhdsiTemplateQueries.ApplyEventsExpectedOracle,
     "ohdsi_sql_bq_event_tables" -> twin("ohdsi_sql_event_tables"),
     "ohdsi_sql_bq_upload_insert" -> twin("ohdsi_sql_upload_insert"),
     "ohdsi_sql_bq_sample_usagi" -> twin("ohdsi_sql_sample_usagi"))

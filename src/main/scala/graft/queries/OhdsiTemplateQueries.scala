@@ -1787,6 +1787,111 @@ object OhdsiTemplateQueries {
     s.table("graft_omop_aer.observation").orderBy("observation_id")
   }
 
+  /** The EVENTS branch of the verbatim `{omop_table}_merge` — the one
+    * merge path still unexercised after provider (scalar) and vocabulary
+    * (refill): for an event table the merge TRUNCATEs and loads the
+    * WORK-side table (events stay source STRINGS; the usagi join maps
+    * relationship_concept_id; dedup partitions on the template's
+    * fact_relationship key list), and apply_event_columns later maps
+    * work -> omop. This fixture's uploads REPRODUCE the apply-events
+    * fixture rows (the merge's dedup only collapses exact duplicate
+    * combos, which the apply template's own DISTINCT collapses anyway),
+    * so the end of the chain pins to the SAME oracle as
+    * `ohdsi_sql_apply_events` — the full published fact_relationship
+    * sequence: upload -> merge -> get_event_tables -> apply_event_columns.
+    */
+  private[queries] def stageFactChainFixture(
+      s: SparkSession, d: String, workDb: String, omopDb: String): Unit = {
+    s.sql(s"DROP DATABASE IF EXISTS $workDb CASCADE")
+    s.sql(s"DROP DATABASE IF EXISTS $omopDb CASCADE")
+    val k = col("o_orderkey")
+    T_fact_upload(s, d, workDb)
+    stage(s, workDb, "fact_relationship__relationship_concept_id_usagi",
+      s.range(0, 2).select(
+        concat(lit("REL_"), col("id").cast("string")).as("sourceCode"),
+        (lit(44818821) + col("id")).cast("int").as("conceptId"),
+        lit("APPROVED").as("mappingStatus")))
+    // the work-side table the merge TRUNCATEs and loads (events as
+    // strings, the mapped relationship id as int)
+    stage(s, workDb, "fact_relationship", s.range(0).select(
+      lit("").as("domain_concept_id_1"), lit("").as("fact_id_1"),
+      lit("").as("domain_concept_id_2"), lit("").as("fact_id_2"),
+      lit(0).as("relationship_concept_id")))
+    stage(s, workDb, "person_id_swap", s.range(0, 10).select(
+      concat(lit("P_"), col("id").cast("string")).as("x"),
+      (col("id") + 1).cast("int").as("y")))
+    stage(s, workDb, "observation_id_swap", s.range(0, 10).select(
+      concat(lit("O_"), col("id").cast("string")).as("x"),
+      (col("id") + 1001).cast("int").as("y")))
+    stage(s, omopDb, "fact_relationship", s.range(0).select(
+      lit(0).as("domain_concept_id_1"), lit(0).as("fact_id_1"),
+      lit(0).as("domain_concept_id_2"), lit(0).as("fact_id_2"),
+      lit(0).as("relationship_concept_id")))
+  }
+
+  private def T_fact_upload(s: SparkSession, d: String, workDb: String): Unit = {
+    val k = col("o_orderkey")
+    stage(s, workDb, "fact_relationship__upload__u1", t(s, d, "orders").select(
+      when(k % 2 === 0, lit("person")).otherwise(lit("observation"))
+        .as("domain_concept_id_1"),
+      when(k % 2 === 0, concat(lit("P_"), (k % 5).cast("string")))
+        .otherwise(concat(lit("O_"), (k % 5).cast("string"))).as("fact_id_1"),
+      when(k % 3 === 0, lit("person")).otherwise(lit("observation"))
+        .as("domain_concept_id_2"),
+      when(k % 3 === 0, concat(lit("P_"), (k % 7).cast("string")))
+        .otherwise(concat(lit("O_"), (k % 7).cast("string"))).as("fact_id_2"),
+      concat(lit("REL_"), (k % 2).cast("string")).as("relationship_concept_id")))
+  }
+
+  private[queries] val FactChainScalars = Map(
+    "omop_table" -> "fact_relationship",
+    "primary_key_column" -> "",
+    "pk_auto_numbering" -> "",
+    "process_semi_approved_mappings" -> "",
+    "min_custom_concept_id" -> "2000000000")
+  private[queries] val FactChainLists = Map(
+    "columns" -> Seq("domain_concept_id_1", "fact_id_1",
+      "domain_concept_id_2", "fact_id_2", "relationship_concept_id"),
+    "concept_id_columns" -> Seq("domain_concept_id_1", "domain_concept_id_2",
+      "relationship_concept_id"),
+    "foreign_key_columns" -> Seq.empty[String],
+    "required_columns" -> Seq.empty[String],
+    "sql_files" -> Seq("fact1"),
+    "upload_tables" -> Seq("u1"))
+  private[queries] val FactChainDicts = Map(
+    "events" -> Seq(
+      "fact_id_1" -> "domain_concept_id_1",
+      "fact_id_2" -> "domain_concept_id_2"),
+    "event_tables" -> Seq(
+      "person" -> "person_id",
+      "observation" -> "observation_id"))
+
+  val ohdsiSqlFactMergeChain: Q = (s, d) => {
+    stageFactChainFixture(s, d, "graft_work_fc", "graft_omop_fc")
+    val scalars = FactChainScalars ++ Map(
+      "work_database_catalog" -> "spark_catalog",
+      "work_database_schema" -> "graft_work_fc",
+      "omop_database_catalog" -> "spark_catalog",
+      "omop_database_schema" -> "graft_omop_fc")
+    def run(res: String): Unit = {
+      val in = getClass.getResourceAsStream(s"/graft/ohdsi/$res.sql.jinja")
+      val text = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      OhdsiSql.executeAll(s,
+        JinjaLite.render(text, scalars, FactChainLists, FactChainDicts))
+      ()
+    }
+    run("omop_table_merge") // events branch: TRUNCATE + load the WORK table
+    // the published discovery step (its frame feeds the driver's
+    // event_tables dict — here the dict is the fixture's, same content)
+    OhdsiSql.execute(s, JinjaLite.render(GetEventTablesSql,
+      scalars = scalars, lists = Map("events" ->
+        Seq("domain_concept_id_1", "domain_concept_id_2"))))
+    run("omop_table_apply_event_columns")
+    s.table("graft_omop_fc.fact_relationship")
+      .orderBy("domain_concept_id_1", "fact_id_1", "domain_concept_id_2",
+        "fact_id_2", "relationship_concept_id")
+  }
+
   /** Verbatim `cdm_folders/sample_etl_query.sql.jinja` — the S9 user
     * SELECT the reference documents for a CDM folder: record-typed
     * `columns` drive the PK/FK/CONCEPT `_PREQUAL_` prefixes and the
@@ -2407,7 +2512,8 @@ object OhdsiTemplateQueries {
     "ohdsi_sql_concept_merge" -> ohdsiSqlConceptMerge,
     "ohdsi_sql_custom_validate" -> ohdsiSqlCustomValidate,
     "ohdsi_sql_datepart_tail" -> ohdsiSqlDatepartTail,
-    "ohdsi_sql_apply_events_renumber" -> ohdsiSqlApplyEventsRenumber)
+    "ohdsi_sql_apply_events_renumber" -> ohdsiSqlApplyEventsRenumber,
+    "ohdsi_sql_fact_merge_chain" -> ohdsiSqlFactMergeChain)
 
   /** The re-keying branch's expected rows — shared by both dialects'
     * renumber entries (they must agree on the kept row; lazy: the r9
@@ -2531,6 +2637,23 @@ object OhdsiTemplateQueries {
           |  FROM nation
           |)
           |SELECT * FROM standards UNION ALL SELECT * FROM customs ORDER BY concept_id""".stripMargin
+
+  /** The fact_relationship event-swap rows — shared by the apply
+    * entry and the full published chain (lazy: the r9 init trap). */
+  private[queries] lazy val ApplyEventsExpectedOracle =
+    """SELECT DISTINCT
+      |  CAST(CASE WHEN o_orderkey % 2 = 0 THEN 1147026 ELSE 1147165 END AS BIGINT)
+      |    AS domain_concept_id_1,
+      |  CAST(CASE WHEN o_orderkey % 2 = 0 THEN o_orderkey % 5 + 1
+      |    ELSE o_orderkey % 5 + 1001 END AS BIGINT) AS fact_id_1,
+      |  CAST(CASE WHEN o_orderkey % 3 = 0 THEN 1147026 ELSE 1147165 END AS BIGINT)
+      |    AS domain_concept_id_2,
+      |  CAST(CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey % 7 + 1
+      |    ELSE o_orderkey % 7 + 1001 END AS BIGINT) AS fact_id_2,
+      |  CAST(44818821 + o_orderkey % 2 AS BIGINT) AS relationship_concept_id
+      |FROM orders
+      |ORDER BY domain_concept_id_1, fact_id_1, domain_concept_id_2,
+      |  fact_id_2, relationship_concept_id""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(
     "ohdsi_sql_bq_usagi_update" -> {
@@ -2683,20 +2806,7 @@ object OhdsiTemplateQueries {
         |  CAST(count(*) AS BIGINT) AS sourceFrequency
         |FROM orders GROUP BY sourceCode, sourceName
         |ORDER BY sourceFrequency DESC, sourceCode""".stripMargin,
-    "ohdsi_sql_apply_events" ->
-      """SELECT DISTINCT
-        |  CAST(CASE WHEN o_orderkey % 2 = 0 THEN 1147026 ELSE 1147165 END AS BIGINT)
-        |    AS domain_concept_id_1,
-        |  CAST(CASE WHEN o_orderkey % 2 = 0 THEN o_orderkey % 5 + 1
-        |    ELSE o_orderkey % 5 + 1001 END AS BIGINT) AS fact_id_1,
-        |  CAST(CASE WHEN o_orderkey % 3 = 0 THEN 1147026 ELSE 1147165 END AS BIGINT)
-        |    AS domain_concept_id_2,
-        |  CAST(CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey % 7 + 1
-        |    ELSE o_orderkey % 7 + 1001 END AS BIGINT) AS fact_id_2,
-        |  CAST(44818821 + o_orderkey % 2 AS BIGINT) AS relationship_concept_id
-        |FROM orders
-        |ORDER BY domain_concept_id_1, fact_id_1, domain_concept_id_2,
-        |  fact_id_2, relationship_concept_id""".stripMargin,
+        "ohdsi_sql_apply_events" -> ApplyEventsExpectedOracle,
     "ohdsi_sql_omop_merge" -> OmopMergeExpectedOracle,
     "ohdsi_sql_bq_flow" -> OmopMergeExpectedOracle,
     "ohdsi_sql_cdm54_full" -> Cdm54InventoryOracle,
@@ -2938,6 +3048,7 @@ object OhdsiTemplateQueries {
         |WHERE n_nationkey % 4 = 3 OR n_nationkey % 3 = 2
         |ORDER BY concept_code""".stripMargin,
     "ohdsi_sql_apply_events_renumber" -> ApplyEventsRenumberOracle,
+    "ohdsi_sql_fact_merge_chain" -> ApplyEventsExpectedOracle,
     // the r16 datepart long tail: SQL Server DATEFIRST-7 weekday
     // (duckdb dayofweek is Sunday=0 -> +1), week-of-year = 1 + Sunday
     // boundaries since Jan 1, duckdb millisecond() = sec*1000+ms -> %1000,
