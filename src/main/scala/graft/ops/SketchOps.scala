@@ -239,4 +239,84 @@ object SketchOps {
        |  GROUP BY 1
        |)""".stripMargin
   }
+
+  // ---- cross-engine-exact BLOOM FILTER (r16) ------------------------------
+
+  /** Bloom-filter state over md5-prefix hashes: `(word, bits)` rows with
+    * 32 USED bits per BIGINT word (shiftleft stays positive, so the
+    * signed-shift semantics never diverge across engines). `words * 32`
+    * bits total, `k` hash functions `hash32(j || ':' || value) % m`.
+    *
+    * Why it earns its place at 100 TB: the admission pipeline's exact-dup
+    * stage is a semi-join of every incoming batch against the corpus hash
+    * set — a shuffle whose corpus side grows with the corpus. The Bloom
+    * state is a FIXED `<= words` rows regardless of corpus size, built by
+    * ONE map-side-combinable bit_or aggregate and broadcast to every
+    * probe; only Bloom-POSITIVE docs (the true dups plus a bounded
+    * false-positive band) reach the exact semi-join. Build merges by
+    * bit_or, so per-shard filters union without touching raw data — the
+    * same register-merge discipline as the HLL/CMS family.
+    */
+  def bloomBits(df: DataFrame, valueCol: Column,
+      words: Int = 2048, k: Int = 4): DataFrame = {
+    val m = words * 32
+    val bits = explode(array((0 until k).map(j =>
+      TextOps.hash32(concat(lit(s"$j:"), valueCol.cast("string"))) % m): _*))
+    df.select(bits.as("__bit"))
+      .select(expr("CAST(__bit DIV 32 AS INT)").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(__bit % 32 AS INT))").as("__mask"))
+      .groupBy("word").agg(expr("bit_or(__mask)").as("bits"))
+  }
+
+  /** Probe `batch` against a [[bloomBits]] state (broadcast): one row per
+    * batch row with `bloom_positive` = all k bits set. No false
+    * negatives by construction; positives carry the filter's bounded
+    * false-positive band and are meant for an exact verification pass
+    * over the (much smaller) positive subset.
+    */
+  def bloomProbe(batch: DataFrame, idCol: String, valueCol: Column,
+      bloom: DataFrame, words: Int = 2048, k: Int = 4): DataFrame = {
+    val m = words * 32
+    val bits = explode(array((0 until k).map(j =>
+      TextOps.hash32(concat(lit(s"$j:"), valueCol.cast("string"))) % m): _*))
+    batch.select(col(idCol), bits.as("__bit"))
+      .select(col(idCol), expr("CAST(__bit DIV 32 AS INT)").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(__bit % 32 AS INT))").as("__mask"))
+      .join(broadcast(bloom), Seq("word"), "left")
+      .groupBy(col(idCol))
+      .agg(min(when(col("bits").isNotNull &&
+          col("bits").bitwiseAND(col("__mask")) =!= 0L, 1L).otherwise(0L))
+        .as("bloom_positive"))
+  }
+
+  /** DuckDB replay of build + probe — same hash, same bit layout. */
+  def bloomSql(valuesSelect: String, probeSelect: String, idCol: String,
+      words: Int = 2048, k: Int = 4): String = {
+    val m = words * 32
+    def bitIdx(e: String) =
+      s"(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || $e), 1, 8))::BIGINT) % $m"
+    s"""bloom_vals AS ($valuesSelect),
+       |bloom_bits AS (
+       |  SELECT bit_idx // 32 AS word, bit_or((1::BIGINT << (bit_idx % 32))) AS bits
+       |  FROM (
+       |    SELECT ${bitIdx("v")} AS bit_idx
+       |    FROM bloom_vals, (SELECT unnest(generate_series(0, ${k - 1})) AS j)
+       |  )
+       |  GROUP BY 1
+       |),
+       |bloom_probe_rows AS ($probeSelect),
+       |bloom_verdicts AS (
+       |  SELECT $idCol,
+       |    CAST(min(CASE WHEN bits IS NOT NULL AND (bits & mask) <> 0
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS bloom_positive
+       |  FROM (
+       |    SELECT $idCol, bit_idx // 32 AS word, (1::BIGINT << (bit_idx % 32)) AS mask
+       |    FROM (
+       |      SELECT $idCol, ${bitIdx("v")} AS bit_idx
+       |      FROM bloom_probe_rows, (SELECT unnest(generate_series(0, ${k - 1})) AS j)
+       |    )
+       |  ) LEFT JOIN bloom_bits USING (word)
+       |  GROUP BY 1
+       |)""".stripMargin
+  }
 }

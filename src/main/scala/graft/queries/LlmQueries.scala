@@ -499,6 +499,41 @@ object LlmQueries {
       t(s, d, "documents").filter(col("doc_id") % 10 === 0))
       .orderBy("doc_id")
 
+  /** BLOOM-accelerated exact-dup admission (r16,
+    * [[graft.ops.SketchOps.bloomBits]]): at 100 TB the exact-dup stage's
+    * semi-join against the corpus hash set shuffles with the corpus; the
+    * cross-engine-exact Bloom filter is a FIXED <= 2048-row state built
+    * by one map-side-combinable bit_or aggregate and BROADCAST to every
+    * probe, so only the Bloom-positive band (true dups + bounded false
+    * positives) reaches the exact semi-join. The gated shape exposes
+    * both verdicts per batch doc — `bloom_positive` and the
+    * exact-verified `exact_dup` — so the no-false-negative contract AND
+    * the false-positive band are oracle-replayed bit-for-bit (DuckDB
+    * rebuilds the same bit matrix from the same md5-prefix hashes).
+    */
+  val corpusAdmitBloom: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    // the synthetic corpus has no natural cross-slice exact dups — the
+    // batch carries a COPY of every 50th corpus doc (id-shifted, same
+    // text) so the no-false-negative contract is exercised by real
+    // positives, not just the empty set
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 50 === 1)
+        .select((col("doc_id") + 30000000L).as("doc_id"), col("text")))
+      .select(col("doc_id"), md5(col("text")).as("__h"))
+    val bloom = graft.ops.SketchOps.bloomBits(corpusMd5(s, d), col("__h"))
+    val probed = graft.ops.SketchOps.bloomProbe(batch, "doc_id", col("__h"), bloom)
+    val exact = batch
+      .join(probed.filter(col("bloom_positive") === 1L).select("doc_id"), "doc_id")
+      .join(corpusMd5(s, d), Seq("__h"), "left_semi")
+      .select(col("doc_id")).withColumn("__e", lit(1L))
+    probed.join(exact, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("bloom_positive"),
+        coalesce(col("__e"), lit(0L)).as("exact_dup"))
+      .orderBy("doc_id")
+  }
+
   /** SEQUENTIAL admission with INDEX GROWTH (r15 — the verdict's
     * index-update-on-admit): batch 1 (every 20th doc) runs the gauntlet
     * against the stored corpus artifacts; its ADMITTED docs' hashes and
@@ -1924,6 +1959,7 @@ object LlmQueries {
     "dedup_incremental" -> dedupIncremental,
     "stream_dedup_incremental" -> streamDedupIncremental,
     "corpus_batch_admit" -> corpusAdmissionPipeline,
+    "corpus_batch_admit_bloom" -> corpusAdmitBloom,
     "corpus_batch_admit_compact" -> corpusAdmitCompact,
     "corpus_batch_admit_sequential" -> corpusAdmitSequential,
     "stream_corpus_admit" -> streamCorpusAdmit,
@@ -2906,6 +2942,21 @@ object LlmQueries {
   }
 
   val oracles: Seq[(String, String)] = Seq(
+    "corpus_batch_admit_bloom" -> {
+      s"""WITH ${graft.ops.SketchOps.bloomSql(
+           "SELECT DISTINCT md5(text) AS v FROM documents WHERE doc_id % 10 <> 0",
+           """SELECT doc_id, md5(text) AS v FROM documents WHERE doc_id % 10 = 0
+             |UNION ALL
+             |SELECT doc_id + 30000000, md5(text)
+             |FROM documents WHERE doc_id % 10 <> 0 AND doc_id % 50 = 1""".stripMargin,
+           "doc_id")}
+         |SELECT b.doc_id, b.bloom_positive,
+         |  CAST(CASE WHEN b.bloom_positive = 1
+         |    AND p.v IN (SELECT v FROM bloom_vals)
+         |    THEN 1 ELSE 0 END AS BIGINT) AS exact_dup
+         |FROM bloom_verdicts b JOIN bloom_probe_rows p USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
     "corpus_batch_admit_sequential" -> sequentialAdmissionOracle,
     "stream_corpus_admit_sequential" -> sequentialAdmissionOracle,
     "stream_corpus_admit_compact" -> sequentialAdmissionOracle,

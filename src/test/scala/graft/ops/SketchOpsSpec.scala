@@ -86,4 +86,36 @@ class SketchOpsSpec extends SparkSpec {
     assert(sql.contains("WHEN v >= 2097152 THEN 1")) // ladder top rung
     assert(sql.contains("WHEN v = 0 THEN 23"))
   }
+
+  // ---- the r16 Bloom filter ----
+
+  test("bloom probe has NO false negatives; positives verify; states merge by bit_or") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val corpus = spark.range(0, 2000).select(concat(lit("doc_"), col("id")).as("v"))
+    val bloom = SketchOps.bloomBits(corpus, col("v"))
+    assert(bloom.count() <= 2048, "bloom state must stay <= words rows")
+    // members: every probe positive (no false negatives — the contract)
+    val members = spark.range(0, 2000, 7)
+      .select(col("id"), concat(lit("doc_"), col("id")).as("v"))
+    val posM = SketchOps.bloomProbe(members, "id", col("v"), bloom)
+    assert(posM.filter(col("bloom_positive") =!= 1L).count() == 0L,
+      "a member probed negative — false negative")
+    // non-members: false-positive BAND is bounded (m=65536 bits, n=2000*4
+    // inserts -> ~11.5% load; FP ~ load^4 ~ 0.02% — assert a loose 2%)
+    val nonMembers = spark.range(100000, 102000)
+      .select(col("id"), concat(lit("nope_"), col("id")).as("v"))
+    val fp = SketchOps.bloomProbe(nonMembers, "id", col("v"), bloom)
+      .filter(col("bloom_positive") === 1L).count()
+    assert(fp <= 40, s"false-positive band too wide: $fp of 2000")
+    // mergeability: per-shard filters bit_or into the whole-stream filter
+    val shard1 = SketchOps.bloomBits(corpus.filter(expr("v < 'doc_5'")), col("v"))
+    val shard2 = SketchOps.bloomBits(corpus.filter(expr("v >= 'doc_5'")), col("v"))
+    val merged = shard1.unionByName(shard2)
+      .groupBy("word").agg(expr("bit_or(bits)").as("bits"))
+    val diff = bloom.alias("a").join(merged.alias("b"), Seq("word"), "full")
+      .filter(coalesce(col("a.bits"), lit(0L)) =!= coalesce(col("b.bits"), lit(0L)))
+      .count()
+    assert(diff == 0L, "merged shard filters differ from the whole-stream filter")
+  }
 }
