@@ -154,11 +154,12 @@ object LlmQueries {
         scala.concurrent.Future(clusterMap(s, d)),
         scala.concurrent.Future(bandIndex(s, d)),
         scala.concurrent.Future(gopherVerdicts(s, d)),
-        scala.concurrent.Future(corpusMd5(s, d)))),
+        scala.concurrent.Future { corpusMd5(s, d); corpusBloom(s, d) })),
       scala.concurrent.duration.Duration.Inf)
     finally pool.shutdown()
     import s.implicits._
-    Seq("corpus_md5", "dedup_band_index", "dedup_clusters", "gopher_gate")
+    Seq("corpus_bloom", "corpus_md5", "dedup_band_index", "dedup_clusters",
+        "gopher_gate")
       .toDF("table_name").coalesce(1).sortWithinPartitions("table_name")
   }
 
@@ -175,6 +176,24 @@ object LlmQueries {
       zones.write(
         t(s, d, "documents").filter(col("doc_id") % 10 =!= 0)
           .select(md5(col("text")).as("__h")).distinct(),
+        "work", table)
+      zones.read(s, "work", table)
+    })
+
+  /** The stored Bloom filter over the corpus hash set (r16,
+    * [[graft.ops.SketchOps.bloomBits]]) — the broadcastable pre-filter
+    * the STATIC-corpus admission paths apply before the exact-dup
+    * semi-join. Built once per (session, dataset) FROM the stored md5
+    * table (<= 2048 rows, one map-side-combinable aggregate).
+    */
+  private val corpusBlooms =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private[graft] def corpusBloom(s: SparkSession, d: String): DataFrame =
+    corpusBlooms.getOrElseUpdate((s, d), {
+      val zones = graft.io.Zones.forPurpose("dedup")
+      val table = s"corpus_bloom_${graft.io.Zones.pathKey(d)}"
+      zones.write(
+        graft.ops.SketchOps.bloomBits(corpusMd5(s, d), col("__h")),
         "work", table)
       zones.read(s, "work", table)
     })
@@ -458,7 +477,8 @@ object LlmQueries {
   private[graft] def admissionVerdicts(s: SparkSession, d: String, batch: DataFrame): DataFrame =
     admissionVerdictsAgainst(
       t(s, d, "documents").filter(col("doc_id") % 10 =!= 0),
-      corpusMd5(s, d), bandIndex(s, d), batch)
+      corpusMd5(s, d), bandIndex(s, d), batch,
+      bloom = Some(corpusBloom(s, d)))
 
   /** The same gauntlet against CALLER-SUPPLIED corpus structures — the
     * index-growth path: after a batch's admits are appended to the stored
@@ -467,8 +487,26 @@ object LlmQueries {
     * [[corpusAdmitSequential]]).
     */
   private[graft] def admissionVerdictsAgainst(corpusDocs: DataFrame, md5Set: DataFrame,
-      index: DataFrame, batch: DataFrame): DataFrame = {
-    val exactDup = batch.select(col("doc_id"), md5(col("text")).as("__h"))
+      index: DataFrame, batch: DataFrame,
+      bloom: Option[DataFrame] = None): DataFrame = {
+    // the exact-dup stage: at 100 TB the semi-join against the corpus
+    // hash set shuffles with the corpus — the STATIC-corpus paths pass
+    // the stored broadcast Bloom filter so only the bloom-positive band
+    // reaches it (no false negatives, so verdicts are provably
+    // unchanged); the delta-growth paths probe base ∪ segments without
+    // one (per-segment bloom states would merge by bit_or — the
+    // mechanism SketchOpsSpec certifies — but the verdict function stays
+    // a pure equi-join pipeline either way)
+    val hashed = batch.select(col("doc_id"), md5(col("text")).as("__h"))
+    val exactProbe = bloom match {
+      case Some(b) =>
+        hashed.join(
+          graft.ops.SketchOps.bloomProbe(hashed, "doc_id", col("__h"), b)
+            .filter(col("bloom_positive") === 1L).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+      case None => hashed
+    }
+    val exactDup = exactProbe
       .join(md5Set, Seq("__h"), "left_semi")
       .select("doc_id").withColumn("__m1", lit(1))
     val nearDup = DedupOps.incrementalDedup(
@@ -3001,9 +3039,9 @@ object LlmQueries {
     "corpus_gopher_gate" -> repGateOracle,
     "stream_gopher_gate" -> repGateOracle,
     "corpus_artifact_store_build" ->
-      """SELECT table_name FROM (VALUES ('corpus_md5'), ('dedup_band_index'),
-        |  ('dedup_clusters'), ('gopher_gate')) AS t(table_name)
-        |ORDER BY table_name""".stripMargin,
+      """SELECT table_name FROM (VALUES ('corpus_bloom'), ('corpus_md5'),
+        |  ('dedup_band_index'), ('dedup_clusters'), ('gopher_gate'))
+        |AS t(table_name) ORDER BY table_name""".stripMargin,
     "dedup_semantic_trained" -> dedupSemanticTrainedOracle,
     "embed_kmeans_k64" -> embedKmeansK64Oracle,
     "dedup_semantic_k64" -> dedupSemanticK64Oracle,
