@@ -257,6 +257,43 @@ object SketchOps {
     * bit_or, so per-shard filters union without touching raw data — the
     * same register-merge discipline as the HLL/CMS family.
     */
+  /** Adaptive sizing (r17): the smallest power-of-two word count whose
+    * bit budget `words * 32` gives `m >= 1.6·n·k` bits for `n` stored
+    * values — load factor <= 0.625, fill <= 1-e^-0.625 = 0.465, so the
+    * false-positive band stays under fill^k = 4.7% of negatives at k=4
+    * EVEN at the worst point just below a power-of-two boundary (the
+    * classical "optimal" m = n·k/ln 2 would sit at 6.25% there; the
+    * extra 11% of bits buys the guaranteed <5% band). PURE INTEGER
+    * arithmetic (`words >= n·k/20`, then round UP to a power of two) so
+    * the DuckDB oracle derives the IDENTICAL size from the same corpus
+    * count — no float rounding can diverge across engines at a
+    * power-of-two boundary. Clamped to [2^6, 2^24] words (≤ 16.8M
+    * (word, bits) rows ≈ 200 MB broadcast): past the cap one state
+    * stops being broadcast-friendly and the right production move is
+    * SHARDING the filter per corpus partition and merging by `bit_or`
+    * (the mechanism SketchOpsSpec certifies), not growing a single
+    * state. The r16 fixed default (2048 words = 65,536 bits) saturates
+    * above ~10^4 distinct docs — every probe positive, the exact-dup
+    * shield degraded to a no-op — which is exactly what this replaces.
+    */
+  def bloomWordsFor(n: Long, k: Int = 4): Int = {
+    // clamp BEFORE the multiply — semantics-free (every n >= ~8e7 already
+    // lands on the 2^24 cap), mirrored in the SQL twin for exactness
+    val w0 = n.max(1L).min(1000000000L) * k / 20L + 1L
+    (6 to 24).map(1L << _).find(_ >= w0).getOrElse(1L << 24).toInt
+  }
+
+  /** DuckDB twin of [[bloomWordsFor]] — a scalar expression over
+    * `nExpr` (SQL for the stored-value cardinality), same integer
+    * formula, same power-of-two ladder, same clamp.
+    */
+  def bloomWordsSql(nExpr: String, k: Int = 4): String =
+    s"""coalesce(
+       |  (SELECT min(p) FROM (SELECT (CAST(1 AS BIGINT) << g) AS p
+       |     FROM generate_series(6, 24) t(g))
+       |   WHERE p >= greatest(least($nExpr, 1000000000), 1) * $k // 20 + 1),
+       |  CAST(1 AS BIGINT) << 24)""".stripMargin
+
   def bloomBits(df: DataFrame, valueCol: Column,
       words: Int = 2048, k: Int = 4): DataFrame = {
     val m = words * 32
@@ -291,12 +328,33 @@ object SketchOps {
 
   /** DuckDB replay of build + probe — same hash, same bit layout. */
   def bloomSql(valuesSelect: String, probeSelect: String, idCol: String,
-      words: Int = 2048, k: Int = 4): String = {
-    val m = words * 32
+      words: Int = 2048, k: Int = 4): String =
+    bloomSqlWithM(valuesSelect, probeSelect, idCol, (words * 32L).toString, k,
+      sizeCte = "")
+
+  /** Adaptive-size replay (r17): `m` is derived IN SQL from the values
+    * CTE's own cardinality via [[bloomWordsSql]] — the oracle rebuilds
+    * the exact bit matrix the Spark side sized from the stored corpus
+    * count, at any scale factor.
+    */
+  def bloomSqlAdaptive(valuesSelect: String, probeSelect: String,
+      idCol: String, k: Int = 4): String =
+    bloomSqlWithM(valuesSelect, probeSelect, idCol,
+      "(SELECT m FROM bloom_size)", k,
+      sizeCte =
+        s"""bloom_size AS (
+           |  SELECT words, words * 32 AS m FROM (
+           |    SELECT ${bloomWordsSql("(SELECT count(*) FROM bloom_vals)", k)} AS words
+           |  )
+           |),
+           |""".stripMargin)
+
+  private def bloomSqlWithM(valuesSelect: String, probeSelect: String,
+      idCol: String, m: String, k: Int, sizeCte: String): String = {
     def bitIdx(e: String) =
-      s"(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || $e), 1, 8))::BIGINT) % $m"
+      s"(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || $e), 1, 8))::BIGINT) % ($m)"
     s"""bloom_vals AS ($valuesSelect),
-       |bloom_bits AS (
+       |${sizeCte}bloom_bits AS (
        |  SELECT bit_idx // 32 AS word, bit_or((1::BIGINT << (bit_idx % 32))) AS bits
        |  FROM (
        |    SELECT ${bitIdx("v")} AS bit_idx

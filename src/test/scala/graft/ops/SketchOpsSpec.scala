@@ -118,4 +118,51 @@ class SketchOpsSpec extends SparkSpec {
       .count()
     assert(diff == 0L, "merged shard filters differ from the whole-stream filter")
   }
+
+  test("adaptive bloom sizing: integer formula, pow2 ladder, clamp, SQL twin constants") {
+    // m >= 1.6*n*k (FP band <= 4.7% at k=4 at the worst pow2 boundary):
+    // words = next pow2 of n*k/20 + 1, clamped to [2^6, 2^24]
+    assert(SketchOps.bloomWordsFor(1) == 64)
+    assert(SketchOps.bloomWordsFor(0) == 64)          // empty corpus: floor
+    assert(SketchOps.bloomWordsFor(4500) == 1024)     // sf0.1 corpus
+    assert(SketchOps.bloomWordsFor(45000) == 16384)   // 10x soak corpus
+    assert(SketchOps.bloomWordsFor(450000) == 131072) // 100x
+    assert(SketchOps.bloomWordsFor(Long.MaxValue / 8) == (1 << 24)) // clamp
+    // the sized filter keeps m above the guaranteed-band budget for every n
+    for (n <- Seq(1L, 100L, 10000L, 1000000L)) {
+      val m = SketchOps.bloomWordsFor(n) * 32L
+      assert(m >= n * 4 * 8 / 5 || m == (1L << 24) * 32,
+        s"undersized filter at n=$n")
+    }
+    // SQL twin embeds the IDENTICAL integer constants (the hllSql pattern)
+    val twin = SketchOps.bloomWordsSql("(SELECT count(*) FROM bloom_vals)")
+    assert(twin.contains("* 4 // 20 + 1"))
+    assert(twin.contains("generate_series(6, 24)"))
+    assert(twin.contains("CAST(1 AS BIGINT) << 24")) // same clamp
+    val adaptive = SketchOps.bloomSqlAdaptive("SELECT 'x' AS v", "SELECT 1 AS id, 'x' AS v", "id")
+    assert(adaptive.contains("bloom_size AS ("))
+    assert(adaptive.contains("% ((SELECT m FROM bloom_size))"))
+  }
+
+  test("adaptive sizing keeps the FP band bounded where the fixed size saturates") {
+    import org.apache.spark.sql.functions._
+    // 60k distinct values (the sf0.1 corpus scale): the r16 fixed state
+    // (2048 words = 65,536 bits, k=4 -> 240k inserts, fill ~0.97) probes
+    // ~90% of NON-members positive; the adaptive state (16,384 words =
+    // 524k bits, fill ~0.37) keeps the FP band under 2%
+    val n = 60000L
+    val corpus = spark.range(0, n).select(concat(lit("doc_"), col("id")).as("v"))
+    val negatives = spark.range(0, 4000)
+      .select(col("id"), concat(lit("nope_"), col("id")).as("v"))
+    def fpCount(words: Int): Long = {
+      val bloom = SketchOps.bloomBits(corpus, col("v"), words = words)
+      SketchOps.bloomProbe(negatives, "id", col("v"), bloom, words = words)
+        .filter(col("bloom_positive") === 1L).count()
+    }
+    val fixedFp = fpCount(2048)
+    val adaptiveWords = SketchOps.bloomWordsFor(n)
+    val adaptiveFp = fpCount(adaptiveWords)
+    assert(fixedFp > 3000, s"expected the fixed filter near-saturated, fp=$fixedFp/4000")
+    assert(adaptiveFp < 400, s"adaptive FP band too wide: $adaptiveFp/4000 at words=$adaptiveWords")
+  }
 }
