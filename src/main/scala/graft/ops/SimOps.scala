@@ -1032,6 +1032,23 @@ object SimOps {
           .as("silhouette"))
   }
 
+  /** The sqrt-N centroid-selection stride the SemDeDup admission family
+    * shares (r17): the smallest power of two `p` with `p*p >= n`, so a
+    * `vec_id % p == r` pick yields ~sqrt(n) centroids — the bound that
+    * keeps a stream's collected model state (and any flat broadcast
+    * against the centroid set) sub-linear in the corpus. Pure integer
+    * ladder, mirrored exactly by [[sqrtStrideSql]] so the DuckDB oracle
+    * derives the IDENTICAL stride from the same count at any scale
+    * factor (the adaptive-Bloom discipline).
+    */
+  def sqrtStride(n: Long): Long =
+    (0 to 31).map(1L << _).find(p => p * p >= n).getOrElse(1L << 31)
+
+  /** DuckDB twin of [[sqrtStride]] over `nExpr` (SQL for the count). */
+  def sqrtStrideSql(nExpr: String): String =
+    s"""(SELECT min(p) FROM (SELECT (CAST(1 AS BIGINT) << g) AS p
+       |   FROM generate_series(0, 31) t(g)) WHERE p * p >= ($nExpr))""".stripMargin
+
   /** Map-side nearest-centroid assignment for STREAMS: the centroid set is
     * bounded model state (passed in collected form), so the argmax folds
     * into ONE `greatest(...)` projection per row — no window, no

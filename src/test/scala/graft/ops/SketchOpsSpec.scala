@@ -165,4 +165,23 @@ class SketchOpsSpec extends SparkSpec {
     assert(fixedFp > 3000, s"expected the fixed filter near-saturated, fp=$fixedFp/4000")
     assert(adaptiveFp < 400, s"adaptive FP band too wide: $adaptiveFp/4000 at words=$adaptiveWords")
   }
+
+  test("sqrt-N centroid stride: integer ladder, sqrt bound, SQL twin constants") {
+    import graft.ops.SimOps
+    assert(SimOps.sqrtStride(1) == 1)
+    assert(SimOps.sqrtStride(2) == 2)
+    assert(SimOps.sqrtStride(500) == 32)    // sf0.001/sf0.01 embeddings
+    assert(SimOps.sqrtStride(2000) == 64)   // sf0.1 embeddings
+    assert(SimOps.sqrtStride(1000000) == 1024)
+    // the pick `id % stride == r` yields <= ~sqrt(n) rows at every n:
+    // n/stride <= n/sqrt(n) = sqrt(n) since stride*stride >= n
+    for (n <- Seq(1L, 100L, 12345L, 100000000L)) {
+      val p = SimOps.sqrtStride(n)
+      assert(p * p >= n && (p == 1 || (p / 2) * (p / 2) < n),
+        s"not the smallest pow2 sqrt bound at n=$n: $p")
+    }
+    val twin = SimOps.sqrtStrideSql("SELECT count(*) FROM embeddings")
+    assert(twin.contains("generate_series(0, 31)"))
+    assert(twin.contains("p * p >= (SELECT count(*) FROM embeddings)"))
+  }
 }
