@@ -1372,16 +1372,26 @@ object OhdsiSql {
       // (`s.name = 'db'`); snapshotting every database makes each probe
       // O(catalog) — dozens of listTables calls once a session has run
       // many entries (the r16 in-bench finding: 1.3 s standalone vs ~6 s
-      // mid-bench). Scope the snapshot to databases the statement
-      // actually names; a statement naming none (or only non-databases,
-      // e.g. a LIKE pattern) falls back to the full listing — a SUPERSET
-      // of the scoped rows is always correct, a subset only when every
-      // db the predicate can match is included, which quoted-equality
-      // probes guarantee.
-      val quoted = raw"'([^']*)'".r.findAllMatchIn(stmt)
+      // mid-bench). Scope the snapshot to databases named in an EQUALITY
+      // comparison against a name expression (`s.name = 'db'`,
+      // `schema_name(..) = 'db'`, either side) — a subset snapshot is
+      // only correct when every db the predicate can match is included,
+      // which ONLY quoted-equality probes guarantee. Any non-equality
+      // name predicate (<>, !=, NOT IN, LIKE, IN (...)) disables scoping
+      // entirely and takes the full listing — a SUPERSET is always
+      // correct (ADVICE r16: a `<>` probe whose other literals matched
+      // some db would have snapshotted a subset and returned wrong rows).
+      val nameExpr = raw"(?:[A-Za-z_]\w*\.)?name\b|schema_name\s*\([^)]*\)"
+      val eqFwd = ci(raw"(?:$nameExpr)\s*=\s*'([^']*)'")
+      val eqRev = ci(raw"'([^']*)'\s*=\s*(?:$nameExpr)")
+      val nonEq =
+        ci(raw"(?:$nameExpr)\s*(?:<>|!=|\bNOT\s+IN\b|\bLIKE\b|\bIN\s*\()")
+          .findFirstIn(stmt).isDefined ||
+        ci(raw"'[^']*'\s*(?:<>|!=)\s*(?:$nameExpr)").findFirstIn(stmt).isDefined
+      val eqLits = (eqFwd.findAllMatchIn(stmt) ++ eqRev.findAllMatchIn(stmt))
         .map(_.group(1).toLowerCase).toSet
-      val scoped = dbsAll.filter(db => quoted.contains(db.toLowerCase))
-      val dbs = if (scoped.nonEmpty) scoped else dbsAll
+      val scoped = dbsAll.filter(db => eqLits.contains(db.toLowerCase))
+      val dbs = if (!nonEq && scoped.nonEmpty) scoped else dbsAll
       val tables = dbs.flatMap { db =>
         spark.catalog.listTables(db).collect()
           .filter(_.tableType != "TEMPORARY").map(t => (t.name, db))
@@ -1462,19 +1472,33 @@ object OhdsiSql {
     * accepts BOTH single- and double-quoted strings, so both quote
     * styles shield their content. Keeps a literal 'DATETIME' value or an
     * `@` inside a quoted string from being rewritten as a type name or a
-    * bind parameter (the r15 ADVICE hardening).
+    * bind parameter (the r15 ADVICE hardening). ESCAPES inside a literal
+    * are content, not delimiters (ADVICE r16): a GoogleSQL backslash
+    * escape (`\'`, `\\`) consumes the next char, and a doubled closing
+    * quote (`''` inside a '-quoted literal) consumes both — either form
+    * would otherwise desync the tracker and let the rewrites mangle
+    * literal content (or shield real code).
     */
   private def mapOutsideQuotes(s: String)(f: String => String): String = {
     val out = new StringBuilder
     val cur = new StringBuilder
     var q: Char = 0
-    s.foreach { ch =>
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
       if (q == 0 && (ch == '\'' || ch == '"')) {
-        out ++= f(cur.result()); cur.clear(); q = ch; out += ch
+        out ++= f(cur.result()); cur.clear(); q = ch; out += ch; i += 1
       } else if (q != 0) {
-        out += ch
-        if (ch == q) q = 0
-      } else cur += ch
+        if (ch == '\\' && i + 1 < s.length) {
+          out += ch; out += s.charAt(i + 1); i += 2
+        } else if (ch == q && i + 1 < s.length && s.charAt(i + 1) == q) {
+          out += ch; out += ch; i += 2
+        } else {
+          out += ch
+          if (ch == q) q = 0
+          i += 1
+        }
+      } else { cur += ch; i += 1 }
     }
     out ++= f(cur.result())
     out.result()
@@ -1517,6 +1541,13 @@ object OhdsiSql {
         java.util.regex.Matcher.quoteReplacement(
           s"date_format(${m.group(2).trim}, '${strftimeToJava(fmt)}')")
       })
+    // the rewrite's value-argument regex accepts ONE level of nesting; a
+    // deeper call (FORMAT_TIMESTAMP(fmt, f(g(x)))) slips through unmatched
+    // and would error downstream WITHOUT naming the construct — refuse it
+    // loudly here instead (ADVICE r16)
+    require(ci(raw"\bFORMAT_TIMESTAMP\s*\(").findFirstIn(s).isEmpty,
+      "unsupported FORMAT_TIMESTAMP shape (value argument nested deeper " +
+        "than one call level) — flatten the expression or extend the rewrite")
     // the GoogleSQL DATETIME(y,m,d,...) CONSTRUCTOR would be silently
     // corrupted by the type-name rewrite below — refuse it loudly (no
     // published template uses it; this guards the assumption)

@@ -621,6 +621,52 @@ class OhdsiSqlSpec extends SparkSpec {
     assert(out.contains(":id"), "GoogleSQL @param maps to the bridge's :bind")
   }
 
+  test("escaped quotes inside literals stay content (r17 ADVICE hardening)") {
+    // GoogleSQL backslash escape: the \' must not close the literal —
+    // the INT64 after it is CONTENT, the one outside rewrites
+    val bs = OhdsiSql.translateBigQuery(
+      """SELECT 'it\'s INT64 here' AS a, CAST(x AS INT64) AS b FROM t""")
+    assert(bs.contains("""'it\'s INT64 here'"""),
+      s"backslash-escaped quote desynced the scanner: $bs")
+    assert(bs.contains("CAST(x AS BIGINT)"))
+    // doubled-quote escape: '' inside a literal is content, not a close
+    val dq = OhdsiSql.translateBigQuery(
+      """SELECT 'don''t touch INT64' AS a, CAST(x AS INT64) AS b FROM t""")
+    assert(dq.contains("'don''t touch INT64'"),
+      s"doubled-quote escape desynced the scanner: $dq")
+    assert(dq.contains("CAST(x AS BIGINT)"))
+  }
+
+  test("FORMAT_TIMESTAMP deeper than one nesting level refuses loudly, named") {
+    val e = intercept[IllegalArgumentException](OhdsiSql.translateBigQuery(
+      """SELECT FORMAT_TIMESTAMP("%Y", timestamp_add(ts, INTERVAL least(1, 2) DAY)) FROM t"""))
+    assert(e.getMessage.contains("FORMAT_TIMESTAMP"), e.getMessage)
+  }
+
+  test("sys-catalog scoping falls back to the full listing on non-equality name predicates") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_spec_sc1")
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_spec_sc2")
+    OhdsiSql.executeAll(spark,
+      "DROP TABLE IF EXISTS graft_spec_sc1.t1; CREATE TABLE graft_spec_sc1.t1 (a integer)")
+    OhdsiSql.executeAll(spark,
+      "DROP TABLE IF EXISTS graft_spec_sc2.t2; CREATE TABLE graft_spec_sc2.t2 (a integer)")
+    // equality probe: scoped snapshot still finds the named db's table
+    val eq = OhdsiSql.execute(spark,
+      """SELECT t.name FROM sys.tables t
+        |INNER JOIN sys.schemas s ON s.schema_id = t.schema_id
+        |WHERE s.name = 'graft_spec_sc1'""".stripMargin)
+    assert(eq.collect().map(_.getString(0)).toSet == Set("t1"))
+    // NON-equality probe (ADVICE r16): s.name <> 'x' beside a literal
+    // that happens to name a db — scoping must NOT subset to that db
+    val ne = OhdsiSql.execute(spark,
+      """SELECT t.name FROM sys.tables t
+        |INNER JOIN sys.schemas s ON s.schema_id = t.schema_id
+        |WHERE s.name <> 'graft_spec_sc1' AND t.name <> 'nope'""".stripMargin)
+    val neNames = ne.collect().map(_.getString(0)).toSet
+    assert(neNames.contains("t2") && !neNames.contains("t1"),
+      s"non-equality predicate mis-scoped: $neNames")
+  }
+
   test("translateBigQuery refuses the DATETIME(...) constructor loudly") {
     val e = intercept[IllegalArgumentException](
       OhdsiSql.translateBigQuery("SELECT DATETIME(2020, 1, 1, 0, 0, 0)"))
