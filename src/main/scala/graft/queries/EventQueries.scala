@@ -472,11 +472,13 @@ object EventQueries {
     * (session, dataset); results identical to the plain join (the oracle
     * joins the raw tables).
     */
+  /** Current bucketed-store generation (vacuumed from this constant, r17). */
+  private[graft] val BktStoreGen = "bkt1"
   private val bucketedStore =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, String)]
   val joinBucketedColocated: Q = (s, d) => {
     val (ot, lt) = bucketedStore.getOrElseUpdate((s, d), {
-      val z = graft.io.Zones.forPurpose(s"bkt1_${graft.io.Zones.pathKey(d)}")
+      val z = graft.io.Zones.forPurpose(s"${BktStoreGen}_${graft.io.Zones.pathKey(d)}")
       (z.writeBucketed(t(s, d, "orders"), "o_orderkey", 8, "work", "orders"),
         z.writeBucketed(
           t(s, d, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey"),

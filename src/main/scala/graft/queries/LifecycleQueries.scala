@@ -473,7 +473,63 @@ object LifecycleQueries {
     graft.operators.DqdChecks.lastRuns(s, zones).drop("run_timestamp")
   }
 
+  /** The warehouse's versioned-store family registry (r17): one entry per
+    * cross-JVM run-once store, CURRENT generation read from the writer's
+    * own constant — a generation bump updates that one constant and the
+    * vacuum retires the old directories. Un-versioned purposes (dedup,
+    * dqd, etl, stream scratch a live memo may point at) are never
+    * registered, so [[graft.io.StoreVacuum]] cannot touch them.
+    */
+  def storeFamilies: Seq[graft.io.StoreVacuum.Family] = Seq(
+    graft.io.StoreVacuum.Family("ohdsicdm", OhdsiCdmQueries.CdmStoreGen),
+    graft.io.StoreVacuum.Family("ohdsires", OhdsiCdmQueries.ResStoreGen),
+    graft.io.StoreVacuum.Family("bpe", LlmQueries.BpeStoreGen),
+    graft.io.StoreVacuum.Family("bkt", EventQueries.BktStoreGen))
+
+  /** Soak scratch purposes safe to retire wholesale: written only by the
+    * standalone soak mains, never read by a registered query or memo.
+    */
+  def ephemeralPurposes: Seq[String] = Seq("compactsoak")
+
+  /** Artifact-store retention (r17, VERDICT "next round" #4): vacuum the
+    * REAL warehouse — superseded generations of every registered family
+    * drop, current stores and unregistered purposes survive untouched —
+    * then prove the read-after-vacuum contract on a synthetic 3-generation
+    * family built beside them: after the vacuum, exactly the current
+    * generation's directory remains and its table reads back intact
+    * (the oracle pins both the survivor listing and the payload rows).
+    * Deterministic: re-running rebuilds the demo generations, drops the
+    * same two, and returns the same frame; the real-family vacuum is
+    * idempotent (a second pass finds nothing superseded).
+    */
+  val storeVacuum: Q = (s, d) => {
+    import s.implicits._
+    val key = Zones.pathKey(d)
+    for (g <- 1 to 3) {
+      val z = Zones.forPurpose(s"vacdemo${g}_$key")
+      z.write((0L until 10L).map(i => (i, i * g)).toDF("id", "v"),
+        "work", "payload")
+    }
+    val fams = storeFamilies :+
+      graft.io.StoreVacuum.Family("vacdemo", "vacdemo3")
+    graft.io.StoreVacuum.vacuum(s, Zones.defaultRoot, fams, ephemeralPurposes)
+    // scope to THIS dataset's key: another dataset's current vacdemo3
+    // store rightly survives the vacuum (per-dataset suffixes are all
+    // current-generation) and must not leak into this gated listing
+    val survivors = graft.io.StoreVacuum.listPurposes(s, Zones.defaultRoot)
+      .filter(p => p.startsWith("vacdemo") && p.endsWith(s"_$key"))
+      .map(_.stripSuffix(s"_$key"))
+    val dirRows = survivors.map(g => ("dir", g, -1L, -1L))
+      .toDF("kind", "gen", "id", "v")
+    // read-after-vacuum: the CURRENT generation's content is intact
+    val payload = Zones.forPurpose(s"vacdemo3_$key").read(s, "work", "payload")
+      .select(lit("row").as("kind"), lit("payload").as("gen"),
+        col("id"), col("v"))
+    dirRows.unionByName(payload).orderBy("kind", "id")
+  }
+
   val defs: Seq[(String, Q)] = Seq(
+    "store_vacuum" -> storeVacuum,
     "dqd_last_runs" -> dqdLastRuns,
     "dqd_field_level" -> dqdFieldLevel,
     "dqd_overview" -> dqdOverview,
@@ -487,6 +543,13 @@ object LifecycleQueries {
     "dqd_config_driven" -> dqdConfigDriven)
 
   val oracles: Seq[(String, String)] = Seq(
+    "store_vacuum" ->
+      """SELECT 'dir' AS kind, 'vacdemo3' AS gen,
+        |  CAST(-1 AS BIGINT) AS id, CAST(-1 AS BIGINT) AS v
+        |UNION ALL
+        |SELECT 'row', 'payload', CAST(i AS BIGINT), CAST(i * 3 AS BIGINT)
+        |FROM (SELECT unnest(generate_series(0, 9)) AS i)
+        |ORDER BY kind, id""".stripMargin,
     "dqd_last_runs" -> {
       val ov = Dqd.overviewOracleSql(Dqd.oracleSql(TpchModel.modelWithEvents, dqdRules))
       s"""WITH ov AS (

@@ -1897,11 +1897,13 @@ object LlmQueries {
     * once per dataset into the `bpe` zone; both queries read the store.
     */
   private val BpeSteps = 10
+  /** Current BPE-store generation (vacuumed from this constant, r17). */
+  private[graft] val BpeStoreGen = "bpe1"
   private def bpeTrained(s: SparkSession, d: String): graft.io.Zones = {
     // the purpose carries an algorithm version (the warm-zone staleness
     // convention every cross-JVM run-once store follows): a zone trained
     // by older merge-rule code must invalidate, not serve
-    val z = graft.io.Zones.forPurpose(s"bpe1_${graft.io.Zones.pathKey(d)}")
+    val z = graft.io.Zones.forPurpose(s"${BpeStoreGen}_${graft.io.Zones.pathKey(d)}")
     graft.ops.BpeOps.train(s, z, t(s, d, "documents"), "text", BpeSteps)
     z
   }

@@ -28,6 +28,15 @@ import org.apache.spark.sql.functions._
 object OhdsiCdmQueries {
   private type Q = (SparkSession, String) => DataFrame
 
+  /** CURRENT generations of this file's cross-JVM run-once stores — the
+    * warm-zone staleness convention puts a version in every purpose key,
+    * and [[graft.io.StoreVacuum]] retires every other generation from
+    * these single constants (r17). Bump HERE on any semantics change.
+    */
+  private[graft] val CdmStoreGen = "ohdsicdm9"
+  private[graft] def ResStoreGen =
+    s"ohdsires9_${graft.operators.OhdsiAchilles.Catalog.size}"
+
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
   private def f(tb: String, n: String, dt: String, pk: Boolean = false) =
@@ -613,7 +622,7 @@ object OhdsiCdmQueries {
     // catalog growth — visit care-site orphan wrinkle (210), cost
     // payer-plan fk + money columns (1501/1601/1509-1511/1610), ppp id.
     // v9: visit_detail care_site_id (2510)
-    val zones = graft.io.Zones.forPurpose(s"ohdsicdm9_$key")
+    val zones = graft.io.Zones.forPurpose(s"${CdmStoreGen}_$key")
     cdmStore.getOrElseUpdate((s, d), {
       val staged = zones.listTables(s, "omop").toSet
       val todo = derivedModel.tables.filterNot(staged).toSeq
@@ -664,8 +673,7 @@ object OhdsiCdmQueries {
     // v8: the r15 catalog growth (note/specimen series, 210/212, payer
     // mirrors, cost completion, the x93/x94 density dists). v9: the
     // visit_detail siblings 2510/2511/2512
-    val zones = graft.io.Zones.forPurpose(
-      s"ohdsires9_${graft.operators.OhdsiAchilles.Catalog.size}_$key")
+    val zones = graft.io.Zones.forPurpose(s"${ResStoreGen}_$key")
     resultsStore.getOrElseUpdate((s, d), {
       val have = zones.listTables(s, "achilles").toSet
       val load = materialized(s, d)

@@ -1,0 +1,52 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Generation-churn soak for the warehouse vacuum (r17): simulate N
+  * store-key bumps of a synthetic versioned family (each generation = 3
+  * zone tables, the derived-CDM store shape) and vacuum after every
+  * bump — the evidence that the warehouse file count stays FLAT across
+  * generations instead of growing linearly (the log-structured store's
+  * production failure mode the vacuum exists to close). Also reports
+  * what the vacuum retires from the REAL warehouse's registered
+  * families, current stores untouched. Run:
+  * `sbt "runMain graft.tools.VacuumSoak"`.
+  */
+object VacuumSoak {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val root = graft.io.Zones.defaultRoot
+    val fam = (g: Int) => graft.io.StoreVacuum.Family("vacsoak", s"vacsoak$g")
+    for (g <- 1 to 8) {
+      val z = graft.io.Zones.forPurpose(s"vacsoak$g")
+      for (t <- Seq("alpha", "beta", "gamma"))
+        z.write(spark.range(0, 1000).select(
+          (org.apache.spark.sql.functions.col("id") * g).as("v")), "work", t)
+      val dropped = graft.io.StoreVacuum.vacuum(spark, root, Seq(fam(g)))
+      val after = graft.io.StoreVacuum.familyFileCount(spark, root, fam(g))
+      // every generation writes the identical shape, so the no-vacuum
+      // counterfactual is exactly g * per-generation files
+      println(f"""{"gen":$g,"dropped_dirs":${dropped.size},"files_after_vacuum":$after,"files_without_vacuum":${g * after}}""")
+    }
+    // retire the soak family: vacuum at a generation that owns nothing on
+    // disk, so every written generation is superseded
+    graft.io.StoreVacuum.vacuum(spark, root, Seq(fam(9)))
+    // the REAL warehouse: retire superseded generations of the registered
+    // families (dry-run listing printed, then applied)
+    val fams = graft.queries.LifecycleQueries.storeFamilies
+    val eph = graft.queries.LifecycleQueries.ephemeralPurposes
+    val all = graft.io.StoreVacuum.listPurposes(spark, root)
+    val doomed = graft.io.StoreVacuum.plan(all, fams, eph)
+    val droppedReal = graft.io.StoreVacuum.vacuum(spark, root, fams, eph)
+    val kept = graft.io.StoreVacuum.listPurposes(spark, root)
+    println(s"""{"real_purposes_before":${all.size},"superseded_dropped":${droppedReal.size},"purposes_after":${kept.size},"plan_matched_drop":${doomed == droppedReal}}""")
+    println(s"""{"dropped":[${droppedReal.map("\"" + _ + "\"").mkString(",")}]}""")
+    spark.stop()
+  }
+}
