@@ -1032,22 +1032,35 @@ object SimOps {
           .as("silhouette"))
   }
 
-  /** The sqrt-N centroid-selection stride the SemDeDup admission family
-    * shares (r17): the smallest power of two `p` with `p*p >= n`, so a
-    * `vec_id % p == r` pick yields ~sqrt(n) centroids — the bound that
-    * keeps a stream's collected model state (and any flat broadcast
-    * against the centroid set) sub-linear in the corpus. Pure integer
-    * ladder, mirrored exactly by [[sqrtStrideSql]] so the DuckDB oracle
-    * derives the IDENTICAL stride from the same count at any scale
-    * factor (the adaptive-Bloom discipline).
+  /** The centroid-selection stride the SemDeDup admission family shares
+    * (r17): the smallest power of two `p` with `p*p >= n` AND
+    * `p*1024 >= n`, so a `vec_id % p == r` pick yields
+    * min(~sqrt(n), 1024) centroids — sqrt-N while the model is small,
+    * HARD-CAPPED at 1024 past n = 2^20. The cap is [[mapSideAssign]]'s
+    * compile bound: the streaming assigner folds one struct per centroid
+    * into the plan, so the model must stay in the
+    * hundreds-to-a-thousand regime at ANY corpus size — sqrt-N alone
+    * would hand a 10^8-corpus stream a 10k-struct projection. Pure
+    * integer ladder, mirrored exactly by [[sqrtStrideSql]] so the DuckDB
+    * oracle derives the IDENTICAL stride from the same count at any
+    * scale factor (the adaptive-Bloom discipline).
     */
-  def sqrtStride(n: Long): Long =
-    (0 to 31).map(1L << _).find(p => p * p >= n).getOrElse(1L << 31)
+  def sqrtStride(n: Long): Long = {
+    // clamp BEFORE the ladder: p*p overflows a BIGINT past p = 2^31 in
+    // BOTH engines, and any n <= 2^40 needs at most p = 2^30 (the
+    // 1024-cap term dominates) — semantics-free for any real corpus,
+    // mirrored in the SQL twin for exactness
+    val nc = n.min(1L << 40)
+    (0 to 30).map(1L << _).find(p => p * p >= nc && p * 1024L >= nc)
+      .getOrElse(1L << 30)
+  }
 
   /** DuckDB twin of [[sqrtStride]] over `nExpr` (SQL for the count). */
   def sqrtStrideSql(nExpr: String): String =
     s"""(SELECT min(p) FROM (SELECT (CAST(1 AS BIGINT) << g) AS p
-       |   FROM generate_series(0, 31) t(g)) WHERE p * p >= ($nExpr))""".stripMargin
+       |   FROM generate_series(0, 30) t(g))
+       | WHERE p * p >= least(($nExpr), CAST(1 AS BIGINT) << 40)
+       |   AND p * 1024 >= least(($nExpr), CAST(1 AS BIGINT) << 40))""".stripMargin
 
   /** Map-side nearest-centroid assignment for STREAMS: the centroid set is
     * bounded model state (passed in collected form), so the argmax folds

@@ -599,6 +599,47 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** SHARDED Bloom build (r17): past the single-state broadcast cap
+    * ([[graft.ops.SketchOps.bloomWordsFor]]'s 2^24 words) the production
+    * move is building one filter PER CORPUS SHARD and merging by
+    * `bit_or` — each shard's build is local to its partition of the hash
+    * set (no corpus-wide shuffle into one aggregate) and states union
+    * without touching raw data. This entry runs that exact path: four
+    * hash-partitioned shard filters at the SAME adaptive size, bit_or
+    * fold, then the identical probe as [[corpusAdmitBloom]]. The oracle
+    * replays the WHOLE-corpus filter — bit_or over the same inserts is
+    * associative, so merged-shards == whole-filter is the equality the
+    * gate certifies cross-engine, bit for bit (the in-JVM mergeability
+    * test promoted to an oracle-gated contract).
+    */
+  val corpusAdmitBloomSharded: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 50 === 1)
+        .select((col("doc_id") + 30000000L).as("doc_id"), col("text")))
+      .select(col("doc_id"), md5(col("text")).as("__h"))
+    val md5Set = corpusMd5(s, d)
+    val (_, words) = corpusBloom(s, d)
+    val merged = (0 until 4)
+      .map(i => graft.ops.SketchOps.bloomBits(
+        md5Set.filter(pmod(graft.ops.TextOps.hash32(col("__h")), lit(4)) === i),
+        col("__h"), words = words))
+      .reduce(_ unionByName _)
+      .groupBy("word").agg(expr("bit_or(bits)").as("bits"))
+    val probed = graft.ops.SketchOps.bloomProbe(batch, "doc_id", col("__h"),
+      merged, words = words)
+    val exact = batch
+      .join(probed.filter(col("bloom_positive") === 1L).select("doc_id"), "doc_id")
+      .join(md5Set, Seq("__h"), "left_semi")
+      .select(col("doc_id")).withColumn("__e", lit(1L))
+    probed.join(exact, Seq("doc_id"), "left")
+      .select(col("doc_id"), lit(4L).as("n_shards"),
+        lit(words.toLong).as("bloom_words"),
+        col("bloom_positive"), coalesce(col("__e"), lit(0L)).as("exact_dup"))
+      .orderBy("doc_id")
+  }
+
   /** SEQUENTIAL admission with INDEX GROWTH (r15 — the verdict's
     * index-update-on-admit): batch 1 (every 20th doc) runs the gauntlet
     * against the stored corpus artifacts; its ADMITTED docs' hashes and
@@ -2051,6 +2092,7 @@ object LlmQueries {
     "stream_dedup_incremental" -> streamDedupIncremental,
     "corpus_batch_admit" -> corpusAdmissionPipeline,
     "corpus_batch_admit_bloom" -> corpusAdmitBloom,
+    "corpus_batch_admit_bloom_sharded" -> corpusAdmitBloomSharded,
     "corpus_batch_admit_compact" -> corpusAdmitCompact,
     "corpus_batch_admit_sequential" -> corpusAdmitSequential,
     "stream_corpus_admit" -> streamCorpusAdmit,
@@ -3048,6 +3090,27 @@ object LlmQueries {
              |FROM documents WHERE doc_id % 10 <> 0 AND doc_id % 50 = 1""".stripMargin,
            "doc_id")}
          |SELECT b.doc_id, (SELECT words FROM bloom_size) AS bloom_words,
+         |  b.bloom_positive,
+         |  CAST(CASE WHEN b.bloom_positive = 1
+         |    AND p.v IN (SELECT v FROM bloom_vals)
+         |    THEN 1 ELSE 0 END AS BIGINT) AS exact_dup
+         |FROM bloom_verdicts b JOIN bloom_probe_rows p USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
+    // the merged-shard filter must equal the whole-corpus filter (bit_or
+    // over the same inserts is associative) — the oracle replays the
+    // WHOLE filter; any shard/merge divergence on the Spark side forks
+    // the verdicts and the hash compare catches it
+    "corpus_batch_admit_bloom_sharded" -> {
+      s"""WITH ${graft.ops.SketchOps.bloomSqlAdaptive(
+           "SELECT DISTINCT md5(text) AS v FROM documents WHERE doc_id % 10 <> 0",
+           """SELECT doc_id, md5(text) AS v FROM documents WHERE doc_id % 10 = 0
+             |UNION ALL
+             |SELECT doc_id + 30000000, md5(text)
+             |FROM documents WHERE doc_id % 10 <> 0 AND doc_id % 50 = 1""".stripMargin,
+           "doc_id")}
+         |SELECT b.doc_id, CAST(4 AS BIGINT) AS n_shards,
+         |  (SELECT words FROM bloom_size) AS bloom_words,
          |  b.bloom_positive,
          |  CAST(CASE WHEN b.bloom_positive = 1
          |    AND p.v IN (SELECT v FROM bloom_vals)

@@ -166,22 +166,27 @@ class SketchOpsSpec extends SparkSpec {
     assert(adaptiveFp < 400, s"adaptive FP band too wide: $adaptiveFp/4000 at words=$adaptiveWords")
   }
 
-  test("sqrt-N centroid stride: integer ladder, sqrt bound, SQL twin constants") {
+  test("centroid stride: sqrt-N while small, hard-capped at 1024 centroids") {
     import graft.ops.SimOps
     assert(SimOps.sqrtStride(1) == 1)
     assert(SimOps.sqrtStride(2) == 2)
     assert(SimOps.sqrtStride(500) == 32)    // sf0.001/sf0.01 embeddings
     assert(SimOps.sqrtStride(2000) == 64)   // sf0.1 embeddings
     assert(SimOps.sqrtStride(1000000) == 1024)
-    // the pick `id % stride == r` yields <= ~sqrt(n) rows at every n:
-    // n/stride <= n/sqrt(n) = sqrt(n) since stride*stride >= n
-    for (n <- Seq(1L, 100L, 12345L, 100000000L)) {
+    // past n = 2^20 the 1024-cap term dominates: the collected model
+    // (mapSideAssign's per-centroid plan structs) stays bounded at ANY n
+    assert(SimOps.sqrtStride(100000000L) == 131072) // 10^8 -> 763 centroids
+    for (n <- Seq(1L, 100L, 12345L, 1L << 20, 100000000L, 1L << 45)) {
       val p = SimOps.sqrtStride(n)
-      assert(p * p >= n && (p == 1 || (p / 2) * (p / 2) < n),
-        s"not the smallest pow2 sqrt bound at n=$n: $p")
+      val nc = n.min(1L << 40)
+      assert(p * p >= nc && p * 1024L >= nc, s"under-strided at n=$n: $p")
+      assert(nc / p <= 1024L, s"model over the compile bound at n=$n: ${nc / p}")
+      assert(p == 1 || (p / 2) * (p / 2) < nc || (p / 2) * 1024L < nc,
+        s"not the smallest qualifying pow2 at n=$n: $p")
     }
     val twin = SimOps.sqrtStrideSql("SELECT count(*) FROM embeddings")
-    assert(twin.contains("generate_series(0, 31)"))
-    assert(twin.contains("p * p >= (SELECT count(*) FROM embeddings)"))
+    assert(twin.contains("generate_series(0, 30)"))
+    assert(twin.contains("p * p >= least((SELECT count(*) FROM embeddings)"))
+    assert(twin.contains("p * 1024 >= least((SELECT count(*) FROM embeddings)"))
   }
 }
