@@ -190,10 +190,16 @@ object LlmQueries {
     * saturates once the corpus outgrows it and every probe turns
     * positive, silently degrading the 100 TB exact-dup shield to a
     * no-op. The chosen size is PERSISTED beside the filter
-    * (`corpus_bloom_meta`: one row of `words`/`k`/`n_values`) so any
-    * later JVM probes with the exact constants the state was built
-    * with — a probe with the wrong `m` hashes into the wrong bit
-    * positions and breaks the no-false-negative contract.
+    * (`corpus_bloom_meta`: one row of `words`/`k`/`n_values`) — the
+    * durable record of the constants the state was built with, listed in
+    * the store-build manifest and re-derived independently by the DuckDB
+    * oracle from the same count. Probes MUST use the build's exact `m`
+    * (a wrong `m` hashes into the wrong bit positions and breaks the
+    * no-false-negative contract); within a JVM the memo carries the pair
+    * (state, words) together, and a rebuild (this memo writes once per
+    * JVM, like every dedup-zone sibling) refreshes filter AND meta
+    * atomically from the same deterministic md5 store, so the persisted
+    * constants never drift from the persisted state.
     */
   private val corpusBlooms =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, Int)]
