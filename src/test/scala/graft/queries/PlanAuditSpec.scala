@@ -37,6 +37,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(idx("corpus_artifact_store_build") < idx("corpus_curation_funnel"))
     assert(idx("corpus_artifact_store_build") < firstWith("dedup_"))
     assert(idx("corpus_artifact_store_build") < firstWith("stream_corpus"))
+    assert(idx("corpus_artifact_store_build") < idx("corpus_batch_admit_bloom_sharded"))
+  }
+
+  test("bloom admission paths broadcast the filter state, never sort-merge") {
+    // the Bloom pre-filter's 100 TB rationale is that the bounded
+    // (word, bits) state BROADCASTS to every probe — a sort-merge join on
+    // `word` would re-shuffle the batch and void the design (r17, the
+    // sharded entry's bit_or merge included)
+    for (q <- Seq("corpus_batch_admit_bloom", "corpus_batch_admit_bloom_sharded")) {
+      val p = plan(q)
+      // the STATE join keys on `word` — batch-side assembly joins on
+      // doc_id may legitimately shuffle (batch x batch at scale)
+      assert(!raw"SortMergeJoin \[word".r.findFirstIn(p).isDefined &&
+        !raw"ShuffledHashJoin \[word".r.findFirstIn(p).isDefined,
+        s"$q shuffles the bloom state join:\n$p")
+      assert(raw"BroadcastHashJoin \[word".r.findFirstIn(p).isDefined,
+        s"$q lost its broadcast state join:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q grew an all-pairs path")
+    }
   }
 
   test("no dedup/ANN candidate path contains an all-pairs join") {
