@@ -90,6 +90,32 @@ class GraftCliSpec extends SparkSpec {
       .contains("/tmp/x.json"))
     intercept[IllegalArgumentException](GraftCli.parseArgs(Seq("-c", "not_a_table")))
     intercept[IllegalArgumentException](GraftCli.parseArgs(Seq("--bogus")))
+    // r17 warehouse retention
+    val vac = GraftCli.parseArgs(Seq("--vacuum", "--dry-run"))
+    assert(vac.vacuum && vac.dryRun)
+  }
+
+  test("--vacuum retires superseded store generations; --dry-run only plans") {
+    // build one superseded + one current generation of a registered family
+    // in the live warehouse root, then drive the CLI command
+    for (g <- Seq("bpe0", graft.queries.LlmQueries.BpeStoreGen)) {
+      val z = graft.io.Zones.forPurpose(s"${g}_cli_vac_spec")
+      z.write(spark.range(1).selectExpr("id AS x"), "work", "t")
+    }
+    val planned = GraftCli.vacuumStores(spark, dryRun = true)
+    assert(planned.contains("bpe0_cli_vac_spec"), s"dry-run missed the stale dir: $planned")
+    assert(graft.io.StoreVacuum.listPurposes(spark, graft.io.Zones.defaultRoot)
+      .contains("bpe0_cli_vac_spec"), "dry-run must not delete")
+    val dropped = GraftCli.vacuumStores(spark, dryRun = false)
+    assert(dropped.contains("bpe0_cli_vac_spec"))
+    val after = graft.io.StoreVacuum.listPurposes(spark, graft.io.Zones.defaultRoot)
+    assert(!after.contains("bpe0_cli_vac_spec"))
+    assert(after.contains(s"${graft.queries.LlmQueries.BpeStoreGen}_cli_vac_spec"),
+      "the current generation must survive")
+    // cleanup the current-gen fixture dir
+    val p = new org.apache.hadoop.fs.Path(
+      s"${graft.io.Zones.defaultRoot}/graft_zones_${graft.queries.LlmQueries.BpeStoreGen}_cli_vac_spec")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
   }
 
   test("--print-etl-flow renders the reference's dependency tree") {
