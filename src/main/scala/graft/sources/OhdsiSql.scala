@@ -1373,25 +1373,46 @@ object OhdsiSql {
       // O(catalog) — dozens of listTables calls once a session has run
       // many entries (the r16 in-bench finding: 1.3 s standalone vs ~6 s
       // mid-bench). Scope the snapshot to databases named in an EQUALITY
-      // comparison against a name expression (`s.name = 'db'`,
-      // `schema_name(..) = 'db'`, either side) — a subset snapshot is
-      // only correct when every db the predicate can match is included,
-      // which ONLY quoted-equality probes guarantee. Any non-equality
-      // name predicate (<>, !=, NOT IN, LIKE, IN (...)) disables scoping
-      // entirely and takes the full listing — a SUPERSET is always
-      // correct (ADVICE r16: a `<>` probe whose other literals matched
-      // some db would have snapshotted a subset and returned wrong rows).
-      val nameExpr = raw"(?:[A-Za-z_]\w*\.)?name\b|schema_name\s*\([^)]*\)"
+      // comparison against a SCHEMA-name expression — a subset snapshot
+      // is only correct when every db the statement can match is
+      // included, which ONLY quoted-equality schema probes guarantee.
+      // The check is INVERTED (ADVICE r17): scoping applies only when
+      // EVERY schema-name predicate in the statement is a quoted
+      // equality — any other operator (<>, !=, LIKE, NOT LIKE, IN,
+      // NOT IN, BETWEEN, IS, <, >, <=, >=) or a non-literal comparand
+      // disables it and takes the full listing (a SUPERSET is always
+      // correct). And only SCHEMA-name expressions feed the literal set:
+      // `schema_name(..)` plus `<alias>.name` for aliases bound to
+      // sys.schemas in THIS statement — a table-name predicate like
+      // `t.name = 'person'` must not scope the database list just
+      // because a database shares the literal's name.
+      val reserved = Set("on", "where", "join", "inner", "left", "right",
+        "full", "cross", "group", "order", "as", "union", "and", "or")
+      val schemaAliases = ci(raw"\bsys\.schemas\b\s+(?:AS\s+)?([A-Za-z_]\w*)")
+        .findAllMatchIn(stmt).map(_.group(1).toLowerCase)
+        .filterNot(reserved).toSet
+      val nameExpr =
+        if (schemaAliases.isEmpty) raw"schema_name\s*\([^)]*\)"
+        else {
+          val alts = schemaAliases.map(java.util.regex.Pattern.quote).mkString("|")
+          raw"(?:$alts)\.name\b|schema_name\s*\([^)]*\)"
+        }
+      // any comparison operator that can follow a name expression; the
+      // quoted-equality counts below must account for EVERY predicate
+      // occurrence or scoping is off
+      val predOp = raw"(?:<>|!=|<=|>=|=|<|>|\bNOT\s+LIKE\b|\bLIKE\b|\bNOT\s+IN\b|\bIN\b|\bBETWEEN\b|\bIS\b)"
       val eqFwd = ci(raw"(?:$nameExpr)\s*=\s*'([^']*)'")
       val eqRev = ci(raw"'([^']*)'\s*=\s*(?:$nameExpr)")
-      val nonEq =
-        ci(raw"(?:$nameExpr)\s*(?:<>|!=|\bNOT\s+IN\b|\bLIKE\b|\bIN\s*\()")
-          .findFirstIn(stmt).isDefined ||
-        ci(raw"'[^']*'\s*(?:<>|!=)\s*(?:$nameExpr)").findFirstIn(stmt).isDefined
+      val fwdPreds = ci(raw"(?:$nameExpr)\s*$predOp").findAllMatchIn(stmt).length
+      val revPreds = ci(raw"'[^']*'\s*$predOp\s*(?:$nameExpr)")
+        .findAllMatchIn(stmt).length
+      val eqFwdN = eqFwd.findAllMatchIn(stmt).length
+      val eqRevN = eqRev.findAllMatchIn(stmt).length
+      val allEq = fwdPreds == eqFwdN && revPreds == eqRevN
       val eqLits = (eqFwd.findAllMatchIn(stmt) ++ eqRev.findAllMatchIn(stmt))
         .map(_.group(1).toLowerCase).toSet
       val scoped = dbsAll.filter(db => eqLits.contains(db.toLowerCase))
-      val dbs = if (!nonEq && scoped.nonEmpty) scoped else dbsAll
+      val dbs = if (allEq && scoped.nonEmpty) scoped else dbsAll
       val tables = dbs.flatMap { db =>
         spark.catalog.listTables(db).collect()
           .filter(_.tableType != "TEMPORARY").map(t => (t.name, db))
@@ -1544,10 +1565,20 @@ object OhdsiSql {
     // the rewrite's value-argument regex accepts ONE level of nesting; a
     // deeper call (FORMAT_TIMESTAMP(fmt, f(g(x)))) slips through unmatched
     // and would error downstream WITHOUT naming the construct — refuse it
-    // loudly here instead (ADVICE r16)
-    require(ci(raw"\bFORMAT_TIMESTAMP\s*\(").findFirstIn(s).isEmpty,
-      "unsupported FORMAT_TIMESTAMP shape (value argument nested deeper " +
-        "than one call level) — flatten the expression or extend the rewrite")
+    // loudly here instead (ADVICE r16). The residual scan runs INSIDE
+    // mapOutsideQuotes (ADVICE r17): a string LITERAL containing the text
+    // "FORMAT_TIMESTAMP(" is content, not code, and must not trip it.
+    locally {
+      var residual = false
+      mapOutsideQuotes(s) { seg =>
+        if (ci(raw"\bFORMAT_TIMESTAMP\s*\(").findFirstIn(seg).isDefined)
+          residual = true
+        seg
+      }
+      require(!residual,
+        "unsupported FORMAT_TIMESTAMP shape (value argument nested deeper " +
+          "than one call level) — flatten the expression or extend the rewrite")
+    }
     // the GoogleSQL DATETIME(y,m,d,...) CONSTRUCTOR would be silently
     // corrupted by the type-name rewrite below — refuse it loudly (no
     // published template uses it; this guards the assumption)

@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus-growth soak for the admission Bloom pre-filter's ADAPTIVE
-  * sizing (r17): at 1x and 10x the sf0.1 corpus, build the filter both
-  * ways — the r16 FIXED default (2048 words = 65,536 bits) and the
+  * sizing (r17): at 1x, 10x, and 100x the sf0.1 corpus, build the
+  * filter both ways — the r16 FIXED default (2048 words = 65,536 bits) and the
   * adaptive size ([[graft.ops.SketchOps.bloomWordsFor]], m ≈ n·k/ln 2
   * rounded up to a power of two) — and probe a disjoint negative set.
   * The evidence the judge asked for: the fixed filter SATURATES as the

@@ -93,6 +93,20 @@ class GraftCliSpec extends SparkSpec {
     // r17 warehouse retention
     val vac = GraftCli.parseArgs(Seq("--vacuum", "--dry-run"))
     assert(vac.vacuum && vac.dryRun)
+    // r18 retention window
+    val keep = GraftCli.parseArgs(Seq("--vacuum", "--keep", "2"))
+    assert(keep.vacuum && keep.keepGens.contains(2))
+    intercept[IllegalArgumentException](GraftCli.parseArgs(Seq("--vacuum", "--keep", "x")))
+    intercept[IllegalArgumentException](GraftCli.parseArgs(Seq("--vacuum", "--keep", "-1")))
+  }
+
+  test("--dry-run / --keep without --vacuum die naming the flag pairing (ADVICE r17)") {
+    // dispatch-level misuse: parses fine, then errors with the flag named
+    for (argv <- Seq(Array("--dry-run"), Array("--keep", "1"))) {
+      val e = intercept[IllegalArgumentException](GraftCli.main(argv))
+      assert(e.getMessage.contains("--vacuum"), s"${argv.toSeq}: ${e.getMessage}")
+      assert(e.getMessage.contains(argv.head), s"${argv.toSeq}: ${e.getMessage}")
+    }
   }
 
   test("--vacuum retires superseded store generations; --dry-run only plans") {

@@ -35,6 +35,33 @@ class StoreVacuumSpec extends SparkSpec {
     intercept[IllegalArgumentException](Family("vac", "other1"))
   }
 
+  test("owns requires the digits to end the purpose or be followed by '_' (ADVICE r17)") {
+    val f = Family("bpe", "bpe2")
+    assert(f.owns("bpe1") && f.owns("bpe1_key") && f.owns("bpe12_key"))
+    // a FUTURE unrelated purpose that merely starts with prefix+digit
+    // must never be claimed (it would be silently deleted as superseded)
+    assert(!f.owns("bpe2json_x"), "prefix+digit+letters is NOT a generation")
+    assert(!f.owns("bpe1k"), "digits must be the whole version segment")
+  }
+
+  test("keepPriorGens retains each family's N newest superseded generations") {
+    val purposes = Seq("vac1_k", "vac2_k", "vac3_k", "vac4_k", "vac4_j",
+      "other1_k", "compactsoak_8")
+    val fams = Seq(Family("vac", "vac4"))
+    // keep 1 prior generation: vac3 survives this cycle, vac1/vac2 retire
+    assert(StoreVacuum.plan(purposes, fams, Seq("compactsoak"), keepPriorGens = 1) ==
+      Seq("compactsoak_8", "vac1_k", "vac2_k"))
+    // keep 2: vac2 and vac3 survive
+    assert(StoreVacuum.plan(purposes, fams, Seq("compactsoak"), keepPriorGens = 2) ==
+      Seq("compactsoak_8", "vac1_k"))
+    // default 0 = immediate retire (the r17 behavior, oracle unchanged)
+    assert(StoreVacuum.plan(purposes, fams, Seq("compactsoak")) ==
+      Seq("compactsoak_8", "vac1_k", "vac2_k", "vac3_k"))
+    // the window is per-GENERATION, not per-directory: both vac4 dataset
+    // suffixes are current and never counted against the window
+    assert(!StoreVacuum.plan(purposes, fams, Nil, keepPriorGens = 3).exists(_.startsWith("vac4")))
+  }
+
   test("vacuum drops superseded zone roots on disk and is idempotent; current reads back") {
     val root = s"${Zones.defaultRoot}/vacspec_${System.nanoTime()}"
     import spark.implicits._

@@ -643,6 +643,13 @@ class OhdsiSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("FORMAT_TIMESTAMP"), e.getMessage)
   }
 
+  test("a string literal containing FORMAT_TIMESTAMP( is content, not a refusal") {
+    // ADVICE r17: the residual-shape guard runs outside quotes only
+    val out = OhdsiSql.translateBigQuery(
+      "SELECT 'docs say FORMAT_TIMESTAMP(fmt, ts) here' AS hint FROM t")
+    assert(out.contains("FORMAT_TIMESTAMP(fmt, ts)"), out)
+  }
+
   test("sys-catalog scoping falls back to the full listing on non-equality name predicates") {
     spark.sql("CREATE DATABASE IF NOT EXISTS graft_spec_sc1")
     spark.sql("CREATE DATABASE IF NOT EXISTS graft_spec_sc2")
@@ -665,6 +672,26 @@ class OhdsiSqlSpec extends SparkSpec {
     val neNames = ne.collect().map(_.getString(0)).toSet
     assert(neNames.contains("t2") && !neNames.contains("t1"),
       s"non-equality predicate mis-scoped: $neNames")
+    // ADVICE r17: a TABLE-name equality whose literal happens to name a
+    // db, beside a NOT LIKE schema predicate — neither may subset the
+    // database list (t.name is not a schema-name expression; NOT LIKE is
+    // not a quoted equality, so scoping must disable entirely)
+    OhdsiSql.executeAll(spark,
+      "DROP TABLE IF EXISTS graft_spec_sc2.graft_spec_sc1; " +
+        "CREATE TABLE graft_spec_sc2.graft_spec_sc1 (a integer)")
+    val nl = OhdsiSql.execute(spark,
+      """SELECT t.name FROM sys.tables t
+        |INNER JOIN sys.schemas s ON s.schema_id = t.schema_id
+        |WHERE t.name = 'graft_spec_sc1' AND s.name NOT LIKE 'graft_spec_sc1%'""".stripMargin)
+    assert(nl.collect().map(_.getString(0)).toSet == Set("graft_spec_sc1"),
+      "t.name literal + NOT LIKE schema predicate must take the full listing")
+    // relational comparison on a schema-name expression also disables
+    val rel = OhdsiSql.execute(spark,
+      """SELECT t.name FROM sys.tables t
+        |INNER JOIN sys.schemas s ON s.schema_id = t.schema_id
+        |WHERE s.name >= 'graft_spec_sc2' AND s.name <= 'graft_spec_sc2'""".stripMargin)
+    val relNames = rel.collect().map(_.getString(0)).toSet
+    assert(relNames.contains("t2"), s"relational schema predicate mis-scoped: $relNames")
   }
 
   test("translateBigQuery refuses the DATETIME(...) constructor loudly") {
