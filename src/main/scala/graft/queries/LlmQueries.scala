@@ -190,7 +190,7 @@ object LlmQueries {
     * saturates once the corpus outgrows it and every probe turns
     * positive, silently degrading the 100 TB exact-dup shield to a
     * no-op. The chosen size is PERSISTED beside the filter
-    * (`corpus_bloom_meta`: one row of `words`/`k`/`n_values`) — the
+    * (`corpus_bloom_meta`: one row of `words`/`k`/`n_values`/`saturated`) — the
     * durable record of the constants the state was built with, listed in
     * the store-build manifest and re-derived independently by the DuckDB
     * oracle from the same count. Probes MUST use the build's exact `m`
@@ -209,14 +209,37 @@ object LlmQueries {
       val key = graft.io.Zones.pathKey(d)
       val n = corpusMd5(s, d).count()
       val words = graft.ops.SketchOps.bloomWordsFor(n)
+      // (r18) cap-saturation is LOUD: past the 2^24-word clamp the <5%
+      // FP bound silently lapses — persist the flag beside the size (the
+      // oracle re-derives it from the same count) and warn; the capacity
+      // remedy is shard-routed probes (corpus_batch_admit_bloom_routed)
+      val saturated = graft.ops.SketchOps.bloomSaturated(n)
+      if (saturated) System.err.println(
+        s"[bloom] WARNING corpus Bloom filter SATURATED: n=$n exceeds the " +
+          "2^24-word cap's <5% FP capacity — route probes per-shard " +
+          "(bloomBitsRouted) to multiply capacity")
       import s.implicits._
-      zones.write(Seq((words.toLong, 4L, n))
-        .toDF("words", "k", "n_values"), "work", s"corpus_bloom_meta_$key")
+      zones.write(Seq((words.toLong, 4L, n, if (saturated) 1L else 0L))
+        .toDF("words", "k", "n_values", "saturated"),
+        "work", s"corpus_bloom_meta_$key")
       zones.write(
         graft.ops.SketchOps.bloomBits(corpusMd5(s, d), col("__h"), words = words),
         "work", s"corpus_bloom_$key")
       (zones.read(s, "work", s"corpus_bloom_$key"), words)
     })
+
+  /** bit_or-fold of Bloom states built at the SAME word count into one
+    * filter — the segment-merge mechanism `corpus_batch_admit_bloom_sharded`
+    * oracle-certifies (bit_or over the same inserts is associative, so
+    * merged-segments == whole-filter, bit for bit). The delta-growth
+    * admission paths use it to keep the exact-dup shield ACTIVE while the
+    * index grows: each admitted batch writes a per-segment filter at the
+    * base's recorded size, and every probe folds base ∪ segments into one
+    * broadcastable state (≤ words rows regardless of segment count).
+    */
+  private[graft] def mergeBloomStates(states: Seq[DataFrame]): DataFrame =
+    states.reduce(_ unionByName _)
+      .groupBy("word").agg(expr("bit_or(bits)").as("bits"))
 
   private def clusterMap(s: SparkSession, d: String): DataFrame =
     clusterMaps.getOrElseUpdate((s, d), {
@@ -519,10 +542,11 @@ object LlmQueries {
     // hash set shuffles with the corpus — the STATIC-corpus paths pass
     // the stored broadcast Bloom filter so only the bloom-positive band
     // reaches it (no false negatives, so verdicts are provably
-    // unchanged); the delta-growth paths probe base ∪ segments without
-    // one (per-segment bloom states would merge by bit_or — the
-    // mechanism SketchOpsSpec certifies — but the verdict function stays
-    // a pure equi-join pipeline either way)
+    // unchanged); the delta-growth paths (r18) pass base ∪ per-segment
+    // filters folded by [[mergeBloomStates]] — built at the base's
+    // recorded word count, so the fold is the bit_or associativity the
+    // sharded entry oracle-certifies, and the shield stays active while
+    // the index grows
     val hashed = batch.select(col("doc_id"), md5(col("text")).as("__h"))
     val exactProbe = bloom match {
       case Some((b, words)) =>
@@ -599,8 +623,14 @@ object LlmQueries {
       .join(probed.filter(col("bloom_positive") === 1L).select("doc_id"), "doc_id")
       .join(corpusMd5(s, d), Seq("__h"), "left_semi")
       .select(col("doc_id")).withColumn("__e", lit(1L))
+    // (r18) the cap-saturation flag rides the gated output beside the
+    // size, so the FLAG FORMULA is hash-gated like the size formula (the
+    // oracle re-derives both from the same stored-corpus count)
+    val saturated =
+      if (graft.ops.SketchOps.bloomSaturated(corpusMd5(s, d).count())) 1L else 0L
     probed.join(exact, Seq("doc_id"), "left")
       .select(col("doc_id"), lit(words.toLong).as("bloom_words"),
+        lit(saturated).as("saturated"),
         col("bloom_positive"), coalesce(col("__e"), lit(0L)).as("exact_dup"))
       .orderBy("doc_id")
   }
@@ -641,6 +671,44 @@ object LlmQueries {
       .select(col("doc_id")).withColumn("__e", lit(1L))
     probed.join(exact, Seq("doc_id"), "left")
       .select(col("doc_id"), lit(4L).as("n_shards"),
+        lit(words.toLong).as("bloom_words"),
+        col("bloom_positive"), coalesce(col("__e"), lit(0L)).as("exact_dup"))
+      .orderBy("doc_id")
+  }
+
+  /** SHARD-ROUTED Bloom probing (r18 — the capacity move PAST the 2^24
+    * cap): the sharded entry proves shard filters MERGE back into the
+    * whole filter; this one keeps them APART — `nShards` independent
+    * filters keyed by `shard = hash32(value) % nShards`, each at the
+    * adaptive size, and every probe routed by the SAME hash to check
+    * ONLY its shard's filter ([[graft.ops.SketchOps.bloomBitsRouted]] /
+    * `bloomProbeRouted`). Capacity multiplies by `nShards` at an
+    * unchanged per-probe broadcast; no false negatives shard-locally
+    * (equal values hash to equal shards), while the positive band
+    * TIGHTENS (each shard's filter is sparser than the merged one). The
+    * oracle replays the routing bit-for-bit — per-shard bit matrices,
+    * `(shard, word)` join — and the exact-dup verdicts are pinned
+    * unchanged against the same corpus set.
+    */
+  val corpusAdmitBloomRouted: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 50 === 1)
+        .select((col("doc_id") + 30000000L).as("doc_id"), col("text")))
+      .select(col("doc_id"), md5(col("text")).as("__h"))
+    val md5Set = corpusMd5(s, d)
+    val (_, words) = corpusBloom(s, d)
+    val routed = graft.ops.SketchOps.bloomBitsRouted(
+      md5Set, col("__h"), nShards = 4, words = words)
+    val probed = graft.ops.SketchOps.bloomProbeRouted(
+      batch, "doc_id", col("__h"), routed, nShards = 4, words = words)
+    val exact = batch
+      .join(probed.filter(col("bloom_positive") === 1L).select("doc_id"), "doc_id")
+      .join(md5Set, Seq("__h"), "left_semi")
+      .select(col("doc_id")).withColumn("__e", lit(1L))
+    probed.join(exact, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("shard"),
         lit(words.toLong).as("bloom_words"),
         col("bloom_positive"), coalesce(col("__e"), lit(0L)).as("exact_dup"))
       .orderBy("doc_id")
@@ -703,7 +771,10 @@ object LlmQueries {
     val v1 = seqB1Verdicts(s, d)
     val admitted1 = b1.join(
       v1.filter(col("admitted") === 1L).select("doc_id"), "doc_id")
-    // append-only growth: the admits' hashes/bands land in DELTA tables
+    // append-only growth: the admits' hashes/bands land in DELTA tables,
+    // and (r18) so does a per-segment BLOOM filter at the base's recorded
+    // word count — batch 2's exact-dup shield probes base ∪ delta folded
+    // by bit_or instead of dropping back to the unshielded semi-join
     zones.write(admitted1.select(md5(col("text")).as("__h")).distinct(),
       "work", s"corpus_md5_delta_b1_$key")
     zones.write(
@@ -711,6 +782,14 @@ object LlmQueries {
         DedupOps.minhashSignatureArray(admitted1, "doc_id", "text", k = 8, w = 3),
         "doc_id", k = 8, rows = 4),
       "work", s"band_index_delta_b1_$key")
+    val (baseBloom, bloomWords) = corpusBloom(s, d)
+    zones.write(
+      graft.ops.SketchOps.bloomBits(
+        zones.read(s, "work", s"corpus_md5_delta_b1_$key"),
+        col("__h"), words = bloomWords),
+      "work", s"bloom_delta_b1_$key")
+    val bloom2 = mergeBloomStates(Seq(baseBloom,
+      zones.read(s, "work", s"bloom_delta_b1_$key")))
     val md52 = corpusMd5(s, d)
       .unionByName(zones.read(s, "work", s"corpus_md5_delta_b1_$key"))
     val idx2 = bandIndex(s, d)
@@ -724,7 +803,8 @@ object LlmQueries {
         concat(col("text"), lit("  ")).as("text")))
       .unionByName(admProbe.select((col("doc_id") + 20000000L).as("doc_id"),
         col("text")))
-    val v2 = admissionVerdictsAgainst(corpus2, md52, idx2, b2)
+    val v2 = admissionVerdictsAgainst(corpus2, md52, idx2, b2,
+      bloom = Some((bloom2, bloomWords)))
     v1.withColumn("batch", lit(1L))
       .unionByName(v2.withColumn("batch", lit(2L)))
       .orderBy("batch", "doc_id")
@@ -737,7 +817,8 @@ object LlmQueries {
     * via the engine's atomic table replace, keeping probe cost flat.
     * This entry builds the many-segment state (batch-1 admits split into
     * FOUR per-shard delta segments for each structure — hash set, band
-    * index, docs), computes batch-2 verdicts against base ∪ 4 segments
+    * index, docs, and (r18) a per-segment Bloom filter at the base's
+    * recorded size), computes batch-2 verdicts against base ∪ 4 segments
     * (pre), compacts (one atomic zone write per structure, segments
     * retired), and recomputes the SAME verdicts against the compacted
     * base alone (post). The gated shape is BOTH verdict sets pinned to
@@ -756,6 +837,7 @@ object LlmQueries {
       seqB1Verdicts(s, d).filter(col("admitted") === 1L).select("doc_id"),
       "doc_id").localCheckpoint(true)
     val nSegs = 4
+    val (baseBloom, bloomWords) = corpusBloom(s, d)
     (0 until nSegs).foreach { i =>
       val part = admitted1.filter(pmod(col("doc_id"), lit(nSegs)) === i)
       zones.write(part.select(md5(col("text")).as("__h")).distinct(),
@@ -766,6 +848,12 @@ object LlmQueries {
           "doc_id", k = 8, rows = 4),
         "work", s"delta_band_$i")
       zones.write(part, "work", s"delta_docs_$i")
+      // (r18) one Bloom filter PER SEGMENT at the base's recorded word
+      // count — the shield grows with the index instead of lapsing
+      zones.write(
+        graft.ops.SketchOps.bloomBits(
+          zones.read(s, "work", s"delta_md5_$i"), col("__h"), words = bloomWords),
+        "work", s"delta_bloom_$i")
     }
     def segs(prefix: String): Seq[DataFrame] =
       (0 until nSegs).map(i => zones.read(s, "work", s"$prefix$i"))
@@ -774,6 +862,7 @@ object LlmQueries {
     val idxPre = (bandIndex(s, d) +: segs("delta_band_")
       .map(_.select(idxCols.map(col): _*))).reduce(_ unionByName _)
     val corpusPre = (corpus +: segs("delta_docs_")).reduce(_ unionByName _)
+    val bloomPre = mergeBloomStates(baseBloom +: segs("delta_bloom_"))
     val admProbe = admitted1
       .filter(size(graft.ops.TextOps.tokens(col("text"))) >= 3)
     val b2 = docs.filter(col("doc_id") % 20 === 10).select("doc_id", "text")
@@ -781,18 +870,22 @@ object LlmQueries {
         concat(col("text"), lit("  ")).as("text")))
       .unionByName(admProbe.select((col("doc_id") + 20000000L).as("doc_id"),
         col("text")))
-    zones.write(admissionVerdictsAgainst(corpusPre, md5Pre, idxPre, b2),
+    zones.write(admissionVerdictsAgainst(corpusPre, md5Pre, idxPre, b2,
+      bloom = Some((bloomPre, bloomWords))),
       "work", "v2_pre")
     // COMPACT: fold base ∪ segments into a new base, one atomic table
-    // replace per structure (zones.write IS the engine's atomic swap)
+    // replace per structure (zones.write IS the engine's atomic swap) —
+    // the BLOOM compacts the same way the tables do, its fold being
+    // bit_or instead of union (r18)
     zones.write(md5Pre, "work", "base_md5_compacted")
     zones.write(idxPre, "work", "base_band_compacted")
     zones.write(corpusPre, "work", "base_docs_compacted")
+    zones.write(bloomPre, "work", "base_bloom_compacted")
     // the segments retire AFTER the swap — the compaction protocol's
     // read-before-delete ordering
     val hconf = s.sparkContext.hadoopConfiguration
     (0 until nSegs).foreach { i =>
-      Seq("delta_md5_", "delta_band_", "delta_docs_").foreach { p =>
+      Seq("delta_md5_", "delta_band_", "delta_docs_", "delta_bloom_").foreach { p =>
         val hp = new org.apache.hadoop.fs.Path(
           new java.io.File(zones.tablePath("work", s"$p$i")).getAbsolutePath)
         hp.getFileSystem(hconf).delete(hp, true)
@@ -804,7 +897,8 @@ object LlmQueries {
     zones.write(admissionVerdictsAgainst(
       zones.read(s, "work", "base_docs_compacted"),
       zones.read(s, "work", "base_md5_compacted"),
-      zones.read(s, "work", "base_band_compacted"), b2),
+      zones.read(s, "work", "base_band_compacted"), b2,
+      bloom = Some((zones.read(s, "work", "base_bloom_compacted"), bloomWords))),
       "work", "v2_post")
     zones.read(s, "work", "v2_pre").withColumn("phase", lit("1_pre"))
       .unionByName(zones.read(s, "work", "v2_post").withColumn("phase", lit("2_post")))
@@ -906,6 +1000,7 @@ object LlmQueries {
           col("text"))),
       t0 + 60000L)
     corpusMd5(s, d); bandIndex(s, d) // force the static base ONCE
+    val (seqBaseBloom, seqBloomWords) = corpusBloom(s, d)
     val corpus = docs.filter(col("doc_id") % 10 =!= 0).select("doc_id", "text")
     val stream = s.readStream
       .schema(docs.select("doc_id", "text").schema)
@@ -918,7 +1013,11 @@ object LlmQueries {
         val md5All = (corpusMd5(s, d) +: deltas("delta_md5_")).reduce(_ unionByName _)
         val idxAll = (bandIndex(s, d) +: deltas("delta_band_")).reduce(_ unionByName _)
         val corpusAll = (corpus +: deltas("delta_docs_")).reduce(_ unionByName _)
-        val v = admissionVerdictsAgainst(corpusAll, md5All, idxAll, batch)
+        // (r18) the exact-dup shield stays active across growth: base ∪
+        // accumulated per-batch segment filters, bit_or-folded
+        val bloomAll = mergeBloomStates(seqBaseBloom +: deltas("delta_bloom_"))
+        val v = admissionVerdictsAgainst(corpusAll, md5All, idxAll, batch,
+          bloom = Some((bloomAll, seqBloomWords)))
           .withColumn("batch", lit(id + 1L))
         zones.write(v, "work", s"admit_batch_$id")
         // GROW the index: this batch's admits append as new delta segments
@@ -933,6 +1032,11 @@ object LlmQueries {
             "doc_id", k = 8, rows = 4),
           "work", s"delta_band_$id")
         zones.write(adm, "work", s"delta_docs_$id")
+        zones.write(
+          graft.ops.SketchOps.bloomBits(
+            zones.read(s, "work", s"delta_md5_$id"), col("__h"),
+            words = seqBloomWords),
+          "work", s"delta_bloom_$id")
         ()
       }
       .option("checkpointLocation", ckpt)
@@ -988,15 +1092,16 @@ object LlmQueries {
           col("text"))),
       t0 + 60000L)
     corpusMd5(s, d); bandIndex(s, d) // force the static base ONCE
+    val (cptBaseBloom, cptBloomWords) = corpusBloom(s, d)
     val corpus = docs.filter(col("doc_id") % 10 =!= 0).select("doc_id", "text")
     val stream = s.readStream
       .schema(docs.select("doc_id", "text").schema)
       .option("maxFilesPerTrigger", 1).parquet(stagingDir)
-    def minorCompact(prefix: String): Unit = {
+    def minorCompact(prefix: String,
+        fold: Seq[DataFrame] => DataFrame = _.reduce(_ unionByName _)): Unit = {
       val segs = zones.listTables(s, "work").filter(_.startsWith(prefix)).sorted
       if (segs.length > 1) {
-        val merged = segs.map(tb => zones.read(s, "work", tb))
-          .reduce(_ unionByName _)
+        val merged = fold(segs.map(tb => zones.read(s, "work", tb)))
         // fold INTO the merged segment name (AtomicWrite materializes
         // before the swap, so reading the old merged segment is safe),
         // then retire the per-batch segments
@@ -1016,7 +1121,10 @@ object LlmQueries {
         val md5All = (corpusMd5(s, d) +: deltas("delta_md5_")).reduce(_ unionByName _)
         val idxAll = (bandIndex(s, d) +: deltas("delta_band_")).reduce(_ unionByName _)
         val corpusAll = (corpus +: deltas("delta_docs_")).reduce(_ unionByName _)
-        val v = admissionVerdictsAgainst(corpusAll, md5All, idxAll, batch)
+        // (r18) the shield probes base ∪ the (compacted) segment filters
+        val bloomAll = mergeBloomStates(cptBaseBloom +: deltas("delta_bloom_"))
+        val v = admissionVerdictsAgainst(corpusAll, md5All, idxAll, batch,
+          bloom = Some((bloomAll, cptBloomWords)))
           .withColumn("batch", lit(id + 1L))
         zones.write(v, "work", s"admit_batch_$id")
         val adm = batch.join(
@@ -1030,8 +1138,15 @@ object LlmQueries {
             "doc_id", k = 8, rows = 4),
           "work", s"delta_band_b$id")
         zones.write(adm, "work", s"delta_docs_b$id")
-        // MINOR COMPACTION: fold every segment into one per structure
-        Seq("delta_md5_", "delta_band_", "delta_docs_").foreach(minorCompact)
+        zones.write(
+          graft.ops.SketchOps.bloomBits(
+            zones.read(s, "work", s"delta_md5_b$id"), col("__h"),
+            words = cptBloomWords),
+          "work", s"delta_bloom_b$id")
+        // MINOR COMPACTION: fold every segment into one per structure —
+        // the Bloom folds by bit_or, its own associativity (r18)
+        Seq("delta_md5_", "delta_band_", "delta_docs_").foreach(p => minorCompact(p))
+        minorCompact("delta_bloom_", mergeBloomStates)
         ()
       }
       .option("checkpointLocation", ckpt)
@@ -2098,6 +2213,7 @@ object LlmQueries {
     "stream_dedup_incremental" -> streamDedupIncremental,
     "corpus_batch_admit" -> corpusAdmissionPipeline,
     "corpus_batch_admit_bloom" -> corpusAdmitBloom,
+    "corpus_batch_admit_bloom_routed" -> corpusAdmitBloomRouted,
     "corpus_batch_admit_bloom_sharded" -> corpusAdmitBloomSharded,
     "corpus_batch_admit_compact" -> corpusAdmitCompact,
     "corpus_batch_admit_sequential" -> corpusAdmitSequential,
@@ -3096,6 +3212,29 @@ object LlmQueries {
              |FROM documents WHERE doc_id % 10 <> 0 AND doc_id % 50 = 1""".stripMargin,
            "doc_id")}
          |SELECT b.doc_id, (SELECT words FROM bloom_size) AS bloom_words,
+         |  ${graft.ops.SketchOps.bloomSaturatedSql("(SELECT count(*) FROM bloom_vals)")} AS saturated,
+         |  b.bloom_positive,
+         |  CAST(CASE WHEN b.bloom_positive = 1
+         |    AND p.v IN (SELECT v FROM bloom_vals)
+         |    THEN 1 ELSE 0 END AS BIGINT) AS exact_dup
+         |FROM bloom_verdicts b JOIN bloom_probe_rows p USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
+    // per-shard ROUTED probing: the oracle replays the same shard hash on
+    // both build and probe sides, joins on (shard, word), and pins the
+    // exact-dup verdicts unchanged — the bloom band itself differs from
+    // the flat filter (sparser shards => fewer false positives) and is
+    // hash-gated at its routed value
+    "corpus_batch_admit_bloom_routed" -> {
+      s"""WITH ${graft.ops.SketchOps.bloomSqlRouted(
+           "SELECT DISTINCT md5(text) AS v FROM documents WHERE doc_id % 10 <> 0",
+           """SELECT doc_id, md5(text) AS v FROM documents WHERE doc_id % 10 = 0
+             |UNION ALL
+             |SELECT doc_id + 30000000, md5(text)
+             |FROM documents WHERE doc_id % 10 <> 0 AND doc_id % 50 = 1""".stripMargin,
+           "doc_id", nShards = 4)}
+         |SELECT b.doc_id, b.shard,
+         |  (SELECT words FROM bloom_size) AS bloom_words,
          |  b.bloom_positive,
          |  CAST(CASE WHEN b.bloom_positive = 1
          |    AND p.v IN (SELECT v FROM bloom_vals)

@@ -9,7 +9,12 @@ import org.apache.spark.sql.functions._
   * (a) probe cost degrades with accumulated segments (why production
   * compacts at all) or stays flat at this scale, and (b) compaction
   * restores the single-table probe cost while the verdicts stay
-  * IDENTICAL (count + admitted sum printed per mode). Run:
+  * IDENTICAL (count + admitted sum printed per mode). r18 adds the
+  * per-segment BLOOM shield beside each unshielded probe
+  * (`*_segments_bloom` lines; base ∪ segment filters bit_or-folded at
+  * the base's recorded size) — the delta-growth admission paths'
+  * production shape — with verdict equality REQUIRED in-process; the
+  * compacted re-probe is bloom-shielded too. Run:
   * `sbt "runMain graft.tools.CompactSoak [sfDir]"` (default sf0.1).
   */
 object CompactSoak {
@@ -42,6 +47,7 @@ object CompactSoak {
       val r = df.agg(count(lit(1)), sum("admitted")).head()
       (r.getLong(0), r.getLong(1))
     }
+    val (baseBloom, bloomWords) = q.corpusBloom(spark, d)
     for (n <- Seq(1, 8, 32)) {
       // n segments per structure, written as real parquet tables (the
       // production shape: each probe lists and reads n+1 tables)
@@ -57,6 +63,10 @@ object CompactSoak {
             "doc_id", k = 8, rows = 4),
           "work", s"band_$i")
         zones.write(part, "work", s"docs_$i")
+        // (r18) per-segment Bloom at the base's recorded word count
+        zones.write(graft.ops.SketchOps.bloomBits(
+            zones.read(spark, "work", s"md5_$i"), col("__h"), words = bloomWords),
+          "work", s"bloom_$i")
         i
       }
       val idxCols = baseIdx.columns
@@ -70,16 +80,32 @@ object CompactSoak {
       val ((rows, adm), t) = time(verdictStats(
         q.admissionVerdictsAgainst(corpusAll, md5All, idxAll, b2)))
       println(f"""{"mode":"base_plus_${n}_segments","rows":$rows,"admitted":$adm,"sec":$t%.2f}""")
+      // (r18) the SHIELDED probe: base ∪ per-segment filters bit_or-folded
+      // — the delta-growth admission paths' production shape; verdicts
+      // must be identical (the filter has no false negatives)
+      val bloomAll = q.mergeBloomStates(
+        baseBloom +: segs.map(i => zones.read(spark, "work", s"bloom_$i")))
+      val ((rb, ab), tb) = time(verdictStats(
+        q.admissionVerdictsAgainst(corpusAll, md5All, idxAll, b2,
+          bloom = Some((bloomAll, bloomWords)))))
+      require(rb == rows && ab == adm,
+        s"bloom-shielded verdicts diverged: ($rb,$ab) vs ($rows,$adm)")
+      println(f"""{"mode":"base_plus_${n}_segments_bloom","rows":$rb,"admitted":$ab,"sec":$tb%.2f}""")
       if (n == 32) {
         // compact the 32-segment state and re-probe: cost back to the
-        // single-table shape, verdicts identical
+        // single-table shape, verdicts identical; the Bloom folds by
+        // bit_or, the same way the tables fold by union (r18)
         zones.write(md5All, "work", "md5_compacted")
         zones.write(idxAll, "work", "band_compacted")
         zones.write(corpusAll, "work", "docs_compacted")
+        zones.write(bloomAll, "work", "bloom_compacted")
         val ((r2, a2), t2) = time(verdictStats(q.admissionVerdictsAgainst(
           zones.read(spark, "work", "docs_compacted"),
           zones.read(spark, "work", "md5_compacted"),
-          zones.read(spark, "work", "band_compacted"), b2)))
+          zones.read(spark, "work", "band_compacted"), b2,
+          bloom = Some((zones.read(spark, "work", "bloom_compacted"), bloomWords)))))
+        require(r2 == rows && a2 == adm,
+          s"compacted verdicts diverged: ($r2,$a2) vs ($rows,$adm)")
         println(f"""{"mode":"compacted_from_32","rows":$r2,"admitted":$a2,"sec":$t2%.2f}""")
       }
     }

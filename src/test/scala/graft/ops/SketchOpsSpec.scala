@@ -144,6 +144,53 @@ class SketchOpsSpec extends SparkSpec {
     assert(adaptive.contains("% ((SELECT m FROM bloom_size))"))
   }
 
+  test("cap-saturation flag fires exactly where the uncapped formula passes 2^24 (r18)") {
+    // capacity at k=4: largest n with n*4/20+1 <= 2^24, i.e. ~83.9M
+    assert(!SketchOps.bloomSaturated(83000000L))
+    assert(SketchOps.bloomSaturated(84000000L))
+    assert(SketchOps.bloomSaturated(Long.MaxValue))
+    assert(!SketchOps.bloomSaturated(0L) && !SketchOps.bloomSaturated(1L))
+    // boundary: the flag flips at the first n whose demand exceeds the cap
+    val cap = 1L << 24
+    val lastFits = (cap - 1L) * 20L / 4L   // n*4/20+1 <= cap
+    assert(!SketchOps.bloomSaturated(lastFits))
+    assert(SketchOps.bloomSaturated(lastFits + 5L))
+    // SQL twin carries the identical constants
+    val twin = SketchOps.bloomSaturatedSql("(SELECT count(*) FROM bloom_vals)")
+    assert(twin.contains("* 4 // 20 + 1"))
+    assert(twin.contains("CAST(1 AS BIGINT) << 24"))
+  }
+
+  test("routed probes: shard-local no-false-negatives; band tightens; merge == flat (r18)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val corpus = spark.range(0, 2000).select(concat(lit("doc_"), col("id")).as("v"))
+    val routed = SketchOps.bloomBitsRouted(corpus, col("v"), nShards = 4)
+    // members: positive through their own shard only (the routing contract)
+    val members = spark.range(0, 2000, 7)
+      .select(col("id"), concat(lit("doc_"), col("id")).as("v"))
+    val posM = SketchOps.bloomProbeRouted(members, "id", col("v"), routed, nShards = 4)
+    assert(posM.filter(col("bloom_positive") =!= 1L).count() == 0L,
+      "a member probed negative through its shard — routing broke the contract")
+    // non-members: the routed band is never wider than the flat filter's
+    // (each shard holds ~1/4 of the inserts at the same size)
+    val nonMembers = spark.range(100000, 104000)
+      .select(col("id"), concat(lit("nope_"), col("id")).as("v"))
+    val flat = SketchOps.bloomBits(corpus, col("v"))
+    val fpFlat = SketchOps.bloomProbe(nonMembers, "id", col("v"), flat)
+      .filter(col("bloom_positive") === 1L).count()
+    val fpRouted = SketchOps.bloomProbeRouted(nonMembers, "id", col("v"), routed, nShards = 4)
+      .filter(col("bloom_positive") === 1L).count()
+    assert(fpRouted <= fpFlat,
+      s"routed band wider than flat: $fpRouted > $fpFlat")
+    // dropping the shard key and bit_or-folding recovers the flat filter
+    val folded = routed.groupBy("word").agg(expr("bit_or(bits)").as("bits"))
+    val diff = flat.alias("a").join(folded.alias("b"), Seq("word"), "full")
+      .filter(coalesce(col("a.bits"), lit(0L)) =!= coalesce(col("b.bits"), lit(0L)))
+      .count()
+    assert(diff == 0L, "folded shard filters differ from the flat filter")
+  }
+
   test("adaptive sizing keeps the FP band bounded where the fixed size saturates") {
     import org.apache.spark.sql.functions._
     // 60k distinct values (the sf0.1 corpus scale): the r16 fixed state

@@ -56,6 +56,17 @@ class PlanAuditSpec extends SparkSpec {
         s"$q lost its broadcast state join:\n$p")
       assert(!p.contains("CartesianProduct"), s"$q grew an all-pairs path")
     }
+    // the ROUTED entry (r18) keys its state join on (shard, word) — same
+    // broadcast discipline, shard leading the key
+    locally {
+      val p = plan("corpus_batch_admit_bloom_routed")
+      assert(!raw"SortMergeJoin \[shard".r.findFirstIn(p).isDefined &&
+        !raw"ShuffledHashJoin \[shard".r.findFirstIn(p).isDefined,
+        s"routed entry shuffles the bloom state join:\n$p")
+      assert(raw"BroadcastHashJoin \[shard".r.findFirstIn(p).isDefined,
+        s"routed entry lost its broadcast state join:\n$p")
+      assert(!p.contains("CartesianProduct"), "routed entry grew an all-pairs path")
+    }
   }
 
   test("no dedup/ANN candidate path contains an all-pairs join") {
