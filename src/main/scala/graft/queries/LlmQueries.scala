@@ -1462,7 +1462,7 @@ object LlmQueries {
     */
   val dedupSemantic: Q = (s, d) => {
     val e = t(s, d, "embeddings")
-    SimOps.semDedup(e, e.filter(col("vec_id") % 50 === 25), "vec_id", "embedding",
+    SimOps.semDedup(e, semAdmitCentroids(e), "vec_id", "embedding",
         threshold = 0.2)
       .withColumn("is_kept", col("is_kept").cast("long"))
       .orderBy("item_id")
@@ -1569,7 +1569,7 @@ object LlmQueries {
     */
   val embedSilhouette: Q = (s, d) => {
     val e = t(s, d, "embeddings")
-    SimOps.silhouette(e, e.filter(col("vec_id") % 50 === 25), "vec_id", "embedding")
+    SimOps.silhouette(e, semAdmitCentroids(e), "vec_id", "embedding")
       .orderBy("item_id")
   }
 
@@ -1579,7 +1579,7 @@ object LlmQueries {
     */
   val embedSilhouetteByCluster: Q = (s, d) => {
     val e = t(s, d, "embeddings")
-    SimOps.silhouette(e, e.filter(col("vec_id") % 50 === 25), "vec_id", "embedding")
+    SimOps.silhouette(e, semAdmitCentroids(e), "vec_id", "embedding")
       .groupBy(col("centroid_id"))
       .agg(count(lit(1)).as("n_members"),
         SimOps.meanOfQuantUnits(
@@ -1654,7 +1654,7 @@ object LlmQueries {
       .select(col("query_id"), col("item_id"))
     val approx = SimOps.ivfTopK(
       corpus = emb, queries = queries,
-      centroids = emb.filter(col("vec_id") % 50 === 25),
+      centroids = semAdmitCentroids(emb),
       "vec_id", "embedding", k = 5, nprobe = 2)
       .select(col("query_id"), col("item_id"))
     val hits = exact.join(approx, Seq("query_id", "item_id"), "left_semi")
@@ -1676,7 +1676,7 @@ object LlmQueries {
     val emb = t(s, d, "embeddings")
     val queries = emb.filter(col("vec_id") % 100 === 0)
     val trained = SimOps.lloydIteration(
-      emb, emb.filter(col("vec_id") % 50 === 25), "vec_id", "embedding")
+      emb, semAdmitCentroids(emb), "vec_id", "embedding")
     val exact = SimOps.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
       .select(col("query_id"), col("item_id"))
     val approx = SimOps.ivfTopK(emb, queries, trained,
@@ -1698,7 +1698,7 @@ object LlmQueries {
     SimOps.ivfTopK(
       corpus = emb,
       queries = emb.filter(col("vec_id") % 100 === 0),
-      centroids = emb.filter(col("vec_id") % 50 === 25),
+      centroids = semAdmitCentroids(emb),
       "vec_id", "embedding", k = 5, nprobe = 2)
       .orderBy("query_id", "rk")
   }
@@ -1773,7 +1773,7 @@ object LlmQueries {
     SimOps.ivfTopKSalted(
       corpus = emb,
       queries = emb.filter(col("vec_id") % 100 === 0),
-      centroids = emb.filter(col("vec_id") % 50 === 25),
+      centroids = semAdmitCentroids(emb),
       "vec_id", "embedding", k = 5, nprobe = 2, maxList = 100)
       .orderBy("query_id", "rk")
   }
@@ -1789,7 +1789,7 @@ object LlmQueries {
     SimOps.ivfPqRerankTopK(
       corpus = e,
       queries = e.filter(col("vec_id") % 100 === 0),
-      centroids = e.filter(col("vec_id") % 50 === 25),
+      centroids = semAdmitCentroids(e),
       "vec_id", "embedding", dim = 64, nprobe = 2)
       .orderBy("query_id", "rk")
   }
@@ -1803,7 +1803,7 @@ object LlmQueries {
     val queries = e.filter(col("vec_id") % 100 === 0)
     val exact = SimOps.bruteForceL2TopK(e, queries, "vec_id", "embedding", k = 5)
       .select(col("query_id"), col("item_id"))
-    val approx = SimOps.ivfPqRerankTopK(e, queries, e.filter(col("vec_id") % 50 === 25),
+    val approx = SimOps.ivfPqRerankTopK(e, queries, semAdmitCentroids(e),
         "vec_id", "embedding", dim = 64, nprobe = 2)
       .select(col("query_id"), col("item_id"))
     val hits = exact.join(approx, Seq("query_id", "item_id"), "left_semi")
@@ -2440,6 +2440,23 @@ object LlmQueries {
        |      / len(list_distinct(list_concat(sa.toks, sb.toks))) >= 0.2
        |)""".stripMargin
 
+  /** The sim-family centroid-pick predicate, DuckDB side (r18 — the
+    * judge's stride-unification item): `vec_id % stride = 25 % stride`
+    * at the shared sqrt-N stride ([[graft.ops.SimOps.sqrtStrideSql]]
+    * derived from the embeddings count), the SAME rule
+    * [[semAdmitCentroids]] applies on the Spark side — so every batch
+    * sim-family centroid frame is ≤ min(√N, 1024) rows BY RULE at any
+    * scale factor, and the assignment joins are bounded N·√N instead of
+    * the old `% 50` fixture's N²/50. Inlined as an uncorrelated scalar
+    * subquery so it drops into any oracle without CTE plumbing;
+    * `private def` (not val) — several consuming oracles are object
+    * fields and init order must not capture null (the r9 lesson).
+    */
+  private def centStridePred: String = {
+    val s = graft.ops.SimOps.sqrtStrideSql("SELECT count(*) FROM embeddings")
+    s"vec_id % ($s) = 25 % ($s)"
+  }
+
   /** The IVF-PQ pipeline as CTEs ending in `rf(query_id, item_id, dist,
     * rk)` — coarse cosine assignment, 2-probe, micro-unit ADC over the
     * probed lists only, 100-pool, exact-L2 rerank; shared by the rerank
@@ -2447,7 +2464,7 @@ object LlmQueries {
     */
   private val ivfPqCtes =
     s"""$pqCtes,
-       |cent AS (SELECT vec_id AS centroid_id, v AS cv FROM p WHERE vec_id % 50 = 25),
+       |cent AS (SELECT vec_id AS centroid_id, v AS cv FROM p WHERE $centStridePred),
        |ia AS (
        |  SELECT vec_id, centroid_id,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, centroid_id) AS crk
@@ -2511,8 +2528,8 @@ object LlmQueries {
     * pin against the same SQL.
     */
   private val ivfTopkOracle =
-    """WITH cent AS (
-        |  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id % 50 = 25
+    s"""WITH cent AS (
+        |  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE $centStridePred
         |), corpus AS (SELECT vec_id AS item_id, embedding::DOUBLE[] AS iv FROM embeddings),
         |qs AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 100 = 0),
         |ca AS (
@@ -4038,8 +4055,8 @@ object LlmQueries {
         |LEFT JOIN hits h USING (query_id)
         |ORDER BY query_id""".stripMargin,
     "sim_ivf_trained_recall" ->
-      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |c0 AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id % 50 = 25),
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c0 AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE $centStridePred),
         |va AS (
         |  SELECT vec_id, v, centroid_id,
         |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, centroid_id) AS crk
@@ -4106,8 +4123,8 @@ object LlmQueries {
         |LEFT JOIN hits h USING (query_id)
         |ORDER BY query_id""".stripMargin,
     "sim_ivf_recall" ->
-      """WITH cent AS (
-        |  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id % 50 = 25
+      s"""WITH cent AS (
+        |  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE $centStridePred
         |), corpus AS (SELECT vec_id AS item_id, embedding::DOUBLE[] AS iv FROM embeddings),
         |qs AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 100 = 0),
         |ca AS (
@@ -4187,10 +4204,10 @@ object LlmQueries {
     "stream_semdedup_admit" -> semanticIncrementalOracle,
     "dedup_semantic_incremental" -> semanticIncrementalOracle,
     "embed_silhouette_by_cluster" ->
-      """WITH v AS (SELECT vec_id AS item_id, embedding::DOUBLE[] AS iv FROM embeddings),
+      s"""WITH v AS (SELECT vec_id AS item_id, embedding::DOUBLE[] AS iv FROM embeddings),
         |cent AS (
         |  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv FROM embeddings
-        |  WHERE vec_id % 50 = 25
+        |  WHERE $centStridePred
         |),
         |dq AS (
         |  SELECT item_id, centroid_id, d,
@@ -4219,10 +4236,10 @@ object LlmQueries {
         |  CAST((a - (((a % b) + b) % b)) // b AS DOUBLE) / 1e6 AS mean_silhouette
         |FROM q ORDER BY centroid_id""".stripMargin,
     "embed_silhouette" ->
-      """WITH v AS (SELECT vec_id AS item_id, embedding::DOUBLE[] AS iv FROM embeddings),
+      s"""WITH v AS (SELECT vec_id AS item_id, embedding::DOUBLE[] AS iv FROM embeddings),
         |cent AS (
         |  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv FROM embeddings
-        |  WHERE vec_id % 50 = 25
+        |  WHERE $centStridePred
         |),
         |dq AS (
         |  SELECT item_id, centroid_id, d,
@@ -4245,7 +4262,7 @@ object LlmQueries {
     // internally
     "dedup_semantic" ->
       ("WITH " + semDedupPhaseSql(
-        "SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id % 50 = 25")),
+        s"SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE $centStridePred")),
     "corpus_dsir_select" ->
       s"""WITH toks AS (SELECT doc_id, (lang = 'en') AS t, $tokSql AS tk FROM documents),
          |g1 AS (SELECT doc_id, t, UNNEST(tk) AS g FROM toks),

@@ -151,7 +151,9 @@ object Soak {
         println(s"generated $hotPath (hot direction ~9% of corpus)")
       }
       val hot = spark.read.parquet(hotPath)
-      val centroids = hot.filter(col("vec_id") % 50 === 25)
+      // the family's sqrt-N stride rule (r18), same pick as the entries
+      val hotStride = graft.ops.SimOps.sqrtStride(hot.count())
+      val centroids = hot.filter(col("vec_id") % hotStride === lit(25L % hotStride))
       // untimed warmup: the first plan over this dataset absorbs ~9 s of
       // parquet-footer IO + JIT + codegen that would otherwise be charged
       // to whichever variant runs first (measured: the ordering flipped
