@@ -1,0 +1,113 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A Bloom state resolved for SERVING: the `(word, bits)` table collected
+  * into a dense long array (index = word, `bits.value.length` = the
+  * build's word count) riding a Spark `Broadcast` — the handle serializes
+  * small and executors fetch the array through the broadcast machinery,
+  * so the same expression is cluster-correct.
+  */
+final case class BloomHandle(bits: Broadcast[Array[Long]], k: Int)
+  extends Serializable
+
+/** `bloom_might_contain(value, 'handle-key')` (r18): the SERVING-path
+  * probe of a Bloom `(word, bits)` state as a native codegen projection —
+  * true iff all `k` bits of `value` are set. Bit-identical to the
+  * join-based [[graft.ops.SketchOps.bloomProbe]] over the same state
+  * (same md5-prefix `hash32(j ':' value) % m` hashes, same 32-used-bits
+  * word layout), certified by spec.
+  *
+  * Why it exists beside the join probe: the join probe is the
+  * ORACLE-REPLAYABLE form (the DuckDB twin rebuilds the bit matrix and
+  * joins the same way) and stays on the gated `corpus_batch_admit_bloom*`
+  * entries; but as a per-batch evaluator it pays an explode (k rows per
+  * probe), a broadcast-exchange REBUILD per query, and a groupBy shuffle
+  * back to one verdict per row. This expression is one whole-stage-codegen
+  * projection per row — no shuffle, no exchange, and the broadcast VALUE
+  * is a Spark `Broadcast` that persists across queries/micro-batches, so
+  * a long-lived admitter pays the state fan-out once. At the sizer's
+  * 2^24-word cap the array is 134 MB — exactly the documented broadcast
+  * budget of the flat filter.
+  *
+  * Constructed through the registered SQL function: the builder resolves
+  * `'handle-key'` against the driver-side [[BloomMightContain.register]]
+  * registry at PLAN BUILD time and captures the resolved [[BloomHandle]]
+  * in the expression — executors see only the broadcast handle, never the
+  * registry.
+  */
+case class BloomMightContain(child: Expression, handle: BloomHandle)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+
+  override protected def nullSafeEval(input: Any): Any =
+    BloomMightContain.contains(
+      handle.bits.value, handle.k, input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val h = ctx.addReferenceObj("bloomHandle", handle,
+        classOf[BloomHandle].getName)
+      s"""${ev.value} = graft.functions.BloomMightContain.contains(
+         |  (long[]) $h.bits().value(), $h.k(), $c);""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
+    copy(child = newChild)
+}
+
+object BloomMightContain {
+  /** Driver-side handle registry: consulted only by the SQL-function
+    * builder at plan-build time; entries are tiny (a broadcast handle +
+    * k). Keys are caller-chosen; re-registering a key replaces it.
+    */
+  private val registry =
+    scala.collection.concurrent.TrieMap.empty[String, BloomHandle]
+
+  def register(key: String, handle: BloomHandle): Unit = {
+    require(handle.k > 0 && handle.k <= 9,
+      s"k must be in [1, 9] (single-digit hash prefixes), got ${handle.k}")
+    registry.put(key, handle); ()
+  }
+
+  def handle(key: String): BloomHandle =
+    registry.getOrElse(key, throw new IllegalArgumentException(
+      s"no Bloom handle registered under '$key' — call BloomMightContain.register first"))
+
+  private val mdPool: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  /** All-k-bits-set test, bit-identical to the join probe's
+    * `hash32(concat(j ':', value)) % (words*32)` hashes: first 4 md5
+    * digest bytes big-endian unsigned == `conv(substring(md5, 1, 8), 16,
+    * 10)`. Java-callable from generated code.
+    */
+  def contains(bits: Array[Long], k: Int, value: UTF8String): Boolean = {
+    val m = bits.length.toLong * 32L
+    val vb = value.getBytes
+    val md = mdPool.get()
+    var j = 0
+    while (j < k) {
+      md.reset()
+      md.update(('0' + j).toByte)
+      md.update(':'.toByte)
+      md.update(vb)
+      val d = md.digest()
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      val bit = h % m
+      if ((bits((bit >> 5).toInt) & (1L << (bit & 31L).toInt)) == 0L) return false
+      j += 1
+    }
+    true
+  }
+}

@@ -346,6 +346,43 @@ object SketchOps {
         .as("bloom_positive"))
   }
 
+  /** Collect a `(word, bits)` state into its dense serving array (index =
+    * word, length = the build's word count) — the driver-side step that
+    * turns the oracle-replayable TABLE form into the serving form
+    * [[graft.functions.BloomMightContain]] probes. Bounded by
+    * construction: the sizer caps `words` at 2^24 (134 MB of longs, the
+    * same broadcast budget the flat filter was already documented to
+    * cost).
+    */
+  def bloomStateArray(state: DataFrame, words: Int): Array[Long] = {
+    val arr = new Array[Long](words)
+    state.select(col("word").cast("int"), col("bits"))
+      .collect().foreach(r => arr(r.getInt(0)) = r.getLong(1))
+    arr
+  }
+
+  private val servingKeys = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Resolve a `(word, bits)` state into a serving-path
+    * `bloom_might_contain` predicate over `valueCol` (r18): collects the
+    * state (bounded, see [[bloomStateArray]]), broadcasts it ONCE as a
+    * Spark `Broadcast` (persists across queries/micro-batches, unlike a
+    * per-query broadcast exchange), registers a handle, and returns the
+    * native-codegen filter Column. Bit-identical verdicts to
+    * [[bloomProbe]] over the same state (spec-certified) with none of
+    * the probe join's explode/exchange/groupBy machinery — the
+    * admission paths' per-batch shield cost drops to one projection.
+    */
+  def bloomServingFilter(s: org.apache.spark.sql.SparkSession, state: DataFrame,
+      words: Int, valueCol: String, k: Int = 4): Column = {
+    val arr = bloomStateArray(state, words)
+    val bc = s.sparkContext.broadcast(arr)
+    val key = s"bloom_serving_${servingKeys.incrementAndGet()}"
+    graft.functions.BloomMightContain.register(key,
+      graft.functions.BloomHandle(bc, k))
+    expr(s"bloom_might_contain($valueCol, '$key')")
+  }
+
   /** SHARD-ROUTED Bloom build (r18 — capacity past the single-state cap):
     * one `(shard, word, bits)` state holding `nShards` independent
     * filters over hash-disjoint slices of the values

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{RollingHash, VecDot, VecL2sq, VecQDot, WinnowHashes, WordShingles}
+import graft.functions.{BloomMightContain, RollingHash, VecDot, VecL2sq, VecQDot, WinnowHashes, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
@@ -60,6 +60,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case Seq(arr, Literal(w: Int, _)) => WinnowHashes(arr, w)
           case _ => throw new IllegalArgumentException(
             "winnow_hashes takes (array<string> shingles[, int window-literal])")
+        }))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        children match {
+          // the handle KEY resolves against the driver-side registry at
+          // plan-build time; executors see only the captured broadcast
+          case Seq(value, Literal(key: org.apache.spark.unsafe.types.UTF8String, _)) =>
+            BloomMightContain(value, graft.functions.BloomMightContain.handle(key.toString))
+          case _ => throw new IllegalArgumentException(
+            "bloom_might_contain takes (string value, string handle-key literal)")
         }))
   }
 }

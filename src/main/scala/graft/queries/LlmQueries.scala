@@ -546,15 +546,16 @@ object LlmQueries {
     // filters folded by [[mergeBloomStates]] — built at the base's
     // recorded word count, so the fold is the bit_or associativity the
     // sharded entry oracle-certifies, and the shield stays active while
-    // the index grows
+    // the index grows. The probe itself is the SERVING form (r18,
+    // [[graft.ops.SketchOps.bloomServingFilter]]): one native-codegen
+    // projection per row over the broadcast bit array — bit-identical
+    // verdicts to the join probe the gated bloom entries oracle-replay,
+    // without its per-batch exchange/explode/groupBy machinery
     val hashed = batch.select(col("doc_id"), md5(col("text")).as("__h"))
     val exactProbe = bloom match {
       case Some((b, words)) =>
-        hashed.join(
-          graft.ops.SketchOps.bloomProbe(hashed, "doc_id", col("__h"), b,
-              words = words)
-            .filter(col("bloom_positive") === 1L).select("doc_id"),
-          Seq("doc_id"), "left_semi")
+        hashed.filter(graft.ops.SketchOps.bloomServingFilter(
+          batch.sparkSession, b, words, "__h"))
       case None => hashed
     }
     val exactDup = exactProbe

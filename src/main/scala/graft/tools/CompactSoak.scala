@@ -48,6 +48,8 @@ object CompactSoak {
       (r.getLong(0), r.getLong(1))
     }
     val (baseBloom, bloomWords) = q.corpusBloom(spark, d)
+    var md5All32: DataFrame = null
+    var bloomAll32: DataFrame = null
     for (n <- Seq(1, 8, 32)) {
       // n segments per structure, written as real parquet tables (the
       // production shape: each probe lists and reads n+1 tables)
@@ -91,6 +93,7 @@ object CompactSoak {
       require(rb == rows && ab == adm,
         s"bloom-shielded verdicts diverged: ($rb,$ab) vs ($rows,$adm)")
       println(f"""{"mode":"base_plus_${n}_segments_bloom","rows":$rb,"admitted":$ab,"sec":$tb%.2f}""")
+      if (n == 32) { md5All32 = md5All; bloomAll32 = bloomAll }
       if (n == 32) {
         // compact the 32-segment state and re-probe: cost back to the
         // single-table shape, verdicts identical; the Bloom folds by
@@ -108,6 +111,51 @@ object CompactSoak {
           s"compacted verdicts diverged: ($r2,$a2) vs ($rows,$adm)")
         println(f"""{"mode":"compacted_from_32","rows":$r2,"admitted":$a2,"sec":$t2%.2f}""")
       }
+    }
+    // EXACT-STAGE isolation in the shield's actual regime (r18). The
+    // full-pipeline lines above probe a ~3k-doc batch against a ~60k-hash
+    // corpus: BOTH sides broadcastable, so the semi-join never shuffles
+    // and the bloom can only add plan overhead there (the segment climb
+    // is owned by the band/docs stages). Production is a MILLIONS-row
+    // batch against a BILLIONS-row hash set — neither side broadcasts,
+    // the unshielded semi-join is a full two-sided shuffle + sort-merge.
+    // This block reproduces that regime at local scale: a 20M-hash
+    // corpus (not broadcastable) × a 1M-probe batch (not broadcastable)
+    // with ~6k true members planted. Unshielded: SMJ shuffles 21M rows.
+    // Shielded: the STORED filter (built once, excluded from probe
+    // timing like every stored artifact) reduces the batch to the
+    // positive band before the join — the band broadcasts, the corpus
+    // streams, no shuffle. Dup-count equality REQUIRED.
+    locally {
+      val bigCorpus = spark.range(0, 20000000L)
+        .select(md5(concat(lit("corp_"), col("id"))).as("__h"))
+        .localCheckpoint(true)
+      val members = spark.range(0, 6000)
+        .select((col("id") + 5000000L).as("doc_id"),
+          md5(concat(lit("corp_"), col("id") * 3000L)).as("__h"))
+      val bigBatch = spark.range(0, 1000000)
+        .select(col("id").as("doc_id"),
+          md5(concat(lit("probe_"), col("id"))).as("__h"))
+        .unionByName(members)
+        .localCheckpoint(true)
+      val bigWords = graft.ops.SketchOps.bloomWordsFor(20000000L)
+      val bigBloom = graft.ops.SketchOps.bloomBits(
+        bigCorpus, col("__h"), words = bigWords).localCheckpoint(true)
+      // the serving-form resolution (collect + broadcast) is the stored
+      // artifact's once-per-filter cost, reported separately from probes
+      def timeIt[A](f: => A): (A, Double) = {
+        val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+      }
+      val (shield, tResolve) = timeIt(graft.ops.SketchOps.bloomServingFilter(
+        spark, bigBloom, bigWords, "__h"))
+      val (cNo, tNo) = timeIt(
+        bigBatch.join(bigCorpus, Seq("__h"), "left_semi").count())
+      val (cB, tB) = timeIt(
+        bigBatch.filter(shield)
+          .join(bigCorpus, Seq("__h"), "left_semi").count())
+      require(cNo == cB, s"exact-stage verdicts diverged: $cB vs $cNo")
+      println(f"""{"mode":"exact_stage_20m_corpus_1m_batch_noshield","dups":$cNo,"words":$bigWords,"sec":$tNo%.2f}""")
+      println(f"""{"mode":"exact_stage_20m_corpus_1m_batch_bloom","dups":$cB,"words":$bigWords,"resolve_sec":$tResolve%.2f,"sec":$tB%.2f}""")
     }
     spark.stop()
   }

@@ -7,8 +7,9 @@ import org.apache.spark.sql.functions._
   * the full [[graft.etl.FolderEtl]] flow — user-query uploads, usagi
   * concept swap, append-only PK swaps, FK rewrites, clustered gold
   * writes, the stage-2 polymorphic EVENT rewrite, lineage tombstone +
-  * metadata stamp — at 1x and 10x the sf0.1 dataset (10x ≈ sf1:
-  * 1.5M orders / 1M events), with the barrier-free prepare/finalize
+  * metadata stamp — at 1x, 10x, and (r18) 100x the sf0.1 dataset
+  * (100x ≈ sf10: 15M orders / 10M events), with the barrier-free
+  * prepare/finalize
   * gate scheduling of the registered `etl_folder_run` entry. Unlike the
   * entry's fixture this one declares a polymorphic event column on the
   * events table (target_event_id / event_table -> customer), so the
@@ -57,7 +58,7 @@ object FolderEtlSoak {
       val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
     }
 
-    for (scale <- Seq(1, 10)) {
+    for (scale <- Seq(1, 10, 100)) {
       val zones = graft.io.Zones.forPurpose(s"fesoak_$scale")
       val rp = new org.apache.hadoop.fs.Path(new java.io.File(zones.root).getAbsolutePath)
       rp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(rp, true)

@@ -7,9 +7,12 @@ import org.apache.spark.sql.SparkSession
   * zone tables, the derived-CDM store shape) and vacuum after every
   * bump — the evidence that the warehouse file count stays FLAT across
   * generations instead of growing linearly (the log-structured store's
-  * production failure mode the vacuum exists to close). Also reports
-  * what the vacuum retires from the REAL warehouse's registered
-  * families, current stores untouched. Run:
+  * production failure mode the vacuum exists to close). r18 adds the
+  * retention-window check: two further bumps run with keepPriorGens = 1
+  * and the soak REQUIRES the newest prior generation to survive exactly
+  * one cycle and retire on the next. Also reports what the vacuum
+  * retires from the REAL warehouse's registered families, current
+  * stores untouched. Run:
   * `sbt "runMain graft.tools.VacuumSoak"`.
   */
 object VacuumSoak {
@@ -34,9 +37,28 @@ object VacuumSoak {
       // counterfactual is exactly g * per-generation files
       println(f"""{"gen":$g,"dropped_dirs":${dropped.size},"files_after_vacuum":$after,"files_without_vacuum":${g * after}}""")
     }
+    // (r18) the RETENTION WINDOW: with keepPriorGens = 1 the newest prior
+    // generation survives exactly one cycle after a bump and retires on
+    // the next — the concurrent-reader grace period. Generations 9 and 10
+    // bump with --keep 1 semantics; after the gen-10 vacuum, gen 9 must
+    // survive and gen 8 must be gone.
+    for (g <- 9 to 10) {
+      val z = graft.io.Zones.forPurpose(s"vacsoak$g")
+      z.write(spark.range(0, 100).select(
+        (org.apache.spark.sql.functions.col("id") * g).as("v")), "work", "alpha")
+      val dropped = graft.io.StoreVacuum.vacuum(spark, root, Seq(fam(g)),
+        keepPriorGens = 1)
+      val live = graft.io.StoreVacuum.listPurposes(spark, root)
+        .filter(_.startsWith("vacsoak"))
+      println(s"""{"gen":$g,"keep":1,"dropped":[${dropped.map("\"" + _ + "\"").mkString(",")}],"live":[${live.map("\"" + _ + "\"").mkString(",")}]}""")
+      if (g == 10) {
+        require(live.contains("vacsoak9") && !live.contains("vacsoak8"),
+          s"retention window broken: $live")
+      }
+    }
     // retire the soak family: vacuum at a generation that owns nothing on
     // disk, so every written generation is superseded
-    graft.io.StoreVacuum.vacuum(spark, root, Seq(fam(9)))
+    graft.io.StoreVacuum.vacuum(spark, root, Seq(fam(11)))
     // the REAL warehouse: retire superseded generations of the registered
     // families (dry-run listing printed, then applied)
     val fams = graft.queries.LifecycleQueries.storeFamilies

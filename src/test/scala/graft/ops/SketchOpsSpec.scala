@@ -191,6 +191,38 @@ class SketchOpsSpec extends SparkSpec {
     assert(diff == 0L, "folded shard filters differ from the flat filter")
   }
 
+  test("serving-path bloom_might_contain is bit-identical to the join probe (r18)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val words = 512
+    val corpus = spark.range(0, 3000).select(concat(lit("doc_"), col("id")).as("v"))
+    val state = SketchOps.bloomBits(corpus, col("v"), words = words)
+    // probe a mix of members and non-members — at this deliberately tight
+    // size (512 words / 12k inserts, fill ~0.52) the FP band is wide
+    // enough that serving/join equality is tested on REAL positives,
+    // negatives, AND false positives, row for row
+    val probes = spark.range(0, 3000, 3)
+      .select(col("id"), concat(lit("doc_"), col("id")).as("v"))
+      .unionByName(spark.range(50000, 53000)
+        .select(col("id"), concat(lit("nope_"), col("id")).as("v")))
+    val joinVerdicts = SketchOps.bloomProbe(probes, "id", col("v"), state, words = words)
+    val serving = probes.withColumn("fast",
+      SketchOps.bloomServingFilter(spark, state, words, "v").cast("long"))
+    val diff = joinVerdicts.join(serving, Seq("id"))
+      .filter(col("bloom_positive") =!= col("fast")).count()
+    assert(diff == 0L, s"serving probe diverged from the join probe on $diff rows")
+    // and the interpreted path agrees with codegen: evaluate the helper
+    // directly against the collected array for a sample
+    val arr = SketchOps.bloomStateArray(state, words)
+    val sample = serving.limit(200).collect()
+    sample.foreach { r =>
+      val expected = graft.functions.BloomMightContain.contains(
+        arr, 4, org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(1)))
+      assert((r.getLong(2) == 1L) == expected,
+        s"interpreted helper diverged on ${r.getString(1)}")
+    }
+  }
+
   test("adaptive sizing keeps the FP band bounded where the fixed size saturates") {
     import org.apache.spark.sql.functions._
     // 60k distinct values (the sf0.1 corpus scale): the r16 fixed state
