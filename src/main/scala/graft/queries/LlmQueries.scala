@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ops._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -527,7 +527,23 @@ object LlmQueries {
     admissionVerdictsAgainst(
       t(s, d, "documents").filter(col("doc_id") % 10 =!= 0),
       corpusMd5(s, d), bandIndex(s, d), batch,
-      bloom = Some(corpusBloom(s, d)))
+      bloomFilter = Some(corpusShield(s, d)))
+
+  /** The STATIC corpus filter resolved to its serving form once per
+    * (JVM, dataset) — the collect + `Broadcast` of
+    * [[graft.ops.SketchOps.bloomServingFilter]] is a per-filter cost, and
+    * the static-corpus admission entries (and every micro-batch of the
+    * static streaming admitter) share one immutable filter, so one
+    * resolution serves them all. The GROWTH paths resolve per merged
+    * state by design (their filter changes as segments append).
+    */
+  private val corpusShields =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Column]
+  private def corpusShield(s: SparkSession, d: String): Column =
+    corpusShields.getOrElseUpdate((s, d), {
+      val (b, words) = corpusBloom(s, d)
+      graft.ops.SketchOps.bloomServingFilter(s, b, words, "__h")
+    })
 
   /** The same gauntlet against CALLER-SUPPLIED corpus structures — the
     * index-growth path: after a batch's admits are appended to the stored
@@ -537,7 +553,7 @@ object LlmQueries {
     */
   private[graft] def admissionVerdictsAgainst(corpusDocs: DataFrame, md5Set: DataFrame,
       index: DataFrame, batch: DataFrame,
-      bloom: Option[(DataFrame, Int)] = None): DataFrame = {
+      bloomFilter: Option[Column] = None): DataFrame = {
     // the exact-dup stage: at 100 TB the semi-join against the corpus
     // hash set shuffles with the corpus — the STATIC-corpus paths pass
     // the stored broadcast Bloom filter so only the bloom-positive band
@@ -546,16 +562,17 @@ object LlmQueries {
     // filters folded by [[mergeBloomStates]] — built at the base's
     // recorded word count, so the fold is the bit_or associativity the
     // sharded entry oracle-certifies, and the shield stays active while
-    // the index grows. The probe itself is the SERVING form (r18,
-    // [[graft.ops.SketchOps.bloomServingFilter]]): one native-codegen
-    // projection per row over the broadcast bit array — bit-identical
-    // verdicts to the join probe the gated bloom entries oracle-replay,
-    // without its per-batch exchange/explode/groupBy machinery
+    // the index grows. The probe arrives RESOLVED to its serving form
+    // (r18, [[graft.ops.SketchOps.bloomServingFilter]]): one
+    // native-codegen projection per row over the broadcast bit array —
+    // bit-identical verdicts to the join probe the gated bloom entries
+    // oracle-replay, without its per-batch exchange/explode/groupBy
+    // machinery; the static path memoizes one resolution per (JVM,
+    // dataset) ([[corpusShield]]), the growth paths resolve per merged
+    // state
     val hashed = batch.select(col("doc_id"), md5(col("text")).as("__h"))
-    val exactProbe = bloom match {
-      case Some((b, words)) =>
-        hashed.filter(graft.ops.SketchOps.bloomServingFilter(
-          batch.sparkSession, b, words, "__h"))
+    val exactProbe = bloomFilter match {
+      case Some(f) => hashed.filter(f)
       case None => hashed
     }
     val exactDup = exactProbe
@@ -805,7 +822,8 @@ object LlmQueries {
       .unionByName(admProbe.select((col("doc_id") + 20000000L).as("doc_id"),
         col("text")))
     val v2 = admissionVerdictsAgainst(corpus2, md52, idx2, b2,
-      bloom = Some((bloom2, bloomWords)))
+      bloomFilter = Some(graft.ops.SketchOps.bloomServingFilter(
+        s, bloom2, bloomWords, "__h")))
     v1.withColumn("batch", lit(1L))
       .unionByName(v2.withColumn("batch", lit(2L)))
       .orderBy("batch", "doc_id")
@@ -872,7 +890,8 @@ object LlmQueries {
       .unionByName(admProbe.select((col("doc_id") + 20000000L).as("doc_id"),
         col("text")))
     zones.write(admissionVerdictsAgainst(corpusPre, md5Pre, idxPre, b2,
-      bloom = Some((bloomPre, bloomWords))),
+      bloomFilter = Some(graft.ops.SketchOps.bloomServingFilter(
+        s, bloomPre, bloomWords, "__h"))),
       "work", "v2_pre")
     // COMPACT: fold base ∪ segments into a new base, one atomic table
     // replace per structure (zones.write IS the engine's atomic swap) —
@@ -899,7 +918,8 @@ object LlmQueries {
       zones.read(s, "work", "base_docs_compacted"),
       zones.read(s, "work", "base_md5_compacted"),
       zones.read(s, "work", "base_band_compacted"), b2,
-      bloom = Some((zones.read(s, "work", "base_bloom_compacted"), bloomWords))),
+      bloomFilter = Some(graft.ops.SketchOps.bloomServingFilter(
+        s, zones.read(s, "work", "base_bloom_compacted"), bloomWords, "__h"))),
       "work", "v2_post")
     zones.read(s, "work", "v2_pre").withColumn("phase", lit("1_pre"))
       .unionByName(zones.read(s, "work", "v2_post").withColumn("phase", lit("2_post")))
@@ -1018,7 +1038,8 @@ object LlmQueries {
         // accumulated per-batch segment filters, bit_or-folded
         val bloomAll = mergeBloomStates(seqBaseBloom +: deltas("delta_bloom_"))
         val v = admissionVerdictsAgainst(corpusAll, md5All, idxAll, batch,
-          bloom = Some((bloomAll, seqBloomWords)))
+          bloomFilter = Some(graft.ops.SketchOps.bloomServingFilter(
+            s, bloomAll, seqBloomWords, "__h")))
           .withColumn("batch", lit(id + 1L))
         zones.write(v, "work", s"admit_batch_$id")
         // GROW the index: this batch's admits append as new delta segments
@@ -1125,7 +1146,8 @@ object LlmQueries {
         // (r18) the shield probes base ∪ the (compacted) segment filters
         val bloomAll = mergeBloomStates(cptBaseBloom +: deltas("delta_bloom_"))
         val v = admissionVerdictsAgainst(corpusAll, md5All, idxAll, batch,
-          bloom = Some((bloomAll, cptBloomWords)))
+          bloomFilter = Some(graft.ops.SketchOps.bloomServingFilter(
+            s, bloomAll, cptBloomWords, "__h")))
           .withColumn("batch", lit(id + 1L))
         zones.write(v, "work", s"admit_batch_$id")
         val adm = batch.join(

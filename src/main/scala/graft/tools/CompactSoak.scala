@@ -89,7 +89,8 @@ object CompactSoak {
         baseBloom +: segs.map(i => zones.read(spark, "work", s"bloom_$i")))
       val ((rb, ab), tb) = time(verdictStats(
         q.admissionVerdictsAgainst(corpusAll, md5All, idxAll, b2,
-          bloom = Some((bloomAll, bloomWords)))))
+          bloomFilter = Some(graft.ops.SketchOps.bloomServingFilter(
+            spark, bloomAll, bloomWords, "__h")))))
       require(rb == rows && ab == adm,
         s"bloom-shielded verdicts diverged: ($rb,$ab) vs ($rows,$adm)")
       println(f"""{"mode":"base_plus_${n}_segments_bloom","rows":$rb,"admitted":$ab,"sec":$tb%.2f}""")
@@ -106,7 +107,8 @@ object CompactSoak {
           zones.read(spark, "work", "docs_compacted"),
           zones.read(spark, "work", "md5_compacted"),
           zones.read(spark, "work", "band_compacted"), b2,
-          bloom = Some((zones.read(spark, "work", "bloom_compacted"), bloomWords)))))
+          bloomFilter = Some(graft.ops.SketchOps.bloomServingFilter(
+            spark, zones.read(spark, "work", "bloom_compacted"), bloomWords, "__h")))))
         require(r2 == rows && a2 == adm,
           s"compacted verdicts diverged: ($r2,$a2) vs ($rows,$adm)")
         println(f"""{"mode":"compacted_from_32","rows":$r2,"admitted":$a2,"sec":$t2%.2f}""")
