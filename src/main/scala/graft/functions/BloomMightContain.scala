@@ -73,10 +73,17 @@ object BloomMightContain {
   private val registry =
     scala.collection.concurrent.TrieMap.empty[String, BloomHandle]
 
+  /** Re-registering a key REPLACES the entry and releases the superseded
+    * broadcast (r18): a long-lived growth-path admitter resolves one
+    * filter per micro-batch under a stable key, so without the release
+    * every batch would leak one broadcast array for the life of the
+    * stream. Safe because a superseded filter's plans have already
+    * evaluated — nothing re-reads a destroyed broadcast.
+    */
   def register(key: String, handle: BloomHandle): Unit = {
     require(handle.k > 0 && handle.k <= 9,
       s"k must be in [1, 9] (single-digit hash prefixes), got ${handle.k}")
-    registry.put(key, handle); ()
+    registry.put(key, handle).foreach(old => old.bits.destroy())
   }
 
   def handle(key: String): BloomHandle =

@@ -374,10 +374,15 @@ object SketchOps {
     * admission paths' per-batch shield cost drops to one projection.
     */
   def bloomServingFilter(s: org.apache.spark.sql.SparkSession, state: DataFrame,
-      words: Int, valueCol: String, k: Int = 4): Column = {
+      words: Int, valueCol: String, k: Int = 4,
+      reuseKey: Option[String] = None): Column = {
     val arr = bloomStateArray(state, words)
     val bc = s.sparkContext.broadcast(arr)
-    val key = s"bloom_serving_${servingKeys.incrementAndGet()}"
+    // a STABLE reuseKey makes successive resolutions replace each other
+    // (the registry destroys the superseded broadcast) — pass one from
+    // any per-micro-batch caller so a long stream holds ONE array, not
+    // one per batch; the default unique key is for immutable filters
+    val key = reuseKey.getOrElse(s"bloom_serving_${servingKeys.incrementAndGet()}")
     graft.functions.BloomMightContain.register(key,
       graft.functions.BloomHandle(bc, k))
     expr(s"bloom_might_contain($valueCol, '$key')")

@@ -1037,9 +1037,14 @@ object LlmQueries {
         // (r18) the exact-dup shield stays active across growth: base ∪
         // accumulated per-batch segment filters, bit_or-folded
         val bloomAll = mergeBloomStates(seqBaseBloom +: deltas("delta_bloom_"))
+        // stable reuseKey: each micro-batch's resolution REPLACES the
+        // previous one (superseded broadcast destroyed) — the stream
+        // holds one filter array, not one per batch; safe because the
+        // verdicts materialize (zones.write) within this batch body
         val v = admissionVerdictsAgainst(corpusAll, md5All, idxAll, batch,
           bloomFilter = Some(graft.ops.SketchOps.bloomServingFilter(
-            s, bloomAll, seqBloomWords, "__h")))
+            s, bloomAll, seqBloomWords, "__h",
+            reuseKey = Some(s"admseq_shield_$key"))))
           .withColumn("batch", lit(id + 1L))
         zones.write(v, "work", s"admit_batch_$id")
         // GROW the index: this batch's admits append as new delta segments
@@ -1145,9 +1150,11 @@ object LlmQueries {
         val corpusAll = (corpus +: deltas("delta_docs_")).reduce(_ unionByName _)
         // (r18) the shield probes base ∪ the (compacted) segment filters
         val bloomAll = mergeBloomStates(cptBaseBloom +: deltas("delta_bloom_"))
+        // stable reuseKey — see the sequential stream twin
         val v = admissionVerdictsAgainst(corpusAll, md5All, idxAll, batch,
           bloomFilter = Some(graft.ops.SketchOps.bloomServingFilter(
-            s, bloomAll, cptBloomWords, "__h")))
+            s, bloomAll, cptBloomWords, "__h",
+            reuseKey = Some(s"admcpt_shield_$key"))))
           .withColumn("batch", lit(id + 1L))
         zones.write(v, "work", s"admit_batch_$id")
         val adm = batch.join(

@@ -223,6 +223,20 @@ class SketchOpsSpec extends SparkSpec {
     }
   }
 
+  test("serving-filter reuseKey replaces the handle and releases the superseded broadcast") {
+    import org.apache.spark.sql.functions._
+    val corpus = spark.range(0, 100).select(concat(lit("doc_"), col("id")).as("v"))
+    val state = SketchOps.bloomBits(corpus, col("v"), words = 64)
+    SketchOps.bloomServingFilter(spark, state, 64, "v", reuseKey = Some("spec_reuse"))
+    val old = graft.functions.BloomMightContain.handle("spec_reuse")
+    val f2 = SketchOps.bloomServingFilter(spark, state, 64, "v", reuseKey = Some("spec_reuse"))
+    val nw = graft.functions.BloomMightContain.handle("spec_reuse")
+    assert(old ne nw, "re-registration must replace the handle")
+    intercept[org.apache.spark.SparkException](old.bits.value)
+    // the replacement handle still serves
+    assert(corpus.filter(f2).count() == 100L, "members must all probe positive")
+  }
+
   test("adaptive sizing keeps the FP band bounded where the fixed size saturates") {
     import org.apache.spark.sql.functions._
     // 60k distinct values (the sf0.1 corpus scale): the r16 fixed state
