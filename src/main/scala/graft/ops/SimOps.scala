@@ -318,6 +318,44 @@ object SimOps {
       nprobe: Int): DataFrame =
     ivfTopKSalted(corpus, queries, centroids, idCol, vecCol, k, nprobe)
 
+  /** The PERSISTABLE inverted index (r18): every corpus vector assigned
+    * to its nearest centroid — `(centroid_id, item_id, item_vec)` rows, a
+    * zone-storable table. Building it is the expensive corpus-wide
+    * assignment; [[ivfTopKServe]] then answers queries reading ONLY this
+    * table — the production serving split (index built once per corpus
+    * version, amortized over every query batch) that the inline
+    * [[ivfTopK]] entries re-pay per call.
+    */
+  def ivfIndex(corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val cent = broadcast(centroids.select(
+      col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("centroid_vec")))
+    assignToCentroids(corpus, cent, idCol, vecCol, "item_id", "item_vec", keep = 1)
+  }
+
+  /** Serve top-k from a PREBUILT [[ivfIndex]]: assign each query to its
+    * `nprobe` nearest centroids (bounded: queries × centroids, the
+    * centroid frame broadcast), equi-join the probed inverted lists,
+    * exact-cosine rerank. Result-identical to [[ivfTopK]] over the same
+    * corpus/centroids — the SAME oracle pins it — but the corpus-wide
+    * assignment never re-runs at query time.
+    */
+  def ivfTopKServe(index: DataFrame, centroids: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    val cent = broadcast(centroids.select(
+      col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("centroid_vec")))
+    val probes = assignToCentroids(queries, cent, idCol, vecCol,
+      "query_id", "query_vec", keep = nprobe)
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("sim"), col("item_id"))
+    probes
+      .join(index, "centroid_id")
+      .filter(col("query_id") =!= col("item_id"))
+      .withColumn("sim", cosine(col("query_vec"), col("item_vec")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("item_id"), roundMicro(col("sim")).as("sim"), col("rk"))
+  }
+
   /** The plain inverted-list join, one task per probed centroid list —
     * results identical to [[ivfTopK]]; kept as the reference formulation
     * (its task width is unbounded: a hot centroid's whole list lands in

@@ -56,6 +56,14 @@ class PlanAuditSpec extends SparkSpec {
         s"$q lost its broadcast state join:\n$p")
       assert(!p.contains("CartesianProduct"), s"$q grew an all-pairs path")
     }
+    // the STORED-index serve (r18) must read the persisted inverted
+    // lists, not re-run the corpus-wide assignment: the plan scans the
+    // ivf_index zone table and joins it by centroid_id
+    locally {
+      val p = plan("sim_ivf_stored_serve")
+      assert(p.contains("ivf_index_"),
+        s"stored serve lost its persisted-index scan:\n$p")
+    }
     // the ROUTED entry (r18) keys its state join on (shard, word) — same
     // broadcast discipline, shard leading the key
     locally {
