@@ -746,13 +746,34 @@ object SimOps {
       nprobe: Int = 2,
       pool: Int = 100,
       k: Int = 5): DataFrame = {
-    val dsub = dim / m
     val cent = broadcast(centroids.select(
       col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("centroid_vec")))
     val inverted = assignToCentroids(corpus, cent, idCol, vecCol, "item_id", "item_vec", keep = 1)
       .select(col("centroid_id"), col("item_id"))
     val cb = pqCodebook(corpus, idCol, vecCol, dim, m)
     val codes = pqCodes(corpus, idCol, vecCol, cb, dim, m).withColumnRenamed(idCol, "item_id")
+    ivfPqServe(inverted, cb, codes, centroids, corpus, queries,
+      idCol, vecCol, dim, m, nprobe, pool, k)
+  }
+
+  /** Serve IVF-PQ top-k from PREBUILT artifacts (r18 — the index-build /
+    * serve split of [[ivfPqRerankTopK]], which delegates here after
+    * building them inline): `inverted` = `(centroid_id, item_id)` lists,
+    * `codebook`/`codes` = the PQ compression tier, `corpus` supplies the
+    * raw vectors for the exact rerank of the pool (the standard
+    * rerank-from-storage step). Query-time work is bounded by
+    * queries × centroids + the probed lists — the corpus-wide
+    * assignment and encoding ran at index-build time. Result-identical
+    * to the inline operator: the SAME oracle pins both.
+    */
+  def ivfPqServe(inverted: DataFrame, codebook: DataFrame, codes: DataFrame,
+      centroids: DataFrame, corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, dim: Int, m: Int = 8, nprobe: Int = 2,
+      pool: Int = 100, k: Int = 5): DataFrame = {
+    val dsub = dim / m
+    val cent = broadcast(centroids.select(
+      col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("centroid_vec")))
+    val cb = codebook
     val probes = assignToCentroids(queries, cent, idCol, vecCol, "query_id", "query_vec", keep = nprobe)
       .select(col("centroid_id"), col("query_id"))
     // the per-query ADC distance table (nq * m * ksub rows — broadcastable)

@@ -1772,6 +1772,47 @@ object LlmQueries {
       .orderBy("query_id", "rk")
   }
 
+  /** The stored PQ compression tier (r18): codebook + every corpus
+    * vector's codes written once per (JVM, dataset), the artifacts an
+    * IVF-PQ serving deployment loads instead of re-encoding the corpus
+    * per query batch. Same run-once unconditional-write memo discipline
+    * as [[ivfStoredIndex]].
+    */
+  private val pqArtifactsMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Unit]
+  private def pqStoredArtifacts(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val zones = graft.io.Zones.forPurpose("dedup")
+    val key = graft.io.Zones.pathKey(d)
+    pqArtifactsMemo.getOrElseUpdate((s, d), {
+      val e = t(s, d, "embeddings")
+      zones.write(SimOps.pqCodebook(e, "vec_id", "embedding", dim = 64),
+        "work", s"pq_codebook_$key")
+      zones.write(
+        SimOps.pqCodes(e, "vec_id", "embedding",
+          zones.read(s, "work", s"pq_codebook_$key"), dim = 64)
+          .withColumnRenamed("vec_id", "item_id"),
+        "work", s"pq_codes_$key")
+    })
+    (zones.read(s, "work", s"pq_codebook_$key"),
+      zones.read(s, "work", s"pq_codes_$key"))
+  }
+
+  /** IVF-PQ serving from STORED artifacts ([[SimOps.ivfPqServe]]): probed
+    * inverted lists + stored codes ADC-scanned + exact rerank of the
+    * pool, all reading the persisted index tier — pinned to the SAME
+    * oracle as `sim_ivfpq_rerank` (stored artifacts change serving cost
+    * only, never results).
+    */
+  val simIvfPqStoredServe: Q = (s, d) => {
+    val e = t(s, d, "embeddings")
+    val (index, cents) = ivfStoredIndex(s, d)
+    val (cb, codes) = pqStoredArtifacts(s, d)
+    SimOps.ivfPqServe(index.select("centroid_id", "item_id"), cb, codes, cents,
+      e, e.filter(col("vec_id") % 100 === 0),
+      "vec_id", "embedding", dim = 64, nprobe = 2)
+      .orderBy("query_id", "rk")
+  }
+
   /** PQ encode: every embedding compressed to m=8 codes (ksub=16 deterministic
     * codebook from the 16 lowest-id vectors' subvectors). 64 doubles -> 8
     * codes; the compression tier under an IVF-PQ serving index.
@@ -2328,6 +2369,7 @@ object LlmQueries {
     "sim_pq_recall" -> simPqRecall,
     "sim_pq_rerank" -> simPqRerank,
     "sim_ivfpq_rerank" -> simIvfPqRerank,
+    "sim_ivfpq_stored_serve" -> simIvfPqStoredServe,
     "sim_ivfpq_recall" -> simIvfPqRecall,
     "dedup_embed_cosine" -> dedupEmbedCosine,
     "dedup_semantic" -> dedupSemantic,
@@ -4244,6 +4286,11 @@ object LlmQueries {
     "sim_ivf_topk" -> ivfTopkOracle,
     "sim_ivf_topk_salted" -> ivfTopkOracle,
     "sim_ivfpq_rerank" ->
+      s"""WITH $ivfPqCtes
+         |SELECT query_id, item_id, floor(dist * 1e6 + 0.5) / 1e6 AS dist, CAST(rk AS INT) AS rk
+         |FROM rf WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    // stored artifacts change serving cost only, never results
+    "sim_ivfpq_stored_serve" ->
       s"""WITH $ivfPqCtes
          |SELECT query_id, item_id, floor(dist * 1e6 + 0.5) / 1e6 AS dist, CAST(rk AS INT) AS rk
          |FROM rf WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
