@@ -1772,6 +1772,38 @@ object LlmQueries {
       .orderBy("query_id", "rk")
   }
 
+  /** APPEND-ONLY IVF index growth (r18): the delta-segment discipline the
+    * admission index uses, applied to the ANN serving tier. The BASE
+    * index covers the corpus slice; an admitted batch is assigned
+    * against the SAME stored centroids and appended as a delta segment —
+    * no rebuild, because nearest-centroid assignment is per-item
+    * independent, so base ∪ delta is EXACTLY the index a full rebuild
+    * over corpus ∪ batch would produce. The entry serves top-k from
+    * base ∪ delta and pins to the SAME oracle as `sim_ivf_topk` (which
+    * models the whole-corpus index): the maintenance protocol must be
+    * invisible in results. Compaction, when due, folds segments by plain
+    * union — the same fold the md5/band/docs segments use.
+    */
+  val simIvfIndexAppend: Q = (s, d) => {
+    val e = t(s, d, "embeddings")
+    val zones = graft.io.Zones.forPurpose(s"ivfgrow_${graft.io.Zones.pathKey(d)}")
+    val (_, cents) = ivfStoredIndex(s, d) // shared stored centroid frame
+    zones.write(
+      SimOps.ivfIndex(e.filter(col("vec_id") % 10 =!= 0), cents,
+        "vec_id", "embedding"),
+      "work", "base_index")
+    zones.write(
+      SimOps.ivfIndex(e.filter(col("vec_id") % 10 === 0), cents,
+        "vec_id", "embedding"),
+      "work", "delta_index_b0")
+    val index = zones.read(s, "work", "base_index")
+      .unionByName(zones.read(s, "work", "delta_index_b0"))
+    SimOps.ivfTopKServe(index, cents,
+      e.filter(col("vec_id") % 100 === 0),
+      "vec_id", "embedding", k = 5, nprobe = 2)
+      .orderBy("query_id", "rk")
+  }
+
   /** The stored PQ compression tier (r18): codebook + every corpus
     * vector's codes written once per (JVM, dataset), the artifacts an
     * IVF-PQ serving deployment loads instead of re-encoding the corpus
@@ -2359,6 +2391,7 @@ object LlmQueries {
     "sim_lsh_buckets" -> simLshBuckets,
     "sim_lsh_topk" -> simLshTopk,
     "sim_lsh_recall" -> simLshRecall,
+    "sim_ivf_index_append" -> simIvfIndexAppend,
     "sim_ivf_stored_serve" -> simIvfStoredServe,
     "sim_ivf_topk" -> simIvfTopk,
     "sim_ivf_topk_salted" -> simIvfTopkSalted,
@@ -4281,7 +4314,9 @@ object LlmQueries {
         |LEFT JOIN hits h USING (query_id)
         |ORDER BY query_id""".stripMargin,
     // the stored index must change serving cost only, never results —
-    // all three pin to one SQL
+    // and append-only growth (base ∪ delta == full rebuild, per-item
+    // independence) must be invisible too: all four pin to one SQL
+    "sim_ivf_index_append" -> ivfTopkOracle,
     "sim_ivf_stored_serve" -> ivfTopkOracle,
     "sim_ivf_topk" -> ivfTopkOracle,
     "sim_ivf_topk_salted" -> ivfTopkOracle,
