@@ -1804,6 +1804,46 @@ object LlmQueries {
       .orderBy("query_id", "rk")
   }
 
+  /** STREAMING ANN serving (r18): query batches arrive as a stream and
+    * are answered per micro-batch from the STORED index — the online
+    * half of the build/serve split (the top-k rerank uses windows, so
+    * each micro-batch runs as a batch plan via foreachBatch, the
+    * admission streams' discipline). Pinned to the SAME oracle as
+    * `sim_ivf_topk`: stream serving == batch serving == inline operator.
+    */
+  val streamIvfServe: Q = (s, d) => {
+    val key = graft.io.Zones.pathKey(d)
+    val zones = graft.io.Zones.forPurpose(s"annserve_$key")
+    val hconf = s.sparkContext.hadoopConfiguration
+    def rm(p: String): Unit = {
+      val hp = new org.apache.hadoop.fs.Path(new java.io.File(p).getAbsolutePath)
+      hp.getFileSystem(hconf).delete(hp, true); ()
+    }
+    rm(zones.root)
+    val ckpt = new java.io.File(
+      s"${graft.io.Zones.defaultRoot}/stream_ckpt_annserve_$key").getAbsolutePath
+    rm(ckpt)
+    val (index, cents) = ivfStoredIndex(s, d)
+    val stream = embsStream(s, d, "stream_src_annserve")
+      .filter(col("vec_id") % 100 === 0)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        zones.write(
+          SimOps.ivfTopKServe(index, cents, batch,
+            "vec_id", "embedding", k = 5, nprobe = 2),
+          "work", s"serve_$id")
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    zones.listTables(s, "work").filter(_.startsWith("serve_"))
+      .map(tb => zones.read(s, "work", tb))
+      .reduce(_ unionByName _)
+      .orderBy("query_id", "rk")
+  }
+
   /** The stored PQ compression tier (r18): codebook + every corpus
     * vector's codes written once per (JVM, dataset), the artifacts an
     * IVF-PQ serving deployment loads instead of re-encoding the corpus
@@ -2394,6 +2434,7 @@ object LlmQueries {
     "sim_ivf_index_append" -> simIvfIndexAppend,
     "sim_ivf_stored_serve" -> simIvfStoredServe,
     "sim_ivf_topk" -> simIvfTopk,
+    "stream_ann_serve" -> streamIvfServe,
     "sim_ivf_topk_salted" -> simIvfTopkSalted,
     "sim_ivf_recall" -> simIvfRecall,
     "sim_ivf_trained_recall" -> simIvfTrainedRecall,
@@ -4319,6 +4360,7 @@ object LlmQueries {
     "sim_ivf_index_append" -> ivfTopkOracle,
     "sim_ivf_stored_serve" -> ivfTopkOracle,
     "sim_ivf_topk" -> ivfTopkOracle,
+    "stream_ann_serve" -> ivfTopkOracle,
     "sim_ivf_topk_salted" -> ivfTopkOracle,
     "sim_ivfpq_rerank" ->
       s"""WITH $ivfPqCtes
