@@ -154,15 +154,37 @@ object SimOps {
       if (exact) qcosine(col(outVec), col("centroid_vec"))
       else cosine(col(outVec), col("centroid_vec"))
     val rankKey = if (exact) quantMicro(col("__csim")) else col("__csim")
-    val w = Window.partitionBy(col(outId)).orderBy(rankKey.desc, col("centroid_id"))
-    val ranked = df.select(col(idCol).as(outId), asDouble(col(vecCol)).as(outVec))
+    val scored = df.select(col(idCol).as(outId), asDouble(col(vecCol)).as(outVec))
       .crossJoin(centroidsB)
       .withColumn("__csim", score)
-      .withColumn("__crk", row_number().over(w))
-      .filter(col("__crk") <= keep)
-    if (keepSim) ranked.withColumn("cent_sim", col("__csim"))
-      .drop("centroid_vec", "__csim", "__crk")
-    else ranked.drop("centroid_vec", "__csim", "__crk")
+    if (keep == 1) {
+      // the nearest-centroid pick (the index build / SemDeDup / serve
+      // assignment — the dominant stage at scale) as ONE map-side-
+      // combinable max-struct aggregation instead of a partition-sort
+      // window: the window shuffles AND sorts all n·|C| scored rows
+      // (AnnServeSoak r18: 253 s at 200k × 400), the aggregation reduces
+      // each partition to one struct per item before the shuffle.
+      // Identical pick by construction: max over (rankKey, -centroid_id)
+      // == orderBy(rankKey desc, centroid_id asc) row 1; payload fields
+      // sit AFTER the tie-break fields and (rankKey, centroid_id) is
+      // unique per item, so they never participate in the comparison.
+      val picked = scored
+        .groupBy(col(outId))
+        .agg(max(struct(rankKey.as("__rk"), (-col("centroid_id")).as("__nc"),
+          col(outVec).as("__vec"), col("__csim").as("__sim"))).as("__b"))
+        .select(col(outId), col("__b.__vec").as(outVec),
+          (-col("__b.__nc")).as("centroid_id"), col("__b.__sim").as("__csim"))
+      if (keepSim) picked.withColumn("cent_sim", col("__csim")).drop("__csim")
+      else picked.drop("__csim")
+    } else {
+      val w = Window.partitionBy(col(outId)).orderBy(rankKey.desc, col("centroid_id"))
+      val ranked = scored
+        .withColumn("__crk", row_number().over(w))
+        .filter(col("__crk") <= keep)
+      if (keepSim) ranked.withColumn("cent_sim", col("__csim"))
+        .drop("centroid_vec", "__csim", "__crk")
+      else ranked.drop("centroid_vec", "__csim", "__crk")
+    }
   }
 
   /** Routing artifacts for [[assignNearestRouted]]: the centroid set
