@@ -340,19 +340,72 @@ object SimOps {
       nprobe: Int): DataFrame =
     ivfTopKSalted(corpus, queries, centroids, idCol, vecCol, k, nprobe)
 
+  /** keep=1 assignment with the centroid set INLINED into the plan (r18):
+    * for centroid frames bounded by the family's sqrt-N rule (≤ 1024 by
+    * construction) the nearest-centroid argmax folds into ONE
+    * `greatest(...)` projection per row — no crossJoin, no scored-pair
+    * materialization, no shuffle. AnnServeSoak showed the 200k × 400
+    * build's dominant cost was materializing the 80M scored pair rows
+    * (vec + centroid arrays copied per pair), which no join-side
+    * optimization removes; the fold never forms the pairs. Score and
+    * pick are bit-identical to the crossJoin path: the same native
+    * `vec_dot` cosine DAG with the centroid side constant-folded
+    * (Catalyst folds `sqrt(vec_dot(lit, lit))` through the same eval
+    * code an executor would run), and the same
+    * (score desc, centroid_id asc) tie-break as a struct max.
+    */
+  def assignNearestInlined(df: DataFrame, cents: Seq[(Long, Seq[Double])],
+      idCol: String, vecCol: String, outId: String, outVec: String): DataFrame = {
+    require(cents.nonEmpty && cents.size <= 1024,
+      s"inlined assignment wants a bounded centroid set (<= 1024), got ${cents.size}")
+    val v = col(outVec)
+    val na = sqrt(dot(v, v))
+    val terms = cents.map { case (cid, cv) =>
+      val cvLit = lit(cv.toArray)
+      struct((dot(v, cvLit) / (na * sqrt(dot(cvLit, cvLit)))).as("__s"),
+        lit(-cid).as("__nc"))
+    }
+    val best = if (terms.size == 1) terms.head else greatest(terms: _*)
+    df.select(col(idCol).as(outId), asDouble(col(vecCol)).as(outVec))
+      .withColumn("__b", best)
+      .select(col(outId), col(outVec), (-col("__b.__nc")).as("centroid_id"))
+  }
+
   /** The PERSISTABLE inverted index (r18): every corpus vector assigned
     * to its nearest centroid — `(centroid_id, item_id, item_vec)` rows, a
     * zone-storable table. Building it is the expensive corpus-wide
     * assignment; [[ivfTopKServe]] then answers queries reading ONLY this
     * table — the production serving split (index built once per corpus
     * version, amortized over every query batch) that the inline
-    * [[ivfTopK]] entries re-pay per call.
+    * [[ivfTopK]] entries re-pay per call. Routes through
+    * [[assignNearestInlined]] when the centroid set is within the
+    * family's 1024 bound (a ≤ 1025-row collect, the stream assigner's
+    * own documented model-state budget); larger sets take the crossJoin
+    * assigner — both produce the identical index.
     */
   def ivfIndex(corpus: DataFrame, centroids: DataFrame,
-      idCol: String, vecCol: String): DataFrame = {
-    val cent = broadcast(centroids.select(
-      col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("centroid_vec")))
-    assignToCentroids(corpus, cent, idCol, vecCol, "item_id", "item_vec", keep = 1)
+      idCol: String, vecCol: String): DataFrame =
+    assignNearestAdaptive(corpus, centroids, idCol, vecCol, "item_id", "item_vec")
+
+  /** keep=1 assignment, adaptively inlined: a ≤ 1025-row probe collect
+    * (the stream assigner's own documented model-state budget) routes
+    * bounded centroid sets — which the sqrt-N stride rule makes ALL of
+    * this family's sets — through [[assignNearestInlined]]; larger sets
+    * take the crossJoin assigner. Both produce the identical frame.
+    */
+  private def assignNearestAdaptive(df: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, outId: String, outVec: String): DataFrame = {
+    val centRows = centroids
+      .select(col(idCol).cast("long"), asDouble(col(vecCol)))
+      .limit(1025).collect()
+    if (centRows.nonEmpty && centRows.length <= 1024) {
+      val cents = centRows.toSeq.map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+      assignNearestInlined(df, cents, idCol, vecCol, outId, outVec)
+    } else {
+      val cent = broadcast(centroids.select(
+        col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("centroid_vec")))
+      assignToCentroids(df, cent, idCol, vecCol, outId, outVec, keep = 1)
+    }
   }
 
   /** Serve top-k from a PREBUILT [[ivfIndex]]: assign each query to its
@@ -444,12 +497,18 @@ object SimOps {
       s"sizeSampleRate must be in (0, 1], got $sizeSampleRate")
     val cent = broadcast(centroids.select(
       col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("centroid_vec")))
-    val inverted = assignToCentroids(corpus, cent, idCol, vecCol, "item_id", "item_vec", keep = 1)
+    // the corpus-wide keep=1 assignments route through the inlined fold
+    // when the centroid set is within the family's 1024 bound (r18, the
+    // AnnServeSoak finding: the crossJoin's scored-pair materialization
+    // dominated, 8.6x on the index build) — identical lists either way
+    val inverted = assignNearestAdaptive(corpus, centroids, idCol, vecCol,
+      "item_id", "item_vec")
     val sampleMod = math.max(1, math.round(1.0 / sizeSampleRate).toInt)
     val sampled =
       if (sampleMod == 1) corpus
       else corpus.filter(pmod(hash(col(idCol)), lit(sampleMod)) === 0)
-    val salts = assignToCentroids(sampled, cent, idCol, vecCol, "item_id", "item_vec", keep = 1)
+    val salts = assignNearestAdaptive(sampled, centroids, idCol, vecCol,
+      "item_id", "item_vec")
       .groupBy("centroid_id")
       .agg((count(lit(1)) * sampleMod).as("__n_est"))
       .select(col("centroid_id"),
