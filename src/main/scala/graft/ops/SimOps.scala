@@ -1112,7 +1112,24 @@ object SimOps {
     val cents = centroids.select(
       col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("centroid_vec"))
     val nCent = cents.count()
-    if (nCent <= routeThreshold) {
+    if (exact && nCent > 0 && nCent <= math.min(1024L, routeThreshold)) {
+      // the family's sqrt-N stride rule bounds every production centroid
+      // set at 1024 — within it, fold the exact argmax into ONE
+      // projection per row ([[mapSideAssign]], the stream assigner,
+      // bit-identical to the crossJoin pick by its own spec): no scored
+      // pairs materialize at all (r18, the AnnServeSoak finding — the
+      // crossJoin's pair rows, two arrays each, dominated assignment)
+      val centsSeq = cents
+        .select(col("centroid_id").cast("long"), col("centroid_vec"))
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+      (df, outId, outVec, keepSim) => {
+        val assigned = mapSideAssign(
+          df.select(col(idCol).as(outId), asDouble(col(vecCol)).as(outVec)),
+          centsSeq, outVec)
+        if (keepSim) assigned else assigned.drop("cent_sim")
+      }
+    } else if (nCent <= routeThreshold) {
       val centB = broadcast(cents)
       (df, outId, outVec, keepSim) => assignToCentroids(df, centB, idCol,
         vecCol, outId, outVec, keep = 1, keepSim = keepSim, exact = exact)

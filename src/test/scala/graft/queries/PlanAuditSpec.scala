@@ -141,8 +141,13 @@ class PlanAuditSpec extends SparkSpec {
     // the batch-vs-kept candidate join must be a centroid-keyed equi-join
     val p = plan("dedup_semantic_incremental")
     assert(!p.contains("CartesianProduct"), "semantic admission has a cartesian")
+    // any HASH-KEYED equi-join form qualifies — with the r18 inlined
+    // assignment the corpus side's stats allow a broadcast, which is
+    // still the centroid-keyed meet (the audit guards against all-pairs,
+    // not against Spark picking the cheaper physical join)
     val joins = p.linesIterator.filter(l =>
-      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")).toSeq
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")).toSeq
     assert(joins.exists(_.contains("centroid_id")),
       s"candidate join lost its centroid key:\n${joins.mkString("\n")}")
   }
