@@ -66,28 +66,54 @@ case class BloomMightContain(child: Expression, handle: BloomHandle)
 }
 
 object BloomMightContain {
+  private final case class Entry(current: BloomHandle, retiring: Option[BloomHandle])
+
   /** Driver-side handle registry: consulted only by the SQL-function
     * builder at plan-build time; entries are tiny (a broadcast handle +
     * k). Keys are caller-chosen; re-registering a key replaces it.
     */
   private val registry =
-    scala.collection.concurrent.TrieMap.empty[String, BloomHandle]
+    scala.collection.concurrent.TrieMap.empty[String, Entry]
 
-  /** Re-registering a key REPLACES the entry and releases the superseded
-    * broadcast (r18): a long-lived growth-path admitter resolves one
-    * filter per micro-batch under a stable key, so without the release
-    * every batch would leak one broadcast array for the life of the
-    * stream. Safe because a superseded filter's plans have already
-    * evaluated — nothing re-reads a destroyed broadcast.
+  /** Re-registering a key REPLACES the entry with a ONE-GENERATION
+    * retirement lag (r19, hardened from r18's destroy-on-replace): the
+    * superseded broadcast is `unpersist`ed — executors drop their copies
+    * but a straddling task retry from the previous micro-batch can still
+    * REFETCH it from the driver (r18 destroyed it outright, which such a
+    * retry would have hit as a SparkException) — and only the generation
+    * before THAT (two registrations old, no live plan can hold it: its
+    * replacing plan has itself been replaced) is destroyed. A long-lived
+    * admitter under a stable key therefore holds at most two arrays:
+    * current (persisted) + retiring (driver-side only).
     */
-  def register(key: String, handle: BloomHandle): Unit = {
+  def register(key: String, handle: BloomHandle): Unit = synchronized {
     require(handle.k > 0 && handle.k <= 9,
       s"k must be in [1, 9] (single-digit hash prefixes), got ${handle.k}")
-    registry.put(key, handle).foreach(old => old.bits.destroy())
+    val old = registry.get(key)
+    old.flatMap(_.retiring).foreach(_.bits.destroy())
+    old.foreach(_.current.bits.unpersist(blocking = false))
+    registry.put(key, Entry(handle, old.map(_.current)))
+    ()
+  }
+
+  /** Drop a key's entry (r19, ADVICE: auto-generated keys previously
+    * stayed registered forever, pinning each broadcast against
+    * ContextCleaner for the JVM's life). The current generation is
+    * unpersisted but NOT destroyed — a plan that captured the handle at
+    * build time and has not evaluated yet refetches from the driver, and
+    * ContextCleaner reclaims the array once the last plan reference is
+    * gone; the retiring generation (two registrations old) destroys.
+    * Call after the resolving query's output has materialized.
+    */
+  def release(key: String): Unit = synchronized {
+    registry.remove(key).foreach { e =>
+      e.retiring.foreach(_.bits.destroy())
+      e.current.bits.unpersist(blocking = false)
+    }
   }
 
   def handle(key: String): BloomHandle =
-    registry.getOrElse(key, throw new IllegalArgumentException(
+    registry.get(key).map(_.current).getOrElse(throw new IllegalArgumentException(
       s"no Bloom handle registered under '$key' — call BloomMightContain.register first"))
 
   private val mdPool: ThreadLocal[MessageDigest] =

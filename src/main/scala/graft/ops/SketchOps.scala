@@ -356,8 +356,16 @@ object SketchOps {
     */
   def bloomStateArray(state: DataFrame, words: Int): Array[Long] = {
     val arr = new Array[Long](words)
-    state.select(col("word").cast("int"), col("bits"))
-      .collect().foreach(r => arr(r.getInt(0)) = r.getLong(1))
+    // primitive-encoder + partition-streaming collect (r19, ADVICE): at
+    // the 2^24-word cap a Row collect materialized ~16.7M boxed
+    // GenericRows (multi-GB transient heap on top of the 134 MB long[]
+    // budget); the tuple encoder decodes to specialized (Int, Long)
+    // pairs and toLocalIterator holds one partition at a time
+    import org.apache.spark.sql.Encoders
+    val it = state.select(col("word").cast("int"), col("bits"))
+      .as[(Int, Long)](Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong))
+      .toLocalIterator()
+    while (it.hasNext) { val wb = it.next(); arr(wb._1) = wb._2 }
     arr
   }
 

@@ -1408,7 +1408,33 @@ object OhdsiSql {
         .findAllMatchIn(stmt).length
       val eqFwdN = eqFwd.findAllMatchIn(stmt).length
       val eqRevN = eqRev.findAllMatchIn(stmt).length
-      val allEq = fwdPreds == eqFwdN && revPreds == eqRevN
+      // scoping-disable guards (r19, ADVICE): the predicate counters see
+      // only BARE `<alias>.name <op>` shapes, so (a) an alias REBOUND to
+      // another relation in a different scope (its `.name` equalities
+      // would then wrongly count as schema predicates) and (b) a name
+      // expression wrapped in a function call or spliced into a concat
+      // (invisible to both counters) each disable scoping outright —
+      // a false positive here merely takes the full listing, which is
+      // always correct
+      val aliasRebound = schemaAliases.exists { a =>
+        val q = java.util.regex.Pattern.quote(a)
+        // more than one sys.schemas binding of the same alias, or any
+        // binding-shaped occurrence after a relation that is NOT
+        // sys.schemas (FROM/JOIN/comma-list; select-list `expr AS x`
+        // collisions only over-disable)
+        ci(raw"\bsys\.schemas\b\s+(?:AS\s+)?$q\b").findAllMatchIn(stmt).length > 1 ||
+          ci(raw"(?:\bFROM\b|\bJOIN\b|,)\s*(?!sys\.schemas\b)[\w.`\[\]]+\s+(?:AS\s+)?$q\b(?!\s*\.)")
+            .findFirstIn(stmt).nonEmpty
+      }
+      // keyword-parenthesized predicates (`AND (s.name = 'x')`) are not
+      // function wraps — only a non-keyword identifier before the paren is
+      val nameWrapped =
+        ci(raw"\b(?!(?:AND|OR|NOT|WHERE|ON|WHEN|THEN|ELSE|CASE|SELECT|IN|EXISTS|IS)\b)[A-Za-z_]\w*\s*\(\s*(?:$nameExpr)")
+          .findFirstIn(stmt).nonEmpty ||
+          ci(raw"(?:$nameExpr)\s*(?:\|\||\+)").findFirstIn(stmt).nonEmpty ||
+          ci(raw"(?:\|\||\+)\s*(?:$nameExpr)").findFirstIn(stmt).nonEmpty
+      val allEq = fwdPreds == eqFwdN && revPreds == eqRevN &&
+        !aliasRebound && !nameWrapped
       val eqLits = (eqFwd.findAllMatchIn(stmt) ++ eqRev.findAllMatchIn(stmt))
         .map(_.group(1).toLowerCase).toSet
       val scoped = dbsAll.filter(db => eqLits.contains(db.toLowerCase))

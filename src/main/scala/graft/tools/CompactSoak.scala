@@ -48,8 +48,6 @@ object CompactSoak {
       (r.getLong(0), r.getLong(1))
     }
     val (baseBloom, bloomWords) = q.corpusBloom(spark, d)
-    var md5All32: DataFrame = null
-    var bloomAll32: DataFrame = null
     for (n <- Seq(1, 8, 32)) {
       // n segments per structure, written as real parquet tables (the
       // production shape: each probe lists and reads n+1 tables)
@@ -90,11 +88,11 @@ object CompactSoak {
       val ((rb, ab), tb) = time(verdictStats(
         q.admissionVerdictsAgainst(corpusAll, md5All, idxAll, b2,
           bloomFilter = Some(graft.ops.SketchOps.bloomServingFilter(
-            spark, bloomAll, bloomWords, "__h")))))
+            spark, bloomAll, bloomWords, "__h",
+            reuseKey = Some(s"compactsoak_seg_$n"))))))
       require(rb == rows && ab == adm,
         s"bloom-shielded verdicts diverged: ($rb,$ab) vs ($rows,$adm)")
       println(f"""{"mode":"base_plus_${n}_segments_bloom","rows":$rb,"admitted":$ab,"sec":$tb%.2f}""")
-      if (n == 32) { md5All32 = md5All; bloomAll32 = bloomAll }
       if (n == 32) {
         // compact the 32-segment state and re-probe: cost back to the
         // single-table shape, verdicts identical; the Bloom folds by
@@ -108,7 +106,8 @@ object CompactSoak {
           zones.read(spark, "work", "md5_compacted"),
           zones.read(spark, "work", "band_compacted"), b2,
           bloomFilter = Some(graft.ops.SketchOps.bloomServingFilter(
-            spark, zones.read(spark, "work", "bloom_compacted"), bloomWords, "__h")))))
+            spark, zones.read(spark, "work", "bloom_compacted"), bloomWords, "__h",
+            reuseKey = Some("compactsoak_compacted"))))))
         require(r2 == rows && a2 == adm,
           s"compacted verdicts diverged: ($r2,$a2) vs ($rows,$adm)")
         println(f"""{"mode":"compacted_from_32","rows":$r2,"admitted":$a2,"sec":$t2%.2f}""")
@@ -149,7 +148,8 @@ object CompactSoak {
         val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
       }
       val (shield, tResolve) = timeIt(graft.ops.SketchOps.bloomServingFilter(
-        spark, bigBloom, bigWords, "__h"))
+        spark, bigBloom, bigWords, "__h",
+        reuseKey = Some("compactsoak_bigstage")))
       val (cNo, tNo) = timeIt(
         bigBatch.join(bigCorpus, Seq("__h"), "left_semi").count())
       val (cB, tB) = timeIt(

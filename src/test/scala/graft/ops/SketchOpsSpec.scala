@@ -223,18 +223,32 @@ class SketchOpsSpec extends SparkSpec {
     }
   }
 
-  test("serving-filter reuseKey replaces the handle and releases the superseded broadcast") {
+  test("serving-filter reuseKey retires with a one-generation lag and release() drops the entry") {
     import org.apache.spark.sql.functions._
     val corpus = spark.range(0, 100).select(concat(lit("doc_"), col("id")).as("v"))
     val state = SketchOps.bloomBits(corpus, col("v"), words = 64)
     SketchOps.bloomServingFilter(spark, state, 64, "v", reuseKey = Some("spec_reuse"))
-    val old = graft.functions.BloomMightContain.handle("spec_reuse")
+    val g1 = graft.functions.BloomMightContain.handle("spec_reuse")
     val f2 = SketchOps.bloomServingFilter(spark, state, 64, "v", reuseKey = Some("spec_reuse"))
-    val nw = graft.functions.BloomMightContain.handle("spec_reuse")
-    assert(old ne nw, "re-registration must replace the handle")
-    intercept[org.apache.spark.SparkException](old.bits.value)
+    val g2 = graft.functions.BloomMightContain.handle("spec_reuse")
+    assert(g1 ne g2, "re-registration must replace the handle")
+    // r19 (VERDICT #7): the SUPERSEDED generation is unpersisted, NOT
+    // destroyed — a zombie task retry straddling the registration can
+    // still refetch the value from the driver
+    assert(g1.bits.value.length == 64,
+      "one-generation retirement: the superseded broadcast must stay readable")
+    // ...and only the generation before that destroys on the NEXT replace
+    SketchOps.bloomServingFilter(spark, state, 64, "v", reuseKey = Some("spec_reuse"))
+    intercept[org.apache.spark.SparkException](g1.bits.value)
+    assert(g2.bits.value.length == 64, "the immediately-superseded generation survives")
     // the replacement handle still serves
     assert(corpus.filter(f2).count() == 100L, "members must all probe positive")
+    // release() drops the registry entry (r19, ADVICE: no more
+    // forever-pinned auto keys); the handle keeps working for plans that
+    // captured it — only the registry lookup dies
+    graft.functions.BloomMightContain.release("spec_reuse")
+    intercept[IllegalArgumentException](
+      graft.functions.BloomMightContain.handle("spec_reuse"))
   }
 
   test("adaptive sizing keeps the FP band bounded where the fixed size saturates") {

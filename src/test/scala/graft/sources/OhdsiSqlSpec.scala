@@ -692,6 +692,36 @@ class OhdsiSqlSpec extends SparkSpec {
         |WHERE s.name >= 'graft_spec_sc2' AND s.name <= 'graft_spec_sc2'""".stripMargin)
     val relNames = rel.collect().map(_.getString(0)).toSet
     assert(relNames.contains("t2"), s"relational schema predicate mis-scoped: $relNames")
+    // ADVICE r19: a FUNCTION-WRAPPED schema predicate is invisible to the
+    // equality counters — beside a plain equality it must disable scoping
+    // (the wrap can match a db the literal set does not name)
+    val wrapped = OhdsiSql.execute(spark,
+      """SELECT t.name FROM sys.tables t
+        |INNER JOIN sys.schemas s ON s.schema_id = t.schema_id
+        |WHERE s.name = 'graft_spec_sc1' OR UPPER(s.name) = 'GRAFT_SPEC_SC2'""".stripMargin)
+    val wrappedNames = wrapped.collect().map(_.getString(0)).toSet
+    assert(wrappedNames.contains("t2"),
+      s"function-wrapped schema predicate mis-scoped: $wrappedNames")
+    // ADVICE r19: a CONCAT-SPLICED schema predicate likewise
+    val spliced = OhdsiSql.execute(spark,
+      """SELECT t.name FROM sys.tables t
+        |INNER JOIN sys.schemas s ON s.schema_id = t.schema_id
+        |WHERE s.name = 'graft_spec_sc1' OR s.name + '_x' = 'graft_spec_sc2_x'""".stripMargin)
+    val splicedNames = spliced.collect().map(_.getString(0)).toSet
+    assert(splicedNames.contains("t2"),
+      s"concat-spliced schema predicate mis-scoped: $splicedNames")
+    // ADVICE r19: an alias bound to sys.schemas in one subquery and
+    // REBOUND to sys.tables in another makes the t-side name equality
+    // count as a schema literal — scoping must disable (else the
+    // snapshot subsets to the schema literal's db and the rebound
+    // subquery loses its table)
+    val rebound = OhdsiSql.execute(spark,
+      """SELECT
+        |  (SELECT count(*) FROM sys.schemas s WHERE s.name = 'graft_spec_sc1') AS a,
+        |  (SELECT count(*) FROM sys.tables s WHERE s.name = 't2') AS b""".stripMargin)
+    val rb = rebound.collect().head
+    assert(rb.getLong(0) == 1L && rb.getLong(1) == 1L,
+      s"rebound-alias statement mis-scoped: (${rb.getLong(0)}, ${rb.getLong(1)})")
   }
 
   test("translateBigQuery refuses the DATETIME(...) constructor loudly") {
