@@ -13,9 +13,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * build's word count) riding a Spark `Broadcast` — the handle serializes
   * small and executors fetch the array through the broadcast machinery,
   * so the same expression is cluster-correct.
+  *
+  * `nShards` (r19, VERDICT #6): a SHARD-ROUTED state
+  * ([[graft.ops.SketchOps.bloomBitsRouted]]) resolves into ONE
+  * shard-major array of `words × nShards` longs (slice s = indices
+  * `[s*words, (s+1)*words)`); the probe computes its shard from the
+  * build's own routing hash and touches ONLY its slice. One broadcast
+  * per routed filter — the array is `nShards ×` the flat budget ONCE
+  * per executor, not re-shipped per probe batch like the join form's
+  * state broadcast.
   */
-final case class BloomHandle(bits: Broadcast[Array[Long]], k: Int)
-  extends Serializable
+final case class BloomHandle(bits: Broadcast[Array[Long]], k: Int,
+    nShards: Int = 1) extends Serializable
 
 /** `bloom_might_contain(value, 'handle-key')` (r18): the SERVING-path
   * probe of a Bloom `(word, bits)` state as a native codegen projection —
@@ -51,14 +60,14 @@ case class BloomMightContain(child: Expression, handle: BloomHandle)
 
   override protected def nullSafeEval(input: Any): Any =
     BloomMightContain.contains(
-      handle.bits.value, handle.k, input.asInstanceOf[UTF8String])
+      handle.bits.value, handle.k, handle.nShards, input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       val h = ctx.addReferenceObj("bloomHandle", handle,
         classOf[BloomHandle].getName)
       s"""${ev.value} = graft.functions.BloomMightContain.contains(
-         |  (long[]) $h.bits().value(), $h.k(), $c);""".stripMargin
+         |  (long[]) $h.bits().value(), $h.k(), $h.nShards(), $c);""".stripMargin
     })
 
   override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
@@ -122,25 +131,40 @@ object BloomMightContain {
   /** All-k-bits-set test, bit-identical to the join probe's
     * `hash32(concat(j ':', value)) % (words*32)` hashes: first 4 md5
     * digest bytes big-endian unsigned == `conv(substring(md5, 1, 8), 16,
-    * 10)`. Java-callable from generated code.
+    * 10)`. For a SHARDED state (`nShards > 1`) the probe first routes by
+    * the build's own shard hash — `hash32(value) % nShards`, no prefix —
+    * and tests only that shard's slice, replaying
+    * [[graft.ops.SketchOps.bloomProbeRouted]]'s `(shard, word)` join
+    * bit for bit. Java-callable from generated code.
     */
-  def contains(bits: Array[Long], k: Int, value: UTF8String): Boolean = {
-    val m = bits.length.toLong * 32L
+  def contains(bits: Array[Long], k: Int, nShards: Int, value: UTF8String): Boolean = {
     val vb = value.getBytes
     val md = mdPool.get()
+    val words = bits.length / nShards
+    val offset =
+      if (nShards == 1) 0
+      else {
+        md.reset()
+        md.update(vb)
+        (h32(md.digest()) % nShards).toInt * words
+      }
+    val m = words.toLong * 32L
     var j = 0
     while (j < k) {
       md.reset()
       md.update(('0' + j).toByte)
       md.update(':'.toByte)
       md.update(vb)
-      val d = md.digest()
-      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-      val bit = h % m
-      if ((bits((bit >> 5).toInt) & (1L << (bit & 31L).toInt)) == 0L) return false
+      val bit = h32(md.digest()) % m
+      if ((bits(offset + (bit >> 5).toInt) & (1L << (bit & 31L).toInt)) == 0L)
+        return false
       j += 1
     }
     true
   }
+
+  /** First 4 digest bytes, big-endian unsigned — the engine's `hash32`. */
+  private def h32(d: Array[Byte]): Long =
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
 }

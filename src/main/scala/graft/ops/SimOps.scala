@@ -340,39 +340,41 @@ object SimOps {
       nprobe: Int): DataFrame =
     ivfTopKSalted(corpus, queries, centroids, idCol, vecCol, k, nprobe)
 
-  /** keep=1 assignment with the centroid set INLINED into the plan (r18):
-    * for centroid frames bounded by the family's sqrt-N rule (≤ 1024 by
-    * construction) the nearest-centroid argmax folds into ONE
-    * `greatest(...)` projection per row — no crossJoin, no scored-pair
+  /** keep=1 assignment with the centroid set carried IN the plan (r18,
+    * re-grounded r19): for centroid frames bounded by the family's
+    * sqrt-N rule (≤ 1024 by construction) the nearest-centroid argmax is
+    * ONE projection per row — no crossJoin, no scored-pair
     * materialization, no shuffle. AnnServeSoak showed the 200k × 400
     * build's dominant cost was materializing the 80M scored pair rows
     * (vec + centroid arrays copied per pair), which no join-side
-    * optimization removes; the fold never forms the pairs. Score and
-    * pick are bit-identical to the crossJoin path: the same native
-    * `vec_dot` cosine DAG with the centroid side constant-folded
-    * (Catalyst folds `sqrt(vec_dot(lit, lit))` through the same eval
-    * code an executor would run), and the same
-    * (score desc, centroid_id asc) tie-break as a struct max.
+    * optimization removes; the projection never forms the pairs.
+    *
+    * r19 (VERDICT #5): the r18 form — 1024 `greatest(...)` struct terms
+    * with literal centroid arrays — grows the whole-stage `processNext()`
+    * linearly and Janino REFUSES it at the full bound (spec-proven), so
+    * the argmax now evaluates through the native
+    * [[graft.functions.NearestCentroid]] expression: constant-size
+    * generated code, the centroid matrix one plan reference object,
+    * scores and pick bit-identical to both the fold and the crossJoin
+    * path (same `vec_dot` accumulation, same constant-folded centroid
+    * norms, same (score desc, id asc) tie-break — spec-asserted at the
+    * 1024 bound).
     */
   def assignNearestInlined(df: DataFrame, cents: Seq[(Long, Seq[Double])],
       idCol: String, vecCol: String, outId: String, outVec: String): DataFrame = {
     require(cents.nonEmpty && cents.size <= 1024,
       s"inlined assignment wants a bounded centroid set (<= 1024), got ${cents.size}")
-    val v = col(outVec)
-    val na = sqrt(dot(v, v))
-    val terms = cents.map { case (cid, cv) =>
-      val cvLit = lit(cv.toArray)
-      struct((dot(v, cvLit) / (na * sqrt(dot(cvLit, cvLit)))).as("__s"),
-        lit(-cid).as("__nc"))
-    }
-    val best = if (terms.size == 1) terms.head else greatest(terms: _*)
+    val model = graft.functions.CentroidModel(cents)
+    import org.apache.spark.sql.GraftExpressionBridge
     df.select(col(idCol).as(outId), asDouble(col(vecCol)).as(outVec))
-      .withColumn("__b", best)
-      .select(col(outId), col(outVec), (-col("__b.__nc")).as("centroid_id"))
+      .withColumn("centroid_id", GraftExpressionBridge.column(
+        graft.functions.NearestCentroid(
+          GraftExpressionBridge.expression(col(outVec)), model)))
   }
 
   /** The PERSISTABLE inverted index (r18): every corpus vector assigned
-    * to its nearest centroid — `(centroid_id, item_id, item_vec)` rows, a
+    * to its nearest centroid — `(centroid_id, item_id, item_vec)` rows
+    * plus (r19) the build-time SALT columns `__salt`/`__nsalt`, a
     * zone-storable table. Building it is the expensive corpus-wide
     * assignment; [[ivfTopKServe]] then answers queries reading ONLY this
     * table — the production serving split (index built once per corpus
@@ -382,10 +384,72 @@ object SimOps {
     * family's 1024 bound (a ≤ 1025-row collect, the stream assigner's
     * own documented model-state budget); larger sets take the crossJoin
     * assigner — both produce the identical index.
+    *
+    * Salts (r19, VERDICT #1): the index persists the SAME oversized-list
+    * splitting the inline default ([[ivfTopKSalted]]) armors its join
+    * with — `__nsalt = ceil(est_size / maxList)` from the sampled size
+    * estimate, `__salt = hash(item) % __nsalt` — so the SERVE join fans
+    * probes across bounded sub-lists instead of re-creating the r7
+    * 15x-task-skew join on hot inverted lists. Salt columns shape task
+    * sizes only, never results (the candidate set is identical); an
+    * index built by an older writer without them still serves through
+    * the plain join.
     */
   def ivfIndex(corpus: DataFrame, centroids: DataFrame,
-      idCol: String, vecCol: String): DataFrame =
-    assignNearestAdaptive(corpus, centroids, idCol, vecCol, "item_id", "item_vec")
+      idCol: String, vecCol: String,
+      maxList: Int = 4096, sizeSampleRate: Double = 0.1): DataFrame = {
+    val assigned = assignNearestAdaptive(corpus, centroids, idCol, vecCol,
+      "item_id", "item_vec")
+    val salts = listSaltCounts(corpus, centroids, idCol, vecCol,
+      maxList, sizeSampleRate)
+    assigned.join(broadcast(salts), Seq("centroid_id"), "left")
+      .withColumn("__nsalt", coalesce(col("__nsalt"), lit(1)))
+      .withColumn("__salt", pmod(hash(col("item_id")), col("__nsalt")))
+  }
+
+  /** Re-salt a (possibly segment-folded) [[ivfIndex]] from EXACT list
+    * sizes (r19 — the compaction-time rebalance): the fold already scans
+    * every row, so widths come from a real count instead of the build's
+    * sample, and rows re-key `hash(item) % nsalt` at the combined size.
+    * Results are salt-invariant by construction; only task shaping
+    * changes. The width aggregate is map-side combinable to |centroids|
+    * rows and broadcast back.
+    */
+  def resaltIndex(index: DataFrame, maxList: Int = 4096): DataFrame = {
+    require(maxList > 0, s"maxList must be positive, got $maxList")
+    val widths = index.groupBy("centroid_id")
+      .agg(greatest(ceil(count(lit(1)) / lit(maxList.toDouble)), lit(1.0))
+        .cast("int").as("__nsalt"))
+    index.drop("__salt", "__nsalt")
+      .join(broadcast(widths), Seq("centroid_id"), "left")
+      .withColumn("__nsalt", coalesce(col("__nsalt"), lit(1)))
+      .withColumn("__salt", pmod(hash(col("item_id")), col("__nsalt")))
+  }
+
+  /** Per-centroid salt counts from a deterministic hash-SAMPLE of the
+    * assignment, scaled back up (the [[ivfTopKSalted]] estimator,
+    * factored out in r19 so the persistable index build shares it):
+    * `ceil(estimated_list_size / maxList)`, minimum 1. Estimates shape
+    * task sizes only, never results — see the salting scaladoc.
+    */
+  private def listSaltCounts(corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, maxList: Int,
+      sizeSampleRate: Double): DataFrame = {
+    require(maxList > 0, s"maxList must be positive, got $maxList")
+    require(sizeSampleRate > 0 && sizeSampleRate <= 1.0,
+      s"sizeSampleRate must be in (0, 1], got $sizeSampleRate")
+    val sampleMod = math.max(1, math.round(1.0 / sizeSampleRate).toInt)
+    val sampled =
+      if (sampleMod == 1) corpus
+      else corpus.filter(pmod(hash(col(idCol)), lit(sampleMod)) === 0)
+    assignNearestAdaptive(sampled, centroids, idCol, vecCol,
+      "item_id", "item_vec")
+      .groupBy("centroid_id")
+      .agg((count(lit(1)) * sampleMod).as("__n_est"))
+      .select(col("centroid_id"),
+        greatest(ceil(col("__n_est") / lit(maxList.toDouble)), lit(1.0))
+          .cast("int").as("__nsalt"))
+  }
 
   /** keep=1 assignment, adaptively inlined: a ≤ 1025-row probe collect
     * (the stream assigner's own documented model-state budget) routes
@@ -414,16 +478,44 @@ object SimOps {
     * exact-cosine rerank. Result-identical to [[ivfTopK]] over the same
     * corpus/centroids — the SAME oracle pins it — but the corpus-wide
     * assignment never re-runs at query time.
+    *
+    * Skew armor (r19, VERDICT #1): when the index carries the persisted
+    * `__salt` column, each probe fans out to ALL of its probed
+    * centroid's salts and the list join keys on `(centroid_id, __salt)`
+    * — the inline salted plan's discipline, now on the production
+    * serving path, so a query batch past the broadcast threshold meets
+    * bounded sub-lists instead of the r7 unsalted join's 15x hot-list
+    * task skew. Fan-out widths come from `salts` (the tiny
+    * `(centroid_id, __nsalt)` table a stored deployment persists beside
+    * the index) or, when absent, from a column-pruned combinable
+    * aggregate over the index itself. Candidate set — and therefore
+    * results — identical to the unsalted join (same oracle); a salt-less
+    * index serves through the plain join unchanged.
     */
   def ivfTopKServe(index: DataFrame, centroids: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int, nprobe: Int,
+      salts: Option[DataFrame] = None): DataFrame = {
     val cent = broadcast(centroids.select(
       col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("centroid_vec")))
     val probes = assignToCentroids(queries, cent, idCol, vecCol,
       "query_id", "query_vec", keep = nprobe)
+    val joined =
+      if (index.columns.contains("__salt")) {
+        // one row per centroid, fanning to the MAX persisted width: an
+        // appended index's segments can carry DIFFERING per-segment
+        // widths, and every row's __salt < its own __nsalt <= max, so
+        // the max fan-out matches each row exactly once (duplicate
+        // salt-map rows would duplicate candidates and corrupt ranks)
+        val saltMap = broadcast(salts.getOrElse(index)
+          .groupBy("centroid_id").agg(max(col("__nsalt")).as("__nsalt")))
+        probes.join(saltMap, Seq("centroid_id"), "left")
+          .withColumn("__salt",
+            explode(sequence(lit(0), coalesce(col("__nsalt"), lit(1)) - 1)))
+          .drop("__nsalt")
+          .join(index.drop("__nsalt"), Seq("centroid_id", "__salt"))
+      } else probes.join(index, "centroid_id")
     val w = Window.partitionBy(col("query_id")).orderBy(desc("sim"), col("item_id"))
-    probes
-      .join(index, "centroid_id")
+    joined
       .filter(col("query_id") =!= col("item_id"))
       .withColumn("sim", cosine(col("query_vec"), col("item_vec")))
       .withColumn("rk", row_number().over(w))
@@ -492,9 +584,6 @@ object SimOps {
       nprobe: Int,
       maxList: Int = 4096,
       sizeSampleRate: Double = 0.1): DataFrame = {
-    require(maxList > 0, s"maxList must be positive, got $maxList")
-    require(sizeSampleRate > 0 && sizeSampleRate <= 1.0,
-      s"sizeSampleRate must be in (0, 1], got $sizeSampleRate")
     val cent = broadcast(centroids.select(
       col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("centroid_vec")))
     // the corpus-wide keep=1 assignments route through the inlined fold
@@ -503,16 +592,8 @@ object SimOps {
     // dominated, 8.6x on the index build) — identical lists either way
     val inverted = assignNearestAdaptive(corpus, centroids, idCol, vecCol,
       "item_id", "item_vec")
-    val sampleMod = math.max(1, math.round(1.0 / sizeSampleRate).toInt)
-    val sampled =
-      if (sampleMod == 1) corpus
-      else corpus.filter(pmod(hash(col(idCol)), lit(sampleMod)) === 0)
-    val salts = assignNearestAdaptive(sampled, centroids, idCol, vecCol,
-      "item_id", "item_vec")
-      .groupBy("centroid_id")
-      .agg((count(lit(1)) * sampleMod).as("__n_est"))
-      .select(col("centroid_id"),
-        greatest(ceil(col("__n_est") / lit(maxList.toDouble)), lit(1.0)).cast("int").as("__nsalt"))
+    val salts = listSaltCounts(corpus, centroids, idCol, vecCol,
+      maxList, sizeSampleRate)
     val nsalt = coalesce(col("__nsalt"), lit(1))
     val invSalted = inverted.join(broadcast(salts), Seq("centroid_id"), "left")
       .withColumn("__salt", pmod(hash(col("item_id")), nsalt))
@@ -623,23 +704,21 @@ object SimOps {
     * so no sqrt-normalization pass is needed. Empty clusters drop
     * (standard Lloyd behavior; the trained set can only shrink).
     *
-    * Scale shape: broadcast centroids, one row_number window per vector
-    * (bounded by |centroids|), one combinable decimal aggregate per
+    * Scale shape: the keep=1 assignment through the adaptive inlined
+    * fold (r19 — no scored-pair materialization within the family's
+    * 1024-centroid bound), one combinable decimal aggregate per
     * (centroid, dim); the array re-assembly touches |centroids| * dim rows
     * only. Measured on the synthetic embeddings: IVF recall@5 0.22 -> 0.29
-    * after one step; a second step adds nothing.
+    * after one step (see `sim_ivf_trained_k3` for the full trajectory).
     */
   def lloydIteration(vectors: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String): DataFrame = {
-    val cent = broadcast(centroids.select(
-      col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("centroid_vec")))
-    val w = Window.partitionBy(col("__vid")).orderBy(desc("__csim"), col("centroid_id"))
-    vectors
-      .select(col(idCol).as("__vid"), asDouble(col(vecCol)).as("__v"))
-      .crossJoin(cent)
-      .withColumn("__csim", cosine(col("__v"), col("centroid_vec")))
-      .withColumn("__crk", row_number().over(w))
-      .filter(col("__crk") === 1)
+    // the keep=1 assignment routes through the adaptive inlined fold
+    // (r19): identical pick to the crossJoin + window form — same cosine
+    // DAG with the centroid side constant-folded, same (sim desc, id
+    // asc) tie-break — without materializing the scored-pair rows, so a
+    // training ROUND costs what one index build costs
+    assignNearestAdaptive(vectors, centroids, idCol, vecCol, "__vid", "__v")
       .select(col("centroid_id"), posexplode(col("__v")).as(Seq("pos0", "__x")))
       .groupBy(col("centroid_id"), col("pos0"))
       .agg(sum(quantUnits(col("__x"), 1e6)).as("__s"), count(lit(1)).as("__n"))
@@ -1240,26 +1319,22 @@ object SimOps {
   def mapSideAssign(df: DataFrame, cents: Seq[(Long, Seq[Double])],
       vecCol: String): DataFrame = {
     require(cents.nonEmpty, "mapSideAssign needs at least one centroid")
-    val v = asDouble(col(vecCol))
-    val structs = cents.map { case (cid, cv) =>
-      // the centroid's quantized self-dot folds on the DRIVER in exact
-      // LONG arithmetic — the identical integer the engine-side
-      // vec_qdot(c, c) would produce, so sqrt(lit(...)) is bit-equal to
-      // the batch assigner's sqrt(qdot(c,c)) and the stream==batch
-      // equivalence is by construction, not by accumulation-order luck
-      val qc = cv.map(x => math.floor(x * 1e6 + 0.5).toLong)
-      val qnormC = math.sqrt(qc.foldLeft(0L)((acc, q) => acc + q * q).toDouble)
-      val cosv = qdot(v, array(cv.map(lit): _*)).cast("double") /
-        (sqrt(qdot(v, v).cast("double")) * lit(qnormC))
-      // rank by the micro-quantized LONG first (same key as the batch
-      // assigner's quantize-before-rank window), centroid id breaks ties
-      struct(quantMicro(cosv).as("__csq"), lit(-cid).as("__ncid"),
-        cosv.as("__csim"))
-    }
-    val best = if (structs.size == 1) structs.head else greatest(structs: _*)
-    df.withColumn("__best", best)
-      .withColumn("centroid_id", -col("__best.__ncid"))
-      .withColumn("cent_sim", col("__best.__csim"))
+    // r19: the argmax evaluates through the native exact-kernel
+    // [[graft.functions.QNearestCentroid]] expression — constant-size
+    // generated code instead of one greatest() literal term per centroid
+    // (which Janino refuses at the family's 1024 bound, the raw-double
+    // twin's spec-proven failure). The model pre-folds each centroid's
+    // quantized self-dot on the DRIVER in exact LONG arithmetic — the
+    // identical integer the engine-side vec_qdot(c, c) would produce —
+    // and the per-row score/key/tie-break replay the fold bit for bit
+    // (quantize-before-rank LONG key, centroid-id tie, sim payload).
+    val model = graft.functions.QCentroidModel(cents)
+    import org.apache.spark.sql.GraftExpressionBridge
+    df.withColumn("__best", GraftExpressionBridge.column(
+        graft.functions.QNearestCentroid(
+          GraftExpressionBridge.expression(asDouble(col(vecCol))), model)))
+      .withColumn("centroid_id", col("__best.centroid_id"))
+      .withColumn("cent_sim", col("__best.cent_sim"))
       .drop("__best")
   }
 

@@ -396,6 +396,40 @@ object SketchOps {
     expr(s"bloom_might_contain($valueCol, '$key')")
   }
 
+  /** Resolve a SHARD-ROUTED `(shard, word, bits)` state
+    * ([[bloomBitsRouted]]) into its serving-path predicate (r19, VERDICT
+    * #6): the whole multi-shard state collects into ONE shard-major
+    * array (`words × nShards` longs, slice s at `[s*words, (s+1)*words)`)
+    * riding one persistent Spark `Broadcast`, and the returned Column is
+    * one `bloom_might_contain` projection that routes each probe by the
+    * build's own shard hash to its slice — NO state join in the plan at
+    * all. Executor memory holds the array once (`nShards ×` the flat
+    * budget, fetched through the broadcast machinery on first use),
+    * instead of the join form re-shipping the full state as a per-query
+    * broadcast exchange. Verdicts are bit-identical to
+    * [[bloomProbeRouted]] over the same state (spec-certified).
+    */
+  def bloomServingFilterRouted(s: org.apache.spark.sql.SparkSession,
+      state: DataFrame, nShards: Int, words: Int, valueCol: String,
+      k: Int = 4, reuseKey: Option[String] = None): Column = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val arr = new Array[Long](words * nShards)
+    import org.apache.spark.sql.Encoders
+    val it = state
+      .select(col("shard").cast("int"), col("word").cast("int"), col("bits"))
+      .as[(Int, Int, Long)](Encoders.tuple(
+        Encoders.scalaInt, Encoders.scalaInt, Encoders.scalaLong))
+      .toLocalIterator()
+    while (it.hasNext) {
+      val swb = it.next(); arr(swb._1 * words + swb._2) = swb._3
+    }
+    val bc = s.sparkContext.broadcast(arr)
+    val key = reuseKey.getOrElse(s"bloom_serving_${servingKeys.incrementAndGet()}")
+    graft.functions.BloomMightContain.register(key,
+      graft.functions.BloomHandle(bc, k, nShards))
+    expr(s"bloom_might_contain($valueCol, '$key')")
+  }
+
   /** SHARD-ROUTED Bloom build (r18 — capacity past the single-state cap):
     * one `(shard, word, bits)` state holding `nShards` independent
     * filters over hash-disjoint slices of the values

@@ -486,10 +486,18 @@ object LifecycleQueries {
     graft.io.StoreVacuum.Family("bpe", LlmQueries.BpeStoreGen),
     graft.io.StoreVacuum.Family("bkt", EventQueries.BktStoreGen))
 
-  /** Soak scratch purposes safe to retire wholesale: written only by the
-    * standalone soak mains, never read by a registered query or memo.
+  /** Purposes safe to retire wholesale: soak scratch written only by the
+    * standalone soak mains, plus (r19, VERDICT #2) the ANN serving-tier
+    * scratch purposes — `ivfgrow_*` / `ivfcomp_*` / `annserve_*` are
+    * rebuilt unconditionally at the START of every invocation of their
+    * owning entry (no cross-invocation read precedes a write), so a
+    * long-lived warehouse no longer accumulates one serving tier per
+    * dataset forever. The per-JVM memoized index tables
+    * (`ivf_index_*` in the `dedup` purpose) stay out: `dedup` is shared
+    * unversioned scratch the vacuum must never touch.
     */
-  def ephemeralPurposes: Seq[String] = Seq("compactsoak")
+  def ephemeralPurposes: Seq[String] =
+    Seq("compactsoak", "ivfgrow", "ivfcomp", "annserve")
 
   /** Artifact-store retention (r17, VERDICT "next round" #4): vacuum the
     * REAL warehouse — superseded generations of every registered family

@@ -65,6 +65,81 @@ object AnnServeSoak {
         s"serve diverged from inline at scale $scale: ($rs,$ss) vs ($ri,$si)")
       println(f"""{"scale":$scale,"n_vectors":$n,"n_centroids":${cents.count()},"inline_sec":$tInline%.2f,"index_build_sec":$tBuild%.2f,"serve_sec":$tServe%.2f,"topk_rows":$ri}""")
     }
+    // ---- hot-centroid serve skew (r19, VERDICT #1) ----------------------
+    // One centroid owns ~10% of the 100x corpus: every 10th vector is an
+    // exact copy of one centroid direction (cosine is scale-invariant, so
+    // the copies all assign there), giving a ~20k-row inverted list. The
+    // serve join runs twice from the SAME stored index: through the
+    // persisted __salt key (the r19 armor — the hot list splits into
+    // ceil(20k/4096) bounded sub-lists and probes fan out), and through a
+    // salt-STRIPPED copy (the r18 unsalted join — the whole hot list is
+    // one task). Half the query batch probes the hot centroid. Result
+    // equality REQUIRED; per-stage max/median task-duration skew reported
+    // for both.
+    locally {
+      val OFF = 10000000L
+      val durations = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]()
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskInfo != null) durations.add((t.stageId, t.taskInfo.duration))
+      })
+      def worstSkew(): (Double, Int) = {
+        import scala.jdk.CollectionConverters._
+        val byStage = durations.asScala.toSeq.groupBy(_._1).view.mapValues(_.map(_._2))
+        val candidates = byStage.filter { case (_, ds) => ds.size >= 8 && ds.max >= 200 }
+        if (candidates.isEmpty) (1.0, -1)
+        else {
+          val (stage, ds) = candidates.maxBy { case (_, ds) =>
+            val sorted = ds.sorted; ds.max.toDouble / math.max(sorted(ds.size / 2), 1L)
+          }
+          val sorted = ds.sorted
+          (ds.max.toDouble / math.max(sorted(ds.size / 2), 1L), stage)
+        }
+      }
+      val corpusRep = base.crossJoin(spark.range(0, 100).select(col("id").as("__rep")))
+        .select((col("vec_id") + col("__rep") * OFF).as("vec_id"), col("embedding"))
+        .localCheckpoint(true)
+      val stride = graft.ops.SimOps.sqrtStride(corpusRep.count())
+      val hotVec = corpusRep.filter(col("vec_id") % stride === lit(25L % stride))
+        .orderBy("vec_id").limit(1)
+        .select(transform(col("embedding"), _.cast("double"))).head().getSeq[Double](0)
+      val corpusHot = corpusRep.select(col("vec_id"),
+        when(col("vec_id") % 10 === 5, lit(hotVec.toArray)).otherwise(
+          transform(col("embedding"), _.cast("double"))).as("embedding"))
+        .localCheckpoint(true)
+      val cents = corpusHot.filter(col("vec_id") % stride === lit(25L % stride))
+        .localCheckpoint(true)
+      val queries = base.filter(col("vec_id") % 100 === 0).limit(10)
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("embedding"))
+        .unionByName(spark.range(0, 10).select(
+          (col("id") + 990000000L).as("vec_id"), lit(hotVec.toArray).as("embedding")))
+        .localCheckpoint(true)
+      val zones = graft.io.Zones.forPurpose("annsoak_hot")
+      zones.write(graft.ops.SimOps.ivfIndex(corpusHot, cents, "vec_id", "embedding"),
+        "work", "index")
+      val index = zones.read(spark, "work", "index")
+      val hotList = index.groupBy("centroid_id").count()
+        .agg(max("count")).head().getLong(0)
+      def time[A](f: => A): (A, Double) = {
+        val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+      }
+      def stats(df: DataFrame): (Long, Long) = {
+        val r = df.agg(count(lit(1)), sum(col("item_id"))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      durations.clear()
+      val ((rSalt, sSalt), tSalt) = time(stats(graft.ops.SimOps.ivfTopKServe(
+        index, cents, queries, "vec_id", "embedding", k = 5, nprobe = 2)))
+      val (skewSalt, stageSalt) = worstSkew()
+      durations.clear()
+      val ((rFlat, sFlat), tFlat) = time(stats(graft.ops.SimOps.ivfTopKServe(
+        index.drop("__salt", "__nsalt"), cents, queries,
+        "vec_id", "embedding", k = 5, nprobe = 2)))
+      val (skewFlat, stageFlat) = worstSkew()
+      require(rSalt == rFlat && sSalt == sFlat,
+        s"salted serve diverged from unsalted: ($rSalt,$sSalt) vs ($rFlat,$sFlat)")
+      println(f"""{"mode":"hot_centroid_100x","hot_list":$hotList,"salted_serve_sec":$tSalt%.2f,"salted_skew":$skewSalt%.1f,"salted_skew_stage":$stageSalt,"unsalted_serve_sec":$tFlat%.2f,"unsalted_skew":$skewFlat%.1f,"unsalted_skew_stage":$stageFlat,"topk_rows":$rSalt}""")
+    }
     spark.stop()
   }
 }

@@ -59,6 +59,29 @@ object VacuumSoak {
     // retire the soak family: vacuum at a generation that owns nothing on
     // disk, so every written generation is superseded
     graft.io.StoreVacuum.vacuum(spark, root, Seq(fam(11)))
+    // (r19, VERDICT #2) the ANN serving-tier purposes are DECLARED
+    // ephemeral (rebuilt unconditionally at each owning entry's start):
+    // stage one zone dir per serving purpose plus a `dedup`-purpose
+    // table beside them, vacuum with the real registry, and REQUIRE the
+    // serving dirs retired while the shared unversioned `dedup` scratch
+    // (which hosts the per-JVM memoized ivf_index tables) survives
+    locally {
+      for (p <- Seq("ivfgrow_soak", "ivfcomp_soak", "annserve_soak"))
+        graft.io.Zones.forPurpose(p).write(
+          spark.range(0, 10).toDF("v"), "work", "probe")
+      graft.io.Zones.forPurpose("dedup").write(
+        spark.range(0, 10).toDF("v"), "work", "vacsoak_probe")
+      val dropped = graft.io.StoreVacuum.vacuum(spark, root,
+        graft.queries.LifecycleQueries.storeFamilies,
+        graft.queries.LifecycleQueries.ephemeralPurposes)
+      val live = graft.io.StoreVacuum.listPurposes(spark, root)
+      require(Seq("ivfgrow_soak", "ivfcomp_soak", "annserve_soak")
+          .forall(p => dropped.contains(p) && !live.contains(p)),
+        s"serving-tier ephemeral purposes not retired: dropped=$dropped live=$live")
+      require(live.contains("dedup"),
+        s"the shared dedup scratch must survive the vacuum: $live")
+      println(s"""{"mode":"serving_tier_ephemeral","dropped":[${dropped.map("\"" + _ + "\"").mkString(",")}],"dedup_survives":true}""")
+    }
     // the REAL warehouse: retire superseded generations of the registered
     // families (dry-run listing printed, then applied)
     val fams = graft.queries.LifecycleQueries.storeFamilies

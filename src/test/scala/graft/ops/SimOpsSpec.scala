@@ -82,4 +82,85 @@ class SimOpsSpec extends SparkSpec {
     // bucket of [1,0,0] contains near-dup 2 but not orthogonal/opposite vectors
     assert(items.contains(2L) && !items.contains(4L))
   }
+
+  test("assignNearestInlined at the full 1024-centroid bound: codegen survives, picks match the crossJoin argmax") {
+    // r19 (VERDICT #5): the inlined fold was only soak-measured to 400
+    // centroids; at the family's hard 1024 bound the single greatest()
+    // projection over 1024 struct terms × 64-double literals could trip
+    // Janino's 64KB method limit and silently fall back to interpreted
+    // eval — correct, but forfeiting exactly the win the fold exists
+    // for. This plans the FULL bound, compiles the generated code, and
+    // asserts (a) the projection sits inside WholeStageCodegen, (b) no
+    // generated method reaches the hugeMethodLimit fallback threshold,
+    // (c) the picks are identical to the crossJoin argmax.
+    val dim = 64
+    val cents: Seq[(Long, Seq[Double])] = (0 until 1024).map { c =>
+      (c.toLong, (0 until dim).map(j => math.sin(c * 0.37 + j * 1.13) + 1.5))
+    }
+    val corpus = spark.range(0, 50).select(col("id"),
+      array((0 until dim).map(j =>
+        sin(col("id") * lit(0.71) + lit(j * 0.29)) + lit(1.5)): _*).as("vec"))
+    val assigned = SimOps.assignNearestInlined(
+      corpus, cents, "id", "vec", "item_id", "item_vec")
+    val planStr = assigned.queryExecution.executedPlan.toString
+    assert(raw"\*\(\d+\) Project".r.findFirstIn(planStr).isDefined,
+      s"the inlined argmax projection fell out of whole-stage codegen:\n$planStr")
+    val stats = org.apache.spark.sql.execution.debug
+      .codegenStringSeq(assigned.queryExecution.executedPlan)
+    assert(stats.nonEmpty, "no whole-stage codegen subtree compiled")
+    stats.foreach { case (subtree, _, st) =>
+      // WholeStageCodegenExec falls back to interpreted execution when
+      // the largest compiled method reaches spark.sql.codegen.
+      // hugeMethodLimit (default 65535 — the JVM hard cap)
+      assert(st.maxMethodCodeSize > 0 && st.maxMethodCodeSize < 65535,
+        s"generated method size ${st.maxMethodCodeSize} would trip the " +
+          s"huge-method fallback in subtree:\n$subtree")
+    }
+    // bit-identity of the picks vs the materialized crossJoin argmax
+    val centDf = cents.toDF("centroid_id", "cvec")
+    val ref = corpus.crossJoin(broadcast(centDf))
+      .withColumn("__csim", SimOps.cosine(col("vec"), col("cvec")))
+      .groupBy(col("id"))
+      .agg(max(struct(col("__csim").as("s"), (-col("centroid_id")).as("nc"))).as("b"))
+      .select(col("id").as("item_id"), (-col("b.nc")).as("ref_centroid"))
+    val diff = assigned.join(ref, "item_id")
+      .filter(col("centroid_id") =!= col("ref_centroid")).count()
+    assert(diff == 0L, s"inlined picks diverged from the crossJoin argmax on $diff rows")
+  }
+
+  test("mapSideAssign at the full 1024-centroid bound: codegen survives, picks match the quantized crossJoin argmax") {
+    // the exact-kernel twin of the test above (r19): the SemDeDup-family
+    // fold had the same linear-codegen failure class at the bound
+    val dim = 64
+    val cents: Seq[(Long, Seq[Double])] = (0 until 1024).map { c =>
+      (c.toLong, (0 until dim).map(j => math.sin(c * 0.53 + j * 0.91)))
+    }
+    val corpus = spark.range(0, 50).select(col("id"),
+      array((0 until dim).map(j =>
+        sin(col("id") * lit(0.37) + lit(j * 0.61))): _*).as("vec"))
+    val assigned = SimOps.mapSideAssign(corpus, cents, "vec")
+    val planStr = assigned.queryExecution.executedPlan.toString
+    assert(raw"\*\(\d+\) Project".r.findFirstIn(planStr).isDefined,
+      s"the quantized argmax projection fell out of whole-stage codegen:\n$planStr")
+    val stats = org.apache.spark.sql.execution.debug
+      .codegenStringSeq(assigned.queryExecution.executedPlan)
+    assert(stats.nonEmpty, "no whole-stage codegen subtree compiled")
+    stats.foreach { case (subtree, _, st) =>
+      assert(st.maxMethodCodeSize > 0 && st.maxMethodCodeSize < 65535,
+        s"generated method size ${st.maxMethodCodeSize} would trip the " +
+          s"huge-method fallback in subtree:\n$subtree")
+    }
+    val centDf = cents.toDF("cid", "cvec")
+    val ref = corpus.crossJoin(broadcast(centDf))
+      .withColumn("__k", SimOps.quantMicro(
+        SimOps.qdot(col("vec"), col("cvec")).cast("double") /
+          (sqrt(SimOps.qdot(col("vec"), col("vec")).cast("double")) *
+            sqrt(SimOps.qdot(col("cvec"), col("cvec")).cast("double")))))
+      .groupBy(col("id"))
+      .agg(max(struct(col("__k"), (-col("cid")).as("nc"))).as("b"))
+      .select(col("id"), (-col("b.nc")).as("ref_centroid"))
+    val diff = assigned.join(ref, "id")
+      .filter(col("centroid_id") =!= col("ref_centroid")).count()
+    assert(diff == 0L, s"quantized picks diverged from the crossJoin argmax on $diff rows")
+  }
 }

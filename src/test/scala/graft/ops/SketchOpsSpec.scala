@@ -217,10 +217,39 @@ class SketchOpsSpec extends SparkSpec {
     val sample = serving.limit(200).collect()
     sample.foreach { r =>
       val expected = graft.functions.BloomMightContain.contains(
-        arr, 4, org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(1)))
+        arr, 4, 1, org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(1)))
       assert((r.getLong(2) == 1L) == expected,
         s"interpreted helper diverged on ${r.getString(1)}")
     }
+  }
+
+  test("sharded serving filter matches the routed join probe row for row") {
+    import org.apache.spark.sql.functions._
+    // tight sizing on purpose (see the flat serving/join test): the FP
+    // band is wide, so equality is exercised on true positives,
+    // negatives, AND false positives — and the routed FP pattern differs
+    // from the flat filter's (sparser per-shard slices), so only a
+    // bit-faithful shard-slice replay passes
+    val words = 256
+    val nShards = 4
+    val corpus = spark.range(0, 3000).select(concat(lit("doc_"), col("id")).as("v"))
+    val state = SketchOps.bloomBitsRouted(corpus, col("v"), nShards, words = words)
+    val probes = spark.range(0, 3000, 3)
+      .select(col("id"), concat(lit("doc_"), col("id")).as("v"))
+      .unionByName(spark.range(50000, 53000)
+        .select(col("id"), concat(lit("nope_"), col("id")).as("v")))
+    val joinVerdicts = SketchOps.bloomProbeRouted(
+      probes, "id", col("v"), state, nShards, words = words)
+    val serving = probes.withColumn("fast",
+      SketchOps.bloomServingFilterRouted(spark, state, nShards, words, "v",
+        reuseKey = Some("spec_routed")).cast("long"))
+    val diff = joinVerdicts.join(serving, Seq("id"))
+      .filter(col("bloom_positive") =!= col("fast")).count()
+    assert(diff == 0L, s"sharded serving probe diverged from the routed join probe on $diff rows")
+    // no false negatives shard-locally: every member probes positive
+    val memberMiss = serving.filter(col("v").startsWith("doc_") && col("fast") === 0L).count()
+    assert(memberMiss == 0L, s"$memberMiss members probed negative through the sharded serving filter")
+    graft.functions.BloomMightContain.release("spec_routed")
   }
 
   test("serving-filter reuseKey retires with a one-generation lag and release() drops the entry") {

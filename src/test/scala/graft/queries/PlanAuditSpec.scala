@@ -58,21 +58,28 @@ class PlanAuditSpec extends SparkSpec {
     }
     // the STORED-index serve (r18) must read the persisted inverted
     // lists, not re-run the corpus-wide assignment: the plan scans the
-    // ivf_index zone table and joins it by centroid_id
+    // ivf_index zone table and joins it by centroid_id — and (r19,
+    // VERDICT #1) the list join must key on the PERSISTED __salt beside
+    // centroid_id, the skew armor that bounds hot-list task width when
+    // the probe side outgrows the broadcast threshold
     locally {
       val p = plan("sim_ivf_stored_serve")
       assert(p.contains("ivf_index_"),
         s"stored serve lost its persisted-index scan:\n$p")
+      assert(raw"Join \[centroid_id#\d+L?, __salt#\d+".r.findFirstIn(p).isDefined,
+        s"stored serve lost the salted list-join key:\n$p")
     }
-    // the ROUTED entry (r18) keys its state join on (shard, word) — same
-    // broadcast discipline, shard leading the key
+    // the ROUTED entry (r19, VERDICT #6): the probe is a PURE PROJECTION
+    // through the shard-major serving array — NO state join of any kind
+    // remains in the plan (the r18 form broadcast the whole multi-shard
+    // state per query, ×nShards the flat budget per exchange)
     locally {
       val p = plan("corpus_batch_admit_bloom_routed")
-      assert(!raw"SortMergeJoin \[shard".r.findFirstIn(p).isDefined &&
-        !raw"ShuffledHashJoin \[shard".r.findFirstIn(p).isDefined,
-        s"routed entry shuffles the bloom state join:\n$p")
-      assert(raw"BroadcastHashJoin \[shard".r.findFirstIn(p).isDefined,
-        s"routed entry lost its broadcast state join:\n$p")
+      for (j <- Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+        assert(!raw"$j \[(shard|word)".r.findFirstIn(p).isDefined,
+          s"routed entry re-grew a bloom state join ($j):\n$p")
+      assert(p.contains("bloom_might_contain"),
+        s"routed entry lost its serving-form projection:\n$p")
       assert(!p.contains("CartesianProduct"), "routed entry grew an all-pairs path")
     }
   }
