@@ -96,6 +96,16 @@ object AnnServeSoak {
           (ds.max.toDouble / math.max(sorted(ds.size / 2), 1L), stage)
         }
       }
+      /** Longest single task since the last clear — the DIRECT form of
+        * the bounded-list claim (a compute-heavy hot partition is small
+        * in BYTES, so AQE coalescing can leave its stage under the
+        * ≥8-task skew filter while one task still owns the whole list).
+        */
+      def maxTaskMs(): Long = {
+        import scala.jdk.CollectionConverters._
+        val ds = durations.asScala.toSeq.map(_._2)
+        if (ds.isEmpty) 0L else ds.max
+      }
       val corpusRep = base.crossJoin(spark.range(0, 100).select(col("id").as("__rep")))
         .select((col("vec_id") + col("__rep") * OFF).as("vec_id"), col("embedding"))
         .localCheckpoint(true)
@@ -109,9 +119,13 @@ object AnnServeSoak {
         .localCheckpoint(true)
       val cents = corpusHot.filter(col("vec_id") % stride === lit(25L % stride))
         .localCheckpoint(true)
+      // 500 of the 510 queries probe the hot centroid: the unsalted join
+      // concentrates 500 probes x the full hot list into ONE task (the
+      // r7 skew shape); the salted join spreads them across the list's
+      // ceil(size/4096) sub-lists
       val queries = base.filter(col("vec_id") % 100 === 0).limit(10)
         .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("embedding"))
-        .unionByName(spark.range(0, 10).select(
+        .unionByName(spark.range(0, 500).select(
           (col("id") + 990000000L).as("vec_id"), lit(hotVec.toArray).as("embedding")))
         .localCheckpoint(true)
       val zones = graft.io.Zones.forPurpose("annsoak_hot")
@@ -127,18 +141,36 @@ object AnnServeSoak {
         val r = df.agg(count(lit(1)), sum(col("item_id"))).head()
         (r.getLong(0), r.getLong(1))
       }
-      durations.clear()
-      val ((rSalt, sSalt), tSalt) = time(stats(graft.ops.SimOps.ivfTopKServe(
-        index, cents, queries, "vec_id", "embedding", k = 5, nprobe = 2)))
-      val (skewSalt, stageSalt) = worstSkew()
-      durations.clear()
-      val ((rFlat, sFlat), tFlat) = time(stats(graft.ops.SimOps.ivfTopKServe(
-        index.drop("__salt", "__nsalt"), cents, queries,
-        "vec_id", "embedding", k = 5, nprobe = 2)))
-      val (skewFlat, stageFlat) = worstSkew()
-      require(rSalt == rFlat && sSalt == sFlat,
-        s"salted serve diverged from unsalted: ($rSalt,$sSalt) vs ($rFlat,$sFlat)")
-      println(f"""{"mode":"hot_centroid_100x","hot_list":$hotList,"salted_serve_sec":$tSalt%.2f,"salted_skew":$skewSalt%.1f,"salted_skew_stage":$stageSalt,"unsalted_serve_sec":$tFlat%.2f,"unsalted_skew":$skewFlat%.1f,"unsalted_skew_stage":$stageFlat,"topk_rows":$rSalt}""")
+      // the skew this armor exists for appears when the probe side
+      // EXCEEDS the broadcast threshold (the r18 caveat: a 510-row batch
+      // broadcasts and the index merely streams — no per-centroid task
+      // concentration, both forms read skew 1.0). Disable broadcast for
+      // the two serves to reproduce the production shuffle-join regime
+      // at local scale; restore after.
+      val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevAqeThresh = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      try {
+        durations.clear()
+        val ((rSalt, sSalt), tSalt) = time(stats(graft.ops.SimOps.ivfTopKServe(
+          index, cents, queries, "vec_id", "embedding", k = 5, nprobe = 2)))
+        val (skewSalt, stageSalt) = worstSkew()
+        val maxSalt = maxTaskMs()
+        durations.clear()
+        val ((rFlat, sFlat), tFlat) = time(stats(graft.ops.SimOps.ivfTopKServe(
+          index.drop("__salt", "__nsalt"), cents, queries,
+          "vec_id", "embedding", k = 5, nprobe = 2)))
+        val (skewFlat, stageFlat) = worstSkew()
+        val maxFlat = maxTaskMs()
+        require(rSalt == rFlat && sSalt == sFlat,
+          s"salted serve diverged from unsalted: ($rSalt,$sSalt) vs ($rFlat,$sFlat)")
+        println(f"""{"mode":"hot_centroid_100x","hot_list":$hotList,"salted_serve_sec":$tSalt%.2f,"salted_skew":$skewSalt%.1f,"salted_skew_stage":$stageSalt,"salted_max_task_ms":$maxSalt,"unsalted_serve_sec":$tFlat%.2f,"unsalted_skew":$skewFlat%.1f,"unsalted_skew_stage":$stageFlat,"unsalted_max_task_ms":$maxFlat,"topk_rows":$rSalt}""")
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+        prevAqeThresh.foreach(
+          spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", _))
+      }
     }
     spark.stop()
   }
