@@ -172,9 +172,16 @@ object LlmQueries {
         scala.concurrent.Future { corpusMd5(s, d); corpusBloom(s, d) })),
       scala.concurrent.duration.Duration.Inf)
     finally pool.shutdown()
+    // (r19, VERDICT #4) the stored batch-1 admission verdicts are a
+    // shared artifact too (both delta-growth admission entries read
+    // them); built here — AFTER the stores it runs the gauntlet
+    // against — so their cost bills to the build entry instead of to
+    // whichever admission entry sorts first (corpus_batch_admit_compact
+    // was silently absorbing it)
+    seqB1Verdicts(s, d)
     import s.implicits._
-    Seq("corpus_bloom", "corpus_bloom_meta", "corpus_md5", "dedup_band_index",
-        "dedup_clusters", "gopher_gate")
+    Seq("admit_seq_v1", "corpus_bloom", "corpus_bloom_meta", "corpus_md5",
+        "dedup_band_index", "dedup_clusters", "gopher_gate")
       .toDF("table_name").coalesce(1).sortWithinPartitions("table_name")
   }
 
@@ -3739,9 +3746,9 @@ object LlmQueries {
     "corpus_gopher_gate" -> repGateOracle,
     "stream_gopher_gate" -> repGateOracle,
     "corpus_artifact_store_build" ->
-      """SELECT table_name FROM (VALUES ('corpus_bloom'), ('corpus_bloom_meta'),
-        |  ('corpus_md5'), ('dedup_band_index'), ('dedup_clusters'),
-        |  ('gopher_gate')) AS t(table_name) ORDER BY table_name""".stripMargin,
+      """SELECT table_name FROM (VALUES ('admit_seq_v1'), ('corpus_bloom'),
+        |  ('corpus_bloom_meta'), ('corpus_md5'), ('dedup_band_index'),
+        |  ('dedup_clusters'), ('gopher_gate')) AS t(table_name) ORDER BY table_name""".stripMargin,
     "dedup_semantic_trained" -> dedupSemanticTrainedOracle,
     "embed_kmeans_k64" -> embedKmeansK64Oracle,
     "dedup_semantic_k64" -> dedupSemanticK64Oracle,
