@@ -906,9 +906,11 @@ object SimOps {
       nprobe: Int = 2,
       pool: Int = 100,
       k: Int = 5): DataFrame = {
-    val cent = broadcast(centroids.select(
-      col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("centroid_vec")))
-    val inverted = assignToCentroids(corpus, cent, idCol, vecCol, "item_id", "item_vec", keep = 1)
+    // the corpus-wide keep=1 assignment routes through the adaptive
+    // native argmax (r19) — identical inverted lists, none of the
+    // crossJoin's scored-pair materialization
+    val inverted = assignNearestAdaptive(corpus, centroids, idCol, vecCol,
+      "item_id", "item_vec")
       .select(col("centroid_id"), col("item_id"))
     val cb = pqCodebook(corpus, idCol, vecCol, dim, m)
     val codes = pqCodes(corpus, idCol, vecCol, cb, dim, m).withColumnRenamed(idCol, "item_id")
@@ -1299,22 +1301,23 @@ object SimOps {
        |   AND p * 1024 >= least(($nExpr), CAST(1 AS BIGINT) << 40))""".stripMargin
 
   /** Map-side nearest-centroid assignment for STREAMS: the centroid set is
-    * bounded model state (passed in collected form), so the argmax folds
-    * into ONE `greatest(...)` projection per row — no window, no
-    * aggregation, exactly what Structured Streaming's
-    * single-stateful-aggregation budget requires. Bit-identical to the
-    * exact batch assigner ([[assignToCentroids]] with `exact = true`): the
-    * same [[qcosine]] DAG (the centroid's quantized self-dot pre-computed
-    * on the driver in exact LONG arithmetic) and the same
-    * (quantized sim desc, centroid id asc) tie-break, expressed as a
-    * struct max. Adds `centroid_id` and `cent_sim` to the frame.
+    * bounded model state (passed in collected form), so the argmax is
+    * ONE projection per row — no window, no aggregation, exactly what
+    * Structured Streaming's single-stateful-aggregation budget requires.
+    * Bit-identical to the exact batch assigner ([[assignToCentroids]]
+    * with `exact = true`): the same [[qcosine]] DAG (the centroid's
+    * quantized self-dot pre-computed on the driver in exact LONG
+    * arithmetic) and the same (quantized sim desc, centroid id asc)
+    * tie-break. Adds `centroid_id` and `cent_sim` to the frame.
     *
-    * Scale bound (honest): the centroid set inlines into the PLAN (one
-    * struct per centroid), so this is for model sizes that compile —
-    * hundreds of centroids, the streaming-micro-batch regime. A
-    * 16k-centroid model belongs on the batch path
-    * ([[semDedupAdmit]]/[[semDedup]]'s adaptive assigner), not in a
-    * per-row literal fold.
+    * Scale bound: the model rides the plan as ONE reference object
+    * (r19, [[graft.functions.QNearestCentroid]] — generated code is
+    * constant-size, so codegen no longer caps the model; the r18
+    * one-literal-term-per-centroid fold Janino-failed at 1024). The
+    * binding limit is now the DRIVER-side model budget — the family
+    * keeps the documented 1024-centroid rule (a ≤ 1025-row collect);
+    * a 16k-centroid model still belongs on the batch path
+    * ([[semDedupAdmit]]/[[semDedup]]'s adaptive assigner).
     */
   def mapSideAssign(df: DataFrame, cents: Seq[(Long, Seq[Double])],
       vecCol: String): DataFrame = {
