@@ -931,13 +931,27 @@ object SimOps {
   def ivfPqServe(inverted: DataFrame, codebook: DataFrame, codes: DataFrame,
       centroids: DataFrame, corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, dim: Int, m: Int = 8, nprobe: Int = 2,
-      pool: Int = 100, k: Int = 5): DataFrame = {
+      pool: Int = 100, k: Int = 5, salts: Option[DataFrame] = None): DataFrame = {
     val dsub = dim / m
     val cent = broadcast(centroids.select(
       col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("centroid_vec")))
     val cb = codebook
-    val probes = assignToCentroids(queries, cent, idCol, vecCol, "query_id", "query_vec", keep = nprobe)
+    val probes0 = assignToCentroids(queries, cent, idCol, vecCol, "query_id", "query_vec", keep = nprobe)
       .select(col("centroid_id"), col("query_id"))
+    // (r19) same skew armor as [[ivfTopKServe]]: when the inverted lists
+    // carry the persisted __salt, probes fan out and the candidate join
+    // keys on (centroid_id, __salt) — the pair-emit task over a hot list
+    // is width-bounded; candidate set identical either way
+    val salted = inverted.columns.contains("__salt")
+    val probes =
+      if (salted) {
+        val saltMap = broadcast(salts.getOrElse(inverted)
+          .groupBy("centroid_id").agg(max(col("__nsalt")).as("__nsalt")))
+        probes0.join(saltMap, Seq("centroid_id"), "left")
+          .withColumn("__salt",
+            explode(sequence(lit(0), coalesce(col("__nsalt"), lit(1)) - 1)))
+          .drop("__nsalt")
+      } else probes0
     // the per-query ADC distance table (nq * m * ksub rows — broadcastable)
     val qsub = queries
       .select(col(idCol).as("query_id"), explode(array((0 until m).map { s =>
@@ -950,7 +964,9 @@ object SimOps {
         floor(l2sq(col("qs"), col("cvec")) * lit(1000000.0) + lit(0.5))
           .cast("long").as("qdl"))
     // probe -> item-level candidates -> compressed-domain scan of the lists
-    val candidates = inverted.join(probes, Seq("centroid_id"))
+    val candidates = (if (salted)
+        inverted.drop("__nsalt").join(probes, Seq("centroid_id", "__salt"))
+      else inverted.join(probes, Seq("centroid_id")))
       .filter(col("query_id") =!= col("item_id"))
       .select(col("query_id"), col("item_id"))
     val wPool = Window.partitionBy(col("query_id")).orderBy(col("dl"), col("item_id"))

@@ -497,7 +497,7 @@ object LifecycleQueries {
     * unversioned scratch the vacuum must never touch.
     */
   def ephemeralPurposes: Seq[String] =
-    Seq("compactsoak", "ivfgrow", "ivfcomp", "annserve")
+    Seq("compactsoak", "annsoak", "ivfgrow", "ivfcomp", "annserve")
 
   /** Artifact-store retention (r17, VERDICT "next round" #4): vacuum the
     * REAL warehouse — superseded generations of every registered family

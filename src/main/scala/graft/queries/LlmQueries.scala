@@ -2024,11 +2024,12 @@ object LlmQueries {
     */
   val simIvfPqStoredServe: Q = (s, d) => {
     val e = t(s, d, "embeddings")
-    val (index, cents, _) = ivfStoredIndex(s, d)
+    val (index, cents, salts) = ivfStoredIndex(s, d)
     val (cb, codes) = pqStoredArtifacts(s, d)
-    SimOps.ivfPqServe(index.select("centroid_id", "item_id"), cb, codes, cents,
-      e, e.filter(col("vec_id") % 100 === 0),
-      "vec_id", "embedding", dim = 64, nprobe = 2)
+    SimOps.ivfPqServe(
+      index.select("centroid_id", "item_id", "__salt", "__nsalt"), cb, codes,
+      cents, e, e.filter(col("vec_id") % 100 === 0),
+      "vec_id", "embedding", dim = 64, nprobe = 2, salts = Some(salts))
       .orderBy("query_id", "rk")
   }
 

@@ -69,6 +69,12 @@ class PlanAuditSpec extends SparkSpec {
       assert(raw"Join \[centroid_id#\d+L?, __salt#\d+".r.findFirstIn(p).isDefined,
         s"stored serve lost the salted list-join key:\n$p")
     }
+    // the stored IVF-PQ serve (r19) keys its candidate join the same way
+    locally {
+      val p = plan("sim_ivfpq_stored_serve")
+      assert(raw"Join \[centroid_id#\d+L?, __salt#\d+".r.findFirstIn(p).isDefined,
+        s"PQ stored serve lost the salted candidate-join key:\n$p")
+    }
     // the ROUTED entry (r19, VERDICT #6): the probe is a PURE PROJECTION
     // through the shard-major serving array — NO state join of any kind
     // remains in the plan (the r18 form broadcast the whole multi-shard
