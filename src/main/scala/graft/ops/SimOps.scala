@@ -708,8 +708,9 @@ object SimOps {
     * fold (r19 — no scored-pair materialization within the family's
     * 1024-centroid bound), one combinable decimal aggregate per
     * (centroid, dim); the array re-assembly touches |centroids| * dim rows
-    * only. Measured on the synthetic embeddings: IVF recall@5 0.22 -> 0.29
-    * after one step (see `sim_ivf_trained_k3` for the full trajectory).
+    * only. Measured on the synthetic embeddings (sf0.1, current
+    * generation): IVF recall@5 0.24 -> 0.32 after one step (see
+    * `sim_ivf_trained_k3` for the full trajectory).
     */
   def lloydIteration(vectors: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String): DataFrame = {

@@ -1740,7 +1740,8 @@ object LlmQueries {
   /** Recall@5 of the IVF tier after ONE deterministic Lloyd refinement of
     * the sampled centroids (SimOps.lloydIteration) — in-engine centroid
     * training, exact-decimal means, same honest measurement as
-    * [[simIvfRecall]]. Measured: 0.22 (sampled) -> 0.29 (trained) at sf0.1.
+    * [[simIvfRecall]]. Measured (current sf0.1 generation): 0.24
+    * (sampled) -> 0.32 (trained).
     */
   val simIvfTrainedRecall: Q = (s, d) => {
     val emb = t(s, d, "embeddings")
@@ -1773,9 +1774,11 @@ object LlmQueries {
     * EVERY round (exact-decimal means, the same integer-domain mean
     * machinery) as chained CTEs, so the trained centroids are pinned
     * bit-for-bit at each step, not just the final recall.
-    * Measured at sf0.1: mean recall 0.22 (round 0) → 0.29 → 0.30 → 0.30
-    * — one step buys nearly all of the training gain on these synthetic
-    * embeddings; the trajectory is the evidence.
+    * Measured at sf0.1 (20 gated queries): mean recall 0.24 (round 0) →
+    * 0.32 → 0.35 → 0.32 — most of the gain arrives in one step and
+    * round 3 DIPS slightly (plain Lloyd does not monotonically improve
+    * IVF recall on near-uniform synthetic embeddings); the trajectory
+    * is the honest evidence either way.
     */
   val simIvfTrainedK3: Q = (s, d) => {
     val emb = t(s, d, "embeddings")
