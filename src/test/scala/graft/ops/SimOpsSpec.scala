@@ -128,6 +128,38 @@ class SimOpsSpec extends SparkSpec {
     assert(diff == 0L, s"inlined picks diverged from the crossJoin argmax on $diff rows")
   }
 
+  test("salted serve with ENGAGED fan-out matches the unsalted reference; resalt preserves results") {
+    // r19: at the gated entries' data scales the default maxList keeps
+    // every __nsalt at 1 (the join key carries __salt but fans to one
+    // sub-list) — this builds an index whose hot lists ACTUALLY split
+    // (maxList = 16 on a 300-vector corpus) and pins serve results
+    // against ivfTopKUnsalted, then re-salts at a different width and
+    // pins again (salting/resalting shape tasks, never results)
+    val dim = 8
+    val corpus = spark.range(0, 300).select(col("id"),
+      array((0 until dim).map(j =>
+        sin(col("id") % 7 * lit(0.9) + lit(j * 0.37))): _*).as("vec"))
+    val cents = corpus.filter(col("id") % 50 === 3)
+    val queries = corpus.filter(col("id") % 30 === 1)
+    val index = SimOps.ivfIndex(corpus, cents, "id", "vec",
+      maxList = 16, sizeSampleRate = 1.0)
+    val widths = index.select("centroid_id", "__nsalt").distinct()
+      .as[(Long, Int)].collect().toMap
+    assert(widths.values.exists(_ > 1),
+      s"fixture failed to engage salting: widths=$widths")
+    val ref = SimOps.ivfTopKUnsalted(corpus, queries, cents, "id", "vec",
+      k = 3, nprobe = 2).collect().toSeq
+    val served = SimOps.ivfTopKServe(index, cents, queries, "id", "vec",
+      k = 3, nprobe = 2).collect().toSeq
+    assert(served.toSet == ref.toSet && served.size == ref.size,
+      "engaged-salt serve diverged from the unsalted reference")
+    val resalted = SimOps.resaltIndex(index, maxList = 40)
+    val served2 = SimOps.ivfTopKServe(resalted, cents, queries, "id", "vec",
+      k = 3, nprobe = 2).collect().toSeq
+    assert(served2.toSet == ref.toSet && served2.size == ref.size,
+      "re-salted serve diverged from the unsalted reference")
+  }
+
   test("mapSideAssign at the full 1024-centroid bound: codegen survives, picks match the quantized crossJoin argmax") {
     // the exact-kernel twin of the test above (r19): the SemDeDup-family
     // fold had the same linear-codegen failure class at the bound
