@@ -341,8 +341,9 @@ object SimOps {
     ivfTopKSalted(corpus, queries, centroids, idCol, vecCol, k, nprobe)
 
   /** keep=1 assignment with the centroid set carried IN the plan (r18,
-    * re-grounded r19): for centroid frames bounded by the family's
-    * sqrt-N rule (≤ 1024 by construction) the nearest-centroid argmax is
+    * re-grounded r19): for bounded centroid frames (the family's sqrt-N
+    * rule hard-caps its own sets at 1024; the MECHANISM accepts 4096,
+    * the model budget) the nearest-centroid argmax is
     * ONE projection per row — no crossJoin, no scored-pair
     * materialization, no shuffle. AnnServeSoak showed the 200k × 400
     * build's dominant cost was materializing the 80M scored pair rows
@@ -362,8 +363,8 @@ object SimOps {
     */
   def assignNearestInlined(df: DataFrame, cents: Seq[(Long, Seq[Double])],
       idCol: String, vecCol: String, outId: String, outVec: String): DataFrame = {
-    require(cents.nonEmpty && cents.size <= 1024,
-      s"inlined assignment wants a bounded centroid set (<= 1024), got ${cents.size}")
+    require(cents.nonEmpty && cents.size <= 4096,
+      s"inlined assignment wants a bounded centroid set (<= 4096), got ${cents.size}")
     val model = graft.functions.CentroidModel(cents)
     import org.apache.spark.sql.GraftExpressionBridge
     df.select(col(idCol).as(outId), asDouble(col(vecCol)).as(outVec))
@@ -381,9 +382,9 @@ object SimOps {
     * version, amortized over every query batch) that the inline
     * [[ivfTopK]] entries re-pay per call. Routes through
     * [[assignNearestInlined]] when the centroid set is within the
-    * family's 1024 bound (a ≤ 1025-row collect, the stream assigner's
-    * own documented model-state budget); larger sets take the crossJoin
-    * assigner — both produce the identical index.
+    * 4096-model budget (a bounded probe collect — the family's own
+    * sqrt-N sets cap at 1024, well inside it); larger sets take the
+    * crossJoin assigner — both produce the identical index.
     *
     * Salts (r19, VERDICT #1): the index persists the SAME oversized-list
     * splitting the inline default ([[ivfTopKSalted]]) armors its join
@@ -451,18 +452,21 @@ object SimOps {
           .cast("int").as("__nsalt"))
   }
 
-  /** keep=1 assignment, adaptively inlined: a ≤ 1025-row probe collect
-    * (the stream assigner's own documented model-state budget) routes
-    * bounded centroid sets — which the sqrt-N stride rule makes ALL of
-    * this family's sets — through [[assignNearestInlined]]; larger sets
-    * take the crossJoin assigner. Both produce the identical frame.
+  /** keep=1 assignment, adaptively inlined: a ≤ 4097-row probe collect
+    * (the model-state budget — raised from 1024 in r19: the native
+    * argmax expression made generated-code size count-independent, so
+    * the ceiling is now purely the driver/task-binary model budget,
+    * ~2 MB at 4096 × 64 doubles) routes bounded centroid sets — which
+    * the sqrt-N stride rule keeps under it for corpora to ~16M vectors —
+    * through [[assignNearestInlined]]; larger sets take the crossJoin
+    * assigner. Both produce the identical frame.
     */
   private def assignNearestAdaptive(df: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, outId: String, outVec: String): DataFrame = {
     val centRows = centroids
       .select(col(idCol).cast("long"), asDouble(col(vecCol)))
-      .limit(1025).collect()
-    if (centRows.nonEmpty && centRows.length <= 1024) {
+      .limit(4097).collect()
+    if (centRows.nonEmpty && centRows.length <= 4096) {
       val cents = centRows.toSeq.map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
       assignNearestInlined(df, cents, idCol, vecCol, outId, outVec)
     } else {
@@ -705,8 +709,8 @@ object SimOps {
     * (standard Lloyd behavior; the trained set can only shrink).
     *
     * Scale shape: the keep=1 assignment through the adaptive inlined
-    * fold (r19 — no scored-pair materialization within the family's
-    * 1024-centroid bound), one combinable decimal aggregate per
+    * fold (r19 — no scored-pair materialization within the model
+    * budget), one combinable decimal aggregate per
     * (centroid, dim); the array re-assembly touches |centroids| * dim rows
     * only. Measured on the synthetic embeddings (sf0.1, current
     * generation): IVF recall@5 0.24 -> 0.32 after one step (see
@@ -714,11 +718,11 @@ object SimOps {
     */
   def lloydIteration(vectors: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String): DataFrame = {
-    // the keep=1 assignment routes through the adaptive inlined fold
+    // the keep=1 assignment routes through the adaptive native argmax
     // (r19): identical pick to the crossJoin + window form — same cosine
-    // DAG with the centroid side constant-folded, same (sim desc, id
-    // asc) tie-break — without materializing the scored-pair rows, so a
-    // training ROUND costs what one index build costs
+    // DAG, same (sim desc, id asc) tie-break — without materializing the
+    // scored-pair rows, so a training ROUND costs what one index build
+    // costs
     assignNearestAdaptive(vectors, centroids, idCol, vecCol, "__vid", "__v")
       .select(col("centroid_id"), posexplode(col("__v")).as(Seq("pos0", "__x")))
       .groupBy(col("centroid_id"), col("pos0"))
@@ -1210,13 +1214,14 @@ object SimOps {
     val cents = centroids.select(
       col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("centroid_vec"))
     val nCent = cents.count()
-    if (exact && nCent > 0 && nCent <= math.min(1024L, routeThreshold)) {
+    if (exact && nCent > 0 && nCent <= math.min(4096L, routeThreshold)) {
       // the family's sqrt-N stride rule bounds every production centroid
-      // set at 1024 — within it, fold the exact argmax into ONE
-      // projection per row ([[mapSideAssign]], the stream assigner,
-      // bit-identical to the crossJoin pick by its own spec): no scored
-      // pairs materialize at all (r18, the AnnServeSoak finding — the
-      // crossJoin's pair rows, two arrays each, dominated assignment)
+      // set at 1024, inside the mechanism's 4096 model budget — within
+      // it, the exact argmax is ONE projection per row
+      // ([[mapSideAssign]], the stream assigner, bit-identical to the
+      // crossJoin pick by its own spec): no scored pairs materialize at
+      // all (r18, the AnnServeSoak finding — the crossJoin's pair rows,
+      // two arrays each, dominated assignment)
       val centsSeq = cents
         .select(col("centroid_id").cast("long"), col("centroid_vec"))
         .collect().toSeq
@@ -1331,8 +1336,8 @@ object SimOps {
     * (r19, [[graft.functions.QNearestCentroid]] — generated code is
     * constant-size, so codegen no longer caps the model; the r18
     * one-literal-term-per-centroid fold Janino-failed at 1024). The
-    * binding limit is now the DRIVER-side model budget — the family
-    * keeps the documented 1024-centroid rule (a ≤ 1025-row collect);
+    * binding limit is now the DRIVER-side model budget (4096) — the
+    * family's own sqrt-N sets stay capped at 1024 by the stride rule;
     * a 16k-centroid model still belongs on the batch path
     * ([[semDedupAdmit]]/[[semDedup]]'s adaptive assigner).
     */

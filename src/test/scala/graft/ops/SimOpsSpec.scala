@@ -83,18 +83,19 @@ class SimOpsSpec extends SparkSpec {
     assert(items.contains(2L) && !items.contains(4L))
   }
 
-  test("assignNearestInlined at the full 1024-centroid bound: codegen survives, picks match the crossJoin argmax") {
-    // r19 (VERDICT #5): the inlined fold was only soak-measured to 400
-    // centroids; at the family's hard 1024 bound the single greatest()
-    // projection over 1024 struct terms × 64-double literals could trip
-    // Janino's 64KB method limit and silently fall back to interpreted
-    // eval — correct, but forfeiting exactly the win the fold exists
-    // for. This plans the FULL bound, compiles the generated code, and
-    // asserts (a) the projection sits inside WholeStageCodegen, (b) no
-    // generated method reaches the hugeMethodLimit fallback threshold,
-    // (c) the picks are identical to the crossJoin argmax.
+  test("assignNearestInlined at the full 4096-centroid bound: codegen survives, picks match the crossJoin argmax") {
+    // r19 (VERDICT #5): the r18 greatest() fold was only soak-measured
+    // to 400 centroids, and at 1024 literal struct terms Janino REFUSED
+    // the whole-stage processNext() outright (measured in this spec's
+    // first version) — silent interpreted fallback, forfeiting exactly
+    // the win the fold existed for. The native expression that replaced
+    // it has count-independent generated code; this plans the FULL
+    // (r19-raised) 4096 bound, compiles the generated code, and asserts
+    // (a) the projection sits inside WholeStageCodegen, (b) no generated
+    // method reaches the hugeMethodLimit fallback threshold, (c) the
+    // picks are identical to the crossJoin argmax.
     val dim = 64
-    val cents: Seq[(Long, Seq[Double])] = (0 until 1024).map { c =>
+    val cents: Seq[(Long, Seq[Double])] = (0 until 4096).map { c =>
       (c.toLong, (0 until dim).map(j => math.sin(c * 0.37 + j * 1.13) + 1.5))
     }
     val corpus = spark.range(0, 50).select(col("id"),
@@ -160,11 +161,11 @@ class SimOpsSpec extends SparkSpec {
       "re-salted serve diverged from the unsalted reference")
   }
 
-  test("mapSideAssign at the full 1024-centroid bound: codegen survives, picks match the quantized crossJoin argmax") {
+  test("mapSideAssign at the full 4096-centroid bound: codegen survives, picks match the quantized crossJoin argmax") {
     // the exact-kernel twin of the test above (r19): the SemDeDup-family
     // fold had the same linear-codegen failure class at the bound
     val dim = 64
-    val cents: Seq[(Long, Seq[Double])] = (0 until 1024).map { c =>
+    val cents: Seq[(Long, Seq[Double])] = (0 until 4096).map { c =>
       (c.toLong, (0 until dim).map(j => math.sin(c * 0.53 + j * 0.91)))
     }
     val corpus = spark.range(0, 50).select(col("id"),
