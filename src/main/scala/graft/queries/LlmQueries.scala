@@ -4597,7 +4597,8 @@ object LlmQueries {
         |ORDER BY query_id""".stripMargin,
     // the stored index must change serving cost only, never results —
     // and append-only growth (base ∪ delta == full rebuild, per-item
-    // independence) must be invisible too: all four pin to one SQL
+    // independence) must be invisible too — and so must compaction
+    // (fold, swap, re-salt, retire): all five pin to one SQL
     "sim_ivf_index_append" -> ivfTopkOracle,
     "sim_ivf_index_compact" -> ivfTopkOracle,
     "sim_ivf_stored_serve" -> ivfTopkOracle,
