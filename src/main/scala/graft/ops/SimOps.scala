@@ -476,6 +476,32 @@ object SimOps {
     }
   }
 
+
+  /** Bounded top-k tail (r19): rank `scored` (must carry `item_id` and
+    * `sim`) within each `groupCol` group by (sim desc, item_id) and keep
+    * the top `k` — through the [[graft.functions.TopKPairs]] k-bounded
+    * aggregate instead of a row_number window. The window form shuffles
+    * and SORTS every candidate row; this keeps ≤ k pairs per (group,
+    * partition) on the map side, so the exchange never carries the full
+    * candidate set (AnnServeSoak: the rerank window was the salted
+    * serve's widest task). Output identical to the window form: same
+    * comparator, same rk numbering.
+    */
+  private def topKRanked(scored: DataFrame, groupCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.GraftExpressionBridge
+    val agg = GraftExpressionBridge.column(
+      graft.functions.TopKPairs(
+        GraftExpressionBridge.expression(col("sim")),
+        GraftExpressionBridge.expression(col("item_id")), k)
+        .toAggregateExpression())
+    scored.groupBy(col(groupCol))
+      .agg(agg.as("__tk"))
+      .select(col(groupCol), posexplode(col("__tk")).as(Seq("__i", "__e")))
+      .select(col(groupCol), col("__e.item_id").as("item_id"),
+        roundMicro(col("__e.sim")).as("sim"),
+        (col("__i") + 1).cast("int").as("rk"))
+  }
+
   /** Serve top-k from a PREBUILT [[ivfIndex]]: assign each query to its
     * `nprobe` nearest centroids (bounded: queries × centroids, the
     * centroid frame broadcast), equi-join the probed inverted lists,
@@ -518,13 +544,10 @@ object SimOps {
           .drop("__nsalt")
           .join(index.drop("__nsalt"), Seq("centroid_id", "__salt"))
       } else probes.join(index, "centroid_id")
-    val w = Window.partitionBy(col("query_id")).orderBy(desc("sim"), col("item_id"))
-    joined
-      .filter(col("query_id") =!= col("item_id"))
-      .withColumn("sim", cosine(col("query_vec"), col("item_vec")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("item_id"), roundMicro(col("sim")).as("sim"), col("rk"))
+    topKRanked(
+      joined.filter(col("query_id") =!= col("item_id"))
+        .withColumn("sim", cosine(col("query_vec"), col("item_vec"))),
+      "query_id", k)
   }
 
   /** The plain inverted-list join, one task per probed centroid list —
@@ -606,14 +629,12 @@ object SimOps {
       .join(broadcast(salts), Seq("centroid_id"), "left")
       .withColumn("__salt", explode(sequence(lit(0), nsalt - 1)))
       .drop("__nsalt")
-    val w = Window.partitionBy(col("query_id")).orderBy(desc("sim"), col("item_id"))
-    probes
-      .join(invSalted, Seq("centroid_id", "__salt"))
-      .filter(col("query_id") =!= col("item_id"))
-      .withColumn("sim", cosine(col("query_vec"), col("item_vec")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("item_id"), roundMicro(col("sim")).as("sim"), col("rk"))
+    topKRanked(
+      probes
+        .join(invSalted, Seq("centroid_id", "__salt"))
+        .filter(col("query_id") =!= col("item_id"))
+        .withColumn("sim", cosine(col("query_vec"), col("item_vec"))),
+      "query_id", k)
   }
 
   /** Bucketed ANN: top-k within each query's LSH bucket only — the scale
