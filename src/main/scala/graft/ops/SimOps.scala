@@ -74,11 +74,7 @@ object SimOps {
       .crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("item_id"))
       .withColumn("sim", cosine(col("query_vec"), col("item_vec")))
-    val w = Window.partitionBy(col("query_id")).orderBy(desc("sim"), col("item_id"))
-    scored
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("item_id"), roundMicro(col("sim")).as("sim"), col("rk"))
+    topKRanked(scored, "query_id", k)
   }
 
   /** Deterministic integer-valued "random" hyperplanes: plane j has
@@ -487,20 +483,39 @@ object SimOps {
     * serve's widest task). Output identical to the window form: same
     * comparator, same rk numbering.
     */
-  private def topKRanked(scored: DataFrame, groupCol: String, k: Int): DataFrame = {
+  private def topKPairsAgg(scored: DataFrame, groupCol: String,
+      scoreExpr: Column, k: Int): DataFrame = {
     import org.apache.spark.sql.GraftExpressionBridge
     val agg = GraftExpressionBridge.column(
       graft.functions.TopKPairs(
-        GraftExpressionBridge.expression(col("sim")),
+        GraftExpressionBridge.expression(scoreExpr),
         GraftExpressionBridge.expression(col("item_id")), k)
         .toAggregateExpression())
     scored.groupBy(col(groupCol))
       .agg(agg.as("__tk"))
       .select(col(groupCol), posexplode(col("__tk")).as(Seq("__i", "__e")))
       .select(col(groupCol), col("__e.item_id").as("item_id"),
-        roundMicro(col("__e.sim")).as("sim"),
-        (col("__i") + 1).cast("int").as("rk"))
+        col("__e.sim").as("__s"), (col("__i") + 1).cast("int").as("rk"))
   }
+
+  /** [[topKPairsAgg]] shaped for the similarity tails: rank by
+    * (`sim` desc, item_id), present `roundMicro(sim)`.
+    */
+  private def topKRanked(scored: DataFrame, groupCol: String, k: Int): DataFrame =
+    topKPairsAgg(scored, groupCol, col("sim"), k)
+      .select(col(groupCol), col("item_id"),
+        roundMicro(col("__s")).as("sim"), col("rk"))
+
+  /** [[topKPairsAgg]] for DISTANCE tails: rank by (`distCol` asc,
+    * item_id) via exact negation (-0.0 ties 0.0 in the comparator, so
+    * the order equals the window's asc order), present
+    * `roundMicro(dist)` under `distCol`'s name.
+    */
+  private def topKRankedDist(scored: DataFrame, groupCol: String,
+      distCol: String, k: Int): DataFrame =
+    topKPairsAgg(scored, groupCol, -col(distCol), k)
+      .select(col(groupCol), col("item_id"),
+        roundMicro(-col("__s")).as(distCol), col("rk"))
 
   /** Serve top-k from a PREBUILT [[ivfIndex]]: assign each query to its
     * `nprobe` nearest centroids (bounded: queries × centroids, the
@@ -765,13 +780,11 @@ object SimOps {
       idCol: String, vecCol: String, k: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("item_id"), asDouble(col(vecCol)).as("item_vec"))
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("query_vec"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("item_id"))
-    c.crossJoin(broadcast(q))
-      .filter(col("query_id") =!= col("item_id"))
-      .withColumn("dist", l2sq(col("query_vec"), col("item_vec")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("item_id"), roundMicro(col("dist")).as("dist"), col("rk"))
+    topKRankedDist(
+      c.crossJoin(broadcast(q))
+        .filter(col("query_id") =!= col("item_id"))
+        .withColumn("dist", l2sq(col("query_vec"), col("item_vec"))),
+      "query_id", "dist", k)
   }
 
   /** Deterministic product-quantization codebook: split the embedding into
@@ -872,15 +885,15 @@ object SimOps {
       .select(col("query_id"), col("sub"), col("code"),
         floor(l2sq(col("qs"), col("cvec")) * lit(1000000.0) + lit(0.5))
           .cast("long").as("qdl"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("dl"), col("item_id"))
-    codes.join(broadcast(qd), Seq("sub", "code"))
+    // micro-unit LONG sums stay exact as doubles (well under 2^53), so
+    // ranking by the negated double replays (dl asc, item_id) exactly
+    val summed = codes.join(broadcast(qd), Seq("sub", "code"))
       .filter(col("query_id") =!= col("item_id"))
       .groupBy(col("query_id"), col("item_id"))
       .agg(sum(col("qdl")).as("dl"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    topKPairsAgg(summed, "query_id", -col("dl").cast("double"), k)
       .select(col("query_id"), col("item_id"),
-        round(col("dl") / lit(1000000.0), 6).as("adc_dist"), col("rk"))
+        round(-col("__s") / lit(1000000.0), 6).as("adc_dist"), col("rk"))
   }
 
   /** The PQ serving pattern a real pipeline runs: ADC retrieves a wide
@@ -896,14 +909,12 @@ object SimOps {
       .select(col("query_id"), col("item_id"))
     val items = corpus.select(col(idCol).as("item_id"), asDouble(col(vecCol)).as("item_vec"))
     val qs = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("query_vec"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("item_id"))
-    cand
-      .join(items, Seq("item_id"))
-      .join(broadcast(qs), Seq("query_id"))
-      .withColumn("dist", l2sq(col("query_vec"), col("item_vec")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("item_id"), roundMicro(col("dist")).as("dist"), col("rk"))
+    topKRankedDist(
+      cand
+        .join(items, Seq("item_id"))
+        .join(broadcast(qs), Seq("query_id"))
+        .withColumn("dist", l2sq(col("query_vec"), col("item_vec"))),
+      "query_id", "dist", k)
   }
 
   /** IVF-PQ serving — the full FAISS-style composition and the shape a
@@ -995,26 +1006,23 @@ object SimOps {
       else inverted.join(probes, Seq("centroid_id")))
       .filter(col("query_id") =!= col("item_id"))
       .select(col("query_id"), col("item_id"))
-    val wPool = Window.partitionBy(col("query_id")).orderBy(col("dl"), col("item_id"))
-    val poolSet = candidates
-      .join(codes, Seq("item_id"))
-      .join(broadcast(qd), Seq("query_id", "sub", "code"))
-      .groupBy(col("query_id"), col("item_id"))
-      .agg(sum(col("qdl")).as("dl"))
-      .withColumn("rk", row_number().over(wPool))
-      .filter(col("rk") <= pool)
+    val poolSet = topKPairsAgg(
+      candidates
+        .join(codes, Seq("item_id"))
+        .join(broadcast(qd), Seq("query_id", "sub", "code"))
+        .groupBy(col("query_id"), col("item_id"))
+        .agg(sum(col("qdl")).as("dl")),
+      "query_id", -col("dl").cast("double"), pool)
       .select(col("query_id"), col("item_id"))
     // exact rerank of the pool only
     val items = corpus.select(col(idCol).as("item_id"), asDouble(col(vecCol)).as("item_vec"))
     val qs = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("query_vec"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("item_id"))
-    poolSet
-      .join(items, Seq("item_id"))
-      .join(broadcast(qs), Seq("query_id"))
-      .withColumn("dist", l2sq(col("query_vec"), col("item_vec")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("item_id"), roundMicro(col("dist")).as("dist"), col("rk"))
+    topKRankedDist(
+      poolSet
+        .join(items, Seq("item_id"))
+        .join(broadcast(qs), Seq("query_id"))
+        .withColumn("dist", l2sq(col("query_vec"), col("item_vec"))),
+      "query_id", "dist", k)
   }
 
   /** SemDeDup (Abbas et al. 2023): semantic deduplication of an embedding
