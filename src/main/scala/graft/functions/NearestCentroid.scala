@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StructField, StructType}
 
 /** The bounded centroid set as ONE plan reference object: ids, vectors,
@@ -131,6 +131,113 @@ object NearestCentroid {
       c += 1
     }
     bestId
+  }
+}
+
+/** `nearest_centroids_k(vec)` (r19): the top-`p` nearest centroids as
+  * ONE projection per row — the probe-side twin of [[NearestCentroid]].
+  * The serving paths assign each query to its `nprobe` centroids; the
+  * crossJoin + window form materializes |queries| × |centroids| scored
+  * pairs and sorts them per query, which a production query batch turns
+  * into the serving path's last all-pairs structure. This emits the
+  * ranked `array<bigint>` of centroid ids directly (explode recovers
+  * the probe rows), with the identical comparator — raw-cosine
+  * (score desc, id asc), Spark's double ordering — and the identical
+  * score DAG as the keep=1 expression. A null element or length
+  * mismatch nulls every term's score, ranking arbitrary-by-id (the
+  * window's null ordering never surfaces: all terms tie).
+  */
+case class NearestCentroidsK(child: Expression, model: CentroidModel, p: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(p > 0 && p <= 1024, s"p (nprobe) must be in [1, 1024], got $p")
+
+  override def inputTypes = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "nearest_centroids_k"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NearestCentroidsK.pick(model, p, input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val m = ctx.addReferenceObj("centModel", model,
+        classOf[CentroidModel].getName)
+      s"${ev.value} = graft.functions.NearestCentroidsK.pick($m, $p, $c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidsK =
+    copy(child = newChild)
+}
+
+object NearestCentroidsK {
+  private def cmpDouble(x: Double, y: Double): Int =
+    if (x == y) 0 else java.lang.Double.compare(x, y)
+
+  /** Top-p centroid ids by (score desc, id asc) — a p-bounded sorted
+    * insertion over the model, the [[NearestCentroid.pick]] loop
+    * generalized. Java-callable from generated code.
+    */
+  def pick(m: CentroidModel, p: Int, v: ArrayData): GenericArrayData = {
+    val n = v.numElements()
+    val xs = new Array[Double](n)
+    var vNull = false
+    var i = 0
+    while (i < n && !vNull) {
+      if (v.isNullAt(i)) vNull = true else xs(i) = v.getDouble(i)
+      i += 1
+    }
+    var dvv = 0.0
+    i = 0
+    while (i < n) { dvv += xs(i) * xs(i); i += 1 }
+    val na = math.sqrt(dvv)
+    val keep = math.min(p, m.ids.length)
+    val topS = new Array[Double](keep)
+    val topNull = new Array[Boolean](keep)
+    val topId = new Array[Long](keep)
+    var size = 0
+    // (s1 null-aware desc, id asc): negative when (s1, i1) ranks first
+    def cmp(n1: Boolean, s1: Double, i1: Long, n2: Boolean, s2: Double, i2: Long): Int =
+      if (n1 != n2) { if (n1) 1 else -1 }
+      else {
+        val c = if (n1) 0 else cmpDouble(s2, s1)
+        if (c != 0) c else java.lang.Long.compare(i1, i2)
+      }
+    var c = 0
+    while (c < m.ids.length) {
+      val cv = m.vecs(c)
+      val sNull = vNull || cv.length != n
+      var s = 0.0
+      if (!sNull) {
+        var d = 0.0
+        var j = 0
+        while (j < n) { d += xs(j) * cv(j); j += 1 }
+        s = d / (na * m.norms(c))
+      }
+      val cid = m.ids(c)
+      if (size < keep ||
+          cmp(sNull, s, cid, topNull(size - 1), topS(size - 1), topId(size - 1)) < 0) {
+        var lo = 0
+        var hi = size
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (cmp(sNull, s, cid, topNull(mid), topS(mid), topId(mid)) < 0) hi = mid
+          else lo = mid + 1
+        }
+        val newSize = math.min(size + 1, keep)
+        var j = newSize - 1
+        while (j > lo) {
+          topS(j) = topS(j - 1); topNull(j) = topNull(j - 1); topId(j) = topId(j - 1)
+          j -= 1
+        }
+        if (lo < keep) { topS(lo) = s; topNull(lo) = sNull; topId(lo) = cid; size = newSize }
+      }
+      c += 1
+    }
+    val out = new Array[Any](size)
+    var j = 0
+    while (j < size) { out(j) = topId(j); j += 1 }
+    new GenericArrayData(out)
   }
 }
 

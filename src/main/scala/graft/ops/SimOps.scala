@@ -517,6 +517,39 @@ object SimOps {
       .select(col(groupCol), col("item_id"),
         roundMicro(-col("__s")).as(distCol), col("rk"))
 
+
+  /** Probe-side `nprobe` assignment, adaptively native (r19): bounded
+    * centroid sets route through
+    * [[graft.functions.NearestCentroidsK]] — ONE projection emitting
+    * each query's ranked nprobe centroid ids (explode recovers the
+    * probe rows), no queries × centroids crossJoin and no per-query
+    * window, so a production-sized query batch never materializes the
+    * scored pair rows (the serving path's last all-pairs structure).
+    * Larger sets take the crossJoin assigner; both produce the
+    * identical (query_id, query_vec, centroid_id) probe set — the same
+    * raw-cosine (score desc, id asc) ranking, spec-pinned.
+    */
+  private def assignProbesAdaptive(queries: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, nprobe: Int): DataFrame = {
+    val centRows = centroids
+      .select(col(idCol).cast("long"), asDouble(col(vecCol)))
+      .limit(4097).collect()
+    if (centRows.nonEmpty && centRows.length <= 4096) {
+      val cents = centRows.toSeq.map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+      val model = graft.functions.CentroidModel(cents)
+      import org.apache.spark.sql.GraftExpressionBridge
+      queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("query_vec"))
+        .withColumn("centroid_id", explode(GraftExpressionBridge.column(
+          graft.functions.NearestCentroidsK(
+            GraftExpressionBridge.expression(col("query_vec")), model, nprobe))))
+    } else {
+      val cent = broadcast(centroids.select(
+        col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("centroid_vec")))
+      assignToCentroids(queries, cent, idCol, vecCol,
+        "query_id", "query_vec", keep = nprobe)
+    }
+  }
+
   /** Serve top-k from a PREBUILT [[ivfIndex]]: assign each query to its
     * `nprobe` nearest centroids (bounded: queries × centroids, the
     * centroid frame broadcast), equi-join the probed inverted lists,
@@ -540,10 +573,7 @@ object SimOps {
   def ivfTopKServe(index: DataFrame, centroids: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int,
       salts: Option[DataFrame] = None): DataFrame = {
-    val cent = broadcast(centroids.select(
-      col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("centroid_vec")))
-    val probes = assignToCentroids(queries, cent, idCol, vecCol,
-      "query_id", "query_vec", keep = nprobe)
+    val probes = assignProbesAdaptive(queries, centroids, idCol, vecCol, nprobe)
     val joined =
       if (index.columns.contains("__salt")) {
         // one row per centroid, fanning to the MAX persisted width: an
@@ -640,7 +670,7 @@ object SimOps {
     val invSalted = inverted.join(broadcast(salts), Seq("centroid_id"), "left")
       .withColumn("__salt", pmod(hash(col("item_id")), nsalt))
       .drop("__nsalt")
-    val probes = assignToCentroids(queries, cent, idCol, vecCol, "query_id", "query_vec", keep = nprobe)
+    val probes = assignProbesAdaptive(queries, centroids, idCol, vecCol, nprobe)
       .join(broadcast(salts), Seq("centroid_id"), "left")
       .withColumn("__salt", explode(sequence(lit(0), nsalt - 1)))
       .drop("__nsalt")
@@ -973,7 +1003,7 @@ object SimOps {
     val cent = broadcast(centroids.select(
       col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("centroid_vec")))
     val cb = codebook
-    val probes0 = assignToCentroids(queries, cent, idCol, vecCol, "query_id", "query_vec", keep = nprobe)
+    val probes0 = assignProbesAdaptive(queries, centroids, idCol, vecCol, nprobe)
       .select(col("centroid_id"), col("query_id"))
     // (r19) same skew armor as [[ivfTopKServe]]: when the inverted lists
     // carry the persisted __salt, probes fan out and the candidate join

@@ -129,6 +129,34 @@ class SimOpsSpec extends SparkSpec {
     assert(diff == 0L, s"inlined picks diverged from the crossJoin argmax on $diff rows")
   }
 
+  test("native nprobe probe assignment matches the crossJoin window, ties included") {
+    // r19: serve-side probes route through nearest_centroids_k — the
+    // ranked nprobe ids in one projection. Pins the probe SET against
+    // the crossJoin + row_number form on a model with DUPLICATE
+    // directions (scaled copies cosine-tie exactly; the id tie-break is
+    // load-bearing)
+    val dim = 8
+    val base = (0 until 40).map { c =>
+      (c.toLong, (0 until dim).map(j => math.sin(c % 5 * 0.9 + j * 0.37)))
+    }
+    // scaled copies of the same 5 directions => 8-way exact score ties
+    val cents = base.map { case (id, v) =>
+      (id, v.map(_ * (1.0 + (id % 3).toDouble)))
+    }
+    val centDf = cents.toDF("id", "vec")
+    val queries = spark.range(100, 130).select(col("id"),
+      array((0 until dim).map(j =>
+        sin(col("id") * lit(0.51) + lit(j * 0.23))): _*).as("vec"))
+    val served = SimOps.ivfTopKServe(
+      SimOps.ivfIndex(queries, centDf, "id", "vec"), // any salted index
+      centDf, queries, "id", "vec", k = 3, nprobe = 4)
+    val ref = SimOps.ivfTopKUnsalted(queries, queries, centDf,
+      "id", "vec", k = 3, nprobe = 4).collect().toSeq
+    val got = served.collect().toSeq
+    assert(got.toSet == ref.toSet && got.size == ref.size,
+      "native-probe serve diverged from the crossJoin-probe reference")
+  }
+
   test("salted serve with ENGAGED fan-out matches the unsalted reference; resalt preserves results") {
     // r19: at the gated entries' data scales the default maxList keeps
     // every __nsalt at 1 (the join key carries __salt but fans to one

@@ -424,12 +424,15 @@ class PlanAuditSpec extends SparkSpec {
     // broadcasts — only (query,item)/item keys may shuffle
     assert(p.contains("BroadcastHashJoin"), s"no broadcast joins in ivfpq plan:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in ivfpq plan:\n$p")
-    // every window (centroid assignment, pool, rerank) is partitioned —
-    // by the item for assignments, by the query for pool/rerank
+    // r19: NO windows remain — the centroid assignments run through the
+    // native argmax expressions and the pool/rerank top-k tails through
+    // the k-bounded topk_pairs aggregate; a window reappearing here
+    // means a full-candidate shuffle+sort crept back in
     val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
-    assert(windows.nonEmpty && windows.forall(w =>
-        w.contains("query_id") || w.contains("item_id") || w.contains("vec_id")),
-      s"ivfpq window not partitioned:\n${windows.mkString("\n")}")
+    assert(windows.isEmpty,
+      s"ivfpq plan re-grew a window:\n${windows.mkString("\n")}")
+    assert(p.contains("topk_pairs"),
+      s"ivfpq plan lost its k-bounded top-k aggregate:\n$p")
   }
 
   test("default IVF path joins inverted lists on the SALTED key") {
