@@ -1482,10 +1482,12 @@ object SimOps {
       .join(qb, "bucket")
       .filter(col("query_id") =!= col("item_id"))
       .withColumn("sim", cosine(col("query_vec"), col("item_vec")))
-    val w = Window.partitionBy(col("query_id")).orderBy(desc("sim"), col("item_id"))
-    scored
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("item_id"), col("bucket"), roundMicro(col("sim")).as("sim"), col("rk"))
+    // k-bounded tail (r19): a hot LSH bucket's candidates no longer sort
+    // through a per-query window; the query's bucket re-attaches from
+    // the (tiny) query-side bucket frame
+    topKRanked(scored, "query_id", k)
+      .join(qb.select(col("query_id"), col("bucket")), Seq("query_id"))
+      .select(col("query_id"), col("item_id"), col("bucket"),
+        col("sim"), col("rk"))
   }
 }
