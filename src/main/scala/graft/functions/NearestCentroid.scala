@@ -241,6 +241,99 @@ object NearestCentroidsK {
   }
 }
 
+/** `nearest_two_qdist(vec)` (r19): the silhouette's two-nearest scan as
+  * ONE projection per row — `struct(centroid_id, a, b)` where `a`/`b`
+  * are the micro-quantized cosine DISTANCES (`floor((1 - cos)*1e6 +
+  * 0.5)` as LONG, the exact `quantMicro(1 - cosine)` chain) to the
+  * nearest and second-nearest centroids, ranked (dq asc, id asc). The
+  * crossJoin + window form materialized |vectors| × |centroids| pair
+  * rows for a report that needs two numbers per vector. Requires ≥ 2
+  * centroids at model build (the report's own precondition); a null
+  * element / length mismatch nulls a term's distance, ranking it FIRST
+  * (the window's asc-nulls-first order — degenerate inputs only).
+  */
+case class NearestTwoQDist(child: Expression, model: CentroidModel)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(model.ids.length >= 2,
+    "silhouette needs at least 2 centroids (b = distance to the second-nearest)")
+
+  override def inputTypes = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("centroid_id", LongType, nullable = false),
+    StructField("a", LongType, nullable = true),
+    StructField("b", LongType, nullable = true)))
+  override def prettyName: String = "nearest_two_qdist"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NearestTwoQDist.pick(model, input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val m = ctx.addReferenceObj("centModel", model,
+        classOf[CentroidModel].getName)
+      s"${ev.value} = graft.functions.NearestTwoQDist.pick($m, $c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NearestTwoQDist =
+    copy(child = newChild)
+}
+
+object NearestTwoQDist {
+  /** Two smallest (dq, id) entries by (dq asc NULLS FIRST, id asc) —
+    * the silhouette window's order. Java-callable from generated code.
+    */
+  def pick(m: CentroidModel, v: ArrayData): InternalRow = {
+    val n = v.numElements()
+    val xs = new Array[Double](n)
+    var vNull = false
+    var i = 0
+    while (i < n && !vNull) {
+      if (v.isNullAt(i)) vNull = true else xs(i) = v.getDouble(i)
+      i += 1
+    }
+    var dvv = 0.0
+    i = 0
+    while (i < n) { dvv += xs(i) * xs(i); i += 1 }
+    val na = math.sqrt(dvv)
+    // (nullFirst, dq asc, id asc): negative when entry 1 ranks first
+    def cmp(n1: Boolean, d1: Long, i1: Long, n2: Boolean, d2: Long, i2: Long): Int =
+      if (n1 != n2) { if (n1) -1 else 1 }
+      else {
+        val c = if (n1) 0 else java.lang.Long.compare(d1, d2)
+        if (c != 0) c else java.lang.Long.compare(i1, i2)
+      }
+    var id1 = 0L; var dq1 = 0L; var null1 = true; var has1 = false
+    var id2 = 0L; var dq2 = 0L; var null2 = true; var has2 = false
+    var c = 0
+    while (c < m.ids.length) {
+      val cv = m.vecs(c)
+      val sNull = vNull || cv.length != n
+      var dq = 0L
+      if (!sNull) {
+        var d = 0.0
+        var j = 0
+        while (j < n) { d += xs(j) * cv(j); j += 1 }
+        val s = d / (na * m.norms(c))
+        // quantMicro(1.0 - cos): floor((1-s)*1e6 + 0.5) to LONG (NaN
+        // floors to 0, the engine cast's behavior)
+        dq = math.floor((1.0 - s) * 1e6 + 0.5).toLong
+      }
+      val cid = m.ids(c)
+      if (!has1 || cmp(sNull, dq, cid, null1, dq1, id1) < 0) {
+        if (has1) { id2 = id1; dq2 = dq1; null2 = null1; has2 = true }
+        id1 = cid; dq1 = dq; null1 = sNull; has1 = true
+      } else if (!has2 || cmp(sNull, dq, cid, null2, dq2, id2) < 0) {
+        id2 = cid; dq2 = dq; null2 = sNull; has2 = true
+      }
+      c += 1
+    }
+    new GenericInternalRow(Array[Any](id1,
+      if (null1) null else java.lang.Long.valueOf(dq1),
+      if (null2) null else java.lang.Long.valueOf(dq2)))
+  }
+}
+
 /** The micro-quantized centroid set for the exact (SemDeDup-family)
   * assignment: components pre-quantized `floor(x*1e6 + 0.5)` to LONG,
   * norms `sqrt(Σ q²)` folded on the driver in exact integer arithmetic —

@@ -1317,6 +1317,34 @@ object SimOps {
     */
   def silhouette(vectors: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String): DataFrame = {
+    // (r19) bounded models take the native two-nearest projection — the
+    // crossJoin + window form materialized |vectors| x |centroids| pair
+    // rows for a report that needs two numbers per vector; picks and
+    // quantized distances are bit-identical (same cosine DAG, same
+    // quantMicro(1 - cos) chain, same (dq asc, id asc) order)
+    val centRows = centroids
+      .select(col(idCol).cast("long"), asDouble(col(vecCol)))
+      .limit(4097).collect()
+    if (centRows.length >= 2 && centRows.length <= 4096) {
+      val model = graft.functions.CentroidModel(
+        centRows.toSeq.map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)))
+      import org.apache.spark.sql.GraftExpressionBridge
+      return vectors
+        .select(col(idCol).as("item_id"), asDouble(col(vecCol)).as("__v"))
+        .withColumn("__t", GraftExpressionBridge.column(
+          graft.functions.NearestTwoQDist(
+            GraftExpressionBridge.expression(col("__v")), model)))
+        .select(col("item_id"), col("__t.centroid_id").as("centroid_id"),
+          col("__t.a").as("__a"), col("__t.b").as("__b"))
+        .select(col("item_id"), col("centroid_id"),
+          roundMicro(when(greatest(col("__a"), col("__b")) === 0, lit(0.0))
+            .otherwise((col("__b") - col("__a")).cast("double")
+              / greatest(col("__a"), col("__b"))))
+            .as("silhouette"))
+    }
+    // the crossJoin reference path: models outside [2, 4096] — keeps the
+    // r10/r11 guard semantics (0 centroids => empty-in/empty-out, 1
+    // centroid => loud assert on the first evaluated row)
     // rank 2 must exist for the b-distance — with fewer than 2 centroids
     // the rank join would silently return an EMPTY frame (ADVICE r10).
     // The guard is LAZY (ADVICE r11: an eager count here turned a plan
