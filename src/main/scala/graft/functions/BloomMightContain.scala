@@ -98,6 +98,16 @@ object BloomMightContain {
   def register(key: String, handle: BloomHandle): Unit = synchronized {
     require(handle.k > 0 && handle.k <= 9,
       s"k must be in [1, 9] (single-digit hash prefixes), got ${handle.k}")
+    // r20 (ADVICE): contains() slices the array as nShards × (len/nShards)
+    // words — a handle whose array the shard count does not divide would
+    // silently probe wrong slices (false NEGATIVES, the one error class a
+    // Bloom filter must never produce). Fail at registration, where the
+    // driver still holds the array.
+    require(handle.nShards >= 1, s"nShards must be >= 1, got ${handle.nShards}")
+    require(handle.bits.value.length > 0 &&
+        handle.bits.value.length % handle.nShards == 0,
+      s"bits length ${handle.bits.value.length} is not a positive multiple of " +
+        s"nShards ${handle.nShards} — mis-sized handles probe wrong slices")
     val old = registry.get(key)
     old.flatMap(_.retiring).foreach(_.bits.destroy())
     old.foreach(_.current.bits.unpersist(blocking = false))

@@ -24,8 +24,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, St
   * Pick order replays the window's exactly: (score desc, id asc), with
   * Spark SQL's double ordering (`x == y` first — -0.0 ties 0.0 — then
   * `Double.compare`, NaN greatest). Rows with a NULL score or id are
-  * ignored (the window's `desc` put NULL scores last — beyond any
-  * real top-k — and the family never produces them). Output is the
+  * ignored — the ONE deliberate divergence from the window (r20, ADVICE):
+  * `desc` ranked NULL scores last, so a group with fewer than k non-null
+  * candidates PLUS null-score rows got null-score fillers from the window
+  * where this aggregate returns only the non-null ones. Accepted because a
+  * null similarity names a degenerate vector (null element / length
+  * mismatch) for which no rank is meaningful, every registered tail feeds
+  * non-null scores by construction (cosine/l2sq of the parquet embedding
+  * columns; micro-unit LONG sums), and a filler row would present a NULL
+  * `sim` the oracles would then have to replicate. Output is the
   * sorted `array<struct<sim double, item_id bigint>>`; `posexplode`
   * recovers (rank-1, pair).
   */
@@ -33,7 +40,13 @@ case class TopKPairs(score: Expression, id: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[TopKPairs.Buffer] {
 
-  require(k > 0 && k <= (1 << 20), s"k must be in [1, 2^20], got $k")
+  // r20 (ADVICE + VERDICT #2): the cap is the SERVING regime — registered
+  // tails use k in [5, 100], the widest sanctioned caller is a rerank pool
+  // (<= the IVF maxList default, 4096). The O(k) array-shift insert and the
+  // per-group eager-ish state are sized for that regime; a caller wanting
+  // thousands-of-k per group wants a different operator (sort the group),
+  // not a silently quadratic buffer.
+  require(k > 0 && k <= 4096, s"k must be in [1, 4096] (the serving regime), got $k")
 
   override def children: Seq[Expression] = Seq(score, id)
   override def nullable: Boolean = false
@@ -111,12 +124,25 @@ object TopKPairs {
   /** A k-bounded pair list kept SORTED by (score desc, id asc) —
     * insertion is O(k) array shift on the (rare past warm-up) accepted
     * rows and O(1) rejection against the current worst; k is the
-    * operator's literal (5–100), so no heap is warranted.
+    * operator's literal (5–100 registered, ≤ 4096 sanctioned), so no
+    * heap is warranted. Arrays grow LAZILY (r20, ADVICE: under
+    * ObjectHashAggregate a many-group aggregation previously allocated
+    * 16 B × k per group up front — at the pool-sized k that is real
+    * memory before any row arrives); capacity doubles toward k only as
+    * rows are actually kept.
     */
   final class Buffer(val k: Int) {
     var size: Int = 0
-    val scores: Array[Double] = new Array[Double](k)
-    val ids: Array[Long] = new Array[Long](k)
+    var scores: Array[Double] = new Array[Double](math.min(k, 16))
+    var ids: Array[Long] = new Array[Long](math.min(k, 16))
+
+    private def ensure(n: Int): Unit = {
+      if (n > scores.length) {
+        val cap = math.min(k, math.max(n, scores.length * 2))
+        scores = java.util.Arrays.copyOf(scores, cap)
+        ids = java.util.Arrays.copyOf(ids, cap)
+      }
+    }
 
     def insert(s: Double, i: Long): Unit = {
       if (size == k && cmp(s, i, scores(size - 1), ids(size - 1)) >= 0) return
@@ -129,6 +155,7 @@ object TopKPairs {
       }
       val insertAt = lo
       val newSize = math.min(size + 1, k)
+      ensure(newSize)
       var j = newSize - 1
       while (j > insertAt) { scores(j) = scores(j - 1); ids(j) = ids(j - 1); j -= 1 }
       if (insertAt < k) { scores(insertAt) = s; ids(insertAt) = i; size = newSize }

@@ -39,6 +39,41 @@ class TopKPairsSpec extends SparkSpec {
       "aggregate top-k diverged from the window top-k")
   }
 
+  test("k cap is the serving regime (r20): 4096 accepted, 4097 refused") {
+    // boundary spec for the r20 hardening — the 2^20 cap let a caller
+    // allocate gigabytes of per-group state under ObjectHashAggregate
+    TopKPairs(
+      GraftExpressionBridge.expression(col("sim")),
+      GraftExpressionBridge.expression(col("item_id")), 4096)
+    val e = intercept[IllegalArgumentException] {
+      TopKPairs(
+        GraftExpressionBridge.expression(col("sim")),
+        GraftExpressionBridge.expression(col("item_id")), 4097)
+    }
+    assert(e.getMessage.contains("serving regime"))
+  }
+
+  test("lazy buffer growth (r20): k past the 16-slot seed still matches the window") {
+    // k = 100 forces the buffer through multiple capacity doublings
+    // (16 -> 32 -> 64 -> 100) on BOTH the update and the merge/deserialize
+    // paths (32 partitions -> partial buffers of varied fill)
+    val scored = spark.range(0, 20000).repartition(32)
+      .select((col("id") % 10).as("query_id"), col("id").as("item_id"),
+        ((col("id") % 40).cast("double") / 40.0).as("sim"))
+    val k = 100
+    val viaAgg = scored.groupBy("query_id").agg(topk(k).as("__tk"))
+      .select(col("query_id"), posexplode(col("__tk")).as(Seq("__i", "__e")))
+      .select(col("query_id"), col("__e.item_id").as("item_id"),
+        col("__e.sim").as("sim"), (col("__i") + 1).cast("int").as("rk"))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("sim"), col("item_id"))
+    val viaWindow = scored
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("item_id"), col("sim"), col("rk"))
+    assert(viaAgg.count() == 10L * k)
+    assert(viaAgg.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaAgg).isEmpty,
+      "aggregate top-k diverged from the window top-k at grown capacity")
+  }
+
   test("groups smaller than k emit all their rows in rank order; null scores are ignored") {
     val scored = Seq(
       (1L, 10L, 0.5), (1L, 11L, 0.9), (1L, 12L, 0.9),

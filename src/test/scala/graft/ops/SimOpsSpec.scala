@@ -189,6 +189,67 @@ class SimOpsSpec extends SparkSpec {
       "re-salted serve diverged from the unsalted reference")
   }
 
+  test("stale salt sidecar fails LOUDLY on both serve paths; a published-correct one passes (r20, ADVICE)") {
+    // a sidecar claiming narrower widths than the index persists would fan
+    // probes short and silently drop sub-lists — the serves now prove the
+    // claim against each matched row's own __nsalt and raise; the
+    // publish-time validateSaltSidecar catches the same staleness (and
+    // missing centroids) from the aggregate side
+    val dim = 8
+    val corpus = spark.range(0, 300).select(col("id"),
+      array((0 until dim).map(j =>
+        sin(col("id") % 7 * lit(0.9) + lit(j * 0.37))): _*).as("vec"))
+    val cents = corpus.filter(col("id") % 50 === 3)
+    val queries = corpus.filter(col("id") % 30 === 1)
+    val index = SimOps.ivfIndex(corpus, cents, "id", "vec",
+      maxList = 16, sizeSampleRate = 1.0)
+    assert(index.select("__nsalt").as[Int].collect().exists(_ > 1),
+      "fixture failed to engage salting")
+    val goodSidecar = index.groupBy("centroid_id")
+      .agg(max(col("__nsalt")).as("__nsalt"))
+    val staleSidecar = goodSidecar.select(col("centroid_id"),
+      lit(1).cast("int").as("__nsalt"))
+    val ref = SimOps.ivfTopKServe(index, cents, queries, "id", "vec",
+      k = 3, nprobe = 2).collect().toSeq
+    // correct sidecar: guard present, never fires, results identical
+    val viaGood = SimOps.ivfTopKServe(index, cents, queries, "id", "vec",
+      k = 3, nprobe = 2, salts = Some(goodSidecar)).collect().toSeq
+    assert(viaGood.toSet == ref.toSet && viaGood.size == ref.size)
+    // stale sidecar: the IVF serve raises instead of shrinking the top-k
+    val e1 = intercept[Exception] {
+      SimOps.ivfTopKServe(index, cents, queries, "id", "vec",
+        k = 3, nprobe = 2, salts = Some(staleSidecar)).collect()
+    }
+    assert(exceptionChain(e1).exists(_.getMessage != null) &&
+      exceptionChain(e1).exists(m => Option(m.getMessage).exists(_.contains("stale salt sidecar"))),
+      s"expected the stale-sidecar raise, got: $e1")
+    // stale sidecar: the PQ serve raises too (same guard on its candidate join)
+    val inverted = index.select("centroid_id", "item_id", "__salt", "__nsalt")
+    val cb = SimOps.pqCodebook(corpus, "id", "vec", dim = dim, m = 2, ksub = 4)
+    val codes = SimOps.pqCodes(corpus, "id", "vec", cb, dim = dim, m = 2)
+      .withColumnRenamed("id", "item_id")
+    val e2 = intercept[Exception] {
+      SimOps.ivfPqServe(inverted, cb, codes, cents, corpus, queries,
+        "id", "vec", dim = dim, m = 2, nprobe = 2, pool = 10, k = 3,
+        salts = Some(staleSidecar)).collect()
+    }
+    assert(exceptionChain(e2).exists(m => Option(m.getMessage).exists(_.contains("stale salt sidecar"))),
+      s"expected the PQ stale-sidecar raise, got: $e2")
+    // publish-time gate: clean sidecar passes; narrow and missing rows fail
+    SimOps.validateSaltSidecar(index, goodSidecar)
+    val e3 = intercept[IllegalArgumentException] {
+      SimOps.validateSaltSidecar(index, staleSidecar)
+    }
+    assert(e3.getMessage.contains("stale"))
+    val e4 = intercept[IllegalArgumentException] {
+      SimOps.validateSaltSidecar(index, goodSidecar.limit(0))
+    }
+    assert(e4.getMessage.contains("stale"))
+  }
+
+  private def exceptionChain(e: Throwable): List[Throwable] =
+    e :: Option(e.getCause).map(exceptionChain).getOrElse(Nil)
+
   test("mapSideAssign at the full 4096-centroid bound: codegen survives, picks match the quantized crossJoin argmax") {
     // the exact-kernel twin of the test above (r19): the SemDeDup-family
     // fold had the same linear-codegen failure class at the bound
