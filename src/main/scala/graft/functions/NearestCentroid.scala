@@ -7,12 +7,13 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StructField, StructType}
 
-/** The bounded centroid set as ONE plan reference object: ids, vectors,
+/** The bounded centroid set as ONE value object: ids, vectors,
   * and the precomputed norms `sqrt(vec_dot(c, c))` — the same values
   * Catalyst constant-folded out of the r18 `greatest(...)` projection's
   * literal terms (computed with the identical left-to-right
   * accumulation), now computed once at model build instead of once per
-  * plan literal.
+  * plan literal. Rides a [[CentroidHandle]] `Broadcast` into the
+  * expressions (r20) — see [[CentroidBroadcasts]].
   */
 final case class CentroidModel(ids: Array[Long], vecs: Array[Array[Double]],
     norms: Array[Double]) extends Serializable
@@ -56,21 +57,33 @@ object CentroidModel {
   * (`x == y` first — so -0.0 ties 0.0 — then `Double.compare`, NaN
   * greatest); a null element or a length mismatch nulls that term's
   * score (the `vec_dot` contract), ranking it below every non-null one.
+  *
+  * r20 (VERDICT #1): the matrix rides a [[CentroidHandle]] `Broadcast`
+  * instead of a plan reference object — the serialized plan carries the
+  * tiny handle, each generated-class instance fetches the arrays ONCE in
+  * its init (per task, from the executor's broadcast cache after the
+  * first), and `stream_ann_serve` micro-batch re-plans stop re-shipping
+  * ~2 MB per batch. Scores and pick are unchanged — the fetched model is
+  * the same object the expression used to embed.
   */
-case class NearestCentroid(child: Expression, model: CentroidModel)
+case class NearestCentroid(child: Expression, handle: CentroidHandle)
     extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes = Seq(ArrayType(DoubleType))
   override def dataType: DataType = LongType
   override def prettyName: String = "nearest_centroid"
 
+  @transient private lazy val model: CentroidModel = handle.bc.value
+
   override protected def nullSafeEval(input: Any): Any =
     NearestCentroid.pick(model, input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
-      val m = ctx.addReferenceObj("centModel", model,
-        classOf[CentroidModel].getName)
+      val h = ctx.addReferenceObj("centHandle", handle,
+        classOf[CentroidHandle].getName)
+      val m = ctx.addMutableState(classOf[CentroidModel].getName, "centModel",
+        v => s"$v = (${classOf[CentroidModel].getName}) $h.bc().value();")
       s"${ev.value} = graft.functions.NearestCentroid.pick($m, $c);"
     })
 
@@ -147,7 +160,7 @@ object NearestCentroid {
   * mismatch nulls every term's score, ranking arbitrary-by-id (the
   * window's null ordering never surfaces: all terms tie).
   */
-case class NearestCentroidsK(child: Expression, model: CentroidModel, p: Int)
+case class NearestCentroidsK(child: Expression, handle: CentroidHandle, p: Int)
     extends UnaryExpression with ExpectsInputTypes {
 
   require(p > 0 && p <= 1024, s"p (nprobe) must be in [1, 1024], got $p")
@@ -156,13 +169,17 @@ case class NearestCentroidsK(child: Expression, model: CentroidModel, p: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "nearest_centroids_k"
 
+  @transient private lazy val model: CentroidModel = handle.bc.value
+
   override protected def nullSafeEval(input: Any): Any =
     NearestCentroidsK.pick(model, p, input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
-      val m = ctx.addReferenceObj("centModel", model,
-        classOf[CentroidModel].getName)
+      val h = ctx.addReferenceObj("centHandle", handle,
+        classOf[CentroidHandle].getName)
+      val m = ctx.addMutableState(classOf[CentroidModel].getName, "centModel",
+        v => s"$v = (${classOf[CentroidModel].getName}) $h.bc().value();")
       s"${ev.value} = graft.functions.NearestCentroidsK.pick($m, $p, $c);"
     })
 
@@ -252,10 +269,10 @@ object NearestCentroidsK {
   * element / length mismatch nulls a term's distance, ranking it FIRST
   * (the window's asc-nulls-first order — degenerate inputs only).
   */
-case class NearestTwoQDist(child: Expression, model: CentroidModel)
+case class NearestTwoQDist(child: Expression, handle: CentroidHandle)
     extends UnaryExpression with ExpectsInputTypes {
 
-  require(model.ids.length >= 2,
+  require(handle.n >= 2,
     "silhouette needs at least 2 centroids (b = distance to the second-nearest)")
 
   override def inputTypes = Seq(ArrayType(DoubleType))
@@ -265,13 +282,17 @@ case class NearestTwoQDist(child: Expression, model: CentroidModel)
     StructField("b", LongType, nullable = true)))
   override def prettyName: String = "nearest_two_qdist"
 
+  @transient private lazy val model: CentroidModel = handle.bc.value
+
   override protected def nullSafeEval(input: Any): Any =
     NearestTwoQDist.pick(model, input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
-      val m = ctx.addReferenceObj("centModel", model,
-        classOf[CentroidModel].getName)
+      val h = ctx.addReferenceObj("centHandle", handle,
+        classOf[CentroidHandle].getName)
+      val m = ctx.addMutableState(classOf[CentroidModel].getName, "centModel",
+        v => s"$v = (${classOf[CentroidModel].getName}) $h.bc().value();")
       s"${ev.value} = graft.functions.NearestTwoQDist.pick($m, $c);"
     })
 
@@ -372,7 +393,7 @@ object QCentroidModel {
   * A null element or length mismatch nulls the term's key and sim (the
   * `vec_qdot` contract), ranking it below every non-null term.
   */
-case class QNearestCentroid(child: Expression, model: QCentroidModel)
+case class QNearestCentroid(child: Expression, handle: QCentroidHandle)
     extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes = Seq(ArrayType(DoubleType))
@@ -381,13 +402,17 @@ case class QNearestCentroid(child: Expression, model: QCentroidModel)
     StructField("cent_sim", DoubleType, nullable = true)))
   override def prettyName: String = "nearest_centroid_q"
 
+  @transient private lazy val model: QCentroidModel = handle.bc.value
+
   override protected def nullSafeEval(input: Any): Any =
     QNearestCentroid.pick(model, input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
-      val m = ctx.addReferenceObj("qcentModel", model,
-        classOf[QCentroidModel].getName)
+      val h = ctx.addReferenceObj("qcentHandle", handle,
+        classOf[QCentroidHandle].getName)
+      val m = ctx.addMutableState(classOf[QCentroidModel].getName, "qcentModel",
+        v => s"$v = (${classOf[QCentroidModel].getName}) $h.bc().value();")
       s"${ev.value} = graft.functions.QNearestCentroid.pick($m, $c);"
     })
 

@@ -1812,6 +1812,79 @@ object LlmQueries {
       .orderBy("round", "query_id")
   }
 
+  /** Convergence-stop threshold for [[simIvfTrainedConv]], in micro-units
+    * of per-component centroid movement (`floor(x*1e6 + 0.5)` deltas — an
+    * exact integer on both engines). 35000 micro = 0.035, set from the
+    * measured settling band of the synthetic embeddings: round-1 movement
+    * is ~0.30-0.32 at both sf0.01 and sf0.1, round 2 falls to ~0.049, and
+    * rounds 3+ drift in the 0.023-0.035 band while the k3 recall
+    * trajectory is already past its round-2/3 peak — so the stop fires at
+    * round 3 on both scales (a REAL early stop: round 4 is never
+    * computed) and further rounds would be cost without recall gain.
+    */
+  val ConvEpsMicro = 35000L
+
+  /** Round cap for [[simIvfTrainedConv]] — the production backstop when
+    * the data never settles under [[ConvEpsMicro]].
+    */
+  val ConvMaxRounds = 4
+
+  /** Lloyd training with a CONVERGENCE stop (r20 — VERDICT #7): the
+    * production-shaped training loop — iterate
+    * [[SimOps.lloydIteration]] until the max per-component centroid
+    * movement (micro-quantized, integer-exact) is ≤ [[ConvEpsMicro]] with
+    * no cluster drop, or [[ConvMaxRounds]] rounds. Per round the trained
+    * set is collected (bounded by the family's ≤ 1024-centroid rule) and
+    * rebuilt as a literal frame (the k3 / BPE loop discipline); movement
+    * is computed DRIVER-side from the two collected models — ≤ 1024 × 64
+    * integers, never a distributed job. Output: one row per executed
+    * round `(round, n_centroids, max_move_q, converged)` — the honest
+    * trajectory AND the stop decision, both replayed by the DuckDB
+    * oracle (which computes every round and filters to the same stop).
+    */
+  val simIvfTrainedConv: Q = (s, d) => {
+    import s.implicits._
+    val emb = t(s, d, "embeddings")
+    var cents = semAdmitCentroids(emb)
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("embedding"))
+    def quantOf(rows: Array[org.apache.spark.sql.Row]): Map[Long, Array[Long]] =
+      rows.map(r => r.getLong(0) -> r.getSeq[Double](1)
+        .map(x => math.floor(x * 1e6 + 0.5).toLong).toArray).toMap
+    var prev = quantOf(cents
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .limit(4097).collect())
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    var r = 1
+    var stop = false
+    while (r <= ConvMaxRounds && !stop) {
+      val trainedDf = SimOps.lloydIteration(emb, cents, "vec_id", "embedding")
+      val rows = trainedDf.collect()
+      cents = s.createDataFrame(
+        java.util.Arrays.asList(rows: _*), trainedDf.schema)
+      val cur = quantOf(rows)
+      val drops = prev.keysIterator.count(k => !cur.contains(k))
+      var mx = 0L
+      cur.foreach { case (id, q) =>
+        prev.get(id).foreach { o =>
+          var i = 0
+          while (i < q.length && i < o.length) {
+            val dlt = math.abs(q(i) - o(i))
+            if (dlt > mx) mx = dlt
+            i += 1
+          }
+        }
+      }
+      val conv = if (drops == 0 && mx <= ConvEpsMicro) 1L else 0L
+      out += ((r.toLong, cur.size.toLong, mx, conv))
+      stop = conv == 1L
+      prev = cur
+      r += 1
+    }
+    out.toSeq.toDF("round", "n_centroids", "max_move_q", "converged")
+      .orderBy("round")
+  }
+
   /** IVF ANN top-k: probe the 2 nearest centroids' inverted lists only. */
   val simIvfTopk: Q = (s, d) => {
     val emb = t(s, d, "embeddings")
@@ -2591,6 +2664,7 @@ object LlmQueries {
     "sim_ivf_recall" -> simIvfRecall,
     "sim_ivf_trained_recall" -> simIvfTrainedRecall,
     "sim_ivf_trained_k3" -> simIvfTrainedK3,
+    "sim_ivf_trained_conv" -> simIvfTrainedConv,
     "embed_pq_codes" -> embedPqCodes,
     "sim_pq_topk" -> simPqTopk,
     "sim_pq_recall" -> simPqRecall,
@@ -2907,28 +2981,37 @@ object LlmQueries {
     * ground truth computed once. Generated, not hand-repeated: one block
     * template per concern, rounds chained c0 → c1 → c2 → c3.
     */
+  /** One Lloyd training round as a chained CTE block `c{r-1} -> c$r` —
+    * assignment (same cosine + (csim desc, id) tie-break), integer-domain
+    * mean (quantize / HUGEINT-exact sum / round-half-up floor-div, the
+    * [[SimOps.meanOfQuantUnits]] mirror). Shared by the fixed-depth
+    * trajectory oracle ([[trainedK3Oracle]]) and the convergence-stop
+    * oracle (r20, `sim_ivf_trained_conv`) so the two entries cannot drift.
+    */
+  private def lloydTrainBlockSql(r: Int): String =
+    s"""va$r AS (
+       |  SELECT vec_id, v, centroid_id,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, centroid_id) AS crk
+       |  FROM (SELECT vec_id, v, centroid_id,
+       |      list_dot_product(v, cv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) AS csim
+       |    FROM v CROSS JOIN c${r - 1})
+       |),
+       |a$r AS (SELECT vec_id, v, centroid_id FROM va$r WHERE crk = 1),
+       |mm$r AS (
+       |  SELECT centroid_id, pos,
+       |    CAST((a - (((a % b) + b) % b)) // b AS DOUBLE) / 1e6 AS mv
+       |  FROM (
+       |    SELECT centroid_id, i AS pos,
+       |      2 * SUM(CAST(floor(v[i] * 1e6 + 0.5) AS BIGINT)) + count(*) AS a,
+       |      2 * count(*) AS b
+       |    FROM a$r, UNNEST(range(1, 65)) AS u(i)
+       |    GROUP BY 1, 2
+       |  )
+       |),
+       |c$r AS (SELECT centroid_id, list(mv ORDER BY pos) AS cv FROM mm$r GROUP BY centroid_id)"""
+
   private lazy val trainedK3Oracle: String = {
-    def trainBlock(r: Int): String =
-      s"""va$r AS (
-         |  SELECT vec_id, v, centroid_id,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, centroid_id) AS crk
-         |  FROM (SELECT vec_id, v, centroid_id,
-         |      list_dot_product(v, cv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) AS csim
-         |    FROM v CROSS JOIN c${r - 1})
-         |),
-         |a$r AS (SELECT vec_id, v, centroid_id FROM va$r WHERE crk = 1),
-         |mm$r AS (
-         |  SELECT centroid_id, pos,
-         |    CAST((a - (((a % b) + b) % b)) // b AS DOUBLE) / 1e6 AS mv
-         |  FROM (
-         |    SELECT centroid_id, i AS pos,
-         |      2 * SUM(CAST(floor(v[i] * 1e6 + 0.5) AS BIGINT)) + count(*) AS a,
-         |      2 * count(*) AS b
-         |    FROM a$r, UNNEST(range(1, 65)) AS u(i)
-         |    GROUP BY 1, 2
-         |  )
-         |),
-         |c$r AS (SELECT centroid_id, list(mv ORDER BY pos) AS cv FROM mm$r GROUP BY centroid_id)"""
+    def trainBlock(r: Int): String = lloydTrainBlockSql(r)
     def recallBlock(r: Int): String =
       s"""ca$r AS (
          |  SELECT item_id, iv, centroid_id,
@@ -2982,6 +3065,53 @@ object LlmQueries {
        |$recalls
        |${(0 to 3).map(roundSelect).mkString("\nUNION ALL\n")}
        |ORDER BY round, query_id""".stripMargin
+  }
+
+  /** Oracle for the convergence-stop Lloyd loop (r20, VERDICT #7 —
+    * `sim_ivf_trained_conv`): the SAME chained training CTEs as the k3
+    * trajectory ([[lloydTrainBlockSql]], shared template), plus per-round
+    * MOVEMENT blocks — max over surviving centroids of the per-component
+    * micro-quantized delta (`floor(x*1e6 + 0.5)` on both rounds' values,
+    * an exact integer on both engines) and the dropped-centroid count —
+    * and the stop rule replayed in SQL: the first round with zero drops
+    * and max movement ≤ ε is the last emitted row (else all
+    * [[LlmQueries.ConvMaxRounds]] rounds). The engine's driver-side loop
+    * stops computing at that round; the oracle computes every round and
+    * FILTERS, so agreement pins both the trajectory and the stop
+    * decision.
+    */
+  private lazy val trainedConvOracle: String = {
+    val rmax = ConvMaxRounds
+    def movBlock(r: Int): String =
+      s"""mov$r AS (
+         |  SELECT coalesce(max(abs(CAST(floor(ncv[i] * 1e6 + 0.5) AS BIGINT)
+         |                         - CAST(floor(ocv[i] * 1e6 + 0.5) AS BIGINT))), 0) AS mxq
+         |  FROM (SELECT o.cv AS ocv, n.cv AS ncv
+         |      FROM c${r - 1} o JOIN c$r n USING (centroid_id)),
+         |    UNNEST(range(1, 65)) AS u(i)
+         |),
+         |drp$r AS (
+         |  SELECT count(*) AS nd FROM c${r - 1} o LEFT JOIN c$r n USING (centroid_id)
+         |  WHERE n.cv IS NULL
+         |),
+         |st$r AS (SELECT CAST($r AS BIGINT) AS round,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM c$r) AS n_centroids,
+         |  (SELECT CAST(mxq AS BIGINT) FROM mov$r) AS mxq,
+         |  (SELECT CAST(nd AS BIGINT) FROM drp$r) AS nd)"""
+    val trains = (1 to rmax).map(lloydTrainBlockSql).mkString(",\n")
+    val movs = (1 to rmax).map(movBlock).mkString(",\n")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c0 AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE $centStridePred),
+       |$trains,
+       |$movs,
+       |fl AS (
+       |  SELECT round, n_centroids, mxq AS max_move_q,
+       |    CAST(CASE WHEN nd = 0 AND mxq <= $ConvEpsMicro THEN 1 ELSE 0 END AS BIGINT) AS converged
+       |  FROM (${(1 to rmax).map(r => s"SELECT * FROM st$r").mkString(" UNION ALL ")})
+       |),
+       |rs AS (SELECT coalesce(min(round) FILTER (WHERE converged = 1), $rmax) AS rstar FROM fl)
+       |SELECT round, n_centroids, max_move_q, converged
+       |FROM fl, rs WHERE round <= rstar ORDER BY round""".stripMargin
   }
 
   /** The ExactSubstr (Lee et al. 2021) duplicated-span chain as CTEs ending
@@ -4549,6 +4679,7 @@ object LlmQueries {
         |LEFT JOIN hits h USING (query_id)
         |ORDER BY query_id""".stripMargin,
     "sim_ivf_trained_k3" -> trainedK3Oracle,
+    "sim_ivf_trained_conv" -> trainedConvOracle,
     "sim_ivf_recall" ->
       s"""WITH cent AS (
         |  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE $centStridePred
