@@ -166,6 +166,40 @@ object AnnServeSoak {
         require(rSalt == rFlat && sSalt == sFlat,
           s"salted serve diverged from unsalted: ($rSalt,$sSalt) vs ($rFlat,$sFlat)")
         println(f"""{"mode":"hot_centroid_100x","hot_list":$hotList,"salted_serve_sec":$tSalt%.2f,"salted_skew":$skewSalt%.1f,"salted_skew_stage":$stageSalt,"salted_max_task_ms":$maxSalt,"unsalted_serve_sec":$tFlat%.2f,"unsalted_skew":$skewFlat%.1f,"unsalted_skew_stage":$stageFlat,"unsalted_max_task_ms":$maxFlat,"topk_rows":$rSalt}""")
+        // ---- IVF-PQ twin (r20, VERDICT #3): the PQ serve's salted
+        // candidate join landed late in r19 and its hot-centroid behavior
+        // was inferred from the IVF twin — measure it directly: same
+        // stored index (centroid_id, item_id, __salt, __nsalt as the
+        // inverted lists), same 17%-skew corpus, same broadcast-disabled
+        // shuffle regime, result equality REQUIRED between the salted
+        // lists and a salt-stripped copy.
+        val inverted = index.select(
+          col("centroid_id"), col("item_id"), col("__salt"), col("__nsalt"))
+          .localCheckpoint(true)
+        val cb = graft.ops.SimOps.pqCodebook(
+          corpusHot, "vec_id", "embedding", dim = 64, m = 8)
+          .localCheckpoint(true)
+        val codes = graft.ops.SimOps.pqCodes(
+          corpusHot, "vec_id", "embedding", cb, dim = 64, m = 8)
+          .withColumnRenamed("vec_id", "item_id")
+          .localCheckpoint(true)
+        durations.clear()
+        val ((rPq, sPq), tPq) = time(stats(graft.ops.SimOps.ivfPqServe(
+          inverted, cb, codes, cents, corpusHot, queries,
+          "vec_id", "embedding", dim = 64, m = 8, nprobe = 2,
+          pool = 100, k = 5)))
+        val (skewPq, stagePq) = worstSkew()
+        val maxPq = maxTaskMs()
+        durations.clear()
+        val ((rPqF, sPqF), tPqF) = time(stats(graft.ops.SimOps.ivfPqServe(
+          inverted.drop("__salt", "__nsalt"), cb, codes, cents, corpusHot,
+          queries, "vec_id", "embedding", dim = 64, m = 8, nprobe = 2,
+          pool = 100, k = 5)))
+        val (skewPqF, stagePqF) = worstSkew()
+        val maxPqF = maxTaskMs()
+        require(rPq == rPqF && sPq == sPqF,
+          s"salted PQ serve diverged from unsalted: ($rPq,$sPq) vs ($rPqF,$sPqF)")
+        println(f"""{"mode":"hot_centroid_100x_ivfpq","hot_list":$hotList,"salted_serve_sec":$tPq%.2f,"salted_skew":$skewPq%.1f,"salted_skew_stage":$stagePq,"salted_max_task_ms":$maxPq,"unsalted_serve_sec":$tPqF%.2f,"unsalted_skew":$skewPqF%.1f,"unsalted_skew_stage":$stagePqF,"unsalted_max_task_ms":$maxPqF,"topk_rows":$rPq}""")
       } finally {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
         prevAqeThresh.foreach(

@@ -367,25 +367,38 @@ object Soak {
       case Some("sf0.1") => Seq(src)
       case _ => Seq(src, out)
     }
+    // a restricted run must not clobber the full-soak record
+    val outFile =
+      if (only.isDefined || scales.size < 2) "BENCH_sf1_partial.jsonl" else "BENCH_sf1.jsonl"
     for (dir <- scales) {
       val tag = if (dir == src) "sf0.1" else "sf1"
       queries.foreach { case (name, fn) =>
         durations.clear()
         val t0 = System.nanoTime()
-        fn(spark, dir).write.mode("overwrite").format("noop").save()
-        val secs = (System.nanoTime() - t0) / 1e9
-        val (skew, stage) = worstSkew()
-        sb.append(f"""{"sf":"$tag","query":"$name","sec":$secs%.3f,"worst_skew":$skew%.1f,"skew_stage":$stage}%n""")
-        println(f"[$tag] $name%-28s $secs%7.2fs  skew $skew%5.1fx")
+        try {
+          fn(spark, dir).write.mode("overwrite").format("noop").save()
+          val secs = (System.nanoTime() - t0) / 1e9
+          val (skew, stage) = worstSkew()
+          sb.append(f"""{"sf":"$tag","query":"$name","sec":$secs%.3f,"worst_skew":$skew%.1f,"skew_stage":$stage}%n""")
+          println(f"[$tag] $name%-28s $secs%7.2fs  skew $skew%5.1fx")
+        } catch {
+          // r20: a query whose input table the scaled dir does not carry
+          // (the generator ships documents/embeddings/events/orders only)
+          // is SKIPPED with a recorded line, not a soak abort — r19's
+          // join_bucketed_colocated (lineitem) killed the whole sweep at
+          // the second-to-last sf1 entry with nothing flushed. Any other
+          // failure class still aborts loudly.
+          case e: org.apache.spark.sql.AnalysisException =>
+            sb.append(s"""{"sf":"$tag","query":"$name","skipped":"${e.getCondition}"}""" + "\n")
+            println(f"[$tag] $name%-28s SKIPPED (${e.getCondition})")
+        }
+        // flush the record incrementally — a late abort must not lose the sweep
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), sb.result())
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
         System.gc()
       }
     }
-    // a restricted run must not clobber the full-soak record
-    val outFile =
-      if (only.isDefined || scales.size < 2) "BENCH_sf1_partial.jsonl" else "BENCH_sf1.jsonl"
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), sb.result())
     spark.stop()
   }
 }
