@@ -972,6 +972,70 @@ object SimOps {
       .select(col(idCol), col("sub"), col("__best.code").as("code"))
   }
 
+  /** The per-query ADC distance table `(query_id, sub, code, qdl)` —
+    * micro-unit LONG distances (floor(d*1e6 + 0.5), the engine's portable
+    * rounding) from every query subvector to every (sub, code) codebook
+    * centroid: nq × m × ksub rows, the serving batch's bounded model.
+    */
+  private def adcDistanceTable(queries: DataFrame, codebook: DataFrame,
+      idCol: String, vecCol: String, dim: Int, m: Int): DataFrame = {
+    val dsub = dim / m
+    val qsub = queries
+      .select(col(idCol).as("query_id"), explode(array((0 until m).map { s =>
+        struct(lit(s.toLong).as("sub"),
+          slice(asDouble(col(vecCol)), s * dsub + 1, dsub).as("qs"))
+      }: _*)).as("__s"))
+      .select(col("query_id"), col("__s.sub").as("sub"), col("__s.qs").as("qs"))
+    qsub.join(broadcast(codebook), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        floor(l2sq(col("qs"), col("cvec")) * lit(1000000.0) + lit(0.5))
+          .cast("long").as("qdl"))
+  }
+
+  /** Collect the bounded ADC table into its flat broadcast model (r20) —
+    * a bounded collect by the serving regime (the table is the SAME
+    * nq × m × ksub frame the join formulation broadcast per stage;
+    * [[graft.functions.AdcBroadcasts]] enforces the cell budget), resolved
+    * content-keyed so repeated serves over one query batch share one
+    * executor-cached copy.
+    */
+  private def adcHandle(qd: DataFrame): graft.functions.AdcHandle = {
+    val rows = qd.select(col("query_id").cast("long"), col("sub").cast("long"),
+      col("code").cast("long"), col("qdl")).collect()
+    require(rows.length <= graft.functions.AdcBroadcasts.MaxCells,
+      s"ADC table has ${rows.length} cells — past the broadcast budget")
+    val m = rows.iterator.map(_.getLong(1)).foldLeft(-1L)(math.max).toInt + 1
+    val ksub = rows.iterator.map(_.getLong(2)).foldLeft(-1L)(math.max).toInt + 1
+    val qids = rows.map(_.getLong(0)).distinct.sorted
+    val idx = qids.zipWithIndex.toMap
+    val flat = new Array[Long](qids.length * math.max(m, 0) * math.max(ksub, 0))
+    rows.foreach { r =>
+      flat(idx(r.getLong(0)) * m * ksub + r.getLong(1).toInt * ksub +
+        r.getLong(2).toInt) = r.getLong(3)
+    }
+    graft.functions.AdcBroadcasts.handleFor(qd.sparkSession,
+      graft.functions.AdcModel(qids, flat, m, ksub))
+  }
+
+  /** One `codes: array<long>` row per item (index = sub) — the scan-side
+    * shape [[graft.functions.AdcDist]] consumes; `array_sort` on the
+    * (sub, code) structs makes the collect_list order irrelevant.
+    */
+  private def codesAsArray(codes: DataFrame): DataFrame =
+    codes.groupBy(col("item_id"))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+        sc => sc.getField("code")).as("__codes"))
+
+  /** Project the ADC sum onto a frame carrying `query_id` + `__codes`
+    * through the native [[graft.functions.AdcDist]] expression.
+    */
+  private def adcDistCol(handle: graft.functions.AdcHandle): Column = {
+    import org.apache.spark.sql.GraftExpressionBridge
+    GraftExpressionBridge.column(graft.functions.AdcDist(
+      GraftExpressionBridge.expression(col("query_id")),
+      GraftExpressionBridge.expression(col("__codes")), handle))
+  }
+
   /** PQ ADC (asymmetric distance computation) top-k — the compressed-domain
     * scan of an IVF-PQ serving tier: queries precompute a distance table to
     * every (sub, code) centroid, and a candidate's distance is the sum of
@@ -981,30 +1045,31 @@ object SimOps {
     * Exactness contract: per-subspace distances quantize to micro-units
     * (floor(d*1e6 + 0.5), the engine's portable rounding) so the m-way sum
     * is an order-independent LONG — a double sum would depend on partial-
-    * aggregation order. The distance table (nq * m * ksub rows) broadcasts;
-    * the only shuffle is the (query, item) aggregation.
+    * aggregation order.
+    *
+    * Scan shape (r20): the distance table rides a broadcast model behind
+    * the native `adc_dist` expression and the sum is ONE projection per
+    * (item, query) pair over the item's code ARRAY — the join formulation
+    * expanded every pair into `m` (sub, code) rows and shuffled the
+    * expansion on (query, item) to sum, which the hot-centroid soak
+    * measured as the IVF-PQ serve's dominant stage. Same LONG sum, same
+    * oracle; the only shuffle left is the one-time codes→array pivot
+    * (|corpus| rows, map-side combinable).
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, codebook: DataFrame,
       idCol: String, vecCol: String, dim: Int, m: Int = 8, k: Int = 5): DataFrame = {
-    val dsub = dim / m
     val codes = pqCodes(corpus, idCol, vecCol, codebook, dim, m)
       .withColumnRenamed(idCol, "item_id")
-    val qsub = queries
-      .select(col(idCol).as("query_id"), explode(array((0 until m).map { s =>
-        struct(lit(s.toLong).as("sub"),
-          slice(asDouble(col(vecCol)), s * dsub + 1, dsub).as("qs"))
-      }: _*)).as("__s"))
-      .select(col("query_id"), col("__s.sub").as("sub"), col("__s.qs").as("qs"))
-    val qd = qsub.join(broadcast(codebook), Seq("sub"))
-      .select(col("query_id"), col("sub"), col("code"),
-        floor(l2sq(col("qs"), col("cvec")) * lit(1000000.0) + lit(0.5))
-          .cast("long").as("qdl"))
+    val handle = adcHandle(
+      adcDistanceTable(queries, codebook, idCol, vecCol, dim, m))
+    val qids = queries.select(col(idCol).cast("long").as("query_id"))
     // micro-unit LONG sums stay exact as doubles (well under 2^53), so
     // ranking by the negated double replays (dl asc, item_id) exactly
-    val summed = codes.join(broadcast(qd), Seq("sub", "code"))
+    val summed = codesAsArray(codes)
+      .crossJoin(broadcast(qids))
       .filter(col("query_id") =!= col("item_id"))
-      .groupBy(col("query_id"), col("item_id"))
-      .agg(sum(col("qdl")).as("dl"))
+      .withColumn("dl", adcDistCol(handle))
+      .drop("__codes")
     topKPairsAgg(summed, "query_id", -col("dl").cast("double"), k)
       .select(col("query_id"), col("item_id"),
         round(-col("__s") / lit(1000000.0), 6).as("adc_dist"), col("rk"))
@@ -1083,9 +1148,6 @@ object SimOps {
       centroids: DataFrame, corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, dim: Int, m: Int = 8, nprobe: Int = 2,
       pool: Int = 100, k: Int = 5, salts: Option[DataFrame] = None): DataFrame = {
-    val dsub = dim / m
-    val cent = broadcast(centroids.select(
-      col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("centroid_vec")))
     val cb = codebook
     val probes0 = assignProbesAdaptive(queries, centroids, idCol, vecCol, nprobe)
       .select(col("centroid_id"), col("query_id"))
@@ -1103,17 +1165,11 @@ object SimOps {
           .drop("__nsalt")
           .withColumn("__salt", explode(sequence(lit(0), col("__claimed") - 1)))
       } else probes0
-    // the per-query ADC distance table (nq * m * ksub rows — broadcastable)
-    val qsub = queries
-      .select(col(idCol).as("query_id"), explode(array((0 until m).map { s =>
-        struct(lit(s.toLong).as("sub"),
-          slice(asDouble(col(vecCol)), s * dsub + 1, dsub).as("qs"))
-      }: _*)).as("__s"))
-      .select(col("query_id"), col("__s.sub").as("sub"), col("__s.qs").as("qs"))
-    val qd = qsub.join(broadcast(cb), Seq("sub"))
-      .select(col("query_id"), col("sub"), col("code"),
-        floor(l2sq(col("qs"), col("cvec")) * lit(1000000.0) + lit(0.5))
-          .cast("long").as("qdl"))
+    // the per-query ADC distance table, collected into its bounded
+    // broadcast model (r20 — nq * m * ksub longs, the same frame the
+    // join formulation broadcast per stage)
+    val handle = adcHandle(
+      adcDistanceTable(queries, cb, idCol, vecCol, dim, m))
     // probe -> item-level candidates -> compressed-domain scan of the lists
     val candidates = (if (salted && salts.isDefined && inverted.columns.contains("__nsalt"))
         // r20 (ADVICE medium): the same row-level stale-sidecar guard as
@@ -1136,12 +1192,17 @@ object SimOps {
       else inverted.join(probes, Seq("centroid_id")))
       .filter(col("query_id") =!= col("item_id"))
       .select(col("query_id"), col("item_id"))
+    // compressed-domain scan of the candidates (r20): the ADC sum is ONE
+    // projection per candidate over the item's code array — no m-way
+    // (sub, code) expansion, no (query, item) exchange; the hot-centroid
+    // soak measured that expansion + exchange, not the candidate join, as
+    // this operator's dominant stage. Same micro-unit LONG sum, same
+    // oracle (order-independent integers).
     val poolSet = topKPairsAgg(
       candidates
-        .join(codes, Seq("item_id"))
-        .join(broadcast(qd), Seq("query_id", "sub", "code"))
-        .groupBy(col("query_id"), col("item_id"))
-        .agg(sum(col("qdl")).as("dl")),
+        .join(codesAsArray(codes), Seq("item_id"))
+        .withColumn("dl", adcDistCol(handle))
+        .drop("__codes"),
       "query_id", -col("dl").cast("double"), pool)
       .select(col("query_id"), col("item_id"))
     // exact rerank of the pool only

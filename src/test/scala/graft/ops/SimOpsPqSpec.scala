@@ -104,12 +104,37 @@ class SimOpsPqSpec extends SparkSpec {
     assert(err.getMessage.contains("must be integral"))
   }
 
-  test("pq plans stay equi-join + broadcast (no nested loop, no sort-merge)") {
-    val plan = SimOps.pqTopK(vecs, vecs.filter($"vec_id" === 10L), codebook,
+  test("pq scan: native adc_dist projection, broadcast-bounded joins, no sort-merge") {
+    // r20: the ADC sum is ONE adc_dist projection per (item, query) pair —
+    // the only non-equi join is the broadcast cross against the BOUNDED
+    // query-id frame (the bruteForceTopK pattern); the old m-way
+    // (sub, code) expansion join and its (query, item) exchange are gone
+    val df = SimOps.pqTopK(vecs, vecs.filter($"vec_id" === 10L), codebook,
       "vec_id", "embedding", dim = 8, m = 2, k = 3)
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"unbounded cartesian:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"codebook/table joins must broadcast:\n$plan")
+    assert(plan.contains("adc_dist"), s"ADC must project through the native expression:\n$plan")
+    // the adc_dist subtree must COMPILE — a companion-method name clash
+    // (or any Janino failure) silently falls back to interpreted eval,
+    // which is exactly the perf the expression exists to deliver. AQE
+    // inserts WholeStageCodegen per materialized stage, so execute first
+    // and inspect the FINAL adaptive plan.
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val stats = org.apache.spark.sql.execution.debug.codegenStringSeq(finalPlan)
+    val adcSubtrees = stats.filter(_._1.contains("adc_dist"))
+    assert(adcSubtrees.nonEmpty,
+      s"adc_dist landed outside whole-stage codegen:\n$finalPlan")
+    adcSubtrees.foreach { case (subtree, _, st) =>
+      assert(st.maxMethodCodeSize > 0 && st.maxMethodCodeSize < 65535,
+        s"adc_dist subtree failed to compile (maxMethodCodeSize " +
+          s"${st.maxMethodCodeSize}):\n$subtree")
+    }
   }
 
   test("pqCodebook assigns codes via a broadcast join, not a when-chain") {
