@@ -1000,10 +1000,14 @@ object SimOps {
     * executor-cached copy.
     */
   private def adcHandle(qd: DataFrame): graft.functions.AdcHandle = {
+    // LIMIT-bounded collect (the 4097-centroid pattern): the limit caps
+    // driver exposure at the budget + 1 row, and the require turns an
+    // over-budget batch into a loud failure instead of a silent truncation
+    val maxCells = graft.functions.AdcBroadcasts.MaxCells.toInt
     val rows = qd.select(col("query_id").cast("long"), col("sub").cast("long"),
-      col("code").cast("long"), col("qdl")).collect()
-    require(rows.length <= graft.functions.AdcBroadcasts.MaxCells,
-      s"ADC table has ${rows.length} cells — past the broadcast budget")
+      col("code").cast("long"), col("qdl")).limit(maxCells + 1).collect()
+    require(rows.length <= maxCells,
+      s"ADC table exceeds the $maxCells-cell broadcast budget — split the query batch")
     val m = rows.iterator.map(_.getLong(1)).foldLeft(-1L)(math.max).toInt + 1
     val ksub = rows.iterator.map(_.getLong(2)).foldLeft(-1L)(math.max).toInt + 1
     val qids = rows.map(_.getLong(0)).distinct.sorted
