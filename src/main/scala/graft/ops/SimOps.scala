@@ -951,25 +951,48 @@ object SimOps {
   }
 
   /** PQ encode: each vector's nearest centroid per subspace (exact L2,
-    * code tie-break) — `dim` doubles compress to `m` small codes. One
-    * broadcast join against the codebook and one combinable
-    * `min(struct(dist, code))` aggregate; no window, no shuffle beyond the
-    * (id, sub) aggregation.
+    * code tie-break) — `dim` doubles compress to `m` small codes.
+    *
+    * Scan shape (r20): ONE `pq_encode` projection per vector over the
+    * broadcast codebook model, posexplode recovering the (sub, code)
+    * rows — the join formulation exploded every vector into m subvector
+    * rows, broadcast-joined ALL ksub codes per subspace (an m × ksub row
+    * expansion), and shuffled the expansion on (id, sub) for the
+    * `min(struct(dist, code))` pick; paid at every index build and every
+    * inline PQ entry. Picks are identical by construction (the VecL2sq
+    * fold, Spark's struct-min null/double/code ordering — spec-pinned on
+    * ties and short vectors); the codebook collect is bounded by the
+    * model's own m × ksub shape.
     */
   def pqCodes(vectors: DataFrame, idCol: String, vecCol: String,
       codebook: DataFrame, dim: Int, m: Int = 8): DataFrame = {
     val dsub = dim / m
-    val sv = vectors
-      .select(col(idCol), explode(array((0 until m).map { s =>
-        struct(lit(s.toLong).as("sub"),
-          slice(asDouble(col(vecCol)), s * dsub + 1, dsub).as("sv"))
-      }: _*)).as("__s"))
-      .select(col(idCol), col("__s.sub").as("sub"), col("__s.sv").as("sv"))
-    sv.join(broadcast(codebook), Seq("sub"))
-      .withColumn("__dist", l2sq(col("sv"), col("cvec")))
-      .groupBy(col(idCol), col("sub"))
-      .agg(min(struct(col("__dist"), col("code"))).as("__best"))
-      .select(col(idCol), col("sub"), col("__best.code").as("code"))
+    val cbRows = codebook
+      .select(col("sub").cast("long"), col("code").cast("long"),
+        asDouble(col("cvec")))
+      .limit(65537).collect()
+    require(cbRows.nonEmpty && cbRows.length <= 65536,
+      s"pqCodes wants a bounded codebook (1..65536 (sub, code) rows), " +
+        s"got ${cbRows.length}")
+    val ksub = cbRows.iterator.map(_.getLong(1)).foldLeft(-1L)(math.max).toInt + 1
+    val mGot = cbRows.iterator.map(_.getLong(0)).foldLeft(-1L)(math.max).toInt + 1
+    require(mGot == m && cbRows.length == m * ksub,
+      s"codebook is not dense m x ksub: m=$mGot (want $m), " +
+        s"rows=${cbRows.length}, ksub=$ksub")
+    val cvecs = new Array[Array[Double]](m * ksub)
+    cbRows.foreach { r =>
+      cvecs(r.getLong(0).toInt * ksub + r.getLong(1).toInt) =
+        r.getSeq[Double](2).toArray
+    }
+    val handle = graft.functions.PqBroadcasts.handleFor(vectors.sparkSession,
+      graft.functions.PqModel(m, dsub, ksub, cvecs))
+    import org.apache.spark.sql.GraftExpressionBridge
+    vectors
+      .select(col(idCol), posexplode(GraftExpressionBridge.column(
+        graft.functions.PqEncode(
+          GraftExpressionBridge.expression(asDouble(col(vecCol))), handle)))
+        .as(Seq("__pos", "code")))
+      .select(col(idCol), col("__pos").cast("long").as("sub"), col("code"))
   }
 
   /** The per-query ADC distance table `(query_id, sub, code, qdl)` —

@@ -395,11 +395,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges <= 1, s"doc_winnow plans $exchanges exchanges:\n$p")
   }
 
-  test("PQ encode joins the codebook as a broadcast, never a sort-merge") {
+  test("PQ encode is the native projection — no codebook join of ANY kind left") {
+    // r20: pq_encode evaluates the per-subspace pick in the scan
+    // projection over the broadcast codebook MODEL; the m x ksub
+    // expansion join and its (id, sub) exchange are gone entirely
     val p = plan("embed_pq_codes")
-    assert(p.contains("BroadcastHashJoin"), s"expected broadcast codebook join:\n$p")
+    assert(p.contains("pq_encode"), s"expected the native encode projection:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct")
-      && !p.contains("BroadcastNestedLoopJoin"), s"PQ encode plan degenerated:\n$p")
+      && !p.contains("BroadcastNestedLoopJoin") && !p.contains("BroadcastHashJoin"),
+      s"PQ encode should not join at all:\n$p")
   }
 
   test("q1 exact-sum rewrite keeps the scan narrow and the shuffles tiny") {
