@@ -81,38 +81,78 @@ object AchillesGen {
     items.zipWithIndex.map { case ((k, t, c, c2), i) => Analysis(GeneratedBase + 1000L + i, k, t, c, c2) }
   }
 
-  /** ONE per-analysis shaping, shared by the full battery and the
-    * incremental partials — the incremental path's merge-equals-rescan
-    * contract depends on both paths shaping identically, so the logic
-    * must not fork.
+  /** ONE per-analysis stratum rendering, shared by the fused sum pass and
+    * the fused distinct pass — the incremental path's merge-equals-rescan
+    * contract depends on the full battery and the partials shaping
+    * identically, so the logic must not fork. (Spark-side mirror of
+    * [[countSelectSql]]'s stratum expressions, analysis for analysis.)
     */
-  private def shapedCount(a: Analysis, df: DataFrame): DataFrame = a.kind match {
-    case CountRows =>
-      df.agg(count(lit(1)).as("count_value"))
-        .select(lit(a.id).as("analysis_id"), lit("ALL").as("stratum_1"), col("count_value"))
-    case ByValue =>
-      df.groupBy(col(a.column).as("stratum_1"))
-        .agg(count(lit(1)).as("count_value"))
-        .select(lit(a.id).as("analysis_id"), col("stratum_1"), col("count_value"))
-    case ByYear =>
-      df.groupBy(year(col(a.column)).cast("string").as("stratum_1"))
-        .agg(count(lit(1)).as("count_value"))
-        .select(lit(a.id).as("analysis_id"), col("stratum_1"), col("count_value"))
-    case ByMonth =>
-      df.groupBy(date_format(col(a.column), "yyyyMM").as("stratum_1"))
-        .agg(count(lit(1)).as("count_value"))
-        .select(lit(a.id).as("analysis_id"), col("stratum_1"), col("count_value"))
-    case DistinctFk =>
-      df.agg(countDistinct(col(a.column)).as("count_value"))
-        .select(lit(a.id).as("analysis_id"), lit("ALL").as("stratum_1"), col("count_value"))
-    case DistinctFkByYear =>
-      df.groupBy(year(col(a.column2)).cast("string").as("stratum_1"))
-        .agg(countDistinct(col(a.column)).as("count_value"))
-        .select(lit(a.id).as("analysis_id"), col("stratum_1"), col("count_value"))
+  private def stratumSql(a: Analysis): String = a.kind match {
+    case CountRows => "'ALL'"
+    case ByValue => s"`${a.column}`"
+    case ByYear => s"CAST(year(`${a.column}`) AS STRING)"
+    case ByMonth => s"date_format(`${a.column}`, 'yyyyMM')"
+    case DistinctFk => "'ALL'"
+    case DistinctFkByYear => s"CAST(year(`${a.column2}`) AS STRING)"
   }
 
+  /** All of a table's COUNT-family analyses in ONE scan + ONE
+    * map-side-combinable aggregate: each input row stacks into one
+    * (analysis_id, stratum_1) pair per analysis and a single
+    * groupBy counts them — k aggregation passes over the table collapse
+    * to one (the same fusion [[distValueCounts]] already applies to the
+    * dist families). Row-identical to the per-analysis groupBys for
+    * non-empty tables; an empty table loses only its CountRows 0-row,
+    * which small-cell suppression removed from every gated output anyway.
+    */
+  private def fusedSumCounts(as: Seq[Analysis], df: DataFrame): DataFrame = {
+    val stackExpr =
+      s"stack(${as.size}, " +
+        as.map(a => s"CAST(${a.id} AS BIGINT), ${stratumSql(a)}").mkString(", ") +
+        ") AS (analysis_id, stratum_1)"
+    df.select(expr(stackExpr))
+      .groupBy(col("analysis_id"), col("stratum_1"))
+      .agg(count(lit(1)).as("count_value"))
+  }
+
+  /** All of a table's countDistinct-family analyses in ONE scan + ONE
+    * distinct aggregate: rows stack into (analysis_id, stratum_1, __fk)
+    * triples (each analysis contributes its own FK column) and a single
+    * groupBy counts distinct FKs per (analysis, stratum). countDistinct
+    * ignores the NULL __fk values exactly as the per-analysis aggregates
+    * did.
+    */
+  private def fusedDistinctCounts(as: Seq[Analysis], df: DataFrame): DataFrame = {
+    val stackExpr =
+      s"stack(${as.size}, " +
+        as.map(a => s"CAST(${a.id} AS BIGINT), ${stratumSql(a)}, `${a.column}`").mkString(", ") +
+        ") AS (analysis_id, stratum_1, __fk)"
+    df.select(expr(stackExpr))
+      .groupBy(col("analysis_id"), col("stratum_1"))
+      .agg(countDistinct(col("__fk")).as("count_value"))
+  }
+
+  /** Per-table fused battery passes in model-table order: a sum pass and
+    * (when the table has FK analyses) a distinct pass — two scans per
+    * table, never one per analysis.
+    */
+  private def fusedPasses(model: CdmModel, load: String => DataFrame,
+      keep: Analysis => Boolean): Seq[DataFrame] = {
+    val byTable = analyses(model).filter(keep).groupBy(_.table)
+    model.tables.flatMap { tb =>
+      byTable.get(tb).toSeq.flatMap { as =>
+        val (dist, sums) = as.partition(a => DistinctKinds(a.kind))
+        val df = load(tb)
+        (if (sums.nonEmpty) Seq(fusedSumCounts(sums, df)) else Nil) ++
+          (if (dist.nonEmpty) Seq(fusedDistinctCounts(dist, df)) else Nil)
+      }
+    }
+  }
+
+  private val DistinctKinds: Set[Kind] = Set(DistinctFk, DistinctFkByYear)
+
   def results(model: CdmModel, load: String => DataFrame): DataFrame =
-    analyses(model).map(a => shapedCount(a, load(a.table)))
+    fusedPasses(model, load, _ => true)
       .pipe(graft.Unions.balanced)
       .filter(col("count_value") > 5)
       .orderBy("analysis_id", "stratum_1")
@@ -134,8 +174,7 @@ object AchillesGen {
     * it after summing.
     */
   def partialCounts(model: CdmModel, load: String => DataFrame): DataFrame =
-    analyses(model).filter(a => SumKinds(a.kind))
-      .map(a => shapedCount(a, load(a.table)))
+    fusedPasses(model, load, a => SumKinds(a.kind))
       .pipe(graft.Unions.balanced)
 
   /** Merge partial batteries (one shuffle on the tiny report key) and
@@ -184,14 +223,23 @@ object AchillesGen {
   }
 
   def pairResults(model: CdmModel, load: String => DataFrame): DataFrame =
-    pairAnalyses(model).map { a =>
-      load(a.table)
-        .groupBy(
-          col(a.strCol).as("stratum_1"),
-          year(col(a.tsCol)).cast("string").as("stratum_2"))
-        .agg(count(lit(1)).as("count_value"))
-        .select(lit(a.id).as("analysis_id"), col("stratum_1"), col("stratum_2"), col("count_value"))
-    }.pipe(graft.Unions.balanced)
+    pairAnalyses(model).groupBy(_.table).toSeq
+      .sortBy { case (_, as) => as.head.id }
+      .map { case (tb, as) =>
+        // all of a table's pair analyses share its first datetime column,
+        // so the whole per-table family fuses into ONE scan + ONE
+        // aggregate: rows stack into (analysis_id, stratum_1) and
+        // stratum_2 = year(ts) rides beside the stack unchanged
+        val stackExpr =
+          s"stack(${as.size}, " +
+            as.map(a => s"CAST(${a.id} AS BIGINT), `${a.strCol}`").mkString(", ") +
+            ") AS (analysis_id, stratum_1)"
+        load(tb)
+          .select(expr(stackExpr),
+            year(col(as.head.tsCol)).cast("string").as("stratum_2"))
+          .groupBy(col("analysis_id"), col("stratum_1"), col("stratum_2"))
+          .agg(count(lit(1)).as("count_value"))
+      }.pipe(graft.Unions.balanced)
       .filter(col("count_value") > 5)
       .orderBy("analysis_id", "stratum_1", "stratum_2")
 

@@ -181,6 +181,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges <= 4, s"expected <=4 shuffles, got $exchanges:\n$p")
   }
 
+  test("generated count battery fuses to per-table passes, not per-analysis scans") {
+    // r21: the count families stack into ONE scan + ONE aggregate per
+    // (table, pass) — a sum pass and, in the full battery, a distinct
+    // pass (plus one pair pass in mergedResults). The unfused shape cost
+    // one scan per ANALYSIS (~40 for the full battery, ~54 for the
+    // two-half incremental). Scan counts bound from the model so adding
+    // a table grows the cap automatically.
+    val m = graft.model.TpchModel.modelWithEvents
+    val pInc = plan("achilles_incremental")
+    val incScans = pInc.linesIterator.count(_.contains("Scan parquet"))
+    assert(incScans <= 2 * m.tables.size,
+      s"achilles_incremental scans grew to $incScans — an analysis left its fused per-table pass:\n$pInc")
+    val raw = graft.operators.AchillesGen
+      .mergedResults(m, tb => graft.Tables.load(spark, Sf, tb))
+      .queryExecution.executedPlan.toString
+    val rawScans = raw.linesIterator.count(_.contains("Scan parquet"))
+    assert(rawScans <= 3 * m.tables.size,
+      s"full generated battery scans grew to $rawScans:\n$raw")
+    assert(!raw.contains("CartesianProduct"))
+  }
+
   test("generated dist battery shuffles histograms, not raw rows") {
     // the r7 histogram path: one map-side-combinable pre-aggregate
     // exchange per table with measure columns (value-histogram groupBy —
