@@ -984,6 +984,18 @@ object SimOps {
       cvecs(r.getLong(0).toInt * ksub + r.getLong(1).toInt) =
         r.getSeq[Double](2).toArray
     }
+    // (r21, ADVICE) the row-count require above is fooled by a duplicate
+    // (sub, code) row masking a missing cell, and a short centroid vector
+    // would ArrayIndexOutOfBounds inside PqEncode on executors — validate
+    // density and width here so a malformed codebook fails on the driver
+    // with context
+    cvecs.zipWithIndex.foreach { case (v, i) =>
+      require(v != null, s"codebook is not dense: no centroid for " +
+        s"(sub=${i / ksub}, code=${i % ksub}) — a duplicate (sub, code) row " +
+        "is masking the hole")
+      require(v.length == dsub, s"codebook centroid (sub=${i / ksub}, " +
+        s"code=${i % ksub}) has ${v.length} dims, want dsub=$dsub")
+    }
     val handle = graft.functions.PqBroadcasts.handleFor(vectors.sparkSession,
       graft.functions.PqModel(m, dsub, ksub, cvecs))
     import org.apache.spark.sql.GraftExpressionBridge
@@ -1031,6 +1043,15 @@ object SimOps {
       col("code").cast("long"), col("qdl")).limit(maxCells + 1).collect()
     require(rows.length <= maxCells,
       s"ADC table exceeds the $maxCells-cell broadcast budget — split the query batch")
+    // (r21, ADVICE) a NULL distance cell means a degenerate query vector
+    // (null element, or a short vector whose subspace slice came up empty);
+    // fail with context instead of the bare NullPointerException getLong
+    // would throw mid-collect
+    rows.foreach(r => require(!r.isNullAt(3),
+      s"ADC distance table has a NULL cell at (query ${r.getLong(0)}, " +
+        s"sub ${r.getLong(1)}, code ${r.getLong(2)}) — degenerate query " +
+        "vector (null element or short slice); drop or repair the query " +
+        "before serving"))
     val m = rows.iterator.map(_.getLong(1)).foldLeft(-1L)(math.max).toInt + 1
     val ksub = rows.iterator.map(_.getLong(2)).foldLeft(-1L)(math.max).toInt + 1
     val qids = rows.map(_.getLong(0)).distinct.sorted
@@ -1047,9 +1068,15 @@ object SimOps {
   /** One `codes: array<long>` row per item (index = sub) — the scan-side
     * shape [[graft.functions.AdcDist]] consumes; `array_sort` on the
     * (sub, code) structs makes the collect_list order irrelevant.
+    *
+    * A frame that ALREADY carries `__codes` passes through untouched
+    * (r21): the stored-artifact serve path persists the pivoted array
+    * form at publish time, so serve invocations skip this |corpus|-row
+    * groupBy instead of re-running it per query batch.
     */
-  private def codesAsArray(codes: DataFrame): DataFrame =
-    codes.groupBy(col("item_id"))
+  private[graft] def codesAsArray(codes: DataFrame): DataFrame =
+    if (codes.columns.contains("__codes")) codes.select("item_id", "__codes")
+    else codes.groupBy(col("item_id"))
       .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
         sc => sc.getField("code")).as("__codes"))
 

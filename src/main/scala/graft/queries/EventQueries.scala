@@ -479,10 +479,15 @@ object EventQueries {
   val joinBucketedColocated: Q = (s, d) => {
     val (ot, lt) = bucketedStore.getOrElseUpdate((s, d), {
       val z = graft.io.Zones.forPurpose(s"${BktStoreGen}_${graft.io.Zones.pathKey(d)}")
-      (z.writeBucketed(t(s, d, "orders"), "o_orderkey", 8, "work", "orders"),
-        z.writeBucketed(
+      // (r21) the two bucketed stores are independent writes — concurrent
+      // jobs (guide §2.6) instead of two serial job tails
+      var ot: String = null; var lt: String = null
+      graft.io.Jobs.concurrently(Seq(
+        () => ot = z.writeBucketed(t(s, d, "orders"), "o_orderkey", 8, "work", "orders"),
+        () => lt = z.writeBucketed(
           t(s, d, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey"),
-          "o_orderkey", 8, "work", "lineitem"))
+          "o_orderkey", 8, "work", "lineitem")))
+      (ot, lt)
     })
     s.table(ot).join(s.table(lt), "o_orderkey")
       .groupBy(col("o_orderpriority"))

@@ -19,6 +19,9 @@ object LlmQueries {
   private type Q = (SparkSession, String) => DataFrame
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
+  private def concurrently(thunks: Seq[() => Unit]): Unit =
+    graft.io.Jobs.concurrently(thunks)
+
   /** Union a drained stream's per-micro-batch zone tables (r19, ADVICE:
     * `.reduce` on an empty collection threw an opaque
     * UnsupportedOperationException when the staged source listed zero
@@ -825,13 +828,17 @@ object LlmQueries {
     // and (r18) so does a per-segment BLOOM filter at the base's recorded
     // word count — batch 2's exact-dup shield probes base ∪ delta folded
     // by bit_or instead of dropping back to the unshielded semi-join
-    zones.write(admitted1.select(md5(col("text")).as("__h")).distinct(),
-      "work", s"corpus_md5_delta_b1_$key")
-    zones.write(
-      DedupOps.lshBandsFromSigArray(
-        DedupOps.minhashSignatureArray(admitted1, "doc_id", "text", k = 8, w = 3),
-        "doc_id", k = 8, rows = 4),
-      "work", s"band_index_delta_b1_$key")
+    // (r21) the md5 and band delta writes are independent readers of the
+    // admitted set — concurrent jobs (guide §2.6); the Bloom delta below
+    // reads the md5 delta, so it stays after the barrier
+    concurrently(Seq(
+      () => zones.write(admitted1.select(md5(col("text")).as("__h")).distinct(),
+        "work", s"corpus_md5_delta_b1_$key"),
+      () => zones.write(
+        DedupOps.lshBandsFromSigArray(
+          DedupOps.minhashSignatureArray(admitted1, "doc_id", "text", k = 8, w = 3),
+          "doc_id", k = 8, rows = 4),
+        "work", s"band_index_delta_b1_$key")))
     val (baseBloom, bloomWords) = corpusBloom(s, d)
     zones.write(
       graft.ops.SketchOps.bloomBits(
@@ -901,7 +908,12 @@ object LlmQueries {
     val admBands = DedupOps.lshBandsFromSigArray(
       DedupOps.minhashSignatureArray(admitted1, "doc_id", "text", k = 8, w = 3),
       "doc_id", k = 8, rows = 4).localCheckpoint(true)
-    (0 until nSegs).foreach { i =>
+    // (r21) the 4 segments x 3 structures are independent writes over the
+    // two checkpointed frames — run them as CONCURRENT Spark jobs (the
+    // store-build pool pattern, guide §2.6): sequential writes left
+    // local[32] mostly idle through 12 small jobs; the per-segment Bloom
+    // write stays in-segment (it reads that segment's md5 table)
+    concurrently((0 until nSegs).map { i => () =>
       val part = admitted1.filter(pmod(col("doc_id"), lit(nSegs)) === i)
       zones.write(part.select(md5(col("text")).as("__h")).distinct(),
         "work", s"delta_md5_$i")
@@ -914,7 +926,7 @@ object LlmQueries {
         graft.ops.SketchOps.bloomBits(
           zones.read(s, "work", s"delta_md5_$i"), col("__h"), words = bloomWords),
         "work", s"delta_bloom_$i")
-    }
+    })
     def segs(prefix: String): Seq[DataFrame] =
       (0 until nSegs).map(i => zones.read(s, "work", s"$prefix$i"))
     val idxCols = bandIndex(s, d).columns
@@ -933,19 +945,24 @@ object LlmQueries {
       .unionByName(admProbe.select((col("doc_id") + 20000000L).as("doc_id"),
         col("text")))
       .localCheckpoint(true)
-    zones.write(admissionVerdictsAgainst(corpusPre, md5Pre, idxPre, b2,
-      bloomFilter = Some(graft.ops.SketchOps.bloomServingFilter(
-        s, bloomPre, bloomWords, "__h",
-        reuseKey = Some(s"admcomp_pre_${graft.io.Zones.pathKey(d)}")))),
-      "work", "v2_pre")
-    // COMPACT: fold base ∪ segments into a new base, one atomic table
-    // replace per structure (zones.write IS the engine's atomic swap) —
-    // the BLOOM compacts the same way the tables do, its fold being
-    // bit_or instead of union (r18)
-    zones.write(md5Pre, "work", "base_md5_compacted")
-    zones.write(idxPre, "work", "base_band_compacted")
-    zones.write(corpusPre, "work", "base_docs_compacted")
-    zones.write(bloomPre, "work", "base_bloom_compacted")
+    // (r21) the PRE verdict pass and the four compaction folds are five
+    // independent readers of base ∪ segments (retirement happens strictly
+    // after all five land) — overlap them as concurrent jobs instead of
+    // serializing five barrier-free stages
+    concurrently(Seq(
+      () => zones.write(admissionVerdictsAgainst(corpusPre, md5Pre, idxPre, b2,
+        bloomFilter = Some(graft.ops.SketchOps.bloomServingFilter(
+          s, bloomPre, bloomWords, "__h",
+          reuseKey = Some(s"admcomp_pre_${graft.io.Zones.pathKey(d)}")))),
+        "work", "v2_pre"),
+      // COMPACT: fold base ∪ segments into a new base, one atomic table
+      // replace per structure (zones.write IS the engine's atomic swap) —
+      // the BLOOM compacts the same way the tables do, its fold being
+      // bit_or instead of union (r18)
+      () => zones.write(md5Pre, "work", "base_md5_compacted"),
+      () => zones.write(idxPre, "work", "base_band_compacted"),
+      () => zones.write(corpusPre, "work", "base_docs_compacted"),
+      () => zones.write(bloomPre, "work", "base_bloom_compacted")))
     // the segments retire AFTER the swap — the compaction protocol's
     // read-before-delete ordering
     val hconf = s.sparkContext.hadoopConfiguration
@@ -1959,14 +1976,17 @@ object LlmQueries {
     val e = t(s, d, "embeddings")
     val zones = graft.io.Zones.forPurpose(s"ivfgrow_${graft.io.Zones.pathKey(d)}")
     val (_, cents, _) = ivfStoredIndex(s, d) // shared stored centroid frame
-    zones.write(
-      SimOps.ivfIndex(e.filter(col("vec_id") % 10 =!= 0), cents,
-        "vec_id", "embedding"),
-      "work", "base_index")
-    zones.write(
-      SimOps.ivfIndex(e.filter(col("vec_id") % 10 === 0), cents,
-        "vec_id", "embedding"),
-      "work", "delta_index_b0")
+    // (r21) base and delta assignments are independent scans — concurrent
+    // jobs (guide §2.6)
+    concurrently(Seq(
+      () => zones.write(
+        SimOps.ivfIndex(e.filter(col("vec_id") % 10 =!= 0), cents,
+          "vec_id", "embedding"),
+        "work", "base_index"),
+      () => zones.write(
+        SimOps.ivfIndex(e.filter(col("vec_id") % 10 === 0), cents,
+          "vec_id", "embedding"),
+        "work", "delta_index_b0")))
     val index = zones.read(s, "work", "base_index")
       .unionByName(zones.read(s, "work", "delta_index_b0"))
     SimOps.ivfTopKServe(index, cents,
@@ -1991,18 +2011,21 @@ object LlmQueries {
     val e = t(s, d, "embeddings")
     val zones = graft.io.Zones.forPurpose(s"ivfcomp_${graft.io.Zones.pathKey(d)}")
     val (_, cents, _) = ivfStoredIndex(s, d) // shared stored centroid frame
-    zones.write(
-      SimOps.ivfIndex(e.filter(col("vec_id") % 10 =!= 0), cents,
-        "vec_id", "embedding"),
-      "work", "base_index")
-    zones.write(
-      SimOps.ivfIndex(e.filter(col("vec_id") % 20 === 0), cents,
-        "vec_id", "embedding"),
-      "work", "delta_index_b0")
-    zones.write(
-      SimOps.ivfIndex(e.filter(col("vec_id") % 20 === 10), cents,
-        "vec_id", "embedding"),
-      "work", "delta_index_b1")
+    // (r21) the three segment assignments are independent scans —
+    // concurrent jobs (guide §2.6)
+    concurrently(Seq(
+      () => zones.write(
+        SimOps.ivfIndex(e.filter(col("vec_id") % 10 =!= 0), cents,
+          "vec_id", "embedding"),
+        "work", "base_index"),
+      () => zones.write(
+        SimOps.ivfIndex(e.filter(col("vec_id") % 20 === 0), cents,
+          "vec_id", "embedding"),
+        "work", "delta_index_b0"),
+      () => zones.write(
+        SimOps.ivfIndex(e.filter(col("vec_id") % 20 === 10), cents,
+          "vec_id", "embedding"),
+        "work", "delta_index_b1")))
     val segNames = Seq("base_index", "delta_index_b0", "delta_index_b1")
     val folded = SimOps.resaltIndex(
       segNames.map(zones.read(s, "work", _)).reduce(_ unionByName _))
@@ -2087,9 +2110,16 @@ object LlmQueries {
           zones.read(s, "work", s"pq_codebook_$key"), dim = 64)
           .withColumnRenamed("vec_id", "item_id"),
         "work", s"pq_codes_$key")
+      // (r21, ADVICE) the serve-side `codes -> array<long>` pivot is a
+      // |corpus|-row groupBy — persist the pivoted form ONCE at publish
+      // time so every serve invocation reads it instead of re-pivoting
+      // per query batch (codes are identical; the array is index-by-sub)
+      zones.write(
+        SimOps.codesAsArray(zones.read(s, "work", s"pq_codes_$key")),
+        "work", s"pq_codes_arr_$key")
     })
     (zones.read(s, "work", s"pq_codebook_$key"),
-      zones.read(s, "work", s"pq_codes_$key"))
+      zones.read(s, "work", s"pq_codes_arr_$key"))
   }
 
   /** IVF-PQ serving from STORED artifacts ([[SimOps.ivfPqServe]]): probed
