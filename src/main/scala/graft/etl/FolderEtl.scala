@@ -248,16 +248,19 @@ object FolderEtl {
           java.sql.Date.valueOf("2026-01-01"))
       }
       .reduceOption(_ unionByName _)
-    lineage.foreach { l =>
-      timed("post lineage")(zones.write(
-        graft.operators.Cleanup.tombstoneStale(l, lit("2000-01-01").cast("date")),
-        "omop", mapName))
-    }
-    timed("post metadata")(zones.write(
-      graft.operators.Cleanup.versionMetadata(
-        s, "5.4", "0.1.0",
-        java.sql.Date.valueOf("2026-01-01"),
-        java.sql.Timestamp.valueOf("2026-01-01 12:00:00")),
-      "omop", "metadata_riab"))
+    // (r21) the lineage tombstone and the metadata stamp are independent
+    // writes — concurrent jobs (guide §2.6)
+    graft.io.Jobs.concurrently(Seq(
+      () => lineage.foreach { l =>
+        timed("post lineage")(zones.write(
+          graft.operators.Cleanup.tombstoneStale(l, lit("2000-01-01").cast("date")),
+          "omop", mapName))
+      },
+      () => timed("post metadata")(zones.write(
+        graft.operators.Cleanup.versionMetadata(
+          s, "5.4", "0.1.0",
+          java.sql.Date.valueOf("2026-01-01"),
+          java.sql.Timestamp.valueOf("2026-01-01 12:00:00")),
+        "omop", "metadata_riab"))))
   }
 }

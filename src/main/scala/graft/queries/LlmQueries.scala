@@ -1112,19 +1112,25 @@ object LlmQueries {
         val adm = batch.join(
           zones.read(s, "work", s"admit_batch_$id")
             .filter(col("admitted") === 1L).select("doc_id"), "doc_id")
-        zones.write(adm.select(md5(col("text")).as("__h")).distinct(),
-          "work", s"delta_md5_$id")
-        zones.write(
-          DedupOps.lshBandsFromSigArray(
-            DedupOps.minhashSignatureArray(adm, "doc_id", "text", k = 8, w = 3),
-            "doc_id", k = 8, rows = 4),
-          "work", s"delta_band_$id")
-        zones.write(adm, "work", s"delta_docs_$id")
-        zones.write(
-          graft.ops.SketchOps.bloomBits(
-            zones.read(s, "work", s"delta_md5_$id"), col("__h"),
-            words = seqBloomWords),
-          "work", s"delta_bloom_$id")
+        // (r21) the segment writes are independent readers of the admit
+        // set — concurrent jobs (guide §2.6); the Bloom write chains
+        // after the md5 write inside its thunk (it reads that table)
+        concurrently(Seq(
+          () => {
+            zones.write(adm.select(md5(col("text")).as("__h")).distinct(),
+              "work", s"delta_md5_$id")
+            zones.write(
+              graft.ops.SketchOps.bloomBits(
+                zones.read(s, "work", s"delta_md5_$id"), col("__h"),
+                words = seqBloomWords),
+              "work", s"delta_bloom_$id")
+          },
+          () => zones.write(
+            DedupOps.lshBandsFromSigArray(
+              DedupOps.minhashSignatureArray(adm, "doc_id", "text", k = 8, w = 3),
+              "doc_id", k = 8, rows = 4),
+            "work", s"delta_band_$id"),
+          () => zones.write(adm, "work", s"delta_docs_$id")))
         ()
       }
       .option("checkpointLocation", ckpt)
@@ -1219,23 +1225,32 @@ object LlmQueries {
         val adm = batch.join(
           zones.read(s, "work", s"admit_batch_$id")
             .filter(col("admitted") === 1L).select("doc_id"), "doc_id")
-        zones.write(adm.select(md5(col("text")).as("__h")).distinct(),
-          "work", s"delta_md5_b$id")
-        zones.write(
-          DedupOps.lshBandsFromSigArray(
-            DedupOps.minhashSignatureArray(adm, "doc_id", "text", k = 8, w = 3),
-            "doc_id", k = 8, rows = 4),
-          "work", s"delta_band_b$id")
-        zones.write(adm, "work", s"delta_docs_b$id")
-        zones.write(
-          graft.ops.SketchOps.bloomBits(
-            zones.read(s, "work", s"delta_md5_b$id"), col("__h"),
-            words = cptBloomWords),
-          "work", s"delta_bloom_b$id")
+        // (r21) segment writes overlap as concurrent jobs (guide §2.6);
+        // the Bloom write chains after the md5 write inside its thunk
+        concurrently(Seq(
+          () => {
+            zones.write(adm.select(md5(col("text")).as("__h")).distinct(),
+              "work", s"delta_md5_b$id")
+            zones.write(
+              graft.ops.SketchOps.bloomBits(
+                zones.read(s, "work", s"delta_md5_b$id"), col("__h"),
+                words = cptBloomWords),
+              "work", s"delta_bloom_b$id")
+          },
+          () => zones.write(
+            DedupOps.lshBandsFromSigArray(
+              DedupOps.minhashSignatureArray(adm, "doc_id", "text", k = 8, w = 3),
+              "doc_id", k = 8, rows = 4),
+            "work", s"delta_band_b$id"),
+          () => zones.write(adm, "work", s"delta_docs_b$id")))
         // MINOR COMPACTION: fold every segment into one per structure —
-        // the Bloom folds by bit_or, its own associativity (r18)
-        Seq("delta_md5_", "delta_band_", "delta_docs_").foreach(p => minorCompact(p))
-        minorCompact("delta_bloom_", mergeBloomStates)
+        // the Bloom folds by bit_or, its own associativity (r18); the
+        // four structures' folds are independent (r21: concurrent jobs)
+        concurrently(Seq(
+          () => minorCompact("delta_md5_"),
+          () => minorCompact("delta_band_"),
+          () => minorCompact("delta_docs_"),
+          () => minorCompact("delta_bloom_", mergeBloomStates)))
         ()
       }
       .option("checkpointLocation", ckpt)
