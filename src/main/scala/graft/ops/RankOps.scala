@@ -64,18 +64,33 @@ object RankOps {
     val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val denom = col("tf").cast("double") +
       lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / col("avgdl"))
-    val w = Window.partitionBy(col("query_id")).orderBy(desc("__sl"), col("doc_id"))
-    val scored = dt.join(dfq, Seq("term"))
+    // top-k tail on the k-bounded TopKPairs aggregate, not a row_number
+    // window (r19 lesson 6, applied here r21): the window shuffled + sorted
+    // EVERY scored (query, doc) pair; the aggregate's map-side state is
+    // k-bounded per query. Identical ranking — (score desc, doc_id asc),
+    // the aggregate's pinned order; micro-unit LONG sums are exact in the
+    // double the aggregate compares.
+    val pairSums = dt.join(dfq, Seq("term"))
       .join(qterms, Seq("term"))
       .crossJoin(stats)
       .withColumn("__s", idf * col("tf").cast("double") * (lit(k1) + lit(1.0)) / denom)
       .withColumn("__term_sl", floor(col("__s") * lit(1000000.0) + lit(0.5)).cast("long"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("__term_sl")).as("__sl"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("doc_id"),
-        round(col("__sl").cast("double") / lit(1000000.0), 6).as("score"), col("rk"))
+    val agg = {
+      import org.apache.spark.sql.GraftExpressionBridge
+      GraftExpressionBridge.column(graft.functions.TopKPairs(
+        GraftExpressionBridge.expression(col("__sl").cast("double")),
+        GraftExpressionBridge.expression(col("doc_id")), k)
+        .toAggregateExpression())
+    }
+    val scored = pairSums
+      .groupBy(col("query_id"))
+      .agg(agg.as("__tk"))
+      .select(col("query_id"), posexplode(col("__tk")).as(Seq("__i", "__e")))
+      .select(col("query_id"), col("__e.item_id").as("doc_id"),
+        round(col("__e.sim") / lit(1000000.0), 6).as("score"),
+        (col("__i") + 1).cast("int").as("rk"))
     (scored, dt)
   }
 
