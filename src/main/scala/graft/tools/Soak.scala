@@ -388,7 +388,15 @@ object Soak {
           // join_bucketed_colocated (lineitem) killed the whole sweep at
           // the second-to-last sf1 entry with nothing flushed. Any other
           // failure class still aborts loudly.
-          case e: org.apache.spark.sql.AnalysisException =>
+          // (r21, ADVICE) only the MISSING-INPUT condition classes skip —
+          // any other AnalysisException is a real analysis regression and
+          // must abort the sweep, not be recorded as benign; getCondition
+          // can be null on legacy exceptions (guarded)
+          case e: org.apache.spark.sql.AnalysisException
+              if Option(e.getCondition).exists(c =>
+                c.startsWith("TABLE_OR_VIEW_NOT_FOUND") ||
+                  c.startsWith("PATH_NOT_FOUND") ||
+                  c.startsWith("UNRESOLVED_ROUTINE")) =>
             sb.append(s"""{"sf":"$tag","query":"$name","skipped":"${e.getCondition}"}""" + "\n")
             println(f"[$tag] $name%-28s SKIPPED (${e.getCondition})")
         }
