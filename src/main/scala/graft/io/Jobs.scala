@@ -14,17 +14,31 @@ package graft.io
   */
 object Jobs {
   def concurrently(thunks: Seq[() => Unit], maxParallel: Int = 8): Unit = {
-    if (thunks.size <= 1) thunks.foreach(_.apply())
+    // measurement/ops knob: -Dgraft.jobs.maxParallel=1 serializes every
+    // overlapped group on the SAME binary — the clean A/B for the §2.6
+    // overlaps (and an escape hatch for memory-tight deployments)
+    val cap = sys.props.get("graft.jobs.maxParallel")
+      .orElse(sys.env.get("GRAFT_JOBS_MAXPAR"))
+      .map(_.toInt).getOrElse(maxParallel)
+    if (thunks.size <= 1 || cap <= 1) thunks.foreach(_.apply())
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(maxParallel, thunks.size))
+        math.min(cap, thunks.size))
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutorService(pool)
-      try scala.concurrent.Await.result(
-        scala.concurrent.Future.sequence(
-          thunks.map(t => scala.concurrent.Future(t.apply()))),
-        scala.concurrent.duration.Duration.Inf)
-      finally pool.shutdown()
+      try {
+        // await ALL thunks — success or failure — before rethrowing the
+        // first failure: a fail-fast Await would return with sibling
+        // writes still in flight, letting a caller that catches and
+        // continues race them (and voiding the compaction path's
+        // "retire only after every fold landed" invariant on the error
+        // path)
+        val settled = scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(
+            thunks.map(t => scala.concurrent.Future(scala.util.Try(t.apply())))),
+          scala.concurrent.duration.Duration.Inf)
+        settled.collectFirst { case scala.util.Failure(e) => e }.foreach(throw _)
+      } finally pool.shutdown()
     }
   }
 }

@@ -134,7 +134,13 @@ object AchillesGen {
 
   /** Per-table fused battery passes in model-table order: a sum pass and
     * (when the table has FK analyses) a distinct pass — two scans per
-    * table, never one per analysis.
+    * table, never one per analysis. The distinct pass additionally
+    * partitions by the FK column's Spark type: `stack` requires exact
+    * type agreement across its stacked slots (NullType-only coercion),
+    * so a model mixing string FKs with int64 FKs would fail analysis in
+    * one stack; per-type stacks keep each pass narrow (no widening cast
+    * on the shuffled FK value) and type-safe. The current model is
+    * type-homogeneous, so this yields the same single pass per table.
     */
   private def fusedPasses(model: CdmModel, load: String => DataFrame,
       keep: Analysis => Boolean): Seq[DataFrame] = {
@@ -144,7 +150,9 @@ object AchillesGen {
         val (dist, sums) = as.partition(a => DistinctKinds(a.kind))
         val df = load(tb)
         (if (sums.nonEmpty) Seq(fusedSumCounts(sums, df)) else Nil) ++
-          (if (dist.nonEmpty) Seq(fusedDistinctCounts(dist, df)) else Nil)
+          dist.groupBy(a => df.schema(a.column).dataType).toSeq
+            .sortBy(_._2.head.id)
+            .map { case (_, group) => fusedDistinctCounts(group, df) }
       }
     }
   }
@@ -642,14 +650,51 @@ object AchillesGen {
     * `casted_names` padding), suppression already applied per family.
     */
   def mergedResults(model: CdmModel, load: String => DataFrame): DataFrame = {
-    val nulls = (2 to 5).map(i => lit(null).cast("string").as(s"stratum_$i"))
-    val counts = results(model, load)
-      .select(Seq(col("analysis_id"), col("stratum_1")) ++ nulls :+ col("count_value"): _*)
-    val pairNulls = (3 to 5).map(i => lit(null).cast("string").as(s"stratum_$i"))
-    val pairs = pairResults(model, load)
+    // Stage-2 fusion (guide §2.4): a table's SUM-family analyses and its
+    // PAIR analyses share ONE stack + ONE count aggregate — the sum rows
+    // ride with stratum_2 = NULL (their groups are untouched: the extra
+    // key is constant) and the pair rows carry stratum_2 = year(ts), so
+    // the merged battery scans each table at most TWICE (count pass +
+    // distinct pass) instead of three times. Row-identical to the
+    // separate results()+pairResults() union: same groups, same counts,
+    // same >5 suppression per family.
+    val byTable = analyses(model).groupBy(_.table)
+    val pairsByTable = pairAnalyses(model).groupBy(_.table)
+    val passes = model.tables.flatMap { tb =>
+      val as = byTable.getOrElse(tb, Seq.empty)
+      val (dist, sums) = as.partition(a => DistinctKinds(a.kind))
+      val prs = pairsByTable.getOrElse(tb, Seq.empty)
+      if (as.isEmpty && prs.isEmpty) Nil
+      else {
+        val df = load(tb)
+        val countPass =
+          if (sums.isEmpty && prs.isEmpty) Nil
+          else {
+            val entries =
+              sums.map(a =>
+                s"CAST(${a.id} AS BIGINT), ${stratumSql(a)}, CAST(NULL AS STRING)") ++
+              prs.map(a =>
+                s"CAST(${a.id} AS BIGINT), `${a.strCol}`, CAST(year(`${a.tsCol}`) AS STRING)")
+            val stackExpr = s"stack(${entries.size}, ${entries.mkString(", ")}) " +
+              "AS (analysis_id, stratum_1, stratum_2)"
+            Seq(df.select(expr(stackExpr))
+              .groupBy(col("analysis_id"), col("stratum_1"), col("stratum_2"))
+              .agg(count(lit(1)).as("count_value")))
+          }
+        val distPasses = dist.groupBy(a => df.schema(a.column).dataType).toSeq
+          .sortBy(_._2.head.id)
+          .map { case (_, group) =>
+            fusedDistinctCounts(group, df)
+              .withColumn("stratum_2", lit(null).cast("string"))
+          }
+        countPass ++ distPasses
+      }
+    }
+    val nulls = (3 to 5).map(i => lit(null).cast("string").as(s"stratum_$i"))
+    passes.pipe(graft.Unions.balanced)
+      .filter(col("count_value") > 5)
       .select(Seq(col("analysis_id"), col("stratum_1"), col("stratum_2")) ++
-        pairNulls :+ col("count_value"): _*)
-    counts.unionByName(pairs)
+        nulls :+ col("count_value"): _*)
   }
 
   /** DuckDB rendering of [[mergedResults]]. */

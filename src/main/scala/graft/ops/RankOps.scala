@@ -81,7 +81,10 @@ object RankOps {
       import org.apache.spark.sql.GraftExpressionBridge
       GraftExpressionBridge.column(graft.functions.TopKPairs(
         GraftExpressionBridge.expression(col("__sl").cast("double")),
-        GraftExpressionBridge.expression(col("doc_id")), k)
+        // TopKPairs holds ids as Long internally (no inputTypes
+        // declared) — the explicit cast documents the long-id contract
+        // instead of a runtime ClassCastException on a non-long caller
+        GraftExpressionBridge.expression(col("doc_id").cast("long")), k)
         .toAggregateExpression())
     }
     val scored = pairSums

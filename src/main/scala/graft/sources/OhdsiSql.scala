@@ -515,11 +515,22 @@ object OhdsiSql {
     else df.createOrReplaceTempView(clean)
   }
 
-  /** Drop-and-recreate a managed catalog table (`[db.]table` or
+  /** Drop-and-recreate a catalog table (`[db.]table` or
     * `catalog.db.table`, catalog stripped — the session has one). The
-    * location is deleted alongside the DROP: a managed-table LOCATION
-    * left by a previous JVM whose in-memory catalog forgot the entry
-    * would otherwise fail the recreate (the r15 lesson).
+    * location is deleted alongside the DROP: a LOCATION left by a
+    * previous JVM whose in-memory catalog forgot the entry would
+    * otherwise fail the recreate (the r15 lesson).
+    *
+    * Swap-by-rename (optimization guide §6 — write once, move the
+    * pointer): the fresh contents are written ONCE to a staging
+    * directory beside the final location (same filesystem), promoted by
+    * a directory rename, and the catalog entry re-pointed with the
+    * frame's exact schema. The previous protocol materialized to /tmp,
+    * read the copy back and `saveAsTable`d it — every write-back paid
+    * the data bytes TWICE plus a read; at 100 TB a catalog rewrite now
+    * moves each byte exactly once. Self-read safety is unchanged: the
+    * plan still reads the live location while the staging copy is
+    * written, and the swap happens only after the write completes.
     */
   def replaceCatalogTable(spark: SparkSession, name: String, df: DataFrame): Unit = {
     val parts = cleanName(name).split('.')
@@ -529,37 +540,87 @@ object OhdsiSql {
     val dbTbl = (if (parts.length == 3) s"${parts(1)}.${parts(2)}"
       else cleanName(name)).toLowerCase
     val db = dbTbl.split('.').head
+    val tbl = dbTbl.split('.').last
     // clustering parity (SURVEY §1.3): a table created with the published
     // CLUSTER BY carries its keys in graft.cluster_by — every rewrite
     // re-sorts within partitions, so the stored layout keeps the
     // BigQuery clustering semantics (block-local key order -> parquet
     // row-group min/max skipping on the cluster keys)
     val clusterBy = tableClusterBy(spark, dbTbl)
-    // materialize the new contents OUTSIDE the table's own location so
-    // the swap never reads what it overwrites
-    val tmp = java.nio.file.Files.createTempDirectory("ohdsi_writeback").toString
+    val fresh = clusterBy match {
+      case Some(keys) => df.sortWithinPartitions(
+        keys.map(org.apache.spark.sql.functions.col): _*)
+      case None => df
+    }
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(warehouse + s"/$db.db/$tbl")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // dot-prefixed staging: invisible to Spark file listing, cannot
+    // collide with a table name
+    val staging = new org.apache.hadoop.fs.Path(warehouse + s"/$db.db/.graft_stage_$tbl")
+    fs.delete(staging, true)
     try {
-      df.write.mode("overwrite").parquet(tmp)
-      val freshRaw = spark.read.parquet(tmp)
-      val fresh = clusterBy match {
-        case Some(keys) => freshRaw.sortWithinPartitions(
-          keys.map(org.apache.spark.sql.functions.col): _*)
-        case None => freshRaw
-      }
-      spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+      fresh.write.mode("overwrite").parquet(staging.toString)
       spark.sql(s"DROP TABLE IF EXISTS $dbTbl")
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir") + s"/$db.db/${dbTbl.split('.').last}")
-      loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
-      fresh.write.saveAsTable(dbTbl)
-      clusterBy.foreach(keys => spark.sql(
-        s"ALTER TABLE $dbTbl SET TBLPROPERTIES ('graft.cluster_by' = '${keys.mkString(",")}')"))
+      fs.delete(loc, true)
+      require(fs.rename(staging, loc), s"staging rename failed: $staging -> $loc")
+      // explicit schema — exactly the read-back schema of the files just
+      // written (file sources read parquet columns as nullable), so the
+      // catalog entry matches what the old read-back-and-save protocol
+      // recorded, with no inference pass over the footers
+      val props = clusterBy.map(keys =>
+        s" TBLPROPERTIES ('graft.cluster_by' = '${keys.mkString(",")}')").getOrElse("")
+      val nullable = org.apache.spark.sql.types.StructType(
+        df.schema.fields.map(_.copy(nullable = true)))
+      spark.sql(s"CREATE TABLE $dbTbl (${nullable.toDDL}) " +
+        s"USING parquet LOCATION '${loc.toString}'$props")
     } finally {
-      // the materialized copy is dead once the managed table is written
-      // — deleting it here closes the one-parquet-copy-per-write-back
-      // /tmp leak (r15 ADVICE)
-      val p = new org.apache.hadoop.fs.Path(tmp)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      fs.delete(staging, true)
+    }
+  }
+
+  /** Append rows to a catalog table WITHOUT rewriting it: materialize
+    * ONLY the delta to a staging directory (self-read safe — the select
+    * may scan the target, whose files are untouched until the moves),
+    * then move the delta's data files into the live location and refresh
+    * the table's file listing. SQL INSERT semantics — existing bytes are
+    * never read or rewritten, which at 100 TB is the difference between
+    * writing the delta and rewriting the table (guide §6).
+    */
+  private def appendCatalogTable(spark: SparkSession, dbTbl: String, delta: DataFrame): Unit = {
+    val db = dbTbl.split('.').head
+    val tbl = dbTbl.split('.').last
+    // clustered tables keep per-file key order: the existing files were
+    // written sorted; the delta's files sort on their own
+    val sorted = tableClusterBy(spark, dbTbl) match {
+      case Some(keys) => delta.sortWithinPartitions(
+        keys.map(org.apache.spark.sql.functions.col): _*)
+      case None => delta
+    }
+    // the table's REGISTERED location (not the conventional path — a
+    // table staged elsewhere appends where its files actually live)
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(tbl, Some(db))).location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + s"/$db.db/.graft_stage_append_$tbl")
+    fs.delete(staging, true)
+    try {
+      sorted.write.mode("overwrite").parquet(staging.toString)
+      if (!fs.exists(loc)) fs.mkdirs(loc)
+      // part-file names carry the write job's UUID — unique in the target
+      fs.listStatus(staging)
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith("."))
+        .foreach { f =>
+          val dest = new org.apache.hadoop.fs.Path(loc, f.getPath.getName)
+          require(fs.rename(f.getPath, dest), s"append rename failed: ${f.getPath} -> $dest")
+        }
+      spark.catalog.refreshTable(dbTbl)
+    } finally {
+      fs.delete(staging, true)
     }
   }
 
@@ -1105,9 +1166,11 @@ object OhdsiSql {
 
   /** INSERT INTO a CATALOG table (the `{omop_table}_merge` template's
     * final load): positional column mapping against the target schema —
-    * the SQL INSERT contract — casting each position to the target type;
-    * appended rows join the existing ones through the atomic catalog
-    * replace.
+    * the SQL INSERT contract — casting each position to the target type.
+    * A real catalog target appends by file move ([[appendCatalogTable]]
+    * — the delta alone is written, never the existing rows); a temp-view
+    * target (bare or global_temp name, which [[QNamePat]] also matches)
+    * keeps the union-and-re-register flow.
     */
   private def executeInsertCatalog(spark: SparkSession, target: String,
       colList: String, select: String): Unit = {
@@ -1135,7 +1198,13 @@ object OhdsiSql {
           fcol(df.columns(i)).cast(f.dataType).as(f.name)
         }
     }
-    reRegister(spark, target, tgt.unionByName(df.select(mapped.toSeq: _*)))
+    val delta = df.select(mapped.toSeq: _*)
+    val clean = cleanName(target)
+    if (clean.contains(".") && !clean.toLowerCase.startsWith("global_temp.")) {
+      val parts = clean.split('.')
+      val dbTbl = (if (parts.length == 3) s"${parts(1)}.${parts(2)}" else clean).toLowerCase
+      appendCatalogTable(spark, dbTbl, delta)
+    } else reRegister(spark, target, tgt.unionByName(delta))
   }
 
   /** The `IF NOT EXISTS (probe-subquery) CREATE TABLE ...` conditional

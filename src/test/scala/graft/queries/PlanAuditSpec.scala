@@ -196,8 +196,11 @@ class PlanAuditSpec extends SparkSpec {
     val raw = graft.operators.AchillesGen
       .mergedResults(m, tb => graft.Tables.load(spark, Sf, tb))
       .queryExecution.executedPlan.toString
+    // r22 stage-2 fusion: the pair stack folded into the sum pass, so the
+    // merged battery scans each table at most TWICE (count pass + distinct
+    // pass), down from three
     val rawScans = raw.linesIterator.count(_.contains("Scan parquet"))
-    assert(rawScans <= 3 * m.tables.size,
+    assert(rawScans <= 2 * m.tables.size,
       s"full generated battery scans grew to $rawScans:\n$raw")
     assert(!raw.contains("CartesianProduct"))
   }

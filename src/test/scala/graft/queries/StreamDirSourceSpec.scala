@@ -33,6 +33,38 @@ class StreamDirSourceSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/events.parquet").count() === 100L)
   }
 
+  test("graft.stream.shuffle sizes state-store partitioning; default is the session conf") {
+    // r22: state-store instances per stateful operator = shuffle
+    // partitions at FIRST start, pinned into the checkpoint. The knob
+    // re-sizes ONLY the stream's state partitioning (production posture);
+    // absent, the session default rules (the bench contract — no
+    // local[32]-only tuning), and the session conf is restored either way.
+    val dir = java.nio.file.Files.createTempDirectory("evknob").toString
+    fixture(60).repartition(2).write.parquet(s"$dir/events.parquet")
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    def stateDirs(sink: String): Int = {
+      val state = new java.io.File(
+        s"${graft.io.Zones.defaultRoot}/stream_ckpt_$sink/state/0")
+      Option(state.listFiles())
+        .map(_.count(f => f.isDirectory && f.getName.forall(_.isDigit))).getOrElse(0)
+    }
+    def windowed(sinkTag: String) = graft.streaming.StreamingOps.windowedEventCounts(
+      EventQueries.eventsStream(spark, dir, s"spec_ev_knob_$sinkTag"), "ts", "event_type")
+    // default: state partitions = session shuffle partitions
+    EventQueries.drainToTable(windowed("a"), "spec_knob_default_sink", "complete")
+    assert(stateDirs("spec_knob_default_sink") === before.toInt,
+      "default state partitioning must follow the session conf")
+    // knob: state partitions = knob, conf restored after
+    System.setProperty("graft.stream.shuffle", "3")
+    try {
+      EventQueries.drainToTable(windowed("b"), "spec_knob_sized_sink", "complete")
+      assert(stateDirs("spec_knob_sized_sink") === 3,
+        "graft.stream.shuffle must size the stream's state partitioning")
+      assert(spark.conf.get("spark.sql.shuffle.partitions") === before,
+        "session conf must be restored after the drain")
+    } finally System.clearProperty("graft.stream.shuffle")
+  }
+
   test("eventsStream drains a single-file events dataset completely") {
     val dir = java.nio.file.Files.createTempDirectory("evfile").toString
     // a single parquet FILE, the driver-testdata layout

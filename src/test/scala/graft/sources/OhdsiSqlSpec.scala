@@ -583,6 +583,68 @@ class OhdsiSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("columns"))
   }
 
+  test("catalog INSERT appends by file move — existing files are never rewritten") {
+    // r22: an INSERT materializes ONLY the delta and moves its files into
+    // the table location; the existing bytes must stay byte-identical on
+    // disk (at 100 TB: write the delta, not the table)
+    spark.sql("CREATE DATABASE IF NOT EXISTS ohdsi_spec_db")
+    OhdsiSql.replaceCatalogTable(spark, "ohdsi_spec_db.appmv",
+      Seq((1L, "a")).toDF("k", "v"))
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + "/ohdsi_spec_db.db/appmv")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles = fs.listStatus(loc)
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith("."))
+      .map(f => (f.getPath.getName, f.getModificationTime)).toSet
+    val before = dataFiles
+    assert(before.nonEmpty)
+    // self-reading INSERT: the delta scans the table it appends to
+    OhdsiSql.executeAll(spark,
+      """INSERT INTO [spark_catalog].[ohdsi_spec_db].[appmv]
+        |SELECT k + 10, v FROM [spark_catalog].[ohdsi_spec_db].[appmv]""".stripMargin)
+    val after = dataFiles
+    assert(before.subsetOf(after), "an append rewrote existing files")
+    assert(after.size > before.size, "the delta landed no new files")
+    val rows = spark.table("ohdsi_spec_db.appmv").orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq === Seq((1L, "a"), (11L, "a")))
+    // staging cleaned up
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") +
+        "/ohdsi_spec_db.db/.graft_stage_append_appmv")))
+  }
+
+  test("replaceCatalogTable swaps by rename — schema, clustering and contents survive") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS ohdsi_spec_db")
+    // a clustered table records its keys; the swap must re-point the
+    // catalog (fresh location) and keep graft.cluster_by
+    spark.sql("DROP TABLE IF EXISTS ohdsi_spec_db.swapren")
+    val swapLoc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + "/ohdsi_spec_db.db/swapren")
+    val fs = swapLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(swapLoc, true)
+    spark.sql("CREATE TABLE ohdsi_spec_db.swapren (k BIGINT, v STRING) USING parquet " +
+      "TBLPROPERTIES ('graft.cluster_by' = 'k')")
+    OhdsiSql.replaceCatalogTable(spark, "ohdsi_spec_db.swapren",
+      Seq((2L, "b"), (1L, "a")).toDF("k", "v"))
+    assert(OhdsiSql.tableClusterBy(spark, "ohdsi_spec_db.swapren") === Some(Seq("k")))
+    assert(spark.table("ohdsi_spec_db.swapren").schema.map(f => (f.name, f.dataType.sql)) ===
+      Seq(("k", "BIGINT"), ("v", "STRING")))
+    assert(spark.table("ohdsi_spec_db.swapren").orderBy("k")
+      .collect().map(_.getString(1)).toSeq === Seq("a", "b"))
+    // the data lives at the conventional location; no staging left behind
+    assert(fs.exists(swapLoc))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + "/ohdsi_spec_db.db/.graft_stage_swapren")))
+    // a second replace that READS the table it replaces (self-read swap)
+    OhdsiSql.executeAll(spark,
+      """UPDATE [spark_catalog].[ohdsi_spec_db].[swapren]
+        |SET v = 'z' where k = 1""".stripMargin)
+    assert(spark.table("ohdsi_spec_db.swapren").orderBy("k")
+      .collect().map(_.getString(1)).toSeq === Seq("z", "b"))
+  }
+
   test("block comments strip quote-aware, nested, and with embedded ';'/keywords") {
     // ADVICE r13: a template's /********/ header carries apostrophes,
     // semicolons, and statement keywords — all must be invisible to the
