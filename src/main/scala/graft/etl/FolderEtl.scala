@@ -248,19 +248,22 @@ object FolderEtl {
           java.sql.Date.valueOf("2026-01-01"))
       }
       .reduceOption(_ unionByName _)
-    // (r21) the lineage tombstone and the metadata stamp are independent
-    // writes — concurrent jobs (guide §2.6)
-    graft.io.Jobs.concurrently(Seq(
-      () => lineage.foreach { l =>
-        timed("post lineage")(zones.write(
-          graft.operators.Cleanup.tombstoneStale(l, lit("2000-01-01").cast("date")),
-          "omop", mapName))
-      },
-      () => timed("post metadata")(zones.write(
-        graft.operators.Cleanup.versionMetadata(
-          s, "5.4", "0.1.0",
-          java.sql.Date.valueOf("2026-01-01"),
-          java.sql.Timestamp.valueOf("2026-01-01 12:00:00")),
-        "omop", "metadata_riab"))))
+    // The r21 overlap of these two writes was REVERTED in r22 after a
+    // clean four-run knob A/B measured it flat (serial 5.73/6.37 s vs
+    // concurrent 11.93/6.04 s for etl_folder_run, band both ways): both
+    // writes are metadata-scale at EVERY data size (lineage rows +
+    // version stamp), so §2.6 back-fill has nothing to back-fill here —
+    // the pool bought complexity, not seconds.
+    lineage.foreach { l =>
+      timed("post lineage")(zones.write(
+        graft.operators.Cleanup.tombstoneStale(l, lit("2000-01-01").cast("date")),
+        "omop", mapName))
+    }
+    timed("post metadata")(zones.write(
+      graft.operators.Cleanup.versionMetadata(
+        s, "5.4", "0.1.0",
+        java.sql.Date.valueOf("2026-01-01"),
+        java.sql.Timestamp.valueOf("2026-01-01 12:00:00")),
+      "omop", "metadata_riab"))
   }
 }
